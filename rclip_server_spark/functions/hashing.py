@@ -1,0 +1,77 @@
+"""Portable hashing primitives for dedup/fingerprinting operators.
+
+Everything here must produce IDENTICAL values in Spark and in the DuckDB
+oracle, so the family is built on md5 (present and identical in both) rather
+than engine-native hashes (Spark xxhash64/murmur ≠ DuckDB hash). Arithmetic
+stays within int64 (Spark 4 runs ANSI mode: bigint overflow would error, not
+wrap) — the base hash is 32-bit and the affine constants 30-bit, so
+a*h + b < 2^62.
+
+DuckDB twin of ``portable_hash32``:
+    CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: modulus of the affine minhash family.
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def portable_hash32(c: Column) -> Column:
+    """First 8 hex chars of md5 as a non-negative int64 in [0, 2^32)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def portable_hash60(c: Column) -> Column:
+    """First 15 hex chars of md5 as a non-negative int64 in [0, 2^60)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Seeded (a, b) pairs for h_i(x) = (a_i * x + b_i) mod p, a_i odd."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 30, size=num_hashes) * 2 + 1
+    b = rng.integers(0, 1 << 30, size=num_hashes)
+    return [(int(ai), int(bi)) for ai, bi in zip(a, b)]
+
+
+def minhash_signature(shingles: Column, params: list[tuple[int, int]]) -> Column:
+    """array<bigint> minhash signature over an array-of-string shingle column.
+
+    Pure column expression: shingles are hashed once (portable_hash32), then
+    each family member is an affine transform + array_min — no UDF, no
+    shuffle; evaluated row-local wherever the data lives.
+    """
+    hashed = F.transform(shingles, portable_hash32)
+    sigs = [
+        F.array_min(F.transform(hashed, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)))
+        for (a, b) in params
+    ]
+    return F.array(*sigs)
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit-ish SimHash from a token array (32 bits used, portable).
+
+    Classic scheme: hash each token to 32 bits; for every bit position sum
+    +1/-1 across tokens; the sign vector is the fingerprint. Expressed as a
+    per-row fold over bit positions — no shuffle.
+    """
+    hashed = F.transform(tokens, portable_hash32)
+    bits = []
+    for i in range(32):
+        contrib = F.aggregate(
+            hashed,
+            F.lit(0).cast("long"),
+            lambda acc, h, i=i: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        bits.append(F.when(contrib > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out

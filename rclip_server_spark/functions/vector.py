@@ -1,0 +1,81 @@
+"""Vector algebra as pure-SQL column expressions.
+
+These are the oracle-checkable twins of the reference's NumPy operations
+(rclip_server.py:141/180/187 normalize, :196 dot-product scoring, :267-268
+min-max scaling). They stay entirely JVM-side — higher-order array functions,
+no Python in the loop — so Catalyst keeps whole-stage codegen around them.
+The BLAS-speed scoring path lives in operators/similarity.py (Arrow GEMV);
+these expressions are the semantics-defining reference implementation.
+
+All arithmetic is done in DOUBLE regardless of the (float32) storage type so
+that results are bit-comparable with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+
+def _col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def vec_lit(values: Sequence[float]) -> Column:
+    """A literal vector as array<double>."""
+    return F.array(*[F.lit(float(v)) for v in values])
+
+
+def dot(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Dot product of two array columns, accumulated left-to-right in double.
+
+    Mirrors the reference's GEMV row semantics (rclip_server.py:196): on
+    unit-norm inputs this IS cosine similarity.
+    """
+    prods = F.zip_with(_col(a), _col(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: ColumnOrName) -> Column:
+    sq = F.aggregate(
+        _col(a), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return F.sqrt(sq)
+
+
+def l2_normalize(a: ColumnOrName) -> Column:
+    """x / ||x||2, the invariant the reference maintains at index time
+    (index_wikimedia.py:148-150) and query time (rclip_server.py:141)."""
+    a = _col(a)
+    n = l2_norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)
+
+
+def scale(a: ColumnOrName, s) -> Column:
+    """a * scalar (signed weighted term scaling, rclip_server.py:136)."""
+    s = F.lit(float(s)) if not isinstance(s, Column) else s
+    return F.transform(_col(a), lambda x: x.cast("double") * s)
+
+
+def vadd(a: ColumnOrName, b: ColumnOrName) -> Column:
+    return F.zip_with(_col(a), _col(b), lambda x, y: x.cast("double") + y.cast("double"))
+
+
+def vsub(a: ColumnOrName, b: ColumnOrName) -> Column:
+    return F.zip_with(_col(a), _col(b), lambda x, y: x.cast("double") - y.cast("double"))
+
+
+def cosine(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Cosine similarity for NOT-pre-normalized inputs."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def minmax_scale(a: ColumnOrName, mins: ColumnOrName, ranges: ColumnOrName) -> Column:
+    """(x - min) / range, element-wise over three parallel arrays
+    (rclip_server.py:267-268, the visualization normalizer)."""
+    shifted = F.zip_with(_col(a), _col(mins), lambda x, m: x.cast("double") - m.cast("double"))
+    return F.zip_with(shifted, _col(ranges), lambda x, r: x / r.cast("double"))

@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns: exact brute-force top-k (the
+semantics baseline, reference A1/A2) and approximate scale tiers
+(random-hyperplane LSH buckets; IVF-style coarse quantization).
+
+Scale shape: brute force is map-side score + TakeOrderedAndProject — it
+*works* at 100 TB but reads everything. The LSH/IVF tiers cut the scan to a
+bucket subset; both are built from deterministic literal projections so
+results are reproducible and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    h = rng.standard_normal((n_planes, dim))
+    return h / np.linalg.norm(h, axis=1, keepdims=True)
+
+
+def hyperplane_bucket_col(vec_col, planes: np.ndarray):
+    """Sign-bit bucket id: bit_i = dot(v, plane_i) >= 0. Pure column math over
+    literal planes — deterministic, identical in the DuckDB oracle."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        bit = F.when(V.dot(vec_col, V.vec_lit(list(p))) >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def brute_force_topk_multi(
+    df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k per query for a (small) batch of query vectors.
+
+    Broadcast the query side, cross-score, rank within query. One shuffle
+    (the window on query_id); scoring itself is map-side."""
+    joined = df.crossJoin(F.broadcast(queries_df))
+    scored = joined.select(
+        F.col(query_id),
+        F.col(id_col),
+        V.dot(vec_col, query_vec).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, id_col, "score", "rank")
+    )
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    n_planes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only rows in the query's hyperplane bucket are
+    scored. At scale the table is written partitioned by bucket so the scan
+    prunes to 1/2^n_planes of the data before any scoring happens."""
+    dim = len(np.asarray(query_vec))
+    planes = hyperplanes(n_planes, dim, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbucket = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) >= 0))
+    bucketed = df.withColumn("bucket", hyperplane_bucket_col(F.col(vec_col), planes))
+    cand = bucketed.where(F.col("bucket") == qbucket)
+    scored = cand.withColumn("score", V.dot(F.col(vec_col), V.vec_lit(list(qv))))
+    return (
+        scored.select(id_col, "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_lsh_near_dup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup at scale: bucket by hyperplane signs, exact-verify
+    cosine only within buckets (near-identical vectors share all sign bits
+    with high probability; multiple seeded plane-sets would raise recall)."""
+    dim = int(df.select(F.size(vec_col)).first()[0])
+    planes = hyperplanes(n_planes, dim, seed)
+    bucketed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    )
+    return (
+        pairs.withColumn("cos", V.dot("a.v", "b.v"))
+        .where(F.col("cos") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("cos").alias("cosine")
+        )
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse assignment: nearest centroid (max dot on unit vectors) per
+    row, as a greatest-of-structs over literal centroids. Writing the table
+    partitioned by `ivf_cell` makes probe queries partition-pruned scans."""
+    cells = [
+        F.struct(V.dot(F.col(vec_col), V.vec_lit(list(c))).alias("s"), F.lit(i).alias("c"))
+        for i, c in enumerate(centroids)
+    ]
+    return df.select(
+        F.col(id_col), F.col(vec_col), F.greatest(*cells)["c"].alias("ivf_cell")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: score only rows assigned to the n_probe centroids nearest
+    the query."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort(-(centroids @ qv))[:n_probe]
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    cand = assigned.where(F.col("ivf_cell").isin([int(i) for i in order]))
+    scored = cand.withColumn("score", V.dot(F.col(vec_col), V.vec_lit(list(qv))))
+    return (
+        scored.select(id_col, "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

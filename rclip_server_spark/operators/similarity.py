@@ -1,0 +1,199 @@
+"""Brute-force exact similarity scan + top-k (reference A1/A2/A11), the
+engine core.
+
+The reference scores with one driver-resident BLAS GEMV over an N×512 matrix
+and then FULLY sorts all N scores (rclip_server.py:194-198). The Spark-native
+design distributes the same exact computation and improves the sort:
+
+  * score is MAP-SIDE ONLY — a per-row expression (or per-Arrow-batch GEMV),
+    no shuffle, embarrassingly parallel across any number of executors;
+  * top-k is ``orderBy(desc).limit(k)`` which Catalyst plans as
+    ``TakeOrderedAndProject``: a size-k heap per partition, then a k·P-row
+    merge on the driver — O(N log k) work and k rows of traffic, versus the
+    reference's O(N log N) full sort. This is the shape that survives 100 TB:
+    the scan scales out, only k·P rows ever cross the wire.
+
+Two scoring paths with identical semantics:
+  * ``method='sql'``  — pure higher-order-function expression (functions/
+    vector.py), JVM-side, whole-stage-codegen'd, DuckDB-oracle-checkable.
+  * ``method='gemv'`` — scalar-iterator pandas_udf: each Arrow batch becomes a
+    NumPy matrix and one ``M @ q`` BLAS call, preserving the reference's
+    vectorized execution *and* partition parallelism. Faster for wide vectors
+    / large N; the default for the serving path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+
+def score_col_sql(vec_col, query_vec) -> Column:
+    """score = dot(embedding, query) as a pure-SQL column (unit-norm ⇒ cosine)."""
+    return V.dot(vec_col, V.vec_lit(list(query_vec)))
+
+
+def score_col_gemv(vec_col, query_vec) -> Column:
+    """Arrow-batched GEMV: one BLAS matvec per batch (reference rclip_server.py:196
+    semantics, distributed). float64 accumulation to match the SQL path."""
+    q = np.asarray(query_vec, dtype=np.float64)
+
+    @F.pandas_udf("double")
+    def _score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            mat = np.stack(s.to_numpy()).astype(np.float64, copy=False)
+            yield pd.Series(mat @ q)
+
+    return _score(vec_col)
+
+
+def with_score(
+    df: DataFrame,
+    query_vec,
+    vec_col: str = "embedding",
+    method: str = "sql",
+    score_name: str = "score",
+) -> DataFrame:
+    fn = score_col_sql if method == "sql" else score_col_gemv
+    return df.withColumn(score_name, fn(F.col(vec_col), query_vec))
+
+
+def topk_similar(
+    df: DataFrame,
+    query_vec,
+    k: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "sql",
+) -> DataFrame:
+    """Top-k rows by cosine against ``query_vec`` → (id, score).
+
+    Deterministic tie-break on id so results are stable across partitionings
+    (float ties are rare but a correctness gate should never flap).
+    """
+    scored = with_score(df, query_vec, vec_col=vec_col, method=method)
+    return (
+        scored.select(F.col(id_col), F.col("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def best_words(
+    words_df: DataFrame,
+    query_vec,
+    k: int = 50,
+    word_col: str = "word",
+    vec_col: str = "vector",
+    method: str = "sql",
+) -> DataFrame:
+    """Reverse lookup (reference A11, rclip_server.py:310-312): score the query
+    vector against the word-embedding table, top-k."""
+    scored = with_score(words_df, query_vec, vec_col=vec_col, method=method)
+    return (
+        scored.select(F.col(word_col), F.col("score"))
+        .orderBy(F.desc("score"), F.asc(word_col))
+        .limit(k)
+    )
+
+
+def phrase_embedding_df(
+    words_df: DataFrame,
+    phrases_df: DataFrame,
+    word_col: str = "word",
+    vec_col: str = "vector",
+    phrase_id: str = "phrase_id",
+) -> DataFrame:
+    """Compositional phrase embedding (reference A12, rclip_server.py:314-318):
+    normalize(Σ member-word vectors), distributed for MANY phrases at once.
+
+    ``phrases_df``: (phrase_id, words: array<string>). Plan: explode →
+    broadcast-join the word table → posexplode vectors → hash-agg per
+    (phrase, dim) → rebuild array ordered by dim → normalize. All built-ins.
+    """
+    exploded = phrases_df.select(phrase_id, F.explode("words").alias(word_col))
+    joined = exploded.join(F.broadcast(words_df.select(word_col, vec_col)), word_col)
+    per_dim = (
+        joined.select(phrase_id, F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy(phrase_id, "dim")
+        .agg(F.sum(F.col("x").cast("double")).alias("x"))
+    )
+    vec = (
+        per_dim.groupBy(phrase_id)
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "x"))).alias("pairs"))
+        .select(
+            phrase_id,
+            F.transform(F.col("pairs"), lambda p: p["x"]).alias("raw"),
+        )
+    )
+    return vec.select(phrase_id, V.l2_normalize("raw").alias(vec_col))
+
+
+def best_phrases(
+    words_df: DataFrame,
+    query_vec,
+    *,
+    top_words: int = 200,
+    n_samples_per_len: int = 1000,
+    phrase_lens: tuple[int, ...] = (2, 3, 4),
+    k: int = 100,
+    seed: int = 42,
+    word_col: str = "word",
+    vec_col: str = "vector",
+    method: str = "sql",
+) -> DataFrame:
+    """Candidate-phrase generation + approximate rescoring + top-k rerank
+    (reference A14, rclip_server.py:330-342).
+
+    Reference shape: top-200 words → sample 1000 random {2,3,4}-word combos →
+    approx-score via the phrase-embedding sum (A12) → sort → top-100. The
+    reference samples with an unseeded RNG; here sampling is SEEDED so runs
+    are reproducible (SURVEY.md §4 "sampling via seeded rand").
+
+    Spark plan: the top-word pool is tiny (200 rows) so it is collected once
+    and re-broadcast as a literal array; candidate generation is a distributed
+    ``range(n)`` + seeded shuffle-pick; scoring is column math; rerank is
+    TakeOrderedAndProject.
+    """
+    top = best_words(words_df, query_vec, k=top_words, word_col=word_col,
+                     vec_col=vec_col, method=method)
+    pool = [r[0] for r in top.select(word_col).collect()]
+    if not pool:
+        spark = words_df.sparkSession
+        return spark.createDataFrame([], "phrase string, score double")
+
+    spark = words_df.sparkSession
+    rng = np.random.default_rng(seed)
+    candidates = []
+    for ln in phrase_lens:
+        for _ in range(n_samples_per_len):
+            idx = rng.choice(len(pool), size=ln, replace=False)
+            candidates.append((" ".join(pool[i] for i in idx),
+                               [pool[i] for i in idx]))
+    cand_df = spark.createDataFrame(candidates, "phrase string, words array<string>")
+
+    emb = phrase_embedding_df(words_df, cand_df.withColumnRenamed("phrase", "phrase_id"),
+                              word_col=word_col, vec_col=vec_col, phrase_id="phrase_id")
+    scored = with_score(emb, query_vec, vec_col=vec_col, method="sql")
+    return (
+        scored.select(F.col("phrase_id").alias("phrase"), "score")
+        .orderBy(F.desc("score"), F.asc("phrase"))
+        .limit(k)
+    )
+
+
+def point_lookup_embedding(df: DataFrame, vec_id: int,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> np.ndarray:
+    """A6 point lookup: id → embedding (one tiny pushed-down-filter scan;
+    at scale this is a parquet row-group skip, not a full read)."""
+    row = df.where(F.col(id_col) == vec_id).select(vec_col).first()
+    if row is None:
+        raise KeyError(f"{id_col}={vec_id} not found")
+    return np.asarray(row[0], dtype=np.float64)

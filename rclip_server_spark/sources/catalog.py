@@ -1,0 +1,46 @@
+"""Parquet table catalog over the driver fixtures.
+
+The reference eagerly loads its whole SQLite table into one in-memory matrix
+at startup (rclip_server.py:59-66, 201-228). The Spark-native equivalent is a
+lazy parquet scan per table: columnar at rest, filter/projection pushdown for
+free, and nothing is materialized until an action runs. Callers that want the
+reference's "warm resident matrix" behavior call ``.persist()`` on the
+embeddings DataFrame themselves.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view (for the SQL API)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
