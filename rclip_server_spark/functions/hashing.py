@@ -4,8 +4,8 @@ Everything here must produce IDENTICAL values in Spark and in the DuckDB
 oracle, so the family is built on md5 (present and identical in both) rather
 than engine-native hashes (Spark xxhash64/murmur ≠ DuckDB hash). Arithmetic
 stays within int64 (Spark 4 runs ANSI mode: bigint overflow would error, not
-wrap) — the base hash is 32-bit and the affine constants 30-bit, so
-a*h + b < 2^62.
+wrap) — the base hash is 32-bit (< 2^32) and the affine multipliers are
+clamped below 2^30, so a*h + b < 2^62 with real headroom.
 
 DuckDB twin of ``portable_hash32``:
     CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)
@@ -34,7 +34,7 @@ def portable_hash60(c: Column) -> Column:
 def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """Seeded (a, b) pairs for h_i(x) = (a_i * x + b_i) mod p, a_i odd."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, 1 << 30, size=num_hashes) * 2 + 1
+    a = rng.integers(1, 1 << 29, size=num_hashes) * 2 + 1
     b = rng.integers(0, 1 << 30, size=num_hashes)
     return [(int(ai), int(bi)) for ai, bi in zip(a, b)]
 
@@ -54,12 +54,14 @@ def minhash_signature(shingles: Column, params: list[tuple[int, int]]) -> Column
     return F.array(*sigs)
 
 
-def simhash64(tokens: Column) -> Column:
-    """64-bit-ish SimHash from a token array (32 bits used, portable).
+def simhash32(tokens: Column) -> Column:
+    """32-bit SimHash fingerprint from a token array (portable across engines).
 
     Classic scheme: hash each token to 32 bits; for every bit position sum
     +1/-1 across tokens; the sign vector is the fingerprint. Expressed as a
-    per-row fold over bit positions — no shuffle.
+    per-row fold over bit positions — no shuffle. 32 bits (not 64) because the
+    portable base hash is the first 8 hex chars of md5; Hamming-banding for
+    near-dup search works identically at this width.
     """
     hashed = F.transform(tokens, portable_hash32)
     bits = []

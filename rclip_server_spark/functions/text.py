@@ -30,9 +30,17 @@ PUNCT_PATTERN = "[.,;:!?]"
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization, lowercased.
-    DuckDB twin: string_split_regex(lower(text), '\\s+')."""
-    return F.split(F.lower(text), r"\s+")
+    """Whitespace tokenization, lowercased and TRIMMED — leading/trailing
+    whitespace would otherwise yield empty-string tokens (Spark split keeps
+    them), and empty text maps to an empty array rather than [''].
+    DuckDB twin:
+        CASE WHEN length(trim(lower(text))) = 0 THEN []
+             ELSE string_split_regex(trim(lower(text)), '\\s+') END
+    """
+    t = F.trim(F.lower(text))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
 
 
 def token_count(text: Column) -> Column:

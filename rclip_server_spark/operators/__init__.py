@@ -1,3 +1,3 @@
-from . import ann, dedup, similarity, stats
+from . import ann, dedup, multimodal, similarity, stats
 
-__all__ = ["similarity", "stats", "dedup", "ann"]
+__all__ = ["similarity", "stats", "dedup", "ann", "multimodal"]

@@ -95,11 +95,21 @@ def hyperplane_lsh_near_dup(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup at scale: bucket by hyperplane signs, exact-verify
     cosine only within buckets (near-identical vectors share all sign bits
-    with high probability; multiple seeded plane-sets would raise recall)."""
-    dim = int(df.select(F.size(vec_col)).first()[0])
+    with high probability; multiple seeded plane-sets would raise recall).
+
+    Pass ``dim`` explicitly to keep plan construction lazy; when absent one
+    probe row is read to infer it (errors clearly on an empty input)."""
+    if dim is None:
+        probe = df.select(F.size(vec_col)).first()
+        if probe is None or probe[0] is None:
+            raise ValueError(
+                "cannot infer embedding dim from an empty DataFrame; pass dim="
+            )
+        dim = int(probe[0])
     planes = hyperplanes(n_planes, dim, seed)
     bucketed = df.select(
         F.col(id_col).alias("id"),

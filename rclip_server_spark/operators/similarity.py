@@ -172,10 +172,14 @@ def best_phrases(
     rng = np.random.default_rng(seed)
     candidates = []
     for ln in phrase_lens:
+        if ln > len(pool):  # small word tables: skip lengths we cannot sample
+            continue
         for _ in range(n_samples_per_len):
             idx = rng.choice(len(pool), size=ln, replace=False)
             candidates.append((" ".join(pool[i] for i in idx),
                                [pool[i] for i in idx]))
+    if not candidates:
+        return spark.createDataFrame([], "phrase string, score double")
     cand_df = spark.createDataFrame(candidates, "phrase string, words array<string>")
 
     emb = phrase_embedding_df(words_df, cand_df.withColumnRenamed("phrase", "phrase_id"),
@@ -186,6 +190,18 @@ def best_phrases(
         .orderBy(F.desc("score"), F.asc("phrase"))
         .limit(k)
     )
+
+
+def random_row_embedding(df: DataFrame, seed: int | None = None,
+                         vec_col: str = "embedding") -> np.ndarray:
+    """A10 random stored row ({"random_img": ...}, rclip_server.py:161-162).
+    The reference samples unseeded; pass ``seed`` for reproducible tests.
+    Plan: orderBy(rand).limit(1) — a TakeOrdered, never a full collect."""
+    rnd = F.rand(seed) if seed is not None else F.rand()
+    row = df.select(vec_col).orderBy(rnd).limit(1).first()
+    if row is None:
+        raise ValueError("cannot sample a random row from an empty DataFrame")
+    return np.asarray(row[0], dtype=np.float64)
 
 
 def point_lookup_embedding(df: DataFrame, vec_id: int,

@@ -27,17 +27,23 @@ def feature_minmax(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 def minmax_normalize(df: DataFrame, vec_col: str = "embedding",
                      id_col: str = "vec_id") -> DataFrame:
     """(x - min) / range per dimension (reference A8, rclip_server.py:267-268),
-    for every row. The per-dim stats (64 rows) are broadcast back onto the
-    long form — both joins are on `dim`, and the stats side is tiny."""
-    stats = feature_minmax(df, vec_col)
-    long = df.select(id_col, F.posexplode(vec_col).alias("dim", "x"))
-    normed = long.join(F.broadcast(stats), "dim").select(
-        id_col,
-        "dim",
-        ((F.col("x").cast("double") - F.col("min_x")) / F.col("range_x")).alias("nx"),
-    )
-    return (
-        normed.groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "nx"))).alias("pairs"))
-        .select(id_col, F.transform("pairs", lambda p: p["nx"]).alias("normalized"))
+    for every row.
+
+    Zero-shuffle plan: the per-dimension stats are at most ``dim`` rows, so
+    they are computed once (feature_minmax — its only shuffle moves dim-sized
+    partials) and collected to the driver, then applied as LITERAL arrays via
+    functions.vector.minmax_scale — the main table is touched by a single
+    map-only pass. The previous posexplode→join→re-assemble plan shuffled the
+    full dataset twice; at 100 TB that is the difference between a scan and a
+    catastrophe."""
+    from ..functions import vector as V
+
+    stats = feature_minmax(df, vec_col).orderBy("dim").collect()
+    if not stats:
+        return df.select(id_col, F.col(vec_col).alias("normalized")).limit(0)
+    mins = [r["min_x"] for r in stats]
+    ranges = [r["range_x"] for r in stats]
+    return df.select(
+        F.col(id_col),
+        V.minmax_scale(F.col(vec_col), V.vec_lit(mins), V.vec_lit(ranges)).alias("normalized"),
     )

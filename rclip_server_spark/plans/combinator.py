@@ -6,9 +6,9 @@ through the two injectable callbacks (point lookup by id, random row), each of
 which is a single tiny Spark action.
 
 Term dispatch (rclip_server.py:144-174):
-  ``^https?://...``            → image fetch + embed (injectable; the image
-                                 pipeline is not available here, so the default
-                                 deterministically embeds the URL text)
+  ``^https?://...``            → image fetch + embed (injectable ``image_embed``
+                                 callback; raises without one — text-embedding a
+                                 URL string would be a silent wrong answer)
   ``{"image_id": N}``          → stored embedding via point lookup
   ``{"clip_embedding": [...]}``→ literal vector
   ``{"random_img": s}``        → random stored row (unseeded in the reference)
@@ -53,9 +53,14 @@ def resolve_term(
     image_embed: Callable[[str], np.ndarray] | None = None,
 ) -> np.ndarray:
     if _URL_RE.match(text):
-        if image_embed is not None:
-            return np.asarray(image_embed(text), dtype=np.float64)
-        return embedder.embed_text(text)
+        if image_embed is None:
+            # The reference fetches and embeds the image (rclip_server.py:146-148).
+            # Silently text-embedding the URL string would be a wrong answer.
+            raise ValueError(
+                "URL term used without an image_embed callback; wire "
+                "operators.multimodal / a fetch+embed pipeline for URL terms"
+            )
+        return np.asarray(image_embed(text), dtype=np.float64)
     if not text.startswith("{"):
         return embedder.embed_text(text)
 

@@ -1,0 +1,121 @@
+"""Write path: upsert, soft-delete, incremental skip, DDL, reload
+(reference B5-B9, B18).
+
+The reference upserts into SQLite under a filelock
+(index_wikimedia.py:86-103, 47-48) and soft-deletes with a point UPDATE
+(rclip_server.py:230-235). On a cluster the idiomatic equivalents are a
+table format with ACID MERGE (Delta/Iceberg); plain parquet — all this
+container has — gets read-merge-overwrite semantics with an atomic-rename
+swap. The MERGE-shaped API is kept so a Delta backend can slot in without
+touching callers.
+
+Scale notes: the merge itself is one shuffle on the key (or a broadcast when
+the update side is small — Spark/AQE picks); the anti-join incremental skip
+(B8) is the load-bearing pipeline idiom "never reprocess what's done" and
+replaces the reference's collect-a-python-set (IW:73-77), which cannot work
+once the done-set outgrows the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def anti_join_skip(new_df: DataFrame, done_df: DataFrame, key: str | list[str]) -> DataFrame:
+    """B8: keep only rows of ``new_df`` whose key is NOT already in ``done_df``
+    (reference builds a driver-side set, IW:73-77/190-192 — the anti join is
+    the distributed form; Spark broadcasts the smaller side automatically)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return new_df.join(done_df.select(*keys).distinct(), keys, "left_anti")
+
+
+def _overwrite_atomic(df: DataFrame, path: str) -> None:
+    """Write to a sibling temp dir, then swap — readers never see a half
+    write (the plain-parquet stand-in for table-format ACID commits)."""
+    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, path)
+
+
+def upsert_parquet(
+    spark: SparkSession, path: str, updates: DataFrame, key: str = "filepath"
+) -> None:
+    """B6 upsert sink: MERGE-on-key semantics (INSERT ... ON CONFLICT DO
+    UPDATE, index_wikimedia.py:86-103). Existing rows with a matching key are
+    replaced by the update row; everything else is carried over.
+
+    Plan: target LEFT ANTI updates (drop rows being replaced) UNION updates —
+    one shuffle (or broadcast) on the key. Delta backend would be
+    ``MERGE INTO target USING updates ON key WHEN MATCHED UPDATE SET * WHEN
+    NOT MATCHED INSERT *`` with no rewrite of untouched files."""
+    if os.path.exists(path):
+        target = spark.read.parquet(path)
+        merged = target.join(updates.select(key).distinct(), [key], "left_anti").unionByName(
+            updates, allowMissingColumns=False
+        )
+    else:
+        merged = updates
+    _overwrite_atomic(merged, path)
+
+
+def soft_delete(
+    spark: SparkSession, path: str, ids: list, id_col: str = "id",
+    flag_col: str = "deleted",
+) -> None:
+    """B5 soft delete: set ``deleted = true`` for the given ids (reference
+    UPDATE images SET deleted, rclip_server.py:230-235; NULL ≡ live,
+    rclip_server.py:210)."""
+    df = spark.read.parquet(path)
+    if flag_col not in df.columns:
+        df = df.withColumn(flag_col, F.lit(None).cast("boolean"))
+    out = df.withColumn(
+        flag_col,
+        F.when(F.col(id_col).isin(ids), F.lit(True)).otherwise(F.col(flag_col)),
+    )
+    _overwrite_atomic(out, path)
+
+
+def live_rows(df: DataFrame, flag_col: str = "deleted") -> DataFrame:
+    """B1's soft-delete filter: deleted IS NULL OR deleted = false
+    (rclip_server.py:206-211)."""
+    return df.where(F.col(flag_col).isNull() | (F.col(flag_col) == F.lit(False)))
+
+
+IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("deleted", T.BooleanType(), True),
+        T.StructField("filepath", T.StringType(), False),
+        T.StructField("modified_at", T.TimestampType(), True),
+        T.StructField("size", T.LongType(), True),
+        T.StructField("vector", T.ArrayType(T.FloatType()), False),
+        T.StructField("wikimedia_descr_url", T.StringType(), True),
+        T.StructField("wikimedia_thumb_url", T.StringType(), True),
+    ]
+)
+
+
+def create_images_table(spark: SparkSession, path: str) -> None:
+    """B7 DDL: CREATE TABLE IF NOT EXISTS (index_wikimedia.py:56-71) — for
+    plain parquet, materialize an empty table with the declared schema."""
+    if not os.path.exists(path):
+        spark.createDataFrame([], IMAGES_SCHEMA).write.parquet(path)
+
+
+def reload_table(spark: SparkSession, path: str) -> DataFrame:
+    """B18 full reload (reference /reload re-init, rclip_server.py:430-433):
+    drop any cached plans for the path and re-read."""
+    spark.catalog.clearCache()
+    return spark.read.parquet(path)

@@ -1,0 +1,126 @@
+"""Event-time windowed aggregations + stateful dedup for the `events` table.
+
+Every transformation here is written against the unbound DataFrame API so the
+SAME function runs in batch mode (the oracle) and as a Structured Stream
+(readStream → transformation → writeStream): pass a batch DataFrame and you
+get the batch answer; pass a streaming one and Spark runs it incrementally
+with watermark-bounded state. That one-definition-two-runtimes property IS
+the correctness story — no second implementation to drift.
+
+Scale notes: windowed aggs shuffle on (window, keys); watermarks bound state
+so a 100 TB/day stream holds only the open windows. Session windows use
+Spark's native ``session_window`` (state merges adjacent sessions); dedup
+state is (keys) within the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, path: str,
+                       max_files_per_trigger: int = 1):
+    """File-source stream over the events parquet (schema must be declared
+    for streaming reads). ``path`` must be a DIRECTORY (Spark file-stream
+    contract) — stage single-file fixtures into one. The fixture stores
+    TIMESTAMP(NANOS), which Spark reads as long (see session.py nanosAsLong);
+    converted to micros here, matching sources.catalog.load_table."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def with_watermark(df: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """Late-data horizon; a no-op semantically in batch mode."""
+    return df.withWatermark("ts", delay) if df.isStreaming else df
+
+
+def tumbling_counts(events: DataFrame, size: str = "1 day",
+                    watermark: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window per event_type: count + sum(value-cents).
+
+    Cents (exact int) rather than float sum so batch and streaming runs (and
+    the DuckDB oracle) agree bit-for-bit regardless of addition order."""
+    src = with_watermark(events, watermark)
+    return (
+        src.groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, size: str = "1 day", slide: str = "12 hours",
+                   watermark: str = "1 hour") -> DataFrame:
+    """Sliding event-time window (each event lands in size/slide windows)."""
+    src = with_watermark(events, watermark)
+    return (
+        src.groupBy(F.window("ts", size, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "1 hour") -> DataFrame:
+    """Per-user session windows with an inactivity ``gap``: session start/end
+    + event count. Spark merges adjacent session state natively."""
+    src = with_watermark(events, watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event_id"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "first_event_id",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "1 hour") -> DataFrame:
+    """Stateful dedup: first event per key wins; state bounded by the
+    watermark in streaming mode (dropDuplicatesWithinWatermark)."""
+    keys = keys or ["user_id", "event_type"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
+def run_stream_to_memory(stream_df: DataFrame, table_name: str,
+                         timeout_sec: int = 120) -> None:
+    """Drive a streaming query to completion of all available input (for
+    tests): complete-mode memory sink, processAllAvailable, stop."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
