@@ -1,0 +1,1334 @@
+"""The driver contract: every implemented operator as a (Spark query,
+DuckDB oracle SQL) pair, keyed by SURVEY.md §2 inventory id.
+
+Design rules that make the oracle hash-match robust:
+
+* **Bit-identical arithmetic where possible.** Dot products / norms are
+  generated as left-associative ``0.0 + t1 + t2 + ...`` chains in BOTH
+  engines, matching Spark's ``aggregate`` fold order — no rounding needed.
+* **Exact integers for big aggregations.** Float SUM order is
+  nondeterministic across engines/partitions, so money/value sums are
+  per-row rounded to integer cents (identical per-row doubles → identical
+  ints in both engines; DuckDB and Spark both round half-away-from-zero)
+  and summed as BIGINT — order-independent and exact.
+* **Round only group-order-dependent floats** (per-dim SUMs of vector
+  components) to 6 dp in both engines.
+* **Timestamps as unix micros** (`unix_micros` / `epoch_us`) — tz- and
+  render-format-independent BIGINTs.
+* **Types aligned**: counts/sizes cast to BIGINT in both engines (DuckDB
+  SUM(BIGINT) yields HUGEINT → always CAST; DuckDB casts double→BIGINT by
+  ROUNDING while Spark truncates → never bare-cast a double).
+
+Reference semantics citations are in the operator modules; this module only
+wires them to the fixtures and generates the twins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import text as TXT
+from .functions import vector as V
+from .functions.hashing import MINHASH_PRIME, minhash_params, minhash_signature, simhash32
+from .operators import ann, dedup, similarity, stats
+from .plans.combinator import resolve_query, seeded_unit_vector
+from .plans.embedder import DeterministicEmbedder
+from .sources.catalog import load_table
+
+EMB_DIM = 64
+EMBEDDER = DeterministicEmbedder(EMB_DIM)
+FLAGSHIP_QUERY = "zebra -stripes +2spots"
+QV_FLAGSHIP = resolve_query(FLAGSHIP_QUERY, EMBEDDER)
+QV_ZEBRA = EMBEDDER.embed_text("zebra")
+
+N_MINHASH, N_BANDS, SHINGLE_N = 32, 8, 5
+MH_PARAMS = minhash_params(N_MINHASH, seed=42)
+PLANES4 = ann.hyperplanes(4, EMB_DIM, seed=42)
+PLANES6 = ann.hyperplanes(6, EMB_DIM, seed=42)
+_rng = np.random.default_rng(7)
+CENTROIDS = _rng.standard_normal((8, EMB_DIM))
+CENTROIDS /= np.linalg.norm(CENTROIDS, axis=1, keepdims=True)
+
+PHRASES = [
+    ("p0", ["1", "2", "3"]),
+    ("p1", ["10", "20"]),
+    ("p2", ["5", "7", "11", "13"]),
+    ("p3", ["42", "99", "123"]),
+]
+MULTI_QUERY_TERMS = ["cat", "dog", "bird"]
+
+STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in TXT.STOPWORDS) + "]"
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragment generators (twins of functions/{vector,text,hashing}.py)
+# ---------------------------------------------------------------------------
+
+
+def _f(x) -> str:
+    # CAST from string, not a bare literal: DuckDB parses bare float literals
+    # as DECIMAL(18,17) which is 1 ulp off the IEEE double Spark gets
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def dot_sql(expr: str, vec) -> str:
+    """Left-assoc dot chain == Spark's aggregate(zip_with(...)) fold order."""
+    terms = " + ".join(
+        f"CAST({expr}[{i + 1}] AS DOUBLE) * {_f(v)}" for i, v in enumerate(vec)
+    )
+    return f"(0.0 + {terms})"
+
+
+def dot2_sql(e1: str, e2: str) -> str:
+    """Dot of two array COLUMNS, same left-assoc fold as functions.vector.dot."""
+    terms = " + ".join(
+        f"CAST({e1}[{i + 1}] AS DOUBLE) * CAST({e2}[{i + 1}] AS DOUBLE)"
+        for i in range(EMB_DIM)
+    )
+    return f"(0.0 + {terms})"
+
+
+def vec_array_sql(vec) -> str:
+    return "[" + ", ".join(_f(v) for v in vec) + "]"
+
+
+def normsq_sql(expr: str) -> str:
+    terms = " + ".join(
+        f"CAST({expr}[{i + 1}] AS DOUBLE) * CAST({expr}[{i + 1}] AS DOUBLE)"
+        for i in range(EMB_DIM)
+    )
+    return f"(0.0 + {terms})"
+
+
+def hash32_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def tokens_sql(expr: str) -> str:
+    t = f"trim(lower({expr}))"
+    return (
+        f"(CASE WHEN length({t}) = 0 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE string_split_regex({t}, '\\s+') END)"
+    )
+
+
+def char_shingles_sql(expr: str, n: int = SHINGLE_N) -> str:
+    t = f"lower({expr})"
+    return (
+        f"list_transform(range(1, greatest(length({t}) - {n} + 2, 1)), "
+        f"i -> substr({t}, CAST(i AS INT), {n}))"
+    )
+
+
+def word_ngrams_sql(toks: str, n: int) -> str:
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {n} + 2, 1)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n} - 1), ' '))"
+    )
+
+
+def minhash_sig_exprs(hashed: str) -> list[str]:
+    """One list-min expression per family member, over a hashed-shingle list."""
+    return [
+        f"list_min(list_transform({hashed}, h -> (h * {a} + {b}) % {MINHASH_PRIME}))"
+        for (a, b) in MH_PARAMS
+    ]
+
+
+def simhash_sql(toks: str) -> str:
+    hashed = f"list_transform({toks}, tok -> {hash32_sql('tok')})"
+    bits = []
+    for i in range(32):
+        contrib = (
+            f"CAST(coalesce(list_aggregate(list_transform({hashed}, "
+            f"h -> CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END), 'sum'), 0) AS BIGINT)"
+        )
+        bits.append(f"(CASE WHEN {contrib} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def bucket_sql(expr: str, planes) -> str:
+    bits = [
+        f"(CASE WHEN {dot_sql(expr, p)} >= 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def cents(expr: str) -> str:
+    """Exact integer cents from a double — round() is half-away-from-zero in
+    both engines; never bare-cast (DuckDB rounds, Spark truncates)."""
+    return f"CAST(round(({expr}) * 100) AS BIGINT)"
+
+
+def cents_col(c) -> F.Column:
+    return F.round(c * F.lit(100.0)).cast("long")
+
+
+def _utc(spark: SparkSession) -> None:
+    """Timestamp queries must render/extract in UTC to match the tz-naive
+    DuckDB oracle — the driver's session may not be configured."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _words_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The words-table role (reference RS:292-308), derived from embeddings:
+    word = vec_id as string — lets phrase composition be oracle-checked
+    entirely in SQL (document-text embeddings are not SQL-expressible)."""
+    return _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("word"), F.col("embedding").alias("vector")
+    )
+
+
+WORDS_SQL = "(SELECT CAST(vec_id AS VARCHAR) AS word, embedding AS vector FROM embeddings)"
+
+_QUERIES: dict = {}
+_ORACLES: dict = {}
+
+
+def _register(name: str, fn, sql: str | None) -> None:
+    _QUERIES[name] = fn
+    if sql is not None:
+        _ORACLES[name] = sql
+
+
+# ===========================================================================
+# A. vector / similarity operators
+# ===========================================================================
+
+_register(
+    "a1_a2_flagship_topk",
+    lambda spark, sf: similarity.topk_similar(_t(spark, sf, "embeddings"), QV_FLAGSHIP, k=12),
+    f"""
+    SELECT vec_id, {dot_sql('embedding', QV_FLAGSHIP)} AS score
+    FROM embeddings ORDER BY score DESC, vec_id LIMIT 12
+    """,
+)
+
+_register(
+    "a1_scores_full_scan",
+    lambda spark, sf: similarity.with_score(
+        _t(spark, sf, "embeddings"), QV_ZEBRA
+    ).select("vec_id", "score"),
+    f"SELECT vec_id, {dot_sql('embedding', QV_ZEBRA)} AS score FROM embeddings",
+)
+
+_register(
+    "a2_topk_k50",
+    lambda spark, sf: similarity.topk_similar(_t(spark, sf, "embeddings"), QV_ZEBRA, k=50),
+    f"""
+    SELECT vec_id, {dot_sql('embedding', QV_ZEBRA)} AS score
+    FROM embeddings ORDER BY score DESC, vec_id LIMIT 50
+    """,
+)
+
+_register(
+    "a4_l2_normalize",
+    lambda spark, sf: _t(spark, sf, "embeddings").select(
+        "vec_id", F.posexplode(V.l2_normalize("embedding")).alias("dim", "val")
+    ).select("vec_id", F.col("dim").cast("long").alias("dim"), "val"),
+    f"""
+    SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+           CAST(unnest(embedding) AS DOUBLE) / sqrt({normsq_sql('embedding')}) AS val
+    FROM embeddings
+    """,
+)
+
+_register(
+    "a6_point_lookup",
+    lambda spark, sf: _t(spark, sf, "embeddings")
+    .where(F.col("vec_id") == 42)
+    .select("vec_id", "label", F.element_at("embedding", 1).cast("double").alias("e0")),
+    "SELECT vec_id, label, CAST(embedding[1] AS DOUBLE) AS e0 FROM embeddings WHERE vec_id = 42",
+)
+
+_register(
+    "a7_feature_minmax",
+    lambda spark, sf: stats.feature_minmax(_t(spark, sf, "embeddings")).select(
+        F.col("dim").cast("long").alias("dim"), "min_x", "max_x", "range_x"
+    ),
+    """
+    SELECT CAST(i - 1 AS BIGINT) AS dim, min(x) AS min_x, max(x) AS max_x,
+           max(x) - min(x) AS range_x
+    FROM (SELECT generate_subscripts(embedding, 1) AS i,
+                 CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+    GROUP BY i
+    """,
+)
+
+_register(
+    "a8_minmax_normalize",
+    lambda spark, sf: stats.minmax_normalize(_t(spark, sf, "embeddings"))
+    .select("vec_id", F.posexplode("normalized").alias("dim", "nx"))
+    .select("vec_id", F.col("dim").cast("long").alias("dim"), "nx"),
+    """
+    WITH s AS (
+      SELECT i, min(x) AS mn, max(x) AS mx, max(x) - min(x) AS rg
+      FROM (SELECT generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+      GROUP BY i)
+    SELECT e.vec_id, CAST(s.i - 1 AS BIGINT) AS dim,
+           (CAST(e.embedding[CAST(s.i AS INT)] AS DOUBLE) - s.mn) / s.rg AS nx
+    FROM embeddings e CROSS JOIN s
+    """,
+)
+
+
+def _a9_query(spark: SparkSession, sf: str) -> DataFrame:
+    vec = seeded_unit_vector(42, EMB_DIM)
+    rows = [(int(i), float(v)) for i, v in enumerate(vec)]
+    return spark.createDataFrame(rows, "dim bigint, val double")
+
+
+_register(
+    "a9_seeded_random_vector",
+    _a9_query,
+    # golden VALUES: the reference algorithm (stdlib random.gauss, seed 42,
+    # rclip_server.py:164-174) hand-evaluated at generation time
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"(CAST({i} AS BIGINT), {_f(v)})"
+        for i, v in enumerate(seeded_unit_vector(42, EMB_DIM))
+    )
+    + ") t(dim, val)",
+)
+
+_register(
+    "a10_random_row",
+    lambda spark, sf: _t(spark, sf, "embeddings")
+    .orderBy(F.rand(42))
+    .limit(1)
+    .select("vec_id", "label"),
+    None,  # Spark rand() stream is engine-specific; rows-only check
+)
+
+_register(
+    "a11_best_words",
+    lambda spark, sf: similarity.best_words(_words_df(spark, sf), QV_ZEBRA, k=50),
+    f"""
+    SELECT word, {dot_sql('vector', QV_ZEBRA)} AS score
+    FROM {WORDS_SQL} w ORDER BY score DESC, word LIMIT 50
+    """,
+)
+
+
+def _phrases_df(spark: SparkSession):
+    return spark.createDataFrame(
+        [(pid, ws) for pid, ws in PHRASES], "phrase_id string, words array<string>"
+    )
+
+
+_PHRASE_MEMBERS_SQL = (
+    "(SELECT * FROM (VALUES "
+    + ", ".join(f"('{pid}', '{w}')" for pid, ws in PHRASES for w in ws)
+    + ") t(phrase_id, word))"
+)
+
+_PHRASE_SUMS_SQL = f"""
+  WITH mem AS (
+    SELECT p.phrase_id, w.vector
+    FROM {_PHRASE_MEMBERS_SQL} p JOIN {WORDS_SQL} w USING (word)),
+  sums AS (
+    SELECT phrase_id, i, SUM(CAST(x AS DOUBLE)) AS s
+    FROM (SELECT phrase_id, generate_subscripts(vector, 1) AS i,
+                 unnest(vector) AS x FROM mem)
+    GROUP BY phrase_id, i),
+  norms AS (
+    SELECT phrase_id, sqrt(SUM(s * s)) AS nrm FROM sums GROUP BY phrase_id)
+"""
+
+_register(
+    "a12_phrase_embedding",
+    lambda spark, sf: similarity.phrase_embedding_df(
+        _words_df(spark, sf), _phrases_df(spark)
+    )
+    .select("phrase_id", F.posexplode("vector").alias("dim", "val"))
+    .select(
+        "phrase_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("val", 6).alias("val"),
+    ),
+    _PHRASE_SUMS_SQL
+    + """
+    SELECT s.phrase_id, CAST(s.i - 1 AS BIGINT) AS dim, round(s.s / n.nrm, 6) AS val
+    FROM sums s JOIN norms n USING (phrase_id)
+    """,
+)
+
+_register(
+    "a13_phrase_approx_score",
+    lambda spark, sf: similarity.with_score(
+        similarity.phrase_embedding_df(_words_df(spark, sf), _phrases_df(spark)),
+        QV_ZEBRA,
+        vec_col="vector",
+    ).select("phrase_id", F.round("score", 6).alias("score")),
+    _PHRASE_SUMS_SQL
+    + f"""
+    , vecs AS (
+      SELECT s.phrase_id, s.i, s.s / n.nrm AS v
+      FROM sums s JOIN norms n USING (phrase_id))
+    SELECT phrase_id,
+           round(SUM(v * ({vec_array_sql(QV_ZEBRA)})[CAST(i AS INT)]), 6) AS score
+    FROM vecs GROUP BY phrase_id
+    """,
+)
+
+_register(
+    "a14_best_phrases",
+    lambda spark, sf: similarity.best_phrases(
+        _words_df(spark, sf),
+        QV_ZEBRA,
+        top_words=30,
+        n_samples_per_len=50,
+        k=40,
+    ),
+    None,  # candidate sampling is driver-side seeded RNG; rows-only check
+)
+
+_register(
+    "ann_multi_query_topk",
+    lambda spark, sf: ann.brute_force_topk_multi(
+        _t(spark, sf, "embeddings"),
+        spark.createDataFrame(
+            [(t, [float(x) for x in EMBEDDER.embed_text(t)]) for t in MULTI_QUERY_TERMS],
+            "query_id string, query_vec array<double>",
+        ),
+        k=10,
+    ).select("query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")),
+    "SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"""(SELECT '{t}' AS query_id, vec_id,
+            {dot_sql('embedding', EMBEDDER.embed_text(t))} AS score,
+            row_number() OVER (ORDER BY {dot_sql('embedding', EMBEDDER.embed_text(t))} DESC, vec_id) AS rank
+            FROM embeddings QUALIFY rank <= 10)"""
+        for t in MULTI_QUERY_TERMS
+    )
+    + ")",
+)
+
+
+def _lsh_topk_query(spark: SparkSession, sf: str) -> DataFrame:
+    return ann.lsh_topk(_t(spark, sf, "embeddings"), QV_ZEBRA, k=10, n_planes=4, seed=42)
+
+
+_QB4 = int(sum((1 << i) for i, p in enumerate(PLANES4) if float(p @ QV_ZEBRA) >= 0))
+
+_register(
+    "ann_lsh_topk",
+    _lsh_topk_query,
+    f"""
+    SELECT vec_id, {dot_sql('embedding', QV_ZEBRA)} AS score
+    FROM embeddings
+    WHERE {bucket_sql('embedding', PLANES4)} = {_QB4}
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+
+_register(
+    "ann_hyperplane_near_dup",
+    lambda spark, sf: ann.hyperplane_lsh_near_dup(
+        _t(spark, sf, "embeddings"), threshold=0.5, n_planes=6, seed=42, dim=EMB_DIM
+    ),
+    f"""
+    WITH b AS (SELECT vec_id AS id, embedding AS v,
+                      {bucket_sql('embedding', PLANES6)} AS bucket FROM embeddings)
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.id AS id_a, c.id AS id_b, {dot2_sql('a.v', 'c.v')} AS cosine
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id)
+    WHERE cosine >= 0.5
+    """,
+)
+
+
+def _ivf_topk_query(spark: SparkSession, sf: str) -> DataFrame:
+    return ann.ivf_topk(_t(spark, sf, "embeddings"), QV_ZEBRA, CENTROIDS, k=10, n_probe=2)
+
+
+_IVF_ORDER = [int(i) for i in np.argsort(-(CENTROIDS @ QV_ZEBRA))[:2]]
+
+_IVF_DOTS = ", ".join(
+    f"{dot_sql('embedding', c)} AS d{i}" for i, c in enumerate(CENTROIDS)
+)
+_IVF_G = "greatest(" + ", ".join(f"d{i}" for i in range(len(CENTROIDS))) + ")"
+# descending index order = Spark greatest-of-structs tie-break (larger cell id)
+_IVF_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN d{i} = {_IVF_G} THEN {i}" for i in range(len(CENTROIDS) - 1, -1, -1)
+    )
+    + " END"
+)
+
+_register(
+    "ann_ivf_topk",
+    _ivf_topk_query,
+    f"""
+    WITH d AS (SELECT vec_id, embedding, {_IVF_DOTS} FROM embeddings),
+    assigned AS (SELECT vec_id, embedding, {_IVF_CASE} AS cell FROM d)
+    SELECT vec_id, {dot_sql('embedding', QV_ZEBRA)} AS score
+    FROM assigned WHERE cell IN ({', '.join(str(i) for i in _IVF_ORDER)})
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+
+# ===========================================================================
+# B4 + dedup family
+# ===========================================================================
+
+_register(
+    "b4_exact_dup_groups",
+    lambda spark, sf: dedup.exact_dup_groups(
+        _t(spark, sf, "documents"), "lang", "doc_id"
+    ).select("lang", F.col("n_dups").cast("long").alias("n_dups"), "keep_id"),
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_dups, min(doc_id) AS keep_id
+    FROM documents GROUP BY lang HAVING count(*) > 1
+    """,
+)
+
+_register(
+    "b4_exact_dedup_mark",
+    lambda spark, sf: dedup.exact_dedup_mark(
+        _t(spark, sf, "documents"), "lang", "doc_id"
+    ).select("doc_id", "is_duplicate"),
+    """
+    SELECT doc_id, doc_id > min(doc_id) OVER (PARTITION BY lang) AS is_duplicate
+    FROM documents
+    """,
+)
+
+_register(
+    "b4_exact_dup_embeddings",
+    lambda spark, sf: dedup.exact_dup_groups(
+        _t(spark, sf, "embeddings"), "embedding", "vec_id"
+    ).select(F.col("n_dups").cast("long").alias("n_dups"), "keep_id"),
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_dups, min(vec_id) AS keep_id
+    FROM embeddings GROUP BY embedding HAVING count(*) > 1
+    """,
+)
+
+_SHINGLES = char_shingles_sql("text")
+_HASHED_SHINGLES = f"list_transform({_SHINGLES}, s -> {hash32_sql('s')})"
+_SIG_LIST = "[" + ", ".join(minhash_sig_exprs("hs")) + "]"
+
+_register(
+    "dedup_minhash_signatures",
+    lambda spark, sf: _t(spark, sf, "documents")
+    .select(
+        "doc_id",
+        F.posexplode(
+            minhash_signature(TXT.char_shingles(F.col("text"), SHINGLE_N), MH_PARAMS)
+        ).alias("pos", "sig"),
+    )
+    .select("doc_id", F.col("pos").cast("long").alias("pos"), "sig"),
+    f"""
+    WITH h AS (SELECT doc_id, {_HASHED_SHINGLES} AS hs FROM documents),
+    sigs AS (SELECT doc_id, {_SIG_LIST} AS sig FROM h)
+    SELECT doc_id, CAST(generate_subscripts(sig, 1) - 1 AS BIGINT) AS pos,
+           unnest(sig) AS sig
+    FROM sigs
+    """,
+)
+
+_BAND_EQ = " OR ".join(
+    f"list_slice(a.sig, {i * 4 + 1}, {i * 4 + 4}) = list_slice(c.sig, {i * 4 + 1}, {i * 4 + 4})"
+    for i in range(N_BANDS)
+)
+
+_register(
+    "dedup_minhash_near_dup",
+    lambda spark, sf: dedup.minhash_near_dup(
+        _t(spark, sf, "documents"), threshold=0.7
+    ),
+    f"""
+    WITH h AS (SELECT doc_id AS id, list_distinct({_SHINGLES}) AS gs,
+                      {_HASHED_SHINGLES} AS hs FROM documents),
+    s AS (SELECT id, gs, {_SIG_LIST} AS sig FROM h),
+    cand AS (
+      SELECT a.id AS id_a, c.id AS id_b, a.gs AS gs_a, c.gs AS gs_b
+      FROM s a JOIN s c ON a.id < c.id AND ({_BAND_EQ}))
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(gs_a, gs_b)) AS DOUBLE)
+             / CAST(len(gs_a) + len(gs_b) - len(list_intersect(gs_a, gs_b)) AS DOUBLE) AS jaccard
+      FROM cand)
+    WHERE jaccard >= 0.7
+    """,
+)
+
+_TOKS = tokens_sql("text")
+_NG3 = word_ngrams_sql(_TOKS, 3)
+
+_register(
+    "dedup_ngram_jaccard",
+    lambda spark, sf: dedup.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), n=3, threshold=0.5
+    ),
+    f"""
+    WITH g AS (SELECT doc_id AS id, list_distinct({_NG3}) AS gs FROM documents)
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.id AS id_a, c.id AS id_b,
+             CAST(len(list_intersect(a.gs, c.gs)) AS DOUBLE)
+             / CAST(len(a.gs) + len(c.gs) - len(list_intersect(a.gs, c.gs)) AS DOUBLE) AS jaccard
+      FROM g a JOIN g c ON a.id < c.id
+      WHERE len(list_intersect(a.gs, c.gs)) > 0)
+    WHERE jaccard >= 0.5
+    """,
+)
+
+_register(
+    "dedup_simhash",
+    lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id", simhash32(TXT.tokens(F.col("text"))).alias("simhash")
+    ),
+    f"SELECT doc_id, {simhash_sql(_TOKS)} AS simhash FROM documents",
+)
+
+_register(
+    "dedup_fingerprint",
+    lambda spark, sf: dedup.doc_fingerprints(_t(spark, sf, "documents")),
+    f"""
+    SELECT doc_id,
+           CASE WHEN len({word_ngrams_sql(_TOKS, 8)}) > 0
+                THEN list_min(list_transform({word_ngrams_sql(_TOKS, 8)}, g -> {hash32_sql('g')}))
+                ELSE {hash32_sql('lower(text)')} END AS fingerprint
+    FROM documents
+    """,
+)
+
+_register(
+    "dedup_embedding_near_dup",
+    lambda spark, sf: dedup.embedding_near_dup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.5
+    ),
+    f"""
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             {dot2_sql('a.embedding', 'c.embedding')} AS cosine
+      FROM embeddings a JOIN embeddings c ON a.vec_id < c.vec_id)
+    WHERE cosine >= 0.5
+    """,
+)
+
+# ===========================================================================
+# text analysis family
+# ===========================================================================
+
+_STOP_HITS = f"len(list_intersect({_TOKS}, {STOPWORDS_SQL}))"
+_PUNCT_STRIPPED = "regexp_replace(text, '[.,;:!?]', '', 'g')"
+_MTL = (
+    f"CAST(coalesce(list_aggregate(list_transform({_TOKS}, t -> length(t)), 'sum'), 0) AS BIGINT)"
+    f" / CAST(len({_TOKS}) AS DOUBLE)"
+)
+_STOP_RATIO = f"CAST({_STOP_HITS} AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE)"
+_PUNCT_RATIO = (
+    f"CAST(length(text) - length({_PUNCT_STRIPPED}) AS DOUBLE) / CAST(length(text) AS DOUBLE)"
+)
+
+_register(
+    "text_stats",
+    lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id",
+        TXT.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        TXT.stopword_ratio(F.col("text")).alias("stop_ratio"),
+        TXT.punct_ratio(F.col("text")).alias("punct_ratio"),
+        TXT.mean_token_len(F.col("text")).alias("mean_tok_len"),
+        TXT.quality_score(F.col("text")).alias("quality"),
+    ),
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           {_STOP_RATIO} AS stop_ratio,
+           {_PUNCT_RATIO} AS punct_ratio,
+           {_MTL} AS mean_tok_len,
+           ((1.0 - least(abs(({_MTL}) - 5.0) / 5.0, 1.0))
+            + least(({_STOP_RATIO}) * 10.0, 1.0)
+            + (1.0 - least(({_PUNCT_RATIO}) * 5.0, 1.0))) / 3.0 AS quality
+    FROM documents
+    """,
+)
+
+_LANG_HITS = {
+    lang: f"len(list_intersect({_TOKS}, ["
+    + ", ".join(f"'{w}'" for w in markers)
+    + "]))"
+    for lang, markers in sorted(TXT.LANG_MARKERS.items())
+}
+_LANG_MAX = "greatest(" + ", ".join(f"h_{lang}" for lang in _LANG_HITS) + ")"
+# descending lang-code order = Spark greatest-of-structs tie-break (max lang)
+_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN h_{lang} = {_LANG_MAX} THEN '{lang}'"
+        for lang in sorted(_LANG_HITS, reverse=True)
+    )
+    + " END"
+)
+
+_register(
+    "text_lang_id",
+    lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id", TXT.lang_id(F.col("text")).alias("lang_pred")
+    ),
+    f"""
+    WITH h AS (SELECT doc_id,
+      {', '.join(f'{expr} AS h_{lang}' for lang, expr in _LANG_HITS.items())}
+      FROM documents)
+    SELECT doc_id, {_LANG_CASE} AS lang_pred FROM h
+    """,
+)
+
+_register(
+    "text_shingle_counts",
+    lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id",
+        F.size(TXT.char_shingles(F.col("text"), SHINGLE_N)).cast("long").alias("n_shingles"),
+        F.size(TXT.word_ngrams(F.col("text"), 3)).cast("long").alias("n_ngrams3"),
+        F.element_at(TXT.char_shingles(F.col("text"), SHINGLE_N), 1).alias("first_shingle"),
+    ),
+    f"""
+    SELECT doc_id,
+           CAST(len({_SHINGLES}) AS BIGINT) AS n_shingles,
+           CAST(len({_NG3}) AS BIGINT) AS n_ngrams3,
+           ({_SHINGLES})[1] AS first_shingle
+    FROM documents
+    """,
+)
+
+_register(
+    "text_token_stats_by_lang",
+    lambda spark, sf: _t(spark, sf, "documents")
+    .groupBy("lang")
+    .agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TXT.token_count(F.col("text")).cast("long")).alias("total_tokens"),
+        F.sum(F.col("n_chars")).alias("total_chars"),
+    ),
+    f"""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+
+# ===========================================================================
+# B1-B3, B13-B15: scans, predicates, string ops
+# ===========================================================================
+
+_register(
+    "b1_soft_delete_filter",
+    # fixtures carry no deleted column; derive one deterministically (NULL ≡
+    # live, rclip_server.py:210) and filter with writer.live_rows semantics
+    lambda spark, sf: __import__("rclip_server_spark.sources.writer", fromlist=["live_rows"]).live_rows(
+        _t(spark, sf, "documents").withColumn(
+            "deleted",
+            F.when(F.col("doc_id") % 10 == 0, F.lit(True))
+            .when(F.col("doc_id") % 10 == 5, F.lit(None).cast("boolean"))
+            .otherwise(F.lit(False)),
+        )
+    ).select("doc_id"),
+    """
+    SELECT doc_id FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN TRUE
+                  WHEN doc_id % 10 = 5 THEN NULL
+                  ELSE FALSE END AS deleted
+      FROM documents)
+    WHERE deleted IS NULL OR deleted = FALSE
+    """,
+)
+
+_register(
+    "b3_lowercase_predicate",
+    lambda spark, sf: _t(spark, sf, "documents")
+    .where(F.lower(F.col("text")) == F.col("text"))
+    .select("doc_id"),
+    "SELECT doc_id FROM documents WHERE lower(text) = text",
+)
+
+_EXT_CASE_SPARK = None  # built inline below
+_URL_EXPR_SQL = (
+    "('http://img.example/commons/pic_' || CAST(doc_id AS VARCHAR) || '.' || "
+    "(['jpg', 'jpeg', 'png', 'gif', 'svg', 'webm', 'tiff'])[CAST(doc_id % 7 + 1 AS INT)])"
+)
+
+def _b13_query(spark: SparkSession, sf: str) -> DataFrame:
+    exts = ["jpg", "jpeg", "png", "gif", "svg", "webm", "tiff"]
+    url = F.concat(
+        F.lit("http://img.example/commons/pic_"),
+        F.col("doc_id").cast("string"),
+        F.lit("."),
+        F.element_at(F.array(*[F.lit(e) for e in exts]), (F.col("doc_id") % 7 + 1).cast("int")),
+    )
+    df = _t(spark, sf, "documents").select("doc_id", url.alias("url"))
+    # B13 allowlist filter (IW:117-130) + B14 thumb-URL rewrite (IW:133-134)
+    kept = df.where(F.regexp_extract("url", r"\.(jpg|jpeg|png|gif)$", 1) != "")
+    return kept.select(
+        "doc_id",
+        "url",
+        F.concat(
+            F.regexp_replace("url", "/commons/", "/commons/thumb/"), F.lit("/600px-thumb")
+        ).alias("thumb_url"),
+    )
+
+_register(
+    "b13_b14_url_ops",
+    _b13_query,
+    f"""
+    SELECT doc_id, url,
+           regexp_replace(url, '/commons/', '/commons/thumb/') || '/600px-thumb' AS thumb_url
+    FROM (SELECT doc_id, {_URL_EXPR_SQL} AS url FROM documents)
+    WHERE regexp_extract(url, '\\.(jpg|jpeg|png|gif)$', 1) <> ''
+    """,
+)
+
+_register(
+    "b15_regex_predicates",
+    lambda spark, sf: _t(spark, sf, "part")
+    .where(F.col("p_type").rlike("^(STANDARD|ECONOMY)") & F.col("p_name").rlike("[aeiou]{2}"))
+    .select("p_partkey", "p_name", "p_type"),
+    """
+    SELECT p_partkey, p_name, p_type FROM part
+    WHERE regexp_matches(p_type, '^(STANDARD|ECONOMY)')
+      AND regexp_matches(p_name, '[aeiou]{2}')
+    """,
+)
+
+_register(
+    "b10_table_counts",
+    lambda spark, sf: _t(spark, sf, "lineitem")
+    .select(F.lit("lineitem").alias("tbl"))
+    .groupBy("tbl")
+    .agg(F.count(F.lit(1)).alias("n"))
+    .unionByName(
+        _t(spark, sf, "orders").select(F.lit("orders").alias("tbl")).groupBy("tbl").agg(F.count(F.lit(1)).alias("n"))
+    )
+    .unionByName(
+        _t(spark, sf, "documents").select(F.lit("documents").alias("tbl")).groupBy("tbl").agg(F.count(F.lit(1)).alias("n"))
+    )
+    .unionByName(
+        _t(spark, sf, "embeddings").select(F.lit("embeddings").alias("tbl")).groupBy("tbl").agg(F.count(F.lit(1)).alias("n"))
+    ),
+    """
+    SELECT 'lineitem' AS tbl, CAST(count(*) AS BIGINT) AS n FROM lineitem
+    UNION ALL SELECT 'orders', CAST(count(*) AS BIGINT) FROM orders
+    UNION ALL SELECT 'documents', CAST(count(*) AS BIGINT) FROM documents
+    UNION ALL SELECT 'embeddings', CAST(count(*) AS BIGINT) FROM embeddings
+    """,
+)
+
+# ===========================================================================
+# §F relational substrate over the TPC-H-ish fixtures
+# ===========================================================================
+
+
+def _rel_q1(spark: SparkSession, sf: str) -> DataFrame:
+    _utc(spark)
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents_col(F.col("l_quantity"))).alias("sum_qty_cents"),
+            F.sum(cents_col(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(
+                cents_col(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            ).alias("sum_disc_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_register(
+    "rel_q1_pricing_summary",
+    _rel_q1,
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM({cents('l_quantity')}) AS BIGINT) AS sum_qty_cents,
+           CAST(SUM({cents('l_extendedprice')}) AS BIGINT) AS sum_base_cents,
+           CAST(SUM({cents('l_extendedprice * (1.0 - l_discount)')}) AS BIGINT) AS sum_disc_cents,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+_register(
+    "rel_join_broadcast_agg",
+    lambda spark, sf: _t(spark, sf, "orders")
+    .join(F.broadcast(_t(spark, sf, "customer")), F.col("o_custkey") == F.col("c_custkey"))
+    .groupBy("c_mktsegment")
+    .agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents_col(F.col("o_totalprice"))).alias("sum_price_cents"),
+    ),
+    f"""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS sum_price_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+
+_register(
+    "rel_join_multiway",
+    lambda spark, sf: _t(spark, sf, "customer")
+    .join(F.broadcast(_t(spark, sf, "nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+    .join(F.broadcast(_t(spark, sf, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
+    .join(_t(spark, sf, "orders"), F.col("o_custkey") == F.col("c_custkey"))
+    .groupBy("r_name")
+    .agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents_col(F.col("o_totalprice"))).alias("revenue_cents"),
+        F.countDistinct("c_custkey").alias("n_customers"),
+    ),
+    f"""
+    SELECT r_name, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS revenue_cents,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    JOIN orders ON o_custkey = c_custkey
+    GROUP BY r_name
+    """,
+)
+
+_register(
+    "rel_semi_join",
+    lambda spark, sf: _t(spark, sf, "customer")
+    .join(_t(spark, sf, "orders"), F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+    .groupBy("c_nationkey")
+    .agg(F.count(F.lit(1)).alias("n_with_orders")),
+    """
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_with_orders
+    FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+
+_register(
+    "rel_anti_join_b8",
+    lambda spark, sf: __import__("rclip_server_spark.sources.writer", fromlist=["anti_join_skip"]).anti_join_skip(
+        _t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey")),
+        _t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey")),
+        "custkey",
+    ),
+    """
+    SELECT c_custkey AS custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+
+from pyspark.sql import Window as _W
+
+
+def _rel_window_rank(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    w = _W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+_register(
+    "rel_window_rank",
+    _rel_window_rank,
+    """
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+    FROM orders QUALIFY rnk <= 3
+    """,
+)
+
+
+def _rel_window_running(spark: SparkSession, sf: str) -> DataFrame:
+    _utc(spark)
+    o = _t(spark, sf, "orders")
+    w = (
+        _W.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(cents_col(F.col("o_totalprice"))).over(w).alias("run_cents"),
+    )
+
+
+_register(
+    "rel_window_running_sum",
+    _rel_window_running,
+    f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM({cents('o_totalprice')}) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
+    FROM orders
+    """,
+)
+
+
+def _rel_window_lag(spark: SparkSession, sf: str) -> DataFrame:
+    _utc(spark)
+    o = _t(spark, sf, "orders")
+    w = _W.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    c = cents_col(F.col("o_totalprice"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (c - F.lag(c).over(w)).alias("delta_cents"),
+    )
+
+
+_register(
+    "rel_window_lag_delta",
+    _rel_window_lag,
+    f"""
+    SELECT o_custkey, o_orderkey,
+           {cents('o_totalprice')} - lag({cents('o_totalprice')}) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta_cents
+    FROM orders
+    """,
+)
+
+_register(
+    "rel_rollup",
+    lambda spark, sf: _t(spark, sf, "orders")
+    .rollup("o_orderstatus", "o_orderpriority")
+    .agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents_col(F.col("o_totalprice"))).alias("sum_cents"),
+    )
+    .select(
+        F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+        "n",
+        "sum_cents",
+    ),
+    f"""
+    SELECT coalesce(o_orderstatus, '<all>') AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS sum_cents
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+
+_register(
+    "rel_cube",
+    lambda spark, sf: _t(spark, sf, "lineitem")
+    .cube("l_returnflag", "l_linestatus")
+    .agg(F.count(F.lit(1)).alias("n"))
+    .select(
+        F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+        "n",
+    ),
+    """
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+
+_register(
+    "rel_intersect_nations",
+    lambda spark, sf: _t(spark, sf, "customer")
+    .select(F.col("c_nationkey").alias("nationkey"))
+    .intersect(_t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))),
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+
+_register(
+    "rel_except_nations",
+    lambda spark, sf: _t(spark, sf, "customer")
+    .select(F.col("c_nationkey").alias("nationkey"))
+    .exceptAll(_t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey")))
+    .distinct(),
+    """
+    SELECT DISTINCT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey FROM supplier)
+    """,
+)
+
+_register(
+    "rel_distinct_count",
+    lambda spark, sf: _t(spark, sf, "orders")
+    .groupBy("o_orderstatus")
+    .agg(F.countDistinct("o_custkey").alias("n_custs")),
+    """
+    SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+
+_register(
+    "rel_percentiles",
+    lambda spark, sf: _t(spark, sf, "orders")
+    .groupBy("o_orderstatus")
+    .agg(F.percentile(F.col("o_totalprice"), F.lit([0.25, 0.5, 0.75])).alias("p"))
+    .select(
+        "o_orderstatus",
+        F.round(F.element_at("p", 1), 4).alias("p25"),
+        F.round(F.element_at("p", 2), 4).alias("p50"),
+        F.round(F.element_at("p", 3), 4).alias("p75"),
+    ),
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+
+_register(
+    "rel_approx_count_distinct",
+    # approximate tier: HLL sketches differ across engines by design → rows-only
+    lambda spark, sf: _t(spark, sf, "orders")
+    .groupBy("o_orderstatus")
+    .agg(F.approx_count_distinct("o_custkey").alias("approx_custs")),
+    None,
+)
+
+_register(
+    "rel_scalar_functions",
+    lambda spark, sf: _t(spark, sf, "part").select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        (F.col("p_size") % 5).cast("long").alias("size_mod5"),
+        F.abs(F.round(F.col("p_retailprice") * 100).cast("long") - 100000).alias("price_dist"),
+    ),
+    """
+    SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 8) AS name8,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           p_brand || '|' || p_type AS brand_type,
+           CAST(p_size % 5 AS BIGINT) AS size_mod5,
+           abs(CAST(round(p_retailprice * 100) AS BIGINT) - 100000) AS price_dist
+    FROM part
+    """,
+)
+
+
+def _rel_date_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    _utc(spark)
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.unix_micros(F.date_trunc("month", "o_orderdate")).alias("month_start_us"),
+    )
+
+
+_register(
+    "rel_date_functions",
+    _rel_date_funcs,
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(day(o_orderdate) AS BIGINT) AS d,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           epoch_us(date_trunc('month', o_orderdate)) AS month_start_us
+    FROM orders
+    """,
+)
+
+_register(
+    "rel_json_extract",
+    lambda spark, sf: _t(spark, sf, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    ),
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+
+# ===========================================================================
+# events: batch twins of the streaming operators (streaming/windows.py) —
+# the same transformation functions run as Structured Streams; these batch
+# runs ARE the oracle for the streaming tests (SURVEY.md §5.5)
+# ===========================================================================
+
+from .streaming import windows as SW
+
+
+def _ev_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    _utc(spark)
+    out = SW.tumbling_counts(_t(spark, sf, "events"), size="1 day")
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value_cents",
+    )
+
+
+_register(
+    "ev_tumbling_daily",
+    _ev_tumbling,
+    f"""
+    SELECT epoch_us(date_trunc('day', ts)) AS window_start_us, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM({cents('value')}) AS BIGINT) AS sum_value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+
+def _ev_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    _utc(spark)
+    out = SW.sliding_counts(_t(spark, sf, "events"), size="1 day", slide="12 hours")
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"), "event_type", "n_events"
+    )
+
+
+_register(
+    "ev_sliding_12h",
+    _ev_sliding,
+    """
+    WITH w1 AS (
+      SELECT CAST(floor(epoch_us(ts) / 43200000000) * 43200000000 AS BIGINT) AS window_start_us,
+             event_type FROM events),
+    both_w AS (
+      SELECT window_start_us, event_type FROM w1
+      UNION ALL
+      SELECT window_start_us - 43200000000, event_type FROM w1)
+    SELECT window_start_us, event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM both_w GROUP BY 1, 2
+    """,
+)
+
+
+def _ev_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    _utc(spark)
+    out = SW.session_windows(_t(spark, sf, "events"), gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+        "first_event_id",
+    )
+
+
+_register(
+    "ev_session_windows",
+    _ev_sessions,
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM ordered)
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) + 1800000000 AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(event_id) AS first_event_id
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+
+
+def _ev_first_per_key(spark: SparkSession, sf: str) -> DataFrame:
+    _utc(spark)
+    ev = _t(spark, sf, "events")
+    w = _W.partitionBy("user_id", "event_type").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+_register(
+    "ev_first_event_per_key",
+    _ev_first_per_key,
+    """
+    SELECT user_id, event_type, event_id FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+    """,
+)
+
+# ===========================================================================
+# D1: distributed embedding (pandas-UDF path; not SQL-expressible → rows-only)
+# ===========================================================================
+
+
+def _d1_embed(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import multimodal
+
+    de = multimodal.embed_documents(_t(spark, sf, "documents"))
+    return de.select(
+        "doc_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("embedding", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ),
+            6,
+        ).alias("emb_norm"),
+        F.size("embedding").cast("long").alias("dim"),
+    )
+
+
+_register("d1_embed_documents_distributed", _d1_embed, None)
+
+
+# ===========================================================================
+# public driver API
+# ===========================================================================
+
+
+def queries() -> dict:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict:
+    return dict(_ORACLES)
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship query end-to-end on sf0.001 (reference §3.1 lifecycle):
+    parse 'zebra -stripes +2spots' → combinator → brute-force cosine top-12."""
+    return _QUERIES["a1_a2_flagship_topk"](spark, "/root/testdata/sf0.001")

@@ -64,14 +64,18 @@ def simhash32(tokens: Column) -> Column:
     near-dup search works identically at this width.
     """
     hashed = F.transform(tokens, portable_hash32)
+
+    def _contrib_fn(mask: int):
+        # two-arg lambda in a closure: pyspark's higher-order-function shim
+        # passes one Column per declared parameter, so a default-arg trick
+        # (lambda acc, h, i=i:) would receive a spurious third Column
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
     bits = []
     for i in range(32):
-        contrib = F.aggregate(
-            hashed,
-            F.lit(0).cast("long"),
-            lambda acc, h, i=i: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
+        contrib = F.aggregate(hashed, F.lit(0).cast("long"), _contrib_fn(1 << i))
         bits.append(F.when(contrib > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
     out = bits[0]
     for b in bits[1:]:

@@ -33,11 +33,18 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # the events fixture stores TIMESTAMP(NANOS), which Spark cannot read
+        # natively; this runtime conf makes it readable as long on ANY session
+        # (the caller may not have gone through session.get_spark)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # TIMESTAMP(NANOS) read via nanosAsLong: truncate to micros, exactly
-        # what the DuckDB oracle's ts::TIMESTAMP cast does to TIMESTAMP_NS.
-        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")))
+        # what the DuckDB oracle does to TIMESTAMP_NS. Integer DIV, not `/`:
+        # float division of ~1.7e18 ns exceeds double's exact-integer range
+        # and is off by ±1 µs.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
 

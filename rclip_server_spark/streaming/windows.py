@@ -36,9 +36,7 @@ def read_events_stream(spark: SparkSession, path: str,
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def with_watermark(df: DataFrame, delay: str = "1 hour") -> DataFrame:
