@@ -1,0 +1,169 @@
+"""Spark operator semantics on the sf0.001 fixtures: similarity, stats,
+dedup, ANN, guards (SURVEY.md §5.4 property checks)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rclip_server_spark.functions import vector as V
+from rclip_server_spark.operators import ann, dedup, similarity, stats
+from rclip_server_spark.plans.embedder import DeterministicEmbedder
+
+E = DeterministicEmbedder(64)
+QV = E.embed_text("zebra")
+
+
+def _emb_matrix(embeddings):
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def test_topk_equals_full_sort(embeddings):
+    n = embeddings.count()
+    topk = similarity.topk_similar(embeddings, QV, k=n).collect()
+    ids, mat = _emb_matrix(embeddings)
+    scores = mat @ QV
+    order = sorted(zip(ids, scores), key=lambda t: (-t[1], t[0]))
+    got = [(r.vec_id, r.score) for r in topk]
+    for (gid, gs), (wid, ws) in zip(got, order):
+        assert gid == wid
+        assert abs(gs - ws) < 1e-9
+
+
+def test_topk_scores_match_numpy(embeddings):
+    top = similarity.topk_similar(embeddings, QV, k=5).collect()
+    ids, mat = _emb_matrix(embeddings)
+    by_id = dict(zip(ids, mat))
+    for r in top:
+        assert abs(r.score - float(by_id[r.vec_id] @ QV)) < 1e-9
+
+
+def test_gemv_path_matches_sql_path(embeddings):
+    sql = similarity.with_score(embeddings, QV, method="sql").select("vec_id", "score")
+    gemv = similarity.with_score(embeddings, QV, method="gemv").select("vec_id", "score")
+    merged = sql.withColumnRenamed("score", "s1").join(
+        gemv.withColumnRenamed("score", "s2"), "vec_id"
+    )
+    max_diff = merged.agg(F.max(F.abs(F.col("s1") - F.col("s2")))).first()[0]
+    assert max_diff < 1e-9
+
+
+def test_l2_normalize_unit_norm(embeddings):
+    normed = embeddings.select(V.l2_normalize("embedding").alias("n"))
+    norms = normed.select(
+        F.sqrt(F.aggregate(F.transform("n", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)).alias("nn")
+    )
+    mn, mx = norms.agg(F.min("nn"), F.max("nn")).first()
+    assert abs(mn - 1.0) < 1e-9 and abs(mx - 1.0) < 1e-9
+
+
+def test_feature_minmax_matches_numpy(embeddings):
+    got = {r.dim: (r.min_x, r.max_x) for r in stats.feature_minmax(embeddings).collect()}
+    _, mat = _emb_matrix(embeddings)
+    for d in range(mat.shape[1]):
+        assert abs(got[d][0] - mat[:, d].min()) < 1e-7
+        assert abs(got[d][1] - mat[:, d].max()) < 1e-7
+
+
+def test_minmax_normalize_range_and_no_shuffle(embeddings):
+    mm = stats.minmax_normalize(embeddings)
+    bounds = mm.select(
+        F.array_min("normalized").alias("lo"), F.array_max("normalized").alias("hi")
+    ).agg(F.min("lo"), F.max("hi")).first()
+    assert bounds[0] >= -1e-9 and bounds[1] <= 1 + 1e-9
+    # the 100 TB design point: the big-table pass must be map-only
+    assert "Exchange" not in mm._jdf.queryExecution().executedPlan().toString()
+
+
+def test_point_lookup(embeddings):
+    vec = similarity.point_lookup_embedding(embeddings, 42)
+    assert vec.shape == (64,)
+    with pytest.raises(KeyError):
+        similarity.point_lookup_embedding(embeddings, 10**9)
+
+
+def test_random_row_seeded_deterministic(embeddings):
+    a = similarity.random_row_embedding(embeddings, seed=1)
+    b = similarity.random_row_embedding(embeddings, seed=1)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_exact_dedup_mark_and_idempotence(spark, embeddings):
+    dup = embeddings.limit(7).withColumn("vec_id", F.col("vec_id") + 10_000)
+    both = embeddings.unionByName(dup)
+    marked = dedup.exact_dedup_mark(both, "embedding", "vec_id")
+    assert marked.where("is_duplicate").count() == 7
+    # idempotence: dedup of the deduped set marks nothing
+    clean = marked.where(~F.col("is_duplicate")).drop("is_duplicate")
+    assert dedup.exact_dedup_mark(clean, "embedding", "vec_id").where("is_duplicate").count() == 0
+
+
+def test_exact_dup_groups_keep_min(embeddings):
+    dup = embeddings.limit(3).withColumn("vec_id", F.col("vec_id") + 10_000)
+    both = embeddings.unionByName(dup)
+    groups = dedup.exact_dup_groups(both, "embedding", "vec_id").collect()
+    assert len(groups) == 3
+    for g in groups:
+        assert g.keep_id < 10_000  # the ORIGINAL id survives
+        assert g.n_dups == 2
+
+
+def test_minhash_finds_injected_near_dup(spark, documents):
+    base = documents.limit(5)
+    near = base.withColumn("doc_id", F.col("doc_id") + 50_000)
+    pairs = dedup.minhash_near_dup(base.unionByName(near), threshold=0.99).collect()
+    found = {(p.id_a, p.id_b) for p in pairs}
+    for r in base.select("doc_id").collect():
+        assert (r.doc_id, r.doc_id + 50_000) in found
+    for p in pairs:
+        assert p.jaccard >= 0.99
+
+
+def test_scale_guard_blocks_all_pairs(embeddings):
+    with pytest.raises(dedup.ScaleGuardError):
+        dedup.embedding_near_dup_pairs(embeddings, max_rows=10).count()
+    with pytest.raises(dedup.ScaleGuardError):
+        dedup.ngram_jaccard_pairs(embeddings.limit(20), max_rows=10).count()
+
+
+def test_lsh_topk_subset_of_exact(embeddings):
+    exact = {r.vec_id for r in similarity.topk_similar(embeddings, QV, k=100).collect()}
+    approx = ann.lsh_topk(embeddings, QV, k=10, n_planes=4)
+    rows = approx.collect()
+    assert 0 < len(rows) <= 10
+    # every LSH hit must carry its true exact score
+    ids, mat = _emb_matrix(embeddings)
+    by_id = dict(zip(ids, mat))
+    for r in rows:
+        assert abs(r.score - float(by_id[r.vec_id] @ QV)) < 1e-9
+
+
+def test_phrase_embedding_matches_numpy(spark, embeddings):
+    words = embeddings.select(
+        F.col("vec_id").cast("string").alias("word"), F.col("embedding").alias("vector")
+    )
+    phrases = spark.createDataFrame(
+        [("p", ["1", "2", "3"])], "phrase_id string, words array<string>"
+    )
+    got = similarity.phrase_embedding_df(words, phrases).collect()[0].vector
+    ids, mat = _emb_matrix(embeddings)
+    by_id = dict(zip(ids, mat))
+    want = by_id[1] + by_id[2] + by_id[3]
+    want /= np.linalg.norm(want)
+    np.testing.assert_allclose(np.array(got), want, atol=1e-9)
+
+
+def test_best_phrases_small_pool_no_crash(spark, embeddings):
+    words = embeddings.limit(3).select(
+        F.col("vec_id").cast("string").alias("word"), F.col("embedding").alias("vector")
+    )
+    out = similarity.best_phrases(words, QV, top_words=3, n_samples_per_len=5,
+                                  phrase_lens=(2, 3, 4, 10)).collect()
+    assert all(r.score is not None for r in out)
+
+
+def test_hyperplane_near_dup_empty_df_raises(spark, embeddings):
+    with pytest.raises(ValueError):
+        ann.hyperplane_lsh_near_dup(embeddings.limit(0))

@@ -1,0 +1,118 @@
+"""Write path round-trips (B5-B8) and streaming==batch parity (§F)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from rclip_server_spark.sources import writer
+from rclip_server_spark.streaming import windows as SW
+
+from conftest import SF_DIR
+
+
+@pytest.fixture()
+def tmp_table(tmp_path):
+    return str(tmp_path / "images")
+
+
+def test_upsert_insert_then_update(spark, tmp_table, embeddings):
+    base = embeddings.select(
+        F.col("vec_id").alias("id"),
+        F.concat(F.lit("f"), "vec_id").alias("filepath"),
+        F.col("label").alias("size"),
+    )
+    writer.upsert_parquet(spark, tmp_table, base, key="filepath")
+    assert spark.read.parquet(tmp_table).count() == base.count()
+
+    # update 10 rows: same key, new payload -> count stable, payload replaced
+    updates = base.limit(10).withColumn("size", F.lit(-1))
+    writer.upsert_parquet(spark, tmp_table, updates, key="filepath")
+    after = spark.read.parquet(tmp_table)
+    assert after.count() == base.count()
+    assert after.where("size = -1").count() == 10
+
+
+def test_soft_delete_then_live_filter(spark, tmp_table, embeddings):
+    base = embeddings.select(
+        F.col("vec_id").alias("id"), F.concat(F.lit("f"), "vec_id").alias("filepath")
+    )
+    writer.upsert_parquet(spark, tmp_table, base, key="filepath")
+    writer.soft_delete(spark, tmp_table, [1, 2, 3], id_col="id")
+    df = spark.read.parquet(tmp_table)
+    assert writer.live_rows(df).count() == base.count() - 3
+    # deleting again is idempotent
+    writer.soft_delete(spark, tmp_table, [1, 2, 3], id_col="id")
+    assert writer.live_rows(spark.read.parquet(tmp_table)).count() == base.count() - 3
+
+
+def test_anti_join_skip(spark, embeddings):
+    new = embeddings.select(F.col("vec_id").alias("k"))
+    done = embeddings.where(F.col("vec_id") < 100).select(F.col("vec_id").alias("k"))
+    remaining = writer.anti_join_skip(new, done, "k")
+    assert remaining.count() == new.count() - done.count()
+    assert remaining.where(F.col("k") < 100).count() == 0
+
+
+def test_create_images_table_ddl(spark, tmp_table):
+    writer.create_images_table(spark, tmp_table)
+    df = spark.read.parquet(tmp_table)
+    assert df.count() == 0
+    assert "filepath" in df.columns and "vector" in df.columns
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    shutil.copy(os.path.join(SF_DIR, "events.parquet"), d)
+    return d
+
+
+def test_streaming_tumbling_equals_batch(spark, events, events_stream_dir):
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value_cents)
+        for r in SW.tumbling_counts(events).collect()
+    }
+    stream = SW.read_events_stream(spark, events_stream_dir)
+    SW.run_stream_to_memory(SW.tumbling_counts(stream), "t_tumbling")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value_cents)
+        for r in spark.table("t_tumbling").collect()
+    }
+    assert got == batch
+
+
+def test_streaming_sessions_equal_batch(spark, events, events_stream_dir):
+    batch = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in SW.session_windows(events).collect()
+    }
+    stream = SW.read_events_stream(spark, events_stream_dir)
+    SW.run_stream_to_memory(SW.session_windows(stream), "t_sessions")
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in spark.table("t_sessions").collect()
+    }
+    assert got == batch
+
+
+def test_session_window_gap_semantics(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = [
+        (1, "2024-01-01 00:00:00", 10),
+        (2, "2024-01-01 00:10:00", 10),  # same session (10 min gap)
+        (3, "2024-01-01 01:00:00", 10),  # 50 min gap -> new session
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts_s string, user_id long").select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id"
+    )
+    out = SW.session_windows(df, gap="30 minutes").orderBy("session_start").collect()
+    assert [r.n_events for r in out] == [2, 1]
+    assert out[0].first_event_id == 1 and out[1].first_event_id == 3
+
+
+def test_batch_dedup_events(spark, events):
+    deduped = SW.dedup_events(events)
+    keys = deduped.select("user_id", "event_type").distinct().count()
+    assert deduped.count() == keys
