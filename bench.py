@@ -1,0 +1,103 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = the engine's load-bearing paths: flagship cosine top-k (SQL and
+Arrow-GEMV scoring), reverse word lookup, MinHash near-dup over documents,
+TPC-H-style aggregation, broadcast join, window running sum, event session
+windows, and the distributed pandas-UDF embed pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from rclip_server_spark.contract import (
+    _QUERIES,
+    EMBEDDER,
+    QV_FLAGSHIP,
+)
+from rclip_server_spark.operators import dedup, multimodal, similarity
+from rclip_server_spark.session import get_spark
+from rclip_server_spark.sources import load_table
+from rclip_server_spark.streaming import windows as SW
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _materialize(df) -> int:
+    """Force full execution; tiny results are collected, big ones counted."""
+    return df._jdf.queryExecution().executedPlan() and df.count()
+
+
+def main() -> None:
+    spark = get_spark(app_name="rclip_server_spark_bench")
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    docs = load_table(spark, SF_DIR, "documents")
+    events = load_table(spark, SF_DIR, "events")
+
+    benches = {
+        "flagship_topk_sql": lambda: similarity.topk_similar(
+            emb, QV_FLAGSHIP, k=12, method="sql"
+        ).collect(),
+        "flagship_topk_gemv": lambda: similarity.topk_similar(
+            emb, QV_FLAGSHIP, k=12, method="gemv"
+        ).collect(),
+        "best_words_top50": lambda: similarity.best_words(
+            emb.select(F.col("vec_id").cast("string").alias("word"),
+                       F.col("embedding").alias("vector")),
+            EMBEDDER.embed_text("zebra"),
+        ).collect(),
+        "minhash_near_dup_docs": lambda: dedup.minhash_near_dup(
+            docs, threshold=0.7
+        ).count(),
+        "simhash_fingerprints": lambda: dedup.simhash_groups(docs).count(),
+        "embed_documents_udf": lambda: multimodal.embed_documents(docs).count(),
+        "q1_pricing_summary": lambda: _QUERIES["rel_q1_pricing_summary"](
+            spark, SF_DIR
+        ).collect(),
+        "join_broadcast_agg": lambda: _QUERIES["rel_join_broadcast_agg"](
+            spark, SF_DIR
+        ).collect(),
+        "window_running_sum": lambda: _QUERIES["rel_window_running_sum"](
+            spark, SF_DIR
+        ).count(),
+        "event_session_windows": lambda: SW.session_windows(events).count(),
+        "text_quality_stats": lambda: _QUERIES["text_stats"](spark, SF_DIR).count(),
+    }
+
+    # warm the JVM/IO once with the cheapest query so timings measure the
+    # engine, not first-call class loading
+    similarity.topk_similar(emb, QV_FLAGSHIP, k=1).collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in benches.items():
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

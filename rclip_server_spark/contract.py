@@ -518,16 +518,22 @@ _SHINGLES = char_shingles_sql("text")
 _HASHED_SHINGLES = f"list_transform({_SHINGLES}, s -> {hash32_sql('s')})"
 _SIG_LIST = "[" + ", ".join(minhash_sig_exprs("hs")) + "]"
 
+def _minhash_sig_query(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.hashing import minhash_signature_over_hashed, portable_hash32
+
+    hashed = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.transform(TXT.char_shingles(F.col("text"), SHINGLE_N), portable_hash32).alias("hs"),
+    )
+    return hashed.select(
+        "doc_id",
+        F.posexplode(minhash_signature_over_hashed("hs", MH_PARAMS)).alias("pos", "sig"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "sig")
+
+
 _register(
     "dedup_minhash_signatures",
-    lambda spark, sf: _t(spark, sf, "documents")
-    .select(
-        "doc_id",
-        F.posexplode(
-            minhash_signature(TXT.char_shingles(F.col("text"), SHINGLE_N), MH_PARAMS)
-        ).alias("pos", "sig"),
-    )
-    .select("doc_id", F.col("pos").cast("long").alias("pos"), "sig"),
+    _minhash_sig_query,
     f"""
     WITH h AS (SELECT doc_id, {_HASHED_SHINGLES} AS hs FROM documents),
     sigs AS (SELECT doc_id, {_SIG_LIST} AS sig FROM h)
