@@ -1338,3 +1338,77 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query end-to-end on sf0.001 (reference §3.1 lifecycle):
     parse 'zebra -stripes +2spots' → combinator → brute-force cosine top-12."""
     return _QUERIES["a1_a2_flagship_topk"](spark, "/root/testdata/sf0.001")
+
+# ===========================================================================
+# TF-IDF + remaining inventory rows (A13 exact-vs-approx, B2 projection)
+# ===========================================================================
+
+from .operators import text_analysis as TA
+
+
+_register(
+    "text_tfidf",
+    lambda spark, sf: TA.tfidf(_t(spark, sf, "documents")).select(
+        "doc_id", "token", F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"), F.round("tfidf", 6).alias("tfidf"),
+    ),
+    f"""
+    WITH toks AS (SELECT doc_id AS id, unnest({_TOKS}) AS token FROM documents),
+    tf AS (SELECT id, token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY id, token),
+    dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM (SELECT DISTINCT id, token FROM toks) GROUP BY token),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT tf.id AS doc_id, tf.token, tf.tf, dfreq.df,
+           round(CAST(tf.tf AS DOUBLE) * ln(n_docs / CAST(dfreq.df AS DOUBLE)), 6) AS tfidf
+    FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    """,
+)
+
+_register(
+    "text_tfidf_top_terms",
+    lambda spark, sf: TA.top_terms_per_doc(_t(spark, sf, "documents"), k=3).select(
+        "doc_id", "token", F.round("tfidf", 6).alias("tfidf"), "rnk"
+    ),
+    f"""
+    WITH toks AS (SELECT doc_id AS id, unnest({_TOKS}) AS token FROM documents),
+    tf AS (SELECT id, token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY id, token),
+    dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM (SELECT DISTINCT id, token FROM toks) GROUP BY token),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.id AS doc_id, tf.token,
+             CAST(tf.tf AS DOUBLE) * ln(n_docs / CAST(dfreq.df AS DOUBLE)) AS tfidf
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+    SELECT doc_id, token, round(tfidf, 6) AS tfidf,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+    FROM scored QUALIFY rnk <= 3
+    """,
+)
+
+_register(
+    "a13_exact_vs_approx_phrase",
+    # exact side model-encodes on the driver (embedder; not SQL-expressible)
+    lambda spark, sf: similarity.phrase_scores_exact_vs_approx(
+        _words_df(spark, sf),
+        _phrases_df(spark),
+        QV_ZEBRA,
+        EMBEDDER,
+    ).select(
+        "phrase_id",
+        F.round("approx_score", 6).alias("approx_score"),
+        F.round("exact_score", 6).alias("exact_score"),
+    ),
+    None,
+)
+
+_register(
+    "b2_dynamic_projection",
+    lambda spark, sf: __import__(
+        "rclip_server_spark.sources.catalog", fromlist=["project_dynamic"]
+    ).project_dynamic(
+        _t(spark, sf, "documents"),
+        base=("doc_id", "text"),
+        optional=("lang", "nonexistent_col", "source"),
+    ).select("doc_id", "lang", "source"),
+    "SELECT doc_id, lang, source FROM documents",
+)

@@ -1,3 +1,3 @@
-from . import ann, dedup, multimodal, similarity, stats
+from . import ann, dedup, multimodal, similarity, stats, text_analysis
 
-__all__ = ["similarity", "stats", "dedup", "ann", "multimodal"]
+__all__ = ["similarity", "stats", "dedup", "ann", "multimodal", "text_analysis"]

@@ -192,6 +192,39 @@ def best_phrases(
     )
 
 
+def phrase_scores_exact_vs_approx(
+    words_df: DataFrame,
+    phrases_df: DataFrame,
+    query_vec,
+    embedder,
+    word_col: str = "word",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """A13 (rclip_server.py:320-328): the approximate phrase score (dot with
+    the normalized member-word sum, A12) next to the exact score (dot with
+    the model-encoded phrase). The reference computes both and ships approx
+    for speed; exposing both lets callers quantify the approximation.
+
+    The exact side model-encodes each phrase string via ``embedder`` on the
+    driver (phrases are a small candidate set); the approx side is the
+    distributed A12 plan."""
+    approx = with_score(
+        phrase_embedding_df(words_df, phrases_df, word_col=word_col, vec_col=vec_col),
+        query_vec,
+        vec_col=vec_col,
+    ).select("phrase_id", F.col("score").alias("approx_score"))
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    phrases = [r[0] for r in phrases_df.select("phrase_id").collect()]
+    exact_rows = [
+        (p, float(np.asarray(embedder.embed_text(p), dtype=np.float64) @ q))
+        for p in phrases
+    ]
+    spark = words_df.sparkSession
+    exact = spark.createDataFrame(exact_rows, "phrase_id string, exact_score double")
+    return approx.join(exact, "phrase_id")
+
+
 def random_row_embedding(df: DataFrame, seed: int | None = None,
                          vec_col: str = "embedding") -> np.ndarray:
     """A10 random stored row ({"random_img": ...}, rclip_server.py:161-162).

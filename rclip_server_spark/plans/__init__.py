@@ -1,8 +1,11 @@
+from . import cache, serving
 from .combinator import resolve_query
 from .embedder import DeterministicEmbedder, Embedder, get_default_embedder
 from .parser import Term, parse_query
 
 __all__ = [
+    "cache",
+    "serving",
     "Term",
     "parse_query",
     "resolve_query",

@@ -52,6 +52,15 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def project_dynamic(df: DataFrame, base: tuple[str, ...],
+                    optional: tuple[str, ...]) -> DataFrame:
+    """B2 dynamic column projection (reference rclip_server.py:213-225): the
+    loader sniffs which optional columns exist and projects accordingly —
+    fixed core + optional columns discovered at scan time."""
+    cols = list(base) + [c for c in optional if c in df.columns]
+    return df.select(*cols)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every fixture table as a temp view (for the SQL API)."""
     dfs = load_tables(spark, sf_dir)

@@ -1,0 +1,119 @@
+"""Term-cache table (A5), serving layer (A15), external sources (B11/B12),
+TF-IDF, and exact-vs-approx phrase scoring (A13)."""
+
+import json
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rclip_server_spark.operators import similarity, text_analysis
+from rclip_server_spark.plans import serving
+from rclip_server_spark.plans.cache import TermCacheTable
+from rclip_server_spark.plans.combinator import resolve_query
+from rclip_server_spark.plans.embedder import DeterministicEmbedder
+from rclip_server_spark.sources import external, project_dynamic
+
+E = DeterministicEmbedder(64)
+
+
+def test_term_cache_roundtrip_and_upsert(spark, tmp_path):
+    cache = TermCacheTable(spark, str(tmp_path / "terms"))
+    assert cache.get("zebra") is None
+    v = E.embed_text("zebra")
+    cache.put("zebra", v)
+    np.testing.assert_allclose(cache.get("zebra"), v, atol=1e-12)
+    cache.put("zebra", v * 0.0)  # upsert replaces
+    np.testing.assert_allclose(cache.get("zebra"), np.zeros(64), atol=1e-12)
+
+
+def test_term_cache_warms_resolve_query(spark, tmp_path):
+    cache = TermCacheTable(spark, str(tmp_path / "terms"))
+    cache.put("zebra", E.embed_text("zebra"))
+    d = cache.as_dict()
+    got = resolve_query("zebra", E, _cache=d)
+    np.testing.assert_allclose(got, E.embed_text("zebra"), atol=1e-12)
+
+
+def test_visualize_embedding_html():
+    html = serving.visualize_embedding([0.0, 0.5, 1.0])
+    assert html.count("<td") == 3
+    assert serving.colormap_hex(0.0) == "#3b4cc0"
+    assert serving.colormap_hex(1.0) == "#b40426"
+    assert serving.colormap_hex(0.5) == "#dddddd"
+
+
+def test_copyright_branch():
+    assert "wikimedia" in serving.copyright_message("wikimedia_images.sqlite3")
+    assert "wikimedia" not in serving.copyright_message("my_photos.db")
+
+
+def test_enumerate_external(spark):
+    rows = [{"title": "A", "url": "http://x/a"}, {"title": "B", "url": "http://x/b"}]
+    df = external.enumerate_external(spark, lambda: rows)
+    assert df.count() == 2
+    empty = external.enumerate_external(spark, lambda: [])
+    assert empty.count() == 0 and empty.columns == ["title", "url"]
+
+
+def test_read_ndjson_seeded_shuffle(spark, tmp_path):
+    p = tmp_path / "meta.ndjson"
+    with open(p, "w") as f:
+        for i in range(20):
+            f.write(json.dumps({"url": f"u{i}", "descriptionurl": f"d{i}"}) + "\n")
+    df = external.read_ndjson(spark, str(p))
+    assert df.count() == 20 and set(df.columns) == {"url", "descriptionurl"}
+    a = [r.url for r in external.read_ndjson(spark, str(p), shuffle_seed=1).collect()]
+    b = [r.url for r in external.read_ndjson(spark, str(p), shuffle_seed=1).collect()]
+    assert a == b  # seeded order is reproducible
+
+
+def test_tfidf_matches_hand_computation(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c")], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.token): (r.tf, r.df, r.tfidf)
+        for r in text_analysis.tfidf(docs).collect()
+    }
+    # 'a' appears in both docs -> idf = ln(2/2) = 0
+    assert got[(1, "a")] == (2, 2, 0.0)
+    assert got[(2, "a")] == (1, 2, 0.0)
+    # 'b' only in doc 1, tf 1 -> ln(2/1)
+    assert abs(got[(1, "b")][2] - math.log(2.0)) < 1e-12
+    assert abs(got[(2, "c")][2] - math.log(2.0)) < 1e-12
+
+
+def test_top_terms_deterministic(spark, documents):
+    out = text_analysis.top_terms_per_doc(documents.limit(20), k=3).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r.rnk)
+    for ranks in per_doc.values():
+        assert ranks == sorted(ranks) and len(ranks) <= 3
+
+
+def test_exact_vs_approx_phrase_scores(spark, embeddings):
+    words = embeddings.select(
+        F.col("vec_id").cast("string").alias("word"), F.col("embedding").alias("vector")
+    )
+    phrases = spark.createDataFrame(
+        [("1 2", ["1", "2"])], "phrase_id string, words array<string>"
+    )
+    qv = E.embed_text("zebra")
+    row = similarity.phrase_scores_exact_vs_approx(words, phrases, qv, E).collect()[0]
+    # approx = dot with normalized sum of member vectors
+    m = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in embeddings.limit(5).collect()}
+    want = m[1] + m[2]
+    want /= np.linalg.norm(want)
+    assert abs(row.approx_score - float(want @ qv)) < 1e-9
+    # exact = dot with the model-encoded phrase string
+    assert abs(row.exact_score - float(E.embed_text("1 2") @ qv)) < 1e-12
+
+
+def test_project_dynamic_branches(documents):
+    both = project_dynamic(documents, ("doc_id",), ("lang", "missing_col"))
+    assert both.columns == ["doc_id", "lang"]
+    none = project_dynamic(documents, ("doc_id",), ("missing_col",))
+    assert none.columns == ["doc_id"]
