@@ -1412,3 +1412,74 @@ _register(
     ).select("doc_id", "lang", "source"),
     "SELECT doc_id, lang, source FROM documents",
 )
+
+# ===========================================================================
+# join-strategy pair: broadcast vs shuffle (sort-merge) on the same query —
+# results identical, physical plans deliberately different
+# ===========================================================================
+
+
+def _rel_shuffle_join(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    joined = li.hint("merge").join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(cents_col(F.col("l_extendedprice"))).alias("sum_price_cents"),
+    )
+
+
+_register(
+    "rel_join_sortmerge_agg",
+    _rel_shuffle_join,
+    f"""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(SUM({cents('l_extendedprice')}) AS BIGINT) AS sum_price_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+
+def _rel_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    # GROUPING SETS has no DataFrame-API form; the SQL frontend IS the
+    # idiomatic Spark path here (same Catalyst plan as rollup/cube)
+    _t(spark, sf, "orders").createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, '<all>') AS status,
+               coalesce(o_orderpriority, '<all>') AS priority,
+               count(*) AS n
+        FROM _orders_gs GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+_register(
+    "rel_grouping_sets",
+    _rel_grouping_sets,
+    """
+    SELECT coalesce(o_orderstatus, '<all>') AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+
+_register(
+    "rel_array_map_functions",
+    lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id",
+        F.array_max(F.transform(TXT.tokens(F.col("text")), lambda t: F.length(t)))
+        .cast("long")
+        .alias("max_tok_len"),
+        F.sort_array(F.slice(TXT.tokens(F.col("text")), 1, 3)).alias("first3_sorted"),
+        F.array_contains(TXT.tokens(F.col("text")), "the").alias("has_the"),
+    ),
+    f"""
+    SELECT doc_id,
+           CAST(list_max(list_transform({_TOKS}, t -> length(t))) AS BIGINT) AS max_tok_len,
+           list_sort(list_slice({_TOKS}, 1, 3)) AS first3_sorted,
+           list_contains({_TOKS}, 'the') AS has_the
+    FROM documents
+    """,
+)

@@ -1,0 +1,96 @@
+"""End-to-end composite pipelines (reference §3.3: index_wikimedia.py's whole
+main loop as ONE DataFrame job).
+
+The reference indexes sequentially — one image per HTTP round-trip, guarded
+by a filelock, with a per-row existence re-check (IW:187-200). Expressed as a
+DataFrame pipeline all of that dissolves: the anti-join does the incremental
+skip (no driver-side set), the fetch/embed stages are batched map-only UDFs,
+and the MERGE upsert replaces the filelock. Every stage before the sink is
+lazy — one job, end to end.
+
+    ndjson scan (B11)
+      → anti-join against already-indexed (B8)
+      → extension allowlist filter (B13)
+      → thumb-URL rewrite (B14)
+      → fetch (B16, stubbed) → embed (D2, stubbed model)
+      → upsert on filepath (B6)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import multimodal
+from .sources import external, writer
+
+ALLOWED_EXT_RE = r"\.(jpg|jpeg|png|gif)$"
+
+
+def index_images(
+    spark: SparkSession,
+    metadata_ndjson: str,
+    table_path: str,
+    url_col: str = "url",
+    dim: int = 64,
+    shuffle_seed: int | None = 42,
+) -> int:
+    """Run the full indexing pipeline; returns rows upserted.
+
+    Incremental: a second run over the same metadata upserts the same keys
+    (count stable), and new metadata only processes the delta."""
+    meta = external.read_ndjson(spark, metadata_ndjson, shuffle_seed=shuffle_seed)
+
+    writer.create_images_table(spark, table_path)
+    done = spark.read.parquet(table_path).select(F.col("filepath").alias(url_col))
+    todo = writer.anti_join_skip(meta, done, url_col)
+
+    todo = todo.where(F.regexp_extract(F.col(url_col), ALLOWED_EXT_RE, 1) != "")
+    todo = todo.withColumn(
+        "thumb_url",
+        F.regexp_replace(F.col(url_col), "/commons/", "/commons/thumb/"),
+    )
+
+    fetched = multimodal.fetch_url_stub(todo, url_col=url_col, out_col="content")
+    embedded = multimodal.embed_binary_column(fetched, bin_col="content", dim=dim)
+
+    rows = embedded.select(
+        F.abs(F.xxhash64(url_col)).alias("id"),
+        F.lit(None).cast("boolean").alias("deleted"),
+        F.col(url_col).alias("filepath"),
+        F.current_timestamp().alias("modified_at"),
+        F.length("content").cast("long").alias("size"),
+        F.col("embedding").cast("array<float>").alias("vector"),
+        F.col("thumb_url").alias("wikimedia_thumb_url"),
+        F.lit(None).cast("string").alias("wikimedia_descr_url"),
+    )
+    n = rows.count()
+    if n:
+        writer.upsert_parquet(spark, table_path, rows, key="filepath")
+    return n
+
+
+def search_api(
+    spark: SparkSession,
+    table_path: str,
+    q: str,
+    embedder,
+    num: int | None = None,
+) -> DataFrame:
+    """The /search_api lifecycle (reference §3.1) over an indexed table:
+    parse → combinator → live-row filter → cosine top-k → (id, score)."""
+    from .operators import similarity
+    from .plans.combinator import resolve_query
+
+    df = writer.live_rows(spark.read.parquet(table_path))
+    qv = resolve_query(
+        q,
+        embedder,
+        image_lookup=lambda i: similarity.point_lookup_embedding(
+            df, i, id_col="id", vec_col="vector"
+        ),
+        random_image=lambda: similarity.random_row_embedding(df, vec_col="vector"),
+    )
+    if qv is None:
+        return spark.createDataFrame([], "id long, score double")
+    return similarity.topk_similar(df, qv, k=num or 12, id_col="id", vec_col="vector")

@@ -1,0 +1,67 @@
+"""End-to-end composite pipelines: the indexer as one DataFrame job (§3.3)
+and the /search_api lifecycle over the indexed table (§3.1)."""
+
+import json
+
+import pytest
+
+from rclip_server_spark import pipelines
+from rclip_server_spark.plans.embedder import DeterministicEmbedder
+
+E = DeterministicEmbedder(64)
+
+
+@pytest.fixture()
+def meta_ndjson(tmp_path):
+    p = tmp_path / "quality_metadata.ndjson"
+    with open(p, "w") as f:
+        for i in range(30):
+            ext = ["jpg", "png", "svg", "gif", "webm"][i % 5]
+            f.write(
+                json.dumps(
+                    {
+                        "url": f"http://img.example/commons/pic_{i}.{ext}",
+                        "descriptionurl": f"http://img.example/wiki/pic_{i}",
+                    }
+                )
+                + "\n"
+            )
+    return str(p)
+
+
+def test_indexer_pipeline_and_incremental_skip(spark, tmp_path, meta_ndjson):
+    table = str(tmp_path / "images")
+    # 30 urls, 3 of 5 extensions allowed -> 18 indexed
+    n1 = pipelines.index_images(spark, meta_ndjson, table)
+    assert n1 == 18
+    df = spark.read.parquet(table)
+    assert df.count() == 18
+    row = df.first()
+    assert len(row.vector) == 64
+    assert "/commons/thumb/" in row.wikimedia_thumb_url
+
+    # second run: anti-join skips everything already indexed
+    n2 = pipelines.index_images(spark, meta_ndjson, table)
+    assert n2 == 0
+    assert spark.read.parquet(table).count() == 18
+
+
+def test_search_api_over_indexed_table(spark, tmp_path, meta_ndjson):
+    table = str(tmp_path / "images")
+    pipelines.index_images(spark, meta_ndjson, table)
+
+    out = pipelines.search_api(spark, table, "zebra -stripes", E, num=5)
+    rows = out.collect()
+    assert len(rows) == 5
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+    # empty query -> empty result (reference rclip_server.py:138-139, 389)
+    assert pipelines.search_api(spark, table, "", E).count() == 0
+
+    # soft-deleted rows disappear from search
+    from rclip_server_spark.sources import writer
+
+    all_ids = [r.id for r in spark.read.parquet(table).select("id").collect()]
+    writer.soft_delete(spark, table, all_ids[:10], id_col="id")
+    assert pipelines.search_api(spark, table, "zebra", E, num=100).count() == 8

@@ -33,8 +33,17 @@ def duck_con(sf_dir: str):
     return con
 
 
+def _canon_cell(v):
+    if isinstance(v, (list, np.ndarray)):
+        return tuple(_canon_cell(x) for x in v)
+    return v
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    for col in df.columns:
+        if df[col].dtype == object:
+            df[col] = df[col].map(_canon_cell)
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df.reset_index(drop=True)
