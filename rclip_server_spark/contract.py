@@ -106,6 +106,10 @@ def hash32_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
 
 
+def hash60_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
 def tokens_sql(expr: str) -> str:
     t = f"trim(lower({expr}))"
     return (
@@ -554,7 +558,8 @@ _register(
         _t(spark, sf, "documents"), threshold=0.7
     ),
     f"""
-    WITH h AS (SELECT doc_id AS id, list_distinct({_SHINGLES}) AS gs,
+    WITH h AS (SELECT doc_id AS id,
+                      list_distinct(list_transform({_SHINGLES}, s -> {hash60_sql('s')})) AS gs,
                       {_HASHED_SHINGLES} AS hs FROM documents),
     s AS (SELECT id, gs, {_SIG_LIST} AS sig FROM h),
     cand AS (
@@ -1483,3 +1488,34 @@ _register(
     FROM documents
     """,
 )
+
+# ===========================================================================
+# ANN depth: multi-probe LSH (oracle-checked) + trained-IVF probe (iterative
+# k-means training -> rows-only per the contract's non-SQL-expressible rule)
+# ===========================================================================
+
+_MP_PROBES = sorted(
+    {_QB4} | {_QB4 ^ (1 << i) for i in range(4)}
+)
+
+_register(
+    "ann_lsh_topk_multiprobe",
+    lambda spark, sf: ann.lsh_topk_multiprobe(
+        _t(spark, sf, "embeddings"), QV_ZEBRA, k=10, n_planes=4, n_probe_bits=1, seed=42
+    ),
+    f"""
+    SELECT vec_id, {dot_sql('embedding', QV_ZEBRA)} AS score
+    FROM embeddings
+    WHERE {bucket_sql('embedding', PLANES4)} IN ({', '.join(str(b) for b in _MP_PROBES)})
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+
+
+def _ivf_trained_query(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    centroids = ann.ivf_train_kmeans(emb, k=8, iters=3)
+    return ann.ivf_topk(emb, QV_ZEBRA, centroids, k=10, n_probe=2)
+
+
+_register("ann_ivf_trained_topk", _ivf_trained_query, None)

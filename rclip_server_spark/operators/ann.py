@@ -129,6 +129,82 @@ def hyperplane_lsh_near_dup(
     )
 
 
+def lsh_topk_multiprobe(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    n_planes: int = 4,
+    n_probe_bits: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH top-k: scan the query's bucket plus every bucket within
+    Hamming distance ``n_probe_bits`` of it. The standard recall lever — the
+    scan fraction grows from 1/2^p to (1 + C(p,1) + ...)/2^p while staying
+    partition-prunable when the table is written bucketed."""
+    dim = len(np.asarray(query_vec))
+    planes = hyperplanes(n_planes, dim, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbucket = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) >= 0))
+    probes = {qbucket}
+    if n_probe_bits >= 1:
+        probes |= {qbucket ^ (1 << i) for i in range(n_planes)}
+    if n_probe_bits >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(qbucket ^ (1 << i) ^ (1 << j))
+    bucketed = df.withColumn("bucket", hyperplane_bucket_col(F.col(vec_col), planes))
+    cand = bucketed.where(F.col("bucket").isin(sorted(probes)))
+    scored = cand.withColumn("score", V.dot(F.col(vec_col), V.vec_lit(list(qv))))
+    return (
+        scored.select(id_col, "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_train_kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train IVF centroids with a deterministic DataFrame-native k-means.
+
+    Init = the k rows with the smallest ids (seeded and reproducible — a
+    k-means++ sweep would add quality, not change the shape). Each iteration:
+    assign (map-only, centroids are literals) → per-(cell, dim) mean (one
+    hash agg on a posexploded long form) → collect the k×dim centroid matrix
+    (tiny) back to the driver. Only the k·dim stats ever cross the wire;
+    empty cells keep their previous centroid. Unit-normalized at the end so
+    IVF probing stays a max-dot-product search."""
+    init_rows = (
+        df.orderBy(F.asc(id_col)).limit(k).select(vec_col).collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(f"need at least k={k} rows to train, got {len(init_rows)}")
+    centroids = np.array([r[0] for r in init_rows], dtype=np.float64)
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids, id_col, vec_col)
+        means = (
+            assigned.select("ivf_cell", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("ivf_cell", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new = centroids.copy()
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["ivf_cell"], {})[r["dim"]] = r["m"]
+        for cell, dims in by_cell.items():
+            for d, m in dims.items():
+                new[cell, d] = m
+        centroids = new
+    return centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: np.ndarray,

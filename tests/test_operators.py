@@ -167,3 +167,27 @@ def test_best_phrases_small_pool_no_crash(spark, embeddings):
 def test_hyperplane_near_dup_empty_df_raises(spark, embeddings):
     with pytest.raises(ValueError):
         ann.hyperplane_lsh_near_dup(embeddings.limit(0))
+
+
+def test_multiprobe_recall_at_least_single_probe(embeddings):
+    exact_top10 = {r.vec_id for r in similarity.topk_similar(embeddings, QV, k=10).collect()}
+    single = {r.vec_id for r in ann.lsh_topk(embeddings, QV, k=10, n_planes=4).collect()}
+    multi = {r.vec_id for r in ann.lsh_topk_multiprobe(
+        embeddings, QV, k=10, n_planes=4, n_probe_bits=1).collect()}
+    assert len(multi & exact_top10) >= len(single & exact_top10)
+
+
+def test_ivf_kmeans_deterministic_and_unit_norm(embeddings):
+    c1 = ann.ivf_train_kmeans(embeddings, k=4, iters=2)
+    c2 = ann.ivf_train_kmeans(embeddings, k=4, iters=2)
+    np.testing.assert_array_equal(c1, c2)
+    assert c1.shape == (4, 64)
+    np.testing.assert_allclose(np.linalg.norm(c1, axis=1), np.ones(4), atol=1e-9)
+    # training must reduce (or hold) k-means quantization error vs init
+    ids, mat = _emb_matrix(embeddings)
+    init = mat[np.argsort(ids)[:4]]
+    init = init / np.linalg.norm(init, axis=1, keepdims=True)
+    def sse(cents):
+        d = mat @ cents.T
+        return float(np.sum(1.0 - d.max(axis=1)))
+    assert sse(c1) <= sse(init) + 1e-9

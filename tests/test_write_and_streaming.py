@@ -116,3 +116,22 @@ def test_batch_dedup_events(spark, events):
     deduped = SW.dedup_events(events)
     keys = deduped.select("user_id", "event_type").distinct().count()
     assert deduped.count() == keys
+
+
+def test_streaming_dedup_matches_batch_first_per_key(spark, events, events_stream_dir):
+    batch_keys = events.select("user_id", "event_type").distinct().count()
+    stream = SW.read_events_stream(spark, events_stream_dir)
+    deduped = SW.dedup_events(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_dedup")
+    assert got.count() == batch_keys
+    assert got.select("user_id", "event_type").distinct().count() == batch_keys
