@@ -1519,3 +1519,59 @@ def _ivf_trained_query(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _register("ann_ivf_trained_topk", _ivf_trained_query, None)
+
+# ===========================================================================
+# skew-resilient aggregation: salted two-phase == plain groupBy (same oracle)
+# ===========================================================================
+
+from .operators import skew as SK
+
+
+def _salted_agg_query(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return SK.salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n": (F.lit(1), "count"),
+            "sum_qty_cents": (cents_col(F.col("l_quantity")), "sum"),
+            "max_price_cents": (cents_col(F.col("l_extendedprice")), "max"),
+        },
+        salt_buckets=16,
+    ).select("l_returnflag", F.col("n").cast("long").alias("n"),
+             "sum_qty_cents", "max_price_cents")
+
+
+_register(
+    "rel_salted_skew_agg",
+    _salted_agg_query,
+    f"""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM({cents('l_quantity')}) AS BIGINT) AS sum_qty_cents,
+           max({cents('l_extendedprice')}) AS max_price_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+_register(
+    "rel_outer_join",
+    # left outer: customers keep their row even with zero orders (null side
+    # aggregated as zero) — the missing how= variant of the join family
+    lambda spark, sf: _t(spark, sf, "customer")
+    .join(
+        _t(spark, sf, "orders"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_outer",
+    )
+    .groupBy("c_custkey")
+    .agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.coalesce(F.sum(cents_col(F.col("o_totalprice"))), F.lit(0)).alias("sum_cents"),
+    ),
+    f"""
+    SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(coalesce(SUM({cents('o_totalprice')}), 0) AS BIGINT) AS sum_cents
+    FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)

@@ -191,3 +191,24 @@ def test_ivf_kmeans_deterministic_and_unit_norm(embeddings):
         d = mat @ cents.T
         return float(np.sum(1.0 - d.max(axis=1)))
     assert sse(c1) <= sse(init) + 1e-9
+
+
+def test_salted_agg_equals_plain_groupby(documents):
+    from rclip_server_spark.operators import skew
+
+    plain = {
+        (r.lang): (r.n, r.mx)
+        for r in documents.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("n_chars").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r.lang): (r.n, r.mx)
+        for r in skew.salted_agg(
+            documents,
+            keys=["lang"],
+            aggs={"n": (F.lit(1), "count"), "mx": (F.col("n_chars"), "max")},
+            salt_buckets=8,
+        ).collect()
+    }
+    assert salted == plain

@@ -135,3 +135,42 @@ def test_streaming_dedup_matches_batch_first_per_key(spark, events, events_strea
     got = spark.table("t_dedup")
     assert got.count() == batch_keys
     assert got.select("user_id", "event_type").distinct().count() == batch_keys
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketing both sides on the join key pre-partitions the data at WRITE
+    time, so a later sort-merge join needs no Exchange at all — the repeated-
+    join answer at 100 TB (pay the shuffle once, in the write path)."""
+    from rclip_server_spark.sources import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    (orders.write.mode("overwrite").option("path", str(tmp_path / "o"))
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders"))
+    (li.write.mode("overwrite").option("path", str(tmp_path / "l"))
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem"))
+    try:
+        bo = spark.table("b_orders")
+        bl = spark.table("b_lineitem")
+        joined = bl.hint("merge").join(bo, bl.l_orderkey == bo.o_orderkey).select(
+            "o_orderkey", "l_linenumber", "o_totalprice"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle on either side
+        # and the result matches the plain (shuffling) join
+        plain = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        assert joined.count() == plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_reload_table_sees_new_data(spark, tmp_table, embeddings):
+    base = embeddings.select(F.col("vec_id").alias("id"),
+                             F.concat(F.lit("f"), "vec_id").alias("filepath"))
+    writer.upsert_parquet(spark, tmp_table, base.limit(100), key="filepath")
+    assert writer.reload_table(spark, tmp_table).count() == 100
+    writer.upsert_parquet(spark, tmp_table, base, key="filepath")
+    # B18 full reload: re-read reflects the new table state
+    assert writer.reload_table(spark, tmp_table).count() == base.count()
