@@ -552,6 +552,19 @@ _BAND_EQ = " OR ".join(
     for i in range(N_BANDS)
 )
 
+# signature-agreement prefilter twin (operators.dedup.minhash_near_dup):
+# matching components >= num_hashes * (threshold - 4*binomial_sd)
+_MH_SD = (0.7 * 0.3 / N_MINHASH) ** 0.5
+_MH_MIN_MATCHES = max(0, int(N_MINHASH * (0.7 - 4.0 * _MH_SD)))
+_SIG_MATCHES = (
+    "("
+    + " + ".join(
+        f"(CASE WHEN a.sig[{i + 1}] = c.sig[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(N_MINHASH)
+    )
+    + ")"
+)
+
 _register(
     "dedup_minhash_near_dup",
     lambda spark, sf: dedup.minhash_near_dup(
@@ -564,7 +577,8 @@ _register(
     s AS (SELECT id, gs, {_SIG_LIST} AS sig FROM h),
     cand AS (
       SELECT a.id AS id_a, c.id AS id_b, a.gs AS gs_a, c.gs AS gs_b
-      FROM s a JOIN s c ON a.id < c.id AND ({_BAND_EQ}))
+      FROM s a JOIN s c ON a.id < c.id AND ({_BAND_EQ})
+        AND {_SIG_MATCHES} >= {_MH_MIN_MATCHES})
     SELECT id_a, id_b, jaccard FROM (
       SELECT id_a, id_b,
              CAST(len(list_intersect(gs_a, gs_b)) AS DOUBLE)

@@ -23,12 +23,23 @@ MINHASH_PRIME = (1 << 31) - 1
 
 def portable_hash32(c: Column) -> Column:
     """First 8 hex chars of md5 as a non-negative int64 in [0, 2^32)."""
-    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+    return hash32_from_md5(F.md5(c))
 
 
 def portable_hash60(c: Column) -> Column:
     """First 15 hex chars of md5 as a non-negative int64 in [0, 2^60)."""
-    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    return hash60_from_md5(F.md5(c))
+
+
+def hash32_from_md5(md5_hex: Column) -> Column:
+    """32-bit int from an ALREADY-COMPUTED md5 hex string — lets pipelines
+    that need both hash widths (minhash sig + verification sets) pay for the
+    digest once."""
+    return F.conv(F.substring(md5_hex, 1, 8), 16, 10).cast("long")
+
+
+def hash60_from_md5(md5_hex: Column) -> Column:
+    return F.conv(F.substring(md5_hex, 1, 15), 16, 10).cast("long")
 
 
 def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
