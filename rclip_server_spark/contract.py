@@ -1589,3 +1589,20 @@ _register(
     GROUP BY c_custkey
     """,
 )
+
+# ===========================================================================
+# reverse lookup over a REAL text corpus (words table derived via the
+# distributed embedder -> rows-only; the embeddings-as-words variants above
+# carry the oracle-checked semantics)
+# ===========================================================================
+
+from . import pipelines as PIPE
+
+
+def _similar_words_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    return PIPE.similar_words_from_corpus(
+        spark, _t(spark, sf, "documents"), "zebra -stripes", EMBEDDER, k=25
+    )
+
+
+_register("a11_similar_words_from_corpus", _similar_words_corpus, None)

@@ -94,3 +94,41 @@ def search_api(
     if qv is None:
         return spark.createDataFrame([], "id long, score double")
     return similarity.topk_similar(df, qv, k=num or 12, id_col="id", vec_col="vector")
+
+
+def build_words_table(
+    spark: SparkSession, documents: DataFrame, dim: int = 64, min_count: int = 2
+) -> DataFrame:
+    """Derive the words table (reference words.sqlite3 role, RS:292-308) from
+    a document corpus: tokenize → lowercase-only predicate (B3) → frequency
+    floor → distributed embed (D1). One shuffle (the distinct+count), then a
+    map-only embed pass."""
+    from .functions import text as TXT
+
+    words = (
+        documents.select(F.explode(TXT.tokens(F.col("text"))).alias("word"))
+        .where(F.lower(F.col("word")) == F.col("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+        .select("word")
+    )
+    return multimodal.embed_text_column(words, "word", "vector", dim).select(
+        "word", "vector"
+    )
+
+
+def similar_words_from_corpus(
+    spark: SparkSession, documents: DataFrame, q: str, embedder, k: int = 50
+) -> DataFrame:
+    """End-to-end /similar_words over a REAL text corpus: build the words
+    table from the documents, resolve the query, reverse-lookup top-k
+    (reference §3.2 lifecycle with the words table derived, not given)."""
+    from .operators import similarity
+    from .plans.combinator import resolve_query
+
+    qv = resolve_query(q, embedder)
+    if qv is None:
+        return spark.createDataFrame([], "word string, score double")
+    words = build_words_table(spark, documents, dim=embedder.dim)
+    return similarity.best_words(words, qv, k=k)

@@ -65,3 +65,18 @@ def test_search_api_over_indexed_table(spark, tmp_path, meta_ndjson):
     all_ids = [r.id for r in spark.read.parquet(table).select("id").collect()]
     writer.soft_delete(spark, table, all_ids[:10], id_col="id")
     assert pipelines.search_api(spark, table, "zebra", E, num=100).count() == 8
+
+
+def test_words_table_and_similar_words_from_corpus(spark, documents):
+    from rclip_server_spark import pipelines
+
+    words = pipelines.build_words_table(spark, documents.limit(50))
+    assert words.count() > 0
+    assert set(words.columns) == {"word", "vector"}
+    out = pipelines.similar_words_from_corpus(
+        spark, documents.limit(50), "zebra", E, k=10
+    ).collect()
+    assert 0 < len(out) <= 10
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert pipelines.similar_words_from_corpus(spark, documents, "", E).count() == 0

@@ -174,3 +174,53 @@ def test_reload_table_sees_new_data(spark, tmp_table, embeddings):
     writer.upsert_parquet(spark, tmp_table, base, key="filepath")
     # B18 full reload: re-read reflects the new table state
     assert writer.reload_table(spark, tmp_table).count() == base.count()
+
+
+def test_stateful_running_totals_stream_equals_batch(spark, events, events_stream_dir):
+    from rclip_server_spark.streaming import stateful
+
+    batch = {
+        r.user_id: (r.n_events, r.sum_value_cents, r.last_event_id)
+        for r in stateful.running_user_totals(events).collect()
+    }
+    stream = SW.read_events_stream(spark, events_stream_dir)
+    q = (
+        stateful.running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_totals")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode emits one row per (user, batch); the LAST emission per user
+    # is the final state
+    import pyspark.sql.functions as _F
+    from pyspark.sql import Window as _W
+
+    t = spark.table("t_totals")
+    w = _W.partitionBy("user_id").orderBy(_F.desc("n_events"))
+    final = (
+        t.withColumn("rn", _F.row_number().over(w)).where("rn = 1").drop("rn")
+    )
+    got = {
+        r.user_id: (r.n_events, r.sum_value_cents, r.last_event_id)
+        for r in final.collect()
+    }
+    assert got == batch
+
+
+def test_streaming_sliding_equals_batch(spark, events, events_stream_dir):
+    batch = {
+        (r.window_start, r.event_type): r.n_events
+        for r in SW.sliding_counts(events).collect()
+    }
+    stream = SW.read_events_stream(spark, events_stream_dir)
+    SW.run_stream_to_memory(SW.sliding_counts(stream), "t_sliding")
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.table("t_sliding").collect()
+    }
+    assert got == batch
