@@ -1606,3 +1606,22 @@ def _similar_words_corpus(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _register("a11_similar_words_from_corpus", _similar_words_corpus, None)
+
+# ===========================================================================
+# SimHash Hamming-banded near-dup (exact recall for hamming < chunks by
+# pigeonhole; the oracle verifies ALL pairs by popcount — same result set)
+# ===========================================================================
+
+_register(
+    "dedup_simhash_near_dup",
+    lambda spark, sf: dedup.simhash_near_dup(
+        _t(spark, sf, "documents"), max_hamming=3, chunks=4
+    ),
+    f"""
+    WITH fp AS (SELECT doc_id AS id, {simhash_sql(_TOKS)} AS sh FROM documents)
+    SELECT a.id AS id_a, c.id AS id_b,
+           CAST(bit_count(xor(a.sh, c.sh)) AS INT) AS hamming
+    FROM fp a JOIN fp c ON a.id < c.id
+    WHERE bit_count(xor(a.sh, c.sh)) <= 3
+    """,
+)

@@ -212,3 +212,13 @@ def test_salted_agg_equals_plain_groupby(documents):
         ).collect()
     }
     assert salted == plain
+
+
+def test_simhash_near_dup_finds_exact_dups(spark, documents):
+    base = documents.limit(5)
+    clone = base.withColumn("doc_id", F.col("doc_id") + 70_000)
+    pairs = dedup.simhash_near_dup(base.unionByName(clone), max_hamming=0).collect()
+    found = {(p.id_a, p.id_b) for p in pairs}
+    for r in base.select("doc_id").collect():
+        assert (r.doc_id, r.doc_id + 70_000) in found
+    assert all(p.hamming == 0 for p in pairs)
