@@ -1625,3 +1625,70 @@ _register(
     WHERE bit_count(xor(a.sh, c.sh)) <= 3
     """,
 )
+
+# ===========================================================================
+# int8 quantization (storage tier) + two-table similarity join
+# ===========================================================================
+
+_register(
+    "vec_quantize_int8_roundtrip",
+    lambda spark, sf: _t(spark, sf, "embeddings")
+    .select(
+        "vec_id",
+        F.posexplode(V.quantize_int8("embedding")).alias("dim", "q"),
+    )
+    .select("vec_id", F.col("dim").cast("long").alias("dim"), "q"),
+    """
+    SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+           CAST(round(CAST(unnest(embedding) AS DOUBLE) * 127.0) AS INT) AS q
+    FROM embeddings
+    """,
+)
+
+_register(
+    "vec_quantized_topk",
+    # the storage-tier query path: score against DEQUANTIZED embeddings —
+    # identical ranking math in both engines over the same int8 values
+    lambda spark, sf: similarity.topk_similar(
+        _t(spark, sf, "embeddings").select(
+            "vec_id",
+            V.dequantize_int8(V.quantize_int8("embedding")).alias("embedding"),
+        ),
+        QV_ZEBRA,
+        k=20,
+    ),
+    f"""
+    WITH dq AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 127.0) AS INT) / 127.0) AS embedding
+      FROM embeddings)
+    SELECT vec_id, {dot_sql('embedding', QV_ZEBRA)} AS score
+    FROM dq ORDER BY score DESC, vec_id LIMIT 20
+    """,
+)
+
+
+def _lsh_sim_join_query(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    left = emb.where(F.col("label") < 5)
+    right = emb.where(F.col("label") >= 5)
+    return ann.lsh_similarity_join(left, right, threshold=0.3, n_planes=6, dim=EMB_DIM)
+
+
+_register(
+    "ann_lsh_similarity_join",
+    _lsh_sim_join_query,
+    f"""
+    WITH lb AS (SELECT vec_id AS id_a, embedding AS va,
+                       {bucket_sql('embedding', PLANES6)} AS bucket
+                FROM embeddings WHERE label < 5),
+    rb AS (SELECT vec_id AS id_b, embedding AS vb,
+                  {bucket_sql('embedding', PLANES6)} AS bucket
+           FROM embeddings WHERE label >= 5)
+    SELECT id_a, id_b, cosine FROM (
+      SELECT id_a, id_b, {dot2_sql('va', 'vb')} AS cosine
+      FROM lb JOIN rb USING (bucket))
+    WHERE cosine >= 0.3
+    """,
+)

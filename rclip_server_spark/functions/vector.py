@@ -79,3 +79,21 @@ def minmax_scale(a: ColumnOrName, mins: ColumnOrName, ranges: ColumnOrName) -> C
     (rclip_server.py:267-268, the visualization normalizer)."""
     shifted = F.zip_with(_col(a), _col(mins), lambda x, m: x.cast("double") - m.cast("double"))
     return F.zip_with(shifted, _col(ranges), lambda x, r: x / r.cast("double"))
+
+
+def quantize_int8(a: ColumnOrName, scale: float = 127.0) -> Column:
+    """Symmetric int8 quantization: round(x * scale) per element.
+
+    Unit-norm components lie in [-1, 1], so scale 127 fits int8 exactly —
+    a 4x storage cut (512 floats → 512 bytes) that matters at 100 TB. Kept
+    as array<int> at rest here for parquet/oracle portability; round() is
+    half-away-from-zero in both engines, so the quantized values (and any
+    score computed from them) are bit-identical cross-engine."""
+    s = F.lit(float(scale))
+    return F.transform(_col(a), lambda x: F.round(x.cast("double") * s).cast("int"))
+
+
+def dequantize_int8(q: ColumnOrName, scale: float = 127.0) -> Column:
+    """Inverse of quantize_int8 (max abs error 1/(2*scale) per component)."""
+    s = F.lit(float(scale))
+    return F.transform(_col(q), lambda x: x.cast("double") / s)

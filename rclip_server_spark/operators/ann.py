@@ -164,6 +164,45 @@ def lsh_topk_multiprobe(
     )
 
 
+def lsh_similarity_join(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    threshold: float = 0.5,
+    n_planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Similarity JOIN between two tables (§F: all-pairs A×B, not 1×N):
+    bucket BOTH sides by the same hyperplane signs, equi-join on the bucket,
+    verify cosine ≥ threshold only within buckets. The A×B generalization of
+    hyperplane_lsh_near_dup — at 100 TB both sides write bucketed and the
+    join is partition-pruned per bucket."""
+    if dim is None:
+        probe = df_a.select(F.size(vec_col)).first()
+        if probe is None or probe[0] is None:
+            raise ValueError("cannot infer embedding dim from an empty left side; pass dim=")
+        dim = int(probe[0])
+    planes = hyperplanes(n_planes, dim, seed)
+    a = df_a.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        hyperplane_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    b = df_b.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        hyperplane_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .withColumn("cosine", V.dot("va", "vb"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def ivf_train_kmeans(
     df: DataFrame,
     k: int = 8,

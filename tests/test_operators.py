@@ -222,3 +222,35 @@ def test_simhash_near_dup_finds_exact_dups(spark, documents):
     for r in base.select("doc_id").collect():
         assert (r.doc_id, r.doc_id + 70_000) in found
     assert all(p.hamming == 0 for p in pairs)
+
+
+def test_quantize_roundtrip_error_bound(embeddings):
+    rt = embeddings.select(
+        "embedding",
+        V.dequantize_int8(V.quantize_int8("embedding")).alias("dq"),
+    )
+    max_err = rt.select(
+        F.array_max(
+            F.zip_with("embedding", "dq", lambda a, b: F.abs(a.cast("double") - b))
+        ).alias("e")
+    ).agg(F.max("e")).first()[0]
+    assert max_err <= 0.5 / 127.0 + 1e-12
+
+
+def test_quantized_topk_close_to_exact(embeddings):
+    exact = [r.vec_id for r in similarity.topk_similar(embeddings, QV, k=10).collect()]
+    dq = embeddings.select(
+        "vec_id", V.dequantize_int8(V.quantize_int8("embedding")).alias("embedding")
+    )
+    quant = [r.vec_id for r in similarity.topk_similar(dq, QV, k=10).collect()]
+    assert len(set(exact) & set(quant)) >= 8  # int8 barely moves the ranking
+
+
+def test_lsh_similarity_join_two_tables(embeddings):
+    left = embeddings.where(F.col("label") < 5)
+    right = embeddings.where(F.col("label") >= 5)
+    out = ann.lsh_similarity_join(left, right, threshold=0.3, dim=64).collect()
+    lids = {r.vec_id for r in left.select("vec_id").collect()}
+    rids = {r.vec_id for r in right.select("vec_id").collect()}
+    for p in out:
+        assert p.id_a in lids and p.id_b in rids and p.cosine >= 0.3
