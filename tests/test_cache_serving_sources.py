@@ -117,3 +117,26 @@ def test_project_dynamic_branches(documents):
     assert both.columns == ["doc_id", "lang"]
     none = project_dynamic(documents, ("doc_id",), ("missing_col",))
     assert none.columns == ["doc_id"]
+
+
+def test_python_datasource_partitioned_enumeration(spark):
+    from rclip_server_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    df = (
+        spark.read.format("external_enum")
+        .option("total", 250)
+        .option("page_size", 100)
+        .load()
+    )
+    assert df.count() == 250
+    assert df.rdd.getNumPartitions() == 3  # 100+100+50: pages parallelize
+    rows = df.orderBy("page_index").limit(2).collect()
+    assert rows[0].title.startswith("File:pic_0_")
+    assert rows[0].url.startswith("http://img.example/commons/")
+    # deterministic: same options -> same rows
+    again = (
+        spark.read.format("external_enum")
+        .option("total", 250).option("page_size", 100).load()
+    )
+    assert sorted(r.url for r in again.collect()) == sorted(r.url for r in df.collect())
