@@ -244,6 +244,59 @@ def ivf_train_kmeans(
     return centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
 
+def write_bucketed_by_lsh(
+    df: DataFrame,
+    path: str,
+    n_planes: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> None:
+    """Materialize the table PARTITIONED BY the hyperplane bucket — the
+    at-rest layout that turns every LSH probe into a partition-pruned scan
+    (only bucket=… directories are even listed, 1/2^n_planes of the data).
+    Pay the bucketing shuffle once at write time; every query after that is
+    a pruned read."""
+    if dim is None:
+        probe = df.select(F.size(vec_col)).first()
+        if probe is None or probe[0] is None:
+            raise ValueError("cannot infer dim from empty DataFrame; pass dim=")
+        dim = int(probe[0])
+    planes = hyperplanes(n_planes, dim, seed)
+    bucketed = df.withColumn("bucket", hyperplane_bucket_col(F.col(vec_col), planes))
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def lsh_topk_pruned(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 10,
+    n_planes: int = 4,
+    n_probe_bits: int = 0,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH top-k over a table written by write_bucketed_by_lsh: the bucket
+    predicate is a PARTITION filter (visible as PartitionFilters in the scan
+    node), so non-matching directories are never read."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    planes = hyperplanes(n_planes, len(qv), seed)
+    qbucket = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) >= 0))
+    probes = {qbucket}
+    if n_probe_bits >= 1:
+        probes |= {qbucket ^ (1 << i) for i in range(n_planes)}
+    df = spark.read.parquet(path)
+    cand = df.where(F.col("bucket").isin(sorted(probes)))
+    scored = cand.withColumn("score", V.dot(F.col(vec_col), V.vec_lit(list(qv))))
+    return (
+        scored.select(id_col, "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: np.ndarray,

@@ -27,20 +27,11 @@ from .sources import external, writer
 ALLOWED_EXT_RE = r"\.(jpg|jpeg|png|gif)$"
 
 
-def index_images(
-    spark: SparkSession,
-    metadata_ndjson: str,
-    table_path: str,
-    url_col: str = "url",
-    dim: int = 64,
-    shuffle_seed: int | None = 42,
+def _index_batch(
+    spark: SparkSession, meta: DataFrame, table_path: str, url_col: str, dim: int
 ) -> int:
-    """Run the full indexing pipeline; returns rows upserted.
-
-    Incremental: a second run over the same metadata upserts the same keys
-    (count stable), and new metadata only processes the delta."""
-    meta = external.read_ndjson(spark, metadata_ndjson, shuffle_seed=shuffle_seed)
-
+    """Shared indexing stages (anti-join skip → filter → rewrite → fetch →
+    embed → upsert); called by both the batch and the streaming entry."""
     writer.create_images_table(spark, table_path)
     done = spark.read.parquet(table_path).select(F.col("filepath").alias(url_col))
     todo = writer.anti_join_skip(meta, done, url_col)
@@ -68,6 +59,52 @@ def index_images(
     if n:
         writer.upsert_parquet(spark, table_path, rows, key="filepath")
     return n
+
+
+def index_images(
+    spark: SparkSession,
+    metadata_ndjson: str,
+    table_path: str,
+    url_col: str = "url",
+    dim: int = 64,
+    shuffle_seed: int | None = 42,
+) -> int:
+    """Run the full indexing pipeline; returns rows upserted.
+
+    Incremental: a second run over the same metadata upserts the same keys
+    (count stable), and new metadata only processes the delta."""
+    meta = external.read_ndjson(spark, metadata_ndjson, shuffle_seed=shuffle_seed)
+    return _index_batch(spark, meta, table_path, url_col, dim)
+
+
+def index_images_stream(
+    spark: SparkSession,
+    metadata_dir: str,
+    table_path: str,
+    url_col: str = "url",
+    dim: int = 64,
+) -> None:
+    """Continuous indexer: watch a directory for new ndjson metadata files
+    and run the SAME stages per micro-batch via foreachBatch (which executes
+    driver-side, so the batch write path — anti-join + upsert — is reused
+    verbatim). availableNow trigger: drain what's there, then stop; drop the
+    trigger for a long-running watcher."""
+    stream = (
+        spark.readStream.schema(f"{url_col} string")
+        .option("maxFilesPerTrigger", 1)
+        .json(metadata_dir)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _index_batch(spark, batch_df, table_path, url_col, dim)
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", table_path + "_ckpt")
+        .start()
+    )
+    q.awaitTermination()
 
 
 def search_api(

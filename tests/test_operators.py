@@ -254,3 +254,16 @@ def test_lsh_similarity_join_two_tables(embeddings):
     rids = {r.vec_id for r in right.select("vec_id").collect()}
     for p in out:
         assert p.id_a in lids and p.id_b in rids and p.cosine >= 0.3
+
+
+def test_lsh_bucketed_write_prunes_partitions(spark, embeddings, tmp_path):
+    path = str(tmp_path / "emb_bucketed")
+    ann.write_bucketed_by_lsh(embeddings, path, n_planes=4, dim=64)
+    pruned = ann.lsh_topk_pruned(spark, path, QV, k=10, n_planes=4)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the bucket predicate must prune at the PARTITION level, not post-scan
+    assert "PartitionFilters: [bucket" in plan.replace("isnotnull(bucket#", "bucket#") \
+        or "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
+    # pruned result == in-memory LSH on the same planes/bucketing
+    mem = {r.vec_id for r in ann.lsh_topk(embeddings, QV, k=10, n_planes=4).collect()}
+    assert {r.vec_id for r in pruned.collect()} == mem

@@ -80,3 +80,26 @@ def test_words_table_and_similar_words_from_corpus(spark, documents):
     scores = [r.score for r in out]
     assert scores == sorted(scores, reverse=True)
     assert pipelines.similar_words_from_corpus(spark, documents, "", E).count() == 0
+
+
+def test_streaming_incremental_indexer(spark, tmp_path):
+    import json as _json
+
+    meta_dir = tmp_path / "meta_stream"
+    meta_dir.mkdir()
+    table = str(tmp_path / "images_stream")
+
+    def write_meta(name, start, n):
+        with open(meta_dir / name, "w") as f:
+            for i in range(start, start + n):
+                f.write(_json.dumps(
+                    {"url": f"http://img.example/commons/s_{i}.jpg"}) + "\n")
+
+    write_meta("batch0.ndjson", 0, 10)
+    pipelines.index_images_stream(spark, str(meta_dir), table)
+    assert spark.read.parquet(table).count() == 10
+
+    # drop a second file: only the delta is processed (checkpoint + anti-join)
+    write_meta("batch1.ndjson", 5, 10)  # 5 overlap, 5 new
+    pipelines.index_images_stream(spark, str(meta_dir), table)
+    assert spark.read.parquet(table).count() == 15
