@@ -1692,3 +1692,24 @@ _register(
     WHERE cosine >= 0.3
     """,
 )
+
+_register(
+    "ann_multi_query_topk_gemm",
+    # one-pass GEMM for all queries; scores rounded (GEMM summation order
+    # differs from the left-assoc SQL fold by ~1 ulp)
+    lambda spark, sf: ann.brute_force_topk_multi_gemm(
+        _t(spark, sf, "embeddings"),
+        np.stack([EMBEDDER.embed_text(t) for t in MULTI_QUERY_TERMS]),
+        MULTI_QUERY_TERMS,
+        k=10,
+    ).select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank"),
+    "SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"""(SELECT '{t}' AS query_id, vec_id,
+            round({dot_sql('embedding', EMBEDDER.embed_text(t))}, 6) AS score,
+            row_number() OVER (ORDER BY {dot_sql('embedding', EMBEDDER.embed_text(t))} DESC, vec_id) AS rank
+            FROM embeddings QUALIFY rank <= 10)"""
+        for t in MULTI_QUERY_TERMS
+    )
+    + ")",
+)

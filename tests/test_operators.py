@@ -267,3 +267,18 @@ def test_lsh_bucketed_write_prunes_partitions(spark, embeddings, tmp_path):
     # pruned result == in-memory LSH on the same planes/bucketing
     mem = {r.vec_id for r in ann.lsh_topk(embeddings, QV, k=10, n_planes=4).collect()}
     assert {r.vec_id for r in pruned.collect()} == mem
+
+
+def test_gemm_multi_query_matches_per_query(spark, embeddings):
+    terms = ["cat", "dog"]
+    Q = np.stack([E.embed_text(t) for t in terms])
+    gemm = ann.brute_force_topk_multi_gemm(embeddings, Q, terms, k=5).collect()
+    by_query = {}
+    for r in gemm:
+        by_query.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.score))
+    for i, t in enumerate(terms):
+        exact = similarity.topk_similar(embeddings, Q[i], k=5).collect()
+        got = sorted(by_query[t])
+        assert [g[1] for g in got] == [r.vec_id for r in exact]
+        for (_, _, gs), r in zip(got, exact):
+            assert abs(gs - r.score) < 1e-9
