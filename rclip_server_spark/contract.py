@@ -1713,3 +1713,34 @@ _register(
     )
     + ")",
 )
+
+_register(
+    "ann_hyperplane_near_dup_multiset",
+    lambda spark, sf: ann.hyperplane_lsh_near_dup_multiset(
+        _t(spark, sf, "embeddings"), threshold=0.5, n_planes=6, n_sets=3, dim=EMB_DIM
+    ),
+    f"""
+    WITH b AS (SELECT vec_id AS id, embedding AS v,
+                      {bucket_sql('embedding', PLANES6)} AS b0,
+                      {bucket_sql('embedding', ann.hyperplanes(6, EMB_DIM, 43))} AS b1,
+                      {bucket_sql('embedding', ann.hyperplanes(6, EMB_DIM, 44))} AS b2
+               FROM embeddings)
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.id AS id_a, c.id AS id_b, {dot2_sql('a.v', 'c.v')} AS cosine
+      FROM b a JOIN b c
+        ON a.id < c.id AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2))
+    WHERE cosine >= 0.5
+    """,
+)
+
+
+def _embed_near_dup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from . import pipelines as _P
+
+    # embedder output is not SQL-expressible -> rows-only
+    return _P.embedding_near_dup_documents(
+        spark, _t(spark, sf, "documents"), threshold=0.8
+    )
+
+
+_register("d1_embedding_near_dup_documents", _embed_near_dup_docs, None)

@@ -250,6 +250,53 @@ def lsh_similarity_join(
     )
 
 
+def hyperplane_lsh_near_dup_multiset(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    n_sets: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Recall-boosted embedding near-dup: union candidates from ``n_sets``
+    independently seeded plane sets before the exact-cosine verification.
+
+    One plane set misses a near-pair that straddles any plane; with s
+    independent sets the miss probability decays exponentially (for cosine
+    θ, P(miss) = (1-(1-θ/π)^p)^s). Cost is s bucketing passes, still zero
+    all-pairs anywhere."""
+    if dim is None:
+        probe = df.select(F.size(vec_col)).first()
+        if probe is None or probe[0] is None:
+            raise ValueError("cannot infer embedding dim from an empty DataFrame; pass dim=")
+        dim = int(probe[0])
+    cands = None
+    for s in range(n_sets):
+        planes = hyperplanes(n_planes, dim, seed + s)
+        bucketed = df.select(
+            F.col(id_col).alias("id"),
+            hyperplane_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        )
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        pairs = a.join(
+            b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.distinct()
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    joined = (
+        cands.join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("v", "va"), "id_a")
+        .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("v", "vb"), "id_b")
+    )
+    return (
+        joined.withColumn("cosine", V.dot("va", "vb"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def ivf_train_kmeans(
     df: DataFrame,
     k: int = 8,

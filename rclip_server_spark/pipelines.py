@@ -169,3 +169,21 @@ def similar_words_from_corpus(
         return spark.createDataFrame([], "word string, score double")
     words = build_words_table(spark, documents, dim=embedder.dim)
     return similarity.best_words(words, qv, k=k)
+
+
+def embedding_near_dup_documents(
+    spark: SparkSession,
+    documents: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+) -> DataFrame:
+    """End-to-end embedding-cosine near-dup over raw TEXT: distributed embed
+    (D1) → multi-set hyperplane LSH → exact-cosine verification. The
+    embedding-space twin of minhash_near_dup for semantic (not lexical)
+    duplicates."""
+    from .operators import ann, multimodal
+
+    embedded = multimodal.embed_documents(documents, dim=dim)
+    return ann.hyperplane_lsh_near_dup_multiset(
+        embedded, threshold=threshold, dim=dim, id_col="doc_id"
+    )

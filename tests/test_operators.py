@@ -282,3 +282,31 @@ def test_gemm_multi_query_matches_per_query(spark, embeddings):
         assert [g[1] for g in got] == [r.vec_id for r in exact]
         for (_, _, gs), r in zip(got, exact):
             assert abs(gs - r.score) < 1e-9
+
+
+def test_multiset_lsh_finds_injected_embedding_dups(spark, embeddings):
+    base = embeddings.limit(6)
+    clone = base.withColumn("vec_id", F.col("vec_id") + 80_000)
+    both = embeddings.unionByName(clone)
+    pairs = ann.hyperplane_lsh_near_dup_multiset(
+        both, threshold=0.999, n_planes=6, n_sets=3, dim=64
+    ).collect()
+    found = {(p.id_a, p.id_b) for p in pairs}
+    # identical vectors share every bucket in every plane set -> all found
+    for r in base.select("vec_id").collect():
+        assert (r.vec_id, r.vec_id + 80_000) in found
+    for p in pairs:
+        assert p.cosine >= 0.999
+
+
+def test_embedding_near_dup_documents_composite(spark, documents):
+    from rclip_server_spark import pipelines
+
+    base = documents.limit(4)
+    clone = base.withColumn("doc_id", F.col("doc_id") + 90_000)
+    pairs = pipelines.embedding_near_dup_documents(
+        spark, base.unionByName(clone), threshold=0.999
+    ).collect()
+    found = {(p.id_a, p.id_b) for p in pairs}
+    for r in base.select("doc_id").collect():
+        assert (r.doc_id, r.doc_id + 90_000) in found
