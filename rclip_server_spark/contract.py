@@ -628,6 +628,44 @@ _register(
     """,
 )
 
+# Transitive closure of the near-dup pairs: DuckDB's recursive CTE IS the
+# connected-components definition, so the iterative Spark algorithm
+# (min-label propagation + pointer jumping, operators/dedup.py) is checked
+# against declarative ground truth — exact match on every (doc_id, cluster).
+_register(
+    "dedup_duplicate_clusters",
+    lambda spark, sf: dedup.duplicate_clusters(
+        _t(spark, sf, "documents"), threshold=0.7
+    ),
+    f"""
+    WITH RECURSIVE
+    h AS (SELECT doc_id AS id,
+                 list_distinct(list_transform({_SHINGLES}, s -> {hash60_sql('s')})) AS gs,
+                 {_HASHED_SHINGLES} AS hs FROM documents),
+    s AS (SELECT id, gs, {_SIG_LIST} AS sig FROM h),
+    cand AS (
+      SELECT a.id AS id_a, c.id AS id_b, a.gs AS gs_a, c.gs AS gs_b
+      FROM s a JOIN s c ON a.id < c.id AND ({_BAND_EQ})
+        AND {_SIG_MATCHES} >= {_MH_MIN_MATCHES}),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(gs_a, gs_b)) AS DOUBLE)
+               / CAST(len(gs_a) + len(gs_b) - len(list_intersect(gs_a, gs_b)) AS DOUBLE) AS jaccard
+        FROM cand)
+      WHERE jaccard >= 0.7),
+    und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach(id, r) AS (
+      SELECT src, src FROM und
+      UNION
+      SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.id),
+    comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+)
+
 _register(
     "dedup_embedding_near_dup",
     lambda spark, sf: dedup.embedding_near_dup_pairs(

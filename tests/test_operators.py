@@ -121,6 +121,40 @@ def test_minhash_finds_injected_near_dup(spark, documents):
         assert p.jaccard >= 0.99
 
 
+def test_connected_components_path_and_islands(spark):
+    # a 6-vertex path (diameter 5 → needs >1 propagation round), a triangle,
+    # and an isolated edge; labels must be each component's minimum id
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {r.id: r.label for r in dedup.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_duplicate_clusters_transitive_and_singletons(spark, documents):
+    # two near-copies of each base doc: A~B and A~C force the transitive
+    # cluster {A, B, C}; untouched docs stay singletons
+    base = documents.limit(3)
+    c1 = base.withColumn("doc_id", F.col("doc_id") + 50_000)
+    c2 = base.withColumn("doc_id", F.col("doc_id") + 90_000)
+    corpus = documents.limit(40).unionByName(c1).unionByName(c2)
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in dedup.duplicate_clusters(corpus, threshold=0.9).collect()
+    }
+    for r in base.select("doc_id").collect():
+        assert clusters[r.doc_id] == r.doc_id
+        assert clusters[r.doc_id + 50_000] == r.doc_id
+        assert clusters[r.doc_id + 90_000] == r.doc_id
+    # docs in no near-dup pair must be their own (singleton) cluster
+    paired = set()
+    for p in dedup.minhash_near_dup(corpus, threshold=0.9).collect():
+        paired.update((p.id_a, p.id_b))
+    singles = [d for d in clusters if d not in paired]
+    assert singles and all(clusters[d] == d for d in singles)
+
+
 def test_scale_guard_blocks_all_pairs(embeddings):
     with pytest.raises(dedup.ScaleGuardError):
         dedup.embedding_near_dup_pairs(embeddings, max_rows=10).count()
