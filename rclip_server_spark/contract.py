@@ -1782,3 +1782,239 @@ def _embed_near_dup_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _register("d1_embedding_near_dup_documents", _embed_near_dup_docs, None)
+
+
+# ===========================================================================
+# Time-ordered joins over events (operators/joins.py) — as-of + band join
+# ===========================================================================
+
+
+def _ev_asof(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import joins
+
+    _utc(spark)
+    ev = _t(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    out = joins.asof_join(clicks, views, on="user_id", ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("r_ts_us").alias("view_ts_us"),
+        F.col("r_view_event_id").alias("view_event_id"),
+        "gap_us",
+    )
+
+
+_register(
+    "ev_asof_click_view",
+    _ev_asof,
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    views AS (
+      SELECT user_id, ts, max(event_id) AS view_event_id
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+    SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+           epoch_us(v.ts) AS view_ts_us, v.view_event_id,
+           epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+)
+
+
+def _ev_band_join(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import joins
+
+    _utc(spark)
+    return joins.band_self_join(
+        _t(spark, sf, "events"), key="user_id", ts="ts", id_col="event_id",
+        band="5 minutes",
+    )
+
+
+_register(
+    "ev_band_join_pairs",
+    _ev_band_join,
+    """
+    SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND epoch_us(b.ts) >= epoch_us(a.ts)
+     AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000
+     AND (epoch_us(a.ts) < epoch_us(b.ts)
+          OR (epoch_us(a.ts) = epoch_us(b.ts) AND a.event_id < b.event_id))
+    """,
+)
+
+
+# ===========================================================================
+# Lexical retrieval + hybrid fusion (operators/retrieval.py)
+# ===========================================================================
+
+BM25_TERMS = ["vector", "join", "spark"]
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def _bm25_sql(terms: list[str], where: str = "", topk: int | None = None) -> str:
+    toks = tokens_sql("text")
+    tf_exprs = ", ".join(
+        f"CAST(len(list_filter(toks, t -> t = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_exprs = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(terms))
+    )
+    n = "CAST(n_docs AS DOUBLE)"
+    avgdl = f"(CAST(sum_dl AS DOUBLE) / {n})"
+    score = _f(0.0)
+    for i in range(len(terms)):
+        tf = f"CAST(tf_{i} AS DOUBLE)"
+        dfq = f"CAST(df_{i} AS DOUBLE)"
+        idf = f"ln(((({n} - {dfq}) + {_f(0.5)}) / ({dfq} + {_f(0.5)})) + {_f(1.0)})"
+        denom = (
+            f"({tf} + ({_f(BM25_K1)} * ({_f(1.0 - BM25_B)} + "
+            f"({_f(BM25_B)} * (CAST(dl AS DOUBLE) / {avgdl})))))"
+        )
+        score = f"({score} + ({idf} * (({tf} * {_f(BM25_K1 + 1.0)}) / {denom})))"
+    tf_cols = ", ".join(f"tf_{i}" for i in range(len(terms)))
+    # ln() differs by 1 ulp between JVM Math.log and DuckDB libm for some
+    # inputs -> hash-compared bm25 is rounded to 6 dp in BOTH engines (repo
+    # precedent for transcendental-tainted floats); ordering/filtering still
+    # uses the raw score.
+    body = f"""
+    WITH tk AS (SELECT doc_id, {toks} AS toks FROM documents),
+    per_doc AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, {tf_exprs} FROM tk),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+             {df_exprs}
+      FROM per_doc)
+    SELECT doc_id, dl, {tf_cols}, {score} AS bm25_raw FROM per_doc, stats"""
+    if topk is not None:
+        return (
+            f"SELECT doc_id, round(bm25_raw, 6) AS bm25 FROM ({body}) "
+            f"WHERE bm25_raw > {_f(0.0)} "
+            f"ORDER BY bm25_raw DESC, doc_id LIMIT {topk}"
+        )
+    tf_cols_o = ", ".join(f"tf_{i}" for i in range(len(terms)))
+    return (
+        f"SELECT doc_id, dl, {tf_cols_o}, round(bm25_raw, 6) AS bm25 "
+        f"FROM ({body})" + (where or "")
+    )
+
+
+def _bm25_scores(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import retrieval
+
+    out = retrieval.bm25_scores(
+        _t(spark, sf, "documents"), BM25_TERMS, k1=BM25_K1, b=BM25_B
+    )
+    return out.withColumn("bm25", F.round("bm25", 6))
+
+
+_register("text_bm25_scores", _bm25_scores, _bm25_sql(BM25_TERMS))
+
+
+def _bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import retrieval
+
+    out = retrieval.bm25_topk(
+        _t(spark, sf, "documents"), BM25_TERMS, k=10, k1=BM25_K1, b=BM25_B
+    )
+    return out.withColumn("bm25", F.round("bm25", 6))
+
+
+_register("text_bm25_topk", _bm25_topk, _bm25_sql(BM25_TERMS, topk=10))
+
+
+def _hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import retrieval
+
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    text_side = (
+        retrieval.bm25_scores(docs, BM25_TERMS, k1=BM25_K1, b=BM25_B)
+        .where(F.col("bm25") > 0.0)
+        .select("doc_id", "bm25")
+    )
+    vec_side = similarity.with_score(emb, QV_ZEBRA).select(
+        F.col("vec_id").alias("doc_id"), "score"
+    )
+    return retrieval.rrf_fusion(text_side, vec_side, k=10, pool=50)
+
+
+_register(
+    "hybrid_rrf_topk",
+    _hybrid_rrf,
+    f"""
+    WITH txt AS ({_bm25_sql(BM25_TERMS, topk=50)}),
+    tr AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS t_rank
+           FROM txt),
+    vec AS (SELECT vec_id AS doc_id, {dot_sql('embedding', QV_ZEBRA)} AS score
+            FROM embeddings ORDER BY score DESC, doc_id LIMIT 50),
+    vr AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS v_rank
+           FROM vec),
+    fused AS (
+      SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id, t_rank, v_rank,
+             (COALESCE({_f(1.0)} / ({_f(60.0)} + CAST(t_rank AS DOUBLE)), {_f(0.0)})
+              + COALESCE({_f(1.0)} / ({_f(60.0)} + CAST(v_rank AS DOUBLE)), {_f(0.0)})) AS rrf
+      FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id)
+    SELECT doc_id, t_rank, v_rank, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+
+
+# ===========================================================================
+# Benchmark-contamination n-gram overlap (operators/text_analysis.py)
+# ===========================================================================
+
+BENCH_SOURCES = ("src0", "src1")
+
+
+def _contamination(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import text_analysis
+
+    return text_analysis.ngram_contamination(
+        _t(spark, sf, "documents"),
+        F.col("source").isin(*BENCH_SOURCES),
+        n=3,
+    )
+
+
+_BENCH_IN = "('" + "', '".join(BENCH_SOURCES) + "')"
+
+_register(
+    "text_ngram_contamination",
+    _contamination,
+    f"""
+    WITH g AS (
+      SELECT doc_id, source,
+             list_distinct({word_ngrams_sql(tokens_sql('text'), 3)}) AS grams
+      FROM documents),
+    bench AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE source IN {_BENCH_IN}),
+    cand AS (SELECT doc_id, grams FROM g WHERE source NOT IN {_BENCH_IN}),
+    ex AS (SELECT doc_id, unnest(grams) AS gr FROM cand),
+    hits AS (
+      SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+      FROM ex JOIN bench ON ex.gr = bench.gr GROUP BY ex.doc_id),
+    out AS (
+      SELECT c.doc_id, CAST(len(c.grams) AS BIGINT) AS n_grams,
+             COALESCE(h.n_hit, CAST(0 AS BIGINT)) AS n_hit
+      FROM cand c LEFT JOIN hits h ON c.doc_id = h.doc_id)
+    SELECT doc_id, n_grams, n_hit,
+           CASE WHEN n_grams = 0 THEN {_f(0.0)}
+                ELSE CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) END AS contamination
+    FROM out
+    """,
+)

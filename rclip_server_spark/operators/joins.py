@@ -1,0 +1,157 @@
+"""Time-ordered join operators Spark lacks as built-ins: as-of join and
+banded (range) self-join. Neither exists in the reference (its only join is
+an implicit point lookup, rclip_server.py:230) — these are the §F /
+north-star extensions a training-data event pipeline needs.
+
+Scale shapes (the whole point):
+
+* ``asof_join`` is **not a join at all** in the physical plan — it is one
+  hash-partition shuffle on the key plus a per-partition sort (a window).
+  Tagging both sides and running ``last(..., ignorenulls)`` over the
+  time-ordered union gives every left row its most recent right match in
+  O(n log n) per partition, with no inequality-join fallback to
+  BroadcastNestedLoop. This survives 100 TB as long as a single key's
+  history fits a partition (the same contract Spark's own window has).
+* ``band_self_join`` buckets time into ``band``-width bins and equi-joins
+  on (key, bin), exploding the LEFT side to the two bins a match can live
+  in. Catalyst plans a plain shuffled hash join on (key, bucket) — never a
+  cartesian product — and each qualifying pair is produced exactly once
+  because the right row's bucket matches exactly one of the left's two
+  exploded bins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_US_PER_UNIT = {
+    "second": 1_000_000,
+    "seconds": 1_000_000,
+    "minute": 60_000_000,
+    "minutes": 60_000_000,
+    "hour": 3_600_000_000,
+    "hours": 3_600_000_000,
+    "day": 86_400_000_000,
+    "days": 86_400_000_000,
+}
+
+
+def duration_us(spec: str) -> int:
+    """'5 minutes' -> 300000000 (micros). Mirrors Spark interval strings."""
+    qty, unit = spec.split()
+    return int(qty) * _US_PER_UNIT[unit.lower()]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: each left row gains the latest right row with
+    ``right.ts <= left.ts`` for the same key (DuckDB ``ASOF LEFT JOIN``
+    semantics; ties at equal ts DO match).
+
+    ``right`` must be unique per (key, ts) — pre-aggregate it if not (the
+    contract entry dedupes with max(id)). Right payload columns come back
+    prefixed ``r_``, plus ``gap_us`` = left.ts − matched right.ts in
+    micros (NULL when unmatched or beyond ``tolerance``).
+    """
+    rpay = [c for c in right.columns if c not in (on, ts)]
+    r_struct = F.struct(
+        F.unix_micros(F.col(ts)).alias("__rts_us"), *[F.col(c) for c in rpay]
+    )
+    struct_t = right.select(r_struct.alias("__r")).schema[0].dataType
+
+    lcols = left.columns
+    l_tag = left.select(
+        *lcols,
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(struct_t).alias("__r"),
+    )
+    r_tag = right.select(
+        F.col(on),
+        F.col(ts),
+        *[F.lit(None).cast(l_tag.schema[c].dataType).alias(c) for c in lcols if c not in (on, ts)],
+        F.lit(0).alias("__side"),
+        r_struct.alias("__r"),
+    ).select(*[F.col(c) for c in l_tag.columns])
+
+    # right (side 0) sorts before left (side 1) at equal ts, so an equal-ts
+    # right row is visible to the left row's running last().
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = l_tag.unionByName(r_tag).withColumn(
+        "__m", F.last("__r", ignorenulls=True).over(w)
+    )
+
+    out = matched.where(F.col("__side") == 1)
+    gap: Column = F.unix_micros(F.col(ts)) - F.col("__m.__rts_us")
+    if tolerance is not None:
+        out = out.withColumn(
+            "__m",
+            F.when(gap <= F.lit(duration_us(tolerance)), F.col("__m")),
+        )
+        gap = F.unix_micros(F.col(ts)) - F.col("__m.__rts_us")
+    return out.select(
+        *lcols,
+        F.col("__m.__rts_us").alias("r_ts_us"),
+        *[F.col(f"__m.{c}").alias(f"r_{c}") for c in rpay],
+        gap.alias("gap_us"),
+    )
+
+
+def band_self_join(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    band: str = "5 minutes",
+) -> DataFrame:
+    """All ordered pairs (a, b) with the same key and
+    ``a.ts <= b.ts <= a.ts + band`` (equal-ts pairs ordered by id so each
+    unordered pair appears once).
+
+    Returns (key, a_id, b_id, gap_us). Plans as an equi-join on
+    (key, bucket): the left side explodes to the two band-width buckets a
+    match can occupy; the band predicate is then an exact post-filter.
+    """
+    w_us = duration_us(band)
+    base = df.select(
+        F.col(key).alias("__k"),
+        F.col(id_col).alias("__id"),
+        F.unix_micros(F.col(ts)).alias("__us"),
+    )
+    a = base.select(
+        F.col("__k"),
+        F.col("__id").alias("a_id"),
+        F.col("__us").alias("a_us"),
+        F.explode(
+            F.array(F.expr(f"__us DIV {w_us}"), F.expr(f"__us DIV {w_us} + 1"))
+        ).alias("__bucket"),
+    )
+    b = base.select(
+        F.col("__k"),
+        F.col("__id").alias("b_id"),
+        F.col("__us").alias("b_us"),
+        F.expr(f"__us DIV {w_us}").alias("__bucket"),
+    )
+    pairs = a.join(b, ["__k", "__bucket"]).where(
+        (F.col("b_us") >= F.col("a_us"))
+        & (F.col("b_us") <= F.col("a_us") + F.lit(w_us))
+        & (
+            (F.col("a_us") < F.col("b_us"))
+            | ((F.col("a_us") == F.col("b_us")) & (F.col("a_id") < F.col("b_id")))
+        )
+    )
+    return pairs.select(
+        F.col("__k").alias(key),
+        "a_id",
+        "b_id",
+        (F.col("b_us") - F.col("a_us")).alias("gap_us"),
+    )

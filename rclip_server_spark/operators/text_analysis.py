@@ -48,6 +48,58 @@ def tfidf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Data
     )
 
 
+def ngram_contamination(
+    df: DataFrame,
+    bench_pred,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination check: for each NON-benchmark document, the
+    fraction of its distinct word n-grams that also occur anywhere in the
+    benchmark split (``bench_pred`` selects the benchmark rows). The classic
+    train/test-overlap filter for LLM training data (no reference analogue —
+    pure north-star surface).
+
+    Returns (id, n_grams, n_hit, contamination). Scale shape: the benchmark
+    gram set is aggregated once and broadcast into the probe join (benchmark
+    splits are small by definition); per-doc totals are row-local
+    ``size(array_distinct(...))`` so zero-gram docs survive; the only wide
+    shuffle is the per-doc hit count.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        bench_pred.alias("is_bench"),
+        F.array_distinct(TXT.word_ngrams(F.col(text_col), n)).alias("grams"),
+    )
+    bench_grams = (
+        grams.where("is_bench")
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    candidates = grams.where(~F.col("is_bench"))
+    hits = (
+        candidates.select("id", F.explode("grams").alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        candidates.join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.size("grams").cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
+            F.when(F.size("grams") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).cast("double")
+                / F.size("grams").cast("double")
+            )
+            .alias("contamination"),
+        )
+    )
+
+
 def top_terms_per_doc(df: DataFrame, k: int = 5, id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
     """Top-k TF-IDF terms per document (rank ties broken on token for

@@ -1,0 +1,190 @@
+"""Semantics + physical-plan shape for the time-ordered joins
+(operators/joins.py), BM25/RRF retrieval (operators/retrieval.py), and the
+n-gram contamination check (operators/text_analysis.py)."""
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rclip_server_spark.operators import joins, retrieval, text_analysis
+
+
+def _ts(minute, second=0, micro=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second, micro)
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            (1, 100, _ts(5)),
+            (2, 100, _ts(10)),
+            (3, 100, _ts(2)),  # before any quote
+            (4, 200, _ts(7)),
+            (5, 300, _ts(7)),  # key with no quotes at all
+        ],
+        "trade_id long, user_id long, ts timestamp",
+    )
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            (100, _ts(4), 10.0),
+            (100, _ts(5), 11.0),  # equal-ts: must match trade 1
+            (100, _ts(9), 12.0),
+            (200, _ts(1), 20.0),
+        ],
+        "user_id long, ts timestamp, price double",
+    )
+
+
+def test_asof_backward_semantics(trades, quotes):
+    out = {
+        r.trade_id: (r.r_price, r.gap_us)
+        for r in joins.asof_join(trades, quotes, on="user_id", ts="ts").collect()
+    }
+    assert out[1] == (11.0, 0)  # equal ts matches
+    assert out[2] == (12.0, 60_000_000)  # latest at-or-before 00:10 is 00:09
+    assert out[3] == (None, None)  # nothing before 00:02
+    assert out[4] == (20.0, 360_000_000)
+    assert out[5] == (None, None)  # key absent from right
+
+
+def test_asof_tolerance_nulls_stale_matches(trades, quotes):
+    out = {
+        r.trade_id: r.r_price
+        for r in joins.asof_join(
+            trades, quotes, on="user_id", ts="ts", tolerance="2 minutes"
+        ).collect()
+    }
+    assert out[1] == 11.0
+    assert out[2] == 12.0  # 1 minute back, inside tolerance
+    assert out[4] is None  # 6 minutes back, beyond tolerance
+
+
+def test_asof_plan_is_window_not_join(trades, quotes):
+    plan = joins.asof_join(trades, quotes, on="user_id", ts="ts")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # one shuffle + sort, never a nested-loop join
+    assert "Window" in plan
+
+
+def test_band_self_join_matches_naive(events):
+    got = {
+        (r.a_id, r.b_id)
+        for r in joins.band_self_join(events, band="5 minutes").collect()
+    }
+    a = events.select(
+        F.col("user_id").alias("k"),
+        F.col("event_id").alias("a_id"),
+        F.unix_micros("ts").alias("a_us"),
+    )
+    b = events.select(
+        F.col("user_id").alias("k"),
+        F.col("event_id").alias("b_id"),
+        F.unix_micros("ts").alias("b_us"),
+    )
+    naive = {
+        (r.a_id, r.b_id)
+        for r in a.join(b, "k")
+        .where(
+            (F.col("b_us") >= F.col("a_us"))
+            & (F.col("b_us") <= F.col("a_us") + 300_000_000)
+            & (
+                (F.col("a_us") < F.col("b_us"))
+                | ((F.col("a_us") == F.col("b_us")) & (F.col("a_id") < F.col("b_id")))
+            )
+        )
+        .collect()
+    }
+    assert got == naive
+    assert len(got) > 0
+
+
+def test_band_self_join_no_cartesian(events):
+    plan = joins.band_self_join(events)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_bm25_matches_reference_formula(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark join"),
+            (2, "join filter scan"),
+            (3, "scan scan scan scan"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    terms = ["spark", "join"]
+    got = {
+        r.doc_id: r.bm25
+        for r in retrieval.bm25_scores(docs, terms).collect()
+    }
+    # driver-side reference computation
+    corpus = {1: ["spark", "spark", "join"], 2: ["join", "filter", "scan"],
+              3: ["scan"] * 4, 4: []}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / n
+    k1, b = 1.2, 0.75
+    for doc_id, toks in corpus.items():
+        want = 0.0
+        for term in terms:
+            tf = toks.count(term)
+            dfq = sum(1 for t in corpus.values() if term in t)
+            idf = math.log((n - dfq + 0.5) / (dfq + 0.5) + 1.0)
+            want += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        assert abs(got[doc_id] - want) < 1e-12
+    assert got[4] == 0.0  # empty doc keeps its row, scores zero
+
+
+def test_bm25_topk_excludes_zero_and_orders(documents):
+    rows = retrieval.bm25_topk(documents, ["vector", "join"], k=5).collect()
+    assert 0 < len(rows) <= 5
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_rrf_fusion_known_ranks(spark):
+    text = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, bm25 double"
+    )
+    vec = spark.createDataFrame(
+        [(2, 0.9), (4, 0.8)], "doc_id long, score double"
+    )
+    got = {r.doc_id: r for r in retrieval.rrf_fusion(text, vec, k=10).collect()}
+    assert got[2].t_rank == 2 and got[2].v_rank == 1
+    assert abs(got[2].rrf - (1 / 62 + 1 / 61)) < 1e-12
+    assert got[1].v_rank is None and abs(got[1].rrf - 1 / 61) < 1e-12
+    assert got[4].t_rank is None and abs(got[4].rrf - 1 / 62) < 1e-12
+    # doc 2 (on both lists) fuses highest
+    best = max(got.values(), key=lambda r: r.rrf)
+    assert best.doc_id == 2
+
+
+def test_ngram_contamination_bounds(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e", "bench"),
+            (2, "a b c d e", "train"),   # identical to benchmark -> 1.0
+            (3, "x y z w q", "train"),   # disjoint -> 0.0
+            (4, "a b c x y z", "train"),  # partial overlap
+            (5, "hi", "train"),          # too short for a 3-gram -> 0 grams
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r.doc_id: r
+        for r in text_analysis.ngram_contamination(
+            docs, F.col("source") == "bench", n=3
+        ).collect()
+    }
+    assert set(out) == {2, 3, 4, 5}  # benchmark rows excluded from output
+    assert out[2].contamination == 1.0
+    assert out[3].contamination == 0.0
+    assert out[4].n_grams == 4 and out[4].n_hit == 1  # only 'a b c' overlaps
+    assert out[5].n_grams == 0 and out[5].contamination == 0.0

@@ -117,6 +117,50 @@ def main() -> int:
         "shingle). No nested-loop join appears anywhere in the plan.",
     ))
 
+    from rclip_server_spark.operators import joins, retrieval
+
+    events = load_table(spark, SF_DIR, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    audits.append((
+        "As-of join (window, not a join)",
+        joins.asof_join(clicks, views, on="user_id", ts="ts"),
+        {"Window": True, "Join": False},
+        "The as-of match is a tagged union + running last() over a "
+        "key-partitioned window: ONE hash shuffle on the key, a "
+        "per-partition sort, and no join operator at all — the inequality "
+        "predicate that would force BroadcastNestedLoop in a join-based "
+        "formulation never exists.",
+    ))
+
+    audits.append((
+        "Band (range) self-join via time buckets",
+        joins.band_self_join(events, band="5 minutes"),
+        {("SortMergeJoin", "HashJoin"): True, "CartesianProduct": False,
+         "BroadcastNestedLoopJoin": False},
+        "The |Δt| <= W predicate becomes an equi-join on (key, W-wide "
+        "bucket) with the left side exploded to the two candidate buckets; "
+        "the exact band check is a cheap post-filter. Never a cartesian "
+        "product, and the 2x explode is the only row amplification.",
+    ))
+
+    audits.append((
+        "BM25 scoring (row-local tf, one stats broadcast)",
+        retrieval.bm25_scores(docs, ["vector", "join", "spark"]),
+        {"BroadcastNestedLoopJoin": True, "SortMergeJoin": False},
+        "Term frequencies and doc length are row-local array ops (no "
+        "explode, so empty docs keep their rows and avgdl stays honest); "
+        "corpus stats reduce to ONE row which re-enters via a broadcast "
+        "cross join — the only 'nested loop' is 1 x N against a single "
+        "stats row, i.e. a map-side literal. The corpus is scanned once.",
+    ))
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
