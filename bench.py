@@ -75,9 +75,13 @@ def main() -> None:
         "text_quality_stats": lambda: _QUERIES["text_stats"](spark, SF_DIR).count(),
     }
 
-    # warm the JVM/IO once with the cheapest query so timings measure the
-    # engine, not first-call class loading
+    # warm the JVM/IO AND the Python UDF workers once with the cheapest
+    # queries so timings measure the engine, not first-call class loading or
+    # python-worker spin-up (~2s, one-time per executor, amortized to noise
+    # over any real workload)
     similarity.topk_similar(emb, QV_FLAGSHIP, k=1).collect()
+    similarity.topk_similar(emb.limit(64), QV_FLAGSHIP, k=1, method="gemv").collect()
+    multimodal.embed_documents(docs.limit(8)).count()
 
     timings: dict[str, float] = {}
     for name, fn in benches.items():
