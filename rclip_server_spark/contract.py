@@ -2018,3 +2018,79 @@ _register(
     FROM out
     """,
 )
+
+
+# ===========================================================================
+# Deterministic sampling / split family (operators/sampling.py)
+# ===========================================================================
+
+from .operators import sampling  # noqa: E402
+
+
+def _samp_hash_sql(salt: str, id_expr: str = "doc_id") -> str:
+    """Twin of sampling._row_hash: salted md5-based hash in [0, 2^32).
+    concat_ws has identical NULL-skipping semantics in both engines."""
+    return hash32_sql(f"concat_ws('|', '{salt}', CAST({id_expr} AS VARCHAR))")
+
+
+_register(
+    "samp_hash_mod",
+    lambda spark, sf: sampling.hash_mod_sample(
+        _t(spark, sf, "documents"), "doc_id", denom=10, bucket=3
+    ).select("doc_id", "lang"),
+    f"SELECT doc_id, lang FROM documents WHERE {_samp_hash_sql('')} % 10 = 3",
+)
+
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_CASE = " ".join(
+    f"WHEN {_samp_hash_sql('split')} < {hi} THEN '{name}'"
+    for name, hi in sampling.split_bounds(SPLIT_WEIGHTS)[:-1]
+)
+
+_register(
+    "samp_split_assign",
+    lambda spark, sf: sampling.split_assign(
+        _t(spark, sf, "documents"), "doc_id", SPLIT_WEIGHTS
+    ).select("doc_id", "split"),
+    f"""
+    SELECT doc_id,
+           CASE {_SPLIT_CASE}
+                ELSE '{sampling.split_bounds(SPLIT_WEIGHTS)[-1][0]}' END AS split
+    FROM documents
+    """,
+)
+
+STRAT_RATES = {"en": 0.25, "zh": 0.5}
+STRAT_DEFAULT = 0.75
+_STRAT_CASE = " ".join(
+    f"WHEN lang = '{cls}' THEN {int(rate * (1 << 32))}"
+    # reversed: sampling.stratified_hash_sample nests WHENs so the LAST dict
+    # entry is the outermost test — for distinct class literals any order
+    # gives the same result, but mirror exactly anyway
+    for cls, rate in reversed(list(STRAT_RATES.items()))
+)
+
+_register(
+    "samp_stratified",
+    lambda spark, sf: sampling.stratified_hash_sample(
+        _t(spark, sf, "documents"), "doc_id", "lang", STRAT_RATES, STRAT_DEFAULT
+    ).select("doc_id", "lang"),
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_samp_hash_sql('strat')}
+          < (CASE {_STRAT_CASE} ELSE {int(STRAT_DEFAULT * (1 << 32))} END)
+    """,
+)
+
+_register(
+    "samp_per_class_cap",
+    lambda spark, sf: sampling.per_class_cap(
+        _t(spark, sf, "documents"), "lang", n=50, order_col="doc_id"
+    ).select("doc_id", "lang"),
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn <= 50
+    """,
+)

@@ -297,28 +297,78 @@ def hyperplane_lsh_near_dup_multiset(
     )
 
 
+def ivf_init_maximin(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic farthest-first (maximin) centroid init — the
+    derandomized k-means++ : start from the min-id row, then repeatedly take
+    the point with the LARGEST distance to its nearest chosen centroid
+    (ties broken by smallest id). Spreads seeds like k-means++ without
+    rand() (reproducible across runs/engines/partitionings, like everything
+    in this repo keyed on content not chance).
+
+    Scale shape: k-1 passes, each map-only — distances to the chosen
+    centroids are literal-array expressions, the arg-max is a
+    TakeOrderedAndProject (per-partition top-1 + P-row merge, no global
+    sort). At 100 TB run it on a deterministic sample first
+    (sampling.hash_mod_sample) — maximin is robust to subsampling."""
+    from ..functions import vector as V
+
+    if df.limit(k).count() < k:
+        raise ValueError(f"need at least k={k} rows to init centroids")
+    first = df.orderBy(F.asc(id_col)).limit(1).select(vec_col).collect()
+    cents: list[np.ndarray] = [np.asarray(first[0][0], dtype=np.float64)]
+    xsq = F.aggregate(
+        F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    for _ in range(k - 1):
+        dists = [
+            xsq - 2.0 * V.dot(F.col(vec_col), V.vec_lit(c)) + float(c @ c)
+            for c in cents
+        ]
+        dmin = dists[0] if len(dists) == 1 else F.least(*dists)
+        row = (
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), dmin.alias("d"))
+            .orderBy(F.desc("d"), F.asc("id"))
+            .limit(1)
+            .collect()
+        )
+        cents.append(np.asarray(row[0]["v"], dtype=np.float64))
+    return np.stack(cents)
+
+
 def ivf_train_kmeans(
     df: DataFrame,
     k: int = 8,
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "first_k",
 ) -> np.ndarray:
     """Train IVF centroids with a deterministic DataFrame-native k-means.
 
-    Init = the k rows with the smallest ids (seeded and reproducible — a
-    k-means++ sweep would add quality, not change the shape). Each iteration:
-    assign (map-only, centroids are literals) → per-(cell, dim) mean (one
-    hash agg on a posexploded long form) → collect the k×dim centroid matrix
-    (tiny) back to the driver. Only the k·dim stats ever cross the wire;
-    empty cells keep their previous centroid. Unit-normalized at the end so
-    IVF probing stays a max-dot-product search."""
-    init_rows = (
-        df.orderBy(F.asc(id_col)).limit(k).select(vec_col).collect()
-    )
-    if len(init_rows) < k:
-        raise ValueError(f"need at least k={k} rows to train, got {len(init_rows)}")
-    centroids = np.array([r[0] for r in init_rows], dtype=np.float64)
+    Init: ``"first_k"`` (default: the k min-id rows — one pass, and on
+    near-uniform corpora it converges as well as anything) or ``"maximin"``
+    (farthest-first, the derandomized k-means++ — measurably better INIT
+    spread, worth its k-1 extra passes when the corpus is clustered). Each
+    iteration: assign (map-only, centroids are literals) → per-(cell, dim)
+    mean (one hash agg on a posexploded long form) → collect the k×dim
+    centroid matrix (tiny) back to the driver. Only the k·dim stats ever
+    cross the wire; empty cells keep their previous centroid.
+    Unit-normalized at the end so IVF probing stays a max-dot-product
+    search."""
+    if init == "maximin":
+        centroids = ivf_init_maximin(df, k, id_col, vec_col)
+    elif init == "first_k":
+        init_rows = df.orderBy(F.asc(id_col)).limit(k).select(vec_col).collect()
+        if len(init_rows) < k:
+            raise ValueError(f"need at least k={k} rows to train, got {len(init_rows)}")
+        centroids = np.array([r[0] for r in init_rows], dtype=np.float64)
+    else:
+        raise ValueError(f"unknown init {init!r}; use 'maximin' or 'first_k'")
     for _ in range(iters):
         assigned = ivf_assign(df, centroids, id_col, vec_col)
         means = (

@@ -1,0 +1,129 @@
+"""Deterministic sampling / splitting operators for training-data pipelines.
+
+The reference has a single ad-hoc sampler (rclip_server.py:321-323: ORDER BY
+random() LIMIT 1 for the random-image term); a 100 TB pipeline needs the
+reproducible family: content-hash sampling, train/val/test assignment, and
+per-class capping. Everything here is keyed on ``portable_hash32`` (md5-based)
+rather than ``rand()`` because hash-based decisions are
+
+* **reproducible** — the same row gets the same fate on every run, engine,
+  partition layout, and cluster size (``rand()`` is partition-order
+  dependent and unseedable across engines);
+* **map-side** — sampling and split assignment are pure row-local column
+  math: no shuffle, no driver round-trip, fully pushed into the scan stage;
+* **stable under growth** — appending new rows never changes existing
+  rows' sample/split membership (the property that keeps eval sets
+  uncontaminated as a corpus is re-crawled).
+
+Thresholds are compared as INTEGERS (hash < w * 2^32 with the bound computed
+in Python) so Spark and the DuckDB oracle agree bit-exactly — no
+cross-engine float-division semantics in the predicate.
+
+Scale notes: ``per_class_cap`` is the only shuffle in the file (one hash
+exchange on the class column for its window). For a heavily skewed class at
+extreme scale, cap in two phases: pre-filter each partition to its local
+top-n before the global window — the local pass bounds the exchange at
+n x partitions rows per class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash32
+
+_HASH_SPACE = 1 << 32  # portable_hash32 range: [0, 2^32)
+
+
+def _row_hash(id_col: str, salt: str) -> F.Column:
+    """Salted row hash in [0, 2^32). The salt namespaces independent
+    decisions (the 'train' split and a 10% debug sample must not correlate:
+    with the same hash, sample ⊂ train would hold structurally)."""
+    return portable_hash32(
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+    )
+
+
+def hash_mod_sample(
+    df: DataFrame, id_col: str, denom: int, bucket: int = 0, salt: str = ""
+) -> DataFrame:
+    """Keep the rows whose salted id-hash ≡ ``bucket`` (mod ``denom``) — a
+    deterministic 1/denom sample. The ``denom`` buckets partition the table:
+    running all buckets processes every row exactly once (the standard
+    shard-a-backfill idiom)."""
+    if not 0 <= bucket < denom:
+        raise ValueError(f"bucket must be in [0, {denom}); got {bucket}")
+    return df.where(_row_hash(id_col, salt) % F.lit(denom) == F.lit(bucket))
+
+
+def split_bounds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """(label, exclusive upper hash bound) list for ``split_assign`` —
+    exposed so oracle SQL can be generated from the IDENTICAL integers
+    (float accumulation order matters at the last ulp)."""
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    bounds: list[tuple[str, int]] = []
+    acc = 0.0
+    for name, w in weights.items():
+        acc += float(w) / total
+        bounds.append((name, min(_HASH_SPACE, int(acc * _HASH_SPACE))))
+    bounds[-1] = (bounds[-1][0], _HASH_SPACE)  # close the range exactly
+    return bounds
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label ('train'/'val'/'test'/...) by hash
+    range, proportional to ``weights`` (need not sum to 1; normalized).
+    Total function: every row gets exactly one label, rows keep their label
+    forever (append-stable), zero shuffles."""
+    h = _row_hash(id_col, salt)
+    bounds = split_bounds(weights)
+    expr = F.lit(bounds[-1][0])
+    for name, hi in reversed(bounds[:-1]):
+        expr = F.when(h < F.lit(hi), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    class_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-class deterministic sampling: keep a row iff its hash fraction is
+    below its class's rate (classes absent from ``rates`` use
+    ``default_rate``). The class-rebalancing primitive — e.g. downsample the
+    dominant language to 10% while keeping the long tail whole — still pure
+    map-side row-local math."""
+    h = _row_hash(id_col, salt)
+    thr = F.lit(int(float(default_rate) * _HASH_SPACE))
+    for cls, rate in rates.items():
+        thr = F.when(
+            F.col(class_col) == F.lit(cls), F.lit(int(float(rate) * _HASH_SPACE))
+        ).otherwise(thr)
+    return df.where(h < thr)
+
+
+def per_class_cap(
+    df: DataFrame, class_col: str, n: int, order_col: str
+) -> DataFrame:
+    """Keep at most ``n`` rows per class, chosen by ``order_col`` ascending —
+    the bounded variant of rebalancing (exact count guarantee, unlike the
+    probabilistic ``stratified_hash_sample``). One shuffle on the class
+    column; deterministic for a unique ``order_col``."""
+    w = Window.partitionBy(class_col).orderBy(F.asc(order_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.lit(n))
+        .drop("_rn")
+    )

@@ -227,6 +227,29 @@ def test_ivf_kmeans_deterministic_and_unit_norm(embeddings):
     assert sse(c1) <= sse(init) + 1e-9
 
 
+def test_ivf_maximin_init_spreads_better_than_first_k(embeddings):
+    mm = ann.ivf_init_maximin(embeddings, k=4)
+    np.testing.assert_array_equal(mm, ann.ivf_init_maximin(embeddings, k=4))
+    # all chosen seeds distinct (farthest-first can never repeat a point
+    # while distinct points remain)
+    assert len({tuple(np.round(c, 9)) for c in mm}) == 4
+    ids, mat = _emb_matrix(embeddings)
+    first_k = mat[np.argsort(ids)[:4]]
+    def sse(cents):
+        c = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        d = mat @ c.T
+        return float(np.sum(1.0 - d.max(axis=1)))
+    # the spread property maximin guarantees: a better STARTING quantization
+    # (post-training ranking is corpus-dependent; on this near-uniform
+    # fixture both inits converge to similar inertia)
+    assert sse(mm) <= sse(first_k) + 1e-9
+    # training from maximin must still improve on its own init
+    trained_mm = ann.ivf_train_kmeans(embeddings, k=4, iters=2, init="maximin")
+    assert sse(trained_mm) <= sse(mm) + 1e-9
+    with pytest.raises(ValueError):
+        ann.ivf_train_kmeans(embeddings, k=4, init="nope")
+
+
 def test_salted_agg_equals_plain_groupby(documents):
     from rclip_server_spark.operators import skew
 

@@ -1,0 +1,114 @@
+"""Deterministic sampling / split family (operators/sampling.py).
+
+The load-bearing property of every operator here is REPRODUCIBILITY: the
+same row must get the same fate regardless of run, partition layout, or
+corpus growth — that is what keeps eval splits uncontaminated in a pipeline
+that re-crawls its corpus. Each test pins one facet of that contract.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rclip_server_spark.operators import sampling
+
+
+def _ids(df):
+    return sorted(r[0] for r in df.select("doc_id").collect())
+
+
+class TestHashModSample:
+    def test_buckets_partition_the_table(self, documents):
+        total = _ids(documents)
+        seen = []
+        for b in range(4):
+            seen.extend(_ids(sampling.hash_mod_sample(documents, "doc_id", 4, b)))
+        assert sorted(seen) == total  # disjoint AND covering
+
+    def test_stable_under_repartition(self, documents):
+        base = _ids(sampling.hash_mod_sample(documents, "doc_id", 5, 0))
+        repart = _ids(
+            sampling.hash_mod_sample(documents.repartition(7), "doc_id", 5, 0)
+        )
+        assert base == repart
+
+    def test_salt_decorrelates(self, documents):
+        a = set(_ids(sampling.hash_mod_sample(documents, "doc_id", 5, 0, salt="a")))
+        b = set(_ids(sampling.hash_mod_sample(documents, "doc_id", 5, 0, salt="b")))
+        assert a != b  # ~1/5 overlap expected, identity would mean salt ignored
+
+    def test_bad_bucket_raises(self, documents):
+        with pytest.raises(ValueError):
+            sampling.hash_mod_sample(documents, "doc_id", 5, 5)
+
+
+class TestSplitAssign:
+    WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    def test_total_and_disjoint(self, documents):
+        out = sampling.split_assign(documents, "doc_id", self.WEIGHTS)
+        assert out.count() == documents.count()  # every row exactly one label
+        labels = {r[0] for r in out.select("split").distinct().collect()}
+        assert labels <= {"train", "val", "test"}
+
+    def test_proportions_roughly_honored(self, documents):
+        out = sampling.split_assign(documents, "doc_id", self.WEIGHTS)
+        n = documents.count()
+        counts = dict(
+            out.groupBy("split").count().rdd.map(lambda r: (r[0], r[1])).collect()
+        )
+        assert counts.get("train", 0) / n > 0.6  # loose: n is small
+
+    def test_append_stability(self, documents):
+        """A row's label must not depend on which other rows are present."""
+        full = dict(
+            sampling.split_assign(documents, "doc_id", self.WEIGHTS)
+            .select("doc_id", "split")
+            .collect()
+        )
+        half = dict(
+            sampling.split_assign(
+                documents.where(F.col("doc_id") % 2 == 0), "doc_id", self.WEIGHTS
+            )
+            .select("doc_id", "split")
+            .collect()
+        )
+        assert all(full[k] == v for k, v in half.items())
+
+    def test_unnormalized_weights_equivalent(self, documents):
+        a = sampling.split_assign(documents, "doc_id", {"x": 8, "y": 2}).collect()
+        b = sampling.split_assign(documents, "doc_id", {"x": 0.8, "y": 0.2}).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_bad_weights_raise(self, documents):
+        with pytest.raises(ValueError):
+            sampling.split_assign(documents, "doc_id", {"x": 0.0})
+
+
+class TestStratifiedAndCap:
+    def test_stratified_rates_differ_by_class(self, documents):
+        out = sampling.stratified_hash_sample(
+            documents, "doc_id", "lang", {"en": 0.0}, default_rate=1.0
+        )
+        langs = {r[0] for r in out.select("lang").distinct().collect()}
+        assert "en" not in langs
+        assert out.count() == documents.where(F.col("lang") != "en").count()
+
+    def test_per_class_cap_bound_and_choice(self, documents):
+        out = sampling.per_class_cap(documents, "lang", n=3, order_col="doc_id")
+        per = out.groupBy("lang").count().collect()
+        assert all(r["count"] <= 3 for r in per)
+        # chosen rows are exactly the 3 smallest doc_ids of each class
+        first_en = [
+            r[0]
+            for r in documents.where(F.col("lang") == "en")
+            .orderBy("doc_id")
+            .limit(3)
+            .select("doc_id")
+            .collect()
+        ]
+        got_en = _ids(out.where(F.col("lang") == "en"))
+        assert got_en == sorted(first_en)
+
+    def test_per_class_cap_keeps_all_columns(self, documents):
+        out = sampling.per_class_cap(documents, "lang", n=2, order_col="doc_id")
+        assert out.columns == documents.columns

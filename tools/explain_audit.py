@@ -161,6 +161,18 @@ def main() -> int:
         "stats row, i.e. a map-side literal. The corpus is scanned once.",
     ))
 
+    from rclip_server_spark.operators import sampling
+
+    audits.append((
+        "Deterministic split assignment (map-only)",
+        sampling.split_assign(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}),
+        {"Exchange": False, "Project": True},
+        "Split labels are a pure row-local hash-range projection: zero "
+        "shuffles, no UDF, fully inside whole-stage codegen. The same plan "
+        "shape covers hash_mod_sample and stratified_hash_sample — "
+        "reproducible sampling costs exactly one scan at any corpus size.",
+    ))
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
