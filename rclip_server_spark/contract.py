@@ -2094,3 +2094,77 @@ _register(
       FROM documents) WHERE rn <= 50
     """,
 )
+
+
+# ===========================================================================
+# One-pass PCA family (operators/stats.py gramian/pca)
+# ===========================================================================
+
+
+def _gramian_rows_only(spark: SparkSession, sf: str) -> DataFrame:
+    """Production Gramian: BLAS partials in mapInPandas (UDF ⇒ rows-only per
+    the contract rules; exact-vs-numpy parity is pinned in tests/test_pca.py)."""
+    return stats.gramian_long(_t(spark, sf, "embeddings")).select(
+        "i", "j", F.round("g", 6).alias("g")
+    )
+
+
+_register("vec_gramian", _gramian_rows_only, None)
+
+
+def _gramian_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Verification-grade Gramian twin: posexplode self-join with per-row
+    products fixed to integer picounits (round-then-sum-BIGINT — the cents
+    trick at 1e12 scale, exact in both engines; |x|<=1 and N*1e12 << 2^63).
+    O(dim^2) row amplification — oracle duty only; the scale path is
+    stats.gramian_long."""
+    ex = (
+        _t(spark, sf, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("i", "x"))
+        .select("vec_id", "i", F.col("x").cast("double").alias("x"))
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.i") <= F.col("b.i")))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.sum(F.round(F.col("a.x") * F.col("b.x") * F.lit(1e12)).cast("long")).alias(
+                "g_fix"
+            )
+        )
+        .select(
+            "i", "j", (F.col("g_fix").cast("double") / F.lit(1e12)).alias("g")
+        )
+    )
+
+
+_register(
+    "vec_gramian_exact",
+    _gramian_exact,
+    """
+    WITH ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings)
+    SELECT a.i AS i, b.i AS j,
+           CAST(CAST(sum(CAST(round(a.x * b.x * CAST(1000000000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS DOUBLE)
+             / CAST(1000000000000 AS DOUBLE) AS g
+    FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+)
+
+
+def _pca_project_rows_only(spark: SparkSession, sf: str) -> DataFrame:
+    """Fit on the corpus, project every row (UDF-fitted components ⇒
+    rows-only; exact-vs-numpy parity in tests/test_pca.py). Rounded so the
+    row-count/schema check is layout-stable."""
+    emb = _t(spark, sf, "embeddings")
+    comps, mean, _ = stats.pca_fit(emb, n_components=8)
+    out = stats.pca_project(emb, comps, mean)
+    return out.select(
+        "vec_id", F.transform("pca", lambda x: F.round(x, 6)).alias("pca")
+    )
+
+
+_register("vec_pca_project", _pca_project_rows_only, None)

@@ -1,12 +1,16 @@
-"""Element-wise vector statistics (reference A7/A8).
+"""Element-wise vector statistics (reference A7/A8) and one-pass PCA.
 
 The reference folds np.minimum/np.maximum over all rows on the driver
 (rclip_server.py:63-65). Spark-native: posexplode to (dim, value) and one
 hash aggregation — a single partial-agg shuffle of 64 rows per partition,
-which is scale-free (output is dim rows regardless of N)."""
+which is scale-free (output is dim rows regardless of N).
+
+PCA follows the same scale discipline: the only thing that ever crosses the
+wire is dim×dim partial Gramians (one per Arrow batch), never the data."""
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -47,3 +51,114 @@ def minmax_normalize(df: DataFrame, vec_col: str = "embedding",
         F.col(id_col),
         V.minmax_scale(F.col(vec_col), V.vec_lit(mins), V.vec_lit(ranges)).alias("normalized"),
     )
+
+
+def feature_mean(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension mean over all vectors → (dim, mean_x). Same scale-free
+    shape as feature_minmax: the shuffle moves dim-sized partials only."""
+    return (
+        df.select(F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("mean_x"))
+    )
+
+
+def gramian_long(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """X'X as a (i, j, g) DataFrame — the one-pass building block of PCA /
+    truncated SVD over an embedding column.
+
+    Scale shape: each Arrow batch is reduced to ONE dim×dim partial Gramian
+    inside a mapInPandas worker (a BLAS matmul — this is the 100 TB-safe
+    formulation: the shuffle carries dim² rows PER BATCH, never the data;
+    the alternative pure-SQL i×j explode would amplify the table dim²×).
+    The final groupBy sums the partials. Emitted for i <= j only (the
+    Gramian is symmetric), halving the shuffle again."""
+    dim_row = df.select(F.size(vec_col)).first()
+    if dim_row is None or dim_row[0] is None:
+        raise ValueError("cannot infer dim from an empty DataFrame")
+    dim = int(dim_row[0])
+
+    def _partial(batches):
+        # closure-self-contained: executors don't have the repo on sys.path
+        import numpy as _np
+        import pandas as _pd
+
+        iu = _np.triu_indices(dim)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = _np.stack(pdf.iloc[:, 0].to_numpy()).astype(_np.float64)
+            g = x.T @ x
+            yield _pd.DataFrame(
+                {"i": iu[0].astype("int32"), "j": iu[1].astype("int32"),
+                 "g_part": g[iu]}
+            )
+
+    partials = df.select(vec_col).mapInPandas(
+        _partial, schema="i int, j int, g_part double"
+    )
+    return partials.groupBy("i", "j").agg(F.sum("g_part").alias("g"))
+
+
+def pca_fit(
+    df: DataFrame,
+    n_components: int,
+    vec_col: str = "embedding",
+    center: bool = True,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fit PCA from the distributed Gramian: returns (components
+    [n_components × dim], mean [dim], explained_variance [n_components]).
+
+    Covariance = (X'X - n·μμ')/(n-1) — X'X and μ come from the two
+    scale-free aggregations above, the dim×dim eigendecomposition runs on
+    the driver (trivial at any corpus size; dim is model-sized, not
+    data-sized). ``center=False`` gives uncentered PCA (truncated-SVD /
+    LSA semantics — the usual choice for unit-norm embeddings).
+    Deterministic: eigh plus a sign convention (largest-|loading| element
+    of every component is positive)."""
+    n = df.count()
+    if n < 2:
+        raise ValueError(f"need >= 2 rows to fit PCA, got {n}")
+    rows = gramian_long(df, vec_col).collect()
+    dim = max(r["j"] for r in rows) + 1
+    gram = np.zeros((dim, dim))
+    for r in rows:
+        gram[r["i"], r["j"]] = gram[r["j"], r["i"]] = r["g"]
+    if center:
+        mean = np.zeros(dim)
+        for r in feature_mean(df, vec_col).collect():
+            mean[r["dim"]] = r["mean_x"]
+        cov = (gram - n * np.outer(mean, mean)) / (n - 1)
+    else:
+        mean = np.zeros(dim)
+        cov = gram / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T
+    flip = np.sign(comps[np.arange(len(order)), np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    return comps, mean, np.maximum(evals[order], 0.0)
+
+
+def pca_project(
+    df: DataFrame,
+    components: np.ndarray,
+    mean: np.ndarray | None = None,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project every vector onto the fitted components — a map-only pass:
+    the (tiny) component matrix enters as literal arrays, each output
+    coordinate is one functions.vector.dot, all inside whole-stage codegen.
+    Adds ``out_col`` (array<double>, length n_components)."""
+    from ..functions import vector as V
+
+    centered = (
+        V.vsub(F.col(vec_col), V.vec_lit([float(m) for m in mean]))
+        if mean is not None and np.any(mean)
+        else F.col(vec_col)
+    )
+    comps = [V.vec_lit([float(x) for x in c]) for c in components]
+    return df.withColumn("_c", centered).withColumn(
+        out_col, F.array(*[V.dot(F.col("_c"), c) for c in comps])
+    ).drop("_c")

@@ -1,0 +1,84 @@
+"""One-pass distributed PCA (operators/stats.py gramian/pca family).
+
+Proof strategy: the distributed Gramian and the fitted PCA are checked
+against exact driver-side numpy on the same fixture rows — a stronger check
+than any SQL oracle could give (bit-level linear algebra parity), which is
+why the contract registers the mapInPandas path rows-only.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rclip_server_spark.operators import stats
+
+
+def _matrix(embeddings):
+    rows = embeddings.select("vec_id", "embedding").collect()
+    order = np.argsort([r[0] for r in rows])
+    return np.stack([np.asarray(rows[i][1], dtype=np.float64) for i in order])
+
+
+def test_gramian_matches_numpy(embeddings):
+    x = _matrix(embeddings)
+    want = x.T @ x
+    got = np.zeros_like(want)
+    for r in stats.gramian_long(embeddings).collect():
+        got[r["i"], r["j"]] = got[r["j"], r["i"]] = r["g"]
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-9)
+
+
+def test_gramian_empty_raises(embeddings):
+    with pytest.raises(ValueError):
+        stats.gramian_long(embeddings.limit(0))
+
+
+def test_pca_fit_matches_numpy_eig(embeddings):
+    x = _matrix(embeddings)
+    comps, mean, ev = stats.pca_fit(embeddings, n_components=4)
+    np.testing.assert_allclose(mean, x.mean(axis=0), atol=1e-9)
+    cov = np.cov(x, rowvar=False)
+    w, v = np.linalg.eigh(cov)
+    idx = np.argsort(w)[::-1][:4]
+    np.testing.assert_allclose(ev, w[idx], atol=1e-7)
+    # eigenvectors match up to sign; the operator pins sign so compare |dot|
+    for k in range(4):
+        assert abs(float(comps[k] @ v[:, idx[k]])) == pytest.approx(1.0, abs=1e-7)
+    # explained variance is sorted descending
+    assert all(ev[i] >= ev[i + 1] for i in range(len(ev) - 1))
+
+
+def test_pca_project_matches_numpy(embeddings):
+    x = _matrix(embeddings)
+    comps, mean, _ = stats.pca_fit(embeddings, n_components=3)
+    out = stats.pca_project(embeddings, comps, mean)
+    got = {r["vec_id"]: np.asarray(r["pca"]) for r in out.collect()}
+    ids = sorted(got)
+    want = (x - mean) @ comps.T
+    np.testing.assert_allclose(
+        np.stack([got[i] for i in ids]), want, rtol=0, atol=1e-9
+    )
+    # projection is map-only: no Exchange in the physical plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pca_uncentered_mode(embeddings):
+    comps, mean, _ = stats.pca_fit(embeddings, n_components=2, center=False)
+    assert not np.any(mean)
+    out = stats.pca_project(embeddings, comps, mean)
+    assert out.select(F.size("pca")).first()[0] == 2
+
+
+def test_pca_reconstruction_improves_with_components(embeddings):
+    """More components must explain no-less variance of the data."""
+    x = _matrix(embeddings)
+    xc = x - x.mean(axis=0)
+    total = float((xc**2).sum())
+    errs = []
+    for k in (2, 8, 32):
+        comps, mean, _ = stats.pca_fit(embeddings, n_components=k)
+        proj = xc @ comps.T
+        errs.append(float(((xc - proj @ comps) ** 2).sum()) / total)
+    assert errs[0] >= errs[1] >= errs[2]
+    assert errs[2] < 0.8  # 32 of 64 dims must capture a real chunk

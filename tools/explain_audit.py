@@ -173,6 +173,19 @@ def main() -> int:
         "reproducible sampling costs exactly one scan at any corpus size.",
     ))
 
+    from rclip_server_spark.operators import stats as stats_ops
+
+    audits.append((
+        "One-pass Gramian (PCA building block)",
+        stats_ops.gramian_long(emb),
+        {"MapInPandas": True, "SortMergeJoin": False, "CartesianProduct": False},
+        "Each Arrow batch collapses to one dim x dim partial Gramian inside "
+        "a BLAS matmul (MapInPandas); the only shuffle carries dim^2-row "
+        "partials per batch — never the data. The pure-SQL i x j explode "
+        "alternative would amplify the table dim^2-fold before aggregating; "
+        "it exists only as the oracle twin (vec_gramian_exact).",
+    ))
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
