@@ -2168,3 +2168,58 @@ def _pca_project_rows_only(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _register("vec_pca_project", _pca_project_rows_only, None)
+
+
+# ===========================================================================
+# BPE-style token counting + corpus cleaning composite
+# ===========================================================================
+
+_BPE_RE_SQL = TXT.BPE_PRETOKEN_RE.replace("'", "''")
+
+_register(
+    "text_bpe_token_count",
+    lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id",
+        TXT.bpe_token_count(F.col("text")).cast("long").alias("n_bpe"),
+        F.element_at(TXT.bpe_pretokens(F.col("text")), 1).alias("first_tok"),
+    ),
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS BIGINT) AS n_bpe,
+           regexp_extract_all(text, '{_BPE_RE_SQL}')[1] AS first_tok
+    FROM documents
+    """,
+)
+
+
+def _clean_corpus_query(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import text_analysis
+
+    return text_analysis.clean_corpus(
+        _t(spark, sf, "documents"),
+        min_tokens=5,
+        max_punct_ratio=0.2,
+        min_quality=0.3,
+        langs=("en", "de", "fr"),
+    ).select("doc_id", "n_tokens", "punct_ratio", "quality", "lang_pred")
+
+
+_register(
+    "text_clean_corpus",
+    _clean_corpus_query,
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             {_PUNCT_RATIO} AS punct_ratio,
+             ((1.0 - least(abs(({_MTL}) - 5.0) / 5.0, 1.0))
+              + least(({_STOP_RATIO}) * 10.0, 1.0)
+              + (1.0 - least(({_PUNCT_RATIO}) * 5.0, 1.0))) / 3.0 AS quality,
+             {', '.join(f'{expr} AS h_{lang}' for lang, expr in _LANG_HITS.items())}
+      FROM documents)
+    SELECT doc_id, n_tokens, punct_ratio, quality, {_LANG_CASE} AS lang_pred
+    FROM m
+    WHERE n_tokens >= 5 AND punct_ratio <= {_f(0.2)} AND quality >= {_f(0.3)}
+      AND ({_LANG_CASE}) IN ('en', 'de', 'fr')
+    """,
+)

@@ -47,6 +47,28 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer, restricted to the regex subset Java (Spark) and
+# RE2 (DuckDB) share — i.e. the original pattern minus the \s+(?!\S)
+# lookahead (RE2 has none): contractions, optional-space letter runs,
+# optional-space digit runs, optional-space punctuation runs, whitespace.
+# The alternation covers every character class, so the matches PARTITION the
+# string (concatenation of tokens == original text — pinned in tests).
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_pretokens(text: Column) -> Column:
+    """BPE-style pre-tokens (the units a byte-pair encoder would merge
+    within). The LLM-pipeline token-budget estimator: counts of these track
+    real tokenizer counts far better than whitespace words, with no model
+    file and no Python in the loop.
+    DuckDB twin: regexp_extract_all(text, <BPE_PRETOKEN_RE>)"""
+    return F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), F.lit(0))
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_pretokens(text))
+
+
 def char_shingles(text: Column, n: int = 5) -> Column:
     """Character n-grams. Guarded: Spark sequence(1,0) would count DOWN, so
     short strings explicitly yield an empty array.

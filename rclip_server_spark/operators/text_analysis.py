@@ -113,3 +113,40 @@ def top_terms_per_doc(df: DataFrame, k: int = 5, id_col: str = "doc_id",
         .where(F.col("rnk") <= k)
         .select(id_col, "token", "tfidf", "rnk")
     )
+
+
+def clean_corpus(
+    df: DataFrame,
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.2,
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style corpus cleaning in one map-only pass: keep documents with
+    enough tokens, bounded punctuation, a minimum composite quality score,
+    and (optionally) a predicted language in ``langs``. Returns the
+    surviving rows plus the metrics that justified them — the audit trail a
+    training-data pipeline keeps next to every filter decision.
+
+    All four predicates are row-local column math (functions/text.py), so
+    the plan is scan → filter with zero shuffles at any corpus size; the
+    filter itself can't push into parquet (computed columns) but rides the
+    scan's whole-stage codegen."""
+    t = F.col(text_col)
+    out = df.select(
+        F.col(id_col),
+        t.alias(text_col),
+        TXT.token_count(t).cast("long").alias("n_tokens"),
+        TXT.punct_ratio(t).alias("punct_ratio"),
+        TXT.quality_score(t).alias("quality"),
+        TXT.lang_id(t).alias("lang_pred"),
+    ).where(
+        (F.col("n_tokens") >= F.lit(min_tokens))
+        & (F.col("punct_ratio") <= F.lit(float(max_punct_ratio)))
+        & (F.col("quality") >= F.lit(float(min_quality)))
+    )
+    if langs is not None:
+        out = out.where(F.col("lang_pred").isin(*langs))
+    return out

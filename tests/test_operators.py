@@ -367,3 +367,49 @@ def test_embedding_near_dup_documents_composite(spark, documents):
     found = {(p.id_a, p.id_b) for p in pairs}
     for r in base.select("doc_id").collect():
         assert (r.doc_id, r.doc_id + 90_000) in found
+
+
+def test_bpe_pretokens_partition_the_text(documents):
+    """The pre-tokenizer's alternation covers every character class, so the
+    tokens must concatenate back to the original text exactly — the
+    losslessness that lets token counts be trusted as byte budgets."""
+    from rclip_server_spark.functions import text as TXT
+
+    rows = (
+        documents.select(
+            "text", F.concat_ws("", TXT.bpe_pretokens(F.col("text"))).alias("rejoined")
+        )
+        .where(F.col("text") != F.col("rejoined"))
+        .count()
+    )
+    assert rows == 0
+
+
+def test_bpe_counts_at_least_whitespace_tokens(documents):
+    from rclip_server_spark.functions import text as TXT
+
+    bad = (
+        documents.select(
+            TXT.bpe_token_count(F.col("text")).alias("b"),
+            TXT.token_count(F.col("text")).alias("w"),
+        )
+        .where(F.col("b") < F.col("w"))
+        .count()
+    )
+    assert bad == 0  # BPE pre-tokens only ever split words further
+
+
+def test_clean_corpus_survivors_meet_all_bounds(documents):
+    from rclip_server_spark.operators import text_analysis
+
+    out = text_analysis.clean_corpus(
+        documents, min_tokens=5, max_punct_ratio=0.2, min_quality=0.3, langs=("en",)
+    )
+    bad = out.where(
+        (F.col("n_tokens") < 5)
+        | (F.col("punct_ratio") > 0.2)
+        | (F.col("quality") < 0.3)
+        | (F.col("lang_pred") != "en")
+    ).count()
+    assert bad == 0
+    assert 0 < out.count() < documents.count()  # filter actually bites
