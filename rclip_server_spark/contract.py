@@ -2223,3 +2223,16 @@ _register(
       AND ({_LANG_CASE}) IN ('en', 'de', 'fr')
     """,
 )
+
+
+def _pca_coarse_topk_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Coarse-to-fine search over the PCA index (runtime-fitted components ⇒
+    rows-only; exact-score + recall proof in tests/test_pca.py)."""
+    emb = _t(spark, sf, "embeddings")
+    comps, mean, _ = stats.pca_fit(emb, n_components=16)
+    indexed = stats.pca_project(emb, comps, mean)
+    out = ann.pca_coarse_topk(indexed, QV_ZEBRA, comps, mean, k=10, shortlist=100)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+_register("ann_pca_coarse_topk", _pca_coarse_topk_query, None)

@@ -82,3 +82,31 @@ def test_pca_reconstruction_improves_with_components(embeddings):
         errs.append(float(((xc - proj @ comps) ** 2).sum()) / total)
     assert errs[0] >= errs[1] >= errs[2]
     assert errs[2] < 0.8  # 32 of 64 dims must capture a real chunk
+
+
+def test_pca_coarse_topk_exact_scores_and_high_recall(embeddings):
+    from rclip_server_spark.operators import ann, similarity
+    from rclip_server_spark.plans.embedder import DeterministicEmbedder
+
+    qv = DeterministicEmbedder(64).embed_text("zebra")
+    comps, mean, _ = stats.pca_fit(embeddings, n_components=16)
+    indexed = stats.pca_project(embeddings, comps, mean)
+
+    got = ann.pca_coarse_topk(indexed, qv, comps, mean, k=10, shortlist=100)
+    exact = similarity.topk_similar(embeddings, qv, k=10)
+    got_ids = [r["vec_id"] for r in got.collect()]
+    exact_rows = {r["vec_id"]: r["score"] for r in exact.collect()}
+    # surviving scores are EXACT (full-space re-rank), recall is high
+    for r in got.collect():
+        if r["vec_id"] in exact_rows:
+            assert abs(r["score"] - exact_rows[r["vec_id"]]) < 1e-9
+    assert len(set(got_ids) & set(exact_rows)) >= 7
+
+    # two-table mode: narrow index + wide table point-join
+    narrow = indexed.select("vec_id", "pca")
+    got2 = ann.pca_coarse_topk(
+        narrow, qv, comps, mean, k=10, shortlist=100, full_df=embeddings
+    )
+    assert [r["vec_id"] for r in got2.collect()] == got_ids
+    plan = got2._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan and "BroadcastHashJoin" in plan
