@@ -2236,3 +2236,24 @@ def _pca_coarse_topk_query(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _register("ann_pca_coarse_topk", _pca_coarse_topk_query, None)
+
+
+def _ev_enriched_nation(spark: SparkSession, sf: str) -> DataFrame:
+    from .streaming import windows as SW
+
+    return SW.enriched_nation_counts(
+        _t(spark, sf, "events"), _t(spark, sf, "customer")
+    )
+
+
+_register(
+    "ev_enriched_nation_counts",
+    _ev_enriched_nation,
+    """
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)

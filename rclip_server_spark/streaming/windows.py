@@ -122,3 +122,31 @@ def run_stream_to_memory(stream_df: DataFrame, table_name: str,
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def enrich_events(events: DataFrame, dim: DataFrame,
+                  on: tuple[str, str] = ("user_id", "c_custkey"),
+                  dim_cols: tuple[str, ...] = ("c_nationkey",)) -> DataFrame:
+    """Stream-static enrichment: left-join the (unbounded) event stream with
+    a bounded dimension table. The static side is broadcast — each
+    micro-batch joins map-side with zero stream-side shuffle, and Spark
+    re-plans the static side per batch so a refreshed dim table is picked up
+    without restarting the stream. Left-outer keeps events whose key has no
+    dim row (stream-static left joins are supported with the stream on the
+    left). Works identically on a batch DataFrame: same function is its own
+    oracle."""
+    left, right = on
+    d = dim.select(F.col(right).alias(left), *dim_cols)
+    return events.join(F.broadcast(d), left, "left")
+
+
+def enriched_nation_counts(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Per-nation event rollup over the enriched stream: count + exact cents
+    sum (the tumbling_counts determinism rule). The canonical streaming
+    pipeline shape: enrich (broadcast, map-side) → aggregate (one shuffle on
+    the small nation key)."""
+    e = enrich_events(events, customer, dim_cols=("c_nationkey",))
+    return e.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+    )

@@ -224,3 +224,26 @@ def test_streaming_sliding_equals_batch(spark, events, events_stream_dir):
         for r in spark.table("t_sliding").collect()
     }
     assert got == batch
+
+
+def test_streaming_enrichment_equals_batch(spark, events, events_stream_dir):
+    """Stream-static broadcast join parity: enrich the event stream with the
+    customer dim and roll up per nation — identical to the batch run (which
+    is also the registered oracle, ev_enriched_nation_counts)."""
+    from rclip_server_spark.sources import load_table
+
+    customer = load_table(spark, SF_DIR, "customer")
+    batch = {
+        r.c_nationkey: (r.n_events, r.sum_value_cents)
+        for r in SW.enriched_nation_counts(events, customer).collect()
+    }
+    stream = SW.read_events_stream(spark, events_stream_dir)
+    SW.run_stream_to_memory(SW.enriched_nation_counts(stream, customer), "t_enriched")
+    got = {
+        r.c_nationkey: (r.n_events, r.sum_value_cents)
+        for r in spark.table("t_enriched").collect()
+    }
+    assert got == batch
+    # unmatched keys must survive the left join (as a NULL nation bucket)
+    # only if any exist in the fixture; matched keys must dominate
+    assert sum(n for n, _ in got.values()) == events.count()
