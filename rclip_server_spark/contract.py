@@ -2257,3 +2257,34 @@ _register(
     GROUP BY c.c_nationkey
     """,
 )
+
+
+def _video_frames_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-sampling plumbing over synthetic binary (text bytes as stand-in
+    video payloads; codec boundary is stubbed ⇒ rows-only). Frame bytes are
+    hex-encoded so the row check is schema-stable."""
+    from .operators import multimodal
+
+    vids = _t(spark, sf, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    out = multimodal.sample_video_frames(vids, max_frames=4, every_ms=500)
+    return out.select("video_id", "frame_idx", "frame_ts_ms", F.hex("frame").alias("frame_hex"))
+
+
+_register("d2_video_frame_sample", _video_frames_query, None)
+
+
+def _audio_features_query(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import multimodal
+
+    clips = _t(spark, sf, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    out = multimodal.audio_features(clips, n_mels=12)
+    return out.select(
+        "doc_id", F.transform("audio_feats", lambda x: F.round(x, 6)).alias("audio_feats")
+    )
+
+
+_register("d2_audio_features", _audio_features_query, None)

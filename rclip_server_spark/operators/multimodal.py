@@ -198,3 +198,83 @@ def embed_documents(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     unit-norm invariant established at 'index time' exactly like the
     reference's write path (index_wikimedia.py:148-150)."""
     return embed_text_column(df, text_col, "embedding", dim).select(id_col, "embedding")
+
+
+VIDEO_FRAME_SCHEMA = (
+    "video_id bigint, frame_idx int, frame_ts_ms bigint, frame binary"
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "content",
+    every_ms: int = 1000,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Video frame sampling: one input row (video bytes) → up to
+    ``max_frames`` output rows (frame_idx, frame_ts_ms, frame bytes). The
+    cardinality-changing shape needs mapInPandas, not a scalar pandas_udf —
+    each Arrow batch of videos yields a frame-rows DataFrame.
+
+    STUB at the codec boundary (no pyav/ffmpeg in this container): frame
+    count is derived from the byte length, frame bytes are a deterministic
+    digest of (video bytes, frame_idx). Production replaces the inner loop
+    with av.open → stream.seek/decode at each timestamp. The Spark-side
+    contract — schema, per-batch iteration, map-only plan, row explosion
+    bounded by max_frames — is real and tested."""
+
+    def _frames(batches):
+        # closure-self-contained: executors don't have the repo on sys.path
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {"video_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
+            for vid, data in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                b = bytes(data) if data is not None else b""
+                n = min(max_frames, max(1, len(b) // 64)) if b else 0
+                for i in range(n):
+                    out["video_id"].append(vid)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(i * every_ms)
+                    out["frame"].append(
+                        hashlib.md5(b + i.to_bytes(4, "big")).digest()
+                    )
+            yield _pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        _frames, schema=VIDEO_FRAME_SCHEMA
+    )
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "content",
+    n_mels: int = 16,
+    out_col: str = "audio_feats",
+) -> DataFrame:
+    """Audio feature extraction (mel-band energy vector per clip) as a
+    batched binary→array op.
+
+    STUB at the DSP boundary (no librosa/soundfile here): the deterministic
+    fake folds the bytes into ``n_mels`` bands; production replaces the
+    inner body with load → melspectrogram → per-band log-mean over the same
+    iterator. Map-only, Arrow-batched, fixed-width output schema."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _feats(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            rows = []
+            for data in s:
+                b = bytes(data) if data is not None else b""
+                acc = [0.0] * n_mels
+                for i, byte in enumerate(b):
+                    acc[i % n_mels] += byte / 255.0
+                norm = max(1, len(b) // n_mels)
+                rows.append([a / norm for a in acc])
+            yield pd.Series(rows)
+
+    return df.withColumn(out_col, _feats(F.col(bin_col)))

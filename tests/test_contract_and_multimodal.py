@@ -61,3 +61,40 @@ def test_decode_and_thumbnail_plumbing(spark, documents):
         assert r.image_meta.format in ("jpeg", "png", "gif")
         assert r.image_meta.n_bytes == 128
         assert len(r.thumbnail) >= 16
+
+
+def test_video_frame_sampling_explodes_and_bounds(spark, documents):
+    # filter, not limit: a global limit would add its own gather Exchange
+    # and mask what this test pins (the operator itself is map-only)
+    vids = documents.where(F.col("doc_id") < 6).select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    frames = multimodal.sample_video_frames(vids, max_frames=4, every_ms=500)
+    rows = frames.collect()
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r.video_id, []).append(r)
+    assert set(by_vid) == {r.doc_id for r in vids.collect()}
+    for vid, fr in by_vid.items():
+        assert 1 <= len(fr) <= 4  # bounded explosion
+        idxs = sorted(f.frame_idx for f in fr)
+        assert idxs == list(range(len(fr)))  # dense frame indices
+        for f in fr:
+            assert f.frame_ts_ms == f.frame_idx * 500
+            assert isinstance(f.frame, (bytes, bytearray)) and len(f.frame) == 16
+    # deterministic
+    again = {(r.video_id, r.frame_idx): bytes(r.frame) for r in frames.collect()}
+    assert {(r.video_id, r.frame_idx): bytes(r.frame) for r in rows} == again
+    # map-only: no Exchange in the physical plan
+    assert "Exchange" not in frames._jdf.queryExecution().executedPlan().toString()
+
+
+def test_audio_features_fixed_width_and_deterministic(spark, documents):
+    clips = documents.limit(5).select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    out = multimodal.audio_features(clips, n_mels=12)
+    rows = out.collect()
+    assert all(len(r.audio_feats) == 12 for r in rows)
+    assert all(all(0.0 <= x <= 2.0 for x in r.audio_feats) for r in rows)
+    assert [r.audio_feats for r in out.collect()] == [r.audio_feats for r in rows]
