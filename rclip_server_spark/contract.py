@@ -2288,3 +2288,22 @@ def _audio_features_query(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _register("d2_audio_features", _audio_features_query, None)
+
+
+def _length_trim_query(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import text_analysis
+
+    return text_analysis.length_outlier_filter(
+        _t(spark, sf, "documents"), "n_chars", 0.05, 0.95
+    ).select("doc_id", "n_chars")
+
+
+_register(
+    "text_length_outlier_trim",
+    _length_trim_query,
+    """
+    SELECT doc_id, n_chars FROM documents
+    WHERE n_chars BETWEEN (SELECT quantile_cont(n_chars, 0.05) FROM documents)
+                      AND (SELECT quantile_cont(n_chars, 0.95) FROM documents)
+    """,
+)

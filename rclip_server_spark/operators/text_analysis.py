@@ -150,3 +150,30 @@ def clean_corpus(
     if langs is not None:
         out = out.where(F.col("lang_pred").isin(*langs))
     return out
+
+
+def length_outlier_filter(
+    df: DataFrame,
+    col: str = "n_chars",
+    lo_p: float = 0.05,
+    hi_p: float = 0.95,
+) -> DataFrame:
+    """Trim length outliers: keep rows with ``col`` inside the exact
+    [lo_p, hi_p] quantile band — the boilerplate-and-garbage trim stage of a
+    corpus pipeline (too-short docs are navigation fragments, too-long ones
+    are concatenation accidents).
+
+    Same zero-shuffle discipline as stats.minmax_normalize: the exact
+    percentiles reduce to TWO values collected once, then re-enter as
+    literals — so the big-table pass is a plain pushdown-able range
+    predicate on a stored column (reaches the parquet scan's row-group
+    min/max skipping, unlike any computed-column filter). Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` interpolate identically,
+    so the oracle matches bit-for-bit."""
+    row = df.agg(
+        F.expr(f"percentile({col}, {lo_p})").alias("lo"),
+        F.expr(f"percentile({col}, {hi_p})").alias("hi"),
+    ).first()
+    if row is None or row["lo"] is None:
+        return df.limit(0)
+    return df.where(F.col(col).between(F.lit(row["lo"]), F.lit(row["hi"])))

@@ -119,3 +119,28 @@ def reload_table(spark: SparkSession, path: str) -> DataFrame:
     drop any cached plans for the path and re-read."""
     spark.catalog.clearCache()
     return spark.read.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> int:
+    """Small-file compaction: rewrite a parquet table into
+    ceil(bytes / target_file_mb) files and atomically swap. The maintenance
+    op every long-lived ingest pipeline needs — a streaming/incremental
+    writer (pipelines.index_images_stream, upsert_parquet) accretes small
+    files, and at scale each file under ~100 MB costs a task, an open, and a
+    footer read per query.
+
+    Uses coalesce (narrow, no shuffle: existing partitions are merged
+    in-place) rather than repartition — compaction must be cheaper than the
+    queries it speeds up. Returns the output file count."""
+    size_bytes = sum(
+        os.path.getsize(os.path.join(d, f))
+        for d, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-size_bytes // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    _overwrite_atomic(df.coalesce(n_files), path)
+    return n_files

@@ -413,3 +413,19 @@ def test_clean_corpus_survivors_meet_all_bounds(documents):
     ).count()
     assert bad == 0
     assert 0 < out.count() < documents.count()  # filter actually bites
+
+
+def test_length_outlier_filter_bounds_and_pushdown(documents):
+    from rclip_server_spark.operators import text_analysis
+
+    out = text_analysis.length_outlier_filter(documents, "n_chars", 0.1, 0.9)
+    n_all, n_kept = documents.count(), out.count()
+    assert 0 < n_kept < n_all
+    lo = out.agg(F.min("n_chars"), F.max("n_chars")).first()
+    full = documents.agg(F.min("n_chars"), F.max("n_chars")).first()
+    assert lo[0] > full[0] and lo[1] < full[1]  # both tails actually trimmed
+    # literal range predicate: no quantile recomputation inside the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "percentile" not in plan.lower()
+    # empty input degrades cleanly
+    assert text_analysis.length_outlier_filter(documents.where("n_chars < 0")).count() == 0

@@ -247,3 +247,21 @@ def test_streaming_enrichment_equals_batch(spark, events, events_stream_dir):
     # unmatched keys must survive the left join (as a NULL nation bucket)
     # only if any exist in the fixture; matched keys must dominate
     assert sum(n for n, _ in got.values()) == events.count()
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path, embeddings):
+    from rclip_server_spark.sources import writer
+
+    path = str(tmp_path / "frag")
+    # fragment: 16 files for a tiny table
+    embeddings.repartition(16).write.parquet(path)
+    import glob
+
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 16
+    want = {r.vec_id for r in spark.read.parquet(path).collect()}
+    n = writer.compact_parquet(spark, path, target_file_mb=128)
+    after = glob.glob(f"{path}/*.parquet")
+    assert n == 1 and len(after) == 1
+    # lossless: same rows survive the rewrite
+    assert {r.vec_id for r in spark.read.parquet(path).collect()} == want
