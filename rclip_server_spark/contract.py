@@ -2307,3 +2307,39 @@ _register(
                       AND (SELECT quantile_cont(n_chars, 0.95) FROM documents)
     """,
 )
+
+
+def _salted_join_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted-join result == plain-join result: the oracle is the UNSALTED
+    SQL join, proving the salt/replicate rewrite is semantics-preserving."""
+    from .operators import skew
+
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    # rename: orders joins customer on o_custkey == c_custkey
+    return (
+        skew.salted_join(
+            orders.withColumnRenamed("o_custkey", "c_custkey"),
+            customer,
+            "c_custkey",
+            salt_buckets=8,
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents_col(F.col("o_totalprice"))).cast("long").alias("total_cents"),
+        )
+    )
+
+
+_register(
+    "rel_salted_skew_join",
+    _salted_join_query,
+    """
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)

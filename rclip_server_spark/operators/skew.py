@@ -55,3 +55,32 @@ def salted_agg(
         for name, (_, how) in aggs.items()
     ]
     return partial.groupBy(*keys).agg(*phase2)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-resilient equi-join: salt the big side, REPLICATE the small side.
+
+    A hot join key sends all its rows to one reducer in a shuffle join; AQE's
+    skew-join split handles it at runtime, but only after the skewed shuffle
+    files exist and only for sort-merge joins. The plan-time fix: the big
+    side gets a uniform salt in [0, salt_buckets); the small side is
+    replicated once per salt value (explode of a literal sequence — rows × 
+    salt_buckets, fine for a dimension table); the join key becomes
+    (key, salt), so the hot key's rows spread across ``salt_buckets``
+    reducers. Result set is EXACTLY the plain join's (the contract row
+    proves it against the unsalted oracle).
+
+    Trade-off worth stating at 100 TB: replication multiplies the small side
+    shuffle by salt_buckets — use for skewed JOINS where the small side is
+    dim-sized but too big (or too mid-plan) to broadcast outright."""
+    salted_big = big.withColumn("_salt", (F.rand(seed) * salt_buckets).cast("int"))
+    replicated = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted_big.join(replicated, [key, "_salt"]).drop("_salt")

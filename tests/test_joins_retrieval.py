@@ -188,3 +188,30 @@ def test_ngram_contamination_bounds(spark):
     assert out[3].contamination == 0.0
     assert out[4].n_grams == 4 and out[4].n_hit == 1  # only 'a b c' overlaps
     assert out[5].n_grams == 0 and out[5].contamination == 0.0
+
+
+def test_salted_join_equals_plain_join(spark):
+    from conftest import SF_DIR
+
+    from rclip_server_spark.operators import skew
+    from rclip_server_spark.sources import load_table
+
+    orders = load_table(spark, SF_DIR, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    customer = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    plain = {
+        (r.o_orderkey, r.c_nationkey)
+        for r in orders.join(customer, "c_custkey")
+        .select("o_orderkey", "c_nationkey")
+        .collect()
+    }
+    salted = {
+        (r.o_orderkey, r.c_nationkey)
+        for r in skew.salted_join(orders, customer, "c_custkey", salt_buckets=4)
+        .select("o_orderkey", "c_nationkey")
+        .collect()
+    }
+    assert salted == plain
