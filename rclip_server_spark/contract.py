@@ -2343,3 +2343,51 @@ _register(
     GROUP BY c.c_nationkey
     """,
 )
+
+
+# ===========================================================================
+# Pivot + per-group percentile (relational substrate widening)
+# ===========================================================================
+
+_EVENT_TYPES = ("click", "view", "purchase")
+
+
+def _pivot_query(spark: SparkSession, sf: str) -> DataFrame:
+    """groupBy().pivot() with an explicit value list (the at-scale form: an
+    implicit pivot runs an extra distinct scan to discover values)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in _EVENT_TYPES],
+        )
+    )
+
+
+_register(
+    "rel_pivot_event_counts",
+    _pivot_query,
+    f"""
+    SELECT user_id,
+           {', '.join(f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}" for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+)
+
+_register(
+    "rel_percentile_by_group",
+    lambda spark, sf: _t(spark, sf, "documents")
+    .groupBy("lang")
+    .agg(
+        F.expr("percentile(n_chars, 0.5)").alias("p50"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90"),
+    ),
+    """
+    SELECT lang, quantile_cont(n_chars, 0.5) AS p50,
+           quantile_cont(n_chars, 0.9) AS p90
+    FROM documents GROUP BY lang
+    """,
+)

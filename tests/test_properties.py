@@ -62,3 +62,38 @@ def test_weight_semantics_match_reference_formula(_, __):
         terms = parse_query(text)
         assert len(terms) == 1
         assert terms[0].weight == float(sign + "1") * mag
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["train", "val", "test", "holdout", "calib"]),
+        st.floats(min_value=0.001, max_value=100.0, allow_nan=False),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_split_bounds_partition_hash_space(weights):
+    """split_bounds must tile [0, 2^32) exactly: monotone non-decreasing
+    bounds, last bound closing the space — every hash value gets exactly one
+    label regardless of weight scale."""
+    from rclip_server_spark.operators.sampling import _HASH_SPACE, split_bounds
+
+    bounds = split_bounds(weights)
+    assert [name for name, _ in bounds] == list(weights)
+    his = [hi for _, hi in bounds]
+    assert all(a <= b for a, b in zip(his, his[1:]))
+    assert his[-1] == _HASH_SPACE
+    assert all(0 <= hi <= _HASH_SPACE for hi in his)
+
+
+@given(st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+@settings(max_examples=100, deadline=None)
+def test_split_bounds_proportional(frac):
+    from rclip_server_spark.operators.sampling import _HASH_SPACE, split_bounds
+
+    bounds = split_bounds({"a": frac, "b": 1.0 - frac}) if 0 < frac < 1 else None
+    if bounds is None:
+        return
+    a_hi = bounds[0][1]
+    assert abs(a_hi / _HASH_SPACE - frac) < 1e-9  # bound placed at the weight
