@@ -2391,3 +2391,44 @@ _register(
     FROM documents GROUP BY lang
     """,
 )
+
+
+# ===========================================================================
+# Pure-SQL surface: the engine is equally drivable through spark.sql(...)
+# ===========================================================================
+
+_Q3_BODY = """
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           {ts_expr} AS orderdate_us
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue_cents DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+def _sql_q3_query(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3-style shipping-priority query submitted as SQL TEXT — the
+    same engine surface as the DataFrame rows (identical Catalyst plan), and
+    the same determinism rules (cents, unix micros). Proves a reference user
+    can drive this engine with plain SQL."""
+    from .sources.catalog import register_views
+
+    _utc(spark)
+    register_views(spark, sf)
+    return spark.sql(
+        _Q3_BODY.format(ts_expr="unix_micros(CAST(o.o_orderdate AS TIMESTAMP))")
+    )
+
+
+_register(
+    "sql_q3_shipping_priority",
+    _sql_q3_query,
+    _Q3_BODY.format(ts_expr="epoch_us(o.o_orderdate)"),
+)
