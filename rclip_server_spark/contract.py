@@ -2432,3 +2432,51 @@ _register(
     _sql_q3_query,
     _Q3_BODY.format(ts_expr="epoch_us(o.o_orderdate)"),
 )
+
+
+# ===========================================================================
+# PII redaction + repetition filter (training-data compliance/cleaning)
+# ===========================================================================
+
+
+def _pii_query(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import text_analysis
+
+    return text_analysis.redact_pii(_t(spark, sf, "documents"))
+
+
+def _pii_sql() -> str:
+    from .operators.text_analysis import PII_PATTERNS
+
+    red = "text"
+    for _, pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        red = f"regexp_replace({red}, '{p}', '{repl}', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    return f"SELECT doc_id, {red} AS redacted, {counts} FROM documents"
+
+
+_register("text_pii_redaction", _pii_query, _pii_sql())
+
+def _repetition_query(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import text_analysis
+
+    return text_analysis.repetition_filter(
+        _t(spark, sf, "documents"), max_repetition=0.5
+    ).select("doc_id", F.round("repetition", 6).alias("repetition"))
+
+
+_register(
+    "text_repetition_filter",
+    _repetition_query,
+    f"""
+    SELECT doc_id, round(1.0 - CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                             / CAST(len({_TOKS}) AS DOUBLE), 6) AS repetition
+    FROM documents
+    WHERE 1.0 - CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+              / CAST(len({_TOKS}) AS DOUBLE) <= {_f(0.5)}
+    """,
+)

@@ -177,3 +177,59 @@ def length_outlier_filter(
     if row is None or row["lo"] is None:
         return df.limit(0)
     return df.where(F.col(col).between(F.lit(row["lo"]), F.lit(row["hi"])))
+
+
+# PII patterns restricted to the Java∩RE2 regex subset (both engines support
+# \b, \d, bounded repetition; no lookarounds used) so redaction is
+# oracle-exact. Order matters: emails first (their local part can look like
+# a phone run), IPs before phones would also work but phones are greedier.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrubbing — the compliance stage every training-data pipeline
+    runs before anything else sees the text: emails, phone-like digit runs,
+    and IPv4 literals are replaced by typed placeholder tokens, with
+    per-type match counts kept as the audit columns. Chained
+    ``regexp_replace`` — row-local, JVM-side, zero shuffles; the counts are
+    computed BEFORE redaction so they report what was found, not what
+    remains."""
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = t
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return df.select(F.col(id_col), red.alias("redacted"), *counts)
+
+
+def token_repetition_ratio(text_col) -> F.Column:
+    """1 - distinct/total tokens (type-token redundancy): ~0 for natural
+    prose, →1 for template spam and keyword stuffing. Row-local."""
+    toks = TXT.tokens(text_col)
+    return (
+        F.lit(1.0)
+        - F.size(F.array_distinct(toks)).cast("double")
+        / F.size(toks).cast("double")
+    )
+
+
+def repetition_filter(
+    df: DataFrame,
+    max_repetition: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop template-spam documents: keep rows whose token repetition ratio
+    is at most ``max_repetition``. Map-only."""
+    return df.withColumn(
+        "repetition", token_repetition_ratio(F.col(text_col))
+    ).where(F.col("repetition") <= F.lit(float(max_repetition)))

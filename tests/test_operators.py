@@ -429,3 +429,37 @@ def test_length_outlier_filter_bounds_and_pushdown(documents):
     assert "percentile" not in plan.lower()
     # empty input degrades cleanly
     assert text_analysis.length_outlier_filter(documents.where("n_chars < 0")).count() == 0
+
+
+def test_redact_pii_removes_and_counts(spark):
+    from rclip_server_spark.operators import text_analysis
+
+    df = spark.createDataFrame(
+        [
+            (1, "write to a.b@x.io or b.c@y.org, call +1 415 555 0199"),
+            (2, "host 10.0.0.1 only"),
+            (3, "clean text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text_analysis.redact_pii(df).collect()}
+    assert out[1].n_email == 2 and out[1].n_phone == 1
+    assert "<EMAIL>" in out[1].redacted and "<PHONE>" in out[1].redacted
+    assert "@" not in out[1].redacted
+    assert out[2].n_ipv4 == 1 and "<IP>" in out[2].redacted
+    assert out[3].redacted == "clean text"
+    assert (out[3].n_email, out[3].n_phone, out[3].n_ipv4) == (0, 0, 0)
+
+
+def test_repetition_filter_drops_template_spam(spark):
+    from rclip_server_spark.operators import text_analysis
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),
+            (2, "a perfectly ordinary sentence with distinct words"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = [r.doc_id for r in text_analysis.repetition_filter(df, 0.5).collect()]
+    assert kept == [2]
