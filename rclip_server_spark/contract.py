@@ -2480,3 +2480,19 @@ _register(
               / CAST(len({_TOKS}) AS DOUBLE) <= {_f(0.5)}
     """,
 )
+
+
+def _curate_corpus_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Full corpus-curation composite (clean → trim → de-spam → redact →
+    fuzzy-dedup → split). Contains the iterative connected-components stage
+    ⇒ rows-only; every individual stage has its own oracle-exact row, and
+    the end-to-end invariants (no residual near-dups, PII gone, split
+    totality) are pinned in tests/test_pipelines.py."""
+    from . import pipelines
+
+    return pipelines.curate_corpus(_t(spark, sf, "documents")).select(
+        "doc_id", "lang_pred", F.round("quality", 6).alias("quality"), "n_tokens", "split"
+    )
+
+
+_register("pipeline_curate_corpus", _curate_corpus_query, None)

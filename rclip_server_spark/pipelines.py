@@ -187,3 +187,76 @@ def embedding_near_dup_documents(
     return ann.hyperplane_lsh_near_dup_multiset(
         embedded, threshold=threshold, dim=dim, id_col="doc_id"
     )
+
+
+def curate_corpus(
+    df: DataFrame,
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.2,
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] | None = None,
+    length_band: tuple[float, float] = (0.05, 0.95),
+    max_repetition: float = 0.5,
+    dedup_threshold: float = 0.7,
+    split_weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """The end-to-end training-corpus curation pipeline — the 100 TB job this
+    engine exists for — as ONE lazy DataFrame composition:
+
+        quality/language gate (clean_corpus, map-only)
+          → length-outlier trim (two collected percentiles → literal range)
+          → repetition (template-spam) filter (map-only)
+          → PII redaction (map-only regexp chain)
+          → fuzzy dedup, keep cluster representative (MinHash-LSH +
+            connected components — the only multi-shuffle stage)
+          → deterministic train/val/test assignment (map-only hash ranges)
+
+    Stage ORDER is the cost story: every row-local filter runs before the
+    dedup shuffle so the expensive stage sees the smallest corpus; the split
+    is assigned last so eval membership is decided on the post-dedup id (a
+    near-dup pair split across train/test is exactly the leak the pipeline
+    must prevent — dedup-then-split makes it structurally impossible).
+
+    Returns (doc_id, text [redacted], lang_pred, quality, n_tokens, split).
+    """
+    from .operators import dedup, text_analysis
+
+    cleaned = text_analysis.clean_corpus(
+        df,
+        min_tokens=min_tokens,
+        max_punct_ratio=max_punct_ratio,
+        min_quality=min_quality,
+        langs=langs,
+    )
+    # re-attach n_chars for the length trim (clean_corpus projects it away)
+    cleaned = cleaned.join(df.select("doc_id", "n_chars"), "doc_id")
+    trimmed = text_analysis.length_outlier_filter(
+        cleaned, "n_chars", length_band[0], length_band[1]
+    )
+    no_spam = text_analysis.repetition_filter(
+        trimmed, max_repetition=max_repetition
+    )
+    redacted = no_spam.join(
+        text_analysis.redact_pii(no_spam.select("doc_id", "text")), "doc_id"
+    )
+    clusters = dedup.duplicate_clusters(
+        redacted.select("doc_id", "text"), threshold=dedup_threshold
+    )
+    deduped = (
+        redacted.join(clusters, "doc_id")
+        .where(F.col("doc_id") == F.col("cluster_id"))
+        .drop("cluster_id")
+    )
+    from .operators import sampling
+
+    out = sampling.split_assign(
+        deduped, "doc_id", split_weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return out.select(
+        "doc_id",
+        F.col("redacted").alias("text"),
+        "lang_pred",
+        "quality",
+        "n_tokens",
+        "split",
+    )

@@ -103,3 +103,31 @@ def test_streaming_incremental_indexer(spark, tmp_path):
     write_meta("batch1.ndjson", 5, 10)  # 5 overlap, 5 new
     pipelines.index_images_stream(spark, str(meta_dir), table)
     assert spark.read.parquet(table).count() == 15
+
+
+def test_curate_corpus_end_to_end(spark, documents):
+    from pyspark.sql import functions as F
+
+    from rclip_server_spark.operators import dedup
+    from rclip_server_spark.pipelines import curate_corpus
+
+    # inject near-dups so the dedup stage has work
+    clones = documents.limit(3).withColumn("doc_id", F.col("doc_id") + 70_000)
+    corpus = documents.unionByName(clones)
+    out = curate_corpus(corpus, dedup_threshold=0.9).cache()
+    n_in, n_out = corpus.count(), out.count()
+    assert 0 < n_out < n_in
+    rows = out.collect()
+    # the pipeline's output contract
+    assert set(out.columns) == {"doc_id", "text", "lang_pred", "quality", "n_tokens", "split"}
+    assert all(r.split in ("train", "val", "test") for r in rows)
+    assert all("@" not in r.text for r in rows)  # PII gone
+    # dedup-then-split: no near-dup pair may survive into the output at all
+    residual = dedup.minhash_near_dup(
+        out.select("doc_id", "text"), threshold=0.9
+    ).count()
+    assert residual == 0
+    # injected clones must have collapsed to one representative each
+    for r in documents.limit(3).collect():
+        kept = [x for x in rows if x.doc_id in (r.doc_id, r.doc_id + 70_000)]
+        assert len(kept) <= 1
