@@ -2496,3 +2496,38 @@ def _curate_corpus_query(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _register("pipeline_curate_corpus", _curate_corpus_query, None)
+
+
+# ===========================================================================
+# Document chunking (fixed token windows with stride)
+# ===========================================================================
+
+_CHUNK, _STRIDE = 16, 8
+
+
+def _chunk_query(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import text_analysis
+
+    return text_analysis.chunk_documents(
+        _t(spark, sf, "documents"), chunk_tokens=_CHUNK, stride=_STRIDE
+    )
+
+
+_register(
+    "text_chunk_documents",
+    _chunk_query,
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, CAST(floor((len(toks) - 1) / {_STRIDE}) AS BIGINT)))
+               AS chunk_idx
+      FROM t WHERE len(toks) > 0)
+    SELECT doc_id, chunk_idx,
+           array_to_string(toks[chunk_idx * {_STRIDE} + 1 : chunk_idx * {_STRIDE} + {_CHUNK}], ' ')
+             AS chunk_text,
+           CAST(len(toks[chunk_idx * {_STRIDE} + 1 : chunk_idx * {_STRIDE} + {_CHUNK}]) AS BIGINT)
+             AS n_chunk_tokens
+    FROM c
+    """,
+)

@@ -233,3 +233,55 @@ def repetition_filter(
     return df.withColumn(
         "repetition", token_repetition_ratio(F.col(text_col))
     ).where(F.col("repetition") <= F.lit(float(max_repetition)))
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size token windows — the unit-of-training
+    transform of every LLM pipeline (long docs become multiple sequences;
+    ``stride`` < ``chunk_tokens`` gives sliding overlap so no boundary
+    context is lost).
+
+    Pure column math: tokenize once, explode a chunk-index sequence, slice
+    the token array per index, rejoin with spaces. The only row
+    amplification is the actual chunk count (ceil((n - overlap) /
+    stride)); no shuffle — chunking is map-only at any corpus size. Empty
+    docs produce zero chunks; a final partial window is emitted iff it
+    adds new tokens (it starts before n)."""
+    stride = chunk_tokens if stride is None else stride
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = TXT.tokens(F.col(text_col))
+    n = F.size(toks)
+    # chunk starts: 0, stride, 2*stride, ... while start < n
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.floor((n - 1) / F.lit(stride)) + 1
+    )
+    out = (
+        df.select(F.col(id_col), toks.alias("_toks"), n_chunks.alias("_nc"))
+        .where(F.col("_nc") > 0)
+        .select(
+            F.col(id_col),
+            "_toks",
+            F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_idx"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.slice(
+                "_toks", F.col("chunk_idx") * stride + 1, F.lit(chunk_tokens)
+            ).alias("_chunk"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_idx",
+            F.concat_ws(" ", "_chunk").alias("chunk_text"),
+            F.size("_chunk").cast("long").alias("n_chunk_tokens"),
+        )
+    )
+    return out

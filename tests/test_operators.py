@@ -463,3 +463,43 @@ def test_repetition_filter_drops_template_spam(spark):
     )
     kept = [r.doc_id for r in text_analysis.repetition_filter(df, 0.5).collect()]
     assert kept == [2]
+
+
+def test_chunk_documents_cover_and_overlap(spark):
+    from rclip_server_spark.operators import text_analysis
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, ""), (3, "one")],
+        "doc_id long, text string",
+    )
+    out = text_analysis.chunk_documents(df, chunk_tokens=4, stride=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r
+    assert 2 not in by_doc  # empty doc yields no chunks
+    assert by_doc[3][0].chunk_text == "one"
+    d1 = by_doc[1]
+    # starts advance by stride, non-final chunks are full width
+    assert sorted(d1) == list(range(len(d1)))
+    for i, r in sorted(d1.items()):
+        want = [f"t{j}" for j in range(i * 2, min(i * 2 + 4, 10))]
+        assert r.chunk_text.split() == want
+        assert r.n_chunk_tokens == len(want)
+    # with stride == chunk, chunks partition the tokens exactly
+    flat = []
+    for r in sorted(
+        text_analysis.chunk_documents(
+            df.where("doc_id = 1"), chunk_tokens=4, stride=4
+        ).collect(),
+        key=lambda r: r.chunk_idx,
+    ):
+        flat.extend(r.chunk_text.split())
+    assert flat == [f"t{i}" for i in range(10)]
+    with pytest.raises(ValueError):
+        text_analysis.chunk_documents(df, chunk_tokens=0)
+    # map-only plan
+    plan = (
+        text_analysis.chunk_documents(df, chunk_tokens=4, stride=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
