@@ -2531,3 +2531,44 @@ _register(
     FROM c
     """,
 )
+
+
+def _pack_query(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import text_analysis
+
+    chunks = text_analysis.chunk_documents(
+        _t(spark, sf, "documents"), chunk_tokens=_CHUNK, stride=_STRIDE
+    )
+    return text_analysis.pack_sequences(chunks, budget_tokens=128, buckets=4)
+
+
+_register(
+    "text_pack_sequences",
+    _pack_query,
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, CAST(floor((len(toks) - 1) / {_STRIDE}) AS BIGINT)))
+               AS chunk_idx
+      FROM t WHERE len(toks) > 0),
+    ch AS (
+      SELECT doc_id, chunk_idx,
+             CAST(len(toks[chunk_idx * {_STRIDE} + 1 : chunk_idx * {_STRIDE} + {_CHUNK}]) AS BIGINT)
+               AS n_chunk_tokens,
+             {hash32_sql('CAST(doc_id AS VARCHAR)')} % 4 AS bucket
+      FROM c),
+    p AS (
+      SELECT bucket, doc_id, n_chunk_tokens,
+             CAST(floor(COALESCE(sum(n_chunk_tokens) OVER (
+               PARTITION BY bucket ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 128.0)
+               AS BIGINT) AS seq_id
+      FROM ch)
+    SELECT bucket, seq_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+           list_sort(list_distinct(list(doc_id))) AS doc_ids
+    FROM p GROUP BY bucket, seq_id
+    """,
+)

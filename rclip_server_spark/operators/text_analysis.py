@@ -10,7 +10,7 @@ plan stays lazy.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
@@ -285,3 +285,45 @@ def chunk_documents(
         )
     )
     return out
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    budget_tokens: int = 512,
+    buckets: int = 1,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tokens_col: str = "n_chunk_tokens",
+) -> DataFrame:
+    """Pack chunks into fixed-budget training sequences (the step after
+    chunk_documents: short pieces are concatenated so no sequence slot is
+    wasted on padding). Greedy in (doc_id, chunk_idx) order: a chunk joins
+    the sequence its cumulative-token prefix falls in —
+    ``seq_id = floor(cum_before / budget)`` — deterministic, one pass, and
+    keeps each document's chunks adjacent.
+
+    Scale: a single global cumulative sum would serialize on one reducer,
+    so packing runs WITHIN ``buckets`` deterministic hash-buckets of
+    documents (sequences never cross buckets; at 100 TB pick buckets ≈
+    cores so each holds a few GB). One window shuffle total. Output:
+    (bucket, seq_id, n_chunks, n_tokens, doc_ids) — the manifest a training
+    loader consumes."""
+    from ..functions.hashing import portable_hash32
+
+    b = (portable_hash32(F.col(id_col).cast("string")) % buckets).alias("bucket")
+    w = Window.partitionBy("bucket").orderBy(F.asc(id_col), F.asc(idx_col))
+    cum_before = F.coalesce(
+        F.sum(tokens_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    packed = chunks.select(b, F.col(id_col), F.col(idx_col), F.col(tokens_col)).withColumn(
+        "seq_id", F.floor(cum_before / F.lit(budget_tokens)).cast("long")
+    )
+    return (
+        packed.groupBy("bucket", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(tokens_col).cast("long").alias("n_tokens"),
+            F.array_sort(F.collect_set(id_col)).alias("doc_ids"),
+        )
+    )

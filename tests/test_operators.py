@@ -503,3 +503,31 @@ def test_chunk_documents_cover_and_overlap(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_pack_sequences_conserves_tokens_and_fills(documents):
+    from rclip_server_spark.operators import text_analysis
+
+    chunks = text_analysis.chunk_documents(documents, chunk_tokens=16, stride=8)
+    packed = text_analysis.pack_sequences(chunks, budget_tokens=128, buckets=4)
+    rows = packed.collect()
+    # conservation: every chunk token lands in exactly one sequence
+    total = chunks.agg(F.sum("n_chunk_tokens")).first()[0]
+    assert sum(r.n_tokens for r in rows) == total
+    max_chunk = chunks.agg(F.max("n_chunk_tokens")).first()[0]
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for b, rs in by_bucket.items():
+        ids = sorted(r.seq_id for r in rs)
+        assert ids == list(range(len(ids)))  # dense sequence ids per bucket
+        for r in rs:
+            # a sequence never exceeds budget by more than one chunk straddle
+            assert r.n_tokens < 128 + max_chunk
+        # every sequence but the bucket's last is filled to the budget
+        for r in rs:
+            if r.seq_id != ids[-1]:
+                assert r.n_tokens >= 128 - max_chunk + 1
+    # deterministic
+    again = {(r.bucket, r.seq_id): r.n_tokens for r in packed.collect()}
+    assert {(r.bucket, r.seq_id): r.n_tokens for r in rows} == again
