@@ -2572,3 +2572,29 @@ _register(
     FROM p GROUP BY bucket, seq_id
     """,
 )
+
+
+def _click_view_join_query(spark: SparkSession, sf: str) -> DataFrame:
+    from .streaming import windows as SW
+
+    ev = _t(spark, sf, "events")
+    return SW.click_view_interval_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "view"),
+        max_delay="6 hours",
+    )
+
+
+_register(
+    "ev_click_view_interval_join",
+    _click_view_join_query,
+    """
+    SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id,
+           epoch_us(c.ts) AS click_us, epoch_us(v.ts) AS view_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id
+     AND v.ts <= c.ts
+     AND v.ts >= c.ts - INTERVAL 6 HOUR
+    """,
+)

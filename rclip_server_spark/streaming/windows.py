@@ -109,13 +109,15 @@ def dedup_events(events: DataFrame, keys: list[str] | None = None,
 
 
 def run_stream_to_memory(stream_df: DataFrame, table_name: str,
-                         timeout_sec: int = 120) -> None:
+                         timeout_sec: int = 120,
+                         output_mode: str = "complete") -> None:
     """Drive a streaming query to completion of all available input (for
-    tests): complete-mode memory sink, processAllAvailable, stop."""
+    tests): memory sink, processAllAvailable, stop. ``output_mode``:
+    'complete' for aggregations, 'append' for joins / stateless maps."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .start()
     )
     try:
@@ -149,4 +151,46 @@ def enriched_nation_counts(events: DataFrame, customer: DataFrame) -> DataFrame:
     return e.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+    )
+
+
+def click_view_interval_join(
+    clicks: DataFrame, views: DataFrame, max_delay: str = "5 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each click matches the same user's views
+    in the preceding ``max_delay`` window (attribution's core primitive).
+
+    In streaming mode BOTH sides carry watermarks and the time-bound join
+    condition — that pair is what lets Spark expire join state (without the
+    interval bound, stream-stream state grows forever). In batch mode the
+    same function is the oracle. Output timestamps surface as unix micros
+    (engine-portable comparison rule)."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+        v = v.withWatermark("view_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {max_delay}"))
+    )
+    return (
+        c.join(v, cond, "inner")
+        .select(
+            "click_id",
+            "user_id",
+            "view_id",
+            F.unix_micros("click_ts").alias("click_us"),
+            F.unix_micros("view_ts").alias("view_us"),
+        )
     )

@@ -265,3 +265,28 @@ def test_compact_parquet_merges_small_files(spark, tmp_path, embeddings):
     assert n == 1 and len(after) == 1
     # lossless: same rows survive the rewrite
     assert {r.vec_id for r in spark.read.parquet(path).collect()} == want
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events, events_stream_dir):
+    """Stream-stream inner join with watermarks on both sides and an
+    interval bound (the state-expiry requirement) — append-mode output must
+    equal the batch run of the same function."""
+    clicks_b = events.where(F.col("event_type") == "click")
+    views_b = events.where(F.col("event_type") == "view")
+    batch = {
+        (r.click_id, r.view_id): (r.click_us, r.view_us)
+        for r in SW.click_view_interval_join(clicks_b, views_b, "6 hours").collect()
+    }
+    assert batch  # fixture must exercise the join
+    stream = SW.read_events_stream(spark, events_stream_dir)
+    joined = SW.click_view_interval_join(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "view"),
+        "6 hours",
+    )
+    SW.run_stream_to_memory(joined, "t_ssjoin", output_mode="append")
+    got = {
+        (r.click_id, r.view_id): (r.click_us, r.view_us)
+        for r in spark.table("t_ssjoin").collect()
+    }
+    assert got == batch
