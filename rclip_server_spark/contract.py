@@ -2598,3 +2598,48 @@ _register(
      AND v.ts >= c.ts - INTERVAL 6 HOUR
     """,
 )
+
+
+# ===========================================================================
+# URL canonicalization + per-host rollup (web-crawl hygiene)
+# ===========================================================================
+
+# deterministic synthetic URL per doc (the fixtures carry no URL column):
+# scheme case, tracking params, and fragments vary with doc_id so the
+# canonicalizer has real work on every row class
+_URL_EXPR_SPARK = (
+    "concat(CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'https://' END, "
+    "source, '.Example.com/', lang, '/', CAST(doc_id AS STRING), "
+    "CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&id=7' ELSE '' END, "
+    "CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)"
+)
+_URL_EXPR_DUCK = _URL_EXPR_SPARK.replace(" AS STRING", " AS VARCHAR")
+
+
+def _url_canon_query(spark: SparkSession, sf: str) -> DataFrame:
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        TXT.url_host(F.expr(_URL_EXPR_SPARK)).alias("host"),
+        TXT.canonical_url(F.expr(_URL_EXPR_SPARK)).alias("canonical"),
+    )
+
+
+_TRACK_SQL = r"(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?"
+
+_register(
+    "text_url_canonicalize",
+    _url_canon_query,
+    f"""
+    WITH raw AS (SELECT doc_id, {_URL_EXPR_DUCK} AS url FROM documents),
+    s AS (SELECT doc_id, url,
+                 regexp_replace(regexp_replace(regexp_replace(url, '#.*$', ''),
+                                '{_TRACK_SQL}', '', 'g'), '[?&]$', '') AS u
+          FROM raw)
+    SELECT doc_id,
+           lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)) AS host,
+           CASE WHEN regexp_extract(u, '^([a-zA-Z]+://[^/]*)', 1) = '' THEN u
+                ELSE lower(regexp_extract(u, '^([a-zA-Z]+://[^/]*)', 1))
+                     || regexp_replace(u, '^[a-zA-Z]+://[^/]*', '') END AS canonical
+    FROM s
+    """,
+)

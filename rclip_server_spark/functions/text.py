@@ -155,3 +155,29 @@ def fingerprint(text: Column, n: int = 8) -> Column:
     return F.when(
         F.size(grams) > 0, F.array_min(F.transform(grams, portable_hash32))
     ).otherwise(portable_hash32(F.lower(text)))
+
+
+# URL hygiene (web-crawl pipelines). Java∩RE2 regex subset, like the BPE
+# and PII patterns, so every transform is oracle-exact in DuckDB.
+_TRACKING_PARAM_RE = r"(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?"
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host part (no scheme/port/path); '' for non-URLs.
+    DuckDB twin: lower(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1))"""
+    return F.lower(F.regexp_extract(url, r"^[a-zA-Z]+://([^/:?#]+)", 1))
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form for URL-level dedup: lowercase scheme+host, strip
+    fragment, strip tracking params (utm_*/fbclid/gclid/ref), drop a
+    trailing '?' or '&' left behind. Deterministic string surgery — the
+    web-crawl rule that one page fetched via two campaign links is ONE
+    document."""
+    u = F.regexp_replace(url, r"#.*$", "")            # fragment
+    u = F.regexp_replace(u, _TRACKING_PARAM_RE, "")   # tracking params
+    u = F.regexp_replace(u, r"[?&]$", "")             # dangling separator
+    # lowercase scheme://host prefix only (path stays case-sensitive)
+    head = F.regexp_extract(u, r"^([a-zA-Z]+://[^/]*)", 1)
+    tail = F.regexp_replace(u, r"^[a-zA-Z]+://[^/]*", "")
+    return F.when(head == "", u).otherwise(F.concat(F.lower(head), tail))

@@ -531,3 +531,27 @@ def test_pack_sequences_conserves_tokens_and_fills(documents):
     # deterministic
     again = {(r.bucket, r.seq_id): r.n_tokens for r in packed.collect()}
     assert {(r.bucket, r.seq_id): r.n_tokens for r in rows} == again
+
+
+def test_canonical_url_dedups_campaign_variants(spark):
+    from rclip_server_spark.functions import text as TXT
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTPS://Example.COM/page?utm_source=tw&id=3#top"),
+            (2, "https://example.com/page?utm_medium=em&utm_source=fb&id=3"),
+            (3, "https://example.com/other"),
+            (4, "plain text"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r.doc_id: (r.h, r.c) for r in df.select(
+        "doc_id",
+        TXT.url_host(F.col("url")).alias("h"),
+        TXT.canonical_url(F.col("url")).alias("c"),
+    ).collect()}
+    # the two campaign variants collapse to ONE canonical URL
+    assert out[1][1] == out[2][1] == "https://example.com/page?id=3"
+    assert out[1][0] == "example.com"
+    assert out[3][1] == "https://example.com/other"
+    assert out[4] == ("", "plain text")  # non-URLs pass through untouched
