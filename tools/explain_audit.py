@@ -186,6 +186,18 @@ def main() -> int:
         "it exists only as the oracle twin (vec_gramian_exact).",
     ))
 
+    from rclip_server_spark.operators import text_analysis as ta
+
+    audits.append((
+        "Document chunking (map-only explode)",
+        ta.chunk_documents(docs, chunk_tokens=16, stride=8),
+        {"Exchange": False, "Generate": True},
+        "Tokenize once, explode a chunk-index sequence (Generate), slice the "
+        "token array per index — the unit-of-training transform with zero "
+        "shuffles; row amplification equals the true chunk count and "
+        "happens inside the scan stage's pipeline.",
+    ))
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
