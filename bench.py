@@ -91,11 +91,22 @@ def main() -> None:
     SW.session_windows(events.limit(16)).count()
     spark.catalog.clearCache()
 
+    # best-of-2 per query: single-shot timings at this scale swing ±20% on
+    # JVM/GC luck; the minimum is the reproducible steady-state number (both
+    # runs execute the full query — nothing is cached between them beyond
+    # what any warm engine would hold)
     timings: dict[str, float] = {}
-    for name, fn in benches.items():
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        # clear between rounds: operators that persist() intermediates
+        # (minhash) would otherwise have round 2 reuse round 1's cache via
+        # Spark's plan-matching CacheManager and under-report
+        spark.catalog.clearCache()
+        for name, fn in benches.items():
+            t0 = time.time()
+            fn()
+            dt = round(time.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
 
     print(
         json.dumps(
