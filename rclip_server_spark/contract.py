@@ -2643,3 +2643,139 @@ _register(
     FROM s
     """,
 )
+
+
+# ===========================================================================
+# corpus-curation family (operators/corpus.py) + SemDeDup (operators/dedup.py)
+# ===========================================================================
+
+import math  # noqa: E402
+
+from .operators import corpus  # noqa: E402
+
+_register(
+    "text_token_topk",
+    lambda spark, sf: corpus.token_topk(_t(spark, sf, "documents"), k=20),
+    f"""
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+    GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+    """,
+)
+
+_QUALITY_SQL = (
+    f"((1.0 - least(abs(({_MTL}) - 5.0) / 5.0, 1.0))"
+    f" + least(({_STOP_RATIO}) * 10.0, 1.0)"
+    f" + (1.0 - least(({_PUNCT_RATIO}) * 5.0, 1.0))) / 3.0"
+)
+
+_register(
+    "text_source_stats",
+    lambda spark, sf: corpus.source_stats(_t(spark, sf, "documents")),
+    f"""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(round(({_QUALITY_SQL}) * 1000000) AS BIGINT)) AS BIGINT)
+             AS quality_micros
+    FROM documents GROUP BY source
+    """,
+)
+
+# bigram twin: range(1, len(t)) is empty for len < 2, matching doc_bigrams
+_BIGRAMS_SQL = "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])"
+
+_register(
+    "text_bigram_lm_score",
+    lambda spark, sf: corpus.bigram_lm_score(_t(spark, sf, "documents"), alpha=1.0),
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bi AS (SELECT doc_id, unnest({_BIGRAMS_SQL}) AS bigram FROM base),
+    bc AS (SELECT bigram, count(*) AS cb FROM bi GROUP BY bigram),
+    uni AS (SELECT unnest(t) AS w FROM base),
+    uc AS (SELECT w, count(*) AS cu FROM uni GROUP BY w),
+    v AS (SELECT count(*) AS vs FROM uc)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(round(
+             ln((cb + {_f(1.0)}) / (cu + {_f(1.0)} * vs)) * 1000000
+           ) AS BIGINT)) AS BIGINT) AS lm_micronats
+    FROM bi
+    JOIN bc USING (bigram)
+    JOIN uc ON split_part(bigram, ' ', 1) = uc.w
+    CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+
+_NCH10 = "((len(t) + 9) // 10)"
+_CHUNKS10 = (
+    f"list_transform(range(0, {_NCH10}), "
+    "i -> array_to_string(list_slice(t, i*10 + 1, i*10 + 10), ' '))"
+)
+
+_register(
+    "text_strip_dup_spans",
+    lambda spark, sf: corpus.strip_duplicate_spans(
+        _t(spark, sf, "documents"), span=10, min_count=2
+    ),
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    chunks AS (SELECT doc_id, unnest(range(0, {_NCH10})) AS pos,
+                      unnest({_CHUNKS10}) AS chunk FROM base),
+    block AS (SELECT chunk FROM chunks GROUP BY chunk HAVING count(*) >= 2),
+    kept AS (SELECT doc_id, pos, chunk FROM chunks
+             WHERE NOT EXISTS (SELECT 1 FROM block WHERE block.chunk = chunks.chunk)),
+    re AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+           FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(re.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN re USING (doc_id)
+    """,
+)
+
+MIX_FACTORS = {"en": 2.5, "zh": 0.25}
+MIX_DEFAULT = 1.0
+
+
+def _mix_case(val_fn) -> str:
+    branches = " ".join(
+        f"WHEN lang = '{cls}' THEN {val_fn(float(fac))}"
+        for cls, fac in MIX_FACTORS.items()
+    )
+    return f"(CASE {branches} ELSE {val_fn(MIX_DEFAULT)} END)"
+
+
+_MIX_BASE = _mix_case(lambda fc: int(math.floor(fc)))
+_MIX_THR = _mix_case(lambda fc: int((fc - math.floor(fc)) * (1 << 32)))
+
+_register(
+    "samp_weighted_mixture",
+    lambda spark, sf: corpus.weighted_mixture(
+        _t(spark, sf, "documents"), "doc_id", "lang", MIX_FACTORS, MIX_DEFAULT
+    ).select("doc_id", "lang", F.col("copy").cast("long").alias("copy")),
+    f"""
+    WITH n AS (SELECT doc_id, lang,
+                      {_MIX_BASE}
+                      + (CASE WHEN {_samp_hash_sql('mix')} < {_MIX_THR}
+                              THEN 1 ELSE 0 END) AS nc
+               FROM documents)
+    SELECT doc_id, lang, unnest(range(0, nc)) AS copy FROM n
+    """,
+)
+
+_register(
+    "dedup_semantic_semdedup",
+    # threshold 0.4 (not the production-ish 0.95): the synthetic fixture has
+    # no true near-dups, and the oracle must exercise the drop path
+    lambda spark, sf: dedup.semantic_dedup(
+        _t(spark, sf, "embeddings"), CENTROIDS, threshold=0.4
+    ).select("vec_id", F.col("ivf_cell").cast("long").alias("ivf_cell")),
+    f"""
+    WITH d AS (SELECT vec_id, embedding, {_IVF_DOTS} FROM embeddings),
+    a AS (SELECT vec_id, embedding, {_IVF_CASE} AS cell FROM d)
+    SELECT x.vec_id, CAST(x.cell AS BIGINT) AS ivf_cell
+    FROM a x
+    WHERE NOT EXISTS (
+      SELECT 1 FROM a y
+      WHERE y.cell = x.cell AND y.vec_id < x.vec_id
+        AND {dot2_sql('x.embedding', 'y.embedding')} >= {_f(0.4)})
+    """,
+)

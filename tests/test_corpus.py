@@ -1,0 +1,215 @@
+"""Tests for operators/corpus.py (corpus curation) and dedup.semantic_dedup.
+
+Semantics pinned here (the contract smoke net only checks executability;
+the sf0.01 oracle rows check cross-engine exactness — these tests check the
+operator-level invariants a pipeline author relies on).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rclip_server_spark.contract import CENTROIDS
+from rclip_server_spark.operators import corpus, dedup
+
+
+# ---------------------------------------------------------------------------
+# token_topk
+# ---------------------------------------------------------------------------
+
+
+def test_token_topk_matches_bruteforce(spark, documents):
+    top = corpus.token_topk(documents, k=5).collect()
+    brute = (
+        documents.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t"))
+        .groupBy("t")
+        .count()
+        .orderBy(F.desc("count"), F.asc("t"))
+        .limit(5)
+        .collect()
+    )
+    assert [(r.token, r.cnt) for r in top] == [(r.t, r["count"]) for r in brute]
+
+
+def test_token_topk_deterministic_tiebreak(spark):
+    df = spark.createDataFrame([("b a",), ("a b",)], ["text"])
+    rows = corpus.token_topk(df, k=1).collect()
+    # counts tie (2 vs 2) -> token asc wins
+    assert rows[0].token == "a" and rows[0].cnt == 2
+
+
+# ---------------------------------------------------------------------------
+# source_stats
+# ---------------------------------------------------------------------------
+
+
+def test_source_stats_totals_consistent(documents):
+    stats = corpus.source_stats(documents).collect()
+    assert sum(r.n_docs for r in stats) == documents.count()
+    total = documents.select(
+        F.sum(F.size(F.split(F.trim(F.lower("text")), r"\s+"))).alias("n")
+    ).first()["n"]
+    assert sum(r.total_tokens for r in stats) == total
+    # quality_score is bounded [0, 1] -> micros bounded by 1e6 * n_docs
+    for r in stats:
+        assert 0 <= r.quality_micros <= 1_000_000 * r.n_docs
+
+
+# ---------------------------------------------------------------------------
+# bigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_doc_bigrams_shapes(spark):
+    df = spark.createDataFrame(
+        [("a b c",), ("solo",), ("",), ("x y",)], ["text"]
+    ).select(corpus.doc_bigrams(F.col("text")).alias("bi"))
+    assert [r.bi for r in df.collect()] == [
+        ["a b", "b c"],
+        [],
+        [],
+        ["x y"],
+    ]
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    # corpus: two docs, tokens a b / a b a.  unigrams: a*3 b*2 -> V=2
+    df = spark.createDataFrame([(1, "a b"), (2, "a b a")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in corpus.bigram_lm_score(df).collect()}
+    # bigram counts: "a b" x2, "b a" x1
+    lp_ab = math.log((2 + 1.0) / (3 + 1.0 * 2))  # c(a b)=2, c(a)=3
+    lp_ba = math.log((1 + 1.0) / (2 + 1.0 * 2))  # c(b a)=1, c(b)=2
+    assert out[1].n_bigrams == 1
+    assert out[1].lm_micronats == round(lp_ab * 1e6)
+    assert out[2].n_bigrams == 2
+    assert out[2].lm_micronats == round(lp_ab * 1e6) + round(lp_ba * 1e6)
+
+
+def test_bigram_lm_short_docs_absent(spark):
+    df = spark.createDataFrame([(1, "solo"), (2, ""), (3, "a b")], ["doc_id", "text"])
+    assert [r.doc_id for r in corpus.bigram_lm_score(df).collect()] == [3]
+
+
+def test_bigram_lm_familiar_beats_surprising(documents):
+    """A document of corpus-frequent bigrams must out-score one of unique
+    bigrams per-bigram (the filter's discriminating direction)."""
+    scored = corpus.bigram_lm_score(documents)
+    rows = scored.withColumn(
+        "per_bigram", F.col("lm_micronats") / F.col("n_bigrams")
+    ).collect()
+    per = sorted(r.per_bigram for r in rows)
+    assert per[0] < per[-1]  # non-degenerate spread
+    assert all(r.lm_micronats < 0 for r in rows)  # log-probs are negative
+
+
+# ---------------------------------------------------------------------------
+# strip_duplicate_spans
+# ---------------------------------------------------------------------------
+
+
+def test_strip_spans_removes_only_repeated(spark):
+    boiler = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " unique one here"),
+            (2, boiler + " different tail text"),
+            (3, "entirely fresh content nothing shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.clean_text for r in corpus.strip_duplicate_spans(df).collect()}
+    assert out[1] == "unique one here"
+    assert out[2] == "different tail text"
+    assert out[3] == "entirely fresh content nothing shared"
+
+
+def test_strip_spans_keeps_all_docs(spark):
+    boiler = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, boiler), (2, boiler)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.clean_text for r in corpus.strip_duplicate_spans(df).collect()}
+    # fully-boilerplate docs survive as empty rows, not dropped rows
+    assert out == {1: "", 2: ""}
+
+
+def test_strip_spans_row_count_stable(documents):
+    assert corpus.strip_duplicate_spans(documents).count() == documents.count()
+
+
+# ---------------------------------------------------------------------------
+# weighted_mixture
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_integer_factor_exact(spark):
+    df = spark.createDataFrame([(i, "en") for i in range(50)], ["doc_id", "lang"])
+    out = corpus.weighted_mixture(df, "doc_id", "lang", {"en": 3.0})
+    assert out.count() == 150
+    copies = out.where(F.col("doc_id") == 7).select("copy").collect()
+    assert sorted(r.copy for r in copies) == [0, 1, 2]
+
+
+def test_mixture_fractional_rate(spark):
+    df = spark.createDataFrame([(i, "en") for i in range(2000)], ["doc_id", "lang"])
+    n = corpus.weighted_mixture(df, "doc_id", "lang", {"en": 1.5}).count()
+    assert 2000 * 1.35 < n < 2000 * 1.65  # ~3000 expected
+
+
+def test_mixture_downsample_drops_rows(spark):
+    df = spark.createDataFrame([(i, "zh") for i in range(2000)], ["doc_id", "lang"])
+    n = corpus.weighted_mixture(df, "doc_id", "lang", {"zh": 0.25}).count()
+    assert 2000 * 0.15 < n < 2000 * 0.35
+
+
+def test_mixture_deterministic_and_append_stable(spark):
+    df1 = spark.createDataFrame([(i, "en") for i in range(300)], ["doc_id", "lang"])
+    df2 = spark.createDataFrame([(i, "en") for i in range(600)], ["doc_id", "lang"])
+    kept1 = {
+        (r.doc_id, r.copy)
+        for r in corpus.weighted_mixture(df1, "doc_id", "lang", {"en": 0.5}).collect()
+    }
+    kept2 = {
+        (r.doc_id, r.copy)
+        for r in corpus.weighted_mixture(df2, "doc_id", "lang", {"en": 0.5}).collect()
+    }
+    # growing the corpus never changes existing rows' fate
+    assert kept1 == {k for k in kept2 if k[0] < 300}
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_keeps_min_id(spark, embeddings):
+    kept = dedup.semantic_dedup(embeddings, CENTROIDS, threshold=0.4)
+    kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    # every dropped row must have a kept OR dropped lower-id near-dup in its
+    # cluster; spot-check the invariant: the global min id always survives
+    min_id = embeddings.agg(F.min("vec_id")).first()[0]
+    assert min_id in kept_ids
+    assert kept.count() <= embeddings.count()
+
+
+def test_semantic_dedup_exact_duplicate_dropped(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((20, 64))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    rows.append((99, rows[5][1]))  # exact duplicate of id 5 -> cosine 1.0
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kept = {
+        r.vec_id
+        for r in dedup.semantic_dedup(df, CENTROIDS, threshold=0.95).collect()
+    }
+    assert 5 in kept and 99 not in kept
+
+
+def test_semantic_dedup_idempotent(spark, embeddings):
+    once = dedup.semantic_dedup(embeddings, CENTROIDS, threshold=0.4)
+    twice = dedup.semantic_dedup(once, CENTROIDS, threshold=0.4)
+    assert once.count() == twice.count()

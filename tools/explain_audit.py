@@ -198,6 +198,42 @@ def main() -> int:
         "happens inside the scan stage's pipeline.",
     ))
 
+    from rclip_server_spark.contract import CENTROIDS
+    from rclip_server_spark.operators import corpus
+
+    audits.append((
+        "Weighted mixture (map-only epoch weighting)",
+        corpus.weighted_mixture(docs, "doc_id", "lang", {"en": 2.5}, 1.0),
+        {"Exchange": False, "Generate": True},
+        "Hash threshold + copy-sequence explode (Generate) — deterministic "
+        "fractional up/downsampling with zero shuffles; replication happens "
+        "inside the scan stage, so at 100 TB the op costs exactly the rows "
+        "it emits.",
+    ))
+
+    audits.append((
+        "Bigram LM scoring (broadcast count joins)",
+        corpus.bigram_lm_score(docs),
+        {"BroadcastHashJoin": True, "SortMergeJoin": False,
+         "CartesianProduct": False},
+        "The bigram/unigram count tables are vocab-sized (<< corpus), so "
+        "both count joins broadcast — the exploded corpus stream is never "
+        "shuffled for the joins; only the two count aggregations and the "
+        "final per-doc rollup exchange, all with map-side partial "
+        "aggregation.",
+    ))
+
+    audits.append((
+        "SemDeDup (cluster-bounded near-dup)",
+        dedup.semantic_dedup(emb, CENTROIDS, threshold=0.4),
+        {"CartesianProduct": False, "BroadcastNestedLoopJoin": False},
+        "Centroid assignment is a map-side greatest-of-structs over literal "
+        "centroids; the pair compare is an EQUI-join on the cluster id — "
+        "never an all-pairs nested loop — so compare cost is sum(n_c^2) ~ "
+        "N^2/k and each cluster's compares stay within its shuffle "
+        "partition.",
+    ))
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
