@@ -2779,3 +2779,59 @@ _register(
         AND {dot2_sql('x.embedding', 'y.embedding')} >= {_f(0.4)})
     """,
 )
+
+
+# ===========================================================================
+# event analytics (operators/events.py): funnel + cohort retention
+# ===========================================================================
+
+from .operators import events as EV  # noqa: E402
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _ev_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    _utc(spark)
+    return EV.funnel(_t(spark, sf, "events"), FUNNEL_STEPS)
+
+
+_register(
+    "ev_funnel_counts",
+    _ev_funnel,
+    """
+    WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s0 ON e.user_id = s0.user_id
+           WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY e.user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY e.user_id)
+    SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+           CAST(count(*) AS BIGINT) AS n_users FROM s0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM s1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s2
+    """,
+)
+
+
+def _ev_retention(spark: SparkSession, sf: str) -> DataFrame:
+    _utc(spark)
+    return EV.cohort_retention(_t(spark, sf, "events"))
+
+
+_register(
+    "ev_cohort_retention",
+    _ev_retention,
+    """
+    WITH first AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+    cohorts AS (SELECT user_id, date_trunc('week', first_ts) AS cohort_w FROM first),
+    active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS bucket_w FROM events)
+    SELECT epoch_us(cohort_w) AS cohort_us, epoch_us(bucket_w) AS bucket_us,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM active JOIN cohorts USING (user_id)
+    GROUP BY cohort_w, bucket_w
+    """,
+)

@@ -1,0 +1,111 @@
+"""Event-analytics operators: ordered funnels and cohort retention.
+
+The reference has no event surface at all; the `events` fixture exists so
+the engine covers the analytics half of a production data platform (the
+driver's §F north star). Both operators here are the canonical product-
+analytics queries, built so every shuffle is on the natural key:
+
+* ``funnel`` — per-user strictly-ordered step matching via a chain of
+  (shrinking) min-aggregations joined on the user id. Each level's
+  aggregation combines map-side; each join is an equi-join on user_id whose
+  right side only ever shrinks, so at scale the chain costs one user-keyed
+  exchange per step over progressively smaller tables — never a self-join
+  of the raw event log against itself.
+* ``cohort_retention`` — cohort = week of a user's first event; activity =
+  distinct (user, week) pairs. One min-agg, one distinct, one join keyed on
+  user_id, one final count agg. All group keys are low-cardinality except
+  user_id, which is the partitioning the event log already wants.
+
+Timestamps stay native (micros) internally; query rows expose them as unix
+micros per the contract's determinism rules.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel counts: for each prefix of ``steps``, how many users
+    performed those event types in strict timestamp order (each step's
+    earliest qualifying event must be strictly AFTER the previous step's).
+    Output: one row per step — (step_idx, step, n_users), n_users
+    non-increasing by construction.
+
+    Matching uses the standard earliest-qualifying-event rule: a user's
+    step-k time is the min event time of type steps[k] strictly after their
+    step-(k-1) time. This greedy choice is optimal (earliest feasible
+    prefix times maximize feasibility of the suffix), so it counts exactly
+    the users for whom ANY strictly-increasing assignment exists.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    levels: list[DataFrame] = []
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t"))
+    )
+    levels.append(cur)
+    for step in steps[1:]:
+        nxt = (
+            events.where(F.col(type_col) == step)
+            .join(cur, user_col)
+            .where(F.col(ts_col) > F.col("t"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("t"))
+        )
+        levels.append(nxt)
+        cur = nxt
+    counts = [
+        lvl.agg(
+            F.lit(i).cast("long").alias("step_idx"),
+            F.lit(steps[i]).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        for i, lvl in enumerate(levels)
+    ]
+    return reduce(DataFrame.unionAll, counts)
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "week",
+) -> DataFrame:
+    """Cohort-retention matrix: users grouped by the ``bucket`` (week) of
+    their FIRST event, counted in every bucket they were active. Output:
+    (cohort_us, bucket_us, n_users) with both buckets as unix micros of the
+    truncated timestamp (date_trunc('week') is Monday-anchored in both
+    Spark and DuckDB, so the twin is bit-exact).
+
+    n_users at bucket == cohort is the cohort size (every user is active in
+    their own first week); later buckets give the retention curve.
+    """
+    first = events.groupBy(user_col).agg(F.min(ts_col).alias("first_ts"))
+    cohorts = first.select(
+        user_col, F.date_trunc(bucket, "first_ts").alias("cohort_w")
+    )
+    active = events.select(
+        user_col, F.date_trunc(bucket, ts_col).alias("bucket_w")
+    ).distinct()
+    return (
+        active.join(cohorts, user_col)
+        .groupBy("cohort_w", "bucket_w")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.unix_micros("cohort_w").alias("cohort_us"),
+            F.unix_micros("bucket_w").alias("bucket_us"),
+            "n_users",
+        )
+    )

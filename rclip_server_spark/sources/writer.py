@@ -144,3 +144,32 @@ def compact_parquet(
     df = spark.read.parquet(path)
     _overwrite_atomic(df.coalesce(n_files), path)
     return n_files
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Layout-for-pruning writer: hive-partition the table by the given
+    low-cardinality columns (e.g. event date) and optionally sort rows
+    WITHIN each output file by the secondary predicate columns.
+
+    Why both knobs matter at 100 TB:
+      * partition columns become directories — a query filtering on them is
+        a PartitionFilter, pruned at PLANNING time (tools/explain_audit.py
+        asserts this): Spark never even lists the excluded directories;
+      * sortWithinPartitions gives every parquet file tight min/max
+        row-group statistics on the sort columns, so predicates on them
+        skip row groups at READ time (PushedFilters against clustered
+        stats), without any global sort or extra shuffle.
+
+    The combination is the parquet-native equivalent of the reference's
+    always-RAM-resident table (rclip_server.py:59-65) — instead of loading
+    everything, queries touch only the partitions and row groups they name.
+    """
+    out = df
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

@@ -1,0 +1,125 @@
+"""Tests for operators/events.py (funnel, cohort retention) and the
+partition-pruned layout writer."""
+
+import datetime as dt
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from rclip_server_spark.operators import events as EV
+from rclip_server_spark.sources import writer
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, d, h), u, t) for i, (d, h, u, t) in enumerate(rows)],
+        ["event_id", "ts", "user_id", "event_type"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# funnel
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_strict_order(spark):
+    rows = [
+        # user 1 completes in order: view(d1) click(d2) purchase(d3)
+        (1, 0, 1, "view"), (2, 0, 1, "click"), (3, 0, 1, "purchase"),
+        # user 2 has purchase BEFORE click -> stops after click
+        (1, 0, 2, "view"), (3, 0, 2, "click"), (2, 0, 2, "purchase"),
+        # user 3 only views
+        (1, 0, 3, "view"),
+        # user 4 never views (click+purchase don't count)
+        (1, 0, 4, "click"), (2, 0, 4, "purchase"),
+    ]
+    out = {r.step: r.n_users for r in EV.funnel(_ev(spark, rows), ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_same_timestamp_not_counted(spark):
+    # click at the SAME instant as view is not strictly after -> excluded
+    rows = [(1, 0, 1, "view"), (1, 0, 1, "click")]
+    out = {r.step: r.n_users for r in EV.funnel(_ev(spark, rows), ["view", "click"]).collect()}
+    assert out == {"view": 1, "click": 0}
+
+
+def test_funnel_greedy_earliest_is_optimal(spark):
+    # view(d1), view(d5), click(d2): greedy takes view@d1 -> click@d2 works.
+    rows = [(1, 0, 1, "view"), (5, 0, 1, "view"), (2, 0, 1, "click")]
+    out = {r.step: r.n_users for r in EV.funnel(_ev(spark, rows), ["view", "click"]).collect()}
+    assert out["click"] == 1
+
+
+def test_funnel_monotone_on_fixture(events):
+    counts = [
+        r.n_users
+        for r in EV.funnel(events, ["view", "click", "purchase"])
+        .orderBy("step_idx")
+        .collect()
+    ]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] > 0
+
+
+# ---------------------------------------------------------------------------
+# cohort retention
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_retention_hand_case(spark):
+    rows = [
+        # user 1 first active week of Jan 1 (Mon), returns week of Jan 8
+        (1, 0, 1, "view"), (9, 0, 1, "view"),
+        # user 2 first active week of Jan 8, never returns
+        (10, 0, 2, "view"),
+    ]
+    out = EV.cohort_retention(_ev(spark, rows)).collect()
+    jan1 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    jan8 = int(dt.datetime(2024, 1, 8, tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    m = {(r.cohort_us, r.bucket_us): r.n_users for r in out}
+    assert m == {(jan1, jan1): 1, (jan1, jan8): 1, (jan8, jan8): 1}
+
+
+def test_cohort_diagonal_is_cohort_size(events):
+    out = EV.cohort_retention(events).collect()
+    diag = {r.cohort_us: r.n_users for r in out if r.cohort_us == r.bucket_us}
+    cohort_sizes = {r.cohort_us: r.n for r in (
+        events.groupBy("user_id").agg(F.min("ts").alias("f"))
+        .select(F.unix_micros(F.date_trunc("week", "f")).alias("cohort_us"))
+        .groupBy("cohort_us").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )}
+    assert diag == cohort_sizes
+    # no activity bucket precedes its cohort
+    assert all(r.bucket_us >= r.cohort_us for r in out)
+
+
+# ---------------------------------------------------------------------------
+# partitioned layout
+# ---------------------------------------------------------------------------
+
+
+def test_write_partitioned_prunes_and_round_trips(spark, events):
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ev")
+        writer.write_partitioned(
+            events.withColumn("event_date", F.to_date("ts")),
+            path,
+            ["event_date"],
+            sort_cols=["user_id"],
+        )
+        # hive layout on disk
+        parts = [p for p in os.listdir(path) if p.startswith("event_date=")]
+        assert len(parts) > 1
+        back = spark.read.parquet(path)
+        assert back.count() == events.count()
+        day = parts[0].split("=", 1)[1]
+        pruned = back.where(F.col("event_date") == day)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        # pruned read matches a full-scan filter
+        full = events.where(F.to_date("ts") == day).count()
+        assert pruned.count() == full

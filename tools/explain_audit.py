@@ -234,6 +234,47 @@ def main() -> int:
         "partition.",
     ))
 
+    import tempfile
+
+    from rclip_server_spark.operators import events as EV
+    from rclip_server_spark.sources import load_table as _lt
+
+    ev = _lt(spark, SF_DIR, "events")
+    _layout_dir = tempfile.mkdtemp(prefix="layout_audit_")
+    writer.write_partitioned(
+        ev.withColumn("event_date", F.to_date("ts")),
+        _layout_dir + "/events_by_date",
+        ["event_date"],
+        sort_cols=["user_id"],
+    )
+    pruned = (
+        spark.read.parquet(_layout_dir + "/events_by_date")
+        .where(F.col("event_date") == "2024-01-05")
+        .where(F.col("user_id") == 7)
+    )
+    audits.append((
+        "Partitioned layout (planning-time pruning)",
+        pruned,
+        {"PartitionFilters: [isnotnull(event_date": True,
+         "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]": True},
+        "write_partitioned hive-partitions by event_date and sorts files by "
+        "user_id: the date predicate prunes DIRECTORIES at planning time "
+        "(PartitionFilters — excluded days are never listed), and the "
+        "user_id predicate hits clustered row-group min/max stats "
+        "(PushedFilters). Together a point query touches one partition's "
+        "few row groups regardless of total table size.",
+    ))
+
+    audits.append((
+        "Funnel (chained shrinking min-agg joins)",
+        EV.funnel(ev, ["view", "click", "purchase"]),
+        {"CartesianProduct": False, "BroadcastNestedLoopJoin": False},
+        "Each funnel level is a user-keyed min-aggregation equi-joined to "
+        "the previous (strictly smaller) level — the event log is never "
+        "self-joined raw, and every aggregation combines map-side before "
+        "its user_id exchange.",
+    ))
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
