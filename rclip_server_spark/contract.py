@@ -2835,3 +2835,50 @@ _register(
     GROUP BY cohort_w, bucket_w
     """,
 )
+
+
+# ===========================================================================
+# binary-quantization ANN tier (ann.binary_hamming_topk)
+# ===========================================================================
+
+
+def binary_words_sql(expr: str, dim: int) -> list[str]:
+    """Per-word packed sign-bit expressions — twin of vector.binarize_words."""
+    words = []
+    for w in range(0, dim, 32):
+        bits = " + ".join(
+            f"(CASE WHEN {expr}[{w + i + 1}] >= 0 THEN CAST({1 << i} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            for i in range(min(32, dim - w))
+        )
+        words.append(f"({bits})")
+    return words
+
+
+_QWORDS = []
+for _w in range(0, EMB_DIM, 32):
+    _word = 0
+    for _i in range(min(32, EMB_DIM - _w)):
+        if QV_ZEBRA[_w + _i] >= 0:
+            _word |= 1 << _i
+    _QWORDS.append(_word)
+
+_BW = binary_words_sql("embedding", EMB_DIM)
+_HAMMING_SQL = " + ".join(
+    f"bit_count(xor({bw}, CAST({qw} AS BIGINT)))" for bw, qw in zip(_BW, _QWORDS)
+)
+
+_register(
+    "ann_binary_hamming_topk",
+    lambda spark, sf: ann.binary_hamming_topk(
+        _t(spark, sf, "embeddings"), QV_ZEBRA, k=10, shortlist=200, dim=EMB_DIM
+    ),
+    f"""
+    WITH h AS (SELECT vec_id, embedding, ({_HAMMING_SQL}) AS hamming
+               FROM embeddings),
+    shortlist AS (SELECT vec_id, embedding FROM h
+                  ORDER BY hamming, vec_id LIMIT 200)
+    SELECT vec_id, {dot_sql('embedding', QV_ZEBRA)} AS score
+    FROM shortlist ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)

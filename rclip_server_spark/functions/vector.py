@@ -97,3 +97,39 @@ def dequantize_int8(q: ColumnOrName, scale: float = 127.0) -> Column:
     """Inverse of quantize_int8 (max abs error 1/(2*scale) per component)."""
     s = F.lit(float(scale))
     return F.transform(_col(q), lambda x: x.cast("double") / s)
+
+
+def binarize_words(a: ColumnOrName, dim: int, word_bits: int = 32) -> Column:
+    """Binary (sign-bit) quantization: pack the embedding's signs into
+    ceil(dim/word_bits) BIGINT words — bit i of word w is 1 iff
+    a[w*word_bits + i] >= 0. At dim 64 that is 8 bytes per vector vs 256
+    for float32: a 32x storage/IO cut, the coarsest tier of the
+    quantization ladder (float32 -> int8 -> binary). 32-bit words keep the
+    packed value well inside int64 (no sign-bit ambiguity, ANSI-safe).
+
+    DuckDB twin: the same CASE-sum per word (see contract.binary_words_sql).
+    """
+    c = _col(a)
+    words = []
+    for w in range(0, dim, word_bits):
+        bits = [
+            F.when(
+                F.element_at(c, w + i + 1) >= 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(min(word_bits, dim - w))
+        ]
+        acc = bits[0]
+        for b in bits[1:]:
+            acc = acc + b
+        words.append(acc)
+    return F.array(*words)
+
+
+def hamming_packed(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Hamming distance between two packed sign-bit arrays: popcount of the
+    per-word XOR, summed — pure JVM bit math, no UDF."""
+    return F.aggregate(
+        F.zip_with(_col(a), _col(b), lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("long"),
+        lambda acc, h: acc + h.cast("long"),
+    )

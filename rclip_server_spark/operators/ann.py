@@ -529,3 +529,53 @@ def pca_coarse_topk(
         F.col(id_col), V.dot(F.col(vec_col), V.vec_lit(query_vec)).alias("score")
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def binary_hamming_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    shortlist: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Binary-quantization ANN tier: shortlist by Hamming distance on packed
+    sign bits (8 bytes/vector at dim 64 — a 32x I/O cut when the packed
+    words are precomputed at rest via vector.binarize_words), then exact
+    dot-product re-rank of only the ``shortlist`` survivors. Sign-bit
+    Hamming approximates angular distance (each agreeing sign bit is one
+    hyperplane the pair does not straddle), so recall is bought purely by
+    shortlist size — final scores are EXACT.
+
+    Plan shape: both stages are map-side score + TakeOrderedAndProject —
+    no shuffle beyond the two k·P-row merges; ties broken by id so the
+    shortlist boundary is deterministic cross-engine.
+    """
+    import numpy as np
+
+    from ..functions import vector as V
+
+    qv = np.asarray(query_vec, dtype=np.float64)
+    d = dim or int(qv.shape[0])
+    qwords = []
+    for w in range(0, d, 32):
+        word = 0
+        for i in range(min(32, d - w)):
+            if qv[w + i] >= 0:
+                word |= 1 << i
+        qwords.append(word)
+    qlit = F.array(*[F.lit(int(x)).cast("long") for x in qwords])
+    short = (
+        df.withColumn(
+            "hamming", V.hamming_packed(V.binarize_words(F.col(vec_col), d), qlit)
+        )
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    return (
+        short.withColumn("score", V.dot(F.col(vec_col), V.vec_lit(list(qv))))
+        .select(id_col, "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -213,3 +213,62 @@ def test_semantic_dedup_idempotent(spark, embeddings):
     once = dedup.semantic_dedup(embeddings, CENTROIDS, threshold=0.4)
     twice = dedup.semantic_dedup(once, CENTROIDS, threshold=0.4)
     assert once.count() == twice.count()
+
+
+# ---------------------------------------------------------------------------
+# binary-quantization ANN tier
+# ---------------------------------------------------------------------------
+
+
+def test_binary_hamming_full_shortlist_equals_exact(spark, embeddings):
+    from rclip_server_spark.contract import QV_ZEBRA
+    from rclip_server_spark.operators import ann, similarity
+
+    n = embeddings.count()
+    approx = ann.binary_hamming_topk(
+        embeddings, QV_ZEBRA, k=10, shortlist=n
+    ).collect()
+    exact = similarity.topk_similar(embeddings, QV_ZEBRA, k=10).collect()
+    assert [(r.vec_id, round(r.score, 12)) for r in approx] == [
+        (r.vec_id, round(r.score, 12)) for r in exact
+    ]
+
+
+def test_binary_hamming_recall_reasonable(spark, embeddings):
+    from rclip_server_spark.contract import QV_ZEBRA
+    from rclip_server_spark.operators import ann, similarity
+
+    approx = {
+        r.vec_id
+        for r in ann.binary_hamming_topk(
+            embeddings, QV_ZEBRA, k=10, shortlist=100
+        ).collect()
+    }
+    exact = {r.vec_id for r in similarity.topk_similar(embeddings, QV_ZEBRA, k=10).collect()}
+    # 100-of-500 shortlist at dim 64: most true neighbors must survive
+    assert len(approx & exact) >= 5
+
+
+def test_binarize_hamming_identities(spark):
+    from pyspark.sql import functions as F
+
+    from rclip_server_spark.functions import vector as V
+
+    df = spark.createDataFrame(
+        [([1.0] * 64,), ([-1.0] * 64,), ([1.0, -1.0] * 32,)], ["v"]
+    ).withColumn("w", V.binarize_words(F.col("v"), 64))
+    rows = df.select("w").collect()
+    assert rows[0].w == [(1 << 32) - 1, (1 << 32) - 1]  # all positive
+    assert rows[1].w == [0, 0]  # all negative
+    # self-Hamming is zero; opposite signs differ in all 64 bits
+    d = df.select(
+        V.hamming_packed(F.col("w"), F.col("w")).alias("self_d")
+    ).collect()
+    assert all(r.self_d == 0 for r in d)
+    two = spark.createDataFrame([([1.0] * 64, [-1.0] * 64)], ["a", "b"])
+    h = two.select(
+        V.hamming_packed(
+            V.binarize_words(F.col("a"), 64), V.binarize_words(F.col("b"), 64)
+        ).alias("d")
+    ).first()
+    assert h.d == 64

@@ -275,6 +275,21 @@ def main() -> int:
         "its user_id exchange.",
     ))
 
+    from rclip_server_spark.contract import QV_ZEBRA
+    from rclip_server_spark.operators import ann
+
+    audits.append((
+        "Binary-quantization ANN (Hamming shortlist + exact re-rank)",
+        ann.binary_hamming_topk(emb, QV_ZEBRA, k=10, shortlist=200),
+        {"TakeOrderedAndProject": True, "CartesianProduct": False},
+        "Stage 1 scores packed sign-bits (8 B/vector at dim 64 when "
+        "materialized at rest — 32x less I/O than float32) with JVM "
+        "popcount-XOR and takes the Hamming top-200 as "
+        "TakeOrderedAndProject; stage 2 exact-dots only those 200. Both "
+        "stages are map-side + k.P-row merges — no full sort, no shuffle "
+        "of the corpus.",
+    ))
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
