@@ -2882,3 +2882,58 @@ _register(
     FROM shortlist ORDER BY score DESC, vec_id LIMIT 10
     """,
 )
+
+
+# ===========================================================================
+# more-like-this (inverted-index TF-IDF cosine) + n-gram repetition
+# ===========================================================================
+
+_TFIDF_CTES = f"""
+    toks AS (SELECT doc_id AS id, unnest({_TOKS}) AS token FROM documents),
+    tf AS (SELECT id, token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY id, token),
+    dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM (SELECT DISTINCT id, token FROM toks) GROUP BY token),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    w AS (SELECT tf.id, tf.token,
+                 CAST(tf.tf AS DOUBLE) * ln(n_docs / CAST(dfreq.df AS DOUBLE)) AS tfidf
+          FROM tf JOIN dfreq USING (token) CROSS JOIN nn)
+"""
+
+MLT_QUERY_DOC = 7
+
+_register(
+    "text_more_like_this",
+    lambda spark, sf: __import__(
+        "rclip_server_spark.operators.retrieval", fromlist=["more_like_this"]
+    ).more_like_this(_t(spark, sf, "documents"), MLT_QUERY_DOC, k=10),
+    f"""
+    WITH {_TFIDF_CTES},
+    norms AS (SELECT id, CAST(SUM(CAST(round(tfidf * tfidf * 1e6) AS BIGINT)) AS BIGINT) AS n_u
+              FROM w GROUP BY id),
+    qvec AS (SELECT token, tfidf AS q_tfidf FROM w WHERE id = {MLT_QUERY_DOC}),
+    qn AS (SELECT n_u AS qn_u FROM norms WHERE id = {MLT_QUERY_DOC}),
+    dots AS (SELECT id, CAST(SUM(CAST(round(w.tfidf * qvec.q_tfidf * 1e6) AS BIGINT)) AS BIGINT) AS dot_u
+             FROM w JOIN qvec USING (token) WHERE id != {MLT_QUERY_DOC} GROUP BY id)
+    SELECT dots.id AS doc_id,
+           CAST(dot_u AS DOUBLE) / (sqrt(CAST(norms.n_u AS DOUBLE)) * sqrt(CAST(qn_u AS DOUBLE))) AS cosine
+    FROM dots JOIN norms ON dots.id = norms.id CROSS JOIN qn
+    ORDER BY cosine DESC, doc_id LIMIT 10
+    """,
+)
+
+_NG3 = word_ngrams_sql(_TOKS, 3)
+
+_register(
+    "text_ngram_repetition",
+    lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id",
+        TA.ngram_repetition_ratio(F.col("text"), 3).alias("rep3"),
+    ),
+    f"""
+    SELECT doc_id,
+           CASE WHEN len({_NG3}) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct({_NG3})) AS DOUBLE)
+                           / CAST(len({_NG3}) AS DOUBLE) END AS rep3
+    FROM documents
+    """,
+)

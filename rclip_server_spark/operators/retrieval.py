@@ -167,3 +167,64 @@ def rrf_fusion(
         (recip(F.col("t_rank")) + recip(F.col("v_rank"))).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), F.asc(id_col)).limit(k)
+
+
+def more_like_this(
+    df: DataFrame,
+    query_id,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lexical "more documents like this one": TF-IDF cosine similarity to
+    the query document, computed as a sparse dot product over an
+    inverted-index join — the classic search-engine recommendation op, with
+    no embeddings required.
+
+    Plan: the query doc's term vector is a handful of rows, so it
+    BROADCASTS onto the corpus-wide term table; the sparse dot is then one
+    partial-agg groupBy over only the postings that share a term with the
+    query. Nothing ever materializes a dense vector or an all-pairs
+    compare, and docs sharing no term never leave the map side — at 100 TB
+    the cost is proportional to the query terms' posting lists, exactly
+    like an inverted index.
+
+    Determinism: per-term products and squared norms are rounded to 1e-6
+    units and summed as BIGINT (order-free); the cosine is then computed
+    from those exact integers, so the ranking is bit-identical in the
+    DuckDB oracle.
+    """
+    from .text_analysis import tfidf
+
+    t = tfidf(df, id_col, text_col).select(
+        F.col(id_col).alias("id"), "token", "tfidf"
+    )
+    norms = t.groupBy("id").agg(
+        F.sum(F.round(F.col("tfidf") * F.col("tfidf") * 1e6).cast("long")).alias("n_u")
+    )
+    qvec = t.where(F.col("id") == query_id).select(
+        "token", F.col("tfidf").alias("q_tfidf")
+    )
+    qnorm = norms.where(F.col("id") == query_id).select(F.col("n_u").alias("qn_u"))
+    dots = (
+        t.where(F.col("id") != query_id)
+        .join(F.broadcast(qvec), "token")
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.round(F.col("tfidf") * F.col("q_tfidf") * 1e6).cast("long")
+            ).alias("dot_u")
+        )
+    )
+    scored = (
+        dots.join(norms, "id")
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            F.col("id").alias(id_col),
+            (
+                F.col("dot_u").cast("double")
+                / (F.sqrt(F.col("n_u").cast("double")) * F.sqrt(F.col("qn_u").cast("double")))
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)

@@ -327,3 +327,16 @@ def pack_sequences(
             F.array_sort(F.collect_set(id_col)).alias("doc_ids"),
         )
     )
+
+
+def ngram_repetition_ratio(text_col, n: int = 3):
+    """Within-document duplicated-n-gram fraction (a Gopher repetition
+    signal): 1 - distinct/total word n-grams. 0.0 for docs with fewer than
+    n tokens. Row-local column math — pairs with ``repetition_filter``'s
+    unigram ratio for the template-spam family.
+    DuckDB twin: 1 - len(list_distinct(g)) / len(g) over word_ngrams_sql."""
+    g = TXT.word_ngrams(text_col, n)
+    return F.when(F.size(g) == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct(g)).cast("double") / F.size(g).cast("double")
+    )

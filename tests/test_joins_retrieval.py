@@ -215,3 +215,57 @@ def test_salted_join_equals_plain_join(spark):
         .collect()
     }
     assert salted == plain
+
+
+# ---------------------------------------------------------------------------
+# more_like_this (TF-IDF cosine via inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+def test_more_like_this_finds_near_copy(spark):
+    from rclip_server_spark.operators.retrieval import more_like_this
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark shuffle join agg window"),
+            (2, "spark shuffle join agg windows extra"),   # near-copy of 1
+            (3, "completely unrelated words entirely different"),
+            (4, "spark appears once here only"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = more_like_this(df, 1, k=3).collect()
+    assert rows[0].doc_id == 2            # near-copy ranks first
+    assert rows[0].cosine > rows[-1].cosine
+    assert all(r.doc_id != 1 for r in rows)  # query doc excluded
+    assert all(0.0 <= r.cosine <= 1.0 + 1e-9 for r in rows)
+
+
+def test_more_like_this_no_shared_terms_absent(spark):
+    from rclip_server_spark.operators.retrieval import more_like_this
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha other")],
+        ["doc_id", "text"],
+    )
+    ids = {r.doc_id for r in more_like_this(df, 1, k=10).collect()}
+    assert ids == {3}  # doc 2 shares no term -> never scored
+
+
+def test_ngram_repetition_ratio(spark):
+    from pyspark.sql import functions as F
+
+    from rclip_server_spark.operators.text_analysis import ngram_repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # heavy 3-gram repetition
+            (2, "one two three four five six"),  # all distinct
+            (3, "xy"),                  # < 3 tokens -> 0.0
+        ],
+        ["doc_id", "text"],
+    ).select("doc_id", ngram_repetition_ratio(F.col("text"), 3).alias("rep"))
+    out = {r.doc_id: r.rep for r in df.collect()}
+    assert out[1] > 0.5
+    assert out[2] == 0.0
+    assert out[3] == 0.0
