@@ -2937,3 +2937,43 @@ _register(
     FROM documents
     """,
 )
+
+
+# ===========================================================================
+# time-RANGE rolling window (7-day per-user rolling sum over events)
+# ===========================================================================
+
+_7D_US = 7 * 86400 * 1000000
+
+
+def _ev_rolling_7d(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE frame over event TIME (not row count): each event's window is
+    [t - 7d, t] regardless of how many events fall in it — the frame the
+    ROWS-based rows cannot express. Ordered by unix micros so the frame
+    bound is an exact integer offset in both engines."""
+    _utc(spark)
+    ev = _t(spark, sf, "events")
+    w = (
+        _W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_7D_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(cents_col(F.col("value"))).over(w).alias("rolling_cents"),
+    )
+
+
+_register(
+    "ev_rolling_7d_value",
+    _ev_rolling_7d,
+    f"""
+    SELECT event_id, user_id,
+           CAST(SUM({cents('value')}) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {_7D_US} PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS rolling_cents
+    FROM events
+    """,
+)
