@@ -2977,3 +2977,73 @@ _register(
     FROM events
     """,
 )
+
+
+# ===========================================================================
+# data-quality profiling / constraint checks (operators/profiling.py)
+# ===========================================================================
+
+from .operators import profiling  # noqa: E402
+
+
+def _profile_cols_sql(table: str, cols: list[str]) -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_str,
+               CAST(max({c}) AS VARCHAR) AS max_str
+        FROM {table}"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+_PROFILE_COLS = ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"]
+
+_register(
+    "rel_profile_lineitem",
+    lambda spark, sf: profiling.profile_table(
+        _t(spark, sf, "lineitem"), _PROFILE_COLS
+    ),
+    _profile_cols_sql("lineitem", _PROFILE_COLS),
+)
+
+_register(
+    "rel_uniqueness_check",
+    # (l_orderkey, l_linenumber) is lineitem's natural PK — expect 0 rows;
+    # l_orderkey alone has real multiplicities, so check BOTH: the PK row
+    # proves emptiness, the single-column row exercises the violation path
+    lambda spark, sf: profiling.uniqueness_violations(
+        _t(spark, sf, "lineitem"), ["l_orderkey"]
+    ).select("l_orderkey", F.col("n").cast("long").alias("n")),
+    """
+    SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+    """,
+)
+
+_register(
+    "rel_fk_violations",
+    # lineitem.l_orderkey -> orders.o_orderkey plus a synthetic orphan set
+    # (keys shifted past the domain) so the check demonstrably fires
+    lambda spark, sf: profiling.referential_violations(
+        _t(spark, sf, "lineitem").select(
+            F.when(F.col("l_linenumber") == 7, F.col("l_orderkey") + 1000000000)
+            .otherwise(F.col("l_orderkey"))
+            .alias("l_orderkey")
+        ),
+        _t(spark, sf, "orders"),
+        "l_orderkey",
+        "o_orderkey",
+    ),
+    """
+    SELECT DISTINCT CASE WHEN l_linenumber = 7 THEN l_orderkey + 1000000000
+                         ELSE l_orderkey END AS orphan_key
+    FROM lineitem
+    WHERE CASE WHEN l_linenumber = 7 THEN l_orderkey + 1000000000
+               ELSE l_orderkey END NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
+      AND l_orderkey IS NOT NULL
+    """,
+)

@@ -123,3 +123,56 @@ def test_write_partitioned_prunes_and_round_trips(spark, events):
         # pruned read matches a full-scan filter
         full = events.where(F.to_date("ts") == day).count()
         assert pruned.count() == full
+
+
+# ---------------------------------------------------------------------------
+# profiling / constraint checks
+# ---------------------------------------------------------------------------
+
+
+def test_profile_table_metrics(spark):
+    from rclip_server_spark.operators import profiling
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (3, "a")], ["k", "v"]
+    )
+    out = {r.column: r for r in profiling.profile_table(df, ["k", "v"]).collect()}
+    assert out["k"].n_rows == 4 and out["k"].n_nulls == 0
+    assert out["k"].n_distinct == 3
+    assert (out["k"].min_str, out["k"].max_str) == ("1", "3")
+    assert out["v"].n_nulls == 1
+    assert out["v"].n_distinct == 2  # NULL not counted
+    assert (out["v"].min_str, out["v"].max_str) == ("a", "b")
+
+
+def test_uniqueness_violations(spark):
+    from rclip_server_spark.operators import profiling
+
+    df = spark.createDataFrame([(1, 1), (1, 2), (1, 1), (2, 1)], ["a", "b"])
+    # composite key: only (1,1) repeats
+    v = profiling.uniqueness_violations(df, ["a", "b"]).collect()
+    assert [(r.a, r.b, r.n) for r in v] == [(1, 1, 2)]
+    # unique key passes -> empty
+    assert profiling.uniqueness_violations(df.select("a").distinct(), ["a"]).count() == 0
+
+
+def test_referential_violations(spark):
+    from rclip_server_spark.operators import profiling
+
+    child = spark.createDataFrame([(1,), (2,), (9,), (None,)], ["fk"])
+    parent = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
+    v = profiling.referential_violations(child, parent, "fk", "pk").collect()
+    # 9 is orphaned; NULL never violates
+    assert [r.orphan_key for r in v] == [9]
+
+
+def test_fixture_fk_integrity_holds(spark):
+    from rclip_server_spark.operators import profiling
+    from rclip_server_spark.sources import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    assert (
+        profiling.referential_violations(li, orders, "l_orderkey", "o_orderkey").count()
+        == 0
+    )
