@@ -3047,3 +3047,35 @@ _register(
       AND l_orderkey IS NOT NULL
     """,
 )
+
+
+# ===========================================================================
+# incremental ingestion dedup: batch vs corpus MinHash near-dup
+# ===========================================================================
+
+_register(
+    "dedup_minhash_incremental",
+    # split the fixture: batch = doc_id % 10 == 0 arriving against the rest
+    lambda spark, sf: dedup.minhash_near_dup_incremental(
+        _t(spark, sf, "documents").where(F.col("doc_id") % 10 != 0),
+        _t(spark, sf, "documents").where(F.col("doc_id") % 10 == 0),
+        threshold=0.7,
+    ),
+    f"""
+    WITH h AS (SELECT doc_id AS id,
+                      list_distinct(list_transform({_SHINGLES}, s -> {hash60_sql('s')})) AS gs,
+                      {_HASHED_SHINGLES} AS hs FROM documents),
+    s AS (SELECT id, gs, {_SIG_LIST} AS sig FROM h),
+    cand AS (
+      SELECT a.id AS corpus_id, c.id AS batch_id, a.gs AS gs_a, c.gs AS gs_b
+      FROM (SELECT * FROM s WHERE id % 10 != 0) a
+      JOIN (SELECT * FROM s WHERE id % 10 = 0) c
+        ON ({_BAND_EQ}) AND {_SIG_MATCHES} >= {_MH_MIN_MATCHES})
+    SELECT corpus_id, batch_id, jaccard FROM (
+      SELECT corpus_id, batch_id,
+             CAST(len(list_intersect(gs_a, gs_b)) AS DOUBLE)
+             / CAST(len(gs_a) + len(gs_b) - len(list_intersect(gs_a, gs_b)) AS DOUBLE) AS jaccard
+      FROM cand)
+    WHERE jaccard >= 0.7
+    """,
+)

@@ -272,3 +272,44 @@ def test_binarize_hamming_identities(spark):
         ).alias("d")
     ).first()
     assert h.d == 64
+
+
+# ---------------------------------------------------------------------------
+# incremental (batch-vs-corpus) MinHash dedup
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_matches_cross_pairs_of_full_run(spark, documents):
+    """batch-vs-corpus pairs == the cross-table subset of the full self-join
+    near-dup pairs (same signatures, same verification)."""
+    corpus = documents.where(F.col("doc_id") % 10 != 0)
+    batch = documents.where(F.col("doc_id") % 10 == 0)
+    inc = {
+        (r.corpus_id, r.batch_id)
+        for r in dedup.minhash_near_dup_incremental(corpus, batch, threshold=0.7).collect()
+    }
+    full = dedup.minhash_near_dup(documents, threshold=0.7).collect()
+    cross = set()
+    for r in full:
+        a_batch, b_batch = r.id_a % 10 == 0, r.id_b % 10 == 0
+        if a_batch and not b_batch:
+            cross.add((r.id_b, r.id_a))
+        elif b_batch and not a_batch:
+            cross.add((r.id_a, r.id_b))
+    assert inc == cross
+
+
+def test_incremental_detects_exact_copy(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog repeatedly today"),
+         (2, "completely different corpus content with other words present")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog repeatedly today"),
+         (101, "novel unseen text that matches nothing in the existing index")],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.minhash_near_dup_incremental(corpus, batch, threshold=0.7).collect()
+    assert [(r.corpus_id, r.batch_id) for r in pairs] == [(1, 100)]
+    assert pairs[0].jaccard == 1.0
