@@ -3079,3 +3079,67 @@ _register(
     WHERE jaccard >= 0.7
     """,
 )
+
+
+# ===========================================================================
+# relational surface: unpivot (melt) + null-safe join
+# ===========================================================================
+
+_register(
+    "rel_unpivot_metrics",
+    # wide -> long: one (metric, cents) row per measure column via stack();
+    # integer cents keep the doubles order-free
+    lambda spark, sf: _t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'extendedprice', cast(round(l_extendedprice * 100) as bigint),"
+            " 'discount', cast(round(l_discount * 100) as bigint),"
+            " 'tax', cast(round(l_tax * 100) as bigint)) AS (metric, cents)"
+        ),
+    ),
+    """
+    SELECT l_orderkey, l_linenumber, metric, cents FROM (
+      SELECT l_orderkey, l_linenumber,
+             'extendedprice' AS metric,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount',
+             CAST(round(l_discount * 100) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax',
+             CAST(round(l_tax * 100) AS BIGINT) FROM lineitem)
+    """,
+)
+
+
+def _rel_nullsafe_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equality join (<=>): NULL keys MATCH each other — the
+    semantics a naive ON a = b silently drops. Derived nullable key on both
+    sides so the NULL-matches-NULL path is exercised."""
+    n = _t(spark, sf, "nation")
+    left = n.select(
+        F.when(F.col("n_regionkey") == 0, None).otherwise(F.col("n_regionkey")).alias("k"),
+        F.col("n_nationkey").alias("l_id"),
+    )
+    right = n.select(
+        F.when(F.col("n_regionkey") == 0, None).otherwise(F.col("n_regionkey")).alias("k"),
+        F.col("n_nationkey").alias("r_id"),
+    )
+    return (
+        left.join(right, left["k"].eqNullSafe(right["k"]))
+        .select(left["k"].alias("k"), "l_id", "r_id")
+    )
+
+
+_register(
+    "rel_nullsafe_join",
+    _rel_nullsafe_join,
+    """
+    WITH l AS (SELECT CASE WHEN n_regionkey = 0 THEN NULL ELSE n_regionkey END AS k,
+                      n_nationkey AS l_id FROM nation),
+    r AS (SELECT CASE WHEN n_regionkey = 0 THEN NULL ELSE n_regionkey END AS k,
+                 n_nationkey AS r_id FROM nation)
+    SELECT l.k, l_id, r_id FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
