@@ -3143,3 +3143,59 @@ _register(
     SELECT l.k, l_id, r_id FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
     """,
 )
+
+
+# ===========================================================================
+# fuzzy string join (entity resolution): q-gram prefilter + levenshtein
+# ===========================================================================
+
+from .operators import joins as J  # noqa: E402
+
+# left: the distinct token vocabulary; right: tokens with a deterministic
+# char-2/3 transposition typo (only tokens long enough to transpose)
+_VOCAB_SQL = f"(SELECT DISTINCT token AS w FROM (SELECT unnest({_TOKS}) AS token FROM documents))"
+_TYPO_SQL = (
+    "(SELECT DISTINCT concat(substr(w, 1, 1), substr(w, 3, 1), substr(w, 2, 1), substr(w, 4)) AS w2 "
+    f"FROM {_VOCAB_SQL} WHERE length(w) >= 4)"
+)
+
+
+def _fuzzy_join_query(spark: SparkSession, sf: str) -> DataFrame:
+    vocab = (
+        _t(spark, sf, "documents")
+        .select(F.explode(TXT.tokens(F.col("text"))).alias("w"))
+        .distinct()
+    )
+    typos = (
+        vocab.where(F.length("w") >= 4)
+        .select(
+            F.concat(
+                F.substring("w", 1, 1),
+                F.substring("w", 3, 1),
+                F.substring("w", 2, 1),
+                F.expr("substr(w, 4)"),
+            ).alias("w2")
+        )
+        .distinct()
+    )
+    return J.fuzzy_string_join(vocab, typos, "w", "w2", max_dist=2, q=2)
+
+
+_register(
+    "rel_fuzzy_string_join",
+    _fuzzy_join_query,
+    f"""
+    WITH l AS {_VOCAB_SQL}, r AS {_TYPO_SQL},
+    gl AS (SELECT DISTINCT w AS sa, unnest(CASE WHEN length(lower(w)) < 2 THEN [lower(w)]
+               ELSE list_distinct(list_transform(range(1, length(lower(w))),
+                                  i -> substr(lower(w), CAST(i AS INT), 2))) END) AS g
+           FROM l),
+    gr AS (SELECT DISTINCT w2 AS sb, unnest(CASE WHEN length(lower(w2)) < 2 THEN [lower(w2)]
+               ELSE list_distinct(list_transform(range(1, length(lower(w2))),
+                                  i -> substr(lower(w2), CAST(i AS INT), 2))) END) AS g
+           FROM r),
+    cand AS (SELECT DISTINCT sa, sb FROM gl JOIN gr USING (g))
+    SELECT sa, sb, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(sa, sb) <= 2 AND sa != sb
+    """,
+)

@@ -155,3 +155,50 @@ def band_self_join(
         "b_id",
         (F.col("b_us") - F.col("a_us")).alias("gap_us"),
     )
+
+
+def _gram_explode(df: DataFrame, col: str, alias: str, q: int) -> DataFrame:
+    """(string, gram) rows: distinct character q-grams of the lowercased
+    column (whole string when shorter than q), row-local explode."""
+    t = F.lower(F.col(col))
+    grams = F.when(F.length(t) < q, F.array(t)).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - q + 1),
+                lambda i: t.substr(i, F.lit(q)),
+            )
+        )
+    )
+    return df.select(F.col(col).alias(alias), F.explode(grams).alias("g")).distinct()
+
+
+def fuzzy_string_join(
+    left: DataFrame,
+    right: DataFrame,
+    col_l: str,
+    col_r: str,
+    max_dist: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """Entity-resolution fuzzy join: pairs of strings within Levenshtein
+    distance ``max_dist``, without the all-pairs compare. Candidates are
+    generated by an equi-join on shared character q-grams (any pair within
+    edit distance d shares a q-gram whenever min-length > q*(d+1)-1, so for
+    short tokens the filter is safe by construction and for long ones it is
+    a superset of the true pairs); only candidates pay the O(L^2)
+    levenshtein verification.
+
+    Scale shape: explode q-grams (map) → equi-join on the gram (shuffle
+    keyed by gram; hot grams are the skew to watch — salt or drop
+    ultra-frequent grams at extreme scale) → distinct pair (one exchange)
+    → row-local verify. Both engines share levenshtein with identical
+    integer semantics, so the row is oracle-exact.
+    """
+    grams_l = _gram_explode(left, col_l, "sa", q)
+    grams_r = _gram_explode(right, col_r, "sb", q)
+    cands = grams_l.join(grams_r, "g").select("sa", "sb").distinct()
+    return (
+        cands.withColumn("dist", F.levenshtein("sa", "sb"))
+        .where((F.col("dist") <= max_dist) & (F.col("sa") != F.col("sb")))
+        .select("sa", "sb", F.col("dist").cast("long").alias("dist"))
+    )

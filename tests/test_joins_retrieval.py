@@ -269,3 +269,30 @@ def test_ngram_repetition_ratio(spark):
     assert out[1] > 0.5
     assert out[2] == 0.0
     assert out[3] == 0.0
+
+
+def test_fuzzy_string_join_finds_typos(spark):
+    from rclip_server_spark.operators.joins import fuzzy_string_join
+
+    left = spark.createDataFrame(
+        [("window",), ("shuffle",), ("join",)], ["w"]
+    )
+    right = spark.createDataFrame(
+        [("wnidow",), ("shufle",), ("completely",)], ["w2"]
+    )
+    pairs = {(r.sa, r.sb): r.dist for r in
+             fuzzy_string_join(left, right, "w", "w2", max_dist=2).collect()}
+    assert pairs[("window", "wnidow")] == 2   # transposition = 2 edits
+    assert pairs[("shuffle", "shufle")] == 1  # deletion = 1 edit
+    assert all(sb != "completely" for (_, sb) in pairs)
+
+
+def test_fuzzy_string_join_excludes_exact_and_far(spark):
+    from rclip_server_spark.operators.joins import fuzzy_string_join
+
+    left = spark.createDataFrame([("alpha",), ("beta",)], ["w"])
+    right = spark.createDataFrame([("alpha",), ("alphax",), ("gamma",)], ["w2"])
+    pairs = [(r.sa, r.sb) for r in
+             fuzzy_string_join(left, right, "w", "w2", max_dist=1).collect()]
+    # exact matches excluded (sa != sb); gamma too far; only alpha~alphax
+    assert pairs == [("alpha", "alphax")]
