@@ -3199,3 +3199,49 @@ _register(
     FROM cand WHERE levenshtein(sa, sb) <= 2 AND sa != sb
     """,
 )
+
+
+# ===========================================================================
+# z-score anomaly detection over events (exact integer moments)
+# ===========================================================================
+
+
+def _ev_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type z-score outliers: |value - mean| > 3*stddev, with the
+    moments computed from ORDER-FREE integer sums (cents and squared cents
+    as BIGINT) so mean/std — and therefore the flag — are bit-identical
+    across engines and partitionings. Population std (the /n form) in both.
+    Squared cents stay far inside int64 (1e8 per row x 2e5 rows ~ 2e13)."""
+    _utc(spark)
+    ev = _t(spark, sf, "events")
+    c = cents_col(F.col("value"))
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).alias("s1"),
+        F.sum(c * c).alias("s2"),
+    )
+    joined = ev.join(F.broadcast(m), "event_type")
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = F.col("s2").cast("double") / F.col("n").cast("double") - mean * mean
+    dev = F.abs(c.cast("double") - mean)
+    return joined.where(dev * dev > F.lit(9.0) * var).select(
+        "event_id", "event_type", c.alias("value_cents")
+    )
+
+
+_register(
+    "ev_zscore_outliers",
+    _ev_zscore,
+    f"""
+    WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                      CAST(SUM({cents('value')}) AS BIGINT) AS s1,
+                      CAST(SUM({cents('value')} * {cents('value')}) AS BIGINT) AS s2
+               FROM events GROUP BY event_type)
+    SELECT event_id, events.event_type, {cents('value')} AS value_cents
+    FROM events JOIN m ON events.event_type = m.event_type
+    WHERE abs({cents('value')} - CAST(s1 AS DOUBLE) / n)
+          * abs({cents('value')} - CAST(s1 AS DOUBLE) / n)
+          > 9.0 * (CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+    """,
+)
