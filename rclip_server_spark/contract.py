@@ -3050,6 +3050,51 @@ _register(
 
 
 # ===========================================================================
+# snapshot diff (CDC): added / removed / changed between two table versions
+# ===========================================================================
+
+
+def _snapshot_diff_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Two synthetic snapshots of documents from one fixture: the "old"
+    snapshot drops doc_id % 7 == 0, the "new" snapshot drops doc_id % 5 == 0
+    and rewrites every doc_id % 11 == 0 text — yielding all three change
+    classes deterministically."""
+    docs = _t(spark, sf, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    new = docs.where(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    )
+    return profiling.snapshot_diff(old, new, ["doc_id"], ["text", "lang", "source"])
+
+
+_register(
+    "rel_snapshot_diff",
+    _snapshot_diff_query,
+    """
+    WITH o AS (
+      SELECT doc_id, md5(concat_ws(chr(31),
+               coalesce(text, chr(0)), coalesce(lang, chr(0)), coalesce(source, chr(0)))) AS fp
+      FROM documents WHERE doc_id % 7 <> 0),
+    n AS (
+      SELECT doc_id, md5(concat_ws(chr(31),
+               coalesce(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END, chr(0)),
+               coalesce(lang, chr(0)), coalesce(source, chr(0)))) AS fp
+      FROM documents WHERE doc_id % 5 <> 0)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.fp IS NULL THEN 'added'
+                WHEN n.fp IS NULL THEN 'removed'
+                WHEN o.fp <> n.fp THEN 'changed' END AS change
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    WHERE CASE WHEN o.fp IS NULL THEN 'added'
+               WHEN n.fp IS NULL THEN 'removed'
+               WHEN o.fp <> n.fp THEN 'changed' END IS NOT NULL
+    """,
+)
+
+
+# ===========================================================================
 # incremental ingestion dedup: batch vs corpus MinHash near-dup
 # ===========================================================================
 

@@ -176,3 +176,31 @@ def test_fixture_fk_integrity_holds(spark):
         profiling.referential_violations(li, orders, "l_orderkey", "o_orderkey").count()
         == 0
     )
+
+
+def test_snapshot_diff_classes(spark):
+    from rclip_server_spark.operators import profiling
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "z"), (4, None, "w")],
+        ["id", "t", "s"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "x"), (2, "B", "y"), (5, "e", "v"), (4, None, "w")],
+        ["id", "t", "s"],
+    )
+    out = {r.id: r.change for r in
+           profiling.snapshot_diff(old, new, ["id"], ["t", "s"]).collect()}
+    # 1 unchanged (absent), 2 changed, 3 removed, 5 added, 4 unchanged-with-null
+    assert out == {2: "changed", 3: "removed", 5: "added"}
+
+
+def test_snapshot_diff_self_is_empty(spark):
+    from rclip_server_spark.operators import profiling
+    from rclip_server_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    assert (
+        profiling.snapshot_diff(docs, docs, ["doc_id"], ["text", "lang", "source"]).count()
+        == 0
+    )
