@@ -2192,6 +2192,50 @@ _register(
 )
 
 
+# BPE training: the one-pass pair statistics are oracle-exact; the full
+# iterative merge loop (driver argmax per step) is rows-only per the
+# contract's iterative-algorithm rule, pinned instead by the pure-Python
+# reference-parity tests in tests/test_corpus.py.
+
+
+def _bpe_pair_counts_query(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import corpus
+
+    wf = corpus.bpe_word_freqs(_t(spark, sf, "documents"))
+    return corpus.bpe_pair_counts(wf)
+
+
+_register(
+    "text_bpe_pair_counts",
+    _bpe_pair_counts_query,
+    f"""
+    WITH w AS (SELECT unnest(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS word
+               FROM documents),
+    wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY word),
+    s AS (SELECT freq, regexp_extract_all(word, '(?s).') AS cs FROM wf),
+    p AS (SELECT freq,
+                 unnest(list_slice(cs, 1, len(cs) - 1)) AS a,
+                 unnest(list_slice(cs, 2, len(cs))) AS b
+          FROM s WHERE len(cs) >= 2)
+    SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pair_freq FROM p GROUP BY a, b
+    """,
+)
+
+
+def _bpe_train_query(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import corpus
+
+    merges, _ = corpus.bpe_train(
+        _t(spark, sf, "documents"), n_merges=8, min_pair_freq=2
+    )
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)], "rank long, a string, b string"
+    )
+
+
+_register("text_bpe_train_merges", _bpe_train_query, None)
+
+
 def _clean_corpus_query(spark: SparkSession, sf: str) -> DataFrame:
     from .operators import text_analysis
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -260,3 +261,193 @@ def weighted_mixture(
         F.sequence(F.lit(0), n.cast("int") - 1)
     )
     return df.withColumn("copy", F.explode(copies))
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE vocabulary training (Sennrich-style byte-pair encoding)
+# ---------------------------------------------------------------------------
+
+_PAIR_SCHEMA = "array<struct<a:string,b:string>>"
+
+
+def _char_syms(word) -> F.Column:
+    """Split a pre-token into single-character symbols. Java's dot-all '.'
+    matches one UTF-16 code unit, DuckDB's one code point — identical for
+    everything in the BMP (astral plane chars would differ; fixture text is
+    BMP)."""
+    return F.regexp_extract_all(word, F.lit(r"(?s)."), F.lit(0))
+
+
+def _adjacent_pairs(syms) -> F.Column:
+    """All adjacent symbol pairs, overlapping included — the counting rule
+    of the original BPE algorithm (Sennrich et al. 2016, learn_bpe)."""
+    n = F.size(syms)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("a"),
+                F.element_at(syms, i + F.lit(1)).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast(_PAIR_SCHEMA))
+
+
+def _apply_merge(syms, a: str, b: str) -> F.Column:
+    """Replace every non-overlapping left-to-right occurrence of (a, b) in
+    the symbol array with the merged symbol a+b — as a pure column fold
+    (no Python in the loop). The accumulator carries the rebuilt prefix
+    plus one pending symbol of lookahead."""
+    merged = a + b
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pending"),
+    )
+
+    def step(acc, s):
+        return F.when(
+            (acc["pending"] == F.lit(a)) & (s == F.lit(b)),
+            F.struct(
+                F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                F.lit(None).cast("string").alias("pending"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(acc["pending"].isNull(), acc["out"])
+                .otherwise(F.concat(acc["out"], F.array(acc["pending"])))
+                .alias("out"),
+                s.alias("pending"),
+            )
+        )
+
+    def finish(acc):
+        return F.when(acc["pending"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pending"]))
+        )
+
+    return F.aggregate(syms, acc0, step, finish)
+
+
+def bpe_word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq, syms): the distinct pre-token table that BPE training
+    iterates on. This is the ONLY pass over the corpus — at 100 TB the
+    explode+count is one partial-agg shuffle keyed on the pre-token, and
+    everything after operates on the vocab-sized result (~1e6-1e8 distinct
+    pre-tokens, independent of corpus size)."""
+    return (
+        df.select(F.explode(TXT.bpe_pretokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .withColumn("syms", _char_syms(F.col("word")))
+    )
+
+
+def bpe_pair_counts(word_freqs: DataFrame) -> DataFrame:
+    """(a, b, pair_freq): corpus-weighted adjacent-pair frequencies — one
+    BPE training step's statistics. Map-side explode of the vocab table
+    plus one small hash-agg shuffle on the pair key."""
+    return (
+        word_freqs.select(
+            F.col("freq"), F.explode(_adjacent_pairs(F.col("syms"))).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("pair_freq"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 32,
+    text_col: str = "text",
+    min_pair_freq: int = 2,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn a BPE merge list from a text column, distributed.
+
+    Algorithm (Sennrich et al. 2016): start from characters, repeatedly
+    merge the globally most frequent adjacent symbol pair. Ties break
+    deterministically (count desc, then pair lexicographic asc) so the
+    merge list is reproducible across partitionings and engines.
+
+    Scale shape: the corpus is read ONCE (``bpe_word_freqs``); each of the
+    ``n_merges`` iterations runs one vocab-sized pair-count shuffle and one
+    map-only merge rewrite. ``localCheckpoint`` truncates the growing
+    column-fold lineage each step (on a cluster, a reliable checkpoint dir
+    serves the same role). The driver only ever sees the single argmax row
+    per iteration — vocab and corpus stay distributed.
+
+    Returns (merges, final word table with merged ``syms``).
+    """
+    wf = bpe_word_freqs(df, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            bpe_pair_counts(wf)
+            .orderBy(F.desc("pair_freq"), F.asc("a"), F.asc("b"))
+            .first()
+        )
+        if top is None or top["pair_freq"] < min_pair_freq:
+            break
+        merges.append((top["a"], top["b"]))
+        wf = wf.withColumn(
+            "syms", _apply_merge(F.col("syms"), top["a"], top["b"])
+        ).localCheckpoint(eager=True)
+    return merges, wf
+
+
+def bpe_vocab(word_freqs: DataFrame) -> DataFrame:
+    """(token, freq) over the trained symbol table: the emitted vocabulary
+    with corpus frequencies (one vocab-sized shuffle)."""
+    return (
+        word_freqs.select(F.col("freq"), F.explode(F.col("syms")).alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").alias("freq"))
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize a text column with a trained merge list. Pre-tokenization
+    stays JVM-side (``bpe_pretokens``); the per-pre-token merge loop is a
+    Python fold over an Arrow-batched pandas UDF (a column-expression fold
+    would nest ``n_merges`` aggregate lambdas — codegen-hostile past a few
+    dozen rules). The merge list broadcasts via closure capture; the body
+    is self-contained because Spark's Python workers don't have the repo
+    on sys.path."""
+    rules = list(merges)
+
+    @F.pandas_udf("array<string>")
+    def encode(pretoks: pd.Series) -> pd.Series:
+        def apply_word(word, cache={}):
+            hit = cache.get(word)
+            if hit is not None:
+                return hit
+            syms = list(word)
+            for a, b in rules:
+                out, pending = [], None
+                for s in syms:
+                    if pending == a and s == b:
+                        out.append(a + b)
+                        pending = None
+                    else:
+                        if pending is not None:
+                            out.append(pending)
+                        pending = s
+                if pending is not None:
+                    out.append(pending)
+                syms = out
+            cache[word] = syms
+            return syms
+
+        # Arrow delivers array columns as numpy arrays; no `or []` (ambiguous)
+        return pretoks.map(
+            lambda toks: []
+            if toks is None
+            else [t for w in toks for t in apply_word(w)]
+        )
+
+    return df.withColumn(out_col, encode(TXT.bpe_pretokens(F.col(text_col))))

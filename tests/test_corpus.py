@@ -313,3 +313,108 @@ def test_incremental_detects_exact_copy(spark):
     pairs = dedup.minhash_near_dup_incremental(corpus, batch, threshold=0.7).collect()
     assert [(r.corpus_id, r.batch_id) for r in pairs] == [(1, 100)]
     assert pairs[0].jaccard == 1.0
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary training
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(words_with_freq, n_merges, min_pair_freq=2):
+    """Pure-Python Sennrich-style reference: character start, merge the
+    most frequent adjacent pair (overlapping counted), ties broken by
+    (count desc, pair asc), merges applied greedily left-to-right."""
+    table = [(list(w), f) for w, f in words_with_freq]
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, f in table:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_freq:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        new_table = []
+        for syms, f in table:
+            out, pending = [], None
+            for s in syms:
+                if pending == a and s == b:
+                    out.append(a + b)
+                    pending = None
+                else:
+                    if pending is not None:
+                        out.append(pending)
+                    pending = s
+            if pending is not None:
+                out.append(pending)
+            new_table.append((out, f))
+        table = new_table
+    return merges, table
+
+
+def _ref_word_freqs(documents):
+    rows = (
+        documents.select(
+            F.explode(corpus.TXT.bpe_pretokens(F.col("text"))).alias("w")
+        )
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    return [(r.w, r["count"]) for r in rows]
+
+
+def test_bpe_train_matches_python_reference(documents):
+    merges, wf = corpus.bpe_train(documents, n_merges=12)
+    ref_merges, _ = _ref_bpe(_ref_word_freqs(documents), 12)
+    assert merges == ref_merges
+    assert len(merges) == 12  # fixture corpus has at least 12 productive merges
+
+
+def test_bpe_final_syms_match_reference(documents):
+    merges, wf = corpus.bpe_train(documents, n_merges=8)
+    _, ref_table = _ref_bpe(_ref_word_freqs(documents), 8)
+    got = {"".join(r.syms): tuple(r.syms) for r in wf.collect()}
+    want = {"".join(syms): tuple(syms) for syms, _ in ref_table}
+    assert got == want
+
+
+def test_bpe_merge_fold_greedy_left_to_right(spark):
+    df = spark.createDataFrame([(["a", "a", "a"],)], ["syms"])
+    out = df.select(corpus._apply_merge(F.col("syms"), "a", "a").alias("m")).first().m
+    assert out == ["aa", "a"]  # non-overlapping, left-first
+
+
+def test_bpe_pair_counts_overlapping(spark):
+    wf = spark.createDataFrame([("aaa", 2, ["a", "a", "a"])], ["word", "freq", "syms"])
+    rows = corpus.bpe_pair_counts(wf).collect()
+    assert [(r.a, r.b, r.pair_freq) for r in rows] == [("a", "a", 4)]  # 2 positions x freq 2
+
+
+def test_bpe_encode_lossless_and_ref_parity(documents):
+    merges, _ = corpus.bpe_train(documents, n_merges=10)
+    enc = corpus.bpe_encode(documents, merges)
+    sample = enc.select("text", "bpe_tokens").limit(50).collect()
+    assert len(sample) > 0
+    for r in sample:
+        # tokens concatenate back to the pre-token stream == original text
+        assert "".join(r.bpe_tokens) == r.text
+    # every emitted token is either a trained vocab entry or a raw symbol
+    # reachable from the merge list's closure
+    vocab = {a + b for a, b in merges}
+    for r in sample[:10]:
+        for t in r.bpe_tokens:
+            assert len(t) == 1 or t in vocab
+
+
+def test_bpe_vocab_freq_conserved(documents):
+    merges, wf = corpus.bpe_train(documents, n_merges=5)
+    vocab = corpus.bpe_vocab(wf)
+    total_syms = vocab.agg(F.sum("freq")).first()[0]
+    direct = wf.select(F.sum(F.size("syms") * F.col("freq"))).first()[0]
+    assert total_syms == direct
