@@ -2269,6 +2269,36 @@ _register(
 )
 
 
+def _quality_clf_query(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import text_analysis
+
+    return text_analysis.classifier_quality_score(
+        _t(spark, sf, "documents"), threshold=0.0
+    )
+
+
+def _quality_clf_sql() -> str:
+    from .operators.text_analysis import QUALITY_CLF_BIAS, QUALITY_CLF_WEIGHTS as W
+
+    # left-assoc chain in the same fixed feature order as the Spark column
+    score = (
+        f"{_f(QUALITY_CLF_BIAS)}"
+        f" + {_f(W['log_tokens'])} * ln(1.0 + CAST(len({_TOKS}) AS DOUBLE))"
+        f" + {_f(W['mean_token_len'])} * ({_MTL})"
+        f" + {_f(W['stopword_ratio'])} * ({_STOP_RATIO})"
+        f" + {_f(W['punct_ratio'])} * ({_PUNCT_RATIO})"
+    )
+    return f"""
+    SELECT doc_id,
+           CAST(round(({score}) * 1000000.0) AS BIGINT) AS score_micros,
+           CAST(round(({score}) * 1000000.0) AS BIGINT) > 0 AS keep
+    FROM documents
+    """
+
+
+_register("text_quality_classifier", _quality_clf_query, _quality_clf_sql())
+
+
 def _pca_coarse_topk_query(spark: SparkSession, sf: str) -> DataFrame:
     """Coarse-to-fine search over the PCA index (runtime-fitted components ⇒
     rows-only; exact-score + recall proof in tests/test_pca.py)."""

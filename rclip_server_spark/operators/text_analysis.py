@@ -340,3 +340,58 @@ def ngram_repetition_ratio(text_col, n: int = 3):
         F.lit(1.0)
         - F.size(F.array_distinct(g)).cast("double") / F.size(g).cast("double")
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering (linear classifier with literal weights)
+# ---------------------------------------------------------------------------
+
+QUALITY_CLF_WEIGHTS = {
+    "log_tokens": 0.35,       # longer docs are likelier to be prose
+    "mean_token_len": 0.08,   # penalizes char-soup / code dumps indirectly
+    "stopword_ratio": 1.2,    # natural language has function words
+    "punct_ratio": -2.5,      # symbol walls are boilerplate/markup
+}
+QUALITY_CLF_BIAS = -1.0
+
+
+def classifier_quality_score(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    bias: float = QUALITY_CLF_BIAS,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Linear quality-classifier scoring — the distributed shape of
+    fastText/logreg model-based filtering (the CCNet/GPT-3 recipe: score
+    every document with a small model, keep above a threshold).
+
+    The model is a literal weight vector folded into codegen, so the whole
+    operator is one map-only projection over the scan — zero shuffles, and
+    at 100 TB it runs at I/O speed. Swapping in real trained weights is a
+    parameter change, not a plan change.
+
+    Determinism: the weighted sum is built left-associatively in a fixed
+    feature order, the score is emitted as micro-units (round 1e6 →
+    BIGINT), and the keep flag compares INTEGER micros — so the decision
+    boundary is bit-identical across engines and partitionings.
+    """
+    w = dict(QUALITY_CLF_WEIGHTS if weights is None else weights)
+    t = F.col(text_col)
+    feats = {
+        "log_tokens": F.log(F.lit(1.0) + TXT.token_count(t).cast("double")),
+        "mean_token_len": TXT.mean_token_len(t),
+        "stopword_ratio": TXT.stopword_ratio(t),
+        "punct_ratio": TXT.punct_ratio(t),
+    }
+    score = F.lit(float(bias))
+    for name in ("log_tokens", "mean_token_len", "stopword_ratio", "punct_ratio"):
+        score = score + F.lit(float(w[name])) * feats[name]
+    micros = F.round(score * F.lit(1000000.0)).cast("long")
+    thr = int(round(threshold * 1e6))
+    return df.select(
+        id_col,
+        micros.alias("score_micros"),
+        (micros > F.lit(thr)).alias("keep"),
+    )

@@ -418,3 +418,39 @@ def test_bpe_vocab_freq_conserved(documents):
     total_syms = vocab.agg(F.sum("freq")).first()[0]
     direct = wf.select(F.sum(F.size("syms") * F.col("freq"))).first()[0]
     assert total_syms == direct
+
+
+# ---------------------------------------------------------------------------
+# classifier quality score
+# ---------------------------------------------------------------------------
+
+
+def test_classifier_quality_hand_computed(spark):
+    import math
+    from rclip_server_spark.operators import text_analysis as TA
+
+    df = spark.createDataFrame([(1, "the cat sat on the mat")], ["doc_id", "text"])
+    r = TA.classifier_quality_score(df).first()
+    # features: 6 tokens, mean len 17/6, distinct stopword hits {the}=1/6, punct 0
+    w, b = TA.QUALITY_CLF_WEIGHTS, TA.QUALITY_CLF_BIAS
+    score = (
+        b
+        + w["log_tokens"] * math.log(7.0)
+        + w["mean_token_len"] * (17.0 / 6.0)
+        + w["stopword_ratio"] * (1.0 / 6.0)
+        + w["punct_ratio"] * 0.0
+    )
+    assert r.score_micros == round(score * 1e6)
+    assert r.keep == (r.score_micros > 0)
+
+
+def test_classifier_quality_punct_penalty(spark):
+    from rclip_server_spark.operators import text_analysis as TA
+
+    df = spark.createDataFrame(
+        [(1, "a normal english sentence about things"),
+         (2, "a normal english sentence about th!?;;")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.score_micros for r in TA.classifier_quality_score(df).collect()}
+    assert out[2] < out[1]
