@@ -2299,6 +2299,41 @@ def _quality_clf_sql() -> str:
 _register("text_quality_classifier", _quality_clf_query, _quality_clf_sql())
 
 
+def _cluster_topics_query(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import corpus
+
+    return corpus.cluster_topic_terms(
+        _t(spark, sf, "documents"), _t(spark, sf, "embeddings"), CENTROIDS, k_terms=5
+    ).select(
+        F.col("ivf_cell").cast("long").alias("ivf_cell"),
+        F.col("rank").cast("long").alias("rank"),
+        "token",
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+_STOPWORDS_TUPLE = "(" + ", ".join(f"'{w}'" for w in sorted(TXT.STOPWORDS)) + ")"
+
+_register(
+    "text_cluster_topics",
+    _cluster_topics_query,
+    f"""
+    WITH d AS (SELECT vec_id, {_IVF_DOTS} FROM embeddings),
+    a AS (SELECT vec_id, {_IVF_CASE} AS cell FROM d),
+    t AS (SELECT a.cell, unnest({_TOKS}) AS token
+          FROM documents JOIN a ON documents.doc_id = a.vec_id),
+    c AS (SELECT cell, token, CAST(count(*) AS BIGINT) AS cnt
+          FROM t WHERE token NOT IN {_STOPWORDS_TUPLE}
+          GROUP BY cell, token),
+    r AS (SELECT cell, token, cnt,
+                 row_number() OVER (PARTITION BY cell ORDER BY cnt DESC, token ASC) AS rnk
+          FROM c)
+    SELECT CAST(cell AS BIGINT) AS ivf_cell, CAST(rnk AS BIGINT) AS rank, token, cnt
+    FROM r WHERE rnk <= 5
+    """,
+)
+
+
 def _pca_coarse_topk_query(spark: SparkSession, sf: str) -> DataFrame:
     """Coarse-to-fine search over the PCA index (runtime-fitted components ⇒
     rows-only; exact-score + recall proof in tests/test_pca.py)."""

@@ -451,3 +451,50 @@ def bpe_encode(
         )
 
     return df.withColumn(out_col, encode(TXT.bpe_pretokens(F.col(text_col))))
+
+
+# ---------------------------------------------------------------------------
+# Cluster-then-describe: k-means cells labeled by their dominant terms
+# ---------------------------------------------------------------------------
+
+
+def cluster_topic_terms(
+    docs: DataFrame,
+    emb: DataFrame,
+    centroids,
+    k_terms: int = 5,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Topic sketch per embedding cluster: assign every vector to its
+    nearest literal centroid (map-only greatest-of-structs, same plan as
+    the IVF index), join the text by id, and rank each cell's
+    non-stopword tokens by frequency — (ivf_cell, rank, token, cnt).
+
+    The corpus-curation use: eyeball what each semantic cluster IS before
+    deciding per-cluster sampling rates or drops. Scale shape: the id
+    join is the standard co-partitioned equi-join (bucket both tables by
+    id to make it shuffle-free); the token count is one partial-agg
+    shuffle keyed (cell, token); the per-cell top-k is a window over
+    cell-partitioned counts — cells are few, counts are vocab-sized.
+    Deterministic order: count desc, token asc."""
+    from pyspark.sql import Window
+
+    from .ann import ivf_assign
+
+    assigned = ivf_assign(emb, centroids, id_col=vec_id_col).select(
+        F.col(vec_id_col).alias(id_col), "ivf_cell"
+    )
+    toks = (
+        docs.join(assigned, id_col)
+        .select("ivf_cell", F.explode(TXT.tokens(F.col(text_col))).alias("token"))
+        .where(~F.col("token").isin(*sorted(TXT.STOPWORDS)))
+    )
+    counts = toks.groupBy("ivf_cell", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("ivf_cell").orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_terms)
+        .select("ivf_cell", "rank", "token", "cnt")
+    )

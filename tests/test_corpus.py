@@ -454,3 +454,37 @@ def test_classifier_quality_punct_penalty(spark):
     )
     out = {r.doc_id: r.score_micros for r in TA.classifier_quality_score(df).collect()}
     assert out[2] < out[1]
+
+
+# ---------------------------------------------------------------------------
+# cluster_topic_terms
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_topics_hand_computed(spark):
+    import numpy as np
+
+    cents = np.eye(2)  # cell 0 = e0, cell 1 = e1
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    docs = spark.createDataFrame(
+        [(1, "cats cats dogs"), (2, "cats birds"), (3, "fish fish fish")],
+        ["doc_id", "text"],
+    )
+    out = corpus.cluster_topic_terms(docs, emb, cents, k_terms=2).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.ivf_cell, []).append((r.rank, r.token, r.cnt))
+    assert sorted(by_cell[0]) == [(1, "cats", 3), (2, "birds", 1)]
+    assert sorted(by_cell[1]) == [(1, "fish", 3)]
+
+
+def test_cluster_topics_excludes_stopwords(spark):
+    import numpy as np
+
+    emb = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    docs = spark.createDataFrame([(1, "the the the zebra")], ["doc_id", "text"])
+    out = corpus.cluster_topic_terms(docs, emb, np.eye(2), k_terms=3).collect()
+    assert [r.token for r in out] == ["zebra"]
