@@ -2543,6 +2543,65 @@ _register(
 )
 
 
+# Q6-style forecasting-revenue scan: the pushdown showcase — every predicate
+# reaches the parquet reader (PushedFilters on l_shipdate/l_discount/
+# l_quantity), the aggregate is a zero-group partial agg, and the identical
+# SQL text runs on both engines (integer cents; no timestamps in the output).
+_Q6_BODY = """
+    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= CAST('0.05' AS DOUBLE)
+      AND l_discount <= CAST('0.07' AS DOUBLE)
+      AND l_quantity < 24
+"""
+
+
+def _sql_q6_query(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources.catalog import register_views
+
+    _utc(spark)
+    register_views(spark, sf)
+    return spark.sql(_Q6_BODY)
+
+
+_register("sql_q6_forecast_revenue", _sql_q6_query, _Q6_BODY)
+
+
+# Q14-style promo-revenue share: lineitem x part join where the part side
+# broadcasts; the share is derived from the two order-free integer-cents
+# sums, so the double division is bit-identical across engines.
+_Q14_BODY = """
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS promo_cents,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(round(CAST(sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                        ELSE 0 END) AS DOUBLE) * 1000000.0
+                 / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE))
+             AS BIGINT) AS promo_share_micros
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+def _sql_q14_query(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources.catalog import register_views
+
+    _utc(spark)
+    register_views(spark, sf)
+    return spark.sql(_Q14_BODY)
+
+
+_register("sql_q14_promo_share", _sql_q14_query, _Q14_BODY)
+
+
 # ===========================================================================
 # PII redaction + repetition filter (training-data compliance/cleaning)
 # ===========================================================================

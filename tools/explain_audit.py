@@ -16,8 +16,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from rclip_server_spark.contract import _QUERIES, QV_FLAGSHIP
-from rclip_server_spark.operators import dedup, similarity, stats
+from rclip_server_spark.contract import _QUERIES, CENTROIDS, QV_FLAGSHIP
+from rclip_server_spark.operators import corpus, dedup, similarity, stats
 from rclip_server_spark.session import get_spark
 from rclip_server_spark.sources import load_table, writer
 
@@ -288,6 +288,35 @@ def main() -> int:
         "TakeOrderedAndProject; stage 2 exact-dots only those 200. Both "
         "stages are map-side + k.P-row merges — no full sort, no shuffle "
         "of the corpus.",
+    ))
+
+    audits.append((
+        "SQL Q6-style predicate-pushdown scan",
+        _QUERIES["sql_q6_forecast_revenue"](spark, SF_DIR),
+        {
+            "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), "
+            "IsNotNull(l_quantity), GreaterThanOrEqual(l_shipdate,": True,
+            "Exchange": True,  # exactly the final 1-row agg gather
+            "SortMergeJoin": False,
+        },
+        "All four range predicates reach the parquet reader (row-group "
+        "min-max skipping: a year of data read from a decade-wide table), "
+        "the aggregate combines map-side to one row per task, and the only "
+        "exchange moves P rows to the single final-agg reducer. At 100 TB "
+        "this plan's cost is the filtered scan, nothing else.",
+    ))
+
+    audits.append((
+        "Cluster-topic-terms (assign + join + windowed top-k)",
+        corpus.cluster_topic_terms(docs, emb, CENTROIDS, k_terms=5),
+        {("SortMergeJoin", "HashJoin"): True, "CartesianProduct": False,
+         "BroadcastNestedLoopJoin": False},
+        "Centroid assignment is a map-only greatest-of-structs over literal "
+        "vectors; the doc join is a hash equi-join on the id (broadcast at "
+        "this sf, shuffle-hash/SMJ at scale — bucket both tables by id to "
+        "elide the exchange); the per-cell top-k windows over (cell, token) "
+        "counts — vocab-sized input, cells are few. Never a nested loop: "
+        "nothing grows with corpus size except the keyed shuffles.",
     ))
 
     lines = [
