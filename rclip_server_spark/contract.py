@@ -2095,6 +2095,20 @@ _register(
     """,
 )
 
+_register(
+    "samp_training_shuffle",
+    lambda spark, sf: sampling.training_shuffle(
+        _t(spark, sf, "documents"), "doc_id", n_shards=8
+    ).select("doc_id", "shard", "pos"),
+    f"""
+    WITH h AS (SELECT doc_id, {_samp_hash_sql('shuffle')} AS hh FROM documents)
+    SELECT doc_id, CAST(hh % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh ASC, doc_id ASC) - 1
+                AS BIGINT) AS pos
+    FROM h
+    """,
+)
+
 
 # ===========================================================================
 # One-pass PCA family (operators/stats.py gramian/pca)

@@ -127,3 +127,38 @@ def per_class_cap(
         .where(F.col("_rn") <= F.lit(n))
         .drop("_rn")
     )
+
+
+def training_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` training shards:
+    every row gets (shard, pos) where ``shard`` is a salted hash mod and
+    ``pos`` is its position in the shard's pseudorandom read order —
+    the "shuffle the corpus once, stream shards sequentially" layout every
+    epoch-based trainer wants, without ever materializing a global sort.
+
+    Order is the hash order (ties broken by id), so it is reproducible
+    across runs/engines/partitionings and changes completely under a new
+    ``salt`` (re-shuffling between epochs = a salt bump, one map pass plus
+    the per-shard windows — never a global sort).
+
+    Scale: one exchange keyed on ``shard``; each shard sorts independently
+    (size corpus/n_shards — pick n_shards so a shard fits an executor,
+    e.g. 100k shards at 100 TB => ~1 GB sorts). Write with
+    ``partitionBy(shard)`` + sortWithinPartitions(pos) for sequential-read
+    training files."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1; got {n_shards}")
+    h = _row_hash(id_col, salt)
+    with_shard = df.withColumn("__h", h).withColumn(
+        "shard", (F.col("__h") % F.lit(n_shards)).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy(F.asc("__h"), F.asc(id_col))
+    return (
+        with_shard.withColumn("pos", F.row_number().over(w).cast("long") - 1)
+        .drop("__h")
+    )

@@ -112,3 +112,42 @@ class TestStratifiedAndCap:
     def test_per_class_cap_keeps_all_columns(self, documents):
         out = sampling.per_class_cap(documents, "lang", n=2, order_col="doc_id")
         assert out.columns == documents.columns
+
+
+# ---------------------------------------------------------------------------
+# training_shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_training_shuffle_partitions_table(spark):
+    from rclip_server_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+    out = sampling.training_shuffle(df, "doc_id", n_shards=4).collect()
+    assert len(out) == 500
+    assert {r.doc_id for r in out} == set(range(500))
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(4))
+    for shard, poss in by_shard.items():
+        # positions are a dense 0..n-1 enumeration per shard
+        assert sorted(poss) == list(range(len(poss)))
+
+
+def test_training_shuffle_deterministic_and_salt_sensitive(spark):
+    from rclip_server_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(300)], ["doc_id"])
+    a = {(r.doc_id, r.shard, r.pos)
+         for r in sampling.training_shuffle(df, "doc_id", 4).collect()}
+    b = {(r.doc_id, r.shard, r.pos)
+         for r in sampling.training_shuffle(df, "doc_id", 4).collect()}
+    c = {(r.doc_id, r.shard, r.pos)
+         for r in sampling.training_shuffle(df, "doc_id", 4, salt="epoch2").collect()}
+    assert a == b          # reproducible
+    assert a != c          # a salt bump is a real re-shuffle
+    # and the order within a shard is not the id order (it IS shuffled)
+    shard0 = sorted(((r[2], r[0]) for r in a if r[1] == 0))
+    ids_in_pos_order = [i for _, i in shard0]
+    assert ids_in_pos_order != sorted(ids_in_pos_order)
