@@ -2845,6 +2845,83 @@ _register(
     """,
 )
 
+
+# Count-Min sketch over the token stream: the bounded-memory frequency tier
+# (the summary that replaces the exact count table when the key domain —
+# URLs, n-grams, pairs — outgrows a vocab). Deterministic md5 hash family
+# makes the SKETCH itself oracle-exact, not just its estimates.
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 512
+
+
+def _cms_cell_sql(d: int, key: str = "token") -> str:
+    inner = f"concat_ws('|', 'cms{d}', {key})"
+    return f"({hash32_sql(inner)}) % {_CMS_WIDTH}"
+
+
+_CMS_CELLS_SQL = " UNION ALL ".join(
+    f"SELECT CAST({d} AS BIGINT) AS d, CAST({_cms_cell_sql(d)} AS BIGINT) AS bucket "
+    f"FROM toks"
+    for d in range(_CMS_DEPTH)
+)
+
+
+def _cms_build_query(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import sketches
+
+    toks = _t(spark, sf, "documents").select(
+        F.explode(TXT.tokens(F.col("text"))).alias("token")
+    )
+    return sketches.cms_build(toks, "token", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+
+
+_register(
+    "sketch_cms_table",
+    _cms_build_query,
+    f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    cells AS ({_CMS_CELLS_SQL})
+    SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt
+    FROM cells GROUP BY d, bucket
+    """,
+)
+
+
+def _cms_estimate_query(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import corpus, sketches
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(F.explode(TXT.tokens(F.col("text"))).alias("token"))
+    sketch = sketches.cms_build(toks, "token", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    top = corpus.token_topk(docs, k=20).select("token")
+    return sketches.cms_estimate(
+        sketch, top, "token", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+
+
+_register(
+    "sketch_cms_estimates",
+    _cms_estimate_query,
+    f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    top AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks
+            GROUP BY token ORDER BY cnt DESC, token LIMIT 20),
+    cells AS ({_CMS_CELLS_SQL}),
+    sk AS (SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM cells GROUP BY d, bucket),
+    probes AS (
+      {" UNION ALL ".join(
+        f"SELECT token, CAST({d} AS BIGINT) AS d, "
+        f"CAST({_cms_cell_sql(d)} AS BIGINT) AS bucket FROM top"
+        for d in range(_CMS_DEPTH)
+      )}
+    )
+    SELECT probes.token, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est
+    FROM probes LEFT JOIN sk ON probes.d = sk.d AND probes.bucket = sk.bucket
+    GROUP BY probes.token
+    """,
+)
+
 _QUALITY_SQL = (
     f"((1.0 - least(abs(({_MTL}) - 5.0) / 5.0, 1.0))"
     f" + least(({_STOP_RATIO}) * 10.0, 1.0)"

@@ -488,3 +488,46 @@ def test_cluster_topics_excludes_stopwords(spark):
     docs = spark.createDataFrame([(1, "the the the zebra")], ["doc_id", "text"])
     out = corpus.cluster_topic_terms(docs, emb, np.eye(2), k_terms=3).collect()
     assert [r.token for r in out] == ["zebra"]
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates(spark, documents):
+    from rclip_server_spark.operators import sketches
+
+    toks = documents.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"))
+    sketch = sketches.cms_build(toks, "token", depth=4, width=512)
+    truth = toks.groupBy("token").count()
+    est = sketches.cms_estimate(sketch, truth.select("token"), "token", depth=4, width=512)
+    joined = truth.join(est, "token").collect()
+    assert len(joined) > 0
+    assert all(r.est >= r["count"] for r in joined)  # CMS one-sided error
+
+
+def test_cms_exact_when_wide(spark):
+    from rclip_server_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [(w,) for w in ["a"] * 5 + ["b"] * 3 + ["c"] * 1], ["k"]
+    )
+    sketch = sketches.cms_build(df, "k", depth=4, width=1 << 16)
+    probes = spark.createDataFrame([("a",), ("b",), ("c",), ("zzz",)], ["k"])
+    out = {r.k: r.est for r in
+           sketches.cms_estimate(sketch, probes, "k", depth=4, width=1 << 16).collect()}
+    # 3 keys in 65536 buckets: no collisions -> exact, and unseen key -> 0
+    assert out == {"a": 5, "b": 3, "c": 1, "zzz": 0}
+
+
+def test_cms_size_is_bounded(spark, documents):
+    from rclip_server_spark.operators import sketches
+
+    toks = documents.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"))
+    sketch = sketches.cms_build(toks, "token", depth=4, width=64)
+    assert sketch.count() <= 4 * 64
+    # cell-wise counts per depth conserve the stream length
+    per_depth = sketch.groupBy("d").agg(F.sum("cnt").alias("s")).collect()
+    n = toks.count()
+    assert all(r.s == n for r in per_depth)
