@@ -3096,6 +3096,59 @@ _register(
 )
 
 
+def _ev_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    _utc(spark)
+    return EV.event_transitions(_t(spark, sf, "events"))
+
+
+_register(
+    "ev_transition_matrix",
+    _ev_transitions,
+    """
+    WITH x AS (SELECT event_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev_type
+               FROM events)
+    SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+    FROM x WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+
+
+def _agg_merge_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental view maintenance: the stored aggregate of orders before
+    1997-01-01 merged with the aggregate of the later delta — the oracle
+    computes the SAME totals directly from the full table, proving the
+    merge is exact without rescanning the base."""
+    from .sources import writer as W
+
+    _utc(spark)
+    orders = _t(spark, sf, "orders")
+    split = F.lit("1997-01-01").cast("timestamp")
+    cents = cents_col(F.col("o_totalprice"))
+
+    def _agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(cents).alias("total_cents")
+        )
+
+    base = _agg(orders.where(F.col("o_orderdate") < split))
+    delta = _agg(orders.where(F.col("o_orderdate") >= split))
+    return W.merge_agg_delta(base, delta, ["o_orderstatus"], ["n", "total_cents"])
+
+
+_register(
+    "rel_incremental_agg_merge",
+    _agg_merge_query,
+    f"""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS total_cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+
+
 # ===========================================================================
 # binary-quantization ANN tier (ann.binary_hamming_topk)
 # ===========================================================================

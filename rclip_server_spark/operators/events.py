@@ -109,3 +109,31 @@ def cohort_retention(
             "n_users",
         )
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Markov transition counts: (prev_type, next_type, n) over each user's
+    time-ordered event stream — the behavioral fingerprint behind "what do
+    users do after X" and sessionized sequence models.
+
+    One hash exchange on the user id for the lag window (the partitioning
+    an event log already wants), then a low-cardinality (type x type)
+    count agg that combines map-side. Ordering ties on equal timestamps
+    break by event id, so the matrix is deterministic across engines and
+    partitionings."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    prev = F.lag(F.col(type_col)).over(w)
+    return (
+        events.withColumn("prev_type", prev)
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col(type_col).alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -173,3 +173,34 @@ def write_partitioned(
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
     out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def merge_agg_delta(
+    agg: DataFrame,
+    delta_agg: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Incremental view maintenance for distributive aggregates: combine a
+    stored aggregate table with the aggregate of a delta batch by summing
+    per-key — never rescanning the base data. COUNT/SUM merge directly;
+    AVG is maintained as (sum, count); MIN/MAX merge via the same shape
+    with min/max in place of ``+``.
+
+    The 100 TB point: a day's delta is a partial aggregate the size of its
+    key space, so the daily refresh costs one agg over the delta plus one
+    key-wise full-outer merge of two AGGREGATE-sized tables — the base
+    fact table is read zero times. Keys present on only one side pass
+    through (new keys appear; untouched keys persist).
+    """
+    a, d = agg.alias("a"), delta_agg.alias("d")
+    joined = a.join(d, keys, "full_outer")
+    out = [F.col(k) for k in keys]
+    for c in sum_cols:
+        out.append(
+            (
+                F.coalesce(F.col(f"a.{c}"), F.lit(0))
+                + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+            ).alias(c)
+        )
+    return joined.select(*out)

@@ -204,3 +204,62 @@ def test_snapshot_diff_self_is_empty(spark):
         profiling.snapshot_diff(docs, docs, ["doc_id"], ["text", "lang", "source"]).count()
         == 0
     )
+
+
+def test_event_transitions_hand_computed(spark):
+    import datetime as dt
+    from rclip_server_spark.operators import events as EV
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 100, "view"),
+        (2, t0 + dt.timedelta(minutes=1), 100, "click"),
+        (3, t0 + dt.timedelta(minutes=2), 100, "view"),
+        (4, t0, 200, "view"),
+        (5, t0 + dt.timedelta(minutes=5), 200, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = {(r.prev_type, r.next_type): r.n
+           for r in EV.event_transitions(df).collect()}
+    assert out == {("view", "click"): 1, ("click", "view"): 1, ("view", "purchase"): 1}
+
+
+def test_event_transitions_tiebreak_by_id(spark):
+    import datetime as dt
+    from rclip_server_spark.operators import events as EV
+
+    t0 = dt.datetime(2024, 1, 1)
+    # same timestamp: event_id order decides the sequence
+    df = spark.createDataFrame(
+        [(2, t0, 1, "b"), (1, t0, 1, "a")],
+        ["event_id", "ts", "user_id", "event_type"],
+    )
+    out = [(r.prev_type, r.next_type) for r in EV.event_transitions(df).collect()]
+    assert out == [("a", "b")]
+
+
+def test_merge_agg_delta_equals_direct(spark):
+    from rclip_server_spark.sources import writer as W
+
+    full = spark.createDataFrame(
+        [(k, v) for k, v in [("a", 1), ("a", 2), ("b", 5), ("c", 7)]], ["k", "v"]
+    )
+    base = full.where(F.col("v") <= 2).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    delta = full.where(F.col("v") > 2).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    merged = {r.k: (r.n, r.s)
+              for r in W.merge_agg_delta(base, delta, ["k"], ["n", "s"]).collect()}
+    direct = {r.k: (r.n, r.s)
+              for r in full.groupBy("k").agg(
+                  F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")).collect()}
+    assert merged == direct  # incl. delta-only key 'c' and base-only key 'a'
+
+
+def test_merge_agg_delta_empty_delta_is_identity(spark):
+    from rclip_server_spark.sources import writer as W
+
+    base = spark.createDataFrame([("a", 2, 10)], ["k", "n", "s"])
+    empty = base.where(F.lit(False))
+    out = W.merge_agg_delta(base, empty, ["k"], ["n", "s"]).collect()
+    assert [(r.k, r.n, r.s) for r in out] == [("a", 2, 10)]
