@@ -3149,6 +3149,35 @@ _register(
 )
 
 
+def _zorder_sql(x: str, y: str, bits: int = 16) -> str:
+    """Twin of sources.writer.zorder_value — the same literal shift chain."""
+    terms = [f"((({x} >> {i}) & 1) << {2 * i})" for i in range(bits)]
+    terms += [f"((({y} >> {i}) & 1) << {2 * i + 1})" for i in range(bits)]
+    return " | ".join(terms)
+
+
+def _zorder_query(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources import writer as W
+
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        W.zorder_value(F.col("l_partkey"), F.col("l_suppkey")).alias("z"),
+    )
+
+
+_register(
+    "rel_zorder_key",
+    _zorder_query,
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST({_zorder_sql('l_partkey', 'l_suppkey')} AS BIGINT) AS z
+    FROM lineitem
+    """,
+)
+
+
 # ===========================================================================
 # binary-quantization ANN tier (ann.binary_hamming_topk)
 # ===========================================================================

@@ -204,3 +204,67 @@ def merge_agg_delta(
             ).alias(c)
         )
     return joined.select(*out)
+
+
+def zorder_value(x, y, bits: int = 16):
+    """Morton (Z-order) key for two non-negative integer columns: bit i of
+    ``x`` lands at position 2i, bit i of ``y`` at 2i+1. Pure JVM bit math
+    — all shift amounts are Python literals, so the whole expression stays
+    inside whole-stage codegen and is engine-portable (same `>> & << |`
+    chain runs in the DuckDB oracle).
+
+    Clustering data by this key gives multi-dimensional locality that a
+    single-column sort cannot: a range predicate on EITHER column maps to
+    O(few) contiguous z-ranges, so both access patterns skip row groups
+    off the same layout (the Delta/Databricks OPTIMIZE ZORDER idea,
+    expressed as one deterministic column)."""
+    xs = x.cast("long")
+    ys = y.cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(F.shiftleft(F.shiftright(xs, i).bitwiseAND(F.lit(1)), 2 * i))
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(ys, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_sorted(
+    df: DataFrame, path: str, order_cols: list[str], n_files: int = 8
+) -> None:
+    """Range-partitioned, within-file-sorted layout: rows are range-split across
+    ``n_files`` files on ``order_cols`` and sorted within each, so the
+    file set forms one global order with disjoint per-file min/max — a
+    predicate on the sort key touches exactly the files whose range it
+    intersects, and row-group stats prune inside them. The shuffle is one
+    RangePartitioning exchange (sampled boundaries), never a global sort
+    to a single task."""
+    cols = [F.col(c) for c in order_cols]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Two-dimensional clustering: ``write_sorted`` on the Morton key of
+    (x_col, y_col). The z column is dropped from the files — it exists
+    only to route and order rows."""
+    z = zorder_value(F.col(x_col), F.col(y_col), bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

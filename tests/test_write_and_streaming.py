@@ -290,3 +290,62 @@ def test_stream_stream_interval_join_equals_batch(spark, events, events_stream_d
         for r in spark.table("t_ssjoin").collect()
     }
     assert got == batch
+
+
+# ---------------------------------------------------------------------------
+# sorted / z-ordered layout writers
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_value_hand_computed(spark):
+    from rclip_server_spark.sources import writer as W
+
+    df = spark.createDataFrame([(3, 0), (0, 3), (1, 1), (2, 3)], ["x", "y"])
+    out = [r.z for r in df.select(W.zorder_value(F.col("x"), F.col("y")).alias("z")).collect()]
+    # interleave: x bits at even positions, y at odd
+    # (3,0)->0b0101=5  (0,3)->0b1010=10  (1,1)->0b11=3  (2,3)->0b1110=14
+    assert out == [5, 10, 3, 14]
+
+
+def test_write_sorted_files_are_range_disjoint(spark, tmp_path):
+    import glob
+    from rclip_server_spark.sources import writer as W
+    from rclip_server_spark.sources import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    path = str(tmp_path / "li_sorted")
+    W.write_sorted(li, path, ["l_orderkey"], n_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == li.count()  # lossless
+    ranges = []
+    for f in glob.glob(path + "/part-*.parquet"):
+        r = spark.read.parquet(f).agg(
+            F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi")
+        ).first()
+        if r.lo is not None:
+            ranges.append((r.lo, r.hi))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint global order across files
+
+
+def test_write_zordered_lossless_and_clustered(spark, tmp_path):
+    import glob
+    from rclip_server_spark.sources import writer as W
+
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    path = str(tmp_path / "zed")
+    W.write_zordered(df, path, "x", "y", n_files=4, bits=8)
+    back = spark.read.parquet(path)
+    assert back.count() == 1024
+    assert {(r.x, r.y) for r in back.collect()} == set(rows)
+    assert "__z" not in back.columns
+    # locality: a quadrant query should NOT need every file
+    files = glob.glob(path + "/part-*.parquet")
+    hit = 0
+    for f in files:
+        n = spark.read.parquet(f).where((F.col("x") < 8) & (F.col("y") < 8)).count()
+        hit += 1 if n > 0 else 0
+    assert hit < len(files)
