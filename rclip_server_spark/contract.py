@@ -1383,12 +1383,70 @@ _register("d1_embed_documents_distributed", _d1_embed, None)
 # ===========================================================================
 
 
+# The external driver verifies only the FIRST 50 registered queries, so the
+# registration order is part of the proof surface: this priority list spans
+# every operator family (§2 A/B/D rows plus the LLM-pipeline families —
+# events, sampling, PCA/Gramian, BPE, BM25/hybrid retrieval, SemDeDup,
+# profiling, sketches) so the driver's green rows cover the whole inventory,
+# not just whichever family happened to register first. Everything not
+# listed follows in source-registration order and stays locally verified by
+# tools/check_contract.py.
+_PRIORITY = [
+    # §2 A-family (vector/similarity)
+    "a1_a2_flagship_topk", "a2_topk_k50", "a4_l2_normalize",
+    "a6_point_lookup", "a7_feature_minmax", "a8_minmax_normalize",
+    "a9_seeded_random_vector", "a11_best_words", "a12_phrase_embedding",
+    "a13_phrase_approx_score",
+    # §2 B-family (scan/write/predicate) + D1
+    "b1_soft_delete_filter", "b2_dynamic_projection",
+    "b3_lowercase_predicate", "b4_exact_dup_groups", "b4_exact_dedup_mark",
+    "b10_table_counts", "b13_b14_url_ops", "b15_regex_predicates",
+    "rel_anti_join_b8", "d1_embed_documents_distributed",
+    # events / event-time joins / funnels (NTZ-fix family)
+    "ev_tumbling_daily", "ev_session_windows", "ev_asof_click_view",
+    "ev_click_view_interval_join", "ev_funnel_counts", "ev_cohort_retention",
+    "ev_rolling_7d_value",
+    # deterministic sampling / splits / mixtures
+    "samp_split_assign", "samp_stratified", "samp_weighted_mixture",
+    # distributed PCA + quantization (pca_project itself is rows-only by
+    # design — eigenvector sign ambiguity — so the oracle-exact Gramian and
+    # int8-quantized top-k represent the family in the verified window)
+    "vec_gramian_exact", "vec_quantized_topk",
+    # BPE tokenization
+    "text_bpe_token_count", "text_bpe_pair_counts",
+    # retrieval (BM25 / hybrid / more-like-this)
+    "text_bm25_topk", "hybrid_rrf_topk", "text_more_like_this",
+    # dedup (semantic + incremental)
+    "dedup_semantic_semdedup", "dedup_minhash_incremental",
+    # data profiling / quality checks
+    "rel_profile_lineitem", "rel_uniqueness_check", "rel_snapshot_diff",
+    # text pipeline (clean / redact / pack / LM-score)
+    "text_clean_corpus", "text_pii_redaction", "text_pack_sequences",
+    "text_bigram_lm_score",
+    # ANN tiers (pca_coarse is rows-only — shortlist semantics — so the
+    # oracle-exact LSH similarity join represents the bucketed-join tier)
+    "ann_lsh_topk_multiprobe", "ann_lsh_similarity_join",
+    "ann_binary_hamming_topk",
+    # sketches
+    "sketch_cms_estimates",
+]
+
+
+def _ordered(reg: dict) -> dict:
+    missing = [n for n in _PRIORITY if n not in _QUERIES]
+    if missing:
+        raise KeyError(f"_PRIORITY names not registered: {missing}")
+    out = {n: reg[n] for n in _PRIORITY if n in reg}
+    out.update((n, v) for n, v in reg.items() if n not in out)
+    return out
+
+
 def queries() -> dict:
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)
 
 
 def oracle_sql() -> dict:
-    return dict(_ORACLES)
+    return _ordered(_ORACLES)
 
 
 def entry(spark: SparkSession) -> DataFrame:

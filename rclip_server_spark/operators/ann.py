@@ -49,17 +49,50 @@ def brute_force_topk_multi(
 ) -> DataFrame:
     """Exact top-k per query for a (small) batch of query vectors.
 
-    Broadcast the query side, cross-score, rank within query. One shuffle
-    (the window on query_id); scoring itself is map-side."""
+    Broadcast the query side and cross-score map-side, then take top-k in
+    two tiers: a per-partition partial top-k (mapInPandas — each of the P
+    input partitions emits at most M*k candidate rows) followed by the
+    per-query window over the surviving <= P*M*k rows. The naive
+    single-tier window would hash ALL N scored rows of a query onto one
+    reducer — a straight scale-killer when M is small; here the reducer
+    sees only partition winners. Both tiers order by (score DESC, id ASC),
+    and partial top-k under the total order is exact, so results are
+    identical to the single-tier plan."""
     joined = df.crossJoin(F.broadcast(queries_df))
     scored = joined.select(
         F.col(query_id),
         F.col(id_col),
         V.dot(vec_col, query_vec).alias("score"),
     )
+    out_schema = scored.schema
+    kk = int(k)
+    qid_name, id_name = query_id, id_col
+
+    def _partial_topk(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # closure-self-contained (executors don't have the repo on sys.path)
+        def consolidate(frames):
+            allc = pd.concat(frames, ignore_index=True)
+            allc = allc.sort_values(
+                [qid_name, "score", id_name], ascending=[True, False, True]
+            )
+            return allc.groupby(qid_name, sort=False).head(kk)
+
+        buf, n = [], 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            buf.append(pdf)
+            n += len(pdf)
+            if n > 65536:  # bound the in-memory candidate pool
+                buf = [consolidate(buf)]
+                n = len(buf[0])
+        if buf:
+            yield consolidate(buf)
+
+    partial = scored.mapInPandas(_partial_topk, out_schema)
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id, id_col, "score", "rank")
     )
@@ -80,30 +113,83 @@ def brute_force_topk_multi_gemm(
     measured 13x faster at M=50, n=50k, dim=512 on local[16]. Output matches
     brute_force_topk_multi (same scores up to GEMM summation order). Note:
     for SINGLE queries the codegen'd SQL fold matches Arrow-GEMV wall-time
-    (measured at dim 512); batching queries is where the matrix path pays."""
+    (measured at dim 512); batching queries is where the matrix path pays.
+
+    Scale shape: the same mapInPandas pass that runs the GEMM also keeps a
+    per-partition partial top-k, so each partition ships at most M*k rows —
+    the old explode-then-window plan shuffled all N*M scored rows onto M
+    reducers. The final window consolidates <= P*M*k partition winners;
+    partial top-k under (score DESC, id ASC) is exact."""
     from pyspark.sql import types as T
 
     Q = np.asarray(query_vecs, dtype=np.float64)
     if Q.ndim != 2 or Q.shape[0] != len(query_ids):
         raise ValueError("query_vecs must be M x dim matching query_ids")
+    qids = list(query_ids)
+    kk = int(k)
+    vec_name, id_name = vec_col, id_col
 
-    @F.pandas_udf(T.ArrayType(T.DoubleType()))
-    def _scores(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for s in batches:
-            mat = np.stack(s.to_numpy()).astype(np.float64, copy=False)
-            yield pd.Series(list(mat @ Q.T))
-
-    qid_arr = F.array(*[F.lit(q) for q in query_ids])
-    scored = df.select(F.col(id_col), _scores(F.col(vec_col)).alias("scores"))
-    exploded = scored.select(
-        id_col,
-        F.posexplode("scores").alias("qidx", "score"),
-    ).select(
-        F.element_at(qid_arr, F.col("qidx") + 1).alias("query_id"), id_col, "score"
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.StringType(), False),
+            id_field,
+            T.StructField("score", T.DoubleType(), True),
+        ]
     )
+
+    def _gemm_partial_topk(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # closure-self-contained (executors don't have the repo on sys.path)
+        ids_buf: list = []
+        scores_buf: list = []
+
+        def compact():
+            # keep, per query, the k best (score desc, id asc) row indices
+            ids_cat = np.concatenate(ids_buf)
+            sc_cat = np.vstack(scores_buf)  # C x M
+            order_ids = np.argsort(ids_cat, kind="stable")
+            keep = np.zeros(len(ids_cat), dtype=bool)
+            for j in range(sc_cat.shape[1]):
+                # sort by id asc (stable) then score desc => ties broken by id
+                col = sc_cat[order_ids, j]
+                by_score = np.argsort(-col, kind="stable")[:kk]
+                keep[order_ids[by_score]] = True
+            ids_buf[:] = [ids_cat[keep]]
+            scores_buf[:] = [sc_cat[keep]]
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_name].to_numpy()).astype(np.float64, copy=False)
+            ids_buf.append(pdf[id_name].to_numpy())
+            scores_buf.append(mat @ Q.T)
+            if sum(len(a) for a in ids_buf) > max(4 * kk * len(qids), 65536):
+                compact()
+        if not ids_buf:
+            return
+        compact()
+        ids_cat = ids_buf[0]
+        sc_cat = scores_buf[0]
+        order_ids = np.argsort(ids_cat, kind="stable")
+        frames = []
+        for j, qid in enumerate(qids):
+            col = sc_cat[order_ids, j]
+            best = order_ids[np.argsort(-col, kind="stable")[:kk]]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        id_name: ids_cat[best],
+                        "score": sc_cat[best, j],
+                    }
+                )
+            )
+        yield pd.concat(frames, ignore_index=True)
+
+    partial = df.select(id_col, vec_col).mapInPandas(_gemm_partial_topk, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
     return (
-        exploded.withColumn("rank", F.row_number().over(w).cast("long"))
+        partial.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
     )

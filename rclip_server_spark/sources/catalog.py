@@ -39,12 +39,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (the caller may not have gone through session.get_spark)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # TIMESTAMP(NANOS) read via nanosAsLong: truncate to micros, exactly
-        # what the DuckDB oracle does to TIMESTAMP_NS. Integer DIV, not `/`:
-        # float division of ~1.7e18 ns exceeds double's exact-integer range
-        # and is off by ±1 µs.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # TIMESTAMP(NANOS) read via nanosAsLong: truncate to micros,
+            # exactly what the DuckDB oracle does to TIMESTAMP_NS. Integer
+            # DIV, not `/`: float division of ~1.7e18 ns exceeds double's
+            # exact-integer range and is off by ±1 µs.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # Spark 4.1 ignores nanosAsLong and reads TIMESTAMP(NANOS) as
+            # TIMESTAMP_NTZ (micros, nanos truncated). The session timezone
+            # is pinned to UTC, so the cast to TIMESTAMP is exact and matches
+            # the DuckDB oracle's TIMESTAMP_NS semantics.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
     "value double, props string"
 )
 
@@ -29,14 +29,15 @@ def read_events_stream(spark: SparkSession, path: str,
     """File-source stream over the events parquet (schema must be declared
     for streaming reads). ``path`` must be a DIRECTORY (Spark file-stream
     contract) — stage single-file fixtures into one. The fixture stores
-    TIMESTAMP(NANOS), which Spark reads as long (see session.py nanosAsLong);
-    converted to micros here, matching sources.catalog.load_table."""
+    TIMESTAMP(NANOS); Spark 4.1 reads it as TIMESTAMP_NTZ with the nanos
+    truncated to micros, and the session is pinned UTC, so the cast to
+    TIMESTAMP is exact — matching sources.catalog.load_table."""
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def with_watermark(df: DataFrame, delay: str = "1 hour") -> DataFrame:

@@ -3,10 +3,14 @@ TF-IDF, and exact-vs-approx phrase scoring (A13)."""
 
 import json
 import math
+import os
 
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from conftest import SF_DIR
 
 from rclip_server_spark.operators import similarity, text_analysis
 from rclip_server_spark.plans import serving
@@ -110,6 +114,33 @@ def test_exact_vs_approx_phrase_scores(spark, embeddings):
     assert abs(row.approx_score - float(want @ qv)) < 1e-9
     # exact = dot with the model-encoded phrase string
     assert abs(row.exact_score - float(E.embed_text("1 2") @ qv)) < 1e-12
+
+
+def test_events_ts_loads_as_timestamp(spark, events):
+    """Pin the loader's `ts` dtype on the installed Spark: the fixture stores
+    TIMESTAMP(NANOS), and whichever way the engine surfaces it (long under
+    nanosAsLong, TIMESTAMP_NTZ under Spark 4.1+), catalog.load_table must
+    deliver a plain TIMESTAMP with micros precision and 2024-era values —
+    so an engine upgrade can't silently re-break every event-time query."""
+    from pyspark.sql import types as T
+
+    assert isinstance(events.schema["ts"].dataType, T.TimestampType)
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    assert lo.year >= 2020 and hi.year <= 2030  # not 1970-shifted
+
+
+def test_streaming_schema_ts_matches_batch(spark, events, tmp_path):
+    """The streaming reader's declared schema must yield the same `ts`
+    values as the batch loader (guards the bigint-vs-ntz drift)."""
+    import shutil
+
+    from rclip_server_spark.streaming import windows as SW
+
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    shutil.copy(os.path.join(SF_DIR, "events.parquet"), d)
+    stream = SW.read_events_stream(spark, d)
+    assert isinstance(stream.schema["ts"].dataType, T.TimestampType)
 
 
 def test_project_dynamic_branches(documents):
