@@ -73,6 +73,19 @@ def main() -> None:
         ).count(),
         "event_session_windows": lambda: SW.session_windows(events).count(),
         "text_quality_stats": lambda: _QUERIES["text_stats"](spark, SF_DIR).count(),
+        # round-3 widening: one headline per round-2 family (funnel,
+        # mixture sampling, BM25 retrieval, semantic dedup, as-of join)
+        "event_funnel": lambda: _QUERIES["ev_funnel_counts"](spark, SF_DIR).collect(),
+        "sample_weighted_mixture": lambda: _QUERIES["samp_weighted_mixture"](
+            spark, SF_DIR
+        ).count(),
+        "bm25_topk": lambda: _QUERIES["text_bm25_topk"](spark, SF_DIR).collect(),
+        "semdedup": lambda: _QUERIES["dedup_semantic_semdedup"](
+            spark, SF_DIR
+        ).count(),
+        "asof_click_view": lambda: _QUERIES["ev_asof_click_view"](
+            spark, SF_DIR
+        ).count(),
     }
 
     # warm the JVM/IO, the Python UDF workers, AND whole-stage-codegen
@@ -89,6 +102,11 @@ def main() -> None:
     dedup.minhash_near_dup(docs.limit(16)).count()
     dedup.simhash_groups(docs.limit(16)).count()
     SW.session_windows(events.limit(16)).count()
+    # warm the round-3 additions' plan shapes on the smallest fixture
+    warm_sf = "/root/testdata/sf0.001"
+    for q in ("ev_funnel_counts", "samp_weighted_mixture", "text_bm25_topk",
+              "dedup_semantic_semdedup", "ev_asof_click_view"):
+        _QUERIES[q](spark, warm_sf).count()
     spark.catalog.clearCache()
 
     # best-of-2 per query: single-shot timings at this scale swing ±20% on

@@ -39,6 +39,121 @@ def _update_user_totals(key, pdfs, state: GroupState):
     )
 
 
+ASOF_OUTPUT_SCHEMA = (
+    "click_id bigint, user_id bigint, click_us bigint, "
+    "view_id bigint, view_us bigint, gap_us bigint"
+)
+# state = parallel arrays of retained views (ts micros asc, ids aligned)
+ASOF_STATE_SCHEMA = "view_us array<bigint>, view_id array<bigint>"
+
+
+def streaming_asof_last_view(events: DataFrame,
+                             horizon_us: int = 3_600_000_000) -> DataFrame:
+    """Streaming as-of join: each click is attributed to the same user's
+    most recent view with ``view_ts <= click_ts`` (the stateful twin of
+    operators.joins.asof_join / the ev_asof_click_view contract row).
+
+    Spark has no streaming as-of primitive — stream-stream joins support
+    interval bounds but not "latest match" — so this is the escape-hatch
+    shape: key by user, applyInPandasWithState keeps the user's recent
+    views (pruned to ``horizon_us`` behind that user's max event time, the
+    state-expiry contract a watermark would give), and each micro-batch
+    merges state views with batch views, binary-searches the insertion
+    point per click, and emits attributions immediately. Clicks that
+    arrive AFTER a later view but BEFORE their true match (cross-batch
+    event-time disorder beyond the horizon) attribute at-arrival — the
+    same semantics any online attribution system has.
+
+    Batch mode: same answer from the shuffle+window asof_join (one
+    definition, two runtimes — the batch run is the oracle)."""
+    if not events.isStreaming:
+        from ..operators.joins import asof_join
+
+        base = events.where(F.col("event_type").isin("click", "view"))
+        clicks = base.where(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), "ts"
+        )
+        views = base.where(F.col("event_type") == "view").select(
+            "user_id", F.col("event_id").alias("view_id"), "ts"
+        )
+        out = asof_join(clicks, views, on="user_id", ts="ts")
+        return out.select(
+            "click_id",
+            "user_id",
+            F.unix_micros("ts").alias("click_us"),
+            F.col("r_view_id").alias("view_id"),
+            F.col("r_ts_us").alias("view_us"),
+            "gap_us",
+        )
+
+    prepped = events.where(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    hz = int(horizon_us)
+
+    def _attribute(key, pdfs, state: GroupState):
+        # closure-self-contained (executor workers cannot import this repo)
+        import numpy as np
+        import pandas as _pd
+
+        st_us, st_id = state.get if state.exists else ([], [])
+        st_us = list(st_us)
+        st_id = list(st_id)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts_us", kind="mergesort")
+            is_view = (pdf["event_type"] == "view").to_numpy()
+            b_us = pdf["ts_us"].to_numpy()
+            b_id = pdf["event_id"].to_numpy()
+            # merge retained views with this batch's views (both ts-sorted)
+            v_us = np.concatenate([np.asarray(st_us, dtype=np.int64),
+                                   b_us[is_view]])
+            v_id = np.concatenate([np.asarray(st_id, dtype=np.int64),
+                                   b_id[is_view]])
+            order = np.argsort(v_us, kind="stable")
+            v_us, v_id = v_us[order], v_id[order]
+            clicks_us = b_us[~is_view]
+            clicks_id = b_id[~is_view]
+            # per click: latest view with view_us <= click_us
+            pos = np.searchsorted(v_us, clicks_us, side="right") - 1
+            ok = pos >= 0
+            out.append(_pd.DataFrame({
+                "click_id": clicks_id,
+                "user_id": key[0],
+                "click_us": clicks_us,
+                "view_id": _pd.array(
+                    [int(v_id[p]) if o else None for p, o in zip(pos, ok)],
+                    dtype="Int64"),
+                "view_us": _pd.array(
+                    [int(v_us[p]) if o else None for p, o in zip(pos, ok)],
+                    dtype="Int64"),
+                "gap_us": _pd.array(
+                    [int(c - v_us[p]) if o else None
+                     for c, p, o in zip(clicks_us, pos, ok)],
+                    dtype="Int64"),
+            }))
+            # prune state to the horizon behind this user's max event time
+            if len(v_us):
+                hi = int(max(b_us.max() if len(b_us) else v_us[-1], v_us[-1]))
+                keep = v_us >= hi - hz
+                st_us = [int(x) for x in v_us[keep]]
+                st_id = [int(x) for x in v_id[keep]]
+        state.update((st_us, st_id))
+        if out:
+            yield _pd.concat(out, ignore_index=True)
+
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _attribute,
+        outputStructType=ASOF_OUTPUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Per-user running totals. Streaming: stateful update-mode operator;
     batch: the equivalent groupBy (same one-definition-two-runtimes contract

@@ -267,6 +267,32 @@ def test_compact_parquet_merges_small_files(spark, tmp_path, embeddings):
     assert {r.vec_id for r in spark.read.parquet(path).collect()} == want
 
 
+def test_streaming_asof_attribution_equals_batch(spark, events, events_stream_dir):
+    """Stateful streaming as-of join (applyInPandasWithState keeping each
+    user's recent views) must attribute every click to the same view the
+    batch shuffle+window asof_join picks. Compared on (click_us, view_us,
+    gap_us) — view_id is excluded because duplicate (user, ts) views are
+    tie-broken differently by the two physical shapes."""
+    from rclip_server_spark.streaming import stateful
+
+    batch = {
+        r.click_id: (r.click_us, r.view_us, r.gap_us)
+        for r in stateful.streaming_asof_last_view(events).collect()
+    }
+    assert batch  # fixture must exercise the join
+    stream = SW.read_events_stream(spark, events_stream_dir)
+    SW.run_stream_to_memory(
+        stateful.streaming_asof_last_view(stream, horizon_us=1 << 62),
+        "t_asof",
+        output_mode="append",
+    )
+    got = {
+        r.click_id: (r.click_us, r.view_us, r.gap_us)
+        for r in spark.table("t_asof").collect()
+    }
+    assert got == batch
+
+
 def test_stream_stream_interval_join_equals_batch(spark, events, events_stream_dir):
     """Stream-stream inner join with watermarks on both sides and an
     interval bound (the state-expiry requirement) — append-mode output must

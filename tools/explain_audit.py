@@ -290,6 +290,28 @@ def main() -> int:
         "of the corpus.",
     ))
 
+    from rclip_server_spark.contract import EMBEDDER, MULTI_QUERY_TERMS
+    import numpy as np
+
+    audits.append((
+        "Multi-query exact top-k (two-tier: partition partial + consolidation)",
+        ann.brute_force_topk_multi_gemm(
+            emb,
+            np.stack([EMBEDDER.embed_text(t) for t in MULTI_QUERY_TERMS]),
+            MULTI_QUERY_TERMS,
+            k=10,
+        ),
+        {"MapInPandas": True, "CartesianProduct": False,
+         "BroadcastNestedLoopJoin": False},
+        "One Arrow pass runs the GEMM (batch @ Q.T scores all M queries "
+        "at once) AND keeps a per-partition partial top-k, so each of the "
+        "P partitions emits at most M*k rows; the per-query window then "
+        "consolidates <= P*M*k partition winners. The old plan exploded "
+        "N*M scored rows and hashed every row of a query onto one "
+        "reducer — this one never moves more than P*M*k rows, which is "
+        "the shape that survives M small and N huge.",
+    ))
+
     audits.append((
         "SQL Q6-style predicate-pushdown scan",
         _QUERIES["sql_q6_forecast_revenue"](spark, SF_DIR),
