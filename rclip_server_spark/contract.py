@@ -3673,6 +3673,46 @@ def _ev_zscore(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ev_asof_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of streaming.stateful.streaming_asof_last_view (the
+    applyInPandasWithState as-of operator): same function, batch runtime.
+    Views are pre-deduped to max(event_id) per (user, ts) so the matched
+    view id is deterministic cross-engine (asof ties broken by the dedupe,
+    not the join)."""
+    from .streaming import stateful as ST
+
+    _utc(spark)
+    ev = _t(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+        .select("user_id", "event_id", F.lit("view").alias("event_type"), "ts")
+    )
+    return ST.streaming_asof_last_view(clicks.unionByName(views))
+
+
+_register(
+    "ev_asof_attribution",
+    _ev_asof_attribution,
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    views AS (
+      SELECT user_id, ts, max(event_id) AS view_id
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+    SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS click_us,
+           v.view_id, epoch_us(v.ts) AS view_us,
+           epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+)
+
+
 _register(
     "ev_zscore_outliers",
     _ev_zscore,
