@@ -209,6 +209,20 @@ def test_semantic_dedup_exact_duplicate_dropped(spark):
     assert 5 in kept and 99 not in kept
 
 
+def test_semantic_dedup_gemm_equals_pairs(spark, embeddings):
+    """The per-cluster GEMM prefilter + exact-fold verify must keep exactly
+    the rows the pure pair-join plan keeps (the GEMM is only a candidate
+    generator; the final predicate is the same left-assoc fold)."""
+    g = {r.vec_id for r in dedup.semantic_dedup(embeddings, CENTROIDS, threshold=0.4).collect()}
+    p = {
+        r.vec_id
+        for r in dedup.semantic_dedup(
+            embeddings, CENTROIDS, threshold=0.4, method="pairs"
+        ).collect()
+    }
+    assert g == p
+
+
 def test_semantic_dedup_idempotent(spark, embeddings):
     once = dedup.semantic_dedup(embeddings, CENTROIDS, threshold=0.4)
     twice = dedup.semantic_dedup(once, CENTROIDS, threshold=0.4)
