@@ -293,6 +293,56 @@ def test_streaming_asof_attribution_equals_batch(spark, events, events_stream_di
     assert got == batch
 
 
+def test_streaming_upsert_sink_merges_batches(spark, tmp_path, embeddings):
+    """foreachBatch upsert sink: two micro-batches (maxFilesPerTrigger=1)
+    where the second updates half the first's keys — the final table must
+    hold one row per key with last-writer-wins payloads, identical to
+    running the batch upserts by hand."""
+    from rclip_server_spark.streaming import sink
+
+    src_dir = str(tmp_path / "incoming")
+    os.makedirs(src_dir)
+    table = str(tmp_path / "table")
+
+    base = embeddings.select(
+        F.concat(F.lit("f"), "vec_id").alias("filepath"),
+        F.col("vec_id").alias("size"),
+        F.col("vec_id").alias("seq"),
+    ).limit(100)
+    upd = base.limit(50).withColumn("size", F.lit(-1)).withColumn(
+        "seq", F.col("seq") + 1000
+    )
+    # two files -> two micro-batches, in name order is not guaranteed, but
+    # last-writer-wins is decided by seq, not arrival
+    base.coalesce(1).write.parquet(os.path.join(src_dir, "b0.parquet"))
+    upd.coalesce(1).write.parquet(os.path.join(src_dir, "b1.parquet"))
+
+    stream = (
+        spark.readStream.schema("filepath string, size bigint, seq bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/*.parquet")
+    )
+    q = sink.start_stream_upsert(
+        stream, spark, table, key="filepath", latest_col="seq",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(table)
+    assert got.count() == 100
+    assert got.where("size = -1").count() == 50
+    # replay-proofness: replaying the OLDER base batch must not clobber the
+    # newer rows (conditional merge on seq), and replaying the update batch
+    # must be a no-op
+    sink.merge_latest(spark, table, base, key="filepath", latest_col="seq")
+    sink.merge_latest(spark, table, upd, key="filepath", latest_col="seq")
+    again = spark.read.parquet(table)
+    assert again.count() == 100 and again.where("size = -1").count() == 50
+
+
 def test_stream_stream_interval_join_equals_batch(spark, events, events_stream_dir):
     """Stream-stream inner join with watermarks on both sides and an
     interval bound (the state-expiry requirement) — append-mode output must
