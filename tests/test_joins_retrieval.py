@@ -66,6 +66,52 @@ def test_asof_tolerance_nulls_stale_matches(trades, quotes):
     assert out[4] is None  # 6 minutes back, beyond tolerance
 
 
+def test_asof_randomized_matches_quadratic_reference(spark):
+    """Seeded random cross-check of the window-based as-of join against a
+    driver-side quadratic reference: many keys, duplicate left timestamps,
+    keys missing from the right, and with/without tolerance."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 300, 200
+    lrows = [
+        (int(i), int(rng.integers(0, 12)), int(rng.integers(0, 10_000)))
+        for i in range(n_l)
+    ]
+    # right keys 0..9 only -> keys 10,11 unmatched; unique (key, ts)
+    seen = set()
+    rrows = []
+    for j in range(n_r):
+        k, t = int(rng.integers(0, 10)), int(rng.integers(0, 10_000))
+        if (k, t) not in seen:
+            seen.add((k, t))
+            rrows.append((k, t, float(j)))
+    left = spark.createDataFrame(lrows, "lid long, k long, t long").select(
+        "lid", "k", F.timestamp_micros(F.col("t") * 1_000_000).alias("ts")
+    )
+    right = spark.createDataFrame(rrows, "k long, t long, px double").select(
+        "k", F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"), "px"
+    )
+
+    for tol_spec, tol_s in ((None, None), ("100 seconds", 100)):
+        got = {
+            r.lid: (r.r_px, r.gap_us)
+            for r in joins.asof_join(
+                left, right, on="k", ts="ts", tolerance=tol_spec
+            ).collect()
+        }
+        for lid, k, t in lrows:
+            cands = [(rt, px) for (rk, rt, px) in rrows if rk == k and rt <= t]
+            if cands:
+                rt, px = max(cands)  # latest ts; (k, ts) unique so no tie
+                want = (px, (t - rt) * 1_000_000)
+                if tol_s is not None and t - rt > tol_s:
+                    want = (None, None)
+            else:
+                want = (None, None)
+            assert got[lid] == want, (lid, k, t, got[lid], want)
+
+
 def test_asof_plan_is_window_not_join(trades, quotes):
     plan = joins.asof_join(trades, quotes, on="user_id", ts="ts")._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # one shuffle + sort, never a nested-loop join

@@ -267,6 +267,54 @@ def test_compact_parquet_merges_small_files(spark, tmp_path, embeddings):
     assert {r.vec_id for r in spark.read.parquet(path).collect()} == want
 
 
+def test_streaming_asof_state_carries_across_batches(spark, events, tmp_path):
+    """Split the event log into 3 time-ordered files (maxFilesPerTrigger=1
+    -> 3 micro-batches, oldest first). A click in batch 3 whose matching
+    view arrived in batch 1 can only be attributed if the view survived in
+    state across both intervening batches — so equality with the batch run
+    proves the state carry-over, not just single-batch logic."""
+    import time as _time
+
+    from rclip_server_spark.streaming import stateful
+
+    batch = {
+        r.click_id: (r.click_us, r.view_us, r.gap_us)
+        for r in stateful.streaming_asof_last_view(events).collect()
+    }
+
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    cut1 = lo + (hi - lo) / 3
+    cut2 = lo + 2 * (hi - lo) / 3
+    d = str(tmp_path / "ev3")
+    os.makedirs(d)
+    parts = [
+        events.where(F.col("ts") < cut1),
+        events.where((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
+        events.where(F.col("ts") >= cut2),
+    ]
+    now = _time.time()
+    for i, p in enumerate(parts):
+        sub = os.path.join(d, f"{i:02d}.parquet")
+        p.coalesce(1).write.parquet(sub)
+        # file-stream picks files oldest-mtime-first; make the order explicit
+        for root, _, files in os.walk(sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + 10 * i, now + 10 * i))
+        os.utime(sub, (now + 10 * i, now + 10 * i))
+
+    stream = SW.read_events_stream(spark, d + "/*.parquet")
+    SW.run_stream_to_memory(
+        stateful.streaming_asof_last_view(stream, horizon_us=1 << 62),
+        "t_asof3",
+        output_mode="append",
+    )
+    got = {
+        r.click_id: (r.click_us, r.view_us, r.gap_us)
+        for r in spark.table("t_asof3").collect()
+    }
+    assert got == batch
+
+
 def test_streaming_asof_attribution_equals_batch(spark, events, events_stream_dir):
     """Stateful streaming as-of join (applyInPandasWithState keeping each
     user's recent views) must attribute every click to the same view the
