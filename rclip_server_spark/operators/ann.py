@@ -64,16 +64,38 @@ def brute_force_topk_multi(
         F.col(id_col),
         V.dot(vec_col, query_vec).alias("score"),
     )
+    partial = partition_partial_topk(scored, k, query_id=query_id, id_col=id_col)
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, id_col, "score", "rank")
+    )
+
+
+def partition_partial_topk(
+    scored: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    id_col: str = "vec_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Per-PARTITION top-k per query over a (query_id, id, score) frame:
+    each of the P input partitions emits at most M*k rows (M = distinct
+    queries), so the downstream per-query consolidation never receives
+    more than P*M*k rows — this is the bound that keeps multi-query top-k
+    off a single reducer. Ordering is (score DESC, id ASC), under which
+    partial top-k is exact. Exposed for the boundedness test."""
     out_schema = scored.schema
     kk = int(k)
-    qid_name, id_name = query_id, id_col
+    qid_name, id_name, sc_name = query_id, id_col, score_col
 
     def _partial_topk(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # closure-self-contained (executors don't have the repo on sys.path)
         def consolidate(frames):
             allc = pd.concat(frames, ignore_index=True)
             allc = allc.sort_values(
-                [qid_name, "score", id_name], ascending=[True, False, True]
+                [qid_name, sc_name, id_name], ascending=[True, False, True]
             )
             return allc.groupby(qid_name, sort=False).head(kk)
 
@@ -89,13 +111,7 @@ def brute_force_topk_multi(
         if buf:
             yield consolidate(buf)
 
-    partial = scored.mapInPandas(_partial_topk, out_schema)
-    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id, id_col, "score", "rank")
-    )
+    return scored.mapInPandas(_partial_topk, out_schema)
 
 
 def brute_force_topk_multi_gemm(
@@ -495,6 +511,52 @@ def write_bucketed_by_lsh(
     planes = hyperplanes(n_planes, dim, seed)
     bucketed = df.withColumn("bucket", hyperplane_bucket_col(F.col(vec_col), planes))
     bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def write_partitioned_by_ivf(
+    df: DataFrame,
+    path: str,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the table PARTITIONED BY the IVF cell — the at-rest
+    layout that makes every IVF probe a partition-pruned scan (only the
+    n_probe nearest cells' directories are listed, ~n_probe/k of the
+    data). Same pay-once-at-write contract as write_bucketed_by_lsh; at
+    cluster scale add .repartition("ivf_cell") first so each cell writes
+    one file run instead of one file per task."""
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+
+
+def ivf_topk_pruned(
+    spark,
+    path: str,
+    query_vec,
+    centroids,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over a table written by write_partitioned_by_ivf: the cell
+    predicate is a PARTITION filter (PartitionFilters in the scan node) —
+    non-probed cells are never read, not even their footers. Scores and
+    ordering are identical to the in-memory ivf_topk at the same probes."""
+    import numpy as np
+
+    qv = np.asarray(query_vec, dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    order = np.argsort(-(cents @ qv))[:n_probe]
+    df = spark.read.parquet(path)
+    cand = df.where(F.col("ivf_cell").isin([int(i) for i in order]))
+    scored = cand.withColumn("score", V.dot(F.col(vec_col), V.vec_lit(list(qv))))
+    return (
+        scored.select(id_col, "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def lsh_topk_pruned(

@@ -203,6 +203,42 @@ def test_hyperplane_near_dup_empty_df_raises(spark, embeddings):
         ann.hyperplane_lsh_near_dup(embeddings.limit(0))
 
 
+def test_partition_partial_topk_bounds_rows(spark, embeddings):
+    """The partial tier must emit <= P*M*k rows (the scale bound) while
+    preserving the exact global top-k under (score DESC, id ASC)."""
+    from rclip_server_spark.plans.embedder import DeterministicEmbedder
+
+    E = DeterministicEmbedder(64)
+    terms = ["zebra", "spots", "ocean"]
+    qdf = spark.createDataFrame(
+        [(t, [float(x) for x in E.embed_text(t)]) for t in terms],
+        "query_id string, query_vec array<double>",
+    )
+    P, M, k = 8, len(terms), 5
+    scored = (
+        embeddings.repartition(P)
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            "query_id",
+            "vec_id",
+            F.aggregate(
+                F.zip_with("embedding", "query_vec", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+    )
+    partial = ann.partition_partial_topk(scored, k)
+    assert partial.count() <= P * M * k
+    # consolidating the partial tier must reproduce the naive global top-k
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    naive = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    two_tier = partial.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    assert sorted(map(tuple, two_tier.collect())) == sorted(map(tuple, naive.collect()))
+
+
 def test_multiprobe_recall_at_least_single_probe(embeddings):
     exact_top10 = {r.vec_id for r in similarity.topk_similar(embeddings, QV, k=10).collect()}
     single = {r.vec_id for r in ann.lsh_topk(embeddings, QV, k=10, n_planes=4).collect()}
@@ -324,6 +360,24 @@ def test_lsh_bucketed_write_prunes_partitions(spark, embeddings, tmp_path):
     # pruned result == in-memory LSH on the same planes/bucketing
     mem = {r.vec_id for r in ann.lsh_topk(embeddings, QV, k=10, n_planes=4).collect()}
     assert {r.vec_id for r in pruned.collect()} == mem
+
+
+def test_ivf_partitioned_write_prunes_partitions(spark, embeddings, tmp_path):
+    from rclip_server_spark.contract import CENTROIDS
+
+    path = str(tmp_path / "emb_ivf")
+    ann.write_partitioned_by_ivf(embeddings, path, CENTROIDS)
+    pruned = ann.ivf_topk_pruned(spark, path, QV, CENTROIDS, k=10, n_probe=2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "ivf_cell" in plan.split("PartitionFilters")[1][:160]
+    # pruned result == in-memory IVF probe at the same centroids/probes
+    mem = [
+        (r.vec_id, round(r.score, 9))
+        for r in ann.ivf_topk(embeddings, QV, CENTROIDS, k=10, n_probe=2).collect()
+    ]
+    got = [(r.vec_id, round(r.score, 9)) for r in pruned.collect()]
+    assert got == mem
 
 
 def test_gemm_multi_query_matches_per_query(spark, embeddings):

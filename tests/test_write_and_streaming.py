@@ -267,6 +267,80 @@ def test_compact_parquet_merges_small_files(spark, tmp_path, embeddings):
     assert {r.vec_id for r in spark.read.parquet(path).collect()} == want
 
 
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """The one place streaming is ALLOWED to diverge from batch: an event
+    whose window has already been FINALIZED (watermark passed the window
+    end, state evicted, row emitted) is dropped on arrival — that drop is
+    what bounds state at 100 TB/day. (While a window's state is still
+    live, Spark's dropping of within-watermark-late rows is best-effort
+    only, so the test delivers the late row one batch AFTER eviction.)
+    Four mtime-ordered micro-batches: #1 fills day-1/day-2 and moves the
+    watermark past day-1's end; #2's on-time row rides along while day-1
+    is evicted+emitted; #3 delivers a LATE day-1 event (guaranteed drop:
+    its window no longer exists and append mode filters it); #4 pushes
+    the watermark forward so days 2-3 emit. Streaming must equal batch
+    minus exactly the late row."""
+    import time as _time
+
+    d = str(tmp_path / "late")
+    os.makedirs(d)
+    mk = lambda s: f"2024-01-0{s}"
+    batches = [
+        # (event_id, ts, user_id)
+        [(1, mk(1) + " 10:00:00", 1), (2, mk(2) + " 10:00:00", 1),
+         (3, mk(2) + " 23:00:00", 1)],          # watermark -> Jan 2 22:00
+        [(4, mk(3) + " 00:30:00", 1)],          # day-1 evicted + emitted here
+        [(5, mk(1) + " 12:00:00", 1)],          # late day-1: dropped
+        [(6, mk(4) + " 12:00:00", 1)],          # finalizes days 2-3
+    ]
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        pdf = spark.createDataFrame(
+            [(eid, ts, uid, "click", 1.0, "{}") for eid, ts, uid in rows],
+            "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+        ).select(
+            "event_id",
+            F.to_timestamp("ts_s").cast("timestamp_ntz").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        sub = os.path.join(d, f"{i:02d}.parquet")
+        pdf.coalesce(1).write.parquet(sub)
+        for root, _, files in os.walk(sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + 10 * i, now + 10 * i))
+        os.utime(sub, (now + 10 * i, now + 10 * i))
+
+    stream = SW.read_events_stream(spark, d + "/*.parquet")
+    q = (
+        SW.tumbling_counts(stream, size="1 day", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.window_start.strftime("%m-%d"): r.n_events
+        for r in spark.table("t_late").collect()
+    }
+    # day 1 was finalized before the late event arrived: count stays 1
+    assert got.get("01-01") == 1 and got.get("01-02") == 2
+    assert got.get("01-03") == 1
+    # batch over the same files counts the late row — the divergence is the
+    # watermark drop, nothing else
+    batch_df = spark.read.parquet(d + "/*.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch = {
+        r.window_start.strftime("%m-%d"): r.n_events
+        for r in SW.tumbling_counts(batch_df).collect()
+    }
+    assert batch["01-01"] == 2 and batch["01-02"] == 2 and batch["01-03"] == 1
+
+
 def test_streaming_asof_state_carries_across_batches(spark, events, tmp_path):
     """Split the event log into 3 time-ordered files (maxFilesPerTrigger=1
     -> 3 micro-batches, oldest first). A click in batch 3 whose matching
