@@ -3729,3 +3729,109 @@ _register(
                    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
     """,
 )
+
+
+# ===========================================================================
+# round-3 additions: SQL-pattern sessionization, fixed-k sampling, RFM
+# features, window-function breadth
+# ===========================================================================
+
+
+def _ev_gap_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap sessionization as portable window SQL (events.gap_sessionize) —
+    the cross-engine-checkable twin of the native session_window agg."""
+    _utc(spark)
+    return EV.gap_sessionize(_t(spark, sf, "events"), gap_minutes=30)
+
+
+_register(
+    "ev_gap_sessionize",
+    _ev_gap_sessionize,
+    """
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM events),
+    s AS (
+      SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(us) AS start_us, MAX(us) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY 1, 2
+    """,
+)
+
+
+_register(
+    "samp_fixed_k",
+    lambda spark, sf: sampling.fixed_k_sample(
+        _t(spark, sf, "documents").select("doc_id", "lang"), "doc_id", k=100
+    ),
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang, {_samp_hash_sql('resv')} AS h FROM documents
+      ORDER BY h, doc_id LIMIT 100)
+    """,
+)
+
+
+def _ev_rfm(spark: SparkSession, sf: str) -> DataFrame:
+    _utc(spark)
+    return EV.rfm_features(_t(spark, sf, "events"))
+
+
+_register(
+    "ev_rfm_features",
+    _ev_rfm,
+    f"""
+    WITH m AS (SELECT max(epoch_us(ts)) AS corpus_max_us FROM events),
+    u AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+                 CAST(count(*) AS BIGINT) AS frequency,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+          FROM events GROUP BY 1)
+    SELECT user_id, corpus_max_us - last_us AS recency_us,
+           frequency, monetary_cents
+    FROM u, m
+    """,
+)
+
+
+def _window_rank_breadth(spark: SparkSession, sf: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist over a UNIQUE total order (price,
+    orderkey), so every rank function is deterministic; the rank-count
+    divisions are the same integer ratios in both engines, hence the
+    doubles are bit-identical."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+_register(
+    "rel_window_ntile",
+    _window_rank_breadth,
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)

@@ -111,6 +111,77 @@ def cohort_retention(
     )
 
 
+def gap_sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization as pure window SQL (lag + cumulative sum of
+    gap-break flags) — the engine-portable twin of the native
+    ``session_window`` aggregation (streaming/windows.py), usable on any
+    engine with window functions and cross-checkable row-for-row.
+
+    Per user: order events by (ts, id), flag rows whose gap from the
+    previous event exceeds ``gap_minutes``, and the running sum of flags is
+    the session ordinal. One hash exchange on user_id (the partitioning an
+    event log already wants), both windows share it. Output: one row per
+    session with start/end micros and the event count — identical session
+    boundaries to session_window's gap semantics."""
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    gap_us = gap_minutes * 60_000_000
+    new_flag = F.when(
+        us - F.lag(us).over(w) > F.lit(gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = (
+        events.withColumn("__us", us)
+        .withColumn("__new", new_flag)
+        .withColumn("session_id", F.sum("__new").over(run))
+    )
+    return (
+        sess.groupBy(user_col, "session_id")
+        .agg(
+            F.min("__us").alias("start_us"),
+            F.max("__us").alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def rfm_features(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user RFM feature vector (recency / frequency / monetary) — the
+    canonical behavioral feature block a training pipeline derives from an
+    event log. Recency is micros from the user's last event to the corpus
+    max (order-free), frequency is the event count, monetary the exact
+    integer-cents sum. One map-side-combining aggregation on user_id plus
+    a broadcast of the single corpus-max row."""
+    us = F.unix_micros(F.col(ts_col))
+    per_user = events.groupBy(user_col).agg(
+        F.max(us).alias("last_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("monetary_cents"),
+    )
+    corpus_max = events.agg(F.max(us).alias("corpus_max_us"))
+    return per_user.crossJoin(F.broadcast(corpus_max)).select(
+        user_col,
+        (F.col("corpus_max_us") - F.col("last_us")).alias("recency_us"),
+        "frequency",
+        "monetary_cents",
+    )
+
+
 def event_transitions(
     events: DataFrame,
     user_col: str = "user_id",

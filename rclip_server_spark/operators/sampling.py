@@ -129,6 +129,25 @@ def per_class_cap(
     )
 
 
+def fixed_k_sample(
+    df: DataFrame, id_col: str, k: int, salt: str = "resv"
+) -> DataFrame:
+    """Exactly-k deterministic sample: the k rows with the smallest salted
+    hash — the distributed, rerun-stable equivalent of reservoir sampling
+    (same marginal uniformity, but a pure function of the id set, so two
+    runs — or two engines — agree row-for-row). Plans as hash (map-only)
+    + TakeOrderedAndProject: per-partition k-heaps and a k*P-row merge,
+    never a global sort. Note the difference from ``hash_mod_sample``
+    (fixed RATE, size varies) — this is fixed SIZE, rate varies."""
+    h = _row_hash(id_col, salt)
+    return (
+        df.withColumn("__h", h)
+        .orderBy(F.asc("__h"), F.asc(id_col))
+        .limit(int(k))
+        .drop("__h")
+    )
+
+
 def training_shuffle(
     df: DataFrame,
     id_col: str,

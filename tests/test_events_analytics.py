@@ -263,3 +263,54 @@ def test_merge_agg_delta_empty_delta_is_identity(spark):
     empty = base.where(F.lit(False))
     out = W.merge_agg_delta(base, empty, ["k"], ["n", "s"]).collect()
     assert [(r.k, r.n, r.s) for r in out] == [("a", 2, 10)]
+
+
+def test_gap_sessionize_matches_native_session_window(spark, events):
+    """The lag+cumsum SQL-pattern sessionization and Spark's native
+    session_window aggregation must produce the SAME sessions: same count,
+    same (user, start, n_events) triples. (session_window's end is
+    exclusive gap-padded, so compare starts + sizes, not ends.)"""
+    from rclip_server_spark.streaming import windows as SW
+
+    sql_sessions = {
+        (r.user_id, r.start_us, r.n_events)
+        for r in EV.gap_sessionize(events, gap_minutes=30).collect()
+    }
+    native = {
+        (r.user_id, int(r.session_start.timestamp() * 1_000_000), r.n_events)
+        for r in SW.session_windows(events, gap="30 minutes").collect()
+    }
+    assert sql_sessions == native
+
+
+def test_fixed_k_sample_exact_size_and_stability(spark, documents):
+    from rclip_server_spark.operators import sampling
+
+    s1 = sampling.fixed_k_sample(documents.select("doc_id"), "doc_id", k=50)
+    s2 = sampling.fixed_k_sample(documents.select("doc_id"), "doc_id", k=50)
+    ids1 = sorted(r.doc_id for r in s1.collect())
+    assert len(ids1) == 50
+    assert ids1 == sorted(r.doc_id for r in s2.collect())  # rerun-stable
+    # monotone: the 50-sample is a subset of the 80-sample (hash order is
+    # a fixed total order, so growing k only extends the prefix)
+    ids80 = {r.doc_id for r in sampling.fixed_k_sample(
+        documents.select("doc_id"), "doc_id", k=80).collect()}
+    assert set(ids1) <= ids80
+
+
+def test_rfm_features_hand_computed(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.25),
+        (2, "2024-01-03 00:00:00", 2.50),
+        (3, "2024-01-02 00:00:00", 10.00),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, 1 if i < 3 else 2, "click", v, "{}") for (i, ts, v) in rows],
+        "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+             "event_type", "value", "props")
+    got = {r.user_id: (r.recency_us, r.frequency, r.monetary_cents)
+           for r in EV.rfm_features(df).collect()}
+    day_us = 86_400_000_000
+    assert got[1] == (0, 2, 375)            # last event IS the corpus max
+    assert got[2] == (day_us, 1, 1000)      # one day stale
