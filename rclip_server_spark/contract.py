@@ -3835,3 +3835,46 @@ _register(
                  ORDER BY o_totalprice, o_orderkey)
     """,
 )
+
+
+# SQL subquery surface: correlated EXISTS (Catalyst rewrites to a semi
+# join) and a scalar subquery (broadcast one-row aggregate). Identical SQL
+# text runs on both engines.
+_EXISTS_BODY = """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F'
+                        AND o2.o_totalprice < 50000)
+"""
+
+# threshold from an integer-cents sum (order-free BIGINT addition), not
+# avg(double) — a partial-agg float sum could differ by ulps between
+# engines and flip boundary rows
+_SCALAR_SUBQ_BODY = """
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+    FROM orders
+    WHERE CAST(round(o_totalprice * 100) AS BIGINT) * 10 >
+          (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) * 18 / count(*) FROM orders)
+"""
+
+
+def _sql_views_query(body: str):
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        from .sources.catalog import register_views
+
+        _utc(spark)
+        register_views(spark, sf)
+        return spark.sql(body)
+
+    return q
+
+
+_register("sql_exists_correlated", _sql_views_query(_EXISTS_BODY), _EXISTS_BODY)
+_register("sql_scalar_subquery", _sql_views_query(_SCALAR_SUBQ_BODY), _SCALAR_SUBQ_BODY)
