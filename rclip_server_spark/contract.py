@@ -3878,3 +3878,91 @@ def _sql_views_query(body: str):
 
 _register("sql_exists_correlated", _sql_views_query(_EXISTS_BODY), _EXISTS_BODY)
 _register("sql_scalar_subquery", _sql_views_query(_SCALAR_SUBQ_BODY), _SCALAR_SUBQ_BODY)
+
+
+def _ev_asof_tol(spark: SparkSession, sf: str) -> DataFrame:
+    """asof_join's tolerance branch: matches staler than 15 minutes are
+    nulled but the left row survives (operators/joins.py tolerance
+    semantics), oracle-mirrored with CASE-masked ASOF JOIN columns."""
+    from .operators import joins
+
+    _utc(spark)
+    ev = _t(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    out = joins.asof_join(clicks, views, on="user_id", ts="ts",
+                          tolerance="15 minutes")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("r_ts_us").alias("view_ts_us"),
+        F.col("r_view_event_id").alias("view_event_id"),
+        "gap_us",
+    )
+
+
+_register(
+    "ev_asof_tolerance",
+    _ev_asof_tol,
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    views AS (
+      SELECT user_id, ts, max(event_id) AS view_event_id
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    j AS (
+      SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+             epoch_us(v.ts) AS vus, v.view_event_id AS vid
+      FROM clicks c ASOF LEFT JOIN views v
+        ON c.user_id = v.user_id AND v.ts <= c.ts)
+    SELECT event_id, user_id, ts_us,
+           CASE WHEN ts_us - vus <= 900000000 THEN vus END AS view_ts_us,
+           CASE WHEN ts_us - vus <= 900000000 THEN vid END AS view_event_id,
+           CASE WHEN ts_us - vus <= 900000000 THEN ts_us - vus END AS gap_us
+    FROM j
+    """,
+)
+
+
+# Multi-granularity time rollup in ONE pass: hour/day/week buckets via
+# GROUPING SETS over date_trunc'd keys — the OLAP hypertable-rollup shape
+# (each granularity combines map-side; one shuffle total, not one per
+# granularity). SQL text form: identical Catalyst path as the DataFrame
+# API, identical text on DuckDB modulo unix_micros/epoch_us.
+_TIME_ROLLUP_BODY_SPARK = """
+    SELECT unix_micros(date_trunc('hour', ts)) AS h_us,
+           unix_micros(date_trunc('day', ts)) AS d_us,
+           unix_micros(date_trunc('week', ts)) AS w_us,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY GROUPING SETS ((h_us), (d_us), (w_us))
+"""
+
+_TIME_ROLLUP_BODY_DUCK = """
+    SELECT epoch_us(date_trunc('hour', ts)) AS h_us,
+           epoch_us(date_trunc('day', ts)) AS d_us,
+           epoch_us(date_trunc('week', ts)) AS w_us,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY GROUPING SETS ((h_us), (d_us), (w_us))
+"""
+
+
+def _time_rollup_query(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources.catalog import register_views
+
+    _utc(spark)
+    register_views(spark, sf)
+    return spark.sql(_TIME_ROLLUP_BODY_SPARK)
+
+
+_register("ev_time_bucket_rollup", _time_rollup_query, _TIME_ROLLUP_BODY_DUCK)

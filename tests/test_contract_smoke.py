@@ -22,3 +22,25 @@ def test_entry_flagship(spark):
     rows = out.collect()
     assert len(rows) >= 1
     assert {"vec_id", "score"} <= set(out.columns)
+
+
+def test_registry_invariants():
+    """Contract-registry shape: every oracle key has a query, the priority
+    window is exactly the first 50 names, each priority name resolves, and
+    the window spans the operator families the driver should verify."""
+    q = entry.queries()
+    o = entry.oracle_sql()
+    assert set(o) <= set(q)
+    from rclip_server_spark import contract as C
+
+    names = list(q)
+    assert names[: len(C._PRIORITY)] == C._PRIORITY
+    assert len(C._PRIORITY) == 50
+    window = set(C._PRIORITY)
+    for prefix in ("a", "b", "ev_", "samp_", "vec_", "text_", "dedup_",
+                   "rel_", "ann_", "sketch_", "d1_"):
+        assert any(n.startswith(prefix) for n in window), prefix
+    # everything in the window except D1 (rows-only by design) has an oracle
+    assert [n for n in C._PRIORITY if n not in o] == [
+        "d1_embed_documents_distributed"
+    ]
