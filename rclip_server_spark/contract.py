@@ -3966,3 +3966,82 @@ def _time_rollup_query(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _register("ev_time_bucket_rollup", _time_rollup_query, _TIME_ROLLUP_BODY_DUCK)
+
+
+def _hll_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable HLL distinct sketches (rows-only: DuckDB has no
+    DataSketches-compatible HLL; the accuracy bound is pinned in
+    tests/test_operators.py instead). Sketch per event_type shard, union
+    to one estimate — the sketch-once / merge-cheap distinct pattern."""
+    from .operators import sketches
+
+    sk = sketches.hll_shard_sketches(_t(spark, sf, "events"), "event_type", "user_id")
+    return sketches.hll_union_estimate(sk).select(
+        F.col("approx_distinct").cast("long").alias("approx_distinct")
+    )
+
+
+_register("sketch_hll_distinct", _hll_query, None)
+
+
+def _ev_dedup_window(spark: SparkSession, sf: str) -> DataFrame:
+    _utc(spark)
+    return EV.dedup_within_window(_t(spark, sf, "events"), minutes=10)
+
+
+_register(
+    "ev_dedup_within_window",
+    _ev_dedup_window,
+    """
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+    FROM (SELECT event_id, user_id, event_type, ts,
+                 row_number() OVER (
+                   PARTITION BY user_id, event_type,
+                                CAST(epoch_us(ts) // 600000000 AS BIGINT)
+                   ORDER BY ts, event_id) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+
+
+def _feature_corr(spark: SparkSession, sf: str) -> DataFrame:
+    _utc(spark)
+    from .operators import stats as ST
+
+    li = _t(spark, sf, "lineitem")
+    return ST.exact_corr_pairs(
+        li,
+        [("l_quantity", "l_extendedprice"),
+         ("l_quantity", "l_discount"),
+         ("l_extendedprice", "l_discount")],
+        scale=100,
+    )
+
+
+_CORR_PAIR_SQL = """
+      SELECT '{a}' AS col_a, '{b}' AS col_b,
+             round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                   9) AS corr
+      FROM (SELECT CAST(count(*) AS BIGINT) AS n,
+                   sum(xa) AS sx, sum(xb) AS sy,
+                   sum(xa * xa) AS sxx,
+                   sum(xb * xb) AS syy,
+                   sum(xa * xb) AS sxy
+            FROM (SELECT CAST(round({a} * 100) AS DECIMAL(18,0)) AS xa,
+                         CAST(round({b} * 100) AS DECIMAL(18,0)) AS xb
+                  FROM lineitem))
+"""
+
+_register(
+    "rel_feature_corr",
+    _feature_corr,
+    " UNION ALL ".join(
+        "(" + _CORR_PAIR_SQL.format(a=a, b=b) + ")"
+        for a, b in [("l_quantity", "l_extendedprice"),
+                     ("l_quantity", "l_discount"),
+                     ("l_extendedprice", "l_discount")]
+    ),
+)

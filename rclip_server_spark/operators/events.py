@@ -155,6 +155,37 @@ def gap_sessionize(
     )
 
 
+def dedup_within_window(
+    events: DataFrame,
+    minutes: int = 10,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Ingestion-time event dedup: keep the first event per key within each
+    ``minutes``-wide time bucket (the retry/double-fire suppressor). Bucket
+    assignment is row-local integer math, so the only shuffle is the keyed
+    window — the same exchange a keyed event log already pays. The
+    streaming twin is dropDuplicatesWithinWatermark (streaming/windows
+    .dedup_events); this batch form is its oracle-checkable cousin with
+    hard bucket edges (two fires straddling a bucket boundary both
+    survive — deterministic, unlike a sliding horizon)."""
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col))
+    # integer DIV, not float division + cast: exact at epoch-micros magnitude
+    bucket = F.expr(f"unix_micros({ts_col}) DIV {minutes * 60_000_000}")
+    w = Window.partitionBy(*keys, "__bucket").orderBy(
+        F.asc(ts_col), F.asc(id_col)
+    )
+    return (
+        events.withColumn("__bucket", bucket)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, *keys, us.alias("ts_us"))
+    )
+
+
 def rfm_features(
     events: DataFrame,
     user_col: str = "user_id",

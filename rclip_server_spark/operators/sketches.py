@@ -78,3 +78,26 @@ def cms_estimate(
         joined.groupBy(col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+def hll_shard_sketches(
+    df, shard_col, key_col, lg_k: int = 12,
+):
+    """Per-shard mergeable HLL sketches (Spark's built-in Apache
+    DataSketches HllSketch): one binary sketch row per shard. The 100 TB
+    pattern this enables: sketch each partition/day/source ONCE at ingest,
+    then answer any cross-shard distinct-count by unioning kilobyte
+    sketches — no rescan of the data, unlike exact distinct (a full
+    shuffle) or approx_count_distinct (which cannot merge across runs)."""
+    return df.groupBy(shard_col).agg(
+        F.hll_sketch_agg(F.col(key_col).cast("string"), F.lit(lg_k)).alias("hll")
+    )
+
+
+def hll_union_estimate(sketches, group_cols=None):
+    """Merge shard sketches (optionally per group) and estimate the
+    distinct count. Input is the tiny sketch table, not the data."""
+    agg = F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("approx_distinct")
+    if group_cols:
+        return sketches.groupBy(*group_cols).agg(agg)
+    return sketches.agg(agg)

@@ -162,3 +162,46 @@ def pca_project(
     return df.withColumn("_c", centered).withColumn(
         out_col, F.array(*[V.dot(F.col("_c"), c) for c in comps])
     ).drop("_c")
+
+
+def exact_corr_pairs(
+    df: DataFrame, pairs: list[tuple[str, str]], scale: int = 100
+) -> DataFrame:
+    """Pearson correlation for column pairs from ORDER-FREE integer moments:
+    each value is fixed-pointed to ``scale`` units (cents at 100), the six
+    sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) are exact DECIMAL
+    sums — addition-order-independent, so partitioning cannot change them,
+    and 38 digits of headroom mean Σx² cannot overflow at any realistic
+    row count (BIGINT would wrap near 10^18, i.e. ~10^5 rows of 10^7-cent
+    values) — and the final formula runs once per pair in double (rounded
+    to 9 dp, the engine-portable rule for the two sqrt/divide ops). One
+    map-side-combining aggregation per pair over a shared scan; corr of a
+    constant column comes back NULL (zero variance), matching SQL
+    semantics."""
+    outs = []
+    for a, b in pairs:
+        xa = F.round(F.col(a) * scale).cast("decimal(18,0)")
+        xb = F.round(F.col(b) * scale).cast("decimal(18,0)")
+        m = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(xa).alias("sx"), F.sum(xb).alias("sy"),
+            F.sum(xa * xa).alias("sxx"), F.sum(xb * xb).alias("syy"),
+            F.sum(xa * xb).alias("sxy"),
+        )
+        n = F.col("n").cast("double")
+        sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+        num = n * F.col("sxy").cast("double") - sx * sy
+        den = F.sqrt(n * F.col("sxx").cast("double") - sx * sx) * F.sqrt(
+            n * F.col("syy").cast("double") - sy * sy
+        )
+        outs.append(
+            m.select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(num / den, 9).alias("corr"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

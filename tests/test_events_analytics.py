@@ -314,3 +314,31 @@ def test_rfm_features_hand_computed(spark):
     day_us = 86_400_000_000
     assert got[1] == (0, 2, 375)            # last event IS the corpus max
     assert got[2] == (day_us, 1, 1000)      # one day stale
+
+
+def test_dedup_within_window_bucket_edges(spark):
+    """Two fires inside one 10-min bucket collapse; two fires straddling a
+    bucket edge both survive (hard-edge determinism, documented)."""
+    rows = [
+        (1, "2024-01-01 00:01:00"), (2, "2024-01-01 00:04:00"),  # same bucket
+        (3, "2024-01-01 00:09:59"), (4, "2024-01-01 00:10:01"),  # straddle
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, 7, "click", 1.0, "{}") for i, ts in rows],
+        "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+             "event_type", "value", "props")
+    kept = sorted(r.event_id for r in EV.dedup_within_window(df, minutes=10).collect())
+    assert kept == [1, 4]  # 2 and 3 suppressed by 1; 4 is a new bucket
+
+
+def test_hll_union_estimate_accuracy(spark, events):
+    """Sharded HLL sketches unioned must estimate within the published
+    ~1.6% relative error at lg_k=12 (generous 5% floor for tiny inputs)."""
+    from rclip_server_spark.operators import sketches
+
+    sk = sketches.hll_shard_sketches(events, "event_type", "user_id")
+    assert sk.count() == events.select("event_type").distinct().count()
+    est = sketches.hll_union_estimate(sk).first()[0]
+    exact = events.select("user_id").distinct().count()
+    assert abs(est - exact) / exact <= 0.05
