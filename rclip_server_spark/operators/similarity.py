@@ -53,6 +53,24 @@ def score_col_gemv(vec_col, query_vec) -> Column:
     return _score(vec_col)
 
 
+def choose_score_method(query_vec) -> str:
+    """Cost-based scoring-path choice — the Python-level stand-in for the
+    SURVEY §7 'optional SQL-to-BLAS rewrite rule' (a true Catalyst rule
+    needs Scala; this dispatcher makes the same decision one level up).
+
+    Measured tradeoff (PLANS.md / ann.brute_force_topk_multi_gemm
+    docstring): at dim<=512 a SINGLE query's codegen'd SQL fold matches
+    Arrow-GEMV wall-for-wall, and the SQL form is oracle-checkable and
+    stays inside whole-stage codegen — so it wins up to the dim where the
+    expression tree outgrows codegen's comfort (JIT'd method bloat);
+    beyond that the Arrow batch transfer amortizes and BLAS wins. Batched
+    multi-query scoring should use brute_force_topk_multi_gemm instead —
+    one data pass for all queries — which no per-row expression can
+    match."""
+    dim = len(np.asarray(query_vec))
+    return "sql" if dim <= 512 else "gemv"
+
+
 def with_score(
     df: DataFrame,
     query_vec,
@@ -60,6 +78,8 @@ def with_score(
     method: str = "sql",
     score_name: str = "score",
 ) -> DataFrame:
+    if method == "auto":
+        method = choose_score_method(query_vec)
     fn = score_col_sql if method == "sql" else score_col_gemv
     return df.withColumn(score_name, fn(F.col(vec_col), query_vec))
 

@@ -609,3 +609,13 @@ def test_canonical_url_dedups_campaign_variants(spark):
     assert out[1][0] == "example.com"
     assert out[3][1] == "https://example.com/other"
     assert out[4] == ("", "plain text")  # non-URLs pass through untouched
+
+
+def test_auto_score_method_dispatch(spark, embeddings):
+    from rclip_server_spark.operators import similarity
+
+    assert similarity.choose_score_method([0.1] * 64) == "sql"
+    assert similarity.choose_score_method([0.1] * 1024) == "gemv"
+    auto = similarity.topk_similar(embeddings, QV, k=5, method="auto").collect()
+    sql = similarity.topk_similar(embeddings, QV, k=5, method="sql").collect()
+    assert [(r.vec_id, r.score) for r in auto] == [(r.vec_id, r.score) for r in sql]
