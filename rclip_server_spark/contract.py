@@ -4045,3 +4045,31 @@ _register(
                      ("l_extendedprice", "l_discount")]
     ),
 )
+
+
+_CONT_SH = char_shingles_sql("text", 5)
+
+_register(
+    "dedup_containment",
+    lambda spark, sf: dedup.containment_pairs(
+        _t(spark, sf, "documents"), threshold=0.8
+    ).select("id_a", "id_b", F.round("containment", 9).alias("containment")),
+    f"""
+    WITH g AS (SELECT doc_id AS id,
+                      list_distinct(list_transform({_CONT_SH},
+                                    s -> {hash60_sql('s')})) AS gs
+               FROM documents),
+    e AS (SELECT id, unnest(gs) AS gram FROM g),
+    rare AS (SELECT gram FROM e GROUP BY gram HAVING count(*) <= 20),
+    er AS (SELECT e.id, e.gram FROM e JOIN rare USING (gram)),
+    c AS (SELECT a.id AS id_a, b.id AS id_b
+          FROM er a JOIN er b ON a.gram = b.gram AND a.id < b.id
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+    v AS (SELECT id_a, id_b,
+                 CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+                 / CAST(least(len(ga.gs), len(gb.gs)) AS DOUBLE) AS containment
+          FROM c JOIN g ga ON c.id_a = ga.id JOIN g gb ON c.id_b = gb.id)
+    SELECT id_a, id_b, round(containment, 9) AS containment
+    FROM v WHERE containment >= CAST('0.8' AS DOUBLE)
+    """,
+)

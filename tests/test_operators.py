@@ -619,3 +619,25 @@ def test_auto_score_method_dispatch(spark, embeddings):
     auto = similarity.topk_similar(embeddings, QV, k=5, method="auto").collect()
     sql = similarity.topk_similar(embeddings, QV, k=5, method="sql").collect()
     assert [(r.vec_id, r.score) for r in auto] == [(r.vec_id, r.score) for r in sql]
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark, documents):
+    """A 200-char excerpt of a long doc: containment ~1.0 (found), while
+    its Jaccard vs the full doc is far below any useful threshold."""
+    base = documents.where(F.length("text") > 800).limit(3)
+    excerpts = base.select(
+        (F.col("doc_id") + 70_000).alias("doc_id"),
+        F.substring("text", 100, 200).alias("text"),
+    )
+    corpus = documents.limit(50).select("doc_id", "text").unionByName(excerpts)
+    got = dedup.containment_pairs(corpus, threshold=0.8)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    for r in base.select("doc_id").collect():
+        assert (r.doc_id, r.doc_id + 70_000) in pairs
+    # sanity: the same pairs are BELOW a 0.5 jaccard (asymmetric case)
+    jac = {
+        (p.id_a, p.id_b)
+        for p in dedup.minhash_near_dup(corpus, threshold=0.5).collect()
+    }
+    for r in base.select("doc_id").collect():
+        assert (r.doc_id, r.doc_id + 70_000) not in jac
