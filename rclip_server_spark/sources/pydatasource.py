@@ -19,7 +19,12 @@ Usage:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 
@@ -66,6 +71,52 @@ class ExternalEnumDataSource(DataSource):
 
     def reader(self, schema: StructType) -> ExternalEnumReader:
         return ExternalEnumReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> "ExternalEnumStreamReader":
+        return ExternalEnumStreamReader(self.options)
+
+
+class ExternalEnumStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the same enumeration: each micro-batch reads the
+    next ``page_size`` indices (the offset is the cursor a paginated API
+    hands back — here a plain integer). This is the continuous-ingestion
+    front half of the streaming indexer: external_enum stream ->
+    sink.start_stream_upsert, with exactly-once delivery coming from
+    Spark's checkpointed offsets plus the idempotent merge.
+
+    `read(start)` is called on the DRIVER (Simple API: no partition
+    planning; right for cursor-paginated APIs that cannot be split);
+    `readBetweenOffsets` replays a committed range after restart, which a
+    deterministic fetch makes trivially consistent."""
+
+    def __init__(self, options: dict):
+        self.total = int(options.get("total", 1000))
+        self.page_size = int(options.get("page_size", 100))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def _rows(self, start: int, end: int):
+        import hashlib
+
+        for i in range(start, end):
+            h = hashlib.md5(str(i).encode()).hexdigest()[:8]
+            yield (
+                f"File:pic_{i}_{h}.jpg",
+                f"http://img.example/commons/pic_{i}_{h}.jpg",
+                i,
+            )
+
+    def read(self, start: dict):
+        # a LIST-iterator, not a generator: Spark's prefetch cache
+        # copy.copy()s the returned iterator between micro-batch planning
+        # and execution, and generators are neither copyable nor picklable
+        lo = int(start["index"])
+        hi = min(lo + self.page_size, self.total)
+        return iter(list(self._rows(lo, hi))), {"index": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._rows(int(start["index"]), int(end["index"]))))
 
 
 def register(spark) -> None:

@@ -193,3 +193,33 @@ def test_python_datasource_partitioned_enumeration(spark):
         .option("total", 250).option("page_size", 100).load()
     )
     assert sorted(r.url for r in again.collect()) == sorted(r.url for r in df.collect())
+
+
+def test_python_streaming_datasource_to_upsert_sink(spark, tmp_path):
+    """The full streaming indexer spine on the Spark 4 Python datasource
+    API: external_enum readStream (cursor-paginated micro-batches) ->
+    foreachBatch conditional upsert -> serving table. 250 rows over 3+
+    micro-batches land exactly once, keyed by title."""
+    from rclip_server_spark.sources import pydatasource
+    from rclip_server_spark.streaming import sink
+
+    pydatasource.register(spark)
+    table = str(tmp_path / "indexed")
+    stream = (
+        spark.readStream.format("external_enum")
+        .option("total", 250)
+        .option("page_size", 100)
+        .load()
+    )
+    q = sink.start_stream_upsert(
+        stream, spark, table, key="title", latest_col="page_index",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(table)
+    assert got.count() == 250
+    assert got.select("title").distinct().count() == 250
+    assert got.agg(F.min("page_index"), F.max("page_index")).first() == (0, 249)
