@@ -328,6 +328,18 @@ def main() -> int:
     ))
 
     audits.append((
+        "Containment dedup (rare-shingle inverted index + exact verify)",
+        dedup.containment_pairs(docs, threshold=0.8),
+        {"CartesianProduct": False, "BroadcastNestedLoopJoin": False},
+        "Candidates come from equi-joining doc ids per RARE shingle "
+        "(document frequency <= max_df), so pair count is bounded by "
+        "sum df^2 under the cap — the inverted-index shape, never "
+        "all-pairs. Exact set intersection runs only on pairs sharing "
+        ">= min_shared rare shingles; the asymmetric containment ratio "
+        "is one exact double division.",
+    ))
+
+    audits.append((
         "SQL Q6-style predicate-pushdown scan",
         _QUERIES["sql_q6_forecast_revenue"](spark, SF_DIR),
         {
