@@ -100,50 +100,54 @@ def streaming_asof_last_view(events: DataFrame,
         import pandas as _pd
 
         st_us, st_id = state.get if state.exists else ([], [])
-        st_us = list(st_us)
-        st_id = list(st_id)
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts_us", kind="mergesort")
-            is_view = (pdf["event_type"] == "view").to_numpy()
-            b_us = pdf["ts_us"].to_numpy()
-            b_id = pdf["event_id"].to_numpy()
-            # merge retained views with this batch's views (both ts-sorted)
-            v_us = np.concatenate([np.asarray(st_us, dtype=np.int64),
-                                   b_us[is_view]])
-            v_id = np.concatenate([np.asarray(st_id, dtype=np.int64),
-                                   b_id[is_view]])
-            order = np.argsort(v_us, kind="stable")
-            v_us, v_id = v_us[order], v_id[order]
-            clicks_us = b_us[~is_view]
-            clicks_id = b_id[~is_view]
-            # per click: latest view with view_us <= click_us
-            pos = np.searchsorted(v_us, clicks_us, side="right") - 1
-            ok = pos >= 0
-            out.append(_pd.DataFrame({
-                "click_id": clicks_id,
-                "user_id": key[0],
-                "click_us": clicks_us,
-                "view_id": _pd.array(
-                    [int(v_id[p]) if o else None for p, o in zip(pos, ok)],
-                    dtype="Int64"),
-                "view_us": _pd.array(
-                    [int(v_us[p]) if o else None for p, o in zip(pos, ok)],
-                    dtype="Int64"),
-                "gap_us": _pd.array(
-                    [int(c - v_us[p]) if o else None
-                     for c, p, o in zip(clicks_us, pos, ok)],
-                    dtype="Int64"),
-            }))
-            # prune state to the horizon behind this user's max event time
-            if len(v_us):
-                hi = int(max(b_us.max() if len(b_us) else v_us[-1], v_us[-1]))
-                keep = v_us >= hi - hz
-                st_us = [int(x) for x in v_us[keep]]
-                st_id = [int(x) for x in v_id[keep]]
-        state.update((st_us, st_id))
-        if out:
-            yield _pd.concat(out, ignore_index=True)
+        # accumulate the WHOLE group first: Arrow may deliver one group as
+        # several chunks within a micro-batch, and processing chunk-by-chunk
+        # would hide a later chunk's views from an earlier chunk's clicks
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((list(st_us), list(st_id)))
+            return
+        pdf = _pd.concat(chunks, ignore_index=True).sort_values(
+            "ts_us", kind="mergesort"
+        )
+        is_view = (pdf["event_type"] == "view").to_numpy()
+        b_us = pdf["ts_us"].to_numpy()
+        b_id = pdf["event_id"].to_numpy()
+        # merge retained views with this batch's views (both ts-sorted)
+        v_us = np.concatenate([np.asarray(st_us, dtype=np.int64),
+                               b_us[is_view]])
+        v_id = np.concatenate([np.asarray(st_id, dtype=np.int64),
+                               b_id[is_view]])
+        order = np.argsort(v_us, kind="stable")
+        v_us, v_id = v_us[order], v_id[order]
+        clicks_us = b_us[~is_view]
+        clicks_id = b_id[~is_view]
+        # per click: latest view with view_us <= click_us
+        pos = np.searchsorted(v_us, clicks_us, side="right") - 1
+        ok = pos >= 0
+        out = _pd.DataFrame({
+            "click_id": clicks_id,
+            "user_id": key[0],
+            "click_us": clicks_us,
+            "view_id": _pd.array(
+                [int(v_id[p]) if o else None for p, o in zip(pos, ok)],
+                dtype="Int64"),
+            "view_us": _pd.array(
+                [int(v_us[p]) if o else None for p, o in zip(pos, ok)],
+                dtype="Int64"),
+            "gap_us": _pd.array(
+                [int(c - v_us[p]) if o else None
+                 for c, p, o in zip(clicks_us, pos, ok)],
+                dtype="Int64"),
+        })
+        # prune state to the horizon behind this user's max event time
+        if len(v_us):
+            hi = int(max(b_us.max() if len(b_us) else v_us[-1], v_us[-1]))
+            keep = v_us >= hi - hz
+            st_us = [int(x) for x in v_us[keep]]
+            st_id = [int(x) for x in v_id[keep]]
+        state.update((list(st_us), list(st_id)))
+        yield out
 
     return prepped.groupBy("user_id").applyInPandasWithState(
         _attribute,
