@@ -4073,3 +4073,29 @@ _register(
     FROM v WHERE containment >= CAST('0.8' AS DOUBLE)
     """,
 )
+
+
+def _train_quality_lr(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed quality-filter training (rows-only: iterative algorithm
+    per contract rules; exactness vs a numpy reference is pinned in
+    tests/test_pca.py). Full-batch logistic GD where each pass ships only
+    (dim+1)-float partial gradients — stats.train_logistic."""
+    from .operators import stats as ST
+    from .functions import text as TXT
+
+    docs = _t(spark, sf, "documents")
+    feats = docs.select(
+        F.log(F.size(TXT.tokens(F.col("text"))) + 1).alias("f_logtok"),
+        (F.length("text") / (F.size(TXT.tokens(F.col("text"))) + 1)).alias("f_len"),
+        (F.col("doc_id") % 7 == 0).cast("double").alias("label"),
+    ).localCheckpoint(eager=True)
+    w, b, losses = ST.train_logistic(
+        feats, ["f_logtok", "f_len"], "label", iters=8, lr=0.3
+    )
+    return spark.createDataFrame(
+        [(float(w[0]), float(w[1]), float(b), float(losses[-1]))],
+        "w_logtok double, w_len double, bias double, final_loss double",
+    )
+
+
+_register("ml_train_quality_lr", _train_quality_lr, None)

@@ -205,3 +205,81 @@ def exact_corr_pairs(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def logistic_gradient(df: DataFrame, feature_cols: list[str], label_col: str,
+                      weights: np.ndarray, bias: float, l2: float = 0.0):
+    """One full-batch logistic-regression gradient, distributed: each Arrow
+    batch reduces to a (dim+1) partial gradient vector inside mapInPandas
+    (the PCA-Gramian pattern — only model-sized stats shuffle, never rows),
+    the tiny partials sum in one agg, and the driver applies the step.
+    Returns (grad_w, grad_b, total_loss, n)."""
+    w = np.asarray(weights, dtype=np.float64)
+    b = float(bias)
+    d = len(feature_cols)
+
+    def _partial(batches):
+        # closure-self-contained: executors don't have the repo on sys.path
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = pdf[feature_cols].to_numpy(dtype=_np.float64)
+            y = pdf[label_col].to_numpy(dtype=_np.float64)
+            z = x @ w + b
+            p = 1.0 / (1.0 + _np.exp(-z))
+            err = p - y
+            # log-loss with clipping only in the loss (not the gradient)
+            pc = _np.clip(p, 1e-12, 1 - 1e-12)
+            loss = float(-(y * _np.log(pc) + (1 - y) * _np.log(1 - pc)).sum())
+            row = {"gb": float(err.sum()), "loss": loss, "n": len(pdf)}
+            for j in range(x.shape[1]):
+                row[f"g{j}"] = float(err @ x[:, j])
+            yield _pd.DataFrame([row])
+
+    schema = ", ".join([f"g{j} double" for j in range(d)]
+                       + ["gb double", "loss double", "n bigint"])
+    partials = df.select(*feature_cols, label_col).mapInPandas(_partial, schema)
+    agg = partials.agg(
+        *[F.sum(f"g{j}").alias(f"g{j}") for j in range(d)],
+        F.sum("gb").alias("gb"), F.sum("loss").alias("loss"),
+        F.sum("n").alias("n"),
+    ).first()
+    n = int(agg["n"])
+    grad_w = np.array([agg[f"g{j}"] for j in range(d)]) / n + l2 * w
+    grad_b = float(agg["gb"]) / n
+    loss = float(agg["loss"]) / n + 0.5 * l2 * float(w @ w)
+    return grad_w, grad_b, loss, n
+
+
+def train_logistic(df: DataFrame, feature_cols: list[str], label_col: str,
+                   iters: int = 30, lr: float = 0.5, l2: float = 1e-4):
+    """Full-batch gradient-descent logistic regression on a DataFrame —
+    how the corpus-quality filter model itself gets trained at corpus
+    scale: per-iteration cost is one distributed pass that ships only
+    (dim+1) floats per Arrow batch; the driver holds the model (dim+1
+    parameters), exactly like pca_fit holds the dim^2 Gramian. Returns
+    (weights, bias, losses). Deterministic for a fixed partitioning
+    (float partial-sum order); seed-free. Cache ``df`` first — each
+    iteration rescans it."""
+    w = np.zeros(len(feature_cols), dtype=np.float64)
+    b = 0.0
+    losses = []
+    for _ in range(int(iters)):
+        gw, gb, loss, _n = logistic_gradient(df, feature_cols, label_col, w, b, l2)
+        w -= lr * gw
+        b -= lr * gb
+        losses.append(loss)
+    return w, b, losses
+
+
+def predict_logistic(df: DataFrame, feature_cols: list[str],
+                     weights, bias: float, out_col: str = "p") -> DataFrame:
+    """Map-only scoring of the trained model: the logit is a literal-weight
+    column expression (JVM codegen, no Python on the scoring path)."""
+    z = F.lit(float(bias))
+    for c, wv in zip(feature_cols, np.asarray(weights, dtype=np.float64)):
+        z = z + F.col(c) * F.lit(float(wv))
+    return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))

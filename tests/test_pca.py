@@ -110,3 +110,43 @@ def test_pca_coarse_topk_exact_scores_and_high_recall(embeddings):
     assert [r["vec_id"] for r in got2.collect()] == got_ids
     plan = got2._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan and "BroadcastHashJoin" in plan
+
+
+def test_distributed_logistic_matches_numpy(spark, documents):
+    """Distributed full-batch GD must track a driver-side numpy
+    implementation run on the same features: near-identical loss curve and
+    weights (partial-sum order costs at most ~1e-9), and the learned model
+    must actually separate the synthetic labels."""
+    import numpy as np
+
+    from rclip_server_spark.functions import text as TXT
+    from pyspark.sql import functions as F
+
+    feats = documents.select(
+        F.log(F.size(TXT.tokens(F.col("text"))) + 1).alias("f_logtok"),
+        (F.length("text") / (F.size(TXT.tokens(F.col("text"))) + 1)).alias("f_len"),
+        (F.col("doc_id") % 7 == 0).cast("double").alias("label"),
+    ).cache()
+    cols = ["f_logtok", "f_len"]
+    w, b, losses = stats.train_logistic(feats, cols, "label", iters=12, lr=0.3)
+    assert losses[-1] < losses[0]  # it optimizes
+
+    pdf = feats.toPandas()
+    X = pdf[cols].to_numpy(dtype=np.float64)
+    y = pdf["label"].to_numpy(dtype=np.float64)
+    wn = np.zeros(2)
+    bn = 0.0
+    for _ in range(12):
+        p = 1.0 / (1.0 + np.exp(-(X @ wn + bn)))
+        err = p - y
+        wn -= 0.3 * (X.T @ err / len(y) + 1e-4 * wn)
+        bn -= 0.3 * float(err.mean())
+    np.testing.assert_allclose(w, wn, rtol=0, atol=1e-9)
+    assert abs(b - bn) < 1e-9
+
+    # map-only scoring path agrees with numpy probabilities
+    scored = stats.predict_logistic(feats, cols, w, b).toPandas()
+    pref = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+    np.testing.assert_allclose(np.sort(scored["p"].to_numpy()), np.sort(pref),
+                               atol=1e-9)
+    feats.unpersist()
