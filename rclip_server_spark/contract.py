@@ -4099,3 +4099,57 @@ def _train_quality_lr(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _register("ml_train_quality_lr", _train_quality_lr, None)
+
+
+_register(
+    "samp_split_leakage",
+    # the UN-deduped corpus split naively: leakage must be measurable
+    lambda spark, sf: sampling.split_leakage_report(
+        dedup.minhash_near_dup(_t(spark, sf, "documents"), threshold=0.7)
+        .select("id_a", "id_b"),
+        sampling.split_assign(
+            _t(spark, sf, "documents").select("doc_id"), "doc_id", SPLIT_WEIGHTS
+        ),
+    ),
+    f"""
+    WITH s AS (SELECT doc_id, CASE {_SPLIT_CASE} ELSE 'test' END AS split
+               FROM documents),
+    p AS ({{MINHASH_PAIRS}})
+    SELECT least(sa.split, sb.split) AS split_lo,
+           greatest(sa.split, sb.split) AS split_hi,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM p JOIN s sa ON p.id_a = sa.doc_id JOIN s sb ON p.id_b = sb.doc_id
+    GROUP BY 1, 2
+    """.replace("{MINHASH_PAIRS}", _ORACLES["dedup_minhash_near_dup"]
+                .replace("SELECT id_a, id_b, jaccard", "SELECT id_a, id_b")),
+)
+
+
+_IVF_PICK = ("CASE cell " + " ".join(
+    f"WHEN {i} THEN d{i}" for i in range(len(CENTROIDS))) + " END")
+
+_register(
+    "ann_ivf_outliers",
+    lambda spark, sf: ann.ivf_outliers(
+        _t(spark, sf, "embeddings"), CENTROIDS, z=2.0
+    ).select("vec_id", F.col("ivf_cell").cast("long").alias("ivf_cell"),
+             "nanocos"),
+    f"""
+    WITH d AS (SELECT vec_id, {_IVF_DOTS} FROM embeddings),
+    a AS (SELECT vec_id, {_IVF_CASE} AS cell, * FROM d),
+    s AS (SELECT vec_id, cell,
+                 CAST(round(({_IVF_PICK}) * 1e9) AS BIGINT) AS nanocos
+          FROM a),
+    m AS (SELECT cell, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(nanocos) AS BIGINT) AS s1,
+                 CAST(sum(nanocos * nanocos) AS BIGINT) AS s2
+          FROM s GROUP BY 1)
+    SELECT s.vec_id, CAST(s.cell AS BIGINT) AS ivf_cell, s.nanocos
+    FROM s JOIN m ON s.cell = m.cell
+    WHERE (CAST(s1 AS DOUBLE) / n - s.nanocos) > 0
+      AND (CAST(s1 AS DOUBLE) / n - s.nanocos)
+          * (CAST(s1 AS DOUBLE) / n - s.nanocos)
+          > 4.0 * (CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+    """,
+)

@@ -727,3 +727,48 @@ def binary_hamming_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_outliers(
+    df: DataFrame,
+    centroids,
+    z: float = 3.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space outlier detection: rows unusually FAR from their own
+    cluster's centroid (cosine-to-centroid more than ``z`` standard
+    deviations below the cell mean) — mislabeled/corrupt/off-distribution
+    vectors surface here before they poison training.
+
+    Determinism discipline (the ev_zscore recipe): the per-cell moments
+    come from ORDER-FREE integer sums of nano-cosines (round(cos * 1e9) as
+    BIGINT — exact at any partitioning), the z-test runs in double once
+    per row. Map-side assignment (literal centroids) + one small groupBy +
+    a broadcast join of k moment rows: no shuffle of the corpus."""
+    import numpy as np
+
+    from ..functions import vector as V
+
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    cents = np.asarray(centroids, dtype=np.float64)
+    # cosine to the ASSIGNED centroid, as a CASE over literal centroids
+    score = F.lit(None).cast("double")
+    for i, c in enumerate(cents):
+        score = F.when(
+            F.col("ivf_cell") == i, V.dot(F.col(vec_col), V.vec_lit(list(c)))
+        ).otherwise(score)
+    nanocos = F.round(score * F.lit(1e9)).cast("long")
+    scored = assigned.withColumn("nanocos", nanocos)
+    m = scored.groupBy("ivf_cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("nanocos").alias("s1"),
+        F.sum(F.col("nanocos") * F.col("nanocos")).alias("s2"),
+    )
+    j = scored.join(F.broadcast(m), "ivf_cell")
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = F.col("s2").cast("double") / F.col("n").cast("double") - mean * mean
+    dev = mean - F.col("nanocos").cast("double")  # low cosine = outlying
+    return j.where((dev > 0) & (dev * dev > F.lit(float(z) * float(z)) * var)).select(
+        id_col, "ivf_cell", "nanocos"
+    )

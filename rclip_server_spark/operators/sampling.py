@@ -181,3 +181,31 @@ def training_shuffle(
         with_shard.withColumn("pos", F.row_number().over(w).cast("long") - 1)
         .drop("__h")
     )
+
+
+def split_leakage_report(
+    pairs: DataFrame,
+    splits: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Measure train/test contamination: join near-dup ``pairs`` (id_a,
+    id_b) against the split assignment and count pairs per (split_a,
+    split_b) — off-diagonal cells are leakage (a test doc with a training
+    near-duplicate is an eval lie). This MEASURES the invariant
+    pipelines.curate_corpus enforces structurally (dedup before split):
+    run it on any externally-split corpus before trusting its eval.
+    Two broadcast-sized joins (the pair list is candidates, not corpus)
+    plus a tiny count agg."""
+    s = splits.select(F.col(id_col), F.col(split_col))
+    a = s.select(F.col(id_col).alias("id_a"), F.col(split_col).alias("split_a"))
+    b = s.select(F.col(id_col).alias("id_b"), F.col(split_col).alias("split_b"))
+    lo = F.least("split_a", "split_b").alias("split_lo")
+    hi = F.greatest("split_a", "split_b").alias("split_hi")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(lo, hi)
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

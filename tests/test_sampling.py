@@ -151,3 +151,28 @@ def test_training_shuffle_deterministic_and_salt_sensitive(spark):
     shard0 = sorted(((r[2], r[0]) for r in a if r[1] == 0))
     ids_in_pos_order = [i for _, i in shard0]
     assert ids_in_pos_order != sorted(ids_in_pos_order)
+
+
+def test_split_leakage_zero_after_dedup_before_split(spark, documents):
+    """The invariant curate_corpus enforces, measured: splitting AFTER
+    keeping one representative per near-dup cluster yields zero cross-split
+    near-dup pairs, while the naive split of the raw corpus leaks."""
+    from rclip_server_spark.operators import dedup
+
+    pairs = dedup.minhash_near_dup(documents, threshold=0.7).select("id_a", "id_b")
+    naive = sampling.split_assign(documents.select("doc_id"), "doc_id",
+                                  {"train": 0.8, "test": 0.2})
+    naive_rep = {
+        (r.split_lo, r.split_hi): r.n_pairs
+        for r in sampling.split_leakage_report(pairs, naive).collect()
+    }
+    assert sum(naive_rep.values()) > 0  # fixture has near-dups: naive leaks
+
+    # dedup-then-split: drop non-representatives, re-split, re-measure
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = documents.join(dropped, "doc_id", "left_anti")
+    clean = sampling.split_assign(kept.select("doc_id"), "doc_id",
+                                  {"train": 0.8, "test": 0.2})
+    clean_pairs = dedup.minhash_near_dup(kept, threshold=0.7).select("id_a", "id_b")
+    clean_rep = sampling.split_leakage_report(clean_pairs, clean).collect()
+    assert sum(r.n_pairs for r in clean_rep) == 0
