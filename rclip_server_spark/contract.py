@@ -4153,3 +4153,36 @@ _register(
                    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
     """,
 )
+
+
+_NEG_HASH = _samp_hash_sql("neg")
+
+
+def _contrastive_triplets_query(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import corpus as corpus_ops
+
+    docs = _t(spark, sf, "documents")
+    return corpus_ops.contrastive_triplets(
+        docs,
+        dedup.minhash_near_dup(docs, threshold=0.7).select("id_a", "id_b"),
+    )
+
+
+_register(
+    "corpus_contrastive_triplets",
+    _contrastive_triplets_query,
+    f"""
+    WITH h AS (SELECT doc_id AS anchor, {_NEG_HASH} AS hh,
+                      CAST({_NEG_HASH} // 16777216 AS BIGINT) AS bucket
+               FROM documents),
+    n AS (SELECT anchor,
+                 lead(anchor) OVER (PARTITION BY bucket ORDER BY hh, anchor)
+                   AS negative
+          FROM h),
+    p AS ({{PAIRS}})
+    SELECT p.id_a AS anchor, p.id_b AS positive, n.negative
+    FROM p JOIN n ON p.id_a = n.anchor
+    WHERE n.negative IS NOT NULL AND n.negative <> p.id_b
+    """.replace("{PAIRS}", _ORACLES["dedup_minhash_near_dup"]
+                .replace("SELECT id_a, id_b, jaccard", "SELECT id_a, id_b")),
+)

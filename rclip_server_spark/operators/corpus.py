@@ -543,3 +543,47 @@ def cluster_topic_terms(
         .where(F.col("rank") <= k_terms)
         .select("ivf_cell", "rank", "token", "cnt")
     )
+
+
+def contrastive_triplets(
+    df: DataFrame,
+    positive_pairs: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "neg",
+    n_buckets_bits: int = 8,
+) -> DataFrame:
+    """(anchor, positive, negative) triplets for contrastive training:
+    positives come from a near-dup pair table (minhash / containment /
+    semantic — any (id_a, id_b) source), negatives are HASH-ADJACENT
+    documents — for each anchor, the doc with the next-larger salted hash
+    inside the anchor's hash bucket. Hash adjacency is equivalent to a
+    uniform random draw (the hash order is pseudorandom in content) but
+    deterministic, rerun-stable, and engine-portable, with none of rand()'s
+    partition-order dependence.
+
+    Scale shape: negatives need a lead() window, and windows need a
+    partition — bucketing the hash space into 2^n_buckets_bits slices
+    bounds every window partition at ~N/2^bits rows (no single-reducer
+    global sort); the positive join is an equi-join on the anchor id.
+    Anchors whose hash is the bucket maximum draw no negative and are
+    dropped (a ~2^bits/N fraction)."""
+    from pyspark.sql import Window
+
+    from ..operators.sampling import _row_hash
+
+    h = _row_hash(id_col, salt)
+    hashed = df.select(F.col(id_col).alias("anchor"), h.alias("__h")).withColumn(
+        "__bucket", F.shiftright("__h", 32 - int(n_buckets_bits))
+    )
+    w = Window.partitionBy("__bucket").orderBy(F.asc("__h"), F.asc("anchor"))
+    negs = hashed.withColumn("negative", F.lead("anchor").over(w)).where(
+        F.col("negative").isNotNull()
+    )
+    pos = positive_pairs.select(
+        F.col("id_a").alias("anchor"), F.col("id_b").alias("positive")
+    )
+    return (
+        pos.join(negs.select("anchor", "negative"), "anchor")
+        .where(F.col("negative") != F.col("positive"))
+        .select("anchor", "positive", "negative")
+    )

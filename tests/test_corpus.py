@@ -561,3 +561,17 @@ def test_cms_size_is_bounded(spark, documents):
     per_depth = sketch.groupBy("d").agg(F.sum("cnt").alias("s")).collect()
     n = toks.count()
     assert all(r.s == n for r in per_depth)
+
+
+def test_contrastive_triplets_invariants(spark, documents):
+    pairs = dedup.minhash_near_dup(documents, threshold=0.7).select("id_a", "id_b")
+    t1 = corpus.contrastive_triplets(documents, pairs).collect()
+    assert t1  # fixture has near-dup positives
+    for r in t1:
+        assert r.negative != r.anchor and r.negative != r.positive
+    # rerun-stable (hash adjacency, not rand())
+    t2 = corpus.contrastive_triplets(documents, pairs).collect()
+    assert sorted(map(tuple, t1)) == sorted(map(tuple, t2))
+    # a different salt redraws the negatives
+    t3 = corpus.contrastive_triplets(documents, pairs, salt="neg2").collect()
+    assert sorted(map(tuple, t3)) != sorted(map(tuple, t1))
