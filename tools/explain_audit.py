@@ -327,6 +327,18 @@ def main() -> int:
         "memory contract).",
     ))
 
+    from rclip_server_spark.operators import sampling as SAMP
+
+    audits.append((
+        "Fixed-k deterministic sample (hash + TakeOrderedAndProject)",
+        SAMP.fixed_k_sample(docs.select("doc_id"), "doc_id", k=100),
+        {"TakeOrderedAndProject": True, "Exchange": False},
+        "The salted hash is map-only row-local math and the k smallest "
+        "rows come from per-partition k-heaps merged on the driver "
+        "(TakeOrderedAndProject) — an exactly-k, rerun-stable sample "
+        "with zero shuffles, at any corpus size.",
+    ))
+
     audits.append((
         "Containment dedup (rare-shingle inverted index + exact verify)",
         dedup.containment_pairs(docs, threshold=0.8),
