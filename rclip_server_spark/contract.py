@@ -1587,13 +1587,17 @@ _register(
         F.array_max(F.transform(TXT.tokens(F.col("text")), lambda t: F.length(t)))
         .cast("long")
         .alias("max_tok_len"),
-        F.sort_array(F.slice(TXT.tokens(F.col("text")), 1, 3)).alias("first3_sorted"),
+        # joined to a string: the driver's canonicalizer can't hash list
+        # cells (tokens are whitespace-split so ' ' is collision-free)
+        F.array_join(
+            F.sort_array(F.slice(TXT.tokens(F.col("text")), 1, 3)), " "
+        ).alias("first3_sorted"),
         F.array_contains(TXT.tokens(F.col("text")), "the").alias("has_the"),
     ),
     f"""
     SELECT doc_id,
            CAST(list_max(list_transform({_TOKS}, t -> length(t))) AS BIGINT) AS max_tok_len,
-           list_sort(list_slice({_TOKS}, 1, 3)) AS first3_sorted,
+           array_to_string(list_sort(list_slice({_TOKS}, 1, 3)), ' ') AS first3_sorted,
            list_contains({_TOKS}, 'the') AS has_the
     FROM documents
     """,
@@ -2234,8 +2238,13 @@ def _pca_project_rows_only(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     comps, mean, _ = stats.pca_fit(emb, n_components=8)
     out = stats.pca_project(emb, comps, mean)
+    # flattened to a joined string so the driver's canonicalizer (which
+    # can't hash list cells) stays safe if this row rotates into its window
     return out.select(
-        "vec_id", F.transform("pca", lambda x: F.round(x, 6)).alias("pca")
+        "vec_id",
+        F.array_join(
+            F.transform("pca", lambda x: F.format_string("%.6f", x)), ","
+        ).alias("pca"),
     )
 
 
@@ -2463,8 +2472,12 @@ def _audio_features_query(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("content")
     )
     out = multimodal.audio_features(clips, n_mels=12)
+    # joined string (not array) — keeps the driver's canonicalizer safe
     return out.select(
-        "doc_id", F.transform("audio_feats", lambda x: F.round(x, 6)).alias("audio_feats")
+        "doc_id",
+        F.array_join(
+            F.transform("audio_feats", lambda x: F.format_string("%.6f", x)), ","
+        ).alias("audio_feats"),
     )
 
 
@@ -2779,7 +2792,11 @@ def _pack_query(spark: SparkSession, sf: str) -> DataFrame:
     chunks = text_analysis.chunk_documents(
         _t(spark, sf, "documents"), chunk_tokens=_CHUNK, stride=_STRIDE
     )
-    return text_analysis.pack_sequences(chunks, budget_tokens=128, buckets=4)
+    packed = text_analysis.pack_sequences(chunks, budget_tokens=128, buckets=4)
+    # Driver's pandas canonicalizer can't hash list cells — flatten the
+    # manifest's doc_ids to a joined string at the contract boundary only
+    # (the operator keeps its natural array<bigint> API).
+    return packed.withColumn("doc_ids", F.array_join("doc_ids", ","))
 
 
 _register(
@@ -2808,7 +2825,7 @@ _register(
     SELECT bucket, seq_id,
            CAST(count(*) AS BIGINT) AS n_chunks,
            CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
-           list_sort(list_distinct(list(doc_id))) AS doc_ids
+           array_to_string(list_sort(list_distinct(list(doc_id))), ',') AS doc_ids
     FROM p GROUP BY bucket, seq_id
     """,
 )
