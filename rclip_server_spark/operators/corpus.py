@@ -444,6 +444,12 @@ def bpe_encode(
         if (len(a) > 1 and a not in created) or (len(b) > 1 and b not in created):
             well_formed = False
             break
+        if a + b in created:
+            # duplicate rule outputs break the reappearance proof: a later
+            # rule could recreate an earlier rule's operand, so ranked-greedy
+            # and the sequential fold may diverge — take the safe path
+            well_formed = False
+            break
         created.add(a + b)
 
     @F.pandas_udf("array<string>")

@@ -45,7 +45,11 @@ def merge_latest(
         pool = spark.read.parquet(path).unionByName(updates)
     else:
         pool = updates
-    w = Window.partitionBy(key).orderBy(F.desc(latest_col))
+    # secondary content-hash ordering makes the winner a pure function of
+    # the row SET even when two rows for a key tie on latest_col (the
+    # docstring's replay/arrival-order invariance claim needs it)
+    row_hash = F.xxhash64(*[F.col(c) for c in sorted(pool.columns)])
+    w = Window.partitionBy(key).orderBy(F.desc(latest_col), F.desc(row_hash))
     merged = (
         pool.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

@@ -73,8 +73,13 @@ def streaming_asof_last_view(events: DataFrame,
         clicks = base.where(F.col("event_type") == "click").select(
             "user_id", F.col("event_id").alias("click_id"), "ts"
         )
-        views = base.where(F.col("event_type") == "view").select(
-            "user_id", F.col("event_id").alias("view_id"), "ts"
+        views = (
+            base.where(F.col("event_type") == "view")
+            # dedupe equal-ts views to max event_id — the same tie-break the
+            # streaming path applies, so both runtimes pick the same view_id
+            # (asof_join requires right unique per (key, ts) anyway)
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("view_id"))
         )
         out = asof_join(clicks, views, on="user_id", ts="ts")
         return out.select(
@@ -118,8 +123,15 @@ def streaming_asof_last_view(events: DataFrame,
                                b_us[is_view]])
         v_id = np.concatenate([np.asarray(st_id, dtype=np.int64),
                                b_id[is_view]])
-        order = np.argsort(v_us, kind="stable")
+        # dedupe equal-ts views keeping max view_id (matches the batch
+        # twin's max(event_id)-per-(user, ts) semantics regardless of
+        # arrival order): sort by (ts, id), keep the last entry per ts
+        order = np.lexsort((v_id, v_us))
         v_us, v_id = v_us[order], v_id[order]
+        if len(v_us) > 1:
+            keep = np.ones(len(v_us), dtype=bool)
+            keep[:-1] = v_us[1:] != v_us[:-1]
+            v_us, v_id = v_us[keep], v_id[keep]
         clicks_us = b_us[~is_view]
         clicks_id = b_id[~is_view]
         # per click: latest view with view_us <= click_us

@@ -442,6 +442,18 @@ def test_bpe_encode_ranked_equals_sequential_fold(documents):
     assert joined.where(F.col("bpe_tokens") != F.col("bpe_seq")).count() == 0
 
 
+def test_bpe_encode_duplicate_output_rules_fall_back(spark):
+    """A merge list whose rules are individually well-formed but contain a
+    DUPLICATE output ('cde' is created twice below) breaks the ranked-greedy
+    equivalence proof: ranked encodes 'acde' as ['acde'] while the
+    documented sequential fold gives ['a','cde']. The gate must detect the
+    duplicate and take the sequential path."""
+    merges = [("c", "d"), ("d", "e"), ("c", "de"), ("a", "cde"), ("cd", "e")]
+    df = spark.createDataFrame([(1, "acde")], ["doc_id", "text"])
+    rows = corpus.bpe_encode(df, merges).collect()
+    assert rows[0].bpe_tokens == ["a", "cde"]
+
+
 def test_bpe_vocab_freq_conserved(documents):
     merges, wf = corpus.bpe_train(documents, n_merges=5)
     vocab = corpus.bpe_vocab(wf)

@@ -392,13 +392,13 @@ def test_streaming_asof_state_carries_across_batches(spark, events, tmp_path):
 def test_streaming_asof_attribution_equals_batch(spark, events, events_stream_dir):
     """Stateful streaming as-of join (applyInPandasWithState keeping each
     user's recent views) must attribute every click to the same view the
-    batch shuffle+window asof_join picks. Compared on (click_us, view_us,
-    gap_us) — view_id is excluded because duplicate (user, ts) views are
-    tie-broken differently by the two physical shapes."""
+    batch shuffle+window asof_join picks — INCLUDING the matched view_id:
+    both runtimes dedupe equal-ts views to max(event_id), so the tie-break
+    is deterministic and identical."""
     from rclip_server_spark.streaming import stateful
 
     batch = {
-        r.click_id: (r.click_us, r.view_us, r.gap_us)
+        r.click_id: (r.click_us, r.view_id, r.view_us, r.gap_us)
         for r in stateful.streaming_asof_last_view(events).collect()
     }
     assert batch  # fixture must exercise the join
@@ -409,10 +409,74 @@ def test_streaming_asof_attribution_equals_batch(spark, events, events_stream_di
         output_mode="append",
     )
     got = {
-        r.click_id: (r.click_us, r.view_us, r.gap_us)
+        r.click_id: (r.click_us, r.view_id, r.view_us, r.gap_us)
         for r in spark.table("t_asof").collect()
     }
     assert got == batch
+
+
+def test_streaming_asof_equal_ts_views_pick_max_id(spark, tmp_path):
+    """Equal-ts duplicate views arriving OUT of id order (high id in an
+    earlier micro-batch, low id later) must still attribute the click to
+    the max view_id — the streaming state merge dedupes per ts keeping the
+    max id, matching the batch twin's max(event_id) pre-dedupe."""
+    import time as _time
+    from datetime import datetime
+
+    from rclip_server_spark.streaming import stateful
+
+    sch = ("event_id bigint, ts timestamp, user_id bigint, event_type string, "
+           "value double, props string")
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    t1 = datetime(2024, 1, 1, 0, 0, 5)
+    batches = [
+        [(9, t0, 7, "view", 0.0, "")],   # higher-id view first
+        [(5, t0, 7, "view", 0.0, "")],   # lower-id duplicate later
+        [(20, t1, 7, "click", 0.0, "")],
+    ]
+    d = str(tmp_path / "ev_ties")
+    os.makedirs(d)
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        sub = os.path.join(d, f"{i:02d}.parquet")
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(sub)
+        for root, _, files in os.walk(sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + 10 * i, now + 10 * i))
+        os.utime(sub, (now + 10 * i, now + 10 * i))
+
+    all_events = spark.createDataFrame(sum(batches, []), sch)
+    batch = {r.click_id: r.view_id
+             for r in stateful.streaming_asof_last_view(all_events).collect()}
+    assert batch == {20: 9}
+
+    stream = SW.read_events_stream(spark, d + "/*.parquet")
+    SW.run_stream_to_memory(
+        stateful.streaming_asof_last_view(stream, horizon_us=1 << 62),
+        "t_asof_ties",
+        output_mode="append",
+    )
+    got = {r.click_id: r.view_id for r in spark.table("t_asof_ties").collect()}
+    assert got == {20: 9}
+
+
+def test_merge_latest_equal_seq_tie_is_order_invariant(spark, tmp_path):
+    """Two rows for one key tie on latest_col: the winner must be a pure
+    function of the row set — merging a-then-b and b-then-a must land the
+    same table (the content-hash tiebreaker in the merge window)."""
+    from rclip_server_spark.streaming import sink
+
+    sch = "filepath string, seq bigint, body string"
+    a = spark.createDataFrame([("k1", 1, "payload-a")], sch)
+    b = spark.createDataFrame([("k1", 1, "payload-b")], sch)
+    t1, t2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    sink.merge_latest(spark, t1, a, key="filepath", latest_col="seq")
+    sink.merge_latest(spark, t1, b, key="filepath", latest_col="seq")
+    sink.merge_latest(spark, t2, b, key="filepath", latest_col="seq")
+    sink.merge_latest(spark, t2, a, key="filepath", latest_col="seq")
+    r1 = sorted(map(tuple, spark.read.parquet(t1).collect()))
+    r2 = sorted(map(tuple, spark.read.parquet(t2).collect()))
+    assert r1 == r2 and len(r1) == 1
 
 
 def test_streaming_upsert_sink_merges_batches(spark, tmp_path, embeddings):
