@@ -4013,10 +4013,7 @@ def _ev_dedup_window(spark: SparkSession, sf: str) -> DataFrame:
     return EV.dedup_within_window(_t(spark, sf, "events"), minutes=10)
 
 
-_register(
-    "ev_dedup_within_window",
-    _ev_dedup_window,
-    """
+_EV_DEDUP_BUCKET_SQL = """
     SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
     FROM (SELECT event_id, user_id, event_type, ts,
                  row_number() OVER (
@@ -4025,8 +4022,22 @@ _register(
                    ORDER BY ts, event_id) AS rn
           FROM events)
     WHERE rn = 1
-    """,
-)
+    """
+
+_register("ev_dedup_within_window", _ev_dedup_window, _EV_DEDUP_BUCKET_SQL)
+
+
+def _ev_dedup_stream_twin(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch run of the STREAMING dedup shape (tumbling window + struct-min,
+    streaming/windows.dedup_first_in_bucket) — same oracle as the keyed
+    row_number() batch form, proving the two physical shapes agree."""
+    from .streaming import windows as SW
+
+    _utc(spark)
+    return SW.dedup_first_in_bucket(_t(spark, sf, "events"), minutes=10)
+
+
+_register("ev_dedup_bucket_stream_twin", _ev_dedup_stream_twin, _EV_DEDUP_BUCKET_SQL)
 
 
 def _feature_corr(spark: SparkSession, sf: str) -> DataFrame:

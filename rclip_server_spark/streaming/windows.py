@@ -109,6 +109,31 @@ def dedup_events(events: DataFrame, keys: list[str] | None = None,
     return events.dropDuplicates(keys)
 
 
+def dedup_first_in_bucket(events: DataFrame, minutes: int = 10,
+                          keys: tuple[str, ...] = ("user_id", "event_type"),
+                          watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of operators.events.dedup_within_window (hard-bucket
+    first-event-wins): tumbling ``window(ts)`` aggregation keeping
+    ``min(struct(ts, event_id))`` per (keys, bucket). ``window()`` aligns
+    tumbling buckets to the epoch exactly like the batch form's
+    ``unix_micros DIV`` bucketing, and the lexicographic struct-min equals
+    its ``ORDER BY ts, event_id`` first row — one definition of "first",
+    two runtimes. Streaming: watermark bounds the per-window state and
+    finalized windows emit once (append); batch: same plan minus the
+    watermark is the oracle. Unlike dropDuplicatesWithinWatermark (arrival-
+    order first, sliding horizon), this is deterministic in event time."""
+    w = F.window(F.col("ts"), f"{minutes} minutes")
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    out = src.groupBy(w.alias("w"), *[F.col(k) for k in keys]).agg(
+        F.min(F.struct(F.col("ts"), F.col("event_id"))).alias("first")
+    )
+    return out.select(
+        F.col("first.event_id").alias("event_id"),
+        *keys,
+        F.unix_micros("first.ts").alias("ts_us"),
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, table_name: str,
                          timeout_sec: int = 120,
                          output_mode: str = "complete") -> None:

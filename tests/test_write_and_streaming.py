@@ -460,6 +460,112 @@ def test_streaming_asof_equal_ts_views_pick_max_id(spark, tmp_path):
     assert got == {20: 9}
 
 
+def test_streaming_dedup_first_in_bucket_equals_batch(spark, events, events_stream_dir):
+    """Hard-bucket first-event dedup: the streaming tumbling-window
+    struct-min must keep exactly the rows the batch keyed-window
+    row_number()==1 form keeps (same epoch-aligned bucket edges, same
+    (ts, event_id) order) — the streaming twin of ev_dedup_within_window."""
+    from rclip_server_spark.operators import events as EV
+
+    batch = {
+        (r.event_id, r.user_id, r.event_type, r.ts_us)
+        for r in EV.dedup_within_window(events, minutes=10).collect()
+    }
+    assert batch
+    # batch mode of the streaming twin: identical row set
+    twin = {
+        (r.event_id, r.user_id, r.event_type, r.ts_us)
+        for r in SW.dedup_first_in_bucket(events, minutes=10).collect()
+    }
+    assert twin == batch
+    stream = SW.read_events_stream(spark, events_stream_dir)
+    SW.run_stream_to_memory(
+        SW.dedup_first_in_bucket(stream, minutes=10),
+        "t_dedup_bucket",
+        output_mode="complete",
+    )
+    got = {
+        (r.event_id, r.user_id, r.event_type, r.ts_us)
+        for r in spark.table("t_dedup_bucket").collect()
+    }
+    assert got == batch
+
+
+def test_stream_upsert_sink_crash_replay(spark, tmp_path, embeddings):
+    """The sink's exactly-once-effective claim under a REAL crash: the first
+    run's foreachBatch merges batch 1, then dies before Spark commits the
+    offset (the at-least-once window). A restarted query on the same
+    checkpoint must replay batch 1, and the conditional merge's idempotence
+    must land the exact table a crash-free run produces."""
+    from rclip_server_spark.streaming import sink
+
+    src_dir = str(tmp_path / "incoming")
+    os.makedirs(src_dir)
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = embeddings.select(
+        F.concat(F.lit("f"), "vec_id").alias("filepath"),
+        F.col("vec_id").alias("size"),
+        F.col("vec_id").alias("seq"),
+    ).limit(100)
+    upd = base.limit(50).withColumn("size", F.lit(-1)).withColumn(
+        "seq", F.col("seq") + 1000
+    )
+    import time as _time
+    now = _time.time()
+    for i, df in enumerate([base, upd]):
+        sub = os.path.join(src_dir, f"b{i}.parquet")
+        df.coalesce(1).write.parquet(sub)
+        for root, _, files in os.walk(sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + 10 * i, now + 10 * i))
+        os.utime(sub, (now + 10 * i, now + 10 * i))
+
+    stream_def = (
+        spark.readStream.schema("filepath string, size bigint, seq bigint")
+        .option("maxFilesPerTrigger", 1)
+    )
+
+    def _upsert_crashing(batch_df, batch_id):
+        sink.merge_latest(spark, table, batch_df, key="filepath", latest_col="seq")
+        if batch_id == 1:
+            raise RuntimeError("injected crash after merge, before offset commit")
+
+    q = (
+        stream_def.parquet(src_dir + "/*.parquet")
+        .writeStream.foreachBatch(_upsert_crashing)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    except Exception:
+        pass  # the injected failure surfaces here or via q.exception()
+    finally:
+        q.stop()
+    assert q.exception() is not None
+    assert "injected crash" in str(q.exception())
+
+    def _upsert_clean(batch_df, batch_id):
+        sink.merge_latest(spark, table, batch_df, key="filepath", latest_col="seq")
+
+    q2 = (
+        stream_def.parquet(src_dir + "/*.parquet")
+        .writeStream.foreachBatch(_upsert_clean)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = spark.read.parquet(table)
+    assert got.count() == 100
+    assert got.where("size = -1").count() == 50
+
+
 def test_merge_latest_equal_seq_tie_is_order_invariant(spark, tmp_path):
     """Two rows for one key tie on latest_col: the winner must be a pure
     function of the row set — merging a-then-b and b-then-a must land the
