@@ -31,6 +31,23 @@ from rclip_server_spark.streaming import windows as SW
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Regression floor: round-3 best-of-2 per-query seconds at sf0.1 on an idle
+# local[32] (BENCH_r03.json). The shared-set rule is "this round <= floor per
+# query, best-of-2 on an idle machine"; tools/bench_regression.py compares a
+# fresh run against this dict (not enforced inline here because the driver's
+# bench run may share the machine with other work — the comparison needs the
+# idle-machine protocol).
+R3_FLOOR_SEC = {
+    "flagship_topk_sql": 0.162, "flagship_topk_gemv": 0.227,
+    "best_words_top50": 0.172, "minhash_near_dup_docs": 3.233,
+    "simhash_fingerprints": 0.875, "embed_documents_udf": 0.078,
+    "q1_pricing_summary": 0.624, "join_broadcast_agg": 0.496,
+    "window_running_sum": 0.152, "event_session_windows": 0.601,
+    "text_quality_stats": 0.266, "event_funnel": 0.691,
+    "sample_weighted_mixture": 0.247, "bm25_topk": 1.2,
+    "semdedup": 1.314, "asof_click_view": 0.313,
+}
+
 
 def _materialize(df) -> int:
     """Force full execution; tiny results are collected, big ones counted."""
@@ -86,6 +103,15 @@ def main() -> None:
         "asof_click_view": lambda: _QUERIES["ev_asof_click_view"](
             spark, SF_DIR
         ).count(),
+        # round-4 widening: containment dedup (rare-shingle inverted index)
+        # and distributed logistic-regression training (per-partition GEMV
+        # passes) — the two r3-new families without a timed headline
+        "dedup_containment": lambda: _QUERIES["dedup_containment"](
+            spark, SF_DIR
+        ).count(),
+        "train_quality_lr": lambda: _QUERIES["ml_train_quality_lr"](
+            spark, SF_DIR
+        ).count(),
     }
 
     # warm the JVM/IO, the Python UDF workers, AND whole-stage-codegen
@@ -105,7 +131,8 @@ def main() -> None:
     # warm the round-3 additions' plan shapes on the smallest fixture
     warm_sf = "/root/testdata/sf0.001"
     for q in ("ev_funnel_counts", "samp_weighted_mixture", "text_bm25_topk",
-              "dedup_semantic_semdedup", "ev_asof_click_view"):
+              "dedup_semantic_semdedup", "ev_asof_click_view",
+              "dedup_containment", "ml_train_quality_lr"):
         _QUERIES[q](spark, warm_sf).count()
     spark.catalog.clearCache()
 
