@@ -239,6 +239,32 @@ def test_partition_partial_topk_bounds_rows(spark, embeddings):
     assert sorted(map(tuple, two_tier.collect())) == sorted(map(tuple, naive.collect()))
 
 
+def test_partition_partial_topk_consolidation_branch(spark):
+    """One partition fed > 65,536 scored rows forces the in-stream buffer
+    consolidation (the per-worker memory bound) — output must still be
+    <= M*k rows for the single partition AND exactly the global top-k.
+    Pins that the consolidate-mid-stream path loses nothing."""
+    M, k, n = 2, 5, 70_000
+    scored = (
+        spark.range(n)
+        .select(
+            F.explode(F.array(F.lit("qa"), F.lit("qb"))).alias("query_id"),
+            F.col("id").alias("vec_id"),
+            # deterministic, collision-free ordering: distinct score per row
+            ((F.col("id") * 37) % 999_983).cast("double").alias("score"),
+        )
+        .coalesce(1)
+    )
+    partial = ann.partition_partial_topk(scored, k)
+    assert partial.count() <= M * k
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    naive = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    two_tier = partial.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    assert sorted(map(tuple, two_tier.collect())) == sorted(map(tuple, naive.collect()))
+
+
 def test_multiprobe_recall_at_least_single_probe(embeddings):
     exact_top10 = {r.vec_id for r in similarity.topk_similar(embeddings, QV, k=10).collect()}
     single = {r.vec_id for r in ann.lsh_topk(embeddings, QV, k=10, n_planes=4).collect()}
