@@ -15,6 +15,21 @@ import __spark_entry__ as entry
 def test_query_executes_at_smoke_scale(spark, name):
     df = entry.queries()[name](spark, SF_DIR)
     assert df.count() >= 0  # full execution, not just plan construction
+    # the external driver's pandas canonicalizer cannot hash list/struct/map
+    # cells — every ORACLE-CHECKED row must project scalar columns only
+    # (flatten with array_join/concat_ws at the contract boundary; r3's one
+    # red cell was exactly this). Rows-only rows skip canonicalization.
+    if name in entry.oracle_sql():
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        complex_cols = [
+            f.name for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        assert not complex_cols, (
+            f"{name} outputs complex-typed columns {complex_cols}; "
+            "the driver's canonicalizer cannot hash them"
+        )
 
 
 def test_entry_flagship(spark):

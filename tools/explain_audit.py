@@ -380,6 +380,35 @@ def main() -> int:
         "nothing grows with corpus size except the keyed shuffles.",
     ))
 
+    from rclip_server_spark.plans import blas_rewrite
+    from rclip_server_spark.streaming import windows as SW
+
+    audits.append((
+        "SQL-to-BLAS rewrite (SURVEY §7 phase 5)",
+        blas_rewrite.accelerate(
+            similarity.with_score(emb, QV_FLAGSHIP, method="sql")
+        ).select("vec_id", "score"),
+        {"ArrowEvalPython": True, "Exchange": False},
+        "The analyzed-plan rule replaces the codegen'd aggregate(zip_with()) "
+        "fold with the Arrow-batched GEMV pandas_udf: the plan's scoring "
+        "projection becomes one ArrowEvalPython node (one BLAS matvec per "
+        "Arrow batch, the reference's RS:196 execution shape, distributed). "
+        "Still map-only — the rewrite must never introduce a shuffle.",
+    ))
+
+    audits.append((
+        "Hard-bucket dedup, streaming-twin shape (tumbling window + struct-min)",
+        SW.dedup_first_in_bucket(load_table(spark, SF_DIR, "events"), minutes=10),
+        {"partial_min": True, "CartesianProduct": False,
+         "BroadcastNestedLoopJoin": False},
+        "The streaming-runnable form of dedup-within-window: tumbling "
+        "window() bucket + min(struct(ts,id)) aggregates PARTIALLY map-side "
+        "(partial_min before the exchange — SortAggregate, since struct "
+        "min-by isn't hash-aggregable), so the keyed shuffle moves one "
+        "candidate row per (key, bucket) per task — not the raw event log. "
+        "In streaming mode the same plan runs with watermark-bounded state.",
+    ))
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
