@@ -175,6 +175,115 @@ def write_partitioned(
     out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+_BUCKET_COL = "__bucket"
+_BUCKET_SPEC = "_bucket_spec.json"  # "_"-prefixed: invisible to Spark scans
+
+
+def _bucket_expr(key: str, n_buckets: int):
+    """Deterministic hash bucket for a key column: pmod(xxhash64(key), n).
+    xxhash64 is seed-fixed in Spark, so the same key lands in the same
+    bucket across runs, sessions, and cluster sizes."""
+    return F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets)).cast("int")
+
+
+def create_bucketed_table(
+    spark: SparkSession, path: str, df: DataFrame, key: str, n_buckets: int = 64
+) -> None:
+    """Create the hash-bucketed layout for bounded-rewrite upserts: the
+    table is hive-partitioned by ``__bucket = pmod(xxhash64(key), n)`` so a
+    MERGE touches only the bucket directories its update keys hash into —
+    the plain-parquet answer to the 'upsert rewrites the whole table' cost
+    (Delta/Iceberg MERGE rewrites only matched files; this rewrites only
+    matched buckets). Sizing: pick n_buckets so a bucket is a few hundred
+    MB at the target scale — at 100 TB with n_buckets=65536 each bucket is
+    ~1.5 GB and a 1M-row update batch rewrites at most
+    min(n_buckets, distinct keys) of them, not the table."""
+    import json
+
+    out = df.withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
+    out.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(path)
+    with open(os.path.join(path, _BUCKET_SPEC), "w") as f:
+        json.dump({"key": key, "n_buckets": n_buckets}, f)
+
+
+def read_bucketed(spark: SparkSession, path: str) -> DataFrame:
+    """Read a bucketed table without the layout column."""
+    return spark.read.parquet(path).drop(_BUCKET_COL)
+
+
+def upsert_parquet_bucketed(
+    spark: SparkSession, path: str, updates: DataFrame
+) -> int:
+    """B6 upsert against the bucketed layout, rewriting ONLY touched
+    buckets. Plan: bucket the updates, collect the distinct bucket ids
+    (bounded by n_buckets — a few KB, never data-sized), read the target
+    WITH a partition filter on those ids (pruned at planning time: Spark
+    never lists the other directories), left-anti + union merge inside the
+    touched buckets, write them to a temp dir, and atomically swap each
+    bucket directory. Untouched buckets are never read, shuffled, or
+    written. Returns the number of buckets rewritten.
+
+    Consistency: each bucket swap is atomic (rename); the table commit is
+    per-bucket, not all-or-nothing across buckets — the honest boundary of
+    a filesystem table format, where Delta/Iceberg's transaction log is the
+    production upgrade (same MERGE shape, multi-file atomicity)."""
+    import json
+
+    with open(os.path.join(path, _BUCKET_SPEC)) as f:
+        spec = json.load(f)
+    key, n_buckets = spec["key"], int(spec["n_buckets"])
+    ub = updates.withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
+    touched = sorted(
+        r[_BUCKET_COL] for r in ub.select(_BUCKET_COL).distinct().collect()
+    )
+    if not touched:
+        return 0
+    target = spark.read.parquet(path).where(F.col(_BUCKET_COL).isin(touched))
+    merged = target.join(
+        ub.select(key).distinct(), [key], "left_anti"
+    ).unionByName(ub)
+    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(tmp)
+    for b in touched:
+        src = os.path.join(tmp, f"{_BUCKET_COL}={b}")
+        dst = os.path.join(path, f"{_BUCKET_COL}={b}")
+        if not os.path.exists(src):
+            continue
+        if os.path.exists(dst):
+            old = f"{dst}__old_{uuid.uuid4().hex[:8]}"
+            os.rename(dst, old)
+            os.rename(src, dst)
+            shutil.rmtree(old)
+        else:
+            os.rename(src, dst)
+    shutil.rmtree(tmp)
+    return len(touched)
+
+
+def point_lookup_bucketed(spark: SparkSession, path: str, value) -> DataFrame:
+    """Key point-lookup as a partition-pruned seek: compute the key's
+    bucket (one zero-row-scan JVM evaluation), then read with BOTH the
+    partition filter (directory pruning at planning time) and the key
+    predicate (row-group skipping at read time). At 100 TB this touches one
+    bucket's files, not the table — the closest plain parquet gets to the
+    reference's O(1) SQLite point SELECT (rclip_server.py:230-235)."""
+    import json
+
+    with open(os.path.join(path, _BUCKET_SPEC)) as f:
+        spec = json.load(f)
+    key, n_buckets = spec["key"], int(spec["n_buckets"])
+    b = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(value).cast("string")), F.lit(n_buckets))
+        .cast("int")
+        .alias("b")
+    ).first()["b"]
+    return (
+        spark.read.parquet(path)
+        .where((F.col(_BUCKET_COL) == b) & (F.col(key) == value))
+        .drop(_BUCKET_COL)
+    )
+
+
 def merge_agg_delta(
     agg: DataFrame,
     delta_agg: DataFrame,

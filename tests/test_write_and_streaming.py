@@ -47,6 +47,82 @@ def test_soft_delete_then_live_filter(spark, tmp_table, embeddings):
     assert writer.live_rows(spark.read.parquet(tmp_table)).count() == base.count() - 3
 
 
+def test_bucketed_upsert_bounded_rewrite(spark, tmp_path, embeddings):
+    """The bucketed MERGE must (a) produce exactly the rows the flat
+    upsert produces, (b) physically touch ONLY the bucket directories the
+    update keys hash into, and (c) prune untouched partitions at planning
+    time when reading the merge input."""
+    from rclip_server_spark.sources.writer import (
+        create_bucketed_table,
+        read_bucketed,
+        upsert_parquet_bucketed,
+    )
+
+    base = embeddings.select(
+        F.concat(F.lit("f"), "vec_id").alias("filepath"),
+        F.col("vec_id").alias("size"),
+    )
+    flat, bucketed = str(tmp_path / "flat"), str(tmp_path / "bucketed")
+    writer.upsert_parquet(spark, flat, base, key="filepath")
+    create_bucketed_table(spark, bucketed, base, key="filepath", n_buckets=16)
+
+    # update 20 keys + insert 5 new ones
+    upd = base.limit(20).withColumn("size", F.lit(-1)).unionByName(
+        spark.createDataFrame(
+            [(f"new{i}", -2) for i in range(5)], "filepath string, size bigint"
+        )
+    )
+    before = {
+        d: sorted(os.listdir(os.path.join(bucketed, d)))
+        for d in os.listdir(bucketed)
+        if d.startswith("__bucket=")
+    }
+    n_rewritten = upsert_parquet_bucketed(spark, bucketed, upd)
+    assert 0 < n_rewritten <= 16
+    writer.upsert_parquet(spark, flat, upd, key="filepath")
+
+    got = sorted(map(tuple, read_bucketed(spark, bucketed).collect()))
+    want = sorted(map(tuple, spark.read.parquet(flat).collect()))
+    assert got == want
+
+    # untouched bucket dirs keep their exact file sets
+    after = {
+        d: sorted(os.listdir(os.path.join(bucketed, d)))
+        for d in os.listdir(bucketed)
+        if d.startswith("__bucket=")
+    }
+    assert set(before) <= set(after)  # no pre-existing bucket disappears
+    changed = [d for d in before if before[d] != after[d]]
+    new_dirs = [d for d in after if d not in before]
+    # every rewritten bucket is either a changed pre-existing dir or a new
+    # one, and nothing outside the touched set moved
+    assert len(changed) + len(new_dirs) == n_rewritten
+
+    # planning-time pruning: the filtered read shows PartitionFilters
+    pruned = spark.read.parquet(bucketed).where(F.col("__bucket").isin([1, 2]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__bucket" in plan
+
+
+def test_bucketed_point_lookup_prunes(spark, tmp_path, embeddings):
+    from rclip_server_spark.sources.writer import (
+        create_bucketed_table,
+        point_lookup_bucketed,
+    )
+
+    base = embeddings.select(
+        F.concat(F.lit("f"), "vec_id").alias("filepath"),
+        F.col("vec_id").alias("size"),
+    )
+    t = str(tmp_path / "pl")
+    create_bucketed_table(spark, t, base, key="filepath", n_buckets=16)
+    out = point_lookup_bucketed(spark, t, "f42")
+    rows = out.collect()
+    assert [(r.filepath, r.size) for r in rows] == [("f42", 42)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__bucket" in plan
+
+
 def test_anti_join_skip(spark, embeddings):
     new = embeddings.select(F.col("vec_id").alias("k"))
     done = embeddings.where(F.col("vec_id") < 100).select(F.col("vec_id").alias("k"))
