@@ -70,6 +70,11 @@ def main() -> None:
             "bm25_topk": lambda: retrieval.bm25_topk(
                 docs, ["data", "model", "training"], k=10
             ).collect(),
+            # round-4 additions: the inverted-index containment dedup and
+            # the tumbling-window dedup twin (partial-agg shuffle shape)
+            "containment_pairs": lambda: dedup.containment_pairs(
+                docs, threshold=0.8
+            ).count(),
         }
         out = {}
         for name, fn in ops.items():
