@@ -238,10 +238,16 @@ def upsert_parquet_bucketed(
     )
     if not touched:
         return 0
-    target = spark.read.parquet(path).where(F.col(_BUCKET_COL).isin(touched))
-    merged = target.join(
-        ub.select(key).distinct(), [key], "left_anti"
-    ).unionByName(ub)
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        target = spark.read.parquet(path).where(F.col(_BUCKET_COL).isin(touched))
+        merged = target.join(
+            ub.select(key).distinct(), [key], "left_anti"
+        ).unionByName(ub)
+    except AnalysisException:
+        # freshly created empty table: no parquet files yet, nothing to merge
+        merged = ub
     tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(tmp)
     for b in touched:

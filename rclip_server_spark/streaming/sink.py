@@ -65,14 +65,26 @@ def start_stream_upsert(
     key: str = "filepath",
     latest_col: str | None = None,
     checkpoint_dir: str | None = None,
+    bucketed: bool = False,
 ):
     """Start the stream: each micro-batch MERGE-upserts into ``path`` —
     conditionally on ``latest_col`` when given (order/replay-proof), else
-    replace-on-key. Returns the StreamingQuery; callers stop it or
-    processAllAvailable."""
+    replace-on-key. With ``bucketed=True`` the target must have been
+    created by ``writer.create_bucketed_table`` and each micro-batch
+    rewrites ONLY the hash-buckets its keys touch — the continuous-ingest
+    shape that stays bounded at 100 TB (per-batch cost scales with the
+    batch's key spread, never the table). Bucketed mode is replace-on-key
+    (replay-idempotent: replaying a batch rewrites the same buckets to the
+    same contents); combine with ``latest_col`` only in flat mode.
+    Returns the StreamingQuery; callers stop it or processAllAvailable."""
+    if bucketed and latest_col is not None:
+        raise ValueError("bucketed streaming upsert is replace-on-key; "
+                         "latest_col is only supported in flat mode")
 
     def _upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if latest_col is not None:
+        if bucketed:
+            writer.upsert_parquet_bucketed(spark, path, batch_df)
+        elif latest_col is not None:
             merge_latest(spark, path, batch_df, key, latest_col)
         else:
             writer.upsert_parquet(spark, path, batch_df, key=key)

@@ -711,6 +711,58 @@ def test_streaming_upsert_sink_merges_batches(spark, tmp_path, embeddings):
     assert again.count() == 100 and again.where("size = -1").count() == 50
 
 
+def test_streaming_bucketed_upsert_sink(spark, tmp_path, embeddings):
+    """Streaming ingest into the bucketed layout: two micro-batches upsert
+    through foreachBatch -> upsert_parquet_bucketed; the final table equals
+    the flat-sink result and replaying a batch by hand is a no-op
+    (replace-on-key idempotence)."""
+    from rclip_server_spark.sources.writer import (
+        create_bucketed_table,
+        read_bucketed,
+        upsert_parquet_bucketed,
+    )
+    from rclip_server_spark.streaming import sink
+
+    src_dir = str(tmp_path / "incoming")
+    os.makedirs(src_dir)
+    table = str(tmp_path / "btable")
+
+    base = embeddings.select(
+        F.concat(F.lit("f"), "vec_id").alias("filepath"),
+        F.col("vec_id").alias("size"),
+    ).limit(100)
+    create_bucketed_table(
+        spark, table, base.limit(0), key="filepath", n_buckets=8
+    )
+    upd = base.limit(50).withColumn("size", F.lit(-1))
+    base.coalesce(1).write.parquet(os.path.join(src_dir, "b0.parquet"))
+    upd.coalesce(1).write.parquet(os.path.join(src_dir, "b1.parquet"))
+
+    stream = (
+        spark.readStream.schema("filepath string, size bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/*.parquet")
+    )
+    q = sink.start_stream_upsert(
+        stream, spark, table, key="filepath", bucketed=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = read_bucketed(spark, table)
+    assert got.count() == 100
+    # ordering of the two micro-batches isn't guaranteed; whichever won,
+    # a manual replay of the LAST state must be a no-op
+    snapshot = sorted(map(tuple, got.collect()))
+    upsert_parquet_bucketed(
+        spark, table, spark.createDataFrame(snapshot, got.schema)
+    )
+    assert sorted(map(tuple, read_bucketed(spark, table).collect())) == snapshot
+
+
 def test_stream_stream_interval_join_equals_batch(spark, events, events_stream_dir):
     """Stream-stream inner join with watermarks on both sides and an
     interval bound (the state-expiry requirement) — append-mode output must
