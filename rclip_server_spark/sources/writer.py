@@ -207,8 +207,11 @@ def create_bucketed_table(
 
 
 def read_bucketed(spark: SparkSession, path: str) -> DataFrame:
-    """Read a bucketed table without the layout column."""
-    return spark.read.parquet(path).drop(_BUCKET_COL)
+    """Read a bucketed table without the layout column. ``mergeSchema``
+    reconciles per-bucket schema evolution (a bounded-rewrite soft delete
+    adds the flag column only to touched buckets; untouched buckets read
+    it as NULL — which IS the live semantics, NULL ≡ not deleted)."""
+    return spark.read.option("mergeSchema", "true").parquet(path).drop(_BUCKET_COL)
 
 
 def upsert_parquet_bucketed(
@@ -241,15 +244,71 @@ def upsert_parquet_bucketed(
     from pyspark.errors.exceptions.captured import AnalysisException
 
     try:
-        target = spark.read.parquet(path).where(F.col(_BUCKET_COL).isin(touched))
+        target = (
+            spark.read.option("mergeSchema", "true").parquet(path)
+            .where(F.col(_BUCKET_COL).isin(touched))
+        )
+        # allowMissingColumns: an evolved table column (e.g. the soft-delete
+        # flag) reads as NULL on update rows that don't carry it
         merged = target.join(
             ub.select(key).distinct(), [key], "left_anti"
-        ).unionByName(ub)
+        ).unionByName(ub, allowMissingColumns=True)
     except AnalysisException:
         # freshly created empty table: no parquet files yet, nothing to merge
         merged = ub
     tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(tmp)
+    for b in touched:
+        src = os.path.join(tmp, f"{_BUCKET_COL}={b}")
+        dst = os.path.join(path, f"{_BUCKET_COL}={b}")
+        if not os.path.exists(src):
+            continue
+        if os.path.exists(dst):
+            old = f"{dst}__old_{uuid.uuid4().hex[:8]}"
+            os.rename(dst, old)
+            os.rename(src, dst)
+            shutil.rmtree(old)
+        else:
+            os.rename(src, dst)
+    shutil.rmtree(tmp)
+    return len(touched)
+
+
+def soft_delete_bucketed(
+    spark: SparkSession, path: str, keys: list, flag_col: str = "deleted"
+) -> int:
+    """B5 soft delete on the bucketed layout: flag rows whose KEY is in
+    ``keys``, rewriting only the buckets those keys hash into (the point
+    UPDATE of rclip_server.py:230-235 with bounded rewrite instead of a
+    full-table pass). Deleting by a non-key column cannot prune — keep the
+    merge key as the entity id for point ops. Returns buckets rewritten."""
+    import json
+
+    with open(os.path.join(path, _BUCKET_SPEC)) as f:
+        spec = json.load(f)
+    key, n_buckets = spec["key"], int(spec["n_buckets"])
+    kdf = spark.createDataFrame([(k,) for k in keys], f"{key} string") \
+        if keys and isinstance(keys[0], str) \
+        else spark.createDataFrame([(k,) for k in keys], f"{key} bigint")
+    touched = sorted(
+        r["b"] for r in kdf.select(_bucket_expr(key, n_buckets).alias("b"))
+        .distinct().collect()
+    )
+    if not touched:
+        return 0
+    target = (
+        spark.read.option("mergeSchema", "true").parquet(path)
+        .where(F.col(_BUCKET_COL).isin(touched))
+    )
+    if flag_col not in target.columns:
+        target = target.withColumn(flag_col, F.lit(None).cast("boolean"))
+    flagged = target.join(F.broadcast(kdf.withColumn("__hit", F.lit(True))),
+                          [key], "left").withColumn(
+        flag_col,
+        F.when(F.col("__hit"), F.lit(True)).otherwise(F.col(flag_col)),
+    ).drop("__hit")
+    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+    flagged.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(tmp)
     for b in touched:
         src = os.path.join(tmp, f"{_BUCKET_COL}={b}")
         dst = os.path.join(path, f"{_BUCKET_COL}={b}")
@@ -284,7 +343,7 @@ def point_lookup_bucketed(spark: SparkSession, path: str, value) -> DataFrame:
         .alias("b")
     ).first()["b"]
     return (
-        spark.read.parquet(path)
+        spark.read.option("mergeSchema", "true").parquet(path)
         .where((F.col(_BUCKET_COL) == b) & (F.col(key) == value))
         .drop(_BUCKET_COL)
     )

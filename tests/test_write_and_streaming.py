@@ -104,6 +104,40 @@ def test_bucketed_upsert_bounded_rewrite(spark, tmp_path, embeddings):
     assert "PartitionFilters" in plan and "__bucket" in plan
 
 
+def test_bucketed_soft_delete_bounded(spark, tmp_path, embeddings):
+    """Point soft-delete on the bucketed layout: flags exactly the named
+    keys, rewrites only their buckets, and live_rows filters them out —
+    deleting again is idempotent."""
+    from rclip_server_spark.sources.writer import (
+        create_bucketed_table,
+        read_bucketed,
+        soft_delete_bucketed,
+    )
+
+    base = embeddings.select(
+        F.concat(F.lit("f"), "vec_id").alias("filepath"),
+        F.col("vec_id").alias("size"),
+    ).limit(100)
+    t = str(tmp_path / "sd")
+    create_bucketed_table(spark, t, base, key="filepath", n_buckets=16)
+    before = {
+        d: sorted(os.listdir(os.path.join(t, d)))
+        for d in os.listdir(t) if d.startswith("__bucket=")
+    }
+    n = soft_delete_bucketed(spark, t, ["f1", "f2", "f3"])
+    assert 0 < n <= 3
+    after = {
+        d: sorted(os.listdir(os.path.join(t, d)))
+        for d in os.listdir(t) if d.startswith("__bucket=")
+    }
+    assert len([d for d in before if before[d] != after[d]]) == n
+    df = read_bucketed(spark, t)
+    assert df.where("deleted = true").count() == 3
+    assert writer.live_rows(df).count() == 97
+    soft_delete_bucketed(spark, t, ["f1", "f2", "f3"])  # idempotent
+    assert writer.live_rows(read_bucketed(spark, t)).count() == 97
+
+
 def test_bucketed_point_lookup_prunes(spark, tmp_path, embeddings):
     from rclip_server_spark.sources.writer import (
         create_bucketed_table,
