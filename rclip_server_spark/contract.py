@@ -1398,6 +1398,21 @@ _PRIORITY = [
     # had a driver-green cell — every r2/r3-green §F row rotated out is
     # still replayed locally by tools/check_contract.py, so cumulative
     # driver-verified coverage grows without losing local proof.
+    # Round-5 rotation backlog (oracle rows still never driver-verified,
+    # 35 as of r4 — two more rotations cover everything): rel_scalar/date/
+    # json functions, ev_sliding_12h, ev_first_event_per_key,
+    # text_tfidf_top_terms, rel_join_sortmerge_agg, rel_salted_skew_agg,
+    # rel_outer_join, text_bm25_scores, samp_hash_mod,
+    # samp_training_shuffle, text_cluster_topics, ev_enriched_nation_counts,
+    # text_length_outlier_trim, rel_pivot_event_counts,
+    # text_repetition_filter, text_url_canonicalize, text_token_topk,
+    # text_source_stats, text_strip_dup_spans, ev_transition_matrix,
+    # rel_incremental_agg_merge, rel_zorder_key, text_ngram_repetition,
+    # rel_fk_violations, rel_unpivot_metrics, rel_nullsafe_join,
+    # ev_zscore_outliers, rel_window_ntile, sql_scalar_subquery,
+    # ev_asof_tolerance, ev_time_bucket_rollup, ev_dedup_bucket_stream_twin
+    # (+ ann_hyperplane_near_dup_multiset only if given a fixture where it
+    # yields rows at sf0.01 — a 0-row green cell proves nothing).
     # §2 A-family (vector/similarity)
     "a1_a2_flagship_topk", "a2_topk_k50", "a4_l2_normalize",
     "a6_point_lookup", "a7_feature_minmax", "a8_minmax_normalize",

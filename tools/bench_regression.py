@@ -32,7 +32,10 @@ def main() -> int:
     bad = []
     for name, floor in R3_FLOOR_SEC.items():
         got = run.get(name)
-        if got is not None and got > floor * (1 + slack):
+        # relative slack for real queries PLUS 0.15s absolute grace: on a
+        # 0.2s query, GC/JIT jitter alone exceeds any percentage band, and
+        # the floor rule exists to catch plan regressions, not scheduler luck
+        if got is not None and got > floor * (1 + slack) + 0.15:
             bad.append((name, floor, got))
     print(json.dumps({"queries": run, "floor_violations": [
         {"query": n, "floor_sec": f, "got_sec": g} for n, f, g in bad
