@@ -64,7 +64,9 @@ def _match_dot(spark, agg):
         vec, lit = right, left
     else:
         return None
-    if not lit.dataType().simpleString().startswith("array<"):
+    # float arrays only: an integer-array dot would come back double from
+    # the GEMV (a silent output-type change), so it must not match
+    if lit.dataType().simpleString() not in ("array<double>", "array<float>"):
         return None
     if " * " not in zw.function().sql():
         return None

@@ -66,6 +66,19 @@ def test_non_matching_plans_pass_through(spark, embeddings):
         ).alias("score"),
     )
     assert "ArrowEvalPython" not in _explain(blas_rewrite.accelerate(odd))
+    # integer-array literal -> type-changing rewrite must NOT match
+    int_dot = embeddings.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                F.array(*[F.lit(1)] * 3), F.array(*[F.lit(2)] * 3),
+                lambda x, y: x * y,
+            ),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).alias("s"),
+    )
+    assert "ArrowEvalPython" not in _explain(blas_rewrite.accelerate(int_dot))
     # aggregation root (not a Project) -> untouched
     agg = embeddings.groupBy("label").count()
     assert blas_rewrite.accelerate(agg) is agg
