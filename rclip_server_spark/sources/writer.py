@@ -307,6 +307,9 @@ def soft_delete_bucketed(
         spark.read.option("mergeSchema", "true").parquet(path)
         .where(F.col(_BUCKET_COL).isin(touched))
     )
+    # align the key dtype with the table's (a Python int list against a
+    # string key would otherwise join through an implicit double cast)
+    kdf = kdf.withColumn(key, F.col(key).cast(target.schema[key].dataType))
     if flag_col not in target.columns:
         target = target.withColumn(flag_col, F.lit(None).cast("boolean"))
     flagged = target.join(F.broadcast(kdf.withColumn("__hit", F.lit(True))),
