@@ -445,7 +445,7 @@ _register(
     SELECT id_a, id_b, cosine FROM (
       SELECT a.id AS id_a, c.id AS id_b, {dot2_sql('a.v', 'c.v')} AS cosine
       FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id)
-    WHERE cosine >= 0.5
+    WHERE cosine >= 0.4
     """,
 )
 
@@ -676,7 +676,7 @@ _register(
       SELECT a.vec_id AS id_a, c.vec_id AS id_b,
              {dot2_sql('a.embedding', 'c.embedding')} AS cosine
       FROM embeddings a JOIN embeddings c ON a.vec_id < c.vec_id)
-    WHERE cosine >= 0.5
+    WHERE cosine >= 0.4
     """,
 )
 
@@ -1411,8 +1411,8 @@ _PRIORITY = [
     # rel_fk_violations, rel_unpivot_metrics, rel_nullsafe_join,
     # ev_zscore_outliers, rel_window_ntile, sql_scalar_subquery,
     # ev_asof_tolerance, ev_time_bucket_rollup, ev_dedup_bucket_stream_twin
-    # (+ ann_hyperplane_near_dup_multiset only if given a fixture where it
-    # yields rows at sf0.01 — a 0-row green cell proves nothing).
+    # (+ ann_hyperplane_near_dup_multiset — threshold lowered to 0.4 in r4
+    # so it yields 11 rows at sf0.01; rotation-eligible now).
     # §2 A-family (vector/similarity)
     "a1_a2_flagship_topk", "a2_topk_k50", "a4_l2_normalize",
     "a6_point_lookup", "a7_feature_minmax", "a8_minmax_normalize",
@@ -1839,7 +1839,10 @@ _register(
 _register(
     "ann_hyperplane_near_dup_multiset",
     lambda spark, sf: ann.hyperplane_lsh_near_dup_multiset(
-        _t(spark, sf, "embeddings"), threshold=0.5, n_planes=6, n_sets=3, dim=EMB_DIM
+        # threshold 0.4 (was 0.5): the synthetic embeddings are near-
+        # orthogonal, and 0.5 yields ZERO pairs at the driver's sf0.01 — a
+        # trivially-green oracle cell; 0.4 yields 11 real pairs there
+        _t(spark, sf, "embeddings"), threshold=0.4, n_planes=6, n_sets=3, dim=EMB_DIM
     ),
     f"""
     WITH b AS (SELECT vec_id AS id, embedding AS v,
@@ -1851,7 +1854,7 @@ _register(
       SELECT a.id AS id_a, c.id AS id_b, {dot2_sql('a.v', 'c.v')} AS cosine
       FROM b a JOIN b c
         ON a.id < c.id AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2))
-    WHERE cosine >= 0.5
+    WHERE cosine >= 0.4
     """,
 )
 
