@@ -104,6 +104,36 @@ def test_bucketed_upsert_bounded_rewrite(spark, tmp_path, embeddings):
     assert "PartitionFilters" in plan and "__bucket" in plan
 
 
+def test_bucketed_upsert_randomized_equivalence(spark, tmp_path, embeddings):
+    """Seeded randomized cross-check (the joins.py randomized-quadratic
+    pattern): for several random update sets — overlapping keys, new keys,
+    duplicate keys IN the batch, repeated batches — the bucketed table
+    must equal the flat-upsert table row-for-row after every step."""
+    import random
+
+    base = embeddings.select(
+        F.concat(F.lit("f"), "vec_id").alias("filepath"),
+        F.col("vec_id").alias("size"),
+    ).limit(80)
+    flat, bucketed = str(tmp_path / "rf"), str(tmp_path / "rb")
+    writer.upsert_parquet(spark, flat, base, key="filepath")
+    from rclip_server_spark.sources.writer import (
+        create_bucketed_table, read_bucketed, upsert_parquet_bucketed,
+    )
+
+    create_bucketed_table(spark, bucketed, base, key="filepath", n_buckets=8)
+    rng = random.Random(7)
+    for step in range(4):
+        ks = [f"f{rng.randrange(120)}" for _ in range(rng.randrange(1, 12))]
+        rows = [(k, -step) for k in ks]  # dup keys in-batch allowed
+        upd = spark.createDataFrame(rows, "filepath string, size bigint")
+        writer.upsert_parquet(spark, flat, upd, key="filepath")
+        upsert_parquet_bucketed(spark, bucketed, upd)
+        a = sorted(map(tuple, spark.read.parquet(flat).collect()))
+        b = sorted(map(tuple, read_bucketed(spark, bucketed).collect()))
+        assert a == b, f"divergence at step {step}"
+
+
 def test_bucketed_soft_delete_bounded(spark, tmp_path, embeddings):
     """Point soft-delete on the bucketed layout: flags exactly the named
     keys, rewrites only their buckets, and live_rows filters them out —
