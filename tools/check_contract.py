@@ -4,6 +4,9 @@ on the same parquet tables, then compare row count, schema, and values
 (column-name-sorted, row-sorted, exact-or-1e-9).
 
 Usage: python tools/check_contract.py [sf_dir] [query_name ...]
+       python tools/check_contract.py [sf_dir] --window
+           replay exactly the driver's verified window (the first 50
+           registered rows, contract._PRIORITY) — the pre-round gate.
 """
 
 from __future__ import annotations
@@ -81,7 +84,12 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    if "--window" in sys.argv[2:]:
+        from rclip_server_spark.contract import _PRIORITY
+
+        only = set(_PRIORITY)
+    else:
+        only = set(sys.argv[2:])
     spark = get_spark(cpus=16)
     con = duck_con(sf_dir)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
