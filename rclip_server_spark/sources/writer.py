@@ -335,6 +335,46 @@ def soft_delete_bucketed(
     return len(touched)
 
 
+def compact_bucketed(
+    spark: SparkSession, path: str, target_file_mb: int = 128,
+    min_files: int = 2,
+) -> int:
+    """Per-bucket small-file compaction: the streaming bucketed sink
+    accretes one file set per micro-batch per touched bucket; this rewrites
+    each bucket that holds >= ``min_files`` files into
+    ceil(bytes/target) files and atomically swaps that bucket only.
+    Buckets already compact are not read or written, so the maintenance
+    cost tracks ingest churn, not table size — and the operation can run
+    bucket-at-a-time alongside readers (same per-directory atomic swap as
+    the upsert). Returns the number of buckets compacted."""
+    compacted = 0
+    for d in sorted(os.listdir(path)):
+        if not d.startswith(f"{_BUCKET_COL}="):
+            continue
+        bdir = os.path.join(path, d)
+        files = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(bdir)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        if len(files) < min_files:
+            continue
+        size = sum(os.path.getsize(f) for f in files)
+        n_files = max(1, -(-size // (target_file_mb * 1024 * 1024)))
+        if n_files >= len(files):
+            continue
+        df = spark.read.parquet(bdir)
+        tmp = f"{bdir}__tmp_{uuid.uuid4().hex[:8]}"
+        df.coalesce(int(n_files)).write.mode("overwrite").parquet(tmp)
+        old = f"{bdir}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(bdir, old)
+        os.rename(tmp, bdir)
+        shutil.rmtree(old)
+        compacted += 1
+    return compacted
+
+
 def point_lookup_bucketed(spark: SparkSession, path: str, value) -> DataFrame:
     """Key point-lookup as a partition-pruned seek: compute the key's
     bucket (one zero-row-scan JVM evaluation), then read with BOTH the

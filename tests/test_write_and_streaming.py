@@ -168,6 +168,43 @@ def test_bucketed_soft_delete_bounded(spark, tmp_path, embeddings):
     assert writer.live_rows(read_bucketed(spark, t)).count() == 97
 
 
+def test_bucketed_compaction_preserves_rows(spark, tmp_path, embeddings):
+    """Repeated small upserts fragment bucket dirs into many files;
+    compact_bucketed must shrink the file count of fragmented buckets,
+    leave already-compact buckets untouched, and preserve the row set."""
+    from rclip_server_spark.sources.writer import (
+        compact_bucketed, create_bucketed_table, read_bucketed,
+        upsert_parquet_bucketed,
+    )
+
+    base = embeddings.select(
+        F.concat(F.lit("f"), "vec_id").alias("filepath"),
+        F.col("vec_id").alias("size"),
+    ).limit(60)
+    t = str(tmp_path / "cb")
+    create_bucketed_table(spark, t, base, key="filepath", n_buckets=4)
+    # fragment: several single-key upserts, repartitioned to multiply files
+    for i in range(3):
+        upd = spark.createDataFrame(
+            [(f"f{j}", -i) for j in range(10)], "filepath string, size bigint"
+        ).repartition(4)
+        upsert_parquet_bucketed(spark, t, upd)
+    before_rows = sorted(map(tuple, read_bucketed(spark, t).collect()))
+
+    def nfiles():
+        return sum(
+            1 for r, _, fs in os.walk(t) for f in fs if f.endswith(".parquet")
+        )
+
+    before_files = nfiles()
+    n = compact_bucketed(spark, t, target_file_mb=128)
+    assert n > 0
+    assert nfiles() < before_files
+    assert sorted(map(tuple, read_bucketed(spark, t).collect())) == before_rows
+    # second pass is a no-op: everything is already compact
+    assert compact_bucketed(spark, t, target_file_mb=128) == 0
+
+
 def test_bucketed_point_lookup_prunes(spark, tmp_path, embeddings):
     from rclip_server_spark.sources.writer import (
         create_bucketed_table,
