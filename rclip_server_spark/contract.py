@@ -3822,6 +3822,44 @@ _register(
 )
 
 
+def _samp_weighted_fixed_k(spark: SparkSession, sf: str) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup): exactly 100 docs weighted by
+    text length, with the unbiased subset-sum estimator column. The priority
+    key is integer-inputs + one IEEE division, so both engines compute
+    bit-identical doubles (see operators/sampling.py docstring)."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.greatest(F.length("text"), F.lit(1)).cast("long").alias("weight"),
+    )
+    return sampling.weighted_fixed_k_sample(docs, "doc_id", "weight", k=100)
+
+
+_register(
+    "samp_weighted_fixed_k",
+    _samp_weighted_fixed_k,
+    f"""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(greatest(length(text), 1) AS BIGINT) AS weight,
+             {_samp_hash_sql('wresv')} + 1 AS h1
+      FROM documents),
+    q AS (
+      SELECT doc_id, weight,
+             (CAST(weight AS DOUBLE) * 4294967296.0) / CAST(h1 AS DOUBLE) AS q
+      FROM b WHERE weight > 0
+      ORDER BY q DESC, doc_id LIMIT 101),
+    r AS (
+      SELECT doc_id, weight, q,
+             row_number() OVER (ORDER BY q DESC, doc_id) AS rn
+      FROM q),
+    t AS (SELECT coalesce(max(CASE WHEN rn = 101 THEN q END), 0.0) AS tau
+          FROM r)
+    SELECT doc_id, weight, greatest(CAST(weight AS DOUBLE), tau) AS est_weight
+    FROM r, t WHERE rn <= 100
+    """,
+)
+
+
 def _ev_rfm(spark: SparkSession, sf: str) -> DataFrame:
     _utc(spark)
     return EV.rfm_features(_t(spark, sf, "events"))

@@ -148,6 +148,70 @@ def fixed_k_sample(
     )
 
 
+def weighted_fixed_k_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wresv",
+) -> DataFrame:
+    """Exactly-k WEIGHTED sample without replacement + unbiased subset-sum
+    estimator — priority sampling (Duffield, Lund & Thorup, JACM 54(6) 2007).
+    Each row gets priority ``q = w / u`` with ``u = (h+1)/2^32`` a salted-hash
+    uniform in (0, 1]; the k largest priorities are the sample, and with
+    ``tau`` = the (k+1)-th priority, ``est_weight = max(w, tau)`` makes
+    ``sum(est_weight)`` over any sampled subset an unbiased estimate of that
+    subset's true total weight — the primitive for "sample 10k docs
+    proportional to token count, then extrapolate corpus statistics".
+
+    Cross-engine exactness without integer thresholds: ``q`` is computed as
+    ``(w * 2^32) / (h+1)`` in doubles — the inputs are integers (exactly
+    representable), the 2^32 scaling only shifts the exponent (exact), and
+    IEEE-754 division is correctly rounded, so Spark and the DuckDB oracle
+    produce bit-identical keys. This is WHY priority sampling is used here
+    instead of the exp-key Efraimidis–Spirakis scheme: ES needs ``ln(u)``,
+    and transcendental libm calls are only faithfully (not correctly)
+    rounded — a 1-ulp JVM-vs-C difference could flip a selection at the
+    boundary. No transcendental, no flip.
+
+    Plan shape: the priority projection is map-side row-local math and the
+    top-(k+1) is a TakeOrderedAndProject (per-partition (k+1)-heaps, then a
+    (k+1)*P-row merge on one reducer) — never a global sort. The follow-up
+    window runs on the collected k+1 rows only (single tiny partition, by
+    construction). Rows with non-positive weight are excluded (they have no
+    sampling mass).
+
+    Like ``fixed_k_sample`` this is a pure function of the (id, weight) set:
+    reruns, engines, and partition layouts agree row-for-row; re-sampling is
+    a salt bump."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    h1 = _row_hash(id_col, salt) + F.lit(1)  # in [1, 2^32] => u in (0, 1]
+    q = (F.col(weight_col).cast("double") * F.lit(float(_HASH_SPACE))) / h1.cast(
+        "double"
+    )
+    topk1 = (
+        df.where(F.col(weight_col) > 0)
+        .select(F.col(id_col), F.col(weight_col), q.alias("__q"))
+        .orderBy(F.desc("__q"), F.asc(id_col))
+        .limit(int(k) + 1)
+    )
+    w = Window.orderBy(F.desc("__q"), F.asc(id_col))
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tau = F.max(F.when(F.col("__rn") == k + 1, F.col("__q"))).over(wall)
+    return (
+        topk1.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "est_weight",
+            F.greatest(
+                F.col(weight_col).cast("double"), F.coalesce(tau, F.lit(0.0))
+            ),
+        )
+        .where(F.col("__rn") <= k)
+        .drop("__q", "__rn")
+    )
+
+
 def training_shuffle(
     df: DataFrame,
     id_col: str,

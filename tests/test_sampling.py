@@ -176,3 +176,72 @@ def test_split_leakage_zero_after_dedup_before_split(spark, documents):
     clean_pairs = dedup.minhash_near_dup(kept, threshold=0.7).select("id_a", "id_b")
     clean_rep = sampling.split_leakage_report(clean_pairs, clean).collect()
     assert sum(r.n_pairs for r in clean_rep) == 0
+
+
+class TestWeightedFixedK:
+    """Priority sampling (Duffield–Lund–Thorup): exact agreement with an
+    independent Python reference, layout invariance, and the estimator
+    contract est_weight = max(w, tau)."""
+
+    @staticmethod
+    def _reference(rows, k, salt="wresv"):
+        """(id, weight) list -> (selected ids, {id: est_weight}) via the
+        paper's definition, hashes computed with hashlib (not Spark)."""
+        import hashlib
+
+        qs = []
+        for i, w in rows:
+            if w <= 0:
+                continue
+            h = int(hashlib.md5(f"{salt}|{i}".encode()).hexdigest()[:8], 16)
+            qs.append((float(w) * 4294967296.0 / float(h + 1), i, w))
+        qs.sort(key=lambda t: (-t[0], t[1]))
+        tau = qs[k][0] if len(qs) > k else 0.0
+        return {i: max(float(w), tau) for _, i, w in qs[:k]}
+
+    def test_exact_vs_python_reference(self, spark, documents):
+        docs = documents.select(
+            "doc_id",
+            F.greatest(F.length("text"), F.lit(1)).cast("long").alias("weight"),
+        )
+        got = {
+            r.doc_id: r.est_weight
+            for r in sampling.weighted_fixed_k_sample(
+                docs, "doc_id", "weight", k=50
+            ).collect()
+        }
+        want = self._reference(
+            [(r.doc_id, r.weight) for r in docs.collect()], k=50
+        )
+        assert got == want  # same ids AND bit-identical estimator doubles
+
+    def test_stable_under_repartition(self, spark, documents):
+        docs = documents.select(
+            "doc_id", F.length("text").cast("long").alias("weight")
+        ).where(F.col("weight") > 0)
+        a = sorted(
+            (r.doc_id, r.est_weight)
+            for r in sampling.weighted_fixed_k_sample(
+                docs, "doc_id", "weight", k=30
+            ).collect()
+        )
+        b = sorted(
+            (r.doc_id, r.est_weight)
+            for r in sampling.weighted_fixed_k_sample(
+                docs.repartition(7), "doc_id", "weight", k=30
+            ).collect()
+        )
+        assert a == b
+
+    def test_small_pool_and_estimator_floor(self, spark):
+        # pool smaller than k: everything kept, tau=0, est == weight
+        df = spark.createDataFrame(
+            [(1, 10), (2, 5), (3, 0)], ["doc_id", "weight"]
+        )
+        out = sampling.weighted_fixed_k_sample(df, "doc_id", "weight", k=5).collect()
+        assert {r.doc_id: r.est_weight for r in out} == {1: 10.0, 2: 5.0}
+        # weight<=0 rows are excluded, never sampled
+
+    def test_bad_k_raises(self, spark, documents):
+        with pytest.raises(ValueError):
+            sampling.weighted_fixed_k_sample(documents, "doc_id", "doc_id", k=0)
