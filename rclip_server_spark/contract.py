@@ -3860,6 +3860,35 @@ _register(
 )
 
 
+def _bloom_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-pruned EXACT anti-join (operators/sketches.py): the incremental
+    -skip pattern when the key set outgrows the broadcast threshold. The
+    Bloom routes rows (definitive "no" skips the shuffle; "maybe" is
+    re-checked by the real anti-join), so the result — and the oracle — is
+    the plain anti-join."""
+    from .operators import sketches
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber")
+    urgent = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    return sketches.bloom_prune_anti_join(li, urgent, "l_orderkey", "o_orderkey")
+
+
+_register(
+    "rel_bloom_pruned_anti_join",
+    _bloom_anti_join,
+    """
+    SELECT l_orderkey, l_linenumber FROM lineitem l
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+
+
 def _ev_rfm(spark: SparkSession, sf: str) -> DataFrame:
     _utc(spark)
     return EV.rfm_features(_t(spark, sf, "events"))

@@ -587,3 +587,41 @@ def test_contrastive_triplets_invariants(spark, documents):
     # a different salt redraws the negatives
     t3 = corpus.contrastive_triplets(documents, pairs, salt="neg2").collect()
     assert sorted(map(tuple, t3)) != sorted(map(tuple, t1))
+
+
+class TestBloomFilter:
+    """Bloom-pruned anti-join (operators/sketches.py): exactness vs the
+    plain anti-join, the no-false-negative invariant, and the measured
+    false-positive rate against its sizing formula."""
+
+    def test_exact_vs_plain_anti_join(self, spark, documents):
+        from rclip_server_spark.operators import sketches
+
+        keys = documents.where(F.col("lang") == "en").select("doc_id")
+        got = sketches.bloom_prune_anti_join(
+            documents.select("doc_id", "lang"), keys, "doc_id", fpp=0.01
+        )
+        want = documents.select("doc_id", "lang").join(keys, "doc_id", "left_anti")
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    def test_no_false_negatives_and_fpp_bound(self, spark):
+        from rclip_server_spark.operators import sketches
+
+        member = spark.range(0, 2000).select(F.col("id").alias("k"))
+        bitmap, m, k = sketches.bloom_build(member, "k", fpp=0.01)
+        might = sketches.bloom_might_contain(bitmap)
+        pos = sketches.bloom_positions(F.col("k"), m, k)
+        # every member answers "maybe" — Bloom "no" must be definitive
+        hits = member.withColumn("h", might(pos)).where(~F.col("h")).count()
+        assert hits == 0
+        # non-members: measured fpp within 3x of the sizing target
+        non = spark.range(100000, 110000).select(F.col("id").alias("k"))
+        fp = non.withColumn("h", might(pos)).where(F.col("h")).count()
+        assert fp / 10000 < 0.03
+
+    def test_bad_fpp_raises(self):
+        from rclip_server_spark.operators import sketches
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            sketches.bloom_params(100, 1.5)
