@@ -946,3 +946,79 @@ def test_write_zordered_lossless_and_clustered(spark, tmp_path):
         n = spark.read.parquet(f).where((F.col("x") < 8) & (F.col("y") < 8)).count()
         hit += 1 if n > 0 else 0
     assert hit < len(files)
+
+
+class TestVersionedTable:
+    """Manifest-log table layout (sources/versioned.py): snapshot isolation,
+    time travel, optimistic concurrency, vacuum."""
+
+    @staticmethod
+    def _df(spark, rows):
+        return spark.createDataFrame(rows, ["id", "val"])
+
+    def test_create_read_roundtrip(self, spark, tmp_path):
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "v")
+        assert V.create(spark, t, self._df(spark, [(1, "a"), (2, "b")])) == 1
+        assert sorted(map(tuple, V.read(spark, t).collect())) == [(1, "a"), (2, "b")]
+
+    def test_append_upsert_and_time_travel(self, spark, tmp_path):
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "v")
+        V.create(spark, t, self._df(spark, [(1, "a"), (2, "b")]))
+        assert V.append(spark, t, self._df(spark, [(3, "c")])) == 2
+        assert V.upsert(spark, t, self._df(spark, [(2, "B"), (4, "d")]), "id") == 3
+        # head sees the merge
+        assert sorted(map(tuple, V.read(spark, t).collect())) == [
+            (1, "a"), (2, "B"), (3, "c"), (4, "d")]
+        # every historical version is still bit-readable
+        assert sorted(map(tuple, V.read(spark, t, 1).collect())) == [(1, "a"), (2, "b")]
+        assert sorted(map(tuple, V.read(spark, t, 2).collect())) == [
+            (1, "a"), (2, "b"), (3, "c")]
+        ops = [(h["version"], h["op"]) for h in V.history(t)]
+        assert ops == [(1, "create"), (2, "append"), (3, "upsert")]
+
+    def test_reader_snapshot_isolation(self, spark, tmp_path):
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "v")
+        V.create(spark, t, self._df(spark, [(1, "a")]))
+        snapshot = V.read(spark, t)          # resolves the v1 manifest
+        V.overwrite(spark, t, self._df(spark, [(9, "z")]))
+        # the already-resolved reader still sees v1: its segments are immutable
+        assert [tuple(r) for r in snapshot.collect()] == [(1, "a")]
+        assert [tuple(r) for r in V.read(spark, t).collect()] == [(9, "z")]
+
+    def test_concurrent_commit_conflict(self, spark, tmp_path):
+        import os
+
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "v")
+        V.create(spark, t, self._df(spark, [(1, "a")]))
+        # another writer wins version 2 between our read and our commit
+        winner = V._snap_path(t, 2)
+        with open(winner, "w") as f:
+            f.write('{"version": 2, "segments": [], "op": "append", "parent": 1}')
+        with pytest.raises(V.ConcurrentWriteError):
+            V.upsert(spark, t, self._df(spark, [(1, "X")]), "id")
+        # the loser's orphan segment was cleaned up: only v1's segment remains
+        segs = [d for d in os.listdir(t) if d.startswith("seg-")]
+        assert len(segs) == 1
+
+    def test_vacuum_keeps_window_drops_rest(self, spark, tmp_path):
+        import os
+
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "v")
+        V.create(spark, t, self._df(spark, [(1, "a")]))
+        V.overwrite(spark, t, self._df(spark, [(2, "b")]))
+        V.overwrite(spark, t, self._df(spark, [(3, "c")]))
+        deleted = V.vacuum(t, keep_last=1)
+        assert len(deleted) == 2  # v1's and v2's segments
+        assert [tuple(r) for r in V.read(spark, t).collect()] == [(3, "c")]
+        with pytest.raises(FileNotFoundError):
+            V.read(spark, t, 1)
