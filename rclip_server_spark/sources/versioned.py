@@ -75,11 +75,14 @@ def _write_segment(df: DataFrame, path: str) -> str:
     return seg
 
 
-def _commit(path: str, version: int, segments: list[str], op: str) -> None:
+def _commit(path: str, version: int, segments: list[str], op: str,
+            batch_id: int | None = None) -> None:
     """Atomic commit: O_CREAT|O_EXCL manifest create (the concurrency
     arbiter), then the `_latest` pointer swap (atomic rename)."""
     manifest = {"version": version, "segments": segments, "op": op,
                 "parent": version - 1 if version > 1 else None}
+    if batch_id is not None:
+        manifest["batch_id"] = int(batch_id)
     target = _snap_path(path, version)
     try:
         fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -155,6 +158,43 @@ def upsert(spark: SparkSession, path: str, updates: DataFrame, key: str) -> int:
     seg = _write_segment(merged, path)
     try:
         _commit(path, v + 1, [seg], "upsert")
+    except ConcurrentWriteError:
+        shutil.rmtree(os.path.join(path, seg))
+        raise
+    return v + 1
+
+
+def committed_batch_ids(path: str) -> set[int]:
+    """Batch ids recorded by ``append_exactly_once`` commits still in the
+    log. Vacuum trims old manifests, so the streaming engine's checkpoint
+    (which bounds how far back a replay can reach) must be retained at
+    least as long as the manifest window — the standard sink-log pairing."""
+    out: set[int] = set()
+    snap_dir = os.path.join(path, _SNAP_DIR)
+    for name in os.listdir(snap_dir):
+        with open(os.path.join(snap_dir, name)) as f:
+            m = json.load(f)
+        if "batch_id" in m:
+            out.add(int(m["batch_id"]))
+    return out
+
+
+def append_exactly_once(
+    spark: SparkSession, path: str, batch: DataFrame, batch_id: int
+) -> int | None:
+    """EXACTLY-ONCE streaming append: the micro-batch's id is recorded IN
+    the commit manifest, so a crash-replay of the same batch (foreachBatch
+    is at-least-once) finds its id already in the log and skips — the
+    transactional-sink recipe from the Structured Streaming docs, with the
+    manifest log as the transaction record. Returns the committed version,
+    or None when the batch was already committed (replay)."""
+    if int(batch_id) in committed_batch_ids(path):
+        return None
+    v = current_version(path)
+    seg = _write_segment(batch, path)
+    try:
+        _commit(path, v + 1, _manifest(path, v)["segments"] + [seg],
+                "stream-append", batch_id=int(batch_id))
     except ConcurrentWriteError:
         shutil.rmtree(os.path.join(path, seg))
         raise

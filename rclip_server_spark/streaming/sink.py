@@ -93,3 +93,28 @@ def start_stream_upsert(
     if checkpoint_dir is not None:
         out = out.option("checkpointLocation", checkpoint_dir)
     return out.start()
+
+
+def start_stream_append_versioned(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    path: str,
+    checkpoint_dir: str | None = None,
+):
+    """Append-only ingest into a ``sources.versioned`` table with EXACT
+    exactly-once delivery: each micro-batch commits one immutable segment
+    whose manifest records the batch id, so a crash-replayed batch
+    (foreachBatch is at-least-once) is detected in the log and skipped
+    rather than re-applied. This upgrades the upsert sinks' "idempotent,
+    therefore effectively-once" contract to a transactional record — the
+    plain-parquet equivalent of Delta's txnAppId/txnVersion sink protocol,
+    and the log doubles as time travel over the ingest history."""
+    from ..sources import versioned
+
+    def _append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        versioned.append_exactly_once(spark, path, batch_df, batch_id)
+
+    out = stream_df.writeStream.foreachBatch(_append_batch).outputMode("append")
+    if checkpoint_dir is not None:
+        out = out.option("checkpointLocation", checkpoint_dir)
+    return out.start()

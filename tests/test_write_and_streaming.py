@@ -1022,3 +1022,74 @@ class TestVersionedTable:
         assert [tuple(r) for r in V.read(spark, t).collect()] == [(3, "c")]
         with pytest.raises(FileNotFoundError):
             V.read(spark, t, 1)
+
+
+def test_stream_versioned_append_exactly_once_under_crash_replay(
+    spark, tmp_path, embeddings
+):
+    """The versioned sink's EXACT exactly-once claim: the first run commits
+    batch 1's segment (manifest records batch_id=1), then dies before Spark
+    commits the offset. The restarted query replays batch 1 — the sink must
+    find its id in the log and SKIP, so no row is appended twice and the
+    history shows each batch exactly once."""
+    from rclip_server_spark.sources import versioned as V
+    from rclip_server_spark.streaming import sink
+
+    src_dir = str(tmp_path / "incoming")
+    os.makedirs(src_dir)
+    table = str(tmp_path / "vtable")
+    ckpt = str(tmp_path / "ckpt")
+
+    b0 = embeddings.select(F.col("vec_id").alias("id")).limit(60)
+    b1 = embeddings.select((F.col("vec_id") + 100000).alias("id")).limit(40)
+    import time as _time
+    now = _time.time()
+    for i, df in enumerate([b0, b1]):
+        sub = os.path.join(src_dir, f"b{i}.parquet")
+        df.coalesce(1).write.parquet(sub)
+        for root, _, files in os.walk(sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + 10 * i, now + 10 * i))
+        os.utime(sub, (now + 10 * i, now + 10 * i))
+
+    V.create(spark, table, b0.limit(0))  # empty versioned table, v1
+
+    stream_def = (
+        spark.readStream.schema("id bigint").option("maxFilesPerTrigger", 1)
+    )
+
+    def _append_crashing(batch_df, batch_id):
+        V.append_exactly_once(spark, table, batch_df, batch_id)
+        if batch_id == 1:
+            raise RuntimeError("injected crash after commit, before offset")
+
+    q = (
+        stream_def.parquet(src_dir + "/*.parquet")
+        .writeStream.foreachBatch(_append_crashing)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    except Exception:
+        pass
+    finally:
+        q.stop()
+    assert q.exception() is not None
+
+    q2 = sink.start_stream_append_versioned(
+        stream_def.parquet(src_dir + "/*.parquet"), spark, table,
+        checkpoint_dir=ckpt,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    # exactly once: 100 distinct rows, no batch committed twice
+    got = V.read(spark, table)
+    assert got.count() == 100
+    assert got.select("id").distinct().count() == 100
+    batch_commits = [h for h in V.history(table) if h["op"] == "stream-append"]
+    assert len(batch_commits) == 2
+    assert V.committed_batch_ids(table) == {0, 1}
