@@ -437,7 +437,9 @@ _register(
 _register(
     "ann_hyperplane_near_dup",
     lambda spark, sf: ann.hyperplane_lsh_near_dup(
-        _t(spark, sf, "embeddings"), threshold=0.5, n_planes=6, seed=42, dim=EMB_DIM
+        # threshold 0.4 matches the oracle (lowered with the multiset row:
+        # 0.5 finds zero pairs in the near-orthogonal sf0.01 fixture)
+        _t(spark, sf, "embeddings"), threshold=0.4, n_planes=6, seed=42, dim=EMB_DIM
     ),
     f"""
     WITH b AS (SELECT vec_id AS id, embedding AS v,
@@ -669,7 +671,8 @@ _register(
 _register(
     "dedup_embedding_near_dup",
     lambda spark, sf: dedup.embedding_near_dup_pairs(
-        _t(spark, sf, "embeddings"), threshold=0.5
+        # threshold 0.4 matches the oracle (see ann_hyperplane_near_dup)
+        _t(spark, sf, "embeddings"), threshold=0.4
     ),
     f"""
     SELECT id_a, id_b, cosine FROM (
@@ -1412,7 +1415,8 @@ _PRIORITY = [
     # ev_zscore_outliers, rel_window_ntile, sql_scalar_subquery,
     # ev_asof_tolerance, ev_time_bucket_rollup, ev_dedup_bucket_stream_twin
     # (+ ann_hyperplane_near_dup_multiset — threshold lowered to 0.4 in r4
-    # so it yields 11 rows at sf0.01; rotation-eligible now).
+    # so it yields 11 rows at sf0.01; rotation-eligible now; and the two
+    # late-r4 additions samp_weighted_fixed_k, rel_bloom_pruned_anti_join).
     # §2 A-family (vector/similarity)
     "a1_a2_flagship_topk", "a2_topk_k50", "a4_l2_normalize",
     "a6_point_lookup", "a7_feature_minmax", "a8_minmax_normalize",
@@ -3885,6 +3889,54 @@ _register(
     WHERE NOT EXISTS (
       SELECT 1 FROM orders o
       WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+
+
+def _hist_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable equi-width histogram sketch (operators/sketches.py): built
+    PER SHARD (l_returnflag), merged by cell-wise addition, then quantiled —
+    the oracle computes the global histogram directly, so a hash match also
+    proves merge == global. Counts are exact integers; interpolation is
+    fixed-order double math over them (bit-identical cross-engine)."""
+    from .operators import sketches
+
+    li = _t(spark, sf, "lineitem")
+    shards = sketches.histogram_build(
+        li, "l_extendedprice", lo=0.0, hi=110000.0, n_bins=64,
+        shard_cols=["l_returnflag"],
+    )
+    merged = sketches.histogram_merge(shards)
+    return sketches.histogram_quantiles(
+        merged, [0.5, 0.9, 0.99], lo=0.0, hi=110000.0, n_bins=64
+    )
+
+
+_register(
+    "sketch_histogram_quantiles",
+    _hist_quantiles,
+    """
+    WITH h AS (
+      SELECT CAST(least(63, greatest(0, CAST(floor(
+               ((CAST(l_extendedprice AS DOUBLE) - 0.0) * 64.0) / 110000.0
+             ) AS INT))) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+    c AS (
+      SELECT bin, cnt,
+             sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER () AS n
+      FROM h),
+    p AS (
+      SELECT q, bin, cnt, cum, n,
+             row_number() OVER (PARTITION BY q ORDER BY bin) AS rn
+      FROM c CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+      WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE))
+    SELECT q,
+           0.0 + CAST(bin AS DOUBLE) * 1718.75
+               + ((q * CAST(n AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+                  / CAST(cnt AS DOUBLE)) * 1718.75 AS est
+    FROM p WHERE rn = 1
     """,
 )
 
