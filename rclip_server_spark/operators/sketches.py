@@ -26,7 +26,7 @@ that.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash32
@@ -234,3 +234,103 @@ def bloom_prune_anti_join(
         key_set, on=suspects[big_key] == key_set[kk], how="left_anti"
     )
     return miss.unionByName(checked)
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram: the mergeable quantile/distribution sketch
+# ---------------------------------------------------------------------------
+# Where it sits in the family: CMS answers "how often is KEY x", HLL "how
+# many distinct", Bloom "is x present"; the histogram answers "how is VALUE v
+# distributed" — quantiles, tail mass, drift — from a sketch of n_bins cells
+# NO MATTER the input size. Unlike percentile_approx (per-query, not
+# persistable) a histogram built per shard/day/source is mergeable by
+# cell-wise addition, so corpus-wide quantiles come from summing KB-sized
+# sketches, never rescanning 100 TB. And unlike a sampled quantile, the bin
+# counts are EXACT integers — deterministic across engines, partitionings,
+# and runs, which makes the whole operator DuckDB-oracle-checkable
+# (interpolation is fixed-order IEEE double math on those integers).
+
+def _hist_bin(col, lo: float, hi: float, n_bins: int):
+    """clamp(floor((x - lo) * n_bins / (hi - lo)), 0, n_bins-1) — the same
+    op order on both engines, so binning is bit-deterministic. Values
+    outside [lo, hi] clamp into the edge bins (document the range or widen
+    it; a production build would track under/overflow separately)."""
+    raw = F.floor(
+        ((col.cast("double") - F.lit(float(lo))) * F.lit(float(n_bins)))
+        / F.lit(float(hi) - float(lo))
+    )
+    return F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw.cast("int"))).cast(
+        "long"
+    )
+
+
+def histogram_build(
+    df: DataFrame, col: str, lo: float, hi: float, n_bins: int = 64,
+    shard_cols: list[str] | None = None,
+) -> DataFrame:
+    """(shard..., bin, cnt): one map-side binning pass + one hash-agg whose
+    output is sketch-sized. With ``shard_cols`` you get one mergeable
+    histogram per shard (merge = groupBy(bin).sum(cnt))."""
+    keys = list(shard_cols or []) + ["bin"]
+    return (
+        df.where(F.col(col).isNotNull())
+        .withColumn("bin", _hist_bin(F.col(col), lo, hi, n_bins))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_merge(hists: DataFrame, shard_cols: list[str] | None = None) -> DataFrame:
+    """Merge shard histograms by cell-wise addition (counts are linear)."""
+    keys = (list(shard_cols) if shard_cols else []) + ["bin"]
+    return hists.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    hist: DataFrame, qs: list[float], lo: float, hi: float, n_bins: int = 64
+) -> DataFrame:
+    """(q, est): linear-interpolated quantiles from the bin counts (the
+    numpy/Prometheus rule at bin granularity). Error bound: one bin width.
+    All arithmetic is fixed-order double math over exact integer counts —
+    bit-identical across engines. The cumsum window runs over n_bins rows
+    (the sketch), not the data."""
+    width = (float(hi) - float(lo)) / float(n_bins)
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    probe = cum.crossJoin(
+        F.broadcast(
+            hist.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+        )
+    )
+    # first bin whose cumulative count reaches the rank target q*n
+    hit = (
+        probe.where(
+            F.col("cum").cast("double") >= F.col("q") * F.col("n").cast("double")
+        )
+        .groupBy("q")
+        .agg(
+            F.min(F.struct("bin", "cnt", "cum")).alias("s"),
+            F.first("n").alias("n"),
+        )
+        .select("q", F.col("s.bin").alias("bin"), F.col("s.cnt").alias("cnt"),
+                F.col("s.cum").alias("cum"), "n")
+    )
+    est = (
+        F.lit(float(lo))
+        + F.col("bin").cast("double") * F.lit(width)
+        + (
+            (F.col("q") * F.col("n").cast("double")
+             - (F.col("cum") - F.col("cnt")).cast("double"))
+            / F.col("cnt").cast("double")
+        )
+        * F.lit(width)
+    )
+    return hit.select("q", est.alias("est"))

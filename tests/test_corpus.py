@@ -625,3 +625,49 @@ class TestBloomFilter:
 
         with _pt.raises(ValueError):
             sketches.bloom_params(100, 1.5)
+
+
+class TestHistogramSketch:
+    """Mergeable equi-width histogram (operators/sketches.py): shard-merge
+    == global build, quantile accuracy within one bin width, edge clamping."""
+
+    def test_merge_of_shards_equals_global(self, spark, documents):
+        from rclip_server_spark.operators import sketches
+
+        df = documents.select("doc_id", F.length("text").cast("double").alias("v"),
+                              "lang")
+        per_shard = sketches.histogram_build(df, "v", 0.0, 1000.0, 32,
+                                             shard_cols=["lang"])
+        merged = {(r.bin, r.cnt)
+                  for r in sketches.histogram_merge(per_shard).collect()}
+        direct = {(r.bin, r.cnt)
+                  for r in sketches.histogram_build(df, "v", 0.0, 1000.0, 32).collect()}
+        assert merged == direct
+
+    def test_quantiles_within_one_bin_width(self, spark, documents):
+        import numpy as np
+
+        from rclip_server_spark.operators import sketches
+
+        vals = np.array([r[0] for r in documents.select(
+            F.length("text").cast("double")).collect()])
+        lo, hi, n_bins = 0.0, 1000.0, 64
+        width = (hi - lo) / n_bins
+        hist = sketches.histogram_build(
+            documents.select(F.length("text").cast("double").alias("v")),
+            "v", lo, hi, n_bins)
+        got = {r.q: r.est for r in sketches.histogram_quantiles(
+            hist, [0.25, 0.5, 0.9], lo, hi, n_bins).collect()}
+        for q, est in got.items():
+            exact = float(np.quantile(vals, q))
+            assert abs(est - exact) <= width + 1e-9, (q, est, exact)
+
+    def test_out_of_range_clamps_to_edge_bins(self, spark):
+        from rclip_server_spark.operators import sketches
+
+        df = spark.createDataFrame(
+            [(-50.0,), (0.0,), (5.0,), (99.0,), (150.0,)], "v double")
+        bins = {(r.bin, r.cnt)
+                for r in sketches.histogram_build(df, "v", 0.0, 100.0, 10).collect()}
+        assert (0, 3) in bins       # -50 clamps into bin 0 alongside 0.0, 5.0
+        assert (9, 2) in bins       # 150 clamps into bin 9 alongside 99
