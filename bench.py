@@ -112,6 +112,19 @@ def main() -> None:
         "train_quality_lr": lambda: _QUERIES["ml_train_quality_lr"](
             spark, SF_DIR
         ).count(),
+        # late-round-4 widening: the new sketch/sampling families — priority
+        # sampling (weighted fixed-k + estimator) and mergeable histogram
+        # quantiles. The Bloom-pruned anti-join is deliberately NOT a
+        # headliner: at toy scale a broadcast anti-join always wins (its
+        # build+probe overhead only pays off past the broadcast threshold),
+        # so it is measured for scale SHAPE in tools/scale_sweep.py instead
+        # — same treatment as the bucketed upsert.
+        "weighted_fixed_k": lambda: _QUERIES["samp_weighted_fixed_k"](
+            spark, SF_DIR
+        ).collect(),
+        "hist_quantiles": lambda: _QUERIES["sketch_histogram_quantiles"](
+            spark, SF_DIR
+        ).collect(),
     }
 
     # warm the JVM/IO, the Python UDF workers, AND whole-stage-codegen
@@ -132,7 +145,8 @@ def main() -> None:
     warm_sf = "/root/testdata/sf0.001"
     for q in ("ev_funnel_counts", "samp_weighted_mixture", "text_bm25_topk",
               "dedup_semantic_semdedup", "ev_asof_click_view",
-              "dedup_containment", "ml_train_quality_lr"):
+              "dedup_containment", "ml_train_quality_lr",
+              "samp_weighted_fixed_k", "sketch_histogram_quantiles"):
         _QUERIES[q](spark, warm_sf).count()
     spark.catalog.clearCache()
 

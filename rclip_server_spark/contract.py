@@ -3941,6 +3941,47 @@ _register(
 )
 
 
+def _samp_weighted_per_class(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-class priority sampling: 20 docs per language, weighted by text
+    length, with per-class subset-sum estimators."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "lang",
+        F.greatest(F.length("text"), F.lit(1)).cast("long").alias("weight"),
+    )
+    return sampling.weighted_per_class_fixed_k(
+        docs, "doc_id", "weight", "lang", k=20
+    )
+
+
+_register(
+    "samp_weighted_per_class_k",
+    _samp_weighted_per_class,
+    f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(greatest(length(text), 1) AS BIGINT) AS weight,
+             {_samp_hash_sql('wresv')} + 1 AS h1
+      FROM documents),
+    q AS (
+      SELECT doc_id, lang, weight,
+             (CAST(weight AS DOUBLE) * 4294967296.0) / CAST(h1 AS DOUBLE) AS q
+      FROM b WHERE weight > 0),
+    r AS (
+      SELECT doc_id, lang, weight, q,
+             row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id)
+               AS rn
+      FROM q),
+    t AS (
+      SELECT lang,
+             coalesce(max(CASE WHEN rn = 21 THEN q END), 0.0) AS tau
+      FROM r GROUP BY lang)
+    SELECT r.lang, doc_id, weight,
+           greatest(CAST(weight AS DOUBLE), tau) AS est_weight
+    FROM r JOIN t ON r.lang = t.lang WHERE rn <= 20
+    """,
+)
+
+
 def _ev_rfm(spark: SparkSession, sf: str) -> DataFrame:
     _utc(spark)
     return EV.rfm_features(_t(spark, sf, "events"))

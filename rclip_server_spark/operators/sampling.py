@@ -212,6 +212,49 @@ def weighted_fixed_k_sample(
     )
 
 
+def weighted_per_class_fixed_k(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    class_col: str,
+    k: int,
+    salt: str = "wresv",
+) -> DataFrame:
+    """Per-class priority sampling: ``weighted_fixed_k_sample`` run
+    independently inside every class — "k docs PER LANGUAGE, proportional
+    to token count, with per-class subset-sum estimators" is the standard
+    rebalanced-curation primitive (exact size per class like
+    ``per_class_cap``, weighted inclusion like the global sampler, and the
+    same bit-exact cross-engine priority key).
+
+    One shuffle (hash exchange on the class column for the windows); τ is
+    per-class. For an extremely hot class at extreme scale, pre-filter each
+    partition to its local top-(k+1) per class before the global window —
+    same bound as the ``per_class_cap`` scale note."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    h1 = _row_hash(id_col, salt) + F.lit(1)
+    q = (F.col(weight_col).cast("double") * F.lit(float(_HASH_SPACE))) / h1.cast(
+        "double"
+    )
+    w = Window.partitionBy(class_col).orderBy(F.desc("__q"), F.asc(id_col))
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tau = F.max(F.when(F.col("__rn") == k + 1, F.col("__q"))).over(wall)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .select(F.col(class_col), F.col(id_col), F.col(weight_col), q.alias("__q"))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "est_weight",
+            F.greatest(
+                F.col(weight_col).cast("double"), F.coalesce(tau, F.lit(0.0))
+            ),
+        )
+        .where(F.col("__rn") <= k)
+        .drop("__q", "__rn")
+    )
+
+
 def training_shuffle(
     df: DataFrame,
     id_col: str,

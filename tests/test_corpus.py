@@ -609,14 +609,14 @@ class TestBloomFilter:
 
         member = spark.range(0, 2000).select(F.col("id").alias("k"))
         bitmap, m, k = sketches.bloom_build(member, "k", fpp=0.01)
-        might = sketches.bloom_might_contain(bitmap)
-        pos = sketches.bloom_positions(F.col("k"), m, k)
+        might = sketches.bloom_might_contain(bitmap, m, k)
+        h1, h2 = sketches.bloom_hashes(F.col("k"))
         # every member answers "maybe" — Bloom "no" must be definitive
-        hits = member.withColumn("h", might(pos)).where(~F.col("h")).count()
+        hits = member.withColumn("h", might(h1, h2)).where(~F.col("h")).count()
         assert hits == 0
         # non-members: measured fpp within 3x of the sizing target
         non = spark.range(100000, 110000).select(F.col("id").alias("k"))
-        fp = non.withColumn("h", might(pos)).where(F.col("h")).count()
+        fp = non.withColumn("h", might(h1, h2)).where(F.col("h")).count()
         assert fp / 10000 < 0.03
 
     def test_bad_fpp_raises(self):

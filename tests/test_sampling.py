@@ -245,3 +245,42 @@ class TestWeightedFixedK:
     def test_bad_k_raises(self, spark, documents):
         with pytest.raises(ValueError):
             sampling.weighted_fixed_k_sample(documents, "doc_id", "doc_id", k=0)
+
+
+class TestWeightedPerClassFixedK:
+    def test_per_class_matches_global_sampler_per_class(self, spark, documents):
+        """Running the per-class sampler must equal running the GLOBAL
+        weighted sampler independently on each class slice (same salt)."""
+        docs = documents.select(
+            "doc_id", "lang",
+            F.greatest(F.length("text"), F.lit(1)).cast("long").alias("weight"),
+        )
+        got = {
+            (r.lang, r.doc_id, r.est_weight)
+            for r in sampling.weighted_per_class_fixed_k(
+                docs, "doc_id", "weight", "lang", k=10
+            ).collect()
+        }
+        want = set()
+        for (lang,) in docs.select("lang").distinct().collect():
+            sub = docs.where(F.col("lang") == lang)
+            for r in sampling.weighted_fixed_k_sample(
+                sub, "doc_id", "weight", k=10
+            ).collect():
+                want.add((lang, r.doc_id, r.est_weight))
+        assert got == want
+
+    def test_exact_k_per_class(self, spark, documents):
+        docs = documents.select(
+            "doc_id", "lang",
+            F.greatest(F.length("text"), F.lit(1)).cast("long").alias("weight"),
+        )
+        counts = dict(
+            sampling.weighted_per_class_fixed_k(
+                docs, "doc_id", "weight", "lang", k=5
+            ).groupBy("lang").count().rdd.map(lambda r: (r[0], r[1])).collect()
+        )
+        pools = dict(
+            docs.groupBy("lang").count().rdd.map(lambda r: (r[0], r[1])).collect()
+        )
+        assert counts == {c: min(5, n) for c, n in pools.items()}

@@ -409,6 +409,53 @@ def main() -> int:
         "In streaming mode the same plan runs with watermark-bounded state.",
     ))
 
+    from rclip_server_spark.operators import sampling, sketches
+
+    audits.append((
+        "Priority sampling (weighted fixed-k, DLT estimator)",
+        sampling.weighted_fixed_k_sample(
+            docs.select("doc_id", F.length("text").cast("long").alias("weight")),
+            "doc_id", "weight", k=100,
+        ),
+        {"TakeOrderedAndProject": True, "CartesianProduct": False},
+        "The priority key is map-side row-local math; the top-(k+1) plans as "
+        "TakeOrderedAndProject (per-partition (k+1)-heaps, one (k+1)·P-row "
+        "merge — never a global sort of the corpus). The tau/estimator "
+        "window that follows runs on the k+1 surviving rows only, so its "
+        "single-partition exchange moves k+1 rows, not data.",
+    ))
+
+    bloom_target = docs.select("doc_id", "lang")
+    bloom_keys = docs.where(F.col("lang") == "en").select("doc_id")
+    audits.append((
+        "Bloom-pruned exact anti-join",
+        sketches.bloom_prune_anti_join(bloom_target, bloom_keys, "doc_id",
+                                       fpp=0.01),
+        {"ArrowEvalPython": True, "LeftAnti": True,
+         "CartesianProduct": False, "BroadcastNestedLoopJoin": False},
+        "The membership test is an Arrow-batched vectorized-numpy predicate "
+        "over JVM-computed salted-md5 bit positions (ArrowEvalPython), "
+        "applied map-side to route rows: definitive misses bypass the "
+        "shuffle entirely and only the might-contain sliver reaches the "
+        "exact LeftAnti join. At 100 TB the anti-join input shrinks from "
+        "|big| to |matches| + fpp·|big| while the filter itself ships as "
+        "~10 bits/key — the runtime-filter shape, made explicit.",
+    ))
+
+    audits.append((
+        "Mergeable equi-width histogram build",
+        sketches.histogram_build(
+            load_table(spark, SF_DIR, "lineitem"), "l_extendedprice",
+            0.0, 110000.0, 64,
+        ),
+        {"partial_count": True, "CartesianProduct": False},
+        "Binning is row-local column math fused into the scan stage; the "
+        "count aggregates PARTIALLY map-side (partial_count before the "
+        "exchange), so the one shuffle moves at most n_bins rows per task "
+        "— the exchange is sketch-sized no matter the input. Quantile "
+        "interpolation afterwards touches only the n_bins sketch rows.",
+    ))
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",

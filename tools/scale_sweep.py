@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, functions as F
 
 from rclip_server_spark.contract import CENTROIDS, EMBEDDER, QV_FLAGSHIP
-from rclip_server_spark.operators import dedup, retrieval, similarity
+from rclip_server_spark.operators import dedup, retrieval, similarity, sketches
 from rclip_server_spark.session import get_spark
 from rclip_server_spark.sources import load_table
 
@@ -74,6 +74,14 @@ def main() -> None:
             # the tumbling-window dedup twin (partial-agg shuffle shape)
             "containment_pairs": lambda: dedup.containment_pairs(
                 docs, threshold=0.8
+            ).count(),
+            # Bloom-pruned anti-join: fixed ~30% key set; the claim under
+            # test is that cost grows with the SCAN (map-side routed),
+            # not with pairs — expect ~linear in copies
+            "bloom_anti_join": lambda: sketches.bloom_prune_anti_join(
+                docs.select("doc_id", "lang"),
+                docs.where(F.col("doc_id") % 3 == 0).select("doc_id"),
+                "doc_id",
             ).count(),
         }
         out = {}
