@@ -3982,6 +3982,34 @@ _register(
 )
 
 
+def _pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ-ADC tier (operators/ann.py): codebooks trained on a 2000-row
+    sample (seeded, deterministic), corpus encoded to 8 codes/vector, ADC
+    shortlist 200, exact re-rank to top-10. Rows-only: the encode/score
+    path is a numpy-codebook pandas_udf (not SQL-expressible); recall and
+    encode correctness are pinned in tests/test_ann_recall.py."""
+    from .operators import ann as A
+
+    emb = _t(spark, sf, "embeddings")
+    import numpy as _np
+
+    sample = _np.array(
+        [r.embedding for r in emb.select("embedding").limit(2000).collect()]
+    )
+    books = A.pq_train(sample, m_sub=8, k_cent=64, iters=5, seed=42)
+    codes = A.pq_encode(emb, books).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    return A.pq_adc_topk(codes, QV_ZEBRA, books, k=10, shortlist=200)
+
+
+_register(
+    "ann_pq_adc_topk",
+    _pq_adc_topk,
+    None,  # numpy-codebook pandas_udf encode/score path; rows-only check
+)
+
+
 def _ev_rfm(spark: SparkSession, sf: str) -> DataFrame:
     _utc(spark)
     return EV.rfm_features(_t(spark, sf, "events"))

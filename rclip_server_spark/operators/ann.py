@@ -772,3 +772,131 @@ def ivf_outliers(
     return j.where((dev > 0) & (dev * dev > F.lit(float(z) * float(z)) * var)).select(
         id_col, "ivf_cell", "nanocos"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+# The remaining classic of the quantization ladder (float32 -> int8 ->
+# binary -> PQ): split each vector into m_sub subvectors, k-means each
+# subspace to k_cent centroids (Jegou, Douze & Schmid, "Product Quantization
+# for Nearest Neighbor Search", TPAMI 2011), and store ONE BYTE-ish code per
+# subvector. At dim 64 / m_sub 8 / k_cent 256 that is 8 codes vs 256 bytes
+# of float32 — a 32x I/O cut on the scan, finer-grained than binary signs.
+# Scoring is ADC: the query precomputes a (m_sub x k_cent) lookup table of
+# sub-dot-products, so each stored vector's approximate score is m_sub table
+# gathers + adds, no float math per dimension. Exactness discipline matches
+# the other tiers: PQ buys the SHORTLIST; the final order and scores come
+# from an exact full-precision re-rank of the survivors.
+
+
+def pq_train(
+    vectors: np.ndarray, m_sub: int = 8, k_cent: int = 256,
+    iters: int = 10, seed: int = 42,
+) -> np.ndarray:
+    """(m_sub, k_cent, dsub) codebooks via seeded Lloyd k-means per
+    subspace, trained driver-side on a sample (the standard recipe: PQ
+    codebooks need ~100k sample rows, not the corpus — train once, ship as
+    literals/closure like the IVF centroids). Deterministic: seeded init,
+    numpy argmin ties to the first index, empty cells keep their previous
+    centroid."""
+    X = np.asarray(vectors, dtype=np.float64)
+    n, d = X.shape
+    if d % m_sub != 0:
+        raise ValueError(f"dim {d} not divisible by m_sub {m_sub}")
+    dsub = d // m_sub
+    kc = min(int(k_cent), n)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m_sub, kc, dsub))
+    for m in range(m_sub):
+        S = X[:, m * dsub:(m + 1) * dsub]
+        C = S[rng.choice(n, size=kc, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(kc):
+                mask = a == c
+                if mask.any():
+                    C[c] = S[mask].mean(axis=0)
+        books[m] = C
+    return books
+
+
+def pq_encode(
+    df: DataFrame, codebooks: np.ndarray,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, pq_codes array<int>): the index-time artifact. One Arrow-batched
+    pass; per batch the encode is m_sub vectorized argmin's over the
+    (k_cent, dsub) codebook — no per-row Python. Store this table at rest
+    (optionally alongside the int8/binary columns) and scan IT instead of
+    the float column."""
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m_sub, kc, dsub = books.shape
+
+    @F.pandas_udf("array<int>")
+    def enc(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.vstack(vs.to_numpy()).astype(np.float64)
+        codes = np.empty((X.shape[0], m_sub), dtype=np.int32)
+        for m in range(m_sub):
+            S = X[:, m * dsub:(m + 1) * dsub]
+            # ||s - c||^2 = ||s||^2 - 2 s.c + ||c||^2; ||s||^2 is constant
+            # per row, so argmin over (-2 s.c + ||c||^2) suffices (GEMM form)
+            d2 = -2.0 * (S @ books[m].T) + (books[m] ** 2).sum(axis=1)[None, :]
+            codes[:, m] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.select(F.col(id_col), enc(F.col(vec_col)).alias("pq_codes"))
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    query_vec,
+    codebooks: np.ndarray,
+    k: int = 10,
+    shortlist: int = 200,
+    full_df: DataFrame | None = None,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC top-k: approximate inner-product scores from the code table
+    (per query: one (m_sub x k_cent) LUT of sub-dot-products; per stored
+    vector: m_sub gathers + adds, vectorized in numpy over Arrow batches),
+    shortlist by that score, then EXACT re-rank of the survivors against
+    the full-precision table — identical two-stage discipline (and plan
+    shape: two TakeOrderedAndProject passes + a broadcast semi-join point
+    read) as pca_coarse_topk/binary_hamming_topk. Recall is bought by
+    shortlist size; final scores are exact."""
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m_sub, kc, dsub = books.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    lut = np.vstack([
+        books[m] @ q[m * dsub:(m + 1) * dsub] for m in range(m_sub)
+    ])  # (m_sub, k_cent)
+
+    @F.pandas_udf("double")
+    def adc(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=np.float64)
+        C = np.vstack(codes.to_numpy()).astype(np.int64)  # (n, m_sub)
+        return pd.Series(lut[np.arange(m_sub)[None, :], C].sum(axis=1))
+
+    short = (
+        codes_df.select(id_col, codes_col)
+        .withColumn("score_adc", adc(F.col(codes_col)))
+        .orderBy(F.desc("score_adc"), F.asc(id_col))
+        .limit(shortlist)
+        .select(id_col)
+    )
+    wide = full_df if full_df is not None else codes_df
+    cands = wide.join(F.broadcast(short), id_col)
+    return (
+        cands.select(
+            F.col(id_col), V.dot(F.col(vec_col), V.vec_lit(list(q))).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

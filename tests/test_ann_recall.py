@@ -84,3 +84,50 @@ def test_recall_binary_hamming(emb01, exact_top10):
         lambda q: ann.binary_hamming_topk(emb01, q, k=K, shortlist=500), exact_top10
     )
     assert min(r) >= 0.9, r  # measured: 1.0 on every query
+
+
+@pytest.fixture(scope="module")
+def pq_artifacts(emb01):
+    """Codebooks trained on the corpus sample + the encoded code table."""
+    sample = np.array(
+        [r.embedding for r in emb01.select("embedding").limit(2000).collect()]
+    )
+    books = ann.pq_train(sample, m_sub=8, k_cent=64, iters=5, seed=42)
+    codes = emb01.select("vec_id").join(
+        ann.pq_encode(emb01, books), "vec_id"
+    ).join(emb01.select("vec_id", "embedding"), "vec_id").cache()
+    codes.count()
+    yield books, codes
+    codes.unpersist()
+
+
+def test_pq_encode_matches_numpy_reference(emb01, pq_artifacts):
+    books, codes = pq_artifacts
+    m_sub, kc, dsub = books.shape
+    rows = codes.select("vec_id", "embedding", "pq_codes").limit(50).collect()
+    for r in rows:
+        x = np.asarray(r.embedding, dtype=np.float64)
+        for m in range(m_sub):
+            s = x[m * dsub:(m + 1) * dsub]
+            want = int(((s[None, :] - books[m]) ** 2).sum(axis=1).argmin())
+            assert r.pq_codes[m] == want
+
+
+def test_recall_pq_adc_rerank(emb01, exact_top10, pq_artifacts):
+    """PQ shortlists + exact re-rank: recall ~1.0 at shortlist 200 over 5k
+    vectors (re-rank tier — same discipline as PCA/binary)."""
+    books, codes = pq_artifacts
+    r = _recalls(
+        lambda q: ann.pq_adc_topk(codes, q, books, k=K, shortlist=200),
+        exact_top10,
+    )
+    assert np.mean(r) >= 0.9 and min(r) >= 0.8, r
+
+
+def test_pq_adc_deterministic_under_repartition(emb01, exact_top10, pq_artifacts):
+    books, codes = pq_artifacts
+    q = E.embed_text("zebra")
+    a = [(r.vec_id, r.score) for r in ann.pq_adc_topk(codes, q, books, k=K).collect()]
+    b = [(r.vec_id, r.score)
+         for r in ann.pq_adc_topk(codes.repartition(7), q, books, k=K).collect()]
+    assert a == b
