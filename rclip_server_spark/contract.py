@@ -3982,6 +3982,57 @@ _register(
 )
 
 
+def _hist_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-drift report between two snapshots (even/odd doc halves
+    as proxies): per-bin counts + total-variation distance in integer
+    cross-multiplied fixed point (reorder-free, so the sum — not just each
+    term — is bit-identical cross-engine)."""
+    from .operators import sketches
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.length("text").cast("double").alias("v")
+    )
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    return sketches.histogram_drift(old, new, "v", lo=0.0, hi=1000.0, n_bins=32)
+
+
+_register(
+    "sketch_histogram_drift",
+    _hist_drift,
+    """
+    WITH b AS (
+      SELECT doc_id,
+             CAST(least(31, greatest(0, CAST(floor(
+               ((CAST(length(text) AS DOUBLE) - 0.0) * 32.0) / 1000.0
+             ) AS INT))) AS BIGINT) AS bin
+      FROM documents WHERE length(text) IS NOT NULL),
+    o AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt_old
+          FROM b WHERE doc_id % 2 = 0 GROUP BY 1),
+    n AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt_new
+          FROM b WHERE doc_id % 2 = 1 GROUP BY 1),
+    j AS (
+      SELECT coalesce(o.bin, n.bin) AS bin,
+             coalesce(cnt_old, 0) AS cnt_old,
+             coalesce(cnt_new, 0) AS cnt_new
+      FROM o FULL JOIN n ON o.bin = n.bin),
+    t1 AS (
+      SELECT bin, cnt_old, cnt_new,
+             sum(cnt_old) OVER () AS n_old, sum(cnt_new) OVER () AS n_new
+      FROM j),
+    t2 AS (
+      SELECT *,
+             sum(abs(cnt_old * n_new - cnt_new * n_old)) OVER () AS tv_num
+      FROM t1)
+    SELECT bin, cnt_old, cnt_new, tv_num,
+           2 * n_old * n_new AS tv_den,
+           CAST(tv_num AS DOUBLE) / CAST(2 * n_old * n_new AS DOUBLE)
+             AS tv_distance
+    FROM t2
+    """,
+)
+
+
 def _pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     """PQ-ADC tier (operators/ann.py): codebooks trained on a 2000-row
     sample (seeded, deterministic), corpus encoded to 8 codes/vector, ADC

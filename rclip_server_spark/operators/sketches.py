@@ -343,3 +343,48 @@ def histogram_quantiles(
         * F.lit(width)
     )
     return hit.select("q", est.alias("est"))
+
+
+def histogram_drift(
+    old: DataFrame, new: DataFrame, col: str,
+    lo: float, hi: float, n_bins: int = 64,
+) -> DataFrame:
+    """Distribution-drift report between two table versions/days/sources:
+    per-bin counts of both sides plus the total-variation distance
+    ``TV = 0.5 * Σ |p_i - q_i|`` — THE monitoring primitive for "did
+    yesterday's crawl shift the length/quality/score distribution", and the
+    natural consumer of persisted per-day histogram sketches (drift between
+    two days then costs two KB-sized sketch reads, zero data rescans).
+
+    Exactness at any scale: the per-bin work is two sketch-sized hash-aggs;
+    TV is computed in INTEGER cross-multiplied fixed point
+    (``|cnt_old*n_new - cnt_new*n_old|`` summed as int64, divided once at
+    the end), so the sum is reorder-free and bit-identical across engines
+    — a float Σ|p-q| would depend on aggregation order. Bounded by
+    ``n_old*n_new*2`` per term: safe in int64 up to ~2 billion rows per
+    side; beyond that, decimal-widen the products.
+
+    Output: one row per bin present on either side (cnt_old, cnt_new) plus
+    the scalar drift repeated per row (tv_num/tv_den kept as exact integers
+    alongside the ready-to-read double)."""
+    h_old = histogram_build(old, col, lo, hi, n_bins).withColumnRenamed("cnt", "cnt_old")
+    h_new = histogram_build(new, col, lo, hi, n_bins).withColumnRenamed("cnt", "cnt_new")
+    joined = (
+        h_old.join(h_new, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("cnt_old", F.lit(0)).alias("cnt_old"),
+            F.coalesce("cnt_new", F.lit(0)).alias("cnt_new"),
+        )
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    n_old = F.sum("cnt_old").over(w)
+    n_new = F.sum("cnt_new").over(w)
+    term = F.abs(F.col("cnt_old") * n_new - F.col("cnt_new") * n_old)
+    tv_num = F.sum(term).over(w)
+    tv_den = F.lit(2) * n_old * n_new
+    return joined.select(
+        "bin", "cnt_old", "cnt_new",
+        tv_num.alias("tv_num"), tv_den.alias("tv_den"),
+        (tv_num.cast("double") / tv_den.cast("double")).alias("tv_distance"),
+    )

@@ -671,3 +671,36 @@ class TestHistogramSketch:
                 for r in sketches.histogram_build(df, "v", 0.0, 100.0, 10).collect()}
         assert (0, 3) in bins       # -50 clamps into bin 0 alongside 0.0, 5.0
         assert (9, 2) in bins       # 150 clamps into bin 9 alongside 99
+
+
+class TestHistogramDrift:
+    def test_identical_distributions_zero_tv(self, spark, documents):
+        from rclip_server_spark.operators import sketches
+
+        d = documents.select(F.length("text").cast("double").alias("v"))
+        out = sketches.histogram_drift(d, d, "v", 0.0, 1000.0, 32).collect()
+        assert all(r.tv_distance == 0.0 and r.tv_num == 0 for r in out)
+        assert all(r.cnt_old == r.cnt_new for r in out)
+
+    def test_disjoint_distributions_tv_one(self, spark):
+        from rclip_server_spark.operators import sketches
+
+        lo = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+        hi = spark.createDataFrame([(500.0 + i,) for i in range(50)], "v double")
+        out = sketches.histogram_drift(lo, hi, "v", 0.0, 1000.0, 16).collect()
+        assert all(abs(r.tv_distance - 1.0) < 1e-12 for r in out)
+
+    def test_tv_matches_float_reference(self, spark, documents):
+        from rclip_server_spark.operators import sketches
+
+        d = documents.select("doc_id", F.length("text").cast("double").alias("v"))
+        old = d.where(F.col("doc_id") % 2 == 0)
+        new = d.where(F.col("doc_id") % 2 == 1)
+        rows = sketches.histogram_drift(old, new, "v", 0.0, 1000.0, 32).collect()
+        n_old = sum(r.cnt_old for r in rows)
+        n_new = sum(r.cnt_new for r in rows)
+        want = 0.5 * sum(
+            abs(r.cnt_old / n_old - r.cnt_new / n_new) for r in rows
+        )
+        assert abs(rows[0].tv_distance - want) < 1e-9
+        assert 0.0 < rows[0].tv_distance < 1.0
