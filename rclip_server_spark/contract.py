@@ -4061,6 +4061,34 @@ _register(
 )
 
 
+def _ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVFADC (operators/ann.py): IVF cells prune the scan, shared residual
+    codebooks shrink the scanned bytes, exact re-rank fixes the order.
+    Rows-only (numpy-codebook pandas_udf path); recall floors and
+    encode==numpy parity are pinned in tests/test_ann_recall.py."""
+    from .operators import ann as A
+    import numpy as _np
+
+    emb = _t(spark, sf, "embeddings")
+    cents = A.ivf_train_kmeans(emb, k=8)
+    sample = _np.array(
+        [r.embedding for r in emb.select("embedding").limit(2000).collect()]
+    )
+    books = A.ivf_pq_train(sample, cents, m_sub=8, k_cent=64, iters=5, seed=42)
+    idx = A.ivf_pq_encode(emb, cents, books).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    return A.ivf_pq_topk(idx, QV_ZEBRA, cents, books, k=10, n_probe=4,
+                         shortlist=200)
+
+
+_register(
+    "ann_ivf_pq_topk",
+    _ivf_pq_topk,
+    None,  # numpy-codebook pandas_udf path; rows-only check
+)
+
+
 def _ev_rfm(spark: SparkSession, sf: str) -> DataFrame:
     _utc(spark)
     return EV.rfm_features(_t(spark, sf, "events"))

@@ -900,3 +900,118 @@ def pq_adc_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cells + residual product quantization (the faiss workhorse)
+# ---------------------------------------------------------------------------
+# Composition of the two index tiers above: IVF prunes the SCAN (probe only
+# the cells nearest the query — partition pruning when the table is written
+# by write_partitioned_by_ivf), PQ shrinks the BYTES per scanned row (codes
+# of the residual x - centroid, which has far less variance than x, so the
+# same codebook budget quantizes it finer). Score ≈ q·centroid (per-cell
+# constant) + ADC over the residual codes — then the ladder's standard exact
+# full-precision re-rank of the shortlist. This is the published IVFADC
+# pipeline (Jegou, Douze & Schmid 2011, §IV).
+
+
+def ivf_pq_train(
+    sample: np.ndarray, centroids: np.ndarray,
+    m_sub: int = 8, k_cent: int = 64, iters: int = 10, seed: int = 42,
+) -> np.ndarray:
+    """Residual codebooks: assign the sample to its nearest centroid (max
+    dot — the ivf_assign rule), subtract, and pq_train on the residuals.
+    One shared codebook set across cells (the standard memory/quality
+    trade; per-cell books are the 'IMI' upgrade)."""
+    X = np.asarray(sample, dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+    cells = (X @ C.T).argmax(axis=1)
+    return pq_train(X - C[cells], m_sub=m_sub, k_cent=k_cent,
+                    iters=iters, seed=seed)
+
+
+def ivf_pq_encode(
+    df: DataFrame, centroids: np.ndarray, codebooks: np.ndarray,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, ivf_cell, pq_codes): the at-rest IVF-PQ index — 1 small int +
+    m_sub codes per vector. One Arrow pass: cell assignment (GEMM argmax),
+    residual subtraction, per-subspace GEMM-form argmin. Write partitioned
+    by ivf_cell so probes prune at planning time."""
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m_sub, kc, dsub = books.shape
+
+    @F.pandas_udf("struct<ivf_cell: int, pq_codes: array<int>>")
+    def enc(vs: pd.Series) -> pd.DataFrame:
+        if len(vs) == 0:
+            return pd.DataFrame({"ivf_cell": [], "pq_codes": []})
+        X = np.vstack(vs.to_numpy()).astype(np.float64)
+        cells = (X @ C.T).argmax(axis=1)
+        R = X - C[cells]
+        codes = np.empty((X.shape[0], m_sub), dtype=np.int32)
+        for m in range(m_sub):
+            S = R[:, m * dsub:(m + 1) * dsub]
+            d2 = -2.0 * (S @ books[m].T) + (books[m] ** 2).sum(axis=1)[None, :]
+            codes[:, m] = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {"ivf_cell": cells.astype(np.int32), "pq_codes": list(codes)}
+        )
+
+    out = df.select(F.col(id_col), enc(F.col(vec_col)).alias("s"))
+    return out.select(id_col, F.col("s.ivf_cell").alias("ivf_cell"),
+                      F.col("s.pq_codes").alias("pq_codes"))
+
+
+def ivf_pq_topk(
+    index_df: DataFrame,
+    query_vec,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    n_probe: int = 2,
+    shortlist: int = 200,
+    full_df: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC top-k: probe the n_probe max-dot cells (a cell-id filter —
+    partition pruning on an ivf_cell-partitioned table), approximate each
+    candidate as q·centroid[cell] + ADC(residual codes) with ONE shared
+    (m_sub x k_cent) LUT, shortlist, exact re-rank. Non-probed cells are
+    never read; scanned bytes per candidate are the code row, not the
+    vector."""
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m_sub, kc, dsub = books.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    cell_dots = C @ q
+    probes = np.argsort(-cell_dots)[:n_probe]
+    lut = np.vstack([
+        books[m] @ q[m * dsub:(m + 1) * dsub] for m in range(m_sub)
+    ])
+
+    @F.pandas_udf("double")
+    def adc(cell: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(cell) == 0:
+            return pd.Series([], dtype=np.float64)
+        Cc = np.vstack(codes.to_numpy()).astype(np.int64)
+        base = cell_dots[cell.to_numpy(dtype=np.int64)]
+        return pd.Series(base + lut[np.arange(m_sub)[None, :], Cc].sum(axis=1))
+
+    short = (
+        index_df.where(F.col("ivf_cell").isin([int(i) for i in probes]))
+        .withColumn("score_adc", adc(F.col("ivf_cell"), F.col("pq_codes")))
+        .orderBy(F.desc("score_adc"), F.asc(id_col))
+        .limit(shortlist)
+        .select(id_col)
+    )
+    wide = full_df if full_df is not None else index_df
+    cands = wide.join(F.broadcast(short), id_col)
+    return (
+        cands.select(
+            F.col(id_col), V.dot(F.col(vec_col), V.vec_lit(list(q))).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

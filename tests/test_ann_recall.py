@@ -131,3 +131,64 @@ def test_pq_adc_deterministic_under_repartition(emb01, exact_top10, pq_artifacts
     b = [(r.vec_id, r.score)
          for r in ann.pq_adc_topk(codes.repartition(7), q, books, k=K).collect()]
     assert a == b
+
+
+@pytest.fixture(scope="module")
+def ivf_pq_artifacts(emb01):
+    cents = ann.ivf_train_kmeans(emb01, k=8)
+    sample = np.array(
+        [r.embedding for r in emb01.select("embedding").limit(2000).collect()]
+    )
+    books = ann.ivf_pq_train(sample, cents, m_sub=8, k_cent=64, iters=5, seed=42)
+    idx = ann.ivf_pq_encode(emb01, cents, books).join(
+        emb01.select("vec_id", "embedding"), "vec_id"
+    ).cache()
+    idx.count()
+    yield cents, books, idx
+    idx.unpersist()
+
+
+def test_ivf_pq_encode_consistent_with_ivf_assign(emb01, ivf_pq_artifacts):
+    """The Arrow-batch GEMM argmax must pick the same cells as the JVM
+    greatest-of-structs assignment rule."""
+    cents, books, idx = ivf_pq_artifacts
+    a = {r.vec_id: r.ivf_cell for r in ann.ivf_assign(emb01, cents).collect()}
+    b = {r.vec_id: r.ivf_cell for r in idx.select("vec_id", "ivf_cell").collect()}
+    assert a == b
+
+
+def test_ivf_pq_residual_codes_match_numpy(emb01, ivf_pq_artifacts):
+    cents, books, idx = ivf_pq_artifacts
+    m_sub, kc, dsub = books.shape
+    C = np.asarray(cents, dtype=np.float64)
+    for r in idx.select("vec_id", "ivf_cell", "pq_codes", "embedding").limit(30).collect():
+        x = np.asarray(r.embedding, dtype=np.float64)
+        res = x - C[r.ivf_cell]
+        for m in range(m_sub):
+            s = res[m * dsub:(m + 1) * dsub]
+            want = int(((s[None, :] - books[m]) ** 2).sum(axis=1).argmin())
+            assert r.pq_codes[m] == want
+
+
+def test_recall_ivf_pq_half_probes(emb01, exact_top10, ivf_pq_artifacts):
+    """IVFADC at n_probe=4 of 8 cells: recall is capped by probe recall on
+    this clusterless fixture (same regime as the plain-IVF floor)."""
+    cents, books, idx = ivf_pq_artifacts
+    r = _recalls(
+        lambda q: ann.ivf_pq_topk(idx, q, cents, books, k=K, n_probe=4,
+                                  shortlist=200),
+        exact_top10,
+    )
+    assert np.mean(r) >= 0.6 and min(r) >= 0.4, r  # measured: avg 0.66, min 0.5
+
+
+def test_recall_ivf_pq_full_probes_is_rerank_tier(emb01, exact_top10, ivf_pq_artifacts):
+    """All cells probed -> pure residual-PQ shortlist + exact re-rank: the
+    re-rank-tier regime (~1.0 like PCA/binary/PQ)."""
+    cents, books, idx = ivf_pq_artifacts
+    r = _recalls(
+        lambda q: ann.ivf_pq_topk(idx, q, cents, books, k=K, n_probe=8,
+                                  shortlist=200),
+        exact_top10,
+    )
+    assert np.mean(r) >= 0.9 and min(r) >= 0.8, r
