@@ -46,6 +46,10 @@ R3_FLOOR_SEC = {
     "text_quality_stats": 0.266, "event_funnel": 0.691,
     "sample_weighted_mixture": 0.247, "bm25_topk": 1.2,
     "semdedup": 1.314, "asof_click_view": 0.313,
+    # r4-measured floors for the headliners added this round (best clean
+    # best-of-2 on an idle machine; the r3 keys above keep their r3 values)
+    "dedup_containment": 1.798, "train_quality_lr": 2.37,
+    "weighted_fixed_k": 0.297, "hist_quantiles": 0.777,
 }
 
 
