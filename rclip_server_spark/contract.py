@@ -1415,8 +1415,10 @@ _PRIORITY = [
     # ev_zscore_outliers, rel_window_ntile, sql_scalar_subquery,
     # ev_asof_tolerance, ev_time_bucket_rollup, ev_dedup_bucket_stream_twin
     # (+ ann_hyperplane_near_dup_multiset — threshold lowered to 0.4 in r4
-    # so it yields 11 rows at sf0.01; rotation-eligible now; and the two
-    # late-r4 additions samp_weighted_fixed_k, rel_bloom_pruned_anti_join).
+    # so it yields 11 rows at sf0.01; rotation-eligible now; and the five
+    # late-r4 oracle additions samp_weighted_fixed_k,
+    # samp_weighted_per_class_k, rel_bloom_pruned_anti_join,
+    # sketch_histogram_quantiles, sketch_histogram_drift).
     # §2 A-family (vector/similarity)
     "a1_a2_flagship_topk", "a2_topk_k50", "a4_l2_normalize",
     "a6_point_lookup", "a7_feature_minmax", "a8_minmax_normalize",

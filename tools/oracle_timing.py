@@ -42,6 +42,8 @@ HEADLINER_ORACLE = {
     "asof_click_view": "ev_asof_click_view",
     "dedup_containment": "dedup_containment",
     "train_quality_lr": None,          # iterative training: no SQL twin
+    "weighted_fixed_k": "samp_weighted_fixed_k",
+    "hist_quantiles": "sketch_histogram_quantiles",
 }
 
 
