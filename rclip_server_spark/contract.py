@@ -4035,6 +4035,35 @@ _register(
 )
 
 
+def _ev_windowed_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-day value-distribution monitor (streaming/windows
+    .windowed_value_histogram): tumbling window() x histogram bin — the
+    ingest-time producer for sketches.histogram_drift. Batch run IS the
+    oracle; the streaming parity test drives the same definition through a
+    memory sink."""
+    _utc(spark)
+    from .streaming import windows as SWm
+
+    return SWm.windowed_value_histogram(
+        _t(spark, sf, "events"), value_col="value", size="1 day",
+        lo=0.0, hi=500.0, n_bins=20,
+    )
+
+
+_register(
+    "ev_windowed_value_histogram",
+    _ev_windowed_histogram,
+    """
+    SELECT epoch_us(date_trunc('day', ts)) AS window_start_us,
+           CAST(least(19, greatest(0, CAST(floor(
+             ((CAST(value AS DOUBLE) - 0.0) * 20.0) / 500.0
+           ) AS INT))) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    """,
+)
+
+
 def _pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     """PQ-ADC tier (operators/ann.py): codebooks trained on a 2000-row
     sample (seeded, deterministic), corpus encoded to 8 codes/vector, ADC

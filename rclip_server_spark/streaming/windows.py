@@ -220,3 +220,32 @@ def click_view_interval_join(
             F.unix_micros("view_ts").alias("view_us"),
         )
     )
+
+
+def windowed_value_histogram(events: DataFrame, value_col: str = "value",
+                             size: str = "1 day", lo: float = 0.0,
+                             hi: float = 100.0, n_bins: int = 16,
+                             watermark: str = "1 hour") -> DataFrame:
+    """Per-window value-distribution monitor: the mergeable equi-width
+    histogram (operators/sketches._hist_bin — same clamp/floor rule, so
+    the batch form is oracle-checkable) aggregated per tumbling event-time
+    window. ONE definition runs as the batch oracle and as a Structured
+    Stream: streaming state is (windows-in-flight x n_bins) cells —
+    watermark-bounded and sketch-sized, never value-domain-sized — and a
+    finalized window emits its complete histogram once (append mode).
+    This is the ingest-time producer for sketches.histogram_drift: persist
+    each day's bins, and distribution drift between any two days costs two
+    KB-sized sketch reads."""
+    from ..operators.sketches import _hist_bin
+
+    w = F.window(F.col("ts"), size)
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    out = (
+        src.where(F.col(value_col).isNotNull())
+        .withColumn("bin", _hist_bin(F.col(value_col), lo, hi, n_bins))
+        .groupBy(w.alias("w"), F.col("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return out.select(
+        F.unix_micros("w.start").alias("window_start_us"), "bin", "cnt"
+    )

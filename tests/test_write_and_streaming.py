@@ -1093,3 +1093,31 @@ def test_stream_versioned_append_exactly_once_under_crash_replay(
     batch_commits = [h for h in V.history(table) if h["op"] == "stream-append"]
     assert len(batch_commits) == 2
     assert V.committed_batch_ids(table) == {0, 1}
+
+
+def test_streaming_windowed_histogram_equals_batch(spark, events, events_stream_dir):
+    """The per-window value histogram: one definition, two runtimes —
+    streaming (watermarked, sketch-sized state) must emit exactly the
+    batch/oracle cells."""
+    batch = {
+        (r.window_start_us, r.bin): r.cnt
+        for r in SW.windowed_value_histogram(
+            events, value_col="value", size="1 day", lo=0.0, hi=500.0, n_bins=20
+        ).collect()
+    }
+    stream = SW.read_events_stream(spark, events_stream_dir)
+    SW.run_stream_to_memory(
+        SW.windowed_value_histogram(
+            stream, value_col="value", size="1 day", lo=0.0, hi=500.0, n_bins=20
+        ),
+        "t_win_hist",
+    )
+    got = {
+        (r.window_start_us, r.bin): r.cnt
+        for r in spark.table("t_win_hist").collect()
+    }
+    assert got == batch
+    # and the per-day cells feed histogram_drift directly: two days of the
+    # fixture have nonzero drift but share the bin space
+    days = sorted({k[0] for k in batch})
+    assert len(days) >= 2
