@@ -97,3 +97,42 @@ def test_split_bounds_proportional(frac):
         return
     a_hi = bounds[0][1]
     assert abs(a_hi / _HASH_SPACE - frac) < 1e-9  # bound placed at the weight
+
+
+# ---------------------------------------------------------------------------
+# round-4 pure functions: bloom sizing, PQ training
+# ---------------------------------------------------------------------------
+
+from rclip_server_spark.operators.sketches import bloom_params
+
+
+@given(st.integers(min_value=1, max_value=10**9),
+       st.floats(min_value=1e-6, max_value=0.5))
+@settings(max_examples=200, deadline=None)
+def test_bloom_params_wellformed(n, fpp):
+    m, k = bloom_params(n, fpp)
+    assert m > 0 and m % 64 == 0     # whole bitmap words
+    assert 1 <= k <= 64              # sane hash count at any (n, fpp)
+    assert m >= n * 1.44 * math.log2(1 / fpp) * 0.9  # near the textbook bound
+
+
+@given(st.integers(min_value=1, max_value=10**6))
+@settings(max_examples=100, deadline=None)
+def test_bloom_params_monotone_in_fpp(n):
+    m_tight, _ = bloom_params(n, 0.001)
+    m_loose, _ = bloom_params(n, 0.05)
+    assert m_tight >= m_loose        # stricter fpp never shrinks the filter
+
+
+@given(st.integers(min_value=0, max_value=2**31), st.integers(min_value=16, max_value=64))
+@settings(max_examples=25, deadline=None)
+def test_pq_train_deterministic_and_wellformed(seed, n):
+    from rclip_server_spark.operators.ann import pq_train
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, 8))
+    a = pq_train(X, m_sub=4, k_cent=8, iters=3, seed=7)
+    b = pq_train(X, m_sub=4, k_cent=8, iters=3, seed=7)
+    np.testing.assert_array_equal(a, b)          # seeded determinism
+    assert a.shape == (4, min(8, n), 2)          # (m_sub, k_cent<=n, dsub)
+    assert np.isfinite(a).all()
