@@ -192,3 +192,33 @@ def test_recall_ivf_pq_full_probes_is_rerank_tier(emb01, exact_top10, ivf_pq_art
         exact_top10,
     )
     assert np.mean(r) >= 0.9 and min(r) >= 0.8, r
+
+
+def test_ivf_pq_partition_pruned_at_rest(spark, emb01, ivf_pq_artifacts, tmp_path):
+    """IVF-PQ index written partitioned by ivf_cell: a probe query's scan
+    must carry PartitionFilters on the cell column (planning-time directory
+    pruning — non-probed cells are never listed), and results must equal
+    the in-memory path."""
+    cents, books, idx = ivf_pq_artifacts
+    path = str(tmp_path / "ivfpq_index")
+    idx.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    at_rest = spark.read.parquet(path)
+
+    q = E.embed_text("zebra")
+    got = [(r.vec_id, r.score)
+           for r in ann.ivf_pq_topk(at_rest, q, cents, books, k=K,
+                                    n_probe=4, shortlist=200).collect()]
+    want = [(r.vec_id, r.score)
+            for r in ann.ivf_pq_topk(idx, q, cents, books, k=K,
+                                     n_probe=4, shortlist=200).collect()]
+    assert got == want
+
+    C = np.asarray(cents, dtype=np.float64)
+    probes = set(np.argsort(-(C @ np.asarray(q)))[:4].tolist())
+    pruned = at_rest.where(
+        ann.F.col("ivf_cell").isin([int(i) for i in probes])
+    )
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "ivf_cell" in plan

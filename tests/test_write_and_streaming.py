@@ -1121,3 +1121,28 @@ def test_streaming_windowed_histogram_equals_batch(spark, events, events_stream_
     # fixture have nonzero drift but share the bin space
     days = sorted({k[0] for k in batch})
     assert len(days) >= 2
+
+
+def test_drift_between_versioned_snapshots(spark, tmp_path, documents):
+    """Composition story: ingest mutates a versioned table, then the drift
+    report compares two SNAPSHOTS of it — time travel supplies both sides
+    from one table path, no copies kept by hand."""
+    from rclip_server_spark.operators import sketches
+    from rclip_server_spark.sources import versioned as V
+
+    t = str(tmp_path / "corpus_v")
+    base = documents.select("doc_id", F.length("text").cast("double").alias("v"))
+    V.create(spark, t, base)
+    # v2: append a burst of short documents (a distribution shift)
+    burst = spark.createDataFrame(
+        [(10_000 + i, 5.0) for i in range(200)], "doc_id bigint, v double"
+    )
+    V.append(spark, t, burst)
+
+    rep = sketches.histogram_drift(
+        V.read(spark, t, 1), V.read(spark, t, 2), "v", 0.0, 1000.0, 32
+    ).collect()
+    assert rep and 0.0 < rep[0].tv_distance < 1.0
+    # the shift direction is visible: the lowest bin gained exactly the burst
+    low = {r.bin: (r.cnt_old, r.cnt_new) for r in rep}[0]
+    assert low[1] == low[0] + 200
