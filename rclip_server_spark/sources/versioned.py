@@ -201,6 +201,24 @@ def append_exactly_once(
     return v + 1
 
 
+def upsert_with_retry(
+    spark: SparkSession, path: str, updates: DataFrame, key: str,
+    max_retries: int = 3,
+) -> int:
+    """MERGE with the standard optimistic-concurrency loop: on a
+    write-write conflict, re-read the NEW head, re-apply the merge, and
+    retry — each attempt merges against the latest committed state, so the
+    loser's update is re-based, never lost or double-applied (the Delta
+    commit-retry protocol). Raises after ``max_retries`` rebases."""
+    for attempt in range(max_retries + 1):
+        try:
+            return upsert(spark, path, updates, key)
+        except ConcurrentWriteError:
+            if attempt == max_retries:
+                raise
+    raise AssertionError("unreachable")
+
+
 def history(path: str) -> list[dict]:
     """The commit log, oldest first: version, op, parent, segment count."""
     out = []

@@ -1146,3 +1146,32 @@ def test_drift_between_versioned_snapshots(spark, tmp_path, documents):
     # the shift direction is visible: the lowest bin gained exactly the burst
     low = {r.bin: (r.cnt_old, r.cnt_new) for r in rep}[0]
     assert low[1] == low[0] + 200
+
+
+def test_versioned_upsert_retry_rebases_on_conflict(spark, tmp_path, monkeypatch):
+    """The optimistic-concurrency retry loop: a competing writer steals the
+    version between our read and commit; the retry must RE-BASE (merge
+    against the competitor's state), landing both writers' changes."""
+    from rclip_server_spark.sources import versioned as V
+
+    t = str(tmp_path / "v")
+    V.create(spark, t, spark.createDataFrame([(1, "a"), (2, "b")], ["id", "val"]))
+
+    competitor = spark.createDataFrame([(3, "c")], ["id", "val"])
+    fired = {"done": False}
+    orig_commit = V._commit
+
+    def racing_commit(path, version, segments, op, batch_id=None):
+        if not fired["done"] and op == "upsert":
+            fired["done"] = True
+            # the competitor appends FIRST, taking this version number
+            V.append(spark, path, competitor)
+        return orig_commit(path, version, segments, op, batch_id)
+
+    monkeypatch.setattr(V, "_commit", racing_commit)
+    v = V.upsert_with_retry(
+        spark, t, spark.createDataFrame([(2, "B")], ["id", "val"]), "id"
+    )
+    assert v == 3  # create=1, competitor append=2, rebased upsert=3
+    got = sorted(map(tuple, V.read(spark, t).collect()))
+    assert got == [(1, "a"), (2, "B"), (3, "c")]  # BOTH writers' changes
