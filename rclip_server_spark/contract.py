@@ -4035,6 +4035,49 @@ _register(
 )
 
 
+def _lsh_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-table approximate k-NN join (operators/ann.lsh_knn_join):
+    per-left-row top-5 right rows among multiprobe LSH candidates, neither
+    side broadcast. Split the embeddings table into disjoint halves as the
+    two corpora."""
+    from .operators import ann as A
+
+    emb = _t(spark, sf, "embeddings")
+    left = emb.where(F.col("vec_id") < 200)
+    right = emb.where(F.col("vec_id") >= 200)
+    return A.lsh_knn_join(left, right, k=5, n_planes=6, n_probe_bits=1,
+                          dim=EMB_DIM)
+
+
+_register(
+    "ann_lsh_knn_join",
+    _lsh_knn_join,
+    f"""
+    WITH l AS (
+      SELECT vec_id AS id_a, embedding AS va,
+             {bucket_sql('embedding', PLANES6)} AS b0
+      FROM embeddings WHERE vec_id < 200),
+    lp AS (
+      SELECT id_a, va, CAST(xor(b0, m) AS BIGINT) AS bucket
+      FROM l CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS m)),
+    r AS (
+      SELECT vec_id AS id_b, embedding AS vb,
+             {bucket_sql('embedding', PLANES6)} AS bucket
+      FROM embeddings WHERE vec_id >= 200),
+    c AS (
+      SELECT id_a, id_b, {dot2_sql('va', 'vb')} AS cosine
+      FROM lp JOIN r USING (bucket)),
+    ranked AS (
+      SELECT id_a, id_b, cosine,
+             row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b)
+               AS rnk
+      FROM c)
+    SELECT id_a, id_b, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+
+
 def _ev_windowed_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """Per-day value-distribution monitor (streaming/windows
     .windowed_value_histogram): tumbling window() x histogram bin — the

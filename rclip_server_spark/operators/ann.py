@@ -1015,3 +1015,73 @@ def ivf_pq_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def lsh_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    n_probe_bits: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate k-NN JOIN when NEITHER side broadcasts: for every left
+    row, its k highest-cosine right rows among LSH candidates. Completes
+    the similarity-join matrix — ``brute_force_topk_multi`` is exact for a
+    broadcastable query side, ``lsh_similarity_join`` finds threshold
+    PAIRS; this is per-left-row TOP-K at two-large-tables scale (align a
+    query corpus with a document corpus, mine bitext, attach nearest
+    neighbors for contrastive batches).
+
+    Plan: both sides bucket by the same literal hyperplanes; the LEFT side
+    explodes its multiprobe set (own bucket + every bucket within
+    ``n_probe_bits`` bit-flips — the same recall lever as
+    lsh_topk_multiprobe, and a right row occupies exactly ONE bucket, so a
+    pair can match only once: no dedup exchange); one equi-join on the
+    bucket; a per-left-row window takes top-k of the candidates. Shuffles:
+    the bucket join + the id_a window — candidate volume per left row is
+    (probes/2^n_planes)·|right| in expectation, and at rest both sides
+    write bucketed so the join is partition-co-located. For extreme
+    right-side skew add a partial top-k pre-pass (ann.partition_partial_
+    topk's shape) before the window. Deterministic: literal planes, total
+    order (cosine DESC, id_b ASC) — and therefore oracle-checkable."""
+    if dim is None:
+        probe = left.select(F.size(vec_col)).first()
+        if probe is None or probe[0] is None:
+            raise ValueError("cannot infer dim from an empty left side; pass dim=")
+        dim = int(probe[0])
+    planes = hyperplanes(n_planes, dim, seed)
+    masks = [0]
+    if n_probe_bits >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if n_probe_bits >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes) for j in range(i + 1, n_planes)
+        ]
+    l = left.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.explode(
+            F.array(*[
+                hyperplane_bucket_col(F.col(vec_col), planes)
+                .bitwiseXOR(F.lit(m)) for m in masks
+            ])
+        ).alias("bucket"),
+    )
+    r = right.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        hyperplane_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        l.join(r, "bucket")
+        .withColumn("cosine", V.dot("va", "vb"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("id_a", "id_b", F.col("cosine"), F.col("rnk").cast("long").alias("rnk"))
+    )

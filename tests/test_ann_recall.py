@@ -222,3 +222,37 @@ def test_ivf_pq_partition_pruned_at_rest(spark, emb01, ivf_pq_artifacts, tmp_pat
         pruned._jdf.queryExecution(), "formatted"
     )
     assert "PartitionFilters" in plan and "ivf_cell" in plan
+
+
+def test_lsh_knn_join_recall_and_invariants(spark, emb01):
+    """Cross-table k-NN join: per-left-row top-5 against exact truth from
+    the broadcast path (brute_force_topk_multi), plus structural
+    invariants — at most k unique neighbors per left row, ranks 1..k."""
+    from pyspark.sql import functions as F
+
+    left = emb01.where(F.col("vec_id") < 100)
+    right = emb01.where(F.col("vec_id") >= 100)
+    got = ann.lsh_knn_join(left, right, k=5, n_planes=4, n_probe_bits=2,
+                           dim=64).collect()
+
+    by_left = {}
+    for r in got:
+        by_left.setdefault(r.id_a, []).append(r)
+    assert all(len(v) <= 5 for v in by_left.values())
+    for v in by_left.values():
+        assert sorted(x.rnk for x in v) == list(range(1, len(v) + 1))
+        assert len({x.id_b for x in v}) == len(v)  # one match per pair
+
+    queries = left.select(F.col("vec_id").alias("query_id"),
+                          F.col("embedding").alias("query_vec"))
+    exact = ann.brute_force_topk_multi(right, queries, k=5).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len({x.id_b for x in by_left.get(q, [])} & t) / len(t)
+        for q, t in truth.items()
+    ]
+    # near-uniform sphere fixture = the adversarial case for bucket tiers;
+    # 2-bit multiprobe at 4 planes scans ~11/16 of buckets
+    assert np.mean(recalls) >= 0.55, np.mean(recalls)
