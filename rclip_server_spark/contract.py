@@ -4035,6 +4035,38 @@ _register(
 )
 
 
+def _ev_half_life_popularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Recency-weighted popularity per event_type with power-of-two decay
+    (operators/events.half_life_popularity): integer-exact, reorder-free,
+    mergeable across shards at the same reference time."""
+    _utc(spark)
+    return EV.half_life_popularity(
+        _t(spark, sf, "events"), key_col="event_type", half_life_hours=168
+    )
+
+
+_register(
+    "ev_half_life_popularity",
+    _ev_half_life_popularity,
+    """
+    WITH m AS (SELECT max(epoch_us(ts)) AS corpus_max_us FROM events),
+    aged AS (
+      SELECT event_type,
+             least(30, (corpus_max_us - epoch_us(ts)) // 604800000000)
+               AS bucket
+      FROM events, m),
+    s AS (
+      SELECT event_type,
+             CAST(sum(CAST(1 AS BIGINT) << CAST(30 - bucket AS INT))
+                  AS BIGINT) AS score_scaled
+      FROM aged GROUP BY 1)
+    SELECT event_type, score_scaled,
+           CAST(score_scaled AS DOUBLE) / 1073741824.0 AS score_half_lives
+    FROM s
+    """,
+)
+
+
 def _lsh_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-table approximate k-NN join (operators/ann.lsh_knn_join):
     per-left-row top-5 right rows among multiprobe LSH candidates, neither

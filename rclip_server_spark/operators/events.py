@@ -239,3 +239,52 @@ def event_transitions(
         .groupBy("prev_type", F.col(type_col).alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def half_life_popularity(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    half_life_hours: int = 24,
+    max_buckets: int = 30,
+) -> DataFrame:
+    """Recency-weighted popularity with EXACT integer arithmetic: each
+    event's weight is 2^-(age in half-lives), with age bucketed by integer
+    division — so instead of the usual exp(-λΔt) float (transcendental,
+    engine/order-dependent), the score is a sum of power-of-two integers:
+    ``score_scaled = Σ 1 << (max_buckets - min(bucket, max_buckets))``,
+    a reorder-free BIGINT with ``score = score_scaled / 2^max_buckets``
+    in exact half-life units. This is the trending/recency-ranking
+    primitive ("what's hot, with yesterday counting half") that stays
+    bit-identical across engines, partitionings, and reruns — and
+    mergeable across shards AT THE SAME reference time by plain addition.
+
+    One map-side-combining hash-agg on the key plus a broadcast of the
+    single corpus-max row (the deterministic "now" — order-free, like
+    rfm_features). Ages ≥ max_buckets half-lives contribute the minimum
+    weight 1 rather than vanishing, keeping the scale bounded in int64:
+    score_scaled < n_events · 2^max_buckets, safe for 2^33 events at the
+    default 30."""
+    us = F.unix_micros(F.col(ts_col))
+    hl_us = int(half_life_hours) * 3_600_000_000
+    corpus_max = events.agg(F.max(us).alias("corpus_max_us"))
+    aged = events.crossJoin(F.broadcast(corpus_max)).select(
+        F.col(key_col),
+        F.least(
+            F.lit(max_buckets).cast("long"),
+            F.expr(f"(corpus_max_us - unix_micros({ts_col})) DIV {hl_us}"),
+        ).alias("bucket"),
+    )
+    w = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({max_buckets} - bucket AS INT))"
+    )
+    return (
+        aged.groupBy(key_col)
+        .agg(F.sum(w).alias("score_scaled"))
+        .select(
+            key_col,
+            "score_scaled",
+            (F.col("score_scaled").cast("double") / F.lit(float(1 << max_buckets)))
+            .alias("score_half_lives"),
+        )
+    )

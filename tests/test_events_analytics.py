@@ -342,3 +342,52 @@ def test_hll_union_estimate_accuracy(spark, events):
     est = sketches.hll_union_estimate(sk).first()[0]
     exact = events.select("user_id").distinct().count()
     assert abs(est - exact) / exact <= 0.05
+
+
+class TestHalfLifePopularity:
+    def test_hand_computed_decay(self, spark):
+        """Three events for one key at ages 0, 1, and 2 half-lives: weights
+        1, 1/2, 1/4 -> 1.75 half-life units, scaled 1.75 * 2^30 exactly."""
+        from rclip_server_spark.operators import events as EV
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        rows = [
+            (1, "a", "2024-01-03 00:00:00"),
+            (2, "a", "2024-01-02 00:00:00"),
+            (3, "a", "2024-01-01 00:00:00"),
+            (4, "b", "2024-01-03 00:00:00"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts_s string"
+        ).select("event_id", "event_type", F.to_timestamp("ts_s").alias("ts"))
+        got = {r.event_type: (r.score_scaled, r.score_half_lives)
+               for r in EV.half_life_popularity(df, half_life_hours=24).collect()}
+        assert got["a"] == ((1 << 30) + (1 << 29) + (1 << 28), 1.75)
+        assert got["b"] == (1 << 30, 1.0)
+
+    def test_shard_merge_equals_global(self, spark, events):
+        """Per-shard scores at the SAME reference time sum to the global
+        score (mergeability) — computed by fixing corpus max across shards."""
+        from rclip_server_spark.operators import events as EV
+
+        full = {r.event_type: r.score_scaled
+                for r in EV.half_life_popularity(events, half_life_hours=168).collect()}
+        # shard by user parity; anchor both shards to the GLOBAL max ts by
+        # including the max-ts row in each shard (weight duplication avoided
+        # by subtracting it once)
+        max_ts = events.agg(F.max("ts")).first()[0]
+        anchor = events.where(F.col("ts") == max_ts).limit(1)
+        s0 = events.where(F.col("user_id") % 2 == 0)
+        s1 = events.where(F.col("user_id") % 2 == 1)
+        def score(df):
+            return {r.event_type: r.score_scaled
+                    for r in EV.half_life_popularity(
+                        df.unionByName(anchor), half_life_hours=168
+                    ).collect()}
+        a, b = score(s0), score(s1)
+        anchor_key = anchor.select("event_type").first()[0]
+        merged = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
+        # the union added the anchor row to BOTH shards on top of the rows
+        # the global run already counts — remove the two extra copies
+        merged[anchor_key] -= 2 * (1 << 30)
+        assert merged == full
