@@ -4035,6 +4035,53 @@ _register(
 )
 
 
+def _hist_quantiles_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language text-length quantiles from per-language histogram
+    sketches (operators/sketches.histogram_quantiles_by_group) — windows
+    run over (langs x bins) sketch rows, never the corpus."""
+    from .operators import sketches
+
+    docs = _t(spark, sf, "documents").select(
+        "lang", F.length("text").cast("double").alias("v")
+    )
+    hist = sketches.histogram_build(docs, "v", 0.0, 1000.0, 32,
+                                    shard_cols=["lang"])
+    return sketches.histogram_quantiles_by_group(
+        hist, [0.5, 0.9], 0.0, 1000.0, 32, group_cols=["lang"]
+    )
+
+
+_register(
+    "sketch_histogram_quantiles_by_lang",
+    _hist_quantiles_by_lang,
+    """
+    WITH h AS (
+      SELECT lang,
+             CAST(least(31, greatest(0, CAST(floor(
+               ((CAST(length(text) AS DOUBLE) - 0.0) * 32.0) / 1000.0
+             ) AS INT))) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM documents WHERE length(text) IS NOT NULL GROUP BY 1, 2),
+    c AS (
+      SELECT lang, bin, cnt,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY lang) AS n
+      FROM h),
+    p AS (
+      SELECT lang, q, bin, cnt, cum, n,
+             row_number() OVER (PARTITION BY lang, q ORDER BY bin) AS rn
+      FROM c CROSS JOIN (SELECT unnest([0.5, 0.9]) AS q)
+      WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE))
+    SELECT lang, q,
+           0.0 + CAST(bin AS DOUBLE) * 31.25
+               + ((q * CAST(n AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+                  / CAST(cnt AS DOUBLE)) * 31.25 AS est
+    FROM p WHERE rn = 1
+    """,
+)
+
+
 def _ev_half_life_popularity(spark: SparkSession, sf: str) -> DataFrame:
     """Recency-weighted popularity per event_type with power-of-two decay
     (operators/events.half_life_popularity): integer-exact, reorder-free,

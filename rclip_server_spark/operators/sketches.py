@@ -388,3 +388,57 @@ def histogram_drift(
         tv_num.alias("tv_num"), tv_den.alias("tv_den"),
         (tv_num.cast("double") / tv_den.cast("double")).alias("tv_distance"),
     )
+
+
+def histogram_quantiles_by_group(
+    hist: DataFrame, qs: list[float], lo: float, hi: float,
+    n_bins: int = 64, group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group..., q, est): ``histogram_quantiles`` independently per group —
+    the scalable "p95 per endpoint / length quantiles per language" shape.
+    Input is a per-group histogram (``histogram_build(..., shard_cols=
+    group_cols)``), so the windows run over (groups x n_bins) sketch rows,
+    never the data; one hash exchange on the group columns. Same
+    fixed-order interpolation over exact integer counts as the global
+    form — bit-deterministic cross-engine."""
+    groups = list(group_cols or [])
+    width = (float(hi) - float(lo)) / float(n_bins)
+    wcum = Window.partitionBy(*groups).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy(*groups).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        *groups, "bin", "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    probe = cum.crossJoin(
+        F.broadcast(
+            hist.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+        )
+    )
+    hit = (
+        probe.where(
+            F.col("cum").cast("double") >= F.col("q") * F.col("n").cast("double")
+        )
+        .groupBy(*groups, "q")
+        .agg(
+            F.min(F.struct("bin", "cnt", "cum")).alias("s"),
+            F.first("n").alias("n"),
+        )
+        .select(*groups, "q", F.col("s.bin").alias("bin"),
+                F.col("s.cnt").alias("cnt"), F.col("s.cum").alias("cum"), "n")
+    )
+    est = (
+        F.lit(float(lo))
+        + F.col("bin").cast("double") * F.lit(width)
+        + (
+            (F.col("q") * F.col("n").cast("double")
+             - (F.col("cum") - F.col("cnt")).cast("double"))
+            / F.col("cnt").cast("double")
+        )
+        * F.lit(width)
+    )
+    return hit.select(*groups, "q", est.alias("est"))

@@ -704,3 +704,28 @@ class TestHistogramDrift:
         )
         assert abs(rows[0].tv_distance - want) < 1e-9
         assert 0.0 < rows[0].tv_distance < 1.0
+
+
+def test_histogram_quantiles_by_group_matches_global_per_slice(spark, documents):
+    """Per-group quantiles must equal the GLOBAL quantile function run on
+    each group's slice independently (same bins, same interpolation)."""
+    from rclip_server_spark.operators import sketches
+
+    docs = documents.select("lang", F.length("text").cast("double").alias("v"))
+    hist = sketches.histogram_build(docs, "v", 0.0, 1000.0, 32,
+                                    shard_cols=["lang"])
+    got = {
+        (r.lang, r.q): r.est
+        for r in sketches.histogram_quantiles_by_group(
+            hist, [0.25, 0.5, 0.9], 0.0, 1000.0, 32, group_cols=["lang"]
+        ).collect()
+    }
+    want = {}
+    for (lang,) in docs.select("lang").distinct().collect():
+        sub = sketches.histogram_build(
+            docs.where(F.col("lang") == lang), "v", 0.0, 1000.0, 32)
+        for r in sketches.histogram_quantiles(
+            sub, [0.25, 0.5, 0.9], 0.0, 1000.0, 32
+        ).collect():
+            want[(lang, r.q)] = r.est
+    assert got == want
