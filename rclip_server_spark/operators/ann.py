@@ -1027,6 +1027,7 @@ def lsh_knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_expected_candidates: int | None = 50_000_000,
 ) -> DataFrame:
     """Approximate k-NN JOIN when NEITHER side broadcasts: for every left
     row, its k highest-cosine right rows among LSH candidates. Completes
@@ -1047,7 +1048,13 @@ def lsh_knn_join(
     write bucketed so the join is partition-co-located. For extreme
     right-side skew add a partial top-k pre-pass (ann.partition_partial_
     topk's shape) before the window. Deterministic: literal planes, total
-    order (cosine DESC, id_b ASC) — and therefore oracle-checkable."""
+    order (cosine DESC, id_b ASC) — and therefore oracle-checkable.
+
+    Scale guard: expected candidates ≈ |L|·|R|·probes/2^n_planes — size
+    ``n_planes`` to the RIGHT side (2^n_planes ∝ |right| / desired bucket
+    occupancy) or the join degenerates toward all-pairs. The guard below
+    estimates that product from two cheap counts and raises loudly past
+    ``max_expected_candidates`` (pass None to override deliberately)."""
     if dim is None:
         probe = left.select(F.size(vec_col)).first()
         if probe is None or probe[0] is None:
@@ -1062,6 +1069,18 @@ def lsh_knn_join(
             (1 << i) | (1 << j)
             for i in range(n_planes) for j in range(i + 1, n_planes)
         ]
+    if max_expected_candidates is not None:
+        from .dedup import ScaleGuardError
+
+        expected = left.count() * right.count() * len(masks) / (1 << n_planes)
+        if expected > max_expected_candidates:
+            raise ScaleGuardError(
+                f"lsh_knn_join expects ~{expected:.2e} candidate pairs "
+                f"(|L|*|R|*{len(masks)}/2^{n_planes}) > "
+                f"{max_expected_candidates:.0e}; raise n_planes so "
+                f"2^n_planes tracks |right|, lower n_probe_bits, or pass "
+                f"max_expected_candidates=None to override deliberately."
+            )
     l = left.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),

@@ -256,3 +256,14 @@ def test_lsh_knn_join_recall_and_invariants(spark, emb01):
     # near-uniform sphere fixture = the adversarial case for bucket tiers;
     # 2-bit multiprobe at 4 planes scans ~11/16 of buckets
     assert np.mean(recalls) >= 0.55, np.mean(recalls)
+
+
+def test_lsh_knn_join_scale_guard(spark, emb01):
+    from pyspark.sql import functions as F
+
+    from rclip_server_spark.operators.dedup import ScaleGuardError
+
+    left = emb01.where(F.col("vec_id") < 1000)
+    with pytest.raises(ScaleGuardError):
+        ann.lsh_knn_join(left, emb01, k=5, n_planes=2, n_probe_bits=2,
+                         dim=64, max_expected_candidates=1000)
