@@ -1395,30 +1395,21 @@ _register("d1_embed_documents_distributed", _d1_embed, None)
 # listed follows in source-registration order and stays locally verified by
 # tools/check_contract.py.
 _PRIORITY = [
-    # The driver verifies the FIRST 50 registered rows each round. Round-4
+    # The driver verifies the FIRST 50 registered rows each round. Round-5
     # rotation: the 20 §2-mapped rows stay (the judge reads them against
-    # SURVEY §2 every round); the other 30 slots hold rows that have never
-    # had a driver-green cell — every r2/r3-green §F row rotated out is
-    # still replayed locally by tools/check_contract.py, so cumulative
+    # SURVEY §2 every round); the other 30 slots hold oracle rows that have
+    # never had a driver-green cell. Every previously-green row rotated out
+    # is still replayed locally by tools/check_contract.py, so cumulative
     # driver-verified coverage grows without losing local proof.
-    # Round-5 rotation backlog (oracle rows still never driver-verified,
-    # 35 as of r4 — two more rotations cover everything): rel_scalar/date/
-    # json functions, ev_sliding_12h, ev_first_event_per_key,
-    # text_tfidf_top_terms, rel_join_sortmerge_agg, rel_salted_skew_agg,
-    # rel_outer_join, text_bm25_scores, samp_hash_mod,
-    # samp_training_shuffle, text_cluster_topics, ev_enriched_nation_counts,
-    # text_length_outlier_trim, rel_pivot_event_counts,
-    # text_repetition_filter, text_url_canonicalize, text_token_topk,
-    # text_source_stats, text_strip_dup_spans, ev_transition_matrix,
-    # rel_incremental_agg_merge, rel_zorder_key, text_ngram_repetition,
-    # rel_fk_violations, rel_unpivot_metrics, rel_nullsafe_join,
-    # ev_zscore_outliers, rel_window_ntile, sql_scalar_subquery,
-    # ev_asof_tolerance, ev_time_bucket_rollup, ev_dedup_bucket_stream_twin
-    # (+ ann_hyperplane_near_dup_multiset — threshold lowered to 0.4 in r4
-    # so it yields 11 rows at sf0.01; rotation-eligible now; and the five
-    # late-r4 oracle additions samp_weighted_fixed_k,
-    # samp_weighted_per_class_k, rel_bloom_pruned_anti_join,
-    # sketch_histogram_quantiles, sketch_histogram_drift).
+    # Cumulative driver-verified distinct rows after r4: 111 of 171
+    # registered (152 oracle + 19 rows-only). Round-6 rotation backlog
+    # (oracle rows still never driver-verified after this window — 14,
+    # one final rotation covers everything): ann_hyperplane_near_dup_multiset,
+    # text_length_outlier_trim, text_source_stats, text_strip_dup_spans,
+    # text_ngram_repetition, samp_weighted_per_class_k, sketch_histogram_drift,
+    # sketch_histogram_quantiles_by_lang, ev_windowed_value_histogram,
+    # rel_window_ntile, sql_scalar_subquery, ev_asof_tolerance,
+    # ev_time_bucket_rollup, ev_dedup_bucket_stream_twin.
     # §2 A-family (vector/similarity)
     "a1_a2_flagship_topk", "a2_topk_k50", "a4_l2_normalize",
     "a6_point_lookup", "a7_feature_minmax", "a8_minmax_normalize",
@@ -1429,34 +1420,28 @@ _PRIORITY = [
     "b3_lowercase_predicate", "b4_exact_dup_groups", "b4_exact_dedup_mark",
     "b10_table_counts", "b13_b14_url_ops", "b15_regex_predicates",
     "rel_anti_join_b8", "d1_embed_documents_distributed",
-    # r3's one red cell, now flattened to driver-hashable output — kept in
-    # the window so CORRECTNESS_r04 records the green
-    "text_pack_sequences",
-    # events: banded/gap/asof/windowed-dedup (never driver-verified)
-    "ev_band_join_pairs", "ev_gap_sessionize", "ev_asof_attribution",
-    "ev_dedup_within_window",
-    # sampling: fixed-k, leakage report, per-class caps
-    "samp_fixed_k", "samp_split_leakage", "samp_per_class_cap",
-    # dedup: containment (excerpt catcher) + simhash
-    "dedup_containment", "dedup_simhash_near_dup",
-    # ANN: IVF outliers, multi-query GEMM top-k (the r3 partial-top-k fix).
-    # (ann_hyperplane_near_dup_multiset was considered but returns 0 rows at
-    # the driver's sf0.01 — a trivially-green cell proves nothing)
-    "ann_ivf_outliers", "ann_multi_query_topk_gemm", "ev_rfm_features",
-    # relational breadth: fuzzy join, grouping sets, salted skew join,
-    # percentiles, feature correlation, array/map exprs (flattened r4)
-    "rel_fuzzy_string_join", "rel_grouping_sets", "rel_salted_skew_join",
-    "rel_percentile_by_group", "rel_feature_corr", "rel_array_map_functions",
-    # SQL surface: correlated EXISTS + TPC-H classics
-    "sql_exists_correlated", "sql_q3_shipping_priority",
-    "sql_q6_forecast_revenue", "sql_q14_promo_share",
-    # text pipeline: chunking, TF-IDF, contamination, quality classifier
-    "text_chunk_documents", "text_tfidf", "text_ngram_contamination",
-    "text_quality_classifier",
-    # training-corpus: contrastive triplets
-    "corpus_contrastive_triplets",
-    # vector quantization round-trip + CMS sketch table
-    "vec_quantize_int8_roundtrip", "sketch_cms_table",
+    # scalar/date/json function library (§F coverage, never driver-verified)
+    "rel_scalar_functions", "rel_date_functions", "rel_json_extract",
+    # event-time windows + per-key firsts + enrichment + transitions
+    "ev_sliding_12h", "ev_first_event_per_key", "ev_enriched_nation_counts",
+    "ev_transition_matrix", "ev_zscore_outliers",
+    # retrieval: BM25 scores, TF-IDF top terms, topic clusters, token top-k
+    "text_bm25_scores", "text_tfidf_top_terms", "text_cluster_topics",
+    "text_token_topk",
+    # text cleaning: repetition filter + URL canonicalization
+    "text_repetition_filter", "text_url_canonicalize",
+    # relational breadth: sort-merge agg, salted skew agg, outer join,
+    # pivot, incremental agg merge, z-order key, FK violations, unpivot,
+    # null-safe join
+    "rel_join_sortmerge_agg", "rel_salted_skew_agg", "rel_outer_join",
+    "rel_pivot_event_counts", "rel_incremental_agg_merge", "rel_zorder_key",
+    "rel_fk_violations", "rel_unpivot_metrics", "rel_nullsafe_join",
+    # sampling: hash-mod + training shuffle + priority (exactly-k weighted)
+    "samp_hash_mod", "samp_training_shuffle", "samp_weighted_fixed_k",
+    # r4 additions: Bloom-pruned anti-join, mergeable histogram quantiles,
+    # half-life popularity, cross-table LSH k-NN join
+    "rel_bloom_pruned_anti_join", "sketch_histogram_quantiles",
+    "ev_half_life_popularity", "ann_lsh_knn_join",
 ]
 
 
@@ -4096,12 +4081,13 @@ _register(
     "ev_half_life_popularity",
     _ev_half_life_popularity,
     """
-    WITH m AS (SELECT max(epoch_us(ts)) AS corpus_max_us FROM events),
+    WITH e AS (SELECT * FROM events WHERE ts IS NOT NULL),
+    m AS (SELECT max(epoch_us(ts)) AS corpus_max_us FROM e),
     aged AS (
       SELECT event_type,
              least(30, (corpus_max_us - epoch_us(ts)) // 604800000000)
                AS bucket
-      FROM events, m),
+      FROM e, m),
     s AS (
       SELECT event_type,
              CAST(sum(CAST(1 AS BIGINT) << CAST(30 - bucket AS INT))
@@ -4198,7 +4184,7 @@ def _pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     import numpy as _np
 
     sample = _np.array(
-        [r.embedding for r in emb.select("embedding").limit(2000).collect()]
+        [r.embedding for r in emb.orderBy("vec_id").limit(2000).select("embedding").collect()]
     )
     books = A.pq_train(sample, m_sub=8, k_cent=64, iters=5, seed=42)
     codes = A.pq_encode(emb, books).join(
@@ -4225,7 +4211,7 @@ def _ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     cents = A.ivf_train_kmeans(emb, k=8)
     sample = _np.array(
-        [r.embedding for r in emb.select("embedding").limit(2000).collect()]
+        [r.embedding for r in emb.orderBy("vec_id").limit(2000).select("embedding").collect()]
     )
     books = A.ivf_pq_train(sample, cents, m_sub=8, k_cent=64, iters=5, seed=42)
     idx = A.ivf_pq_encode(emb, cents, books).join(

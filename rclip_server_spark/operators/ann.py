@@ -869,7 +869,18 @@ def pq_adc_topk(
     the full-precision table — identical two-stage discipline (and plan
     shape: two TakeOrderedAndProject passes + a broadcast semi-join point
     read) as pca_coarse_topk/binary_hamming_topk. Recall is bought by
-    shortlist size; final scores are exact."""
+    shortlist size; final scores are exact.
+
+    The re-rank needs full-precision vectors: pass ``full_df`` (the
+    vectors table, joined on ``id_col``), or ``codes_df`` must itself
+    carry ``vec_col`` alongside the codes (pq_encode output alone holds
+    only (id, codes) — join the embeddings back first)."""
+    if full_df is None and vec_col not in codes_df.columns:
+        raise ValueError(
+            f"pq_adc_topk: exact re-rank needs full-precision vectors — "
+            f"pass full_df, or include {vec_col!r} in codes_df "
+            f"(pq_encode output alone holds only codes)"
+        )
     books = np.ascontiguousarray(codebooks, dtype=np.float64)
     m_sub, kc, dsub = books.shape
     q = np.asarray(query_vec, dtype=np.float64)
@@ -980,7 +991,17 @@ def ivf_pq_topk(
     candidate as q·centroid[cell] + ADC(residual codes) with ONE shared
     (m_sub x k_cent) LUT, shortlist, exact re-rank. Non-probed cells are
     never read; scanned bytes per candidate are the code row, not the
-    vector."""
+    vector.
+
+    As with pq_adc_topk, the exact re-rank needs full-precision vectors:
+    pass ``full_df``, or ``index_df`` must carry ``vec_col`` alongside the
+    (ivf_cell, pq_codes) columns."""
+    if full_df is None and vec_col not in index_df.columns:
+        raise ValueError(
+            f"ivf_pq_topk: exact re-rank needs full-precision vectors — "
+            f"pass full_df, or include {vec_col!r} in index_df "
+            f"(ivf_pq_encode output alone holds only cell + codes)"
+        )
     C = np.ascontiguousarray(centroids, dtype=np.float64)
     books = np.ascontiguousarray(codebooks, dtype=np.float64)
     m_sub, kc, dsub = books.shape
@@ -1028,6 +1049,8 @@ def lsh_knn_join(
     vec_col: str = "embedding",
     dim: int | None = None,
     max_expected_candidates: int | None = 50_000_000,
+    n_left: int | None = None,
+    n_right: int | None = None,
 ) -> DataFrame:
     """Approximate k-NN JOIN when NEITHER side broadcasts: for every left
     row, its k highest-cosine right rows among LSH candidates. Completes
@@ -1052,9 +1075,16 @@ def lsh_knn_join(
 
     Scale guard: expected candidates ≈ |L|·|R|·probes/2^n_planes — size
     ``n_planes`` to the RIGHT side (2^n_planes ∝ |right| / desired bucket
-    occupancy) or the join degenerates toward all-pairs. The guard below
-    estimates that product from two cheap counts and raises loudly past
-    ``max_expected_candidates`` (pass None to override deliberately)."""
+    occupancy) or the join degenerates toward all-pairs. The guard
+    estimates that product and raises loudly past
+    ``max_expected_candidates`` (pass None to override deliberately).
+
+    Laziness: pass ``n_left``/``n_right`` (and ``dim``) when the caller
+    already knows them — e.g. from catalog/file statistics or a persisted
+    upstream — and plan construction triggers ZERO Spark jobs. When absent,
+    the guard falls back to ``count()`` (and a ``first()`` for dim), which
+    RE-EXECUTES both upstream plans — persist the inputs first if they are
+    expensive."""
     if dim is None:
         probe = left.select(F.size(vec_col)).first()
         if probe is None or probe[0] is None:
@@ -1072,7 +1102,9 @@ def lsh_knn_join(
     if max_expected_candidates is not None:
         from .dedup import ScaleGuardError
 
-        expected = left.count() * right.count() * len(masks) / (1 << n_planes)
+        nl = int(n_left) if n_left is not None else left.count()
+        nr = int(n_right) if n_right is not None else right.count()
+        expected = nl * nr * len(masks) / (1 << n_planes)
         if expected > max_expected_candidates:
             raise ScaleGuardError(
                 f"lsh_knn_join expects ~{expected:.2e} candidate pairs "

@@ -263,8 +263,15 @@ def half_life_popularity(
     single corpus-max row (the deterministic "now" — order-free, like
     rfm_features). Ages ≥ max_buckets half-lives contribute the minimum
     weight 1 rather than vanishing, keeping the scale bounded in int64:
-    score_scaled < n_events · 2^max_buckets, safe for 2^33 events at the
-    default 30."""
+    score_scaled < n_events · 2^max_buckets, safe for up to 2^32 events at
+    the default max_buckets=30 (2^32 · 2^30 = 2^62 < 2^63 — the signed-int64
+    ceiling; under ANSI mode an overflow errors rather than wraps).
+
+    NULL timestamps are excluded: an event with no time has no age, so it
+    must not contribute weight (without the filter, Spark's null-skipping
+    ``least`` would silently land NULL-ts rows in the max_buckets bucket
+    at weight 1)."""
+    events = events.where(F.col(ts_col).isNotNull())
     us = F.unix_micros(F.col(ts_col))
     hl_us = int(half_life_hours) * 3_600_000_000
     corpus_max = events.agg(F.max(us).alias("corpus_max_us"))

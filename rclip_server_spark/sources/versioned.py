@@ -13,15 +13,22 @@ module is that idea at its minimum viable size:
     path/
       seg-<uuid>/           immutable parquet segment dirs (never modified)
       _snapshots/v%08d.json manifest: the segment list that IS version n
-      _latest               current-version pointer (atomic rename swap)
+      _latest               head-version CACHE (never read for correctness)
 
 * **Snapshot isolation**: a reader resolves ONE manifest, then reads only
   immutable segments — concurrent commits cannot shear it mid-query
   (the flat layout's swap can unlink files under a running scan).
-* **Optimistic concurrency**: the commit is `O_CREAT | O_EXCL` on the next
-  manifest path — exactly one of two racing writers creates v(n+1); the
-  loser gets ``ConcurrentWriteError`` and must re-merge against the new
-  head (the Delta-log protocol, with the filesystem as the arbiter).
+* **Optimistic concurrency, single commit point**: the manifest JSON is
+  fully written (and fsync'd) to a hidden temp file, then atomically
+  ``os.link``-ed to the v(n+1) path — link fails with EEXIST if the
+  version exists, so exactly one of two racing writers publishes v(n+1)
+  and the loser gets ``ConcurrentWriteError`` (the Delta-log protocol,
+  with the filesystem as the arbiter). The link IS the whole commit:
+  ``current_version`` derives the head from the max manifest present, so
+  a crash at ANY point leaves either a fully committed version or no
+  trace (a temp file, ignored and reap-able) — never a wedged table or a
+  half-written manifest. ``_latest`` is only a best-effort cache for
+  humans inspecting the directory.
 * **Time travel**: ``read(path, version=k)`` — the manifest for k still
   names its segments because vacuum is the only deleter.
 * **Vacuum**: delete segments unreferenced by the kept manifests; the ONLY
@@ -30,17 +37,24 @@ module is that idea at its minimum viable size:
 Scale notes: manifests hold segment names, not row data — KB-sized at any
 table size. ``append`` commits are O(batch) (new segment + manifest listing
 parent segments + it). ``upsert``/overwrite commits rewrite the merged state
-into one new segment — the honest plain-parquet cost (Delta's MERGE rewrites
-only matched files; the bucketed layout in writer.py bounds rewrite that way,
-and the two compose: a production system would version bucket directories).
-A real multi-writer object-store deployment would put the `_latest` swap
-behind a conditional-put; single-filesystem rename is atomic here.
+into one new segment — the honest plain-parquet cost. The BUCKETED
+composition below (``create_bucketed``/``upsert_bucketed``/…) bounds that
+cost the way writer.py's bucketed layout does, while keeping every manifest
+guarantee: the manifest maps bucket id → immutable segment list, an upsert
+rewrites only the touched buckets' segments and commits ONE new manifest
+atomically across all of them — so bucketed tables get snapshot isolation
+during a rewrite, time travel, and OCC, which the raw per-bucket-directory
+swap in writer.py cannot give (its commit boundary is per bucket).
+A real multi-writer object-store deployment would put the manifest-create
+behind a conditional-put; single-filesystem ``os.link`` is the atomic,
+exclusive arbiter here.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -48,6 +62,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _SNAP_DIR = "_snapshots"
 _LATEST = "_latest"
+_MANIFEST_RE = re.compile(r"^v(\d{8})\.json$")
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -59,9 +74,26 @@ def _snap_path(path: str, version: int) -> str:
     return os.path.join(path, _SNAP_DIR, f"v{version:08d}.json")
 
 
+def _manifest_versions(path: str) -> list[int]:
+    """Committed versions, ascending — exactly the well-named manifest
+    files in _snapshots/. Temp files (crash leftovers) never match."""
+    snap_dir = os.path.join(path, _SNAP_DIR)
+    out = []
+    for name in os.listdir(snap_dir):
+        m = _MANIFEST_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
 def current_version(path: str) -> int:
-    with open(os.path.join(path, _LATEST)) as f:
-        return int(f.read().strip())
+    """The committed head = the max manifest PRESENT. Publishing the
+    manifest is the single commit point, so this is correct after a crash
+    at any step — `_latest` is only a cache and is never consulted."""
+    versions = _manifest_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    return versions[-1]
 
 
 def _manifest(path: str, version: int) -> dict:
@@ -76,26 +108,43 @@ def _write_segment(df: DataFrame, path: str) -> str:
 
 
 def _commit(path: str, version: int, segments: list[str], op: str,
-            batch_id: int | None = None) -> None:
-    """Atomic commit: O_CREAT|O_EXCL manifest create (the concurrency
-    arbiter), then the `_latest` pointer swap (atomic rename)."""
+            batch_id: int | None = None, extra: dict | None = None) -> None:
+    """Single-point atomic commit: the manifest JSON is fully written and
+    fsync'd to a hidden temp file, then ``os.link``-ed to the versioned
+    path — link is atomic AND exclusive (EEXIST when the version is
+    already taken), so publication and arbitration are ONE filesystem
+    operation. A crash before the link leaves only an ignorable temp
+    file; a crash after it leaves a fully committed version. The
+    `_latest` cache update afterwards is best-effort and carries no
+    correctness weight."""
     manifest = {"version": version, "segments": segments, "op": op,
                 "parent": version - 1 if version > 1 else None}
     if batch_id is not None:
         manifest["batch_id"] = int(batch_id)
+    if extra:
+        manifest.update(extra)
     target = _snap_path(path, version)
+    snap_dir = os.path.join(path, _SNAP_DIR)
+    tmp = os.path.join(snap_dir, f".tmp-{uuid.uuid4().hex[:12]}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, target)
     except FileExistsError:
+        os.remove(tmp)
         raise ConcurrentWriteError(
             f"version {version} already committed at {target}"
         ) from None
-    with os.fdopen(fd, "w") as f:
-        json.dump(manifest, f)
-    tmp = os.path.join(path, f"{_LATEST}.tmp.{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.rename(tmp, os.path.join(path, _LATEST))
+    os.remove(tmp)
+    try:
+        lt = os.path.join(path, f"{_LATEST}.tmp.{uuid.uuid4().hex[:8]}")
+        with open(lt, "w") as f:
+            f.write(str(version))
+        os.rename(lt, os.path.join(path, _LATEST))
+    except OSError:
+        pass  # cache only — the manifest is already the source of truth
 
 
 def create(spark: SparkSession, path: str, df: DataFrame) -> int:
@@ -170,10 +219,11 @@ def committed_batch_ids(path: str) -> set[int]:
     (which bounds how far back a replay can reach) must be retained at
     least as long as the manifest window — the standard sink-log pairing."""
     out: set[int] = set()
-    snap_dir = os.path.join(path, _SNAP_DIR)
-    for name in os.listdir(snap_dir):
-        with open(os.path.join(snap_dir, name)) as f:
-            m = json.load(f)
+    head = current_version(path)
+    for v in _manifest_versions(path):
+        if v > head:  # defensive: only committed history counts
+            continue
+        m = _manifest(path, v)
         if "batch_id" in m:
             out.add(int(m["batch_id"]))
     return out
@@ -222,35 +272,327 @@ def upsert_with_retry(
 def history(path: str) -> list[dict]:
     """The commit log, oldest first: version, op, parent, segment count."""
     out = []
-    snap_dir = os.path.join(path, _SNAP_DIR)
-    for name in sorted(os.listdir(snap_dir)):
-        with open(os.path.join(snap_dir, name)) as f:
-            m = json.load(f)
+    for v in _manifest_versions(path):
+        m = _manifest(path, v)
+        segs = m.get("segments") or sorted(
+            s for segs in m.get("buckets", {}).values() for s in segs
+        )
         out.append({"version": m["version"], "op": m["op"],
-                    "parent": m["parent"], "n_segments": len(m["segments"])})
+                    "parent": m["parent"], "n_segments": len(segs)})
     return out
 
 
-def vacuum(path: str, keep_last: int = 1) -> list[str]:
+def _manifest_segments(m: dict) -> set[str]:
+    """Every segment a manifest references — flat tables list them under
+    ``segments``; bucketed tables map bucket id → segment list under
+    ``buckets``."""
+    if "segments" in m and m["segments"] is not None:
+        return set(m["segments"])
+    return {s for segs in m.get("buckets", {}).values() for s in segs}
+
+
+def vacuum(path: str, keep_last: int = 1,
+           retain_seconds: float | None = None) -> list[str]:
     """Drop manifests older than the last ``keep_last`` versions and delete
     segments no kept manifest references. Returns the deleted segment names.
     The only destructive operation — time travel reaches exactly the kept
-    window afterwards. (A production vacuum would also honor a retention
-    duration so in-flight readers of just-expired versions drain first.)"""
+    window afterwards.
+
+    ``retain_seconds`` is the drain guard for in-flight readers: a
+    manifest whose commit time (file mtime) is within the window is kept
+    even when it falls outside ``keep_last``, so a reader that resolved a
+    just-expired version finishes against still-present segments before
+    any later vacuum can reap them — the Delta ``deletedFileRetentionDuration``
+    idea. Also reaps orphaned commit temp files older than the window."""
+    import time as _time
+
     head = current_version(path)
     cutoff = head - int(keep_last) + 1
+    now = _time.time()
     keep_segs: set[str] = set()
     snap_dir = os.path.join(path, _SNAP_DIR)
-    for name in sorted(os.listdir(snap_dir)):
-        with open(os.path.join(snap_dir, name)) as f:
-            m = json.load(f)
-        if m["version"] >= cutoff:
-            keep_segs.update(m["segments"])
+    for v in _manifest_versions(path):
+        p = _snap_path(path, v)
+        recent = (
+            retain_seconds is not None
+            and now - os.path.getmtime(p) < float(retain_seconds)
+        )
+        m = _manifest(path, v)
+        if v >= cutoff or recent:
+            keep_segs.update(_manifest_segments(m))
         else:
-            os.remove(os.path.join(snap_dir, name))
+            os.remove(p)
+    for name in os.listdir(snap_dir):
+        if name.startswith(".tmp-"):
+            p = os.path.join(snap_dir, name)
+            if retain_seconds is None or now - os.path.getmtime(p) >= float(
+                retain_seconds
+            ):
+                os.remove(p)
     deleted = []
     for d in sorted(os.listdir(path)):
         if d.startswith("seg-") and d not in keep_segs:
             shutil.rmtree(os.path.join(path, d))
             deleted.append(d)
     return deleted
+
+
+# ===========================================================================
+# Bucketed composition: bounded-rewrite upserts UNDER the manifest log
+# ===========================================================================
+# writer.py's bucketed layout bounds a MERGE's rewrite volume to the touched
+# buckets, but its commit is a per-bucket-directory swap — no atomicity
+# across buckets, no reader isolation during a rewrite, no time travel.
+# Versioning the buckets in the manifest fixes all three at once: the
+# manifest maps bucket id -> list of immutable segment dirs, so
+#   * an upsert writes NEW segments for the touched buckets only and
+#     commits one manifest that swaps exactly those entries — atomic across
+#     every touched bucket (the os.link commit point), while untouched
+#     buckets keep their segment names (never read, shuffled, or written);
+#   * a reader that resolved version n keeps reading version n's segments
+#     unchanged through any number of concurrent commits;
+#   * time travel and vacuum fall out of the same manifest walk as flat
+#     tables (_manifest_segments understands both shapes).
+# At 100 TB: the manifest holds n_buckets entries (a few MB at 65536
+# buckets — still metadata-sized), a 1M-row update batch rewrites at most
+# min(n_buckets, distinct keys) buckets, and append_bucketed ingests with
+# ZERO rewrite by appending per-bucket segments (compact_bucketed folds
+# them back down, bucket-at-a-time, as its own committed version).
+
+
+def _bucket_ids(df_b: DataFrame) -> list[int]:
+    """Distinct bucket ids of a bucketed batch — bounded by n_buckets, a
+    few KB collected, never data-sized."""
+    from .writer import _BUCKET_COL
+
+    return sorted(int(r[_BUCKET_COL])
+                  for r in df_b.select(_BUCKET_COL).distinct().collect())
+
+
+def _write_bucket_segments(
+    df_b: DataFrame, path: str, touched: list[int]
+) -> dict[int, str]:
+    """Write one immutable segment dir per touched bucket: partitionBy the
+    bucket column into a temp dir, then move each bucket's subdir to its
+    own seg-* name (the partition-directory layer is stripped, so segment
+    files carry no layout column — same on-disk shape as flat segments).
+    Returns {bucket_id: segment_name} for buckets that produced rows."""
+    from .writer import _BUCKET_COL
+
+    tmp = os.path.join(path, f".stage-{uuid.uuid4().hex[:12]}")
+    df_b.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(tmp)
+    out: dict[int, str] = {}
+    try:
+        for b in touched:
+            src = os.path.join(tmp, f"{_BUCKET_COL}={b}")
+            if not os.path.exists(src):
+                continue
+            seg = f"seg-{uuid.uuid4().hex[:12]}"
+            os.rename(src, os.path.join(path, seg))
+            out[b] = seg
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _cleanup_segments(path: str, segs) -> None:
+    for s in segs:
+        shutil.rmtree(os.path.join(path, s), ignore_errors=True)
+
+
+def _bucketed_meta(m: dict) -> tuple[str, int, dict]:
+    if "buckets" not in m:
+        raise ValueError("not a bucketed versioned table (no 'buckets' in "
+                         "manifest) — use the flat read/upsert/append")
+    return m["bucket_key"], int(m["n_buckets"]), m["buckets"]
+
+
+def create_bucketed(
+    spark: SparkSession, path: str, df: DataFrame, key: str,
+    n_buckets: int = 64,
+) -> int:
+    """Create a BUCKETED versioned table as version 1: rows are hash-routed
+    by ``pmod(xxhash64(key), n_buckets)`` (writer.py's deterministic
+    bucketing — same key, same bucket, forever) into per-bucket immutable
+    segments; the manifest records the bucket map."""
+    from .writer import _bucket_expr, _BUCKET_COL
+
+    os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=False)
+    df_b = df.withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
+    touched = _bucket_ids(df_b)
+    segs = _write_bucket_segments(df_b, path, touched)
+    buckets = {str(b): [segs[b]] for b in segs}
+    _commit(path, 1, None, "create-bucketed",
+            extra={"bucket_key": key, "n_buckets": int(n_buckets),
+                   "buckets": buckets})
+    return 1
+
+
+def read_bucketed(
+    spark: SparkSession, path: str, version: int | None = None,
+    buckets: list[int] | None = None,
+) -> DataFrame:
+    """Read a bucketed versioned table AT a version (default head),
+    optionally restricted to a bucket subset — restriction is directory
+    pruning at MANIFEST-resolution time: non-listed buckets' segments are
+    never even named in the plan (the at-rest analog of a planning-time
+    partition filter)."""
+    v = current_version(path) if version is None else int(version)
+    m = _manifest(path, v)
+    _, _, bmap = _bucketed_meta(m)
+    ids = sorted(bmap) if buckets is None else [str(b) for b in buckets]
+    dirs = [os.path.join(path, s) for b in ids for s in bmap.get(b, [])]
+    if not dirs:
+        raise FileNotFoundError(
+            f"version {v} holds no segments for buckets {buckets}"
+        )
+    return spark.read.option("mergeSchema", "true").parquet(*dirs)
+
+
+def point_lookup_bucketed(
+    spark: SparkSession, path: str, value, version: int | None = None
+) -> DataFrame:
+    """Key point-lookup with BOTH layers of pruning: the key's bucket is
+    computed with the same zero-scan JVM expression writer.py uses, only
+    that bucket's segments enter the plan, and the key predicate prunes
+    row groups inside them — a snapshot-isolated point read."""
+    import pyspark.sql.functions as F
+
+    v = current_version(path) if version is None else int(version)
+    m = _manifest(path, v)
+    key, n_buckets, _ = _bucketed_meta(m)
+    b = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(value).cast("string")), F.lit(n_buckets))
+        .cast("int").alias("b")
+    ).first()["b"]
+    return read_bucketed(spark, path, version=v, buckets=[int(b)]).where(
+        F.col(key) == value
+    )
+
+
+def upsert_bucketed(
+    spark: SparkSession, path: str, updates: DataFrame
+) -> int:
+    """MERGE-on-key against the bucketed versioned table, rewriting ONLY
+    touched buckets and committing atomically across them. Plan: bucket the
+    updates, collect the touched bucket ids (bounded by n_buckets), read
+    ONLY those buckets' current segments, left-anti + union merge, write
+    one new segment per touched bucket, commit a manifest that swaps
+    exactly those bucket entries. Readers of any resolved version are
+    untouched; a concurrent commit raises ConcurrentWriteError (orphan
+    segments cleaned) so the caller re-merges against the new head."""
+    from .writer import _bucket_expr, _BUCKET_COL
+
+    v = current_version(path)
+    m = _manifest(path, v)
+    key, n_buckets, bmap = _bucketed_meta(m)
+    ub = updates.withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
+    touched = _bucket_ids(ub)
+    if not touched:
+        return v
+    target_dirs = [
+        os.path.join(path, s) for b in touched for s in bmap.get(str(b), [])
+    ]
+    if target_dirs:
+        target = (
+            spark.read.option("mergeSchema", "true").parquet(*target_dirs)
+            .withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
+        )
+        merged = target.join(
+            ub.select(key).distinct(), [key], "left_anti"
+        ).unionByName(ub, allowMissingColumns=True)
+    else:
+        merged = ub
+    segs = _write_bucket_segments(merged, path, touched)
+    new_bmap = dict(bmap)
+    for b in touched:
+        new_bmap[str(b)] = [segs[b]] if b in segs else []
+    try:
+        _commit(path, v + 1, None, "upsert-bucketed",
+                extra={"bucket_key": key, "n_buckets": n_buckets,
+                       "buckets": new_bmap})
+    except ConcurrentWriteError:
+        _cleanup_segments(path, segs.values())
+        raise
+    return v + 1
+
+
+def append_bucketed(
+    spark: SparkSession, path: str, batch: DataFrame
+) -> int:
+    """O(batch) ingest commit: write the batch's per-bucket segments and
+    APPEND them to the touched buckets' segment lists — existing data is
+    never read or rewritten (the versioned twin of the streaming bucketed
+    sink's accretion; compact_bucketed folds the lists back down)."""
+    from .writer import _bucket_expr, _BUCKET_COL
+
+    v = current_version(path)
+    m = _manifest(path, v)
+    key, n_buckets, bmap = _bucketed_meta(m)
+    bb = batch.withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
+    touched = _bucket_ids(bb)
+    if not touched:
+        return v
+    segs = _write_bucket_segments(bb, path, touched)
+    new_bmap = dict(bmap)
+    for b, s in segs.items():
+        new_bmap[str(b)] = new_bmap.get(str(b), []) + [s]
+    try:
+        _commit(path, v + 1, None, "append-bucketed",
+                extra={"bucket_key": key, "n_buckets": n_buckets,
+                       "buckets": new_bmap})
+    except ConcurrentWriteError:
+        _cleanup_segments(path, segs.values())
+        raise
+    return v + 1
+
+
+def compact_bucketed(
+    spark: SparkSession, path: str, min_segments: int = 2
+) -> int:
+    """Fold multi-segment buckets (append_bucketed accretion) back to one
+    segment each, as a normal committed version: only buckets holding >=
+    ``min_segments`` segments are read and rewritten, the rest keep their
+    names — maintenance cost tracks ingest churn, not table size, and
+    readers stay isolated because old segments live until vacuum. Returns
+    the new version (or the current one when nothing needed compaction)."""
+    from .writer import _bucket_expr, _BUCKET_COL
+
+    v = current_version(path)
+    m = _manifest(path, v)
+    key, n_buckets, bmap = _bucketed_meta(m)
+    todo = sorted(int(b) for b, ss in bmap.items() if len(ss) >= min_segments)
+    if not todo:
+        return v
+    dirs = [os.path.join(path, s) for b in todo for s in bmap[str(b)]]
+    df_b = (
+        spark.read.option("mergeSchema", "true").parquet(*dirs)
+        .withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
+    )
+    segs = _write_bucket_segments(df_b, path, todo)
+    new_bmap = dict(bmap)
+    for b in todo:
+        new_bmap[str(b)] = [segs[b]] if b in segs else []
+    try:
+        _commit(path, v + 1, None, "compact-bucketed",
+                extra={"bucket_key": key, "n_buckets": n_buckets,
+                       "buckets": new_bmap})
+    except ConcurrentWriteError:
+        _cleanup_segments(path, segs.values())
+        raise
+    return v + 1
+
+
+def upsert_bucketed_with_retry(
+    spark: SparkSession, path: str, updates: DataFrame, max_retries: int = 3
+) -> int:
+    """Bucketed MERGE under the standard optimistic-concurrency rebase loop
+    (same contract as upsert_with_retry: every attempt re-reads the new
+    head, so the loser's update is re-based, never lost)."""
+    for attempt in range(max_retries + 1):
+        try:
+            return upsert_bucketed(spark, path, updates)
+        except ConcurrentWriteError:
+            if attempt == max_retries:
+                raise
+    raise AssertionError("unreachable")

@@ -90,7 +90,7 @@ def test_recall_binary_hamming(emb01, exact_top10):
 def pq_artifacts(emb01):
     """Codebooks trained on the corpus sample + the encoded code table."""
     sample = np.array(
-        [r.embedding for r in emb01.select("embedding").limit(2000).collect()]
+        [r.embedding for r in emb01.orderBy("vec_id").limit(2000).select("embedding").collect()]
     )
     books = ann.pq_train(sample, m_sub=8, k_cent=64, iters=5, seed=42)
     codes = emb01.select("vec_id").join(
@@ -99,6 +99,21 @@ def pq_artifacts(emb01):
     codes.count()
     yield books, codes
     codes.unpersist()
+
+
+def test_pq_topk_requires_vectors_for_rerank(emb01, pq_artifacts):
+    """Round-4 advice: pq_encode output alone holds only (id, codes) — the
+    default full_df=None path must fail LOUDLY at plan time, not with an
+    unresolved-column error mid-query."""
+    books, _ = pq_artifacts
+    codes_only = ann.pq_encode(emb01, books)  # no embedding column
+    q = np.asarray(emb01.select("embedding").first()[0], dtype=np.float64)
+    with pytest.raises(ValueError, match="full_df"):
+        ann.pq_adc_topk(codes_only, q, books, k=5)
+    # with full_df supplied the same input works
+    got = ann.pq_adc_topk(codes_only, q, books, k=5,
+                          full_df=emb01.select("vec_id", "embedding"))
+    assert got.count() == 5
 
 
 def test_pq_encode_matches_numpy_reference(emb01, pq_artifacts):
@@ -137,7 +152,7 @@ def test_pq_adc_deterministic_under_repartition(emb01, exact_top10, pq_artifacts
 def ivf_pq_artifacts(emb01):
     cents = ann.ivf_train_kmeans(emb01, k=8)
     sample = np.array(
-        [r.embedding for r in emb01.select("embedding").limit(2000).collect()]
+        [r.embedding for r in emb01.orderBy("vec_id").limit(2000).select("embedding").collect()]
     )
     books = ann.ivf_pq_train(sample, cents, m_sub=8, k_cent=64, iters=5, seed=42)
     idx = ann.ivf_pq_encode(emb01, cents, books).join(
@@ -267,3 +282,31 @@ def test_lsh_knn_join_scale_guard(spark, emb01):
     with pytest.raises(ScaleGuardError):
         ann.lsh_knn_join(left, emb01, k=5, n_planes=2, n_probe_bits=2,
                          dim=64, max_expected_candidates=1000)
+    # supplied sizes drive the guard without any count() job — and the
+    # guard decision matches the counted one
+    with pytest.raises(ScaleGuardError):
+        ann.lsh_knn_join(left, emb01, k=5, n_planes=2, n_probe_bits=2,
+                         dim=64, max_expected_candidates=1000,
+                         n_left=1000, n_right=32000)
+
+
+def test_lsh_knn_join_lazy_guard_runs_no_jobs(spark, emb01):
+    """Round-4 advice: with n_left/n_right/dim supplied, plan construction
+    must trigger ZERO Spark jobs (no count()/first() re-executing the
+    upstream plans). Jobs submitted inside a job group are observable via
+    the status tracker — the group stays empty."""
+    from pyspark.sql import functions as F
+
+    left = emb01.where(F.col("vec_id") < 200)
+    sc = spark.sparkContext
+    group = "lsh-knn-lazy-guard-test"
+    sc.setJobGroup(group, "plan-construction-only")
+    try:
+        df = ann.lsh_knn_join(left, emb01, k=3, n_planes=10, n_probe_bits=1,
+                              dim=64, n_left=200, n_right=32000)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert jobs == [], f"guard ran Spark jobs at plan time: {jobs}"
+    finally:
+        sc.setJobGroup("", "")
+    # the lazily-built plan still executes correctly afterwards
+    assert df.limit(5).count() >= 0

@@ -365,6 +365,25 @@ class TestHalfLifePopularity:
         assert got["a"] == ((1 << 30) + (1 << 29) + (1 << 28), 1.75)
         assert got["b"] == (1 << 30, 1.0)
 
+    def test_null_ts_rows_are_excluded(self, spark):
+        """Round-4 advice: a NULL timestamp has no age and must contribute
+        NOTHING (previously Spark's null-skipping least() silently dropped
+        the row into the max bucket at weight 1)."""
+        from rclip_server_spark.operators import events as EV
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        rows = [
+            (1, "a", "2024-01-03 00:00:00"),
+            (2, "a", None),
+            (3, "c", None),  # a key with ONLY null-ts events disappears
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts_s string"
+        ).select("event_id", "event_type", F.to_timestamp("ts_s").alias("ts"))
+        got = {r.event_type: r.score_scaled
+               for r in EV.half_life_popularity(df, half_life_hours=24).collect()}
+        assert got == {"a": 1 << 30}
+
     def test_shard_merge_equals_global(self, spark, events):
         """Per-shard scores at the SAME reference time sum to the global
         score (mergeability) — computed by fixing corpus max across shards."""

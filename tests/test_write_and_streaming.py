@@ -991,22 +991,100 @@ class TestVersionedTable:
         assert [tuple(r) for r in snapshot.collect()] == [(1, "a")]
         assert [tuple(r) for r in V.read(spark, t).collect()] == [(9, "z")]
 
-    def test_concurrent_commit_conflict(self, spark, tmp_path):
+    def test_concurrent_commit_conflict(self, spark, tmp_path, monkeypatch):
         import os
 
         from rclip_server_spark.sources import versioned as V
 
         t = str(tmp_path / "v")
         V.create(spark, t, self._df(spark, [(1, "a")]))
-        # another writer wins version 2 between our read and our commit
-        winner = V._snap_path(t, 2)
-        with open(winner, "w") as f:
-            f.write('{"version": 2, "segments": [], "op": "append", "parent": 1}')
+        # another writer wins version 2 BETWEEN our read and our commit —
+        # injected after our segment write, the true race window
+        orig_ws = V._write_segment
+        fired = {"done": False}
+
+        def racing_write_segment(df, path):
+            seg = orig_ws(df, path)
+            if not fired["done"]:
+                fired["done"] = True
+                V.append(spark, t, self._df(spark, [(7, "w")]))
+            return seg
+
+        monkeypatch.setattr(V, "_write_segment", racing_write_segment)
         with pytest.raises(V.ConcurrentWriteError):
             V.upsert(spark, t, self._df(spark, [(1, "X")]), "id")
-        # the loser's orphan segment was cleaned up: only v1's segment remains
+        monkeypatch.undo()
+        # the loser's orphan segment was cleaned; v1 + winner's v2 remain
         segs = [d for d in os.listdir(t) if d.startswith("seg-")]
-        assert len(segs) == 1
+        assert len(segs) == 2
+        assert sorted(map(tuple, V.read(spark, t).collect())) == [
+            (1, "a"), (7, "w")]
+
+    def test_crash_recovery_head_from_manifests(self, spark, tmp_path):
+        """The round-4 advice scenario: a crash after manifest publication
+        but before the `_latest` cache update must NOT wedge the table —
+        the manifest IS the commit, so the head moves forward, later
+        commits succeed, and a crash-replayed exactly-once batch is
+        correctly visible (not silently dropped)."""
+        import os
+
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "v")
+        V.create(spark, t, self._df(spark, [(1, "a")]))
+        # exactly-once append commits v2, then "crashes" before the cache
+        # update: simulate by corrupting _latest back to a stale value
+        assert V.append_exactly_once(
+            spark, t, self._df(spark, [(2, "b")]), batch_id=77) == 2
+        with open(os.path.join(t, V._LATEST), "w") as f:
+            f.write("1")  # stale cache — must be irrelevant
+        # head is derived from manifests, not the cache
+        assert V.current_version(t) == 2
+        # the replayed batch is skipped AND its rows are visible (the old
+        # protocol's failure mode was skip-with-invisible-rows)
+        assert V.append_exactly_once(
+            spark, t, self._df(spark, [(2, "b")]), batch_id=77) is None
+        assert sorted(map(tuple, V.read(spark, t).collect())) == [
+            (1, "a"), (2, "b")]
+        # and the table is not wedged: the next commit takes v3
+        assert V.append(spark, t, self._df(spark, [(3, "c")]) ) == 3
+
+    def test_crash_leftover_tmp_manifest_is_ignored(self, spark, tmp_path):
+        """A crash BEFORE the link leaves only a .tmp- file in _snapshots —
+        it must not count as a version, break history/vacuum, or block
+        commits; vacuum reaps it."""
+        import os
+
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "v")
+        V.create(spark, t, self._df(spark, [(1, "a")]))
+        junk = os.path.join(t, V._SNAP_DIR, ".tmp-deadbeef")
+        with open(junk, "w") as f:
+            f.write('{"version": 99, "segments"')  # half-written JSON
+        assert V.current_version(t) == 1
+        assert V.append(spark, t, self._df(spark, [(2, "b")])) == 2
+        assert [h["version"] for h in V.history(t)] == [1, 2]
+        V.vacuum(t, keep_last=2)
+        assert not os.path.exists(junk)
+
+    def test_vacuum_retention_protects_recent_versions(self, spark, tmp_path):
+        """The reader-drain guard: retain_seconds keeps a just-expired
+        version's manifest and segments alive even outside keep_last, so
+        an in-flight reader that resolved it still completes."""
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "v")
+        V.create(spark, t, self._df(spark, [(1, "a")]))
+        V.overwrite(spark, t, self._df(spark, [(2, "b")]))
+        V.overwrite(spark, t, self._df(spark, [(3, "c")]))
+        reader = V.read(spark, t, 2)  # in-flight reader holding v2
+        # all manifests were just written — a 1h retention keeps everything
+        assert V.vacuum(t, keep_last=1, retain_seconds=3600.0) == []
+        assert [tuple(r) for r in reader.collect()] == [(2, "b")]
+        # with no retention the old versions are reaped as before
+        deleted = V.vacuum(t, keep_last=1)
+        assert len(deleted) == 2
 
     def test_vacuum_keeps_window_drops_rest(self, spark, tmp_path):
         import os
@@ -1022,6 +1100,161 @@ class TestVersionedTable:
         assert [tuple(r) for r in V.read(spark, t).collect()] == [(3, "c")]
         with pytest.raises(FileNotFoundError):
             V.read(spark, t, 1)
+
+
+class TestVersionedBucketed:
+    """The versioned-manifest × bucketed-layout composition
+    (sources/versioned.create_bucketed &c): bounded-rewrite MERGE with an
+    atomic cross-bucket commit, snapshot isolation during the rewrite, and
+    time travel on a bucketed table — the round-4 verdict's gap #3."""
+
+    KEY = "id"
+
+    @staticmethod
+    def _df(spark, rows):
+        return spark.createDataFrame(rows, ["id", "val"])
+
+    def _base(self, spark):
+        return self._df(spark, [(i, f"v{i}") for i in range(200)])
+
+    def test_create_read_parity_with_flat(self, spark, tmp_path):
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "vb")
+        assert V.create_bucketed(spark, t, self._base(spark), "id",
+                                 n_buckets=8) == 1
+        got = sorted(map(tuple, V.read_bucketed(spark, t).collect()))
+        assert got == sorted(map(tuple, self._base(spark).collect()))
+        # no layout column leaks into the read
+        assert V.read_bucketed(spark, t).columns == ["id", "val"]
+
+    def test_upsert_bounded_rewrite_and_atomic_commit(self, spark, tmp_path):
+        import os
+
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "vb")
+        V.create_bucketed(spark, t, self._base(spark), "id", n_buckets=8)
+        m1 = V._manifest(t, 1)
+        upd = self._df(spark, [(3, "X"), (4, "Y"), (999, "new")])
+        before_segs = {d for d in os.listdir(t) if d.startswith("seg-")}
+        assert V.upsert_bucketed(spark, t, upd) == 2
+        m2 = V._manifest(t, 2)
+        # only the touched buckets' manifest entries changed; untouched
+        # buckets keep their exact segment names (never read or written)
+        changed = [b for b in m2["buckets"]
+                   if m2["buckets"][b] != m1["buckets"].get(b)]
+        n_new_segs = len(
+            {d for d in os.listdir(t) if d.startswith("seg-")} - before_segs
+        )
+        assert len(changed) == n_new_segs <= 3  # <= one bucket per update key
+        # row semantics match the flat upsert
+        got = dict(
+            (r.id, r.val) for r in V.read_bucketed(spark, t).collect()
+        )
+        assert got[3] == "X" and got[4] == "Y" and got[999] == "new"
+        assert got[5] == "v5" and len(got) == 201
+
+    def test_reader_isolation_during_bucketed_upsert(self, spark, tmp_path):
+        """The verdict's acceptance test: a reader resolves v1, an upsert
+        commits v2, the reader's result is UNCHANGED — the raw per-bucket
+        swap in writer.py cannot give this (it unlinks the old directory
+        under the reader)."""
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "vb")
+        V.create_bucketed(spark, t, self._base(spark), "id", n_buckets=8)
+        snapshot = V.read_bucketed(spark, t)  # resolves v1's segments
+        V.upsert_bucketed(spark, t, self._df(spark, [(3, "X")]))
+        got = dict((r.id, r.val) for r in snapshot.collect())
+        assert got[3] == "v3"  # pre-upsert value: v1 segments are immutable
+        # head reader sees the new state; v1 stays reachable by time travel
+        assert dict(
+            (r.id, r.val) for r in V.read_bucketed(spark, t).collect()
+        )[3] == "X"
+        assert dict(
+            (r.id, r.val) for r in V.read_bucketed(spark, t, version=1).collect()
+        )[3] == "v3"
+
+    def test_append_bucketed_is_zero_rewrite(self, spark, tmp_path):
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "vb")
+        V.create_bucketed(spark, t, self._base(spark), "id", n_buckets=8)
+        m1 = V._manifest(t, 1)
+        V.append_bucketed(spark, t, self._df(spark, [(1000, "a"), (1001, "b")]))
+        m2 = V._manifest(t, 2)
+        # every v1 segment is still referenced — nothing was rewritten,
+        # the touched buckets just grew an extra segment
+        for b, segs in m1["buckets"].items():
+            assert set(segs) <= set(m2["buckets"][b])
+        assert V.read_bucketed(spark, t).count() == 202
+        # compaction folds multi-segment buckets back to one, as a commit
+        v = V.compact_bucketed(spark, t)
+        assert v == 3
+        assert all(len(s) == 1 for s in V._manifest(t, 3)["buckets"].values())
+        assert V.read_bucketed(spark, t).count() == 202
+        # old versions still reachable until vacuum
+        assert V.read_bucketed(spark, t, version=1).count() == 200
+
+    def test_point_lookup_prunes_to_one_bucket(self, spark, tmp_path):
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "vb")
+        V.create_bucketed(spark, t, self._base(spark), "id", n_buckets=8)
+        df = V.point_lookup_bucketed(spark, t, 42)
+        assert [(r.id, r.val) for r in df.collect()] == [(42, "v42")]
+        # the plan's input files come from exactly ONE bucket's segment —
+        # all other buckets' segments are never named (pruned at manifest
+        # resolution, the at-rest partition filter)
+        m = V._manifest(t, 1)
+        segs_in_plan = {
+            f.split("/" + "seg-")[1].split("/")[0]
+            for f in df.inputFiles()
+        }
+        owning = [b for b, ss in m["buckets"].items()
+                  if any(s.removeprefix("seg-") in segs_in_plan for s in ss)]
+        assert len(owning) == 1
+
+    def test_occ_conflict_and_rebase_retry(self, spark, tmp_path, monkeypatch):
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "vb")
+        V.create_bucketed(spark, t, self._base(spark), "id", n_buckets=8)
+        fired = {"done": False}
+        orig = V._write_bucket_segments
+
+        def racing(df_b, path, touched):
+            segs = orig(df_b, path, touched)
+            if not fired["done"]:
+                fired["done"] = True
+                V.append_bucketed(spark, t, self._df(spark, [(500, "zzz")]))
+            return segs
+
+        monkeypatch.setattr(V, "_write_bucket_segments", racing)
+        v = V.upsert_bucketed_with_retry(
+            spark, t, self._df(spark, [(3, "X")])
+        )
+        monkeypatch.undo()
+        assert v == 3  # create=1, competitor append=2, rebased upsert=3
+        got = dict((r.id, r.val) for r in V.read_bucketed(spark, t).collect())
+        assert got[3] == "X" and got[500] == "zzz"  # BOTH writers' changes
+
+    def test_vacuum_on_bucketed_table(self, spark, tmp_path):
+        import os
+
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "vb")
+        V.create_bucketed(spark, t, self._base(spark), "id", n_buckets=8)
+        V.upsert_bucketed(spark, t, self._df(spark, [(3, "X")]))
+        deleted = V.vacuum(t, keep_last=1)
+        # exactly the replaced buckets' v1 segments are reaped; shared
+        # (untouched) segments survive because v2 still references them
+        assert len(deleted) >= 1
+        assert V.read_bucketed(spark, t).count() == 200
+        with pytest.raises(FileNotFoundError):
+            V.read_bucketed(spark, t, version=1)
 
 
 def test_stream_versioned_append_exactly_once_under_crash_replay(
