@@ -1401,10 +1401,13 @@ _PRIORITY = [
     # never had a driver-green cell. Every previously-green row rotated out
     # is still replayed locally by tools/check_contract.py, so cumulative
     # driver-verified coverage grows without losing local proof.
-    # Cumulative driver-verified distinct rows after r4: 111 of 171
-    # registered (152 oracle + 19 rows-only). Round-6 rotation backlog
-    # (oracle rows still never driver-verified after this window — 14,
-    # one final rotation covers everything): ann_hyperplane_near_dup_multiset,
+    # Cumulative driver-verified distinct rows after r4: 111 of 174
+    # registered (155 oracle + 19 rows-only; the three late-r5 TPC-H rows
+    # sql_q5/q10/q18 are rotation-eligible next round). Round-6 backlog
+    # (oracle rows still never driver-verified after this window — 14 + the
+    # 3 new TPC-H rows = 17, one final rotation covers everything):
+    # sql_q5_local_supplier_volume, sql_q10_returned_items,
+    # sql_q18_large_orders, ann_hyperplane_near_dup_multiset,
     # text_length_outlier_trim, text_source_stats, text_strip_dup_spans,
     # text_ngram_repetition, samp_weighted_per_class_k, sketch_histogram_drift,
     # sketch_histogram_quantiles_by_lang, ev_windowed_value_histogram,
@@ -2701,6 +2704,103 @@ def _sql_q14_query(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _register("sql_q14_promo_share", _sql_q14_query, _Q14_BODY)
+
+
+# Q5-style local-supplier-volume: the six-way join classic — region filter
+# prunes to one region, nation/region/supplier broadcast, the big
+# lineitem x orders join shuffles once on orderkey, and the
+# customer-and-supplier-in-same-nation condition rides the join. Integer
+# cents keep the revenue sum order-free.
+_Q5_BODY = """
+    SELECT n_name,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+"""
+
+
+def _sql_q5_query(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources.catalog import register_views
+
+    _utc(spark)
+    register_views(spark, sf)
+    return spark.sql(_Q5_BODY)
+
+
+_register("sql_q5_local_supplier_volume", _sql_q5_query, _Q5_BODY)
+
+
+# Q10-style returned-items ranking: which customers returned the most
+# revenue — lineitem filtered to returns, one shuffle join to orders,
+# broadcast joins to customer/nation, top-20 by revenue with a total
+# order (revenue DESC, custkey ASC) so the cut is deterministic.
+_Q10_BODY = """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_cents DESC, c.c_custkey ASC
+    LIMIT 20
+"""
+
+
+def _sql_q10_query(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources.catalog import register_views
+
+    _utc(spark)
+    register_views(spark, sf)
+    return spark.sql(_Q10_BODY)
+
+
+_register("sql_q10_returned_items", _sql_q10_query, _Q10_BODY)
+
+
+# Q18-style large-volume orders: the HAVING-on-aggregate + semi-join
+# pattern — aggregate lineitem per order, keep orders whose total quantity
+# clears the threshold, then enrich with customer and order columns. The
+# quantity fixture is DOUBLE but holds integers; round-to-bigint keeps the
+# sum and threshold order-free and engine-exact.
+_Q18_BODY = """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 120
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, big.total_qty
+    FROM big
+    JOIN orders o ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def _sql_q18_query(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources.catalog import register_views
+
+    _utc(spark)
+    register_views(spark, sf)
+    return spark.sql(_Q18_BODY)
+
+
+_register("sql_q18_large_orders", _sql_q18_query, _Q18_BODY)
 
 
 # ===========================================================================

@@ -1051,6 +1051,7 @@ def lsh_knn_join(
     max_expected_candidates: int | None = 50_000_000,
     n_left: int | None = None,
     n_right: int | None = None,
+    skew_prepass: bool = False,
 ) -> DataFrame:
     """Approximate k-NN JOIN when NEITHER side broadcasts: for every left
     row, its k highest-cosine right rows among LSH candidates. Completes
@@ -1068,10 +1069,19 @@ def lsh_knn_join(
     bucket; a per-left-row window takes top-k of the candidates. Shuffles:
     the bucket join + the id_a window — candidate volume per left row is
     (probes/2^n_planes)·|right| in expectation, and at rest both sides
-    write bucketed so the join is partition-co-located. For extreme
-    right-side skew add a partial top-k pre-pass (ann.partition_partial_
-    topk's shape) before the window. Deterministic: literal planes, total
-    order (cosine DESC, id_b ASC) — and therefore oracle-checkable.
+    write bucketed so the join is partition-co-located. Deterministic:
+    literal planes, total order (cosine DESC, id_b ASC) — and therefore
+    oracle-checkable.
+
+    ``skew_prepass=True`` inserts a per-partition partial top-k
+    (partition_partial_topk, keyed by id_a) between the join and the
+    window: each partition then ships at most (left rows in it)·k
+    candidate rows to the id_a exchange instead of ALL its candidates —
+    the guard for extreme right-side skew, where one hot bucket would
+    otherwise hash a data-sized candidate list onto one reducer. Partial
+    top-k under the total order is exact, so the result is bit-identical
+    with the flag on or off; it costs one extra Arrow pass, so it is off
+    by default.
 
     Scale guard: expected candidates ≈ |L|·|R|·probes/2^n_planes — size
     ``n_planes`` to the RIGHT side (2^n_planes ∝ |right| / desired bucket
@@ -1113,14 +1123,20 @@ def lsh_knn_join(
                 f"2^n_planes tracks |right|, lower n_probe_bits, or pass "
                 f"max_expected_candidates=None to override deliberately."
             )
+    # compute the bucket ONCE per left row, then XOR the probe masks against
+    # the materialized column — inlining the n_planes-dot bucket expression
+    # into every one of the probes' array slots multiplies the Catalyst
+    # expression tree by the probe count (measured: seconds of pure
+    # planning/codegen time at 16 planes x 17 probes, independent of data)
     l = left.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
+        hyperplane_bucket_col(F.col(vec_col), planes).alias("b0"),
+    ).select(
+        "id_a",
+        "va",
         F.explode(
-            F.array(*[
-                hyperplane_bucket_col(F.col(vec_col), planes)
-                .bitwiseXOR(F.lit(m)) for m in masks
-            ])
+            F.array(*[F.col("b0").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias("bucket"),
     )
     r = right.select(
@@ -1128,11 +1144,18 @@ def lsh_knn_join(
         F.col(vec_col).alias("vb"),
         hyperplane_bucket_col(F.col(vec_col), planes).alias("bucket"),
     )
-    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
-    return (
+    scored = (
         l.join(r, "bucket")
         .withColumn("cosine", V.dot("va", "vb"))
-        .withColumn("rnk", F.row_number().over(w))
+        .select("id_a", "id_b", "cosine")
+    )
+    if skew_prepass:
+        scored = partition_partial_topk(
+            scored, k, query_id="id_a", id_col="id_b", score_col="cosine"
+        )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("id_a", "id_b", F.col("cosine"), F.col("rnk").cast("long").alias("rnk"))
     )

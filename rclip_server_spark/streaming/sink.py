@@ -100,6 +100,7 @@ def start_stream_append_versioned(
     spark: SparkSession,
     path: str,
     checkpoint_dir: str | None = None,
+    bucketed: bool = False,
 ):
     """Append-only ingest into a ``sources.versioned`` table with EXACT
     exactly-once delivery: each micro-batch commits one immutable segment
@@ -108,11 +109,19 @@ def start_stream_append_versioned(
     rather than re-applied. This upgrades the upsert sinks' "idempotent,
     therefore effectively-once" contract to a transactional record — the
     plain-parquet equivalent of Delta's txnAppId/txnVersion sink protocol,
-    and the log doubles as time travel over the ingest history."""
+    and the log doubles as time travel over the ingest history.
+
+    ``bucketed=True`` targets a ``versioned.create_bucketed`` table: the
+    same exactly-once contract with per-bucket segment accretion (zero
+    rewrite of existing data; ``versioned.compact_bucketed`` folds the
+    accreted segments down as its own committed version)."""
     from ..sources import versioned
 
     def _append_batch(batch_df: DataFrame, batch_id: int) -> None:
-        versioned.append_exactly_once(spark, path, batch_df, batch_id)
+        if bucketed:
+            versioned.append_bucketed_exactly_once(spark, path, batch_df, batch_id)
+        else:
+            versioned.append_exactly_once(spark, path, batch_df, batch_id)
 
     out = stream_df.writeStream.foreachBatch(_append_batch).outputMode("append")
     if checkpoint_dir is not None:

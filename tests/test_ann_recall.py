@@ -290,6 +290,23 @@ def test_lsh_knn_join_scale_guard(spark, emb01):
                          n_left=1000, n_right=32000)
 
 
+def test_lsh_knn_join_skew_prepass_is_exact(spark, emb01):
+    """The right-skew guard (per-partition partial top-k before the id_a
+    window) must be bit-identical to the plain path — partial top-k under
+    the total order (cosine DESC, id_b ASC) is exact."""
+    from pyspark.sql import functions as F
+
+    left = emb01.where(F.col("vec_id") % 97 == 0)
+    right = emb01.where(F.col("vec_id") % 2 == 0)
+    kw = dict(k=5, n_planes=5, n_probe_bits=1, dim=64,
+              max_expected_candidates=None)
+    plain = ann.lsh_knn_join(left, right, **kw).collect()
+    guarded = ann.lsh_knn_join(left, right, skew_prepass=True, **kw).collect()
+    assert sorted(map(tuple, plain), key=lambda t: (t[0], t[3])) == \
+        sorted(map(tuple, guarded), key=lambda t: (t[0], t[3]))
+    assert len(plain) > 0
+
+
 def test_lsh_knn_join_lazy_guard_runs_no_jobs(spark, emb01):
     """Round-4 advice: with n_left/n_right/dim supplied, plan construction
     must trigger ZERO Spark jobs (no count()/first() re-executing the

@@ -52,7 +52,11 @@ def test_registry_invariants():
     assert names[: len(C._PRIORITY)] == C._PRIORITY
     assert len(C._PRIORITY) == 50
     window = set(C._PRIORITY)
-    for prefix in ("a", "b", "ev_", "samp_", "vec_", "text_", "dedup_",
+    # Round-5 rotation: the window spans these families directly; vec_ and
+    # dedup_ rows are absent BY DESIGN — every one of them is already
+    # driver-verified (CORRECTNESS_r03/r04 green cells), and their slots
+    # now carry never-verified backlog rows (the cumulative-coverage goal).
+    for prefix in ("a", "b", "ev_", "samp_", "text_",
                    "rel_", "ann_", "sketch_", "d1_"):
         assert any(n.startswith(prefix) for n in window), prefix
     # everything in the window except D1 (rows-only by design) has an oracle

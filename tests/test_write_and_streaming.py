@@ -1240,6 +1240,63 @@ class TestVersionedBucketed:
         got = dict((r.id, r.val) for r in V.read_bucketed(spark, t).collect())
         assert got[3] == "X" and got[500] == "zzz"  # BOTH writers' changes
 
+    def test_append_bucketed_exactly_once_replay(self, spark, tmp_path):
+        """The bucketed twin of append_exactly_once: replayed batch ids are
+        detected in the manifest log and skipped; rows land exactly once
+        with zero rewrite of existing segments."""
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "vb")
+        V.create_bucketed(spark, t, self._base(spark), "id", n_buckets=8)
+        b = self._df(spark, [(900, "s0"), (901, "s1")])
+        assert V.append_bucketed_exactly_once(spark, t, b, batch_id=5) == 2
+        assert V.append_bucketed_exactly_once(spark, t, b, batch_id=5) is None
+        assert V.read_bucketed(spark, t).where("id >= 900").count() == 2
+
+    def test_table_changes_append_only_is_delta_read(self, spark, tmp_path):
+        """CDC fast path: an append-only interval's change set is exactly
+        the new segments' rows — the plan reads O(delta), touching no
+        pre-existing segment."""
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "v")
+        V.create(spark, t, self._df(spark, [(1, "a"), (2, "b")]))
+        V.append(spark, t, self._df(spark, [(3, "c")]))
+        V.append(spark, t, self._df(spark, [(4, "d"), (5, "e")]))
+        ch = V.table_changes(spark, t, from_version=1)
+        got = sorted((r.id, r.val, r._change_type) for r in ch.collect())
+        assert got == [(3, "c", "insert"), (4, "d", "insert"),
+                       (5, "e", "insert")]
+        # O(delta): the v1 segment is not in the plan's input files
+        v1_segs = set(V._manifest(t, 1)["segments"])
+        touched = {f.split("/seg-")[1].split("/")[0]
+                   for f in ch.inputFiles()}
+        assert all(s.removeprefix("seg-") not in touched for s in v1_segs)
+        # bucketed append-only interval takes the same fast path
+        tb = str(tmp_path / "vb")
+        V.create_bucketed(spark, tb, self._base(spark), "id", n_buckets=8)
+        V.append_bucketed(spark, tb, self._df(spark, [(1000, "x")]))
+        chb = V.table_changes(spark, tb, from_version=1)
+        assert [(r.id, r.val, r._change_type) for r in chb.collect()] == [
+            (1000, "x", "insert")]
+
+    def test_table_changes_snapshot_diff_on_upsert(self, spark, tmp_path):
+        """CDC general path: an interval containing an upsert falls back to
+        the key-based snapshot diff — inserts, updates, and deletes are
+        classified exactly; a keyless call fails loudly."""
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "v")
+        V.create(spark, t, self._df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+        V.upsert(spark, t, self._df(spark, [(2, "B"), (9, "new")]), "id")
+        V.overwrite(spark, t, self._df(spark, [(1, "a"), (2, "B"), (9, "new")]))
+        with pytest.raises(ValueError, match="key column is required"):
+            V.table_changes(spark, t, from_version=1)
+        ch = V.table_changes(spark, t, from_version=1, key="id")
+        got = sorted((r.id, r.val, r._change_type) for r in ch.collect())
+        assert got == [(2, "B", "update_post"), (3, "c", "delete"),
+                       (9, "new", "insert")]
+
     def test_vacuum_on_bucketed_table(self, spark, tmp_path):
         import os
 

@@ -1,5 +1,5 @@
-"""Compare a fresh bench.py run against the committed round-3 per-query
-floor (bench.R3_FLOOR_SEC). Protocol: idle machine, best-of-2 (bench.py
+"""Compare a fresh bench.py run against the committed per-query
+floor (bench.FLOOR_SEC — round-4 numbers). Protocol: idle machine, best-of-2 (bench.py
 already takes the min of two full runs). Exit 1 if any shared query is
 slower than floor * (1 + slack).
 
@@ -27,10 +27,10 @@ def main() -> int:
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     run = json.loads(line)["queries"]
 
-    from bench import R3_FLOOR_SEC
+    from bench import FLOOR_SEC
 
     bad = []
-    for name, floor in R3_FLOOR_SEC.items():
+    for name, floor in FLOOR_SEC.items():
         got = run.get(name)
         # relative slack for real queries PLUS 0.15s absolute grace: on a
         # 0.2s query, GC/JIT jitter alone exceeds any percentage band, and

@@ -442,6 +442,40 @@ def main() -> int:
         "~10 bits/key — the runtime-filter shape, made explicit.",
     ))
 
+    from rclip_server_spark.operators import ann as ann_ops
+
+    knn_left = emb.where(F.col("vec_id") % 7 == 0)
+    audits.append((
+        "Cross-table LSH k-NN join (default path)",
+        ann_ops.lsh_knn_join(knn_left, emb, k=5, n_planes=6, n_probe_bits=1,
+                             dim=64, n_left=1, n_right=1),
+        {"CartesianProduct": False, "BroadcastNestedLoopJoin": False,
+         "Window": True},
+        "Neither side broadcasts by contract: the candidate generation is an "
+        "EQUI-join on the literal-hyperplane bucket (never a cross product), "
+        "the left side's multiprobe explode XORs masks against a bucket "
+        "column computed ONCE (inlining the n_planes-dot expression into "
+        "every probe slot multiplies Catalyst planning time by the probe "
+        "count — measured 5x wall at 16 planes), and the per-left-row top-k "
+        "is a Window partitioned by id_a — candidate volume per reducer is "
+        "(probes/2^n_planes)·|right| in expectation.",
+    ))
+
+    audits.append((
+        "Cross-table LSH k-NN join (skew_prepass=True)",
+        ann_ops.lsh_knn_join(knn_left, emb, k=5, n_planes=6, n_probe_bits=1,
+                             dim=64, n_left=1, n_right=1, skew_prepass=True),
+        {"MapInPandas": True, "CartesianProduct": False,
+         "BroadcastNestedLoopJoin": False},
+        "The right-skew guard: a per-partition partial top-k (MapInPandas, "
+        "keyed by id_a) between the bucket join and the id_a window bounds "
+        "each partition's contribution to the exchange at (left rows in "
+        "it)·k — a hot bucket can no longer hash a data-sized candidate "
+        "list onto one reducer. Partial top-k under the total order "
+        "(cosine DESC, id_b ASC) is exact, so this plan is bit-identical "
+        "to the default path.",
+    ))
+
     audits.append((
         "Mergeable equi-width histogram build",
         sketches.histogram_build(

@@ -44,7 +44,44 @@ HEADLINER_ORACLE = {
     "train_quality_lr": None,          # iterative training: no SQL twin
     "weighted_fixed_k": "samp_weighted_fixed_k",
     "hist_quantiles": "sketch_histogram_quantiles",
+    "lsh_knn_join": "__knn_bench__",  # bench config differs from the
+    # contract row (bigger left side, 9 planes) — a matched-semantics SQL
+    # is generated below so the baseline compares the same workload
 }
+
+
+def _knn_bench_sql() -> str:
+    """DuckDB twin of bench.py's lsh_knn_join headliner: left = vec_id%17,
+    right = full table, 9 hyperplanes, 1-bit multiprobe, top-5 by cosine."""
+    from rclip_server_spark.contract import bucket_sql, dot2_sql
+    from rclip_server_spark.operators import ann
+
+    planes = ann.hyperplanes(9, 64, seed=42)
+    masks = [0] + [1 << i for i in range(9)]
+    mask_list = ", ".join(str(m) for m in masks)
+    return f"""
+    WITH l AS (
+      SELECT vec_id AS id_a, embedding AS va,
+             {bucket_sql('embedding', planes)} AS b0
+      FROM embeddings WHERE vec_id % 17 = 0),
+    lp AS (
+      SELECT id_a, va, CAST(xor(b0, m) AS BIGINT) AS bucket
+      FROM l CROSS JOIN (SELECT unnest([{mask_list}]) AS m)),
+    r AS (
+      SELECT vec_id AS id_b, embedding AS vb,
+             {bucket_sql('embedding', planes)} AS bucket
+      FROM embeddings),
+    c AS (
+      SELECT id_a, id_b, {dot2_sql('va', 'vb')} AS cosine
+      FROM lp JOIN r USING (bucket)),
+    w AS (
+      SELECT id_a, id_b, cosine,
+             row_number() OVER (PARTITION BY id_a
+                                ORDER BY cosine DESC, id_b ASC) AS rnk
+      FROM c)
+    SELECT id_a, id_b, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM w WHERE rnk <= 5
+    """
 
 
 def main() -> None:
@@ -55,7 +92,7 @@ def main() -> None:
         if row is None:
             out[head] = None
             continue
-        sql = _ORACLES.get(row)
+        sql = _knn_bench_sql() if row == "__knn_bench__" else _ORACLES.get(row)
         if sql is None:
             out[head] = None
             continue

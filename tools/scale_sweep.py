@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, functions as F
 
 from rclip_server_spark.contract import CENTROIDS, EMBEDDER, QV_FLAGSHIP
-from rclip_server_spark.operators import dedup, retrieval, similarity, sketches
+from rclip_server_spark.operators import ann, dedup, retrieval, similarity, sketches
 from rclip_server_spark.session import get_spark
 from rclip_server_spark.sources import load_table
 
@@ -55,7 +55,16 @@ def main() -> None:
     def bench_at(copies: int) -> dict[str, float]:
         docs = replicate(docs0, copies, "doc_id", text_col="text").persist()
         emb = replicate(emb0, copies, "vec_id").persist()
-        docs.count(), emb.count()
+        docs.count()
+        n_emb = emb.count()
+        knn_left = emb.where(F.col("vec_id") % 17 == 0)
+        n_knn_left = knn_left.count()
+        # the documented 100 TB sizing discipline: 2^n_planes tracks |right|
+        # so per-left-row candidate volume stays CONSTANT as data grows —
+        # under it, total k-NN-join work is linear in |left|, which is the
+        # claim this sweep verifies (fixed n_planes would be quadratic by
+        # construction, a misconfiguration, not an engine property)
+        knn_planes = 9 + {1: 0, 2: 1, 4: 2}[copies]
         ops = {
             "flagship_topk": lambda: similarity.topk_similar(
                 emb, QV_FLAGSHIP, k=12
@@ -82,6 +91,13 @@ def main() -> None:
                 docs.select("doc_id", "lang"),
                 docs.where(F.col("doc_id") % 3 == 0).select("doc_id"),
                 "doc_id",
+            ).count(),
+            # round-5 addition: the cross-table k-NN join (neither side
+            # broadcast); with 2^n_planes ∝ |right| the candidate bound —
+            # |L|·|R|·probes/2^n_planes — grows only with |L|
+            "lsh_knn_join": lambda: ann.lsh_knn_join(
+                knn_left, emb, k=5, n_planes=knn_planes, n_probe_bits=1,
+                dim=64, n_left=n_knn_left, n_right=n_emb,
             ).count(),
         }
         out = {}
