@@ -147,11 +147,58 @@ def _commit(path: str, version: int, segments: list[str], op: str,
         pass  # cache only — the manifest is already the source of truth
 
 
-def create(spark: SparkSession, path: str, df: DataFrame) -> int:
-    """Create the versioned table as version 1. Returns the version."""
+def _json_stat(v):
+    """JSON-encodable stat value; timestamps as ISO strings (ISO order ==
+    time order, so string comparison prunes correctly)."""
+    import datetime
+
+    if v is None or isinstance(v, (int, float, bool, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    return str(v)
+
+
+def _segment_stats(df: DataFrame, stat_cols: list[str]) -> dict:
+    """Per-segment zone map: {col: {min, max, nulls}} from ONE aggregate
+    over the batch being written — the marginal cost of stats is a single
+    partial-agg pass at write time, paid once, saved on every read."""
+    import pyspark.sql.functions as F
+
+    aggs = []
+    for c in stat_cols:
+        aggs += [
+            F.min(c).alias(f"__mn_{c}"),
+            F.max(c).alias(f"__mx_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nl_{c}"),
+        ]
+    row = df.agg(*aggs).first()
+    return {
+        c: {"min": _json_stat(row[f"__mn_{c}"]),
+            "max": _json_stat(row[f"__mx_{c}"]),
+            "nulls": int(row[f"__nl_{c}"] or 0)}
+        for c in stat_cols
+    }
+
+
+def create(spark: SparkSession, path: str, df: DataFrame,
+           stat_cols: list[str] | None = None) -> int:
+    """Create the versioned table as version 1. Returns the version.
+
+    ``stat_cols`` declares zone-map columns ONCE at table level: every
+    subsequent commit (append/upsert/overwrite/stream-append) records
+    per-segment min/max/null-count for them in the manifest, and
+    ``read_pruned`` skips whole segments at MANIFEST-resolution time —
+    the Delta/Iceberg file-skipping idea at segment granularity. At
+    100 TB with daily appends, a time-range query opens the overlapping
+    days' segments and zero others, decided without touching storage."""
     os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=False)
     seg = _write_segment(df, path)
-    _commit(path, 1, [seg], "create")
+    extra: dict = {}
+    if stat_cols:
+        extra = {"stat_cols": list(stat_cols),
+                 "seg_stats": {seg: _segment_stats(df, list(stat_cols))}}
+    _commit(path, 1, [seg], "create", extra=extra)
     return 1
 
 
@@ -165,14 +212,78 @@ def read(spark: SparkSession, path: str, version: int | None = None) -> DataFram
     return spark.read.option("mergeSchema", "true").parquet(*dirs)
 
 
+def read_pruned(
+    spark: SparkSession, path: str, col: str, lo=None, hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Range read with MANIFEST-level segment skipping: keep only segments
+    whose recorded [min, max] for ``col`` overlaps [lo, hi] (all-NULL
+    segments never match a range predicate and are skipped; segments
+    without stats are kept conservatively), then apply the row predicate
+    inside the survivors — parquet row-group stats prune further below.
+    The skip decision costs a KB-sized manifest read, zero file opens:
+    pruning BEFORE the storage layer is what keeps a point-in-time range
+    query O(overlap) instead of O(table) at 100 TB."""
+    import pyspark.sql.functions as F
+
+    v = current_version(path) if version is None else int(version)
+    m = _manifest(path, v)
+    stats = m.get("seg_stats", {})
+    keep = []
+    for seg in m["segments"]:
+        st = stats.get(seg, {}).get(col)
+        if st is None:
+            keep.append(seg)  # no stats recorded: cannot prune, keep
+            continue
+        mn, mx = st["min"], st["max"]
+        if mn is None and mx is None:
+            continue  # all NULL: a range predicate matches nothing
+        if lo is not None and mx is not None and mx < _json_stat(lo):
+            continue
+        if hi is not None and mn is not None and mn > _json_stat(hi):
+            continue
+        keep.append(seg)
+    if not keep:
+        base = read(spark, path, v).limit(0)
+    else:
+        base = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, s) for s in keep]
+        )
+    out = base
+    if lo is not None:
+        out = out.where(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        out = out.where(F.col(col) <= F.lit(hi))
+    return out
+
+
+def _carry_stats(spark: SparkSession, parent: dict, new_pairs: list,
+                 retained: list[str]) -> dict:
+    """Manifest stats for a child commit: parent's entries for retained
+    segments plus freshly computed entries for the new (seg, df) pairs.
+    Returns the `extra` dict (empty when the table tracks no stats)."""
+    cols = parent.get("stat_cols")
+    if not cols:
+        return {}
+    old = parent.get("seg_stats", {})
+    seg_stats = {s: old[s] for s in retained if s in old}
+    for seg, df in new_pairs:
+        seg_stats[seg] = _segment_stats(df, cols)
+    return {"stat_cols": cols, "seg_stats": seg_stats}
+
+
 def append(spark: SparkSession, path: str, batch: DataFrame) -> int:
     """O(batch) append commit: write one new segment, manifest = parent
     segments + it. The ingest-path commit — never reads or rewrites
-    existing data."""
+    existing data. Zone-map stats (when the table tracks them) cost one
+    extra aggregate over the batch, never a table scan."""
     v = current_version(path)
     seg = _write_segment(batch, path)
+    parent = _manifest(path, v)
     try:
-        _commit(path, v + 1, _manifest(path, v)["segments"] + [seg], "append")
+        _commit(path, v + 1, parent["segments"] + [seg], "append",
+                extra=_carry_stats(spark, parent, [(seg, batch)],
+                                   parent["segments"]))
     except ConcurrentWriteError:
         shutil.rmtree(os.path.join(path, seg))  # orphan cleanup, then surface
         raise
@@ -184,8 +295,10 @@ def overwrite(spark: SparkSession, path: str, df: DataFrame) -> int:
     the whole new state. Old versions remain readable until vacuum."""
     v = current_version(path)
     seg = _write_segment(df, path)
+    parent = _manifest(path, v)
     try:
-        _commit(path, v + 1, [seg], "overwrite")
+        _commit(path, v + 1, [seg], "overwrite",
+                extra=_carry_stats(spark, parent, [(seg, df)], []))
     except ConcurrentWriteError:
         shutil.rmtree(os.path.join(path, seg))
         raise
@@ -205,8 +318,13 @@ def upsert(spark: SparkSession, path: str, updates: DataFrame, key: str) -> int:
         updates.select(key).distinct(), [key], "left_anti"
     ).unionByName(updates, allowMissingColumns=True)
     seg = _write_segment(merged, path)
+    parent = _manifest(path, v)
     try:
-        _commit(path, v + 1, [seg], "upsert")
+        _commit(path, v + 1, [seg], "upsert",
+                extra=_carry_stats(
+                    spark, parent,
+                    [(seg, spark.read.parquet(os.path.join(path, seg)))], []
+                ))
     except ConcurrentWriteError:
         shutil.rmtree(os.path.join(path, seg))
         raise
@@ -242,9 +360,12 @@ def append_exactly_once(
         return None
     v = current_version(path)
     seg = _write_segment(batch, path)
+    parent = _manifest(path, v)
     try:
-        _commit(path, v + 1, _manifest(path, v)["segments"] + [seg],
-                "stream-append", batch_id=int(batch_id))
+        _commit(path, v + 1, parent["segments"] + [seg],
+                "stream-append", batch_id=int(batch_id),
+                extra=_carry_stats(spark, parent, [(seg, batch)],
+                                   parent["segments"]))
     except ConcurrentWriteError:
         shutil.rmtree(os.path.join(path, seg))
         raise

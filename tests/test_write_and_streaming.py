@@ -1280,6 +1280,39 @@ class TestVersionedBucketed:
         assert [(r.id, r.val, r._change_type) for r in chb.collect()] == [
             (1000, "x", "insert")]
 
+    def test_zone_map_segment_pruning(self, spark, tmp_path):
+        """Manifest-level zone maps: per-segment min/max recorded at commit
+        time; a range read keeps only overlapping segments — decided from
+        the KB-sized manifest, zero file opens — and all-NULL segments are
+        skipped for range predicates. Result parity with filter-after-scan
+        is exact."""
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "v")
+        mk = lambda rows: spark.createDataFrame(rows, "id long, val long")
+        V.create(spark, t, mk([(i, i) for i in range(0, 100)]),
+                 stat_cols=["val"])
+        V.append(spark, t, mk([(i, i) for i in range(100, 200)]))
+        V.append(spark, t, mk([(i, i) for i in range(200, 300)]))
+        V.append(spark, t, mk([(300, None), (301, None)]))  # all-NULL seg
+        df = V.read_pruned(spark, t, "val", lo=120, hi=180)
+        # exactly one segment (the 100..200 one) enters the plan
+        m = V._manifest(t, V.current_version(t))
+        in_plan = {f.split("/seg-")[1].split("/")[0] for f in df.inputFiles()}
+        assert len(in_plan) == 1
+        # values match the unpruned filter exactly
+        got = sorted(r.val for r in df.collect())
+        assert got == list(range(120, 181))
+        # a range outside every segment reads nothing
+        assert V.read_pruned(spark, t, "val", lo=1000).count() == 0
+        # stats survive an upsert (recomputed for the merged segment)
+        V.upsert(spark, t, mk([(150, 5000)]), "id")
+        assert sorted(
+            r.val for r in V.read_pruned(spark, t, "val", lo=4000).collect()
+        ) == [5000]
+        # and time travel prunes against the OLD manifest's stats
+        assert V.read_pruned(spark, t, "val", lo=4000, version=4).count() == 0
+
     def test_table_changes_snapshot_diff_on_upsert(self, spark, tmp_path):
         """CDC general path: an interval containing an upsert falls back to
         the key-based snapshot diff — inserts, updates, and deletes are
@@ -1451,12 +1484,12 @@ def test_versioned_upsert_retry_rebases_on_conflict(spark, tmp_path, monkeypatch
     fired = {"done": False}
     orig_commit = V._commit
 
-    def racing_commit(path, version, segments, op, batch_id=None):
+    def racing_commit(path, version, segments, op, batch_id=None, **kw):
         if not fired["done"] and op == "upsert":
             fired["done"] = True
             # the competitor appends FIRST, taking this version number
             V.append(spark, path, competitor)
-        return orig_commit(path, version, segments, op, batch_id)
+        return orig_commit(path, version, segments, op, batch_id, **kw)
 
     monkeypatch.setattr(V, "_commit", racing_commit)
     v = V.upsert_with_retry(
