@@ -244,9 +244,12 @@ def upsert_parquet_bucketed(
     written. Returns the number of buckets rewritten.
 
     Consistency: each bucket swap is atomic (rename); the table commit is
-    per-bucket, not all-or-nothing across buckets — the honest boundary of
-    a filesystem table format, where Delta/Iceberg's transaction log is the
-    production upgrade (same MERGE shape, multi-file atomicity).
+    per-bucket, not all-or-nothing across buckets. When you need an atomic
+    cross-bucket commit, reader snapshot isolation during the rewrite, or
+    time travel, use the manifest-log composition instead —
+    ``sources.versioned.create_bucketed`` / ``upsert_bucketed`` keep this
+    bounded-rewrite plan but commit ONE manifest across all touched
+    buckets (Delta/Iceberg remain the production superset).
 
     Measured (600k-row / 16 MB unique-key table, 64 buckets, 8-key update):
     rewrites 7 buckets = 11.8% of table bytes vs the flat upsert's 100%.

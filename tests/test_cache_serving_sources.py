@@ -195,6 +195,64 @@ def test_python_datasource_partitioned_enumeration(spark):
     assert sorted(r.url for r in again.collect()) == sorted(r.url for r in df.collect())
 
 
+def test_versioned_cdc_stream_tails_appends(spark, tmp_path):
+    """The read-side complement of the exactly-once versioned sink: a
+    versioned_cdc readStream tails the manifest log — each micro-batch is
+    exactly the segments the new commits added (O(delta), no pre-existing
+    segment opened), offsets are version numbers in the checkpoint, and a
+    history-rewriting commit (upsert) fails the stream loudly instead of
+    emitting rows that were never changes."""
+    from rclip_server_spark.sources import cdc_stream
+    from rclip_server_spark.sources import versioned as V
+
+    cdc_stream.register(spark)
+    t = str(tmp_path / "v")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, val string")
+    V.create(spark, t, mk([(1, "a"), (2, "b")]))
+    V.append(spark, t, mk([(3, "c")]))
+
+    # backfill from v1: the initial batch replays the full append history
+    stream = (
+        spark.readStream.format("versioned_cdc")
+        .option("path", t).option("from_version", 1).load()
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("cdc_tail")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r.id, r.val) for r in spark.sql("select * from cdc_tail").collect()}
+        assert got == {(1, "a"), (2, "b"), (3, "c")}
+        # live tail: two more append commits arrive as new micro-batches
+        V.append(spark, t, mk([(4, "d")]))
+        V.append_exactly_once(spark, t, mk([(5, "e")]), batch_id=9)
+        q.processAllAvailable()
+        got = {(r.id, r.val) for r in spark.sql("select * from cdc_tail").collect()}
+        assert got == {(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")}
+        # exactly once across the pipeline: no duplicates
+        assert spark.sql("select count(*) from cdc_tail").first()[0] == 5
+    finally:
+        q.stop()
+
+    # a rewrite breaks the append-only contract -> the stream fails loudly
+    V.upsert(spark, t, mk([(1, "A")]), "id")
+    q2 = (
+        spark.readStream.format("versioned_cdc")
+        .option("path", t).option("from_version", 1).load()
+        .writeStream.format("memory").queryName("cdc_broken")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("append").start()
+    )
+    try:
+        with pytest.raises(Exception, match="append-only|STREAM_FAILED"):
+            q2.processAllAvailable()
+            q2.awaitTermination(30)
+    finally:
+        q2.stop()
+
+
 def test_python_streaming_datasource_to_upsert_sink(spark, tmp_path):
     """The full streaming indexer spine on the Spark 4 Python datasource
     API: external_enum readStream (cursor-paginated micro-batches) ->
