@@ -3212,6 +3212,30 @@ _register(
 )
 
 _register(
+    "samp_temperature_mixture",
+    lambda spark, sf: sampling.temperature_mixture_sample(
+        _t(spark, sf, "documents"), "doc_id", "lang", target_total=200
+    ).select("doc_id", "lang"),
+    f"""
+    WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_d
+               FROM documents GROUP BY lang),
+    w AS (SELECT lang, n_d,
+                 CAST(floor(sqrt(CAST(n_d AS DOUBLE))) AS BIGINT) AS w_d
+          FROM c),
+    s AS (SELECT CAST(sum(w_d) AS BIGINT) AS s_w FROM w),
+    t AS (SELECT lang,
+                 least(CAST(floor(CAST(w_d AS DOUBLE) * 200.0
+                        / (CAST(s_w AS DOUBLE) * CAST(n_d AS DOUBLE))
+                        * 4294967296.0) AS BIGINT),
+                       4294967296) AS thr
+          FROM w, s)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN t USING (lang)
+    WHERE {_samp_hash_sql('temp')} < t.thr
+    """,
+)
+
+_register(
     "dedup_semantic_semdedup",
     # threshold 0.4 (not the production-ish 0.95): the synthetic fixture has
     # no true near-dups, and the oracle must exercise the drop path

@@ -316,3 +316,55 @@ def split_leakage_report(
         .groupBy("split_lo", "split_hi")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    class_col: str,
+    target_total: int,
+    salt: str = "temp",
+) -> DataFrame:
+    """Square-root temperature-scaled domain mixture (the multilingual
+    rebalancing recipe: sample domain d with weight ∝ n_d^0.5, so dominant
+    domains are downsampled and the long tail is boosted relative to
+    proportional sampling — the alpha=0.5 point of the temperature family
+    used for multilingual corpus balancing).
+
+    Per class: rate_d = min(1, w_d·T / (S·n_d)) with w_d = floor(sqrt(n_d))
+    and S = sum(w_d), giving E[kept_d] ≈ (w_d/S)·T. DETERMINISM is why the
+    weights are INTEGER square roots: sqrt is IEEE-correctly-rounded (the
+    only transcendental-adjacent op that is), floor is exact, and S becomes
+    an order-free integer sum — so the per-class threshold
+    floor(w_d·T / (S·n_d) · 2^32) involves exact integer products (< 2^53
+    in double), ONE correctly-rounded division, an exact power-of-two
+    scale, and an exact floor: bit-identical across engines, partition
+    layouts, and reruns. The row decision is the standard salted-hash
+    threshold (map-side, append-stable per existing-row fate).
+
+    Shape: one sketch-sized agg (n_classes rows), a broadcast join of the
+    thresholds back onto the rows, and a map-side filter — the data is
+    scanned once and never shuffled."""
+    counts = df.groupBy(class_col).agg(F.count(F.lit(1)).alias("__n_d"))
+    w = counts.withColumn(
+        "__w_d", F.floor(F.sqrt(F.col("__n_d").cast("double"))).cast("long")
+    )
+    tot = w.agg(F.sum("__w_d").alias("__s_w"))
+    thr = (
+        F.floor(
+            (F.col("__w_d") * F.lit(float(int(target_total))))
+            / (F.col("__s_w").cast("double") * F.col("__n_d").cast("double"))
+            * F.lit(float(_HASH_SPACE))
+        )
+        .cast("long")
+    )
+    rates = (
+        w.crossJoin(F.broadcast(tot))
+        .select(class_col, F.least(thr, F.lit(_HASH_SPACE)).alias("__thr"))
+    )
+    h = _row_hash(id_col, salt)
+    return (
+        df.join(F.broadcast(rates), class_col)
+        .where(h < F.col("__thr"))
+        .drop("__thr")
+    )

@@ -512,3 +512,37 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_spark_bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    n_buckets: int = 8,
+    path: str | None = None,
+) -> None:
+    """Native Spark bucketed table (``bucketBy + sortBy + saveAsTable``):
+    the catalog records the bucketing spec, so a join or aggregation on
+    the bucket key consumes the layout as a pre-existing hash
+    partitioning — Catalyst plans a SortMergeJoin with ZERO Exchange when
+    both sides are bucketed on the join key with the same bucket count
+    (asserted in tools/explain_audit.py). This is the at-rest co-location
+    answer for the repeated-big-join workload: pay one write-time shuffle,
+    then every subsequent join/groupBy on the key is shuffle-free.
+
+    Differs from the hive-partitioned `__bucket` layout above (which
+    optimizes bounded-REWRITE and point lookups): this one optimizes
+    repeated JOINs — a 100 TB pipeline typically buckets its fact tables
+    by join key with this writer and uses the manifest-log layout for the
+    mutable dimension/state tables. ``path`` makes it an external table
+    (files survive a catalog drop)."""
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(int(n_buckets), key)
+        .sortBy(key)
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)

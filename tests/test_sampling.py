@@ -284,3 +284,49 @@ class TestWeightedPerClassFixedK:
             docs.groupBy("lang").count().rdd.map(lambda r: (r[0], r[1])).collect()
         )
         assert counts == {c: min(5, n) for c, n in pools.items()}
+
+
+class TestTemperatureMixture:
+    """sqrt-temperature domain rebalancing (sampling.temperature_mixture_
+    sample): deterministic thresholds, expected size, and the rebalancing
+    property (dominant classes downsampled harder than the tail)."""
+
+    def test_deterministic_and_sized(self, spark, documents):
+        a = sampling.temperature_mixture_sample(
+            documents, "doc_id", "lang", target_total=200
+        )
+        b = sampling.temperature_mixture_sample(
+            documents.repartition(7), "doc_id", "lang", target_total=200
+        )
+        ga = sorted(r.doc_id for r in a.collect())
+        gb = sorted(r.doc_id for r in b.collect())
+        assert ga == gb  # layout-invariant, rerun-stable
+        # kept size tracks the target (hash thresholds are probabilistic
+        # per class; the fixture gives ~217 at target 200)
+        assert 140 <= len(ga) <= 260
+
+    def test_rebalances_toward_the_tail(self, spark, documents):
+        import math
+
+        n_by = {r.lang: r.n for r in documents.groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+        kept = sampling.temperature_mixture_sample(
+            documents, "doc_id", "lang", target_total=200
+        )
+        k_by = {r.lang: r.n for r in kept.groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+        # expected share per class is w_d/S — verify against the exact
+        # integer-sqrt weights, within binomial noise
+        w = {c: math.floor(math.sqrt(n)) for c, n in n_by.items()}
+        S = sum(w.values())
+        for c, n in n_by.items():
+            exp = min(1.0, w[c] * 200 / (S * n)) * n
+            assert abs(k_by.get(c, 0) - exp) <= 4 * math.sqrt(exp) + 3, (
+                c, k_by.get(c, 0), exp)
+        # the sqrt law: kept FRACTION of the largest class is <= that of
+        # the smallest class (dominant domains are downsampled harder)
+        big = max(n_by, key=n_by.get)
+        small = min(n_by, key=n_by.get)
+        if n_by[big] > 2 * n_by[small]:
+            assert (k_by.get(big, 0) / n_by[big]
+                    <= k_by.get(small, 0) / n_by[small] + 0.05)

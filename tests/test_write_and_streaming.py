@@ -1102,6 +1102,36 @@ class TestVersionedTable:
             V.read(spark, t, 1)
 
 
+def test_spark_bucketed_table_join_and_agg_shuffle_free(spark, tmp_path, embeddings):
+    """Native bucketBy tables: a join of two tables bucketed on the same
+    key/count and a groupBy on the bucket key both plan with ZERO
+    Exchange — the at-rest co-location that makes repeated big joins
+    shuffle-free. Results must match the plain-join oracle exactly."""
+    a = embeddings.select("vec_id", "label")
+    b = embeddings.select("vec_id", F.col("label").alias("label2"))
+    writer.write_spark_bucketed_table(spark, a, "t_bt_a", "vec_id", 8,
+                                      path=str(tmp_path / "a"))
+    writer.write_spark_bucketed_table(spark, b, "t_bt_b", "vec_id", 8,
+                                      path=str(tmp_path / "b"))
+    try:
+        j = (spark.table("t_bt_a").hint("merge")
+             .join(spark.table("t_bt_b").hint("merge"), "vec_id"))
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted")
+        assert "SortMergeJoin" in plan and "Exchange" not in plan
+        # parity with the unbucketed join
+        want = a.join(b, "vec_id").count()
+        assert j.count() == want
+        g = spark.table("t_bt_a").groupBy("vec_id").count()
+        gplan = g._sc._jvm.PythonSQLUtils.explainString(
+            g._jdf.queryExecution(), "formatted")
+        assert "Exchange" not in gplan
+        assert g.count() == a.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bt_b")
+
+
 class TestVersionedBucketed:
     """The versioned-manifest × bucketed-layout composition
     (sources/versioned.create_bucketed &c): bounded-rewrite MERGE with an

@@ -442,6 +442,31 @@ def main() -> int:
         "~10 bits/key — the runtime-filter shape, made explicit.",
     ))
 
+    import tempfile as _tf
+
+    _btdir = _tf.mkdtemp(prefix="bucketed_audit_")
+    writer.write_spark_bucketed_table(
+        spark, docs.select("doc_id", "lang"), "audit_bt_a", "doc_id", 8,
+        path=os.path.join(_btdir, "a"))
+    writer.write_spark_bucketed_table(
+        spark, docs.select("doc_id", "n_chars"), "audit_bt_b", "doc_id", 8,
+        path=os.path.join(_btdir, "b"))
+    audits.append((
+        "Co-located join on native bucketed tables (zero Exchange)",
+        spark.table("audit_bt_a").hint("merge")
+        .join(spark.table("audit_bt_b").hint("merge"), "doc_id"),
+        {"SortMergeJoin": True, "Exchange": False},
+        "Both sides were written with bucketBy(8, key) + sortBy + "
+        "saveAsTable, so the catalog hands Catalyst a pre-existing hash "
+        "partitioning: the SortMergeJoin consumes the at-rest layout and "
+        "the plan contains NO Exchange — the repeated-big-join answer at "
+        "100 TB (pay one write-time shuffle, then every join/groupBy on "
+        "the key is shuffle-free). The merge hint only pins SMJ over "
+        "broadcast for the audit; the zero-shuffle property comes from "
+        "the bucketed layout, and a groupBy on the bucket key plans "
+        "Exchange-free the same way (test-asserted).",
+    ))
+
     from rclip_server_spark.operators import ann as ann_ops
 
     knn_left = emb.where(F.col("vec_id") % 7 == 0)
