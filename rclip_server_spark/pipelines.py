@@ -260,3 +260,62 @@ def curate_corpus(
         "n_tokens",
         "split",
     )
+
+
+def incremental_corpus_refresh(
+    spark: SparkSession,
+    raw_path: str,
+    curated_path: str,
+    last_raw_version: int,
+    min_tokens: int = 5,
+    min_quality: float = 0.3,
+    dedup_threshold: float = 0.7,
+) -> tuple[int | None, int]:
+    """One cycle of the CONTINUOUS curation loop — the shape a 100 TB
+    corpus actually runs day after day, composed from the engine's
+    incremental primitives so each cycle costs O(new data), never
+    O(corpus):
+
+        CDC read of the raw versioned table since the last processed
+        version (``versioned.table_changes`` fast path: only the appended
+        segments are opened)
+          → C4-style clean (map-only row-local gates)
+          → near-dup check of the BATCH against the EXISTING curated
+            corpus (``minhash_near_dup_incremental``: banded-LSH
+            corpus×batch join — cost scales with the batch; the corpus
+            side is its precomputable signature index)
+          → exactly-once append into the curated versioned table with
+            the processed RAW VERSION as the batch id — a crash-replayed
+            cycle finds the id in the curated table's manifest log and
+            skips, so reruns are safe end-to-end.
+
+    Returns (new_curated_version | None if this raw interval was already
+    committed, rows appended). Idempotence is carried by the manifest
+    log, not the caller."""
+    from .operators import dedup, text_analysis
+    from .sources import versioned
+
+    raw_head = versioned.current_version(raw_path)
+    if raw_head <= last_raw_version:
+        return None, 0
+    if last_raw_version < 1:
+        # initial backfill: the whole snapshot is the first "delta"
+        fresh = versioned.read(spark, raw_path, raw_head)
+    else:
+        fresh = versioned.table_changes(
+            spark, raw_path, from_version=last_raw_version, to_version=raw_head
+        ).drop("_change_type")
+    cleaned = text_analysis.clean_corpus(
+        fresh, min_tokens=min_tokens, min_quality=min_quality
+    ).select("doc_id", "text")
+    corpus = versioned.read(spark, curated_path).select("doc_id", "text")
+    dup_hits = dedup.minhash_near_dup_incremental(
+        corpus, cleaned, threshold=dedup_threshold
+    ).select(F.col("batch_id").alias("doc_id")).distinct()
+    survivors = cleaned.join(dup_hits, "doc_id", "left_anti")
+    v = versioned.append_exactly_once(
+        spark, curated_path, survivors, batch_id=raw_head
+    )
+    if v is None:  # crash-replayed interval: already committed, no-op
+        return None, 0
+    return v, survivors.count()
