@@ -3211,6 +3211,33 @@ _register(
     """,
 )
 
+def _graph_pagerank_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over the customer→supplier purchase graph (operators/
+    graph.pagerank): the link-graph quality-prior shape for web-corpus
+    curation, exercised on the fixture's orders×lineitem edges. Rows-only
+    (iterative float propagation per contract rules); exactness vs a
+    dense NumPy reference is pinned in tests/test_graph.py."""
+    from .operators import graph
+
+    orders = _t(spark, sf, "orders")
+    lineitem = _t(spark, sf, "lineitem")
+    edges = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select(
+        F.concat(F.lit("c"), "o_custkey").alias("src"),
+        F.concat(F.lit("s"), "l_suppkey").alias("dst"),
+    )
+    return (
+        graph.pagerank(edges, iters=6)
+        .select("node", F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(50)
+    )
+
+
+_register("graph_pagerank_suppliers", _graph_pagerank_suppliers, None)
+
+
 _register(
     "samp_temperature_mixture",
     lambda spark, sf: sampling.temperature_mixture_sample(

@@ -442,6 +442,22 @@ def main() -> int:
         "~10 bits/key — the runtime-filter shape, made explicit.",
     ))
 
+    from rclip_server_spark.operators import sampling as samp_ops
+
+    audits.append((
+        "sqrt-temperature domain mixture sample",
+        samp_ops.temperature_mixture_sample(docs, "doc_id", "lang", 200),
+        {"BroadcastHashJoin": True, "CartesianProduct": False},
+        "The per-domain thresholds come from a sketch-sized aggregate "
+        "(n_classes rows — its exchange moves class counts, not data) and "
+        "broadcast back onto the corpus; the keep/drop decision is a "
+        "map-side salted-hash comparison riding the scan. The DATA is "
+        "read once and never shuffled — rebalancing a 100 TB multilingual "
+        "corpus costs one pass. (The plan's one BroadcastNestedLoopJoin "
+        "is the 1-row normalizer total attached to the n_classes weight "
+        "rows — a sketch × scalar product, bounded by the class count.)",
+    ))
+
     import tempfile as _tf
 
     _btdir = _tf.mkdtemp(prefix="bucketed_audit_")
