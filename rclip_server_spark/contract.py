@@ -1405,9 +1405,10 @@ _PRIORITY = [
     # registered (155 oracle + 19 rows-only; the three late-r5 TPC-H rows
     # sql_q5/q10/q18 are rotation-eligible next round). Round-6 backlog
     # (oracle rows still never driver-verified after this window — 14 + the
-    # 3 new TPC-H rows = 17, one final rotation covers everything):
-    # sql_q5_local_supplier_volume, sql_q10_returned_items,
-    # sql_q18_large_orders, ann_hyperplane_near_dup_multiset,
+    # 4 late-r5 oracle additions = 18, one final rotation covers
+    # everything): sql_q5_local_supplier_volume, sql_q10_returned_items,
+    # sql_q18_large_orders, samp_temperature_mixture,
+    # ann_hyperplane_near_dup_multiset,
     # text_length_outlier_trim, text_source_stats, text_strip_dup_spans,
     # text_ngram_repetition, samp_weighted_per_class_k, sketch_histogram_drift,
     # sketch_histogram_quantiles_by_lang, ev_windowed_value_histogram,

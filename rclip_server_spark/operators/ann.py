@@ -1090,11 +1090,12 @@ def lsh_knn_join(
     ``max_expected_candidates`` (pass None to override deliberately).
 
     Laziness: pass ``n_left``/``n_right`` (and ``dim``) when the caller
-    already knows them — e.g. from catalog/file statistics or a persisted
-    upstream — and plan construction triggers ZERO Spark jobs. When absent,
-    the guard falls back to ``count()`` (and a ``first()`` for dim), which
-    RE-EXECUTES both upstream plans — persist the inputs first if they are
-    expensive."""
+    already knows them — e.g. from catalog/file statistics
+    (``sources.catalog.table_row_count`` answers from parquet footers
+    with zero Spark jobs) or a persisted upstream — and plan construction
+    triggers ZERO Spark jobs. When absent, the guard falls back to
+    ``count()`` (and a ``first()`` for dim), which RE-EXECUTES both
+    upstream plans — persist the inputs first if they are expensive."""
     if dim is None:
         probe = left.select(F.size(vec_col)).first()
         if probe is None or probe[0] is None:

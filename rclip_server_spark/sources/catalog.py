@@ -89,3 +89,25 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def table_row_count(path: str) -> int:
+    """EXACT row count from parquet FOOTER metadata — zero Spark jobs, zero
+    data reads: every parquet file footer records its row count, so the
+    total is a sum over file metadata (pyarrow reads only the footers).
+    This is how a planner should answer "how big is this table" for cost
+    decisions — e.g. the lsh_knn_join scale guard's n_left/n_right, or
+    broadcast-side selection — without re-executing the scan. Works on a
+    single .parquet file or a directory tree of them. At 100 TB the cost
+    is one footer read per file (catalog/manifest-cached in a real
+    deployment; the manifest-log layout could store it at commit time)."""
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(path):
+        return pq.ParquetFile(path).metadata.num_rows
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total

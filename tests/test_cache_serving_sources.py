@@ -281,3 +281,21 @@ def test_python_streaming_datasource_to_upsert_sink(spark, tmp_path):
     assert got.count() == 250
     assert got.select("title").distinct().count() == 250
     assert got.agg(F.min("page_index"), F.max("page_index")).first() == (0, 249)
+
+
+def test_table_row_count_metadata_only(spark, tmp_path):
+    """catalog.table_row_count answers from parquet footers — exact, zero
+    Spark jobs (status-tracker-asserted) — for single files and
+    multi-file directory trees."""
+    from rclip_server_spark.sources.catalog import table_row_count
+
+    d = str(tmp_path / "t")
+    spark.range(1234).repartition(4).write.parquet(d)
+    sc = spark.sparkContext
+    sc.setJobGroup("rowcount-meta-test", "footers only")
+    try:
+        assert table_row_count(d) == 1234
+        assert sc.statusTracker().getJobIdsForGroup("rowcount-meta-test") == []
+    finally:
+        sc.setJobGroup("", "")
+    assert table_row_count("/root/testdata/sf0.01/lineitem.parquet") == 60000
