@@ -93,6 +93,7 @@ class VersionedCDCStreamReader(DataSourceStreamReader):
         self.from_version = options.get("from_version")
         self.columns = list(schema.fieldNames())
 
+
     # -- manifest helpers (driver-side; self-contained re-implementation is
     #    deliberate: DataSourceStreamReader instances are pickled to the
     #    Python worker that plans batches, where the repo is not importable)
@@ -124,6 +125,13 @@ class VersionedCDCStreamReader(DataSourceStreamReader):
         return {"version": self._versions()[-1]}
 
     def latestOffset(self) -> dict:
+        # NOTE: no maxOffsetsPerTrigger-style admission control here — the
+        # Python runner invokes offset methods on stateless pickled copies
+        # of this reader, so an in-instance "last planned end" cannot bound
+        # the batch reliably. A deep backfill therefore arrives as one
+        # batch whose PARTITIONS are still per-segment (executor
+        # parallelism bounds the per-task work); chunked admission belongs
+        # at this API's engine level when it grows ReadLimit support.
         return {"version": self._versions()[-1]}
 
     def partitions(self, start: dict, end: dict):

@@ -123,6 +123,22 @@ def _commit(path: str, version: int, segments: list[str], op: str,
         manifest["batch_id"] = int(batch_id)
     if extra:
         manifest.update(extra)
+    # per-segment row counts, carried from the parent for retained
+    # segments and read from parquet FOOTERS for new ones (metadata-only,
+    # no Spark job) — so table_row_count() answers any version's size
+    # from the manifest alone, and planners never pay a count() scan
+    from .catalog import table_row_count as _footer_rows
+
+    try:
+        parent_rows = (_manifest(path, version - 1).get("seg_rows", {})
+                       if version > 1 else {})
+    except FileNotFoundError:
+        parent_rows = {}
+    manifest["seg_rows"] = {
+        s: parent_rows.get(s, None) if s in parent_rows
+        else _footer_rows(os.path.join(path, s))
+        for s in _manifest_segments(manifest)
+    }
     target = _snap_path(path, version)
     snap_dir = os.path.join(path, _SNAP_DIR)
     tmp = os.path.join(snap_dir, f".tmp-{uuid.uuid4().hex[:12]}")
@@ -213,36 +229,47 @@ def read(spark: SparkSession, path: str, version: int | None = None) -> DataFram
 
 
 def read_pruned(
-    spark: SparkSession, path: str, col: str, lo=None, hi=None,
-    version: int | None = None,
+    spark: SparkSession, path: str, col: str | None = None, lo=None, hi=None,
+    version: int | None = None, ranges: dict | None = None,
 ) -> DataFrame:
     """Range read with MANIFEST-level segment skipping: keep only segments
-    whose recorded [min, max] for ``col`` overlaps [lo, hi] (all-NULL
+    whose recorded [min, max] overlaps the predicate ranges (all-NULL
     segments never match a range predicate and are skipped; segments
-    without stats are kept conservatively), then apply the row predicate
+    without stats are kept conservatively), then apply the row predicates
     inside the survivors — parquet row-group stats prune further below.
     The skip decision costs a KB-sized manifest read, zero file opens:
     pruning BEFORE the storage layer is what keeps a point-in-time range
-    query O(overlap) instead of O(table) at 100 TB."""
+    query O(overlap) instead of O(table) at 100 TB.
+
+    Single-column form: ``read_pruned(spark, path, col, lo, hi)``.
+    Multi-column form: ``ranges={"ts": (t0, t1), "value": (None, 100)}``
+    — a segment must overlap EVERY range to survive (conjunction), so
+    each additional tracked predicate column can only prune further."""
     import pyspark.sql.functions as F
 
+    if ranges is None:
+        if col is None:
+            raise ValueError("pass either col/lo/hi or ranges={...}")
+        ranges = {col: (lo, hi)}
     v = current_version(path) if version is None else int(version)
     m = _manifest(path, v)
     stats = m.get("seg_stats", {})
-    keep = []
-    for seg in m["segments"]:
-        st = stats.get(seg, {}).get(col)
-        if st is None:
-            keep.append(seg)  # no stats recorded: cannot prune, keep
-            continue
-        mn, mx = st["min"], st["max"]
-        if mn is None and mx is None:
-            continue  # all NULL: a range predicate matches nothing
-        if lo is not None and mx is not None and mx < _json_stat(lo):
-            continue
-        if hi is not None and mn is not None and mn > _json_stat(hi):
-            continue
-        keep.append(seg)
+
+    def _survives(seg: str) -> bool:
+        for c, (c_lo, c_hi) in ranges.items():
+            st = stats.get(seg, {}).get(c)
+            if st is None:
+                continue  # no stats for this col: cannot prune on it
+            mn, mx = st["min"], st["max"]
+            if mn is None and mx is None:
+                return False  # all NULL: a range predicate matches nothing
+            if c_lo is not None and mx is not None and mx < _json_stat(c_lo):
+                return False
+            if c_hi is not None and mn is not None and mn > _json_stat(c_hi):
+                return False
+        return True
+
+    keep = [seg for seg in m["segments"] if _survives(seg)]
     if not keep:
         base = read(spark, path, v).limit(0)
     else:
@@ -250,10 +277,11 @@ def read_pruned(
             *[os.path.join(path, s) for s in keep]
         )
     out = base
-    if lo is not None:
-        out = out.where(F.col(col) >= F.lit(lo))
-    if hi is not None:
-        out = out.where(F.col(col) <= F.lit(hi))
+    for c, (c_lo, c_hi) in ranges.items():
+        if c_lo is not None:
+            out = out.where(F.col(c) >= F.lit(c_lo))
+        if c_hi is not None:
+            out = out.where(F.col(c) <= F.lit(c_hi))
     return out
 
 
@@ -388,6 +416,24 @@ def upsert_with_retry(
             if attempt == max_retries:
                 raise
     raise AssertionError("unreachable")
+
+
+def table_row_count(path: str, version: int | None = None) -> int:
+    """EXACT row count of a version from the manifest's recorded
+    per-segment counts — zero Spark jobs, zero file opens (counts were
+    read once from parquet footers at commit time). Falls back to a
+    footer walk for segments committed before counts were recorded."""
+    from .catalog import table_row_count as _footer_rows
+
+    v = current_version(path) if version is None else int(version)
+    m = _manifest(path, v)
+    rows = m.get("seg_rows", {})
+    total = 0
+    for s in _manifest_segments(m):
+        n = rows.get(s)
+        total += int(n) if n is not None else _footer_rows(
+            os.path.join(path, s))
+    return total
 
 
 def history(path: str) -> list[dict]:

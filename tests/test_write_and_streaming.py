@@ -1343,6 +1343,46 @@ class TestVersionedBucketed:
         # and time travel prunes against the OLD manifest's stats
         assert V.read_pruned(spark, t, "val", lo=4000, version=4).count() == 0
 
+    def test_zone_map_multi_column_conjunction(self, spark, tmp_path):
+        """Multi-predicate pruning: a segment must overlap EVERY range to
+        survive; each tracked column can only prune further."""
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "v")
+        mk = lambda rows: spark.createDataFrame(rows, "id long, a long, b long")
+        V.create(spark, t, mk([(i, i, 0) for i in range(100)]),
+                 stat_cols=["a", "b"])
+        V.append(spark, t, mk([(i, i, 1) for i in range(100, 200)]))
+        V.append(spark, t, mk([(i, i, 2) for i in range(200, 300)]))
+        # a in [120,280] overlaps segs 2+3; b <= 1 overlaps segs 1+2;
+        # the conjunction survives only seg 2
+        df = V.read_pruned(spark, t, ranges={"a": (120, 280), "b": (None, 1)})
+        segs = {f.split("/seg-")[1].split("/")[0] for f in df.inputFiles()}
+        assert len(segs) == 1
+        got = sorted(r.a for r in df.collect())
+        assert got == list(range(120, 200))
+
+    def test_manifest_row_counts(self, spark, tmp_path):
+        """Per-segment row counts are recorded at commit time from parquet
+        footers; table_row_count answers any version's size with zero
+        Spark jobs."""
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "v")
+        V.create(spark, t, self._df(spark, [(i, "x") for i in range(50)]))
+        V.append(spark, t, self._df(spark, [(i, "y") for i in range(50, 80)]))
+        V.upsert(spark, t, self._df(spark, [(0, "Z"), (999, "n")]), "id")
+        sc = spark.sparkContext
+        sc.setJobGroup("manifest-rowcount-test", "metadata only")
+        try:
+            assert V.table_row_count(t, 1) == 50
+            assert V.table_row_count(t, 2) == 80
+            assert V.table_row_count(t) == 81  # post-upsert head
+            assert sc.statusTracker().getJobIdsForGroup(
+                "manifest-rowcount-test") == []
+        finally:
+            sc.setJobGroup("", "")
+
     def test_table_changes_snapshot_diff_on_upsert(self, spark, tmp_path):
         """CDC general path: an interval containing an upsert falls back to
         the key-based snapshot diff — inserts, updates, and deletes are
