@@ -135,7 +135,7 @@ def _commit(path: str, version: int, segments: list[str], op: str,
     except FileNotFoundError:
         parent_rows = {}
     manifest["seg_rows"] = {
-        s: parent_rows.get(s, None) if s in parent_rows
+        s: parent_rows[s] if s in parent_rows
         else _footer_rows(os.path.join(path, s))
         for s in _manifest_segments(manifest)
     }
@@ -254,22 +254,8 @@ def read_pruned(
     v = current_version(path) if version is None else int(version)
     m = _manifest(path, v)
     stats = m.get("seg_stats", {})
-
-    def _survives(seg: str) -> bool:
-        for c, (c_lo, c_hi) in ranges.items():
-            st = stats.get(seg, {}).get(c)
-            if st is None:
-                continue  # no stats for this col: cannot prune on it
-            mn, mx = st["min"], st["max"]
-            if mn is None and mx is None:
-                return False  # all NULL: a range predicate matches nothing
-            if c_lo is not None and mx is not None and mx < _json_stat(c_lo):
-                return False
-            if c_hi is not None and mn is not None and mn > _json_stat(c_hi):
-                return False
-        return True
-
-    keep = [seg for seg in m["segments"] if _survives(seg)]
+    keep = [seg for seg in m["segments"]
+            if zone_survives(stats.get(seg, {}), ranges)]
     if not keep:
         base = read(spark, path, v).limit(0)
     else:
@@ -283,6 +269,27 @@ def read_pruned(
         if c_hi is not None:
             out = out.where(F.col(c) <= F.lit(c_hi))
     return out
+
+
+def zone_survives(seg_stats: dict, ranges: dict) -> bool:
+    """Pure segment-skip decision: may a segment with the recorded
+    per-column stats contain a row matching every range in ``ranges``?
+    The SAFETY property (no false prune: if any actual value satisfies
+    the conjunction, this must return True) is hypothesis-tested against
+    a brute-force oracle in tests/test_properties.py; pruning is allowed
+    to be conservative (keep when unsure), never aggressive."""
+    for c, (c_lo, c_hi) in ranges.items():
+        st = seg_stats.get(c)
+        if st is None:
+            continue  # no stats for this col: cannot prune on it
+        mn, mx = st["min"], st["max"]
+        if mn is None and mx is None:
+            return False  # all NULL: a range predicate matches nothing
+        if c_lo is not None and mx is not None and mx < _json_stat(c_lo):
+            return False
+        if c_hi is not None and mn is not None and mn > _json_stat(c_hi):
+            return False
+    return True
 
 
 def _carry_stats(spark: SparkSession, parent: dict, new_pairs: list,

@@ -136,3 +136,61 @@ def test_pq_train_deterministic_and_wellformed(seed, n):
     np.testing.assert_array_equal(a, b)          # seeded determinism
     assert a.shape == (4, min(8, n), 2)          # (m_sub, k_cent<=n, dsub)
     assert np.isfinite(a).all()
+
+
+# --- zone-map segment skipping (sources/versioned.zone_survives) ---------
+
+_vals = st.lists(
+    st.one_of(st.none(), st.integers(min_value=-1000, max_value=1000)),
+    min_size=1, max_size=12,
+)
+_bound = st.one_of(st.none(), st.integers(min_value=-1000, max_value=1000))
+
+
+@given(
+    st.dictionaries(st.sampled_from(["a", "b", "c"]), _vals,
+                    min_size=1, max_size=3),
+    st.dictionaries(st.sampled_from(["a", "b", "c"]),
+                    st.tuples(_bound, _bound), min_size=1, max_size=3),
+)
+@settings(max_examples=300, deadline=None)
+def test_zone_survives_never_false_prunes(col_values, ranges):
+    """SAFETY: if any row (taking value v_c for each column c; a column
+    without generated values contributes non-NULL-unknown, i.e. cannot
+    fail the predicate via stats) satisfies every range, the pruning
+    decision must keep the segment. Conservativeness (keeping a segment
+    with no matching row) is allowed; dropping a matching one is not."""
+    from rclip_server_spark.sources.versioned import zone_survives
+
+    # stats exactly as the write path records them
+    seg_stats = {}
+    for c, vs in col_values.items():
+        nn = [v for v in vs if v is not None]
+        seg_stats[c] = {
+            "min": min(nn) if nn else None,
+            "max": max(nn) if nn else None,
+            "nulls": sum(1 for v in vs if v is None),
+        }
+    # brute-force oracle: rows are the value tuples (same index across
+    # columns; ragged lists padded with None = SQL NULL, which fails any
+    # range predicate)
+    n_rows = max(len(vs) for vs in col_values.values())
+
+    def row_matches(i):
+        for c, (lo, hi) in ranges.items():
+            if c not in col_values:
+                continue  # untracked column: stats can't see it either
+            vs = col_values[c]
+            v = vs[i] if i < len(vs) else None
+            if v is None:
+                return False
+            if lo is not None and v < lo:
+                return False
+            if hi is not None and v > hi:
+                return False
+        return True
+
+    any_match = any(row_matches(i) for i in range(n_rows))
+    survived = zone_survives(seg_stats, ranges)
+    if any_match:
+        assert survived, (seg_stats, ranges)

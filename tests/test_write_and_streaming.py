@@ -1068,6 +1068,43 @@ class TestVersionedTable:
         V.vacuum(t, keep_last=2)
         assert not os.path.exists(junk)
 
+    def test_occ_true_concurrent_writers_all_land(self, spark, tmp_path):
+        """REAL concurrency (not a monkeypatched race): four threads each
+        push three upserts through the retry loop against one table. The
+        os.link commit point must arbitrate every collision so that ALL
+        twelve updates land exactly once and the version chain is gapless."""
+        import threading
+
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "v")
+        V.create(spark, t, self._df(spark, [(0, "base")]))
+        errors = []
+
+        def writer(wid: int):
+            try:
+                for j in range(3):
+                    upd = self._df(spark,
+                                   [(100 * (wid + 1) + j, f"w{wid}j{j}")])
+                    V.upsert_with_retry(spark, t, upd, "id", max_retries=20)
+            except Exception as exc:  # surfaced after join
+                errors.append((wid, exc))
+
+        threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors, errors
+        got = {r.id: r.val for r in V.read(spark, t).collect()}
+        assert len(got) == 13  # base + 12 concurrent upserts, none lost
+        assert got[0] == "base"
+        for w in range(4):
+            for j in range(3):
+                assert got[100 * (w + 1) + j] == f"w{w}j{j}"
+        versions = [h["version"] for h in V.history(t)]
+        assert versions == list(range(1, 14))  # gapless commit chain
+
     def test_vacuum_retention_protects_recent_versions(self, spark, tmp_path):
         """The reader-drain guard: retain_seconds keeps a just-expired
         version's manifest and segments alive even outside keep_last, so

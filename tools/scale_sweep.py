@@ -5,6 +5,12 @@ the empirical backing for the PLANS.md claims — a super-linear operator
 would mean a hidden quadratic or a single-reducer stage.
 
 Usage: python tools/scale_sweep.py [sf_dir]  ->  one JSON line
+
+Round-5 measured (sf0.1 base, t4x/t1x): flagship_topk 0.45,
+minhash_near_dup 1.44, simhash_groups 0.73, semdedup 0.76, bm25_topk 1.19,
+containment_pairs 1.09, bloom_anti_join 1.21, lsh_knn_join 1.12 (under the
+2^n_planes ∝ |right| sizing; raw 1x/2x/4x seconds: 2.10/1.61/2.35) — no
+super-linear operator.
 """
 
 from __future__ import annotations
