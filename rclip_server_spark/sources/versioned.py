@@ -218,14 +218,31 @@ def create(spark: SparkSession, path: str, df: DataFrame,
     return 1
 
 
+def _apply_deletes(spark: SparkSession, path: str, m: dict,
+                   df: DataFrame) -> DataFrame:
+    """Apply a manifest's pending delete vectors (if any): broadcast
+    anti-join against the union of the KB-sized delete-key segments.
+    Spark broadcasts the small side automatically; a rewrite commit
+    (upsert/overwrite) materializes and clears the vectors."""
+    dsegs = m.get("delete_segs") or []
+    if not dsegs:
+        return df
+    kd = spark.read.parquet(
+        *[os.path.join(path, s) for s in dsegs]
+    ).distinct()
+    return df.join(kd, [m["delete_key"]], "left_anti")
+
+
 def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Read the table AT a version (default: head). Resolves the manifest
     once — the returned plan names immutable segment dirs, so concurrent
-    commits and even a head overwrite cannot shear this reader."""
+    commits and even a head overwrite cannot shear this reader. Pending
+    delete vectors (delete_rows) are applied as a broadcast anti-join."""
     v = current_version(path) if version is None else int(version)
     m = _manifest(path, v)
     dirs = [os.path.join(path, s) for s in m["segments"]]
-    return spark.read.option("mergeSchema", "true").parquet(*dirs)
+    df = spark.read.option("mergeSchema", "true").parquet(*dirs)
+    return _apply_deletes(spark, path, m, df)
 
 
 def read_pruned(
@@ -262,7 +279,7 @@ def read_pruned(
         base = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(path, s) for s in keep]
         )
-    out = base
+    out = _apply_deletes(spark, path, m, base)
     for c, (c_lo, c_hi) in ranges.items():
         if c_lo is not None:
             out = out.where(F.col(c) >= F.lit(c_lo))
@@ -307,6 +324,16 @@ def _carry_stats(spark: SparkSession, parent: dict, new_pairs: list,
     return {"stat_cols": cols, "seg_stats": seg_stats}
 
 
+def _carry_deletes(parent: dict) -> dict:
+    """Pending delete vectors survive appends (new rows are unaffected by
+    old deletes only if their keys differ — the vector filters by KEY, so
+    carrying it preserves delete semantics over late re-arrivals too)."""
+    if parent.get("delete_segs"):
+        return {"delete_segs": parent["delete_segs"],
+                "delete_key": parent["delete_key"]}
+    return {}
+
+
 def append(spark: SparkSession, path: str, batch: DataFrame) -> int:
     """O(batch) append commit: write one new segment, manifest = parent
     segments + it. The ingest-path commit — never reads or rewrites
@@ -318,9 +345,59 @@ def append(spark: SparkSession, path: str, batch: DataFrame) -> int:
     try:
         _commit(path, v + 1, parent["segments"] + [seg], "append",
                 extra=_carry_stats(spark, parent, [(seg, batch)],
-                                   parent["segments"]))
+                                   parent["segments"])
+                | _carry_deletes(parent))
     except ConcurrentWriteError:
         shutil.rmtree(os.path.join(path, seg))  # orphan cleanup, then surface
+        raise
+    return v + 1
+
+
+def delete_rows(spark: SparkSession, path: str, keys, key_col: str) -> int:
+    """O(delete-set) point deletes via DELETE VECTORS — the Delta
+    deletion-vector idea at manifest altitude: the keys are written as a
+    tiny ``del-*`` parquet segment and the commit only EXTENDS the
+    manifest's delete list; no data segment is read or rewritten. Readers
+    of the committed version (read / read_pruned / table_changes'
+    snapshot diff) apply the vectors as a broadcast anti-join; the next
+    rewrite commit (upsert/overwrite) materializes them — its merged
+    segment is built from the delete-filtered snapshot — and clears the
+    list, after which vacuum reaps the unreferenced ``del-*`` segments.
+
+    This is the versioned-layer completion of B5: the flat writer's
+    soft_delete rewrites the table, the bucketed writer's rewrites the
+    touched buckets, this rewrites NOTHING — at 100 TB a compliance
+    delete (GDPR erasure, takedown) costs the key list, not a scan.
+    Note: table_row_count reports pre-delete counts while vectors are
+    pending (exact again after materialization) — documented there.
+
+    ``keys`` is a list of key values or a single-column DataFrame."""
+    v = current_version(path)
+    m = _manifest(path, v)
+    if "buckets" in m:
+        raise ValueError("bucketed versioned tables delete via "
+                         "upsert_bucketed/soft-delete patterns; delete "
+                         "vectors are the flat-table path")
+    if m.get("delete_segs") and m["delete_key"] != key_col:
+        raise ValueError(f"pending delete vectors use key "
+                         f"{m['delete_key']!r}; cannot mix with {key_col!r}")
+    if isinstance(keys, DataFrame):
+        kdf = keys
+    else:
+        kdf = spark.createDataFrame([(k,) for k in keys], [key_col])
+    dseg = f"del-{uuid.uuid4().hex[:12]}"
+    kdf.select(key_col).distinct().write.parquet(os.path.join(path, dseg))
+    extra = {
+        "delete_key": key_col,
+        "delete_segs": (m.get("delete_segs") or []) + [dseg],
+    }
+    if m.get("stat_cols"):
+        extra |= {"stat_cols": m["stat_cols"],
+                  "seg_stats": m.get("seg_stats", {})}
+    try:
+        _commit(path, v + 1, m["segments"], "delete", extra=extra)
+    except ConcurrentWriteError:
+        shutil.rmtree(os.path.join(path, dseg))
         raise
     return v + 1
 
@@ -400,7 +477,8 @@ def append_exactly_once(
         _commit(path, v + 1, parent["segments"] + [seg],
                 "stream-append", batch_id=int(batch_id),
                 extra=_carry_stats(spark, parent, [(seg, batch)],
-                                   parent["segments"]))
+                                   parent["segments"])
+                | _carry_deletes(parent))
     except ConcurrentWriteError:
         shutil.rmtree(os.path.join(path, seg))
         raise
@@ -429,7 +507,11 @@ def table_row_count(path: str, version: int | None = None) -> int:
     """EXACT row count of a version from the manifest's recorded
     per-segment counts — zero Spark jobs, zero file opens (counts were
     read once from parquet footers at commit time). Falls back to a
-    footer walk for segments committed before counts were recorded."""
+    footer walk for segments committed before counts were recorded.
+    While delete vectors are pending (delete_rows), this is the
+    PRE-DELETE upper bound — exact counting would need the anti-join the
+    vectors defer; the next rewrite commit materializes the deletes and
+    restores exactness."""
     from .catalog import table_row_count as _footer_rows
 
     v = current_version(path) if version is None else int(version)
@@ -494,6 +576,7 @@ def vacuum(path: str, keep_last: int = 1,
         m = _manifest(path, v)
         if v >= cutoff or recent:
             keep_segs.update(_manifest_segments(m))
+            keep_segs.update(m.get("delete_segs") or [])
         else:
             os.remove(p)
     for name in os.listdir(snap_dir):
@@ -505,7 +588,8 @@ def vacuum(path: str, keep_last: int = 1,
                 os.remove(p)
     deleted = []
     for d in sorted(os.listdir(path)):
-        if d.startswith("seg-") and d not in keep_segs:
+        if (d.startswith("seg-") or d.startswith("del-")) \
+                and d not in keep_segs:
             shutil.rmtree(os.path.join(path, d))
             deleted.append(d)
     return deleted

@@ -1068,6 +1068,51 @@ class TestVersionedTable:
         V.vacuum(t, keep_last=2)
         assert not os.path.exists(junk)
 
+    def test_delete_vectors_zero_rewrite(self, spark, tmp_path):
+        """delete_rows commits a KB-sized key segment and touches NO data
+        segment; readers apply it, time travel reaches the pre-delete
+        state, appends carry it, a rewrite materializes and clears it,
+        and vacuum then reaps the vector files."""
+        import os
+
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "v")
+        V.create(spark, t, self._df(spark, [(i, f"v{i}") for i in range(20)]))
+        segs_before = {d for d in os.listdir(t) if d.startswith("seg-")}
+        v2 = V.delete_rows(spark, t, [3, 7], "id")
+        assert v2 == 2
+        # zero rewrite: no new data segment, one del- vector dir
+        assert {d for d in os.listdir(t) if d.startswith("seg-")} == segs_before
+        assert len([d for d in os.listdir(t) if d.startswith("del-")]) == 1
+        ids = {r.id for r in V.read(spark, t).collect()}
+        assert ids == set(range(20)) - {3, 7}
+        # time travel: v1 still shows the deleted rows
+        assert {r.id for r in V.read(spark, t, 1).collect()} == set(range(20))
+        # appends carry the pending vector; a second delete accumulates
+        V.append(spark, t, self._df(spark, [(100, "new")]))
+        V.delete_rows(spark, t, [11], "id")
+        ids = {r.id for r in V.read(spark, t).collect()}
+        assert ids == (set(range(20)) - {3, 7, 11}) | {100}
+        # read_pruned applies the vectors too
+        assert {r.id for r in V.read_pruned(
+            spark, t, "id", lo=0, hi=15).collect()
+        } == set(range(16)) - {3, 7, 11}
+        # a rewrite commit materializes: deleted keys stay gone, the
+        # manifest's vector list clears, and the key can be re-inserted
+        V.upsert(spark, t, self._df(spark, [(3, "reborn")]), "id")
+        assert not V._manifest(t, V.current_version(t)).get("delete_segs")
+        got = {r.id: r.val for r in V.read(spark, t).collect()}
+        assert got[3] == "reborn" and 7 not in got and 11 not in got
+        # CDC over the delete interval needs the key and reports deletes
+        ch = V.table_changes(spark, t, from_version=1, key="id")
+        kinds = {(r.id, r._change_type) for r in ch.collect()}
+        assert (7, "delete") in kinds and (11, "delete") in kinds
+        # vacuum after materialization reaps the unreferenced vectors
+        deleted = V.vacuum(t, keep_last=1)
+        assert any(d.startswith("del-") for d in deleted)
+        assert not [d for d in os.listdir(t) if d.startswith("del-")]
+
     def test_occ_true_concurrent_writers_all_land(self, spark, tmp_path):
         """REAL concurrency (not a monkeypatched race): four threads each
         push three upserts through the retry loop against one table. The
