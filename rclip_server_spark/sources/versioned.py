@@ -218,31 +218,58 @@ def create(spark: SparkSession, path: str, df: DataFrame,
     return 1
 
 
-def _apply_deletes(spark: SparkSession, path: str, m: dict,
-                   df: DataFrame) -> DataFrame:
-    """Apply a manifest's pending delete vectors (if any): broadcast
-    anti-join against the union of the KB-sized delete-key segments.
-    Spark broadcasts the small side automatically; a rewrite commit
-    (upsert/overwrite) materializes and clears the vectors."""
+def _read_with_deletes(spark: SparkSession, path: str, m: dict,
+                       segs: list[str]) -> DataFrame:
+    """Read the given data segments applying the manifest's pending delete
+    vectors with their SCOPES: each vector filters only the segments that
+    existed when it was committed, so a key deleted and later re-appended
+    is visible again (Delta delete-then-insert semantics) — the vector is
+    a statement about rows that existed at delete time, not a tombstone
+    on the key forever. Segments are grouped by their applicable-vector
+    set (≤ one group per delete commit + 1), each group anti-joins the
+    union of its vectors' keys (broadcast — vectors are KB-sized), and
+    the groups union back together. Vectors committed without a recorded
+    scope (legacy) conservatively apply to every segment."""
     dsegs = m.get("delete_segs") or []
+    if not segs:
+        raise FileNotFoundError("no segments to read")
     if not dsegs:
-        return df
-    kd = spark.read.parquet(
-        *[os.path.join(path, s) for s in dsegs]
-    ).distinct()
-    return df.join(kd, [m["delete_key"]], "left_anti")
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, s) for s in segs]
+        )
+    scopes = m.get("delete_scopes", {})
+    key = m["delete_key"]
+    groups: dict[tuple, list[str]] = {}
+    for s in segs:
+        vs = tuple(d for d in dsegs
+                   if scopes.get(d) is None or s in scopes[d])
+        groups.setdefault(vs, []).append(s)
+    parts = []
+    for vs, ss in groups.items():
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, s) for s in ss]
+        )
+        if vs:
+            kd = spark.read.parquet(
+                *[os.path.join(path, d) for d in vs]
+            ).distinct()
+            df = df.join(kd, [key], "left_anti")
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
 
 
 def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Read the table AT a version (default: head). Resolves the manifest
     once — the returned plan names immutable segment dirs, so concurrent
     commits and even a head overwrite cannot shear this reader. Pending
-    delete vectors (delete_rows) are applied as a broadcast anti-join."""
+    delete vectors (delete_rows) are applied as scoped broadcast
+    anti-joins."""
     v = current_version(path) if version is None else int(version)
     m = _manifest(path, v)
-    dirs = [os.path.join(path, s) for s in m["segments"]]
-    df = spark.read.option("mergeSchema", "true").parquet(*dirs)
-    return _apply_deletes(spark, path, m, df)
+    return _read_with_deletes(spark, path, m, m["segments"])
 
 
 def read_pruned(
@@ -274,12 +301,10 @@ def read_pruned(
     keep = [seg for seg in m["segments"]
             if zone_survives(stats.get(seg, {}), ranges)]
     if not keep:
-        base = read(spark, path, v).limit(0)
+        out = read(spark, path, v).limit(0)
+        ranges = {}
     else:
-        base = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(path, s) for s in keep]
-        )
-    out = _apply_deletes(spark, path, m, base)
+        out = _read_with_deletes(spark, path, m, keep)
     for c, (c_lo, c_hi) in ranges.items():
         if c_lo is not None:
             out = out.where(F.col(c) >= F.lit(c_lo))
@@ -327,10 +352,14 @@ def _carry_stats(spark: SparkSession, parent: dict, new_pairs: list,
 def _carry_deletes(parent: dict) -> dict:
     """Pending delete vectors survive appends (new rows are unaffected by
     old deletes only if their keys differ — the vector filters by KEY, so
-    carrying it preserves delete semantics over late re-arrivals too)."""
+    carrying it preserves the pending deletes across ingest; each
+    vector's SCOPE limits it to the segments that existed when it was
+    committed, so later-appended rows — including re-inserts of a deleted
+    key — are never filtered by an older vector)."""
     if parent.get("delete_segs"):
         return {"delete_segs": parent["delete_segs"],
-                "delete_key": parent["delete_key"]}
+                "delete_key": parent["delete_key"],
+                "delete_scopes": parent.get("delete_scopes", {})}
     return {}
 
 
@@ -390,6 +419,10 @@ def delete_rows(spark: SparkSession, path: str, keys, key_col: str) -> int:
     extra = {
         "delete_key": key_col,
         "delete_segs": (m.get("delete_segs") or []) + [dseg],
+        # scope: the vector applies to the segments that exist NOW — a key
+        # appended later is a new row the delete never saw (so re-inserts
+        # are visible; Delta delete-then-insert semantics)
+        "delete_scopes": m.get("delete_scopes", {}) | {dseg: m["segments"]},
     }
     if m.get("stat_cols"):
         extra |= {"stat_cols": m["stat_cols"],
@@ -903,15 +936,21 @@ def table_changes(
     refresh, downstream sync, drift monitors) cheap at 100 TB — a day of
     ingest costs a day of data, not a table scan. All rows are inserts.
 
-    General path — any upsert/overwrite/compaction in the interval means
-    segment identity no longer implies row identity, so the diff falls
-    back to a key-based snapshot comparison (requires ``key``): a
+    General path — any upsert/overwrite/compaction/delete in the interval
+    means segment identity no longer implies row identity, so the diff
+    falls back to a key-based snapshot comparison (requires ``key``): a
     full-outer join of the two snapshots on the key, comparing a
     payload hash to classify insert / update_post / delete. One shuffle
     on the key — the honest cost when the interval rewrote data in place.
     Compaction-only intervals are row-preserving, but proving that from
     the manifest alone would require row counts; the conservative
-    fallback keeps the result exact."""
+    fallback keeps the result exact.
+
+    Contract note on delete vectors: the fast path emits appended rows
+    AS COMMITTED — a vector pending from BEFORE the interval is snapshot
+    state, not an interval change, so it is not applied here (the same
+    contract as the versioned_cdc stream; the snapshot-diff path, which
+    compares delete-filtered snapshots, reflects vectors exactly)."""
     import pyspark.sql.functions as F
 
     head = current_version(path)

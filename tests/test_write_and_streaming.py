@@ -1089,25 +1089,29 @@ class TestVersionedTable:
         assert ids == set(range(20)) - {3, 7}
         # time travel: v1 still shows the deleted rows
         assert {r.id for r in V.read(spark, t, 1).collect()} == set(range(20))
-        # appends carry the pending vector; a second delete accumulates
-        V.append(spark, t, self._df(spark, [(100, "new")]))
+        # appends carry the pending vector; a second delete accumulates.
+        # CRUCIALLY a re-appended deleted key is VISIBLE again: the vector
+        # is scoped to the segments that existed at delete time (Delta
+        # delete-then-insert semantics), not a tombstone on the key
+        V.append(spark, t, self._df(spark, [(100, "new"), (7, "reinserted")]))
         V.delete_rows(spark, t, [11], "id")
-        ids = {r.id for r in V.read(spark, t).collect()}
-        assert ids == (set(range(20)) - {3, 7, 11}) | {100}
-        # read_pruned applies the vectors too
+        got2 = {r.id: r.val for r in V.read(spark, t).collect()}
+        assert set(got2) == (set(range(20)) - {3, 7, 11}) | {100, 7}
+        assert got2[7] == "reinserted"  # new row, not the deleted original
+        # read_pruned applies the vectors too (7 visible via the re-insert)
         assert {r.id for r in V.read_pruned(
             spark, t, "id", lo=0, hi=15).collect()
-        } == set(range(16)) - {3, 7, 11}
+        } == (set(range(16)) - {3, 11}) | {7}
         # a rewrite commit materializes: deleted keys stay gone, the
         # manifest's vector list clears, and the key can be re-inserted
         V.upsert(spark, t, self._df(spark, [(3, "reborn")]), "id")
         assert not V._manifest(t, V.current_version(t)).get("delete_segs")
         got = {r.id: r.val for r in V.read(spark, t).collect()}
-        assert got[3] == "reborn" and 7 not in got and 11 not in got
+        assert got[3] == "reborn" and got[7] == "reinserted" and 11 not in got
         # CDC over the delete interval needs the key and reports deletes
         ch = V.table_changes(spark, t, from_version=1, key="id")
         kinds = {(r.id, r._change_type) for r in ch.collect()}
-        assert (7, "delete") in kinds and (11, "delete") in kinds
+        assert (11, "delete") in kinds and (3, "update_post") in kinds
         # vacuum after materialization reaps the unreferenced vectors
         deleted = V.vacuum(t, keep_last=1)
         assert any(d.startswith("del-") for d in deleted)
