@@ -319,3 +319,56 @@ def incremental_corpus_refresh(
     if v is None:  # crash-replayed interval: already committed, no-op
         return None, 0
     return v, survivors.count()
+
+
+def start_streaming_corpus_refresh(
+    spark: SparkSession,
+    raw_path: str,
+    curated_path: str,
+    checkpoint_dir: str,
+    min_tokens: int = 5,
+    min_quality: float = 0.3,
+    dedup_threshold: float = 0.7,
+):
+    """The continuous-curation loop as a LIVE STREAM — the round-5 table
+    machinery composed end-to-end: the versioned_cdc source tails the raw
+    table's manifest log (each micro-batch = exactly the newly appended
+    segments, O(delta)), and every batch runs the same clean →
+    batch-vs-corpus near-dup → exactly-once-append cycle as the batch
+    pipeline, keyed by the STREAM's batch id in the curated table's
+    manifest log — so a crash anywhere replays into a manifest-detected
+    no-op and the curated corpus is exactly-once end to end.
+
+    Ingest writers keep appending to ``raw_path`` (batch append, or the
+    exactly-once streaming sink); this query keeps the curated corpus
+    current. Returns the StreamingQuery."""
+    from .operators import dedup, text_analysis
+    from .sources import cdc_stream, versioned
+
+    cdc_stream.register(spark)
+    stream = (
+        spark.readStream.format("versioned_cdc")
+        .option("path", raw_path)
+        .option("from_version", 1)
+        .load()
+    )
+
+    def _cycle(batch_df: DataFrame, batch_id: int) -> None:
+        cleaned = text_analysis.clean_corpus(
+            batch_df, min_tokens=min_tokens, min_quality=min_quality
+        ).select("doc_id", "text")
+        corpus = versioned.read(spark, curated_path).select("doc_id", "text")
+        dup_hits = dedup.minhash_near_dup_incremental(
+            corpus, cleaned, threshold=dedup_threshold
+        ).select(F.col("batch_id").alias("doc_id")).distinct()
+        survivors = cleaned.join(dup_hits, "doc_id", "left_anti")
+        versioned.append_exactly_once(
+            spark, curated_path, survivors, batch_id=batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_cycle)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -178,3 +178,44 @@ def test_incremental_corpus_refresh_cycles(spark, tmp_path, documents):
     v4, n4 = incremental_corpus_refresh(
         spark, raw, curated, last_raw_version=raw_head)
     assert v4 is None and n4 == 0
+
+
+def test_streaming_corpus_refresh_end_to_end(spark, tmp_path, documents):
+    """The live continuous-curation loop: CDC source tails the raw
+    versioned table, each micro-batch cleans + dedups against the curated
+    corpus and appends exactly once. New raw appends flow through while
+    the query runs; a verbatim near-dup of curated content is dropped."""
+    from pyspark.sql import functions as F
+
+    from rclip_server_spark.pipelines import start_streaming_corpus_refresh
+    from rclip_server_spark.sources import versioned as V
+
+    raw = str(tmp_path / "raw")
+    curated = str(tmp_path / "cur")
+    base = documents.select("doc_id", "text").where(F.col("doc_id") < 60)
+    V.create(spark, raw, base)
+    V.create(spark, curated, base.limit(0))
+
+    q = start_streaming_corpus_refresh(
+        spark, raw, curated, checkpoint_dir=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        first = {r.doc_id for r in V.read(spark, curated).collect()}
+        assert first  # initial backfill curated a nonempty subset
+
+        # live: append fresh docs + one verbatim dup of a curated doc
+        some_id = min(first)
+        dup = documents.where(F.col("doc_id") == some_id).select(
+            (F.col("doc_id") + 50000).alias("doc_id"), "text")
+        fresh = documents.select("doc_id", "text").where(
+            (F.col("doc_id") >= 60) & (F.col("doc_id") < 70))
+        V.append(spark, raw, fresh.unionByName(dup))
+        q.processAllAvailable()
+        after = {r.doc_id for r in V.read(spark, curated).collect()}
+        assert some_id + 50000 not in after  # near-dup dropped
+        assert after > first                 # fresh survivors landed
+        # exactly-once: every curated doc id appears exactly once
+        n = V.read(spark, curated).count()
+        assert n == V.read(spark, curated).select("doc_id").distinct().count()
+    finally:
+        q.stop()
