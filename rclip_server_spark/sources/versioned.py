@@ -210,10 +210,10 @@ def create(spark: SparkSession, path: str, df: DataFrame,
     days' segments and zero others, decided without touching storage."""
     os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=False)
     seg = _write_segment(df, path)
-    extra: dict = {}
+    extra: dict = {"col_types": _col_types(df)}
     if stat_cols:
-        extra = {"stat_cols": list(stat_cols),
-                 "seg_stats": {seg: _segment_stats(df, list(stat_cols))}}
+        extra |= {"stat_cols": list(stat_cols),
+                  "seg_stats": {seg: _segment_stats(df, list(stat_cols))}}
     _commit(path, 1, [seg], "create", extra=extra)
     return 1
 
@@ -349,6 +349,42 @@ def _carry_stats(spark: SparkSession, parent: dict, new_pairs: list,
     return {"stat_cols": cols, "seg_stats": seg_stats}
 
 
+class SchemaDriftError(TypeError):
+    """An appended batch changes an existing column's TYPE — silent
+    corruption for every downstream reader. New columns are evolution
+    (mergeSchema reads them as NULL on old segments) and pass; type
+    changes fail the commit."""
+
+
+def _col_types(df: DataFrame) -> dict:
+    return {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+
+def _check_schema_compat(parent: dict, batch: DataFrame, op: str) -> dict:
+    """Enforce append-path schema compatibility against the types the
+    table has already committed: a column may APPEAR (evolution) or be
+    absent (reads as NULL), but an existing column's type may not change
+    — the drift a producer-side refactor silently introduces and the
+    single most common way an ingest pipeline corrupts a 100 TB table.
+    Returns the updated col_types map to record in the child manifest."""
+    known = dict(parent.get("col_types", {}))
+    mine = _col_types(batch)
+    conflicts = {
+        c: (known[c], t) for c, t in mine.items()
+        if c in known and known[c] != t
+    }
+    if conflicts:
+        detail = ", ".join(f"{c}: table={a!r} batch={b!r}"
+                           for c, (a, b) in sorted(conflicts.items()))
+        raise SchemaDriftError(
+            f"{op}: batch changes committed column types ({detail}); "
+            f"cast the batch to the table's types, or use overwrite() "
+            f"for an intentional full-schema replacement"
+        )
+    known.update(mine)
+    return {"col_types": known}
+
+
 def _carry_deletes(parent: dict) -> dict:
     """Pending delete vectors survive appends (new rows are unaffected by
     old deletes only if their keys differ — the vector filters by KEY, so
@@ -369,13 +405,14 @@ def append(spark: SparkSession, path: str, batch: DataFrame) -> int:
     existing data. Zone-map stats (when the table tracks them) cost one
     extra aggregate over the batch, never a table scan."""
     v = current_version(path)
-    seg = _write_segment(batch, path)
     parent = _manifest(path, v)
+    compat = _check_schema_compat(parent, batch, "append")
+    seg = _write_segment(batch, path)
     try:
         _commit(path, v + 1, parent["segments"] + [seg], "append",
                 extra=_carry_stats(spark, parent, [(seg, batch)],
                                    parent["segments"])
-                | _carry_deletes(parent))
+                | _carry_deletes(parent) | compat)
     except ConcurrentWriteError:
         shutil.rmtree(os.path.join(path, seg))  # orphan cleanup, then surface
         raise
@@ -443,7 +480,8 @@ def overwrite(spark: SparkSession, path: str, df: DataFrame) -> int:
     parent = _manifest(path, v)
     try:
         _commit(path, v + 1, [seg], "overwrite",
-                extra=_carry_stats(spark, parent, [(seg, df)], []))
+                extra=_carry_stats(spark, parent, [(seg, df)], [])
+                | {"col_types": _col_types(df)})
     except ConcurrentWriteError:
         shutil.rmtree(os.path.join(path, seg))
         raise
@@ -469,7 +507,7 @@ def upsert(spark: SparkSession, path: str, updates: DataFrame, key: str) -> int:
                 extra=_carry_stats(
                     spark, parent,
                     [(seg, spark.read.parquet(os.path.join(path, seg)))], []
-                ))
+                ) | {"col_types": _col_types(merged)})
     except ConcurrentWriteError:
         shutil.rmtree(os.path.join(path, seg))
         raise
@@ -504,14 +542,15 @@ def append_exactly_once(
     if int(batch_id) in committed_batch_ids(path):
         return None
     v = current_version(path)
-    seg = _write_segment(batch, path)
     parent = _manifest(path, v)
+    compat = _check_schema_compat(parent, batch, "stream-append")
+    seg = _write_segment(batch, path)
     try:
         _commit(path, v + 1, parent["segments"] + [seg],
                 "stream-append", batch_id=int(batch_id),
                 extra=_carry_stats(spark, parent, [(seg, batch)],
                                    parent["segments"])
-                | _carry_deletes(parent))
+                | _carry_deletes(parent) | compat)
     except ConcurrentWriteError:
         shutil.rmtree(os.path.join(path, seg))
         raise
@@ -715,7 +754,7 @@ def create_bucketed(
     buckets = {str(b): [segs[b]] for b in segs}
     _commit(path, 1, None, "create-bucketed",
             extra={"bucket_key": key, "n_buckets": int(n_buckets),
-                   "buckets": buckets})
+                   "buckets": buckets, "col_types": _col_types(df)})
     return 1
 
 
@@ -801,7 +840,9 @@ def upsert_bucketed(
     try:
         _commit(path, v + 1, None, "upsert-bucketed",
                 extra={"bucket_key": key, "n_buckets": n_buckets,
-                       "buckets": new_bmap})
+                       "buckets": new_bmap,
+                       "col_types": m.get("col_types", {})
+                       | _col_types(updates)})
     except ConcurrentWriteError:
         _cleanup_segments(path, segs.values())
         raise
@@ -820,6 +861,7 @@ def append_bucketed(
     v = current_version(path)
     m = _manifest(path, v)
     key, n_buckets, bmap = _bucketed_meta(m)
+    compat = _check_schema_compat(m, batch, "append-bucketed")
     bb = batch.withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
     touched = _bucket_ids(bb)
     if not touched:
@@ -831,7 +873,7 @@ def append_bucketed(
     try:
         _commit(path, v + 1, None, "append-bucketed",
                 extra={"bucket_key": key, "n_buckets": n_buckets,
-                       "buckets": new_bmap})
+                       "buckets": new_bmap} | compat)
     except ConcurrentWriteError:
         _cleanup_segments(path, segs.values())
         raise
@@ -867,7 +909,8 @@ def compact_bucketed(
     try:
         _commit(path, v + 1, None, "compact-bucketed",
                 extra={"bucket_key": key, "n_buckets": n_buckets,
-                       "buckets": new_bmap})
+                       "buckets": new_bmap,
+                       "col_types": m.get("col_types", {})})
     except ConcurrentWriteError:
         _cleanup_segments(path, segs.values())
         raise
@@ -905,6 +948,7 @@ def append_bucketed_exactly_once(
     v = current_version(path)
     m = _manifest(path, v)
     key, n_buckets, bmap = _bucketed_meta(m)
+    compat = _check_schema_compat(m, batch, "stream-append-bucketed")
     bb = batch.withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
     touched = _bucket_ids(bb)
     segs = _write_bucket_segments(bb, path, touched) if touched else {}
@@ -915,7 +959,7 @@ def append_bucketed_exactly_once(
         _commit(path, v + 1, None, "stream-append-bucketed",
                 batch_id=int(batch_id),
                 extra={"bucket_key": key, "n_buckets": n_buckets,
-                       "buckets": new_bmap})
+                       "buckets": new_bmap} | compat)
     except ConcurrentWriteError:
         _cleanup_segments(path, segs.values())
         raise

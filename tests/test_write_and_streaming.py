@@ -1068,6 +1068,38 @@ class TestVersionedTable:
         V.vacuum(t, keep_last=2)
         assert not os.path.exists(junk)
 
+    def test_schema_drift_fails_append_allows_evolution(self, spark, tmp_path):
+        """Append-path schema guard: a new column is evolution (passes;
+        old segments read it as NULL via mergeSchema), but changing an
+        existing column's TYPE fails the commit loudly — the silent
+        ingest-corruption case. Works for flat and bucketed tables; a
+        cast batch or an overwrite resolves it."""
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "v")
+        V.create(spark, t, self._df(spark, [(1, "a")]))
+        # evolution: extra column appends fine
+        V.append(spark, t, spark.createDataFrame(
+            [(2, "b", 9.5)], "id long, val string, score double"))
+        got = {r.id: r.asDict().get("score") for r in V.read(spark, t).collect()}
+        assert got[2] == 9.5 and got[1] is None
+        # drift: val switches string -> bigint; the commit must refuse
+        bad = spark.createDataFrame([(3, 123)], "id long, val long")
+        with pytest.raises(V.SchemaDriftError, match="val"):
+            V.append(spark, t, bad)
+        with pytest.raises(V.SchemaDriftError):
+            V.append_exactly_once(spark, t, bad, batch_id=42)
+        assert V.current_version(t) == 2  # nothing committed
+        # a cast batch passes
+        V.append(spark, t, bad.withColumn("val", bad.val.cast("string")))
+        assert V.read(spark, t).count() == 3
+        # bucketed twin
+        tb = str(tmp_path / "vb")
+        V.create_bucketed(spark, tb, self._df(spark, [(1, "a")]), "id",
+                          n_buckets=4)
+        with pytest.raises(V.SchemaDriftError):
+            V.append_bucketed(spark, tb, bad)
+
     def test_delete_vectors_zero_rewrite(self, spark, tmp_path):
         """delete_rows commits a KB-sized key segment and touches NO data
         segment; readers apply it, time travel reaches the pre-delete
