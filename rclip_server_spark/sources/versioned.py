@@ -1054,3 +1054,37 @@ def table_changes(
     ).where(F.col("_change_type").isNotNull())
     return out.select(*[F.col(f"_row.{c}").alias(c) for c in cols],
                       "_change_type")
+
+
+def restore(spark: SparkSession, path: str, to_version: int) -> int:
+    """METADATA-ONLY rollback: commit a NEW version whose content is an
+    earlier version's — the manifest re-points to the old (still
+    immutable) segments, so no data is read, copied, or rewritten, and
+    the bad versions stay in the log for audit (roll FORWARD to the past,
+    the Delta RESTORE semantics). Works for flat and bucketed tables and
+    carries the restored version's zone maps, schema, and pending delete
+    vectors verbatim. Fails if vacuum already reaped the target's
+    segments. Returns the new head version."""
+    head = current_version(path)
+    tv = int(to_version)
+    if not 0 < tv <= head:
+        raise ValueError(f"restore target {tv} outside 1..{head}")
+    try:
+        src = _manifest(path, tv)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"cannot restore v{tv}: its manifest was vacuumed"
+        ) from None
+    for s in sorted(_manifest_segments(src)):
+        if not os.path.exists(os.path.join(path, s)):
+            raise FileNotFoundError(
+                f"cannot restore v{tv}: segment {s} was vacuumed"
+            )
+    carry_keys = ("segments", "buckets", "bucket_key", "n_buckets",
+                  "stat_cols", "seg_stats", "col_types",
+                  "delete_key", "delete_segs", "delete_scopes")
+    extra = {k: src[k] for k in carry_keys
+             if k in src and k != "segments"}
+    extra["restored_from"] = tv
+    _commit(path, head + 1, src.get("segments"), "restore", extra=extra)
+    return head + 1

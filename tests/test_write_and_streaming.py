@@ -1068,6 +1068,44 @@ class TestVersionedTable:
         V.vacuum(t, keep_last=2)
         assert not os.path.exists(junk)
 
+    def test_restore_is_metadata_only_rollback(self, spark, tmp_path):
+        """restore() re-points the head at an earlier version's segments —
+        zero data movement, bad versions stay in the log for audit, and
+        the restored state round-trips for flat AND bucketed tables."""
+        import os
+
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "v")
+        V.create(spark, t, self._df(spark, [(1, "a"), (2, "b")]))
+        V.upsert(spark, t, self._df(spark, [(2, "CORRUPTED")]), "id")
+        segs_before = {d for d in os.listdir(t) if d.startswith("seg-")}
+        v = V.restore(spark, t, 1)
+        assert v == 3
+        # metadata only: no new segment dirs appeared
+        assert {d for d in os.listdir(t) if d.startswith("seg-")} == segs_before
+        assert sorted(map(tuple, V.read(spark, t).collect())) == [
+            (1, "a"), (2, "b")]
+        # the bad version remains auditable
+        assert [h["op"] for h in V.history(t)] == ["create", "upsert", "restore"]
+        assert {r.val for r in V.read(spark, t, 2).collect()} >= {"CORRUPTED"}
+        # appends continue normally after a restore
+        V.append(spark, t, self._df(spark, [(3, "c")]))
+        assert V.read(spark, t).count() == 3
+        # bucketed twin
+        tb = str(tmp_path / "vb")
+        V.create_bucketed(spark, tb, self._df(spark, [(1, "a")]), "id",
+                          n_buckets=4)
+        V.upsert_bucketed(spark, tb, self._df(spark, [(1, "X")]))
+        V.restore(spark, tb, 1)
+        assert [tuple(r) for r in V.read_bucketed(spark, tb).collect()] == [
+            (1, "a")]
+        # restoring past a vacuum fails loudly
+        V.overwrite(spark, t, self._df(spark, [(9, "z")]))
+        V.vacuum(t, keep_last=1)
+        with pytest.raises(FileNotFoundError, match="vacuumed"):
+            V.restore(spark, t, 1)
+
     def test_schema_drift_fails_append_allows_evolution(self, spark, tmp_path):
         """Append-path schema guard: a new column is evolution (passes;
         old segments read it as NULL via mergeSchema), but changing an
