@@ -99,8 +99,16 @@ def pagerank(
                 "outdeg",
             )
         )
+        # materialize the new state BEFORE releasing the old one — the
+        # next iteration then reads a cached/checkpointed node-sized
+        # table instead of recomputing the chain since the last
+        # checkpoint (without this, recompute depth grows toward
+        # checkpoint_every every round)
         if (it + 1) % int(checkpoint_every) == 0 or it == int(iters) - 1:
             new_state = new_state.localCheckpoint(eager=True)
+        else:
+            new_state = new_state.persist()
+            new_state.count()
         old = state
         state = new_state
         old.unpersist()

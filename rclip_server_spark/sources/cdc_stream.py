@@ -77,9 +77,10 @@ def _arrow_to_ddl(field) -> str:
 
 
 class _SegmentPartition(InputPartition):
-    def __init__(self, seg_dir: str, columns: list[str]):
+    def __init__(self, seg_dir: str, columns: list[str], types: dict):
         self.seg_dir = seg_dir
         self.columns = columns
+        self.types = types  # column -> Spark DDL type (for evolved nulls)
 
 
 class VersionedCDCStreamReader(DataSourceStreamReader):
@@ -92,6 +93,8 @@ class VersionedCDCStreamReader(DataSourceStreamReader):
         self.path = options["path"]
         self.from_version = options.get("from_version")
         self.columns = list(schema.fieldNames())
+        self.types = {f.name: f.dataType.simpleString()
+                      for f in schema.fields}
 
 
     # -- manifest helpers (driver-side; self-contained re-implementation is
@@ -149,11 +152,11 @@ class VersionedCDCStreamReader(DataSourceStreamReader):
             parent = self._segs(self._manifest(v - 1)) if v > 1 else set()
             for seg in sorted(self._segs(m) - parent):
                 parts.append(_SegmentPartition(
-                    os.path.join(self.path, seg), self.columns
+                    os.path.join(self.path, seg), self.columns, self.types
                 ))
         # Spark requires >= 1 partition per batch; an empty-append interval
         # yields one empty partition (a dir that lists no parquet files)
-        return parts or [_SegmentPartition("", self.columns)]
+        return parts or [_SegmentPartition("", self.columns, self.types)]
 
     def read(self, partition: _SegmentPartition):
         # executor-side: self-contained (no repo imports on workers), and
@@ -161,7 +164,19 @@ class VersionedCDCStreamReader(DataSourceStreamReader):
         # so segment bytes flow parquet -> Arrow -> Spark with no
         # per-row Python materialization (the same batch-transfer lane as
         # pandas_udf; yielding tuples instead measured row-at-a-time)
+        import pyarrow as pa
         import pyarrow.parquet as pq
+
+        def ddl_arrow(t: str):
+            # inverse of _arrow_to_ddl for the supported scalar set —
+            # defined inline: this method runs cloudpickled on executors
+            m = {"bigint": pa.int64(), "int": pa.int32(),
+                 "double": pa.float64(), "float": pa.float32(),
+                 "string": pa.string(), "boolean": pa.bool_(),
+                 "timestamp": pa.timestamp("us"), "binary": pa.binary()}
+            if t.startswith("array<"):
+                return pa.list_(ddl_arrow(t[6:-1]))
+            return m[t]
 
         if not partition.seg_dir:
             return
@@ -169,9 +184,20 @@ class VersionedCDCStreamReader(DataSourceStreamReader):
             for f in sorted(files):
                 if not f.endswith(".parquet"):
                     continue
-                tbl = pq.read_table(os.path.join(root, f),
-                                    columns=partition.columns)
-                yield from tbl.to_batches()
+                fp = os.path.join(root, f)
+                # schema-evolution tolerance: an old segment file may
+                # predate a later-committed column — read what it has and
+                # splice typed NULLs for the rest, in declared order
+                have = set(pq.read_schema(fp).names)
+                avail = [c for c in partition.columns if c in have]
+                tbl = pq.read_table(fp, columns=avail)
+                for c in partition.columns:
+                    if c not in tbl.column_names:
+                        tbl = tbl.append_column(
+                            c, pa.nulls(tbl.num_rows,
+                                        type=ddl_arrow(partition.types[c]))
+                        )
+                yield from tbl.select(partition.columns).to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the query checkpoint; manifests are immutable
@@ -188,8 +214,7 @@ class VersionedCDCDataSource(DataSource):
         import pyarrow.parquet as pq
 
         path = self.options["path"]
-        # derive the schema from the head manifest's first segment file —
-        # a metadata-only footer read
+        # derive the schema from the head manifest — metadata only
         import json
         import re
 
@@ -200,6 +225,14 @@ class VersionedCDCDataSource(DataSource):
         )
         with open(os.path.join(snap, f"v{versions[-1]:08d}.json")) as f:
             m = json.load(f)
+        # prefer the manifest's recorded UNION schema (col_types tracks
+        # every committed column, so an evolved column appended after
+        # older segments is still in the stream's schema; a single file's
+        # footer could miss it)
+        if m.get("col_types"):
+            return ", ".join(
+                f"{c} {t}" for c, t in m["col_types"].items()
+            )
         segs = (m["segments"] if m.get("segments") is not None
                 else sorted(s for ss in m["buckets"].values() for s in ss))
         for seg in segs:

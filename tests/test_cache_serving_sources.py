@@ -236,6 +236,27 @@ def test_versioned_cdc_stream_tails_appends(spark, tmp_path):
     finally:
         q.stop()
 
+    # schema evolution: a NEW column appended after the stream's segments —
+    # a fresh stream declares the union schema (manifest col_types) and the
+    # pre-evolution segments read the new column as typed NULLs
+    V.append(spark, t, spark.createDataFrame(
+        [(6, "f", 1.5)], "id long, val string, score double"))
+    q3 = (
+        spark.readStream.format("versioned_cdc")
+        .option("path", t).option("from_version", 1).load()
+        .writeStream.format("memory").queryName("cdc_evolved")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .outputMode("append").start()
+    )
+    try:
+        q3.processAllAvailable()
+        rows = {r.id: r.score for r in spark.sql(
+            "select * from cdc_evolved").collect()}
+        assert rows[6] == 1.5
+        assert rows[1] is None and len(rows) == 6
+    finally:
+        q3.stop()
+
     # a rewrite breaks the append-only contract -> the stream fails loudly
     V.upsert(spark, t, mk([(1, "A")]), "id")
     q2 = (
