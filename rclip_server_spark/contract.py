@@ -1395,25 +1395,16 @@ _register("d1_embed_documents_distributed", _d1_embed, None)
 # listed follows in source-registration order and stays locally verified by
 # tools/check_contract.py.
 _PRIORITY = [
-    # The driver verifies the FIRST 50 registered rows each round. Round-5
+    # The driver verifies the FIRST 50 registered rows each round. Round-6
     # rotation: the 20 §2-mapped rows stay (the judge reads them against
-    # SURVEY §2 every round); the other 30 slots hold oracle rows that have
-    # never had a driver-green cell. Every previously-green row rotated out
-    # is still replayed locally by tools/check_contract.py, so cumulative
-    # driver-verified coverage grows without losing local proof.
-    # Cumulative driver-verified distinct rows after r4: 111 of 174
-    # registered (155 oracle + 19 rows-only; the three late-r5 TPC-H rows
-    # sql_q5/q10/q18 are rotation-eligible next round). Round-6 backlog
-    # (oracle rows still never driver-verified after this window — 14 + the
-    # 4 late-r5 oracle additions = 18, one final rotation covers
-    # everything): sql_q5_local_supplier_volume, sql_q10_returned_items,
-    # sql_q18_large_orders, samp_temperature_mixture,
-    # ann_hyperplane_near_dup_multiset,
-    # text_length_outlier_trim, text_source_stats, text_strip_dup_spans,
-    # text_ngram_repetition, samp_weighted_per_class_k, sketch_histogram_drift,
-    # sketch_histogram_quantiles_by_lang, ev_windowed_value_histogram,
-    # rel_window_ntile, sql_scalar_subquery, ev_asof_tolerance,
-    # ev_time_bucket_rollup, ev_dedup_bucket_stream_twin.
+    # SURVEY §2 every round); the next 18 slots close the driver-
+    # verification backlog — after this window EVERY registered oracle row
+    # has had a driver-green CORRECTNESS cell at least once (cumulative
+    # 141/176 after r5 → full coverage); 2 slots are the new r6 versioned
+    # read-side rows (delete-vector read, snapshot-diff CDC); the last 10
+    # re-confirm the most complex bench-headline operators (dedup + ANN
+    # families touched by this round's perf work). Everything rotated out
+    # is still replayed locally by tools/check_contract.py.
     # §2 A-family (vector/similarity)
     "a1_a2_flagship_topk", "a2_topk_k50", "a4_l2_normalize",
     "a6_point_lookup", "a7_feature_minmax", "a8_minmax_normalize",
@@ -1424,28 +1415,22 @@ _PRIORITY = [
     "b3_lowercase_predicate", "b4_exact_dup_groups", "b4_exact_dedup_mark",
     "b10_table_counts", "b13_b14_url_ops", "b15_regex_predicates",
     "rel_anti_join_b8", "d1_embed_documents_distributed",
-    # scalar/date/json function library (§F coverage, never driver-verified)
-    "rel_scalar_functions", "rel_date_functions", "rel_json_extract",
-    # event-time windows + per-key firsts + enrichment + transitions
-    "ev_sliding_12h", "ev_first_event_per_key", "ev_enriched_nation_counts",
-    "ev_transition_matrix", "ev_zscore_outliers",
-    # retrieval: BM25 scores, TF-IDF top terms, topic clusters, token top-k
-    "text_bm25_scores", "text_tfidf_top_terms", "text_cluster_topics",
-    "text_token_topk",
-    # text cleaning: repetition filter + URL canonicalization
-    "text_repetition_filter", "text_url_canonicalize",
-    # relational breadth: sort-merge agg, salted skew agg, outer join,
-    # pivot, incremental agg merge, z-order key, FK violations, unpivot,
-    # null-safe join
-    "rel_join_sortmerge_agg", "rel_salted_skew_agg", "rel_outer_join",
-    "rel_pivot_event_counts", "rel_incremental_agg_merge", "rel_zorder_key",
-    "rel_fk_violations", "rel_unpivot_metrics", "rel_nullsafe_join",
-    # sampling: hash-mod + training shuffle + priority (exactly-k weighted)
-    "samp_hash_mod", "samp_training_shuffle", "samp_weighted_fixed_k",
-    # r4 additions: Bloom-pruned anti-join, mergeable histogram quantiles,
-    # half-life popularity, cross-table LSH k-NN join
-    "rel_bloom_pruned_anti_join", "sketch_histogram_quantiles",
-    "ev_half_life_popularity", "ann_lsh_knn_join",
+    # --- backlog: the 18 oracle rows never driver-verified before r6 ---
+    "sql_q5_local_supplier_volume", "sql_q10_returned_items",
+    "sql_q18_large_orders", "samp_temperature_mixture",
+    "ann_hyperplane_near_dup_multiset", "text_length_outlier_trim",
+    "text_source_stats", "text_strip_dup_spans", "text_ngram_repetition",
+    "samp_weighted_per_class_k", "sketch_histogram_drift",
+    "sketch_histogram_quantiles_by_lang", "ev_windowed_value_histogram",
+    "rel_window_ntile", "sql_scalar_subquery", "ev_asof_tolerance",
+    "ev_time_bucket_rollup", "ev_dedup_bucket_stream_twin",
+    # --- new r6 versioned-table read-side rows (sources/versioned.py) ---
+    "vt_delete_vector_read", "vt_snapshot_diff_cdc",
+    # --- re-confirmation: bench-headline dedup/ANN + sketch/join rows ---
+    "ann_lsh_knn_join", "dedup_minhash_near_dup", "dedup_containment",
+    "dedup_semantic_semdedup", "dedup_simhash_near_dup", "ann_ivf_topk",
+    "ann_lsh_topk_multiprobe", "ann_multi_query_topk",
+    "sketch_histogram_quantiles", "rel_bloom_pruned_anti_join",
 ]
 
 
@@ -4796,4 +4781,131 @@ _register(
     WHERE n.negative IS NOT NULL AND n.negative <> p.id_b
     """.replace("{PAIRS}", _ORACLES["dedup_minhash_near_dup"]
                 .replace("SELECT id_a, id_b, jaccard", "SELECT id_a, id_b")),
+)
+
+
+# ===========================================================================
+# Versioned-table READ-side rows through the driver (sources/versioned.py):
+# delete-vector reads and snapshot-diff CDC, flattened to scalar columns.
+# The versioned table is BUILT deterministically from the events fixture
+# inside the query callable (cached per sf_dir within the process), so the
+# oracle stays plain SQL over `events` — what the oracle checks is the READ
+# path: delete-vector scoping (keys deleted before an append of the same
+# residue class stay deleted; later-appended rows are untouched) and the
+# null-safe snapshot-diff payload comparison (a value moving between
+# columns, or to NULL, must classify as update_post).
+# Reference parity: B5 soft delete (RS:206-213) completed at manifest
+# altitude; CDC has no reference analogue (scale-path addition).
+# ===========================================================================
+
+_VT_CACHE: dict = {}
+
+
+def _vt_build(spark: SparkSession, sf: str, name: str, builder) -> str:
+    """Build-once-per-(sf, name) versioned fixture table in a temp dir.
+    Deterministic content (modular predicates over event_id), so a cached
+    table from an earlier call in the same process is identical."""
+    import os as _os
+    import tempfile as _tempfile
+
+    key = (_os.path.abspath(sf), name)
+    path = _VT_CACHE.get(key)
+    if path is None or not _os.path.exists(path):
+        path = _tempfile.mkdtemp(prefix=f"rclip_vt_{name}_")
+        _os.rmdir(path)  # create() owns the directory tree
+        builder(spark, sf, path)
+        _VT_CACHE[key] = path
+    return path
+
+
+def _vt_dv_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .sources import versioned as VT
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"))
+    base = ev.where(F.col("event_id") % 4 != 3)
+    VT.create(spark, path, base)
+    # delete vector: O(keys) commit, zero data-segment rewrite
+    VT.delete_rows(
+        spark, path,
+        base.where(F.col("event_id") % 7 == 0).select("event_id"),
+        "event_id")
+    # later append includes event_ids in the deleted residue class
+    # (%7==0): the vector is SCOPED to pre-delete segments, so these
+    # appended rows are visible (Delta delete-then-insert semantics)
+    VT.append(spark, path, ev.where(F.col("event_id") % 4 == 3))
+
+
+def _vt_delete_vector_read(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources import versioned as VT
+
+    path = _vt_build(spark, sf, "dv", _vt_dv_builder)
+    return VT.read(spark, path).select("event_id", "user_id", "value_cents")
+
+
+_register(
+    "vt_delete_vector_read",
+    _vt_delete_vector_read,
+    """
+    SELECT event_id, user_id,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    WHERE (event_id % 4 <> 3 AND event_id % 7 <> 0) OR event_id % 4 = 3
+    """,
+)
+
+
+def _vt_cdc_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .sources import versioned as VT
+
+    ev = _t(spark, sf, "events")
+    snap_a = ev.where(F.col("event_id") % 10 < 6).select(
+        "event_id", "user_id", "event_type")
+    snap_b = ev.where(
+        (F.col("event_id") % 10 >= 2) & (F.col("event_id") % 10 <= 7)
+    ).select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.col("user_id") + 1000000)
+         .otherwise(F.col("user_id")).alias("user_id"),
+        F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("string"))
+         .otherwise(F.col("event_type")).alias("event_type"))
+    VT.create(spark, path, snap_a)
+    VT.overwrite(spark, path, snap_b)
+
+
+def _vt_snapshot_diff_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources import versioned as VT
+
+    path = _vt_build(spark, sf, "cdc", _vt_cdc_builder)
+    ch = VT.table_changes(spark, path, from_version=1, key="event_id")
+    return ch.select("event_id", "user_id", "event_type",
+                     F.col("_change_type").alias("change_type"))
+
+
+_register(
+    "vt_snapshot_diff_cdc",
+    _vt_snapshot_diff_cdc,
+    """
+    WITH a AS (SELECT event_id, user_id, event_type
+               FROM events WHERE event_id % 10 < 6),
+         b AS (SELECT event_id,
+                      CASE WHEN event_id % 5 = 0 THEN user_id + 1000000
+                           ELSE user_id END AS user_id,
+                      CASE WHEN event_id % 11 = 0 THEN NULL
+                           ELSE event_type END AS event_type
+               FROM events WHERE event_id % 10 BETWEEN 2 AND 7)
+    SELECT COALESCE(b.event_id, a.event_id) AS event_id,
+           CASE WHEN b.event_id IS NULL THEN a.user_id
+                ELSE b.user_id END AS user_id,
+           CASE WHEN b.event_id IS NULL THEN a.event_type
+                ELSE b.event_type END AS event_type,
+           CASE WHEN a.event_id IS NULL THEN 'insert'
+                WHEN b.event_id IS NULL THEN 'delete'
+                ELSE 'update_post' END AS change_type
+    FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+    WHERE a.event_id IS NULL OR b.event_id IS NULL
+       OR (a.user_id IS DISTINCT FROM b.user_id)
+       OR (a.event_type IS DISTINCT FROM b.event_type)
+    """,
 )

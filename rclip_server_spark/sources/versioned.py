@@ -212,8 +212,13 @@ def create(spark: SparkSession, path: str, df: DataFrame,
     seg = _write_segment(df, path)
     extra: dict = {"col_types": _col_types(df)}
     if stat_cols:
+        # stats from the WRITTEN segment, not the input plan — a
+        # nondeterministic source must not produce stats that don't
+        # cover the rows actually on disk (no-false-prune guarantee)
+        seg_df = spark.read.parquet(os.path.join(path, seg))
         extra |= {"stat_cols": list(stat_cols),
-                  "seg_stats": {seg: _segment_stats(df, list(stat_cols))}}
+                  "seg_stats": {seg: _segment_stats(seg_df,
+                                                    list(stat_cols))}}
     _commit(path, 1, [seg], "create", extra=extra)
     return 1
 
@@ -321,6 +326,11 @@ def zone_survives(seg_stats: dict, ranges: dict) -> bool:
     a brute-force oracle in tests/test_properties.py; pruning is allowed
     to be conservative (keep when unsure), never aggressive."""
     for c, (c_lo, c_hi) in ranges.items():
+        if c_lo is None and c_hi is None:
+            # fully-unbounded range = no predicate at all: read_pruned
+            # applies no row filter for it, so it must not prune anything
+            # — including all-NULL segments (NULL rows match "no filter")
+            continue
         st = seg_stats.get(c)
         if st is None:
             continue  # no stats for this col: cannot prune on it
@@ -334,18 +344,23 @@ def zone_survives(seg_stats: dict, ranges: dict) -> bool:
     return True
 
 
-def _carry_stats(spark: SparkSession, parent: dict, new_pairs: list,
-                 retained: list[str]) -> dict:
+def _carry_stats(spark: SparkSession, path: str, parent: dict,
+                 new_segs: list[str], retained: list[str]) -> dict:
     """Manifest stats for a child commit: parent's entries for retained
-    segments plus freshly computed entries for the new (seg, df) pairs.
-    Returns the `extra` dict (empty when the table tracks no stats)."""
+    segments plus freshly computed entries for the new segments. Stats
+    are computed from the WRITTEN segment files (not the input plan): a
+    nondeterministic source would otherwise yield stats that may not
+    cover the rows actually written, breaking read_pruned's no-false-
+    prune guarantee. Returns the `extra` dict (empty when the table
+    tracks no stats)."""
     cols = parent.get("stat_cols")
     if not cols:
         return {}
     old = parent.get("seg_stats", {})
     seg_stats = {s: old[s] for s in retained if s in old}
-    for seg, df in new_pairs:
-        seg_stats[seg] = _segment_stats(df, cols)
+    for seg in new_segs:
+        seg_df = spark.read.parquet(os.path.join(path, seg))
+        seg_stats[seg] = _segment_stats(seg_df, cols)
     return {"stat_cols": cols, "seg_stats": seg_stats}
 
 
@@ -410,7 +425,7 @@ def append(spark: SparkSession, path: str, batch: DataFrame) -> int:
     seg = _write_segment(batch, path)
     try:
         _commit(path, v + 1, parent["segments"] + [seg], "append",
-                extra=_carry_stats(spark, parent, [(seg, batch)],
+                extra=_carry_stats(spark, path, parent, [seg],
                                    parent["segments"])
                 | _carry_deletes(parent) | compat)
     except ConcurrentWriteError:
@@ -460,6 +475,11 @@ def delete_rows(spark: SparkSession, path: str, keys, key_col: str) -> int:
         # appended later is a new row the delete never saw (so re-inserts
         # are visible; Delta delete-then-insert semantics)
         "delete_scopes": m.get("delete_scopes", {}) | {dseg: m["segments"]},
+        # carry the table's committed column types: without them the next
+        # append's schema-drift guard starts from an empty known-types map
+        # (silently disabled) and resets col_types to the batch's columns,
+        # narrowing the versioned_cdc source's declared schema
+        "col_types": m.get("col_types", {}),
     }
     if m.get("stat_cols"):
         extra |= {"stat_cols": m["stat_cols"],
@@ -480,7 +500,7 @@ def overwrite(spark: SparkSession, path: str, df: DataFrame) -> int:
     parent = _manifest(path, v)
     try:
         _commit(path, v + 1, [seg], "overwrite",
-                extra=_carry_stats(spark, parent, [(seg, df)], [])
+                extra=_carry_stats(spark, path, parent, [seg], [])
                 | {"col_types": _col_types(df)})
     except ConcurrentWriteError:
         shutil.rmtree(os.path.join(path, seg))
@@ -504,10 +524,8 @@ def upsert(spark: SparkSession, path: str, updates: DataFrame, key: str) -> int:
     parent = _manifest(path, v)
     try:
         _commit(path, v + 1, [seg], "upsert",
-                extra=_carry_stats(
-                    spark, parent,
-                    [(seg, spark.read.parquet(os.path.join(path, seg)))], []
-                ) | {"col_types": _col_types(merged)})
+                extra=_carry_stats(spark, path, parent, [seg], [])
+                | {"col_types": _col_types(merged)})
     except ConcurrentWriteError:
         shutil.rmtree(os.path.join(path, seg))
         raise
@@ -548,7 +566,7 @@ def append_exactly_once(
     try:
         _commit(path, v + 1, parent["segments"] + [seg],
                 "stream-append", batch_id=int(batch_id),
-                extra=_carry_stats(spark, parent, [(seg, batch)],
+                extra=_carry_stats(spark, path, parent, [seg],
                                    parent["segments"])
                 | _carry_deletes(parent) | compat)
     except ConcurrentWriteError:
@@ -651,12 +669,18 @@ def vacuum(path: str, keep_last: int = 1,
             keep_segs.update(m.get("delete_segs") or [])
         else:
             os.remove(p)
+    # Orphaned commit temp files: only reap when OLDER than a minimum
+    # age — a concurrent committer's fsync'd-but-not-yet-linked temp file
+    # must survive vacuum, or the racing _commit fails with
+    # FileNotFoundError instead of ConcurrentWriteError and its orphan-
+    # segment cleanup never runs. A live commit's fsync→link gap is
+    # milliseconds; minutes of slack is decisively safe.
+    _TMP_MIN_AGE_SEC = 300.0
+    tmp_cutoff = max(float(retain_seconds or 0.0), _TMP_MIN_AGE_SEC)
     for name in os.listdir(snap_dir):
         if name.startswith(".tmp-"):
             p = os.path.join(snap_dir, name)
-            if retain_seconds is None or now - os.path.getmtime(p) >= float(
-                retain_seconds
-            ):
+            if now - os.path.getmtime(p) >= tmp_cutoff:
                 os.remove(p)
     deleted = []
     for d in sorted(os.listdir(path)):
@@ -1040,15 +1064,24 @@ def table_changes(
     def _h(df):
         return df.select(
             F.col(key).alias("_k"),
-            F.xxhash64(*[F.col(c).cast("string") for c in payload]).alias("_h"),
             F.struct(*cols).alias("_row"),
         )
     o, n = _h(old).alias("o"), _h(new).alias("n")
     j = o.join(n, F.col("o._k") == F.col("n._k"), "full_outer")
+    # payload change = any column differs under NULL-SAFE inequality.
+    # A hash of cast-to-string columns is wrong here: xxhash64 SKIPS null
+    # inputs, so rows differing only by WHICH column is NULL (value moved
+    # from col A to col B) hash identically and the update is dropped.
+    # ~(a <=> b) treats NULL vs value as different and NULL vs NULL as
+    # same — exact, no sentinel collisions.
+    changed = F.lit(False)
+    for c in payload:
+        changed = changed | ~F.col(f"o._row.{c}").eqNullSafe(
+            F.col(f"n._row.{c}"))
     out = j.select(
         F.when(F.col("o._k").isNull(), F.lit("insert"))
          .when(F.col("n._k").isNull(), F.lit("delete"))
-         .when(F.col("o._h") != F.col("n._h"), F.lit("update_post"))
+         .when(changed, F.lit("update_post"))
          .alias("_change_type"),
         F.coalesce(F.col("n._row"), F.col("o._row")).alias("_row"),
     ).where(F.col("_change_type").isNotNull())

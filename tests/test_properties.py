@@ -178,6 +178,9 @@ def test_zone_survives_never_false_prunes(col_values, ranges):
 
     def row_matches(i):
         for c, (lo, hi) in ranges.items():
+            if lo is None and hi is None:
+                continue  # unbounded range = no predicate: every row
+                # (NULL included) matches — mirrors zone_survives
             if c not in col_values:
                 continue  # untracked column: stats can't see it either
             vs = col_values[c]

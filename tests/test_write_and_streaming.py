@@ -1062,11 +1062,23 @@ class TestVersionedTable:
         junk = os.path.join(t, V._SNAP_DIR, ".tmp-deadbeef")
         with open(junk, "w") as f:
             f.write('{"version": 99, "segments"')  # half-written JSON
+        # a FRESH temp file may be a concurrent committer mid-fsync→link:
+        # vacuum must leave it alone (reaping it would make the racing
+        # _commit die with FileNotFoundError instead of
+        # ConcurrentWriteError, skipping its orphan-segment cleanup)
+        fresh = os.path.join(t, V._SNAP_DIR, ".tmp-inflight")
+        with open(fresh, "w") as f:
+            f.write("{}")
         assert V.current_version(t) == 1
         assert V.append(spark, t, self._df(spark, [(2, "b")])) == 2
         assert [h["version"] for h in V.history(t)] == [1, 2]
+        # age the crash leftover past the temp-reap window
+        import time as _time
+        old = _time.time() - 3600
+        os.utime(junk, (old, old))
         V.vacuum(t, keep_last=2)
         assert not os.path.exists(junk)
+        assert os.path.exists(fresh)  # in-flight commit survived
 
     def test_restore_is_metadata_only_rollback(self, spark, tmp_path):
         """restore() re-points the head at an earlier version's segments —
@@ -1186,6 +1198,73 @@ class TestVersionedTable:
         deleted = V.vacuum(t, keep_last=1)
         assert any(d.startswith("del-") for d in deleted)
         assert not [d for d in os.listdir(t) if d.startswith("del-")]
+
+    def test_delete_commit_keeps_schema_guard_armed(self, spark, tmp_path):
+        """delete_rows must carry the parent manifest's col_types: without
+        it the next append's schema-drift guard starts from an empty
+        known-types map (silently disabled) and then RESETS col_types to
+        the batch's columns, narrowing the table's declared schema so
+        columns present only in older segments drop out of CDC streams."""
+        from rclip_server_spark.sources import versioned as V
+        from rclip_server_spark.sources.versioned import SchemaDriftError
+
+        t = str(tmp_path / "v")
+        V.create(spark, t, self._df(spark, [(1, "a"), (2, "b")]))
+        V.delete_rows(spark, t, [2], "id")
+        # the delete commit itself preserves the declared schema
+        m = V._manifest(t, V.current_version(t))
+        assert set(m["col_types"]) == {"id", "val"}
+        # guard still armed: a type-drifting append fails loudly
+        bad = spark.createDataFrame([(3, 3)], ["id", "val"])  # val int
+        with pytest.raises(SchemaDriftError):
+            V.append(spark, t, bad)
+        # an evolving append (new col, old col absent) widens, never
+        # narrows: 'val' stays declared even though the batch lacks it
+        evo = spark.createDataFrame([(4, 1.5)], ["id", "score"])
+        V.append(spark, t, evo)
+        m2 = V._manifest(t, V.current_version(t))
+        assert set(m2["col_types"]) == {"id", "val", "score"}
+
+    def test_table_changes_null_moved_between_columns(self, spark, tmp_path):
+        """A row whose value MOVES between payload columns (A→NULL, NULL→B)
+        must classify as update_post. The old xxhash64-of-strings payload
+        hash skipped NULL inputs, so such rows hashed identically and the
+        update was silently dropped from CDC output."""
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "v")
+        df1 = spark.createDataFrame([(1, "x", None), (2, "k", "keep")],
+                                    "id long, a string, b string")
+        V.create(spark, t, df1)
+        df2 = spark.createDataFrame([(1, None, "x"), (2, "k", "keep")],
+                                    "id long, a string, b string")
+        V.overwrite(spark, t, df2)
+        ch = V.table_changes(spark, t, from_version=1, key="id")
+        got = {(r.id, r._change_type) for r in ch.collect()}
+        assert got == {(1, "update_post")}  # row 2 unchanged, row 1 seen
+
+    def test_read_pruned_unbounded_range_keeps_all_null_segment(
+        self, spark, tmp_path
+    ):
+        """A fully-unbounded (None, None) range applies NO row filter, so
+        it must not prune anything — in particular NULL rows living in an
+        all-NULL segment must come back, exactly as a plain read returns
+        them (zone_survives treats the unbounded range as no predicate)."""
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "v")
+        allnull = spark.createDataFrame(
+            [(1, None), (2, None)], "id long, x long")
+        mixed = spark.createDataFrame(
+            [(3, 10), (4, None)], "id long, x long")
+        V.create(spark, t, allnull, stat_cols=["x"])
+        V.append(spark, t, mixed)
+        got = {r.id for r in V.read_pruned(spark, t, "x").collect()}
+        assert got == {1, 2, 3, 4}  # same as plain read — no false prune
+        # and a REAL range predicate still prunes the all-NULL segment
+        got2 = {r.id for r in
+                V.read_pruned(spark, t, "x", lo=0).collect()}
+        assert got2 == {3}
 
     def test_occ_true_concurrent_writers_all_land(self, spark, tmp_path):
         """REAL concurrency (not a monkeypatched race): four threads each
