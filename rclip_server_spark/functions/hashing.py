@@ -103,3 +103,15 @@ def simhash32(tokens: Column) -> Column:
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def single_partition_key(c: Column) -> Column:
+    """A constant-zero partition key that SURVIVES constant folding
+    (``F.lit(0)`` is folded out of a window's partitionSpec, re-emptying
+    it). For windows whose input is bounded by construction (top-k slice,
+    n_bins sketch rows): partitioning by this keeps the plan identical —
+    one partition either way — while keeping the bounded case out of
+    WindowExec's "No Partition Defined" warning log, so a genuinely
+    unbounded global window elsewhere stands out. xxhash64 accepts any
+    input type and never returns NULL; ``& 0`` pins the value."""
+    return F.xxhash64(c).bitwiseAND(F.lit(0))

@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
+from ..functions.hashing import single_partition_key
 
 RRF_K = 60
 
@@ -136,9 +137,13 @@ def rrf_fusion(
         text_side.orderBy(F.desc(text_score), F.asc(id_col))
         .limit(pool)
         .withColumn(
+            # constant-zero partition key: input is `pool` rows by
+            # construction (keeps WindowExec's no-partition warning log
+            # clean so genuinely unbounded windows stand out)
             "t_rank",
             F.row_number().over(
-                Window.orderBy(F.desc(text_score), F.asc(id_col))
+                Window.partitionBy(single_partition_key(F.col(id_col)))
+                .orderBy(F.desc(text_score), F.asc(id_col))
             ).cast("long"),
         )
         .select(F.col(id_col).alias("id"), "t_rank")
@@ -149,7 +154,8 @@ def rrf_fusion(
         .withColumn(
             "v_rank",
             F.row_number().over(
-                Window.orderBy(F.desc(vec_score), F.asc(id_col))
+                Window.partitionBy(single_partition_key(F.col(id_col)))
+                .orderBy(F.desc(vec_score), F.asc(id_col))
             ).cast("long"),
         )
         .select(F.col(id_col).alias("id"), "v_rank")

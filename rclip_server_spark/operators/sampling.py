@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import portable_hash32
+from ..functions.hashing import portable_hash32, single_partition_key
 
 _HASH_SPACE = 1 << 32  # portable_hash32 range: [0, 2^32)
 
@@ -196,7 +196,14 @@ def weighted_fixed_k_sample(
         .orderBy(F.desc("__q"), F.asc(id_col))
         .limit(int(k) + 1)
     )
-    w = Window.orderBy(F.desc("__q"), F.asc(id_col))
+    # constant partition key: the input is k+1 rows (post-
+    # TakeOrderedAndProject), so a single-partition window is the point —
+    # the non-foldable zero key keeps this bounded-by-construction case
+    # out of the WindowExec "No Partition Defined" log, so a genuinely
+    # unbounded global window elsewhere stands out
+    w = Window.partitionBy(
+        single_partition_key(F.col(id_col))
+    ).orderBy(F.desc("__q"), F.asc(id_col))
     wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     tau = F.max(F.when(F.col("__rn") == k + 1, F.col("__q"))).over(wall)
     return (

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import portable_hash32
+from ..functions.hashing import portable_hash32, single_partition_key
 
 
 def _cell(col, d: int, width: int, salt: str) -> F.Column:
@@ -304,12 +304,18 @@ def histogram_quantiles(
     bit-identical across engines. The cumsum window runs over n_bins rows
     (the sketch), not the data."""
     width = (float(hi) - float(lo)) / float(n_bins)
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    # constant-zero partition key: the window runs over n_bins sketch
+    # rows, not data (keeps WindowExec's no-partition warning log clean
+    # so genuinely unbounded windows stand out)
+    _p = single_partition_key(F.col("bin"))
+    w = Window.partitionBy(_p).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     cum = hist.select(
         "bin", "cnt",
         F.sum("cnt").over(w).alias("cum"),
         F.sum("cnt").over(
-            Window.orderBy("bin").rowsBetween(
+            Window.partitionBy(_p).orderBy("bin").rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing
             )
         ).alias("n"),
