@@ -32,26 +32,25 @@ from rclip_server_spark.streaming import windows as SW
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Regression floor: best committed best-of-2 per-query seconds at sf0.1 on
-# an idle local[32] — round-4 numbers (BENCH_r04.json), which improved on
-# round 3 for every shared query. The shared-set rule is "this round <=
+# Regression floor: best committed per-query seconds at sf0.1 on an idle
+# local[32] — per-query minimum over the round-4 and round-5 driver runs
+# (BENCH_r04.json / BENCH_r05.json). The shared-set rule is "this round <=
 # floor per query, best-of-2 on an idle machine"; tools/bench_regression.py
 # compares a fresh run against this dict (not enforced inline here because
 # the driver's bench run may share the machine with other work — the
 # comparison needs the idle-machine protocol).
 FLOOR_SEC = {
-    "flagship_topk_sql": 0.148, "flagship_topk_gemv": 0.194,
+    "flagship_topk_sql": 0.121, "flagship_topk_gemv": 0.194,
     "best_words_top50": 0.141, "minhash_near_dup_docs": 2.894,
-    "simhash_fingerprints": 0.757, "embed_documents_udf": 0.064,
-    "q1_pricing_summary": 0.493, "join_broadcast_agg": 0.383,
-    "window_running_sum": 0.129, "event_session_windows": 0.516,
-    "text_quality_stats": 0.23, "event_funnel": 0.626,
-    "sample_weighted_mixture": 0.238, "bm25_topk": 0.983,
-    "semdedup": 1.077, "asof_click_view": 0.255,
-    "dedup_containment": 1.658, "train_quality_lr": 2.055,
-    "weighted_fixed_k": 0.269, "hist_quantiles": 0.764,
-    # r5-measured floor for the headliner added this round
-    "lsh_knn_join": 1.5,
+    "simhash_fingerprints": 0.757, "embed_documents_udf": 0.056,
+    "q1_pricing_summary": 0.473, "join_broadcast_agg": 0.373,
+    "window_running_sum": 0.12, "event_session_windows": 0.513,
+    "text_quality_stats": 0.224, "event_funnel": 0.575,
+    "sample_weighted_mixture": 0.229, "bm25_topk": 0.971,
+    "semdedup": 1.076, "asof_click_view": 0.244,
+    "dedup_containment": 1.539, "train_quality_lr": 2.055,
+    "weighted_fixed_k": 0.266, "hist_quantiles": 0.739,
+    "lsh_knn_join": 1.382,
 }
 R3_FLOOR_SEC = FLOOR_SEC  # legacy alias
 

@@ -53,6 +53,7 @@ exclusive arbiter here.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import re
 import shutil
@@ -62,6 +63,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 _SNAP_DIR = "_snapshots"
 _LATEST = "_latest"
+# commit logs a compaction hint at every multiple of this segment count
+_SEGMENT_HINT_THRESHOLD = 256
 _MANIFEST_RE = re.compile(r"^v(\d{8})\.json$")
 
 
@@ -139,6 +142,20 @@ def _commit(path: str, version: int, segments: list[str], op: str,
         else _footer_rows(os.path.join(path, s))
         for s in _manifest_segments(manifest)
     }
+    # Manifest size bound: seg_rows (and seg_stats when tracked) grow
+    # O(#segments), ~100 bytes each — metadata-sized only while segment
+    # counts stay compacted. Hint (once per threshold multiple, so a
+    # runaway append loop logs O(n/threshold) lines, not O(n)) rather
+    # than auto-compact: compaction is a data rewrite the OWNER schedules.
+    n_segs = len(manifest["seg_rows"])
+    if n_segs >= _SEGMENT_HINT_THRESHOLD and \
+            n_segs % _SEGMENT_HINT_THRESHOLD == 0:
+        logging.getLogger(__name__).warning(
+            "versioned table %s has %d segments at v%d; manifests and "
+            "commit-time footer reads grow with segment count — run "
+            "compact() (flat) or compact_bucketed() to fold them",
+            path, n_segs, version,
+        )
     target = _snap_path(path, version)
     snap_dir = os.path.join(path, _SNAP_DIR)
     tmp = os.path.join(snap_dir, f".tmp-{uuid.uuid4().hex[:12]}")
@@ -526,6 +543,39 @@ def upsert(spark: SparkSession, path: str, updates: DataFrame, key: str) -> int:
         _commit(path, v + 1, [seg], "upsert",
                 extra=_carry_stats(spark, path, parent, [seg], [])
                 | {"col_types": _col_types(merged)})
+    except ConcurrentWriteError:
+        shutil.rmtree(os.path.join(path, seg))
+        raise
+    return v + 1
+
+
+def compact(spark: SparkSession, path: str) -> int:
+    """Fold a flat table's accreted segments into ONE, as a normal
+    committed version: reads the head snapshot (pending delete vectors
+    applied — so deletes are MATERIALIZED by the rewrite and the vector
+    list clears), writes one merged segment, re-points the manifest.
+
+    Why this is table maintenance, not a luxury: the manifest carries
+    ~100 bytes per segment (seg_rows, plus seg_stats when zone maps are
+    tracked), and every commit reads new segments' parquet footers — both
+    O(#segments). Under many small appends the manifest balloons
+    linearly (pinned by test_manifest_growth_and_compaction); periodic
+    compaction restores it to O(1) while readers of older versions stay
+    isolated (old segments live until vacuum). Bucketed tables use
+    compact_bucketed (bucket-at-a-time, only multi-segment buckets).
+    Returns the new version (current version when already compact)."""
+    v = current_version(path)
+    m = _manifest(path, v)
+    if "buckets" in m:
+        raise ValueError("bucketed tables compact via compact_bucketed")
+    if len(m["segments"]) <= 1 and not m.get("delete_segs"):
+        return v
+    merged = read(spark, path, v)
+    seg = _write_segment(merged, path)
+    try:
+        _commit(path, v + 1, [seg], "compact",
+                extra=_carry_stats(spark, path, m, [seg], [])
+                | {"col_types": m.get("col_types", {})})
     except ConcurrentWriteError:
         shutil.rmtree(os.path.join(path, seg))
         raise

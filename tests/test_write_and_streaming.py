@@ -1266,6 +1266,47 @@ class TestVersionedTable:
                 V.read_pruned(spark, t, "x", lo=0).collect()}
         assert got2 == {3}
 
+    def test_manifest_growth_and_compaction(self, spark, tmp_path):
+        """Manifest metadata (seg_rows + zone-map seg_stats) grows
+        O(#segments) under many small appends; compact() folds the table
+        back to ONE segment, restoring the manifest to O(1) size,
+        materializing pending delete vectors, and preserving declared
+        col_types + zone-map pruning."""
+        import os
+
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "v")
+        mk = lambda lo, hi: spark.createDataFrame(
+            [(i, i * 10) for i in range(lo, hi)], "id long, x long")
+        V.create(spark, t, mk(0, 5), stat_cols=["x"])
+        for j in range(1, 13):
+            V.append(spark, t, mk(5 * j, 5 * j + 5))
+        V.delete_rows(spark, t, [0, 7], "id")
+        head = V.current_version(t)
+        m = V._manifest(t, head)
+        assert len(m["segments"]) == 13
+        grown = os.path.getsize(V._snap_path(t, head))
+        base = os.path.getsize(V._snap_path(t, 1))
+        assert grown > 4 * base  # linear growth is real, worth bounding
+        v = V.compact(spark, t)
+        mc = V._manifest(t, v)
+        assert len(mc["segments"]) == 1
+        assert not mc.get("delete_segs")  # vectors materialized + cleared
+        assert set(mc["col_types"]) == {"id", "x"}
+        compacted = os.path.getsize(V._snap_path(t, v))
+        assert compacted < 2 * base  # back to O(1) metadata
+        got = {r.id for r in V.read(spark, t).collect()}
+        assert got == set(range(65)) - {0, 7}
+        # zone maps recomputed over the merged segment: pruning still works
+        assert {r.id for r in
+                V.read_pruned(spark, t, "x", lo=600, hi=620).collect()
+                } == {60, 61, 62}
+        # second compact is a no-op version-wise
+        assert V.compact(spark, t) == v
+        # old version still time-travels until vacuum
+        assert len({r.id for r in V.read(spark, t, 1).collect()}) == 5
+
     def test_occ_true_concurrent_writers_all_land(self, spark, tmp_path):
         """REAL concurrency (not a monkeypatched race): four threads each
         push three upserts through the retry loop against one table. The
