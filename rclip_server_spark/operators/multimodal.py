@@ -89,6 +89,31 @@ def embed_text_column(
     return df.withColumn(out_col, embed_text_udf(dim)(F.col(text_col)))
 
 
+def embed_text_udf_from_factory(make_embedder) -> Column:
+    """The D3 executor-singleton seam for a REAL model: ``make_embedder``
+    is a zero-arg callable (must be picklable — a module-level factory or
+    functools.partial, not a lambda over a live model) that constructs an
+    Embedder-protocol object (e.g. plans.embedder.ClipEmbedder) ON THE
+    EXECUTOR. The iterator form runs it at most once per Python worker
+    per task — the lazy model-load pattern from the Spark docs'
+    predict_batch_udf — and each Arrow batch is ONE vectorized
+    embed_texts call (reference semantics rclip_server.py:176-188:
+    tokenize/encode then L2-normalize, which Embedder implementations
+    do internally). Proven against the hash embedder in-container and
+    against a real CLIP backend by tests/test_real_model_smoke.py."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        emb = None
+        for s in batches:
+            if emb is None:
+                emb = make_embedder()  # lazy: once per worker, not per batch
+            mat = emb.embed_texts(s.fillna("").astype(str).tolist())
+            yield pd.Series([[float(x) for x in row] for row in mat])
+
+    return _embed
+
+
 # ---------------------------------------------------------------------------
 # D2/B16/B17: binary media columns
 # ---------------------------------------------------------------------------

@@ -45,7 +45,11 @@ def test_similar_words_and_phrases(api):
     assert len(out["similar_words"]) == 8  # whole table < 50
     top_word, top_score = out["similar_words"][0]
     assert top_word == "zebra" and top_score == pytest.approx(1.0, abs=1e-9)
-    assert out["similar_phrases"]
+    # endpoint slice contract (RS:399-402 via api.py): best_phrases
+    # returns the top-100 of 3000 sampled candidates; the endpoint
+    # serves the first 50
+    assert len(out["similar_phrases"]) == 50
+    assert all(len(p.split()) in (2, 3, 4) for p, _ in out["similar_phrases"])
 
 
 def test_clip_embedding_endpoints(api):

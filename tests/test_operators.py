@@ -189,6 +189,47 @@ def test_phrase_embedding_matches_numpy(spark, embeddings):
     np.testing.assert_allclose(np.array(got), want, atol=1e-9)
 
 
+def test_best_phrases_reference_counts_golden(spark, embeddings):
+    """A14 fidelity to the reference's sampled combination counts
+    (rclip_server.py:330-342): pool = top-200 best words, candidates =
+    1000 sampled combos PER length {2,3,4} (3000 total), approx score =
+    dot(query, normalize(Σ word vectors)), slice = top-100. Golden: the
+    Spark result equals a driver-side numpy re-derivation using the same
+    seeded RNG — same phrases, same order, scores to 1e-9."""
+    words = embeddings.select(
+        F.col("vec_id").cast("string").alias("word"),
+        F.col("embedding").alias("vector"))
+    got = similarity.best_phrases(words, QV, k=100).collect()
+    assert len(got) == 100  # the top-100 slice boundary (RS:341)
+
+    ids, mat = _emb_matrix(embeddings)
+    qv = np.asarray(QV, dtype=np.float64)
+    words_np = np.array([str(i) for i in ids])
+    scores = mat @ qv
+    order = np.lexsort((words_np, -scores))  # score desc, word asc
+    pool = [words_np[i] for i in order[:200]]
+    vec_by_word = dict(zip(words_np.tolist(), mat))
+    rng = np.random.default_rng(42)
+    candidates = []
+    for ln in (2, 3, 4):
+        for _ in range(1000):
+            idx = rng.choice(len(pool), size=ln, replace=False)
+            ws = [pool[i] for i in idx]
+            candidates.append((" ".join(ws), ws))
+    # the reference's exact candidate volume: num_per_group x 3 lengths
+    assert len(candidates) == 3000
+
+    def approx_score(ws):
+        s = np.sum([vec_by_word[w] for w in ws], axis=0)
+        return float(qv @ (s / np.linalg.norm(s)))
+
+    ref = sorted(((p, approx_score(ws)) for p, ws in candidates),
+                 key=lambda t: (-t[1], t[0]))[:100]
+    assert [r.phrase for r in got] == [p for p, _ in ref]
+    np.testing.assert_allclose(
+        [r.score for r in got], [s for _, s in ref], atol=1e-9)
+
+
 def test_best_phrases_small_pool_no_crash(spark, embeddings):
     words = embeddings.limit(3).select(
         F.col("vec_id").cast("string").alias("word"), F.col("embedding").alias("vector")
