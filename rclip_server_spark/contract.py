@@ -1424,13 +1424,14 @@ _PRIORITY = [
     "sketch_histogram_quantiles_by_lang", "ev_windowed_value_histogram",
     "rel_window_ntile", "sql_scalar_subquery", "ev_asof_tolerance",
     "ev_time_bucket_rollup", "ev_dedup_bucket_stream_twin",
-    # --- new r6 versioned-table read-side rows (sources/versioned.py) ---
-    "vt_delete_vector_read", "vt_snapshot_diff_cdc",
-    # --- re-confirmation: bench-headline dedup/ANN + sketch/join rows ---
+    # --- new r6 versioned-table read-side rows (sources/versioned.py +
+    # sources/matview.py incremental agg-view maintenance) ---
+    "vt_delete_vector_read", "vt_snapshot_diff_cdc", "vt_agg_view_refresh",
+    # --- re-confirmation: bench-headline dedup/ANN + sketch rows ---
     "ann_lsh_knn_join", "dedup_minhash_near_dup", "dedup_containment",
     "dedup_semantic_semdedup", "dedup_simhash_near_dup", "ann_ivf_topk",
     "ann_lsh_topk_multiprobe", "ann_multi_query_topk",
-    "sketch_histogram_quantiles", "rel_bloom_pruned_anti_join",
+    "sketch_histogram_quantiles",
 ]
 
 
@@ -4907,5 +4908,56 @@ _register(
     WHERE a.event_id IS NULL OR b.event_id IS NULL
        OR (a.user_id IS DISTINCT FROM b.user_id)
        OR (a.event_type IS DISTINCT FROM b.event_type)
+    """,
+)
+
+
+def _vt_mv_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .sources import matview as MV
+    from .sources import versioned as VT
+
+    view = path + "_view"
+    ev = _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"))
+    VT.create(spark, path, ev.where(F.col("event_id") % 3 != 2))
+    MV.create_agg_view(spark, path, view, key="event_id",
+                       group_cols=["event_type"], sum_cols=["value_cents"])
+    # append-only refresh (O(new segments) CDC fast path) ...
+    VT.append(spark, path, ev.where(F.col("event_id") % 3 == 2))
+    MV.refresh_agg_view(spark, view)
+    # ... then a delete-vector retraction (snapshot-diff CDC path with
+    # pre-images): the view must land exactly on the post-delete groupBy
+    VT.delete_rows(
+        spark, path,
+        ev.where(F.col("event_id") % 11 == 0).select("event_id"),
+        "event_id")
+    MV.refresh_agg_view(spark, view)
+
+
+def _vt_agg_view_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized agg view (sources/matview.py): created at
+    one source version, advanced by two refreshes (append fast path +
+    delete-vector retraction via update/delete pre-images), then read —
+    the oracle checks it equals the direct groupBy of the FINAL source
+    state, which is the whole point of retraction-exact maintenance."""
+    from .sources import matview as MV
+
+    path = _vt_build(spark, sf, "mv", _vt_mv_builder)
+    return MV.read_agg_view(spark, path + "_view").select(
+        "event_type", F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_value_cents").cast("long").alias("sum_value_cents"))
+
+
+_register(
+    "vt_agg_view_refresh",
+    _vt_agg_view_refresh,
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM events
+    WHERE event_id % 11 <> 0
+    GROUP BY event_type
     """,
 )

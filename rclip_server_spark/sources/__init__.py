@@ -1,4 +1,4 @@
-from . import external, writer
+from . import external, matview, writer
 from .catalog import (
     TABLES,
     load_table,
@@ -8,4 +8,4 @@ from .catalog import (
     register_views,
 )
 
-__all__ = ["TABLES", "load_table", "load_tables", "load_words_table", "register_views", "project_dynamic", "writer", "external"]
+__all__ = ["TABLES", "load_table", "load_tables", "load_words_table", "register_views", "project_dynamic", "writer", "external", "matview"]

@@ -215,7 +215,8 @@ def _segment_stats(df: DataFrame, stat_cols: list[str]) -> dict:
 
 
 def create(spark: SparkSession, path: str, df: DataFrame,
-           stat_cols: list[str] | None = None) -> int:
+           stat_cols: list[str] | None = None,
+           extra: dict | None = None) -> int:
     """Create the versioned table as version 1. Returns the version.
 
     ``stat_cols`` declares zone-map columns ONCE at table level: every
@@ -224,10 +225,15 @@ def create(spark: SparkSession, path: str, df: DataFrame,
     ``read_pruned`` skips whole segments at MANIFEST-resolution time —
     the Delta/Iceberg file-skipping idea at segment granularity. At
     100 TB with daily appends, a time-range query opens the overlapping
-    days' segments and zero others, decided without touching storage."""
+    days' segments and zero others, decided without touching storage.
+
+    ``extra`` lets a caller record application metadata in the manifest
+    (e.g. matview's refresh cursor); reserved keys (segments/op/
+    col_types/...) always win over caller entries."""
     os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=False)
     seg = _write_segment(df, path)
-    extra: dict = {"col_types": _col_types(df)}
+    extra = dict(extra or {})
+    extra |= {"col_types": _col_types(df)}
     if stat_cols:
         # stats from the WRITTEN segment, not the input plan — a
         # nondeterministic source must not produce stats that don't
@@ -509,15 +515,19 @@ def delete_rows(spark: SparkSession, path: str, keys, key_col: str) -> int:
     return v + 1
 
 
-def overwrite(spark: SparkSession, path: str, df: DataFrame) -> int:
+def overwrite(spark: SparkSession, path: str, df: DataFrame,
+              extra: dict | None = None) -> int:
     """Full-replace commit (B18-flavored reload target): one new segment is
-    the whole new state. Old versions remain readable until vacuum."""
+    the whole new state. Old versions remain readable until vacuum.
+    ``extra``: caller metadata recorded in the manifest (reserved keys
+    win), same contract as create()."""
     v = current_version(path)
     seg = _write_segment(df, path)
     parent = _manifest(path, v)
     try:
         _commit(path, v + 1, [seg], "overwrite",
-                extra=_carry_stats(spark, path, parent, [seg], [])
+                extra=dict(extra or {})
+                | _carry_stats(spark, path, parent, [seg], [])
                 | {"col_types": _col_types(df)})
     except ConcurrentWriteError:
         shutil.rmtree(os.path.join(path, seg))
@@ -1043,9 +1053,19 @@ def append_bucketed_exactly_once(
 def table_changes(
     spark: SparkSession, path: str, from_version: int,
     to_version: int | None = None, key: str | None = None,
+    include_preimage: bool = False,
 ) -> DataFrame:
     """CDC read: the rows that changed BETWEEN two committed versions,
     tagged with a ``_change_type`` column (insert / update_post / delete).
+
+    ``include_preimage=True`` switches updates to the Delta-CDF shape:
+    each updated key emits TWO rows, ``update_preimage`` (the old row)
+    and ``update_postimage`` (the new row), instead of one
+    ``update_post`` row. Pre-images are what make a change feed
+    RETRACTABLE — an additive consumer (incremental agg view, downstream
+    sync) applies +postimage and −preimage and lands exactly on the new
+    state; with only post-images it cannot undo the old contribution.
+    Inserts and deletes are unchanged (a delete row IS its pre-image).
 
     Fast path — when every commit in (from, to] is an append (flat,
     bucketed, or stream-append), the change set is EXACTLY the rows of
@@ -1128,6 +1148,31 @@ def table_changes(
     for c in payload:
         changed = changed | ~F.col(f"o._row.{c}").eqNullSafe(
             F.col(f"n._row.{c}"))
+    if include_preimage:
+        # one array of (type, row) entries per joined key, exploded —
+        # updates contribute BOTH images; unchanged keys an empty array.
+        # Map-side on top of the join; no extra shuffle.
+        def _e(t, r):
+            return F.struct(F.lit(t).cast("string").alias("t"),
+                            r.alias("r"))
+
+        arr = (
+            F.when(F.col("o._k").isNull(),
+                   F.array(_e("insert", F.col("n._row"))))
+            .when(F.col("n._k").isNull(),
+                  F.array(_e("delete", F.col("o._row"))))
+            .when(changed,
+                  F.array(_e("update_preimage", F.col("o._row")),
+                          _e("update_postimage", F.col("n._row"))))
+            # unchanged key: a NULL-typed placeholder entry (keeps the
+            # array type inferable), dropped right after the explode
+            .otherwise(F.array(_e(None, F.col("n._row"))))
+        )
+        ex = j.select(F.explode(arr).alias("e")) \
+             .where(F.col("e.t").isNotNull())
+        return ex.select(
+            *[F.col(f"e.r.{c}").alias(c) for c in cols],
+            F.col("e.t").alias("_change_type"))
     out = j.select(
         F.when(F.col("o._k").isNull(), F.lit("insert"))
          .when(F.col("n._k").isNull(), F.lit("delete"))

@@ -1307,6 +1307,80 @@ class TestVersionedTable:
         # old version still time-travels until vacuum
         assert len({r.id for r in V.read(spark, t, 1).collect()}) == 5
 
+    def test_table_changes_preimage_postimage(self, spark, tmp_path):
+        """include_preimage=True emits the Delta-CDF shape: an updated key
+        contributes BOTH update_preimage (old row) and update_postimage
+        (new row); inserts and deletes stay single rows. Pre-images are
+        what make the feed retractable for additive consumers."""
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "v")
+        V.create(spark, t, self._df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+        V.overwrite(spark, t, self._df(spark, [(1, "a"), (2, "B"), (9, "n")]))
+        ch = V.table_changes(spark, t, from_version=1, key="id",
+                             include_preimage=True)
+        got = sorted((r.id, r.val, r._change_type) for r in ch.collect())
+        assert got == [
+            (2, "B", "update_postimage"), (2, "b", "update_preimage"),
+            (3, "c", "delete"), (9, "n", "insert")]
+
+    def test_agg_view_incremental_equals_recompute(self, spark, tmp_path):
+        """The materialized agg view, refreshed through appends, delete
+        vectors, and upserts, must equal a direct groupBy of the source
+        head after EVERY refresh — including retracting a group to zero
+        (it leaves the view) and NULL group keys (null-safe merge)."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "src")
+        vw = str(tmp_path / "view")
+        mk = lambda rows: spark.createDataFrame(
+            rows, "id long, grp string, v long")
+        V.create(spark, t, mk([(1, "a", 10), (2, "a", 5), (3, "b", 7),
+                               (4, None, 2)]))
+        MV.create_agg_view(spark, t, vw, key="id",
+                           group_cols=["grp"], sum_cols=["v"])
+
+        def check():
+            got = sorted(
+                ((r.grp, r.cnt, r.sum_v) for r in
+                 MV.read_agg_view(spark, vw).collect()),
+                key=lambda x: (x[0] is None, x[0]))
+            want = sorted(
+                ((r.grp, r.cnt, r.sum_v) for r in
+                 V.read(spark, t).groupBy("grp").agg(
+                     F.count(F.lit(1)).alias("cnt"),
+                     F.sum("v").alias("sum_v")).collect()),
+                key=lambda x: (x[0] is None, x[0]))
+            assert got == want, (got, want)
+
+        check()  # initial materialization
+        # append-only refresh (O(new segments) CDC fast path)
+        V.append(spark, t, mk([(5, "b", 3), (6, "c", 1), (7, None, 4)]))
+        MV.refresh_agg_view(spark, vw)
+        check()
+        # delete vector retracts rows; group 'c' retracts to zero and
+        # must DROP from the view
+        V.delete_rows(spark, t, [6, 2], "id")
+        MV.refresh_agg_view(spark, vw)
+        check()
+        assert "c" not in {r.grp for r in
+                           MV.read_agg_view(spark, vw).collect()}
+        # upsert moves a row between groups (update pre+post images)
+        V.upsert(spark, t, mk([(3, "a", 7), (8, "d", 9)]), "id")
+        MV.refresh_agg_view(spark, vw)
+        check()
+        # idempotent when already fresh; cursor tracks the source head
+        v_before = V.current_version(vw)
+        assert MV.refresh_agg_view(spark, vw) == v_before
+        m = V._manifest(vw, V.current_version(vw))
+        assert m["mv_source_version"] == V.current_version(t)
+        # the view is a real versioned table: time travel reaches the
+        # pre-delete state
+        old = {(r.grp, r.cnt) for r in
+               V.read(spark, vw, 2).collect()}
+        assert ("c", 1) in old
+
     def test_occ_true_concurrent_writers_all_land(self, spark, tmp_path):
         """REAL concurrency (not a monkeypatched race): four threads each
         push three upserts through the retry loop against one table. The
