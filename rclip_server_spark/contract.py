@@ -4961,3 +4961,84 @@ _register(
     GROUP BY event_type
     """,
 )
+
+
+def _vt_mv_minmax_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .sources import matview as MV
+    from .sources import versioned as VT
+
+    view = path + "_view"
+    ev = _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"))
+    VT.create(spark, path, ev.where(F.col("event_id") % 3 != 2))
+    MV.create_agg_view(spark, path, view, key="event_id",
+                       group_cols=["event_type"], sum_cols=["value_cents"],
+                       minmax_cols=["value_cents"])
+    VT.append(spark, path, ev.where(F.col("event_id") % 3 == 2))
+    MV.refresh_agg_view(spark, view)  # insert-only: monotone min/max merge
+    VT.delete_rows(
+        spark, path,
+        ev.where(F.col("event_id") % 11 == 0).select("event_id"),
+        "event_id")
+    MV.refresh_agg_view(spark, view)  # retraction: affected-group recompute
+
+
+def _vt_agg_view_minmax(spark: SparkSession, sf: str) -> DataFrame:
+    """MIN/MAX materialized view (matview.refresh_agg_view's
+    recompute-affected-groups path): the deletes retract rows from every
+    group, so each group's min/max must be re-derived — the oracle checks
+    the maintained extremes equal DuckDB's direct groupBy of the final
+    state (non-retractable aggregates maintained correctly)."""
+    from .sources import matview as MV
+
+    path = _vt_build(spark, sf, "mvx", _vt_mv_minmax_builder)
+    return MV.read_agg_view(spark, path + "_view").select(
+        "event_type", F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_value_cents").cast("long").alias("sum_value_cents"),
+        F.col("min_value_cents").cast("long").alias("min_value_cents"),
+        F.col("max_value_cents").cast("long").alias("max_value_cents"))
+
+
+_register(
+    "vt_agg_view_minmax",
+    _vt_agg_view_minmax,
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents,
+           CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS min_value_cents,
+           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS max_value_cents
+    FROM events
+    WHERE event_id % 11 <> 0
+    GROUP BY event_type
+    """,
+)
+
+
+def _vt_append_only_changes(spark: SparkSession, sf: str) -> DataFrame:
+    """Append-only CDC fast path (versioned.table_changes): the change set
+    for an append interval is exactly the appended segments' rows —
+    asserted Exchange-free in PLANS.md; here hash-matched row-for-row
+    against plain SQL over the appended slice."""
+    from .sources import versioned as VT
+
+    path = _vt_build(spark, sf, "dv", _vt_dv_builder)
+    # interval (2, 3]: v3 is the appended event_id % 4 == 3 batch
+    ch = VT.table_changes(spark, path, from_version=2, to_version=3)
+    return ch.select("event_id", "user_id", "value_cents", "_change_type")
+
+
+_register(
+    "vt_append_only_changes",
+    _vt_append_only_changes,
+    """
+    SELECT event_id, user_id,
+           CAST(round(value * 100) AS BIGINT) AS value_cents,
+           'insert' AS _change_type
+    FROM events
+    WHERE event_id % 4 = 3
+    """,
+)

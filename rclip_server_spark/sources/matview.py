@@ -58,30 +58,49 @@ def _spec(path: str) -> dict:
 
 
 def _aggregate(df: DataFrame, group_cols: list[str], sum_cols: list[str],
-               sign=None) -> DataFrame:
+               minmax_cols: list[str] = (), sign=None) -> DataFrame:
     s = sign if sign is not None else F.lit(1).cast("long")
     aggs = [F.sum(s).alias("cnt")] + [
         F.sum(s * F.col(c).cast("long")).alias(f"sum_{c}") for c in sum_cols
     ]
+    for c in minmax_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def _nullsafe_cond(left_alias: str, right_alias: str, cols: list[str]):
+    cond = None
+    for g in cols:
+        c = F.col(f"{left_alias}.{g}").eqNullSafe(F.col(f"{right_alias}.{g}"))
+        cond = c if cond is None else cond & c
+    return cond
 
 
 def create_agg_view(
     spark: SparkSession, source_path: str, view_path: str, key: str,
     group_cols: list[str], sum_cols: list[str] | None = None,
+    minmax_cols: list[str] | None = None,
 ) -> int:
-    """Materialize ``SELECT group_cols, COUNT(*) cnt, SUM(c) sum_c ...``
-    over the source table's HEAD and record the view spec + cursor in the
-    view's manifest. ``key`` is the source's row identity, needed when a
-    refresh interval contains rewrites (snapshot-diff CDC). ``sum_cols``
-    must be integer-valued columns (BIGINT-exact additivity)."""
+    """Materialize ``SELECT group_cols, COUNT(*) cnt, SUM(c) sum_c,
+    MIN/MAX(m) ...`` over the source table's HEAD and record the view
+    spec + cursor in the view's manifest. ``key`` is the source's row
+    identity, needed when a refresh interval contains rewrites
+    (snapshot-diff CDC). ``sum_cols`` must be integer-valued columns
+    (BIGINT-exact additivity). ``minmax_cols`` adds min_/max_ columns:
+    they are NOT retractable, so a refresh whose interval retracts rows
+    from a group RECOMPUTES that group from the source head (filtered by
+    a broadcast semi-join on the affected group keys — row volume is the
+    affected groups' rows; insert-only groups still merge monotonically
+    with least/greatest, no rescan)."""
     sum_cols = list(sum_cols or [])
+    minmax_cols = list(minmax_cols or [])
     src_v = V.current_version(source_path)
     state = _aggregate(V.read(spark, source_path, src_v),
-                       list(group_cols), sum_cols)
+                       list(group_cols), sum_cols, minmax_cols)
     return V.create(spark, view_path, state, extra={
         "mv_source": source_path, "mv_key": key,
         "mv_group_cols": list(group_cols), "mv_sum_cols": sum_cols,
+        "mv_minmax_cols": minmax_cols,
         "mv_source_version": src_v,
     })
 
@@ -89,45 +108,96 @@ def create_agg_view(
 def refresh_agg_view(spark: SparkSession, view_path: str) -> int:
     """Advance the view to the source's head by applying the change feed
     since the recorded cursor (spec read from the view manifest). Returns
-    the view's new version (current version when already fresh)."""
+    the view's new version (current version when already fresh).
+
+    Additive columns (cnt, sum_*) merge as signed deltas. When the view
+    tracks min/max, groups touched by a RETRACTING change (delete /
+    update_preimage) are recomputed from the source snapshot at the
+    target version — restricted by a broadcast semi-join on those group
+    keys, so row volume is the affected groups' rows, never the table;
+    insert-only groups still merge monotonically (least/greatest) with
+    zero source rescan. An append-only refresh therefore never scans
+    pre-existing data regardless of spec."""
     m = _spec(view_path)
     src = m["mv_source"]
     group_cols = list(m["mv_group_cols"])
     sum_cols = list(m["mv_sum_cols"])
+    minmax_cols = list(m.get("mv_minmax_cols", []))
     v_from = int(m["mv_source_version"])
     v_to = V.current_version(src)
     if v_to == v_from:
         return V.current_version(view_path)
     ch = V.table_changes(spark, src, from_version=v_from, to_version=v_to,
                          key=m["mv_key"], include_preimage=True)
-    sign = (
-        F.when(F.col("_change_type").isin(*_INSERTING), F.lit(1))
-        .when(F.col("_change_type").isin(*_RETRACTING), F.lit(-1))
-        .cast("long")
-    )
-    delta = _aggregate(ch, group_cols, sum_cols, sign=sign)
-
-    cur = V.read(spark, view_path).alias("a")
-    d = delta.alias("d")
-    # null-safe equi-join: NULL group keys are real groups and must merge,
-    # not duplicate (plain `=` would never match them)
-    cond = None
-    for g in group_cols:
-        c = F.col(f"a.{g}").eqNullSafe(F.col(f"d.{g}"))
-        cond = c if cond is None else cond & c
-    val_cols = ["cnt"] + [f"sum_{c}" for c in sum_cols]
-    merged = cur.join(d, cond, "full_outer").select(
-        *[F.coalesce(F.col(f"a.{g}"), F.col(f"d.{g}")).alias(g)
-          for g in group_cols],
-        *[(F.coalesce(F.col(f"a.{c}"), F.lit(0)) +
-           F.coalesce(F.col(f"d.{c}"), F.lit(0))).alias(c)
-          for c in val_cols],
-    ).where(F.col("cnt") > 0)  # fully-retracted groups leave the view
-    return V.overwrite(spark, view_path, merged, extra={
+    new_extra = {
         "mv_source": src, "mv_key": m["mv_key"],
         "mv_group_cols": group_cols, "mv_sum_cols": sum_cols,
+        "mv_minmax_cols": minmax_cols,
         "mv_source_version": v_to,
-    })
+    }
+    cur = V.read(spark, view_path)
+    add_cols = ["cnt"] + [f"sum_{c}" for c in sum_cols]
+
+    def _merge_additive(base: DataFrame, delta: DataFrame,
+                        extra_vals) -> DataFrame:
+        # null-safe full-outer merge: NULL group keys are real groups and
+        # must merge, not duplicate (plain `=` would never match them)
+        a, d = base.alias("a"), delta.alias("d")
+        out = a.join(d, _nullsafe_cond("a", "d", group_cols), "full_outer")
+        return out.select(
+            *[F.coalesce(F.col(f"a.{g}"), F.col(f"d.{g}")).alias(g)
+              for g in group_cols],
+            *[(F.coalesce(F.col(f"a.{c}"), F.lit(0)) +
+               F.coalesce(F.col(f"d.{c}"), F.lit(0))).alias(c)
+              for c in add_cols],
+            *extra_vals,
+        )
+
+    if not minmax_cols:
+        sign = (
+            F.when(F.col("_change_type").isin(*_INSERTING), F.lit(1))
+            .when(F.col("_change_type").isin(*_RETRACTING), F.lit(-1))
+            .cast("long")
+        )
+        delta = _aggregate(ch, group_cols, sum_cols, sign=sign)
+        merged = _merge_additive(cur, delta, []).where(F.col("cnt") > 0)
+        return V.overwrite(spark, view_path, merged, extra=new_extra)
+
+    ins = ch.where(F.col("_change_type").isin(*_INSERTING))
+    ret_groups = (
+        ch.where(F.col("_change_type").isin(*_RETRACTING))
+        .select(*group_cols).distinct()
+    )
+    # affected groups: full recompute from the PINNED target snapshot
+    # (min/max are not retractable); the semi-join bounds the row volume
+    src_at = V.read(spark, src, v_to).alias("s")
+    recomp = _aggregate(
+        src_at.join(F.broadcast(ret_groups.alias("g")),
+                    _nullsafe_cond("s", "g", group_cols), "left_semi"),
+        group_cols, sum_cols, minmax_cols)
+    # untouched-by-retraction groups: additive merge + monotone min/max
+    def _minus_affected(df: DataFrame) -> DataFrame:
+        x = df.alias("x")
+        return x.join(F.broadcast(ret_groups.alias("g")),
+                      _nullsafe_cond("x", "g", group_cols), "left_anti")
+
+    ins_delta = _minus_affected(_aggregate(ins, group_cols, sum_cols,
+                                           minmax_cols))
+    mm_vals = []
+    for c in minmax_cols:
+        # least/greatest skip NULLs, so a side with no row merges cleanly
+        mm_vals += [
+            F.least(F.col(f"a.min_{c}"), F.col(f"d.min_{c}"))
+             .alias(f"min_{c}"),
+            F.greatest(F.col(f"a.max_{c}"), F.col(f"d.max_{c}"))
+             .alias(f"max_{c}"),
+        ]
+    merged = (
+        _merge_additive(_minus_affected(cur), ins_delta, mm_vals)
+        .unionByName(recomp)
+        .where(F.col("cnt") > 0)
+    )
+    return V.overwrite(spark, view_path, merged, extra=new_extra)
 
 
 def read_agg_view(spark: SparkSession, view_path: str,

@@ -1381,6 +1381,56 @@ class TestVersionedTable:
                V.read(spark, vw, 2).collect()}
         assert ("c", 1) in old
 
+    def test_agg_view_minmax_recompute_affected_groups(self, spark, tmp_path):
+        """MIN/MAX are not retractable: deleting a group's current maximum
+        must trigger the affected-group recompute (semi-join against the
+        source snapshot) and land on the true new extreme, while
+        insert-only groups merge monotonically without rescan. Equality
+        with a direct groupBy is checked after every refresh."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "src")
+        vw = str(tmp_path / "view")
+        mk = lambda rows: spark.createDataFrame(
+            rows, "id long, grp string, v long")
+        V.create(spark, t, mk([(1, "a", 10), (2, "a", 5), (3, "b", 7)]))
+        MV.create_agg_view(spark, t, vw, key="id", group_cols=["grp"],
+                           sum_cols=["v"], minmax_cols=["v"])
+
+        def check():
+            got = sorted((r.grp, r.cnt, r.sum_v, r.min_v, r.max_v)
+                         for r in MV.read_agg_view(spark, vw).collect())
+            want = sorted(
+                (r.grp, r.cnt, r.sum_v, r.min_v, r.max_v) for r in
+                V.read(spark, t).groupBy("grp").agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.sum("v").alias("sum_v"),
+                    F.min("v").alias("min_v"),
+                    F.max("v").alias("max_v")).collect())
+            assert got == want, (got, want)
+
+        # insert-only: monotone merge (max of 'a' grows, min unchanged)
+        V.append(spark, t, mk([(4, "a", 99), (5, "c", 1)]))
+        MV.refresh_agg_view(spark, vw)
+        check()
+        # delete the CURRENT max of 'a' (99) -> recompute must find 10
+        V.delete_rows(spark, t, [4], "id")
+        MV.refresh_agg_view(spark, vw)
+        check()
+        row_a = {r.grp: r for r in MV.read_agg_view(spark, vw).collect()}["a"]
+        assert row_a.max_v == 10 and row_a.min_v == 5
+        # upsert shrinking a min (update pre+post) + fresh group insert
+        V.upsert(spark, t, mk([(2, "a", 50), (6, "d", -3)]), "id")
+        MV.refresh_agg_view(spark, vw)
+        check()
+        # retract a whole group: 'c' leaves the view entirely
+        V.delete_rows(spark, t, [5], "id")
+        MV.refresh_agg_view(spark, vw)
+        check()
+        assert "c" not in {r.grp for r in
+                           MV.read_agg_view(spark, vw).collect()}
+
     def test_occ_true_concurrent_writers_all_land(self, spark, tmp_path):
         """REAL concurrency (not a monkeypatched race): four threads each
         push three upserts through the retry loop against one table. The
