@@ -5042,3 +5042,45 @@ _register(
     WHERE event_id % 4 = 3
     """,
 )
+
+
+def _vt_zorder_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .sources import versioned as VT
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"))
+    VT.create(spark, path, ev.where(F.col("event_id") % 2 == 0),
+              stat_cols=["user_id", "value_cents"])
+    VT.append(spark, path, ev.where(F.col("event_id") % 2 == 1))
+    VT.cluster_zorder(spark, path, "user_id", "value_cents",
+                      n_segments=8, bits=16)
+
+
+def _vt_zorder_pruned_read(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D range read over a Z-ORDER-clustered versioned table
+    (versioned.cluster_zorder): segment skipping happens at manifest
+    altitude on BOTH columns' zone maps; the oracle checks the surviving
+    rows equal a plain SQL conjunction — pruning may only skip, never
+    change answers (test_cluster_zorder_improves_segment_pruning pins
+    that it DOES skip)."""
+    from .sources import versioned as VT
+
+    path = _vt_build(spark, sf, "zo", _vt_zorder_builder)
+    return VT.read_pruned(
+        spark, path,
+        ranges={"user_id": (100, 400), "value_cents": (2000, 30000)},
+    ).select("event_id", "user_id", "value_cents")
+
+
+_register(
+    "vt_zorder_pruned_read",
+    _vt_zorder_pruned_read,
+    """
+    SELECT event_id, user_id,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    WHERE user_id BETWEEN 100 AND 400
+      AND CAST(round(value * 100) AS BIGINT) BETWEEN 2000 AND 30000
+    """,
+)

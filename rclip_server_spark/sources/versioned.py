@@ -592,6 +592,82 @@ def compact(spark: SparkSession, path: str) -> int:
     return v + 1
 
 
+def cluster_zorder(
+    spark: SparkSession, path: str, x_col: str, y_col: str,
+    n_segments: int = 8, bits: int = 16,
+) -> int:
+    """OPTIMIZE ZORDER as a committed version (the Delta/Databricks idea
+    at manifest altitude): rewrite the head snapshot into ``n_segments``
+    range-disjoint segments ordered by the Morton key of
+    ``(x_col, y_col)`` and record zone maps for BOTH columns — after
+    which a range predicate on EITHER column maps to O(few) contiguous
+    z-ranges, so ``read_pruned`` skips most segments at manifest
+    resolution (pinned by test: the same 2-D range query survives fewer
+    segments after clustering). Appends after clustering accrete
+    unclustered segments as usual; re-run to fold them in.
+
+    Plan shape: one boundary sample (approxQuantile over the z column),
+    one hash repartition on the computed bucket id with a within-
+    partition sort, one partitioned write — never a global sort to a
+    single task. Pending delete vectors are materialized by the rewrite.
+    Readers of older versions stay isolated (old segments live until
+    vacuum). Flat tables only (bucketed layouts already co-locate by
+    key; recluster those bucket-at-a-time instead)."""
+    import pyspark.sql.functions as F
+
+    from .writer import zorder_value
+
+    v = current_version(path)
+    m = _manifest(path, v)
+    if "buckets" in m:
+        raise ValueError("cluster_zorder is the flat-table path; bucketed "
+                         "tables are already key-clustered")
+    df = read(spark, path, v)
+    z = zorder_value(F.col(x_col), F.col(y_col), int(bits))
+    zdf = df.withColumn("__z", z)
+    n = max(1, int(n_segments))
+    if n > 1:
+        qs = [i / n for i in range(1, n)]
+        bounds = zdf.stat.approxQuantile("__z", qs, 0.01)
+        bucket = F.lit(0)
+        for b in bounds:
+            bucket = bucket + (F.col("__z") > F.lit(int(b))).cast("int")
+    else:
+        bucket = F.lit(0)
+    tmp = os.path.join(path, f".zorder-{uuid.uuid4().hex[:12]}")
+    (
+        zdf.withColumn("__zb", bucket)
+        .repartition(n, "__zb")
+        .sortWithinPartitions("__zb", "__z")
+        .drop("__z")
+        .write.partitionBy("__zb").parquet(tmp)
+    )
+    segs: list[str] = []
+    try:
+        for d in sorted(os.listdir(tmp)):
+            if not d.startswith("__zb="):
+                continue
+            seg = f"seg-z{uuid.uuid4().hex[:12]}"
+            os.rename(os.path.join(tmp, d), os.path.join(path, seg))
+            segs.append(seg)
+        stat_cols = sorted(set(m.get("stat_cols") or []) | {x_col, y_col})
+        seg_stats = {
+            s: _segment_stats(
+                spark.read.parquet(os.path.join(path, s)), stat_cols)
+            for s in segs
+        }
+        _commit(path, v + 1, segs, "cluster-zorder",
+                extra={"stat_cols": stat_cols, "seg_stats": seg_stats,
+                       "col_types": m.get("col_types", {})})
+    except (ConcurrentWriteError, OSError):
+        for s in segs:
+            shutil.rmtree(os.path.join(path, s), ignore_errors=True)
+        raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return v + 1
+
+
 def committed_batch_ids(path: str) -> set[int]:
     """Batch ids recorded by ``append_exactly_once`` commits still in the
     log. Vacuum trims old manifests, so the streaming engine's checkpoint

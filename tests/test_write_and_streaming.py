@@ -1431,6 +1431,50 @@ class TestVersionedTable:
         assert "c" not in {r.grp for r in
                            MV.read_agg_view(spark, vw).collect()}
 
+    def test_cluster_zorder_improves_segment_pruning(self, spark, tmp_path):
+        """OPTIMIZE ZORDER: after reclustering, a 2-D range query must
+        survive FEWER manifest segments than before (each unclustered
+        append spans the full x/y ranges, so nothing pruned), while the
+        data, declared schema, and time travel are untouched."""
+        import os
+
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "v")
+        mk = lambda rows: spark.createDataFrame(rows, "id long, x long, y long")
+        # 3 appends, each spanning the WHOLE 2-D grid (worst case for
+        # per-append zone maps: every segment overlaps every range)
+        grid = [(i, i % 32, (i * 7) % 32) for i in range(512)]
+        V.create(spark, t, mk(grid[0::3]), stat_cols=["x", "y"])
+        V.append(spark, t, mk(grid[1::3]))
+        V.append(spark, t, mk(grid[2::3]))
+        ranges = {"x": (4, 7), "y": (4, 7)}
+
+        def survivors():
+            m = V._manifest(t, V.current_version(t))
+            return [s for s in m["segments"]
+                    if V.zone_survives(m["seg_stats"].get(s, {}), ranges)]
+
+        before = survivors()
+        assert len(before) == 3  # un-prunable layout: all segments survive
+        expect = sorted(map(tuple, V.read_pruned(spark, t, ranges=ranges)
+                            .collect()))
+        v = V.cluster_zorder(spark, t, "x", "y", n_segments=8, bits=8)
+        m = V._manifest(t, v)
+        assert m["op"] == "cluster-zorder"
+        assert 1 < len(m["segments"]) <= 8
+        after = survivors()
+        assert len(after) < len(m["segments"])  # pruning now real
+        # identical answers through the pruned read and the plain read
+        assert sorted(map(tuple, V.read_pruned(spark, t, ranges=ranges)
+                          .collect())) == expect
+        assert V.read(spark, t).count() == 512
+        assert set(m["col_types"]) == {"id", "x", "y"}
+        # time travel to the pre-cluster version still works
+        assert V.read(spark, t, 3).count() == 512
+        # no stray temp dirs left behind
+        assert not [d for d in os.listdir(t) if d.startswith(".zorder-")]
+
     def test_occ_true_concurrent_writers_all_land(self, spark, tmp_path):
         """REAL concurrency (not a monkeypatched race): four threads each
         push three upserts through the retry loop against one table. The
