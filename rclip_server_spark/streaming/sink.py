@@ -127,3 +127,36 @@ def start_stream_append_versioned(
     if checkpoint_dir is not None:
         out = out.option("checkpointLocation", checkpoint_dir)
     return out.start()
+
+
+def start_agg_view_refresh_stream(
+    spark: SparkSession, view_path: str, checkpoint_dir: str | None = None,
+):
+    """CONTINUOUS materialized-view maintenance: tail the view's source
+    table with the ``versioned_cdc`` stream and run
+    ``matview.refresh_agg_view`` once per micro-batch.
+
+    The micro-batch content is only the WAKE-UP signal — refresh derives
+    its exact change interval from the cursor in the view manifest, so
+    foreachBatch's at-least-once delivery composes with the cursor's
+    idempotence into exactly-once view state: a replayed batch (or one
+    arriving after the view already caught up) refreshes cursor→head,
+    which is a no-op when fresh. Commits that add no data segments
+    (pure delete-vector commits) may not trigger a batch; the next one
+    catches the view up exactly, because the interval is cursor-derived,
+    never batch-derived."""
+    from ..sources import cdc_stream, matview
+
+    cdc_stream.register(spark)
+    src = matview._spec(view_path)["mv_source"]
+    stream = (
+        spark.readStream.format("versioned_cdc").option("path", src).load()
+    )
+
+    def _refresh(batch_df: DataFrame, batch_id: int) -> None:
+        matview.refresh_agg_view(spark, view_path)
+
+    out = stream.writeStream.foreachBatch(_refresh).outputMode("append")
+    if checkpoint_dir is not None:
+        out = out.option("checkpointLocation", checkpoint_dir)
+    return out.start()

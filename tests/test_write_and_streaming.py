@@ -1475,6 +1475,49 @@ class TestVersionedTable:
         # no stray temp dirs left behind
         assert not [d for d in os.listdir(t) if d.startswith(".zorder-")]
 
+    def test_agg_view_streaming_refresh(self, spark, tmp_path):
+        """Continuous view maintenance: the versioned_cdc stream wakes a
+        refresh per micro-batch; after each source commit drains, the view
+        equals the direct groupBy. The batch is only a wake-up — the
+        refresh interval is cursor-derived, so replays are no-ops."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+        from rclip_server_spark.streaming import sink
+
+        t = str(tmp_path / "src")
+        vw = str(tmp_path / "view")
+        ckpt = str(tmp_path / "ckpt")
+        mk = lambda rows: spark.createDataFrame(
+            rows, "id long, grp string, v long")
+        V.create(spark, t, mk([(1, "a", 10), (2, "b", 5)]))
+        MV.create_agg_view(spark, t, vw, key="id",
+                           group_cols=["grp"], sum_cols=["v"])
+
+        def check():
+            got = sorted((r.grp, r.cnt, r.sum_v) for r in
+                         MV.read_agg_view(spark, vw).collect())
+            want = sorted((r.grp, r.cnt, r.sum_v) for r in
+                          V.read(spark, t).groupBy("grp").agg(
+                              F.count(F.lit(1)).alias("cnt"),
+                              F.sum("v").alias("sum_v")).collect())
+            assert got == want, (got, want)
+
+        q = sink.start_agg_view_refresh_stream(spark, vw,
+                                               checkpoint_dir=ckpt)
+        try:
+            V.append(spark, t, mk([(3, "a", 7), (4, "c", 2)]))
+            q.processAllAvailable()
+            check()
+            V.append(spark, t, mk([(5, "c", 11)]))
+            q.processAllAvailable()
+            check()
+        finally:
+            q.stop()
+        # a later manual refresh after more commits catches up exactly
+        V.append(spark, t, mk([(6, "d", 1)]))
+        MV.refresh_agg_view(spark, vw)
+        check()
+
     def test_occ_true_concurrent_writers_all_land(self, spark, tmp_path):
         """REAL concurrency (not a monkeypatched race): four threads each
         push three upserts through the retry loop against one table. The
