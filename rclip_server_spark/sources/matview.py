@@ -59,10 +59,21 @@ def _spec(path: str) -> dict:
 
 def _aggregate(df: DataFrame, group_cols: list[str], sum_cols: list[str],
                minmax_cols: list[str] = (), sign=None) -> DataFrame:
+    """Per-group state. Alongside each ``sum_c`` the view carries
+    ``nn_c``, the (signed) count of NON-NULL contributions: SQL's SUM is
+    NULL over an all-NULL group, and that NULL-ness is itself additive
+    state — without nn the merge cannot tell "no non-null values ever"
+    (sum NULL) apart from "values summing to zero" (sum 0)."""
     s = sign if sign is not None else F.lit(1).cast("long")
-    aggs = [F.sum(s).alias("cnt")] + [
-        F.sum(s * F.col(c).cast("long")).alias(f"sum_{c}") for c in sum_cols
-    ]
+    aggs = [F.sum(s).alias("cnt")]
+    for c in sum_cols:
+        aggs += [
+            F.sum(s * F.col(c).cast("long")).alias(f"sum_{c}"),
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNotNull(), s).otherwise(F.lit(0))),
+                F.lit(0),
+            ).cast("long").alias(f"nn_{c}"),
+        ]
     for c in minmax_cols:
         aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
     return df.groupBy(*group_cols).agg(*aggs)
@@ -136,7 +147,6 @@ def refresh_agg_view(spark: SparkSession, view_path: str) -> int:
         "mv_source_version": v_to,
     }
     cur = V.read(spark, view_path)
-    add_cols = ["cnt"] + [f"sum_{c}" for c in sum_cols]
 
     def _merge_additive(base: DataFrame, delta: DataFrame,
                         extra_vals) -> DataFrame:
@@ -144,14 +154,19 @@ def refresh_agg_view(spark: SparkSession, view_path: str) -> int:
         # must merge, not duplicate (plain `=` would never match them)
         a, d = base.alias("a"), delta.alias("d")
         out = a.join(d, _nullsafe_cond("a", "d", group_cols), "full_outer")
-        return out.select(
-            *[F.coalesce(F.col(f"a.{g}"), F.col(f"d.{g}")).alias(g)
-              for g in group_cols],
-            *[(F.coalesce(F.col(f"a.{c}"), F.lit(0)) +
-               F.coalesce(F.col(f"d.{c}"), F.lit(0))).alias(c)
-              for c in add_cols],
-            *extra_vals,
-        )
+        sel = [F.coalesce(F.col(f"a.{g}"), F.col(f"d.{g}")).alias(g)
+               for g in group_cols]
+        sel.append((F.coalesce(F.col("a.cnt"), F.lit(0)) +
+                    F.coalesce(F.col("d.cnt"), F.lit(0))).alias("cnt"))
+        for c in sum_cols:
+            nn = (F.coalesce(F.col(f"a.nn_{c}"), F.lit(0)) +
+                  F.coalesce(F.col(f"d.nn_{c}"), F.lit(0)))
+            raw = (F.coalesce(F.col(f"a.sum_{c}"), F.lit(0)) +
+                   F.coalesce(F.col(f"d.sum_{c}"), F.lit(0)))
+            # SQL SUM semantics: NULL when no non-null value remains
+            sel.append(F.when(nn > 0, raw).alias(f"sum_{c}"))
+            sel.append(nn.cast("long").alias(f"nn_{c}"))
+        return out.select(*sel, *extra_vals)
 
     if not minmax_cols:
         sign = (

@@ -1518,6 +1518,74 @@ class TestVersionedTable:
         MV.refresh_agg_view(spark, vw)
         check()
 
+    def test_agg_view_random_op_sequences(self, spark, tmp_path):
+        """Randomized (seeded) op sequences against the view invariant:
+        after ANY mix of appends / delete-vectors / upserts — with NULL
+        group keys and NULL values in the stream, refreshes sometimes
+        covering multi-commit intervals — the maintained view equals the
+        direct groupBy of the source head. This is the oracle property
+        the pointwise tests sample; the sequences sample the state space."""
+        import random
+
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        def run(seed: int, case: str) -> None:
+            rng = random.Random(seed)
+            t = str(tmp_path / f"s{seed}")
+            vw = str(tmp_path / f"v{seed}")
+            groups = ["a", "b", "c", None]
+            mk = lambda rows: spark.createDataFrame(
+                rows, "id long, grp string, v long")
+
+            def rand_rows(ids):
+                return [(i, rng.choice(groups),
+                         rng.choice([None, rng.randint(-5, 20)]))
+                        for i in ids]
+
+            next_id = 100
+            live = list(range(8))
+            V.create(spark, t, mk(rand_rows(live)))
+            MV.create_agg_view(spark, t, vw, key="id", group_cols=["grp"],
+                               sum_cols=["v"], minmax_cols=["v"])
+            for _ in range(6):
+                op = rng.choice(["append", "delete", "upsert"])
+                if op == "append" or not live:
+                    ids = list(range(next_id, next_id + rng.randint(1, 4)))
+                    next_id += len(ids)
+                    live += ids
+                    V.append(spark, t, mk(rand_rows(ids)))
+                elif op == "delete":
+                    victims = rng.sample(live, min(len(live),
+                                                   rng.randint(1, 3)))
+                    live = [i for i in live if i not in victims]
+                    V.delete_rows(spark, t, victims, "id")
+                else:
+                    old = rng.sample(live, min(len(live), 2))
+                    new = [next_id]
+                    next_id += 1
+                    live += new
+                    V.upsert(spark, t, mk(rand_rows(old + new)), "id")
+                if rng.random() < 0.5:
+                    MV.refresh_agg_view(spark, vw)  # mid-sequence refresh
+            MV.refresh_agg_view(spark, vw)  # final catch-up (multi-commit)
+            got = sorted(
+                ((r.grp, r.cnt, r.sum_v, r.min_v, r.max_v) for r in
+                 MV.read_agg_view(spark, vw).collect()),
+                key=lambda x: (x[0] is None, x[0] or ""))
+            want = sorted(
+                ((r.grp, r.cnt, r.sum_v, r.min_v, r.max_v) for r in
+                 V.read(spark, t).groupBy("grp").agg(
+                     F.count(F.lit(1)).alias("cnt"),
+                     F.sum("v").alias("sum_v"),
+                     F.min("v").alias("min_v"),
+                     F.max("v").alias("max_v")).collect()),
+                key=lambda x: (x[0] is None, x[0] or ""))
+            assert got == want, (case, seed, got, want)
+
+        for seed in (7, 23, 91):
+            run(seed, "mixed-ops")
+
     def test_occ_true_concurrent_writers_all_land(self, spark, tmp_path):
         """REAL concurrency (not a monkeypatched race): four threads each
         push three upserts through the retry loop against one table. The
