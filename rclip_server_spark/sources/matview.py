@@ -215,6 +215,24 @@ def refresh_agg_view(spark: SparkSession, view_path: str) -> int:
     return V.overwrite(spark, view_path, merged, extra=new_extra)
 
 
+def refresh_agg_view_with_retry(
+    spark: SparkSession, view_path: str, max_retries: int = 3,
+) -> int:
+    """Refresh under the standard optimistic-concurrency rebase loop
+    (same contract as versioned.upsert_with_retry): a concurrent
+    refresher's commit raises ConcurrentWriteError; the retry re-reads
+    the (now advanced) cursor, so the loser applies only the remaining
+    interval — never a double-application, because the interval is
+    derived from the committed cursor each attempt."""
+    for attempt in range(max_retries + 1):
+        try:
+            return refresh_agg_view(spark, view_path)
+        except V.ConcurrentWriteError:
+            if attempt == max_retries:
+                raise
+    raise AssertionError("unreachable")
+
+
 def read_agg_view(spark: SparkSession, view_path: str,
                   version: int | None = None) -> DataFrame:
     """The view state at a version (default head) — a plain versioned

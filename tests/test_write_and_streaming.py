@@ -1586,6 +1586,50 @@ class TestVersionedTable:
         for seed in (7, 23, 91):
             run(seed, "mixed-ops")
 
+    def test_agg_view_concurrent_refreshers(self, spark, tmp_path):
+        """Two refreshers racing through the OCC retry loop: whoever loses
+        the commit re-reads the ADVANCED cursor, so the interval is never
+        double-applied — the final view equals the recompute, and the
+        cursor lands on the source head."""
+        import threading
+
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "src")
+        vw = str(tmp_path / "view")
+        mk = lambda rows: spark.createDataFrame(
+            rows, "id long, grp string, v long")
+        V.create(spark, t, mk([(1, "a", 1)]))
+        MV.create_agg_view(spark, t, vw, key="id",
+                           group_cols=["grp"], sum_cols=["v"])
+        for j in range(4):
+            V.append(spark, t, mk([(10 + j, "ab"[j % 2], j)]))
+        errors = []
+
+        def refresher():
+            try:
+                MV.refresh_agg_view_with_retry(spark, vw, max_retries=20)
+            except Exception as e:  # surfaced in the main thread
+                errors.append(e)
+
+        threads = [threading.Thread(target=refresher) for _ in range(3)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors, errors
+        MV.refresh_agg_view_with_retry(spark, vw)  # ensure fully caught up
+        got = sorted((r.grp, r.cnt, r.sum_v) for r in
+                     MV.read_agg_view(spark, vw).collect())
+        want = sorted((r.grp, r.cnt, r.sum_v) for r in
+                      V.read(spark, t).groupBy("grp").agg(
+                          F.count(F.lit(1)).alias("cnt"),
+                          F.sum("v").alias("sum_v")).collect())
+        assert got == want, (got, want)
+        m = V._manifest(vw, V.current_version(vw))
+        assert m["mv_source_version"] == V.current_version(t)
+
     def test_occ_true_concurrent_writers_all_land(self, spark, tmp_path):
         """REAL concurrency (not a monkeypatched race): four threads each
         push three upserts through the retry loop against one table. The
