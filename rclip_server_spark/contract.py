@@ -5084,3 +5084,69 @@ _register(
       AND CAST(round(value * 100) AS BIGINT) BETWEEN 2000 AND 30000
     """,
 )
+
+
+def _sig_transform(df: DataFrame) -> DataFrame:
+    """MinHash signature extraction as a row-local transform (the
+    dedup_minhash_signatures shape): one (doc_id, pos, sig) row per
+    signature component."""
+    from .functions.hashing import minhash_signature_over_hashed, portable_hash32
+
+    hashed = df.select(
+        "doc_id",
+        F.transform(TXT.char_shingles(F.col("text"), SHINGLE_N),
+                    portable_hash32).alias("hs"),
+    )
+    return hashed.select(
+        "doc_id",
+        F.posexplode(
+            minhash_signature_over_hashed("hs", MH_PARAMS)
+        ).alias("pos", "sig"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "sig")
+
+
+def _vt_sig_index_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .sources import matview as MV
+    from .sources import versioned as VT
+
+    view = path + "_view"
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    VT.create(spark, path, docs.where(F.col("doc_id") % 3 != 2))
+    MV.create_transform_view(spark, path, view, key="doc_id",
+                             transform=_sig_transform, name="minhash-sig-v1")
+    VT.append(spark, path, docs.where(F.col("doc_id") % 3 == 2))
+    MV.refresh_transform_view(spark, view, _sig_transform, "minhash-sig-v1")
+    VT.delete_rows(
+        spark, path,
+        docs.where(F.col("doc_id") % 17 == 0).select("doc_id"), "doc_id")
+    MV.refresh_transform_view(spark, view, _sig_transform, "minhash-sig-v1")
+
+
+def _vt_signature_index_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """Incrementally-maintained MinHash signature index
+    (matview.create_transform_view / refresh_transform_view): built at one
+    source version, advanced by an append refresh (transform of inserts
+    only) and a delete refresh (delete vector on the view by doc_id) —
+    the oracle checks the maintained index equals the from-scratch
+    signature SQL over the FINAL corpus. This is the ingest-time half of
+    dedup.minhash_near_dup_incremental: per-batch index maintenance at
+    batch cost, corpus never re-signed."""
+    from .sources import matview as MV
+
+    path = _vt_build(spark, sf, "sig", _vt_sig_index_builder)
+    return MV.read_agg_view(spark, path + "_view").select(
+        "doc_id", "pos", "sig")
+
+
+_register(
+    "vt_signature_index_refresh",
+    _vt_signature_index_refresh,
+    f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+    h AS (SELECT doc_id, {_HASHED_SHINGLES} AS hs FROM d),
+    sigs AS (SELECT doc_id, {_SIG_LIST} AS sig FROM h)
+    SELECT doc_id, CAST(generate_subscripts(sig, 1) - 1 AS BIGINT) AS pos,
+           unnest(sig) AS sig
+    FROM sigs
+    """,
+)

@@ -50,11 +50,15 @@ _RETRACTING = ("delete", "update_preimage")
 
 
 def _spec(path: str) -> dict:
+    """The view spec + cursor, stored in the manifest's carried-forward
+    ``app`` namespace — so appends, delete-vector commits, and
+    compactions on the view table preserve it automatically."""
     m = V._manifest(path, V.current_version(path))
-    if "mv_source" not in m:
+    spec = m.get("app") or {}
+    if "mv_source" not in spec:
         raise ValueError(f"{path} is not a materialized view "
-                         f"(no mv_source in its manifest)")
-    return m
+                         f"(no mv_source in its manifest app namespace)")
+    return spec
 
 
 def _aggregate(df: DataFrame, group_cols: list[str], sum_cols: list[str],
@@ -108,12 +112,12 @@ def create_agg_view(
     src_v = V.current_version(source_path)
     state = _aggregate(V.read(spark, source_path, src_v),
                        list(group_cols), sum_cols, minmax_cols)
-    return V.create(spark, view_path, state, extra={
+    return V.create(spark, view_path, state, extra={"app": {
         "mv_source": source_path, "mv_key": key,
         "mv_group_cols": list(group_cols), "mv_sum_cols": sum_cols,
         "mv_minmax_cols": minmax_cols,
         "mv_source_version": src_v,
-    })
+    }})
 
 
 def refresh_agg_view(spark: SparkSession, view_path: str) -> int:
@@ -140,12 +144,12 @@ def refresh_agg_view(spark: SparkSession, view_path: str) -> int:
         return V.current_version(view_path)
     ch = V.table_changes(spark, src, from_version=v_from, to_version=v_to,
                          key=m["mv_key"], include_preimage=True)
-    new_extra = {
+    new_extra = {"app": {
         "mv_source": src, "mv_key": m["mv_key"],
         "mv_group_cols": group_cols, "mv_sum_cols": sum_cols,
         "mv_minmax_cols": minmax_cols,
         "mv_source_version": v_to,
-    }
+    }}
     cur = V.read(spark, view_path)
 
     def _merge_additive(base: DataFrame, delta: DataFrame,
@@ -238,3 +242,106 @@ def read_agg_view(spark: SparkSession, view_path: str,
     """The view state at a version (default head) — a plain versioned
     read; exists for symmetry and discoverability."""
     return V.read(spark, view_path, version)
+
+
+# ---------------------------------------------------------------------------
+# Row-transform views: incrementally-maintained DERIVED tables
+# ---------------------------------------------------------------------------
+
+
+def create_transform_view(
+    spark: SparkSession, source_path: str, view_path: str, key: str,
+    transform, name: str,
+) -> int:
+    """Incrementally-maintained ROW-TRANSFORM view: view = transform(source),
+    where ``transform`` is a deterministic ROW-LOCAL DataFrame→DataFrame
+    function that PRESERVES the source's ``key`` column (each source row
+    maps to ≥0 view rows tagged with its key — projections, flatMaps,
+    signature/feature extraction). The function is application code passed
+    to every refresh; the manifest records only its declared ``name`` so a
+    refresh with a different transform fails loudly instead of silently
+    mixing outputs.
+
+    The 100 TB case: a MinHash signature index or feature table over an
+    ingesting corpus — maintenance cost per refresh is the CHANGED rows
+    (transform of inserts + a delete vector for retracted keys), and the
+    banded near-dup join consumes the index without recomputing
+    signatures for the corpus (dedup.minhash_near_dup_incremental)."""
+    src_v = V.current_version(source_path)
+    state = transform(V.read(spark, source_path, src_v))
+    if key not in state.columns:
+        raise ValueError(f"transform must preserve key column {key!r}; "
+                         f"got {state.columns}")
+    return V.create(spark, view_path, state, extra={"app": {
+        "tv_source": source_path, "tv_key": key, "tv_name": name,
+        "tv_source_version": src_v,
+    }})
+
+
+def refresh_transform_view(
+    spark: SparkSession, view_path: str, transform, name: str,
+) -> int:
+    """Advance a transform view to the source head by the change feed:
+    retracted keys (delete / update_preimage) become a DELETE VECTOR on
+    the view (O(keys), zero rewrite); inserted rows (insert /
+    update_postimage) are transformed and APPENDED. Updates are thus
+    delete-then-insert — the delete vector's scope hides the key's OLD
+    view rows while the newly appended ones stay visible (the versioned
+    layer's re-insert semantics doing the heavy lifting).
+
+    Crash safety: the cursor advances on the LAST commit of the refresh,
+    so a crash mid-refresh leaves the cursor behind and the re-run
+    re-applies the interval idempotently (re-deleting the same keys is a
+    harmless duplicate vector; the append happens once). Many refreshes
+    accrete segments + vectors — versioned.compact() folds the view back
+    down without touching the spec (the app namespace carries through
+    every commit)."""
+    spec = _spec_tv(view_path)
+    if spec["tv_name"] != name:
+        raise ValueError(
+            f"refresh with transform {name!r} but the view was created "
+            f"with {spec['tv_name']!r} — mixing transforms would corrupt "
+            f"the view")
+    src = spec["tv_source"]
+    key = spec["tv_key"]
+    v_from = int(spec["tv_source_version"])
+    v_to = V.current_version(src)
+    if v_to == v_from:
+        return V.current_version(view_path)
+    ch = V.table_changes(spark, src, from_version=v_from, to_version=v_to,
+                         key=key, include_preimage=True)
+    retract_keys = (
+        ch.where(F.col("_change_type").isin(*_RETRACTING))
+        .select(key).distinct()
+    )
+    ins_rows = (
+        ch.where(F.col("_change_type").isin(*_INSERTING))
+        .drop("_change_type")
+    )
+    new_app = dict(spec) | {"tv_source_version": v_to}
+    n_ret = retract_keys.limit(1).count()
+    new_state = transform(ins_rows)
+    n_ins = new_state.limit(1).count()
+    v = V.current_version(view_path)
+    if n_ret:
+        # cursor advances here only when this is the refresh's last commit
+        v = V.delete_rows(spark, view_path, retract_keys, key,
+                          extra=None if n_ins else {"app": new_app})
+    if n_ins:
+        v = V.append(spark, view_path, new_state,
+                     extra={"app": new_app})
+    if not n_ret and not n_ins:
+        # schema-only / no-op interval: commit nothing, just report head
+        # (cursor intentionally NOT advanced — nothing was applied; the
+        # next refresh re-reads the same empty interval, which is free)
+        return V.current_version(view_path)
+    return v
+
+
+def _spec_tv(path: str) -> dict:
+    m = V._manifest(path, V.current_version(path))
+    spec = m.get("app") or {}
+    if "tv_source" not in spec:
+        raise ValueError(f"{path} is not a transform view "
+                         f"(no tv_source in its manifest app namespace)")
+    return spec

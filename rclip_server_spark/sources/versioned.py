@@ -133,10 +133,17 @@ def _commit(path: str, version: int, segments: list[str], op: str,
     from .catalog import table_row_count as _footer_rows
 
     try:
-        parent_rows = (_manifest(path, version - 1).get("seg_rows", {})
-                       if version > 1 else {})
+        parent_m = _manifest(path, version - 1) if version > 1 else {}
     except FileNotFoundError:
-        parent_rows = {}
+        parent_m = {}
+    parent_rows = parent_m.get("seg_rows", {})
+    # application metadata namespace: the "app" dict (e.g. a materialized
+    # view's spec + refresh cursor) is carried forward through EVERY
+    # commit op unless the committer explicitly replaces it — so an
+    # append, delete-vector, or compaction on a view table cannot
+    # silently drop the spec the next refresh needs
+    if "app" not in manifest and parent_m.get("app") is not None:
+        manifest["app"] = parent_m["app"]
     manifest["seg_rows"] = {
         s: parent_rows[s] if s in parent_rows
         else _footer_rows(os.path.join(path, s))
@@ -437,19 +444,22 @@ def _carry_deletes(parent: dict) -> dict:
     return {}
 
 
-def append(spark: SparkSession, path: str, batch: DataFrame) -> int:
+def append(spark: SparkSession, path: str, batch: DataFrame,
+           extra: dict | None = None) -> int:
     """O(batch) append commit: write one new segment, manifest = parent
     segments + it. The ingest-path commit — never reads or rewrites
     existing data. Zone-map stats (when the table tracks them) cost one
-    extra aggregate over the batch, never a table scan."""
+    extra aggregate over the batch, never a table scan. ``extra``:
+    caller metadata (reserved keys win), same contract as create()."""
     v = current_version(path)
     parent = _manifest(path, v)
     compat = _check_schema_compat(parent, batch, "append")
     seg = _write_segment(batch, path)
     try:
         _commit(path, v + 1, parent["segments"] + [seg], "append",
-                extra=_carry_stats(spark, path, parent, [seg],
-                                   parent["segments"])
+                extra=dict(extra or {})
+                | _carry_stats(spark, path, parent, [seg],
+                               parent["segments"])
                 | _carry_deletes(parent) | compat)
     except ConcurrentWriteError:
         shutil.rmtree(os.path.join(path, seg))  # orphan cleanup, then surface
@@ -457,7 +467,8 @@ def append(spark: SparkSession, path: str, batch: DataFrame) -> int:
     return v + 1
 
 
-def delete_rows(spark: SparkSession, path: str, keys, key_col: str) -> int:
+def delete_rows(spark: SparkSession, path: str, keys, key_col: str,
+                extra: dict | None = None) -> int:
     """O(delete-set) point deletes via DELETE VECTORS — the Delta
     deletion-vector idea at manifest altitude: the keys are written as a
     tiny ``del-*`` parquet segment and the commit only EXTENDS the
@@ -491,7 +502,8 @@ def delete_rows(spark: SparkSession, path: str, keys, key_col: str) -> int:
         kdf = spark.createDataFrame([(k,) for k in keys], [key_col])
     dseg = f"del-{uuid.uuid4().hex[:12]}"
     kdf.select(key_col).distinct().write.parquet(os.path.join(path, dseg))
-    extra = {
+    extra = dict(extra or {})  # caller metadata first; reserved keys win
+    extra |= {
         "delete_key": key_col,
         "delete_segs": (m.get("delete_segs") or []) + [dseg],
         # scope: the vector applies to the segments that exist NOW — a key
@@ -1286,7 +1298,7 @@ def restore(spark: SparkSession, path: str, to_version: int) -> int:
             )
     carry_keys = ("segments", "buckets", "bucket_key", "n_buckets",
                   "stat_cols", "seg_stats", "col_types",
-                  "delete_key", "delete_segs", "delete_scopes")
+                  "delete_key", "delete_segs", "delete_scopes", "app")
     extra = {k: src[k] for k in carry_keys
              if k in src and k != "segments"}
     extra["restored_from"] = tv

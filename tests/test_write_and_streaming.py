@@ -1374,7 +1374,7 @@ class TestVersionedTable:
         v_before = V.current_version(vw)
         assert MV.refresh_agg_view(spark, vw) == v_before
         m = V._manifest(vw, V.current_version(vw))
-        assert m["mv_source_version"] == V.current_version(t)
+        assert m["app"]["mv_source_version"] == V.current_version(t)
         # the view is a real versioned table: time travel reaches the
         # pre-delete state
         old = {(r.grp, r.cnt) for r in
@@ -1628,7 +1628,64 @@ class TestVersionedTable:
                           F.sum("v").alias("sum_v")).collect())
         assert got == want, (got, want)
         m = V._manifest(vw, V.current_version(vw))
-        assert m["mv_source_version"] == V.current_version(t)
+        assert m["app"]["mv_source_version"] == V.current_version(t)
+
+    def test_transform_view_incremental_index(self, spark, tmp_path):
+        """Row-transform view (an inverted postings index): inserts append
+        transformed rows, retractions become a delete vector by key, and
+        updates are delete-then-insert — after every refresh the view
+        equals transform(source head) row-for-row. compact() folds the
+        accreted segments + vectors without losing the spec (the app
+        namespace carries through every commit), and a mismatched
+        transform name fails loudly."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "src")
+        vw = str(tmp_path / "view")
+        mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+
+        def postings(df):
+            return df.select(
+                "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+
+        V.create(spark, t, mk([(1, "a b a"), (2, "c d")]))
+        MV.create_transform_view(spark, t, vw, key="doc_id",
+                                 transform=postings, name="postings-v1")
+
+        def check():
+            got = sorted((r.doc_id, r.tok) for r in
+                         V.read(spark, vw).collect())
+            want = sorted((r.doc_id, r.tok) for r in
+                          postings(V.read(spark, t)).collect())
+            assert got == want, (got, want)
+
+        check()
+        V.append(spark, t, mk([(3, "e f e")]))
+        MV.refresh_transform_view(spark, vw, postings, "postings-v1")
+        check()
+        # update: doc 1's tokens must be REPLACED, not accumulated
+        V.upsert(spark, t, mk([(1, "z z q")]), "doc_id")
+        MV.refresh_transform_view(spark, vw, postings, "postings-v1")
+        check()
+        assert ("a" not in {r.tok for r in V.read(spark, vw).collect()})
+        # delete: doc 2's postings vanish
+        V.delete_rows(spark, t, [2], "doc_id")
+        MV.refresh_transform_view(spark, vw, postings, "postings-v1")
+        check()
+        # idempotent when fresh
+        v = V.current_version(vw)
+        assert MV.refresh_transform_view(spark, vw, postings,
+                                         "postings-v1") == v
+        # compaction preserves the spec and the state
+        V.compact(spark, vw)
+        check()
+        V.append(spark, t, mk([(4, "g")]))
+        MV.refresh_transform_view(spark, vw, postings, "postings-v1")
+        check()
+        # transform-name guard
+        with pytest.raises(ValueError, match="postings-v1"):
+            MV.refresh_transform_view(spark, vw, postings, "other")
 
     def test_occ_true_concurrent_writers_all_land(self, spark, tmp_path):
         """REAL concurrency (not a monkeypatched race): four threads each
