@@ -322,20 +322,19 @@ def refresh_transform_view(
     n_ret = retract_keys.limit(1).count()
     new_state = transform(ins_rows)
     n_ins = new_state.limit(1).count()
-    v = V.current_version(view_path)
     if n_ret:
-        # cursor advances here only when this is the refresh's last commit
+        # cursor advances on the refresh's LAST commit: a crash between
+        # the delete and the append leaves the cursor behind, and the
+        # re-run re-applies the interval idempotently
         v = V.delete_rows(spark, view_path, retract_keys, key,
                           extra=None if n_ins else {"app": new_app})
-    if n_ins:
-        v = V.append(spark, view_path, new_state,
-                     extra={"app": new_app})
-    if not n_ret and not n_ins:
-        # schema-only / no-op interval: commit nothing, just report head
-        # (cursor intentionally NOT advanced — nothing was applied; the
-        # next refresh re-reads the same empty interval, which is free)
-        return V.current_version(view_path)
-    return v
+        if not n_ins:
+            return v
+    # always advance the cursor, even when the interval's inserts
+    # transform to zero view rows (an empty segment is cheap and compact
+    # folds it; a never-advancing cursor would make every later refresh
+    # re-diff a growing interval)
+    return V.append(spark, view_path, new_state, extra={"app": new_app})
 
 
 def _spec_tv(path: str) -> dict:

@@ -1687,6 +1687,33 @@ class TestVersionedTable:
         with pytest.raises(ValueError, match="postings-v1"):
             MV.refresh_transform_view(spark, vw, postings, "other")
 
+    def test_transform_view_zero_row_interval_advances_cursor(
+        self, spark, tmp_path
+    ):
+        """An interval whose inserts all transform to ZERO view rows must
+        still advance the cursor (via an empty append) — otherwise every
+        later refresh re-diffs a growing interval forever."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "src")
+        vw = str(tmp_path / "view")
+        mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+
+        def keep(df):
+            return df.where(F.col("text") != "skip")
+
+        V.create(spark, t, mk([(1, "a")]))
+        MV.create_transform_view(spark, t, vw, key="doc_id",
+                                 transform=keep, name="keep-v1")
+        V.append(spark, t, mk([(2, "skip")]))  # transforms to nothing
+        MV.refresh_transform_view(spark, vw, keep, "keep-v1")
+        assert MV._spec_tv(vw)["tv_source_version"] == V.current_version(t)
+        assert {r.doc_id for r in V.read(spark, vw).collect()} == {1}
+        V.append(spark, t, mk([(3, "b")]))
+        MV.refresh_transform_view(spark, vw, keep, "keep-v1")
+        assert {r.doc_id for r in V.read(spark, vw).collect()} == {1, 3}
+
     def test_occ_true_concurrent_writers_all_land(self, spark, tmp_path):
         """REAL concurrency (not a monkeypatched race): four threads each
         push three upserts through the retry loop against one table. The
