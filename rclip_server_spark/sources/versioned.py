@@ -836,6 +836,14 @@ def vacuum(path: str, keep_last: int = 1,
                 and d not in keep_segs:
             shutil.rmtree(os.path.join(path, d))
             deleted.append(d)
+        elif d.startswith(".zorder-"):
+            # crashed cluster_zorder staging dir: same min-age guard as
+            # commit temp files (a live recluster is seconds between
+            # write and rename; minutes of slack is decisively safe)
+            p = os.path.join(path, d)
+            if now - os.path.getmtime(p) >= tmp_cutoff:
+                shutil.rmtree(p)
+                deleted.append(d)
     return deleted
 
 
@@ -1217,7 +1225,19 @@ def table_changes(
             else read(spark, path, v)
 
     old, new = _snap(from_v), _snap(to_v)
-    cols = [c for c in new.columns]
+    # schema evolution between the snapshots: align both sides to the
+    # UNION of columns (a column absent on one side reads as NULL there,
+    # exactly how mergeSchema treats old segments) — without this, a
+    # column added or dropped between the versions makes the struct
+    # projection fail on the side that lacks it
+    old_t = {f.name: f.dataType for f in old.schema.fields}
+    new_t = {f.name: f.dataType for f in new.schema.fields}
+    cols = list(new.columns) + [c for c in old.columns if c not in new_t]
+    for c in cols:
+        if c not in old_t:
+            old = old.withColumn(c, F.lit(None).cast(new_t[c]))
+        if c not in new_t:
+            new = new.withColumn(c, F.lit(None).cast(old_t[c]))
     payload = [c for c in cols if c != key]
     def _h(df):
         return df.select(

@@ -1714,6 +1714,32 @@ class TestVersionedTable:
         MV.refresh_transform_view(spark, vw, keep, "keep-v1")
         assert {r.doc_id for r in V.read(spark, vw).collect()} == {1, 3}
 
+    def test_table_changes_across_schema_evolution(self, spark, tmp_path):
+        """Snapshot diff between versions with DIFFERENT schemas: a column
+        added after v1 reads as NULL on the old side (and a row whose only
+        change is gaining a value in the new column classifies as an
+        update). Without union-alignment the struct projection crashes."""
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "v")
+        V.create(spark, t, spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, val string"))
+        # overwrite with an EVOLVED schema: new column 'score'
+        V.overwrite(spark, t, spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", None)],
+            "id long, val string, score double"))
+        ch = V.table_changes(spark, t, from_version=1, key="id")
+        got = {(r.id, r._change_type, r.score) for r in ch.collect()}
+        # row 1 gained a score (NULL -> 1.5): update; row 2's score stays
+        # NULL-equal: no change row at all
+        assert got == {(1, "update_post", 1.5)}
+        # pre-image form agrees and carries the old side's NULL
+        chp = V.table_changes(spark, t, from_version=1, key="id",
+                              include_preimage=True)
+        gotp = sorted((r.id, r._change_type, r.score) for r in chp.collect())
+        assert gotp == [(1, "update_postimage", 1.5),
+                        (1, "update_preimage", None)]
+
     def test_occ_true_concurrent_writers_all_land(self, spark, tmp_path):
         """REAL concurrency (not a monkeypatched race): four threads each
         push three upserts through the retry loop against one table. The
