@@ -1431,6 +1431,26 @@ class TestVersionedTable:
         assert "c" not in {r.grp for r in
                            MV.read_agg_view(spark, vw).collect()}
 
+    def test_cluster_zorder_preserves_null_cluster_values(
+        self, spark, tmp_path
+    ):
+        """Rows with NULL in a cluster column still land in a segment (the
+        NULL z-key partition) — reclustering must never drop rows — and
+        range reads over the clustered table stay exact."""
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "v")
+        df = spark.createDataFrame(
+            [(i, None if i % 5 == 0 else i % 32,
+              (i * 7) % 32 if i % 7 else None) for i in range(300)],
+            "id long, x long, y long")
+        V.create(spark, t, df, stat_cols=["x", "y"])
+        V.cluster_zorder(spark, t, "x", "y", n_segments=4, bits=8)
+        assert V.read(spark, t).count() == 300
+        got = {r.id for r in V.read_pruned(spark, t, "x", 4, 7).collect()}
+        want = {r.id for r in df.where("x between 4 and 7").collect()}
+        assert got == want
+
     def test_cluster_zorder_improves_segment_pruning(self, spark, tmp_path):
         """OPTIMIZE ZORDER: after reclustering, a 2-D range query must
         survive FEWER manifest segments than before (each unclustered
