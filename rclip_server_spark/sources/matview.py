@@ -83,6 +83,18 @@ def _aggregate(df: DataFrame, group_cols: list[str], sum_cols: list[str],
     return df.groupBy(*group_cols).agg(*aggs)
 
 
+def _read_source(spark: SparkSession, path: str,
+                 version: int | None = None) -> DataFrame:
+    """Layout-dispatching source read: flat and bucketed versioned tables
+    both work as view sources (table_changes' snapshot diff already
+    dispatches the same way)."""
+    v = V.current_version(path) if version is None else int(version)
+    m = V._manifest(path, v)
+    if "buckets" in m:
+        return V.read_bucketed(spark, path, v)
+    return V.read(spark, path, v)
+
+
 def _nullsafe_cond(left_alias: str, right_alias: str, cols: list[str]):
     cond = None
     for g in cols:
@@ -110,7 +122,7 @@ def create_agg_view(
     sum_cols = list(sum_cols or [])
     minmax_cols = list(minmax_cols or [])
     src_v = V.current_version(source_path)
-    state = _aggregate(V.read(spark, source_path, src_v),
+    state = _aggregate(_read_source(spark, source_path, src_v),
                        list(group_cols), sum_cols, minmax_cols)
     return V.create(spark, view_path, state, extra={"app": {
         "mv_source": source_path, "mv_key": key,
@@ -189,7 +201,7 @@ def refresh_agg_view(spark: SparkSession, view_path: str) -> int:
     )
     # affected groups: full recompute from the PINNED target snapshot
     # (min/max are not retractable); the semi-join bounds the row volume
-    src_at = V.read(spark, src, v_to).alias("s")
+    src_at = _read_source(spark, src, v_to).alias("s")
     recomp = _aggregate(
         src_at.join(F.broadcast(ret_groups.alias("g")),
                     _nullsafe_cond("s", "g", group_cols), "left_semi"),
@@ -268,7 +280,7 @@ def create_transform_view(
     banded near-dup join consumes the index without recomputing
     signatures for the corpus (dedup.minhash_near_dup_incremental)."""
     src_v = V.current_version(source_path)
-    state = transform(V.read(spark, source_path, src_v))
+    state = transform(_read_source(spark, source_path, src_v))
     if key not in state.columns:
         raise ValueError(f"transform must preserve key column {key!r}; "
                          f"got {state.columns}")

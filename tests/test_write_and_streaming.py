@@ -1760,6 +1760,40 @@ class TestVersionedTable:
         assert gotp == [(1, "update_postimage", 1.5),
                         (1, "update_preimage", None)]
 
+    def test_agg_view_over_bucketed_source(self, spark, tmp_path):
+        """The view machinery is layout-agnostic: a BUCKETED source's
+        appends ride the CDC fast path (append-bucketed is in the
+        append-only op set) and its upserts the bucketed snapshot diff —
+        the view equals the recompute after both."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "src")
+        vw = str(tmp_path / "view")
+        mk = lambda rows: spark.createDataFrame(
+            rows, "id long, grp string, v long")
+        V.create_bucketed(spark, t,
+                          mk([(i, "ab"[i % 2], i) for i in range(20)]),
+                          "id", n_buckets=4)
+        MV.create_agg_view(spark, t, vw, key="id",
+                           group_cols=["grp"], sum_cols=["v"])
+
+        def check():
+            got = sorted((r.grp, r.cnt, r.sum_v) for r in
+                         MV.read_agg_view(spark, vw).collect())
+            want = sorted((r.grp, r.cnt, r.sum_v) for r in
+                          V.read_bucketed(spark, t).groupBy("grp").agg(
+                              F.count(F.lit(1)).alias("cnt"),
+                              F.sum("v").alias("sum_v")).collect())
+            assert got == want, (got, want)
+
+        V.append_bucketed(spark, t, mk([(100, "c", 9), (101, "a", 1)]))
+        MV.refresh_agg_view(spark, vw)
+        check()
+        V.upsert_bucketed(spark, t, mk([(100, "c", 90), (5, "a", -5)]))
+        MV.refresh_agg_view(spark, vw)
+        check()
+
     def test_occ_true_concurrent_writers_all_land(self, spark, tmp_path):
         """REAL concurrency (not a monkeypatched race): four threads each
         push three upserts through the retry loop against one table. The
