@@ -1400,11 +1400,16 @@ _PRIORITY = [
     # SURVEY §2 every round); the next 18 slots close the driver-
     # verification backlog — after this window EVERY registered oracle row
     # has had a driver-green CORRECTNESS cell at least once (cumulative
-    # 141/176 after r5 → full coverage); 2 slots are the new r6 versioned
-    # read-side rows (delete-vector read, snapshot-diff CDC); the last 10
-    # re-confirm the most complex bench-headline operators (dedup + ANN
-    # families touched by this round's perf work). Everything rotated out
-    # is still replayed locally by tools/check_contract.py.
+    # 141/176 after r5 → full coverage); 3 slots are new r6 versioned
+    # read-side rows (delete-vector read, snapshot-diff CDC, incremental
+    # agg-view refresh); the last 9 re-confirm the most complex
+    # bench-headline operators (dedup + ANN families touched by this
+    # round's perf work). Everything rotated out is still replayed
+    # locally by tools/check_contract.py.
+    # Round-7 rotation backlog (r6 oracle rows registered OUTSIDE this
+    # window, locally oracle-exact, never driver-verified):
+    # vt_agg_view_minmax, vt_append_only_changes, vt_zorder_pruned_read,
+    # vt_signature_index_refresh.
     # §2 A-family (vector/similarity)
     "a1_a2_flagship_topk", "a2_topk_k50", "a4_l2_normalize",
     "a6_point_lookup", "a7_feature_minmax", "a8_minmax_normalize",
