@@ -89,7 +89,7 @@ def embed_text_column(
     return df.withColumn(out_col, embed_text_udf(dim)(F.col(text_col)))
 
 
-def embed_text_udf_from_factory(make_embedder) -> Column:
+def embed_text_udf_from_factory(make_embedder):
     """The D3 executor-singleton seam for a REAL model: ``make_embedder``
     is a zero-arg callable (must be picklable — a module-level factory or
     functools.partial, not a lambda over a live model) that constructs an

@@ -53,6 +53,8 @@ def real_clip_backend() -> str | None:
                       ("transformers", "transformers")):
         try:
             __import__(mod)
+            __import__("torch")  # every backend encodes through torch —
+            # transformers imports fine without it, then dies at model load
             return name
         except ImportError:
             continue

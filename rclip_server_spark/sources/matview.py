@@ -154,6 +154,7 @@ def refresh_agg_view(spark: SparkSession, view_path: str) -> int:
     v_to = V.current_version(src)
     if v_to == v_from:
         return V.current_version(view_path)
+    view_v = V.current_version(view_path)  # OCC parent for the commit
     ch = V.table_changes(spark, src, from_version=v_from, to_version=v_to,
                          key=m["mv_key"], include_preimage=True)
     new_extra = {"app": {
@@ -192,7 +193,8 @@ def refresh_agg_view(spark: SparkSession, view_path: str) -> int:
         )
         delta = _aggregate(ch, group_cols, sum_cols, sign=sign)
         merged = _merge_additive(cur, delta, []).where(F.col("cnt") > 0)
-        return V.overwrite(spark, view_path, merged, extra=new_extra)
+        return V.overwrite(spark, view_path, merged, extra=new_extra,
+                           parent_version=view_v)
 
     ins = ch.where(F.col("_change_type").isin(*_INSERTING))
     ret_groups = (
@@ -228,7 +230,8 @@ def refresh_agg_view(spark: SparkSession, view_path: str) -> int:
         .unionByName(recomp)
         .where(F.col("cnt") > 0)
     )
-    return V.overwrite(spark, view_path, merged, extra=new_extra)
+    return V.overwrite(spark, view_path, merged, extra=new_extra,
+                       parent_version=view_v)
 
 
 def refresh_agg_view_with_retry(
@@ -293,21 +296,24 @@ def create_transform_view(
 def refresh_transform_view(
     spark: SparkSession, view_path: str, transform, name: str,
 ) -> int:
-    """Advance a transform view to the source head by the change feed:
-    retracted keys (delete / update_preimage) become a DELETE VECTOR on
-    the view (O(keys), zero rewrite); inserted rows (insert /
-    update_postimage) are transformed and APPENDED. Updates are thus
-    delete-then-insert — the delete vector's scope hides the key's OLD
-    view rows while the newly appended ones stay visible (the versioned
-    layer's re-insert semantics doing the heavy lifting).
+    """Advance a transform view to the source head by the change feed, as
+    ONE commit: retracted keys (delete / update_preimage) become a DELETE
+    VECTOR and inserted rows (insert / update_postimage) a transformed
+    new segment, published together (versioned.delete_and_append) — a
+    reader sees the pre-refresh state or the fully-refreshed state,
+    never retracted keys without their replacements. The vector's scope
+    excludes the same commit's appended segment, so updates are
+    delete-then-insert under the versioned layer's re-insert semantics.
 
-    Crash safety: the cursor advances on the LAST commit of the refresh,
-    so a crash mid-refresh leaves the cursor behind and the re-run
-    re-applies the interval idempotently (re-deleting the same keys is a
-    harmless duplicate vector; the append happens once). Many refreshes
-    accrete segments + vectors — versioned.compact() folds the view back
-    down without touching the spec (the app namespace carries through
-    every commit)."""
+    Concurrency: the commit is pinned to the view version read at entry
+    (OCC parent), so two racing refreshers serialize — the loser gets
+    ConcurrentWriteError and its retry (refresh_transform_view_with_retry)
+    re-reads the ADVANCED cursor, applying only the remaining interval;
+    inserts can never double-apply. A crash leaves the cursor behind and
+    the re-run re-applies the whole interval idempotently (nothing
+    partial was published). Many refreshes accrete segments + vectors —
+    versioned.compact() folds the view back down without touching the
+    spec (the app namespace carries through every commit)."""
     spec = _spec_tv(view_path)
     if spec["tv_name"] != name:
         raise ValueError(
@@ -320,33 +326,51 @@ def refresh_transform_view(
     v_to = V.current_version(src)
     if v_to == v_from:
         return V.current_version(view_path)
+    view_v = V.current_version(view_path)  # OCC parent for the commit
     ch = V.table_changes(spark, src, from_version=v_from, to_version=v_to,
-                         key=key, include_preimage=True)
-    retract_keys = (
-        ch.where(F.col("_change_type").isin(*_RETRACTING))
-        .select(key).distinct()
-    )
-    ins_rows = (
-        ch.where(F.col("_change_type").isin(*_INSERTING))
-        .drop("_change_type")
-    )
-    new_app = dict(spec) | {"tv_source_version": v_to}
-    n_ret = retract_keys.limit(1).count()
-    new_state = transform(ins_rows)
-    n_ins = new_state.limit(1).count()
-    if n_ret:
-        # cursor advances on the refresh's LAST commit: a crash between
-        # the delete and the append leaves the cursor behind, and the
-        # re-run re-applies the interval idempotently
-        v = V.delete_rows(spark, view_path, retract_keys, key,
-                          extra=None if n_ins else {"app": new_app})
-        if not n_ins:
-            return v
-    # always advance the cursor, even when the interval's inserts
-    # transform to zero view rows (an empty segment is cheap and compact
-    # folds it; a never-advancing cursor would make every later refresh
-    # re-diff a growing interval)
-    return V.append(spark, view_path, new_state, extra={"app": new_app})
+                         key=key, include_preimage=True).persist()
+    try:
+        retract_keys = (
+            ch.where(F.col("_change_type").isin(*_RETRACTING))
+            .select(key).distinct()
+        )
+        ins_rows = (
+            ch.where(F.col("_change_type").isin(*_INSERTING))
+            .drop("_change_type")
+        )
+        new_app = dict(spec) | {"tv_source_version": v_to}
+        n_ret = retract_keys.limit(1).count()
+        new_state = transform(ins_rows)
+        if n_ret:
+            # one commit: vector + transformed segment (the segment may
+            # be empty — cheap, and the cursor must advance regardless)
+            return V.delete_and_append(
+                spark, view_path, retract_keys, key, new_state,
+                extra={"app": new_app}, parent_version=view_v)
+        # insert-only interval (the common ingest case): one append —
+        # empty when the inserts transform to zero view rows (the cursor
+        # still advances; a never-advancing cursor would make every later
+        # refresh re-diff a growing interval)
+        return V.append(spark, view_path, new_state,
+                        extra={"app": new_app}, parent_version=view_v)
+    finally:
+        ch.unpersist()
+
+
+def refresh_transform_view_with_retry(
+    spark: SparkSession, view_path: str, transform, name: str,
+    max_retries: int = 3,
+) -> int:
+    """OCC rebase loop for concurrent transform-view refreshers (same
+    contract as refresh_agg_view_with_retry): the loser re-reads the
+    advanced cursor, so intervals are never double-applied."""
+    for attempt in range(max_retries + 1):
+        try:
+            return refresh_transform_view(spark, view_path, transform, name)
+        except V.ConcurrentWriteError:
+            if attempt == max_retries:
+                raise
+    raise AssertionError("unreachable")
 
 
 def _spec_tv(path: str) -> dict:

@@ -445,13 +445,21 @@ def _carry_deletes(parent: dict) -> dict:
 
 
 def append(spark: SparkSession, path: str, batch: DataFrame,
-           extra: dict | None = None) -> int:
+           extra: dict | None = None,
+           parent_version: int | None = None) -> int:
     """O(batch) append commit: write one new segment, manifest = parent
     segments + it. The ingest-path commit — never reads or rewrites
     existing data. Zone-map stats (when the table tracks them) cost one
     extra aggregate over the batch, never a table scan. ``extra``:
-    caller metadata (reserved keys win), same contract as create()."""
-    v = current_version(path)
+    caller metadata (reserved keys win), same contract as create().
+
+    ``parent_version`` pins the OCC parent: the commit targets
+    parent_version+1, so a writer that decided WHAT to append based on
+    state read at that version loses with ConcurrentWriteError if anyone
+    committed in between (read-modify-write protection — plain appends
+    are order-independent and don't need it; view refreshes do)."""
+    v = current_version(path) if parent_version is None \
+        else int(parent_version)
     parent = _manifest(path, v)
     compat = _check_schema_compat(parent, batch, "append")
     seg = _write_segment(batch, path)
@@ -468,7 +476,8 @@ def append(spark: SparkSession, path: str, batch: DataFrame,
 
 
 def delete_rows(spark: SparkSession, path: str, keys, key_col: str,
-                extra: dict | None = None) -> int:
+                extra: dict | None = None,
+                parent_version: int | None = None) -> int:
     """O(delete-set) point deletes via DELETE VECTORS — the Delta
     deletion-vector idea at manifest altitude: the keys are written as a
     tiny ``del-*`` parquet segment and the commit only EXTENDS the
@@ -486,8 +495,10 @@ def delete_rows(spark: SparkSession, path: str, keys, key_col: str,
     Note: table_row_count reports pre-delete counts while vectors are
     pending (exact again after materialization) — documented there.
 
-    ``keys`` is a list of key values or a single-column DataFrame."""
-    v = current_version(path)
+    ``keys`` is a list of key values or a single-column DataFrame.
+    ``parent_version`` pins the OCC parent (same contract as append)."""
+    v = current_version(path) if parent_version is None \
+        else int(parent_version)
     m = _manifest(path, v)
     if "buckets" in m:
         raise ValueError("bucketed versioned tables delete via "
@@ -527,13 +538,66 @@ def delete_rows(spark: SparkSession, path: str, keys, key_col: str,
     return v + 1
 
 
+def delete_and_append(
+    spark: SparkSession, path: str, keys, key_col: str, batch: DataFrame,
+    extra: dict | None = None, parent_version: int | None = None,
+) -> int:
+    """ONE commit that both deletes by key (delete vector, zero rewrite)
+    and appends a new segment — the atomic replace primitive a derived
+    view's update refresh needs: a reader either sees the pre-refresh
+    state or the fully-refreshed state, never retracted keys without
+    their replacement rows (two separate commits would expose that
+    window, permanently so after a crash between them).
+
+    The vector's SCOPE is the PARENT's segments, so the rows appended in
+    this same commit are never hidden by it — the delete-then-insert
+    semantics of delete_rows + append, collapsed into one manifest
+    publication. ``parent_version`` pins the OCC parent (same contract
+    as append)."""
+    v = current_version(path) if parent_version is None \
+        else int(parent_version)
+    m = _manifest(path, v)
+    if "buckets" in m:
+        raise ValueError("delete_and_append is the flat-table path")
+    if m.get("delete_segs") and m["delete_key"] != key_col:
+        raise ValueError(f"pending delete vectors use key "
+                         f"{m['delete_key']!r}; cannot mix with {key_col!r}")
+    compat = _check_schema_compat(m, batch, "delete-append")
+    if isinstance(keys, DataFrame):
+        kdf = keys
+    else:
+        kdf = spark.createDataFrame([(k,) for k in keys], [key_col])
+    dseg = f"del-{uuid.uuid4().hex[:12]}"
+    kdf.select(key_col).distinct().write.parquet(os.path.join(path, dseg))
+    seg = _write_segment(batch, path)
+    extra = dict(extra or {})
+    extra |= {
+        "delete_key": key_col,
+        "delete_segs": (m.get("delete_segs") or []) + [dseg],
+        "delete_scopes": m.get("delete_scopes", {}) | {dseg: m["segments"]},
+    }
+    try:
+        _commit(path, v + 1, m["segments"] + [seg], "delete-append",
+                extra=extra
+                | _carry_stats(spark, path, m, [seg], m["segments"])
+                | compat)
+    except ConcurrentWriteError:
+        shutil.rmtree(os.path.join(path, dseg))
+        shutil.rmtree(os.path.join(path, seg))
+        raise
+    return v + 1
+
+
 def overwrite(spark: SparkSession, path: str, df: DataFrame,
-              extra: dict | None = None) -> int:
+              extra: dict | None = None,
+              parent_version: int | None = None) -> int:
     """Full-replace commit (B18-flavored reload target): one new segment is
     the whole new state. Old versions remain readable until vacuum.
     ``extra``: caller metadata recorded in the manifest (reserved keys
-    win), same contract as create()."""
-    v = current_version(path)
+    win), same contract as create(). ``parent_version`` pins the OCC
+    parent (same read-modify-write contract as append)."""
+    v = current_version(path) if parent_version is None \
+        else int(parent_version)
     seg = _write_segment(df, path)
     parent = _manifest(path, v)
     try:
@@ -662,6 +726,11 @@ def cluster_zorder(
             seg = f"seg-z{uuid.uuid4().hex[:12]}"
             os.rename(os.path.join(tmp, d), os.path.join(path, seg))
             segs.append(seg)
+        if not segs:
+            # empty head (e.g. every row delete-vectored): commit ONE
+            # empty schema-bearing segment — a zero-segment manifest
+            # would make read() of the head raise FileNotFoundError
+            segs.append(_write_segment(df.limit(0), path))
         stat_cols = sorted(set(m.get("stat_cols") or []) | {x_col, y_col})
         seg_stats = {
             s: _segment_stats(

@@ -154,7 +154,9 @@ def start_agg_view_refresh_stream(
     )
 
     def _refresh(batch_df: DataFrame, batch_id: int) -> None:
-        matview.refresh_agg_view(spark, view_path)
+        # retry wrapper: a concurrent manual refresher's commit must not
+        # kill the streaming query — the loser's rebase is a cheap no-op
+        matview.refresh_agg_view_with_retry(spark, view_path)
 
     out = stream.writeStream.foreachBatch(_refresh).outputMode("append")
     if checkpoint_dir is not None:

@@ -1794,6 +1794,81 @@ class TestVersionedTable:
         MV.refresh_agg_view(spark, vw)
         check()
 
+    def test_transform_view_concurrent_refreshers_no_double_apply(
+        self, spark, tmp_path
+    ):
+        """The silent-corruption race: two refreshers reading the same
+        cursor must NOT both append the same transformed rows. The commit
+        is pinned to the view version read at entry, so the loser raises
+        and its retry re-reads the advanced cursor (a no-op interval) —
+        the view holds each posting exactly once."""
+        import threading
+
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "src")
+        vw = str(tmp_path / "view")
+        mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+
+        def postings(df):
+            return df.select(
+                "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+
+        V.create(spark, t, mk([(1, "a b")]))
+        MV.create_transform_view(spark, t, vw, key="doc_id",
+                                 transform=postings, name="p1")
+        V.append(spark, t, mk([(2, "c d"), (3, "e")]))
+        errors = []
+
+        def refresher():
+            try:
+                MV.refresh_transform_view_with_retry(
+                    spark, vw, postings, "p1", max_retries=20)
+            except Exception as e:
+                errors.append(e)
+
+        threads = [threading.Thread(target=refresher) for _ in range(3)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors, errors
+        got = sorted((r.doc_id, r.tok) for r in V.read(spark, vw).collect())
+        want = sorted((r.doc_id, r.tok) for r in
+                      postings(V.read(spark, t)).collect())
+        assert got == want, (got, want)  # no duplicates, no losses
+
+    def test_transform_view_refresh_is_one_commit(self, spark, tmp_path):
+        """An update interval refreshes in ONE commit (delete-append), so
+        no reader — and no crash point — can observe retracted keys
+        without their replacement rows."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "src")
+        vw = str(tmp_path / "view")
+        mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+
+        def postings(df):
+            return df.select(
+                "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+
+        V.create(spark, t, mk([(1, "a b"), (2, "c")]))
+        MV.create_transform_view(spark, t, vw, key="doc_id",
+                                 transform=postings, name="p1")
+        v0 = V.current_version(vw)
+        V.upsert(spark, t, mk([(1, "z")]), "doc_id")
+        MV.refresh_transform_view(spark, vw, postings, "p1")
+        assert V.current_version(vw) == v0 + 1  # exactly one commit
+        assert V._manifest(vw, v0 + 1)["op"] == "delete-append"
+        got = sorted((r.doc_id, r.tok) for r in V.read(spark, vw).collect())
+        assert got == [(1, "z"), (2, "c")]
+        # every prior version is also consistent (never delete-only)
+        for v in range(1, V.current_version(vw) + 1):
+            ids = {r.doc_id for r in V.read(spark, vw, v).collect()}
+            assert 1 in ids  # doc 1 present in every committed state
+
     def test_occ_true_concurrent_writers_all_land(self, spark, tmp_path):
         """REAL concurrency (not a monkeypatched race): four threads each
         push three upserts through the retry loop against one table. The

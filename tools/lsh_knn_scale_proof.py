@@ -17,6 +17,7 @@ Usage: python tools/lsh_knn_scale_proof.py [sf_dir] [copies ...]
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import sys
@@ -97,7 +98,7 @@ def main() -> None:
             n_right = right.count()
             # sizing discipline: 2^n_planes ∝ |right| (512 buckets over the
             # 2000-row sf0.1 right side -> 9 planes; +log2(copies) beyond)
-            n_planes = 9 + {1: 0, 2: 1, 4: 2, 8: 3, 16: 4}[copies]
+            n_planes = 9 + round(math.log2(copies))
 
             spark_secs = []
             for _ in range(2):

@@ -63,8 +63,8 @@ def main() -> None:
                 F.sum("value_cents").alias("sum_value_cents"),
             ).collect()
             recompute_s = time.monotonic() - t0
-            n_rows = V.table_row_count_total(t) if hasattr(
-                V, "table_row_count_total") else None
+            m = V._manifest(t, V.current_version(t))
+            n_rows = sum(m["seg_rows"].values())  # metadata-only
             results[f"x{copies}"] = {
                 "refresh_sec": round(refresh_s, 3),
                 "full_recompute_sec": round(recompute_s, 3),
