@@ -1393,3 +1393,46 @@ def restore(spark: SparkSession, path: str, to_version: int) -> int:
     extra["restored_from"] = tv
     _commit(path, head + 1, src.get("segments"), "restore", extra=extra)
     return head + 1
+
+
+def describe(path: str) -> dict:
+    """Metadata-only table report (the DESCRIBE DETAIL idea): head
+    version, layout, segment/row counts, pending delete vectors, declared
+    schema, zone-map columns, and the app spec — everything from ONE
+    manifest read, zero Spark jobs, zero file opens. The operational
+    entry point for "what is this table?" before any query planning."""
+    v = current_version(path)
+    m = _manifest(path, v)
+    segs = sorted(_manifest_segments(m))
+    out = {
+        "path": path,
+        "version": v,
+        "op": m.get("op"),
+        "layout": "bucketed" if "buckets" in m else "flat",
+        "n_segments": len(segs),
+        "row_count": table_row_count(path, v),
+        "pending_delete_vectors": len(m.get("delete_segs") or []),
+        "col_types": m.get("col_types", {}),
+        "stat_cols": m.get("stat_cols", []),
+        "app": m.get("app"),
+        "versions_retained": len(_manifest_versions(path)),
+    }
+    if "buckets" in m:
+        out["n_buckets"] = m.get("n_buckets")
+        out["bucket_key"] = m.get("bucket_key")
+    return out
+
+
+def register_sql_view(spark: SparkSession, name: str, path: str,
+                      version: int | None = None) -> None:
+    """Expose a versioned table (or a time-travel version of it) to
+    ``spark.sql`` as a temp view — the head is resolved ONCE at
+    registration, so every query against the view reads a consistent
+    snapshot regardless of concurrent commits (re-register to advance).
+    Works for flat and bucketed layouts and applies pending delete
+    vectors, because it is just read()/read_bucketed() under a name."""
+    v = current_version(path) if version is None else int(version)
+    m = _manifest(path, v)
+    df = read_bucketed(spark, path, v) if "buckets" in m \
+        else read(spark, path, v)
+    df.createOrReplaceTempView(name)

@@ -1869,6 +1869,43 @@ class TestVersionedTable:
             ids = {r.doc_id for r in V.read(spark, vw, v).collect()}
             assert 1 in ids  # doc 1 present in every committed state
 
+    def test_describe_and_sql_view(self, spark, tmp_path):
+        """describe() answers 'what is this table?' from one manifest read
+        (layout, rows, vectors, schema, app spec); register_sql_view pins
+        a snapshot under a name for spark.sql — including time travel, and
+        isolation from commits made after registration."""
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "v")
+        V.create(spark, t, self._df(spark, [(1, "a"), (2, "b")]),
+                 stat_cols=["id"])
+        V.append(spark, t, self._df(spark, [(3, "c")]))
+        V.delete_rows(spark, t, [2], "id")
+        d = V.describe(t)
+        assert d["version"] == 3 and d["layout"] == "flat"
+        assert d["n_segments"] == 2 and d["row_count"] == 3  # pre-delete
+        assert d["pending_delete_vectors"] == 1
+        assert set(d["col_types"]) == {"id", "val"}
+        assert d["stat_cols"] == ["id"]
+        V.register_sql_view(spark, "vt_head", t)
+        V.register_sql_view(spark, "vt_v1", t, version=1)
+        assert {r.id for r in
+                spark.sql("SELECT id FROM vt_head").collect()} == {1, 3}
+        assert spark.sql("SELECT count(*) n FROM vt_v1").first().n == 2
+        # snapshot isolation: commits after registration are invisible
+        V.append(spark, t, self._df(spark, [(9, "z")]))
+        assert {r.id for r in
+                spark.sql("SELECT id FROM vt_head").collect()} == {1, 3}
+        # bucketed layout reports its spec and registers too
+        tb = str(tmp_path / "vb")
+        V.create_bucketed(spark, tb, self._df(spark, [(i, "x") for i in
+                                                      range(10)]),
+                          "id", n_buckets=4)
+        db = V.describe(tb)
+        assert db["layout"] == "bucketed" and db["n_buckets"] == 4
+        V.register_sql_view(spark, "vtb", tb)
+        assert spark.sql("SELECT count(*) n FROM vtb").first().n == 10
+
     def test_occ_true_concurrent_writers_all_land(self, spark, tmp_path):
         """REAL concurrency (not a monkeypatched race): four threads each
         push three upserts through the retry loop against one table. The
