@@ -103,6 +103,27 @@ def _nullsafe_cond(left_alias: str, right_alias: str, cols: list[str]):
     return cond
 
 
+def _changes_since_cursor(spark, src, v_from, v_to, key):
+    """The view's change feed, with a clear failure when the SOURCE was
+    vacuumed past the cursor: table_changes needs the manifests back to
+    v_from, and a generic FileNotFoundError would send the operator
+    digging — name the actual contract instead (retain source manifests
+    at least as long as the view's refresh cadence, the same
+    checkpoint-vs-vacuum pairing as streaming)."""
+    try:
+        return V.table_changes(spark, src, from_version=v_from,
+                               to_version=v_to, key=key,
+                               include_preimage=True)
+    except FileNotFoundError as e:
+        raise RuntimeError(
+            f"view refresh needs source {src!r} manifests back to its "
+            f"cursor v{v_from}, but vacuum already removed them ({e}); "
+            f"either vacuum the source with keep_last/retain_seconds "
+            f"covering the refresh cadence, or recreate the view from "
+            f"the current head"
+        ) from e
+
+
 def create_agg_view(
     spark: SparkSession, source_path: str, view_path: str, key: str,
     group_cols: list[str], sum_cols: list[str] | None = None,
@@ -155,8 +176,7 @@ def refresh_agg_view(spark: SparkSession, view_path: str) -> int:
     if v_to == v_from:
         return V.current_version(view_path)
     view_v = V.current_version(view_path)  # OCC parent for the commit
-    ch = V.table_changes(spark, src, from_version=v_from, to_version=v_to,
-                         key=m["mv_key"], include_preimage=True)
+    ch = _changes_since_cursor(spark, src, v_from, v_to, m["mv_key"])
     new_extra = {"app": {
         "mv_source": src, "mv_key": m["mv_key"],
         "mv_group_cols": group_cols, "mv_sum_cols": sum_cols,
@@ -327,8 +347,7 @@ def refresh_transform_view(
     if v_to == v_from:
         return V.current_version(view_path)
     view_v = V.current_version(view_path)  # OCC parent for the commit
-    ch = V.table_changes(spark, src, from_version=v_from, to_version=v_to,
-                         key=key, include_preimage=True).persist()
+    ch = _changes_since_cursor(spark, src, v_from, v_to, key).persist()
     try:
         retract_keys = (
             ch.where(F.col("_change_type").isin(*_RETRACTING))

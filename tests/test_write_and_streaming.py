@@ -1906,6 +1906,29 @@ class TestVersionedTable:
         V.register_sql_view(spark, "vtb", tb)
         assert spark.sql("SELECT count(*) n FROM vtb").first().n == 10
 
+    def test_view_refresh_after_source_vacuum_names_the_contract(
+        self, spark, tmp_path
+    ):
+        """Vacuuming the source past a view's cursor must fail the refresh
+        with the actual retention contract, not a bare ENOENT."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "src")
+        vw = str(tmp_path / "view")
+        mk = lambda rows: spark.createDataFrame(
+            rows, "id long, grp string, v long")
+        V.create(spark, t, mk([(1, "a", 1)]))
+        MV.create_agg_view(spark, t, vw, key="id",
+                           group_cols=["grp"], sum_cols=["v"])
+        # rewrites force the snapshot-diff path, which reads v_from's
+        # manifest; vacuum then removes it
+        V.upsert(spark, t, mk([(1, "a", 2)]), "id")
+        V.upsert(spark, t, mk([(1, "a", 3)]), "id")
+        V.vacuum(t, keep_last=1)
+        with pytest.raises(RuntimeError, match="vacuum|retain"):
+            MV.refresh_agg_view(spark, vw)
+
     def test_occ_true_concurrent_writers_all_land(self, spark, tmp_path):
         """REAL concurrency (not a monkeypatched race): four threads each
         push three upserts through the retry loop against one table. The
