@@ -162,3 +162,32 @@ def start_agg_view_refresh_stream(
     if checkpoint_dir is not None:
         out = out.option("checkpointLocation", checkpoint_dir)
     return out.start()
+
+
+def start_transform_view_refresh_stream(
+    spark: SparkSession, view_path: str, transform, name: str,
+    checkpoint_dir: str | None = None,
+):
+    """Continuous maintenance for a ROW-TRANSFORM view (the signature-
+    index twin of start_agg_view_refresh_stream): the versioned_cdc
+    stream over the view's source wakes refresh_transform_view_with_retry
+    per micro-batch. Same exactly-once composition — the interval is
+    cursor-derived, replays and concurrent refreshers rebase to no-ops.
+    ``transform``/``name`` are the application code + tag recorded at
+    create_transform_view time (a mismatched name fails loudly)."""
+    from ..sources import cdc_stream, matview
+
+    cdc_stream.register(spark)
+    src = matview._spec_tv(view_path)["tv_source"]
+    stream = (
+        spark.readStream.format("versioned_cdc").option("path", src).load()
+    )
+
+    def _refresh(batch_df: DataFrame, batch_id: int) -> None:
+        matview.refresh_transform_view_with_retry(
+            spark, view_path, transform, name)
+
+    out = stream.writeStream.foreachBatch(_refresh).outputMode("append")
+    if checkpoint_dir is not None:
+        out = out.option("checkpointLocation", checkpoint_dir)
+    return out.start()

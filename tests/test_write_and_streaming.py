@@ -1929,6 +1929,39 @@ class TestVersionedTable:
         with pytest.raises(RuntimeError, match="vacuum|retain"):
             MV.refresh_agg_view(spark, vw)
 
+    def test_transform_view_streaming_refresh(self, spark, tmp_path):
+        """Continuous index maintenance: the cdc stream wakes transform-
+        view refreshes; after each source commit drains the index equals
+        transform(source head)."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+        from rclip_server_spark.streaming import sink
+
+        t = str(tmp_path / "src")
+        vw = str(tmp_path / "view")
+        ckpt = str(tmp_path / "ckpt")
+        mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+
+        def postings(df):
+            return df.select(
+                "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+
+        V.create(spark, t, mk([(1, "a b")]))
+        MV.create_transform_view(spark, t, vw, key="doc_id",
+                                 transform=postings, name="p1")
+        q = sink.start_transform_view_refresh_stream(
+            spark, vw, postings, "p1", checkpoint_dir=ckpt)
+        try:
+            V.append(spark, t, mk([(2, "c d"), (3, "e")]))
+            q.processAllAvailable()
+            got = sorted((r.doc_id, r.tok) for r in
+                         V.read(spark, vw).collect())
+            want = sorted((r.doc_id, r.tok) for r in
+                          postings(V.read(spark, t)).collect())
+            assert got == want, (got, want)
+        finally:
+            q.stop()
+
     def test_occ_true_concurrent_writers_all_land(self, spark, tmp_path):
         """REAL concurrency (not a monkeypatched race): four threads each
         push three upserts through the retry loop against one table. The
