@@ -49,11 +49,17 @@ _INSERTING = ("insert", "update_postimage")
 _RETRACTING = ("delete", "update_preimage")
 
 
-def _spec(path: str) -> dict:
+def _spec(path: str, version: int | None = None) -> dict:
     """The view spec + cursor, stored in the manifest's carried-forward
     ``app`` namespace — so appends, delete-vector commits, and
-    compactions on the view table preserve it automatically."""
-    m = V._manifest(path, V.current_version(path))
+    compactions on the view table preserve it automatically. Pass
+    ``version`` for the ONE-CONSISTENT-READ rule the refreshers depend
+    on: cursor, state, and OCC parent must all come from the same view
+    version, or a concurrent refresher committing in between yields a
+    stale cursor paired with a fresh parent and the interval
+    double-applies without any ConcurrentWriteError."""
+    v = V.current_version(path) if version is None else int(version)
+    m = V._manifest(path, v)
     spec = m.get("app") or {}
     if "mv_source" not in spec:
         raise ValueError(f"{path} is not a materialized view "
@@ -110,11 +116,15 @@ def _changes_since_cursor(spark, src, v_from, v_to, key):
     digging — name the actual contract instead (retain source manifests
     at least as long as the view's refresh cadence, the same
     checkpoint-vs-vacuum pairing as streaming)."""
+    import os as _os
+
     try:
         return V.table_changes(spark, src, from_version=v_from,
                                to_version=v_to, key=key,
                                include_preimage=True)
     except FileNotFoundError as e:
+        if _os.path.exists(V._snap_path(src, v_from)):
+            raise  # a different missing file — don't blame vacuum
         raise RuntimeError(
             f"view refresh needs source {src!r} manifests back to its "
             f"cursor v{v_from}, but vacuum already removed them ({e}); "
@@ -166,7 +176,11 @@ def refresh_agg_view(spark: SparkSession, view_path: str) -> int:
     insert-only groups still merge monotonically (least/greatest) with
     zero source rescan. An append-only refresh therefore never scans
     pre-existing data regardless of spec."""
-    m = _spec(view_path)
+    # ONE consistent read: OCC parent first, then cursor + state AT that
+    # version — spec and parent from different versions would let a
+    # concurrent refresher's interval double-apply silently
+    view_v = V.current_version(view_path)
+    m = _spec(view_path, view_v)
     src = m["mv_source"]
     group_cols = list(m["mv_group_cols"])
     sum_cols = list(m["mv_sum_cols"])
@@ -174,16 +188,16 @@ def refresh_agg_view(spark: SparkSession, view_path: str) -> int:
     v_from = int(m["mv_source_version"])
     v_to = V.current_version(src)
     if v_to == v_from:
-        return V.current_version(view_path)
-    view_v = V.current_version(view_path)  # OCC parent for the commit
-    ch = _changes_since_cursor(spark, src, v_from, v_to, m["mv_key"])
+        return view_v
+    ch = _changes_since_cursor(spark, src, v_from, v_to,
+                               m["mv_key"]).persist()
     new_extra = {"app": {
         "mv_source": src, "mv_key": m["mv_key"],
         "mv_group_cols": group_cols, "mv_sum_cols": sum_cols,
         "mv_minmax_cols": minmax_cols,
         "mv_source_version": v_to,
     }}
-    cur = V.read(spark, view_path)
+    cur = V.read(spark, view_path, view_v)
 
     def _merge_additive(base: DataFrame, delta: DataFrame,
                         extra_vals) -> DataFrame:
@@ -205,17 +219,30 @@ def refresh_agg_view(spark: SparkSession, view_path: str) -> int:
             sel.append(nn.cast("long").alias(f"nn_{c}"))
         return out.select(*sel, *extra_vals)
 
-    if not minmax_cols:
-        sign = (
-            F.when(F.col("_change_type").isin(*_INSERTING), F.lit(1))
-            .when(F.col("_change_type").isin(*_RETRACTING), F.lit(-1))
-            .cast("long")
-        )
-        delta = _aggregate(ch, group_cols, sum_cols, sign=sign)
-        merged = _merge_additive(cur, delta, []).where(F.col("cnt") > 0)
-        return V.overwrite(spark, view_path, merged, extra=new_extra,
-                           parent_version=view_v)
+    try:
+        if not minmax_cols:
+            sign = (
+                F.when(F.col("_change_type").isin(*_INSERTING), F.lit(1))
+                .when(F.col("_change_type").isin(*_RETRACTING), F.lit(-1))
+                .cast("long")
+            )
+            delta = _aggregate(ch, group_cols, sum_cols, sign=sign)
+            merged = _merge_additive(cur, delta, []).where(F.col("cnt") > 0)
+            return V.overwrite(spark, view_path, merged, extra=new_extra,
+                               parent_version=view_v)
+        return _refresh_minmax(spark, view_path, view_v, ch, src, v_to,
+                               group_cols, sum_cols, minmax_cols,
+                               cur, _merge_additive, new_extra)
+    finally:
+        ch.unpersist()
 
+
+def _refresh_minmax(spark, view_path, view_v, ch, src, v_to, group_cols,
+                    sum_cols, minmax_cols, cur, _merge_additive, new_extra):
+    """The non-retractable tier: ch is PERSISTED by the caller — it feeds
+    four plan subtrees (insert deltas, affected-group keys, and the two
+    anti-joins), and for a rewriting interval each re-evaluation would be
+    a key-shuffled snapshot diff."""
     ins = ch.where(F.col("_change_type").isin(*_INSERTING))
     ret_groups = (
         ch.where(F.col("_change_type").isin(*_RETRACTING))
@@ -334,7 +361,9 @@ def refresh_transform_view(
     partial was published). Many refreshes accrete segments + vectors —
     versioned.compact() folds the view back down without touching the
     spec (the app namespace carries through every commit)."""
-    spec = _spec_tv(view_path)
+    # ONE consistent read: OCC parent first, spec (cursor) AT it
+    view_v = V.current_version(view_path)
+    spec = _spec_tv(view_path, view_v)
     if spec["tv_name"] != name:
         raise ValueError(
             f"refresh with transform {name!r} but the view was created "
@@ -345,8 +374,7 @@ def refresh_transform_view(
     v_from = int(spec["tv_source_version"])
     v_to = V.current_version(src)
     if v_to == v_from:
-        return V.current_version(view_path)
-    view_v = V.current_version(view_path)  # OCC parent for the commit
+        return view_v
     ch = _changes_since_cursor(spark, src, v_from, v_to, key).persist()
     try:
         retract_keys = (
@@ -392,8 +420,9 @@ def refresh_transform_view_with_retry(
     raise AssertionError("unreachable")
 
 
-def _spec_tv(path: str) -> dict:
-    m = V._manifest(path, V.current_version(path))
+def _spec_tv(path: str, version: int | None = None) -> dict:
+    v = V.current_version(path) if version is None else int(version)
+    m = V._manifest(path, v)
     spec = m.get("app") or {}
     if "tv_source" not in spec:
         raise ValueError(f"{path} is not a transform view "

@@ -1398,24 +1398,36 @@ def restore(spark: SparkSession, path: str, to_version: int) -> int:
 def describe(path: str) -> dict:
     """Metadata-only table report (the DESCRIBE DETAIL idea): head
     version, layout, segment/row counts, pending delete vectors, declared
-    schema, zone-map columns, and the app spec — everything from ONE
-    manifest read, zero Spark jobs, zero file opens. The operational
-    entry point for "what is this table?" before any query planning."""
-    v = current_version(path)
+    schema, zone-map columns, and the app spec — one _snapshots listing
+    plus one manifest read, zero Spark jobs (parquet footers are opened
+    only for legacy segments committed before per-segment counts were
+    recorded). The operational entry point for "what is this table?"
+    before any query planning."""
+    from .catalog import table_row_count as _footer_rows
+
+    versions = _manifest_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    v = versions[-1]
     m = _manifest(path, v)
     segs = sorted(_manifest_segments(m))
+    rows = m.get("seg_rows", {})
+    row_count = sum(
+        rows[s] if s in rows else _footer_rows(os.path.join(path, s))
+        for s in segs
+    )
     out = {
         "path": path,
         "version": v,
         "op": m.get("op"),
         "layout": "bucketed" if "buckets" in m else "flat",
         "n_segments": len(segs),
-        "row_count": table_row_count(path, v),
+        "row_count": row_count,
         "pending_delete_vectors": len(m.get("delete_segs") or []),
         "col_types": m.get("col_types", {}),
         "stat_cols": m.get("stat_cols", []),
         "app": m.get("app"),
-        "versions_retained": len(_manifest_versions(path)),
+        "versions_retained": len(versions),
     }
     if "buckets" in m:
         out["n_buckets"] = m.get("n_buckets")
@@ -1430,7 +1442,14 @@ def register_sql_view(spark: SparkSession, name: str, path: str,
     registration, so every query against the view reads a consistent
     snapshot regardless of concurrent commits (re-register to advance).
     Works for flat and bucketed layouts and applies pending delete
-    vectors, because it is just read()/read_bucketed() under a name."""
+    vectors, because it is just read()/read_bucketed() under a name.
+
+    Retention contract: the view names the registered version's segment
+    paths, so a later rewrite + ``vacuum`` that reaps them breaks the
+    view with a path-not-found — the same manifest-retention pairing as
+    matview cursors and streaming checkpoints. Keep ``keep_last`` /
+    ``retain_seconds`` covering the lifetime of registered views, or
+    re-register after table maintenance."""
     v = current_version(path) if version is None else int(version)
     m = _manifest(path, v)
     df = read_bucketed(spark, path, v) if "buckets" in m \

@@ -129,39 +129,57 @@ def start_stream_append_versioned(
     return out.start()
 
 
-def start_agg_view_refresh_stream(
-    spark: SparkSession, view_path: str, checkpoint_dir: str | None = None,
+def _start_view_refresh_stream(
+    spark: SparkSession, source_path: str, refresh_fn,
+    checkpoint_dir: str | None,
 ):
-    """CONTINUOUS materialized-view maintenance: tail the view's source
-    table with the ``versioned_cdc`` stream and run
-    ``matview.refresh_agg_view`` once per micro-batch.
+    """Shared wiring for continuous view maintenance: tail the SOURCE's
+    manifest log with a file stream (one tiny JSON per commit) and run
+    the refresh per micro-batch. Tailing manifests — not the data-level
+    versioned_cdc source — makes the wake-up COMMIT-TYPE AGNOSTIC:
+    deletes, upserts, overwrites, and compactions on the source wake the
+    refresh exactly like appends (versioned_cdc's reader is append-only
+    by contract and would kill the query on the first rewrite). The
+    batch content is only the wake-up signal; the refresh derives its
+    exact interval from the cursor in the view manifest, so
+    at-least-once batches compose with the cursor's idempotence into
+    exactly-once view state."""
+    import os
 
-    The micro-batch content is only the WAKE-UP signal — refresh derives
-    its exact change interval from the cursor in the view manifest, so
-    foreachBatch's at-least-once delivery composes with the cursor's
-    idempotence into exactly-once view state: a replayed batch (or one
-    arriving after the view already caught up) refreshes cursor→head,
-    which is a no-op when fresh. Commits that add no data segments
-    (pure delete-vector commits) may not trigger a batch; the next one
-    catches the view up exactly, because the interval is cursor-derived,
-    never batch-derived."""
-    from ..sources import cdc_stream, matview
-
-    cdc_stream.register(spark)
-    src = matview._spec(view_path)["mv_source"]
     stream = (
-        spark.readStream.format("versioned_cdc").option("path", src).load()
+        spark.readStream.schema("version long")
+        .option("pathGlobFilter", "v*.json")
+        .json(os.path.join(source_path, "_snapshots"))
     )
 
     def _refresh(batch_df: DataFrame, batch_id: int) -> None:
-        # retry wrapper: a concurrent manual refresher's commit must not
-        # kill the streaming query — the loser's rebase is a cheap no-op
-        matview.refresh_agg_view_with_retry(spark, view_path)
+        refresh_fn()
 
     out = stream.writeStream.foreachBatch(_refresh).outputMode("append")
     if checkpoint_dir is not None:
         out = out.option("checkpointLocation", checkpoint_dir)
     return out.start()
+
+
+def start_agg_view_refresh_stream(
+    spark: SparkSession, view_path: str, checkpoint_dir: str | None = None,
+):
+    """CONTINUOUS materialized-view maintenance: every commit on the
+    view's source table (any op — append, upsert, delete-vector,
+    compaction) wakes ``matview.refresh_agg_view_with_retry``; replayed
+    or late batches rebase to no-ops because the refresh interval is
+    cursor-derived, never batch-derived (see _start_view_refresh_stream
+    for the exactly-once composition)."""
+    from ..sources import matview
+
+    src = matview._spec(view_path)["mv_source"]
+
+    def _go():
+        # retry wrapper: a concurrent manual refresher's commit must not
+        # kill the streaming query — the loser's rebase is a cheap no-op
+        matview.refresh_agg_view_with_retry(spark, view_path)
+
+    return _start_view_refresh_stream(spark, src, _go, checkpoint_dir)
 
 
 def start_transform_view_refresh_stream(
@@ -169,25 +187,22 @@ def start_transform_view_refresh_stream(
     checkpoint_dir: str | None = None,
 ):
     """Continuous maintenance for a ROW-TRANSFORM view (the signature-
-    index twin of start_agg_view_refresh_stream): the versioned_cdc
-    stream over the view's source wakes refresh_transform_view_with_retry
-    per micro-batch. Same exactly-once composition — the interval is
-    cursor-derived, replays and concurrent refreshers rebase to no-ops.
-    ``transform``/``name`` are the application code + tag recorded at
-    create_transform_view time (a mismatched name fails loudly)."""
-    from ..sources import cdc_stream, matview
+    index twin of start_agg_view_refresh_stream): same commit-type-
+    agnostic manifest-tail wake-up + cursor-derived exactly-once
+    composition. ``transform``/``name`` are the application code + tag
+    recorded at create_transform_view time; a mismatched name fails
+    HERE, synchronously, not as an asynchronous stream crash."""
+    from ..sources import matview
 
-    cdc_stream.register(spark)
-    src = matview._spec_tv(view_path)["tv_source"]
-    stream = (
-        spark.readStream.format("versioned_cdc").option("path", src).load()
-    )
+    spec = matview._spec_tv(view_path)
+    if spec["tv_name"] != name:
+        raise ValueError(
+            f"stream started with transform {name!r} but the view was "
+            f"created with {spec['tv_name']!r}")
 
-    def _refresh(batch_df: DataFrame, batch_id: int) -> None:
+    def _go():
         matview.refresh_transform_view_with_retry(
             spark, view_path, transform, name)
 
-    out = stream.writeStream.foreachBatch(_refresh).outputMode("append")
-    if checkpoint_dir is not None:
-        out = out.option("checkpointLocation", checkpoint_dir)
-    return out.start()
+    return _start_view_refresh_stream(spark, spec["tv_source"], _go,
+                                      checkpoint_dir)

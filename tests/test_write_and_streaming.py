@@ -1962,6 +1962,49 @@ class TestVersionedTable:
         finally:
             q.stop()
 
+    def test_view_refresh_stream_survives_source_rewrites(
+        self, spark, tmp_path
+    ):
+        """The maintenance stream must keep running through DELETE and
+        UPSERT commits on the source — the retraction cases views exist
+        for (a data-level CDC tail would die on the first rewrite; the
+        manifest-tail wake-up is commit-type agnostic)."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+        from rclip_server_spark.streaming import sink
+
+        t = str(tmp_path / "src")
+        vw = str(tmp_path / "view")
+        ckpt = str(tmp_path / "ckpt")
+        mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+
+        def postings(df):
+            return df.select(
+                "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+
+        V.create(spark, t, mk([(1, "a b"), (2, "c")]))
+        MV.create_transform_view(spark, t, vw, key="doc_id",
+                                 transform=postings, name="p1")
+        # wrong name fails synchronously at start, not as a stream crash
+        with pytest.raises(ValueError, match="p1"):
+            sink.start_transform_view_refresh_stream(
+                spark, vw, postings, "wrong", checkpoint_dir=ckpt + "x")
+        q = sink.start_transform_view_refresh_stream(
+            spark, vw, postings, "p1", checkpoint_dir=ckpt)
+        try:
+            V.delete_rows(spark, t, [2], "doc_id")      # rewrite commit
+            V.upsert(spark, t, mk([(1, "z q")]), "doc_id")  # another
+            V.append(spark, t, mk([(3, "e")]))
+            q.processAllAvailable()
+            assert q.isActive and q.exception() is None
+            got = sorted((r.doc_id, r.tok) for r in
+                         V.read(spark, vw).collect())
+            want = sorted((r.doc_id, r.tok) for r in
+                          postings(V.read(spark, t)).collect())
+            assert got == want, (got, want)
+        finally:
+            q.stop()
+
     def test_occ_true_concurrent_writers_all_land(self, spark, tmp_path):
         """REAL concurrency (not a monkeypatched race): four threads each
         push three upserts through the retry loop against one table. The
