@@ -189,8 +189,7 @@ def refresh_agg_view(spark: SparkSession, view_path: str) -> int:
     v_to = V.current_version(src)
     if v_to == v_from:
         return view_v
-    ch = _changes_since_cursor(spark, src, v_from, v_to,
-                               m["mv_key"]).persist()
+    ch = _changes_since_cursor(spark, src, v_from, v_to, m["mv_key"])
     new_extra = {"app": {
         "mv_source": src, "mv_key": m["mv_key"],
         "mv_group_cols": group_cols, "mv_sum_cols": sum_cols,
@@ -219,17 +218,20 @@ def refresh_agg_view(spark: SparkSession, view_path: str) -> int:
             sel.append(nn.cast("long").alias(f"nn_{c}"))
         return out.select(*sel, *extra_vals)
 
+    if not minmax_cols:
+        # additive path consumes ch exactly ONCE (the single overwrite
+        # write) — no persist needed
+        sign = (
+            F.when(F.col("_change_type").isin(*_INSERTING), F.lit(1))
+            .when(F.col("_change_type").isin(*_RETRACTING), F.lit(-1))
+            .cast("long")
+        )
+        delta = _aggregate(ch, group_cols, sum_cols, sign=sign)
+        merged = _merge_additive(cur, delta, []).where(F.col("cnt") > 0)
+        return V.overwrite(spark, view_path, merged, extra=new_extra,
+                           parent_version=view_v)
+    ch = ch.persist()  # minmax path feeds four plan subtrees from ch
     try:
-        if not minmax_cols:
-            sign = (
-                F.when(F.col("_change_type").isin(*_INSERTING), F.lit(1))
-                .when(F.col("_change_type").isin(*_RETRACTING), F.lit(-1))
-                .cast("long")
-            )
-            delta = _aggregate(ch, group_cols, sum_cols, sign=sign)
-            merged = _merge_additive(cur, delta, []).where(F.col("cnt") > 0)
-            return V.overwrite(spark, view_path, merged, extra=new_extra,
-                               parent_version=view_v)
         return _refresh_minmax(spark, view_path, view_v, ch, src, v_to,
                                group_cols, sum_cols, minmax_cols,
                                cur, _merge_additive, new_extra)

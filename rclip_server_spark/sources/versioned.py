@@ -819,10 +819,17 @@ def table_row_count(path: str, version: int | None = None) -> int:
     PRE-DELETE upper bound — exact counting would need the anti-join the
     vectors defer; the next rewrite commit materializes the deletes and
     restores exactness."""
+    v = current_version(path) if version is None else int(version)
+    return _manifest_row_count(path, _manifest(path, v))
+
+
+def _manifest_row_count(path: str, m: dict) -> int:
+    """Row total for an already-loaded manifest: recorded seg_rows, with
+    a parquet-footer fallback for legacy segments — the ONE copy of the
+    counting fold (table_row_count and describe both call it, so the
+    contract cannot silently diverge between them)."""
     from .catalog import table_row_count as _footer_rows
 
-    v = current_version(path) if version is None else int(version)
-    m = _manifest(path, v)
     rows = m.get("seg_rows", {})
     total = 0
     for s in _manifest_segments(m):
@@ -1403,19 +1410,13 @@ def describe(path: str) -> dict:
     only for legacy segments committed before per-segment counts were
     recorded). The operational entry point for "what is this table?"
     before any query planning."""
-    from .catalog import table_row_count as _footer_rows
-
     versions = _manifest_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed versions under {path}")
     v = versions[-1]
     m = _manifest(path, v)
     segs = sorted(_manifest_segments(m))
-    rows = m.get("seg_rows", {})
-    row_count = sum(
-        rows[s] if s in rows else _footer_rows(os.path.join(path, s))
-        for s in segs
-    )
+    row_count = _manifest_row_count(path, m)
     out = {
         "path": path,
         "version": v,

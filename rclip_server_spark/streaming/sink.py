@@ -143,12 +143,19 @@ def _start_view_refresh_stream(
     batch content is only the wake-up signal; the refresh derives its
     exact interval from the cursor in the view manifest, so
     at-least-once batches compose with the cursor's idempotence into
-    exactly-once view state."""
-    import os
+    exactly-once view state.
 
+    ignoreMissingFiles: a listed manifest may be vacuumed before the
+    batch task reads it — without the option that FileNotFound kills the
+    query permanently (the death mode this wiring exists to avoid); the
+    batch content is only a wake-up signal, so skipping a reaped file is
+    always safe. Checkpoint note: checkpoints written by the pre-r6
+    versioned_cdc wiring are NOT resumable by this file source — start
+    upgraded streams with a fresh checkpoint_dir."""
     stream = (
         spark.readStream.schema("version long")
         .option("pathGlobFilter", "v*.json")
+        .option("ignoreMissingFiles", "true")
         .json(os.path.join(source_path, "_snapshots"))
     )
 

@@ -1496,7 +1496,7 @@ class TestVersionedTable:
         assert not [d for d in os.listdir(t) if d.startswith(".zorder-")]
 
     def test_agg_view_streaming_refresh(self, spark, tmp_path):
-        """Continuous view maintenance: the versioned_cdc stream wakes a
+        """Continuous view maintenance: the manifest-log file tail wakes a
         refresh per micro-batch; after each source commit drains, the view
         equals the direct groupBy. The batch is only a wake-up — the
         refresh interval is cursor-derived, so replays are no-ops."""
@@ -1930,9 +1930,9 @@ class TestVersionedTable:
             MV.refresh_agg_view(spark, vw)
 
     def test_transform_view_streaming_refresh(self, spark, tmp_path):
-        """Continuous index maintenance: the cdc stream wakes transform-
-        view refreshes; after each source commit drains the index equals
-        transform(source head)."""
+        """Continuous index maintenance: the manifest-log file tail wakes
+        transform-view refreshes; after each source commit drains the
+        index equals transform(source head)."""
         from rclip_server_spark.sources import matview as MV
         from rclip_server_spark.sources import versioned as V
         from rclip_server_spark.streaming import sink
