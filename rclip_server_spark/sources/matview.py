@@ -153,8 +153,22 @@ def create_agg_view(
     sum_cols = list(sum_cols or [])
     minmax_cols = list(minmax_cols or [])
     src_v = V.current_version(source_path)
-    state = _aggregate(_read_source(spark, source_path, src_v),
-                       list(group_cols), sum_cols, minmax_cols)
+    src_df = _read_source(spark, source_path, src_v)
+    types = {f.name: f.dataType.simpleString() for f in src_df.schema.fields}
+    integral = {"tinyint", "smallint", "int", "bigint", "boolean"}
+    bad = [c for c in sum_cols
+           if types.get(c, "bigint") not in integral]
+    if bad:
+        raise TypeError(
+            f"sum_cols must be integer-valued for BIGINT-exact additive "
+            f"maintenance; {', '.join(f'{c} is {types[c]}' for c in bad)}. "
+            f"Pre-scale floats to integer units (the cents rule: "
+            f"round(x*100) cast to long) in a projection before the view.")
+    missing = [c for c in list(group_cols) + sum_cols + minmax_cols
+               if c not in types]
+    if missing:
+        raise ValueError(f"columns not in source schema: {missing}")
+    state = _aggregate(src_df, list(group_cols), sum_cols, minmax_cols)
     return V.create(spark, view_path, state, extra={"app": {
         "mv_source": source_path, "mv_key": key,
         "mv_group_cols": list(group_cols), "mv_sum_cols": sum_cols,

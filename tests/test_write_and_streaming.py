@@ -2005,6 +2005,27 @@ class TestVersionedTable:
         finally:
             q.stop()
 
+    def test_agg_view_rejects_float_sum_cols_at_create(self, spark, tmp_path):
+        """BIGINT-exact additivity is the maintenance contract: a DOUBLE
+        sum column would silently accumulate float error across refreshes
+        — create must fail loudly with the cents-rule guidance, and
+        unknown columns fail as well."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "src")
+        V.create(spark, t, spark.createDataFrame(
+            [(1, "a", 1.5)], "id long, grp string, v double"))
+        with pytest.raises(TypeError, match="cents"):
+            MV.create_agg_view(spark, t, str(tmp_path / "x"), key="id",
+                               group_cols=["grp"], sum_cols=["v"])
+        with pytest.raises(ValueError, match="nope"):
+            MV.create_agg_view(spark, t, str(tmp_path / "y"), key="id",
+                               group_cols=["grp"], sum_cols=["nope"])
+        # integral columns (and no sums at all) still create fine
+        MV.create_agg_view(spark, t, str(tmp_path / "z"), key="id",
+                           group_cols=["grp"])
+
     def test_occ_true_concurrent_writers_all_land(self, spark, tmp_path):
         """REAL concurrency (not a monkeypatched race): four threads each
         push three upserts through the retry loop against one table. The
