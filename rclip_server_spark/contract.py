@@ -1409,7 +1409,7 @@ _PRIORITY = [
     # Round-7 rotation backlog (r6 oracle rows registered OUTSIDE this
     # window, locally oracle-exact, never driver-verified):
     # vt_agg_view_minmax, vt_append_only_changes, vt_zorder_pruned_read,
-    # vt_signature_index_refresh.
+    # vt_signature_index_refresh, vt_topk_view_refresh.
     # §2 A-family (vector/similarity)
     "a1_a2_flagship_topk", "a2_topk_k50", "a4_l2_normalize",
     "a6_point_lookup", "a7_feature_minmax", "a8_minmax_normalize",
@@ -5153,5 +5153,60 @@ _register(
     SELECT doc_id, CAST(generate_subscripts(sig, 1) - 1 AS BIGINT) AS pos,
            unnest(sig) AS sig
     FROM sigs
+    """,
+)
+
+
+def _vt_topk_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .sources import matview as MV
+    from .sources import versioned as VT
+
+    view = path + "_view"
+    ev = _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"))
+    VT.create(spark, path, ev.where(F.col("event_id") % 3 != 2))
+    MV.create_topk_view(spark, path, view, key="event_id",
+                        group_cols=["event_type"], score_col="value_cents",
+                        k=5)
+    VT.append(spark, path, ev.where(F.col("event_id") % 3 == 2))
+    MV.refresh_topk_view(spark, view)  # insert-only: k-bounded re-rank
+    VT.delete_rows(
+        spark, path,
+        ev.where(F.col("event_id") % 11 == 0).select("event_id"),
+        "event_id")
+    MV.refresh_topk_view(spark, view)  # retraction: affected-group recompute
+
+
+def _vt_topk_view_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """Maintained per-group TOP-K view (matview.create_topk_view /
+    refresh_topk_view): leaderboard advanced through an append (k-bounded
+    re-rank) and a delete (affected groups recomputed — previously
+    evicted rows must RESURFACE when ranked rows retract). Oracle: the
+    maintained ranking equals row_number() over the final corpus."""
+    from .sources import matview as MV
+
+    path = _vt_build(spark, sf, "tk", _vt_topk_builder)
+    from .sources import versioned as VT
+
+    return VT.read(spark, path + "_view").select(
+        "event_type", "rnk", "event_id", "value_cents")
+
+
+_register(
+    "vt_topk_view_refresh",
+    _vt_topk_view_refresh,
+    """
+    WITH d AS (SELECT event_id, event_type,
+                      CAST(round(value * 100) AS BIGINT) AS value_cents
+               FROM events WHERE event_id % 11 <> 0),
+    ranked AS (
+      SELECT event_type, event_id, value_cents,
+             CAST(row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY value_cents DESC, event_id) AS BIGINT) AS rnk
+      FROM d)
+    SELECT event_type, rnk, event_id, value_cents
+    FROM ranked WHERE rnk <= 5
     """,
 )

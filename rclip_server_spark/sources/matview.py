@@ -444,3 +444,132 @@ def _spec_tv(path: str, version: int | None = None) -> dict:
         raise ValueError(f"{path} is not a transform view "
                          f"(no tv_source in its manifest app namespace)")
     return spec
+
+
+# ---------------------------------------------------------------------------
+# Per-group TOP-K views: the "trending items" maintained ranking
+# ---------------------------------------------------------------------------
+
+
+def create_topk_view(
+    spark: SparkSession, source_path: str, view_path: str, key: str,
+    group_cols: list[str], score_col: str, k: int,
+) -> int:
+    """Maintained per-group TOP-K ranking (``row_number() OVER (PARTITION
+    BY groups ORDER BY score DESC, key ASC) <= k``) — the leaderboard /
+    trending-items view. Top-k is not additively retractable (evicted
+    rows are gone from the view), so maintenance uses the same two-tier
+    strategy as MIN/MAX agg views:
+
+    * insert-only groups merge k-BOUNDED: current top-k rows ∪ the new
+      candidates re-rank inside the group — never a source rescan, and
+      the window input is ≤ k + inserts rows per group (an insert that
+      doesn't beat rank k simply falls out);
+    * groups hit by a retraction (delete / update_preimage — including a
+      row MOVING between groups, which retracts from its old group)
+      recompute from the pinned source snapshot behind a broadcast
+      semi-join on the affected group keys.
+
+    View columns: group_cols…, key, score_col, rnk (1-based). Ties break
+    on key ASC, so the ranking is total and oracle-exact."""
+    if int(k) < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    src_v = V.current_version(source_path)
+    src_df = _read_source(spark, source_path, src_v)
+    cols = {f.name for f in src_df.schema.fields}
+    missing = [c for c in list(group_cols) + [key, score_col]
+               if c not in cols]
+    if missing:
+        raise ValueError(f"columns not in source schema: {missing}")
+    state = _topk_of(src_df, list(group_cols), key, score_col, int(k))
+    return V.create(spark, view_path, state, extra={"app": {
+        "kv_source": source_path, "kv_key": key,
+        "kv_group_cols": list(group_cols), "kv_score_col": score_col,
+        "kv_k": int(k), "kv_source_version": src_v,
+    }})
+
+
+def _topk_of(df: DataFrame, group_cols: list[str], key: str,
+             score_col: str, k: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc(score_col), F.asc(key))
+    return (
+        df.select(*group_cols, key, score_col)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def refresh_topk_view(spark: SparkSession, view_path: str) -> int:
+    """Advance a top-k view to the source head (one-consistent-read +
+    OCC-pinned commit, the refresh_agg_view contract)."""
+    view_v = V.current_version(view_path)
+    m = V._manifest(view_path, view_v)
+    spec = m.get("app") or {}
+    if "kv_source" not in spec:
+        raise ValueError(f"{view_path} is not a top-k view "
+                         f"(no kv_source in its manifest app namespace)")
+    src = spec["kv_source"]
+    key = spec["kv_key"]
+    group_cols = list(spec["kv_group_cols"])
+    score_col = spec["kv_score_col"]
+    k = int(spec["kv_k"])
+    v_from = int(spec["kv_source_version"])
+    v_to = V.current_version(src)
+    if v_to == v_from:
+        return view_v
+    ch = _changes_since_cursor(spark, src, v_from, v_to, key).persist()
+    try:
+        new_app = dict(spec) | {"kv_source_version": v_to}
+        ret_groups = (
+            ch.where(F.col("_change_type").isin(*_RETRACTING))
+            .select(*group_cols).distinct()
+        )
+        ins = (
+            ch.where(F.col("_change_type").isin(*_INSERTING))
+            .select(*group_cols, key, score_col)
+        )
+        cur = V.read(spark, view_path, view_v)
+
+        def _minus_affected(df: DataFrame) -> DataFrame:
+            x = df.alias("x")
+            return x.join(F.broadcast(ret_groups.alias("g")),
+                          _nullsafe_cond("x", "g", group_cols),
+                          "left_anti").select("x.*")
+
+        # insert-only groups: k-bounded re-rank of (current top-k ∪ new)
+        survivors = _minus_affected(cur).select(*group_cols, key, score_col)
+        newcomers = _minus_affected(ins)
+        regrown = _topk_of(survivors.unionByName(newcomers),
+                           group_cols, key, score_col, k)
+        # affected groups: recompute from the pinned snapshot
+        src_at = _read_source(spark, src, v_to).alias("s")
+        recomp = _topk_of(
+            src_at.join(F.broadcast(ret_groups.alias("g")),
+                        _nullsafe_cond("s", "g", group_cols), "left_semi")
+            .select("s.*"),
+            group_cols, key, score_col, k)
+        merged = regrown.unionByName(recomp)
+        # the spec MUST live under the "app" namespace: a top-level extra
+        # would leave the parent's app (stale cursor) to carry forward,
+        # and the next refresh would re-apply an overlapping interval
+        return V.overwrite(spark, view_path, merged,
+                           extra={"app": new_app}, parent_version=view_v)
+    finally:
+        ch.unpersist()
+
+
+def refresh_topk_view_with_retry(
+    spark: SparkSession, view_path: str, max_retries: int = 3,
+) -> int:
+    """OCC rebase loop for concurrent top-k refreshers (the standard
+    contract: the loser re-reads the advanced cursor)."""
+    for attempt in range(max_retries + 1):
+        try:
+            return refresh_topk_view(spark, view_path)
+        except V.ConcurrentWriteError:
+            if attempt == max_retries:
+                raise
+    raise AssertionError("unreachable")

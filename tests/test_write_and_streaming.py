@@ -2026,6 +2026,59 @@ class TestVersionedTable:
         MV.create_agg_view(spark, t, str(tmp_path / "z"), key="id",
                            group_cols=["grp"])
 
+    def test_topk_view_incremental_equals_recompute(self, spark, tmp_path):
+        """Maintained per-group top-k: after appends (k-bounded re-rank,
+        incl. rows that don't make the cut), deletes of ranked rows
+        (affected-group recompute must RESURFACE the previously-evicted
+        row), and an update moving a row between groups, the view equals
+        the direct window recompute."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "src")
+        vw = str(tmp_path / "view")
+        mk = lambda rows: spark.createDataFrame(
+            rows, "id long, grp string, score long")
+        V.create(spark, t, mk([(1, "a", 10), (2, "a", 8), (3, "a", 6),
+                               (4, "b", 5), (5, None, 3)]))
+        MV.create_topk_view(spark, t, vw, key="id", group_cols=["grp"],
+                            score_col="score", k=2)
+
+        def check():
+            got = sorted(
+                ((r.grp, r.rnk, r.id, r.score) for r in
+                 V.read(spark, vw).collect()),
+                key=lambda x: (x[0] is None, x[0] or "", x[1]))
+            want = sorted(
+                ((r.grp, r.rnk, r.id, r.score) for r in
+                 MV._topk_of(V.read(spark, t), ["grp"], "id", "score", 2)
+                 .collect()),
+                key=lambda x: (x[0] is None, x[0] or "", x[1]))
+            assert got == want, (got, want)
+
+        check()  # id 3 (score 6) is evicted from 'a' at create
+        # insert beats rank 1 of 'a'; another insert misses the cut
+        V.append(spark, t, mk([(6, "a", 99), (7, "a", 1), (8, "c", 2)]))
+        MV.refresh_topk_view(spark, vw)
+        check()
+        # delete 'a's top row: recompute must pull id 2 back to rank 2
+        # (and the long-evicted id 3 stays out only if it should)
+        V.delete_rows(spark, t, [6, 1], "id")
+        MV.refresh_topk_view(spark, vw)
+        check()
+        ranks_a = {(r.rnk, r.id) for r in V.read(spark, vw).collect()
+                   if r.grp == "a"}
+        assert ranks_a == {(1, 2), (2, 3)}  # evicted id 3 resurfaced
+        # update moves id 4 from 'b' to the NULL group with a new score
+        V.upsert(spark, t, mk([(4, None, 9)]), "id")
+        MV.refresh_topk_view(spark, vw)
+        check()
+        # idempotent when fresh; cursor at head
+        v = V.current_version(vw)
+        assert MV.refresh_topk_view_with_retry(spark, vw) == v
+        m = V._manifest(vw, v)
+        assert m["app"]["kv_source_version"] == V.current_version(t)
+
     def test_occ_true_concurrent_writers_all_land(self, spark, tmp_path):
         """REAL concurrency (not a monkeypatched race): four threads each
         push three upserts through the retry loop against one table. The
