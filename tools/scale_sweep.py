@@ -6,11 +6,12 @@ would mean a hidden quadratic or a single-reducer stage.
 
 Usage: python tools/scale_sweep.py [sf_dir]  ->  one JSON line
 
-Round-5 measured (sf0.1 base, t4x/t1x): flagship_topk 0.45,
-minhash_near_dup 1.44, simhash_groups 0.73, semdedup 0.76, bm25_topk 1.19,
-containment_pairs 1.09, bloom_anti_join 1.21, lsh_knn_join 1.12 (under the
-2^n_planes ∝ |right| sizing; raw 1x/2x/4x seconds: 2.10/1.61/2.35) — no
-super-linear operator.
+Round-6 measured (sf0.1 base, t4x/t1x): flagship_topk 0.47,
+minhash_near_dup 1.43, simhash_groups 0.81, semdedup 1.06, bm25_topk 0.91,
+containment_pairs 1.92, bloom_anti_join 1.08, lsh_knn_join 1.12 (under the
+2^n_planes ∝ |right| sizing) — no super-linear operator; matches the r5
+curve within jitter. (r5 for comparison: 0.45/1.44/0.73/0.76/1.19/1.09/
+1.21/1.12.)
 """
 
 from __future__ import annotations
