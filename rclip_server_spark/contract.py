@@ -5184,8 +5184,6 @@ def _vt_topk_view_refresh(spark: SparkSession, sf: str) -> DataFrame:
     re-rank) and a delete (affected groups recomputed — previously
     evicted rows must RESURFACE when ranked rows retract). Oracle: the
     maintained ranking equals row_number() over the final corpus."""
-    from .sources import matview as MV
-
     path = _vt_build(spark, sf, "tk", _vt_topk_builder)
     from .sources import versioned as VT
 

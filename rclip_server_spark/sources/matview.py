@@ -109,6 +109,27 @@ def _nullsafe_cond(left_alias: str, right_alias: str, cols: list[str]):
     return cond
 
 
+def _minus_groups(df: DataFrame, ret_groups: DataFrame,
+                  group_cols: list[str]) -> DataFrame:
+    """Rows whose group is NOT in ret_groups (null-safe; left_anti output
+    carries only the left side's columns)."""
+    x = df.alias("x")
+    return x.join(F.broadcast(ret_groups.alias("g")),
+                  _nullsafe_cond("x", "g", group_cols), "left_anti")
+
+
+def _refresh_with_retry(refresh, max_retries: int):
+    """The ONE OCC rebase loop all three view refreshers share: the loser
+    re-reads the advanced cursor, so intervals are never double-applied."""
+    for attempt in range(max_retries + 1):
+        try:
+            return refresh()
+        except V.ConcurrentWriteError:
+            if attempt == max_retries:
+                raise
+    raise AssertionError("unreachable")
+
+
 def _changes_since_cursor(spark, src, v_from, v_to, key):
     """The view's change feed, with a clear failure when the SOURCE was
     vacuumed past the cursor: table_changes needs the manifests back to
@@ -155,16 +176,21 @@ def create_agg_view(
     src_v = V.current_version(source_path)
     src_df = _read_source(spark, source_path, src_v)
     types = {f.name: f.dataType.simpleString() for f in src_df.schema.fields}
-    integral = {"tinyint", "smallint", "int", "bigint", "boolean"}
+
+    def _integral(t: str) -> bool:
+        # decimal(p,0) is integer-valued and exact under the cast to long
+        return t in {"tinyint", "smallint", "int", "bigint", "boolean"} \
+            or (t.startswith("decimal(") and t.endswith(",0)"))
+
     bad = [c for c in sum_cols
-           if types.get(c, "bigint") not in integral]
+           if not _integral(types.get(c, "bigint"))]
     if bad:
         raise TypeError(
             f"sum_cols must be integer-valued for BIGINT-exact additive "
             f"maintenance; {', '.join(f'{c} is {types[c]}' for c in bad)}. "
             f"Pre-scale floats to integer units (the cents rule: "
             f"round(x*100) cast to long) in a projection before the view.")
-    missing = [c for c in list(group_cols) + sum_cols + minmax_cols
+    missing = [c for c in [key] + list(group_cols) + sum_cols + minmax_cols
                if c not in types]
     if missing:
         raise ValueError(f"columns not in source schema: {missing}")
@@ -273,9 +299,7 @@ def _refresh_minmax(spark, view_path, view_v, ch, src, v_to, group_cols,
         group_cols, sum_cols, minmax_cols)
     # untouched-by-retraction groups: additive merge + monotone min/max
     def _minus_affected(df: DataFrame) -> DataFrame:
-        x = df.alias("x")
-        return x.join(F.broadcast(ret_groups.alias("g")),
-                      _nullsafe_cond("x", "g", group_cols), "left_anti")
+        return _minus_groups(df, ret_groups, group_cols)
 
     ins_delta = _minus_affected(_aggregate(ins, group_cols, sum_cols,
                                            minmax_cols))
@@ -306,13 +330,8 @@ def refresh_agg_view_with_retry(
     the (now advanced) cursor, so the loser applies only the remaining
     interval — never a double-application, because the interval is
     derived from the committed cursor each attempt."""
-    for attempt in range(max_retries + 1):
-        try:
-            return refresh_agg_view(spark, view_path)
-        except V.ConcurrentWriteError:
-            if attempt == max_retries:
-                raise
-    raise AssertionError("unreachable")
+    return _refresh_with_retry(
+        lambda: refresh_agg_view(spark, view_path), max_retries)
 
 
 def read_agg_view(spark: SparkSession, view_path: str,
@@ -427,13 +446,9 @@ def refresh_transform_view_with_retry(
     """OCC rebase loop for concurrent transform-view refreshers (same
     contract as refresh_agg_view_with_retry): the loser re-reads the
     advanced cursor, so intervals are never double-applied."""
-    for attempt in range(max_retries + 1):
-        try:
-            return refresh_transform_view(spark, view_path, transform, name)
-        except V.ConcurrentWriteError:
-            if attempt == max_retries:
-                raise
-    raise AssertionError("unreachable")
+    return _refresh_with_retry(
+        lambda: refresh_transform_view(spark, view_path, transform, name),
+        max_retries)
 
 
 def _spec_tv(path: str, version: int | None = None) -> dict:
@@ -532,12 +547,20 @@ def refresh_topk_view(spark: SparkSession, view_path: str) -> int:
             .select(*group_cols, key, score_col)
         )
         cur = V.read(spark, view_path, view_v)
+        # DETERMINISTIC skip of the retraction tier (not AQE empty-
+        # relation pruning): the common insert-only ingest refresh must
+        # never plan a source-snapshot scan
+        n_ret = ret_groups.limit(1).count()
+        if not n_ret:
+            merged = _topk_of(
+                cur.select(*group_cols, key, score_col).unionByName(ins),
+                group_cols, key, score_col, k)
+            return V.overwrite(spark, view_path, merged,
+                               extra={"app": new_app},
+                               parent_version=view_v)
 
         def _minus_affected(df: DataFrame) -> DataFrame:
-            x = df.alias("x")
-            return x.join(F.broadcast(ret_groups.alias("g")),
-                          _nullsafe_cond("x", "g", group_cols),
-                          "left_anti").select("x.*")
+            return _minus_groups(df, ret_groups, group_cols)
 
         # insert-only groups: k-bounded re-rank of (current top-k ∪ new)
         survivors = _minus_affected(cur).select(*group_cols, key, score_col)
@@ -548,8 +571,7 @@ def refresh_topk_view(spark: SparkSession, view_path: str) -> int:
         src_at = _read_source(spark, src, v_to).alias("s")
         recomp = _topk_of(
             src_at.join(F.broadcast(ret_groups.alias("g")),
-                        _nullsafe_cond("s", "g", group_cols), "left_semi")
-            .select("s.*"),
+                        _nullsafe_cond("s", "g", group_cols), "left_semi"),
             group_cols, key, score_col, k)
         merged = regrown.unionByName(recomp)
         # the spec MUST live under the "app" namespace: a top-level extra
@@ -566,10 +588,5 @@ def refresh_topk_view_with_retry(
 ) -> int:
     """OCC rebase loop for concurrent top-k refreshers (the standard
     contract: the loser re-reads the advanced cursor)."""
-    for attempt in range(max_retries + 1):
-        try:
-            return refresh_topk_view(spark, view_path)
-        except V.ConcurrentWriteError:
-            if attempt == max_retries:
-                raise
-    raise AssertionError("unreachable")
+    return _refresh_with_retry(
+        lambda: refresh_topk_view(spark, view_path), max_retries)
