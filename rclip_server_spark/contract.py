@@ -4154,8 +4154,12 @@ _register(
       SELECT *,
              sum(abs(cnt_old * n_new - cnt_new * n_old)) OVER () AS tv_num
       FROM t1)
-    SELECT bin, cnt_old, cnt_new, tv_num,
-           2 * n_old * n_new AS tv_den,
+    SELECT bin, cnt_old, cnt_new,
+           -- DuckDB evaluates sum(BIGINT) OVER () as HUGEINT, which pandas
+           -- materializes as float64 and breaks the driver's dtype-sensitive
+           -- hash vs Spark's int64; both values fit int64 at any fixture SF.
+           CAST(tv_num AS BIGINT) AS tv_num,
+           CAST(2 * n_old * n_new AS BIGINT) AS tv_den,
            CAST(tv_num AS DOUBLE) / CAST(2 * n_old * n_new AS DOUBLE)
              AS tv_distance
     FROM t2

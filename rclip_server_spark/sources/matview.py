@@ -112,10 +112,40 @@ def _nullsafe_cond(left_alias: str, right_alias: str, cols: list[str]):
 def _minus_groups(df: DataFrame, ret_groups: DataFrame,
                   group_cols: list[str]) -> DataFrame:
     """Rows whose group is NOT in ret_groups (null-safe; left_anti output
-    carries only the left side's columns)."""
+    carries only the left side's columns). Callers pass ret_groups
+    already sized by _hint_ret_groups — no unconditional broadcast here."""
     x = df.alias("x")
-    return x.join(F.broadcast(ret_groups.alias("g")),
+    return x.join(ret_groups.alias("g"),
                   _nullsafe_cond("x", "g", group_cols), "left_anti")
+
+
+# broadcast the affected-group keys only when the interval's retraction
+# volume is provably below this row bound; a refresh interval containing
+# a large rewrite can make ret_groups approach group cardinality, and
+# broadcasting that risks driver/executor OOM at 100 TB group counts
+_BROADCAST_RET_BOUND_ROWS = 1_000_000
+
+
+def _retraction_bound(src: str, v_from: int, v_to: int) -> int:
+    """Zero-cost (manifest-only, no Spark job) upper bound on the number
+    of retracted rows in the refresh interval: an append-only interval
+    retracts nothing; otherwise every retraction pre-image was a row of
+    the OLD snapshot, so its recorded row count bounds the volume."""
+    ops = [V._manifest(src, v)["op"] for v in range(v_from + 1, v_to + 1)]
+    if all(op in V.APPEND_OPS for op in ops):
+        return 0
+    m_from = V._manifest(src, v_from)
+    return V._manifest_row_count(src, m_from)
+
+
+def _hint_ret_groups(ret_groups: DataFrame, src: str,
+                     v_from: int, v_to: int) -> DataFrame:
+    """Apply the broadcast hint to the affected-group keys only when the
+    manifest-derived retraction bound is small; past the bound, leave the
+    join strategy to AQE (which sees actual sizes at runtime)."""
+    if _retraction_bound(src, v_from, v_to) <= _BROADCAST_RET_BOUND_ROWS:
+        return F.broadcast(ret_groups)
+    return ret_groups
 
 
 def _refresh_with_retry(refresh, max_retries: int):
@@ -272,29 +302,30 @@ def refresh_agg_view(spark: SparkSession, view_path: str) -> int:
                            parent_version=view_v)
     ch = ch.persist()  # minmax path feeds four plan subtrees from ch
     try:
-        return _refresh_minmax(spark, view_path, view_v, ch, src, v_to,
-                               group_cols, sum_cols, minmax_cols,
-                               cur, _merge_additive, new_extra)
+        return _refresh_minmax(spark, view_path, view_v, ch, src,
+                               v_from, v_to, group_cols, sum_cols,
+                               minmax_cols, cur, _merge_additive, new_extra)
     finally:
         ch.unpersist()
 
 
-def _refresh_minmax(spark, view_path, view_v, ch, src, v_to, group_cols,
-                    sum_cols, minmax_cols, cur, _merge_additive, new_extra):
+def _refresh_minmax(spark, view_path, view_v, ch, src, v_from, v_to,
+                    group_cols, sum_cols, minmax_cols, cur,
+                    _merge_additive, new_extra):
     """The non-retractable tier: ch is PERSISTED by the caller — it feeds
     four plan subtrees (insert deltas, affected-group keys, and the two
     anti-joins), and for a rewriting interval each re-evaluation would be
     a key-shuffled snapshot diff."""
     ins = ch.where(F.col("_change_type").isin(*_INSERTING))
-    ret_groups = (
+    ret_groups = _hint_ret_groups(
         ch.where(F.col("_change_type").isin(*_RETRACTING))
-        .select(*group_cols).distinct()
-    )
+        .select(*group_cols).distinct(),
+        src, v_from, v_to)
     # affected groups: full recompute from the PINNED target snapshot
     # (min/max are not retractable); the semi-join bounds the row volume
     src_at = _read_source(spark, src, v_to).alias("s")
     recomp = _aggregate(
-        src_at.join(F.broadcast(ret_groups.alias("g")),
+        src_at.join(ret_groups.alias("g"),
                     _nullsafe_cond("s", "g", group_cols), "left_semi"),
         group_cols, sum_cols, minmax_cols)
     # untouched-by-retraction groups: additive merge + monotone min/max
@@ -538,10 +569,10 @@ def refresh_topk_view(spark: SparkSession, view_path: str) -> int:
     ch = _changes_since_cursor(spark, src, v_from, v_to, key).persist()
     try:
         new_app = dict(spec) | {"kv_source_version": v_to}
-        ret_groups = (
+        ret_groups = _hint_ret_groups(
             ch.where(F.col("_change_type").isin(*_RETRACTING))
-            .select(*group_cols).distinct()
-        )
+            .select(*group_cols).distinct(),
+            src, v_from, v_to)
         ins = (
             ch.where(F.col("_change_type").isin(*_INSERTING))
             .select(*group_cols, key, score_col)
@@ -570,7 +601,7 @@ def refresh_topk_view(spark: SparkSession, view_path: str) -> int:
         # affected groups: recompute from the pinned snapshot
         src_at = _read_source(spark, src, v_to).alias("s")
         recomp = _topk_of(
-            src_at.join(F.broadcast(ret_groups.alias("g")),
+            src_at.join(ret_groups.alias("g"),
                         _nullsafe_cond("s", "g", group_cols), "left_semi"),
             group_cols, key, score_col, k)
         merged = regrown.unionByName(recomp)

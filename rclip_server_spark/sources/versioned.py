@@ -66,6 +66,10 @@ _LATEST = "_latest"
 # commit logs a compaction hint at every multiple of this segment count
 _SEGMENT_HINT_THRESHOLD = 256
 _MANIFEST_RE = re.compile(r"^v(\d{8})\.json$")
+# commit ops that only ADD rows — an interval of these has zero
+# retractions (table_changes fast path, matview broadcast sizing)
+APPEND_OPS = ("append", "append-bucketed", "stream-append",
+              "stream-append-bucketed")
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -1276,8 +1280,7 @@ def table_changes(
         parent = _manifest(path, v - 1)
         ops.append(m["op"])
         new_segs.extend(sorted(_manifest_segments(m) - _manifest_segments(parent)))
-    if all(op in ("append", "append-bucketed", "stream-append",
-                  "stream-append-bucketed") for op in ops):
+    if all(op in APPEND_OPS for op in ops):
         if not new_segs:
             m_to = _manifest(path, to_v)
             base = read(spark, path, to_v) if m_to.get("segments") is not None \

@@ -1431,6 +1431,66 @@ class TestVersionedTable:
         assert "c" not in {r.grp for r in
                            MV.read_agg_view(spark, vw).collect()}
 
+    def test_large_rewrite_refresh_skips_broadcast(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A refresh interval containing a large rewrite must NOT
+        broadcast the affected-group keys (ret_groups can approach group
+        cardinality → driver OOM at 100 TB group counts): the
+        manifest-derived retraction bound picks the plain-join path, and
+        the refresh result is identical either way. Also pins
+        _retraction_bound's two regimes: 0 for append-only intervals,
+        the old snapshot's recorded row count for rewriting ones."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "src")
+        vw = str(tmp_path / "view")
+        kvw = str(tmp_path / "topk")
+        mk = lambda rows: spark.createDataFrame(
+            rows, "id long, grp string, v long")
+        V.create(spark, t, mk([(i, "abc"[i % 3], i * 7 % 23)
+                               for i in range(30)]))
+        MV.create_agg_view(spark, t, vw, key="id", group_cols=["grp"],
+                           sum_cols=["v"], minmax_cols=["v"])
+        MV.create_topk_view(spark, t, kvw, key="id", group_cols=["grp"],
+                            score_col="v", k=3)
+        # append-only interval: bound is exactly 0 (no manifest rows read)
+        V.append(spark, t, mk([(100, "a", 99), (101, "d", 4)]))
+        assert MV._retraction_bound(t, 1, V.current_version(t)) == 0
+        # large rewrite: most rows change groups / leave — the bound is
+        # the OLD snapshot's recorded row count
+        v_before_rw = V.current_version(t)
+        old_rows = V.table_row_count(t, v_before_rw)
+        V.overwrite(spark, t, mk([(i, "bcd"[i % 3], i * 11 % 19)
+                                  for i in range(0, 30, 2)]))
+        assert MV._retraction_bound(
+            t, v_before_rw, V.current_version(t)) == old_rows
+        # force the non-broadcast path regardless of fixture size and
+        # prove _hint_ret_groups takes it (returns the frame unhinted)
+        monkeypatch.setattr(MV, "_BROADCAST_RET_BOUND_ROWS", -1)
+        probe = V.read(spark, t).select("grp").distinct()
+        assert MV._hint_ret_groups(
+            probe, t, v_before_rw, V.current_version(t)) is probe
+        MV.refresh_agg_view(spark, vw)
+        MV.refresh_topk_view(spark, kvw)
+        got = sorted((r.grp, r.cnt, r.sum_v, r.min_v, r.max_v)
+                     for r in MV.read_agg_view(spark, vw).collect())
+        want = sorted(
+            (r.grp, r.cnt, r.sum_v, r.min_v, r.max_v) for r in
+            V.read(spark, t).groupBy("grp").agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("v").alias("sum_v"),
+                F.min("v").alias("min_v"),
+                F.max("v").alias("max_v")).collect())
+        assert got == want, (got, want)
+        got_k = sorted((r.grp, r.id, r.v, r.rnk) for r in
+                       V.read(spark, kvw).collect())
+        want_k = sorted(
+            (r.grp, r.id, r.v, r.rnk) for r in
+            MV._topk_of(V.read(spark, t), ["grp"], "id", "v", 3).collect())
+        assert got_k == want_k, (got_k, want_k)
+
     def test_cluster_zorder_preserves_null_cluster_values(
         self, spark, tmp_path
     ):

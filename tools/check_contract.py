@@ -52,6 +52,22 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Canonical dtype class mirroring the driver's dtype-sensitive hash:
+    integer vs float vs bool vs other. A Spark int64 column whose oracle
+    twin comes back float64 (e.g. DuckDB HUGEINT from sum(BIGINT) OVER ())
+    hash-mismatches at the driver even when values are numerically equal,
+    so the local gate must treat it as FAIL, not 1e-9-close."""
+    k = s.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    return "other"
+
+
 def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]:
     if len(sdf) != len(odf):
         return False, f"row count {len(sdf)} vs {len(odf)}"
@@ -60,6 +76,12 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]:
     s, o = normalize(sdf), normalize(odf)
     for col in s.columns:
         a, b = s[col], o[col]
+        ca, cb = _dtype_class(a), _dtype_class(b)
+        if ca != cb:
+            return False, (
+                f"col {col} DTYPE MISMATCH: spark {a.dtype} ({ca}) vs "
+                f"oracle {b.dtype} ({cb}) — driver hash would differ"
+            )
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             an = a.astype(float).to_numpy()
             bn = b.astype(float).to_numpy()
