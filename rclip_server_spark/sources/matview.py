@@ -408,6 +408,7 @@ def create_transform_view(
 
 def refresh_transform_view(
     spark: SparkSession, view_path: str, transform, name: str,
+    auto_compact: bool = False, compact_threshold: int = 32,
 ) -> int:
     """Advance a transform view to the source head by the change feed, as
     ONE commit: retracted keys (delete / update_preimage) become a DELETE
@@ -426,7 +427,12 @@ def refresh_transform_view(
     the re-run re-applies the whole interval idempotently (nothing
     partial was published). Many refreshes accrete segments + vectors —
     versioned.compact() folds the view back down without touching the
-    spec (the app namespace carries through every commit)."""
+    spec (the app namespace carries through every commit);
+    ``auto_compact=True`` runs that fold inline whenever the post-refresh
+    manifest holds ``compact_threshold`` or more segments + vectors
+    (versioned.maybe_compact — one manifest read in the no-op case,
+    best-effort under OCC races), so an unattended streaming refresher
+    keeps the view's segment count bounded by the threshold."""
     # ONE consistent read: OCC parent first, spec (cursor) AT it
     view_v = V.current_version(view_path)
     spec = _spec_tv(view_path, view_v)
@@ -457,28 +463,35 @@ def refresh_transform_view(
         if n_ret:
             # one commit: vector + transformed segment (the segment may
             # be empty — cheap, and the cursor must advance regardless)
-            return V.delete_and_append(
+            out_v = V.delete_and_append(
                 spark, view_path, retract_keys, key, new_state,
                 extra={"app": new_app}, parent_version=view_v)
-        # insert-only interval (the common ingest case): one append —
-        # empty when the inserts transform to zero view rows (the cursor
-        # still advances; a never-advancing cursor would make every later
-        # refresh re-diff a growing interval)
-        return V.append(spark, view_path, new_state,
-                        extra={"app": new_app}, parent_version=view_v)
+        else:
+            # insert-only interval (the common ingest case): one append —
+            # empty when the inserts transform to zero view rows (the
+            # cursor still advances; a never-advancing cursor would make
+            # every later refresh re-diff a growing interval)
+            out_v = V.append(spark, view_path, new_state,
+                             extra={"app": new_app}, parent_version=view_v)
     finally:
         ch.unpersist()
+    if auto_compact:
+        out_v = V.maybe_compact(spark, view_path, compact_threshold)
+    return out_v
 
 
 def refresh_transform_view_with_retry(
     spark: SparkSession, view_path: str, transform, name: str,
     max_retries: int = 3,
+    auto_compact: bool = False, compact_threshold: int = 32,
 ) -> int:
     """OCC rebase loop for concurrent transform-view refreshers (same
     contract as refresh_agg_view_with_retry): the loser re-reads the
     advanced cursor, so intervals are never double-applied."""
     return _refresh_with_retry(
-        lambda: refresh_transform_view(spark, view_path, transform, name),
+        lambda: refresh_transform_view(
+            spark, view_path, transform, name,
+            auto_compact=auto_compact, compact_threshold=compact_threshold),
         max_retries)
 
 

@@ -1177,6 +1177,41 @@ def compact_bucketed(
     return v + 1
 
 
+def maybe_compact(spark: SparkSession, path: str,
+                  max_segments: int = 32) -> int:
+    """Opt-in AUTO-COMPACTION policy: fold the table back down when the
+    head manifest has accreted ``max_segments`` or more segments — flat
+    tables count data + delete-vector segments (a vector is a per-read
+    anti-join until a rewrite materializes it), bucketed tables trigger
+    on the worst single bucket and compact only the buckets at/over the
+    bound (maintenance tracks churn, not table size).
+
+    Designed to run INLINE after refresh/ingest commits (the matview
+    refreshers and streaming sinks expose it as ``auto_compact=True``):
+    the common no-op case costs one manifest read and zero Spark jobs,
+    and losing the OCC race to a concurrent writer skips this cycle —
+    the next maintenance call re-evaluates against the new head, so
+    best-effort is safe. Returns the table's current version (advanced
+    when a compaction committed)."""
+    v = current_version(path)
+    m = _manifest(path, v)
+    if "buckets" in m:
+        worst = max((len(s) for s in m["buckets"].values()), default=0)
+        if worst < max_segments:
+            return v
+        try:
+            return compact_bucketed(spark, path, min_segments=max_segments)
+        except ConcurrentWriteError:
+            return current_version(path)
+    n = len(m.get("segments") or []) + len(m.get("delete_segs") or [])
+    if n < max_segments:
+        return v
+    try:
+        return compact(spark, path)
+    except ConcurrentWriteError:
+        return current_version(path)
+
+
 def upsert_bucketed_with_retry(
     spark: SparkSession, path: str, updates: DataFrame, max_retries: int = 3
 ) -> int:

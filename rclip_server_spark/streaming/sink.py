@@ -192,13 +192,20 @@ def start_agg_view_refresh_stream(
 def start_transform_view_refresh_stream(
     spark: SparkSession, view_path: str, transform, name: str,
     checkpoint_dir: str | None = None,
+    auto_compact: bool = False, compact_threshold: int = 32,
 ):
     """Continuous maintenance for a ROW-TRANSFORM view (the signature-
     index twin of start_agg_view_refresh_stream): same commit-type-
     agnostic manifest-tail wake-up + cursor-derived exactly-once
     composition. ``transform``/``name`` are the application code + tag
     recorded at create_transform_view time; a mismatched name fails
-    HERE, synchronously, not as an asynchronous stream crash."""
+    HERE, synchronously, not as an asynchronous stream crash.
+
+    ``auto_compact=True`` bounds the view's segment growth: each
+    refreshed micro-batch ends with versioned.maybe_compact, so an
+    unattended stream holds the view at <= compact_threshold segments
+    instead of accreting one segment (+ one delete vector on rewrites)
+    per source commit forever."""
     from ..sources import matview
 
     spec = matview._spec_tv(view_path)
@@ -209,7 +216,8 @@ def start_transform_view_refresh_stream(
 
     def _go():
         matview.refresh_transform_view_with_retry(
-            spark, view_path, transform, name)
+            spark, view_path, transform, name,
+            auto_compact=auto_compact, compact_threshold=compact_threshold)
 
     return _start_view_refresh_stream(spark, spec["tv_source"], _go,
                                       checkpoint_dir)

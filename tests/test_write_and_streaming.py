@@ -1794,6 +1794,85 @@ class TestVersionedTable:
         MV.refresh_transform_view(spark, vw, keep, "keep-v1")
         assert {r.doc_id for r in V.read(spark, vw).collect()} == {1, 3}
 
+    def test_transform_view_auto_compact_bounds_segments(
+        self, spark, tmp_path
+    ):
+        """auto_compact=True keeps an unattended refresher's view at a
+        BOUNDED segment count: across N refresh cycles (appends + a
+        rewrite that adds delete vectors) the manifest never exceeds the
+        threshold + the per-refresh accretion, the spec/cursor survive
+        every inline compaction, and the view still equals
+        transform(source head) row-for-row after each cycle."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "src")
+        vw = str(tmp_path / "view")
+        mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+
+        def postings(df):
+            return df.select(
+                "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+
+        V.create(spark, t, mk([(0, "a b")]))
+        MV.create_transform_view(spark, t, vw, key="doc_id",
+                                 transform=postings, name="postings-v1")
+        threshold = 4
+        seg_counts = []
+        for i in range(1, 13):
+            if i % 4 == 0:
+                # rewrite: retracts -> delete vector + replacement segment
+                V.upsert(spark, t, mk([(i - 1, f"u{i} v{i}")]), "doc_id")
+            else:
+                V.append(spark, t, mk([(i, f"w{i} x{i}")]))
+            MV.refresh_transform_view(spark, vw, postings, "postings-v1",
+                                      auto_compact=True,
+                                      compact_threshold=threshold)
+            m = V._manifest(vw, V.current_version(vw))
+            seg_counts.append(len(m["segments"]) +
+                              len(m.get("delete_segs") or []))
+            got = sorted((r.doc_id, r.tok) for r in
+                         V.read(spark, vw).collect())
+            want = sorted((r.doc_id, r.tok) for r in
+                          postings(V.read(spark, t)).collect())
+            assert got == want, (i, got, want)
+        # bounded forever: a refresh adds at most 2 entries (segment +
+        # vector) before maybe_compact folds anything at/over threshold
+        assert max(seg_counts) <= threshold + 1, seg_counts
+        # compaction actually fired (without it 12 cycles accrete ~15)
+        assert min(seg_counts) == 1, seg_counts
+        # spec + cursor intact after inline compactions
+        assert MV._spec_tv(vw)["tv_source_version"] == V.current_version(t)
+        # below-threshold call is a pure no-op (no version advance)
+        v = V.current_version(vw)
+        assert V.maybe_compact(spark, vw, max_segments=64) == v
+
+    def test_maybe_compact_bucketed_worst_bucket(self, spark, tmp_path):
+        """Bucketed dispatch: maybe_compact triggers on the WORST single
+        bucket and folds multi-segment buckets back to one segment each,
+        preserving row content."""
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "b")
+        mk = lambda rows: spark.createDataFrame(rows, "id long, v long")
+        V.create_bucketed(spark, t, mk([(i, i) for i in range(8)]),
+                          key="id", n_buckets=4)
+        for j in range(3):
+            V.append_bucketed(spark, t, mk([(100 + j, j)]))
+        m = V._manifest(t, V.current_version(t))
+        worst = max(len(s) for s in m["buckets"].values())
+        assert worst >= 2
+        # threshold above worst: no-op
+        v = V.current_version(t)
+        assert V.maybe_compact(spark, t, max_segments=worst + 1) == v
+        # threshold at worst: folds
+        v2 = V.maybe_compact(spark, t, max_segments=2)
+        assert v2 == v + 1
+        m2 = V._manifest(t, v2)
+        assert max(len(s) for s in m2["buckets"].values()) == 1
+        assert {r.id for r in V.read_bucketed(spark, t).collect()} == \
+            set(range(8)) | {100, 101, 102}
+
     def test_table_changes_across_schema_evolution(self, spark, tmp_path):
         """Snapshot diff between versions with DIFFERENT schemas: a column
         added after v1 reads as NULL on the old side (and a row whose only
