@@ -5212,3 +5212,47 @@ _register(
     FROM ranked WHERE rnk <= 5
     """,
 )
+
+
+def _vt_bloom_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .sources import bloomindex as BX
+    from .sources import versioned as VT
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"))
+    # three residue-class appends: event_ids INTERLEAVE across segments,
+    # so zone maps cannot prune a point lookup — the Bloom sidecar can
+    VT.create(spark, path, ev.where(F.col("event_id") % 3 == 0))
+    VT.append(spark, path, ev.where(F.col("event_id") % 3 == 1))
+    VT.append(spark, path, ev.where(F.col("event_id") % 3 == 2))
+    BX.build_bloom_index(spark, path, "event_id")
+
+
+_VT_BLOOM_IDS = [6, 13, 25, 47, 101, 333]
+
+
+def _vt_bloom_pruned_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Point lookup through per-segment Bloom sidecars
+    (sources/bloomindex.py): the prune decision is a driver-side bitmap
+    test (zero Spark jobs), surviving segments read through the scoped
+    delete-vector path, exact equality applied last — so the result is
+    identical to the unpruned IN-list scan the oracle runs, while the
+    physical read touches only the segments that can hold the ids.
+    Scale path for the reference's SQLite point lookup (RS:206-213)."""
+    from .sources import bloomindex as BX
+
+    path = _vt_build(spark, sf, "bloom", _vt_bloom_builder)
+    return BX.read_point_lookup(spark, path, "event_id", _VT_BLOOM_IDS)
+
+
+_register(
+    "vt_bloom_pruned_lookup",
+    _vt_bloom_pruned_lookup,
+    f"""
+    SELECT event_id, user_id,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    WHERE event_id IN ({", ".join(str(i) for i in _VT_BLOOM_IDS)})
+    """,
+)

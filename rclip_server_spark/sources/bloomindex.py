@@ -1,0 +1,230 @@
+"""Per-segment Bloom-filter sidecars: POINT-LOOKUP segment skipping for
+versioned tables, the equality twin of the manifest zone maps.
+
+Zone maps (versioned.read_pruned) skip segments on RANGE predicates, but
+they only bite when the key is clustered — on an unclustered
+high-cardinality key (row ids arriving in ingest order, content hashes)
+every segment's [min, max] spans the whole domain and nothing prunes. A
+per-segment Bloom filter answers the other question — "can this segment
+contain THIS value at all?" — so an id lookup on a 100 TB table touches
+O(1) segments (the true holder plus ~FPR·#segments false positives)
+instead of scanning everything, no clustering required.
+
+Design (all public knowledge — the standard Bloom construction plus the
+Delta/Iceberg-style sidecar layout):
+
+* One sidecar JSON per (segment, column) under ``<table>/_bloom/<col>/``,
+  holding a hex bitmap of ``bits`` positions set by ``k`` probes per
+  value. Segments are IMMUTABLE, so a sidecar is write-once and every
+  later manifest that still lists the segment reuses it — commits never
+  recompute filters, and the index needs no manifest entry (zero
+  manifest growth; an unindexed segment is simply kept conservatively).
+* ``build_bloom_index`` computes sidecars for segments MISSING them, in
+  ONE Spark job over just those segments (rows tagged with their segment
+  via input_file_name, probe positions exploded, collect_set per
+  segment) — append-only ingest re-indexes O(new segments), and the
+  driver-side state is #segments × bits/8 bytes, KB-sized.
+* Probes are md5-derived (``pmod(int(md5(value|i)[:15hex]), bits)``) so
+  the LOOKUP side can recompute the exact same positions in pure Python
+  (hashlib) with zero Spark jobs: the prune decision is a driver-side
+  sidecar read + k bit tests per value, the same altitude as the
+  manifest zone-map check. xxhash64 would be cheaper per row but has no
+  guaranteed Python twin in this environment.
+* ``read_point_lookup`` keeps a segment when ANY looked-up value passes
+  its filter, keeps sidecar-less or parameter-mismatched segments
+  conservatively (the no-false-prune rule zone maps follow), applies the
+  manifest's scoped delete vectors through the standard read path, and
+  finishes with the exact equality predicate — Bloom false positives
+  cost an extra segment read, never a wrong row.
+
+Sizing: FPR ≈ (1 - e^(-k·n/bits))^k for n rows per segment; the 8192-bit
+default holds ~1 KiB per segment per column and stays useful to a few
+thousand rows per segment — size ``bits`` at ~10 bits per row for ~1%
+FPR at larger segment sizes (a 1M-row segment wants ~1.25 MB).
+
+No reference analogue (the reference's SQLite point lookups, RS:206-213,
+are B-tree reads on a single-node DB); this is the scale-path design for
+the same user question.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import versioned as V
+
+_BLOOM_DIR = "_bloom"
+DEFAULT_BITS = 8192
+DEFAULT_K = 4
+
+
+def _sidecar_path(path: str, col: str, seg: str) -> str:
+    # segment names are flat ("seg-<hex>" / bucketed "b<k>-<hex>") — safe
+    # as file names
+    return os.path.join(path, _BLOOM_DIR, col, f"{seg}.json")
+
+
+def _probe_positions_expr(col: str, bits: int, k: int):
+    """Spark-side probe positions, exactly mirroring _py_probes: position
+    i = int(md5(f"{value}|{i}")[:15 hex], 16) % bits, value rendered via
+    the column's CAST AS STRING (use integer/string key columns — float
+    renderings are not cross-language-stable)."""
+    probes = []
+    for i in range(k):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col(col).cast("string"),
+                                  F.lit(str(i)))),
+                1, 15),
+            16, 10,
+        ).cast("long")
+        probes.append(F.pmod(h, F.lit(int(bits))))
+    return F.array(*probes)
+
+
+def _py_probes(value, bits: int, k: int) -> list[int]:
+    if value is None:
+        raise ValueError("point lookup on NULL never matches (SQL "
+                         "equality); filter nulls out of the lookup set")
+    s = str(value)
+    return [
+        int(hashlib.md5(f"{s}|{i}".encode()).hexdigest()[:15], 16) % bits
+        for i in range(k)
+    ]
+
+
+def _bitmap_from_positions(positions, bits: int) -> str:
+    buf = bytearray(bits // 8)
+    for p in positions:
+        buf[p >> 3] |= 1 << (p & 7)
+    return bytes(buf).hex()
+
+def _bitmap_test(bitmap_hex: str, positions: list[int]) -> bool:
+    buf = bytes.fromhex(bitmap_hex)
+    return all(buf[p >> 3] & (1 << (p & 7)) for p in positions)
+
+
+def _load_sidecar(path: str, col: str, seg: str) -> dict | None:
+    try:
+        with open(_sidecar_path(path, col, seg)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def build_bloom_index(
+    spark: SparkSession, path: str, col: str,
+    bits: int = DEFAULT_BITS, k: int = DEFAULT_K,
+    version: int | None = None,
+) -> int:
+    """Write Bloom sidecars for every segment of ``version`` (default
+    head) that does not have one yet for ``col``. Returns the number of
+    segments indexed by THIS call (0 = already fully indexed — the
+    steady-state maintenance cost after an append is O(new segments)).
+
+    One Spark job regardless of segment count: the missing segments are
+    read together, each row tagged with its segment directory
+    (input_file_name's parent component), probe positions exploded and
+    collect_set-aggregated per segment — the shuffle carries at most
+    #segments × bits position ints, never row data."""
+    if bits % 8 or bits < 64:
+        raise ValueError(f"bits must be a multiple of 8 and >= 64; got {bits}")
+    v = V.current_version(path) if version is None else int(version)
+    m = V._manifest(path, v)
+    segs = sorted(V._manifest_segments(m))
+    todo = [s for s in segs if _load_sidecar(path, col, s) is None]
+    if not todo:
+        return 0
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, s) for s in todo])
+    if col not in df.columns:
+        raise ValueError(f"column {col!r} not in segments of {path}")
+    pos = (
+        df.select(col, F.input_file_name().alias("_f"))
+        .where(F.col(col).isNotNull())
+        .select(
+            # .../<table>/<segment>/part-*.parquet -> <segment>
+            F.element_at(F.split("_f", "/"), -2).alias("_seg"),
+            F.explode(_probe_positions_expr(col, bits, k)).alias("p"),
+        )
+        .groupBy("_seg")
+        .agg(F.collect_set("p").alias("ps"))
+        .collect()
+    )
+    by_seg = {r["_seg"]: r["ps"] for r in pos}
+    os.makedirs(os.path.join(path, _BLOOM_DIR, col), exist_ok=True)
+    for seg in todo:
+        # a segment with zero non-null rows still gets a sidecar (all
+        # zeros — every lookup prunes it), or it would be re-read forever
+        sidecar = {
+            "col": col, "bits": int(bits), "k": int(k),
+            "algo": "md5-15hex",
+            "bitmap": _bitmap_from_positions(by_seg.get(seg, []), bits),
+        }
+        target = _sidecar_path(path, col, seg)
+        tmp = target + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sidecar, f)
+        os.replace(tmp, target)
+    return len(todo)
+
+
+def bloom_surviving_segments(
+    path: str, col: str, values, version: int | None = None,
+    bits: int = DEFAULT_BITS, k: int = DEFAULT_K,
+) -> tuple[list[str], int]:
+    """The pure prune decision (exposed for tests/plan audits): segments
+    of ``version`` that MAY hold any of ``values``, plus the total
+    segment count. Sidecar-less segments and sidecars built with other
+    (bits, k, algo) parameters are kept conservatively — no false prune,
+    the zone-map contract."""
+    v = V.current_version(path) if version is None else int(version)
+    m = V._manifest(path, v)
+    segs = sorted(V._manifest_segments(m))
+    probe_sets = [_py_probes(val, bits, k) for val in values]
+    keep = []
+    for seg in segs:
+        sc = _load_sidecar(path, col, seg)
+        if (sc is None or sc.get("algo") != "md5-15hex"
+                or sc.get("bits") != bits or sc.get("k") != k):
+            keep.append(seg)
+            continue
+        if any(_bitmap_test(sc["bitmap"], ps) for ps in probe_sets):
+            keep.append(seg)
+    return keep, len(segs)
+
+
+def read_point_lookup(
+    spark: SparkSession, path: str, col: str, values,
+    version: int | None = None,
+    bits: int = DEFAULT_BITS, k: int = DEFAULT_K,
+) -> DataFrame:
+    """Equality read (``col IN values``) with Bloom segment skipping:
+    prune at the sidecar (driver-side, zero Spark jobs), read only the
+    surviving segments through the standard delete-vector-scoped path,
+    then apply the EXACT predicate — false positives cost an extra
+    segment read, never a wrong row. Flat tables only: a bucketed
+    table's bucket key already routes a point lookup to one bucket
+    (read the bucket), and its non-key columns can be indexed by
+    pointing this module at the bucket segment dirs if ever needed."""
+    values = [val for val in (values if isinstance(values, (list, tuple))
+                              else [values])]
+    if not values:
+        raise ValueError("empty lookup value set")
+    v = V.current_version(path) if version is None else int(version)
+    m = V._manifest(path, v)
+    if "buckets" in m:
+        raise ValueError("read_point_lookup serves flat tables; bucketed "
+                         "tables route point lookups by bucket key")
+    keep, _total = bloom_surviving_segments(
+        path, col, values, version=v, bits=bits, k=k)
+    if not keep:
+        out = V.read(spark, path, v).limit(0)
+    else:
+        out = V._read_with_deletes(spark, path, m, keep)
+    return out.where(F.col(col).isin(values))

@@ -924,6 +924,17 @@ def vacuum(path: str, keep_last: int = 1,
             if now - os.path.getmtime(p) >= tmp_cutoff:
                 shutil.rmtree(p)
                 deleted.append(d)
+    # Bloom sidecars of reaped segments (bloomindex.py): write-once per
+    # immutable segment, so the segment's deletion is the one moment its
+    # sidecar becomes garbage
+    bloom_root = os.path.join(path, "_bloom")
+    if deleted and os.path.isdir(bloom_root):
+        gone = set(deleted)
+        for col_dir in os.listdir(bloom_root):
+            cd = os.path.join(bloom_root, col_dir)
+            for f in os.listdir(cd):
+                if f.endswith(".json") and f[:-5] in gone:
+                    os.remove(os.path.join(cd, f))
     return deleted
 
 

@@ -1873,6 +1873,82 @@ class TestVersionedTable:
         assert {r.id for r in V.read_bucketed(spark, t).collect()} == \
             set(range(8)) | {100, 101, 102}
 
+    def test_bloom_index_point_lookup_prunes_segments(
+        self, spark, tmp_path
+    ):
+        """Bloom sidecars prune POINT lookups on an UNCLUSTERED key where
+        zone maps cannot (every segment's [min,max] spans the domain):
+        the lookup reads fewer segments than the table holds, returns
+        exactly the equality-filtered rows, respects delete vectors, and
+        re-indexing after an append is incremental (only new segments)."""
+        from rclip_server_spark.sources import bloomindex as B
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "t")
+        mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+        # ids interleaved across segments -> zone maps are useless here
+        V.create(spark, t, mk([(i, f"a{i}") for i in range(0, 400, 4)]))
+        V.append(spark, t, mk([(i, f"b{i}") for i in range(1, 400, 4)]))
+        V.append(spark, t, mk([(i, f"c{i}") for i in range(2, 400, 4)]))
+        n = B.build_bloom_index(spark, t, "id")
+        assert n == 3
+        # incremental: nothing to do on a second call, only the new
+        # segment after an append
+        assert B.build_bloom_index(spark, t, "id") == 0
+        V.append(spark, t, mk([(i, f"d{i}") for i in range(3, 400, 4)]))
+        assert B.build_bloom_index(spark, t, "id") == 1
+        # lookup of ids living in exactly two segments prunes the rest
+        keep, total = B.bloom_surviving_segments(t, "id", [8, 13])
+        assert total == 4 and 1 <= len(keep) <= 2, (keep, total)
+        got = {(r.id, r.v) for r in
+               B.read_point_lookup(spark, t, "id", [8, 13]).collect()}
+        assert got == {(8, "a8"), (13, "b13")}
+        # the physical read touches only surviving segment files
+        lookup = B.read_point_lookup(spark, t, "id", [8, 13])
+        touched = {f.split("/")[-2] for f in lookup.inputFiles()}
+        assert touched == set(keep)
+        # absent value: every segment prunes, empty result, stable schema
+        keep0, _ = B.bloom_surviving_segments(t, "id", [999_999])
+        assert keep0 == []
+        empty = B.read_point_lookup(spark, t, "id", [999_999])
+        assert empty.count() == 0 and empty.columns == ["id", "v"]
+        # delete vectors still apply through the pruned read
+        V.delete_rows(spark, t, [8], "id")
+        got2 = {r.id for r in
+                B.read_point_lookup(spark, t, "id", [8, 13]).collect()}
+        assert got2 == {13}
+        # vacuum reaps sidecars together with their segments
+        V.compact(spark, t)
+        V.vacuum(t, keep_last=1)
+        import os as _os
+        bloom_dir = _os.path.join(t, "_bloom", "id")
+        assert _os.listdir(bloom_dir) == []  # old seg sidecars reaped
+        # the compacted segment has no sidecar yet -> kept conservatively
+        keep3, total3 = B.bloom_surviving_segments(t, "id", [999_999])
+        assert total3 == 1 and len(keep3) == 1
+        assert B.build_bloom_index(spark, t, "id") == 1
+        keep4, _ = B.bloom_surviving_segments(t, "id", [999_999])
+        assert keep4 == []
+        # null-key rows never poison the filter; NULL lookup is an error
+        with pytest.raises(ValueError, match="NULL"):
+            B.read_point_lookup(spark, t, "id", [None])
+
+    def test_bloom_probe_parity_spark_vs_python(self, spark):
+        """The prune decision is driver-side Python while the bitmap is
+        built Spark-side — the two probe implementations must agree
+        position-for-position (long and string keys) or pruning would
+        silently drop true rows."""
+        from rclip_server_spark.sources import bloomindex as B
+
+        vals = [0, 1, 7, 123456789, -5, "abc", "Ω unicode", ""]
+        df = spark.createDataFrame([(str(v),) for v in vals], "s string")
+        spark_pos = [
+            r.ps for r in df.select(
+                B._probe_positions_expr("s", 8192, 4).alias("ps")).collect()
+        ]
+        py_pos = [B._py_probes(v, 8192, 4) for v in vals]
+        assert [list(p) for p in spark_pos] == py_pos
+
     def test_table_changes_across_schema_evolution(self, spark, tmp_path):
         """Snapshot diff between versions with DIFFERENT schemas: a column
         added after v1 reads as NULL on the old side (and a row whose only
