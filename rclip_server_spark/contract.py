@@ -5256,3 +5256,70 @@ _register(
     WHERE event_id IN ({", ".join(str(i) for i in _VT_BLOOM_IDS)})
     """,
 )
+
+
+def _vt_jv_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .sources import matview as MV
+    from .sources import versioned as VT
+
+    rpath, view = path + "_cust", path + "_view"
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long")
+         .alias("price_cents"))
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey", F.col("c_custkey").alias("custkey"), "c_mktsegment")
+    VT.create(spark, path, orders.where(F.col("o_orderkey") % 4 != 3))
+    VT.create(spark, rpath, cust.where(F.col("c_custkey") % 5 != 4))
+    MV.create_join_view(spark, path, rpath, view, on="custkey",
+                        left_key="o_orderkey", right_key="c_custkey",
+                        group_cols=["c_mktsegment"],
+                        sum_cols=["price_cents"])
+    # left append: fast-path ΔL ⋈ R_old term
+    VT.append(spark, path, orders.where(F.col("o_orderkey") % 4 == 3))
+    MV.refresh_join_view(spark, view)
+    # right delete + append in ONE interval: snapshot-diff ΔR with
+    # retractions, against the pinned NEW left snapshot
+    VT.delete_rows(
+        spark, rpath,
+        cust.where(F.col("c_custkey") % 7 == 0).select("c_custkey"),
+        "c_custkey")
+    VT.append(spark, rpath, cust.where(F.col("c_custkey") % 5 == 4))
+    MV.refresh_join_view(spark, view)
+
+
+def _vt_join_view_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """Incrementally-maintained JOIN view (matview.create_join_view /
+    refresh_join_view, signed delta rule ΔL⋈R_old + L_new⋈ΔR with two
+    cursors): advanced through a left append and a right
+    delete+append rewrite interval, then read — the oracle checks it
+    equals the direct join+groupBy of the two FINAL sources. The
+    reference has no join maintenance at all (single-table app); this is
+    the Materialize/DBSP-style scale path for keeping a joined
+    dashboard aggregate fresh for the cost of the changes."""
+    from .sources import versioned as VT
+
+    path = _vt_build(spark, sf, "jv", _vt_jv_builder)
+    return VT.read(spark, path + "_view").select(
+        "c_mktsegment", F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_price_cents").cast("long").alias("sum_price_cents"))
+
+
+_register(
+    "vt_join_view_refresh",
+    _vt_join_view_refresh,
+    """
+    WITH r AS (
+      SELECT c_custkey AS custkey, c_mktsegment FROM customer
+      WHERE (c_custkey % 5 <> 4 AND c_custkey % 7 <> 0)
+         OR c_custkey % 5 = 4),
+    l AS (
+      SELECT o_custkey AS custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders)
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
+    FROM l JOIN r USING (custkey)
+    GROUP BY c_mktsegment
+    """,
+)

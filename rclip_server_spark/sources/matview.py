@@ -148,6 +148,59 @@ def _hint_ret_groups(ret_groups: DataFrame, src: str,
     return ret_groups
 
 
+def _merge_additive(base: DataFrame, delta: DataFrame,
+                    group_cols: list[str], sum_cols: list[str],
+                    extra_vals=()) -> DataFrame:
+    """Null-safe full-outer merge of additive per-group state (cnt,
+    sum_*, nn_*): NULL group keys are real groups and must merge, not
+    duplicate (plain ``=`` would never match them). ``nn_c`` — the
+    signed count of non-null contributions — is what lets the merge
+    reproduce SQL SUM's NULL-over-all-NULL semantics exactly."""
+    a, d = base.alias("a"), delta.alias("d")
+    out = a.join(d, _nullsafe_cond("a", "d", group_cols), "full_outer")
+    sel = [F.coalesce(F.col(f"a.{g}"), F.col(f"d.{g}")).alias(g)
+           for g in group_cols]
+    sel.append((F.coalesce(F.col("a.cnt"), F.lit(0)) +
+                F.coalesce(F.col("d.cnt"), F.lit(0))).alias("cnt"))
+    for c in sum_cols:
+        nn = (F.coalesce(F.col(f"a.nn_{c}"), F.lit(0)) +
+              F.coalesce(F.col(f"d.nn_{c}"), F.lit(0)))
+        raw = (F.coalesce(F.col(f"a.sum_{c}"), F.lit(0)) +
+               F.coalesce(F.col(f"d.sum_{c}"), F.lit(0)))
+        # SQL SUM semantics: NULL when no non-null value remains
+        sel.append(F.when(nn > 0, raw).alias(f"sum_{c}"))
+        sel.append(nn.cast("long").alias(f"nn_{c}"))
+    return out.select(*sel, *extra_vals)
+
+
+def _signed_change() -> "F.Column":
+    """±1 multiplicity of a CDC row: +1 for insert/update_postimage,
+    −1 for delete/update_preimage."""
+    return (
+        F.when(F.col("_change_type").isin(*_INSERTING), F.lit(1))
+        .when(F.col("_change_type").isin(*_RETRACTING), F.lit(-1))
+        .cast("long")
+    )
+
+
+def _is_integral_type(t: str) -> bool:
+    """Integer-valued Spark SQL types exact under CAST AS LONG —
+    decimal(p,0) included."""
+    return t in {"tinyint", "smallint", "int", "bigint", "boolean"} \
+        or (t.startswith("decimal(") and t.endswith(",0)"))
+
+
+def _check_sum_cols_integral(sum_cols: list[str], types: dict) -> None:
+    bad = [c for c in sum_cols
+           if not _is_integral_type(types.get(c, "bigint"))]
+    if bad:
+        raise TypeError(
+            f"sum_cols must be integer-valued for BIGINT-exact additive "
+            f"maintenance; {', '.join(f'{c} is {types[c]}' for c in bad)}. "
+            f"Pre-scale floats to integer units (the cents rule: "
+            f"round(x*100) cast to long) in a projection before the view.")
+
+
 def _refresh_with_retry(refresh, max_retries: int):
     """The ONE OCC rebase loop all three view refreshers share: the loser
     re-reads the advanced cursor, so intervals are never double-applied."""
@@ -206,20 +259,7 @@ def create_agg_view(
     src_v = V.current_version(source_path)
     src_df = _read_source(spark, source_path, src_v)
     types = {f.name: f.dataType.simpleString() for f in src_df.schema.fields}
-
-    def _integral(t: str) -> bool:
-        # decimal(p,0) is integer-valued and exact under the cast to long
-        return t in {"tinyint", "smallint", "int", "bigint", "boolean"} \
-            or (t.startswith("decimal(") and t.endswith(",0)"))
-
-    bad = [c for c in sum_cols
-           if not _integral(types.get(c, "bigint"))]
-    if bad:
-        raise TypeError(
-            f"sum_cols must be integer-valued for BIGINT-exact additive "
-            f"maintenance; {', '.join(f'{c} is {types[c]}' for c in bad)}. "
-            f"Pre-scale floats to integer units (the cents rule: "
-            f"round(x*100) cast to long) in a projection before the view.")
+    _check_sum_cols_integral(sum_cols, types)
     missing = [c for c in [key] + list(group_cols) + sum_cols + minmax_cols
                if c not in types]
     if missing:
@@ -267,51 +307,25 @@ def refresh_agg_view(spark: SparkSession, view_path: str) -> int:
         "mv_source_version": v_to,
     }}
     cur = V.read(spark, view_path, view_v)
-
-    def _merge_additive(base: DataFrame, delta: DataFrame,
-                        extra_vals) -> DataFrame:
-        # null-safe full-outer merge: NULL group keys are real groups and
-        # must merge, not duplicate (plain `=` would never match them)
-        a, d = base.alias("a"), delta.alias("d")
-        out = a.join(d, _nullsafe_cond("a", "d", group_cols), "full_outer")
-        sel = [F.coalesce(F.col(f"a.{g}"), F.col(f"d.{g}")).alias(g)
-               for g in group_cols]
-        sel.append((F.coalesce(F.col("a.cnt"), F.lit(0)) +
-                    F.coalesce(F.col("d.cnt"), F.lit(0))).alias("cnt"))
-        for c in sum_cols:
-            nn = (F.coalesce(F.col(f"a.nn_{c}"), F.lit(0)) +
-                  F.coalesce(F.col(f"d.nn_{c}"), F.lit(0)))
-            raw = (F.coalesce(F.col(f"a.sum_{c}"), F.lit(0)) +
-                   F.coalesce(F.col(f"d.sum_{c}"), F.lit(0)))
-            # SQL SUM semantics: NULL when no non-null value remains
-            sel.append(F.when(nn > 0, raw).alias(f"sum_{c}"))
-            sel.append(nn.cast("long").alias(f"nn_{c}"))
-        return out.select(*sel, *extra_vals)
-
     if not minmax_cols:
         # additive path consumes ch exactly ONCE (the single overwrite
         # write) — no persist needed
-        sign = (
-            F.when(F.col("_change_type").isin(*_INSERTING), F.lit(1))
-            .when(F.col("_change_type").isin(*_RETRACTING), F.lit(-1))
-            .cast("long")
-        )
-        delta = _aggregate(ch, group_cols, sum_cols, sign=sign)
-        merged = _merge_additive(cur, delta, []).where(F.col("cnt") > 0)
+        delta = _aggregate(ch, group_cols, sum_cols, sign=_signed_change())
+        merged = _merge_additive(cur, delta, group_cols,
+                                 sum_cols).where(F.col("cnt") > 0)
         return V.overwrite(spark, view_path, merged, extra=new_extra,
                            parent_version=view_v)
     ch = ch.persist()  # minmax path feeds four plan subtrees from ch
     try:
         return _refresh_minmax(spark, view_path, view_v, ch, src,
                                v_from, v_to, group_cols, sum_cols,
-                               minmax_cols, cur, _merge_additive, new_extra)
+                               minmax_cols, cur, new_extra)
     finally:
         ch.unpersist()
 
 
 def _refresh_minmax(spark, view_path, view_v, ch, src, v_from, v_to,
-                    group_cols, sum_cols, minmax_cols, cur,
-                    _merge_additive, new_extra):
+                    group_cols, sum_cols, minmax_cols, cur, new_extra):
     """The non-retractable tier: ch is PERSISTED by the caller — it feeds
     four plan subtrees (insert deltas, affected-group keys, and the two
     anti-joins), and for a rewriting interval each re-evaluation would be
@@ -344,7 +358,8 @@ def _refresh_minmax(spark, view_path, view_v, ch, src, v_from, v_to,
              .alias(f"max_{c}"),
         ]
     merged = (
-        _merge_additive(_minus_affected(cur), ins_delta, mm_vals)
+        _merge_additive(_minus_affected(cur), ins_delta, group_cols,
+                        sum_cols, mm_vals)
         .unionByName(recomp)
         .where(F.col("cnt") > 0)
     )
@@ -634,3 +649,179 @@ def refresh_topk_view_with_retry(
     contract: the loser re-reads the advanced cursor)."""
     return _refresh_with_retry(
         lambda: refresh_topk_view(spark, view_path), max_retries)
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN views: maintained aggregates over an equi-join of TWO
+# versioned sources
+# ---------------------------------------------------------------------------
+
+
+def _change_bound(src: str, v_from: int, v_to: int) -> int:
+    """Manifest-only (zero Spark jobs) upper bound on the number of CDC
+    rows in an interval: append-only intervals are bounded by the new
+    segments' recorded row counts; a rewriting interval's snapshot diff
+    emits at most old + new snapshot rows (every change row is a row of
+    one of the two snapshots)."""
+    append_only, new_rows = True, 0
+    for v in range(v_from + 1, v_to + 1):
+        m = V._manifest(src, v)
+        append_only = append_only and m["op"] in V.APPEND_OPS
+        parent = V._manifest(src, v - 1)
+        sr = m.get("seg_rows", {})
+        for s in V._manifest_segments(m) - V._manifest_segments(parent):
+            new_rows += int(sr.get(s, 0))
+    if append_only:
+        return new_rows
+    return (V._manifest_row_count(src, V._manifest(src, v_from))
+            + V._manifest_row_count(src, V._manifest(src, v_to)))
+
+
+def _prune_to_delta_keys(snap: DataFrame, ch: DataFrame, on: str,
+                         src: str, v_from: int, v_to: int) -> DataFrame:
+    """Key-prune the OPPOSITE side's snapshot to the delta's join keys
+    before the delta-join — when the interval's change bound is small
+    (the common ingest refresh), the broadcast semi-join turns
+    "delta ⋈ snapshot" from a full-snapshot shuffle into a scan that
+    keeps only matching keys. Past the bound a shuffle semi-join would
+    cost as much as the join it guards, so the snapshot passes through
+    un-pruned and AQE plans the honest join."""
+    if _change_bound(src, v_from, v_to) <= _BROADCAST_RET_BOUND_ROWS:
+        return snap.join(F.broadcast(ch.select(on).distinct()),
+                         on, "left_semi")
+    return snap
+
+
+def create_join_view(
+    spark: SparkSession, left_path: str, right_path: str, view_path: str,
+    on: str, left_key: str, right_key: str,
+    group_cols: list[str], sum_cols: list[str] | None = None,
+) -> int:
+    """Materialize ``SELECT group_cols, COUNT(*) cnt, SUM(c) sum_c ...
+    FROM left JOIN right USING (on) GROUP BY group_cols`` over the two
+    sources' heads, recording BOTH cursors in the view manifest — the
+    two-source extension of create_agg_view (the Materialize /
+    DBSP-style incremental join, maintained by the signed delta rule;
+    see refresh_join_view). ``on`` is the equi-join column, present in
+    both sources; every other column name must be unique across the two
+    schemas (no qualifier syntax in view specs). ``left_key`` /
+    ``right_key`` are each source's row identity for rewriting-interval
+    CDC. Additive aggregates only (COUNT + BIGINT-exact SUMs with
+    nn_* null counters); MIN/MAX over a join is not retractable without
+    per-group rescans of the JOIN — run a recompute for those."""
+    sum_cols = list(sum_cols or [])
+    group_cols = list(group_cols)
+    l_v = V.current_version(left_path)
+    r_v = V.current_version(right_path)
+    l_df = _read_source(spark, left_path, l_v)
+    r_df = _read_source(spark, right_path, r_v)
+    l_cols = set(l_df.columns)
+    r_cols = set(r_df.columns)
+    if on not in l_cols or on not in r_cols:
+        raise ValueError(f"join column {on!r} must exist in both sources")
+    clash = (l_cols & r_cols) - {on}
+    if clash:
+        raise ValueError(
+            f"column names must be unique across the two sources (rename "
+            f"in a projection before the view): {sorted(clash)}")
+    types = {f.name: f.dataType.simpleString()
+             for f in l_df.schema.fields + r_df.schema.fields}
+    _check_sum_cols_integral(sum_cols, types)
+    missing = [c for c in group_cols + sum_cols if c not in types]
+    if missing:
+        raise ValueError(f"columns not in either source schema: {missing}")
+    state = _aggregate(l_df.join(r_df, on), group_cols, sum_cols)
+    return V.create(spark, view_path, state, extra={"app": {
+        "jv_left": left_path, "jv_right": right_path, "jv_on": on,
+        "jv_left_key": left_key, "jv_right_key": right_key,
+        "jv_group_cols": group_cols, "jv_sum_cols": sum_cols,
+        "jv_left_version": l_v, "jv_right_version": r_v,
+    }})
+
+
+def _spec_jv(path: str, version: int | None = None) -> dict:
+    v = V.current_version(path) if version is None else int(version)
+    m = V._manifest(path, v)
+    spec = m.get("app") or {}
+    if "jv_left" not in spec:
+        raise ValueError(f"{path} is not a join view "
+                         f"(no jv_left in its manifest app namespace)")
+    return spec
+
+
+def refresh_join_view(spark: SparkSession, view_path: str) -> int:
+    """Advance a join view to both sources' heads by the SIGNED DELTA
+    RULE — with L1/R1 the snapshots at the cursors and L2/R2 at the
+    heads:
+
+        Δ(L ⋈ R) = ΔL ⋈ R1  +  L2 ⋈ ΔR
+
+    which telescopes exactly (L2⋈R1 − L1⋈R1 + L2⋈R2 − L2⋈R1 =
+    L2⋈R2 − L1⋈R1) in signed-multiset semantics: each CDC row carries
+    ±1 (insert/postimage vs delete/preimage), the snapshot side carries
+    its plain multiplicity, and a pair's sign is the delta row's sign —
+    so updates, deletes, and rows changing join keys all maintain the
+    aggregate without recomputing the join. The asymmetric bracketing
+    (R at its OLD version, L at its NEW one) is what makes the
+    both-sides-advanced interval exact: ΔL⋈ΔR pairs appear exactly once,
+    in the second term. Each term's snapshot is key-pruned to the
+    delta's join keys behind a size-guarded broadcast semi-join
+    (_prune_to_delta_keys), so an ingest-sized refresh touches
+    delta-matching rows of the big side, never the table.
+
+    At 100 TB: a day of ingest into either source refreshes the view
+    for a day-of-data scan ⋈ matching keys + a groups-sized merge —
+    the join itself is never recomputed. The asymmetry also means the
+    RIGHT source must retain manifests back to the view's right cursor
+    (same vacuum contract as _changes_since_cursor documents).
+
+    One-consistent-read + OCC parent pinning, as refresh_agg_view."""
+    view_v = V.current_version(view_path)
+    spec = _spec_jv(view_path, view_v)
+    lsrc, rsrc, on = spec["jv_left"], spec["jv_right"], spec["jv_on"]
+    group_cols = list(spec["jv_group_cols"])
+    sum_cols = list(spec["jv_sum_cols"])
+    l_from, r_from = int(spec["jv_left_version"]), int(spec["jv_right_version"])
+    l_to, r_to = V.current_version(lsrc), V.current_version(rsrc)
+    if l_to == l_from and r_to == r_from:
+        return view_v
+    new_extra = {"app": dict(spec) | {"jv_left_version": l_to,
+                                      "jv_right_version": r_to}}
+    deltas, persisted = [], []
+    try:
+        if l_to > l_from:
+            ch_l = _changes_since_cursor(
+                spark, lsrc, l_from, l_to, spec["jv_left_key"]).persist()
+            persisted.append(ch_l)
+            r_old = _prune_to_delta_keys(
+                _read_source(spark, rsrc, r_from), ch_l, on,
+                lsrc, l_from, l_to)
+            deltas.append(_aggregate(ch_l.join(r_old, on), group_cols,
+                                     sum_cols, sign=_signed_change()))
+        if r_to > r_from:
+            ch_r = _changes_since_cursor(
+                spark, rsrc, r_from, r_to, spec["jv_right_key"]).persist()
+            persisted.append(ch_r)
+            l_new = _prune_to_delta_keys(
+                _read_source(spark, lsrc, l_to), ch_r, on,
+                rsrc, r_from, r_to)
+            deltas.append(_aggregate(l_new.join(ch_r, on), group_cols,
+                                     sum_cols, sign=_signed_change()))
+        merged = V.read(spark, view_path, view_v)
+        for d in deltas:
+            merged = _merge_additive(merged, d, group_cols, sum_cols)
+        merged = merged.where(F.col("cnt") > 0)
+        return V.overwrite(spark, view_path, merged, extra=new_extra,
+                           parent_version=view_v)
+    finally:
+        for df in persisted:
+            df.unpersist()
+
+
+def refresh_join_view_with_retry(
+    spark: SparkSession, view_path: str, max_retries: int = 3,
+) -> int:
+    """OCC rebase loop for concurrent join-view refreshers (the standard
+    contract: the loser re-reads BOTH advanced cursors)."""
+    return _refresh_with_retry(
+        lambda: refresh_join_view(spark, view_path), max_retries)

@@ -221,3 +221,31 @@ def start_transform_view_refresh_stream(
 
     return _start_view_refresh_stream(spark, spec["tv_source"], _go,
                                       checkpoint_dir)
+
+
+def start_join_view_refresh_stream(
+    spark: SparkSession, view_path: str,
+    checkpoint_dir: str | None = None,
+):
+    """Continuous maintenance for a JOIN view: TWO manifest-tail streams
+    (one per source — a commit on either side must wake the refresh),
+    both driving the same cursor-derived refresh, so the at-least-once
+    batches compose into exactly-once view state just like the
+    single-source streams. Returns the [left, right] StreamingQuery
+    pair; stop both to stop maintenance. Checkpoints (when given) live
+    under ``<checkpoint_dir>/left`` and ``/right``."""
+    from ..sources import matview
+
+    spec = matview._spec_jv(view_path)
+
+    def _go():
+        matview.refresh_join_view_with_retry(spark, view_path)
+
+    return [
+        _start_view_refresh_stream(
+            spark, src, _go,
+            None if checkpoint_dir is None
+            else os.path.join(checkpoint_dir, side))
+        for side, src in (("left", spec["jv_left"]),
+                          ("right", spec["jv_right"]))
+    ]

@@ -1949,6 +1949,166 @@ class TestVersionedTable:
         py_pos = [B._py_probes(v, 8192, 4) for v in vals]
         assert [list(p) for p in spark_pos] == py_pos
 
+    def test_join_view_incremental_equals_recompute(self, spark, tmp_path):
+        """Two-source JOIN view maintained by the signed delta rule
+        (ΔL⋈R_old + L_new⋈ΔR): after every refresh — left appends, right
+        appends, left deletes, a right upsert that MOVES join keys, and a
+        BOTH-SIDES-advanced interval — the view equals the direct
+        join+groupBy of the two heads. NULL join keys never pair (inner
+        join), NULL group keys merge null-safely, and a group retracting
+        to zero leaves the view."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        lt = str(tmp_path / "orders")
+        rt = str(tmp_path / "cust")
+        vw = str(tmp_path / "view")
+        mko = lambda rows: spark.createDataFrame(
+            rows, "o_id long, ckey long, amount long")
+        mkc = lambda rows: spark.createDataFrame(
+            rows, "c_id long, ckey long, seg string")
+        V.create(spark, lt, mko([(1, 10, 5), (2, 10, 7), (3, 20, 11),
+                                 (4, None, 99), (5, 30, 13)]))
+        V.create(spark, rt, mkc([(100, 10, "A"), (101, 20, "B"),
+                                 (102, 40, "C"), (103, 20, None)]))
+        MV.create_join_view(spark, lt, rt, vw, on="ckey",
+                            left_key="o_id", right_key="c_id",
+                            group_cols=["seg"], sum_cols=["amount"])
+
+        def check():
+            got = sorted(
+                ((r.seg, r.cnt, r.sum_amount) for r in
+                 V.read(spark, vw).select("seg", "cnt", "sum_amount")
+                 .collect()),
+                key=lambda x: (x[0] is None, x[0]))
+            want = sorted(
+                ((r.seg, r.cnt, r.sum_amount) for r in
+                 V.read(spark, lt).join(V.read(spark, rt), "ckey")
+                 .groupBy("seg").agg(
+                     F.count(F.lit(1)).alias("cnt"),
+                     F.sum("amount").alias("sum_amount")).collect()),
+                key=lambda x: (x[0] is None, x[0]))
+            assert got == want, (got, want)
+
+        check()  # initial materialization
+        # left append (fast-path ΔL ⋈ R_old)
+        V.append(spark, lt, mko([(6, 20, 17), (7, 40, 19), (8, None, 1)]))
+        MV.refresh_join_view(spark, vw)
+        check()
+        # right append (L_new ⋈ ΔR): ckey 30 gains its first match
+        V.append(spark, rt, mkc([(104, 30, "A")]))
+        MV.refresh_join_view(spark, vw)
+        check()
+        # left delete (retraction through the join)
+        V.delete_rows(spark, lt, [2, 7], "o_id")
+        MV.refresh_join_view(spark, vw)
+        check()
+        # right upsert MOVES a join key (101: 20 -> 50) — its old pairs
+        # retract, and seg C's only pair (o7) is already gone
+        V.upsert(spark, rt, mkc([(101, 50, "B"), (105, 99, "D")]), "c_id")
+        MV.refresh_join_view(spark, vw)
+        check()
+        assert "B" not in {r.seg for r in V.read(spark, vw).collect()}
+        # BOTH sides advance before one refresh (incl. ΔL⋈ΔR pairs:
+        # new order ckey=99 must pair with the new customer 105)
+        V.append(spark, lt, mko([(9, 99, 23), (10, 10, 29)]))
+        V.delete_rows(spark, rt, [100], "c_id")
+        V.append(spark, rt, mkc([(106, 10, "E")]))
+        MV.refresh_join_view(spark, vw)
+        check()
+        got = {(r.seg, r.cnt) for r in V.read(spark, vw).collect()}
+        assert ("D", 1) in got  # the ΔL⋈ΔR pair landed exactly once
+        # idempotent when fresh; both cursors track their heads
+        v = V.current_version(vw)
+        assert MV.refresh_join_view(spark, vw) == v
+        spec = MV._spec_jv(vw)
+        assert spec["jv_left_version"] == V.current_version(lt)
+        assert spec["jv_right_version"] == V.current_version(rt)
+
+    def test_join_view_create_validation(self, spark, tmp_path):
+        """Create-time guards: overlapping non-join column names, missing
+        join column, non-integral sum columns, unknown group columns."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        lt = str(tmp_path / "l")
+        rt = str(tmp_path / "r")
+        V.create(spark, lt, spark.createDataFrame(
+            [(1, 10, 1.5)], "id long, k long, x double"))
+        V.create(spark, rt, spark.createDataFrame(
+            [(2, 10, "a")], "rid long, k long, seg string"))
+        with pytest.raises(ValueError, match="join column"):
+            MV.create_join_view(spark, lt, rt, str(tmp_path / "v1"),
+                                on="nope", left_key="id", right_key="rid",
+                                group_cols=["seg"])
+        with pytest.raises(TypeError, match="integer-valued"):
+            MV.create_join_view(spark, lt, rt, str(tmp_path / "v2"),
+                                on="k", left_key="id", right_key="rid",
+                                group_cols=["seg"], sum_cols=["x"])
+        with pytest.raises(ValueError, match="not in either"):
+            MV.create_join_view(spark, lt, rt, str(tmp_path / "v3"),
+                                on="k", left_key="id", right_key="rid",
+                                group_cols=["ghost"])
+        rt2 = str(tmp_path / "r2")
+        V.create(spark, rt2, spark.createDataFrame(
+            [(2, 10, "a")], "id long, k long, seg string"))
+        with pytest.raises(ValueError, match="unique across"):
+            MV.create_join_view(spark, lt, rt2, str(tmp_path / "v4"),
+                                on="k", left_key="id", right_key="id",
+                                group_cols=["seg"])
+
+    def test_join_view_streaming_refresh_both_sources(
+        self, spark, tmp_path
+    ):
+        """A commit on EITHER source wakes the join view's maintenance
+        (two manifest-tail streams sharing the cursor-idempotent
+        refresh); final state equals the direct join+groupBy."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+        from rclip_server_spark.streaming import sink
+
+        lt = str(tmp_path / "l")
+        rt = str(tmp_path / "r")
+        vw = str(tmp_path / "view")
+        mko = lambda rows: spark.createDataFrame(
+            rows, "o_id long, ckey long, amount long")
+        mkc = lambda rows: spark.createDataFrame(
+            rows, "c_id long, ckey long, seg string")
+        V.create(spark, lt, mko([(1, 10, 5)]))
+        V.create(spark, rt, mkc([(100, 10, "A"), (101, 20, "B")]))
+        MV.create_join_view(spark, lt, rt, vw, on="ckey",
+                            left_key="o_id", right_key="c_id",
+                            group_cols=["seg"], sum_cols=["amount"])
+        qs = sink.start_join_view_refresh_stream(
+            spark, vw, checkpoint_dir=str(tmp_path / "cp"))
+        try:
+            V.append(spark, lt, mko([(2, 20, 7), (3, 10, 11)]))
+            V.append(spark, rt, mkc([(102, 30, "A")]))
+            V.append(spark, lt, mko([(4, 30, 13)]))
+            import time as _time
+            deadline = _time.time() + 60
+            while _time.time() < deadline:
+                for q in qs:
+                    q.processAllAvailable()
+                spec = MV._spec_jv(vw)
+                if (spec["jv_left_version"] == V.current_version(lt)
+                        and spec["jv_right_version"]
+                        == V.current_version(rt)):
+                    break
+                _time.sleep(0.3)
+        finally:
+            for q in qs:
+                q.stop()
+        got = sorted((r.seg, r.cnt, r.sum_amount) for r in
+                     V.read(spark, vw)
+                     .select("seg", "cnt", "sum_amount").collect())
+        want = sorted((r.seg, r.cnt, r.sum_amount) for r in
+                      V.read(spark, lt).join(V.read(spark, rt), "ckey")
+                      .groupBy("seg").agg(
+                          F.count(F.lit(1)).alias("cnt"),
+                          F.sum("amount").alias("sum_amount")).collect())
+        assert got == want, (got, want)
+
     def test_table_changes_across_schema_evolution(self, spark, tmp_path):
         """Snapshot diff between versions with DIFFERENT schemas: a column
         added after v1 reads as NULL on the old side (and a row whose only
