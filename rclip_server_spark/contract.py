@@ -1395,21 +1395,19 @@ _register("d1_embed_documents_distributed", _d1_embed, None)
 # listed follows in source-registration order and stays locally verified by
 # tools/check_contract.py.
 _PRIORITY = [
-    # The driver verifies the FIRST 50 registered rows each round. Round-6
+    # The driver verifies the FIRST 50 registered rows each round. Round-7
     # rotation: the 20 §2-mapped rows stay (the judge reads them against
-    # SURVEY §2 every round); the next 18 slots close the driver-
-    # verification backlog — after this window EVERY registered oracle row
-    # has had a driver-green CORRECTNESS cell at least once (cumulative
-    # 141/176 after r5 → full coverage); 3 slots are new r6 versioned
-    # read-side rows (delete-vector read, snapshot-diff CDC, incremental
-    # agg-view refresh); the last 9 re-confirm the most complex
-    # bench-headline operators (dedup + ANN families touched by this
-    # round's perf work). Everything rotated out is still replayed
-    # locally by tools/check_contract.py.
-    # Round-7 rotation backlog (r6 oracle rows registered OUTSIDE this
-    # window, locally oracle-exact, never driver-verified):
-    # vt_agg_view_minmax, vt_append_only_changes, vt_zorder_pruned_read,
-    # vt_signature_index_refresh, vt_topk_view_refresh.
+    # SURVEY §2 every round); next, the r6 verdict's three must-green
+    # groups — the FIXED drift row (r6's one red cell: DuckDB HUGEINT →
+    # float64 vs Spark int64, oracle now casts to BIGINT and the local
+    # checker is dtype-strict), the 5-row r6 rotation backlog (registered
+    # outside the r6 window, locally oracle-exact, never driver-verified),
+    # and the 2 NEW r7 rows (Bloom-pruned point lookup, incremental join
+    # view) — restoring cumulative driver coverage to 100% of registered
+    # oracle rows; the remaining 22 slots re-confirm bench headliners
+    # (incl. dedup_containment, whose self-join was touched this round)
+    # and one row per LLM-pipeline family. Everything rotated out is
+    # still replayed locally by tools/check_contract.py.
     # §2 A-family (vector/similarity)
     "a1_a2_flagship_topk", "a2_topk_k50", "a4_l2_normalize",
     "a6_point_lookup", "a7_feature_minmax", "a8_minmax_normalize",
@@ -1420,23 +1418,25 @@ _PRIORITY = [
     "b3_lowercase_predicate", "b4_exact_dup_groups", "b4_exact_dedup_mark",
     "b10_table_counts", "b13_b14_url_ops", "b15_regex_predicates",
     "rel_anti_join_b8", "d1_embed_documents_distributed",
-    # --- backlog: the 18 oracle rows never driver-verified before r6 ---
-    "sql_q5_local_supplier_volume", "sql_q10_returned_items",
-    "sql_q18_large_orders", "samp_temperature_mixture",
-    "ann_hyperplane_near_dup_multiset", "text_length_outlier_trim",
-    "text_source_stats", "text_strip_dup_spans", "text_ngram_repetition",
-    "samp_weighted_per_class_k", "sketch_histogram_drift",
-    "sketch_histogram_quantiles_by_lang", "ev_windowed_value_histogram",
-    "rel_window_ntile", "sql_scalar_subquery", "ev_asof_tolerance",
-    "ev_time_bucket_rollup", "ev_dedup_bucket_stream_twin",
-    # --- new r6 versioned-table read-side rows (sources/versioned.py +
-    # sources/matview.py incremental agg-view maintenance) ---
-    "vt_delete_vector_read", "vt_snapshot_diff_cdc", "vt_agg_view_refresh",
-    # --- re-confirmation: bench-headline dedup/ANN + sketch rows ---
+    # --- the r6 red cell, fixed this round (dtype cast + strict checker)
+    "sketch_histogram_drift",
+    # --- r6 rotation backlog: never driver-verified ---
+    "vt_agg_view_minmax", "vt_append_only_changes", "vt_zorder_pruned_read",
+    "vt_signature_index_refresh", "vt_topk_view_refresh",
+    # --- new r7 rows (sources/bloomindex.py, matview join views) ---
+    "vt_bloom_pruned_lookup", "vt_join_view_refresh",
+    # --- re-confirmation: bench-headline dedup/ANN/sketch + one row per
+    # LLM-pipeline family (sampling, text, events, SQL, retrieval,
+    # versioned read-side) ---
     "ann_lsh_knn_join", "dedup_minhash_near_dup", "dedup_containment",
     "dedup_semantic_semdedup", "dedup_simhash_near_dup", "ann_ivf_topk",
     "ann_lsh_topk_multiprobe", "ann_multi_query_topk",
-    "sketch_histogram_quantiles",
+    "sketch_histogram_quantiles", "sql_q14_promo_share",
+    "samp_temperature_mixture", "text_tfidf", "text_bm25_topk",
+    "ev_time_bucket_rollup", "ev_asof_tolerance", "sql_q3_shipping_priority",
+    "sql_q18_large_orders", "sql_exists_correlated",
+    "vt_delete_vector_read", "vt_agg_view_refresh", "vt_snapshot_diff_cdc",
+    "text_pii_redaction",
 ]
 
 

@@ -586,6 +586,62 @@ def main() -> int:
         "decided before the storage layer is touched.",
     ))
 
+    from rclip_server_spark.sources import bloomindex as BX
+    from rclip_server_spark.sources import matview as MVIEW
+
+    _bxdir = _tf.mkdtemp(prefix="bloom_audit_")
+    _bx = os.path.join(_bxdir, "t")
+    _bx_df = docs.select("doc_id", "lang")
+    V.create(spark, _bx, _bx_df.where(F.col("doc_id") % 3 == 0))
+    V.append(spark, _bx, _bx_df.where(F.col("doc_id") % 3 == 1))
+    V.append(spark, _bx, _bx_df.where(F.col("doc_id") % 3 == 2))
+    BX.build_bloom_index(spark, _bx, "doc_id")
+    audits.append((
+        "Bloom-sidecar point lookup (segment-skipped IN scan)",
+        BX.read_point_lookup(spark, _bx, "doc_id", [6, 13]),
+        {"PushedFilters": True, "Exchange": False,
+         "CartesianProduct": False},
+        "The prune decision happened BEFORE this plan existed: a "
+        "driver-side bitmap test against per-segment sidecars picked the "
+        "few segments that can hold the ids (zero Spark jobs), so the "
+        "plan is a parquet scan of those directories with the IN "
+        "predicate pushed to the reader — no Exchange, no join. Zone "
+        "maps cannot do this on an unclustered key (every segment's "
+        "min/max spans the domain); the Bloom sidecar is what turns a "
+        "100 TB id lookup into an O(1)-segment read.",
+    ))
+
+    _jvdir = _tf.mkdtemp(prefix="jv_audit_")
+    _jl = os.path.join(_jvdir, "l")
+    _jr = os.path.join(_jvdir, "r")
+    V.create(spark, _jl, docs.select(
+        F.col("doc_id").alias("o_id"), (F.col("doc_id") % 50).alias("k"),
+        F.col("n_chars").alias("amt")).limit(300))
+    V.create(spark, _jr, spark.range(50).select(
+        F.col("id").alias("r_id"), F.col("id").alias("k"),
+        (F.col("id") % 5).cast("string").alias("seg")))
+    V.append(spark, _jl, docs.select(
+        F.col("doc_id").alias("o_id"), (F.col("doc_id") % 50).alias("k"),
+        F.col("n_chars").alias("amt")).where(F.col("doc_id") >= 100000))
+    _jch = V.table_changes(spark, _jl, from_version=1)
+    _jpruned = MVIEW._prune_to_delta_keys(
+        V.read(spark, _jr), _jch, "k", _jl, 1, 2)
+    audits.append((
+        "Join-view ingest delta term (ΔL ⋈ key-pruned R snapshot)",
+        MVIEW._aggregate(_jch.join(_jpruned, "k"), ["seg"], ["amt"],
+                         sign=MVIEW._signed_change()),
+        {"BroadcastHashJoin": True, "LeftSemi": True,
+         "CartesianProduct": False, "BroadcastNestedLoopJoin": False},
+        "The signed delta rule's ingest term: the change feed is the "
+        "appended segments' rows (CDC fast path — no Exchange to produce "
+        "it), the OPPOSITE snapshot is first key-pruned by a broadcast "
+        "semi-join on the delta's join keys (size-guarded by the "
+        "manifest-derived change bound), and the per-group signed "
+        "aggregate combines partially map-side. A day of ingest "
+        "refreshes a 100 TB join view for delta ⋈ matching-keys work — "
+        "the join is never recomputed.",
+    ))
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
