@@ -174,19 +174,38 @@ def build_bloom_index(
     return len(todo)
 
 
+def _norm_values(values) -> list:
+    """One lookup value or a collection of them → a list, WITHOUT ever
+    iterating a string/bytes value character-by-character (per-character
+    probes would false-prune segments holding the real value — the exact
+    violation of the no-false-prune contract this module promises)."""
+    if isinstance(values, (str, bytes)):
+        return [values]
+    if isinstance(values, (list, tuple, set, frozenset)):
+        return list(values)
+    try:
+        return list(iter(values))  # range, generator, np array, ...
+    except TypeError:
+        return [values]  # a single scalar
+
+
 def bloom_surviving_segments(
     path: str, col: str, values, version: int | None = None,
     bits: int = DEFAULT_BITS, k: int = DEFAULT_K,
+    segments: list[str] | None = None,
 ) -> tuple[list[str], int]:
     """The pure prune decision (exposed for tests/plan audits): segments
     of ``version`` that MAY hold any of ``values``, plus the total
     segment count. Sidecar-less segments and sidecars built with other
     (bits, k, algo) parameters are kept conservatively — no false prune,
-    the zone-map contract."""
-    v = V.current_version(path) if version is None else int(version)
-    m = V._manifest(path, v)
-    segs = sorted(V._manifest_segments(m))
-    probe_sets = [_py_probes(val, bits, k) for val in values]
+    the zone-map contract. Pass ``segments`` to skip the manifest read
+    when the caller already resolved it (read_point_lookup does — one
+    manifest parse per lookup, not two)."""
+    if segments is None:
+        v = V.current_version(path) if version is None else int(version)
+        segments = sorted(V._manifest_segments(V._manifest(path, v)))
+    segs = segments
+    probe_sets = [_py_probes(val, bits, k) for val in _norm_values(values)]
     keep = []
     for seg in segs:
         sc = _load_sidecar(path, col, seg)
@@ -212,8 +231,7 @@ def read_point_lookup(
     table's bucket key already routes a point lookup to one bucket
     (read the bucket), and its non-key columns can be indexed by
     pointing this module at the bucket segment dirs if ever needed."""
-    values = [val for val in (values if isinstance(values, (list, tuple))
-                              else [values])]
+    values = _norm_values(values)
     if not values:
         raise ValueError("empty lookup value set")
     v = V.current_version(path) if version is None else int(version)
@@ -222,7 +240,8 @@ def read_point_lookup(
         raise ValueError("read_point_lookup serves flat tables; bucketed "
                          "tables route point lookups by bucket key")
     keep, _total = bloom_surviving_segments(
-        path, col, values, version=v, bits=bits, k=k)
+        path, col, values, bits=bits, k=k,
+        segments=sorted(V._manifest_segments(m)))
     if not keep:
         out = V.read(spark, path, v).limit(0)
     else:

@@ -663,6 +663,9 @@ def _change_bound(src: str, v_from: int, v_to: int) -> int:
     segments' recorded row counts; a rewriting interval's snapshot diff
     emits at most old + new snapshot rows (every change row is a row of
     one of the two snapshots)."""
+    from .catalog import table_row_count as _footer_rows
+    import os as _os
+
     append_only, new_rows = True, 0
     for v in range(v_from + 1, v_to + 1):
         m = V._manifest(src, v)
@@ -670,7 +673,13 @@ def _change_bound(src: str, v_from: int, v_to: int) -> int:
         parent = V._manifest(src, v - 1)
         sr = m.get("seg_rows", {})
         for s in V._manifest_segments(m) - V._manifest_segments(parent):
-            new_rows += int(sr.get(s, 0))
+            # a missing seg_rows entry must NOT silently count as 0 — an
+            # underestimated "upper bound" would wrongly enable the
+            # broadcast this guard exists to prevent; fall back to the
+            # parquet footer (the same fallback _manifest_row_count uses)
+            n = sr.get(s)
+            new_rows += int(n) if n is not None \
+                else _footer_rows(_os.path.join(src, s))
     if append_only:
         return new_rows
     return (V._manifest_row_count(src, V._manifest(src, v_from))

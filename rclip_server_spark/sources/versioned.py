@@ -926,15 +926,24 @@ def vacuum(path: str, keep_last: int = 1,
                 deleted.append(d)
     # Bloom sidecars of reaped segments (bloomindex.py): write-once per
     # immutable segment, so the segment's deletion is the one moment its
-    # sidecar becomes garbage
+    # sidecar becomes garbage. Also reaps .json.tmp orphans from a
+    # crashed build_bloom_index (same min-age guard as commit temp
+    # files). Stray non-directory entries under _bloom/ are skipped —
+    # vacuum must never crash after segments are already gone.
     bloom_root = os.path.join(path, "_bloom")
-    if deleted and os.path.isdir(bloom_root):
+    if os.path.isdir(bloom_root):
         gone = set(deleted)
         for col_dir in os.listdir(bloom_root):
             cd = os.path.join(bloom_root, col_dir)
+            if not os.path.isdir(cd):
+                continue
             for f in os.listdir(cd):
-                if f.endswith(".json") and f[:-5] in gone:
-                    os.remove(os.path.join(cd, f))
+                p = os.path.join(cd, f)
+                if f.endswith(".json.tmp"):
+                    if now - os.path.getmtime(p) >= tmp_cutoff:
+                        os.remove(p)
+                elif f.endswith(".json") and f[:-5] in gone:
+                    os.remove(p)
     return deleted
 
 

@@ -151,13 +151,28 @@ def _start_view_refresh_stream(
     batch content is only a wake-up signal, so skipping a reaped file is
     always safe. Checkpoint note: checkpoints written by the pre-r6
     versioned_cdc wiring are NOT resumable by this file source — start
-    upgraded streams with a fresh checkpoint_dir."""
-    stream = (
-        spark.readStream.schema("version long")
-        .option("pathGlobFilter", "v*.json")
-        .option("ignoreMissingFiles", "true")
-        .json(os.path.join(source_path, "_snapshots"))
-    )
+    upgraded streams with a fresh checkpoint_dir.
+
+    ``source_path`` may be a list of table paths (join views): the
+    manifest tails UNION into ONE streaming query, so a commit on any
+    source wakes the same refresh WITHOUT a second always-concurrent
+    refresher racing the first one's OCC commit on every wake — two
+    separate queries against one view could exhaust a retry budget
+    under sustained two-source ingest and die."""
+    paths = source_path if isinstance(source_path, (list, tuple)) \
+        else [source_path]
+
+    def _tail(p: str):
+        return (
+            spark.readStream.schema("version long")
+            .option("pathGlobFilter", "v*.json")
+            .option("ignoreMissingFiles", "true")
+            .json(os.path.join(p, "_snapshots"))
+        )
+
+    stream = _tail(paths[0])
+    for p in paths[1:]:
+        stream = stream.union(_tail(p))
 
     def _refresh(batch_df: DataFrame, batch_id: int) -> None:
         refresh_fn()
@@ -227,13 +242,13 @@ def start_join_view_refresh_stream(
     spark: SparkSession, view_path: str,
     checkpoint_dir: str | None = None,
 ):
-    """Continuous maintenance for a JOIN view: TWO manifest-tail streams
-    (one per source — a commit on either side must wake the refresh),
-    both driving the same cursor-derived refresh, so the at-least-once
-    batches compose into exactly-once view state just like the
-    single-source streams. Returns the [left, right] StreamingQuery
-    pair; stop both to stop maintenance. Checkpoints (when given) live
-    under ``<checkpoint_dir>/left`` and ``/right``."""
+    """Continuous maintenance for a JOIN view: ONE streaming query over
+    the UNION of both sources' manifest tails — a commit on either side
+    wakes the same cursor-derived refresh, and because there is a single
+    refresher there is no second always-on writer racing the OCC commit
+    (the retry wrapper still protects against MANUAL refreshers). The
+    at-least-once batches compose into exactly-once view state like the
+    single-source streams. Returns the StreamingQuery."""
     from ..sources import matview
 
     spec = matview._spec_jv(view_path)
@@ -241,11 +256,5 @@ def start_join_view_refresh_stream(
     def _go():
         matview.refresh_join_view_with_retry(spark, view_path)
 
-    return [
-        _start_view_refresh_stream(
-            spark, src, _go,
-            None if checkpoint_dir is None
-            else os.path.join(checkpoint_dir, side))
-        for side, src in (("left", spec["jv_left"]),
-                          ("right", spec["jv_right"]))
-    ]
+    return _start_view_refresh_stream(
+        spark, [spec["jv_left"], spec["jv_right"]], _go, checkpoint_dir)

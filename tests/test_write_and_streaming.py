@@ -1912,6 +1912,17 @@ class TestVersionedTable:
         assert keep0 == []
         empty = B.read_point_lookup(spark, t, "id", [999_999])
         assert empty.count() == 0 and empty.columns == ["id", "v"]
+        # value-shape normalization: a bare string is ONE value (never
+        # iterated per-character, which would probe "1","3" and
+        # false-prune), a set/scalar work; str(13) probes == 13's probes
+        ks, _ = B.bloom_surviving_segments(t, "id", "13")
+        kl, _ = B.bloom_surviving_segments(t, "id", [13])
+        assert ks == kl and ks != []
+        assert {r.id for r in
+                B.read_point_lookup(spark, t, "id", {8, 13}).collect()} \
+            == {8, 13}
+        assert {r.id for r in
+                B.read_point_lookup(spark, t, "id", 13).collect()} == {13}
         # delete vectors still apply through the pruned read
         V.delete_rows(spark, t, [8], "id")
         got2 = {r.id for r in
@@ -2061,8 +2072,9 @@ class TestVersionedTable:
         self, spark, tmp_path
     ):
         """A commit on EITHER source wakes the join view's maintenance
-        (two manifest-tail streams sharing the cursor-idempotent
-        refresh); final state equals the direct join+groupBy."""
+        (ONE streaming query over the union of both manifest tails — a
+        single refresher, so the two sources never race each other's OCC
+        commits); final state equals the direct join+groupBy."""
         from rclip_server_spark.sources import matview as MV
         from rclip_server_spark.sources import versioned as V
         from rclip_server_spark.streaming import sink
@@ -2079,7 +2091,7 @@ class TestVersionedTable:
         MV.create_join_view(spark, lt, rt, vw, on="ckey",
                             left_key="o_id", right_key="c_id",
                             group_cols=["seg"], sum_cols=["amount"])
-        qs = sink.start_join_view_refresh_stream(
+        q = sink.start_join_view_refresh_stream(
             spark, vw, checkpoint_dir=str(tmp_path / "cp"))
         try:
             V.append(spark, lt, mko([(2, 20, 7), (3, 10, 11)]))
@@ -2088,8 +2100,7 @@ class TestVersionedTable:
             import time as _time
             deadline = _time.time() + 60
             while _time.time() < deadline:
-                for q in qs:
-                    q.processAllAvailable()
+                q.processAllAvailable()
                 spec = MV._spec_jv(vw)
                 if (spec["jv_left_version"] == V.current_version(lt)
                         and spec["jv_right_version"]
@@ -2097,8 +2108,7 @@ class TestVersionedTable:
                     break
                 _time.sleep(0.3)
         finally:
-            for q in qs:
-                q.stop()
+            q.stop()
         got = sorted((r.seg, r.cnt, r.sum_amount) for r in
                      V.read(spark, vw)
                      .select("seg", "cnt", "sum_amount").collect())
