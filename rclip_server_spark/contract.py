@@ -5323,3 +5323,100 @@ _register(
     GROUP BY c_mktsegment
     """,
 )
+
+
+# ===========================================================================
+# TPC-H-style relational breadth, round 7: Q4 / Q19 / Q16 adaptations to the
+# fixture schema (no l_commitdate/l_receiptdate/p_container/partsupp — each
+# query keeps the ORIGINAL's plan shape: Q4 = EXISTS semi-join counted by
+# priority, Q19 = disjunctive multi-bracket join predicate, Q16 = distinct
+# suppliers per part-attribute group with a NOT-IN anti-subquery). Shared
+# SQL text runs on BOTH engines (spark.sql over registered views vs DuckDB),
+# the pure-SQL-surface rule of the sql_ family.
+# ===========================================================================
+
+_Q4_BODY = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+"""
+
+
+def _sql_q4_query(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4-style order-priority check (EXISTS → left-semi join,
+    counted per priority class; the fixture lacks commit/receipt dates so
+    'late line item' is l_shipdate > o_orderdate — same semi-join plan)."""
+    from .sources.catalog import register_views
+
+    _utc(spark)
+    register_views(spark, sf)
+    return spark.sql(_Q4_BODY)
+
+
+_register("sql_q4_order_priority", _sql_q4_query, _Q4_BODY)
+
+
+_Q19_BODY = """
+    SELECT CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+"""
+
+
+def _sql_q19_query(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19-style discounted-revenue over a DISJUNCTIVE bracket
+    predicate spanning both join sides — the optimizer stress: the
+    common p_partkey equi-join must stay a hash join with the OR-bracket
+    as a post-join filter (plus pushable per-side conjuncts), never a
+    nested loop."""
+    from .sources.catalog import register_views
+
+    _utc(spark)
+    register_views(spark, sf)
+    return spark.sql(_Q19_BODY)
+
+
+_register("sql_q19_bracket_revenue", _sql_q19_query, _Q19_BODY)
+
+
+_Q16_BODY = """
+    SELECT p.p_brand, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_size
+"""
+
+
+def _sql_q16_query(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16-style supplier-variety count: DISTINCT aggregation per
+    part attribute group with a NOT-IN anti-subquery (null-aware anti
+    join) — lineitem stands in for partsupp as the part↔supplier
+    relation, keeping Q16's plan shape (join → anti-join → distinct
+    count) on the fixture schema."""
+    from .sources.catalog import register_views
+
+    _utc(spark)
+    register_views(spark, sf)
+    return spark.sql(_Q16_BODY)
+
+
+_register("sql_q16_supplier_variety", _sql_q16_query, _Q16_BODY)
