@@ -1402,8 +1402,9 @@ _PRIORITY = [
     # float64 vs Spark int64, oracle now casts to BIGINT and the local
     # checker is dtype-strict), the 5-row r6 rotation backlog (registered
     # outside the r6 window, locally oracle-exact, never driver-verified),
-    # and the 2 NEW r7 rows (Bloom-pruned point lookup, incremental join
-    # view) — restoring cumulative driver coverage to 100% of registered
+    # and the NEW r7 rows (Bloom-pruned point lookup, incremental join
+    # view, view-over-view composition via the multiset CDC diff) —
+    # restoring cumulative driver coverage to 100% of registered
     # oracle rows; the remaining 22 slots re-confirm bench headliners
     # (incl. dedup_containment, whose self-join was touched this round)
     # and one row per LLM-pipeline family. Everything rotated out is
@@ -1436,7 +1437,7 @@ _PRIORITY = [
     "ev_time_bucket_rollup", "ev_asof_tolerance", "sql_q3_shipping_priority",
     "sql_q18_large_orders", "sql_exists_correlated",
     "vt_delete_vector_read", "vt_agg_view_refresh", "vt_snapshot_diff_cdc",
-    "text_pii_redaction",
+    "vt_view_composition",
 ]
 
 
@@ -5420,3 +5421,74 @@ def _sql_q16_query(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _register("sql_q16_supplier_variety", _sql_q16_query, _Q16_BODY)
+
+
+def _vt_compose_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .sources import matview as MV
+    from .sources import versioned as VT
+
+    tv, av = path + "_toks", path + "_agg"
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+
+    def toks(df):
+        return df.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok"))
+
+    VT.create(spark, path, docs.where(F.col("doc_id") % 3 != 2))
+    MV.create_transform_view(spark, path, tv, key="doc_id",
+                             transform=toks, name="toks-v1")
+    MV.create_agg_view(spark, tv, av, key="doc_id", group_cols=["tok"])
+    # append-only hop through both views
+    VT.append(spark, path, docs.where(F.col("doc_id") % 3 == 2))
+    MV.refresh_transform_view(spark, tv, toks, "toks-v1")
+    MV.refresh_agg_view(spark, av)
+    # rewrite: every %5 doc's tokens REPLACED (the transform view commits
+    # delete_and_append; the agg view must consume that rewrite through
+    # the MULTISET diff — the view's key repeats per token row)
+    VT.upsert(spark, path,
+              docs.where(F.col("doc_id") % 5 == 0).select(
+                  "doc_id",
+                  F.concat(F.lit("upd t"),
+                           (F.col("doc_id") % 4).cast("string"))
+                  .alias("text")),
+              "doc_id")
+    MV.refresh_transform_view(spark, tv, toks, "toks-v1")
+    MV.refresh_agg_view(spark, av)
+    # retraction with per-doc duplicate tokens retracting by multiplicity
+    VT.delete_rows(
+        spark, path,
+        docs.where(F.col("doc_id") % 7 == 0).select("doc_id"), "doc_id")
+    MV.refresh_transform_view(spark, tv, toks, "toks-v1")
+    MV.refresh_agg_view(spark, av)
+
+
+def _vt_view_composition(spark: SparkSession, sf: str) -> DataFrame:
+    """VIEWS COMPOSE: token-count agg view maintained OVER a flatMap
+    transform view (one doc → many token rows, key repeating), advanced
+    through an append, a text-rewriting upsert, and a delete — three
+    incremental hops on each of two view layers, no recompute anywhere.
+    The rewrite hop exercises table_changes_multiset (full-row
+    multiplicity diff): the keyed diff would over-count replaced tokens.
+    Oracle: the composed state equals token counts over the FINAL
+    corpus, straight SQL."""
+    from .sources import matview as MV
+
+    path = _vt_build(spark, sf, "compose", _vt_compose_builder)
+    return MV.read_agg_view(spark, path + "_agg").select(
+        "tok", F.col("cnt").cast("long").alias("cnt"))
+
+
+_register(
+    "vt_view_composition",
+    _vt_view_composition,
+    """
+    WITH final AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN 'upd t' || CAST(doc_id % 4 AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 7 <> 0),
+    toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM final)
+    SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+    """,
+)

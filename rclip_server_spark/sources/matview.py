@@ -8,18 +8,20 @@ Delta Live Tables / Materialize: the view is itself a versioned table
 whose manifest records a refresh CURSOR (`mv_source_version`), and each
 refresh:
 
-1. reads ``table_changes(source, from=cursor, to=head,
-   include_preimage=True)`` — O(new segments) when the interval is
-   append-only (the common ingest case), a key-shuffled snapshot diff
-   when the interval rewrote data (the honest cost, documented on
-   table_changes);
-2. folds the change rows into SIGNED deltas — +1·row for insert /
-   update_postimage, −1·row for delete / update_preimage — and
-   aggregates them to per-group (count, sums). Retraction via
-   pre-images is exactly why additive aggregates (COUNT, SUM) refresh
-   incrementally; MIN/MAX are not retractable and are deliberately
-   unsupported (a dropped maximum needs a rescan of its group — run a
-   recompute view for those);
+1. reads the change feed since the cursor — O(new segments) when the
+   interval is append-only (the common ingest case); a rewriting
+   interval diffs snapshots (the honest cost): the ADDITIVE consumers
+   (agg/top-k/join views) use ``table_changes_multiset`` (full-row
+   multiplicities — no unique-key assumption, which is what lets a view
+   consume ANOTHER view), the transform view the keyed
+   ``table_changes(include_preimage=True)`` (its delete-by-key
+   maintenance needs per-key pairing);
+2. folds the change rows into SIGNED deltas — +1·row for inserting
+   change types, −1·row for retracting ones — and aggregates them to
+   per-group (count, sums). Retraction is exactly why additive
+   aggregates (COUNT, SUM) refresh incrementally; MIN/MAX are not
+   additively retractable — a refresh whose interval retracts rows from
+   a group recomputes that group from the pinned source snapshot;
 3. merges the delta groups into the current view state with ONE
    null-safe full-outer join on the group keys (group cardinality sized,
    not data sized) and commits the merged state as the view's next
@@ -213,16 +215,29 @@ def _refresh_with_retry(refresh, max_retries: int):
     raise AssertionError("unreachable")
 
 
-def _changes_since_cursor(spark, src, v_from, v_to, key):
+def _changes_since_cursor(spark, src, v_from, v_to, key, multiset=False):
     """The view's change feed, with a clear failure when the SOURCE was
     vacuumed past the cursor: table_changes needs the manifests back to
     v_from, and a generic FileNotFoundError would send the operator
     digging — name the actual contract instead (retain source manifests
     at least as long as the view's refresh cadence, the same
-    checkpoint-vs-vacuum pairing as streaming)."""
+    checkpoint-vs-vacuum pairing as streaming).
+
+    ``multiset=True`` (the additive consumers: agg/top-k/join views)
+    diffs rewriting intervals by FULL-ROW multiplicity instead of by
+    key, so the source needs no unique row key — which is what lets a
+    view consume ANOTHER VIEW (e.g. an agg view over a flatMap-style
+    transform view whose key repeats per output row; the keyed diff
+    would pair old×new rows per key and over-count). The transform view
+    itself keeps the keyed diff: its delete-vector-by-key + reinsert
+    maintenance needs per-key pairing, and its own source contract
+    already requires a unique key."""
     import os as _os
 
     try:
+        if multiset:
+            return V.table_changes_multiset(spark, src, from_version=v_from,
+                                            to_version=v_to)
         return V.table_changes(spark, src, from_version=v_from,
                                to_version=v_to, key=key,
                                include_preimage=True)
@@ -299,7 +314,8 @@ def refresh_agg_view(spark: SparkSession, view_path: str) -> int:
     v_to = V.current_version(src)
     if v_to == v_from:
         return view_v
-    ch = _changes_since_cursor(spark, src, v_from, v_to, m["mv_key"])
+    ch = _changes_since_cursor(spark, src, v_from, v_to, m["mv_key"],
+                               multiset=True)
     new_extra = {"app": {
         "mv_source": src, "mv_key": m["mv_key"],
         "mv_group_cols": group_cols, "mv_sum_cols": sum_cols,
@@ -594,7 +610,8 @@ def refresh_topk_view(spark: SparkSession, view_path: str) -> int:
     v_to = V.current_version(src)
     if v_to == v_from:
         return view_v
-    ch = _changes_since_cursor(spark, src, v_from, v_to, key).persist()
+    ch = _changes_since_cursor(spark, src, v_from, v_to, key,
+                               multiset=True).persist()
     try:
         new_app = dict(spec) | {"kv_source_version": v_to}
         ret_groups = _hint_ret_groups(
@@ -800,7 +817,8 @@ def refresh_join_view(spark: SparkSession, view_path: str) -> int:
     try:
         if l_to > l_from:
             ch_l = _changes_since_cursor(
-                spark, lsrc, l_from, l_to, spec["jv_left_key"]).persist()
+                spark, lsrc, l_from, l_to, spec["jv_left_key"],
+                multiset=True).persist()
             persisted.append(ch_l)
             r_old = _prune_to_delta_keys(
                 _read_source(spark, rsrc, r_from), ch_l, on,
@@ -809,7 +827,8 @@ def refresh_join_view(spark: SparkSession, view_path: str) -> int:
                                      sum_cols, sign=_signed_change()))
         if r_to > r_from:
             ch_r = _changes_since_cursor(
-                spark, rsrc, r_from, r_to, spec["jv_right_key"]).persist()
+                spark, rsrc, r_from, r_to, spec["jv_right_key"],
+                multiset=True).persist()
             persisted.append(ch_r)
             l_new = _prune_to_delta_keys(
                 _read_source(spark, lsrc, l_to), ch_r, on,

@@ -1281,6 +1281,138 @@ def append_bucketed_exactly_once(
     return v + 1
 
 
+def _changes_fast_path(
+    spark: SparkSession, path: str, from_version: int,
+    to_version: int | None,
+):
+    """Shared interval header for the CDC readers: validates the
+    interval, and when every commit in it is an append returns the
+    O(delta) change frame (the new segments' rows as inserts — zero
+    touch of pre-existing data). Returns (frame_or_None, from_v, to_v,
+    ops)."""
+    import pyspark.sql.functions as F
+
+    head = current_version(path)
+    to_v = head if to_version is None else int(to_version)
+    from_v = int(from_version)
+    if not 0 < from_v <= to_v <= head:
+        raise ValueError(f"need 0 < from {from_v} <= to {to_v} <= head {head}")
+    if from_v == to_v:
+        raise ValueError("empty interval: from_version == to_version")
+    ops, new_segs = [], []
+    for v in range(from_v + 1, to_v + 1):
+        m = _manifest(path, v)
+        parent = _manifest(path, v - 1)
+        ops.append(m["op"])
+        new_segs.extend(sorted(_manifest_segments(m) - _manifest_segments(parent)))
+    if not all(op in APPEND_OPS for op in ops):
+        return None, from_v, to_v, ops
+    if not new_segs:
+        m_to = _manifest(path, to_v)
+        base = read(spark, path, to_v) if m_to.get("segments") is not None \
+            else read_bucketed(spark, path, to_v)
+        return (base.limit(0).withColumn("_change_type", F.lit("insert")),
+                from_v, to_v, ops)
+    dirs = [os.path.join(path, s) for s in new_segs]
+    return (
+        spark.read.option("mergeSchema", "true").parquet(*dirs)
+        .withColumn("_change_type", F.lit("insert")),
+        from_v, to_v, ops,
+    )
+
+
+def _aligned_snapshots(
+    spark: SparkSession, path: str, from_v: int, to_v: int,
+):
+    """The two snapshots of a rewriting interval, aligned to the UNION of
+    their columns (schema evolution between the versions: a column absent
+    on one side reads as NULL there, exactly how mergeSchema treats old
+    segments) — without this a column added or dropped between the
+    versions makes downstream struct projections fail on the side that
+    lacks it. Returns (old, new, cols)."""
+    import pyspark.sql.functions as F
+
+    def _snap(v):
+        m = _manifest(path, v)
+        return read_bucketed(spark, path, v) if "buckets" in m \
+            else read(spark, path, v)
+
+    old, new = _snap(from_v), _snap(to_v)
+    old_t = {f.name: f.dataType for f in old.schema.fields}
+    new_t = {f.name: f.dataType for f in new.schema.fields}
+    cols = list(new.columns) + [c for c in old.columns if c not in new_t]
+    for c in cols:
+        if c not in old_t:
+            old = old.withColumn(c, F.lit(None).cast(new_t[c]))
+        if c not in new_t:
+            new = new.withColumn(c, F.lit(None).cast(old_t[c]))
+    return old, new, cols
+
+
+def table_changes_multiset(
+    spark: SparkSession, path: str, from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """MULTISET CDC read: the signed difference of two snapshots as
+    insert/delete rows with EXACT multiplicities — the change feed for
+    ADDITIVE consumers when the table has no unique row key. A
+    flatMap-style transform view repeats its key (one doc → many token/
+    signature rows), so table_changes' key-join snapshot diff would pair
+    every old row of a key with every new row and over-count; this diff
+    groups by the FULL row instead (groupBy treats NULLs as equal —
+    exactly multiset semantics): a row whose old multiplicity is m and
+    new multiplicity is n emits |n−m| change rows, ``insert`` when n>m,
+    ``delete`` when m>n. Updates therefore appear as delete+insert,
+    which aggregates identically under signed-delta consumption
+    (+insert/−delete) — consumers needing pre/post PAIRING (the
+    transform view's delete-then-reinsert by key) keep the keyed diff
+    and its unique-key contract.
+
+    Append-only intervals take the same O(new segments) fast path as
+    table_changes. The rewrite cost is one full-row hash-agg per
+    snapshot plus a null-safe full-outer join on the row values —
+    the same one-shuffle altitude as the keyed diff, on wider keys.
+    This is what makes VIEWS COMPOSE: a view is a versioned table, so a
+    downstream agg view can tail any upstream view's commits without
+    assuming row identity."""
+    import pyspark.sql.functions as F
+
+    fast, from_v, to_v, _ops = _changes_fast_path(
+        spark, path, from_version, to_version)
+    if fast is not None:
+        return fast
+    old, new, cols = _aligned_snapshots(spark, path, from_v, to_v)
+    oc = old.groupBy(*cols).agg(F.count(F.lit(1)).alias("_m")).alias("o")
+    nc = new.groupBy(*cols).agg(F.count(F.lit(1)).alias("_n")).alias("n")
+    cond = None
+    for c in cols:
+        eq = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        cond = eq if cond is None else cond & eq
+    j = oc.join(nc, cond, "full_outer")
+    m_cnt = F.coalesce(F.col("o._m"), F.lit(0))
+    n_cnt = F.coalesce(F.col("n._n"), F.lit(0))
+    delta = n_cnt - m_cnt
+    # values come from whichever side EXISTS (coalesce of the column
+    # values would be wrong: a legitimately-NULL value on the present
+    # side must not fall through to the absent side's column)
+    vals = [
+        F.when(F.col("o._m").isNotNull(), F.col(f"o.{c}"))
+         .otherwise(F.col(f"n.{c}")).alias(c)
+        for c in cols
+    ]
+    return (
+        j.where(delta != 0)
+        .select(
+            *vals,
+            F.when(delta > 0, F.lit("insert")).otherwise(F.lit("delete"))
+             .alias("_change_type"),
+            F.abs(delta).alias("_mult"),
+        )
+        .withColumn("_i", F.explode(F.sequence(F.lit(1), F.col("_mult"))))
+        .drop("_mult", "_i")
+    )
+
+
 def table_changes(
     spark: SparkSession, path: str, from_version: int,
     to_version: int | None = None, key: str | None = None,
@@ -1322,56 +1454,17 @@ def table_changes(
     compares delete-filtered snapshots, reflects vectors exactly)."""
     import pyspark.sql.functions as F
 
-    head = current_version(path)
-    to_v = head if to_version is None else int(to_version)
-    from_v = int(from_version)
-    if not 0 < from_v <= to_v <= head:
-        raise ValueError(f"need 0 < from {from_v} <= to {to_v} <= head {head}")
-    if from_v == to_v:
-        raise ValueError("empty interval: from_version == to_version")
-    ops, new_segs = [], []
-    for v in range(from_v + 1, to_v + 1):
-        m = _manifest(path, v)
-        parent = _manifest(path, v - 1)
-        ops.append(m["op"])
-        new_segs.extend(sorted(_manifest_segments(m) - _manifest_segments(parent)))
-    if all(op in APPEND_OPS for op in ops):
-        if not new_segs:
-            m_to = _manifest(path, to_v)
-            base = read(spark, path, to_v) if m_to.get("segments") is not None \
-                else read_bucketed(spark, path, to_v)
-            return base.limit(0).withColumn("_change_type", F.lit("insert"))
-        dirs = [os.path.join(path, s) for s in new_segs]
-        return (
-            spark.read.option("mergeSchema", "true").parquet(*dirs)
-            .withColumn("_change_type", F.lit("insert"))
-        )
+    fast, from_v, to_v, ops = _changes_fast_path(
+        spark, path, from_version, to_version)
+    if fast is not None:
+        return fast
     if key is None:
         raise ValueError(
             f"interval v{from_v}..v{to_v} contains non-append commits "
             f"({sorted(set(ops))}); a key column is required for the "
             f"snapshot-diff path"
         )
-
-    def _snap(v):
-        m = _manifest(path, v)
-        return read_bucketed(spark, path, v) if "buckets" in m \
-            else read(spark, path, v)
-
-    old, new = _snap(from_v), _snap(to_v)
-    # schema evolution between the snapshots: align both sides to the
-    # UNION of columns (a column absent on one side reads as NULL there,
-    # exactly how mergeSchema treats old segments) — without this, a
-    # column added or dropped between the versions makes the struct
-    # projection fail on the side that lacks it
-    old_t = {f.name: f.dataType for f in old.schema.fields}
-    new_t = {f.name: f.dataType for f in new.schema.fields}
-    cols = list(new.columns) + [c for c in old.columns if c not in new_t]
-    for c in cols:
-        if c not in old_t:
-            old = old.withColumn(c, F.lit(None).cast(new_t[c]))
-        if c not in new_t:
-            new = new.withColumn(c, F.lit(None).cast(old_t[c]))
+    old, new, cols = _aligned_snapshots(spark, path, from_v, to_v)
     payload = [c for c in cols if c != key]
     def _h(df):
         return df.select(

@@ -2036,6 +2036,91 @@ class TestVersionedTable:
         assert spec["jv_left_version"] == V.current_version(lt)
         assert spec["jv_right_version"] == V.current_version(rt)
 
+    def test_views_compose_agg_over_transform_view(self, spark, tmp_path):
+        """VIEWS COMPOSE: an agg view whose SOURCE is a flatMap-style
+        transform view (key repeats per output row — one doc, many
+        tokens). The transform view's rewrites reach the agg view through
+        the MULTISET snapshot diff (full-row multiplicities); the keyed
+        diff would pair old×new rows per key and over-count (the exact
+        bug this test pins: upserting doc 1 from 'a b' to 'z' must yield
+        cnt('z') == 1, not 2)."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "src")
+        tv = str(tmp_path / "tview")
+        av = str(tmp_path / "aview")
+        mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+
+        def toks(df):
+            return df.select(
+                "doc_id", F.explode(F.split("text", " ")).alias("tok"))
+
+        V.create(spark, t, mk([(1, "a b"), (2, "c d e")]))
+        MV.create_transform_view(spark, t, tv, key="doc_id",
+                                 transform=toks, name="toks-v1")
+        MV.create_agg_view(spark, tv, av, key="doc_id", group_cols=["tok"])
+
+        def check():
+            got = sorted((r.tok, r.cnt) for r in
+                         MV.read_agg_view(spark, av).collect())
+            want = sorted((r.tok, r.cnt) for r in
+                          toks(V.read(spark, t)).groupBy("tok").agg(
+                              F.count(F.lit(1)).alias("cnt")).collect())
+            assert got == want, (got, want)
+
+        # append with duplicate tokens inside one doc ('a a f')
+        V.append(spark, t, mk([(3, "a a f")]))
+        MV.refresh_transform_view(spark, tv, toks, "toks-v1")
+        MV.refresh_agg_view(spark, av)
+        check()
+        # upsert: doc 1's two token rows REPLACED by one — the keyed diff
+        # would emit 'z' twice here
+        V.upsert(spark, t, mk([(1, "z")]), "doc_id")
+        MV.refresh_transform_view(spark, tv, toks, "toks-v1")
+        MV.refresh_agg_view(spark, av)
+        check()
+        assert {r.cnt for r in MV.read_agg_view(spark, av).collect()
+                if r.tok == "z"} == {1}
+        # delete: doc 3's duplicate-token rows retract with multiplicity
+        V.delete_rows(spark, t, [3], "doc_id")
+        MV.refresh_transform_view(spark, tv, toks, "toks-v1")
+        MV.refresh_agg_view(spark, av)
+        check()
+        assert "a" not in {r.tok for r in
+                           MV.read_agg_view(spark, av).collect()}
+
+    def test_table_changes_multiset_exact_multiplicities(
+        self, spark, tmp_path
+    ):
+        """The multiset CDC read emits |Δcount| rows per distinct full
+        row: duplicates retract with multiplicity, NULL-valued rows group
+        null-safely, and append-only intervals still take the insert
+        fast path."""
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "v")
+        mk = lambda rows: spark.createDataFrame(rows, "id long, val string")
+        V.create(spark, t, mk([(1, "x"), (1, "x"), (1, "x"),
+                               (2, None), (3, "y")]))
+        # append-only interval: pure inserts (fast path)
+        V.append(spark, t, mk([(4, "w")]))
+        ch = V.table_changes_multiset(spark, t, from_version=1)
+        assert [(r.id, r.val, r._change_type) for r in ch.collect()] == \
+            [(4, "w", "insert")]
+        # rewrite: (1,x) 3 -> 1 copies (2 deletes), (2,NULL) stays
+        # (no change row), (3,y) -> (3,Y) (delete+insert), (4,w) gone,
+        # (5,z) new
+        V.overwrite(spark, t, mk([(1, "x"), (2, None), (3, "Y"),
+                                  (5, "z")]))
+        ch2 = V.table_changes_multiset(spark, t, from_version=2)
+        got = sorted((r.id, r.val, r._change_type) for r in ch2.collect())
+        assert got == [
+            (1, "x", "delete"), (1, "x", "delete"),
+            (3, "Y", "insert"), (3, "y", "delete"),
+            (4, "w", "delete"), (5, "z", "insert"),
+        ], got
+
     def test_join_view_create_validation(self, spark, tmp_path):
         """Create-time guards: overlapping non-join column names, missing
         join column, non-integral sum columns, unknown group columns."""
