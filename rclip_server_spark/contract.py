@@ -5275,7 +5275,8 @@ def _vt_jv_builder(spark: SparkSession, sf: str, path: str) -> None:
     MV.create_join_view(spark, path, rpath, view, on="custkey",
                         left_key="o_orderkey", right_key="c_custkey",
                         group_cols=["c_mktsegment"],
-                        sum_cols=["price_cents"])
+                        sum_cols=["price_cents"],
+                        minmax_cols=["price_cents"])
     # left append: fast-path ΔL ⋈ R_old term
     VT.append(spark, path, orders.where(F.col("o_orderkey") % 4 == 3))
     MV.refresh_join_view(spark, view)
@@ -5292,7 +5293,8 @@ def _vt_jv_builder(spark: SparkSession, sf: str, path: str) -> None:
 def _vt_join_view_refresh(spark: SparkSession, sf: str) -> DataFrame:
     """Incrementally-maintained JOIN view (matview.create_join_view /
     refresh_join_view, signed delta rule ΔL⋈R_old + L_new⋈ΔR with two
-    cursors): advanced through a left append and a right
+    cursors; MIN/MAX via the two-tier affected-group recompute over the
+    pinned join): advanced through a left append and a right
     delete+append rewrite interval, then read — the oracle checks it
     equals the direct join+groupBy of the two FINAL sources. The
     reference has no join maintenance at all (single-table app); this is
@@ -5303,7 +5305,9 @@ def _vt_join_view_refresh(spark: SparkSession, sf: str) -> DataFrame:
     path = _vt_build(spark, sf, "jv", _vt_jv_builder)
     return VT.read(spark, path + "_view").select(
         "c_mktsegment", F.col("cnt").cast("long").alias("cnt"),
-        F.col("sum_price_cents").cast("long").alias("sum_price_cents"))
+        F.col("sum_price_cents").cast("long").alias("sum_price_cents"),
+        F.col("min_price_cents").cast("long").alias("min_price_cents"),
+        F.col("max_price_cents").cast("long").alias("max_price_cents"))
 
 
 _register(
@@ -5319,7 +5323,9 @@ _register(
              CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
       FROM orders)
     SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
-           CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
+           CAST(sum(price_cents) AS BIGINT) AS sum_price_cents,
+           CAST(min(price_cents) AS BIGINT) AS min_price_cents,
+           CAST(max(price_cents) AS BIGINT) AS max_price_cents
     FROM l JOIN r USING (custkey)
     GROUP BY c_mktsegment
     """,

@@ -175,6 +175,22 @@ def _merge_additive(base: DataFrame, delta: DataFrame,
     return out.select(*sel, *extra_vals)
 
 
+def _mm_merge_vals(minmax_cols: list[str]) -> list:
+    """Monotone min/max merge columns for _merge_additive's extra_vals
+    (a/d = base/delta aliases): least/greatest skip NULLs, so a side
+    with no row merges cleanly. Only valid for groups with NO
+    retraction in the interval — retracted groups must recompute."""
+    vals = []
+    for c in minmax_cols:
+        vals += [
+            F.least(F.col(f"a.min_{c}"), F.col(f"d.min_{c}"))
+             .alias(f"min_{c}"),
+            F.greatest(F.col(f"a.max_{c}"), F.col(f"d.max_{c}"))
+             .alias(f"max_{c}"),
+        ]
+    return vals
+
+
 def _signed_change() -> "F.Column":
     """±1 multiplicity of a CDC row: +1 for insert/update_postimage,
     −1 for delete/update_preimage."""
@@ -364,15 +380,7 @@ def _refresh_minmax(spark, view_path, view_v, ch, src, v_from, v_to,
 
     ins_delta = _minus_affected(_aggregate(ins, group_cols, sum_cols,
                                            minmax_cols))
-    mm_vals = []
-    for c in minmax_cols:
-        # least/greatest skip NULLs, so a side with no row merges cleanly
-        mm_vals += [
-            F.least(F.col(f"a.min_{c}"), F.col(f"d.min_{c}"))
-             .alias(f"min_{c}"),
-            F.greatest(F.col(f"a.max_{c}"), F.col(f"d.max_{c}"))
-             .alias(f"max_{c}"),
-        ]
+    mm_vals = _mm_merge_vals(minmax_cols)
     merged = (
         _merge_additive(_minus_affected(cur), ins_delta, group_cols,
                         sum_cols, mm_vals)
@@ -722,20 +730,25 @@ def create_join_view(
     spark: SparkSession, left_path: str, right_path: str, view_path: str,
     on: str, left_key: str, right_key: str,
     group_cols: list[str], sum_cols: list[str] | None = None,
+    minmax_cols: list[str] | None = None,
 ) -> int:
-    """Materialize ``SELECT group_cols, COUNT(*) cnt, SUM(c) sum_c ...
-    FROM left JOIN right USING (on) GROUP BY group_cols`` over the two
-    sources' heads, recording BOTH cursors in the view manifest — the
-    two-source extension of create_agg_view (the Materialize /
-    DBSP-style incremental join, maintained by the signed delta rule;
-    see refresh_join_view). ``on`` is the equi-join column, present in
-    both sources; every other column name must be unique across the two
-    schemas (no qualifier syntax in view specs). ``left_key`` /
-    ``right_key`` are each source's row identity for rewriting-interval
-    CDC. Additive aggregates only (COUNT + BIGINT-exact SUMs with
-    nn_* null counters); MIN/MAX over a join is not retractable without
-    per-group rescans of the JOIN — run a recompute for those."""
+    """Materialize ``SELECT group_cols, COUNT(*) cnt, SUM(c) sum_c,
+    MIN/MAX(m) ... FROM left JOIN right USING (on) GROUP BY group_cols``
+    over the two sources' heads, recording BOTH cursors in the view
+    manifest — the two-source extension of create_agg_view (the
+    Materialize / DBSP-style incremental join, maintained by the signed
+    delta rule; see refresh_join_view). ``on`` is the equi-join column,
+    present in both sources; every other column name must be unique
+    across the two schemas (no qualifier syntax in view specs).
+    ``left_key`` / ``right_key`` are each source's row identity for
+    rewriting-interval CDC. COUNT/SUMs are additively retractable
+    (BIGINT-exact with nn_* null counters); ``minmax_cols`` adds
+    min_/max_ columns maintained by the agg view's two-tier strategy —
+    insert-only groups merge monotonically, groups hit by a retracting
+    PAIR recompute from the pinned L⋈R at the new cursors, restricted by
+    a semi-join on the affected group keys."""
     sum_cols = list(sum_cols or [])
+    minmax_cols = list(minmax_cols or [])
     group_cols = list(group_cols)
     l_v = V.current_version(left_path)
     r_v = V.current_version(right_path)
@@ -753,14 +766,17 @@ def create_join_view(
     types = {f.name: f.dataType.simpleString()
              for f in l_df.schema.fields + r_df.schema.fields}
     _check_sum_cols_integral(sum_cols, types)
-    missing = [c for c in group_cols + sum_cols if c not in types]
+    missing = [c for c in group_cols + sum_cols + minmax_cols
+               if c not in types]
     if missing:
         raise ValueError(f"columns not in either source schema: {missing}")
-    state = _aggregate(l_df.join(r_df, on), group_cols, sum_cols)
+    state = _aggregate(l_df.join(r_df, on), group_cols, sum_cols,
+                       minmax_cols)
     return V.create(spark, view_path, state, extra={"app": {
         "jv_left": left_path, "jv_right": right_path, "jv_on": on,
         "jv_left_key": left_key, "jv_right_key": right_key,
         "jv_group_cols": group_cols, "jv_sum_cols": sum_cols,
+        "jv_minmax_cols": minmax_cols,
         "jv_left_version": l_v, "jv_right_version": r_v,
     }})
 
@@ -807,13 +823,14 @@ def refresh_join_view(spark: SparkSession, view_path: str) -> int:
     lsrc, rsrc, on = spec["jv_left"], spec["jv_right"], spec["jv_on"]
     group_cols = list(spec["jv_group_cols"])
     sum_cols = list(spec["jv_sum_cols"])
+    minmax_cols = list(spec.get("jv_minmax_cols", []))
     l_from, r_from = int(spec["jv_left_version"]), int(spec["jv_right_version"])
     l_to, r_to = V.current_version(lsrc), V.current_version(rsrc)
     if l_to == l_from and r_to == r_from:
         return view_v
     new_extra = {"app": dict(spec) | {"jv_left_version": l_to,
                                       "jv_right_version": r_to}}
-    deltas, persisted = [], []
+    pair_frames, persisted, ret_bound = [], [], 0
     try:
         if l_to > l_from:
             ch_l = _changes_since_cursor(
@@ -823,8 +840,8 @@ def refresh_join_view(spark: SparkSession, view_path: str) -> int:
             r_old = _prune_to_delta_keys(
                 _read_source(spark, rsrc, r_from), ch_l, on,
                 lsrc, l_from, l_to)
-            deltas.append(_aggregate(ch_l.join(r_old, on), group_cols,
-                                     sum_cols, sign=_signed_change()))
+            pair_frames.append(ch_l.join(r_old, on))
+            ret_bound += _change_bound(lsrc, l_from, l_to)
         if r_to > r_from:
             ch_r = _changes_since_cursor(
                 spark, rsrc, r_from, r_to, spec["jv_right_key"],
@@ -833,17 +850,84 @@ def refresh_join_view(spark: SparkSession, view_path: str) -> int:
             l_new = _prune_to_delta_keys(
                 _read_source(spark, lsrc, l_to), ch_r, on,
                 rsrc, r_from, r_to)
-            deltas.append(_aggregate(l_new.join(ch_r, on), group_cols,
-                                     sum_cols, sign=_signed_change()))
-        merged = V.read(spark, view_path, view_v)
-        for d in deltas:
-            merged = _merge_additive(merged, d, group_cols, sum_cols)
-        merged = merged.where(F.col("cnt") > 0)
-        return V.overwrite(spark, view_path, merged, extra=new_extra,
-                           parent_version=view_v)
+            pair_frames.append(l_new.join(ch_r, on))
+            ret_bound += _change_bound(rsrc, r_from, r_to)
+        cur = V.read(spark, view_path, view_v)
+        if not minmax_cols:
+            merged = cur
+            for p in pair_frames:
+                merged = _merge_additive(
+                    merged,
+                    _aggregate(p, group_cols, sum_cols,
+                               sign=_signed_change()),
+                    group_cols, sum_cols)
+            merged = merged.where(F.col("cnt") > 0)
+            return V.overwrite(spark, view_path, merged, extra=new_extra,
+                               parent_version=view_v)
+        return _refresh_join_minmax(
+            spark, view_path, view_v, pair_frames, persisted, cur,
+            lsrc, rsrc, on, l_to, r_to, group_cols, sum_cols,
+            minmax_cols, ret_bound, new_extra)
     finally:
         for df in persisted:
             df.unpersist()
+
+
+def _refresh_join_minmax(spark, view_path, view_v, pair_frames, persisted,
+                         cur, lsrc, rsrc, on, l_to, r_to, group_cols,
+                         sum_cols, minmax_cols, ret_bound, new_extra):
+    """The join view's non-retractable tier — the agg view's two-tier
+    strategy lifted to PAIR level: any retracting delta pair marks its
+    group affected (this is exhaustive — a term-1 pair built against a
+    pre-state right row is always mirrored by a term-2 retracting pair
+    for the same (left-row, right-row) combination, because L_new
+    contains the left row and ΔR retracts the right row — so a stale
+    monotone candidate can never land in an unaffected group); affected
+    groups recompute from the PINNED L⋈R at the new cursors behind a
+    size-guarded semi-join; insert-only groups merge monotonically."""
+    pairs = pair_frames[0]
+    for p in pair_frames[1:]:
+        pairs = pairs.unionByName(p)
+    pairs = pairs.persist()  # feeds ret_groups, ins, and two anti-joins
+    persisted.append(pairs)
+    ret_groups = (
+        pairs.where(F.col("_change_type").isin(*_RETRACTING))
+        .select(*group_cols).distinct()
+    )
+    if ret_bound <= _BROADCAST_RET_BOUND_ROWS:
+        ret_groups = F.broadcast(ret_groups)
+    ins = pairs.where(F.col("_change_type").isin(*_INSERTING))
+
+    def _minus_affected(df: DataFrame) -> DataFrame:
+        return _minus_groups(df, ret_groups, group_cols)
+
+    # DETERMINISTIC skip of the retraction tier: the common ingest
+    # refresh must never plan a two-snapshot join scan
+    n_ret = pairs.where(
+        F.col("_change_type").isin(*_RETRACTING)).limit(1).count()
+    if not n_ret:
+        merged = _merge_additive(
+            cur, _aggregate(ins, group_cols, sum_cols, minmax_cols),
+            group_cols, sum_cols, _mm_merge_vals(minmax_cols)
+        ).where(F.col("cnt") > 0)
+        return V.overwrite(spark, view_path, merged, extra=new_extra,
+                           parent_version=view_v)
+    joined_at = _read_source(spark, lsrc, l_to).join(
+        _read_source(spark, rsrc, r_to), on).alias("s")
+    recomp = _aggregate(
+        joined_at.join(ret_groups.alias("g"),
+                       _nullsafe_cond("s", "g", group_cols), "left_semi"),
+        group_cols, sum_cols, minmax_cols)
+    ins_delta = _minus_affected(_aggregate(ins, group_cols, sum_cols,
+                                           minmax_cols))
+    merged = (
+        _merge_additive(_minus_affected(cur), ins_delta, group_cols,
+                        sum_cols, _mm_merge_vals(minmax_cols))
+        .unionByName(recomp)
+        .where(F.col("cnt") > 0)
+    )
+    return V.overwrite(spark, view_path, merged, extra=new_extra,
+                       parent_version=view_v)
 
 
 def refresh_join_view_with_retry(

@@ -2036,6 +2036,76 @@ class TestVersionedTable:
         assert spec["jv_left_version"] == V.current_version(lt)
         assert spec["jv_right_version"] == V.current_version(rt)
 
+    def test_join_view_minmax_recompute_affected_groups(
+        self, spark, tmp_path
+    ):
+        """Join-view MIN/MAX: insert-only groups merge monotonically;
+        deleting the pair that holds a group's maximum — via a LEFT
+        delete, and via a RIGHT upsert that moves a join key — must
+        recompute the group from the pinned L⋈R and land on the true new
+        extreme. Equality with the direct join+groupBy (cnt, sum, min,
+        max) is checked after every refresh, including a both-sides
+        interval."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        lt = str(tmp_path / "l")
+        rt = str(tmp_path / "r")
+        vw = str(tmp_path / "view")
+        mko = lambda rows: spark.createDataFrame(
+            rows, "o_id long, ckey long, amount long")
+        mkc = lambda rows: spark.createDataFrame(
+            rows, "c_id long, ckey long, seg string")
+        V.create(spark, lt, mko([(1, 10, 5), (2, 10, 70), (3, 20, 11)]))
+        V.create(spark, rt, mkc([(100, 10, "A"), (101, 20, "B")]))
+        MV.create_join_view(spark, lt, rt, vw, on="ckey",
+                            left_key="o_id", right_key="c_id",
+                            group_cols=["seg"], sum_cols=["amount"],
+                            minmax_cols=["amount"])
+
+        def check():
+            got = sorted(
+                (r.seg, r.cnt, r.sum_amount, r.min_amount, r.max_amount)
+                for r in V.read(spark, vw).select(
+                    "seg", "cnt", "sum_amount", "min_amount",
+                    "max_amount").collect())
+            want = sorted(
+                (r.seg, r.cnt, r.sum_amount, r.min_amount, r.max_amount)
+                for r in V.read(spark, lt).join(V.read(spark, rt), "ckey")
+                .groupBy("seg").agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.sum("amount").alias("sum_amount"),
+                    F.min("amount").alias("min_amount"),
+                    F.max("amount").alias("max_amount")).collect())
+            assert got == want, (got, want)
+
+        check()
+        # insert-only: monotone merge (A's max grows to 99, min holds)
+        V.append(spark, lt, mko([(4, 10, 99), (5, 20, 1)]))
+        MV.refresh_join_view(spark, vw)
+        check()
+        # LEFT delete removes A's current max (99) -> recompute finds 70
+        V.delete_rows(spark, lt, [4], "o_id")
+        MV.refresh_join_view(spark, vw)
+        check()
+        row_a = {r.seg: r for r in V.read(spark, vw).collect()}["A"]
+        assert row_a.max_amount == 70 and row_a.min_amount == 5
+        # RIGHT upsert moves customer 100 from ckey 10 to 30: group A
+        # loses ALL its pairs (leaves the view); o-rows at ckey 30 none
+        V.upsert(spark, rt, mkc([(100, 30, "A")]), "c_id")
+        MV.refresh_join_view(spark, vw)
+        check()
+        assert "A" not in {r.seg for r in V.read(spark, vw).collect()}
+        # BOTH sides advance: new left rows at ckey 30 (pairs with the
+        # moved customer) + right delete of customer 101 (B retracts)
+        V.append(spark, lt, mko([(6, 30, 42), (7, 30, 8)]))
+        V.delete_rows(spark, rt, [101], "c_id")
+        MV.refresh_join_view(spark, vw)
+        check()
+        got = {(r.seg, r.min_amount, r.max_amount)
+               for r in V.read(spark, vw).collect()}
+        assert got == {("A", 8, 42)}, got
+
     def test_views_compose_agg_over_transform_view(self, spark, tmp_path):
         """VIEWS COMPOSE: an agg view whose SOURCE is a flatMap-style
         transform view (key repeats per output row — one doc, many
