@@ -1402,10 +1402,10 @@ _PRIORITY = [
     # float64 vs Spark int64, oracle now casts to BIGINT and the local
     # checker is dtype-strict), the 5-row r6 rotation backlog (registered
     # outside the r6 window, locally oracle-exact, never driver-verified),
-    # and the NEW r7 rows (Bloom-pruned point lookup, incremental join
+    # and the 3 NEW r7 rows (Bloom-pruned point lookup, incremental join
     # view, view-over-view composition via the multiset CDC diff) —
     # restoring cumulative driver coverage to 100% of registered
-    # oracle rows; the remaining 22 slots re-confirm bench headliners
+    # oracle rows; the remaining 21 slots re-confirm bench headliners
     # (incl. dedup_containment, whose self-join was touched this round)
     # and one row per LLM-pipeline family. Everything rotated out is
     # still replayed locally by tools/check_contract.py.
@@ -1424,7 +1424,9 @@ _PRIORITY = [
     # --- r6 rotation backlog: never driver-verified ---
     "vt_agg_view_minmax", "vt_append_only_changes", "vt_zorder_pruned_read",
     "vt_signature_index_refresh", "vt_topk_view_refresh",
-    # --- new r7 rows (sources/bloomindex.py, matview join views) ---
+    # --- new r7 rows (sources/bloomindex.py, matview join views,
+    # view-over-view composition — vt_view_composition closes the
+    # re-confirmation block below) ---
     "vt_bloom_pruned_lookup", "vt_join_view_refresh",
     # --- re-confirmation: bench-headline dedup/ANN/sketch + one row per
     # LLM-pipeline family (sampling, text, events, SQL, retrieval,
@@ -1437,6 +1439,8 @@ _PRIORITY = [
     "ev_time_bucket_rollup", "ev_asof_tolerance", "sql_q3_shipping_priority",
     "sql_q18_large_orders", "sql_exists_correlated",
     "vt_delete_vector_read", "vt_agg_view_refresh", "vt_snapshot_diff_cdc",
+    # (new r7 row, not a re-confirmation — listed here to keep the
+    # family blocks contiguous)
     "vt_view_composition",
 ]
 

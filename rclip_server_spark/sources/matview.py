@@ -356,37 +356,55 @@ def refresh_agg_view(spark: SparkSession, view_path: str) -> int:
         ch.unpersist()
 
 
-def _refresh_minmax(spark, view_path, view_v, ch, src, v_from, v_to,
-                    group_cols, sum_cols, minmax_cols, cur, new_extra):
-    """The non-retractable tier: ch is PERSISTED by the caller — it feeds
-    four plan subtrees (insert deltas, affected-group keys, and the two
-    anti-joins), and for a rewriting interval each re-evaluation would be
-    a key-shuffled snapshot diff."""
-    ins = ch.where(F.col("_change_type").isin(*_INSERTING))
-    ret_groups = _hint_ret_groups(
+def _two_tier_minmax_state(ch, recomp_src, group_cols, sum_cols,
+                           minmax_cols, cur, broadcast_ok: bool):
+    """The ONE non-retractable-tier skeleton both the single-source and
+    join minmax refreshers share: groups touched by a RETRACTING change
+    recompute from ``recomp_src`` (the pinned snapshot / pinned join)
+    behind a semi-join on the affected group keys; untouched groups take
+    the additive merge + monotone min/max of the inserting changes.
+    ``ch`` is PERSISTED by the caller (it feeds the insert delta, the
+    affected-group keys, and two anti-joins); ``broadcast_ok`` is the
+    caller's SOUND smallness decision for the affected-group keys —
+    soundness differs per caller (a single-source ret set is bounded by
+    its CDC rows; join PAIRS fan out, so the join caller counts).
+    Returns the merged view state (uncommitted)."""
+    ret_groups = (
         ch.where(F.col("_change_type").isin(*_RETRACTING))
-        .select(*group_cols).distinct(),
-        src, v_from, v_to)
-    # affected groups: full recompute from the PINNED target snapshot
-    # (min/max are not retractable); the semi-join bounds the row volume
-    src_at = _read_source(spark, src, v_to).alias("s")
+        .select(*group_cols).distinct()
+    )
+    if broadcast_ok:
+        ret_groups = F.broadcast(ret_groups)
+    ins = ch.where(F.col("_change_type").isin(*_INSERTING))
     recomp = _aggregate(
-        src_at.join(ret_groups.alias("g"),
-                    _nullsafe_cond("s", "g", group_cols), "left_semi"),
+        recomp_src.alias("s").join(
+            ret_groups.alias("g"),
+            _nullsafe_cond("s", "g", group_cols), "left_semi"),
         group_cols, sum_cols, minmax_cols)
-    # untouched-by-retraction groups: additive merge + monotone min/max
+
     def _minus_affected(df: DataFrame) -> DataFrame:
         return _minus_groups(df, ret_groups, group_cols)
 
     ins_delta = _minus_affected(_aggregate(ins, group_cols, sum_cols,
                                            minmax_cols))
-    mm_vals = _mm_merge_vals(minmax_cols)
-    merged = (
+    return (
         _merge_additive(_minus_affected(cur), ins_delta, group_cols,
-                        sum_cols, mm_vals)
+                        sum_cols, _mm_merge_vals(minmax_cols))
         .unionByName(recomp)
         .where(F.col("cnt") > 0)
     )
+
+
+def _refresh_minmax(spark, view_path, view_v, ch, src, v_from, v_to,
+                    group_cols, sum_cols, minmax_cols, cur, new_extra):
+    """Single-source minmax tier: the retraction set is bounded by the
+    interval's CDC rows, so the manifest-derived bound is a sound
+    broadcast decision."""
+    merged = _two_tier_minmax_state(
+        ch, _read_source(spark, src, v_to), group_cols, sum_cols,
+        minmax_cols, cur,
+        broadcast_ok=_retraction_bound(src, v_from, v_to)
+        <= _BROADCAST_RET_BOUND_ROWS)
     return V.overwrite(spark, view_path, merged, extra=new_extra,
                        parent_version=view_v)
 
@@ -712,15 +730,17 @@ def _change_bound(src: str, v_from: int, v_to: int) -> int:
 
 
 def _prune_to_delta_keys(snap: DataFrame, ch: DataFrame, on: str,
-                         src: str, v_from: int, v_to: int) -> DataFrame:
+                         change_bound: int) -> DataFrame:
     """Key-prune the OPPOSITE side's snapshot to the delta's join keys
     before the delta-join — when the interval's change bound is small
     (the common ingest refresh), the broadcast semi-join turns
     "delta ⋈ snapshot" from a full-snapshot shuffle into a scan that
     keeps only matching keys. Past the bound a shuffle semi-join would
     cost as much as the join it guards, so the snapshot passes through
-    un-pruned and AQE plans the honest join."""
-    if _change_bound(src, v_from, v_to) <= _BROADCAST_RET_BOUND_ROWS:
+    un-pruned and AQE plans the honest join. ``change_bound`` is the
+    caller's _change_bound for the interval (computed once per side
+    per refresh — it may open parquet footers on legacy manifests)."""
+    if change_bound <= _BROADCAST_RET_BOUND_ROWS:
         return snap.join(F.broadcast(ch.select(on).distinct()),
                          on, "left_semi")
     return snap
@@ -830,7 +850,7 @@ def refresh_join_view(spark: SparkSession, view_path: str) -> int:
         return view_v
     new_extra = {"app": dict(spec) | {"jv_left_version": l_to,
                                       "jv_right_version": r_to}}
-    pair_frames, persisted, ret_bound = [], [], 0
+    pair_frames, persisted = [], []
     try:
         if l_to > l_from:
             ch_l = _changes_since_cursor(
@@ -839,9 +859,8 @@ def refresh_join_view(spark: SparkSession, view_path: str) -> int:
             persisted.append(ch_l)
             r_old = _prune_to_delta_keys(
                 _read_source(spark, rsrc, r_from), ch_l, on,
-                lsrc, l_from, l_to)
+                _change_bound(lsrc, l_from, l_to))
             pair_frames.append(ch_l.join(r_old, on))
-            ret_bound += _change_bound(lsrc, l_from, l_to)
         if r_to > r_from:
             ch_r = _changes_since_cursor(
                 spark, rsrc, r_from, r_to, spec["jv_right_key"],
@@ -849,9 +868,8 @@ def refresh_join_view(spark: SparkSession, view_path: str) -> int:
             persisted.append(ch_r)
             l_new = _prune_to_delta_keys(
                 _read_source(spark, lsrc, l_to), ch_r, on,
-                rsrc, r_from, r_to)
+                _change_bound(rsrc, r_from, r_to))
             pair_frames.append(l_new.join(ch_r, on))
-            ret_bound += _change_bound(rsrc, r_from, r_to)
         cur = V.read(spark, view_path, view_v)
         if not minmax_cols:
             merged = cur
@@ -867,7 +885,7 @@ def refresh_join_view(spark: SparkSession, view_path: str) -> int:
         return _refresh_join_minmax(
             spark, view_path, view_v, pair_frames, persisted, cur,
             lsrc, rsrc, on, l_to, r_to, group_cols, sum_cols,
-            minmax_cols, ret_bound, new_extra)
+            minmax_cols, new_extra)
     finally:
         for df in persisted:
             df.unpersist()
@@ -875,37 +893,42 @@ def refresh_join_view(spark: SparkSession, view_path: str) -> int:
 
 def _refresh_join_minmax(spark, view_path, view_v, pair_frames, persisted,
                          cur, lsrc, rsrc, on, l_to, r_to, group_cols,
-                         sum_cols, minmax_cols, ret_bound, new_extra):
-    """The join view's non-retractable tier — the agg view's two-tier
-    strategy lifted to PAIR level: any retracting delta pair marks its
-    group affected (this is exhaustive — a term-1 pair built against a
-    pre-state right row is always mirrored by a term-2 retracting pair
-    for the same (left-row, right-row) combination, because L_new
-    contains the left row and ΔR retracts the right row — so a stale
-    monotone candidate can never land in an unaffected group); affected
-    groups recompute from the PINNED L⋈R at the new cursors behind a
-    size-guarded semi-join; insert-only groups merge monotonically."""
-    pairs = pair_frames[0]
-    for p in pair_frames[1:]:
+                         sum_cols, minmax_cols, new_extra):
+    """The join view's non-retractable tier — the shared two-tier
+    skeleton (_two_tier_minmax_state) applied at PAIR level: any
+    retracting delta pair marks its group affected (this is exhaustive —
+    a term-1 pair built against a pre-state right row is always mirrored
+    by a term-2 retracting pair for the same (left-row, right-row)
+    combination, because L_new contains the left row and ΔR retracts the
+    right row — so a stale monotone candidate can never land in an
+    unaffected group); affected groups recompute from the PINNED L⋈R at
+    the new cursors.
+
+    Broadcast soundness: join pairs FAN OUT — a handful of source change
+    rows can touch millions of pairs/groups, so the manifest-derived
+    change bound does NOT bound ret_groups here (unlike the
+    single-source tier). The decision instead COUNTS retracting pairs,
+    capped at the broadcast bound + 1: one cheap job over the persisted
+    pairs that also provides the deterministic skip of the retraction
+    tier (the common ingest refresh must never plan a two-snapshot join
+    scan)."""
+    # project to the spec columns BEFORE the union: the terms' carried
+    # columns can differ under source schema evolution
+    # (_aligned_snapshots widens the delta side), and the tier only ever
+    # reads spec columns — this also shrinks the persisted set
+    frames = [_spec_pair_cols(p, group_cols, sum_cols, minmax_cols)
+              for p in pair_frames]
+    pairs = frames[0]
+    for p in frames[1:]:
         pairs = pairs.unionByName(p)
     pairs = pairs.persist()  # feeds ret_groups, ins, and two anti-joins
     persisted.append(pairs)
-    ret_groups = (
+    n_ret_capped = (
         pairs.where(F.col("_change_type").isin(*_RETRACTING))
-        .select(*group_cols).distinct()
+        .limit(_BROADCAST_RET_BOUND_ROWS + 1).count()
     )
-    if ret_bound <= _BROADCAST_RET_BOUND_ROWS:
-        ret_groups = F.broadcast(ret_groups)
-    ins = pairs.where(F.col("_change_type").isin(*_INSERTING))
-
-    def _minus_affected(df: DataFrame) -> DataFrame:
-        return _minus_groups(df, ret_groups, group_cols)
-
-    # DETERMINISTIC skip of the retraction tier: the common ingest
-    # refresh must never plan a two-snapshot join scan
-    n_ret = pairs.where(
-        F.col("_change_type").isin(*_RETRACTING)).limit(1).count()
-    if not n_ret:
+    if not n_ret_capped:
+        ins = pairs.where(F.col("_change_type").isin(*_INSERTING))
         merged = _merge_additive(
             cur, _aggregate(ins, group_cols, sum_cols, minmax_cols),
             group_cols, sum_cols, _mm_merge_vals(minmax_cols)
@@ -913,21 +936,22 @@ def _refresh_join_minmax(spark, view_path, view_v, pair_frames, persisted,
         return V.overwrite(spark, view_path, merged, extra=new_extra,
                            parent_version=view_v)
     joined_at = _read_source(spark, lsrc, l_to).join(
-        _read_source(spark, rsrc, r_to), on).alias("s")
-    recomp = _aggregate(
-        joined_at.join(ret_groups.alias("g"),
-                       _nullsafe_cond("s", "g", group_cols), "left_semi"),
-        group_cols, sum_cols, minmax_cols)
-    ins_delta = _minus_affected(_aggregate(ins, group_cols, sum_cols,
-                                           minmax_cols))
-    merged = (
-        _merge_additive(_minus_affected(cur), ins_delta, group_cols,
-                        sum_cols, _mm_merge_vals(minmax_cols))
-        .unionByName(recomp)
-        .where(F.col("cnt") > 0)
-    )
+        _read_source(spark, rsrc, r_to), on)
+    merged = _two_tier_minmax_state(
+        pairs, joined_at, group_cols, sum_cols, minmax_cols, cur,
+        broadcast_ok=n_ret_capped <= _BROADCAST_RET_BOUND_ROWS)
     return V.overwrite(spark, view_path, merged, extra=new_extra,
                        parent_version=view_v)
+
+
+def _spec_pair_cols(df: DataFrame, group_cols, sum_cols,
+                    minmax_cols) -> DataFrame:
+    cols, seen = ["_change_type"], {"_change_type"}
+    for c in list(group_cols) + list(sum_cols) + list(minmax_cols):
+        if c not in seen:
+            cols.append(c)
+            seen.add(c)
+    return df.select(*cols)
 
 
 def refresh_join_view_with_retry(

@@ -2106,6 +2106,54 @@ class TestVersionedTable:
                for r in V.read(spark, vw).collect()}
         assert got == {("A", 8, 42)}, got
 
+    def test_join_view_minmax_schema_evolution_both_sides(
+        self, spark, tmp_path
+    ):
+        """Both sides advance while the LEFT source's schema evolves (a
+        non-spec column dropped between cursor and head): the minmax
+        tier's pair union must not fail on the column mismatch
+        (_aligned_snapshots widens the delta side; the tier projects to
+        spec columns before the union), and the result still equals the
+        direct join+groupBy."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        lt = str(tmp_path / "l")
+        rt = str(tmp_path / "r")
+        vw = str(tmp_path / "view")
+        V.create(spark, lt, spark.createDataFrame(
+            [(1, 10, 5, "x"), (2, 20, 7, "y")],
+            "o_id long, ckey long, amount long, extra string"))
+        V.create(spark, rt, spark.createDataFrame(
+            [(100, 10, "A"), (101, 20, "B")],
+            "c_id long, ckey long, seg string"))
+        MV.create_join_view(spark, lt, rt, vw, on="ckey",
+                            left_key="o_id", right_key="c_id",
+                            group_cols=["seg"], sum_cols=["amount"],
+                            minmax_cols=["amount"])
+        # left OVERWRITE drops 'extra' (schema evolution) and retracts
+        # o2; right advances in the same interval
+        V.overwrite(spark, lt, spark.createDataFrame(
+            [(1, 10, 5), (3, 20, 99)],
+            "o_id long, ckey long, amount long"))
+        V.append(spark, rt, spark.createDataFrame(
+            [(102, 30, "C")], "c_id long, ckey long, seg string"))
+        MV.refresh_join_view(spark, vw)
+        got = sorted(
+            (r.seg, r.cnt, r.sum_amount, r.min_amount, r.max_amount)
+            for r in V.read(spark, vw).select(
+                "seg", "cnt", "sum_amount", "min_amount",
+                "max_amount").collect())
+        want = sorted(
+            (r.seg, r.cnt, r.sum_amount, r.min_amount, r.max_amount)
+            for r in V.read(spark, lt).join(V.read(spark, rt), "ckey")
+            .groupBy("seg").agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("amount").alias("sum_amount"),
+                F.min("amount").alias("min_amount"),
+                F.max("amount").alias("max_amount")).collect())
+        assert got == want, (got, want)
+
     def test_views_compose_agg_over_transform_view(self, spark, tmp_path):
         """VIEWS COMPOSE: an agg view whose SOURCE is a flatMap-style
         transform view (key repeats per output row — one doc, many
