@@ -2382,6 +2382,60 @@ class TestVersionedTable:
         MV.refresh_agg_view(spark, vw)
         check()
 
+    def test_join_view_over_bucketed_left_source(self, spark, tmp_path):
+        """Join views are layout-agnostic too: a BUCKETED left source's
+        appends ride the fast path and its bucketed upsert the multiset
+        snapshot diff; min/max recompute reads the bucketed snapshot
+        through the dispatching _read_source. View equals recompute
+        after both."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        lt = str(tmp_path / "l")
+        rt = str(tmp_path / "r")
+        vw = str(tmp_path / "view")
+        mko = lambda rows: spark.createDataFrame(
+            rows, "o_id long, ckey long, amount long")
+        V.create_bucketed(spark, lt,
+                          mko([(i, 10 + (i % 2) * 10, i * 3) for i in
+                               range(10)]),
+                          "o_id", n_buckets=4)
+        V.create(spark, rt, spark.createDataFrame(
+            [(100, 10, "A"), (101, 20, "B")],
+            "c_id long, ckey long, seg string"))
+        MV.create_join_view(spark, lt, rt, vw, on="ckey",
+                            left_key="o_id", right_key="c_id",
+                            group_cols=["seg"], sum_cols=["amount"],
+                            minmax_cols=["amount"])
+
+        def check():
+            got = sorted(
+                (r.seg, r.cnt, r.sum_amount, r.min_amount, r.max_amount)
+                for r in V.read(spark, vw).select(
+                    "seg", "cnt", "sum_amount", "min_amount",
+                    "max_amount").collect())
+            want = sorted(
+                (r.seg, r.cnt, r.sum_amount, r.min_amount, r.max_amount)
+                for r in V.read_bucketed(spark, lt)
+                .join(V.read(spark, rt), "ckey")
+                .groupBy("seg").agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.sum("amount").alias("sum_amount"),
+                    F.min("amount").alias("min_amount"),
+                    F.max("amount").alias("max_amount")).collect())
+            assert got == want, (got, want)
+
+        check()
+        V.append_bucketed(spark, lt, mko([(100, 10, 99)]))
+        MV.refresh_join_view(spark, vw)
+        check()
+        # bucketed upsert retracts the max of group A (99 -> 2)
+        V.upsert_bucketed(spark, lt, mko([(100, 10, 2)]))
+        MV.refresh_join_view(spark, vw)
+        check()
+        row_a = {r.seg: r for r in V.read(spark, vw).collect()}["A"]
+        assert row_a.max_amount < 99
+
     def test_transform_view_concurrent_refreshers_no_double_apply(
         self, spark, tmp_path
     ):

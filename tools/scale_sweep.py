@@ -6,12 +6,14 @@ would mean a hidden quadratic or a single-reducer stage.
 
 Usage: python tools/scale_sweep.py [sf_dir]  ->  one JSON line
 
-Round-6 measured (sf0.1 base, t4x/t1x): flagship_topk 0.47,
-minhash_near_dup 1.43, simhash_groups 0.81, semdedup 1.06, bm25_topk 0.91,
-containment_pairs 1.92, bloom_anti_join 1.08, lsh_knn_join 1.12 (under the
-2^n_planes ∝ |right| sizing) — no super-linear operator; matches the r5
-curve within jitter. (r5 for comparison: 0.45/1.44/0.73/0.76/1.19/1.09/
-1.21/1.12.)
+Round-7 measured (sf0.1 base, t4x/t1x, idle): flagship_topk 0.58,
+minhash_near_dup 1.41, simhash_groups 0.90, semdedup 1.06, bm25_topk 0.93,
+containment_pairs 2.19, bloom_anti_join 1.17, lsh_knn_join 1.19 (under the
+2^n_planes ∝ |right| sizing) — no super-linear operator; matches the
+r5/r6 curves within jitter (r6: 0.47/1.43/0.81/1.06/0.91/1.92/1.08/1.12;
+r5: 0.45/1.44/0.73/0.76/1.19/1.09/1.21/1.12). containment's 2.19 tracks
+its candidate volume (rare-gram pair count grows with df under the fixed
+max_df cap), not a plan regression — the same ratio class as r6.
 """
 
 from __future__ import annotations
