@@ -2436,6 +2436,67 @@ class TestVersionedTable:
         row_a = {r.seg: r for r in V.read(spark, vw).collect()}["A"]
         assert row_a.max_amount < 99
 
+    def test_topk_view_over_join_view_composes(self, spark, tmp_path):
+        """Leaderboard over a JOIN: a per-group top-k view whose SOURCE
+        is a join view (possible because views are versioned tables and
+        the top-k refresher consumes the multiset diff — the join view's
+        overwrite commits have no row identity). After joins gain and
+        lose pairs, the maintained ranking equals row_number() over the
+        recomputed join aggregate."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        lt = str(tmp_path / "l")
+        rt = str(tmp_path / "r")
+        jv = str(tmp_path / "jview")
+        kv = str(tmp_path / "kview")
+        mko = lambda rows: spark.createDataFrame(
+            rows, "o_id long, ckey long, amount long")
+        mkc = lambda rows: spark.createDataFrame(
+            rows, "c_id long, ckey long, region string, seg string")
+        V.create(spark, lt, mko([(i, i % 6, (i * 7) % 23)
+                                 for i in range(24)]))
+        V.create(spark, rt, mkc([(100 + k, k, "rx"[k % 2] * 1,
+                                  "ABC"[k % 3]) for k in range(6)]))
+        # join view: revenue per (region, seg)
+        MV.create_join_view(spark, lt, rt, jv, on="ckey",
+                            left_key="o_id", right_key="c_id",
+                            group_cols=["region", "seg"],
+                            sum_cols=["amount"])
+        # top-k view OVER the join view: top-2 segs per region by revenue
+        MV.create_topk_view(spark, jv, kv, key="seg",
+                            group_cols=["region"],
+                            score_col="sum_amount", k=2)
+
+        def check():
+            from pyspark.sql import Window
+            got = sorted((r.region, r.rnk, r.seg, r.sum_amount)
+                         for r in V.read(spark, kv).collect())
+            agg = (V.read(spark, lt).join(V.read(spark, rt), "ckey")
+                   .groupBy("region", "seg")
+                   .agg(F.sum("amount").alias("sum_amount")))
+            w = Window.partitionBy("region").orderBy(
+                F.desc("sum_amount"), F.asc("seg"))
+            want = sorted(
+                (r.region, r.rnk, r.seg, r.sum_amount) for r in
+                agg.withColumn(
+                    "rnk", F.row_number().over(w).cast("long"))
+                .where(F.col("rnk") <= 2).collect())
+            assert got == want, (got, want)
+
+        check()
+        # left append changes revenues -> join view overwrite -> top-k
+        # consumes the rewrite through the multiset diff
+        V.append(spark, lt, mko([(100, 0, 50), (101, 3, 40)]))
+        MV.refresh_join_view(spark, jv)
+        MV.refresh_topk_view(spark, kv)
+        check()
+        # right delete drops a customer: its (region, seg) groups retract
+        V.delete_rows(spark, rt, [103], "c_id")
+        MV.refresh_join_view(spark, jv)
+        MV.refresh_topk_view(spark, kv)
+        check()
+
     def test_transform_view_concurrent_refreshers_no_double_apply(
         self, spark, tmp_path
     ):
