@@ -205,7 +205,8 @@ def bloom_surviving_segments(
         v = V.current_version(path) if version is None else int(version)
         segments = sorted(V._manifest_segments(V._manifest(path, v)))
     segs = segments
-    probe_sets = [_py_probes(val, bits, k) for val in _norm_values(values)]
+    norm = _norm_values(values)
+    probe_sets = [_py_probes(val, bits, k) for val in norm]
     keep = []
     for seg in segs:
         sc = _load_sidecar(path, col, seg)
@@ -216,6 +217,21 @@ def bloom_surviving_segments(
         if any(_bitmap_test(sc["bitmap"], ps) for ps in probe_sets):
             keep.append(seg)
     return keep, len(segs)
+
+
+def _zone_keep(m: dict, col: str, values, segments: list[str]) -> list[str]:
+    """Zone-map pass for an equality lookup: keep a segment when ANY
+    looked-up value falls inside its recorded [min, max] for ``col``
+    (the point predicate is the degenerate range (v, v)); segments
+    without stats are kept. Complements the Bloom pass — zone maps bite
+    on CLUSTERED keys without needing sidecars, Blooms on unclustered
+    ones — and the two prune sets intersect, so each can only help."""
+    stats = m.get("seg_stats", {})
+    return [
+        seg for seg in segments
+        if any(V.zone_survives(stats.get(seg, {}), {col: (v, v)})
+               for v in values)
+    ]
 
 
 def read_point_lookup(
@@ -239,9 +255,13 @@ def read_point_lookup(
     if "buckets" in m:
         raise ValueError("read_point_lookup serves flat tables; bucketed "
                          "tables route point lookups by bucket key")
+    segs = sorted(V._manifest_segments(m))
+    # zone-map pass first (already-loaded manifest, zero file reads),
+    # Bloom sidecar pass on the survivors — both conservative, so the
+    # intersection never false-prunes
+    segs = _zone_keep(m, col, values, segs)
     keep, _total = bloom_surviving_segments(
-        path, col, values, bits=bits, k=k,
-        segments=sorted(V._manifest_segments(m)))
+        path, col, values, bits=bits, k=k, segments=segs)
     if not keep:
         out = V.read(spark, path, v).limit(0)
     else:

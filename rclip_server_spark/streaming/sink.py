@@ -258,3 +258,31 @@ def start_join_view_refresh_stream(
 
     return _start_view_refresh_stream(
         spark, [spec["jv_left"], spec["jv_right"]], _go, checkpoint_dir)
+
+
+def start_bloom_index_stream(
+    spark: SparkSession, table_path: str, col: str,
+    checkpoint_dir: str | None = None,
+    bits: int | None = None, k: int | None = None,
+):
+    """Continuous Bloom-sidecar maintenance: tail the table's manifest
+    log and run bloomindex.build_bloom_index per micro-batch — the build
+    indexes only segments MISSING sidecars, so each wake-up costs
+    O(segments added since the last one) and replayed batches are free
+    no-ops (sidecars are write-once per immutable segment; no OCC or
+    cursor needed — idempotence comes from the filesystem state itself).
+    Pair with the ingest stream so point lookups on a continuously-fed
+    table stay pruned without a manual re-index step."""
+    from ..sources import bloomindex as BX
+
+    kwargs = {}
+    if bits is not None:
+        kwargs["bits"] = int(bits)
+    if k is not None:
+        kwargs["k"] = int(k)
+
+    def _go():
+        BX.build_bloom_index(spark, table_path, col, **kwargs)
+
+    return _start_view_refresh_stream(spark, table_path, _go,
+                                      checkpoint_dir)

@@ -1944,6 +1944,49 @@ class TestVersionedTable:
         with pytest.raises(ValueError, match="NULL"):
             B.read_point_lookup(spark, t, "id", [None])
 
+    def test_bloom_zone_hybrid_and_index_stream(self, spark, tmp_path):
+        """(a) Point lookups combine zone maps with Bloom sidecars: on a
+        CLUSTERED key, zone maps prune segments even before any sidecar
+        exists (both passes are conservative, so the intersection never
+        false-prunes). (b) start_bloom_index_stream keeps sidecars
+        current as the table ingests — new segments get indexed without
+        a manual build, and the lookup result stays exact."""
+        from rclip_server_spark.sources import bloomindex as B
+        from rclip_server_spark.sources import versioned as V
+        from rclip_server_spark.streaming import sink
+
+        t = str(tmp_path / "t")
+        mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+        # clustered ranges: zone maps alone can prune the point lookup
+        V.create(spark, t, mk([(i, f"a{i}") for i in range(0, 100)]),
+                 stat_cols=["id"])
+        V.append(spark, t, mk([(i, f"b{i}") for i in range(100, 200)]))
+        V.append(spark, t, mk([(i, f"c{i}") for i in range(200, 300)]))
+        # NO sidecars yet: the zone pass must already prune to 1 segment
+        lookup = B.read_point_lookup(spark, t, "id", [150])
+        assert {(r.id, r.v) for r in lookup.collect()} == {(150, "b150")}
+        assert len({f.split("/")[-2] for f in lookup.inputFiles()}) == 1
+        # continuous sidecar maintenance: stream indexes new segments
+        q = sink.start_bloom_index_stream(
+            spark, t, "id", checkpoint_dir=str(tmp_path / "cp"))
+        try:
+            V.append(spark, t, mk([(i, f"d{i}") for i in range(300, 400)]))
+            import time as _time
+            deadline = _time.time() + 60
+            while _time.time() < deadline:
+                q.processAllAvailable()
+                if B.build_bloom_index(spark, t, "id") == 0:
+                    break  # stream already indexed everything
+                _time.sleep(0.3)
+        finally:
+            q.stop()
+        # every segment indexed; absent-value lookup prunes ALL segments
+        keep, total = B.bloom_surviving_segments(t, "id", [999_999])
+        assert total == 4 and keep == []
+        got = {(r.id, r.v) for r in
+               B.read_point_lookup(spark, t, "id", [42, 333]).collect()}
+        assert got == {(42, "a42"), (333, "d333")}
+
     def test_bloom_probe_parity_spark_vs_python(self, spark):
         """The prune decision is driver-side Python while the bitmap is
         built Spark-side — the two probe implementations must agree
