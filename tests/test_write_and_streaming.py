@@ -2585,6 +2585,58 @@ class TestVersionedTable:
                       postings(V.read(spark, t)).collect())
         assert got == want, (got, want)  # no duplicates, no losses
 
+    def test_join_view_concurrent_refreshers_no_double_apply(
+        self, spark, tmp_path
+    ):
+        """Join-view OCC: three refreshers racing on the same TWO-cursor
+        interval must apply it exactly once — the overwrite is pinned to
+        the view version read at entry, the losers rebase onto the
+        advanced cursors (no-op intervals), and the view equals the
+        direct join+groupBy afterwards."""
+        import threading
+
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        lt = str(tmp_path / "l")
+        rt = str(tmp_path / "r")
+        vw = str(tmp_path / "view")
+        V.create(spark, lt, spark.createDataFrame(
+            [(1, 10, 5)], "o_id long, ckey long, amount long"))
+        V.create(spark, rt, spark.createDataFrame(
+            [(100, 10, "A"), (101, 20, "B")],
+            "c_id long, ckey long, seg string"))
+        MV.create_join_view(spark, lt, rt, vw, on="ckey",
+                            left_key="o_id", right_key="c_id",
+                            group_cols=["seg"], sum_cols=["amount"])
+        V.append(spark, lt, spark.createDataFrame(
+            [(2, 10, 7), (3, 20, 11)], "o_id long, ckey long, amount long"))
+        V.append(spark, rt, spark.createDataFrame(
+            [(102, 10, "B")], "c_id long, ckey long, seg string"))
+        errors = []
+
+        def refresher():
+            try:
+                MV.refresh_join_view_with_retry(spark, vw, max_retries=20)
+            except Exception as e:
+                errors.append(e)
+
+        threads = [threading.Thread(target=refresher) for _ in range(3)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors, errors
+        got = sorted((r.seg, r.cnt, r.sum_amount) for r in
+                     V.read(spark, vw)
+                     .select("seg", "cnt", "sum_amount").collect())
+        want = sorted((r.seg, r.cnt, r.sum_amount) for r in
+                      V.read(spark, lt).join(V.read(spark, rt), "ckey")
+                      .groupBy("seg").agg(
+                          F.count(F.lit(1)).alias("cnt"),
+                          F.sum("amount").alias("sum_amount")).collect())
+        assert got == want, (got, want)
+
     def test_transform_view_refresh_is_one_commit(self, spark, tmp_path):
         """An update interval refreshes in ONE commit (delete-append), so
         no reader — and no crash point — can observe retracted keys
