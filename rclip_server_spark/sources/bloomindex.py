@@ -179,14 +179,19 @@ def _norm_values(values) -> list:
     iterating a string/bytes value character-by-character (per-character
     probes would false-prune segments holding the real value — the exact
     violation of the no-false-prune contract this module promises)."""
+    def _plain(v):
+        # numpy scalars -> native Python (their str() matches, but zone
+        # comparisons against recorded JSON stats need the real type)
+        return v.item() if hasattr(v, "item") else v
+
     if isinstance(values, (str, bytes)):
         return [values]
     if isinstance(values, (list, tuple, set, frozenset)):
-        return list(values)
+        return [_plain(v) for v in values]
     try:
-        return list(iter(values))  # range, generator, np array, ...
+        return [_plain(v) for v in iter(values)]  # range, gen, np array
     except TypeError:
-        return [values]  # a single scalar
+        return [_plain(values)]  # a single scalar
 
 
 def bloom_surviving_segments(
@@ -227,11 +232,21 @@ def _zone_keep(m: dict, col: str, values, segments: list[str]) -> list[str]:
     on CLUSTERED keys without needing sidecars, Blooms on unclustered
     ones — and the two prune sets intersect, so each can only help."""
     stats = m.get("seg_stats", {})
-    return [
-        seg for seg in segments
-        if any(V.zone_survives(stats.get(seg, {}), {col: (v, v)})
-               for v in values)
-    ]
+
+    def _survives(seg: str) -> bool:
+        for v in values:
+            try:
+                if V.zone_survives(stats.get(seg, {}), {col: (v, v)}):
+                    return True
+            except TypeError:
+                # value type does not order against the recorded stats
+                # (e.g. an int lookup on a string-stat column): cannot
+                # decide — keep conservatively, the Bloom pass and the
+                # exact predicate still apply
+                return True
+        return False
+
+    return [seg for seg in segments if _survives(seg)]
 
 
 def read_point_lookup(

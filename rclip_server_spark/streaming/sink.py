@@ -274,6 +274,17 @@ def start_bloom_index_stream(
     Pair with the ingest stream so point lookups on a continuously-fed
     table stay pruned without a manual re-index step."""
     from ..sources import bloomindex as BX
+    from ..sources import versioned as V
+
+    # module convention: config mismatches fail HERE, synchronously, not
+    # as an asynchronous stream crash (a typo'd column would otherwise
+    # kill the query on the first unindexed batch — or no-op silently)
+    m = V._manifest(table_path, V.current_version(table_path))
+    col_types = m.get("col_types") or {}
+    if col_types and col not in col_types:
+        raise ValueError(
+            f"column {col!r} not in {table_path}'s schema "
+            f"({sorted(col_types)})")
 
     kwargs = {}
     if bits is not None:

@@ -1966,26 +1966,40 @@ class TestVersionedTable:
         lookup = B.read_point_lookup(spark, t, "id", [150])
         assert {(r.id, r.v) for r in lookup.collect()} == {(150, "b150")}
         assert len({f.split("/")[-2] for f in lookup.inputFiles()}) == 1
-        # continuous sidecar maintenance: stream indexes new segments
+        # typo'd column fails synchronously, not as a stream crash
+        with pytest.raises(ValueError, match="idd"):
+            sink.start_bloom_index_stream(spark, t, "idd")
+        # continuous sidecar maintenance: stream indexes new segments;
+        # the wait probe is SIDE-EFFECT-FREE (bloom_surviving_segments
+        # never builds) so the stream alone must do the indexing
         q = sink.start_bloom_index_stream(
             spark, t, "id", checkpoint_dir=str(tmp_path / "cp"))
         try:
             V.append(spark, t, mk([(i, f"d{i}") for i in range(300, 400)]))
             import time as _time
             deadline = _time.time() + 60
+            keep, total = [None], 0
             while _time.time() < deadline:
                 q.processAllAvailable()
-                if B.build_bloom_index(spark, t, "id") == 0:
-                    break  # stream already indexed everything
+                # absent value prunes EVERY segment only once all four
+                # sidecars exist (unindexed segments are kept
+                # conservatively)
+                keep, total = B.bloom_surviving_segments(t, "id", [999_999])
+                if total == 4 and keep == []:
+                    break
                 _time.sleep(0.3)
         finally:
             q.stop()
-        # every segment indexed; absent-value lookup prunes ALL segments
-        keep, total = B.bloom_surviving_segments(t, "id", [999_999])
-        assert total == 4 and keep == []
+        assert (total, keep) == (4, []), (total, keep)
         got = {(r.id, r.v) for r in
                B.read_point_lookup(spark, t, "id", [42, 333]).collect()}
         assert got == {(42, "a42"), (333, "d333")}
+        # numpy scalar lookups order correctly against zone stats
+        np = pytest.importorskip("numpy")
+        got_np = {r.id for r in
+                  B.read_point_lookup(spark, t, "id",
+                                      np.array([42, 333])).collect()}
+        assert got_np == {42, 333}
 
     def test_bloom_probe_parity_spark_vs_python(self, spark):
         """The prune decision is driver-side Python while the bitmap is

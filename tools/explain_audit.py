@@ -625,7 +625,7 @@ def main() -> int:
         F.col("n_chars").alias("amt")).where(F.col("doc_id") >= 100000))
     _jch = V.table_changes(spark, _jl, from_version=1)
     _jpruned = MVIEW._prune_to_delta_keys(
-        V.read(spark, _jr), _jch, "k", _jl, 1, 2)
+        V.read(spark, _jr), _jch, "k", MVIEW._change_bound(_jl, 1, 2))
     audits.append((
         "Join-view ingest delta term (ΔL ⋈ key-pruned R snapshot)",
         MVIEW._aggregate(_jch.join(_jpruned, "k"), ["seg"], ["amt"],
