@@ -5502,3 +5502,145 @@ _register(
     SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
     """,
 )
+
+
+# ===========================================================================
+# TPC-H-style relational breadth, round 7 (second batch): Q7 / Q13 / Q17 /
+# Q22 adaptations — multi-hop snowflake join with a symmetric nation-pair
+# predicate, left-outer count distribution, correlated scalar-subquery
+# threshold, and NOT EXISTS anti-join + scalar subquery over a filtered
+# domain. Determinism: money and thresholds in integer cents (avg of exact
+# ints = exact sum / exact count — double AVG over raw doubles would be
+# aggregation-order-dependent); year() cast BIGINT on both engines.
+# ===========================================================================
+
+_Q7_BODY = """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume_cents) AS BIGINT) AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS volume_cents
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def _sql_q7_query(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7-style volume shipping: the 6-table snowflake join with a
+    SYMMETRIC nation-pair predicate (two nation dims aliased from one
+    table) — the join-reordering stress; both nation sides broadcast."""
+    from .sources.catalog import register_views
+
+    _utc(spark)
+    register_views(spark, sf)
+    return spark.sql(_Q7_BODY)
+
+
+_register("sql_q7_nation_volume", _sql_q7_query, _Q7_BODY)
+
+
+_Q13_BODY = """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey,
+             CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+"""
+
+
+def _sql_q13_query(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution: LEFT OUTER join
+    with an extra join-side predicate (customers with ZERO matching
+    orders must appear at c_count = 0 — an inner join silently drops
+    them), then a second aggregation over the first's output."""
+    from .sources.catalog import register_views
+
+    _utc(spark)
+    register_views(spark, sf)
+    return spark.sql(_Q13_BODY)
+
+
+_register("sql_q13_order_count_distribution", _sql_q13_query, _Q13_BODY)
+
+
+_Q17_BODY = """
+    SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (
+        SELECT 0.2 * avg(CAST(l2.l_quantity AS BIGINT))
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def _sql_q17_query(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity revenue: CORRELATED scalar
+    subquery computing a per-part average threshold (planned as an
+    aggregate + self-join, never a per-row re-scan). Quantities cast to
+    BIGINT inside the AVG so the threshold is exact-integer-sum /
+    exact-count — deterministic across engines and aggregation orders,
+    where a raw double AVG would not be."""
+    from .sources.catalog import register_views
+
+    _utc(spark)
+    register_views(spark, sf)
+    return spark.sql(_Q17_BODY)
+
+
+_register("sql_q17_small_quantity_revenue", _sql_q17_query, _Q17_BODY)
+
+
+_Q22_BODY = """
+    SELECT c_nationkey AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS totacctbal_cents
+    FROM customer c
+    WHERE c_nationkey IN (1, 3, 5, 7, 9)
+      AND CAST(round(c_acctbal * 100) AS BIGINT) > (
+        SELECT avg(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+        FROM customer c2
+        WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey IN (1, 3, 5, 7, 9))
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 420000)
+    GROUP BY c_nationkey
+"""
+
+
+def _sql_q22_query(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22-style global-sales-opportunity: uncorrelated scalar
+    subquery (above-average balance over a filtered domain, in exact
+    cents) + NOT EXISTS anti-join against orders (customers with no
+    LARGE order — every fixture customer has some order, so the plain
+    no-orders predicate would be vacuously empty), grouped by the
+    nation-key stand-in for the phone country code (the fixture has no
+    c_phone)."""
+    from .sources.catalog import register_views
+
+    _utc(spark)
+    register_views(spark, sf)
+    return spark.sql(_Q22_BODY)
+
+
+_register("sql_q22_idle_customers", _sql_q22_query, _Q22_BODY)
