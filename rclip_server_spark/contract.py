@@ -1405,7 +1405,9 @@ _PRIORITY = [
     # and the 3 NEW r7 rows (Bloom-pruned point lookup, incremental join
     # view, view-over-view composition via the multiset CDC diff) —
     # restoring cumulative driver coverage to 100% of registered
-    # oracle rows; the remaining 21 slots re-confirm bench headliners
+    # oracle rows; then the round's other 9 new rows (7 TPC-H-style SQL
+    # adaptations, the distinct-count composition, the view-over-view
+    # composition), and 13 re-confirmation slots for bench headliners
     # (incl. dedup_containment, whose self-join was touched this round)
     # and one row per LLM-pipeline family. Everything rotated out is
     # still replayed locally by tools/check_contract.py.
@@ -1428,20 +1430,21 @@ _PRIORITY = [
     # view-over-view composition — vt_view_composition closes the
     # re-confirmation block below) ---
     "vt_bloom_pruned_lookup", "vt_join_view_refresh",
-    # --- re-confirmation: bench-headline dedup/ANN/sketch + one row per
-    # LLM-pipeline family (sampling, text, events, SQL, retrieval,
-    # versioned read-side) ---
+    # --- more new r7 rows: relational breadth (TPC-H Q4/Q19/Q16 +
+    # Q7/Q13/Q17/Q22 adaptations) and the distinct-count composition ---
+    "sql_q4_order_priority", "sql_q19_bracket_revenue",
+    "sql_q16_supplier_variety", "sql_q7_nation_volume",
+    "sql_q13_order_count_distribution", "sql_q17_small_quantity_revenue",
+    "sql_q22_idle_customers", "vt_distinct_count_view",
+    "vt_view_composition",
+    # --- re-confirmation (13 slots): bench-headline dedup/ANN/sketch +
+    # one row per LLM-pipeline family ---
+    "ann_lsh_topk_multiprobe",
     "ann_lsh_knn_join", "dedup_minhash_near_dup", "dedup_containment",
     "dedup_semantic_semdedup", "dedup_simhash_near_dup", "ann_ivf_topk",
-    "ann_lsh_topk_multiprobe", "ann_multi_query_topk",
-    "sketch_histogram_quantiles", "sql_q14_promo_share",
-    "samp_temperature_mixture", "text_tfidf", "text_bm25_topk",
-    "ev_time_bucket_rollup", "ev_asof_tolerance", "sql_q3_shipping_priority",
-    "sql_q18_large_orders", "sql_exists_correlated",
-    "vt_delete_vector_read", "vt_agg_view_refresh", "vt_snapshot_diff_cdc",
-    # (new r7 row, not a re-confirmation — listed here to keep the
-    # family blocks contiguous)
-    "vt_view_composition",
+    "sketch_histogram_quantiles", "samp_temperature_mixture",
+    "text_tfidf", "text_bm25_topk", "ev_asof_tolerance",
+    "vt_agg_view_refresh",
 ]
 
 
@@ -5644,3 +5647,69 @@ def _sql_q22_query(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _register("sql_q22_idle_customers", _sql_q22_query, _Q22_BODY)
+
+
+def _vt_distinct_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .sources import matview as MV
+    from .sources import versioned as VT
+
+    v1, v2 = path + "_pairs", path + "_distinct"
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "lang", F.length("text").alias("n"))
+    VT.create(spark, path, docs.where(F.col("doc_id") % 3 != 2))
+    # level 1: one row per LIVE (lang, n) pair
+    MV.create_agg_view(spark, path, v1, key="doc_id",
+                       group_cols=["lang", "n"])
+    # level 2: count the level-1 ROWS per lang == COUNT(DISTINCT n).
+    # (key is vestigial for agg views since the multiset diff — it only
+    # needs to name an existing column)
+    MV.create_agg_view(spark, v1, v2, key="lang", group_cols=["lang"])
+
+    def refresh():
+        MV.refresh_agg_view(spark, v1)
+        MV.refresh_agg_view(spark, v2)
+
+    VT.append(spark, path, docs.where(F.col("doc_id") % 3 == 2))
+    refresh()
+    # rewrite: %5 docs change text -> their (lang, n) pair may retract
+    # to zero and LEAVE view1, shrinking view2's distinct count
+    VT.upsert(spark, path,
+              docs.where(F.col("doc_id") % 5 == 0).select(
+                  "doc_id", "lang",
+                  (F.col("n") % 7 + 1).alias("n")),
+              "doc_id")
+    refresh()
+    VT.delete_rows(
+        spark, path,
+        docs.where(F.col("doc_id") % 11 == 0).select("doc_id"), "doc_id")
+    refresh()
+
+
+def _vt_distinct_count_view(spark: SparkSession, sf: str) -> DataFrame:
+    """Incrementally-maintained EXACT COUNT DISTINCT — no sketch, no
+    special operator, pure view COMPOSITION: a level-1 agg view holds
+    one row per live (lang, length) pair (a pair whose count retracts to
+    zero leaves the view), and a level-2 agg view over it counts rows
+    per lang. Both levels refresh for the cost of the changes; the
+    level-2 refresh consumes level-1's overwrites through the multiset
+    diff. Oracle: plain COUNT(DISTINCT ...) over the final corpus."""
+    from .sources import matview as MV
+
+    path = _vt_build(spark, sf, "distinct", _vt_distinct_builder)
+    return MV.read_agg_view(spark, path + "_distinct").select(
+        "lang", F.col("cnt").cast("long").alias("n_distinct_lengths"))
+
+
+_register(
+    "vt_distinct_count_view",
+    _vt_distinct_count_view,
+    """
+    WITH final AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 5 = 0 THEN length(text) % 7 + 1
+                  ELSE length(text) END AS n
+      FROM documents WHERE doc_id % 11 <> 0)
+    SELECT lang, CAST(count(DISTINCT n) AS BIGINT) AS n_distinct_lengths
+    FROM final GROUP BY lang
+    """,
+)
