@@ -63,3 +63,29 @@ def test_registry_invariants():
     assert [n for n in C._PRIORITY if n not in o] == [
         "d1_embed_documents_distributed"
     ]
+
+
+def test_local_checker_compare_is_dtype_strict():
+    """The r6 escape class, pinned at the gate: DuckDB HUGEINT results
+    come back to pandas as float64 while Spark emits int64 — numerically
+    equal, hash-different at the driver. The local checker's compare()
+    must FAIL on an int/float dtype-class mismatch (not accept it as
+    1e-9-close), must still pass exact same-class frames, and must keep
+    the 1e-9 tolerance for genuine float columns."""
+    import pandas as pd
+
+    from tools.check_contract import compare
+
+    ints = pd.DataFrame({"k": [1, 2], "v": [10, 20]})
+    floats = pd.DataFrame({"k": [1, 2], "v": [10.0, 20.0]})
+    ok, msg = compare(ints, floats)
+    assert not ok and "DTYPE MISMATCH" in msg, msg
+    ok, msg = compare(ints, ints.copy())
+    assert ok, msg
+    a = pd.DataFrame({"x": [1.0, 2.0]})
+    b = pd.DataFrame({"x": [1.0 + 1e-12, 2.0]})
+    ok, msg = compare(a, b)
+    assert ok, msg  # within 1e-9 on float-float stays acceptable
+    c = pd.DataFrame({"x": [1.0, 2.5]})
+    ok, msg = compare(a, c)
+    assert not ok, msg
