@@ -961,3 +961,53 @@ def refresh_join_view_with_retry(
     contract: the loser re-reads BOTH advanced cursors)."""
     return _refresh_with_retry(
         lambda: refresh_join_view(spark, view_path), max_retries)
+
+
+# ---------------------------------------------------------------------------
+# Operational surface: view inspection / freshness
+# ---------------------------------------------------------------------------
+
+_VIEW_KINDS = {
+    "mv_source": ("agg", "mv_source", "mv_source_version"),
+    "tv_source": ("transform", "tv_source", "tv_source_version"),
+    "kv_source": ("topk", "kv_source", "kv_source_version"),
+    "jv_left": ("join", None, None),
+}
+
+
+def describe_view(view_path: str) -> dict:
+    """Metadata-only view report (versioned.describe plus the VIEW
+    layer): kind, spec, and per-source FRESHNESS — cursor version,
+    source head, and ``lag`` (head − cursor commits; 0 = fresh). All
+    driver-side manifest reads, zero Spark jobs — the monitoring entry
+    point for "is this view keeping up?" that a refresh-scheduler or
+    dashboard polls. Raises ValueError for a versioned table that is
+    not a maintained view."""
+    base = V.describe(view_path)
+    spec = base.get("app") or {}
+    kind = next((k for marker, (k, _, _) in _VIEW_KINDS.items()
+                 if marker in spec), None)
+    if kind is None:
+        raise ValueError(f"{view_path} is not a maintained view "
+                         f"(no view spec in its manifest app namespace)")
+
+    def _src_entry(src: str, cursor: int) -> dict:
+        head = V.current_version(src)
+        return {"path": src, "cursor_version": int(cursor),
+                "head_version": head, "lag": head - int(cursor)}
+
+    if kind == "join":
+        sources = [
+            _src_entry(spec["jv_left"], spec["jv_left_version"]),
+            _src_entry(spec["jv_right"], spec["jv_right_version"]),
+        ]
+    else:
+        _, src_key, ver_key = _VIEW_KINDS[
+            {"agg": "mv_source", "transform": "tv_source",
+             "topk": "kv_source"}[kind]]
+        sources = [_src_entry(spec[src_key], spec[ver_key])]
+    return base | {
+        "view_kind": kind,
+        "sources": sources,
+        "fresh": all(s["lag"] == 0 for s in sources),
+    }

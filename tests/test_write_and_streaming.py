@@ -2554,6 +2554,47 @@ class TestVersionedTable:
         MV.refresh_topk_view(spark, kv)
         check()
 
+    def test_describe_view_kinds_and_freshness(self, spark, tmp_path):
+        """describe_view reports kind + per-source cursor/head/lag for
+        all four view kinds (manifest-only, zero Spark jobs); lag tracks
+        source commits and returns to fresh after refresh; a plain
+        versioned table raises."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        lt = str(tmp_path / "l")
+        rt = str(tmp_path / "r")
+        mk = lambda rows: spark.createDataFrame(
+            rows, "id long, k long, g string, v long")
+        V.create(spark, lt, mk([(1, 0, "a", 2)]))
+        V.create(spark, rt, spark.createDataFrame(
+            [(9, 0, "s")], "rid long, k long, seg string"))
+        av = str(tmp_path / "av")
+        tv = str(tmp_path / "tv")
+        kv = str(tmp_path / "kv")
+        jv = str(tmp_path / "jv")
+        MV.create_agg_view(spark, lt, av, key="id", group_cols=["g"])
+        ident = lambda df: df.select("id", "v")
+        MV.create_transform_view(spark, lt, tv, key="id",
+                                 transform=ident, name="i1")
+        MV.create_topk_view(spark, lt, kv, key="id", group_cols=["g"],
+                            score_col="v", k=2)
+        MV.create_join_view(spark, lt, rt, jv, on="k", left_key="id",
+                            right_key="rid", group_cols=["seg"])
+        for p, kind, n_src in ((av, "agg", 1), (tv, "transform", 1),
+                               (kv, "topk", 1), (jv, "join", 2)):
+            d = MV.describe_view(p)
+            assert d["view_kind"] == kind and d["fresh"]
+            assert len(d["sources"]) == n_src
+        V.append(spark, lt, mk([(2, 0, "b", 3)]))
+        d = MV.describe_view(jv)
+        assert not d["fresh"]
+        assert [s["lag"] for s in d["sources"]] == [1, 0]
+        MV.refresh_join_view(spark, jv)
+        assert MV.describe_view(jv)["fresh"]
+        with pytest.raises(ValueError, match="not a maintained view"):
+            MV.describe_view(lt)
+
     def test_transform_view_concurrent_refreshers_no_double_apply(
         self, spark, tmp_path
     ):
