@@ -1407,7 +1407,7 @@ _PRIORITY = [
     # restoring cumulative driver coverage to 100% of registered
     # oracle rows; then the round's other 9 new rows (7 TPC-H-style SQL
     # adaptations, the distinct-count composition, the view-over-view
-    # composition), and 13 re-confirmation slots for bench headliners
+    # composition), and 12 re-confirmation slots for bench headliners
     # (incl. dedup_containment, whose self-join was touched this round)
     # and one row per LLM-pipeline family. Everything rotated out is
     # still replayed locally by tools/check_contract.py.
@@ -1437,9 +1437,9 @@ _PRIORITY = [
     "sql_q13_order_count_distribution", "sql_q17_small_quantity_revenue",
     "sql_q22_idle_customers", "vt_distinct_count_view",
     "vt_view_composition",
-    # --- re-confirmation (13 slots): bench-headline dedup/ANN/sketch +
+    "vt_join_table_view",
+    # --- re-confirmation (12 slots): bench-headline dedup/ANN/sketch +
     # one row per LLM-pipeline family ---
-    "ann_lsh_topk_multiprobe",
     "ann_lsh_knn_join", "dedup_minhash_near_dup", "dedup_containment",
     "dedup_semantic_semdedup", "dedup_simhash_near_dup", "ann_ivf_topk",
     "sketch_histogram_quantiles", "samp_temperature_mixture",
@@ -5711,5 +5711,65 @@ _register(
       FROM documents WHERE doc_id % 11 <> 0)
     SELECT lang, CAST(count(DISTINCT n) AS BIGINT) AS n_distinct_lengths
     FROM final GROUP BY lang
+    """,
+)
+
+
+def _vt_jt_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .sources import matview as MV
+    from .sources import versioned as VT
+
+    rpath, view = path + "_cust", path + "_view"
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long")
+         .alias("price_cents"))
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey", F.col("c_custkey").alias("custkey"), "c_mktsegment")
+    VT.create(spark, path, orders.where(F.col("o_orderkey") % 4 != 3))
+    VT.create(spark, rpath, cust.where(F.col("c_custkey") % 5 != 4))
+    MV.create_join_table_view(spark, path, rpath, view, on="custkey",
+                              left_key="o_orderkey", right_key="c_custkey")
+    # left append: delete-free fast refresh
+    VT.append(spark, path, orders.where(F.col("o_orderkey") % 4 == 3))
+    MV.refresh_join_table_view(spark, view)
+    # right delete + append in one interval: retractions + fresh pairs
+    VT.delete_rows(
+        spark, rpath,
+        cust.where(F.col("c_custkey") % 7 == 0).select("c_custkey"),
+        "c_custkey")
+    VT.append(spark, rpath, cust.where(F.col("c_custkey") % 5 == 4))
+    MV.refresh_join_table_view(spark, view)
+
+
+def _vt_join_table_view(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level maintained JOIN TABLE (matview.create_join_table_view):
+    the denormalized orders⋈customer serving table advanced through a
+    left append and a right delete+append rewrite interval by netted
+    signed pair deltas applied as one delete-vector + append commit per
+    refresh — the oracle checks the materialized ROWS equal the direct
+    join of the two final sources."""
+    from .sources import versioned as VT
+
+    path = _vt_build(spark, sf, "jt", _vt_jt_builder)
+    return VT.read(spark, path + "_view").select(
+        "o_orderkey", "custkey", "price_cents", "c_custkey",
+        "c_mktsegment")
+
+
+_register(
+    "vt_join_table_view",
+    _vt_join_table_view,
+    """
+    WITH r AS (
+      SELECT c_custkey, c_custkey AS custkey, c_mktsegment FROM customer
+      WHERE (c_custkey % 5 <> 4 AND c_custkey % 7 <> 0)
+         OR c_custkey % 5 = 4),
+    l AS (
+      SELECT o_orderkey, o_custkey AS custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders)
+    SELECT o_orderkey, custkey, price_cents, c_custkey, c_mktsegment
+    FROM l JOIN r USING (custkey)
     """,
 )

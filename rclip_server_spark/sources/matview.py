@@ -1011,3 +1011,147 @@ def describe_view(view_path: str) -> dict:
         "sources": sources,
         "fresh": all(s["lag"] == 0 for s in sources),
     }
+
+
+# ---------------------------------------------------------------------------
+# Row-level JOIN TABLE views: the maintained DENORMALIZATION table
+# ---------------------------------------------------------------------------
+
+_PAIR_KEY = "_pair_key"
+_PAIR_SEP = "\x01"  # unlikely in key renderings; keys are row identities
+
+
+def create_join_table_view(
+    spark: SparkSession, left_path: str, right_path: str, view_path: str,
+    on: str, left_key: str, right_key: str,
+) -> int:
+    """Materialize the JOIN ROWS themselves — ``SELECT l.*, r.* FROM
+    left JOIN right USING (on)`` — as a maintained denormalization
+    table (the pre-joined serving table every star schema wants without
+    re-running the join). Each row carries ``_pair_key`` =
+    left_key + SEP + right_key, the row identity the incremental
+    maintenance deletes by; both source keys must be UNIQUE row
+    identities (the same contract transform views place on their
+    source), which makes every join pair unique. Column names must be
+    unique across the two schemas except ``on``."""
+    l_v = V.current_version(left_path)
+    r_v = V.current_version(right_path)
+    l_df = _read_source(spark, left_path, l_v)
+    r_df = _read_source(spark, right_path, r_v)
+    if on not in l_df.columns or on not in r_df.columns:
+        raise ValueError(f"join column {on!r} must exist in both sources")
+    clash = (set(l_df.columns) & set(r_df.columns)) - {on}
+    if clash:
+        raise ValueError(
+            f"column names must be unique across the two sources (rename "
+            f"in a projection before the view): {sorted(clash)}")
+    state = _with_pair_key(l_df.join(r_df, on), left_key, right_key)
+    return V.create(spark, view_path, state, extra={"app": {
+        "jt_left": left_path, "jt_right": right_path, "jt_on": on,
+        "jt_left_key": left_key, "jt_right_key": right_key,
+        "jt_left_version": l_v, "jt_right_version": r_v,
+    }})
+
+
+def _with_pair_key(pairs: DataFrame, left_key: str,
+                   right_key: str) -> DataFrame:
+    return pairs.withColumn(
+        _PAIR_KEY,
+        F.concat_ws(_PAIR_SEP, F.col(left_key).cast("string"),
+                    F.col(right_key).cast("string")))
+
+
+def _spec_jt(path: str, version: int | None = None) -> dict:
+    v = V.current_version(path) if version is None else int(version)
+    m = V._manifest(path, v)
+    spec = m.get("app") or {}
+    if "jt_left" not in spec:
+        raise ValueError(f"{path} is not a join table view "
+                         f"(no jt_left in its manifest app namespace)")
+    return spec
+
+
+def refresh_join_table_view(spark: SparkSession, view_path: str) -> int:
+    """Advance a join TABLE view to both sources' heads: the same signed
+    delta rule as the aggregate join view (ΔL⋈R_old + L_new⋈ΔR, multiset
+    feeds), but applied at ROW level. The raw delta pairs are first
+    NETTED by full row (sum of ±1 per distinct pair content) — this is
+    load-bearing, not an optimization: in a both-sides-advanced interval
+    a left-insert ⋈ right-deleted-row pair appears as +1 in term 1 and
+    −1 in term 2 with IDENTICAL content, and applying the two sides
+    un-netted as vector+append would let the appended copy escape the
+    vector's scope (delete_and_append vectors only cover pre-existing
+    segments). After netting, per unique pair key at most one −1 row
+    (the old content) and one +1 row (the new) remain: −1 rows become
+    the delete vector, +1 rows the appended segment, published together
+    as ONE commit — updates are replaces, a reader never sees half.
+
+    An append-only interval on either source nets to pure +1 rows and
+    the refresh is a delete-free append of delta ⋈ matching rows —
+    O(ingest) at any table size, with the same size-guarded key-pruning
+    as the aggregate join view."""
+    view_v = V.current_version(view_path)
+    spec = _spec_jt(view_path, view_v)
+    lsrc, rsrc, on = spec["jt_left"], spec["jt_right"], spec["jt_on"]
+    lk, rk = spec["jt_left_key"], spec["jt_right_key"]
+    l_from, r_from = int(spec["jt_left_version"]), int(spec["jt_right_version"])
+    l_to, r_to = V.current_version(lsrc), V.current_version(rsrc)
+    if l_to == l_from and r_to == r_from:
+        return view_v
+    new_app = dict(spec) | {"jt_left_version": l_to,
+                            "jt_right_version": r_to}
+    pair_frames, persisted = [], []
+    try:
+        if l_to > l_from:
+            ch_l = _changes_since_cursor(
+                spark, lsrc, l_from, l_to, lk, multiset=True).persist()
+            persisted.append(ch_l)
+            r_old = _prune_to_delta_keys(
+                _read_source(spark, rsrc, r_from), ch_l, on,
+                _change_bound(lsrc, l_from, l_to))
+            pair_frames.append(ch_l.join(r_old, on))
+        if r_to > r_from:
+            ch_r = _changes_since_cursor(
+                spark, rsrc, r_from, r_to, rk, multiset=True).persist()
+            persisted.append(ch_r)
+            l_new = _prune_to_delta_keys(
+                _read_source(spark, lsrc, l_to), ch_r, on,
+                _change_bound(rsrc, r_from, r_to))
+            pair_frames.append(l_new.join(ch_r, on))
+        pairs = pair_frames[0]
+        for p in pair_frames[1:]:
+            # allowMissingColumns: source schema evolution between the
+            # cursors widens one term's delta columns (mergeSchema
+            # semantics — the absent side reads NULL)
+            pairs = pairs.unionByName(p, allowMissingColumns=True)
+        row_cols = [c for c in pairs.columns if c != "_change_type"]
+        netted = (
+            pairs.groupBy(*row_cols)
+            .agg(F.sum(_signed_change()).alias("_net"))
+            .where(F.col("_net") != 0)
+            .persist()
+        )
+        persisted.append(netted)
+        ret_keys = _with_pair_key(
+            netted.where(F.col("_net") < 0), lk, rk).select(_PAIR_KEY)
+        ins_rows = _with_pair_key(
+            netted.where(F.col("_net") > 0).drop("_net"), lk, rk)
+        # deterministic branch: the common ingest interval has no
+        # retractions and must commit a plain append (no vector scan)
+        if ret_keys.limit(1).count():
+            return V.delete_and_append(
+                spark, view_path, ret_keys, _PAIR_KEY, ins_rows,
+                extra={"app": new_app}, parent_version=view_v)
+        return V.append(spark, view_path, ins_rows,
+                        extra={"app": new_app}, parent_version=view_v)
+    finally:
+        for df in persisted:
+            df.unpersist()
+
+
+def refresh_join_table_view_with_retry(
+    spark: SparkSession, view_path: str, max_retries: int = 3,
+) -> int:
+    """OCC rebase loop for concurrent join-table refreshers."""
+    return _refresh_with_retry(
+        lambda: refresh_join_table_view(spark, view_path), max_retries)

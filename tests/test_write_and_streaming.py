@@ -2554,6 +2554,70 @@ class TestVersionedTable:
         MV.refresh_topk_view(spark, kv)
         check()
 
+    def test_join_table_view_equals_join_recompute(self, spark, tmp_path):
+        """Row-level JOIN TABLE view (the maintained denormalization
+        table): after left appends, right appends, left deletes, a right
+        upsert that rewrites payloads AND moves a join key, and a
+        BOTH-SIDES interval whose left-insert pairs a right-deleted row
+        (the net-zero case the full-row netting exists for), the view's
+        rows equal the direct join of the two heads."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        lt = str(tmp_path / "l")
+        rt = str(tmp_path / "r")
+        vw = str(tmp_path / "view")
+        mko = lambda rows: spark.createDataFrame(
+            rows, "o_id long, ckey long, amount long")
+        mkc = lambda rows: spark.createDataFrame(
+            rows, "c_id long, ckey long, seg string")
+        V.create(spark, lt, mko([(1, 10, 5), (2, 20, 7), (3, None, 9)]))
+        V.create(spark, rt, mkc([(100, 10, "A"), (101, 20, "B"),
+                                 (102, 30, None)]))
+        MV.create_join_table_view(spark, lt, rt, vw, on="ckey",
+                                  left_key="o_id", right_key="c_id")
+
+        def check():
+            got = sorted(
+                (r.o_id, r.c_id, r.ckey, r.amount, r.seg) for r in
+                V.read(spark, vw).collect())
+            want = sorted(
+                (r.o_id, r.c_id, r.ckey, r.amount, r.seg) for r in
+                V.read(spark, lt).join(V.read(spark, rt), "ckey")
+                .collect())
+            assert got == want, (got, want)
+
+        check()
+        # left append: delete-free fast refresh
+        V.append(spark, lt, mko([(4, 30, 11), (5, 10, 13)]))
+        MV.refresh_join_table_view(spark, vw)
+        check()
+        # right upsert: payload rewrite (100) + join-key move (101: 20->40)
+        V.upsert(spark, rt, mkc([(100, 10, "A2"), (101, 40, "B")]), "c_id")
+        MV.refresh_join_table_view(spark, vw)
+        check()
+        assert "A2" in {r.seg for r in V.read(spark, vw).collect()}
+        # left delete
+        V.delete_rows(spark, lt, [2], "o_id")
+        MV.refresh_join_table_view(spark, vw)
+        check()
+        # BOTH sides: new left row at ckey 30 while customer 102 (ckey
+        # 30) is DELETED in the same interval — term-1 inserts the pair,
+        # term-2 retracts it, the net must vanish (no phantom row)
+        V.append(spark, lt, mko([(6, 30, 17)]))
+        V.delete_rows(spark, rt, [102], "c_id")
+        V.append(spark, rt, mkc([(103, 50, "C")]))
+        MV.refresh_join_table_view(spark, vw)
+        check()
+        assert not [r for r in V.read(spark, vw).collect()
+                    if r.ckey == 30]
+        # idempotent when fresh; cursors track heads
+        v = V.current_version(vw)
+        assert MV.refresh_join_table_view(spark, vw) == v
+        spec = MV._spec_jt(vw)
+        assert spec["jt_left_version"] == V.current_version(lt)
+        assert spec["jt_right_version"] == V.current_version(rt)
+
     def test_describe_view_kinds_and_freshness(self, spark, tmp_path):
         """describe_view reports kind + per-source cursor/head/lag for
         all four view kinds (manifest-only, zero Spark jobs); lag tracks
