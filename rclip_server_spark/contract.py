@@ -1406,8 +1406,8 @@ _PRIORITY = [
     # view, view-over-view composition via the multiset CDC diff) —
     # restoring cumulative driver coverage to 100% of registered
     # oracle rows; then the round's other 9 new rows (7 TPC-H-style SQL
-    # adaptations, the distinct-count composition, the view-over-view
-    # composition), and 12 re-confirmation slots for bench headliners
+    # adaptations, the distinct-count composition, the row-level join
+    # table), and 12 re-confirmation slots for bench headliners
     # (incl. dedup_containment, whose self-join was touched this round)
     # and one row per LLM-pipeline family. Everything rotated out is
     # still replayed locally by tools/check_contract.py.
@@ -1431,7 +1431,8 @@ _PRIORITY = [
     # re-confirmation block below) ---
     "vt_bloom_pruned_lookup", "vt_join_view_refresh",
     # --- more new r7 rows: relational breadth (TPC-H Q4/Q19/Q16 +
-    # Q7/Q13/Q17/Q22 adaptations) and the distinct-count composition ---
+    # Q7/Q13/Q17/Q22 adaptations), the distinct-count composition, and
+    # the row-level join table (vt_join_table_view, below) ---
     "sql_q4_order_priority", "sql_q19_bracket_revenue",
     "sql_q16_supplier_variety", "sql_q7_nation_volume",
     "sql_q13_order_count_distribution", "sql_q17_small_quantity_revenue",

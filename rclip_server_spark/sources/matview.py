@@ -746,6 +746,51 @@ def _prune_to_delta_keys(snap: DataFrame, ch: DataFrame, on: str,
     return snap
 
 
+def _validate_join_sources(l_df: DataFrame, r_df: DataFrame,
+                           on: str) -> None:
+    """Shared create-time schema guard for BOTH join-view flavors."""
+    if on not in l_df.columns or on not in r_df.columns:
+        raise ValueError(f"join column {on!r} must exist in both sources")
+    clash = (set(l_df.columns) & set(r_df.columns)) - {on}
+    if clash:
+        raise ValueError(
+            f"column names must be unique across the two sources (rename "
+            f"in a projection before the view): {sorted(clash)}")
+
+
+def _interval_append_only(src: str, v_from: int, v_to: int) -> bool:
+    """Manifest-only: every commit in (v_from, v_to] is an append (an
+    empty interval is trivially append-only)."""
+    return all(V._manifest(src, v)["op"] in V.APPEND_OPS
+               for v in range(v_from + 1, v_to + 1))
+
+
+def _delta_pair_frames(spark, lsrc, rsrc, on, lk, rk,
+                       l_from, l_to, r_from, r_to, persisted):
+    """The signed delta rule's two pair terms, shared by BOTH join-view
+    flavors: ΔL (multiset, persisted) ⋈ key-pruned R@r_from, and
+    L@l_to key-pruned ⋈ ΔR (multiset, persisted). Appends each
+    persisted frame to ``persisted`` for the caller's finally-block."""
+    frames = []
+    if l_to > l_from:
+        ch_l = _changes_since_cursor(
+            spark, lsrc, l_from, l_to, lk, multiset=True).persist()
+        persisted.append(ch_l)
+        r_old = _prune_to_delta_keys(
+            _read_source(spark, rsrc, r_from), ch_l, on,
+            _change_bound(lsrc, l_from, l_to))
+        frames.append(ch_l.join(r_old, on))
+    if r_to > r_from:
+        ch_r = _changes_since_cursor(
+            spark, rsrc, r_from, r_to, rk, multiset=True).persist()
+        persisted.append(ch_r)
+        l_new = _prune_to_delta_keys(
+            _read_source(spark, lsrc, l_to), ch_r, on,
+            _change_bound(rsrc, r_from, r_to))
+        frames.append(l_new.join(ch_r, on))
+    return frames
+
+
 def create_join_view(
     spark: SparkSession, left_path: str, right_path: str, view_path: str,
     on: str, left_key: str, right_key: str,
@@ -774,15 +819,7 @@ def create_join_view(
     r_v = V.current_version(right_path)
     l_df = _read_source(spark, left_path, l_v)
     r_df = _read_source(spark, right_path, r_v)
-    l_cols = set(l_df.columns)
-    r_cols = set(r_df.columns)
-    if on not in l_cols or on not in r_cols:
-        raise ValueError(f"join column {on!r} must exist in both sources")
-    clash = (l_cols & r_cols) - {on}
-    if clash:
-        raise ValueError(
-            f"column names must be unique across the two sources (rename "
-            f"in a projection before the view): {sorted(clash)}")
+    _validate_join_sources(l_df, r_df, on)
     types = {f.name: f.dataType.simpleString()
              for f in l_df.schema.fields + r_df.schema.fields}
     _check_sum_cols_integral(sum_cols, types)
@@ -852,24 +889,9 @@ def refresh_join_view(spark: SparkSession, view_path: str) -> int:
                                       "jv_right_version": r_to}}
     pair_frames, persisted = [], []
     try:
-        if l_to > l_from:
-            ch_l = _changes_since_cursor(
-                spark, lsrc, l_from, l_to, spec["jv_left_key"],
-                multiset=True).persist()
-            persisted.append(ch_l)
-            r_old = _prune_to_delta_keys(
-                _read_source(spark, rsrc, r_from), ch_l, on,
-                _change_bound(lsrc, l_from, l_to))
-            pair_frames.append(ch_l.join(r_old, on))
-        if r_to > r_from:
-            ch_r = _changes_since_cursor(
-                spark, rsrc, r_from, r_to, spec["jv_right_key"],
-                multiset=True).persist()
-            persisted.append(ch_r)
-            l_new = _prune_to_delta_keys(
-                _read_source(spark, lsrc, l_to), ch_r, on,
-                _change_bound(rsrc, r_from, r_to))
-            pair_frames.append(l_new.join(ch_r, on))
+        pair_frames = _delta_pair_frames(
+            spark, lsrc, rsrc, on, spec["jv_left_key"],
+            spec["jv_right_key"], l_from, l_to, r_from, r_to, persisted)
         cur = V.read(spark, view_path, view_v)
         if not minmax_cols:
             merged = cur
@@ -967,11 +989,17 @@ def refresh_join_view_with_retry(
 # Operational surface: view inspection / freshness
 # ---------------------------------------------------------------------------
 
+# marker-column-in-spec -> (kind, [(source_key, cursor_key), ...]);
+# the SINGLE registry every view kind must appear in — describe_view
+# iterates it directly, so adding a kind here is the whole wiring
 _VIEW_KINDS = {
-    "mv_source": ("agg", "mv_source", "mv_source_version"),
-    "tv_source": ("transform", "tv_source", "tv_source_version"),
-    "kv_source": ("topk", "kv_source", "kv_source_version"),
-    "jv_left": ("join", None, None),
+    "mv_source": ("agg", [("mv_source", "mv_source_version")]),
+    "tv_source": ("transform", [("tv_source", "tv_source_version")]),
+    "kv_source": ("topk", [("kv_source", "kv_source_version")]),
+    "jv_left": ("join", [("jv_left", "jv_left_version"),
+                         ("jv_right", "jv_right_version")]),
+    "jt_left": ("join_table", [("jt_left", "jt_left_version"),
+                               ("jt_right", "jt_right_version")]),
 }
 
 
@@ -985,32 +1013,23 @@ def describe_view(view_path: str) -> dict:
     not a maintained view."""
     base = V.describe(view_path)
     spec = base.get("app") or {}
-    kind = next((k for marker, (k, _, _) in _VIEW_KINDS.items()
-                 if marker in spec), None)
-    if kind is None:
-        raise ValueError(f"{view_path} is not a maintained view "
-                         f"(no view spec in its manifest app namespace)")
 
     def _src_entry(src: str, cursor: int) -> dict:
         head = V.current_version(src)
         return {"path": src, "cursor_version": int(cursor),
                 "head_version": head, "lag": head - int(cursor)}
 
-    if kind == "join":
-        sources = [
-            _src_entry(spec["jv_left"], spec["jv_left_version"]),
-            _src_entry(spec["jv_right"], spec["jv_right_version"]),
-        ]
-    else:
-        _, src_key, ver_key = _VIEW_KINDS[
-            {"agg": "mv_source", "transform": "tv_source",
-             "topk": "kv_source"}[kind]]
-        sources = [_src_entry(spec[src_key], spec[ver_key])]
-    return base | {
-        "view_kind": kind,
-        "sources": sources,
-        "fresh": all(s["lag"] == 0 for s in sources),
-    }
+    for marker, (kind, src_pairs) in _VIEW_KINDS.items():
+        if marker in spec:
+            sources = [_src_entry(spec[sk], spec[vk])
+                       for sk, vk in src_pairs]
+            return base | {
+                "view_kind": kind,
+                "sources": sources,
+                "fresh": all(s["lag"] == 0 for s in sources),
+            }
+    raise ValueError(f"{view_path} is not a maintained view "
+                     f"(no view spec in its manifest app namespace)")
 
 
 # ---------------------------------------------------------------------------
@@ -1038,13 +1057,16 @@ def create_join_table_view(
     r_v = V.current_version(right_path)
     l_df = _read_source(spark, left_path, l_v)
     r_df = _read_source(spark, right_path, r_v)
-    if on not in l_df.columns or on not in r_df.columns:
-        raise ValueError(f"join column {on!r} must exist in both sources")
-    clash = (set(l_df.columns) & set(r_df.columns)) - {on}
-    if clash:
-        raise ValueError(
-            f"column names must be unique across the two sources (rename "
-            f"in a projection before the view): {sorted(clash)}")
+    _validate_join_sources(l_df, r_df, on)
+    # enforce the documented key contract at create time: a NULL row
+    # identity would make pair keys collide (and the delete vector
+    # delete the wrong row); refresh-time NULLs hit the sentinel below
+    for df, k, side in ((l_df, left_key, "left"), (r_df, right_key,
+                                                   "right")):
+        if df.where(F.col(k).isNull()).limit(1).count():
+            raise ValueError(
+                f"{side} key {k!r} has NULL values — join table views "
+                f"need non-null unique row identities on both sources")
     state = _with_pair_key(l_df.join(r_df, on), left_key, right_key)
     return V.create(spark, view_path, state, extra={"app": {
         "jt_left": left_path, "jt_right": right_path, "jt_on": on,
@@ -1055,10 +1077,17 @@ def create_join_table_view(
 
 def _with_pair_key(pairs: DataFrame, left_key: str,
                    right_key: str) -> DataFrame:
+    # F.concat (not concat_ws) with NULL-sentinel coalesce: concat_ws
+    # SKIPS null operands, which would collide (NULL, '7') with
+    # ('7', NULL); create_join_table_view rejects null keys up front,
+    # the sentinel keeps even an escaped null distinct per side
+    def _k(c):
+        return F.coalesce(F.col(c).cast("string"),
+                          F.lit(_PAIR_SEP + "null"))
+
     return pairs.withColumn(
         _PAIR_KEY,
-        F.concat_ws(_PAIR_SEP, F.col(left_key).cast("string"),
-                    F.col(right_key).cast("string")))
+        F.concat(_k(left_key), F.lit(_PAIR_SEP), _k(right_key)))
 
 
 def _spec_jt(path: str, version: int | None = None) -> dict:
@@ -1100,30 +1129,27 @@ def refresh_join_table_view(spark: SparkSession, view_path: str) -> int:
         return view_v
     new_app = dict(spec) | {"jt_left_version": l_to,
                             "jt_right_version": r_to}
-    pair_frames, persisted = [], []
+    persisted = []
     try:
-        if l_to > l_from:
-            ch_l = _changes_since_cursor(
-                spark, lsrc, l_from, l_to, lk, multiset=True).persist()
-            persisted.append(ch_l)
-            r_old = _prune_to_delta_keys(
-                _read_source(spark, rsrc, r_from), ch_l, on,
-                _change_bound(lsrc, l_from, l_to))
-            pair_frames.append(ch_l.join(r_old, on))
-        if r_to > r_from:
-            ch_r = _changes_since_cursor(
-                spark, rsrc, r_from, r_to, rk, multiset=True).persist()
-            persisted.append(ch_r)
-            l_new = _prune_to_delta_keys(
-                _read_source(spark, lsrc, l_to), ch_r, on,
-                _change_bound(rsrc, r_from, r_to))
-            pair_frames.append(l_new.join(ch_r, on))
+        pair_frames = _delta_pair_frames(
+            spark, lsrc, rsrc, on, lk, rk,
+            l_from, l_to, r_from, r_to, persisted)
         pairs = pair_frames[0]
         for p in pair_frames[1:]:
             # allowMissingColumns: source schema evolution between the
             # cursors widens one term's delta columns (mergeSchema
             # semantics — the absent side reads NULL)
             pairs = pairs.unionByName(p, allowMissingColumns=True)
+        # provably append-only interval on BOTH sides (manifest-only
+        # check): every CDC row is +1 and no cross-term duplicate pair
+        # can exist (term 1 pairs use R_old, term 2 a NEW right row) —
+        # skip the netting shuffle and commit the raw pairs directly
+        if _interval_append_only(lsrc, l_from, l_to) and \
+                _interval_append_only(rsrc, r_from, r_to):
+            ins_rows = _with_pair_key(
+                pairs.drop("_change_type"), lk, rk)
+            return V.append(spark, view_path, ins_rows,
+                            extra={"app": new_app}, parent_version=view_v)
         row_cols = [c for c in pairs.columns if c != "_change_type"]
         netted = (
             pairs.groupBy(*row_cols)
@@ -1136,8 +1162,8 @@ def refresh_join_table_view(spark: SparkSession, view_path: str) -> int:
             netted.where(F.col("_net") < 0), lk, rk).select(_PAIR_KEY)
         ins_rows = _with_pair_key(
             netted.where(F.col("_net") > 0).drop("_net"), lk, rk)
-        # deterministic branch: the common ingest interval has no
-        # retractions and must commit a plain append (no vector scan)
+        # deterministic branch: a rewrite interval whose retractions all
+        # netted away still commits a plain append (no vector scan)
         if ret_keys.limit(1).count():
             return V.delete_and_append(
                 spark, view_path, ret_keys, _PAIR_KEY, ins_rows,

@@ -2617,6 +2617,15 @@ class TestVersionedTable:
         spec = MV._spec_jt(vw)
         assert spec["jt_left_version"] == V.current_version(lt)
         assert spec["jt_right_version"] == V.current_version(rt)
+        # NULL row-identity keys are rejected at create (a null key
+        # would collide pair identities and misdelete)
+        badl = str(tmp_path / "badl")
+        V.create(spark, badl, mko([(None, 10, 1)]))
+        with pytest.raises(ValueError, match="NULL"):
+            MV.create_join_table_view(spark, badl, rt,
+                                      str(tmp_path / "badview"),
+                                      on="ckey", left_key="o_id",
+                                      right_key="c_id")
 
     def test_describe_view_kinds_and_freshness(self, spark, tmp_path):
         """describe_view reports kind + per-source cursor/head/lag for
@@ -2645,8 +2654,12 @@ class TestVersionedTable:
                             score_col="v", k=2)
         MV.create_join_view(spark, lt, rt, jv, on="k", left_key="id",
                             right_key="rid", group_cols=["seg"])
+        jtv = str(tmp_path / "jtv")
+        MV.create_join_table_view(spark, lt, rt, jtv, on="k",
+                                  left_key="id", right_key="rid")
         for p, kind, n_src in ((av, "agg", 1), (tv, "transform", 1),
-                               (kv, "topk", 1), (jv, "join", 2)):
+                               (kv, "topk", 1), (jv, "join", 2),
+                               (jtv, "join_table", 2)):
             d = MV.describe_view(p)
             assert d["view_kind"] == kind and d["fresh"]
             assert len(d["sources"]) == n_src
