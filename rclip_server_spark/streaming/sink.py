@@ -297,3 +297,23 @@ def start_bloom_index_stream(
 
     return _start_view_refresh_stream(spark, table_path, _go,
                                       checkpoint_dir)
+
+
+def start_join_table_view_refresh_stream(
+    spark: SparkSession, view_path: str,
+    checkpoint_dir: str | None = None,
+):
+    """Continuous maintenance for a row-level JOIN TABLE view: one
+    streaming query over the union of both sources' manifest tails
+    driving the cursor-derived refresh (the start_join_view_refresh_stream
+    contract, for the denormalization flavor). Returns the
+    StreamingQuery."""
+    from ..sources import matview
+
+    spec = matview._spec_jt(view_path)
+
+    def _go():
+        matview.refresh_join_table_view_with_retry(spark, view_path)
+
+    return _start_view_refresh_stream(
+        spark, [spec["jt_left"], spec["jt_right"]], _go, checkpoint_dir)
