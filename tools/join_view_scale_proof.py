@@ -11,6 +11,10 @@ vs (b) a from-scratch join+groupBy of the new heads. Row-count equality
 of view vs recompute is asserted at every size — the proof is only
 meaningful if the fast path is exact.
 
+Also times the ROW-LEVEL join table flavor (refresh_join_table_view) on
+the same bases: its append-only fast path must be flat too (delta pairs
+appended, no netting shuffle).
+
 Usage: python tools/join_view_scale_proof.py [sf_dir] [copies ...]
        (defaults: /root/testdata/sf0.1 and 1 4 8)  ->  one JSON line
 """
@@ -84,14 +88,31 @@ def main() -> None:
                     .collect()}
             want = {(r.cohort, r.cnt, r.sum_value_cents) for r in direct}
             assert view == want, "join view diverged from direct recompute"
+            # row-level join table on the same interval shape
+            jt = os.path.join(tmp, f"jt{copies}")
+            lt2 = os.path.join(tmp, f"l2_{copies}")
+            V.create(spark, lt2, base)
+            MV.create_join_table_view(spark, lt2, rt, jt, on="uk",
+                                      left_key="event_id",
+                                      right_key="u_id")
+            V.append(spark, lt2, batch)
+            t0 = time.monotonic()
+            MV.refresh_join_table_view(spark, jt)
+            jt_refresh_s = time.monotonic() - t0
+            n_view = V.table_row_count(jt)
+            n_direct = V.read(spark, lt2).join(
+                V.read(spark, rt), "uk").count()
+            assert n_view == n_direct, (n_view, n_direct)
             m = V._manifest(lt, V.current_version(lt))
             results[f"x{copies}"] = {
                 "refresh_sec": round(refresh_s, 3),
                 "full_recompute_sec": round(recompute_s, 3),
+                "join_table_refresh_sec": round(jt_refresh_s, 3),
                 "left_rows": sum(m["seg_rows"].values()),
             }
-            print(f"x{copies}: refresh {refresh_s:.2f}s vs full recompute "
-                  f"{recompute_s:.2f}s", file=sys.stderr)
+            print(f"x{copies}: agg refresh {refresh_s:.2f}s vs recompute "
+                  f"{recompute_s:.2f}s; row-level refresh "
+                  f"{jt_refresh_s:.2f}s", file=sys.stderr)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps({"tool": "join_view_scale_proof", "sf_dir": SF_DIR,
