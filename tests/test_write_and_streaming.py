@@ -2588,10 +2588,12 @@ class TestVersionedTable:
             assert got == want, (got, want)
 
         check()
-        # left append: delete-free fast refresh
+        # left append: provably append-only interval -> the refresh must
+        # commit a PLAIN APPEND (manifest-pinned; no netting, no vector)
         V.append(spark, lt, mko([(4, 30, 11), (5, 10, 13)]))
         MV.refresh_join_table_view(spark, vw)
         check()
+        assert V._manifest(vw, V.current_version(vw))["op"] == "append"
         # right upsert: payload rewrite (100) + join-key move (101: 20->40)
         V.upsert(spark, rt, mkc([(100, 10, "A2"), (101, 40, "B")]), "c_id")
         MV.refresh_join_table_view(spark, vw)
