@@ -1407,7 +1407,7 @@ _PRIORITY = [
     # restoring cumulative driver coverage to 100% of registered
     # oracle rows; then the round's other 9 new rows (7 TPC-H-style SQL
     # adaptations, the distinct-count composition, the row-level join
-    # table), and 12 re-confirmation slots for bench headliners
+    # table), and 11 re-confirmation slots for bench headliners
     # (incl. dedup_containment, whose self-join was touched this round)
     # and one row per LLM-pipeline family. Everything rotated out is
     # still replayed locally by tools/check_contract.py.
@@ -1438,13 +1438,13 @@ _PRIORITY = [
     "sql_q13_order_count_distribution", "sql_q17_small_quantity_revenue",
     "sql_q22_idle_customers", "vt_distinct_count_view",
     "vt_view_composition",
-    "vt_join_table_view",
-    # --- re-confirmation (12 slots): bench-headline dedup/ANN/sketch +
+    "vt_join_table_view", "vt_latest_per_key_view",
+    # --- re-confirmation (11 slots): bench-headline dedup/ANN/sketch +
     # one row per LLM-pipeline family ---
     "ann_lsh_knn_join", "dedup_minhash_near_dup", "dedup_containment",
     "dedup_semantic_semdedup", "dedup_simhash_near_dup", "ann_ivf_topk",
     "sketch_histogram_quantiles", "samp_temperature_mixture",
-    "text_tfidf", "text_bm25_topk", "ev_asof_tolerance",
+    "text_bm25_topk", "ev_asof_tolerance",
     "vt_agg_view_refresh",
 ]
 
@@ -5772,5 +5772,75 @@ _register(
       FROM orders)
     SELECT o_orderkey, custkey, price_cents, c_custkey, c_mktsegment
     FROM l JOIN r USING (custkey)
+    """,
+)
+
+
+def _vt_latest_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .sources import matview as MV
+    from .sources import versioned as VT
+
+    view = path + "_view"
+    _utc(spark)
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id",
+        F.struct(
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("etype"),
+        ).alias("pair"))
+    VT.create(spark, path, ev.where(F.col("event_id") % 3 != 2))
+    MV.create_agg_view(spark, path, view, key="event_id",
+                       group_cols=["user_id"], minmax_cols=["pair"])
+    VT.append(spark, path, ev.where(F.col("event_id") % 3 == 2))
+    MV.refresh_agg_view(spark, view)
+    # retract rows INCLUDING some users' current latest: the affected
+    # groups must recompute to the true next-latest
+    VT.delete_rows(
+        spark, path,
+        ev.where(F.col("event_id") % 13 == 0).select("event_id"),
+        "event_id")
+    MV.refresh_agg_view(spark, view)
+
+
+def _vt_latest_per_key_view(spark: SparkSession, sf: str) -> DataFrame:
+    """'LATEST event per user' as a maintained view with ZERO new engine
+    code: min/max maintenance over a lexicographic STRUCT column
+    (ts_us, event_id, event_type) — monotone merge on inserts, affected-
+    group recompute when a user's current latest retracts (this builder
+    deletes some latests on purpose). The argmax-by-time materialization
+    every serving layer wants, expressed as existing machinery. Oracle:
+    the deterministic window winner (ts DESC, event_id DESC) per user
+    over the final corpus."""
+    from .sources import matview as MV
+
+    path = _vt_build(spark, sf, "latest", _vt_latest_builder)
+    return MV.read_agg_view(spark, path + "_view").select(
+        "user_id",
+        F.col("max_pair.ts_us").alias("latest_ts_us"),
+        F.col("max_pair.eid").alias("latest_event_id"),
+        F.col("max_pair.etype").alias("latest_event_type"),
+        F.col("cnt").cast("long").alias("n_events"))
+
+
+_register(
+    "vt_latest_per_key_view",
+    _vt_latest_per_key_view,
+    """
+    WITH final AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+      FROM events WHERE event_id % 13 <> 0),
+    ranked AS (
+      SELECT user_id, ts_us, event_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY ts_us DESC, event_id DESC, event_type DESC
+             ) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_events
+      FROM final)
+    SELECT user_id, ts_us AS latest_ts_us, event_id AS latest_event_id,
+           event_type AS latest_event_type,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM ranked WHERE rn = 1
     """,
 )
