@@ -2629,6 +2629,50 @@ class TestVersionedTable:
                                       on="ckey", left_key="o_id",
                                       right_key="c_id")
 
+    def test_join_table_view_streaming_refresh(self, spark, tmp_path):
+        """Streaming maintenance for the row-level join table: one query
+        over both manifest tails keeps the denormalization rows fresh
+        through a left append and a right delete; final rows equal the
+        direct join."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+        from rclip_server_spark.streaming import sink
+
+        lt = str(tmp_path / "l")
+        rt = str(tmp_path / "r")
+        vw = str(tmp_path / "view")
+        mko = lambda rows: spark.createDataFrame(
+            rows, "o_id long, ckey long, amount long")
+        mkc = lambda rows: spark.createDataFrame(
+            rows, "c_id long, ckey long, seg string")
+        V.create(spark, lt, mko([(1, 10, 5)]))
+        V.create(spark, rt, mkc([(100, 10, "A"), (101, 20, "B")]))
+        MV.create_join_table_view(spark, lt, rt, vw, on="ckey",
+                                  left_key="o_id", right_key="c_id")
+        q = sink.start_join_table_view_refresh_stream(
+            spark, vw, checkpoint_dir=str(tmp_path / "cp"))
+        try:
+            V.append(spark, lt, mko([(2, 20, 7), (3, 10, 11)]))
+            V.delete_rows(spark, rt, [100], "c_id")
+            import time as _time
+            deadline = _time.time() + 60
+            while _time.time() < deadline:
+                q.processAllAvailable()
+                spec = MV._spec_jt(vw)
+                if (spec["jt_left_version"] == V.current_version(lt)
+                        and spec["jt_right_version"]
+                        == V.current_version(rt)):
+                    break
+                _time.sleep(0.3)
+        finally:
+            q.stop()
+        got = sorted((r.o_id, r.c_id, r.amount, r.seg) for r in
+                     V.read(spark, vw).collect())
+        want = sorted((r.o_id, r.c_id, r.amount, r.seg) for r in
+                      V.read(spark, lt).join(V.read(spark, rt), "ckey")
+                      .collect())
+        assert got == want, (got, want)
+
     def test_describe_view_kinds_and_freshness(self, spark, tmp_path):
         """describe_view reports kind + per-source cursor/head/lag for
         all four view kinds (manifest-only, zero Spark jobs); lag tracks

@@ -67,6 +67,12 @@ def main() -> None:
                                 left_key="event_id", right_key="u_id",
                                 group_cols=["cohort"],
                                 sum_cols=["value_cents"])
+            # the row-level flavor shares the SAME source and the same
+            # append-only interval (independent cursors, one data copy)
+            jt = os.path.join(tmp, f"jt{copies}")
+            MV.create_join_table_view(spark, lt, rt, jt, on="uk",
+                                      left_key="event_id",
+                                      right_key="u_id")
             batch = ev0.limit(2000).withColumn(
                 "event_id", F.col("event_id") + F.lit(99_000_000_000))
             V.append(spark, lt, batch)
@@ -88,19 +94,20 @@ def main() -> None:
                     .collect()}
             want = {(r.cohort, r.cnt, r.sum_value_cents) for r in direct}
             assert view == want, "join view diverged from direct recompute"
-            # row-level join table on the same interval shape
-            jt = os.path.join(tmp, f"jt{copies}")
-            lt2 = os.path.join(tmp, f"l2_{copies}")
-            V.create(spark, lt2, base)
-            MV.create_join_table_view(spark, lt2, rt, jt, on="uk",
-                                      left_key="event_id",
-                                      right_key="u_id")
-            V.append(spark, lt2, batch)
             t0 = time.monotonic()
             MV.refresh_join_table_view(spark, jt)
             jt_refresh_s = time.monotonic() - t0
+            # the claim under proof: the append-only interval committed
+            # a PLAIN APPEND (no netting, no vector) with EXACT content
+            m_jt = V._manifest(jt, V.current_version(jt))
+            assert m_jt["op"] == "append", m_jt["op"]
+            diff = (
+                V.read(spark, jt).drop("_pair_key")
+                .exceptAll(V.read(spark, lt).join(V.read(spark, rt), "uk"))
+                .count())
+            assert diff == 0, f"{diff} extra rows in join table"
             n_view = V.table_row_count(jt)
-            n_direct = V.read(spark, lt2).join(
+            n_direct = V.read(spark, lt).join(
                 V.read(spark, rt), "uk").count()
             assert n_view == n_direct, (n_view, n_direct)
             m = V._manifest(lt, V.current_version(lt))
