@@ -1407,8 +1407,8 @@ _PRIORITY = [
     # restoring cumulative driver coverage to 100% of registered
     # oracle rows; then the round's other 10 new rows (7 TPC-H-style SQL
     # adaptations, the distinct-count composition, the row-level join
-    # table, the latest-per-key struct-minmax view), and 11
-    # re-confirmation slots for bench headliners
+    # table, the latest-per-key struct-minmax view, and TPC-H
+    # Q8/Q15/Q21), and 8 re-confirmation slots for bench headliners
     # (incl. dedup_containment, whose self-join was touched this round)
     # and one row per LLM-pipeline family. Everything rotated out is
     # still replayed locally by tools/check_contract.py.
@@ -1440,12 +1440,13 @@ _PRIORITY = [
     "sql_q22_idle_customers", "vt_distinct_count_view",
     "vt_view_composition",
     "vt_join_table_view", "vt_latest_per_key_view",
-    # --- re-confirmation (11 slots): bench-headline dedup/ANN/sketch +
-    # one row per LLM-pipeline family ---
+    "sql_q8_market_share", "sql_q15_top_supplier",
+    "sql_q21_waiting_suppliers",
+    # --- re-confirmation (8 slots): bench-headline dedup/ANN/sketch +
+    # LLM-pipeline family coverage ---
     "ann_lsh_knn_join", "dedup_minhash_near_dup", "dedup_containment",
-    "dedup_semantic_semdedup", "dedup_simhash_near_dup", "ann_ivf_topk",
-    "sketch_histogram_quantiles", "samp_temperature_mixture",
-    "text_bm25_topk", "ev_asof_tolerance",
+    "dedup_semantic_semdedup", "dedup_simhash_near_dup",
+    "sketch_histogram_quantiles", "text_bm25_topk",
     "vt_agg_view_refresh",
 ]
 
@@ -5845,3 +5846,126 @@ _register(
     FROM ranked WHERE rn = 1
     """,
 )
+
+
+# ===========================================================================
+# TPC-H-style relational breadth, round 7 (third batch): Q8 / Q15 / Q21
+# adaptations — market-share ratio over a snowflake join, a named revenue
+# view feeding a scalar-max filter, and the multi-EXISTS "kept orders
+# waiting" pattern. Same shared-SQL-text rule; ratios divide exact cent
+# sums (one double division at the end).
+# ===========================================================================
+
+_Q8_BODY = """
+    SELECT o_year,
+           CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume_cents
+                         ELSE 0 END) AS BIGINT) AS nation_cents,
+           CAST(sum(volume_cents) AS BIGINT) AS total_cents,
+           CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume_cents
+                         ELSE 0 END) AS DOUBLE)
+             / CAST(sum(volume_cents) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS volume_cents,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA'
+        AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+"""
+
+
+def _sql_q8_query(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8-style national market share: the 8-table snowflake
+    (part, lineitem, supplier, orders, customer, nation x2, region) with
+    a conditional-sum ratio — numerator and denominator kept as exact
+    BIGINT cents, ONE double division at the end (aggregation-order
+    independent on both engines)."""
+    from .sources.catalog import register_views
+
+    _utc(spark)
+    register_views(spark, sf)
+    return spark.sql(_Q8_BODY)
+
+
+_register("sql_q8_market_share", _sql_q8_query, _Q8_BODY)
+
+
+_Q15_BODY = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_cents
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_cents = (SELECT max(total_cents) FROM revenue)
+"""
+
+
+def _sql_q15_query(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: a named revenue CTE consumed TWICE
+    (join + scalar-max subquery) — exactly the recompute the maintained
+    agg view family exists to avoid at scale; here the SQL surface form,
+    BIGINT-cents so the max comparison is exact."""
+    from .sources.catalog import register_views
+
+    _utc(spark)
+    register_views(spark, sf)
+    return spark.sql(_Q15_BODY)
+
+
+_register("sql_q15_top_supplier", _sql_q15_query, _Q15_BODY)
+
+
+_Q21_BODY = """
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND n.n_name = 'NATION_2'
+      AND l1.l_shipdate > o.o_orderdate
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate)
+    GROUP BY s.s_name
+"""
+
+
+def _sql_q21_query(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21-style suppliers-who-kept-orders-waiting: the EXISTS +
+    NOT EXISTS pair over the SAME relation (multi-supplier orders where
+    ONLY this supplier shipped late — the fixture lacks receipt/commit
+    dates, so 'late' is l_shipdate > o_orderdate) — the hardest
+    correlated-subquery plan shape in the suite (two semi/anti joins
+    against lineitem)."""
+    from .sources.catalog import register_views
+
+    _utc(spark)
+    register_views(spark, sf)
+    return spark.sql(_Q21_BODY)
+
+
+_register("sql_q21_waiting_suppliers", _sql_q21_query, _Q21_BODY)
