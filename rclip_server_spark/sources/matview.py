@@ -1100,7 +1100,10 @@ def _spec_jt(path: str, version: int | None = None) -> dict:
     return spec
 
 
-def refresh_join_table_view(spark: SparkSession, view_path: str) -> int:
+def refresh_join_table_view(
+    spark: SparkSession, view_path: str,
+    auto_compact: bool = False, compact_threshold: int = 32,
+) -> int:
     """Advance a join TABLE view to both sources' heads: the same signed
     delta rule as the aggregate join view (ΔL⋈R_old + L_new⋈ΔR, multiset
     feeds), but applied at ROW level. The raw delta pairs are first
@@ -1118,7 +1121,12 @@ def refresh_join_table_view(spark: SparkSession, view_path: str) -> int:
     An append-only interval on either source nets to pure +1 rows and
     the refresh is a delete-free append of delta ⋈ matching rows —
     O(ingest) at any table size, with the same size-guarded key-pruning
-    as the aggregate join view."""
+    as the aggregate join view.
+
+    Like transform views, each refresh accretes a segment (plus a
+    vector on rewrites): ``auto_compact=True`` runs
+    versioned.maybe_compact after the commit, bounding segment growth
+    at ``compact_threshold`` for unattended streaming refreshers."""
     view_v = V.current_version(view_path)
     spec = _spec_jt(view_path, view_v)
     lsrc, rsrc, on = spec["jt_left"], spec["jt_right"], spec["jt_on"]
@@ -1148,8 +1156,11 @@ def refresh_join_table_view(spark: SparkSession, view_path: str) -> int:
                 _interval_append_only(rsrc, r_from, r_to):
             ins_rows = _with_pair_key(
                 pairs.drop("_change_type"), lk, rk)
-            return V.append(spark, view_path, ins_rows,
-                            extra={"app": new_app}, parent_version=view_v)
+            out_v = V.append(spark, view_path, ins_rows,
+                             extra={"app": new_app}, parent_version=view_v)
+            if auto_compact:
+                out_v = V.maybe_compact(spark, view_path, compact_threshold)
+            return out_v
         row_cols = [c for c in pairs.columns if c != "_change_type"]
         netted = (
             pairs.groupBy(*row_cols)
@@ -1165,19 +1176,27 @@ def refresh_join_table_view(spark: SparkSession, view_path: str) -> int:
         # deterministic branch: a rewrite interval whose retractions all
         # netted away still commits a plain append (no vector scan)
         if ret_keys.limit(1).count():
-            return V.delete_and_append(
+            out_v = V.delete_and_append(
                 spark, view_path, ret_keys, _PAIR_KEY, ins_rows,
                 extra={"app": new_app}, parent_version=view_v)
-        return V.append(spark, view_path, ins_rows,
-                        extra={"app": new_app}, parent_version=view_v)
+        else:
+            out_v = V.append(spark, view_path, ins_rows,
+                             extra={"app": new_app}, parent_version=view_v)
     finally:
         for df in persisted:
             df.unpersist()
+    if auto_compact:
+        out_v = V.maybe_compact(spark, view_path, compact_threshold)
+    return out_v
 
 
 def refresh_join_table_view_with_retry(
     spark: SparkSession, view_path: str, max_retries: int = 3,
+    auto_compact: bool = False, compact_threshold: int = 32,
 ) -> int:
     """OCC rebase loop for concurrent join-table refreshers."""
     return _refresh_with_retry(
-        lambda: refresh_join_table_view(spark, view_path), max_retries)
+        lambda: refresh_join_table_view(
+            spark, view_path,
+            auto_compact=auto_compact, compact_threshold=compact_threshold),
+        max_retries)

@@ -302,6 +302,7 @@ def start_bloom_index_stream(
 def start_join_table_view_refresh_stream(
     spark: SparkSession, view_path: str,
     checkpoint_dir: str | None = None,
+    auto_compact: bool = False, compact_threshold: int = 32,
 ):
     """Continuous maintenance for a row-level JOIN TABLE view: one
     streaming query over the union of both sources' manifest tails
@@ -313,7 +314,9 @@ def start_join_table_view_refresh_stream(
     spec = matview._spec_jt(view_path)
 
     def _go():
-        matview.refresh_join_table_view_with_retry(spark, view_path)
+        matview.refresh_join_table_view_with_retry(
+            spark, view_path,
+            auto_compact=auto_compact, compact_threshold=compact_threshold)
 
     return _start_view_refresh_stream(
         spark, [spec["jt_left"], spec["jt_right"]], _go, checkpoint_dir)

@@ -2629,6 +2629,50 @@ class TestVersionedTable:
                                       on="ckey", left_key="o_id",
                                       right_key="c_id")
 
+    def test_join_table_view_auto_compact_bounds_segments(
+        self, spark, tmp_path
+    ):
+        """auto_compact=True on the join-table refresher (covering BOTH
+        commit branches — the append-only fast path and the
+        vector+append rewrite path) keeps segment count bounded across
+        refresh cycles with row content identical to the direct join."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        lt = str(tmp_path / "l")
+        rt = str(tmp_path / "r")
+        vw = str(tmp_path / "view")
+        mko = lambda rows: spark.createDataFrame(
+            rows, "o_id long, ckey long, amount long")
+        V.create(spark, lt, mko([(0, 0, 1)]))
+        V.create(spark, rt, spark.createDataFrame(
+            [(100 + k, k, f"s{k}") for k in range(4)],
+            "c_id long, ckey long, seg string"))
+        MV.create_join_table_view(spark, lt, rt, vw, on="ckey",
+                                  left_key="o_id", right_key="c_id")
+        threshold = 4
+        seg_counts = []
+        for i in range(1, 11):
+            if i % 4 == 0:
+                V.upsert(spark, lt, mko([(i - 1, (i + 1) % 4, i)]), "o_id")
+            else:
+                V.append(spark, lt, mko([(i, i % 4, i * 3)]))
+            MV.refresh_join_table_view(spark, vw, auto_compact=True,
+                                       compact_threshold=threshold)
+            m = V._manifest(vw, V.current_version(vw))
+            seg_counts.append(len(m["segments"]) +
+                              len(m.get("delete_segs") or []))
+            got = sorted((r.o_id, r.c_id, r.amount) for r in
+                         V.read(spark, vw).collect())
+            want = sorted((r.o_id, r.c_id, r.amount) for r in
+                          V.read(spark, lt)
+                          .join(V.read(spark, rt), "ckey").collect())
+            assert got == want, (i, got, want)
+        assert max(seg_counts) <= threshold + 1, seg_counts
+        assert min(seg_counts) == 1, seg_counts  # compaction fired
+        spec = MV._spec_jt(vw)
+        assert spec["jt_left_version"] == V.current_version(lt)
+
     def test_join_table_view_streaming_refresh(self, spark, tmp_path):
         """Streaming maintenance for the row-level join table: one query
         over both manifest tails keeps the denormalization rows fresh
