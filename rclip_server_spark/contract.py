@@ -1442,10 +1442,11 @@ _PRIORITY = [
     "vt_join_table_view", "vt_latest_per_key_view",
     "sql_q8_market_share", "sql_q15_top_supplier",
     "sql_q21_waiting_suppliers",
-    # --- re-confirmation (8 slots): bench-headline dedup/ANN/sketch +
-    # LLM-pipeline family coverage ---
+    # --- re-confirmation (8 slots): bench headliners + one row per
+    # LLM-pipeline family (the registry-invariants test enforces the
+    # family spread — every prefix the driver should see stays in) ---
     "ann_lsh_knn_join", "dedup_minhash_near_dup", "dedup_containment",
-    "dedup_semantic_semdedup", "dedup_simhash_near_dup",
+    "samp_temperature_mixture", "ev_asof_tolerance",
     "sketch_histogram_quantiles", "text_bm25_topk",
     "vt_agg_view_refresh",
 ]
