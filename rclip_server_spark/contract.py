@@ -1405,10 +1405,10 @@ _PRIORITY = [
     # and the 3 NEW r7 rows (Bloom-pruned point lookup, incremental join
     # view, view-over-view composition via the multiset CDC diff) —
     # restoring cumulative driver coverage to 100% of registered
-    # oracle rows; then the round's other 10 new rows (7 TPC-H-style SQL
-    # adaptations, the distinct-count composition, the row-level join
-    # table, the latest-per-key struct-minmax view, and TPC-H
-    # Q8/Q15/Q21), and 8 re-confirmation slots for bench headliners
+    # oracle rows; then the round's other 13 new rows (10 TPC-H-style
+    # SQL adaptations incl. Q8/Q15/Q21, the distinct-count composition,
+    # the row-level join table, the latest-per-key struct-minmax view),
+    # and 8 re-confirmation slots for bench headliners
     # (incl. dedup_containment, whose self-join was touched this round)
     # and one row per LLM-pipeline family. Everything rotated out is
     # still replayed locally by tools/check_contract.py.

@@ -1158,33 +1158,35 @@ def refresh_join_table_view(
                 pairs.drop("_change_type"), lk, rk)
             out_v = V.append(spark, view_path, ins_rows,
                              extra={"app": new_app}, parent_version=view_v)
-            if auto_compact:
-                out_v = V.maybe_compact(spark, view_path, compact_threshold)
-            return out_v
-        row_cols = [c for c in pairs.columns if c != "_change_type"]
-        netted = (
-            pairs.groupBy(*row_cols)
-            .agg(F.sum(_signed_change()).alias("_net"))
-            .where(F.col("_net") != 0)
-            .persist()
-        )
-        persisted.append(netted)
-        ret_keys = _with_pair_key(
-            netted.where(F.col("_net") < 0), lk, rk).select(_PAIR_KEY)
-        ins_rows = _with_pair_key(
-            netted.where(F.col("_net") > 0).drop("_net"), lk, rk)
-        # deterministic branch: a rewrite interval whose retractions all
-        # netted away still commits a plain append (no vector scan)
-        if ret_keys.limit(1).count():
-            out_v = V.delete_and_append(
-                spark, view_path, ret_keys, _PAIR_KEY, ins_rows,
-                extra={"app": new_app}, parent_version=view_v)
         else:
-            out_v = V.append(spark, view_path, ins_rows,
-                             extra={"app": new_app}, parent_version=view_v)
+            row_cols = [c for c in pairs.columns if c != "_change_type"]
+            netted = (
+                pairs.groupBy(*row_cols)
+                .agg(F.sum(_signed_change()).alias("_net"))
+                .where(F.col("_net") != 0)
+                .persist()
+            )
+            persisted.append(netted)
+            ret_keys = _with_pair_key(
+                netted.where(F.col("_net") < 0), lk, rk).select(_PAIR_KEY)
+            ins_rows = _with_pair_key(
+                netted.where(F.col("_net") > 0).drop("_net"), lk, rk)
+            # deterministic branch: a rewrite interval whose retractions
+            # all netted away still commits a plain append (no vector)
+            if ret_keys.limit(1).count():
+                out_v = V.delete_and_append(
+                    spark, view_path, ret_keys, _PAIR_KEY, ins_rows,
+                    extra={"app": new_app}, parent_version=view_v)
+            else:
+                out_v = V.append(spark, view_path, ins_rows,
+                                 extra={"app": new_app},
+                                 parent_version=view_v)
     finally:
         for df in persisted:
             df.unpersist()
+    # ONE compaction policy for both branches, after the delta frames
+    # are unpersisted (a triggered compact rewrites the whole view —
+    # it must not run with the CDC pairs still pinned in memory)
     if auto_compact:
         out_v = V.maybe_compact(spark, view_path, compact_threshold)
     return out_v
