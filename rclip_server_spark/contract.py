@@ -5343,6 +5343,164 @@ _register(
 )
 
 
+def _vt_jvm_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .sources import matview as MV
+    from .sources import versioned as VT
+
+    rpath, view = path + "_cust", path + "_view"
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", F.expr("o_custkey div 10").alias("ck_hi"),
+        (F.col("o_custkey") % 10).alias("ck_lo"),
+        F.round(F.col("o_totalprice") * 100).cast("long")
+         .alias("price_cents"))
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey", F.expr("c_custkey div 10").alias("ck_hi"),
+        (F.col("c_custkey") % 10).alias("ck_lo"), "c_mktsegment")
+    VT.create(spark, path, orders.where(F.col("o_orderkey") % 4 != 3))
+    VT.create(spark, rpath, cust.where(F.col("c_custkey") % 5 != 4))
+    MV.create_join_view(spark, path, rpath, view, on=["ck_hi", "ck_lo"],
+                        left_key="o_orderkey", right_key="c_custkey",
+                        group_cols=["c_mktsegment"],
+                        sum_cols=["price_cents"],
+                        minmax_cols=["price_cents"])
+    # left append-only interval (fast-path ΔL ⋈ R_old on the tuple key)
+    VT.append(spark, path, orders.where(F.col("o_orderkey") % 4 == 3))
+    MV.refresh_join_view(spark, view)
+    # right REWRITE interval: delete + append in one refresh
+    VT.delete_rows(
+        spark, rpath,
+        cust.where(F.col("c_custkey") % 7 == 0).select("c_custkey"),
+        "c_custkey")
+    VT.append(spark, rpath, cust.where(F.col("c_custkey") % 5 == 4))
+    MV.refresh_join_view(spark, view)
+    # left REWRITE interval: an upsert that changes measure values on
+    # existing rows — the delta retracts the old pairs (min/max goes
+    # through the pair-level affected-group recompute)
+    VT.upsert(spark, path,
+              orders.where(F.col("o_orderkey") % 11 == 0).withColumn(
+                  "price_cents", F.col("price_cents") + F.lit(7)),
+              "o_orderkey")
+    MV.refresh_join_view(spark, view)
+
+
+def _vt_join_view_multikey(spark: SparkSession, sf: str) -> DataFrame:
+    """COMPOSITE-key incremental join view (matview.create_join_view
+    with on=['ck_hi','ck_lo']): the signed delta rule, key pruning, and
+    the pair-level min/max recompute all operate on the full column
+    TUPLE — no synthetic concat key, so source pruning/zone maps stay
+    usable. Advanced through a left append, a right delete+append
+    rewrite, and a LEFT upsert rewrite that changes measure values; the
+    oracle checks the final state equals the direct two-column
+    join+groupBy of the final sources. No reference analogue (the
+    reference has no join maintenance); Materialize/DBSP-style scale
+    path, composite-key flavor."""
+    from .sources import versioned as VT
+
+    path = _vt_build(spark, sf, "jvm", _vt_jvm_builder)
+    return VT.read(spark, path + "_view").select(
+        "c_mktsegment", F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_price_cents").cast("long").alias("sum_price_cents"),
+        F.col("min_price_cents").cast("long").alias("min_price_cents"),
+        F.col("max_price_cents").cast("long").alias("max_price_cents"))
+
+
+_register(
+    "vt_join_view_multikey",
+    _vt_join_view_multikey,
+    """
+    WITH l AS (
+      SELECT o_custkey // 10 AS ck_hi, o_custkey % 10 AS ck_lo,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 11 = 0 THEN 7 ELSE 0 END
+               AS price_cents
+      FROM orders),
+    r AS (
+      SELECT c_custkey // 10 AS ck_hi, c_custkey % 10 AS ck_lo,
+             c_mktsegment FROM customer
+      WHERE (c_custkey % 5 <> 4 AND c_custkey % 7 <> 0)
+         OR c_custkey % 5 = 4)
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(price_cents) AS BIGINT) AS sum_price_cents,
+           CAST(min(price_cents) AS BIGINT) AS min_price_cents,
+           CAST(max(price_cents) AS BIGINT) AS max_price_cents
+    FROM l JOIN r USING (ck_hi, ck_lo)
+    GROUP BY c_mktsegment
+    """,
+)
+
+
+def _vt_jvl_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .sources import matview as MV
+    from .sources import versioned as VT
+
+    rpath, view = path + "_ord", path + "_view"
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey", F.col("c_custkey").alias("custkey"), "c_mktsegment")
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long")
+         .alias("price_cents"))
+    VT.create(spark, path, cust.where(F.col("c_custkey") % 5 != 4))
+    VT.create(spark, rpath, orders.where(F.col("o_orderkey") % 3 != 2))
+    MV.create_join_view(spark, path, rpath, view, on="custkey",
+                        left_key="c_custkey", right_key="o_orderkey",
+                        group_cols=["c_mktsegment"],
+                        sum_cols=["price_cents"], how="left")
+    # left append: new customers, some with matches, some null-extended
+    VT.append(spark, path, cust.where(F.col("c_custkey") % 5 == 4))
+    MV.refresh_join_view(spark, view)
+    # right rewrite interval with BOTH flip directions: deleting every
+    # order of custkey%9==0 ORPHANS those customers (null-extensions
+    # appear), while appending orders for previously order-less
+    # customers gives first matches (null-extensions retract)
+    VT.delete_rows(
+        spark, rpath,
+        orders.where((F.col("o_orderkey") % 3 != 2)
+                     & (F.col("custkey") % 9 == 0)).select("o_orderkey"),
+        "o_orderkey")
+    VT.append(spark, rpath,
+              orders.where((F.col("o_orderkey") % 3 == 2)
+                           & (F.col("custkey") % 4 == 1)))
+    MV.refresh_join_view(spark, view)
+
+
+def _vt_join_view_left(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT-OUTER maintained join view (create_join_view how='left') —
+    the TPC-H Q13 shape: customers with zero orders stay in the
+    aggregate, null-extended. Maintained by the signed delta rule PLUS
+    the anti-semijoin terms (_delta_nullext_frames): a right delete
+    that orphans left rows flips their null-extensions IN (+), a right
+    append giving a first match flips them OUT (−) — both exercised in
+    one rewrite interval. Oracle: direct LEFT JOIN groupBy of the final
+    sources."""
+    from .sources import versioned as VT
+
+    path = _vt_build(spark, sf, "jvl", _vt_jvl_builder)
+    return VT.read(spark, path + "_view").select(
+        "c_mktsegment", F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_price_cents").cast("long").alias("sum_price_cents"))
+
+
+_register(
+    "vt_join_view_left",
+    _vt_join_view_left,
+    """
+    WITH l AS (
+      SELECT c_custkey AS custkey, c_mktsegment FROM customer),
+    r AS (
+      SELECT o_custkey AS custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+      WHERE (o_orderkey % 3 <> 2 AND o_custkey % 9 <> 0)
+         OR (o_orderkey % 3 = 2 AND o_custkey % 4 = 1))
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
+    FROM l LEFT JOIN r USING (custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+
+
 # ===========================================================================
 # TPC-H-style relational breadth, round 7: Q4 / Q19 / Q16 adaptations to the
 # fixture schema (no l_commitdate/l_receiptdate/p_container/partsupp — each

@@ -304,7 +304,9 @@ def create_agg_view(
     }})
 
 
-def refresh_agg_view(spark: SparkSession, view_path: str) -> int:
+def refresh_agg_view(spark: SparkSession, view_path: str,
+                     recompute_fraction: float | None = None,
+                     ) -> int:
     """Advance the view to the source's head by applying the change feed
     since the recorded cursor (spec read from the view manifest). Returns
     the view's new version (current version when already fresh).
@@ -316,7 +318,16 @@ def refresh_agg_view(spark: SparkSession, view_path: str) -> int:
     keys, so row volume is the affected groups' rows, never the table;
     insert-only groups still merge monotonically (least/greatest) with
     zero source rescan. An append-only refresh therefore never scans
-    pre-existing data regardless of spec."""
+    pre-existing data regardless of spec.
+
+    ``recompute_fraction`` enables cost-based dispatch (default None =
+    always incremental, the historical behavior): when the manifest
+    change bound exceeds fraction × head rows — i.e. the CDC read would
+    touch more rows than a from-scratch groupBy — the refresh
+    recomputes the aggregate at the new cursor instead. Identical
+    result either way; pass _RECOMPUTE_BOUND_FRACTION (1.0) for the
+    row-scan cost model (rewriting intervals recompute, append-only
+    intervals never do — their delta is a subset of the head)."""
     # ONE consistent read: OCC parent first, then cursor + state AT that
     # version — spec and parent from different versions would let a
     # concurrent refresher's interval double-apply silently
@@ -330,14 +341,21 @@ def refresh_agg_view(spark: SparkSession, view_path: str) -> int:
     v_to = V.current_version(src)
     if v_to == v_from:
         return view_v
-    ch = _changes_since_cursor(spark, src, v_from, v_to, m["mv_key"],
-                               multiset=True)
     new_extra = {"app": {
         "mv_source": src, "mv_key": m["mv_key"],
         "mv_group_cols": group_cols, "mv_sum_cols": sum_cols,
         "mv_minmax_cols": minmax_cols,
         "mv_source_version": v_to,
     }}
+    if _should_recompute(
+            recompute_fraction,
+            [(_change_bound(src, v_from, v_to), _head_rows(src, v_to))]):
+        state = _aggregate(_read_source(spark, src, v_to), group_cols,
+                           sum_cols, minmax_cols)
+        return V.overwrite(spark, view_path, state, extra=new_extra,
+                           parent_version=view_v)
+    ch = _changes_since_cursor(spark, src, v_from, v_to, m["mv_key"],
+                               multiset=True)
     cur = V.read(spark, view_path, view_v)
     if not minmax_cols:
         # additive path consumes ch exactly ONCE (the single overwrite
@@ -729,7 +747,15 @@ def _change_bound(src: str, v_from: int, v_to: int) -> int:
             + V._manifest_row_count(src, V._manifest(src, v_to)))
 
 
-def _prune_to_delta_keys(snap: DataFrame, ch: DataFrame, on: str,
+def _on_cols(on) -> list[str]:
+    """Normalize the equi-join spec to a column list: ``on`` is a single
+    column name or a list of them (composite keys). Manifests written
+    before the composite-key extension store a plain string — both render
+    back through this one normalizer."""
+    return [on] if isinstance(on, str) else list(on)
+
+
+def _prune_to_delta_keys(snap: DataFrame, ch: DataFrame, on: list[str],
                          change_bound: int) -> DataFrame:
     """Key-prune the OPPOSITE side's snapshot to the delta's join keys
     before the delta-join — when the interval's change bound is small
@@ -741,17 +767,21 @@ def _prune_to_delta_keys(snap: DataFrame, ch: DataFrame, on: str,
     caller's _change_bound for the interval (computed once per side
     per refresh — it may open parquet footers on legacy manifests)."""
     if change_bound <= _BROADCAST_RET_BOUND_ROWS:
-        return snap.join(F.broadcast(ch.select(on).distinct()),
+        return snap.join(F.broadcast(ch.select(*on).distinct()),
                          on, "left_semi")
     return snap
 
 
 def _validate_join_sources(l_df: DataFrame, r_df: DataFrame,
-                           on: str) -> None:
+                           on: list[str]) -> None:
     """Shared create-time schema guard for BOTH join-view flavors."""
-    if on not in l_df.columns or on not in r_df.columns:
-        raise ValueError(f"join column {on!r} must exist in both sources")
-    clash = (set(l_df.columns) & set(r_df.columns)) - {on}
+    if len(set(on)) != len(on) or not on:
+        raise ValueError(f"join columns must be non-empty and unique: {on}")
+    for c in on:
+        if c not in l_df.columns or c not in r_df.columns:
+            raise ValueError(
+                f"join column {c!r} must exist in both sources")
+    clash = (set(l_df.columns) & set(r_df.columns)) - set(on)
     if clash:
         raise ValueError(
             f"column names must be unique across the two sources (rename "
@@ -765,25 +795,38 @@ def _interval_append_only(src: str, v_from: int, v_to: int) -> bool:
                for v in range(v_from + 1, v_to + 1))
 
 
-def _delta_pair_frames(spark, lsrc, rsrc, on, lk, rk,
-                       l_from, l_to, r_from, r_to, persisted):
-    """The signed delta rule's two pair terms, shared by BOTH join-view
-    flavors: ΔL (multiset, persisted) ⋈ key-pruned R@r_from, and
-    L@l_to key-pruned ⋈ ΔR (multiset, persisted). Appends each
-    persisted frame to ``persisted`` for the caller's finally-block."""
-    frames = []
+def _delta_change_frames(spark, lsrc, rsrc,
+                         l_from, l_to, r_from, r_to, persisted):
+    """The two sides' multiset CDC frames for a join-view refresh
+    interval, persisted (each feeds at least two plan subtrees) and
+    appended to ``persisted`` for the caller's finally-block. A side
+    whose cursor is already at head returns None."""
+    ch_l = ch_r = None
     if l_to > l_from:
         ch_l = _changes_since_cursor(
-            spark, lsrc, l_from, l_to, lk, multiset=True).persist()
+            spark, lsrc, l_from, l_to, None, multiset=True).persist()
         persisted.append(ch_l)
+    if r_to > r_from:
+        ch_r = _changes_since_cursor(
+            spark, rsrc, r_from, r_to, None, multiset=True).persist()
+        persisted.append(ch_r)
+    return ch_l, ch_r
+
+
+def _delta_pair_frames(spark, lsrc, rsrc, on, ch_l, ch_r,
+                       l_from, l_to, r_from, r_to):
+    """The signed delta rule's two pair terms, shared by BOTH join-view
+    flavors: ΔL ⋈ key-pruned R@r_from, and L@l_to key-pruned ⋈ ΔR.
+    ``on`` is the normalized join-column list (composite keys join on
+    the full tuple); ``ch_l``/``ch_r`` are the persisted CDC frames
+    from _delta_change_frames (None = side unchanged)."""
+    frames = []
+    if ch_l is not None:
         r_old = _prune_to_delta_keys(
             _read_source(spark, rsrc, r_from), ch_l, on,
             _change_bound(lsrc, l_from, l_to))
         frames.append(ch_l.join(r_old, on))
-    if r_to > r_from:
-        ch_r = _changes_since_cursor(
-            spark, rsrc, r_from, r_to, rk, multiset=True).persist()
-        persisted.append(ch_r)
+    if ch_r is not None:
         l_new = _prune_to_delta_keys(
             _read_source(spark, lsrc, l_to), ch_r, on,
             _change_bound(rsrc, r_from, r_to))
@@ -791,30 +834,133 @@ def _delta_pair_frames(spark, lsrc, rsrc, on, lk, rk,
     return frames
 
 
+def _null_extend(df: DataFrame, right_fields, on: list[str]) -> DataFrame:
+    """Extend a LEFT-side frame with the right side's non-join columns as
+    typed NULLs — the SQL null-extension of an unmatched left row in a
+    LEFT OUTER join. ``right_fields`` is the right source's schema
+    fields; join columns and any column already present pass through."""
+    out = df
+    for f in right_fields:
+        if f.name not in on and f.name not in df.columns:
+            out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return out
+
+
+def _all_on_notnull(on: list[str]):
+    cond = None
+    for c in on:
+        nn = F.col(c).isNotNull()
+        cond = nn if cond is None else cond & nn
+    return cond
+
+
+def _delta_nullext_frames(spark, lsrc, rsrc, on, r_fields, ch_l, ch_r,
+                          l_from, l_to, r_from, r_to):
+    """The LEFT OUTER join's anti-semijoin (null-extension) delta — the
+    two terms that telescope N(L2,R2) − N(L1,R1) for N(L,R) = the
+    null-extended copies of L rows with no R match (SQL semantics: a
+    left row with any NULL join component is always unmatched):
+
+      term A: ΔL ▷ R1 — signed ΔL rows whose key has no match in the
+        right snapshot AT THE CURSOR (left_anti keeps NULL-key rows,
+        matching SQL), null-extended;
+      term B: (keys whose right match count flips 0↔positive between
+        R1 and R2) ⋈ L2 — a right delta can flip EVERY left row at its
+        key between matched and null-extended; the null-extension
+        appears (+, "insert") when the key's last match disappears and
+        retracts (−, "delete") when a first match appears. m2 is
+        derived as m1 + Δcount from the right CDC itself, so only R1
+        is scanned — pruned to the delta's keys behind the same
+        size-guarded broadcast semi-join. NULL-component ΔR keys are
+        excluded up front: they can never match a left row, so they
+        can never flip one.
+
+    The bracketing (R1 for term A, flips applied to L2) mirrors the
+    inner-pair rule's asymmetry and telescopes exactly the same way.
+    ``ch_l``/``ch_r`` are the SAME persisted CDC frames the pair terms
+    consume — the snapshot diff runs once per side per refresh."""
+    frames = []
+    if ch_l is not None:
+        r1_keys = _prune_to_delta_keys(
+            _read_source(spark, rsrc, r_from).select(*on), ch_l, on,
+            _change_bound(lsrc, l_from, l_to))
+        frames.append(_null_extend(
+            ch_l.join(r1_keys, on, "left_anti"), r_fields, on))
+    if ch_r is not None:
+        r_bound = _change_bound(rsrc, r_from, r_to)
+        ch_rk = ch_r.where(_all_on_notnull(on))
+        keys_r = ch_rk.select(*on).distinct()
+        r1_at = _prune_to_delta_keys(
+            _read_source(spark, rsrc, r_from).select(*on), ch_rk, on,
+            r_bound)
+        m1 = r1_at.groupBy(*on).agg(F.count(F.lit(1)).alias("_m1"))
+        md = ch_rk.groupBy(*on).agg(
+            F.sum(_signed_change()).alias("_md"))
+        k, a, d = keys_r.alias("k"), m1.alias("a"), md.alias("d")
+        flips = (
+            k.join(a, _nullsafe_cond("k", "a", on), "left")
+            .join(d, _nullsafe_cond("k", "d", on), "left")
+            .select(*[F.col(f"k.{c}").alias(c) for c in on],
+                    F.coalesce(F.col("a._m1"), F.lit(0)).alias("_m1"),
+                    (F.coalesce(F.col("a._m1"), F.lit(0))
+                     + F.coalesce(F.col("d._md"), F.lit(0))).alias("_m2"))
+            .where(((F.col("_m1") == 0) & (F.col("_m2") > 0))
+                   | ((F.col("_m1") > 0) & (F.col("_m2") == 0)))
+            .select(*on,
+                    F.when(F.col("_m2") == 0, F.lit("insert"))
+                    .otherwise(F.lit("delete")).alias("_change_type"))
+        )
+        # flip keys are bounded by the ΔR distinct keys — the same
+        # manifest bound that guards the snapshot pruning
+        if r_bound <= _BROADCAST_RET_BOUND_ROWS:
+            flips = F.broadcast(flips)
+        frames.append(_null_extend(
+            _read_source(spark, lsrc, l_to).join(flips, on),
+            r_fields, on))
+    return frames
+
+
 def create_join_view(
     spark: SparkSession, left_path: str, right_path: str, view_path: str,
-    on: str, left_key: str, right_key: str,
+    on: str | list[str], left_key: str, right_key: str,
     group_cols: list[str], sum_cols: list[str] | None = None,
-    minmax_cols: list[str] | None = None,
+    minmax_cols: list[str] | None = None, how: str = "inner",
 ) -> int:
     """Materialize ``SELECT group_cols, COUNT(*) cnt, SUM(c) sum_c,
-    MIN/MAX(m) ... FROM left JOIN right USING (on) GROUP BY group_cols``
-    over the two sources' heads, recording BOTH cursors in the view
-    manifest — the two-source extension of create_agg_view (the
-    Materialize / DBSP-style incremental join, maintained by the signed
-    delta rule; see refresh_join_view). ``on`` is the equi-join column,
-    present in both sources; every other column name must be unique
-    across the two schemas (no qualifier syntax in view specs).
-    ``left_key`` / ``right_key`` are each source's row identity for
-    rewriting-interval CDC. COUNT/SUMs are additively retractable
-    (BIGINT-exact with nn_* null counters); ``minmax_cols`` adds
-    min_/max_ columns maintained by the agg view's two-tier strategy —
-    insert-only groups merge monotonically, groups hit by a retracting
-    PAIR recompute from the pinned L⋈R at the new cursors, restricted by
-    a semi-join on the affected group keys."""
+    MIN/MAX(m) ... FROM left {INNER|LEFT} JOIN right USING (on...)
+    GROUP BY group_cols`` over the two sources' heads, recording BOTH
+    cursors in the view manifest — the two-source extension of
+    create_agg_view (the Materialize / DBSP-style incremental join,
+    maintained by the signed delta rule; see refresh_join_view).
+    ``on`` is the equi-join column or COLUMN LIST (composite keys join
+    on the full tuple — no synthetic concat column needed, so source
+    zone maps / pruning stay intact), present in both sources; every
+    other column name must be unique across the two schemas (no
+    qualifier syntax in view specs). ``left_key`` / ``right_key`` are
+    each source's row identity for rewriting-interval CDC. COUNT/SUMs
+    are additively retractable (BIGINT-exact with nn_* null counters);
+    ``minmax_cols`` adds min_/max_ columns maintained by the agg view's
+    two-tier strategy — insert-only groups merge monotonically, groups
+    hit by a retracting PAIR recompute from the pinned L⋈R at the new
+    cursors, restricted by a semi-join on the affected group keys.
+
+    ``how='left'`` maintains the LEFT OUTER join (unmatched left rows
+    aggregate null-extended — the TPC-H Q13 shape: customers with zero
+    orders stay in the count). The outer flavor adds the anti-semijoin
+    delta terms (_delta_nullext_frames) to the signed rule and supports
+    the additive aggregates only — min/max would need the two-tier
+    recompute to track match-flips, so ``minmax_cols`` with 'left'
+    raises (keep min/max on an inner view and merge at read time)."""
     sum_cols = list(sum_cols or [])
     minmax_cols = list(minmax_cols or [])
     group_cols = list(group_cols)
+    on = _on_cols(on)
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how == "left" and minmax_cols:
+        raise ValueError(
+            "minmax_cols require how='inner': LEFT-outer min/max would "
+            "need match-flip recompute (not implemented)")
     l_v = V.current_version(left_path)
     r_v = V.current_version(right_path)
     l_df = _read_source(spark, left_path, l_v)
@@ -827,13 +973,13 @@ def create_join_view(
                if c not in types]
     if missing:
         raise ValueError(f"columns not in either source schema: {missing}")
-    state = _aggregate(l_df.join(r_df, on), group_cols, sum_cols,
+    state = _aggregate(l_df.join(r_df, on, how), group_cols, sum_cols,
                        minmax_cols)
     return V.create(spark, view_path, state, extra={"app": {
         "jv_left": left_path, "jv_right": right_path, "jv_on": on,
         "jv_left_key": left_key, "jv_right_key": right_key,
         "jv_group_cols": group_cols, "jv_sum_cols": sum_cols,
-        "jv_minmax_cols": minmax_cols,
+        "jv_minmax_cols": minmax_cols, "jv_how": how,
         "jv_left_version": l_v, "jv_right_version": r_v,
     }})
 
@@ -848,7 +994,43 @@ def _spec_jv(path: str, version: int | None = None) -> dict:
     return spec
 
 
-def refresh_join_view(spark: SparkSession, view_path: str) -> int:
+# Cost-based refresh dispatch: the incremental path's dominant cost is
+# the CDC read, whose row volume the manifest bounds at zero cost
+# (_change_bound: append-only interval = new rows; rewriting interval =
+# old + new snapshot rows — the multiset diff really does scan both).
+# A full recompute scans the head once. So "bound > fraction × head
+# rows" with fraction 1.0 literally reads "the CDC would touch more
+# rows than recomputing from scratch" — append-only intervals NEVER
+# trip it (their delta is a subset of the head), rewriting intervals
+# trip it unless the other join side's size keeps the total down.
+# tools/matview_scale_proof.py carries the measured crossover table.
+# The refreshers DEFAULT to recompute_fraction=None (pure incremental):
+# the oracle rows and the test suite prove the signed-delta machinery,
+# and a cost default would silently flip rewriting-interval proofs to
+# the recompute path. Production refresh schedulers pass
+# _RECOMPUTE_BOUND_FRACTION explicitly (or their own fraction).
+_RECOMPUTE_BOUND_FRACTION = 1.0
+
+
+def _head_rows(src: str, v_to: int) -> int:
+    return V._manifest_row_count(src, V._manifest(src, v_to))
+
+
+def _should_recompute(fraction, bounds_and_heads) -> bool:
+    """``bounds_and_heads`` is [(change_bound, head_rows), ...] — one
+    entry per source (bound 0 for a side whose cursor is at head: a
+    recompute still scans it, so its head rows count toward the
+    recompute side of the comparison). None fraction disables
+    dispatch."""
+    if fraction is None:
+        return False
+    bound = sum(b for b, _ in bounds_and_heads)
+    head = sum(h for _, h in bounds_and_heads)
+    return bound > fraction * max(head, 1)
+
+
+def refresh_join_view(spark: SparkSession, view_path: str,
+                      recompute_fraction: float | None = None) -> int:
     """Advance a join view to both sources' heads by the SIGNED DELTA
     RULE — with L1/R1 the snapshots at the cursors and L2/R2 at the
     heads:
@@ -874,10 +1056,25 @@ def refresh_join_view(spark: SparkSession, view_path: str) -> int:
     RIGHT source must retain manifests back to the view's right cursor
     (same vacuum contract as _changes_since_cursor documents).
 
+    The LEFT-outer flavor (spec ``jv_how='left'``) adds the
+    anti-semijoin delta terms (_delta_nullext_frames) so unmatched left
+    rows stay aggregated null-extended through appends, deletes, and
+    match-flips on either side.
+
+    ``recompute_fraction`` enables cost-based dispatch (default None =
+    always incremental): when the manifest change bound says the CDC
+    read would touch more than fraction × head rows — i.e. more than a
+    from-scratch recompute of the join aggregate would scan — the
+    refresh recomputes at the new cursors instead: identical result,
+    one scan instead of two-plus (_RECOMPUTE_BOUND_FRACTION = 1.0 is
+    the row-scan cost model).
+
     One-consistent-read + OCC parent pinning, as refresh_agg_view."""
     view_v = V.current_version(view_path)
     spec = _spec_jv(view_path, view_v)
-    lsrc, rsrc, on = spec["jv_left"], spec["jv_right"], spec["jv_on"]
+    lsrc, rsrc = spec["jv_left"], spec["jv_right"]
+    on = _on_cols(spec["jv_on"])
+    how = spec.get("jv_how", "inner")
     group_cols = list(spec["jv_group_cols"])
     sum_cols = list(spec["jv_sum_cols"])
     minmax_cols = list(spec.get("jv_minmax_cols", []))
@@ -887,11 +1084,29 @@ def refresh_join_view(spark: SparkSession, view_path: str) -> int:
         return view_v
     new_extra = {"app": dict(spec) | {"jv_left_version": l_to,
                                       "jv_right_version": r_to}}
-    pair_frames, persisted = [], []
+    l_bound = _change_bound(lsrc, l_from, l_to) if l_to > l_from else 0
+    r_bound = _change_bound(rsrc, r_from, r_to) if r_to > r_from else 0
+    if _should_recompute(recompute_fraction,
+                         [(l_bound, _head_rows(lsrc, l_to)),
+                          (r_bound, _head_rows(rsrc, r_to))]):
+        state = _aggregate(
+            _read_source(spark, lsrc, l_to)
+            .join(_read_source(spark, rsrc, r_to), on, how),
+            group_cols, sum_cols, minmax_cols)
+        return V.overwrite(spark, view_path, state, extra=new_extra,
+                           parent_version=view_v)
+    persisted = []
     try:
+        ch_l, ch_r = _delta_change_frames(
+            spark, lsrc, rsrc, l_from, l_to, r_from, r_to, persisted)
         pair_frames = _delta_pair_frames(
-            spark, lsrc, rsrc, on, spec["jv_left_key"],
-            spec["jv_right_key"], l_from, l_to, r_from, r_to, persisted)
+            spark, lsrc, rsrc, on, ch_l, ch_r,
+            l_from, l_to, r_from, r_to)
+        if how == "left":
+            r_fields = _read_source(spark, rsrc, r_to).schema.fields
+            pair_frames = pair_frames + _delta_nullext_frames(
+                spark, lsrc, rsrc, on, r_fields, ch_l, ch_r,
+                l_from, l_to, r_from, r_to)
         cur = V.read(spark, view_path, view_v)
         if not minmax_cols:
             merged = cur
@@ -978,11 +1193,14 @@ def _spec_pair_cols(df: DataFrame, group_cols, sum_cols,
 
 def refresh_join_view_with_retry(
     spark: SparkSession, view_path: str, max_retries: int = 3,
+    recompute_fraction: float | None = None,
 ) -> int:
     """OCC rebase loop for concurrent join-view refreshers (the standard
     contract: the loser re-reads BOTH advanced cursors)."""
     return _refresh_with_retry(
-        lambda: refresh_join_view(spark, view_path), max_retries)
+        lambda: refresh_join_view(spark, view_path,
+                                  recompute_fraction=recompute_fraction),
+        max_retries)
 
 
 # ---------------------------------------------------------------------------
@@ -1042,17 +1260,19 @@ _PAIR_SEP = "\x01"  # unlikely in key renderings; keys are row identities
 
 def create_join_table_view(
     spark: SparkSession, left_path: str, right_path: str, view_path: str,
-    on: str, left_key: str, right_key: str,
+    on: str | list[str], left_key: str, right_key: str,
 ) -> int:
     """Materialize the JOIN ROWS themselves — ``SELECT l.*, r.* FROM
-    left JOIN right USING (on)`` — as a maintained denormalization
+    left JOIN right USING (on...)`` — as a maintained denormalization
     table (the pre-joined serving table every star schema wants without
-    re-running the join). Each row carries ``_pair_key`` =
+    re-running the join). ``on`` is the equi-join column or COLUMN LIST
+    (composite keys). Each row carries ``_pair_key`` =
     left_key + SEP + right_key, the row identity the incremental
     maintenance deletes by; both source keys must be UNIQUE row
     identities (the same contract transform views place on their
     source), which makes every join pair unique. Column names must be
     unique across the two schemas except ``on``."""
+    on = _on_cols(on)
     l_v = V.current_version(left_path)
     r_v = V.current_version(right_path)
     l_df = _read_source(spark, left_path, l_v)
@@ -1129,7 +1349,8 @@ def refresh_join_table_view(
     at ``compact_threshold`` for unattended streaming refreshers."""
     view_v = V.current_version(view_path)
     spec = _spec_jt(view_path, view_v)
-    lsrc, rsrc, on = spec["jt_left"], spec["jt_right"], spec["jt_on"]
+    lsrc, rsrc = spec["jt_left"], spec["jt_right"]
+    on = _on_cols(spec["jt_on"])
     lk, rk = spec["jt_left_key"], spec["jt_right_key"]
     l_from, r_from = int(spec["jt_left_version"]), int(spec["jt_right_version"])
     l_to, r_to = V.current_version(lsrc), V.current_version(rsrc)
@@ -1139,9 +1360,11 @@ def refresh_join_table_view(
                             "jt_right_version": r_to}
     persisted = []
     try:
+        ch_l, ch_r = _delta_change_frames(
+            spark, lsrc, rsrc, l_from, l_to, r_from, r_to, persisted)
         pair_frames = _delta_pair_frames(
-            spark, lsrc, rsrc, on, lk, rk,
-            l_from, l_to, r_from, r_to, persisted)
+            spark, lsrc, rsrc, on, ch_l, ch_r,
+            l_from, l_to, r_from, r_to)
         pairs = pair_frames[0]
         for p in pair_frames[1:]:
             # allowMissingColumns: source schema evolution between the

@@ -3650,3 +3650,284 @@ def test_anti_join_skip_bloom_path_equivalent(spark, embeddings):
     import pytest as _pt
     with _pt.raises(ValueError):
         writer.anti_join_skip(new, done, ["id", "id"], use_bloom=True)
+
+
+class TestJoinViewRound8:
+    """Round-8 join-view surface: composite (multi-column) equi-keys,
+    LEFT-outer maintained aggregates, and cost-based refresh-vs-
+    recompute dispatch."""
+
+    def _mk(self, spark, tmp_path):
+        from rclip_server_spark.sources import versioned as V
+
+        lt, rt = str(tmp_path / "l"), str(tmp_path / "r")
+        mko = lambda rows: spark.createDataFrame(
+            rows, "o_id long, nat string, yr long, amount long")
+        mkc = lambda rows: spark.createDataFrame(
+            rows, "c_id long, nat string, yr long, seg string")
+        V.create(spark, lt, mko([
+            (1, "FR", 95, 5), (2, "FR", 95, 7), (3, "FR", 96, 11),
+            (4, "DE", 95, 13), (5, None, 95, 17), (6, "US", 95, 19)]))
+        V.create(spark, rt, mkc([
+            (100, "FR", 95, "A"), (101, "FR", 96, "B"),
+            (102, "DE", 95, "A"), (103, "DE", 96, "C"),
+            (104, None, 95, "Z")]))
+        return lt, rt, mko, mkc
+
+    def test_join_view_composite_key(self, spark, tmp_path):
+        """Composite equi-key (nat, yr) join view — the Q7-style
+        nation-pair shape — maintained through left appends, a right
+        delete+append rewrite, and a both-sides interval; each state
+        must equal the direct two-column join+groupBy of the heads.
+        NULL key components never pair (SQL equality on the tuple)."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        lt, rt, mko, mkc = self._mk(spark, tmp_path)
+        vw = str(tmp_path / "vw")
+        MV.create_join_view(spark, lt, rt, vw, on=["nat", "yr"],
+                            left_key="o_id", right_key="c_id",
+                            group_cols=["seg"], sum_cols=["amount"])
+
+        def check():
+            got = sorted(
+                ((r.seg, r.cnt, r.sum_amount) for r in
+                 V.read(spark, vw).collect()),
+                key=lambda x: (x[0] is None, x[0]))
+            want = sorted(
+                ((r.seg, r.cnt, r.sum_amount) for r in
+                 V.read(spark, lt).join(V.read(spark, rt), ["nat", "yr"])
+                 .groupBy("seg").agg(
+                     F.count(F.lit(1)).alias("cnt"),
+                     F.sum("amount").alias("sum_amount")).collect()),
+                key=lambda x: (x[0] is None, x[0]))
+            assert got == want, (got, want)
+
+        check()
+        V.append(spark, lt, mko([(7, "DE", 96, 23), (8, "FR", 95, 29),
+                                 (9, None, 96, 31)]))
+        MV.refresh_join_view(spark, vw)
+        check()
+        # right rewrite interval: delete one match + append a new one
+        V.delete_rows(spark, rt, [100], "c_id")
+        V.append(spark, rt, mkc([(105, "US", 95, "D")]))
+        MV.refresh_join_view(spark, vw)
+        check()
+        # both sides advance; ΔL⋈ΔR composite pair must land exactly once
+        V.append(spark, lt, mko([(10, "JP", 99, 37)]))
+        V.append(spark, rt, mkc([(106, "JP", 99, "E")]))
+        MV.refresh_join_view(spark, vw)
+        check()
+        assert ("E", 1) in {(r.seg, r.cnt)
+                            for r in V.read(spark, vw).collect()}
+
+    def test_join_table_view_composite_key(self, spark, tmp_path):
+        """Row-level join TABLE view on a composite key: maintained
+        rows equal the direct tuple-join after an update that MOVES one
+        key component (delete-vector + append path)."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        lt, rt, mko, mkc = self._mk(spark, tmp_path)
+        vw = str(tmp_path / "jt")
+        MV.create_join_table_view(spark, lt, rt, vw, on=["nat", "yr"],
+                                  left_key="o_id", right_key="c_id")
+
+        def check():
+            got = sorted((r.o_id, r.c_id) for r in
+                         V.read(spark, vw).select("o_id", "c_id")
+                         .collect())
+            want = sorted(
+                (r.o_id, r.c_id) for r in
+                V.read(spark, lt).join(V.read(spark, rt), ["nat", "yr"])
+                .select("o_id", "c_id").collect())
+            assert got == want, (got, want)
+
+        check()
+        # move customer 101 from (FR,96) to (FR,95): old pairs retract,
+        # new pairs appear — the netted vector+append path
+        V.upsert(spark, rt, mkc([(101, "FR", 95, "B")]), "c_id")
+        MV.refresh_join_table_view(spark, vw)
+        check()
+        V.append(spark, lt, mko([(11, "FR", 96, 41)]))
+        MV.refresh_join_table_view(spark, vw)
+        check()
+
+    def test_left_join_view_maintained(self, spark, tmp_path):
+        """LEFT-outer maintained join view (the Q13 shape): unmatched
+        left rows aggregate null-extended and every refresh must equal
+        the direct LEFT JOIN groupBy of the heads — through a left
+        append (matched + unmatched + NULL-key rows), a right append
+        that gives a key its FIRST match (null-extensions retract), a
+        right delete that ORPHANS left rows (null-extensions appear),
+        and a both-sides interval."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        lt, rt, mko, mkc = self._mk(spark, tmp_path)
+        vw = str(tmp_path / "lvw")
+        MV.create_join_view(spark, lt, rt, vw, on=["nat", "yr"],
+                            left_key="o_id", right_key="c_id",
+                            group_cols=["seg"], sum_cols=["amount"],
+                            how="left")
+
+        def check():
+            got = sorted(
+                ((r.seg, r.cnt, r.sum_amount) for r in
+                 V.read(spark, vw).collect()),
+                key=lambda x: (x[0] is None, x[0] or ""))
+            want = sorted(
+                ((r.seg, r.cnt, r.sum_amount) for r in
+                 V.read(spark, lt)
+                 .join(V.read(spark, rt), ["nat", "yr"], "left")
+                 .groupBy("seg").agg(
+                     F.count(F.lit(1)).alias("cnt"),
+                     F.sum("amount").alias("sum_amount")).collect()),
+                key=lambda x: (x[0] is None, x[0] or ""))
+            assert got == want, (got, want)
+
+        check()  # initial state: o5 (NULL nat) and o6 (US) unmatched
+        # left append: one matched, one unmatched, one NULL-component
+        V.append(spark, lt, mko([(7, "FR", 96, 23), (8, "BR", 90, 29),
+                                 (9, "FR", None, 31)]))
+        MV.refresh_join_view(spark, vw)
+        check()
+        # right append gives (US,95) its FIRST match: o6's
+        # null-extension must RETRACT (term-B flip, sign -1)
+        V.append(spark, rt, mkc([(105, "US", 95, "D")]))
+        MV.refresh_join_view(spark, vw)
+        check()
+        # right delete orphans (FR,95): o1/o2/o8-keys flip TO
+        # null-extended (term-B flip, sign +1)
+        V.delete_rows(spark, rt, [100], "c_id")
+        MV.refresh_join_view(spark, vw)
+        check()
+        # delete an UNMATCHED left row (its null-extension retracts via
+        # term A) and a matched one in the same interval
+        V.delete_rows(spark, lt, [8, 3], "o_id")
+        MV.refresh_join_view(spark, vw)
+        check()
+        # both sides advance in one interval: new left rows against a
+        # right state that simultaneously loses (DE,95) and gains (BR,90)
+        V.append(spark, lt, mko([(12, "BR", 90, 43), (13, "DE", 95, 47)]))
+        V.delete_rows(spark, rt, [102], "c_id")
+        V.append(spark, rt, mkc([(107, "BR", 90, "F")]))
+        MV.refresh_join_view(spark, vw)
+        check()
+        # idempotent when fresh
+        v = V.current_version(vw)
+        assert MV.refresh_join_view(spark, vw) == v
+
+    def test_left_join_view_validation(self, spark, tmp_path):
+        from rclip_server_spark.sources import matview as MV
+
+        lt, rt, _, _ = self._mk(spark, tmp_path)
+        with pytest.raises(ValueError, match="minmax"):
+            MV.create_join_view(spark, lt, rt, str(tmp_path / "x"),
+                                on=["nat", "yr"], left_key="o_id",
+                                right_key="c_id", group_cols=["seg"],
+                                minmax_cols=["amount"], how="left")
+        with pytest.raises(ValueError, match="how"):
+            MV.create_join_view(spark, lt, rt, str(tmp_path / "x"),
+                                on="nat", left_key="o_id",
+                                right_key="c_id", group_cols=["seg"],
+                                how="full")
+        with pytest.raises(ValueError, match="unique"):
+            MV.create_join_view(spark, lt, rt, str(tmp_path / "x"),
+                                on=["nat", "nat"], left_key="o_id",
+                                right_key="c_id", group_cols=["seg"])
+
+    def test_refresh_dispatch_identical_results(self, spark, tmp_path,
+                                                monkeypatch):
+        """Cost-based dispatch: a rewriting interval whose manifest
+        change bound exceeds head rows recomputes (no CDC read), an
+        append-only interval stays incremental under the same fraction,
+        and BOTH paths produce the identical committed state."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        src = str(tmp_path / "src")
+        mk = lambda rows: spark.createDataFrame(
+            rows, "id long, g string, v long")
+        V.create(spark, src, mk([(i, "ab"[i % 2], i * 3) for i in range(40)]))
+        v_inc = str(tmp_path / "v_inc")
+        v_auto = str(tmp_path / "v_auto")
+        MV.create_agg_view(spark, src, v_inc, key="id",
+                           group_cols=["g"], sum_cols=["v"])
+        MV.create_agg_view(spark, src, v_auto, key="id",
+                           group_cols=["g"], sum_cols=["v"])
+
+        calls = {"n": 0}
+        real = MV._changes_since_cursor
+
+        def counting(*a, **kw):
+            calls["n"] += 1
+            return real(*a, **kw)
+
+        monkeypatch.setattr(MV, "_changes_since_cursor", counting)
+
+        def states_equal():
+            a = sorted((r.g, r.cnt, r.sum_v)
+                       for r in V.read(spark, v_inc).collect())
+            b = sorted((r.g, r.cnt, r.sum_v)
+                       for r in V.read(spark, v_auto).collect())
+            assert a == b and a, (a, b)
+
+        # append-only interval: auto fraction must STAY incremental
+        # (delta is a subset of the head — bound can never exceed it)
+        V.append(spark, src, mk([(100 + i, "c", i) for i in range(10)]))
+        MV.refresh_agg_view(spark, v_inc, recompute_fraction=None)
+        n0 = calls["n"]
+        MV.refresh_agg_view(spark, v_auto,
+                            recompute_fraction=MV._RECOMPUTE_BOUND_FRACTION)
+        assert calls["n"] == n0 + 1  # incremental path read the CDC
+        states_equal()
+        # rewriting interval (upsert): bound = old+new > head -> the
+        # auto view recomputes (zero CDC reads), the pinned view stays
+        # incremental; states identical
+        V.upsert(spark, src, mk([(1, "b", 999), (200, "d", 7)]), "id")
+        MV.refresh_agg_view(spark, v_inc, recompute_fraction=None)
+        n1 = calls["n"]
+        MV.refresh_agg_view(spark, v_auto,
+                            recompute_fraction=MV._RECOMPUTE_BOUND_FRACTION)
+        assert calls["n"] == n1  # recompute path: no CDC read
+        states_equal()
+
+    def test_join_view_dispatch_identical_results(self, spark, tmp_path,
+                                                  monkeypatch):
+        """Join-view dispatch: a small right rewrite against a larger
+        left table stays incremental under the row-scan fraction (the
+        bound sums both sides against both heads); forcing fraction 0
+        recomputes — and both paths commit the identical state."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        lt, rt, mko, mkc = self._mk(spark, tmp_path)
+        va = str(tmp_path / "va")
+        vb = str(tmp_path / "vb")
+        for vw in (va, vb):
+            MV.create_join_view(spark, lt, rt, vw, on=["nat", "yr"],
+                                left_key="o_id", right_key="c_id",
+                                group_cols=["seg"], sum_cols=["amount"],
+                                how="left")
+        calls = {"n": 0}
+        real = MV._changes_since_cursor
+
+        def counting(*a, **kw):
+            calls["n"] += 1
+            return real(*a, **kw)
+
+        monkeypatch.setattr(MV, "_changes_since_cursor", counting)
+        V.upsert(spark, rt, mkc([(101, "FR", 95, "B")]), "c_id")
+        MV.refresh_join_view(spark, va, recompute_fraction=None)
+        assert calls["n"] > 0
+        n1 = calls["n"]
+        MV.refresh_join_view(spark, vb, recompute_fraction=0.0)
+        assert calls["n"] == n1  # forced recompute: no CDC read
+        a = sorted(((r.seg, r.cnt, r.sum_amount)
+                    for r in V.read(spark, va).collect()),
+                   key=lambda x: (x[0] is None, x[0] or ""))
+        b = sorted(((r.seg, r.cnt, r.sum_amount)
+                    for r in V.read(spark, vb).collect()),
+                   key=lambda x: (x[0] is None, x[0] or ""))
+        assert a == b and a
