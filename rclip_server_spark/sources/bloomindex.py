@@ -87,10 +87,37 @@ def _probe_positions_expr(col: str, bits: int, k: int):
     return F.array(*probes)
 
 
+# Key column types whose Python str() rendering is byte-identical to
+# Spark's CAST AS STRING — the cross-language probe contract. Everything
+# else diverges silently (bool 'True' vs 'true', bytes "b'x'" vs raw,
+# float '0.1' vs '0.1000...'/scientific, timestamps by format) and a
+# mismatched probe FALSE-PRUNES segments holding real matches — the one
+# failure mode this module promises never happens. Enforced at build AND
+# lookup time (TypeError), not by docstring.
+_INDEXABLE_TYPES = {"tinyint", "smallint", "int", "bigint", "string"}
+
+
+def _check_indexable_type(col: str, t: str | None) -> None:
+    if t is not None and t not in _INDEXABLE_TYPES:
+        raise TypeError(
+            f"Bloom index on {col!r} of type {t}: only integral and "
+            f"string key columns render identically in Python str() and "
+            f"Spark CAST AS STRING; other types would silently "
+            f"false-prune. Project the key to BIGINT/STRING first.")
+
+
 def _py_probes(value, bits: int, k: int) -> list[int]:
     if value is None:
         raise ValueError("point lookup on NULL never matches (SQL "
                          "equality); filter nulls out of the lookup set")
+    # the same contract as _INDEXABLE_TYPES, enforced value-side: bool is
+    # an int subclass but str()s as 'True'/'False' vs Spark's
+    # 'true'/'false'; bytes/float renderings diverge too
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        raise TypeError(
+            f"Bloom probes take int or str lookup values (got "
+            f"{type(value).__name__}): other types render differently "
+            f"in Python and Spark and would false-prune")
     s = str(value)
     return [
         int(hashlib.md5(f"{s}|{i}".encode()).hexdigest()[:15], 16) % bits
@@ -136,6 +163,7 @@ def build_bloom_index(
         raise ValueError(f"bits must be a multiple of 8 and >= 64; got {bits}")
     v = V.current_version(path) if version is None else int(version)
     m = V._manifest(path, v)
+    _check_indexable_type(col, (m.get("col_types") or {}).get(col))
     segs = sorted(V._manifest_segments(m))
     todo = [s for s in segs if _load_sidecar(path, col, s) is None]
     if not todo:
@@ -144,6 +172,9 @@ def build_bloom_index(
         *[os.path.join(path, s) for s in todo])
     if col not in df.columns:
         raise ValueError(f"column {col!r} not in segments of {path}")
+    # legacy manifests without col_types: fall back to the read schema
+    if col not in (m.get("col_types") or {}):
+        _check_indexable_type(col, dict(df.dtypes).get(col))
     pos = (
         df.select(col, F.input_file_name().alias("_f"))
         .where(F.col(col).isNotNull())
@@ -208,7 +239,9 @@ def bloom_surviving_segments(
     manifest parse per lookup, not two)."""
     if segments is None:
         v = V.current_version(path) if version is None else int(version)
-        segments = sorted(V._manifest_segments(V._manifest(path, v)))
+        m = V._manifest(path, v)
+        _check_indexable_type(col, (m.get("col_types") or {}).get(col))
+        segments = sorted(V._manifest_segments(m))
     segs = segments
     norm = _norm_values(values)
     probe_sets = [_py_probes(val, bits, k) for val in norm]
@@ -270,6 +303,7 @@ def read_point_lookup(
     if "buckets" in m:
         raise ValueError("read_point_lookup serves flat tables; bucketed "
                          "tables route point lookups by bucket key")
+    _check_indexable_type(col, (m.get("col_types") or {}).get(col))
     segs = sorted(V._manifest_segments(m))
     # zone-map pass first (already-loaded manifest, zero file reads),
     # Bloom sidecar pass on the survivors — both conservative, so the

@@ -122,10 +122,23 @@ def _minus_groups(df: DataFrame, ret_groups: DataFrame,
 
 
 # broadcast the affected-group keys only when the interval's retraction
-# volume is provably below this row bound; a refresh interval containing
-# a large rewrite can make ret_groups approach group cardinality, and
-# broadcasting that risks driver/executor OOM at 100 TB group counts
-_BROADCAST_RET_BOUND_ROWS = 1_000_000
+# volume is provably small; a refresh interval containing a large
+# rewrite can make ret_groups approach group cardinality, and
+# broadcasting that risks driver/executor OOM at 100 TB group counts.
+# Broadcast cost is BYTES, not rows: the row bound is derived from a
+# byte budget at a conservative per-key-column width (64 B covers
+# typical string keys plus row overhead), so a 4-column string key
+# broadcasts at 1/4 the rows of a single BIGINT key instead of the same
+# flat count. Single-column keys keep the historical 1M-row bound
+# (64 MiB / 64 B). Both knobs are module attributes for deployments
+# with bigger or smaller drivers.
+_BROADCAST_BYTES_BUDGET = 64 * 1024 * 1024
+_BROADCAST_KEY_COL_WIDTH = 64
+
+
+def _broadcast_bound_rows(n_key_cols: int = 1) -> int:
+    return _BROADCAST_BYTES_BUDGET // (
+        _BROADCAST_KEY_COL_WIDTH * max(int(n_key_cols), 1))
 
 
 def _retraction_bound(src: str, v_from: int, v_to: int) -> int:
@@ -145,7 +158,8 @@ def _hint_ret_groups(ret_groups: DataFrame, src: str,
     """Apply the broadcast hint to the affected-group keys only when the
     manifest-derived retraction bound is small; past the bound, leave the
     join strategy to AQE (which sees actual sizes at runtime)."""
-    if _retraction_bound(src, v_from, v_to) <= _BROADCAST_RET_BOUND_ROWS:
+    if _retraction_bound(src, v_from, v_to) \
+            <= _broadcast_bound_rows(len(ret_groups.columns)):
         return F.broadcast(ret_groups)
     return ret_groups
 
@@ -422,7 +436,7 @@ def _refresh_minmax(spark, view_path, view_v, ch, src, v_from, v_to,
         ch, _read_source(spark, src, v_to), group_cols, sum_cols,
         minmax_cols, cur,
         broadcast_ok=_retraction_bound(src, v_from, v_to)
-        <= _BROADCAST_RET_BOUND_ROWS)
+        <= _broadcast_bound_rows(len(group_cols)))
     return V.overwrite(spark, view_path, merged, extra=new_extra,
                        parent_version=view_v)
 
@@ -766,7 +780,7 @@ def _prune_to_delta_keys(snap: DataFrame, ch: DataFrame, on: list[str],
     un-pruned and AQE plans the honest join. ``change_bound`` is the
     caller's _change_bound for the interval (computed once per side
     per refresh — it may open parquet footers on legacy manifests)."""
-    if change_bound <= _BROADCAST_RET_BOUND_ROWS:
+    if change_bound <= _broadcast_bound_rows(len(on)):
         return snap.join(F.broadcast(ch.select(*on).distinct()),
                          on, "left_semi")
     return snap
@@ -912,7 +926,7 @@ def _delta_nullext_frames(spark, lsrc, rsrc, on, r_fields, ch_l, ch_r,
         )
         # flip keys are bounded by the ΔR distinct keys — the same
         # manifest bound that guards the snapshot pruning
-        if r_bound <= _BROADCAST_RET_BOUND_ROWS:
+        if r_bound <= _broadcast_bound_rows(len(on)):
             flips = F.broadcast(flips)
         frames.append(_null_extend(
             _read_source(spark, lsrc, l_to).join(flips, on),
@@ -1160,9 +1174,10 @@ def _refresh_join_minmax(spark, view_path, view_v, pair_frames, persisted,
         pairs = pairs.unionByName(p)
     pairs = pairs.persist()  # feeds ret_groups, ins, and two anti-joins
     persisted.append(pairs)
+    ret_cap = _broadcast_bound_rows(len(group_cols))
     n_ret_capped = (
         pairs.where(F.col("_change_type").isin(*_RETRACTING))
-        .limit(_BROADCAST_RET_BOUND_ROWS + 1).count()
+        .limit(ret_cap + 1).count()
     )
     if not n_ret_capped:
         ins = pairs.where(F.col("_change_type").isin(*_INSERTING))
@@ -1176,7 +1191,7 @@ def _refresh_join_minmax(spark, view_path, view_v, pair_frames, persisted,
         _read_source(spark, rsrc, r_to), on)
     merged = _two_tier_minmax_state(
         pairs, joined_at, group_cols, sum_cols, minmax_cols, cur,
-        broadcast_ok=n_ret_capped <= _BROADCAST_RET_BOUND_ROWS)
+        broadcast_ok=n_ret_capped <= ret_cap)
     return V.overwrite(spark, view_path, merged, extra=new_extra,
                        parent_version=view_v)
 

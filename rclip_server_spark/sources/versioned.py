@@ -925,14 +925,17 @@ def vacuum(path: str, keep_last: int = 1,
                 shutil.rmtree(p)
                 deleted.append(d)
     # Bloom sidecars of reaped segments (bloomindex.py): write-once per
-    # immutable segment, so the segment's deletion is the one moment its
-    # sidecar becomes garbage. Also reaps .json.tmp orphans from a
+    # immutable segment, so a sidecar is garbage exactly when its
+    # segment is neither referenced by a kept manifest nor still on
+    # disk — checked directly (not "deleted this call"), so sidecars
+    # orphaned by a crash between the rmtree above and this loop, or
+    # left behind by an earlier vacuum, are collected on the next run
+    # instead of leaking forever. Also reaps .json.tmp orphans from a
     # crashed build_bloom_index (same min-age guard as commit temp
     # files). Stray non-directory entries under _bloom/ are skipped —
     # vacuum must never crash after segments are already gone.
     bloom_root = os.path.join(path, "_bloom")
     if os.path.isdir(bloom_root):
-        gone = set(deleted)
         for col_dir in os.listdir(bloom_root):
             cd = os.path.join(bloom_root, col_dir)
             if not os.path.isdir(cd):
@@ -942,8 +945,11 @@ def vacuum(path: str, keep_last: int = 1,
                 if f.endswith(".json.tmp"):
                     if now - os.path.getmtime(p) >= tmp_cutoff:
                         os.remove(p)
-                elif f.endswith(".json") and f[:-5] in gone:
-                    os.remove(p)
+                elif f.endswith(".json"):
+                    seg = f[:-5]
+                    if seg not in keep_segs \
+                            and not os.path.isdir(os.path.join(path, seg)):
+                        os.remove(p)
     return deleted
 
 
@@ -1400,6 +1406,14 @@ def table_changes_multiset(
          .otherwise(F.col(f"n.{c}")).alias(c)
         for c in cols
     ]
+    # Multiplicity expansion in BOUNDED chunks: a single
+    # explode(sequence(1, _mult)) materializes one in-memory array of
+    # |Δmult| elements per distinct row, and a duplicate-heavy source (a
+    # low-cardinality projection, a token-only view) can put millions of
+    # elements in one row's array and OOM an executor. Two-level
+    # expansion caps every materialized array: the outer sequence holds
+    # ceil(mult/chunk) chunk ids, the inner at most chunk elements.
+    _CHUNK = 65536
     return (
         j.where(delta != 0)
         .select(
@@ -1408,8 +1422,19 @@ def table_changes_multiset(
              .alias("_change_type"),
             F.abs(delta).alias("_mult"),
         )
-        .withColumn("_i", F.explode(F.sequence(F.lit(1), F.col("_mult"))))
-        .drop("_mult", "_i")
+        .withColumn(
+            "_c",
+            F.explode(F.sequence(
+                F.lit(0).cast("long"),
+                F.floor((F.col("_mult") - 1) / F.lit(_CHUNK))
+                 .cast("long"))))
+        .withColumn(
+            "_i",
+            F.explode(F.sequence(
+                F.lit(1).cast("long"),
+                F.least(F.lit(_CHUNK).cast("long"),
+                        F.col("_mult") - F.col("_c") * F.lit(_CHUNK)))))
+        .drop("_mult", "_c", "_i")
     )
 
 

@@ -1468,7 +1468,7 @@ class TestVersionedTable:
             t, v_before_rw, V.current_version(t)) == old_rows
         # force the non-broadcast path regardless of fixture size and
         # prove _hint_ret_groups takes it (returns the frame unhinted)
-        monkeypatch.setattr(MV, "_BROADCAST_RET_BOUND_ROWS", -1)
+        monkeypatch.setattr(MV, "_BROADCAST_BYTES_BUDGET", -1)
         probe = V.read(spark, t).select("grp").distinct()
         assert MV._hint_ret_groups(
             probe, t, v_before_rw, V.current_version(t)) is probe
@@ -3931,3 +3931,91 @@ class TestJoinViewRound8:
                     for r in V.read(spark, vb).collect()),
                    key=lambda x: (x[0] is None, x[0] or ""))
         assert a == b and a
+
+
+class TestAdviceR8Fixes:
+    """Round-8 ADVICE.md closures: Bloom column-type guard, orphaned
+    sidecar vacuum, chunked multiset expansion, byte-derived broadcast
+    bound."""
+
+    def test_bloom_rejects_nonindexable_types(self, spark, tmp_path):
+        """Float/boolean/binary key columns render differently in
+        Python str() and Spark CAST AS STRING — build and lookup must
+        raise, not silently false-prune."""
+        from rclip_server_spark.sources import bloomindex as B
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "t")
+        V.create(spark, t, spark.createDataFrame(
+            [(1, 0.5, True), (2, 1.5, False)],
+            "id long, score double, flag boolean"))
+        B.build_bloom_index(spark, t, "id")  # integral: fine
+        with pytest.raises(TypeError, match="double"):
+            B.build_bloom_index(spark, t, "score")
+        with pytest.raises(TypeError, match="boolean"):
+            B.build_bloom_index(spark, t, "flag")
+        with pytest.raises(TypeError, match="boolean"):
+            B.read_point_lookup(spark, t, "flag", ["true"])
+        # value-side guard: bool/float lookup values never probe
+        with pytest.raises(TypeError, match="bool"):
+            B._py_probes(True, 8192, 4)
+        with pytest.raises(TypeError, match="float"):
+            B._py_probes(0.5, 8192, 4)
+
+    def test_vacuum_reaps_orphaned_sidecars(self, spark, tmp_path):
+        """A sidecar whose segment is gone (crashed earlier vacuum or a
+        pre-guard era) is collected by the NEXT vacuum, not leaked."""
+        from rclip_server_spark.sources import bloomindex as B
+        from rclip_server_spark.sources import versioned as V
+        import os
+
+        t = str(tmp_path / "t")
+        V.create(spark, t, spark.createDataFrame(
+            [(i,) for i in range(10)], "id long"))
+        V.append(spark, t, spark.createDataFrame(
+            [(i,) for i in range(10, 20)], "id long"))
+        B.build_bloom_index(spark, t, "id")
+        col_dir = os.path.join(t, "_bloom", "id")
+        # simulate an orphan: a sidecar for a segment that no longer
+        # exists on disk nor in any manifest
+        orphan = os.path.join(col_dir, "seg-deadbeef.json")
+        with open(orphan, "w") as f:
+            f.write("{}")
+        live = set(os.listdir(col_dir)) - {"seg-deadbeef.json"}
+        V.vacuum(t, keep_last=1)
+        left = set(os.listdir(col_dir))
+        assert "seg-deadbeef.json" not in left
+        # live segments' sidecars survive
+        m = V._manifest(t, V.current_version(t))
+        for seg in V._manifest_segments(m):
+            assert f"{seg}.json" in left
+
+    def test_multiset_chunked_expansion_exact(self, spark, tmp_path):
+        """Multiplicity expansion in bounded chunks must still emit
+        EXACTLY |delta-mult| rows — including a multiplicity ABOVE the
+        65536 chunk size (crosses the chunk boundary: 70000 = one full
+        chunk + a 4464-element remainder)."""
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "t")
+        rows = [("a",)] * 5 + [("b",)]
+        V.create(spark, t, spark.createDataFrame(rows, "g string"))
+        # overwrite: 'a' drops to mult 2 (delta -3), 'b' to 3 (delta +2),
+        # 'c' appears with 70000 (delta +70000, > one chunk)
+        big_c = spark.range(70000).select(F.lit("c").alias("g"))
+        V.overwrite(spark, t, spark.createDataFrame(
+            [("a",)] * 2 + [("b",)] * 3, "g string").unionByName(big_c))
+        ch = V.table_changes_multiset(spark, t, from_version=1)
+        got = {(r.g, r._change_type): r.n for r in
+               ch.groupBy("g", "_change_type")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert got == {("a", "delete"): 3, ("b", "insert"): 2,
+                       ("c", "insert"): 70000}
+
+    def test_broadcast_bound_scales_with_key_width(self):
+        from rclip_server_spark.sources import matview as MV
+
+        one = MV._broadcast_bound_rows(1)
+        four = MV._broadcast_bound_rows(4)
+        assert one == 64 * 1024 * 1024 // 64  # ~the historical 1M rows
+        assert four == one // 4
