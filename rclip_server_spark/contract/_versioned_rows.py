@@ -1,0 +1,702 @@
+"""Auto-split registry module — see contract/__init__.py."""
+from __future__ import annotations
+
+from ._base import *  # noqa: F401,F403
+from ._base import _register, _t  # noqa: F401
+from ._dedup_text import _HASHED_SHINGLES, _SIG_LIST  # noqa: F401
+
+# ===========================================================================
+# Versioned-table READ-side rows through the driver (sources/versioned.py):
+# delete-vector reads and snapshot-diff CDC, flattened to scalar columns.
+# The versioned table is BUILT deterministically from the events fixture
+# inside the query callable (cached per sf_dir within the process), so the
+# oracle stays plain SQL over `events` — what the oracle checks is the READ
+# path: delete-vector scoping (keys deleted before an append of the same
+# residue class stay deleted; later-appended rows are untouched) and the
+# null-safe snapshot-diff payload comparison (a value moving between
+# columns, or to NULL, must classify as update_post).
+# Reference parity: B5 soft delete (RS:206-213) completed at manifest
+# altitude; CDC has no reference analogue (scale-path addition).
+# ===========================================================================
+
+_VT_CACHE: dict = {}
+
+
+def _vt_build(spark: SparkSession, sf: str, name: str, builder) -> str:
+    """Build-once-per-(sf, name) versioned fixture table in a temp dir.
+    Deterministic content (modular predicates over event_id), so a cached
+    table from an earlier call in the same process is identical."""
+    import os as _os
+    import tempfile as _tempfile
+
+    key = (_os.path.abspath(sf), name)
+    path = _VT_CACHE.get(key)
+    if path is None or not _os.path.exists(path):
+        path = _tempfile.mkdtemp(prefix=f"rclip_vt_{name}_")
+        _os.rmdir(path)  # create() owns the directory tree
+        builder(spark, sf, path)
+        _VT_CACHE[key] = path
+    return path
+
+
+def _vt_dv_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from ..sources import versioned as VT
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"))
+    base = ev.where(F.col("event_id") % 4 != 3)
+    VT.create(spark, path, base)
+    # delete vector: O(keys) commit, zero data-segment rewrite
+    VT.delete_rows(
+        spark, path,
+        base.where(F.col("event_id") % 7 == 0).select("event_id"),
+        "event_id")
+    # later append includes event_ids in the deleted residue class
+    # (%7==0): the vector is SCOPED to pre-delete segments, so these
+    # appended rows are visible (Delta delete-then-insert semantics)
+    VT.append(spark, path, ev.where(F.col("event_id") % 4 == 3))
+
+
+def _vt_delete_vector_read(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources import versioned as VT
+
+    path = _vt_build(spark, sf, "dv", _vt_dv_builder)
+    return VT.read(spark, path).select("event_id", "user_id", "value_cents")
+
+
+_register(
+    "vt_delete_vector_read",
+    _vt_delete_vector_read,
+    """
+    SELECT event_id, user_id,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    WHERE (event_id % 4 <> 3 AND event_id % 7 <> 0) OR event_id % 4 = 3
+    """,
+)
+
+
+def _vt_cdc_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from ..sources import versioned as VT
+
+    ev = _t(spark, sf, "events")
+    snap_a = ev.where(F.col("event_id") % 10 < 6).select(
+        "event_id", "user_id", "event_type")
+    snap_b = ev.where(
+        (F.col("event_id") % 10 >= 2) & (F.col("event_id") % 10 <= 7)
+    ).select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.col("user_id") + 1000000)
+         .otherwise(F.col("user_id")).alias("user_id"),
+        F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("string"))
+         .otherwise(F.col("event_type")).alias("event_type"))
+    VT.create(spark, path, snap_a)
+    VT.overwrite(spark, path, snap_b)
+
+
+def _vt_snapshot_diff_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources import versioned as VT
+
+    path = _vt_build(spark, sf, "cdc", _vt_cdc_builder)
+    ch = VT.table_changes(spark, path, from_version=1, key="event_id")
+    return ch.select("event_id", "user_id", "event_type",
+                     F.col("_change_type").alias("change_type"))
+
+
+_register(
+    "vt_snapshot_diff_cdc",
+    _vt_snapshot_diff_cdc,
+    """
+    WITH a AS (SELECT event_id, user_id, event_type
+               FROM events WHERE event_id % 10 < 6),
+         b AS (SELECT event_id,
+                      CASE WHEN event_id % 5 = 0 THEN user_id + 1000000
+                           ELSE user_id END AS user_id,
+                      CASE WHEN event_id % 11 = 0 THEN NULL
+                           ELSE event_type END AS event_type
+               FROM events WHERE event_id % 10 BETWEEN 2 AND 7)
+    SELECT COALESCE(b.event_id, a.event_id) AS event_id,
+           CASE WHEN b.event_id IS NULL THEN a.user_id
+                ELSE b.user_id END AS user_id,
+           CASE WHEN b.event_id IS NULL THEN a.event_type
+                ELSE b.event_type END AS event_type,
+           CASE WHEN a.event_id IS NULL THEN 'insert'
+                WHEN b.event_id IS NULL THEN 'delete'
+                ELSE 'update_post' END AS change_type
+    FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+    WHERE a.event_id IS NULL OR b.event_id IS NULL
+       OR (a.user_id IS DISTINCT FROM b.user_id)
+       OR (a.event_type IS DISTINCT FROM b.event_type)
+    """,
+)
+
+
+def _vt_mv_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from ..sources import matview as MV
+    from ..sources import versioned as VT
+
+    view = path + "_view"
+    ev = _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"))
+    VT.create(spark, path, ev.where(F.col("event_id") % 3 != 2))
+    MV.create_agg_view(spark, path, view, key="event_id",
+                       group_cols=["event_type"], sum_cols=["value_cents"])
+    # append-only refresh (O(new segments) CDC fast path) ...
+    VT.append(spark, path, ev.where(F.col("event_id") % 3 == 2))
+    MV.refresh_agg_view(spark, view)
+    # ... then a delete-vector retraction (snapshot-diff CDC path with
+    # pre-images): the view must land exactly on the post-delete groupBy
+    VT.delete_rows(
+        spark, path,
+        ev.where(F.col("event_id") % 11 == 0).select("event_id"),
+        "event_id")
+    MV.refresh_agg_view(spark, view)
+
+
+def _vt_agg_view_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized agg view (sources/matview.py): created at
+    one source version, advanced by two refreshes (append fast path +
+    delete-vector retraction via update/delete pre-images), then read —
+    the oracle checks it equals the direct groupBy of the FINAL source
+    state, which is the whole point of retraction-exact maintenance."""
+    from ..sources import matview as MV
+
+    path = _vt_build(spark, sf, "mv", _vt_mv_builder)
+    return MV.read_agg_view(spark, path + "_view").select(
+        "event_type", F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_value_cents").cast("long").alias("sum_value_cents"))
+
+
+_register(
+    "vt_agg_view_refresh",
+    _vt_agg_view_refresh,
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM events
+    WHERE event_id % 11 <> 0
+    GROUP BY event_type
+    """,
+)
+
+
+def _vt_mv_minmax_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from ..sources import matview as MV
+    from ..sources import versioned as VT
+
+    view = path + "_view"
+    ev = _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"))
+    VT.create(spark, path, ev.where(F.col("event_id") % 3 != 2))
+    MV.create_agg_view(spark, path, view, key="event_id",
+                       group_cols=["event_type"], sum_cols=["value_cents"],
+                       minmax_cols=["value_cents"])
+    VT.append(spark, path, ev.where(F.col("event_id") % 3 == 2))
+    MV.refresh_agg_view(spark, view)  # insert-only: monotone min/max merge
+    VT.delete_rows(
+        spark, path,
+        ev.where(F.col("event_id") % 11 == 0).select("event_id"),
+        "event_id")
+    MV.refresh_agg_view(spark, view)  # retraction: affected-group recompute
+
+
+def _vt_agg_view_minmax(spark: SparkSession, sf: str) -> DataFrame:
+    """MIN/MAX materialized view (matview.refresh_agg_view's
+    recompute-affected-groups path): the deletes retract rows from every
+    group, so each group's min/max must be re-derived — the oracle checks
+    the maintained extremes equal DuckDB's direct groupBy of the final
+    state (non-retractable aggregates maintained correctly)."""
+    from ..sources import matview as MV
+
+    path = _vt_build(spark, sf, "mvx", _vt_mv_minmax_builder)
+    return MV.read_agg_view(spark, path + "_view").select(
+        "event_type", F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_value_cents").cast("long").alias("sum_value_cents"),
+        F.col("min_value_cents").cast("long").alias("min_value_cents"),
+        F.col("max_value_cents").cast("long").alias("max_value_cents"))
+
+
+_register(
+    "vt_agg_view_minmax",
+    _vt_agg_view_minmax,
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents,
+           CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS min_value_cents,
+           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS max_value_cents
+    FROM events
+    WHERE event_id % 11 <> 0
+    GROUP BY event_type
+    """,
+)
+
+
+def _vt_append_only_changes(spark: SparkSession, sf: str) -> DataFrame:
+    """Append-only CDC fast path (versioned.table_changes): the change set
+    for an append interval is exactly the appended segments' rows —
+    asserted Exchange-free in PLANS.md; here hash-matched row-for-row
+    against plain SQL over the appended slice."""
+    from ..sources import versioned as VT
+
+    path = _vt_build(spark, sf, "dv", _vt_dv_builder)
+    # interval (2, 3]: v3 is the appended event_id % 4 == 3 batch
+    ch = VT.table_changes(spark, path, from_version=2, to_version=3)
+    return ch.select("event_id", "user_id", "value_cents", "_change_type")
+
+
+_register(
+    "vt_append_only_changes",
+    _vt_append_only_changes,
+    """
+    SELECT event_id, user_id,
+           CAST(round(value * 100) AS BIGINT) AS value_cents,
+           'insert' AS _change_type
+    FROM events
+    WHERE event_id % 4 = 3
+    """,
+)
+
+
+def _vt_zorder_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from ..sources import versioned as VT
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"))
+    VT.create(spark, path, ev.where(F.col("event_id") % 2 == 0),
+              stat_cols=["user_id", "value_cents"])
+    VT.append(spark, path, ev.where(F.col("event_id") % 2 == 1))
+    VT.cluster_zorder(spark, path, "user_id", "value_cents",
+                      n_segments=8, bits=16)
+
+
+def _vt_zorder_pruned_read(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D range read over a Z-ORDER-clustered versioned table
+    (versioned.cluster_zorder): segment skipping happens at manifest
+    altitude on BOTH columns' zone maps; the oracle checks the surviving
+    rows equal a plain SQL conjunction — pruning may only skip, never
+    change answers (test_cluster_zorder_improves_segment_pruning pins
+    that it DOES skip)."""
+    from ..sources import versioned as VT
+
+    path = _vt_build(spark, sf, "zo", _vt_zorder_builder)
+    return VT.read_pruned(
+        spark, path,
+        ranges={"user_id": (100, 400), "value_cents": (2000, 30000)},
+    ).select("event_id", "user_id", "value_cents")
+
+
+_register(
+    "vt_zorder_pruned_read",
+    _vt_zorder_pruned_read,
+    """
+    SELECT event_id, user_id,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    WHERE user_id BETWEEN 100 AND 400
+      AND CAST(round(value * 100) AS BIGINT) BETWEEN 2000 AND 30000
+    """,
+)
+
+
+def _sig_transform(df: DataFrame) -> DataFrame:
+    """MinHash signature extraction as a row-local transform (the
+    dedup_minhash_signatures shape): one (doc_id, pos, sig) row per
+    signature component."""
+    from ..functions.hashing import minhash_signature_over_hashed, portable_hash32
+
+    hashed = df.select(
+        "doc_id",
+        F.transform(TXT.char_shingles(F.col("text"), SHINGLE_N),
+                    portable_hash32).alias("hs"),
+    )
+    return hashed.select(
+        "doc_id",
+        F.posexplode(
+            minhash_signature_over_hashed("hs", MH_PARAMS)
+        ).alias("pos", "sig"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "sig")
+
+
+def _vt_sig_index_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from ..sources import matview as MV
+    from ..sources import versioned as VT
+
+    view = path + "_view"
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    VT.create(spark, path, docs.where(F.col("doc_id") % 3 != 2))
+    MV.create_transform_view(spark, path, view, key="doc_id",
+                             transform=_sig_transform, name="minhash-sig-v1")
+    VT.append(spark, path, docs.where(F.col("doc_id") % 3 == 2))
+    MV.refresh_transform_view(spark, view, _sig_transform, "minhash-sig-v1")
+    VT.delete_rows(
+        spark, path,
+        docs.where(F.col("doc_id") % 17 == 0).select("doc_id"), "doc_id")
+    MV.refresh_transform_view(spark, view, _sig_transform, "minhash-sig-v1")
+
+
+def _vt_signature_index_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """Incrementally-maintained MinHash signature index
+    (matview.create_transform_view / refresh_transform_view): built at one
+    source version, advanced by an append refresh (transform of inserts
+    only) and a delete refresh (delete vector on the view by doc_id) —
+    the oracle checks the maintained index equals the from-scratch
+    signature SQL over the FINAL corpus. This is the ingest-time half of
+    dedup.minhash_near_dup_incremental: per-batch index maintenance at
+    batch cost, corpus never re-signed."""
+    from ..sources import matview as MV
+
+    path = _vt_build(spark, sf, "sig", _vt_sig_index_builder)
+    return MV.read_agg_view(spark, path + "_view").select(
+        "doc_id", "pos", "sig")
+
+
+_register(
+    "vt_signature_index_refresh",
+    _vt_signature_index_refresh,
+    f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+    h AS (SELECT doc_id, {_HASHED_SHINGLES} AS hs FROM d),
+    sigs AS (SELECT doc_id, {_SIG_LIST} AS sig FROM h)
+    SELECT doc_id, CAST(generate_subscripts(sig, 1) - 1 AS BIGINT) AS pos,
+           unnest(sig) AS sig
+    FROM sigs
+    """,
+)
+
+
+def _vt_topk_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from ..sources import matview as MV
+    from ..sources import versioned as VT
+
+    view = path + "_view"
+    ev = _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"))
+    VT.create(spark, path, ev.where(F.col("event_id") % 3 != 2))
+    MV.create_topk_view(spark, path, view, key="event_id",
+                        group_cols=["event_type"], score_col="value_cents",
+                        k=5)
+    VT.append(spark, path, ev.where(F.col("event_id") % 3 == 2))
+    MV.refresh_topk_view(spark, view)  # insert-only: k-bounded re-rank
+    VT.delete_rows(
+        spark, path,
+        ev.where(F.col("event_id") % 11 == 0).select("event_id"),
+        "event_id")
+    MV.refresh_topk_view(spark, view)  # retraction: affected-group recompute
+
+
+def _vt_topk_view_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """Maintained per-group TOP-K view (matview.create_topk_view /
+    refresh_topk_view): leaderboard advanced through an append (k-bounded
+    re-rank) and a delete (affected groups recomputed — previously
+    evicted rows must RESURFACE when ranked rows retract). Oracle: the
+    maintained ranking equals row_number() over the final corpus."""
+    path = _vt_build(spark, sf, "tk", _vt_topk_builder)
+    from ..sources import versioned as VT
+
+    return VT.read(spark, path + "_view").select(
+        "event_type", "rnk", "event_id", "value_cents")
+
+
+_register(
+    "vt_topk_view_refresh",
+    _vt_topk_view_refresh,
+    """
+    WITH d AS (SELECT event_id, event_type,
+                      CAST(round(value * 100) AS BIGINT) AS value_cents
+               FROM events WHERE event_id % 11 <> 0),
+    ranked AS (
+      SELECT event_type, event_id, value_cents,
+             CAST(row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY value_cents DESC, event_id) AS BIGINT) AS rnk
+      FROM d)
+    SELECT event_type, rnk, event_id, value_cents
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+
+
+def _vt_bloom_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from ..sources import bloomindex as BX
+    from ..sources import versioned as VT
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"))
+    # three residue-class appends: event_ids INTERLEAVE across segments,
+    # so zone maps cannot prune a point lookup — the Bloom sidecar can
+    VT.create(spark, path, ev.where(F.col("event_id") % 3 == 0))
+    VT.append(spark, path, ev.where(F.col("event_id") % 3 == 1))
+    VT.append(spark, path, ev.where(F.col("event_id") % 3 == 2))
+    BX.build_bloom_index(spark, path, "event_id")
+
+
+_VT_BLOOM_IDS = [6, 13, 25, 47, 101, 333]
+
+
+def _vt_bloom_pruned_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Point lookup through per-segment Bloom sidecars
+    (sources/bloomindex.py): the prune decision is a driver-side bitmap
+    test (zero Spark jobs), surviving segments read through the scoped
+    delete-vector path, exact equality applied last — so the result is
+    identical to the unpruned IN-list scan the oracle runs, while the
+    physical read touches only the segments that can hold the ids.
+    Scale path for the reference's SQLite point lookup (RS:206-213)."""
+    from ..sources import bloomindex as BX
+
+    path = _vt_build(spark, sf, "bloom", _vt_bloom_builder)
+    return BX.read_point_lookup(spark, path, "event_id", _VT_BLOOM_IDS)
+
+
+_register(
+    "vt_bloom_pruned_lookup",
+    _vt_bloom_pruned_lookup,
+    f"""
+    SELECT event_id, user_id,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    WHERE event_id IN ({", ".join(str(i) for i in _VT_BLOOM_IDS)})
+    """,
+)
+
+
+def _vt_jv_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from ..sources import matview as MV
+    from ..sources import versioned as VT
+
+    rpath, view = path + "_cust", path + "_view"
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long")
+         .alias("price_cents"))
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey", F.col("c_custkey").alias("custkey"), "c_mktsegment")
+    VT.create(spark, path, orders.where(F.col("o_orderkey") % 4 != 3))
+    VT.create(spark, rpath, cust.where(F.col("c_custkey") % 5 != 4))
+    MV.create_join_view(spark, path, rpath, view, on="custkey",
+                        left_key="o_orderkey", right_key="c_custkey",
+                        group_cols=["c_mktsegment"],
+                        sum_cols=["price_cents"],
+                        minmax_cols=["price_cents"])
+    # left append: fast-path ΔL ⋈ R_old term
+    VT.append(spark, path, orders.where(F.col("o_orderkey") % 4 == 3))
+    MV.refresh_join_view(spark, view)
+    # right delete + append in ONE interval: snapshot-diff ΔR with
+    # retractions, against the pinned NEW left snapshot
+    VT.delete_rows(
+        spark, rpath,
+        cust.where(F.col("c_custkey") % 7 == 0).select("c_custkey"),
+        "c_custkey")
+    VT.append(spark, rpath, cust.where(F.col("c_custkey") % 5 == 4))
+    MV.refresh_join_view(spark, view)
+
+
+def _vt_join_view_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """Incrementally-maintained JOIN view (matview.create_join_view /
+    refresh_join_view, signed delta rule ΔL⋈R_old + L_new⋈ΔR with two
+    cursors; MIN/MAX via the two-tier affected-group recompute over the
+    pinned join): advanced through a left append and a right
+    delete+append rewrite interval, then read — the oracle checks it
+    equals the direct join+groupBy of the two FINAL sources. The
+    reference has no join maintenance at all (single-table app); this is
+    the Materialize/DBSP-style scale path for keeping a joined
+    dashboard aggregate fresh for the cost of the changes."""
+    from ..sources import versioned as VT
+
+    path = _vt_build(spark, sf, "jv", _vt_jv_builder)
+    return VT.read(spark, path + "_view").select(
+        "c_mktsegment", F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_price_cents").cast("long").alias("sum_price_cents"),
+        F.col("min_price_cents").cast("long").alias("min_price_cents"),
+        F.col("max_price_cents").cast("long").alias("max_price_cents"))
+
+
+_register(
+    "vt_join_view_refresh",
+    _vt_join_view_refresh,
+    """
+    WITH r AS (
+      SELECT c_custkey AS custkey, c_mktsegment FROM customer
+      WHERE (c_custkey % 5 <> 4 AND c_custkey % 7 <> 0)
+         OR c_custkey % 5 = 4),
+    l AS (
+      SELECT o_custkey AS custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders)
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(price_cents) AS BIGINT) AS sum_price_cents,
+           CAST(min(price_cents) AS BIGINT) AS min_price_cents,
+           CAST(max(price_cents) AS BIGINT) AS max_price_cents
+    FROM l JOIN r USING (custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+
+
+def _vt_jvm_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from ..sources import matview as MV
+    from ..sources import versioned as VT
+
+    rpath, view = path + "_cust", path + "_view"
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", F.expr("o_custkey div 10").alias("ck_hi"),
+        (F.col("o_custkey") % 10).alias("ck_lo"),
+        F.round(F.col("o_totalprice") * 100).cast("long")
+         .alias("price_cents"))
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey", F.expr("c_custkey div 10").alias("ck_hi"),
+        (F.col("c_custkey") % 10).alias("ck_lo"), "c_mktsegment")
+    VT.create(spark, path, orders.where(F.col("o_orderkey") % 4 != 3))
+    VT.create(spark, rpath, cust.where(F.col("c_custkey") % 5 != 4))
+    MV.create_join_view(spark, path, rpath, view, on=["ck_hi", "ck_lo"],
+                        left_key="o_orderkey", right_key="c_custkey",
+                        group_cols=["c_mktsegment"],
+                        sum_cols=["price_cents"],
+                        minmax_cols=["price_cents"])
+    # left append-only interval (fast-path ΔL ⋈ R_old on the tuple key)
+    VT.append(spark, path, orders.where(F.col("o_orderkey") % 4 == 3))
+    MV.refresh_join_view(spark, view)
+    # right REWRITE interval: delete + append in one refresh
+    VT.delete_rows(
+        spark, rpath,
+        cust.where(F.col("c_custkey") % 7 == 0).select("c_custkey"),
+        "c_custkey")
+    VT.append(spark, rpath, cust.where(F.col("c_custkey") % 5 == 4))
+    MV.refresh_join_view(spark, view)
+    # left REWRITE interval: an upsert that changes measure values on
+    # existing rows — the delta retracts the old pairs (min/max goes
+    # through the pair-level affected-group recompute)
+    VT.upsert(spark, path,
+              orders.where(F.col("o_orderkey") % 11 == 0).withColumn(
+                  "price_cents", F.col("price_cents") + F.lit(7)),
+              "o_orderkey")
+    MV.refresh_join_view(spark, view)
+
+
+def _vt_join_view_multikey(spark: SparkSession, sf: str) -> DataFrame:
+    """COMPOSITE-key incremental join view (matview.create_join_view
+    with on=['ck_hi','ck_lo']): the signed delta rule, key pruning, and
+    the pair-level min/max recompute all operate on the full column
+    TUPLE — no synthetic concat key, so source pruning/zone maps stay
+    usable. Advanced through a left append, a right delete+append
+    rewrite, and a LEFT upsert rewrite that changes measure values; the
+    oracle checks the final state equals the direct two-column
+    join+groupBy of the final sources. No reference analogue (the
+    reference has no join maintenance); Materialize/DBSP-style scale
+    path, composite-key flavor."""
+    from ..sources import versioned as VT
+
+    path = _vt_build(spark, sf, "jvm", _vt_jvm_builder)
+    return VT.read(spark, path + "_view").select(
+        "c_mktsegment", F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_price_cents").cast("long").alias("sum_price_cents"),
+        F.col("min_price_cents").cast("long").alias("min_price_cents"),
+        F.col("max_price_cents").cast("long").alias("max_price_cents"))
+
+
+_register(
+    "vt_join_view_multikey",
+    _vt_join_view_multikey,
+    """
+    WITH l AS (
+      SELECT o_custkey // 10 AS ck_hi, o_custkey % 10 AS ck_lo,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 11 = 0 THEN 7 ELSE 0 END
+               AS price_cents
+      FROM orders),
+    r AS (
+      SELECT c_custkey // 10 AS ck_hi, c_custkey % 10 AS ck_lo,
+             c_mktsegment FROM customer
+      WHERE (c_custkey % 5 <> 4 AND c_custkey % 7 <> 0)
+         OR c_custkey % 5 = 4)
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(price_cents) AS BIGINT) AS sum_price_cents,
+           CAST(min(price_cents) AS BIGINT) AS min_price_cents,
+           CAST(max(price_cents) AS BIGINT) AS max_price_cents
+    FROM l JOIN r USING (ck_hi, ck_lo)
+    GROUP BY c_mktsegment
+    """,
+)
+
+
+def _vt_jvl_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from ..sources import matview as MV
+    from ..sources import versioned as VT
+
+    rpath, view = path + "_ord", path + "_view"
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey", F.col("c_custkey").alias("custkey"), "c_mktsegment")
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long")
+         .alias("price_cents"))
+    VT.create(spark, path, cust.where(F.col("c_custkey") % 5 != 4))
+    VT.create(spark, rpath, orders.where(F.col("o_orderkey") % 3 != 2))
+    MV.create_join_view(spark, path, rpath, view, on="custkey",
+                        left_key="c_custkey", right_key="o_orderkey",
+                        group_cols=["c_mktsegment"],
+                        sum_cols=["price_cents"], how="left")
+    # left append: new customers, some with matches, some null-extended
+    VT.append(spark, path, cust.where(F.col("c_custkey") % 5 == 4))
+    MV.refresh_join_view(spark, view)
+    # right rewrite interval with BOTH flip directions: deleting every
+    # order of custkey%9==0 ORPHANS those customers (null-extensions
+    # appear), while appending orders for previously order-less
+    # customers gives first matches (null-extensions retract)
+    VT.delete_rows(
+        spark, rpath,
+        orders.where((F.col("o_orderkey") % 3 != 2)
+                     & (F.col("custkey") % 9 == 0)).select("o_orderkey"),
+        "o_orderkey")
+    VT.append(spark, rpath,
+              orders.where((F.col("o_orderkey") % 3 == 2)
+                           & (F.col("custkey") % 4 == 1)))
+    MV.refresh_join_view(spark, view)
+
+
+def _vt_join_view_left(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT-OUTER maintained join view (create_join_view how='left') —
+    the TPC-H Q13 shape: customers with zero orders stay in the
+    aggregate, null-extended. Maintained by the signed delta rule PLUS
+    the anti-semijoin terms (_delta_nullext_frames): a right delete
+    that orphans left rows flips their null-extensions IN (+), a right
+    append giving a first match flips them OUT (−) — both exercised in
+    one rewrite interval. Oracle: direct LEFT JOIN groupBy of the final
+    sources."""
+    from ..sources import versioned as VT
+
+    path = _vt_build(spark, sf, "jvl", _vt_jvl_builder)
+    return VT.read(spark, path + "_view").select(
+        "c_mktsegment", F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_price_cents").cast("long").alias("sum_price_cents"))
+
+
+_register(
+    "vt_join_view_left",
+    _vt_join_view_left,
+    """
+    WITH l AS (
+      SELECT c_custkey AS custkey, c_mktsegment FROM customer),
+    r AS (
+      SELECT o_custkey AS custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+      WHERE (o_orderkey % 3 <> 2 AND o_custkey % 9 <> 0)
+         OR (o_orderkey % 3 = 2 AND o_custkey % 4 = 1))
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
+    FROM l LEFT JOIN r USING (custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+
+

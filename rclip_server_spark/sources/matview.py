@@ -361,9 +361,10 @@ def refresh_agg_view(spark: SparkSession, view_path: str,
         "mv_minmax_cols": minmax_cols,
         "mv_source_version": v_to,
     }}
-    if _should_recompute(
+    if recompute_fraction is not None and _should_recompute(
             recompute_fraction,
-            [(_change_bound(src, v_from, v_to), _head_rows(src, v_to))]):
+            [(_change_bound_safe(src, v_from, v_to),
+              _head_rows(src, v_to))]):
         state = _aggregate(_read_source(spark, src, v_to), group_cols,
                            sum_cols, minmax_cols)
         return V.overwrite(spark, view_path, state, extra=new_extra,
@@ -1030,6 +1031,21 @@ def _head_rows(src: str, v_to: int) -> int:
     return V._manifest_row_count(src, V._manifest(src, v_to))
 
 
+def _change_bound_safe(src: str, v_from: int, v_to: int) -> float:
+    """_change_bound for the DISPATCH decision: when the source was
+    vacuumed past the cursor the interval's manifests are gone and the
+    CDC read is IMPOSSIBLE — its cost is infinite, so dispatch picks
+    recompute, which needs no history and SELF-HEALS the view from the
+    head (a refresh scheduler keeps running through an over-eager
+    vacuum). The default no-dispatch path still raises the named
+    vacuum-contract error — self-healing is something the operator
+    opts into together with the cost model."""
+    try:
+        return _change_bound(src, v_from, v_to)
+    except FileNotFoundError:
+        return float("inf")
+
+
 def _should_recompute(fraction, bounds_and_heads) -> bool:
     """``bounds_and_heads`` is [(change_bound, head_rows), ...] — one
     entry per source (bound 0 for a side whose cursor is at head: a
@@ -1098,11 +1114,12 @@ def refresh_join_view(spark: SparkSession, view_path: str,
         return view_v
     new_extra = {"app": dict(spec) | {"jv_left_version": l_to,
                                       "jv_right_version": r_to}}
-    l_bound = _change_bound(lsrc, l_from, l_to) if l_to > l_from else 0
-    r_bound = _change_bound(rsrc, r_from, r_to) if r_to > r_from else 0
-    if _should_recompute(recompute_fraction,
-                         [(l_bound, _head_rows(lsrc, l_to)),
-                          (r_bound, _head_rows(rsrc, r_to))]):
+    if recompute_fraction is not None and _should_recompute(
+            recompute_fraction,
+            [(_change_bound_safe(lsrc, l_from, l_to)
+              if l_to > l_from else 0, _head_rows(lsrc, l_to)),
+             (_change_bound_safe(rsrc, r_from, r_to)
+              if r_to > r_from else 0, _head_rows(rsrc, r_to))]):
         state = _aggregate(
             _read_source(spark, lsrc, l_to)
             .join(_read_source(spark, rsrc, r_to), on, how),

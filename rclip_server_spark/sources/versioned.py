@@ -93,10 +93,54 @@ def _manifest_versions(path: str) -> list[int]:
     return sorted(out)
 
 
+# Head-resolution checkpoint (the Delta _last_checkpoint idea, filesystem
+# form): every _CHECKPOINT_EVERY commits (and at each vacuum) a tiny JSON
+# {"version": k} is renamed into place. Head resolution then PROBES
+# forward from k — versions are dense above the vacuum cutoff because
+# every commit is parent+1 — instead of LISTING _snapshots, so a table
+# with 10^5 retained manifests resolves its head in O(commits since the
+# last checkpoint) stat calls, flat in history length. The hint carries
+# no correctness weight: a missing/stale/corrupt checkpoint (or one
+# pointing at a vacuumed version) falls back to the full listing.
+_CHECKPOINT = "_last_checkpoint"
+_CHECKPOINT_EVERY = 64
+
+
+def _read_checkpoint(path: str) -> int | None:
+    try:
+        with open(os.path.join(path, _SNAP_DIR, _CHECKPOINT)) as f:
+            return int(json.load(f)["version"])
+    except (OSError, ValueError, KeyError, json.JSONDecodeError):
+        return None
+
+
+def _write_checkpoint(path: str, version: int) -> None:
+    """Best-effort atomic hint update (rename, last writer wins)."""
+    try:
+        tmp = os.path.join(path, _SNAP_DIR,
+                           f".ckpt-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump({"version": int(version)}, f)
+        os.rename(tmp, os.path.join(path, _SNAP_DIR, _CHECKPOINT))
+    except OSError:
+        pass
+
+
 def current_version(path: str) -> int:
     """The committed head = the max manifest PRESENT. Publishing the
     manifest is the single commit point, so this is correct after a crash
-    at any step — `_latest` is only a cache and is never consulted."""
+    at any step — `_latest` is only a cache and is never consulted.
+
+    Resolution is checkpoint-probed when a `_last_checkpoint` hint
+    exists and still names a live manifest (O(commits since checkpoint)
+    existence checks — flat in history length); otherwise the full
+    `_snapshots` listing (O(#versions), always correct)."""
+    hint = _read_checkpoint(path)
+    if hint is not None and os.path.exists(_snap_path(path, hint)):
+        v = hint
+        while os.path.exists(_snap_path(path, v + 1)):
+            v += 1
+        return v
     versions = _manifest_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed versions under {path}")
@@ -182,6 +226,11 @@ def _commit(path: str, version: int, segments: list[str], op: str,
             f"version {version} already committed at {target}"
         ) from None
     os.remove(tmp)
+    # periodic head-resolution checkpoint: keeps current_version() at
+    # O(commits since checkpoint) stat calls however long the retained
+    # history grows (10^5 streaming micro-batch commits)
+    if version % _CHECKPOINT_EVERY == 0:
+        _write_checkpoint(path, version)
     try:
         lt = os.path.join(path, f"{_LATEST}.tmp.{uuid.uuid4().hex[:8]}")
         with open(lt, "w") as f:
@@ -906,7 +955,7 @@ def vacuum(path: str, keep_last: int = 1,
     _TMP_MIN_AGE_SEC = 300.0
     tmp_cutoff = max(float(retain_seconds or 0.0), _TMP_MIN_AGE_SEC)
     for name in os.listdir(snap_dir):
-        if name.startswith(".tmp-"):
+        if name.startswith((".tmp-", ".ckpt-")):
             p = os.path.join(snap_dir, name)
             if now - os.path.getmtime(p) >= tmp_cutoff:
                 os.remove(p)
@@ -950,6 +999,10 @@ def vacuum(path: str, keep_last: int = 1,
                     if seg not in keep_segs \
                             and not os.path.isdir(os.path.join(path, seg)):
                         os.remove(p)
+    # refresh the head-resolution checkpoint: reaping manifests may have
+    # invalidated an old hint (its version vacuumed away), which would
+    # silently degrade every current_version() to the full listing
+    _write_checkpoint(path, head)
     return deleted
 
 

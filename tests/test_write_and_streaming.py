@@ -4019,3 +4019,72 @@ class TestAdviceR8Fixes:
         four = MV._broadcast_bound_rows(4)
         assert one == 64 * 1024 * 1024 // 64  # ~the historical 1M rows
         assert four == one // 4
+
+
+class TestHeadCheckpoint:
+    """Manifest-log checkpointing: head resolution stays O(commits since
+    the last checkpoint) — never an O(#versions) directory listing —
+    across 1k retained commits, with vacuum keeping the hint fresh."""
+
+    def test_head_resolution_flat_across_1k_commits(self, spark, tmp_path,
+                                                    monkeypatch):
+        from rclip_server_spark.sources import versioned as V
+
+        t = str(tmp_path / "t")
+        V.create(spark, t, spark.createDataFrame([(1,)], "id long"))
+        segs = V._manifest(t, 1)["segments"]
+        # 1k driver-side commits against the same immutable segment set
+        # (commit cost only — the probe behavior under test is identical
+        # to Spark-written segments, without 1k parquet jobs)
+        for v in range(2, 1002):
+            V._commit(t, v, segs, "append")
+        listings = {"n": 0}
+        real = V._manifest_versions
+
+        def counting(path):
+            listings["n"] += 1
+            return real(path)
+
+        monkeypatch.setattr(V, "_manifest_versions", counting)
+        # steady state: every head resolution goes through the
+        # checkpoint probe — ZERO full listings, over many calls
+        for _ in range(5):
+            assert V.current_version(t) == 1001
+        assert listings["n"] == 0
+        # probe distance is bounded by the checkpoint cadence
+        hint = V._read_checkpoint(t)
+        assert hint is not None and 1001 - hint <= V._CHECKPOINT_EVERY
+        # a few more commits: probe walks forward, still no listing
+        for v in range(1002, 1010):
+            V._commit(t, v, segs, "append")
+        assert V.current_version(t) == 1009
+        assert listings["n"] == 0
+        # vacuum refreshes the hint (an old hint could point at a reaped
+        # manifest); vacuum itself lists (it is the maintenance op), but
+        # head resolution stays probe-only afterwards
+        V.vacuum(t, keep_last=10)
+        listings["n"] = 0
+        assert V.current_version(t) == 1009
+        assert listings["n"] == 0
+        assert V._read_checkpoint(t) == 1009
+        # deleting the hint degrades to the always-correct full listing
+        import os
+        os.remove(os.path.join(t, "_snapshots", "_last_checkpoint"))
+        assert V.current_version(t) == 1009
+        assert listings["n"] > 0
+
+    def test_checkpoint_hint_carries_no_correctness_weight(
+            self, spark, tmp_path):
+        """A corrupt or stale-beyond-head hint must fall back cleanly."""
+        from rclip_server_spark.sources import versioned as V
+        import os
+
+        t = str(tmp_path / "t")
+        V.create(spark, t, spark.createDataFrame([(1,)], "id long"))
+        ck = os.path.join(t, "_snapshots", "_last_checkpoint")
+        with open(ck, "w") as f:
+            f.write("not json")
+        assert V.current_version(t) == 1
+        with open(ck, "w") as f:
+            f.write('{"version": 999}')  # beyond head: manifest missing
+        assert V.current_version(t) == 1

@@ -625,7 +625,7 @@ def main() -> int:
         F.col("n_chars").alias("amt")).where(F.col("doc_id") >= 100000))
     _jch = V.table_changes(spark, _jl, from_version=1)
     _jpruned = MVIEW._prune_to_delta_keys(
-        V.read(spark, _jr), _jch, "k", MVIEW._change_bound(_jl, 1, 2))
+        V.read(spark, _jr), _jch, ["k"], MVIEW._change_bound(_jl, 1, 2))
     audits.append((
         "Join-view ingest delta term (ΔL ⋈ key-pruned R snapshot)",
         MVIEW._aggregate(_jch.join(_jpruned, "k"), ["seg"], ["amt"],
@@ -640,6 +640,34 @@ def main() -> int:
         "aggregate combines partially map-side. A day of ingest "
         "refreshes a 100 TB join view for delta ⋈ matching-keys work — "
         "the join is never recomputed.",
+    ))
+
+    # round-8: the LEFT-outer join view's anti-semijoin delta term —
+    # ΔL rows with no match in the cursor-pinned right snapshot become
+    # null-extensions. The right side is reduced to its KEY COLUMN
+    # pruned to the delta's keys, so the anti-join build side is
+    # delta-bounded, never the right table.
+    _r_fields = V.read(spark, _jr).schema.fields
+    _r1_keys = MVIEW._prune_to_delta_keys(
+        V.read(spark, _jr).select("k"), _jch, ["k"],
+        MVIEW._change_bound(_jl, 1, 2))
+    audits.append((
+        "LEFT-outer join view null-extension term (ΔL ▷ R1 keys)",
+        MVIEW._aggregate(
+            MVIEW._null_extend(_jch.join(_r1_keys, ["k"], "left_anti"),
+                               _r_fields, ["k"]),
+            ["seg"], ["amt"], sign=MVIEW._signed_change()),
+        {"BroadcastHashJoin": True, "LeftAnti": True,
+         "CartesianProduct": False, "BroadcastNestedLoopJoin": False},
+        "The LEFT-outer flavor's term A: the ingest delta anti-joins "
+        "the right snapshot's KEYS (projected to the join column, "
+        "key-pruned to the delta's keys behind the same size-guarded "
+        "broadcast semi-join, so the anti build side is delta-sized). "
+        "Unmatched delta rows aggregate null-extended — typed NULL "
+        "literals, a pure projection. At 100 TB a day of left-side "
+        "ingest maintains the outer aggregate without ever scanning "
+        "the left table, and the right table contributes only its "
+        "delta-matching keys.",
     ))
 
     lines = [

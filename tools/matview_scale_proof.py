@@ -65,13 +65,66 @@ def main() -> None:
             recompute_s = time.monotonic() - t0
             m = V._manifest(t, V.current_version(t))
             n_rows = sum(m["seg_rows"].values())  # metadata-only
+            # --- the round-8 cost-based dispatcher, both interval shapes.
+            # Append-only: the change bound is a subset of the head, so
+            # the dispatcher must pick INCREMENTAL at every size. Then a
+            # rewriting interval (upsert): the multiset diff scans BOTH
+            # snapshots (bound = old+new > head), so the dispatcher must
+            # pick RECOMPUTE — and we time both paths to show the pick
+            # is the cheaper side.
+            v0 = V.current_version(t)
+            V.append(spark, t, batch.withColumn(
+                "event_id", F.col("event_id") + F.lit(1)))
+            app_pick = "recompute" if MV._should_recompute(
+                MV._RECOMPUTE_BOUND_FRACTION,
+                [(MV._change_bound(t, v0, V.current_version(t)),
+                  MV._head_rows(t, V.current_version(t)))]) \
+                else "incremental"
+            MV.refresh_agg_view(
+                spark, vw,
+                recompute_fraction=MV._RECOMPUTE_BOUND_FRACTION)
+            v1 = V.current_version(t)
+            V.upsert(spark, t, batch.limit(500).withColumn(
+                "value_cents", F.col("value_cents") + F.lit(1)),
+                "event_id")
+            rw_pick = "recompute" if MV._should_recompute(
+                MV._RECOMPUTE_BOUND_FRACTION,
+                [(MV._change_bound(t, v1, V.current_version(t)),
+                  MV._head_rows(t, V.current_version(t)))]) \
+                else "incremental"
+            t0 = time.monotonic()
+            MV.refresh_agg_view(spark, vw, recompute_fraction=None)
+            rw_incremental_s = time.monotonic() - t0
+            # replay the SAME rewrite interval through the dispatcher by
+            # restoring the view cursor (fresh view over the pre-upsert
+            # base would shift the data; a second identical view is
+            # equivalent and cheap at proof scale)
+            vw2 = os.path.join(tmp, f"v{copies}_b")
+            MV.create_agg_view(spark, t, vw2, key="event_id",
+                               group_cols=["event_type"],
+                               sum_cols=["value_cents"])
+            V.upsert(spark, t, batch.limit(500).withColumn(
+                "value_cents", F.col("value_cents") + F.lit(2)),
+                "event_id")
+            t0 = time.monotonic()
+            MV.refresh_agg_view(
+                spark, vw2,
+                recompute_fraction=MV._RECOMPUTE_BOUND_FRACTION)
+            rw_dispatched_s = time.monotonic() - t0
             results[f"x{copies}"] = {
                 "refresh_sec": round(refresh_s, 3),
                 "full_recompute_sec": round(recompute_s, 3),
                 "base_rows": n_rows,
+                "append_interval_pick": app_pick,
+                "rewrite_interval_pick": rw_pick,
+                "rewrite_incremental_sec": round(rw_incremental_s, 3),
+                "rewrite_dispatched_sec": round(rw_dispatched_s, 3),
             }
             print(f"x{copies}: refresh {refresh_s:.2f}s vs full recompute "
-                  f"{recompute_s:.2f}s", file=sys.stderr)
+                  f"{recompute_s:.2f}s | dispatcher: append->{app_pick}, "
+                  f"rewrite->{rw_pick} (incremental {rw_incremental_s:.2f}s"
+                  f" vs dispatched {rw_dispatched_s:.2f}s)",
+                  file=sys.stderr)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps({"tool": "matview_scale_proof", "sf_dir": SF_DIR,
