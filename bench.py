@@ -100,15 +100,21 @@ def main() -> None:
          .alias("price_cents"))
     cust = load_table(spark, SF_DIR, "customer").select(
         "c_custkey", F.col("c_custkey").alias("custkey"), "c_mktsegment")
+    # SEPARATE left sources per refresh bench: a shared source would
+    # make each timed interval include the batch the OTHER bench
+    # appended (a 2-commit ~4k-row interval mislabeled "2k"), and
+    # couple the two floors
     jv_l, jv_r = os.path.join(vt_tmp, "ord"), os.path.join(vt_tmp, "cus")
+    jt_l = os.path.join(vt_tmp, "ord2")
     jv, jt = os.path.join(vt_tmp, "jv"), os.path.join(vt_tmp, "jt")
     VT.create(spark, jv_l, orders)
+    VT.create(spark, jt_l, orders)
     VT.create(spark, jv_r, cust)
     MV.create_join_view(spark, jv_l, jv_r, jv, on="custkey",
                         left_key="o_orderkey", right_key="c_custkey",
                         group_cols=["c_mktsegment"],
                         sum_cols=["price_cents"])
-    MV.create_join_table_view(spark, jv_l, jv_r, jt, on="custkey",
+    MV.create_join_table_view(spark, jt_l, jv_r, jt, on="custkey",
                               left_key="o_orderkey",
                               right_key="c_custkey")
     bt = os.path.join(vt_tmp, "events")
@@ -128,7 +134,7 @@ def main() -> None:
         MV.refresh_join_view(spark, jv)
 
     def _jt_refresh():
-        VT.append(spark, jv_l, _fresh_batch())
+        VT.append(spark, jt_l, _fresh_batch())
         MV.refresh_join_table_view(spark, jt)
 
     _BLOOM_IDS = [17, 4242, 99177, 123456]

@@ -234,13 +234,15 @@ def bloom_surviving_segments(
     of ``version`` that MAY hold any of ``values``, plus the total
     segment count. Sidecar-less segments and sidecars built with other
     (bits, k, algo) parameters are kept conservatively — no false prune,
-    the zone-map contract. Pass ``segments`` to skip the manifest read
-    when the caller already resolved it (read_point_lookup does — one
-    manifest parse per lookup, not two)."""
+    the zone-map contract. Pass ``segments`` to skip the manifest
+    SEGMENT-LIST resolution when the caller already resolved it
+    (read_point_lookup does); the column-type guard still runs — one
+    manifest JSON read, never a bypass of the no-false-prune contract
+    (a pre-guard sidecar on a float column would silently miss)."""
+    v = V.current_version(path) if version is None else int(version)
+    m = V._manifest(path, v)
+    _check_indexable_type(col, (m.get("col_types") or {}).get(col))
     if segments is None:
-        v = V.current_version(path) if version is None else int(version)
-        m = V._manifest(path, v)
-        _check_indexable_type(col, (m.get("col_types") or {}).get(col))
         segments = sorted(V._manifest_segments(m))
     segs = segments
     norm = _norm_values(values)

@@ -829,22 +829,23 @@ def _delta_change_frames(spark, lsrc, rsrc,
 
 
 def _delta_pair_frames(spark, lsrc, rsrc, on, ch_l, ch_r,
-                       l_from, l_to, r_from, r_to):
+                       l_bound, r_bound, l_to, r_from):
     """The signed delta rule's two pair terms, shared by BOTH join-view
     flavors: ΔL ⋈ key-pruned R@r_from, and L@l_to key-pruned ⋈ ΔR.
     ``on`` is the normalized join-column list (composite keys join on
     the full tuple); ``ch_l``/``ch_r`` are the persisted CDC frames
-    from _delta_change_frames (None = side unchanged)."""
+    from _delta_change_frames (None = side unchanged);
+    ``l_bound``/``r_bound`` are each side's _change_bound, computed
+    ONCE by the refresher and passed to every consumer (the bound can
+    open parquet footers on legacy manifests — real I/O)."""
     frames = []
     if ch_l is not None:
         r_old = _prune_to_delta_keys(
-            _read_source(spark, rsrc, r_from), ch_l, on,
-            _change_bound(lsrc, l_from, l_to))
+            _read_source(spark, rsrc, r_from), ch_l, on, l_bound)
         frames.append(ch_l.join(r_old, on))
     if ch_r is not None:
         l_new = _prune_to_delta_keys(
-            _read_source(spark, lsrc, l_to), ch_r, on,
-            _change_bound(rsrc, r_from, r_to))
+            _read_source(spark, lsrc, l_to), ch_r, on, r_bound)
         frames.append(l_new.join(ch_r, on))
     return frames
 
@@ -870,7 +871,7 @@ def _all_on_notnull(on: list[str]):
 
 
 def _delta_nullext_frames(spark, lsrc, rsrc, on, r_fields, ch_l, ch_r,
-                          l_from, l_to, r_from, r_to):
+                          l_bound, r_bound, l_to, r_from):
     """The LEFT OUTER join's anti-semijoin (null-extension) delta — the
     two terms that telescope N(L2,R2) − N(L1,R1) for N(L,R) = the
     null-extended copies of L rows with no R match (SQL semantics: a
@@ -898,11 +899,10 @@ def _delta_nullext_frames(spark, lsrc, rsrc, on, r_fields, ch_l, ch_r,
     if ch_l is not None:
         r1_keys = _prune_to_delta_keys(
             _read_source(spark, rsrc, r_from).select(*on), ch_l, on,
-            _change_bound(lsrc, l_from, l_to))
+            l_bound)
         frames.append(_null_extend(
             ch_l.join(r1_keys, on, "left_anti"), r_fields, on))
     if ch_r is not None:
-        r_bound = _change_bound(rsrc, r_from, r_to)
         ch_rk = ch_r.where(_all_on_notnull(on))
         keys_r = ch_rk.select(*on).distinct()
         r1_at = _prune_to_delta_keys(
@@ -1114,12 +1114,18 @@ def refresh_join_view(spark: SparkSession, view_path: str,
         return view_v
     new_extra = {"app": dict(spec) | {"jv_left_version": l_to,
                                       "jv_right_version": r_to}}
+    # each side's change bound is computed at most ONCE per refresh
+    # (it can open parquet footers on legacy manifests — real I/O) and
+    # passed to every consumer: the dispatch decision here, the
+    # snapshot key-pruning in both delta terms, and the flip guard
+    l_bound = _change_bound_safe(lsrc, l_from, l_to) \
+        if l_to > l_from else 0
+    r_bound = _change_bound_safe(rsrc, r_from, r_to) \
+        if r_to > r_from else 0
     if recompute_fraction is not None and _should_recompute(
             recompute_fraction,
-            [(_change_bound_safe(lsrc, l_from, l_to)
-              if l_to > l_from else 0, _head_rows(lsrc, l_to)),
-             (_change_bound_safe(rsrc, r_from, r_to)
-              if r_to > r_from else 0, _head_rows(rsrc, r_to))]):
+            [(l_bound, _head_rows(lsrc, l_to)),
+             (r_bound, _head_rows(rsrc, r_to))]):
         state = _aggregate(
             _read_source(spark, lsrc, l_to)
             .join(_read_source(spark, rsrc, r_to), on, how),
@@ -1132,12 +1138,12 @@ def refresh_join_view(spark: SparkSession, view_path: str,
             spark, lsrc, rsrc, l_from, l_to, r_from, r_to, persisted)
         pair_frames = _delta_pair_frames(
             spark, lsrc, rsrc, on, ch_l, ch_r,
-            l_from, l_to, r_from, r_to)
+            l_bound, r_bound, l_to, r_from)
         if how == "left":
             r_fields = _read_source(spark, rsrc, r_to).schema.fields
             pair_frames = pair_frames + _delta_nullext_frames(
                 spark, lsrc, rsrc, on, r_fields, ch_l, ch_r,
-                l_from, l_to, r_from, r_to)
+                l_bound, r_bound, l_to, r_from)
         cur = V.read(spark, view_path, view_v)
         if not minmax_cols:
             merged = cur
@@ -1396,7 +1402,11 @@ def refresh_join_table_view(
             spark, lsrc, rsrc, l_from, l_to, r_from, r_to, persisted)
         pair_frames = _delta_pair_frames(
             spark, lsrc, rsrc, on, ch_l, ch_r,
-            l_from, l_to, r_from, r_to)
+            _change_bound_safe(lsrc, l_from, l_to) if ch_l is not None
+            else 0,
+            _change_bound_safe(rsrc, r_from, r_to) if ch_r is not None
+            else 0,
+            l_to, r_from)
         pairs = pair_frames[0]
         for p in pair_frames[1:]:
             # allowMissingColumns: source schema evolution between the

@@ -110,7 +110,10 @@ def _read_checkpoint(path: str) -> int | None:
     try:
         with open(os.path.join(path, _SNAP_DIR, _CHECKPOINT)) as f:
             return int(json.load(f)["version"])
-    except (OSError, ValueError, KeyError, json.JSONDecodeError):
+    except (OSError, ValueError, KeyError, TypeError,
+            json.JSONDecodeError):
+        # TypeError covers valid-JSON-wrong-shape ({"version": null}, a
+        # bare list): the hint must NEVER carry correctness weight
         return None
 
 

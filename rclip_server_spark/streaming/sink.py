@@ -285,6 +285,9 @@ def start_bloom_index_stream(
         raise ValueError(
             f"column {col!r} not in {table_path}'s schema "
             f"({sorted(col_types)})")
+    # the indexability guard too: a float/boolean/binary column would
+    # otherwise kill the stream asynchronously on its first micro-batch
+    BX._check_indexable_type(col, col_types.get(col))
 
     kwargs = {}
     if bits is not None:
