@@ -87,15 +87,19 @@ _PRIORITY = [
     "vt_join_table_view", "vt_latest_per_key_view",
     "sql_q8_market_share", "sql_q15_top_supplier",
     "sql_q21_waiting_suppliers",
-    # --- NEW r8 rows: composite-key join view (through append + both-
-    # sides rewrites) and the LEFT-outer maintained join view (through
-    # a right delete that orphans left rows) ---
+    # --- NEW r8 rows: composite-key join view (append + both-sides
+    # rewrites), LEFT-outer join view with min/max (right delete
+    # orphans left rows), LEFT-outer row-level join table (both flip
+    # directions in one interval), and the 3-way join via view
+    # composition (join view OVER a join-table view ⋈ a third source) ---
     "vt_join_view_multikey", "vt_join_view_left",
-    # --- recency slots (6): oldest-verified families, last driver-green
+    "vt_join_table_left", "vt_three_way_join_view",
+    # --- recency slots (4): oldest-verified families, last driver-green
     # r2–r3 (the registry-invariants test enforces the prefix spread —
-    # every family the driver should see stays in the window) ---
-    "ev_funnel_counts", "vec_gramian_exact",
-    "vec_quantize_int8_roundtrip", "samp_weighted_fixed_k",
+    # every family the driver should see stays in the window; new-row
+    # coverage outranks pure recency, so Gramian/quantization rotate
+    # next round) ---
+    "ev_funnel_counts", "samp_weighted_fixed_k",
     "text_bigram_lm_score", "ann_ivf_topk",
 ]
 

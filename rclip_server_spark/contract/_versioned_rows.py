@@ -644,7 +644,8 @@ def _vt_jvl_builder(spark: SparkSession, sf: str, path: str) -> None:
     MV.create_join_view(spark, path, rpath, view, on="custkey",
                         left_key="c_custkey", right_key="o_orderkey",
                         group_cols=["c_mktsegment"],
-                        sum_cols=["price_cents"], how="left")
+                        sum_cols=["price_cents"],
+                        minmax_cols=["price_cents"], how="left")
     # left append: new customers, some with matches, some null-extended
     VT.append(spark, path, cust.where(F.col("c_custkey") % 5 == 4))
     MV.refresh_join_view(spark, view)
@@ -677,7 +678,9 @@ def _vt_join_view_left(spark: SparkSession, sf: str) -> DataFrame:
     path = _vt_build(spark, sf, "jvl", _vt_jvl_builder)
     return VT.read(spark, path + "_view").select(
         "c_mktsegment", F.col("cnt").cast("long").alias("cnt"),
-        F.col("sum_price_cents").cast("long").alias("sum_price_cents"))
+        F.col("sum_price_cents").cast("long").alias("sum_price_cents"),
+        F.col("min_price_cents").cast("long").alias("min_price_cents"),
+        F.col("max_price_cents").cast("long").alias("max_price_cents"))
 
 
 _register(
@@ -693,10 +696,172 @@ _register(
       WHERE (o_orderkey % 3 <> 2 AND o_custkey % 9 <> 0)
          OR (o_orderkey % 3 = 2 AND o_custkey % 4 = 1))
     SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
-           CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
+           CAST(sum(price_cents) AS BIGINT) AS sum_price_cents,
+           CAST(min(price_cents) AS BIGINT) AS min_price_cents,
+           CAST(max(price_cents) AS BIGINT) AS max_price_cents
     FROM l LEFT JOIN r USING (custkey)
     GROUP BY c_mktsegment
     """,
 )
 
 
+
+
+def _vt_jtl_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from ..sources import matview as MV
+    from ..sources import versioned as VT
+
+    rpath, view = path + "_ord", path + "_view"
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey", F.col("c_custkey").alias("custkey"), "c_mktsegment")
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long")
+         .alias("price_cents"))
+    VT.create(spark, path, cust.where(F.col("c_custkey") % 5 != 4))
+    VT.create(spark, rpath, orders.where(F.col("o_orderkey") % 3 != 2))
+    MV.create_join_table_view(spark, path, rpath, view, on="custkey",
+                              left_key="c_custkey",
+                              right_key="o_orderkey", how="left")
+    # left append-only + right unchanged: the delete-free fast path
+    VT.append(spark, path, cust.where(F.col("c_custkey") % 5 == 4))
+    MV.refresh_join_table_view(spark, view)
+    # right rewrite with BOTH flip directions: orphaning deletes
+    # (null-extensions restored) + first-match appends (null-extensions
+    # replaced by their pair rows) in ONE interval
+    VT.delete_rows(
+        spark, rpath,
+        orders.where((F.col("o_orderkey") % 3 != 2)
+                     & (F.col("custkey") % 9 == 0)).select("o_orderkey"),
+        "o_orderkey")
+    VT.append(spark, rpath,
+              orders.where((F.col("o_orderkey") % 3 == 2)
+                           & (F.col("custkey") % 4 == 1)))
+    MV.refresh_join_table_view(spark, view)
+
+
+def _vt_join_table_left(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT-outer maintained join TABLE (create_join_table_view
+    how='left'): the row-level denormalization keeps unmatched left
+    rows null-extended — maintained through a delete-free left append,
+    then a right rewrite interval whose deletes ORPHAN customers (their
+    null-extension rows must reappear) while its appends give other
+    customers their FIRST match (their null-extension rows must be
+    replaced by pair rows, not duplicated). The oracle is the direct
+    LEFT JOIN of the final sources — row-for-row, including the NULL
+    right halves."""
+    from ..sources import versioned as VT
+
+    path = _vt_build(spark, sf, "jtl", _vt_jtl_builder)
+    return VT.read(spark, path + "_view").select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "price_cents")
+
+
+_register(
+    "vt_join_table_left",
+    _vt_join_table_left,
+    """
+    WITH l AS (
+      SELECT c_custkey, c_custkey AS custkey, c_mktsegment
+      FROM customer),
+    r AS (
+      SELECT o_orderkey, o_custkey AS custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+      WHERE (o_orderkey % 3 <> 2 AND o_custkey % 9 <> 0)
+         OR (o_orderkey % 3 = 2 AND o_custkey % 4 = 1))
+    SELECT c_custkey, c_mktsegment, o_orderkey, price_cents
+    FROM l LEFT JOIN r USING (custkey)
+    """,
+)
+
+
+def _vt_3way_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from ..sources import matview as MV
+    from ..sources import versioned as VT
+
+    cpath, npath = path + "_cust", path + "_nat"
+    jt, jv = path + "_jt", path + "_jv"
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long")
+         .alias("price_cents"))
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey", F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nationkey"))
+    nat = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), "n_name")
+    VT.create(spark, path, orders.where(F.col("o_orderkey") % 4 != 3))
+    VT.create(spark, cpath, cust)
+    VT.create(spark, npath, nat)
+    # hop 1: row-level join TABLE orders ⋈ customer (the denormalized
+    # fact); hop 2: aggregate join VIEW over THAT VIEW ⋈ nation — a
+    # 3-way join maintained end-to-end by composition (the join table
+    # is itself a versioned table, so the outer view tails its commits
+    # through the multiset CDC diff; no unique-key assumption needed)
+    MV.create_join_table_view(spark, path, cpath, jt, on="custkey",
+                              left_key="o_orderkey",
+                              right_key="c_custkey")
+    MV.create_join_view(spark, jt, npath, jv, on="nationkey",
+                        left_key="_pair_key", right_key="nationkey",
+                        group_cols=["n_name"], sum_cols=["price_cents"])
+    # fact ingest: ΔA flows A -> jt (append fast path) -> jv (ΔL term)
+    VT.append(spark, path, orders.where(F.col("o_orderkey") % 4 == 3))
+    MV.refresh_join_table_view(spark, jt)
+    MV.refresh_join_view(spark, jv)
+    # dimension rewrite in the MIDDLE hop: deleting customers rewrites
+    # the join table (vector+append), and the outer view must consume
+    # that rewrite through the multiset diff
+    VT.delete_rows(
+        spark, cpath,
+        cust.where(F.col("c_custkey") % 6 == 0).select("c_custkey"),
+        "c_custkey")
+    MV.refresh_join_table_view(spark, jt)
+    MV.refresh_join_view(spark, jv)
+    # outer-dimension delete: the jv's ΔR term with retractions
+    VT.delete_rows(
+        spark, npath,
+        nat.where(F.col("nationkey") % 5 == 4).select("nationkey"),
+        "nationkey")
+    MV.refresh_join_view(spark, jv)
+
+
+def _vt_three_way_join_view(spark: SparkSession, sf: str) -> DataFrame:
+    """THREE-way maintained join by VIEW COMPOSITION: a row-level join
+    table (orders ⋈ customer) feeds an aggregate join view
+    ((orders ⋈ customer) ⋈ nation, grouped by nation) — N-way
+    incremental joins fall out of the two-source machinery because a
+    view IS a versioned table (the multiset CDC diff needs no row
+    identity, so the outer view tails the inner view's vector+append
+    rewrites exactly). Advanced through a fact append, a mid-hop
+    customer delete (join-table rewrite consumed downstream), and an
+    outer-dimension nation delete; oracle = the direct 3-way
+    join+groupBy of the final sources."""
+    from ..sources import versioned as VT
+
+    path = _vt_build(spark, sf, "3way", _vt_3way_builder)
+    return VT.read(spark, path + "_jv").select(
+        "n_name", F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_price_cents").cast("long").alias("sum_price_cents"))
+
+
+_register(
+    "vt_three_way_join_view",
+    _vt_three_way_join_view,
+    """
+    WITH l AS (
+      SELECT o_custkey AS custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders),
+    c AS (
+      SELECT c_custkey AS custkey, c_nationkey AS nationkey
+      FROM customer WHERE c_custkey % 6 <> 0),
+    n AS (
+      SELECT n_nationkey AS nationkey, n_name FROM nation
+      WHERE n_nationkey % 5 <> 4)
+    SELECT n_name, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
+    FROM l JOIN c USING (custkey) JOIN n USING (nationkey)
+    GROUP BY n_name
+    """,
+)

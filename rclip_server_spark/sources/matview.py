@@ -962,20 +962,21 @@ def create_join_view(
     ``how='left'`` maintains the LEFT OUTER join (unmatched left rows
     aggregate null-extended — the TPC-H Q13 shape: customers with zero
     orders stay in the count). The outer flavor adds the anti-semijoin
-    delta terms (_delta_nullext_frames) to the signed rule and supports
-    the additive aggregates only — min/max would need the two-tier
-    recompute to track match-flips, so ``minmax_cols`` with 'left'
-    raises (keep min/max on an inner view and merge at read time)."""
+    delta terms (_delta_nullext_frames) to the signed rule; min/max go
+    through the same pair-level two-tier recompute — the affected-group
+    marking stays exhaustive because every removed contribution
+    (matched pair OR null-extension) appears as a retracting row in
+    one of the four delta frames: deleted pairs in the pair terms,
+    deleted unmatched rows in term A, and match-flips in term B (a key
+    gaining its first match emits "delete" null-extensions for every
+    left row it flips). Affected groups recompute from the pinned LEFT
+    join at the new cursors."""
     sum_cols = list(sum_cols or [])
     minmax_cols = list(minmax_cols or [])
     group_cols = list(group_cols)
     on = _on_cols(on)
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-    if how == "left" and minmax_cols:
-        raise ValueError(
-            "minmax_cols require how='inner': LEFT-outer min/max would "
-            "need match-flip recompute (not implemented)")
     l_v = V.current_version(left_path)
     r_v = V.current_version(right_path)
     l_df = _read_source(spark, left_path, l_v)
@@ -1159,7 +1160,7 @@ def refresh_join_view(spark: SparkSession, view_path: str,
         return _refresh_join_minmax(
             spark, view_path, view_v, pair_frames, persisted, cur,
             lsrc, rsrc, on, l_to, r_to, group_cols, sum_cols,
-            minmax_cols, new_extra)
+            minmax_cols, new_extra, how)
     finally:
         for df in persisted:
             df.unpersist()
@@ -1167,7 +1168,7 @@ def refresh_join_view(spark: SparkSession, view_path: str,
 
 def _refresh_join_minmax(spark, view_path, view_v, pair_frames, persisted,
                          cur, lsrc, rsrc, on, l_to, r_to, group_cols,
-                         sum_cols, minmax_cols, new_extra):
+                         sum_cols, minmax_cols, new_extra, how="inner"):
     """The join view's non-retractable tier — the shared two-tier
     skeleton (_two_tier_minmax_state) applied at PAIR level: any
     retracting delta pair marks its group affected (this is exhaustive —
@@ -1175,8 +1176,10 @@ def _refresh_join_minmax(spark, view_path, view_v, pair_frames, persisted,
     by a term-2 retracting pair for the same (left-row, right-row)
     combination, because L_new contains the left row and ΔR retracts the
     right row — so a stale monotone candidate can never land in an
-    unaffected group); affected groups recompute from the PINNED L⋈R at
-    the new cursors.
+    unaffected group); affected groups recompute from the PINNED join at
+    the new cursors — inner or LEFT per the view spec (the LEFT flavor's
+    null-extension frames are part of ``pair_frames``, so their
+    retractions mark groups through the same union).
 
     Broadcast soundness: join pairs FAN OUT — a handful of source change
     rows can touch millions of pairs/groups, so the manifest-derived
@@ -1211,7 +1214,7 @@ def _refresh_join_minmax(spark, view_path, view_v, pair_frames, persisted,
         return V.overwrite(spark, view_path, merged, extra=new_extra,
                            parent_version=view_v)
     joined_at = _read_source(spark, lsrc, l_to).join(
-        _read_source(spark, rsrc, r_to), on)
+        _read_source(spark, rsrc, r_to), on, how)
     merged = _two_tier_minmax_state(
         pairs, joined_at, group_cols, sum_cols, minmax_cols, cur,
         broadcast_ok=n_ret_capped <= ret_cap)
@@ -1299,18 +1302,29 @@ _PAIR_SEP = "\x01"  # unlikely in key renderings; keys are row identities
 def create_join_table_view(
     spark: SparkSession, left_path: str, right_path: str, view_path: str,
     on: str | list[str], left_key: str, right_key: str,
+    how: str = "inner",
 ) -> int:
     """Materialize the JOIN ROWS themselves — ``SELECT l.*, r.* FROM
-    left JOIN right USING (on...)`` — as a maintained denormalization
-    table (the pre-joined serving table every star schema wants without
-    re-running the join). ``on`` is the equi-join column or COLUMN LIST
-    (composite keys). Each row carries ``_pair_key`` =
-    left_key + SEP + right_key, the row identity the incremental
-    maintenance deletes by; both source keys must be UNIQUE row
-    identities (the same contract transform views place on their
-    source), which makes every join pair unique. Column names must be
-    unique across the two schemas except ``on``."""
+    left {INNER|LEFT} JOIN right USING (on...)`` — as a maintained
+    denormalization table (the pre-joined serving table every star
+    schema wants without re-running the join). ``on`` is the equi-join
+    column or COLUMN LIST (composite keys). Each row carries
+    ``_pair_key`` = left_key + SEP + right_key, the row identity the
+    incremental maintenance deletes by; both source keys must be
+    UNIQUE row identities (the same contract transform views place on
+    their source), which makes every join pair unique. Column names
+    must be unique across the two schemas except ``on``.
+
+    ``how='left'`` keeps unmatched left rows null-extended (right
+    columns NULL, pair key's right half the NULL sentinel — unique per
+    left row because left_key is unique). Maintenance adds the
+    null-extension delta terms; a right-side append can RETRACT
+    null-extensions (a key's first match arrives), so the delete-free
+    append fast path additionally requires the right cursor to be
+    unchanged for the outer flavor."""
     on = _on_cols(on)
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     l_v = V.current_version(left_path)
     r_v = V.current_version(right_path)
     l_df = _read_source(spark, left_path, l_v)
@@ -1325,10 +1339,11 @@ def create_join_table_view(
             raise ValueError(
                 f"{side} key {k!r} has NULL values — join table views "
                 f"need non-null unique row identities on both sources")
-    state = _with_pair_key(l_df.join(r_df, on), left_key, right_key)
+    state = _with_pair_key(l_df.join(r_df, on, how), left_key, right_key)
     return V.create(spark, view_path, state, extra={"app": {
         "jt_left": left_path, "jt_right": right_path, "jt_on": on,
         "jt_left_key": left_key, "jt_right_key": right_key,
+        "jt_how": how,
         "jt_left_version": l_v, "jt_right_version": r_v,
     }})
 
@@ -1381,6 +1396,12 @@ def refresh_join_table_view(
     O(ingest) at any table size, with the same size-guarded key-pruning
     as the aggregate join view.
 
+    The LEFT-outer flavor (spec ``jt_how='left'``) adds the
+    null-extension delta terms: unmatched left rows live in the table
+    with NULL right columns and a (left_key, NULL-sentinel) pair key,
+    and match-flips replace them with (or restore them from) their
+    matched pair rows through the same net-then-vector+append commit.
+
     Like transform views, each refresh accretes a segment (plus a
     vector on rewrites): ``auto_compact=True`` runs
     versioned.maybe_compact after the commit, bounding segment growth
@@ -1389,6 +1410,7 @@ def refresh_join_table_view(
     spec = _spec_jt(view_path, view_v)
     lsrc, rsrc = spec["jt_left"], spec["jt_right"]
     on = _on_cols(spec["jt_on"])
+    how = spec.get("jt_how", "inner")
     lk, rk = spec["jt_left_key"], spec["jt_right_key"]
     l_from, r_from = int(spec["jt_left_version"]), int(spec["jt_right_version"])
     l_to, r_to = V.current_version(lsrc), V.current_version(rsrc)
@@ -1400,13 +1422,18 @@ def refresh_join_table_view(
     try:
         ch_l, ch_r = _delta_change_frames(
             spark, lsrc, rsrc, l_from, l_to, r_from, r_to, persisted)
+        l_bound = _change_bound_safe(lsrc, l_from, l_to) \
+            if ch_l is not None else 0
+        r_bound = _change_bound_safe(rsrc, r_from, r_to) \
+            if ch_r is not None else 0
         pair_frames = _delta_pair_frames(
-            spark, lsrc, rsrc, on, ch_l, ch_r,
-            _change_bound_safe(lsrc, l_from, l_to) if ch_l is not None
-            else 0,
-            _change_bound_safe(rsrc, r_from, r_to) if ch_r is not None
-            else 0,
+            spark, lsrc, rsrc, on, ch_l, ch_r, l_bound, r_bound,
             l_to, r_from)
+        if how == "left":
+            r_fields = _read_source(spark, rsrc, r_to).schema.fields
+            pair_frames = pair_frames + _delta_nullext_frames(
+                spark, lsrc, rsrc, on, r_fields, ch_l, ch_r,
+                l_bound, r_bound, l_to, r_from)
         pairs = pair_frames[0]
         for p in pair_frames[1:]:
             # allowMissingColumns: source schema evolution between the
@@ -1416,9 +1443,14 @@ def refresh_join_table_view(
         # provably append-only interval on BOTH sides (manifest-only
         # check): every CDC row is +1 and no cross-term duplicate pair
         # can exist (term 1 pairs use R_old, term 2 a NEW right row) —
-        # skip the netting shuffle and commit the raw pairs directly
+        # skip the netting shuffle and commit the raw pairs directly.
+        # The LEFT flavor additionally needs the right cursor UNCHANGED:
+        # a right append gives keys their first match, which RETRACTS
+        # pre-existing null-extension rows (term B emits deletes even
+        # though both sources only appended)
         if _interval_append_only(lsrc, l_from, l_to) and \
-                _interval_append_only(rsrc, r_from, r_to):
+                _interval_append_only(rsrc, r_from, r_to) and \
+                (how == "inner" or ch_r is None):
             ins_rows = _with_pair_key(
                 pairs.drop("_change_type"), lk, rk)
             out_v = V.append(spark, view_path, ins_rows,

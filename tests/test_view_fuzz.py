@@ -188,7 +188,7 @@ def test_view_layer_random_sequences(spark, tmp_path, seed):
         sources.append(b)
         if kind == 3:
             how = rng.choice(["inner", "left"])
-            mm = ["v"] if (how == "inner" and rng.random() < 0.5) else None
+            mm = ["v"] if rng.random() < 0.5 else None
             MV.create_join_view(spark, a.path, b.path, vw, on="k",
                                 left_key="id", right_key="bid",
                                 group_cols=["seg"], sum_cols=["v"],
@@ -208,15 +208,17 @@ def test_view_layer_random_sequences(spark, tmp_path, seed):
                     V.read(spark, b.path), "k", how).groupBy("seg").agg(*aggs)
                 assert _rows(V.read(spark, vw), cols) == _rows(want, cols)
         else:
+            jt_how = rng.choice(["inner", "left"])
             MV.create_join_table_view(spark, a.path, b.path, vw, on="k",
-                                      left_key="id", right_key="bid")
+                                      left_key="id", right_key="bid",
+                                      how=jt_how)
             refresh = lambda: MV.refresh_join_table_view(
                 spark, vw, auto_compact=rng.random() < 0.3)
 
             def check():
                 cols = ["id", "bid", "grp", "v", "seg"]
                 want = V.read(spark, a.path).join(
-                    V.read(spark, b.path), "k")
+                    V.read(spark, b.path), "k", jt_how)
                 assert _rows(V.read(spark, vw), cols) == _rows(want, cols)
 
     else:

@@ -3769,20 +3769,22 @@ class TestJoinViewRound8:
         MV.create_join_view(spark, lt, rt, vw, on=["nat", "yr"],
                             left_key="o_id", right_key="c_id",
                             group_cols=["seg"], sum_cols=["amount"],
-                            how="left")
+                            minmax_cols=["amount"], how="left")
 
         def check():
             got = sorted(
-                ((r.seg, r.cnt, r.sum_amount) for r in
-                 V.read(spark, vw).collect()),
+                ((r.seg, r.cnt, r.sum_amount, r.min_amount, r.max_amount)
+                 for r in V.read(spark, vw).collect()),
                 key=lambda x: (x[0] is None, x[0] or ""))
             want = sorted(
-                ((r.seg, r.cnt, r.sum_amount) for r in
-                 V.read(spark, lt)
+                ((r.seg, r.cnt, r.sum_amount, r.min_amount, r.max_amount)
+                 for r in V.read(spark, lt)
                  .join(V.read(spark, rt), ["nat", "yr"], "left")
                  .groupBy("seg").agg(
                      F.count(F.lit(1)).alias("cnt"),
-                     F.sum("amount").alias("sum_amount")).collect()),
+                     F.sum("amount").alias("sum_amount"),
+                     F.min("amount").alias("min_amount"),
+                     F.max("amount").alias("max_amount")).collect()),
                 key=lambda x: (x[0] is None, x[0] or ""))
             assert got == want, (got, want)
 
@@ -3818,15 +3820,63 @@ class TestJoinViewRound8:
         v = V.current_version(vw)
         assert MV.refresh_join_view(spark, vw) == v
 
+    def test_left_join_table_view_maintained(self, spark, tmp_path):
+        """LEFT-outer row-level join TABLE: unmatched left rows live
+        null-extended with a (left_key, NULL-sentinel) pair key; a
+        right append that gives a key its first match REPLACES the
+        null-extension with the matched pair (vector+append — even
+        though both sources only appended), and a right delete that
+        orphans left rows restores their null-extensions."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        lt, rt, mko, mkc = self._mk(spark, tmp_path)
+        vw = str(tmp_path / "ljt")
+        MV.create_join_table_view(spark, lt, rt, vw, on=["nat", "yr"],
+                                  left_key="o_id", right_key="c_id",
+                                  how="left")
+
+        def check():
+            cols = ["o_id", "c_id", "amount", "seg"]
+            got = sorted(
+                (tuple(r[c] for c in cols) for r in
+                 V.read(spark, vw).select(*cols).collect()),
+                key=lambda t: tuple((x is None, x) for x in t))
+            want = sorted(
+                (tuple(r[c] for c in cols) for r in
+                 V.read(spark, lt)
+                 .join(V.read(spark, rt), ["nat", "yr"], "left")
+                 .select(*cols).collect()),
+                key=lambda t: tuple((x is None, x) for x in t))
+            assert got == want, (got, want)
+
+        check()  # o5 (NULL nat) and o6 (US,95) start null-extended
+        # left append-only + right unchanged: the delete-free fast path
+        V.append(spark, lt, mko([(7, "FR", 96, 23), (8, "BR", 90, 29)]))
+        MV.refresh_join_table_view(spark, vw)
+        check()
+        # right APPEND gives (US,95) its first match: o6's null-ext row
+        # must be REPLACED (not duplicated) — no fast path despite
+        # append-only intervals on both sources
+        V.append(spark, rt, mkc([(105, "US", 95, "D")]))
+        v_before = V.current_version(vw)
+        MV.refresh_join_table_view(spark, vw)
+        m = V._manifest(vw, V.current_version(vw))
+        assert m["op"] != "append", "right append must not take the " \
+            "delete-free fast path on a LEFT join table"
+        check()
+        # right delete orphans (FR,95): matched pairs retract, null-
+        # extensions restore; a simultaneous left delete in the interval
+        V.delete_rows(spark, rt, [100], "c_id")
+        V.delete_rows(spark, lt, [3], "o_id")
+        MV.refresh_join_table_view(spark, vw)
+        check()
+        assert v_before < V.current_version(vw)
+
     def test_left_join_view_validation(self, spark, tmp_path):
         from rclip_server_spark.sources import matview as MV
 
         lt, rt, _, _ = self._mk(spark, tmp_path)
-        with pytest.raises(ValueError, match="minmax"):
-            MV.create_join_view(spark, lt, rt, str(tmp_path / "x"),
-                                on=["nat", "yr"], left_key="o_id",
-                                right_key="c_id", group_cols=["seg"],
-                                minmax_cols=["amount"], how="left")
         with pytest.raises(ValueError, match="how"):
             MV.create_join_view(spark, lt, rt, str(tmp_path / "x"),
                                 on="nat", left_key="o_id",
