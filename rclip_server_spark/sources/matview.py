@@ -1262,6 +1262,119 @@ _VIEW_KINDS = {
 }
 
 
+def _view_kind(path: str) -> str | None:
+    """The view kind of a versioned table, or None for a base table —
+    manifest-only (zero Spark jobs)."""
+    try:
+        spec = V._manifest(path, V.current_version(path)).get("app") or {}
+    except FileNotFoundError:
+        return None
+    for marker, (kind, _) in _VIEW_KINDS.items():
+        if marker in spec:
+            return kind
+    return None
+
+
+def refresh_view(spark: SparkSession, view_path: str,
+                 transforms: dict | None = None,
+                 recompute_fraction: float | None = None) -> int:
+    """Kind-dispatching refresh: advance ANY maintained view to its
+    sources' heads (agg / top-k / join / join-table directly; transform
+    views need their function — pass ``transforms`` mapping view path →
+    (transform_fn, name), the same pair refresh_transform_view takes).
+    The entry point schedulers use when the view kind is data, not
+    code."""
+    kind = _view_kind(view_path)
+    if kind == "agg":
+        return refresh_agg_view(spark, view_path,
+                                recompute_fraction=recompute_fraction)
+    if kind == "topk":
+        return refresh_topk_view(spark, view_path)
+    if kind == "join":
+        return refresh_join_view(spark, view_path,
+                                 recompute_fraction=recompute_fraction)
+    if kind == "join_table":
+        return refresh_join_table_view(spark, view_path)
+    if kind == "transform":
+        entry = (transforms or {}).get(view_path)
+        if entry is None:
+            raise ValueError(
+                f"{view_path} is a transform view — its function is "
+                f"application code; pass transforms={{path: (fn, name)}}")
+        fn, name = entry
+        return refresh_transform_view(spark, view_path, fn, name)
+    raise ValueError(f"{view_path} is not a maintained view")
+
+
+def refresh_cascade(spark: SparkSession, view_path: str,
+                    transforms: dict | None = None,
+                    recompute_fraction: float | None = None) -> list[str]:
+    """Refresh a view AND every upstream view it depends on, bottom-up
+    (post-order over the source graph — a source that is itself a view
+    is refreshed before its consumer, so one call brings a whole
+    composition chain to the base tables' heads; the 3-way join view
+    over a join-table view is the canonical case). Views are versioned
+    tables, so the graph is discovered from manifests alone — zero
+    Spark jobs beyond the refreshes themselves. Returns the refreshed
+    paths in refresh order. Diamond dependencies refresh once (visited
+    set); a cycle (impossible to CREATE through this module, but
+    manifests are just files) raises instead of spinning."""
+    order: list[str] = []
+    visiting: set[str] = set()
+    done: set[str] = set()
+
+    def _walk(path: str) -> None:
+        if path in done:
+            return
+        if path in visiting:
+            raise ValueError(f"view dependency cycle through {path}")
+        kind = _view_kind(path)
+        if kind is None:
+            done.add(path)
+            return  # base table — nothing to refresh
+        visiting.add(path)
+        spec = V._manifest(path, V.current_version(path)).get("app") or {}
+        marker = next(m for m, (k, _) in _VIEW_KINDS.items()
+                      if m in spec and k == kind)
+        for src_key, _cur_key in _VIEW_KINDS[marker][1]:
+            _walk(spec[src_key])
+        visiting.discard(path)
+        refresh_view(spark, path, transforms=transforms,
+                     recompute_fraction=recompute_fraction)
+        order.append(path)
+        done.add(path)
+
+    _walk(view_path)
+    return order
+
+
+def view_base_tables(view_path: str) -> list[str]:
+    """The BASE tables (non-view leaves) a view composition ultimately
+    reads, discovered from manifests alone — what a cascade-refresh
+    stream tails: waking on base commits (and only base commits) means
+    the cascade's own intermediate-view commits never wake the stream
+    that issued them. Sorted, deduplicated."""
+    leaves: set[str] = set()
+    seen: set[str] = set()
+
+    def _walk(path: str) -> None:
+        if path in seen:
+            return
+        seen.add(path)
+        kind = _view_kind(path)
+        if kind is None:
+            leaves.add(path)
+            return
+        spec = V._manifest(path, V.current_version(path)).get("app") or {}
+        marker = next(m for m, (k, _) in _VIEW_KINDS.items()
+                      if m in spec and k == kind)
+        for src_key, _cur_key in _VIEW_KINDS[marker][1]:
+            _walk(spec[src_key])
+
+    _walk(view_path)
+    return sorted(leaves)
+
+
 def describe_view(view_path: str) -> dict:
     """Metadata-only view report (versioned.describe plus the VIEW
     layer): kind, spec, and per-source FRESHNESS — cursor version,

@@ -302,6 +302,42 @@ def start_bloom_index_stream(
                                       checkpoint_dir)
 
 
+def start_view_cascade_refresh_stream(
+    spark: SparkSession, view_path: str,
+    checkpoint_dir: str | None = None,
+    transforms: dict | None = None,
+    recompute_fraction: float | None = None,
+):
+    """Continuous maintenance for a whole VIEW COMPOSITION CHAIN: one
+    streaming query tailing the BASE tables' manifest logs (the
+    non-view leaves, discovered from the view graph — matview.
+    view_base_tables) and running matview.refresh_cascade per
+    micro-batch, so a base commit ripples bottom-up through every
+    intermediate view to the target in order. Tailing only the leaves
+    is what keeps the stream from waking on its OWN intermediate
+    commits (a cascade writes each view it advances). Transform views
+    in the chain need their functions via ``transforms`` — validated
+    HERE, synchronously, not as a first-micro-batch crash."""
+    from ..sources import matview
+
+    bases = matview.view_base_tables(view_path)
+    if not bases:
+        raise ValueError(f"{view_path} is not a maintained view")
+    # fail-synchronously convention: a transform view missing its
+    # function would otherwise kill the stream on the first wake. A
+    # zero-interval cascade run is the cheapest complete validation
+    # (every refresh is the fresh-cursor fast return when idle, but
+    # spec/kind/function resolution all execute).
+    matview.refresh_cascade(spark, view_path, transforms=transforms,
+                            recompute_fraction=recompute_fraction)
+
+    def _go():
+        matview.refresh_cascade(spark, view_path, transforms=transforms,
+                                recompute_fraction=recompute_fraction)
+
+    return _start_view_refresh_stream(spark, bases, _go, checkpoint_dir)
+
+
 def start_join_table_view_refresh_stream(
     spark: SparkSession, view_path: str,
     checkpoint_dir: str | None = None,

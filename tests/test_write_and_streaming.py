@@ -4138,3 +4138,160 @@ class TestHeadCheckpoint:
         with open(ck, "w") as f:
             f.write('{"version": 999}')  # beyond head: manifest missing
         assert V.current_version(t) == 1
+
+
+class TestRefreshCascade:
+    """refresh_cascade: one call brings a whole view-composition chain
+    to the base tables' heads, bottom-up over the manifest-declared
+    source graph."""
+
+    def test_cascade_three_hop_chain(self, spark, tmp_path):
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        base = str(tmp_path / "base")
+        dim = str(tmp_path / "dim")
+        tv = str(tmp_path / "tv")
+        jt = str(tmp_path / "jt")
+        jv = str(tmp_path / "jv")
+        mk = lambda rows: spark.createDataFrame(
+            rows, "id long, k long, v long")
+        V.create(spark, base, mk([(i, i % 3, i * 7) for i in range(9)]))
+        V.create(spark, dim, spark.createDataFrame(
+            [(i, f"s{i % 2}") for i in range(3)], "k long, seg string"))
+
+        def double(df):
+            return df.select("id", "k", (F.col("v") * 2).alias("v2"))
+
+        MV.create_transform_view(spark, base, tv, key="id",
+                                 transform=double, name="double-v1")
+        MV.create_join_table_view(spark, tv, dim, jt, on="k",
+                                  left_key="id", right_key="k")
+        MV.create_agg_view(spark, jt, jv, key="_pair_key",
+                           group_cols=["seg"], sum_cols=["v2"])
+        # advance the BASE only; one cascade call must ripple through
+        # transform -> join table -> agg
+        V.append(spark, base, mk([(100, 0, 11), (101, 2, 13)]))
+        V.delete_rows(spark, base, [1], "id")
+        order = MV.refresh_cascade(
+            spark, jv, transforms={tv: (double, "double-v1")})
+        assert order == [tv, jt, jv]
+        got = sorted((r.seg, r.cnt, r.sum_v2)
+                     for r in V.read(spark, jv).collect())
+        want = sorted(
+            (r.seg, r.cnt, r.sum_v2) for r in
+            double(V.read(spark, base)).join(V.read(spark, dim), "k")
+            .groupBy("seg").agg(F.count(F.lit(1)).alias("cnt"),
+                                F.sum("v2").alias("sum_v2")).collect())
+        assert got == want and got
+        # fresh everywhere -> cascade still returns the order but each
+        # refresh is the no-op fast return
+        assert MV.refresh_cascade(
+            spark, jv, transforms={tv: (double, "double-v1")}) \
+            == [tv, jt, jv]
+
+    def test_cascade_requires_transform_fn(self, spark, tmp_path):
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        base = str(tmp_path / "b")
+        tv = str(tmp_path / "t")
+        V.create(spark, base, spark.createDataFrame(
+            [(1, 2)], "id long, v long"))
+        MV.create_transform_view(
+            spark, base, tv, key="id",
+            transform=lambda df: df.select("id", "v"), name="idy")
+        V.append(spark, base, spark.createDataFrame(
+            [(2, 3)], "id long, v long"))
+        with pytest.raises(ValueError, match="transform"):
+            MV.refresh_cascade(spark, tv)
+
+    def test_refresh_view_dispatches_by_kind(self, spark, tmp_path):
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        base = str(tmp_path / "b")
+        vw = str(tmp_path / "v")
+        V.create(spark, base, spark.createDataFrame(
+            [(1, "a", 2)], "id long, g string, v long"))
+        MV.create_agg_view(spark, base, vw, key="id",
+                           group_cols=["g"], sum_cols=["v"])
+        V.append(spark, base, spark.createDataFrame(
+            [(2, "a", 5)], "id long, g string, v long"))
+        MV.refresh_view(spark, vw)
+        [r] = V.read(spark, vw).collect()
+        assert (r.g, r.cnt, r.sum_v) == ("a", 2, 7)
+        with pytest.raises(ValueError, match="not a maintained view"):
+            MV.refresh_view(spark, base)
+
+    def test_view_cascade_refresh_stream(self, spark, tmp_path):
+        """One streaming query tails the BASE tables of a 3-hop
+        composition (transform -> join table -> agg) and cascades every
+        base commit through the chain; the stream never tails its own
+        intermediate commits."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+        from rclip_server_spark.streaming import sink
+
+        base = str(tmp_path / "cb")
+        dim = str(tmp_path / "cd")
+        tv = str(tmp_path / "ctv")
+        jt = str(tmp_path / "cjt")
+        jv = str(tmp_path / "cjv")
+        mk = lambda rows: spark.createDataFrame(
+            rows, "id long, k long, v long")
+        V.create(spark, base, mk([(i, i % 3, i * 7) for i in range(6)]))
+        V.create(spark, dim, spark.createDataFrame(
+            [(i, f"s{i % 2}") for i in range(3)], "k long, seg string"))
+
+        def double(df):
+            return df.select("id", "k", (F.col("v") * 2).alias("v2"))
+
+        MV.create_transform_view(spark, base, tv, key="id",
+                                 transform=double, name="double-v1")
+        MV.create_join_table_view(spark, tv, dim, jt, on="k",
+                                  left_key="id", right_key="k")
+        MV.create_agg_view(spark, jt, jv, key="_pair_key",
+                           group_cols=["seg"], sum_cols=["v2"])
+        assert MV.view_base_tables(jv) == sorted([base, dim])
+        q = sink.start_view_cascade_refresh_stream(
+            spark, jv, checkpoint_dir=str(tmp_path / "cp"),
+            transforms={tv: (double, "double-v1")})
+        try:
+            V.append(spark, base, mk([(100, 1, 11), (101, 2, 13)]))
+            import time as _time
+            deadline = _time.time() + 60
+            while _time.time() < deadline:
+                q.processAllAvailable()
+                if MV._spec_tv(tv)["tv_source_version"] \
+                        == V.current_version(base) \
+                        and MV._spec(jv)["mv_source_version"] \
+                        == V.current_version(jt):
+                    break
+                _time.sleep(0.3)
+        finally:
+            q.stop()
+        got = sorted((r.seg, r.cnt, r.sum_v2)
+                     for r in V.read(spark, jv).collect())
+        want = sorted(
+            (r.seg, r.cnt, r.sum_v2) for r in
+            double(V.read(spark, base)).join(V.read(spark, dim), "k")
+            .groupBy("seg").agg(F.count(F.lit(1)).alias("cnt"),
+                                F.sum("v2").alias("sum_v2")).collect())
+        assert got == want and got
+
+    def test_cascade_stream_validates_synchronously(self, spark,
+                                                    tmp_path):
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+        from rclip_server_spark.streaming import sink
+
+        base = str(tmp_path / "vb")
+        tv = str(tmp_path / "vt")
+        V.create(spark, base, spark.createDataFrame(
+            [(1, 2)], "id long, v long"))
+        MV.create_transform_view(
+            spark, base, tv, key="id",
+            transform=lambda df: df.select("id", "v"), name="idy")
+        with pytest.raises(ValueError, match="transform"):
+            sink.start_view_cascade_refresh_stream(spark, tv)
