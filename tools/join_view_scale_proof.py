@@ -73,6 +73,16 @@ def main() -> None:
             MV.create_join_table_view(spark, lt, rt, jt, on="uk",
                                       left_key="event_id",
                                       right_key="u_id")
+            # LEFT-outer flavor (r8): a HALF-coverage dimension so half
+            # the left rows are genuinely null-extended; its refresh
+            # adds the anti-semijoin term and must stay flat too
+            rth = os.path.join(tmp, f"rh{copies}")
+            lv = os.path.join(tmp, f"lv{copies}")
+            V.create(spark, rth, dim.where(F.col("u_id") < N_DIM // 2))
+            MV.create_join_view(spark, lt, rth, lv, on="uk",
+                                left_key="event_id", right_key="u_id",
+                                group_cols=["cohort"],
+                                sum_cols=["value_cents"], how="left")
             batch = ev0.limit(2000).withColumn(
                 "event_id", F.col("event_id") + F.lit(99_000_000_000))
             V.append(spark, lt, batch)
@@ -95,6 +105,20 @@ def main() -> None:
             want = {(r.cohort, r.cnt, r.sum_value_cents) for r in direct}
             assert view == want, "join view diverged from direct recompute"
             t0 = time.monotonic()
+            MV.refresh_join_view(spark, lv)
+            left_refresh_s = time.monotonic() - t0
+            lview = {(r.cohort, r.cnt, r.sum_value_cents) for r in
+                     V.read(spark, lv).select(
+                         "cohort", "cnt", "sum_value_cents").collect()}
+            lwant = {(r.cohort, r.cnt, r.sum_value_cents) for r in
+                     V.read(spark, lt)
+                     .join(V.read(spark, rth), "uk", "left")
+                     .groupBy("cohort").agg(
+                         F.count(F.lit(1)).alias("cnt"),
+                         F.sum("value_cents").alias("sum_value_cents"))
+                     .collect()}
+            assert lview == lwant, "LEFT join view diverged"
+            t0 = time.monotonic()
             MV.refresh_join_table_view(spark, jt)
             jt_refresh_s = time.monotonic() - t0
             # the claim under proof: the append-only interval committed
@@ -114,11 +138,13 @@ def main() -> None:
             results[f"x{copies}"] = {
                 "refresh_sec": round(refresh_s, 3),
                 "full_recompute_sec": round(recompute_s, 3),
+                "left_outer_refresh_sec": round(left_refresh_s, 3),
                 "join_table_refresh_sec": round(jt_refresh_s, 3),
                 "left_rows": sum(m["seg_rows"].values()),
             }
             print(f"x{copies}: agg refresh {refresh_s:.2f}s vs recompute "
-                  f"{recompute_s:.2f}s; row-level refresh "
+                  f"{recompute_s:.2f}s; LEFT-outer refresh "
+                  f"{left_refresh_s:.2f}s; row-level refresh "
                   f"{jt_refresh_s:.2f}s", file=sys.stderr)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
