@@ -444,6 +444,7 @@ def _refresh_minmax(spark, view_path, view_v, ch, src, v_from, v_to,
 
 def refresh_agg_view_with_retry(
     spark: SparkSession, view_path: str, max_retries: int = 3,
+    recompute_fraction: float | None = None,
 ) -> int:
     """Refresh under the standard optimistic-concurrency rebase loop
     (same contract as versioned.upsert_with_retry): a concurrent
@@ -452,7 +453,9 @@ def refresh_agg_view_with_retry(
     interval — never a double-application, because the interval is
     derived from the committed cursor each attempt."""
     return _refresh_with_retry(
-        lambda: refresh_agg_view(spark, view_path), max_retries)
+        lambda: refresh_agg_view(spark, view_path,
+                                 recompute_fraction=recompute_fraction),
+        max_retries)
 
 
 def read_agg_view(spark: SparkSession, view_path: str,
@@ -1262,39 +1265,63 @@ _VIEW_KINDS = {
 }
 
 
-def _view_kind(path: str) -> str | None:
-    """The view kind of a versioned table, or None for a base table —
-    manifest-only (zero Spark jobs)."""
+def _view_node(path: str):
+    """ONE manifest read resolving a table's place in the view graph:
+    (kind, spec, source_paths) for a maintained view, None for a base
+    table — the single walker primitive refresh_cascade and
+    view_base_tables share (a view kind added to _VIEW_KINDS is
+    automatically visible to both)."""
     try:
         spec = V._manifest(path, V.current_version(path)).get("app") or {}
     except FileNotFoundError:
         return None
-    for marker, (kind, _) in _VIEW_KINDS.items():
+    for marker, (kind, src_pairs) in _VIEW_KINDS.items():
         if marker in spec:
-            return kind
+            return kind, spec, [spec[sk] for sk, _ in src_pairs]
     return None
+
+
+def _view_kind(path: str) -> str | None:
+    """The view kind of a versioned table, or None for a base table —
+    manifest-only (zero Spark jobs)."""
+    node = _view_node(path)
+    return None if node is None else node[0]
 
 
 def refresh_view(spark: SparkSession, view_path: str,
                  transforms: dict | None = None,
-                 recompute_fraction: float | None = None) -> int:
+                 recompute_fraction: float | None = None,
+                 max_retries: int = 3,
+                 auto_compact: bool = False,
+                 compact_threshold: int = 32) -> int:
     """Kind-dispatching refresh: advance ANY maintained view to its
     sources' heads (agg / top-k / join / join-table directly; transform
     views need their function — pass ``transforms`` mapping view path →
     (transform_fn, name), the same pair refresh_transform_view takes).
     The entry point schedulers use when the view kind is data, not
-    code."""
+    code. Runs under the standard OCC rebase loop (``max_retries``) so
+    a concurrent manual refresher's commit re-reads the advanced
+    cursor instead of surfacing ConcurrentWriteError;
+    ``auto_compact``/``compact_threshold`` forward to the
+    segment-accreting kinds (transform, join-table) for unattended
+    streaming use."""
     kind = _view_kind(view_path)
     if kind == "agg":
-        return refresh_agg_view(spark, view_path,
-                                recompute_fraction=recompute_fraction)
+        return refresh_agg_view_with_retry(
+            spark, view_path, max_retries=max_retries,
+            recompute_fraction=recompute_fraction)
     if kind == "topk":
-        return refresh_topk_view(spark, view_path)
+        return refresh_topk_view_with_retry(spark, view_path,
+                                            max_retries=max_retries)
     if kind == "join":
-        return refresh_join_view(spark, view_path,
-                                 recompute_fraction=recompute_fraction)
+        return refresh_join_view_with_retry(
+            spark, view_path, max_retries=max_retries,
+            recompute_fraction=recompute_fraction)
     if kind == "join_table":
-        return refresh_join_table_view(spark, view_path)
+        return refresh_join_table_view_with_retry(
+            spark, view_path, max_retries=max_retries,
+            auto_compact=auto_compact,
+            compact_threshold=compact_threshold)
     if kind == "transform":
         entry = (transforms or {}).get(view_path)
         if entry is None:
@@ -1302,13 +1329,19 @@ def refresh_view(spark: SparkSession, view_path: str,
                 f"{view_path} is a transform view — its function is "
                 f"application code; pass transforms={{path: (fn, name)}}")
         fn, name = entry
-        return refresh_transform_view(spark, view_path, fn, name)
+        return refresh_transform_view_with_retry(
+            spark, view_path, fn, name, max_retries=max_retries,
+            auto_compact=auto_compact,
+            compact_threshold=compact_threshold)
     raise ValueError(f"{view_path} is not a maintained view")
 
 
 def refresh_cascade(spark: SparkSession, view_path: str,
                     transforms: dict | None = None,
-                    recompute_fraction: float | None = None) -> list[str]:
+                    recompute_fraction: float | None = None,
+                    max_retries: int = 3,
+                    auto_compact: bool = False,
+                    compact_threshold: int = 32) -> list[str]:
     """Refresh a view AND every upstream view it depends on, bottom-up
     (post-order over the source graph — a source that is itself a view
     is refreshed before its consumer, so one call brings a whole
@@ -1318,7 +1351,9 @@ def refresh_cascade(spark: SparkSession, view_path: str,
     Spark jobs beyond the refreshes themselves. Returns the refreshed
     paths in refresh order. Diamond dependencies refresh once (visited
     set); a cycle (impossible to CREATE through this module, but
-    manifests are just files) raises instead of spinning."""
+    manifests are just files) raises instead of spinning. Each node
+    refreshes through refresh_view — OCC-retried, with auto-compaction
+    available for the segment-accreting kinds."""
     order: list[str] = []
     visiting: set[str] = set()
     done: set[str] = set()
@@ -1328,19 +1363,18 @@ def refresh_cascade(spark: SparkSession, view_path: str,
             return
         if path in visiting:
             raise ValueError(f"view dependency cycle through {path}")
-        kind = _view_kind(path)
-        if kind is None:
+        node = _view_node(path)
+        if node is None:
             done.add(path)
             return  # base table — nothing to refresh
         visiting.add(path)
-        spec = V._manifest(path, V.current_version(path)).get("app") or {}
-        marker = next(m for m, (k, _) in _VIEW_KINDS.items()
-                      if m in spec and k == kind)
-        for src_key, _cur_key in _VIEW_KINDS[marker][1]:
-            _walk(spec[src_key])
+        for src in node[2]:
+            _walk(src)
         visiting.discard(path)
         refresh_view(spark, path, transforms=transforms,
-                     recompute_fraction=recompute_fraction)
+                     recompute_fraction=recompute_fraction,
+                     max_retries=max_retries, auto_compact=auto_compact,
+                     compact_threshold=compact_threshold)
         order.append(path)
         done.add(path)
 
@@ -1361,15 +1395,12 @@ def view_base_tables(view_path: str) -> list[str]:
         if path in seen:
             return
         seen.add(path)
-        kind = _view_kind(path)
-        if kind is None:
+        node = _view_node(path)
+        if node is None:
             leaves.add(path)
             return
-        spec = V._manifest(path, V.current_version(path)).get("app") or {}
-        marker = next(m for m, (k, _) in _VIEW_KINDS.items()
-                      if m in spec and k == kind)
-        for src_key, _cur_key in _VIEW_KINDS[marker][1]:
-            _walk(spec[src_key])
+        for src in node[2]:
+            _walk(src)
 
     _walk(view_path)
     return sorted(leaves)

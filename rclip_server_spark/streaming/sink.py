@@ -307,6 +307,7 @@ def start_view_cascade_refresh_stream(
     checkpoint_dir: str | None = None,
     transforms: dict | None = None,
     recompute_fraction: float | None = None,
+    auto_compact: bool = False, compact_threshold: int = 32,
 ):
     """Continuous maintenance for a whole VIEW COMPOSITION CHAIN: one
     streaming query tailing the BASE tables' manifest logs (the
@@ -315,27 +316,34 @@ def start_view_cascade_refresh_stream(
     micro-batch, so a base commit ripples bottom-up through every
     intermediate view to the target in order. Tailing only the leaves
     is what keeps the stream from waking on its OWN intermediate
-    commits (a cascade writes each view it advances). Transform views
-    in the chain need their functions via ``transforms`` — validated
-    HERE, synchronously, not as a first-micro-batch crash."""
+    commits (a cascade writes each view it advances). Each node
+    refreshes OCC-retried (a concurrent manual refresher must not kill
+    the stream), and ``auto_compact``/``compact_threshold`` bound the
+    segment growth of transform / join-table nodes across unattended
+    refresh cycles. Transform views in the chain need their functions
+    via ``transforms`` — validated HERE, synchronously, not as a
+    first-micro-batch crash."""
     from ..sources import matview
 
-    bases = matview.view_base_tables(view_path)
-    if not bases:
+    if matview._view_kind(view_path) is None:
         raise ValueError(f"{view_path} is not a maintained view")
+    bases = matview.view_base_tables(view_path)
+
+    def _cascade():
+        matview.refresh_cascade(
+            spark, view_path, transforms=transforms,
+            recompute_fraction=recompute_fraction,
+            auto_compact=auto_compact,
+            compact_threshold=compact_threshold)
+
     # fail-synchronously convention: a transform view missing its
     # function would otherwise kill the stream on the first wake. A
     # zero-interval cascade run is the cheapest complete validation
     # (every refresh is the fresh-cursor fast return when idle, but
     # spec/kind/function resolution all execute).
-    matview.refresh_cascade(spark, view_path, transforms=transforms,
-                            recompute_fraction=recompute_fraction)
-
-    def _go():
-        matview.refresh_cascade(spark, view_path, transforms=transforms,
-                                recompute_fraction=recompute_fraction)
-
-    return _start_view_refresh_stream(spark, bases, _go, checkpoint_dir)
+    _cascade()
+    return _start_view_refresh_stream(spark, bases, _cascade,
+                                      checkpoint_dir)
 
 
 def start_join_table_view_refresh_stream(

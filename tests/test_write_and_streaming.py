@@ -4295,3 +4295,89 @@ class TestRefreshCascade:
             transform=lambda df: df.select("id", "v"), name="idy")
         with pytest.raises(ValueError, match="transform"):
             sink.start_view_cascade_refresh_stream(spark, tv)
+
+    def test_cascade_stream_rejects_base_table(self, spark, tmp_path):
+        from rclip_server_spark.sources import versioned as V
+        from rclip_server_spark.streaming import sink
+
+        base = str(tmp_path / "plain")
+        V.create(spark, base, spark.createDataFrame([(1,)], "id long"))
+        with pytest.raises(ValueError, match="not a maintained view"):
+            sink.start_view_cascade_refresh_stream(spark, base)
+
+    def test_refresh_view_survives_concurrent_commit(self, spark,
+                                                     tmp_path):
+        """refresh_view runs under the OCC retry loop: a racing manual
+        refresher's commit must rebase, not surface
+        ConcurrentWriteError (the cascade stream's liveness depends on
+        this)."""
+        import threading
+
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        base = str(tmp_path / "b")
+        vw = str(tmp_path / "v")
+        mk = lambda rows: spark.createDataFrame(
+            rows, "id long, g string, v long")
+        V.create(spark, base, mk([(1, "a", 1)]))
+        MV.create_agg_view(spark, base, vw, key="id",
+                           group_cols=["g"], sum_cols=["v"])
+        for j in range(4):
+            V.append(spark, base, mk([(10 + j, "ab"[j % 2], j)]))
+        errors = []
+
+        def racer():
+            try:
+                MV.refresh_view(spark, vw, max_retries=20)
+            except Exception as e:
+                errors.append(e)
+
+        threads = [threading.Thread(target=racer) for _ in range(3)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors, errors
+        got = sorted((r.g, r.cnt, r.sum_v)
+                     for r in V.read(spark, vw).collect())
+        want = sorted((r.g, r.cnt, r.sum_v) for r in
+                      V.read(spark, base).groupBy("g").agg(
+                          F.count(F.lit(1)).alias("cnt"),
+                          F.sum("v").alias("sum_v")).collect())
+        assert got == want
+
+    def test_cascade_auto_compact_bounds_segments(self, spark, tmp_path):
+        """An unattended cascade with auto_compact must bound the
+        segment count of the accreting join-table node across many
+        refresh cycles."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        base = str(tmp_path / "b")
+        dim = str(tmp_path / "d")
+        jt = str(tmp_path / "jt")
+        jv = str(tmp_path / "jv")
+        mk = lambda rows: spark.createDataFrame(
+            rows, "id long, k long, v long")
+        V.create(spark, base, mk([(0, 0, 1)]))
+        V.create(spark, dim, spark.createDataFrame(
+            [(0, "x"), (1, "y")], "k long, seg string"))
+        MV.create_join_table_view(spark, base, dim, jt, on="k",
+                                  left_key="id", right_key="k")
+        MV.create_agg_view(spark, jt, jv, key="_pair_key",
+                           group_cols=["seg"], sum_cols=["v"])
+        for i in range(1, 9):
+            V.append(spark, base, mk([(i, i % 2, i)]))
+            MV.refresh_cascade(spark, jv, auto_compact=True,
+                               compact_threshold=4)
+        m = V._manifest(jt, V.current_version(jt))
+        assert len(V._manifest_segments(m)) <= 4
+        got = sorted((r.seg, r.cnt, r.sum_v)
+                     for r in V.read(spark, jv).collect())
+        want = sorted((r.seg, r.cnt, r.sum_v) for r in
+                      V.read(spark, base).join(V.read(spark, dim), "k")
+                      .groupBy("seg").agg(
+                          F.count(F.lit(1)).alias("cnt"),
+                          F.sum("v").alias("sum_v")).collect())
+        assert got == want
