@@ -502,6 +502,7 @@ def create_transform_view(
 def refresh_transform_view(
     spark: SparkSession, view_path: str, transform, name: str,
     auto_compact: bool = False, compact_threshold: int = 32,
+    recompute_fraction: float | None = None,
 ) -> int:
     """Advance a transform view to the source head by the change feed, as
     ONE commit: retracted keys (delete / update_preimage) become a DELETE
@@ -540,6 +541,24 @@ def refresh_transform_view(
     v_to = V.current_version(src)
     if v_to == v_from:
         return view_v
+    # cost-based dispatch (the refresh_agg_view contract): a rewriting
+    # interval whose CDC scan bound exceeds fraction × head rows
+    # re-transforms the head as ONE overwrite — identical rows, one
+    # scan, and the overwrite resets the view's segment accretion for
+    # free (no vector, no compaction debt)
+    if recompute_fraction is not None and _should_recompute(
+            recompute_fraction,
+            [(_change_bound_safe(src, v_from, v_to),
+              _head_rows(src, v_to))]):
+        state = transform(_read_source(spark, src, v_to))
+        if key not in state.columns:
+            raise ValueError(
+                f"transform must preserve key column {key!r}; "
+                f"got {state.columns}")
+        return V.overwrite(spark, view_path, state,
+                           extra={"app": dict(spec)
+                                  | {"tv_source_version": v_to}},
+                           parent_version=view_v)
     ch = _changes_since_cursor(spark, src, v_from, v_to, key).persist()
     try:
         retract_keys = (
@@ -577,6 +596,7 @@ def refresh_transform_view_with_retry(
     spark: SparkSession, view_path: str, transform, name: str,
     max_retries: int = 3,
     auto_compact: bool = False, compact_threshold: int = 32,
+    recompute_fraction: float | None = None,
 ) -> int:
     """OCC rebase loop for concurrent transform-view refreshers (same
     contract as refresh_agg_view_with_retry): the loser re-reads the
@@ -584,7 +604,8 @@ def refresh_transform_view_with_retry(
     return _refresh_with_retry(
         lambda: refresh_transform_view(
             spark, view_path, transform, name,
-            auto_compact=auto_compact, compact_threshold=compact_threshold),
+            auto_compact=auto_compact, compact_threshold=compact_threshold,
+            recompute_fraction=recompute_fraction),
         max_retries)
 
 
@@ -654,9 +675,14 @@ def _topk_of(df: DataFrame, group_cols: list[str], key: str,
     )
 
 
-def refresh_topk_view(spark: SparkSession, view_path: str) -> int:
+def refresh_topk_view(spark: SparkSession, view_path: str,
+                      recompute_fraction: float | None = None) -> int:
     """Advance a top-k view to the source head (one-consistent-read +
-    OCC-pinned commit, the refresh_agg_view contract)."""
+    OCC-pinned commit, the refresh_agg_view contract).
+    ``recompute_fraction`` is the same cost-based dispatch as
+    refresh_agg_view: when the CDC read would scan more than
+    fraction × head rows, rerank from the head snapshot instead —
+    identical result (the initial materialization IS that ranking)."""
     view_v = V.current_version(view_path)
     m = V._manifest(view_path, view_v)
     spec = m.get("app") or {}
@@ -672,6 +698,16 @@ def refresh_topk_view(spark: SparkSession, view_path: str) -> int:
     v_to = V.current_version(src)
     if v_to == v_from:
         return view_v
+    if recompute_fraction is not None and _should_recompute(
+            recompute_fraction,
+            [(_change_bound_safe(src, v_from, v_to),
+              _head_rows(src, v_to))]):
+        state = _topk_of(_read_source(spark, src, v_to), group_cols,
+                         key, score_col, k)
+        return V.overwrite(spark, view_path, state,
+                           extra={"app": dict(spec)
+                                  | {"kv_source_version": v_to}},
+                           parent_version=view_v)
     ch = _changes_since_cursor(spark, src, v_from, v_to, key,
                                multiset=True).persist()
     try:
@@ -723,11 +759,14 @@ def refresh_topk_view(spark: SparkSession, view_path: str) -> int:
 
 def refresh_topk_view_with_retry(
     spark: SparkSession, view_path: str, max_retries: int = 3,
+    recompute_fraction: float | None = None,
 ) -> int:
     """OCC rebase loop for concurrent top-k refreshers (the standard
     contract: the loser re-reads the advanced cursor)."""
     return _refresh_with_retry(
-        lambda: refresh_topk_view(spark, view_path), max_retries)
+        lambda: refresh_topk_view(spark, view_path,
+                                  recompute_fraction=recompute_fraction),
+        max_retries)
 
 
 # ---------------------------------------------------------------------------
@@ -1311,8 +1350,9 @@ def refresh_view(spark: SparkSession, view_path: str,
             spark, view_path, max_retries=max_retries,
             recompute_fraction=recompute_fraction)
     if kind == "topk":
-        return refresh_topk_view_with_retry(spark, view_path,
-                                            max_retries=max_retries)
+        return refresh_topk_view_with_retry(
+            spark, view_path, max_retries=max_retries,
+            recompute_fraction=recompute_fraction)
     if kind == "join":
         return refresh_join_view_with_retry(
             spark, view_path, max_retries=max_retries,
@@ -1332,7 +1372,8 @@ def refresh_view(spark: SparkSession, view_path: str,
         return refresh_transform_view_with_retry(
             spark, view_path, fn, name, max_retries=max_retries,
             auto_compact=auto_compact,
-            compact_threshold=compact_threshold)
+            compact_threshold=compact_threshold,
+            recompute_fraction=recompute_fraction)
     raise ValueError(f"{view_path} is not a maintained view")
 
 

@@ -153,7 +153,8 @@ def test_view_layer_random_sequences(spark, tmp_path, seed):
                                  transform=_tf, name="tf-v1")
         refresh = lambda: MV.refresh_transform_view(
             spark, tv, _tf, "tf-v1",
-            auto_compact=rng.random() < 0.3)
+            auto_compact=rng.random() < 0.3,
+            recompute_fraction=frac)
 
         def check():
             cols = ["id", "grp", "w"]
@@ -224,7 +225,8 @@ def test_view_layer_random_sequences(spark, tmp_path, seed):
     else:
         MV.create_topk_view(spark, a.path, vw, key="id",
                             group_cols=["grp"], score_col="v", k=2)
-        refresh = lambda: MV.refresh_topk_view(spark, vw)
+        refresh = lambda: MV.refresh_topk_view(
+            spark, vw, recompute_fraction=frac)
 
         def check():
             cols = ["grp", "id", "v", "rnk"]

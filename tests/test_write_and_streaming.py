@@ -4381,3 +4381,59 @@ class TestRefreshCascade:
                           F.count(F.lit(1)).alias("cnt"),
                           F.sum("v").alias("sum_v")).collect())
         assert got == want
+
+    def test_topk_transform_dispatch_identical_results(self, spark,
+                                                       tmp_path,
+                                                       monkeypatch):
+        """The dispatcher on the remaining view kinds: a rewriting
+        interval recomputes top-k and transform views (zero CDC reads)
+        with state identical to the pinned incremental path; the
+        transform recompute commits an OVERWRITE (resets segment
+        accretion for free)."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        src = str(tmp_path / "src")
+        mk = lambda rows: spark.createDataFrame(
+            rows, "id long, g string, v long")
+        V.create(spark, src, mk([(i, "ab"[i % 2], i * 3) for i in range(20)]))
+        tfn = lambda df: df.select("id", "g", (F.col("v") + 1).alias("w"))
+        pairs = {}
+        for flavor in ("inc", "auto"):
+            kv = str(tmp_path / f"kv_{flavor}")
+            tv = str(tmp_path / f"tv_{flavor}")
+            MV.create_topk_view(spark, src, kv, key="id",
+                                group_cols=["g"], score_col="v", k=3)
+            MV.create_transform_view(spark, src, tv, key="id",
+                                     transform=tfn, name="plus1")
+            pairs[flavor] = (kv, tv)
+        calls = {"n": 0}
+        real = MV._changes_since_cursor
+
+        def counting(*a, **kw):
+            calls["n"] += 1
+            return real(*a, **kw)
+
+        monkeypatch.setattr(MV, "_changes_since_cursor", counting)
+        V.upsert(spark, src, mk([(1, "b", 999), (50, "c", 7)]), "id")
+        MV.refresh_topk_view(spark, pairs["inc"][0],
+                             recompute_fraction=None)
+        MV.refresh_transform_view(spark, pairs["inc"][1], tfn, "plus1",
+                                  recompute_fraction=None)
+        n0 = calls["n"]
+        assert n0 >= 2
+        MV.refresh_topk_view(spark, pairs["auto"][0],
+                             recompute_fraction=1.0)
+        MV.refresh_transform_view(spark, pairs["auto"][1], tfn, "plus1",
+                                  recompute_fraction=1.0)
+        assert calls["n"] == n0  # both recomputed: no CDC reads
+        m = V._manifest(pairs["auto"][1],
+                        V.current_version(pairs["auto"][1]))
+        assert m["op"] == "overwrite"
+        for getter in (
+            lambda p: sorted((r.g, r.id, r.v, r.rnk)
+                             for r in V.read(spark, p[0]).collect()),
+            lambda p: sorted((r.id, r.g, r.w)
+                             for r in V.read(spark, p[1]).collect()),
+        ):
+            assert getter(pairs["inc"]) == getter(pairs["auto"])
