@@ -1423,6 +1423,32 @@ def refresh_cascade(spark: SparkSession, view_path: str,
     return order
 
 
+def describe_cascade(view_path: str) -> list[dict]:
+    """describe_view for a whole composition chain, bottom-up (the
+    refresh_cascade order): one entry per VIEW node with its kind,
+    per-source freshness, and lag — the dashboard call for "is this
+    pipeline keeping up, and where is it behind?". Manifest-only, zero
+    Spark jobs."""
+    out: list[dict] = []
+    seen: set[str] = set()
+
+    def _walk(path: str) -> None:
+        if path in seen:
+            return
+        seen.add(path)
+        node = _view_node(path)
+        if node is None:
+            return
+        for src in node[2]:
+            _walk(src)
+        out.append(describe_view(path))
+
+    _walk(view_path)
+    if not out:
+        raise ValueError(f"{view_path} is not a maintained view")
+    return out
+
+
 def view_base_tables(view_path: str) -> list[str]:
     """The BASE tables (non-view leaves) a view composition ultimately
     reads, discovered from manifests alone — what a cascade-refresh
@@ -1517,13 +1543,22 @@ def create_join_table_view(
     _validate_join_sources(l_df, r_df, on)
     # enforce the documented key contract at create time: a NULL row
     # identity would make pair keys collide (and the delete vector
-    # delete the wrong row); refresh-time NULLs hit the sentinel below
-    for df, k, side in ((l_df, left_key, "left"), (r_df, right_key,
-                                                   "right")):
-        if df.where(F.col(k).isNull()).limit(1).count():
-            raise ValueError(
-                f"{side} key {k!r} has NULL values — join table views "
-                f"need non-null unique row identities on both sources")
+    # delete the wrong row); refresh-time NULLs hit the sentinel below.
+    # ONE job for both sides (union of limit-1 probes), not two.
+    bad = (
+        l_df.where(F.col(left_key).isNull())
+        .select(F.lit("left").alias("side")).limit(1)
+        .unionByName(
+            r_df.where(F.col(right_key).isNull())
+            .select(F.lit("right").alias("side")).limit(1))
+        .collect()
+    )
+    if bad:
+        side = bad[0]["side"]
+        key = left_key if side == "left" else right_key
+        raise ValueError(
+            f"{side} key {key!r} has NULL values — join table views "
+            f"need non-null unique row identities on both sources")
     state = _with_pair_key(l_df.join(r_df, on, how), left_key, right_key)
     return V.create(spark, view_path, state, extra={"app": {
         "jt_left": left_path, "jt_right": right_path, "jt_on": on,

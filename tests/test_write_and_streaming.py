@@ -4437,3 +4437,62 @@ class TestRefreshCascade:
                              for r in V.read(spark, p[1]).collect()),
         ):
             assert getter(pairs["inc"]) == getter(pairs["auto"])
+
+    def test_join_table_null_key_guard_single_job(self, spark, tmp_path):
+        """The create-time NULL-identity guard still fires for either
+        side (now as ONE Spark job over both probes)."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        lt = str(tmp_path / "l")
+        rt = str(tmp_path / "r")
+        V.create(spark, lt, spark.createDataFrame(
+            [(1, 0), (None, 1)], "id long, k long"))
+        V.create(spark, rt, spark.createDataFrame(
+            [(7, 0)], "bid long, k long"))
+        with pytest.raises(ValueError, match="left key 'id'"):
+            MV.create_join_table_view(spark, lt, rt,
+                                      str(tmp_path / "v"), on="k",
+                                      left_key="id", right_key="bid")
+        lt2 = str(tmp_path / "l2")
+        rt2 = str(tmp_path / "r2")
+        V.create(spark, lt2, spark.createDataFrame(
+            [(1, 0)], "id long, k long"))
+        V.create(spark, rt2, spark.createDataFrame(
+            [(None, 0)], "bid long, k long"))
+        with pytest.raises(ValueError, match="right key 'bid'"):
+            MV.create_join_table_view(spark, lt2, rt2,
+                                      str(tmp_path / "v2"), on="k",
+                                      left_key="id", right_key="bid")
+
+    def test_describe_cascade_reports_chain_freshness(self, spark,
+                                                      tmp_path):
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        base = str(tmp_path / "b")
+        dim = str(tmp_path / "d")
+        jt = str(tmp_path / "jt")
+        jv = str(tmp_path / "jv")
+        mk = lambda rows: spark.createDataFrame(
+            rows, "id long, k long, v long")
+        V.create(spark, base, mk([(0, 0, 1)]))
+        V.create(spark, dim, spark.createDataFrame(
+            [(0, "x")], "k long, seg string"))
+        MV.create_join_table_view(spark, base, dim, jt, on="k",
+                                  left_key="id", right_key="k")
+        MV.create_agg_view(spark, jt, jv, key="_pair_key",
+                           group_cols=["seg"], sum_cols=["v"])
+        V.append(spark, base, mk([(1, 0, 5)]))
+        rep = MV.describe_cascade(jv)
+        assert [r["view_kind"] for r in rep] == ["join_table", "agg"]
+        # the join table lags its base by exactly the one new commit;
+        # the agg view is fresh relative to the (stale) join table
+        assert rep[0]["fresh"] is False
+        assert rep[0]["sources"][0]["lag"] == 1
+        assert rep[1]["fresh"] is True
+        MV.refresh_cascade(spark, jv)
+        rep = MV.describe_cascade(jv)
+        assert all(r["fresh"] for r in rep)
+        with pytest.raises(ValueError, match="not a maintained view"):
+            MV.describe_cascade(base)
