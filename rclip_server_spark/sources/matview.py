@@ -361,10 +361,11 @@ def refresh_agg_view(spark: SparkSession, view_path: str,
         "mv_minmax_cols": minmax_cols,
         "mv_source_version": v_to,
     }}
-    if recompute_fraction is not None and _should_recompute(
-            recompute_fraction,
-            [(_change_bound_safe(src, v_from, v_to),
-              _head_rows(src, v_to))]):
+    if _cursor_behind_head([(src, v_from, v_to)], recompute_fraction) \
+            or (recompute_fraction is not None and _should_recompute(
+                recompute_fraction,
+                [(_change_bound_safe(src, v_from, v_to),
+                  _head_rows(src, v_to))])):
         state = _aggregate(_read_source(spark, src, v_to), group_cols,
                            sum_cols, minmax_cols)
         return V.overwrite(spark, view_path, state, extra=new_extra,
@@ -546,10 +547,11 @@ def refresh_transform_view(
     # re-transforms the head as ONE overwrite — identical rows, one
     # scan, and the overwrite resets the view's segment accretion for
     # free (no vector, no compaction debt)
-    if recompute_fraction is not None and _should_recompute(
-            recompute_fraction,
-            [(_change_bound_safe(src, v_from, v_to),
-              _head_rows(src, v_to))]):
+    if _cursor_behind_head([(src, v_from, v_to)], recompute_fraction) \
+            or (recompute_fraction is not None and _should_recompute(
+                recompute_fraction,
+                [(_change_bound_safe(src, v_from, v_to),
+                  _head_rows(src, v_to))])):
         state = transform(_read_source(spark, src, v_to))
         if key not in state.columns:
             raise ValueError(
@@ -698,10 +700,11 @@ def refresh_topk_view(spark: SparkSession, view_path: str,
     v_to = V.current_version(src)
     if v_to == v_from:
         return view_v
-    if recompute_fraction is not None and _should_recompute(
-            recompute_fraction,
-            [(_change_bound_safe(src, v_from, v_to),
-              _head_rows(src, v_to))]):
+    if _cursor_behind_head([(src, v_from, v_to)], recompute_fraction) \
+            or (recompute_fraction is not None and _should_recompute(
+                recompute_fraction,
+                [(_change_bound_safe(src, v_from, v_to),
+                  _head_rows(src, v_to))])):
         state = _topk_of(_read_source(spark, src, v_to), group_cols,
                          key, score_col, k)
         return V.overwrite(spark, view_path, state,
@@ -1089,6 +1092,27 @@ def _change_bound_safe(src: str, v_from: int, v_to: int) -> float:
         return float("inf")
 
 
+def _cursor_behind_head(srcs_cursors_heads, fraction) -> bool:
+    """A source RESTORED (rolled back) below a view's cursor makes the
+    incremental interval meaningless — there is no forward change feed
+    from a future version. With dispatch enabled (``fraction`` set) the
+    refresh SELF-HEALS by recomputing from the current head (resetting
+    the cursor); incremental-only callers get a NAMED error instead of
+    table_changes' baffling interval ValueError. Returns True when a
+    heal-recompute should run."""
+    behind = [(s, c, h) for s, c, h in srcs_cursors_heads if c > h]
+    if not behind:
+        return False
+    if fraction is not None:
+        return True
+    s, c, h = behind[0]
+    raise RuntimeError(
+        f"source {s!r} head v{h} is BEHIND the view cursor v{c} — the "
+        f"source was restored/rolled back past the cursor; refresh with "
+        f"recompute_fraction set (self-heal recompute from the current "
+        f"head) or recreate the view")
+
+
 def _should_recompute(fraction, bounds_and_heads) -> bool:
     """``bounds_and_heads`` is [(change_bound, head_rows), ...] — one
     entry per source (bound 0 for a side whose cursor is at head: a
@@ -1161,14 +1185,16 @@ def refresh_join_view(spark: SparkSession, view_path: str,
     # (it can open parquet footers on legacy manifests — real I/O) and
     # passed to every consumer: the dispatch decision here, the
     # snapshot key-pruning in both delta terms, and the flip guard
+    heal = _cursor_behind_head(
+        [(lsrc, l_from, l_to), (rsrc, r_from, r_to)], recompute_fraction)
     l_bound = _change_bound_safe(lsrc, l_from, l_to) \
         if l_to > l_from else 0
     r_bound = _change_bound_safe(rsrc, r_from, r_to) \
         if r_to > r_from else 0
-    if recompute_fraction is not None and _should_recompute(
+    if heal or (recompute_fraction is not None and _should_recompute(
             recompute_fraction,
             [(l_bound, _head_rows(lsrc, l_to)),
-             (r_bound, _head_rows(rsrc, r_to))]):
+             (r_bound, _head_rows(rsrc, r_to))])):
         state = _aggregate(
             _read_source(spark, lsrc, l_to)
             .join(_read_source(spark, rsrc, r_to), on, how),
@@ -1636,6 +1662,10 @@ def refresh_join_table_view(
     l_to, r_to = V.current_version(lsrc), V.current_version(rsrc)
     if l_to == l_from and r_to == r_from:
         return view_v
+    # a restored source gets the NAMED error (no dispatch knob on the
+    # row-level flavor — recreate the view to heal)
+    _cursor_behind_head(
+        [(lsrc, l_from, l_to), (rsrc, r_from, r_to)], None)
     new_app = dict(spec) | {"jt_left_version": l_to,
                             "jt_right_version": r_to}
     persisted = []

@@ -4496,3 +4496,45 @@ class TestRefreshCascade:
         assert all(r["fresh"] for r in rep)
         with pytest.raises(ValueError, match="not a maintained view"):
             MV.describe_cascade(base)
+
+    def test_source_restore_named_error_and_self_heal(self, spark,
+                                                      tmp_path):
+        """restore() on a SOURCE leaves the view cursor ahead of the
+        source head: the default refresh raises the NAMED error (not
+        table_changes' interval ValueError); with dispatch enabled the
+        refresh SELF-HEALS by recomputing from the restored head and
+        resetting the cursor."""
+        import os
+
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        mk = lambda rows: spark.createDataFrame(
+            rows, "id long, g string, v long")
+        # versioned.restore() commits FORWARD (a new version mirroring
+        # the old state), so a cursor can only get ahead of the head
+        # through an OUT-OF-BAND rollback — an operator removing head
+        # manifests (disaster recovery, a reverted replication). Build
+        # exactly that.
+        src2 = str(tmp_path / "s2")
+        vw2 = str(tmp_path / "v2")
+        V.create(spark, src2, mk([(1, "a", 1)]))
+        for j in range(4):
+            V.append(spark, src2, mk([(10 + j, "b", j)]))
+        MV.create_agg_view(spark, src2, vw2, key="id",
+                           group_cols=["g"], sum_cols=["v"])  # cursor v5
+        for v in (4, 5):
+            os.remove(V._snap_path(src2, v))
+        V._write_checkpoint(src2, 3)
+        assert V.current_version(src2) == 3
+        with pytest.raises(RuntimeError, match="BEHIND the view cursor"):
+            MV.refresh_agg_view(spark, vw2)
+        v_new = MV.refresh_agg_view(spark, vw2, recompute_fraction=1.0)
+        assert int(MV._spec(vw2)["mv_source_version"]) == 3
+        got = sorted((r.g, r.cnt, r.sum_v)
+                     for r in V.read(spark, vw2).collect())
+        want = sorted((r.g, r.cnt, r.sum_v) for r in
+                      V.read(spark, src2).groupBy("g").agg(
+                          F.count(F.lit(1)).alias("cnt"),
+                          F.sum("v").alias("sum_v")).collect())
+        assert got == want and v_new > 0
