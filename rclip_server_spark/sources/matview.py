@@ -361,11 +361,8 @@ def refresh_agg_view(spark: SparkSession, view_path: str,
         "mv_minmax_cols": minmax_cols,
         "mv_source_version": v_to,
     }}
-    if _cursor_behind_head([(src, v_from, v_to)], recompute_fraction) \
-            or (recompute_fraction is not None and _should_recompute(
-                recompute_fraction,
-                [(_change_bound_safe(src, v_from, v_to),
-                  _head_rows(src, v_to))])):
+    if _dispatch_recompute(recompute_fraction,
+                           [(src, v_from, v_to)])[0]:
         state = _aggregate(_read_source(spark, src, v_to), group_cols,
                            sum_cols, minmax_cols)
         return V.overwrite(spark, view_path, state, extra=new_extra,
@@ -547,11 +544,8 @@ def refresh_transform_view(
     # re-transforms the head as ONE overwrite — identical rows, one
     # scan, and the overwrite resets the view's segment accretion for
     # free (no vector, no compaction debt)
-    if _cursor_behind_head([(src, v_from, v_to)], recompute_fraction) \
-            or (recompute_fraction is not None and _should_recompute(
-                recompute_fraction,
-                [(_change_bound_safe(src, v_from, v_to),
-                  _head_rows(src, v_to))])):
+    if _dispatch_recompute(recompute_fraction,
+                           [(src, v_from, v_to)])[0]:
         state = transform(_read_source(spark, src, v_to))
         if key not in state.columns:
             raise ValueError(
@@ -700,11 +694,8 @@ def refresh_topk_view(spark: SparkSession, view_path: str,
     v_to = V.current_version(src)
     if v_to == v_from:
         return view_v
-    if _cursor_behind_head([(src, v_from, v_to)], recompute_fraction) \
-            or (recompute_fraction is not None and _should_recompute(
-                recompute_fraction,
-                [(_change_bound_safe(src, v_from, v_to),
-                  _head_rows(src, v_to))])):
+    if _dispatch_recompute(recompute_fraction,
+                           [(src, v_from, v_to)])[0]:
         state = _topk_of(_read_source(spark, src, v_to), group_cols,
                          key, score_col, k)
         return V.overwrite(spark, view_path, state,
@@ -1092,14 +1083,15 @@ def _change_bound_safe(src: str, v_from: int, v_to: int) -> float:
         return float("inf")
 
 
-def _cursor_behind_head(srcs_cursors_heads, fraction) -> bool:
-    """A source RESTORED (rolled back) below a view's cursor makes the
-    incremental interval meaningless — there is no forward change feed
-    from a future version. With dispatch enabled (``fraction`` set) the
-    refresh SELF-HEALS by recomputing from the current head (resetting
-    the cursor); incremental-only callers get a NAMED error instead of
-    table_changes' baffling interval ValueError. Returns True when a
-    heal-recompute should run."""
+def _source_rolled_back(srcs_cursors_heads, fraction) -> bool:
+    """A source ROLLED BACK below a view's cursor (head < cursor —
+    out-of-band manifest removal; restore() itself commits forward)
+    makes the incremental interval meaningless — there is no forward
+    change feed from a future version. With dispatch enabled
+    (``fraction`` set) the refresh SELF-HEALS by recomputing from the
+    current head (resetting the cursor); incremental-only callers get
+    a NAMED error instead of table_changes' baffling interval
+    ValueError. Returns True when a heal-recompute should run."""
     behind = [(s, c, h) for s, c, h in srcs_cursors_heads if c > h]
     if not behind:
         return False
@@ -1111,6 +1103,30 @@ def _cursor_behind_head(srcs_cursors_heads, fraction) -> bool:
         f"source was restored/rolled back past the cursor; refresh with "
         f"recompute_fraction set (self-heal recompute from the current "
         f"head) or recreate the view")
+
+
+def _dispatch_recompute(fraction, intervals):
+    """The ONE heal + cost decision every refresher shares.
+    ``intervals`` is [(src, cursor, head), ...]. Returns
+    ``(recompute, bounds)``:
+
+    * recompute=True, bounds=None — a source rolled back below its
+      cursor and ``fraction`` is set: self-heal from the heads (with
+      fraction None, _source_rolled_back raises the named error
+      instead). No bound I/O happens on this path.
+    * recompute per the row-scan cost model, bounds = the per-interval
+      change bounds (computed once here — callers that also key-prune
+      reuse them instead of re-walking manifests/footers).
+    * fraction None (and no rollback): (False, None) — pure
+      incremental, zero bound I/O."""
+    if _source_rolled_back(intervals, fraction):
+        return True, None
+    if fraction is None:
+        return False, None
+    bounds = [_change_bound_safe(s, a, b) if b > a else 0
+              for s, a, b in intervals]
+    heads = [_head_rows(s, b) for s, _a, b in intervals]
+    return _should_recompute(fraction, list(zip(bounds, heads))), bounds
 
 
 def _should_recompute(fraction, bounds_and_heads) -> bool:
@@ -1182,25 +1198,24 @@ def refresh_join_view(spark: SparkSession, view_path: str,
     new_extra = {"app": dict(spec) | {"jv_left_version": l_to,
                                       "jv_right_version": r_to}}
     # each side's change bound is computed at most ONCE per refresh
-    # (it can open parquet footers on legacy manifests — real I/O) and
-    # passed to every consumer: the dispatch decision here, the
-    # snapshot key-pruning in both delta terms, and the flip guard
-    heal = _cursor_behind_head(
-        [(lsrc, l_from, l_to), (rsrc, r_from, r_to)], recompute_fraction)
-    l_bound = _change_bound_safe(lsrc, l_from, l_to) \
-        if l_to > l_from else 0
-    r_bound = _change_bound_safe(rsrc, r_from, r_to) \
-        if r_to > r_from else 0
-    if heal or (recompute_fraction is not None and _should_recompute(
-            recompute_fraction,
-            [(l_bound, _head_rows(lsrc, l_to)),
-             (r_bound, _head_rows(rsrc, r_to))])):
+    # (it can open parquet footers on legacy manifests — real I/O):
+    # _dispatch_recompute computes it for the cost decision and hands
+    # it back for the incremental path's key-pruning and flip guard
+    recompute, bounds = _dispatch_recompute(
+        recompute_fraction, [(lsrc, l_from, l_to), (rsrc, r_from, r_to)])
+    if recompute:
         state = _aggregate(
             _read_source(spark, lsrc, l_to)
             .join(_read_source(spark, rsrc, r_to), on, how),
             group_cols, sum_cols, minmax_cols)
         return V.overwrite(spark, view_path, state, extra=new_extra,
                            parent_version=view_v)
+    if bounds is None:
+        bounds = [_change_bound_safe(lsrc, l_from, l_to)
+                  if l_to > l_from else 0,
+                  _change_bound_safe(rsrc, r_from, r_to)
+                  if r_to > r_from else 0]
+    l_bound, r_bound = bounds
     persisted = []
     try:
         ch_l, ch_r = _delta_change_frames(
@@ -1387,7 +1402,8 @@ def refresh_view(spark: SparkSession, view_path: str,
         return refresh_join_table_view_with_retry(
             spark, view_path, max_retries=max_retries,
             auto_compact=auto_compact,
-            compact_threshold=compact_threshold)
+            compact_threshold=compact_threshold,
+            recompute_fraction=recompute_fraction)
     if kind == "transform":
         entry = (transforms or {}).get(view_path)
         if entry is None:
@@ -1401,6 +1417,38 @@ def refresh_view(spark: SparkSession, view_path: str,
             compact_threshold=compact_threshold,
             recompute_fraction=recompute_fraction)
     raise ValueError(f"{view_path} is not a maintained view")
+
+
+def _walk_views_post_order(view_path: str):
+    """The ONE traversal of the manifest-declared view graph every
+    graph consumer shares: post-order (sources before consumers —
+    refresh order), diamond-deduplicated, cycle-guarded. Returns
+    (view_nodes, base_leaves) where view_nodes is [(path, (kind, spec,
+    sources)), ...] and base_leaves the non-view tables reached."""
+    order: list = []
+    leaves: set[str] = set()
+    visiting: set[str] = set()
+    done: set[str] = set()
+
+    def _w(path: str) -> None:
+        if path in done:
+            return
+        if path in visiting:
+            raise ValueError(f"view dependency cycle through {path}")
+        node = _view_node(path)
+        if node is None:
+            done.add(path)
+            leaves.add(path)
+            return
+        visiting.add(path)
+        for src in node[2]:
+            _w(src)
+        visiting.discard(path)
+        done.add(path)
+        order.append((path, node))
+
+    _w(view_path)
+    return order, sorted(leaves)
 
 
 def refresh_cascade(spark: SparkSession, view_path: str,
@@ -1421,32 +1469,13 @@ def refresh_cascade(spark: SparkSession, view_path: str,
     manifests are just files) raises instead of spinning. Each node
     refreshes through refresh_view — OCC-retried, with auto-compaction
     available for the segment-accreting kinds."""
-    order: list[str] = []
-    visiting: set[str] = set()
-    done: set[str] = set()
-
-    def _walk(path: str) -> None:
-        if path in done:
-            return
-        if path in visiting:
-            raise ValueError(f"view dependency cycle through {path}")
-        node = _view_node(path)
-        if node is None:
-            done.add(path)
-            return  # base table — nothing to refresh
-        visiting.add(path)
-        for src in node[2]:
-            _walk(src)
-        visiting.discard(path)
+    nodes, _leaves = _walk_views_post_order(view_path)
+    for path, _node in nodes:
         refresh_view(spark, path, transforms=transforms,
                      recompute_fraction=recompute_fraction,
                      max_retries=max_retries, auto_compact=auto_compact,
                      compact_threshold=compact_threshold)
-        order.append(path)
-        done.add(path)
-
-    _walk(view_path)
-    return order
+    return [p for p, _ in nodes]
 
 
 def describe_cascade(view_path: str) -> list[dict]:
@@ -1455,24 +1484,10 @@ def describe_cascade(view_path: str) -> list[dict]:
     per-source freshness, and lag — the dashboard call for "is this
     pipeline keeping up, and where is it behind?". Manifest-only, zero
     Spark jobs."""
-    out: list[dict] = []
-    seen: set[str] = set()
-
-    def _walk(path: str) -> None:
-        if path in seen:
-            return
-        seen.add(path)
-        node = _view_node(path)
-        if node is None:
-            return
-        for src in node[2]:
-            _walk(src)
-        out.append(describe_view(path))
-
-    _walk(view_path)
-    if not out:
+    nodes, _leaves = _walk_views_post_order(view_path)
+    if not nodes:
         raise ValueError(f"{view_path} is not a maintained view")
-    return out
+    return [describe_view(p) for p, _ in nodes]
 
 
 def view_base_tables(view_path: str) -> list[str]:
@@ -1622,6 +1637,7 @@ def _spec_jt(path: str, version: int | None = None) -> dict:
 def refresh_join_table_view(
     spark: SparkSession, view_path: str,
     auto_compact: bool = False, compact_threshold: int = 32,
+    recompute_fraction: float | None = None,
 ) -> int:
     """Advance a join TABLE view to both sources' heads: the same signed
     delta rule as the aggregate join view (ΔL⋈R_old + L_new⋈ΔR, multiset
@@ -1662,20 +1678,30 @@ def refresh_join_table_view(
     l_to, r_to = V.current_version(lsrc), V.current_version(rsrc)
     if l_to == l_from and r_to == r_from:
         return view_v
-    # a restored source gets the NAMED error (no dispatch knob on the
-    # row-level flavor — recreate the view to heal)
-    _cursor_behind_head(
-        [(lsrc, l_from, l_to), (rsrc, r_from, r_to)], None)
     new_app = dict(spec) | {"jt_left_version": l_to,
                             "jt_right_version": r_to}
+    # same heal + cost dispatch as every other refresher: a rolled-back
+    # source self-heals under a set fraction (named error otherwise),
+    # and an interval whose CDC scan exceeds the heads re-joins from
+    # scratch as ONE overwrite (which also resets segment accretion)
+    recompute, bounds = _dispatch_recompute(
+        recompute_fraction, [(lsrc, l_from, l_to), (rsrc, r_from, r_to)])
+    if recompute:
+        state = _with_pair_key(
+            _read_source(spark, lsrc, l_to)
+            .join(_read_source(spark, rsrc, r_to), on, how), lk, rk)
+        return V.overwrite(spark, view_path, state,
+                           extra={"app": new_app}, parent_version=view_v)
     persisted = []
     try:
         ch_l, ch_r = _delta_change_frames(
             spark, lsrc, rsrc, l_from, l_to, r_from, r_to, persisted)
-        l_bound = _change_bound_safe(lsrc, l_from, l_to) \
-            if ch_l is not None else 0
-        r_bound = _change_bound_safe(rsrc, r_from, r_to) \
-            if ch_r is not None else 0
+        if bounds is None:
+            bounds = [_change_bound_safe(lsrc, l_from, l_to)
+                      if ch_l is not None else 0,
+                      _change_bound_safe(rsrc, r_from, r_to)
+                      if ch_r is not None else 0]
+        l_bound, r_bound = bounds
         pair_frames = _delta_pair_frames(
             spark, lsrc, rsrc, on, ch_l, ch_r, l_bound, r_bound,
             l_to, r_from)
@@ -1742,10 +1768,12 @@ def refresh_join_table_view(
 def refresh_join_table_view_with_retry(
     spark: SparkSession, view_path: str, max_retries: int = 3,
     auto_compact: bool = False, compact_threshold: int = 32,
+    recompute_fraction: float | None = None,
 ) -> int:
     """OCC rebase loop for concurrent join-table refreshers."""
     return _refresh_with_retry(
         lambda: refresh_join_table_view(
             spark, view_path,
-            auto_compact=auto_compact, compact_threshold=compact_threshold),
+            auto_compact=auto_compact, compact_threshold=compact_threshold,
+            recompute_fraction=recompute_fraction),
         max_retries)

@@ -171,12 +171,18 @@ def test_view_layer_random_sequences(spark, tmp_path, seed):
             # sometimes only one layer advances — the agg view must lag
             # cleanly and catch up over a multi-commit interval
             if rng.random() < 0.8:
-                MV.refresh_transform_view(spark, tv, _tf, "tf-v1")
+                MV.refresh_transform_view(spark, tv, _tf, "tf-v1",
+                                          recompute_fraction=frac)
             if rng.random() < 0.8:
                 MV.refresh_agg_view(spark, vw, recompute_fraction=frac)
 
         def check():
-            MV.refresh_transform_view(spark, tv, _tf, "tf-v1")
+            # the transform's recompute path commits an OVERWRITE,
+            # which the downstream agg must consume as a rewriting
+            # snapshot-diff — dispatch on the feeding layer is exactly
+            # the composition case worth fuzzing
+            MV.refresh_transform_view(spark, tv, _tf, "tf-v1",
+                                      recompute_fraction=frac)
             MV.refresh_agg_view(spark, vw, recompute_fraction=frac)
             cols = ["grp", "cnt", "sum_w"]
             want = _tf(V.read(spark, a.path)).groupBy("grp").agg(
