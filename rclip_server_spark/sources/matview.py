@@ -1478,6 +1478,39 @@ def refresh_cascade(spark: SparkSession, view_path: str,
     return [p for p, _ in nodes]
 
 
+def vacuum_source_safely(path: str, keep_last: int = 1,
+                         retain_seconds: float | None = None,
+                         views=()) -> list[str]:
+    """versioned.vacuum CLAMPED to the given views' refresh cursors:
+    the view-refresh contract says a source must retain manifests back
+    to every dependent view's cursor (a reaped interval turns the next
+    refresh into the named vacuum error, or a heal-recompute), and
+    until now honoring it was the operator's manual arithmetic. Pass
+    the views that read ``path`` (directly or through a composition —
+    the graph walker finds the edges) and keep_last is raised so the
+    oldest needed cursor's manifest survives; views that do NOT read
+    this source are ignored, so one fleet-wide view list works for
+    every source's vacuum. Zero Spark jobs; returns vacuum()'s deleted
+    segment list."""
+    import os as _os
+
+    ap = _os.path.abspath(path)
+    cursors = []
+    for vw in views:
+        nodes, _leaves = _walk_views_post_order(vw)
+        for _p, (_kind, spec, _srcs) in nodes:
+            marker = next(m for m, (k, _) in _VIEW_KINDS.items()
+                          if m in spec)
+            for src_key, cur_key in _VIEW_KINDS[marker][1]:
+                if _os.path.abspath(spec[src_key]) == ap:
+                    cursors.append(int(spec[cur_key]))
+    if cursors:
+        keep_last = max(int(keep_last),
+                        V.current_version(path) - min(cursors) + 1)
+    return V.vacuum(path, keep_last=keep_last,
+                    retain_seconds=retain_seconds)
+
+
 def describe_cascade(view_path: str) -> list[dict]:
     """describe_view for a whole composition chain, bottom-up (the
     refresh_cascade order): one entry per VIEW node with its kind,

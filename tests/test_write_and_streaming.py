@@ -4538,3 +4538,44 @@ class TestRefreshCascade:
                           F.count(F.lit(1)).alias("cnt"),
                           F.sum("v").alias("sum_v")).collect())
         assert got == want and v_new > 0
+
+    def test_vacuum_source_safely_respects_cursors(self, spark,
+                                                   tmp_path):
+        """vacuum_source_safely keeps the manifests a dependent view's
+        cursor still needs (plain vacuum would reap them and break the
+        next refresh), discovers the dependency through a composition
+        chain, and ignores views that never read the source."""
+        from rclip_server_spark.sources import matview as MV
+        from rclip_server_spark.sources import versioned as V
+
+        src = str(tmp_path / "s")
+        other = str(tmp_path / "o")
+        vw = str(tmp_path / "v")
+        ow = str(tmp_path / "ow")
+        mk = lambda rows: spark.createDataFrame(
+            rows, "id long, g string, v long")
+        V.create(spark, src, mk([(1, "a", 1)]))
+        V.create(spark, other, mk([(9, "z", 9)]))
+        MV.create_agg_view(spark, src, vw, key="id",
+                           group_cols=["g"], sum_cols=["v"])  # cursor v1
+        MV.create_agg_view(spark, other, ow, key="id",
+                           group_cols=["g"], sum_cols=["v"])
+        # rewrites: the view's catch-up will need the v1 manifest
+        V.upsert(spark, src, mk([(1, "a", 2)]), "id")
+        V.upsert(spark, src, mk([(1, "a", 3)]), "id")
+        V.upsert(spark, src, mk([(2, "b", 5)]), "id")
+        # plain vacuum(keep_last=1) would reap v1..v3; the guard clamps
+        MV.vacuum_source_safely(src, keep_last=1, views=[vw, ow])
+        assert min(V._manifest_versions(src)) == 1
+        MV.refresh_agg_view(spark, vw)  # refresh works after vacuum
+        got = sorted((r.g, r.cnt, r.sum_v)
+                     for r in V.read(spark, vw).collect())
+        assert got == [("a", 1, 3), ("b", 1, 5)]
+        # fresh cursor -> nothing clamps; old manifests reap normally
+        MV.vacuum_source_safely(src, keep_last=1, views=[vw, ow])
+        assert min(V._manifest_versions(src)) == V.current_version(src)
+        # the unrelated view never constrained the unrelated source
+        V.upsert(spark, other, mk([(9, "z", 1)]), "id")
+        MV.vacuum_source_safely(other, keep_last=1, views=[vw])
+        assert min(V._manifest_versions(other)) \
+            == V.current_version(other)
