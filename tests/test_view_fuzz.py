@@ -240,10 +240,17 @@ def test_view_layer_random_sequences(spark, tmp_path, seed):
                                "v", 2)
             assert _rows(V.read(spark, vw), cols) == _rows(want, cols)
 
+    views = [tv, vw] if kind == 2 else [tv] if kind == 1 else [vw]
     for _ in range(N_OPS):
         rng.choice(sources).step()
         if rng.random() < 0.4:
             refresh()
+        if rng.random() < 0.2:
+            # cursor-safe vacuum mid-sequence: must never break the
+            # next refresh (the clamp keeps every needed manifest)
+            for srcx in sources:
+                MV.vacuum_source_safely(srcx.path, keep_last=1,
+                                        views=views)
     refresh()  # final catch-up (often a multi-commit interval)
     if kind == 2:
         check()  # check() itself forces both layers to the head first
