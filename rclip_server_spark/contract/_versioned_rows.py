@@ -865,3 +865,122 @@ _register(
     GROUP BY n_name
     """,
 )
+
+
+# ===========================================================================
+# SQL frontend (rclip_server_spark/sql.py): the whole maintained-view
+# lifecycle driven by STATEMENTS — CREATE TABLE AS / CREATE MATERIALIZED
+# VIEW / INSERT / DELETE / REFRESH / SELECT — with the DuckDB twin
+# computing the same aggregate directly over the final source state.
+# Reference parity: the reference's value is a QUERY INTERFACE over its
+# index (RS:85-106); this is the Spark engine's equivalent entry point.
+# ===========================================================================
+
+
+def _sql_mv_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    ).createOrReplaceTempView("events_seed")
+    SQ.execute(spark, "CREATE TABLE ev OPTIONS (key='event_id') AS "
+                      "SELECT * FROM events_seed WHERE event_id % 3 <> 2",
+               cat)
+    SQ.execute(spark, (
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT event_type, COUNT(*) AS cnt, "
+        "SUM(value_cents) AS sum_value_cents, "
+        "MIN(value_cents) AS min_value_cents "
+        "FROM ev GROUP BY event_type"), cat)
+    SQ.execute(spark, "INSERT INTO ev SELECT * FROM events_seed "
+                      "WHERE event_id % 3 = 2", cat)       # append path
+    SQ.execute(spark, "DELETE FROM ev WHERE event_id % 11 = 0", cat)
+    SQ.execute(spark, "REFRESH MATERIALIZED VIEW mv", cat)  # retraction
+
+
+def _sql_mv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end SQL-driven materialized view (sql.execute): table
+    created, mutated (INSERT + DELETE) and aggregated into a maintained
+    agg view purely through statements; the SELECT reads the refreshed
+    view through the same frontend (nn_* maintenance columns hidden).
+    Oracle: the direct groupBy of the final table state."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "sqlmv", _sql_mv_builder)
+    return SQ.execute(
+        spark,
+        "SELECT event_type, cnt, sum_value_cents, min_value_cents "
+        "FROM mv",
+        SQ.Catalog(path))
+
+
+_register(
+    "sql_mv_roundtrip",
+    _sql_mv_roundtrip,
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents,
+           CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS min_value_cents
+    FROM events
+    WHERE event_id % 11 <> 0
+    GROUP BY event_type
+    """,
+)
+
+
+def _sql_topk_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    ).createOrReplaceTempView("events_seed_k")
+    SQ.execute(spark, "CREATE TABLE evk OPTIONS (key='event_id') AS "
+                      "SELECT * FROM events_seed_k WHERE event_id % 4 <> 3",
+               cat)
+    SQ.execute(spark, (
+        "CREATE MATERIALIZED VIEW topv AS "
+        "SELECT event_type, event_id, value_cents FROM evk "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type "
+        "ORDER BY value_cents DESC, event_id ASC) <= 5"), cat)
+    SQ.execute(spark, "INSERT INTO evk SELECT * FROM events_seed_k "
+                      "WHERE event_id % 4 = 3", cat)
+    SQ.execute(spark, "DELETE FROM evk WHERE event_id % 13 = 0", cat)
+    SQ.execute(spark, "REFRESH MATERIALIZED VIEW topv", cat)
+
+
+def _sql_topk_qualify(spark: SparkSession, sf: str) -> DataFrame:
+    """Maintained TOP-K view declared through the SQL frontend's
+    QUALIFY ROW_NUMBER() shape, advanced through an insert-only merge
+    AND a retracting delete; DuckDB twin runs the identical QUALIFY
+    over the final state (both rank total orders: score DESC, key
+    ASC)."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "sqlk", _sql_topk_builder)
+    return SQ.execute(
+        spark,
+        "SELECT event_type, event_id, value_cents, rnk FROM topv",
+        SQ.Catalog(path))
+
+
+_register(
+    "sql_topk_qualify",
+    _sql_topk_qualify,
+    """
+    SELECT event_type, event_id,
+           CAST(round(value * 100) AS BIGINT) AS value_cents,
+           CAST(row_number() OVER (
+             PARTITION BY event_type
+             ORDER BY CAST(round(value * 100) AS BIGINT) DESC,
+                      event_id ASC) AS BIGINT) AS rnk
+    FROM events
+    WHERE event_id % 13 <> 0
+    QUALIFY rnk <= 5
+    """,
+)

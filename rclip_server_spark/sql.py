@@ -1,0 +1,843 @@
+"""SQL frontend for the lakehouse layer: a driver-side statement
+dispatcher that makes versioned tables and all five maintained-view
+kinds (agg / transform / top-k / join / join-table) reachable through
+SQL text instead of ``import matview``.
+
+The reference's whole value was a *query interface* over its index
+(rclip_server.py:85-106 serves parsed query strings); this module gives
+the Spark engine the equivalent entry point for its storage layer:
+
+* ``CREATE TABLE t [OPTIONS (key='id')] AS SELECT ...``
+* ``INSERT INTO t SELECT ...`` / ``DELETE FROM t WHERE ...``
+* ``CREATE MATERIALIZED VIEW v [OPTIONS (...)] AS SELECT ...`` — the
+  view KIND is inferred from the query shape (see ``_plan_mv``):
+    - ``SELECT g, COUNT(*) AS c, SUM(x) AS s, MIN(y)... FROM t GROUP
+      BY g``                         → incremental agg view
+    - same over ``a [LEFT] JOIN b USING (k)``  → incremental join view
+    - ``SELECT * FROM a [LEFT] JOIN b USING (k)`` → maintained join
+      TABLE (the denormalized pre-join)
+    - ``SELECT <exprs> FROM t [WHERE p]`` → row-transform view (the
+      transform is the projection+filter itself; its identity is a
+      hash of the normalized SQL so refreshes can't silently mix
+      functions)
+    - ``SELECT g..., id, score FROM t QUALIFY ROW_NUMBER() OVER
+      (PARTITION BY g... ORDER BY score DESC, id ASC) <= k``
+                                      → maintained top-k view
+* ``REFRESH MATERIALIZED VIEW v [CASCADE]`` — kind-dispatched through
+  matview.refresh_view / refresh_cascade (transform views have their
+  function rebuilt from the catalog-recorded SQL).
+* ``SELECT ...`` over any mix of registered tables/views — names are
+  registered as Spark temp views (internal maintenance columns
+  ``nn_*`` / ``_pair_key`` hidden, SQL aliases restored) and the text
+  is delegated verbatim to ``spark.sql`` — so the FULL Spark SQL
+  surface composes on top of maintained state. ``t VERSION AS OF n``
+  time-travels a versioned table.
+* ``DESCRIBE [MATERIALIZED] VIEW v`` / ``DESCRIBE CASCADE v`` /
+  ``DESCRIBE HISTORY t`` / ``SHOW TABLES`` — manifest-only metadata.
+* ``VACUUM t [KEEP n]`` — cursor-safe: clamped to every registered
+  view's refresh cursor (matview.vacuum_source_safely with the whole
+  catalog as the dependent-view list).
+* ``DROP TABLE t`` / ``DROP MATERIALIZED VIEW v``
+
+Scale notes: every statement is driver-side manifest work plus the
+same incremental refresh plans the Python API produces — the parser
+adds zero Spark jobs and the generated plans are byte-identical to
+the matview/versioned ones (the plan-audit assertions in PLANS.md
+cover them). The catalog is a JSON file next to the tables; at 100 TB
+the same statements run unchanged because names resolve to paths and
+paths resolve to manifests, never to data scans.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sources import matview as MV
+from .sources import versioned as V
+
+
+class SqlError(ValueError):
+    """Statement rejected: syntax, unknown name, or unsupported shape.
+    The message always names the supported alternative."""
+
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+_RESERVED = {
+    "select", "from", "where", "group", "by", "join", "left", "inner",
+    "using", "qualify", "create", "table", "materialized", "view",
+    "refresh", "cascade", "describe", "insert", "into", "delete",
+    "drop", "vacuum", "keep", "options", "as", "history", "show",
+    "tables", "version", "of", "values", "and", "or", "not",
+}
+
+
+class Catalog:
+    """name → versioned-table path registry, persisted as
+    ``<root>/_catalog.json`` so a later session (or another process)
+    resolves the same names. Entries carry a ``kind`` ("table" or the
+    maintained-view kind) and a ``meta`` dict: a table's declared
+    ``key`` column (what DELETE deletes by), an MV's normalized SQL
+    body (what REFRESH rebuilds a transform from) and its alias map
+    (SQL output names → canonical state-column names)."""
+
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
+        self._file = os.path.join(self.root, "_catalog.json")
+        self._entries: dict[str, dict] = {}
+        if os.path.exists(self._file):
+            with open(self._file) as f:
+                self._entries = json.load(f)
+
+    def _save(self) -> None:
+        tmp = self._file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._entries, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._file)
+
+    def register(self, name: str, path: str, kind: str = "table",
+                 meta: dict | None = None) -> None:
+        if not _IDENT_RE.match(name) or name.lower() in _RESERVED:
+            raise SqlError(f"{name!r} is not a legal table name "
+                           f"(identifier, not a reserved word)")
+        self._entries[name] = {"path": os.path.abspath(path),
+                               "kind": kind, "meta": meta or {}}
+        self._save()
+
+    def unregister(self, name: str) -> dict:
+        e = self._entries.pop(name, None)
+        if e is None:
+            raise SqlError(f"unknown table or view: {name}")
+        self._save()
+        return e
+
+    def get(self, name: str) -> dict:
+        e = self._entries.get(name)
+        if e is None:
+            raise SqlError(
+                f"unknown table or view: {name} "
+                f"(known: {sorted(self._entries) or '<none>'})")
+        return e
+
+    def names(self) -> list[str]:
+        return sorted(self._entries)
+
+    def path_for(self, name: str) -> str:
+        """Default storage path for a NEW table created through SQL."""
+        return os.path.join(self.root, name)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer — identifiers / strings / numbers / operators, with source
+# offsets so raw expression spans can be recovered verbatim
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+      (?P<str>'(?:[^']|'')*')
+    | (?P<num>\d+(?:\.\d+)?)
+    | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<op><=|>=|<>|!=|\|\||[*=<>(),.+\-/%])
+    )""",
+    re.X,
+)
+
+
+class _Tok:
+    __slots__ = ("kind", "text", "start", "end")
+
+    def __init__(self, kind, text, start, end):
+        self.kind, self.text, self.start, self.end = kind, text, start, end
+
+    @property
+    def lower(self):
+        return self.text.lower()
+
+
+def _tokenize(text: str) -> list[_Tok]:
+    toks, pos = [], 0
+    while pos < len(text):
+        if text[pos].isspace():
+            pos += 1
+            continue
+        m = _TOKEN_RE.match(text, pos)
+        if not m or m.end() == pos:
+            raise SqlError(f"cannot tokenize at offset {pos}: "
+                           f"{text[pos:pos + 20]!r}")
+        kind = m.lastgroup
+        toks.append(_Tok(kind, m.group(kind), m.start(kind), m.end(kind)))
+        pos = m.end()
+    return toks
+
+
+class _Cursor:
+    def __init__(self, toks: list[_Tok], text: str):
+        self.toks, self.text, self.i = toks, text, 0
+
+    def peek(self, ahead: int = 0) -> _Tok | None:
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else None
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "ident" and t.lower in kws
+
+    def take(self) -> _Tok:
+        t = self.peek()
+        if t is None:
+            raise SqlError("unexpected end of statement")
+        self.i += 1
+        return t
+
+    def expect_kw(self, kw: str) -> _Tok:
+        t = self.take()
+        if t.kind != "ident" or t.lower != kw:
+            raise SqlError(f"expected {kw.upper()}, got {t.text!r}")
+        return t
+
+    def expect_op(self, op: str) -> _Tok:
+        t = self.take()
+        if t.text != op:
+            raise SqlError(f"expected {op!r}, got {t.text!r}")
+        return t
+
+    def expect_ident(self) -> str:
+        t = self.take()
+        if t.kind != "ident" or t.lower in _RESERVED:
+            raise SqlError(f"expected identifier, got {t.text!r}")
+        return t.text
+
+    def done(self) -> bool:
+        return self.i >= len(self.toks)
+
+
+def _ident_list(cur: _Cursor) -> list[str]:
+    out = [cur.expect_ident()]
+    while cur.peek() is not None and cur.peek().text == ",":
+        cur.take()
+        out.append(cur.expect_ident())
+    return out
+
+
+def _parse_options(cur: _Cursor) -> dict:
+    """``OPTIONS (k = 'v' | num, ...)`` — declared table/view knobs."""
+    opts: dict = {}
+    if not cur.at_kw("options"):
+        return opts
+    cur.take()
+    cur.expect_op("(")
+    while True:
+        k = cur.expect_ident().lower()
+        cur.expect_op("=")
+        t = cur.take()
+        if t.kind == "str":
+            opts[k] = t.text[1:-1].replace("''", "'")
+        elif t.kind == "num":
+            opts[k] = float(t.text) if "." in t.text else int(t.text)
+        else:
+            raise SqlError(f"OPTIONS value must be a string or number, "
+                           f"got {t.text!r}")
+        nxt = cur.take()
+        if nxt.text == ")":
+            return opts
+        if nxt.text != ",":
+            raise SqlError(f"expected , or ) in OPTIONS, got {nxt.text!r}")
+
+
+# ---------------------------------------------------------------------------
+# reads: catalog names → temp views → spark.sql
+# ---------------------------------------------------------------------------
+
+
+def _read_entry(spark: SparkSession, entry: dict,
+                version: int | None = None) -> DataFrame:
+    """Read a catalog entry's CURRENT state the way a SQL user expects:
+    maintenance-internal columns (``nn_*`` NULL-ness counters,
+    ``_pair_key`` row identities) are hidden, and an MV created with
+    non-canonical SQL aliases gets its declared output names back."""
+    df = MV._read_source(spark, entry["path"], version)
+    hide = [c for c in df.columns
+            if c == "_pair_key"
+            or (c.startswith("nn_") and f"sum_{c[3:]}" in df.columns)]
+    if hide:
+        df = df.drop(*hide)
+    aliases = entry.get("meta", {}).get("aliases") or {}
+    if aliases:  # canonical state name -> SQL-declared output name
+        df = df.select(*[F.col(c).alias(aliases.get(c, c))
+                         for c in df.columns])
+    return df
+
+
+_VERSION_AS_OF = re.compile(
+    r"\b([A-Za-z_][A-Za-z0-9_]*)\s+version\s+as\s+of\s+(\d+)\b",
+    re.IGNORECASE,
+)
+
+
+def _run_select(spark: SparkSession, text: str, catalog: Catalog
+                ) -> DataFrame:
+    """Register every referenced catalog name as a temp view, rewrite
+    ``name VERSION AS OF n`` to a pinned temp view, and delegate the
+    statement text to spark.sql — full Spark SQL composes over
+    maintained state."""
+
+    def _pin(m: re.Match) -> str:
+        name, ver = m.group(1), int(m.group(2))
+        if name not in catalog.names():
+            return m.group(0)
+        pinned = f"{name}__v{ver}"
+        _read_entry(spark, catalog.get(name), ver)\
+            .createOrReplaceTempView(pinned)
+        return pinned
+
+    text = _VERSION_AS_OF.sub(_pin, text)
+    referenced = {t.text for t in _tokenize(text) if t.kind == "ident"}
+    for name in catalog.names():
+        if name in referenced:
+            _read_entry(spark, catalog.get(name))\
+                .createOrReplaceTempView(name)
+    return spark.sql(text)
+
+
+# ---------------------------------------------------------------------------
+# CREATE MATERIALIZED VIEW — parse the SELECT body, infer the view kind
+# ---------------------------------------------------------------------------
+
+
+class _Item:
+    """One select-list item: ('count',None) | ('sum'|'min'|'max',col)
+    | ('col',name) | ('star',None) | ('expr',src_text) — plus the
+    SQL-declared output alias."""
+
+    def __init__(self, kind, col, alias):
+        self.kind, self.col, self.alias = kind, col, alias
+
+
+def _parse_select_items(cur: _Cursor) -> list[_Item]:
+    items = []
+    while True:
+        t = cur.peek()
+        if t.text == "*":
+            cur.take()
+            items.append(_Item("star", None, None))
+        elif (t.kind == "ident" and t.lower in ("count", "sum", "min",
+                                                "max")
+              and cur.peek(1) is not None and cur.peek(1).text == "("):
+            fn = cur.take().lower
+            cur.expect_op("(")
+            if fn == "count":
+                cur.expect_op("*")
+                col = None
+            else:
+                col = cur.expect_ident()
+            cur.expect_op(")")
+            items.append(_Item(fn, col, _maybe_alias(cur)))
+        elif (t.kind == "ident" and t.lower not in _RESERVED
+              and (cur.peek(1) is None
+                   or cur.peek(1).text in (",",)
+                   or cur.peek(1).lower in ("as", "from"))):
+            items.append(_Item("col", cur.take().text, _maybe_alias(cur)))
+        else:
+            # raw expression: consume tokens to top-level , / AS / FROM
+            depth, start = 0, t.start
+            end = start
+            while cur.peek() is not None:
+                p = cur.peek()
+                if depth == 0 and (p.text == ","
+                                   or (p.kind == "ident"
+                                       and p.lower in ("as", "from"))):
+                    break
+                if p.text == "(":
+                    depth += 1
+                elif p.text == ")":
+                    depth -= 1
+                end = cur.take().end
+            items.append(_Item("expr", cur.text[start:end],
+                               _maybe_alias(cur)))
+        nxt = cur.peek()
+        if nxt is not None and nxt.text == ",":
+            cur.take()
+            continue
+        return items
+
+
+def _maybe_alias(cur: _Cursor) -> str | None:
+    if cur.at_kw("as"):
+        cur.take()
+        return cur.expect_ident()
+    return None
+
+
+def _raw_until(cur: _Cursor, stop_kws: set[str]) -> str:
+    """Verbatim source slice to the next top-level stop keyword."""
+    if cur.done():
+        raise SqlError("expected an expression")
+    start = cur.peek().start
+    end, depth = start, 0
+    while cur.peek() is not None:
+        p = cur.peek()
+        if depth == 0 and p.kind == "ident" and p.lower in stop_kws:
+            break
+        if p.text == "(":
+            depth += 1
+        elif p.text == ")":
+            depth -= 1
+        end = cur.take().end
+    return cur.text[start:end]
+
+
+class _MvPlan:
+    def __init__(self, kind, **kw):
+        self.kind = kind
+        self.__dict__.update(kw)
+
+
+def _parse_mv_body(cur: _Cursor) -> _MvPlan:
+    """Parse the SELECT body of CREATE MATERIALIZED VIEW and classify
+    it into one of the five maintained-view kinds."""
+    cur.expect_kw("select")
+    items = _parse_select_items(cur)
+    cur.expect_kw("from")
+    left = cur.expect_ident()
+    right = how = None
+    on: list[str] = []
+    if cur.at_kw("join", "left", "inner"):
+        kw = cur.take().lower
+        how = "inner"
+        if kw == "left":
+            how = "left"
+            if cur.at_kw("outer"):
+                cur.take()
+            cur.expect_kw("join")
+        elif kw == "inner":
+            cur.expect_kw("join")
+        right = cur.expect_ident()
+        t = cur.take()
+        if t.kind != "ident" or t.lower != "using":
+            raise SqlError(
+                "maintained join views join with USING (col, ...) — "
+                f"ON syntax is not supported; got {t.text!r}")
+        cur.expect_op("(")
+        on = _ident_list(cur)
+        cur.expect_op(")")
+    where = None
+    if cur.at_kw("where"):
+        cur.take()
+        where = _raw_until(cur, {"group", "qualify"})
+    group_by: list[str] = []
+    if cur.at_kw("group"):
+        cur.take()
+        cur.expect_kw("by")
+        group_by = _ident_list(cur)
+    qualify = None
+    if cur.at_kw("qualify"):
+        cur.take()
+        qualify = _parse_qualify(cur)
+    if not cur.done():
+        raise SqlError(f"unexpected trailing tokens: "
+                       f"{cur.text[cur.peek().start:]!r}")
+
+    if qualify is not None:
+        if right is not None or group_by or where is not None:
+            raise SqlError("QUALIFY top-k views take a single source, "
+                           "no WHERE/GROUP BY")
+        return _MvPlan("topk", items=items, source=left, **qualify)
+    if group_by:
+        if where is not None:
+            raise SqlError(
+                "WHERE on an aggregating materialized view is not "
+                "supported — materialize a transform view of the "
+                "filter first and aggregate over it (views compose)")
+        if right is None:
+            return _MvPlan("agg", items=items, source=left,
+                           group_by=group_by)
+        return _MvPlan("join", items=items, left=left, right=right,
+                       on=on, how=how, group_by=group_by)
+    if right is not None:
+        if len(items) != 1 or items[0].kind != "star":
+            raise SqlError("a maintained join TABLE must select * "
+                           "(both sides' columns verbatim)")
+        if where is not None:
+            raise SqlError("WHERE on a maintained join table is not "
+                           "supported — filter a transform view first")
+        return _MvPlan("join_table", left=left, right=right, on=on,
+                       how=how)
+    return _MvPlan("transform", items=items, source=left, where=where)
+
+
+def _parse_qualify(cur: _Cursor) -> dict:
+    """``ROW_NUMBER() OVER (PARTITION BY g... ORDER BY s DESC, k ASC)
+    <= K`` — the one rank shape top-k views maintain."""
+    t = cur.take()
+    if t.lower != "row_number":
+        raise SqlError("QUALIFY supports exactly ROW_NUMBER() OVER "
+                       "(PARTITION BY ... ORDER BY s DESC, key ASC) <= k")
+    cur.expect_op("(")
+    cur.expect_op(")")
+    cur.expect_kw("over")
+    cur.expect_op("(")
+    cur.expect_kw("partition")
+    cur.expect_kw("by")
+    part = _ident_list(cur)
+    cur.expect_kw("order")
+    cur.expect_kw("by")
+    score = cur.expect_ident()
+    cur.expect_kw("desc")
+    cur.expect_op(",")
+    key = cur.expect_ident()
+    cur.expect_kw("asc")
+    cur.expect_op(")")
+    cur.expect_op("<=")
+    k_tok = cur.take()
+    if k_tok.kind != "num" or "." in k_tok.text:
+        raise SqlError(f"top-k bound must be an integer, got "
+                       f"{k_tok.text!r}")
+    return {"part": part, "score": score, "key": key, "k": int(k_tok.text)}
+
+
+def _agg_spec(items: list[_Item], group_by: list[str]) -> dict:
+    """Map parsed select items onto create_[join_]view's
+    (group_cols, sum_cols, minmax_cols) + the alias map canonical→SQL
+    name. Bare columns must equal the GROUP BY list; aggregates become
+    state columns (MIN or MAX alone still maintains the min/max pair —
+    the unrequested twin is hidden by the alias projection)."""
+    bare = [i.col for i in items if i.kind == "col"]
+    if bare != list(group_by):
+        raise SqlError(
+            f"select-list bare columns {bare} must equal the GROUP BY "
+            f"list {list(group_by)} (in order)")
+    sum_cols, minmax_cols, aliases, requested = [], [], {}, []
+    has_count = False
+    for it in items:
+        if it.kind == "col":
+            requested.append(it.col)
+            if it.alias and it.alias != it.col:
+                aliases[it.col] = it.alias
+        elif it.kind == "count":
+            has_count = True
+            requested.append("cnt")
+            if it.alias and it.alias != "cnt":
+                aliases["cnt"] = it.alias
+        elif it.kind in ("sum", "min", "max"):
+            canon = f"{it.kind}_{it.col}"
+            requested.append(canon)
+            if it.alias and it.alias != canon:
+                aliases[canon] = it.alias
+            if it.kind == "sum":
+                if it.col not in sum_cols:
+                    sum_cols.append(it.col)
+            elif it.col not in minmax_cols:
+                minmax_cols.append(it.col)
+        else:
+            raise SqlError(
+                "aggregating views support COUNT(*) / SUM / MIN / MAX "
+                "and the grouping columns — arbitrary expressions "
+                "belong in a transform view underneath")
+    if not has_count:
+        raise SqlError("aggregating views must select COUNT(*) — it is "
+                       "the maintenance anchor (group liveness)")
+    return {"sum_cols": sum_cols, "minmax_cols": minmax_cols,
+            "aliases": aliases, "requested": requested}
+
+
+def _norm_sql(text: str) -> str:
+    return " ".join(text.split())
+
+
+def _transform_name(body_sql: str) -> str:
+    return "sql:" + hashlib.sha256(
+        _norm_sql(body_sql).encode()).hexdigest()[:16]
+
+
+def _transform_fn(items: list[_Item], where: str | None):
+    """The row-local transform a SQL-defined transform view applies:
+    WHERE filter + selectExpr projection. Row-local by construction —
+    every select item is a scalar expression over one input row."""
+    exprs = []
+    for it in items:
+        if it.kind == "star":
+            exprs.append("*")
+        elif it.kind == "col":
+            exprs.append(f"{it.col} AS {it.alias}" if it.alias
+                         else it.col)
+        elif it.kind == "expr":
+            if not it.alias:
+                raise SqlError(
+                    f"expression select items need AS <name>: "
+                    f"{it.src if hasattr(it, 'src') else it.col!r}")
+            exprs.append(f"({it.col}) AS {it.alias}")
+        else:
+            raise SqlError(
+                "aggregate functions need GROUP BY (agg view) — a "
+                "transform view's select list is row-local expressions")
+
+    def fn(df: DataFrame) -> DataFrame:
+        if where is not None:
+            df = df.where(where)
+        return df.selectExpr(*exprs)
+
+    return fn
+
+
+def _create_mv(spark: SparkSession, catalog: Catalog, name: str,
+               opts: dict, plan: _MvPlan, body_sql: str) -> dict:
+    vp = catalog.path_for(name)
+    meta: dict = {"sql": _norm_sql(body_sql)}
+    if plan.kind == "agg":
+        src = catalog.get(plan.source)
+        key = opts.get("key") or src["meta"].get("key")
+        if not key:
+            raise SqlError(
+                "agg views need the source's row-identity column: "
+                "OPTIONS (key='id') on the view or the source table")
+        spec = _agg_spec(plan.items, plan.group_by)
+        MV.create_agg_view(spark, src["path"], vp, key=key,
+                           group_cols=plan.group_by,
+                           sum_cols=spec["sum_cols"],
+                           minmax_cols=spec["minmax_cols"])
+        meta.update(aliases=spec["aliases"], requested=spec["requested"])
+    elif plan.kind == "join":
+        le, re_ = catalog.get(plan.left), catalog.get(plan.right)
+        lk = opts.get("left_key") or le["meta"].get("key")
+        rk = opts.get("right_key") or re_["meta"].get("key")
+        if not (lk and rk):
+            raise SqlError("join views need OPTIONS (left_key='..', "
+                           "right_key='..') or keys declared on both "
+                           "source tables")
+        spec = _agg_spec(plan.items, plan.group_by)
+        MV.create_join_view(spark, le["path"], re_["path"], vp,
+                            on=plan.on, left_key=lk, right_key=rk,
+                            group_cols=plan.group_by,
+                            sum_cols=spec["sum_cols"],
+                            minmax_cols=spec["minmax_cols"],
+                            how=plan.how)
+        meta.update(aliases=spec["aliases"], requested=spec["requested"])
+    elif plan.kind == "join_table":
+        le, re_ = catalog.get(plan.left), catalog.get(plan.right)
+        lk = opts.get("left_key") or le["meta"].get("key")
+        rk = opts.get("right_key") or re_["meta"].get("key")
+        if not (lk and rk):
+            raise SqlError("join tables need OPTIONS (left_key='..', "
+                           "right_key='..') or keys declared on both "
+                           "source tables")
+        MV.create_join_table_view(spark, le["path"], re_["path"], vp,
+                                  on=plan.on, left_key=lk, right_key=rk,
+                                  how=plan.how)
+    elif plan.kind == "topk":
+        src = catalog.get(plan.source)
+        proj = [i.col for i in plan.items if i.kind == "col"]
+        if ([i for i in plan.items if i.kind != "col"]
+                or set(proj) != set(plan.part + [plan.key, plan.score])):
+            raise SqlError(
+                "a top-k view's select list must be exactly the "
+                "partition columns, the key and the score "
+                f"({plan.part + [plan.key, plan.score]}); got {proj}")
+        MV.create_topk_view(spark, src["path"], vp, key=plan.key,
+                            group_cols=plan.part, score_col=plan.score,
+                            k=plan.k)
+    elif plan.kind == "transform":
+        src = catalog.get(plan.source)
+        key = opts.get("key") or src["meta"].get("key")
+        if not key:
+            raise SqlError("transform views need the source's "
+                           "row-identity column: OPTIONS (key='id') "
+                           "or a key declared on the source table")
+        fn = _transform_fn(plan.items, plan.where)
+        MV.create_transform_view(spark, src["path"], vp, key=key,
+                                 transform=fn,
+                                 name=_transform_name(body_sql))
+        meta["key"] = key
+    else:  # pragma: no cover - _parse_mv_body is exhaustive
+        raise SqlError(f"unknown view kind {plan.kind}")
+    catalog.register(name, vp, kind=plan.kind, meta=meta)
+    return {"status": "created", "name": name, "kind": plan.kind,
+            "path": vp}
+
+
+def _mv_transforms(catalog: Catalog) -> dict:
+    """path → (fn, name) for every SQL-defined transform view in the
+    catalog — what refresh_view/refresh_cascade need to advance them."""
+    out = {}
+    for n in catalog.names():
+        e = catalog.get(n)
+        if e["kind"] == "transform" and e["meta"].get("sql"):
+            cur = _Cursor(*_tk(e["meta"]["sql"]))
+            plan = _parse_mv_body(cur)
+            out[e["path"]] = (_transform_fn(plan.items, plan.where),
+                              _transform_name(e["meta"]["sql"]))
+    return out
+
+
+def _tk(text: str):
+    return _tokenize(text), text
+
+
+# ---------------------------------------------------------------------------
+# statement dispatch
+# ---------------------------------------------------------------------------
+
+
+def execute(spark: SparkSession, statement: str, catalog: Catalog):
+    """Run one statement. Returns a DataFrame for SELECT, a dict (or
+    list of dicts) for DDL/metadata statements."""
+    text = statement.strip().rstrip(";").strip()
+    toks = _tokenize(text)
+    if not toks:
+        raise SqlError("empty statement")
+    cur = _Cursor(toks, text)
+    head = toks[0].lower
+
+    if head in ("select", "with"):
+        return _run_select(spark, text, catalog)
+
+    if head == "show":
+        cur.take()
+        cur.expect_kw("tables")
+        return [{"name": n, **{k: catalog.get(n)[k]
+                               for k in ("kind", "path")}}
+                for n in catalog.names()]
+
+    if head == "describe":
+        cur.take()
+        if cur.at_kw("history"):
+            cur.take()
+            return V.history(catalog.get(cur.expect_ident())["path"])
+        if cur.at_kw("cascade"):
+            cur.take()
+            return MV.describe_cascade(
+                catalog.get(cur.expect_ident())["path"])
+        if cur.at_kw("materialized"):
+            cur.take()
+        cur.expect_kw("view")
+        return MV.describe_view(catalog.get(cur.expect_ident())["path"])
+
+    if head == "refresh":
+        cur.take()
+        cur.expect_kw("materialized")
+        cur.expect_kw("view")
+        name = cur.expect_ident()
+        cascade = False
+        if cur.at_kw("cascade"):
+            cur.take()
+            cascade = True
+        if not cur.done():
+            raise SqlError("trailing tokens after REFRESH")
+        path = catalog.get(name)["path"]
+        transforms = _mv_transforms(catalog)
+        if cascade:
+            refreshed = MV.refresh_cascade(spark, path,
+                                           transforms=transforms)
+            return {"status": "refreshed", "name": name,
+                    "refreshed_paths": refreshed}
+        ver = MV.refresh_view(spark, path, transforms=transforms)
+        return {"status": "refreshed", "name": name, "version": ver}
+
+    if head == "create":
+        cur.take()
+        if cur.at_kw("materialized"):
+            cur.take()
+            cur.expect_kw("view")
+            name = cur.expect_ident()
+            opts = _parse_options(cur)
+            cur.expect_kw("as")
+            body = text[cur.peek().start:] if not cur.done() else ""
+            plan = _parse_mv_body(cur)
+            return _create_mv(spark, catalog, name, opts, plan, body)
+        cur.expect_kw("table")
+        name = cur.expect_ident()
+        opts = _parse_options(cur)
+        cur.expect_kw("as")
+        body = text[cur.peek().start:] if not cur.done() else ""
+        df = _run_select(spark, body, catalog)
+        path = catalog.path_for(name)
+        ver = V.create(spark, path, df)
+        catalog.register(name, path, kind="table",
+                         meta={"key": opts.get("key")}
+                         if opts.get("key") else {})
+        return {"status": "created", "name": name, "path": path,
+                "version": ver}
+
+    if head == "insert":
+        cur.take()
+        cur.expect_kw("into")
+        name = cur.expect_ident()
+        body = text[cur.peek().start:] if not cur.done() else ""
+        if not body.lower().startswith(("select", "with", "values")):
+            raise SqlError("INSERT INTO t SELECT ... | VALUES ...")
+        df = _run_select(spark, body, catalog)
+        e = catalog.get(name)
+        target = _read_entry(spark, e).schema
+        if len(df.columns) != len(target):
+            raise SqlError(
+                f"INSERT column count {len(df.columns)} != table "
+                f"{name}'s {len(target)}")
+        # positional alignment (SQL INSERT semantics): VALUES yields
+        # col1/col2/... — rename+cast to the target schema
+        df = df.select(*[
+            F.col(c).cast(f.dataType).alias(f.name)
+            for c, f in zip(df.columns, target.fields)])
+        ver = V.append(spark, e["path"], df)
+        return {"status": "inserted", "name": name, "version": ver}
+
+    if head == "delete":
+        cur.take()
+        cur.expect_kw("from")
+        name = cur.expect_ident()
+        cur.expect_kw("where")
+        pred = text[cur.peek().start:] if not cur.done() else ""
+        if not pred:
+            raise SqlError("DELETE FROM t WHERE <predicate>")
+        e = catalog.get(name)
+        key = e["meta"].get("key")
+        if not key:
+            raise SqlError(
+                f"DELETE needs table {name}'s row-identity column — "
+                f"recreate it with OPTIONS (key='id')")
+        keys = (_read_entry(spark, e).where(pred).select(key))
+        ver = V.delete_rows(spark, e["path"], keys, key)
+        return {"status": "deleted", "name": name, "version": ver}
+
+    if head == "drop":
+        cur.take()
+        if cur.at_kw("materialized"):
+            cur.take()
+            cur.expect_kw("view")
+        else:
+            cur.expect_kw("table")
+        name = cur.expect_ident()
+        e = catalog.unregister(name)
+        spark.catalog.dropTempView(name)  # no stale reads post-drop
+        if os.path.isdir(e["path"]):
+            shutil.rmtree(e["path"])
+        return {"status": "dropped", "name": name}
+
+    if head == "vacuum":
+        cur.take()
+        name = cur.expect_ident()
+        keep = 1
+        if cur.at_kw("keep"):
+            cur.take()
+            t = cur.take()
+            if t.kind != "num" or "." in t.text:
+                raise SqlError("VACUUM t KEEP <int>")
+            keep = int(t.text)
+        e = catalog.get(name)
+        views = [catalog.get(n)["path"] for n in catalog.names()
+                 if catalog.get(n)["kind"] != "table"]
+        deleted = MV.vacuum_source_safely(e["path"], keep_last=keep,
+                                          views=views)
+        return {"status": "vacuumed", "name": name,
+                "deleted_segments": len(deleted)}
+
+    raise SqlError(
+        f"unsupported statement head {toks[0].text!r}; supported: "
+        "SELECT / WITH / CREATE [MATERIALIZED VIEW|TABLE] / REFRESH "
+        "MATERIALIZED VIEW / INSERT INTO / DELETE FROM / DESCRIBE / "
+        "SHOW TABLES / VACUUM / DROP")

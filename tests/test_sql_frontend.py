@@ -1,0 +1,238 @@
+"""SQL frontend (rclip_server_spark/sql.py): every maintained-view
+kind creatable/refreshable/queryable through statements alone, plus
+the table DML surface (CREATE TABLE AS / INSERT / DELETE / VACUUM /
+DROP / DESCRIBE / time travel). Parity oracle: the same computation
+expressed directly on the final source state."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rclip_server_spark import sql as S
+from rclip_server_spark.sources import versioned as V
+
+
+def _rows(df):
+    return sorted((tuple(r) for r in df.collect()),
+                  key=lambda t: tuple((v is None, v) for v in t))
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return S.Catalog(str(tmp_path / "cat"))
+
+
+@pytest.fixture()
+def base(spark, events, cat):
+    """Versioned table `ev` (key declared) holding 2/3 of events."""
+    ev = events.select(
+        "event_id", "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    path = cat.path_for("ev")
+    V.create(spark, path, ev.where(F.col("event_id") % 3 != 2))
+    cat.register("ev", path, meta={"key": "event_id"})
+    return ev
+
+
+def test_create_table_insert_delete_select(spark, events, cat):
+    ev = events.select("event_id", "event_type").limit(0)
+    ev.createOrReplaceTempView("seed_empty")
+    S.execute(spark, "CREATE TABLE t OPTIONS (key='event_id') AS "
+                     "SELECT * FROM seed_empty", cat)
+    r = S.execute(spark, "INSERT INTO t VALUES (1, 'a'), (2, 'b'), "
+                         "(3, 'a')", cat)
+    assert r["status"] == "inserted"
+    S.execute(spark, "DELETE FROM t WHERE event_type = 'b'", cat)
+    got = S.execute(spark, "SELECT event_id, event_type FROM t "
+                           "ORDER BY event_id", cat)
+    assert _rows(got) == [(1, "a"), (3, "a")]
+    # time travel reads the pre-delete version
+    old = S.execute(spark, "SELECT count(*) AS n FROM t "
+                           "VERSION AS OF 2", cat)
+    assert old.collect()[0]["n"] == 3
+
+
+def test_agg_mv_roundtrip_with_aliases(spark, events, cat, base):
+    S.execute(spark, (
+        "CREATE MATERIALIZED VIEW by_type AS "
+        "SELECT event_type, COUNT(*) AS n, SUM(cents) AS total, "
+        "MIN(cents) AS lo FROM ev GROUP BY event_type"), cat)
+    V.append(spark, cat.get("ev")["path"],
+             base.where(F.col("event_id") % 3 == 2))
+    V.delete_rows(spark, cat.get("ev")["path"],
+                  base.where(F.col("event_id") % 11 == 0)
+                  .select("event_id"), "event_id")
+    S.execute(spark, "REFRESH MATERIALIZED VIEW by_type", cat)
+    got = S.execute(spark, "SELECT event_type, n, total, lo "
+                           "FROM by_type", cat)
+    want = (base.where(F.col("event_id") % 11 != 0)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("cents").alias("total"),
+                 F.min("cents").alias("lo")))
+    assert _rows(got) == _rows(want)
+    # nn_* maintenance columns and the unrequested max twin are hidden
+    assert set(got.columns) == {"event_type", "n", "total", "lo"}
+
+
+def test_transform_mv_and_cascade(spark, events, cat, base):
+    S.execute(spark, (
+        "CREATE MATERIALIZED VIEW big AS "
+        "SELECT event_id, event_type, cents * 2 AS cents2 "
+        "FROM ev WHERE cents > 0"), cat)
+    S.execute(spark, (
+        "CREATE MATERIALIZED VIEW big_by_type "
+        "OPTIONS (key='event_id') AS "
+        "SELECT event_type, COUNT(*) AS cnt, SUM(cents2) AS sum_cents2 "
+        "FROM big GROUP BY event_type"), cat)
+    V.append(spark, cat.get("ev")["path"],
+             base.where(F.col("event_id") % 3 == 2))
+    r = S.execute(spark, "REFRESH MATERIALIZED VIEW big_by_type CASCADE",
+                  cat)
+    assert len(r["refreshed_paths"]) == 2  # big first, then the agg
+    got = S.execute(spark, "SELECT event_type, cnt, sum_cents2 "
+                           "FROM big_by_type", cat)
+    want = (base.where(F.col("cents") > 0).groupBy("event_type")
+            .agg(F.count("*").alias("cnt"),
+                 (F.sum(F.col("cents") * 2)).alias("sum_cents2")))
+    assert _rows(got) == _rows(want)
+    desc = S.execute(spark, "DESCRIBE CASCADE big_by_type", cat)
+    assert [d["view_kind"] for d in desc] == ["transform", "agg"]
+    assert all(s["lag"] == 0 for d in desc for s in d["sources"])
+
+
+def test_topk_mv_qualify(spark, events, cat, base):
+    S.execute(spark, (
+        "CREATE MATERIALIZED VIEW top3 AS "
+        "SELECT event_type, event_id, cents FROM ev "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type "
+        "ORDER BY cents DESC, event_id ASC) <= 3"), cat)
+    V.append(spark, cat.get("ev")["path"],
+             base.where(F.col("event_id") % 3 == 2))
+    S.execute(spark, "REFRESH MATERIALIZED VIEW top3", cat)
+    got = S.execute(spark, "SELECT event_type, event_id, cents, rnk "
+                           "FROM top3", cat)
+    from pyspark.sql import Window
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("cents"), F.asc("event_id"))
+    want = (base.select("event_type", "event_id", "cents")
+            .withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= 3))
+    assert _rows(got) == _rows(want)
+
+
+def test_join_mv_inner_and_left(spark, events, cat, base):
+    # dim table: per-user home nation-ish attribute
+    users = (base.select("user_id").distinct()
+             .withColumn("segment",
+                         (F.col("user_id") % 5).cast("long")))
+    users.createOrReplaceTempView("seed_users")
+    S.execute(spark, "CREATE TABLE users OPTIONS (key='user_id') AS "
+                     "SELECT * FROM seed_users", cat)
+    S.execute(spark, (
+        "CREATE MATERIALIZED VIEW seg_stats "
+        "OPTIONS (left_key='event_id', right_key='user_id') AS "
+        "SELECT segment, COUNT(*) AS cnt, SUM(cents) AS sum_cents "
+        "FROM ev JOIN users USING (user_id) GROUP BY segment"), cat)
+    V.append(spark, cat.get("ev")["path"],
+             base.where(F.col("event_id") % 3 == 2))
+    S.execute(spark, "REFRESH MATERIALIZED VIEW seg_stats", cat)
+    got = S.execute(spark, "SELECT segment, cnt, sum_cents "
+                           "FROM seg_stats", cat)
+    want = (base.join(users, "user_id")
+            .groupBy("segment")
+            .agg(F.count("*").alias("cnt"),
+                 F.sum("cents").alias("sum_cents")))
+    assert _rows(got) == _rows(want)
+    # LEFT flavor over a right side missing some users
+    half = users.where(F.col("user_id") % 2 == 0)
+    half.createOrReplaceTempView("seed_half")
+    S.execute(spark, "CREATE TABLE half_users OPTIONS (key='user_id') "
+                     "AS SELECT * FROM seed_half", cat)
+    S.execute(spark, (
+        "CREATE MATERIALIZED VIEW seg_left "
+        "OPTIONS (left_key='event_id', right_key='user_id') AS "
+        "SELECT segment, COUNT(*) AS cnt "
+        "FROM ev LEFT JOIN half_users USING (user_id) "
+        "GROUP BY segment"), cat)
+    got = S.execute(spark, "SELECT segment, cnt FROM seg_left", cat)
+    want = (base.join(half, "user_id", "left").groupBy("segment")
+            .agg(F.count("*").alias("cnt")))
+    assert _rows(got) == _rows(want)
+
+
+def test_join_table_mv(spark, events, cat, base):
+    users = (base.select("user_id").distinct()
+             .withColumn("segment", (F.col("user_id") % 5).cast("long")))
+    users.createOrReplaceTempView("seed_users2")
+    S.execute(spark, "CREATE TABLE u2 OPTIONS (key='user_id') AS "
+                     "SELECT * FROM seed_users2", cat)
+    S.execute(spark, (
+        "CREATE MATERIALIZED VIEW wide "
+        "OPTIONS (left_key='event_id', right_key='user_id') AS "
+        "SELECT * FROM ev JOIN u2 USING (user_id)"), cat)
+    V.append(spark, cat.get("ev")["path"],
+             base.where(F.col("event_id") % 3 == 2))
+    S.execute(spark, "REFRESH MATERIALIZED VIEW wide", cat)
+    got = S.execute(spark, "SELECT event_id, user_id, segment "
+                           "FROM wide", cat)
+    want = base.join(users, "user_id").select(
+        "event_id", "user_id", "segment")
+    assert _rows(got) == _rows(want)
+    assert "_pair_key" not in got.columns
+
+
+def test_vacuum_show_drop_describe(spark, events, cat, base):
+    S.execute(spark, (
+        "CREATE MATERIALIZED VIEW m OPTIONS (key='event_id') AS "
+        "SELECT event_type, COUNT(*) AS cnt FROM ev "
+        "GROUP BY event_type"), cat)
+    V.append(spark, cat.get("ev")["path"],
+             base.where(F.col("event_id") % 3 == 2))
+    # vacuum is clamped to m's cursor: the refresh after it must work
+    S.execute(spark, "VACUUM ev KEEP 1", cat)
+    S.execute(spark, "REFRESH MATERIALIZED VIEW m", cat)
+    d = S.execute(spark, "DESCRIBE MATERIALIZED VIEW m", cat)
+    assert d["view_kind"] == "agg" and d["sources"][0]["lag"] == 0
+    hist = S.execute(spark, "DESCRIBE HISTORY ev", cat)
+    assert [h["version"] for h in hist] == sorted(
+        h["version"] for h in hist)
+    names = {t["name"] for t in S.execute(spark, "SHOW TABLES", cat)}
+    assert {"ev", "m"} <= names
+    S.execute(spark, "DROP MATERIALIZED VIEW m", cat)
+    assert not os.path.isdir(os.path.join(cat.root, "m"))
+    with pytest.raises(Exception):  # SqlError or Spark's not-found
+        S.execute(spark, "SELECT * FROM m", cat).collect()
+
+
+def test_error_shapes(spark, events, cat, base):
+    with pytest.raises(S.SqlError, match="WHERE on an aggregating"):
+        S.execute(spark, "CREATE MATERIALIZED VIEW x AS "
+                         "SELECT event_type, COUNT(*) AS c FROM ev "
+                         "WHERE cents > 0 GROUP BY event_type", cat)
+    with pytest.raises(S.SqlError, match="COUNT"):
+        S.execute(spark, "CREATE MATERIALIZED VIEW x AS "
+                         "SELECT event_type, SUM(cents) AS s FROM ev "
+                         "GROUP BY event_type", cat)
+    with pytest.raises(S.SqlError, match="unknown table"):
+        S.execute(spark, "REFRESH MATERIALIZED VIEW nope", cat)
+    cat.register("ev_nokey", cat.get("ev")["path"])  # no declared key
+    with pytest.raises(S.SqlError, match="row-identity"):
+        S.execute(spark, "CREATE MATERIALIZED VIEW x AS "
+                         "SELECT event_id, cents FROM ev_nokey", cat)
+    with pytest.raises(S.SqlError, match="USING"):
+        S.execute(spark, "CREATE MATERIALIZED VIEW x "
+                         "OPTIONS (left_key='a', right_key='b') AS "
+                         "SELECT * FROM ev JOIN ev ON a = b", cat)
+
+
+def test_catalog_persists_across_instances(spark, events, cat, base):
+    S.execute(spark, (
+        "CREATE MATERIALIZED VIEW kept OPTIONS (key='event_id') AS "
+        "SELECT event_id, cents + 1 AS c1 FROM ev"), cat)
+    V.append(spark, cat.get("ev")["path"],
+             base.where(F.col("event_id") % 3 == 2))
+    cat2 = S.Catalog(cat.root)  # fresh instance, same JSON
+    S.execute(spark, "REFRESH MATERIALIZED VIEW kept", cat2)
+    n = S.execute(spark, "SELECT count(*) AS n FROM kept", cat2)
+    assert n.collect()[0]["n"] == base.count()
