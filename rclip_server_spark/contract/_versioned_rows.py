@@ -984,3 +984,67 @@ _register(
     QUALIFY rnk <= 5
     """,
 )
+
+
+# ===========================================================================
+# Maintained near-dup PAIRS view (sources/neardup_view.py): the banded
+# MinHash pair table kept fresh through appends AND a retracting delete,
+# with the DuckDB twin recomputing the full pipeline over the FINAL doc
+# set — pinning that O(delta) maintenance lands row-identically on the
+# from-scratch pair set (ids, orientation, and exact jaccard).
+# ===========================================================================
+
+from ._dedup_text import _BAND_EQ, _MH_MIN_MATCHES, _SIG_MATCHES, _SHINGLES
+
+
+def _vt_nd_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from ..sources import neardup_view as ND
+    from ..sources import versioned as VT
+
+    view = path + "_view"
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    VT.create(spark, path, docs.where(F.col("doc_id") % 3 != 2))
+    ND.create_near_dup_pairs_view(spark, path, view, key="doc_id",
+                                  threshold=0.7)
+    VT.append(spark, path, docs.where(F.col("doc_id") % 3 == 2))
+    ND.refresh_near_dup_pairs_view(spark, view)  # probe-only interval
+    VT.delete_rows(spark, path,
+                   docs.where(F.col("doc_id") % 7 == 0).select("doc_id"),
+                   "doc_id")
+    ND.refresh_near_dup_pairs_view(spark, view)  # pair retraction
+
+
+def _vt_near_dup_pairs_view(spark: SparkSession, sf: str) -> DataFrame:
+    """Incrementally-maintained near-dup pair table: created over a
+    partial corpus, advanced by an append (Δ-bands probe the maintained
+    band index — new-vs-corpus and new-vs-new pairs only) and a delete
+    (pairs touching deleted docs retracted by delete vector), then read.
+    The oracle recomputes banded-LSH + prefilter + exact Jaccard from
+    scratch on the final corpus."""
+    from ..sources import neardup_view as ND
+
+    path = _vt_build(spark, sf, "ndpairs", _vt_nd_builder)
+    return ND.read_near_dup_pairs_view(spark, path + "_view")
+
+
+_register(
+    "vt_near_dup_pairs_view",
+    _vt_near_dup_pairs_view,
+    f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+    h AS (SELECT doc_id AS id,
+                 list_distinct(list_transform({_SHINGLES}, s -> {hash60_sql('s')})) AS gs,
+                 {_HASHED_SHINGLES} AS hs FROM d),
+    s AS (SELECT id, gs, {_SIG_LIST} AS sig FROM h),
+    cand AS (
+      SELECT a.id AS id_a, c.id AS id_b, a.gs AS gs_a, c.gs AS gs_b
+      FROM s a JOIN s c ON a.id < c.id AND ({_BAND_EQ})
+        AND {_SIG_MATCHES} >= {_MH_MIN_MATCHES})
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(gs_a, gs_b)) AS DOUBLE)
+             / CAST(len(gs_a) + len(gs_b) - len(list_intersect(gs_a, gs_b)) AS DOUBLE) AS jaccard
+      FROM cand)
+    WHERE jaccard >= 0.7
+    """,
+)

@@ -1,0 +1,363 @@
+"""Maintained NEAR-DUP CANDIDATE-PAIRS view: the banded-LSH MinHash
+pair table (id_a, id_b, jaccard) kept incrementally fresh as the
+document corpus ingests — "dedup today's crawl against 100 TB without
+re-pairing the corpus".
+
+The batch-vs-corpus algebra already exists
+(operators/dedup.py:minhash_near_dup_incremental): a new batch's bands
+probe the corpus band index, so pair discovery costs O(batch), never
+O(corpus²). This module turns that one-shot call into a maintained
+view with DELETE retraction:
+
+* two internal TRANSFORM views over the source (each O(changed rows)
+  per refresh, sources/matview.py:create_transform_view):
+    - ``<view>_grams``: (key, gs) — 60-bit hashed shingle sets, the
+      exact-verification payload (stored ONCE per doc, never
+      duplicated across bands);
+    - ``<view>_bands``: (key, band, bh, sig) — the banded signature
+      index the probe equi-joins on (at fleet scale this table is
+      bucketed by (band, bh) so probes are co-located joins).
+* the PAIRS table itself, refreshed per source interval as ONE
+  delete_and_append commit:
+    - retraction: pairs touching a deleted/updated key become a
+      delete vector (found by a broadcast semi-join of the Δ keys
+      against the current pair rows — row volume is the touched
+      pairs, the scan prunes on two key columns);
+    - discovery: the Δ docs' bands probe the refreshed band index —
+      new-vs-corpus and new-vs-new pairs only, with the same
+      first-matching-band dedup + signature-agreement prefilter +
+      exact Jaccard verification as the full pipeline, so the
+      maintained state is row-identical to recomputing
+      minhash_near_dup over the head (the oracle row
+      ``vt_near_dup_pairs_view`` pins exactly that).
+
+Refresh cost is bounded by Δ docs × band collisions — flat in corpus
+size (tools/neardup_scale_proof.py; BASELINE.md). The view registers
+in matview's graph (_VIEW_KINDS "nd_source"), so refresh_view /
+refresh_cascade / describe_view / vacuum_source_safely all dispatch
+to it; a pure insert-only interval needs no function handle at all.
+
+Reference parity: the reference has no incremental dedup (B4 is a
+one-shot SELECT, RS:214-223); this is the scale-path extension the
+LLM-ingest pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+from ..functions.hashing import (
+    hash32_from_md5,
+    hash60_from_md5,
+    minhash_params,
+    minhash_signature_over_hashed,
+)
+from ..operators.dedup import _first_band_only
+from . import matview as M
+from . import versioned as V
+
+PAIR_COL = "_nd_pair"
+_SEP = "\x01"
+GRAMS_SUFFIX = "_grams"
+BANDS_SUFFIX = "_bands"
+
+_RETRACTING = ("delete", "update_preimage")
+_INSERTING = ("insert", "update_post", "update_postimage")
+
+
+def _grams_transform(key: str, text_col: str, shingle_n: int):
+    def fn(df: DataFrame) -> DataFrame:
+        m5 = F.transform(TXT.char_shingles(F.col(text_col), shingle_n),
+                         F.md5)
+        return df.select(
+            key, F.array_distinct(F.transform(m5, hash60_from_md5))
+            .alias("gs"))
+
+    return fn
+
+
+def _bands_transform(key: str, text_col: str, shingle_n: int,
+                     num_hashes: int, bands: int, seed: int):
+    params = minhash_params(num_hashes, seed)
+    rpb = num_hashes // bands
+
+    def fn(df: DataFrame) -> DataFrame:
+        m5 = df.select(
+            key,
+            F.transform(TXT.char_shingles(F.col(text_col), shingle_n),
+                        F.md5).alias("m5"))
+        sig = m5.select(
+            key, F.transform("m5", hash32_from_md5).alias("hs")
+        ).select(key, minhash_signature_over_hashed("hs", params)
+                 .alias("sig"))
+        return sig.select(
+            key, "sig",
+            F.explode(F.array(*[
+                F.struct(F.lit(i).alias("band"),
+                         F.slice("sig", i * rpb + 1, rpb).alias("bh"))
+                for i in range(bands)
+            ])).alias("bk"),
+        ).select(key, F.col("bk.band").alias("band"),
+                 F.col("bk.bh").alias("bh"), "sig")
+
+    return fn
+
+
+def _transform_names(spec: dict) -> tuple[str, str]:
+    tag = (f"{spec['nd_shingle_n']}:{spec['nd_num_hashes']}:"
+           f"{spec['nd_bands']}:{spec['nd_seed']}")
+    return f"nd_grams:{tag}", f"nd_bands:{tag}"
+
+
+def _index_fns(spec: dict):
+    g = _grams_transform(spec["nd_key"], spec["nd_text_col"],
+                         spec["nd_shingle_n"])
+    b = _bands_transform(spec["nd_key"], spec["nd_text_col"],
+                         spec["nd_shingle_n"], spec["nd_num_hashes"],
+                         spec["nd_bands"], spec["nd_seed"])
+    return g, b
+
+
+def _min_matches(num_hashes: int, threshold: float) -> int:
+    # signature-agreement prefilter cut, 4 binomial sd below the
+    # threshold — the same constant minhash_near_dup uses, so the
+    # maintained pair set is row-identical to the one-shot pipeline
+    sd = (threshold * (1.0 - threshold) / num_hashes) ** 0.5
+    return max(0, int(num_hashes * (threshold - 4.0 * sd)))
+
+
+def _verified_pairs(cands: DataFrame, grams: DataFrame, key: str,
+                    threshold: float) -> DataFrame:
+    """Exact Jaccard verification over candidate (id_a, id_b) pairs —
+    join the 60-bit shingle sets on both sides, keep >= threshold."""
+    g = grams.select(F.col(key).alias("_gid"), "gs")
+    joined = (
+        cands
+        .join(g.withColumnRenamed("_gid", "id_a")
+               .withColumnRenamed("gs", "gs_a"), "id_a")
+        .join(g.withColumnRenamed("_gid", "id_b")
+               .withColumnRenamed("gs", "gs_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("gs_a", "gs_b")).cast("double")
+    union = (F.size("gs_a") + F.size("gs_b")).cast("double") - inter
+    return (
+        joined.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _with_pair_col(pairs: DataFrame) -> DataFrame:
+    return pairs.withColumn(
+        PAIR_COL,
+        F.concat(F.col("id_a").cast("string"), F.lit(_SEP),
+                 F.col("id_b").cast("string")))
+
+
+def _full_pairs(band_df: DataFrame, gram_df: DataFrame, spec: dict
+                ) -> DataFrame:
+    """The complete pair set from the index views (create / heal path)
+    — the same plan as minhash_near_dup's self-join, reading the
+    maintained index instead of re-hashing the text."""
+    key = spec["nd_key"]
+    rpb = spec["nd_num_hashes"] // spec["nd_bands"]
+    a, b = band_df.alias("a"), band_df.alias("b")
+    ka, kb = F.col(f"a.{key}"), F.col(f"b.{key}")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh")) & (ka < kb))
+        .where(_first_band_only(F.col("a.sig"), F.col("b.sig"),
+                                F.col("a.band"), rpb))
+        .where(_sig_agree() >= _min_matches(spec["nd_num_hashes"],
+                                            spec["nd_threshold"]))
+        .select(ka.alias("id_a"), kb.alias("id_b"))
+    )
+    return _verified_pairs(cands, gram_df, key, spec["nd_threshold"])
+
+
+def _sig_agree():
+    return F.size(F.filter(
+        F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+        lambda m: m))
+
+
+def _probe_pairs(band_df: DataFrame, gram_df: DataFrame,
+                 ins_keys: DataFrame, spec: dict) -> DataFrame:
+    """Δ-bounded pair discovery: inserted docs' bands (probe side)
+    equi-join the full band index (corpus side, which includes the
+    inserted docs). Orientation rule — corpus-old×new pairs appear in
+    exactly one order (the corpus side is not new), new×new pairs are
+    kept only when corpus key < probe key — so each pair is emitted
+    once; the stored orientation is always (lesser id, greater id)."""
+    key = spec["nd_key"]
+    rpb = spec["nd_num_hashes"] // spec["nd_bands"]
+    ins = F.broadcast(ins_keys.select(F.col(key).alias("_ins_key"))
+                      .distinct())
+    corpus = (band_df.join(ins, band_df[key] == F.col("_ins_key"),
+                           "left")
+              .withColumn("_is_new", F.col("_ins_key").isNotNull())
+              .drop("_ins_key"))
+    probe = band_df.join(
+        F.broadcast(ins_keys.select(F.col(key).alias("_k")).distinct()),
+        band_df[key] == F.col("_k"), "leftsemi")
+    a, b = corpus.alias("a"), probe.alias("b")
+    ka, kb = F.col(f"a.{key}"), F.col(f"b.{key}")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh")) & (ka != kb))
+        .where(~F.col("a._is_new") | (ka < kb))
+        .where(_first_band_only(F.col("a.sig"), F.col("b.sig"),
+                                F.col("a.band"), rpb))
+        .where(_sig_agree() >= _min_matches(spec["nd_num_hashes"],
+                                            spec["nd_threshold"]))
+        .select(F.least(ka, kb).alias("id_a"),
+                F.greatest(ka, kb).alias("id_b"))
+    )
+    return _verified_pairs(cands, gram_df, key, spec["nd_threshold"])
+
+
+def create_near_dup_pairs_view(
+    spark: SparkSession, source_path: str, view_path: str, key: str,
+    text_col: str = "text", shingle_n: int = 5, num_hashes: int = 32,
+    bands: int = 8, threshold: float = 0.7, seed: int = 42,
+) -> int:
+    """Materialize the near-dup pair table over the source's head and
+    record the spec + cursor; the two index transform views are created
+    alongside (``<view>_grams``, ``<view>_bands``). ``key`` must be a
+    unique non-null row identity (the transform-view contract)."""
+    if num_hashes % bands:
+        raise ValueError(f"bands {bands} must divide num_hashes "
+                         f"{num_hashes}")
+    spec = {
+        "nd_source": source_path, "nd_key": key,
+        "nd_text_col": text_col, "nd_shingle_n": int(shingle_n),
+        "nd_num_hashes": int(num_hashes), "nd_bands": int(bands),
+        "nd_threshold": float(threshold), "nd_seed": int(seed),
+    }
+    gname, bname = _transform_names(spec)
+    gfn, bfn = _index_fns(spec)
+    M.create_transform_view(spark, source_path, view_path + GRAMS_SUFFIX,
+                            key=key, transform=gfn, name=gname)
+    M.create_transform_view(spark, source_path, view_path + BANDS_SUFFIX,
+                            key=key, transform=bfn, name=bname)
+    src_v = min(
+        M._spec_tv(view_path + GRAMS_SUFFIX)["tv_source_version"],
+        M._spec_tv(view_path + BANDS_SUFFIX)["tv_source_version"])
+    band_df = M._read_source(spark, view_path + BANDS_SUFFIX)
+    gram_df = M._read_source(spark, view_path + GRAMS_SUFFIX)
+    state = _with_pair_col(_full_pairs(band_df, gram_df, spec))
+    return V.create(spark, view_path, state,
+                    extra={"app": spec | {"nd_source_version": src_v}})
+
+
+def _spec_nd(path: str, version: int | None = None) -> dict:
+    v = V.current_version(path) if version is None else int(version)
+    spec = V._manifest(path, v).get("app") or {}
+    if "nd_source" not in spec:
+        raise ValueError(f"{path} is not a near-dup pairs view "
+                         f"(no nd_source in its manifest app namespace)")
+    return spec
+
+
+def read_near_dup_pairs_view(spark: SparkSession, view_path: str,
+                             version: int | None = None) -> DataFrame:
+    """The pair table at a version (default head), maintenance key
+    hidden."""
+    return V.read(spark, view_path, version).drop(PAIR_COL)
+
+
+def _refresh_indexes(spark: SparkSession, view_path: str, spec: dict,
+                     recompute_fraction: float | None = None) -> int:
+    """Advance both index views to a COMMON source version (re-run on
+    the rare race where the source commits between the two refreshes);
+    returns that version — the interval end the pairs refresh uses."""
+    gname, bname = _transform_names(spec)
+    gfn, bfn = _index_fns(spec)
+    gp, bp = view_path + GRAMS_SUFFIX, view_path + BANDS_SUFFIX
+    for _ in range(5):
+        M.refresh_transform_view_with_retry(
+            spark, gp, gfn, gname, recompute_fraction=recompute_fraction)
+        M.refresh_transform_view_with_retry(
+            spark, bp, bfn, bname, recompute_fraction=recompute_fraction)
+        gv = M._spec_tv(gp)["tv_source_version"]
+        bv = M._spec_tv(bp)["tv_source_version"]
+        if gv == bv:
+            return int(gv)
+    raise RuntimeError(
+        f"index views for {view_path} could not converge on one source "
+        f"version after 5 rounds (source committing continuously?)")
+
+
+def refresh_near_dup_pairs_view(spark: SparkSession, view_path: str,
+                                recompute_fraction: float | None = None,
+                                ) -> int:
+    """Advance the pair table to the source head: refresh the index
+    views (O(changed docs)), retract pairs touching retracted keys,
+    probe the band index with the inserted docs' bands, and publish
+    both as ONE delete_and_append commit (readers see the old pair set
+    or the new one, never a partially-retracted state). A rewriting
+    interval that trips the shared cost model — or a vacuumed/rolled-
+    back source — heals by full recompute from the refreshed indexes
+    (one overwrite, identical rows)."""
+    view_v = V.current_version(view_path)
+    spec = _spec_nd(view_path, view_v)
+    src = spec["nd_source"]
+    v_from = int(spec["nd_source_version"])
+    key = spec["nd_key"]
+    v_to = _refresh_indexes(spark, view_path, spec,
+                            recompute_fraction=recompute_fraction)
+    if v_to == v_from:
+        return view_v
+    band_df = M._read_source(spark, view_path + BANDS_SUFFIX)
+    gram_df = M._read_source(spark, view_path + GRAMS_SUFFIX)
+    new_app = {k: spec[k] for k in spec if k != "nd_source_version"}
+    new_app["nd_source_version"] = v_to
+
+    def _recompute() -> int:
+        state = _with_pair_col(_full_pairs(band_df, gram_df, spec))
+        return V.overwrite(spark, view_path, state,
+                           extra={"app": new_app},
+                           parent_version=view_v)
+
+    recompute, _bounds = M._dispatch_recompute(
+        recompute_fraction, [(src, v_from, v_to)])
+    if recompute:
+        return _recompute()
+    try:
+        ch = M._changes_since_cursor(spark, src, v_from, v_to, key)
+    except RuntimeError:
+        return _recompute()  # vacuumed past the cursor: heal
+    ch = ch.persist()
+    try:
+        del_keys = (ch.where(F.col("_change_type").isin(*_RETRACTING))
+                    .select(key).distinct())
+        ins_keys = (ch.where(F.col("_change_type").isin(*_INSERTING))
+                    .select(key).distinct())
+        cur = V.read(spark, view_path, view_v)
+        dk = F.broadcast(del_keys.withColumnRenamed(key, "_dk"))
+        del_pairs = (
+            cur.join(dk, cur["id_a"] == F.col("_dk"), "leftsemi")
+            .unionByName(
+                cur.join(dk, cur["id_b"] == F.col("_dk"), "leftsemi"))
+            .select(PAIR_COL).distinct()
+        )
+        new_pairs = _with_pair_col(
+            _probe_pairs(band_df, gram_df, ins_keys, spec))
+        return V.delete_and_append(
+            spark, view_path, del_pairs, PAIR_COL, new_pairs,
+            extra={"app": new_app}, parent_version=view_v)
+    finally:
+        ch.unpersist()
+
+
+def refresh_near_dup_pairs_view_with_retry(
+    spark: SparkSession, view_path: str, max_retries: int = 3,
+    recompute_fraction: float | None = None,
+) -> int:
+    """OCC rebase loop (the standard view-refresh retry contract)."""
+    return M._refresh_with_retry(
+        lambda: refresh_near_dup_pairs_view(
+            spark, view_path, recompute_fraction=recompute_fraction),
+        max_retries)
