@@ -1342,6 +1342,13 @@ _VIEW_KINDS = {
                          ("jv_right", "jv_right_version")]),
     "jt_left": ("join_table", [("jt_left", "jt_left_version"),
                                ("jt_right", "jt_right_version")]),
+    # maintained near-dup pair tables (sources/neardup_view.py) join
+    # the graph through the same marker registry: cascade, describe
+    # and cursor-safe vacuum all see them with no extra wiring. The
+    # two internal index views are ordinary transform views refreshed
+    # BY the pairs refresh; their cursors never trail the pairs
+    # cursor, so clamping vacuum to nd_source_version is sufficient.
+    "nd_source": ("near_dup", [("nd_source", "nd_source_version")]),
 }
 
 
@@ -1403,6 +1410,12 @@ def refresh_view(spark: SparkSession, view_path: str,
             spark, view_path, max_retries=max_retries,
             auto_compact=auto_compact,
             compact_threshold=compact_threshold,
+            recompute_fraction=recompute_fraction)
+    if kind == "near_dup":
+        from . import neardup_view as ND  # local: ND imports this module
+
+        return ND.refresh_near_dup_pairs_view_with_retry(
+            spark, view_path, max_retries=max_retries,
             recompute_fraction=recompute_fraction)
     if kind == "transform":
         entry = (transforms or {}).get(view_path)
@@ -1667,6 +1680,94 @@ def _spec_jt(path: str, version: int | None = None) -> dict:
     return spec
 
 
+def _jt_assemble_delta(spark, lsrc, rsrc, on, how, bounds, interval,
+                       persisted):
+    """Stage 1 of the join-table refresh — the interval's RAW signed
+    delta pairs: the aggregate join view's two pair terms (ΔL⋈R_old +
+    L_new⋈ΔR, multiset feeds), plus the null-extension terms for the
+    LEFT flavor, unioned with allowMissingColumns (source schema
+    evolution between the cursors widens one term's delta columns —
+    mergeSchema semantics, the absent side reads NULL). Returns
+    (pairs, ch_r_absent): whether the right change frame was empty is
+    an input to the append-only fast-path decision."""
+    l_from, l_to, r_from, r_to = interval
+    ch_l, ch_r = _delta_change_frames(
+        spark, lsrc, rsrc, l_from, l_to, r_from, r_to, persisted)
+    if bounds is None:
+        bounds = [_change_bound_safe(lsrc, l_from, l_to)
+                  if ch_l is not None else 0,
+                  _change_bound_safe(rsrc, r_from, r_to)
+                  if ch_r is not None else 0]
+    l_bound, r_bound = bounds
+    pair_frames = _delta_pair_frames(
+        spark, lsrc, rsrc, on, ch_l, ch_r, l_bound, r_bound,
+        l_to, r_from)
+    if how == "left":
+        r_fields = _read_source(spark, rsrc, r_to).schema.fields
+        pair_frames = pair_frames + _delta_nullext_frames(
+            spark, lsrc, rsrc, on, r_fields, ch_l, ch_r,
+            l_bound, r_bound, l_to, r_from)
+    pairs = pair_frames[0]
+    for p in pair_frames[1:]:
+        pairs = pairs.unionByName(p, allowMissingColumns=True)
+    return pairs, ch_r is None
+
+
+def _jt_append_only(lsrc, rsrc, interval, how, ch_r_absent) -> bool:
+    """Fast-path gate — a provably append-only interval on BOTH sides
+    (manifest-only check): every CDC row is +1 and no cross-term
+    duplicate pair can exist (term 1 pairs use R_old, term 2 a NEW
+    right row), so the netting shuffle is skipped and the raw pairs
+    commit directly. The LEFT flavor additionally needs the right
+    cursor UNCHANGED: a right append gives keys their first match,
+    which RETRACTS pre-existing null-extension rows (term B emits
+    deletes even though both sources only appended)."""
+    l_from, l_to, r_from, r_to = interval
+    return (_interval_append_only(lsrc, l_from, l_to)
+            and _interval_append_only(rsrc, r_from, r_to)
+            and (how == "inner" or ch_r_absent))
+
+
+def _jt_net_and_split(pairs, lk, rk, persisted):
+    """Stage 2 — NET the raw delta by full row (sum of ±1 per distinct
+    pair content). Load-bearing, not an optimization: in a both-sides-
+    advanced interval a left-insert ⋈ right-deleted-row pair appears
+    as +1 in term 1 and −1 in term 2 with IDENTICAL content, and
+    applying the two un-netted as vector+append would let the appended
+    copy escape the vector's scope (delete_and_append vectors only
+    cover pre-existing segments). After netting, per unique pair key
+    at most one −1 row (the old content) and one +1 row (the new)
+    remain. Returns (ret_keys, ins_rows)."""
+    row_cols = [c for c in pairs.columns if c != "_change_type"]
+    netted = (
+        pairs.groupBy(*row_cols)
+        .agg(F.sum(_signed_change()).alias("_net"))
+        .where(F.col("_net") != 0)
+        .persist()
+    )
+    persisted.append(netted)
+    ret_keys = _with_pair_key(
+        netted.where(F.col("_net") < 0), lk, rk).select(_PAIR_KEY)
+    ins_rows = _with_pair_key(
+        netted.where(F.col("_net") > 0).drop("_net"), lk, rk)
+    return ret_keys, ins_rows
+
+
+def _jt_commit(spark, view_path, ret_keys, ins_rows, new_app, view_v
+               ) -> int:
+    """Stage 3 — ONE commit: −1 rows become the delete vector and +1
+    rows the appended segment (delete_and_append), so updates are
+    replaces and a reader never sees half. Deterministic branch: a
+    rewrite interval whose retractions all netted away still commits
+    a plain append (no vector)."""
+    if ret_keys.limit(1).count():
+        return V.delete_and_append(
+            spark, view_path, ret_keys, _PAIR_KEY, ins_rows,
+            extra={"app": new_app}, parent_version=view_v)
+    return V.append(spark, view_path, ins_rows,
+                    extra={"app": new_app}, parent_version=view_v)
+
+
 def refresh_join_table_view(
     spark: SparkSession, view_path: str,
     auto_compact: bool = False, compact_threshold: int = 32,
@@ -1727,66 +1828,20 @@ def refresh_join_table_view(
                            extra={"app": new_app}, parent_version=view_v)
     persisted = []
     try:
-        ch_l, ch_r = _delta_change_frames(
-            spark, lsrc, rsrc, l_from, l_to, r_from, r_to, persisted)
-        if bounds is None:
-            bounds = [_change_bound_safe(lsrc, l_from, l_to)
-                      if ch_l is not None else 0,
-                      _change_bound_safe(rsrc, r_from, r_to)
-                      if ch_r is not None else 0]
-        l_bound, r_bound = bounds
-        pair_frames = _delta_pair_frames(
-            spark, lsrc, rsrc, on, ch_l, ch_r, l_bound, r_bound,
-            l_to, r_from)
-        if how == "left":
-            r_fields = _read_source(spark, rsrc, r_to).schema.fields
-            pair_frames = pair_frames + _delta_nullext_frames(
-                spark, lsrc, rsrc, on, r_fields, ch_l, ch_r,
-                l_bound, r_bound, l_to, r_from)
-        pairs = pair_frames[0]
-        for p in pair_frames[1:]:
-            # allowMissingColumns: source schema evolution between the
-            # cursors widens one term's delta columns (mergeSchema
-            # semantics — the absent side reads NULL)
-            pairs = pairs.unionByName(p, allowMissingColumns=True)
-        # provably append-only interval on BOTH sides (manifest-only
-        # check): every CDC row is +1 and no cross-term duplicate pair
-        # can exist (term 1 pairs use R_old, term 2 a NEW right row) —
-        # skip the netting shuffle and commit the raw pairs directly.
-        # The LEFT flavor additionally needs the right cursor UNCHANGED:
-        # a right append gives keys their first match, which RETRACTS
-        # pre-existing null-extension rows (term B emits deletes even
-        # though both sources only appended)
-        if _interval_append_only(lsrc, l_from, l_to) and \
-                _interval_append_only(rsrc, r_from, r_to) and \
-                (how == "inner" or ch_r is None):
+        pairs, ch_r_absent = _jt_assemble_delta(
+            spark, lsrc, rsrc, on, how, bounds,
+            (l_from, l_to, r_from, r_to), persisted)
+        if _jt_append_only(lsrc, rsrc, (l_from, l_to, r_from, r_to),
+                           how, ch_r_absent):
             ins_rows = _with_pair_key(
                 pairs.drop("_change_type"), lk, rk)
             out_v = V.append(spark, view_path, ins_rows,
                              extra={"app": new_app}, parent_version=view_v)
         else:
-            row_cols = [c for c in pairs.columns if c != "_change_type"]
-            netted = (
-                pairs.groupBy(*row_cols)
-                .agg(F.sum(_signed_change()).alias("_net"))
-                .where(F.col("_net") != 0)
-                .persist()
-            )
-            persisted.append(netted)
-            ret_keys = _with_pair_key(
-                netted.where(F.col("_net") < 0), lk, rk).select(_PAIR_KEY)
-            ins_rows = _with_pair_key(
-                netted.where(F.col("_net") > 0).drop("_net"), lk, rk)
-            # deterministic branch: a rewrite interval whose retractions
-            # all netted away still commits a plain append (no vector)
-            if ret_keys.limit(1).count():
-                out_v = V.delete_and_append(
-                    spark, view_path, ret_keys, _PAIR_KEY, ins_rows,
-                    extra={"app": new_app}, parent_version=view_v)
-            else:
-                out_v = V.append(spark, view_path, ins_rows,
-                                 extra={"app": new_app},
-                                 parent_version=view_v)
+            ret_keys, ins_rows = _jt_net_and_split(
+                pairs, lk, rk, persisted)
+            out_v = _jt_commit(spark, view_path, ret_keys, ins_rows,
+                               new_app, view_v)
     finally:
         for df in persisted:
             df.unpersist()
