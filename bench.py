@@ -137,6 +137,50 @@ def main() -> None:
         VT.append(spark, jt_l, _fresh_batch())
         MV.refresh_join_table_view(spark, jt)
 
+    # round-9 widening: the LEFT-outer join-view refresh (its
+    # null-extension delta terms are extra plan surface the inner
+    # flavor never exercises) and the view-DAG cascade walk (transform
+    # view feeding an agg view; a regression in the post-order walk or
+    # the per-edge delta would land here first). Own left/base sources
+    # per the same isolation rule as above.
+    jvl_l = os.path.join(vt_tmp, "ord3")
+    jvl = os.path.join(vt_tmp, "jvl")
+    VT.create(spark, jvl_l, orders.withColumn(
+        "custkey",
+        F.when(F.col("custkey") % 5 == 0, F.lit(-1))
+        .otherwise(F.col("custkey"))))  # ~20% unmatched left rows
+    MV.create_join_view(spark, jvl_l, jv_r, jvl, on="custkey",
+                        left_key="o_orderkey", right_key="c_custkey",
+                        group_cols=["c_mktsegment"],
+                        sum_cols=["price_cents"], how="left")
+    cas_b = os.path.join(vt_tmp, "cas_b")
+    cas_t = os.path.join(vt_tmp, "cas_t")
+    cas_a = os.path.join(vt_tmp, "cas_a")
+
+    def _cas_fn(df):
+        return df.select("o_orderkey", "custkey",
+                         (F.col("price_cents") * 2).alias("cents2"))
+
+    VT.create(spark, cas_b, orders)
+    MV.create_transform_view(spark, cas_b, cas_t, key="o_orderkey",
+                             transform=_cas_fn, name="bench_cascade")
+    MV.create_agg_view(spark, cas_t, cas_a, key="o_orderkey",
+                       group_cols=["custkey"], sum_cols=["cents2"])
+    _cas_transforms = {cas_t: (_cas_fn, "bench_cascade")}
+
+    def _jvl_refresh():
+        # batch carries the same ~20% unmatched keys, so the timed
+        # interval exercises the null-extension terms, not just pairs
+        VT.append(spark, jvl_l, _fresh_batch().withColumn(
+            "custkey",
+            F.when(F.col("custkey") % 5 == 0, F.lit(-1))
+            .otherwise(F.col("custkey"))))
+        MV.refresh_join_view(spark, jvl)
+
+    def _cascade_refresh():
+        VT.append(spark, cas_b, _fresh_batch())
+        MV.refresh_cascade(spark, cas_a, transforms=_cas_transforms)
+
     _BLOOM_IDS = [17, 4242, 99177, 123456]
 
     benches = {
@@ -217,6 +261,9 @@ def main() -> None:
         "join_table_refresh_2k": _jt_refresh,
         "bloom_point_lookup": lambda: BX.read_point_lookup(
             spark, bt, "event_id", _BLOOM_IDS).collect(),
+        # round-9 widening: LEFT-outer maintenance + the cascade walk
+        "join_view_left_refresh_2k": _jvl_refresh,
+        "cascade_refresh_2k": _cascade_refresh,
     }
 
     # warm the JVM/IO, the Python UDF workers, AND whole-stage-codegen
