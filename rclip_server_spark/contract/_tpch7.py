@@ -119,8 +119,8 @@ def _vt_compose_builder(spark: SparkSession, sf: str, path: str) -> None:
     MV.create_agg_view(spark, tv, av, key="doc_id", group_cols=["tok"])
     # append-only hop through both views
     VT.append(spark, path, docs.where(F.col("doc_id") % 3 == 2))
-    MV.refresh_transform_view(spark, tv, toks, "toks-v1")
-    MV.refresh_agg_view(spark, av)
+    MV.refresh_transform_view(spark, tv, toks, "toks-v1", recompute_fraction=None)
+    MV.refresh_agg_view(spark, av, recompute_fraction=None)
     # rewrite: every %5 doc's tokens REPLACED (the transform view commits
     # delete_and_append; the agg view must consume that rewrite through
     # the MULTISET diff — the view's key repeats per token row)
@@ -131,14 +131,14 @@ def _vt_compose_builder(spark: SparkSession, sf: str, path: str) -> None:
                            (F.col("doc_id") % 4).cast("string"))
                   .alias("text")),
               "doc_id")
-    MV.refresh_transform_view(spark, tv, toks, "toks-v1")
-    MV.refresh_agg_view(spark, av)
+    MV.refresh_transform_view(spark, tv, toks, "toks-v1", recompute_fraction=None)
+    MV.refresh_agg_view(spark, av, recompute_fraction=None)
     # retraction with per-doc duplicate tokens retracting by multiplicity
     VT.delete_rows(
         spark, path,
         docs.where(F.col("doc_id") % 7 == 0).select("doc_id"), "doc_id")
-    MV.refresh_transform_view(spark, tv, toks, "toks-v1")
-    MV.refresh_agg_view(spark, av)
+    MV.refresh_transform_view(spark, tv, toks, "toks-v1", recompute_fraction=None)
+    MV.refresh_agg_view(spark, av, recompute_fraction=None)
 
 
 def _vt_view_composition(spark: SparkSession, sf: str) -> DataFrame:
@@ -332,8 +332,8 @@ def _vt_distinct_builder(spark: SparkSession, sf: str, path: str) -> None:
     MV.create_agg_view(spark, v1, v2, key="lang", group_cols=["lang"])
 
     def refresh():
-        MV.refresh_agg_view(spark, v1)
-        MV.refresh_agg_view(spark, v2)
+        MV.refresh_agg_view(spark, v1, recompute_fraction=None)
+        MV.refresh_agg_view(spark, v2, recompute_fraction=None)
 
     VT.append(spark, path, docs.where(F.col("doc_id") % 3 == 2))
     refresh()
@@ -398,14 +398,14 @@ def _vt_jt_builder(spark: SparkSession, sf: str, path: str) -> None:
                               left_key="o_orderkey", right_key="c_custkey")
     # left append: delete-free fast refresh
     VT.append(spark, path, orders.where(F.col("o_orderkey") % 4 == 3))
-    MV.refresh_join_table_view(spark, view)
+    MV.refresh_join_table_view(spark, view, recompute_fraction=None)
     # right delete + append in one interval: retractions + fresh pairs
     VT.delete_rows(
         spark, rpath,
         cust.where(F.col("c_custkey") % 7 == 0).select("c_custkey"),
         "c_custkey")
     VT.append(spark, rpath, cust.where(F.col("c_custkey") % 5 == 4))
-    MV.refresh_join_table_view(spark, view)
+    MV.refresh_join_table_view(spark, view, recompute_fraction=None)
 
 
 def _vt_join_table_view(spark: SparkSession, sf: str) -> DataFrame:
@@ -458,14 +458,14 @@ def _vt_latest_builder(spark: SparkSession, sf: str, path: str) -> None:
     MV.create_agg_view(spark, path, view, key="event_id",
                        group_cols=["user_id"], minmax_cols=["pair"])
     VT.append(spark, path, ev.where(F.col("event_id") % 3 == 2))
-    MV.refresh_agg_view(spark, view)
+    MV.refresh_agg_view(spark, view, recompute_fraction=None)
     # retract rows INCLUDING some users' current latest: the affected
     # groups must recompute to the true next-latest
     VT.delete_rows(
         spark, path,
         ev.where(F.col("event_id") % 13 == 0).select("event_id"),
         "event_id")
-    MV.refresh_agg_view(spark, view)
+    MV.refresh_agg_view(spark, view, recompute_fraction=None)
 
 
 def _vt_latest_per_key_view(spark: SparkSession, sf: str) -> DataFrame:

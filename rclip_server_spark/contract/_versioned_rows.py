@@ -145,14 +145,14 @@ def _vt_mv_builder(spark: SparkSession, sf: str, path: str) -> None:
                        group_cols=["event_type"], sum_cols=["value_cents"])
     # append-only refresh (O(new segments) CDC fast path) ...
     VT.append(spark, path, ev.where(F.col("event_id") % 3 == 2))
-    MV.refresh_agg_view(spark, view)
+    MV.refresh_agg_view(spark, view, recompute_fraction=None)
     # ... then a delete-vector retraction (snapshot-diff CDC path with
     # pre-images): the view must land exactly on the post-delete groupBy
     VT.delete_rows(
         spark, path,
         ev.where(F.col("event_id") % 11 == 0).select("event_id"),
         "event_id")
-    MV.refresh_agg_view(spark, view)
+    MV.refresh_agg_view(spark, view, recompute_fraction=None)
 
 
 def _vt_agg_view_refresh(spark: SparkSession, sf: str) -> DataFrame:
@@ -196,12 +196,12 @@ def _vt_mv_minmax_builder(spark: SparkSession, sf: str, path: str) -> None:
                        group_cols=["event_type"], sum_cols=["value_cents"],
                        minmax_cols=["value_cents"])
     VT.append(spark, path, ev.where(F.col("event_id") % 3 == 2))
-    MV.refresh_agg_view(spark, view)  # insert-only: monotone min/max merge
+    MV.refresh_agg_view(spark, view, recompute_fraction=None)  # insert-only: monotone min/max merge
     VT.delete_rows(
         spark, path,
         ev.where(F.col("event_id") % 11 == 0).select("event_id"),
         "event_id")
-    MV.refresh_agg_view(spark, view)  # retraction: affected-group recompute
+    MV.refresh_agg_view(spark, view, recompute_fraction=None)  # retraction: affected-group recompute
 
 
 def _vt_agg_view_minmax(spark: SparkSession, sf: str) -> DataFrame:
@@ -335,11 +335,11 @@ def _vt_sig_index_builder(spark: SparkSession, sf: str, path: str) -> None:
     MV.create_transform_view(spark, path, view, key="doc_id",
                              transform=_sig_transform, name="minhash-sig-v1")
     VT.append(spark, path, docs.where(F.col("doc_id") % 3 == 2))
-    MV.refresh_transform_view(spark, view, _sig_transform, "minhash-sig-v1")
+    MV.refresh_transform_view(spark, view, _sig_transform, "minhash-sig-v1", recompute_fraction=None)
     VT.delete_rows(
         spark, path,
         docs.where(F.col("doc_id") % 17 == 0).select("doc_id"), "doc_id")
-    MV.refresh_transform_view(spark, view, _sig_transform, "minhash-sig-v1")
+    MV.refresh_transform_view(spark, view, _sig_transform, "minhash-sig-v1", recompute_fraction=None)
 
 
 def _vt_signature_index_refresh(spark: SparkSession, sf: str) -> DataFrame:
@@ -385,12 +385,12 @@ def _vt_topk_builder(spark: SparkSession, sf: str, path: str) -> None:
                         group_cols=["event_type"], score_col="value_cents",
                         k=5)
     VT.append(spark, path, ev.where(F.col("event_id") % 3 == 2))
-    MV.refresh_topk_view(spark, view)  # insert-only: k-bounded re-rank
+    MV.refresh_topk_view(spark, view, recompute_fraction=None)  # insert-only: k-bounded re-rank
     VT.delete_rows(
         spark, path,
         ev.where(F.col("event_id") % 11 == 0).select("event_id"),
         "event_id")
-    MV.refresh_topk_view(spark, view)  # retraction: affected-group recompute
+    MV.refresh_topk_view(spark, view, recompute_fraction=None)  # retraction: affected-group recompute
 
 
 def _vt_topk_view_refresh(spark: SparkSession, sf: str) -> DataFrame:
@@ -489,7 +489,7 @@ def _vt_jv_builder(spark: SparkSession, sf: str, path: str) -> None:
                         minmax_cols=["price_cents"])
     # left append: fast-path ΔL ⋈ R_old term
     VT.append(spark, path, orders.where(F.col("o_orderkey") % 4 == 3))
-    MV.refresh_join_view(spark, view)
+    MV.refresh_join_view(spark, view, recompute_fraction=None)
     # right delete + append in ONE interval: snapshot-diff ΔR with
     # retractions, against the pinned NEW left snapshot
     VT.delete_rows(
@@ -497,7 +497,7 @@ def _vt_jv_builder(spark: SparkSession, sf: str, path: str) -> None:
         cust.where(F.col("c_custkey") % 7 == 0).select("c_custkey"),
         "c_custkey")
     VT.append(spark, rpath, cust.where(F.col("c_custkey") % 5 == 4))
-    MV.refresh_join_view(spark, view)
+    MV.refresh_join_view(spark, view, recompute_fraction=None)
 
 
 def _vt_join_view_refresh(spark: SparkSession, sf: str) -> DataFrame:
@@ -564,14 +564,14 @@ def _vt_jvm_builder(spark: SparkSession, sf: str, path: str) -> None:
                         minmax_cols=["price_cents"])
     # left append-only interval (fast-path ΔL ⋈ R_old on the tuple key)
     VT.append(spark, path, orders.where(F.col("o_orderkey") % 4 == 3))
-    MV.refresh_join_view(spark, view)
+    MV.refresh_join_view(spark, view, recompute_fraction=None)
     # right REWRITE interval: delete + append in one refresh
     VT.delete_rows(
         spark, rpath,
         cust.where(F.col("c_custkey") % 7 == 0).select("c_custkey"),
         "c_custkey")
     VT.append(spark, rpath, cust.where(F.col("c_custkey") % 5 == 4))
-    MV.refresh_join_view(spark, view)
+    MV.refresh_join_view(spark, view, recompute_fraction=None)
     # left REWRITE interval: an upsert that changes measure values on
     # existing rows — the delta retracts the old pairs (min/max goes
     # through the pair-level affected-group recompute)
@@ -579,7 +579,7 @@ def _vt_jvm_builder(spark: SparkSession, sf: str, path: str) -> None:
               orders.where(F.col("o_orderkey") % 11 == 0).withColumn(
                   "price_cents", F.col("price_cents") + F.lit(7)),
               "o_orderkey")
-    MV.refresh_join_view(spark, view)
+    MV.refresh_join_view(spark, view, recompute_fraction=None)
 
 
 def _vt_join_view_multikey(spark: SparkSession, sf: str) -> DataFrame:
@@ -648,7 +648,7 @@ def _vt_jvl_builder(spark: SparkSession, sf: str, path: str) -> None:
                         minmax_cols=["price_cents"], how="left")
     # left append: new customers, some with matches, some null-extended
     VT.append(spark, path, cust.where(F.col("c_custkey") % 5 == 4))
-    MV.refresh_join_view(spark, view)
+    MV.refresh_join_view(spark, view, recompute_fraction=None)
     # right rewrite interval with BOTH flip directions: deleting every
     # order of custkey%9==0 ORPHANS those customers (null-extensions
     # appear), while appending orders for previously order-less
@@ -661,7 +661,7 @@ def _vt_jvl_builder(spark: SparkSession, sf: str, path: str) -> None:
     VT.append(spark, rpath,
               orders.where((F.col("o_orderkey") % 3 == 2)
                            & (F.col("custkey") % 4 == 1)))
-    MV.refresh_join_view(spark, view)
+    MV.refresh_join_view(spark, view, recompute_fraction=None)
 
 
 def _vt_join_view_left(spark: SparkSession, sf: str) -> DataFrame:
@@ -725,7 +725,7 @@ def _vt_jtl_builder(spark: SparkSession, sf: str, path: str) -> None:
                               right_key="o_orderkey", how="left")
     # left append-only + right unchanged: the delete-free fast path
     VT.append(spark, path, cust.where(F.col("c_custkey") % 5 == 4))
-    MV.refresh_join_table_view(spark, view)
+    MV.refresh_join_table_view(spark, view, recompute_fraction=None)
     # right rewrite with BOTH flip directions: orphaning deletes
     # (null-extensions restored) + first-match appends (null-extensions
     # replaced by their pair rows) in ONE interval
@@ -737,7 +737,7 @@ def _vt_jtl_builder(spark: SparkSession, sf: str, path: str) -> None:
     VT.append(spark, rpath,
               orders.where((F.col("o_orderkey") % 3 == 2)
                            & (F.col("custkey") % 4 == 1)))
-    MV.refresh_join_table_view(spark, view)
+    MV.refresh_join_table_view(spark, view, recompute_fraction=None)
 
 
 def _vt_join_table_left(spark: SparkSession, sf: str) -> DataFrame:
@@ -807,8 +807,8 @@ def _vt_3way_builder(spark: SparkSession, sf: str, path: str) -> None:
                         group_cols=["n_name"], sum_cols=["price_cents"])
     # fact ingest: ΔA flows A -> jt (append fast path) -> jv (ΔL term)
     VT.append(spark, path, orders.where(F.col("o_orderkey") % 4 == 3))
-    MV.refresh_join_table_view(spark, jt)
-    MV.refresh_join_view(spark, jv)
+    MV.refresh_join_table_view(spark, jt, recompute_fraction=None)
+    MV.refresh_join_view(spark, jv, recompute_fraction=None)
     # dimension rewrite in the MIDDLE hop: deleting customers rewrites
     # the join table (vector+append), and the outer view must consume
     # that rewrite through the multiset diff
@@ -816,14 +816,14 @@ def _vt_3way_builder(spark: SparkSession, sf: str, path: str) -> None:
         spark, cpath,
         cust.where(F.col("c_custkey") % 6 == 0).select("c_custkey"),
         "c_custkey")
-    MV.refresh_join_table_view(spark, jt)
-    MV.refresh_join_view(spark, jv)
+    MV.refresh_join_table_view(spark, jt, recompute_fraction=None)
+    MV.refresh_join_view(spark, jv, recompute_fraction=None)
     # outer-dimension delete: the jv's ΔR term with retractions
     VT.delete_rows(
         spark, npath,
         nat.where(F.col("nationkey") % 5 == 4).select("nationkey"),
         "nationkey")
-    MV.refresh_join_view(spark, jv)
+    MV.refresh_join_view(spark, jv, recompute_fraction=None)
 
 
 def _vt_three_way_join_view(spark: SparkSession, sf: str) -> DataFrame:
@@ -1007,11 +1007,11 @@ def _vt_nd_builder(spark: SparkSession, sf: str, path: str) -> None:
     ND.create_near_dup_pairs_view(spark, path, view, key="doc_id",
                                   threshold=0.7)
     VT.append(spark, path, docs.where(F.col("doc_id") % 3 == 2))
-    ND.refresh_near_dup_pairs_view(spark, view)  # probe-only interval
+    ND.refresh_near_dup_pairs_view(spark, view, recompute_fraction=None)  # probe-only interval
     VT.delete_rows(spark, path,
                    docs.where(F.col("doc_id") % 7 == 0).select("doc_id"),
                    "doc_id")
-    ND.refresh_near_dup_pairs_view(spark, view)  # pair retraction
+    ND.refresh_near_dup_pairs_view(spark, view, recompute_fraction=None)  # pair retraction
 
 
 def _vt_near_dup_pairs_view(spark: SparkSession, sf: str) -> DataFrame:

@@ -141,6 +141,29 @@ def _broadcast_bound_rows(n_key_cols: int = 1) -> int:
         _BROADCAST_KEY_COL_WIDTH * max(int(n_key_cols), 1))
 
 
+# Cost-based refresh dispatch: the incremental path's dominant cost is
+# the CDC read, whose row volume the manifest bounds at zero cost
+# (_change_bound: append-only interval = new rows; rewriting interval =
+# old + new snapshot rows — the multiset diff really does scan both).
+# A full recompute scans the head once, so "bound > fraction × head
+# rows" is a pure row-count model. The shipped DEFAULT is 0.5: the
+# incremental path does roughly two row-passes' work per CDC row (the
+# diff/merge plus the commit) against recompute's one pass over the
+# head, so the row-model crossover sits near bound ≈ head/2 —
+# rewriting intervals (bound ≈ 2 × head) always recompute, append-only
+# intervals stay incremental until one batch exceeds ~half the table
+# (at which point recompute also resets segment accretion for free),
+# and a join view with a small-side rewrite against a large fact stays
+# incremental because the SUM of bounds is compared to the SUM of
+# heads. Local wall-clock cannot refine this constant: at test scale
+# fixed stage floors (~0.3-0.6 s) dominate both paths and recompute
+# "wins" everywhere (tools/fraction_crossover.py, table in
+# BASELINE.md) — the row model is the 100 TB-honest choice. Pass
+# recompute_fraction=None to force pure incremental (what the
+# signed-delta proofs pin), or any other fraction to re-tune.
+_RECOMPUTE_BOUND_FRACTION = 0.5
+
+
 def _retraction_bound(src: str, v_from: int, v_to: int) -> int:
     """Zero-cost (manifest-only, no Spark job) upper bound on the number
     of retracted rows in the refresh interval: an append-only interval
@@ -319,7 +342,7 @@ def create_agg_view(
 
 
 def refresh_agg_view(spark: SparkSession, view_path: str,
-                     recompute_fraction: float | None = None,
+                     recompute_fraction: float | None = _RECOMPUTE_BOUND_FRACTION,
                      ) -> int:
     """Advance the view to the source's head by applying the change feed
     since the recorded cursor (spec read from the view manifest). Returns
@@ -442,7 +465,7 @@ def _refresh_minmax(spark, view_path, view_v, ch, src, v_from, v_to,
 
 def refresh_agg_view_with_retry(
     spark: SparkSession, view_path: str, max_retries: int = 3,
-    recompute_fraction: float | None = None,
+    recompute_fraction: float | None = _RECOMPUTE_BOUND_FRACTION,
 ) -> int:
     """Refresh under the standard optimistic-concurrency rebase loop
     (same contract as versioned.upsert_with_retry): a concurrent
@@ -500,7 +523,7 @@ def create_transform_view(
 def refresh_transform_view(
     spark: SparkSession, view_path: str, transform, name: str,
     auto_compact: bool = False, compact_threshold: int = 32,
-    recompute_fraction: float | None = None,
+    recompute_fraction: float | None = _RECOMPUTE_BOUND_FRACTION,
 ) -> int:
     """Advance a transform view to the source head by the change feed, as
     ONE commit: retracted keys (delete / update_preimage) become a DELETE
@@ -592,7 +615,7 @@ def refresh_transform_view_with_retry(
     spark: SparkSession, view_path: str, transform, name: str,
     max_retries: int = 3,
     auto_compact: bool = False, compact_threshold: int = 32,
-    recompute_fraction: float | None = None,
+    recompute_fraction: float | None = _RECOMPUTE_BOUND_FRACTION,
 ) -> int:
     """OCC rebase loop for concurrent transform-view refreshers (same
     contract as refresh_agg_view_with_retry): the loser re-reads the
@@ -672,7 +695,7 @@ def _topk_of(df: DataFrame, group_cols: list[str], key: str,
 
 
 def refresh_topk_view(spark: SparkSession, view_path: str,
-                      recompute_fraction: float | None = None) -> int:
+                      recompute_fraction: float | None = _RECOMPUTE_BOUND_FRACTION) -> int:
     """Advance a top-k view to the source head (one-consistent-read +
     OCC-pinned commit, the refresh_agg_view contract).
     ``recompute_fraction`` is the same cost-based dispatch as
@@ -753,7 +776,7 @@ def refresh_topk_view(spark: SparkSession, view_path: str,
 
 def refresh_topk_view_with_retry(
     spark: SparkSession, view_path: str, max_retries: int = 3,
-    recompute_fraction: float | None = None,
+    recompute_fraction: float | None = _RECOMPUTE_BOUND_FRACTION,
 ) -> int:
     """OCC rebase loop for concurrent top-k refreshers (the standard
     contract: the loser re-reads the advanced cursor)."""
@@ -1046,24 +1069,6 @@ def _spec_jv(path: str, version: int | None = None) -> dict:
     return spec
 
 
-# Cost-based refresh dispatch: the incremental path's dominant cost is
-# the CDC read, whose row volume the manifest bounds at zero cost
-# (_change_bound: append-only interval = new rows; rewriting interval =
-# old + new snapshot rows — the multiset diff really does scan both).
-# A full recompute scans the head once. So "bound > fraction × head
-# rows" with fraction 1.0 literally reads "the CDC would touch more
-# rows than recomputing from scratch" — append-only intervals NEVER
-# trip it (their delta is a subset of the head), rewriting intervals
-# trip it unless the other join side's size keeps the total down.
-# tools/matview_scale_proof.py carries the measured crossover table.
-# The refreshers DEFAULT to recompute_fraction=None (pure incremental):
-# the oracle rows and the test suite prove the signed-delta machinery,
-# and a cost default would silently flip rewriting-interval proofs to
-# the recompute path. Production refresh schedulers pass
-# _RECOMPUTE_BOUND_FRACTION explicitly (or their own fraction).
-_RECOMPUTE_BOUND_FRACTION = 1.0
-
-
 def _head_rows(src: str, v_to: int) -> int:
     return V._manifest_row_count(src, V._manifest(src, v_to))
 
@@ -1143,7 +1148,7 @@ def _should_recompute(fraction, bounds_and_heads) -> bool:
 
 
 def refresh_join_view(spark: SparkSession, view_path: str,
-                      recompute_fraction: float | None = None) -> int:
+                      recompute_fraction: float | None = _RECOMPUTE_BOUND_FRACTION) -> int:
     """Advance a join view to both sources' heads by the SIGNED DELTA
     RULE — with L1/R1 the snapshots at the cursors and L2/R2 at the
     heads:
@@ -1317,7 +1322,7 @@ def _spec_pair_cols(df: DataFrame, group_cols, sum_cols,
 
 def refresh_join_view_with_retry(
     spark: SparkSession, view_path: str, max_retries: int = 3,
-    recompute_fraction: float | None = None,
+    recompute_fraction: float | None = _RECOMPUTE_BOUND_FRACTION,
 ) -> int:
     """OCC rebase loop for concurrent join-view refreshers (the standard
     contract: the loser re-reads BOTH advanced cursors)."""
@@ -1377,7 +1382,7 @@ def _view_kind(path: str) -> str | None:
 
 def refresh_view(spark: SparkSession, view_path: str,
                  transforms: dict | None = None,
-                 recompute_fraction: float | None = None,
+                 recompute_fraction: float | None = _RECOMPUTE_BOUND_FRACTION,
                  max_retries: int = 3,
                  auto_compact: bool = False,
                  compact_threshold: int = 32) -> int:
@@ -1466,7 +1471,7 @@ def _walk_views_post_order(view_path: str):
 
 def refresh_cascade(spark: SparkSession, view_path: str,
                     transforms: dict | None = None,
-                    recompute_fraction: float | None = None,
+                    recompute_fraction: float | None = _RECOMPUTE_BOUND_FRACTION,
                     max_retries: int = 3,
                     auto_compact: bool = False,
                     compact_threshold: int = 32) -> list[str]:
@@ -1771,7 +1776,7 @@ def _jt_commit(spark, view_path, ret_keys, ins_rows, new_app, view_v
 def refresh_join_table_view(
     spark: SparkSession, view_path: str,
     auto_compact: bool = False, compact_threshold: int = 32,
-    recompute_fraction: float | None = None,
+    recompute_fraction: float | None = _RECOMPUTE_BOUND_FRACTION,
 ) -> int:
     """Advance a join TABLE view to both sources' heads: the same signed
     delta rule as the aggregate join view (ΔL⋈R_old + L_new⋈ΔR, multiset
@@ -1856,7 +1861,7 @@ def refresh_join_table_view(
 def refresh_join_table_view_with_retry(
     spark: SparkSession, view_path: str, max_retries: int = 3,
     auto_compact: bool = False, compact_threshold: int = 32,
-    recompute_fraction: float | None = None,
+    recompute_fraction: float | None = _RECOMPUTE_BOUND_FRACTION,
 ) -> int:
     """OCC rebase loop for concurrent join-table refreshers."""
     return _refresh_with_retry(

@@ -290,9 +290,10 @@ def _refresh_indexes(spark: SparkSession, view_path: str, spec: dict,
         f"version after 5 rounds (source committing continuously?)")
 
 
-def refresh_near_dup_pairs_view(spark: SparkSession, view_path: str,
-                                recompute_fraction: float | None = None,
-                                ) -> int:
+def refresh_near_dup_pairs_view(
+        spark: SparkSession, view_path: str,
+        recompute_fraction: float | None = M._RECOMPUTE_BOUND_FRACTION,
+) -> int:
     """Advance the pair table to the source head: refresh the index
     views (O(changed docs)), retract pairs touching retracted keys,
     probe the band index with the inserted docs' bands, and publish
@@ -354,7 +355,7 @@ def refresh_near_dup_pairs_view(spark: SparkSession, view_path: str,
 
 def refresh_near_dup_pairs_view_with_retry(
     spark: SparkSession, view_path: str, max_retries: int = 3,
-    recompute_fraction: float | None = None,
+    recompute_fraction: float | None = M._RECOMPUTE_BOUND_FRACTION,
 ) -> int:
     """OCC rebase loop (the standard view-refresh retry contract)."""
     return M._refresh_with_retry(

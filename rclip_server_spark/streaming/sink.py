@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import os
 
+from ..sources.matview import _RECOMPUTE_BOUND_FRACTION as _MV_DEFAULT_FRACTION
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -306,7 +308,7 @@ def start_view_cascade_refresh_stream(
     spark: SparkSession, view_path: str,
     checkpoint_dir: str | None = None,
     transforms: dict | None = None,
-    recompute_fraction: float | None = None,
+    recompute_fraction: float | None = _MV_DEFAULT_FRACTION,
     auto_compact: bool = False, compact_threshold: int = 32,
 ):
     """Continuous maintenance for a whole VIEW COMPOSITION CHAIN: one

@@ -59,9 +59,12 @@ def test_registry_invariants():
     for prefix in ("a", "b", "ev_", "samp_", "text_",
                    "rel_", "ann_", "sketch_", "d1_"):
         assert any(n.startswith(prefix) for n in window), prefix
-    # everything in the window except D1 (rows-only by design) has an oracle
-    assert [n for n in C._PRIORITY if n not in o] == [
-        "d1_embed_documents_distributed"
+    # everything in the window has an oracle except the NAMED rows-only
+    # rows (no SQL twin by design: the pandas-UDF embedder, and the r9
+    # recency picks the r8 verdict asked for — k-means/RNG-seeded PQ-ADC
+    # and the iterative Gramian; the driver records rows-only cells)
+    assert sorted(n for n in C._PRIORITY if n not in o) == [
+        "ann_pq_adc_topk", "d1_embed_documents_distributed", "vec_gramian",
     ]
 
 

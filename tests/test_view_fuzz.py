@@ -114,7 +114,9 @@ def test_view_layer_random_sequences(spark, tmp_path, seed):
     i = int(seed[3:])
     rng = random.Random(1000 + i)
     kind = i % 6
-    frac = rng.choice([None, None, 1.0])  # dispatch fuzzed in too
+    # dispatch fuzzed in: pure incremental, the SHIPPED default
+    # (0.5), and the legacy always-compare bound
+    frac = rng.choice([None, None, MV._RECOMPUTE_BOUND_FRACTION, 1.0])
 
     def rand_a(j):
         return (j, rng.choice(KEYS), rng.choice(GROUPS),
