@@ -57,6 +57,11 @@ FLOOR_SEC = {
     # cycle; the lookup is driver-side prune + surviving-segment read)
     "join_view_refresh_2k": 0.915, "join_table_refresh_2k": 0.596,
     "bloom_point_lookup": 0.112,
+    # round-9 first-committed floors (idle best-of-2, 2026-08-15):
+    # the LEFT-outer refresh pays the null-extension delta terms on
+    # top of the pair terms; the cascade row is TWO chained refreshes
+    # (transform + agg) plus the post-order walk's manifest reads
+    "join_view_left_refresh_2k": 1.392, "cascade_refresh_2k": 1.185,
 }
 R3_FLOOR_SEC = FLOOR_SEC  # legacy alias
 

@@ -193,15 +193,17 @@ def _probe_pairs(band_df: DataFrame, gram_df: DataFrame,
     once; the stored orientation is always (lesser id, greater id)."""
     key = spec["nd_key"]
     rpb = spec["nd_num_hashes"] // spec["nd_bands"]
+    # ONE broadcast and ONE pass over the band index: the Δ-key flag
+    # join serves both sides — the probe side is the flagged frame
+    # filtered to the new keys (no second semi-join / second broadcast
+    # on the hot refresh path)
     ins = F.broadcast(ins_keys.select(F.col(key).alias("_ins_key"))
                       .distinct())
     corpus = (band_df.join(ins, band_df[key] == F.col("_ins_key"),
                            "left")
               .withColumn("_is_new", F.col("_ins_key").isNotNull())
               .drop("_ins_key"))
-    probe = band_df.join(
-        F.broadcast(ins_keys.select(F.col(key).alias("_k")).distinct()),
-        band_df[key] == F.col("_k"), "leftsemi")
+    probe = corpus.where(F.col("_is_new")).drop("_is_new")
     a, b = corpus.alias("a"), probe.alias("b")
     ka, kb = F.col(f"a.{key}"), F.col(f"b.{key}")
     cands = (
@@ -242,11 +244,14 @@ def create_near_dup_pairs_view(
                             key=key, transform=gfn, name=gname)
     M.create_transform_view(spark, source_path, view_path + BANDS_SUFFIX,
                             key=key, transform=bfn, name=bname)
-    src_v = min(
-        M._spec_tv(view_path + GRAMS_SUFFIX)["tv_source_version"],
-        M._spec_tv(view_path + BANDS_SUFFIX)["tv_source_version"])
-    band_df = M._read_source(spark, view_path + BANDS_SUFFIX)
-    gram_df = M._read_source(spark, view_path + GRAMS_SUFFIX)
+    # converge the two index views on ONE source version (a source
+    # commit can race between the two creates) and PIN the reads at
+    # the index versions whose cursors were verified — reading the
+    # index heads here would materialize pairs past the recorded
+    # cursor, which the first refresh would then re-append
+    src_v, gv, bv = _refresh_indexes(spark, view_path, spec)
+    band_df = M._read_source(spark, view_path + BANDS_SUFFIX, bv)
+    gram_df = M._read_source(spark, view_path + GRAMS_SUFFIX, gv)
     state = _with_pair_col(_full_pairs(band_df, gram_df, spec))
     return V.create(spark, view_path, state,
                     extra={"app": spec | {"nd_source_version": src_v}})
@@ -269,10 +274,16 @@ def read_near_dup_pairs_view(spark: SparkSession, view_path: str,
 
 
 def _refresh_indexes(spark: SparkSession, view_path: str, spec: dict,
-                     recompute_fraction: float | None = None) -> int:
+                     recompute_fraction: float | None = None
+                     ) -> tuple[int, int, int]:
     """Advance both index views to a COMMON source version (re-run on
-    the rare race where the source commits between the two refreshes);
-    returns that version — the interval end the pairs refresh uses."""
+    the rare race where the source commits between the two refreshes).
+    Returns ``(src_v, grams_view_version, bands_view_version)`` — the
+    interval end AND the index versions whose cursors equal it, so the
+    caller reads the indexes PINNED (one consistent read): reading the
+    index heads instead would let a concurrent refresher's later
+    commit leak future docs into this interval's probe, and the next
+    refresh would re-discover (duplicate) those pairs."""
     gname, bname = _transform_names(spec)
     gfn, bfn = _index_fns(spec)
     gp, bp = view_path + GRAMS_SUFFIX, view_path + BANDS_SUFFIX
@@ -281,10 +292,11 @@ def _refresh_indexes(spark: SparkSession, view_path: str, spec: dict,
             spark, gp, gfn, gname, recompute_fraction=recompute_fraction)
         M.refresh_transform_view_with_retry(
             spark, bp, bfn, bname, recompute_fraction=recompute_fraction)
-        gv = M._spec_tv(gp)["tv_source_version"]
-        bv = M._spec_tv(bp)["tv_source_version"]
+        gvv, bvv = V.current_version(gp), V.current_version(bp)
+        gv = M._spec_tv(gp, gvv)["tv_source_version"]
+        bv = M._spec_tv(bp, bvv)["tv_source_version"]
         if gv == bv:
-            return int(gv)
+            return int(gv), gvv, bvv
     raise RuntimeError(
         f"index views for {view_path} could not converge on one source "
         f"version after 5 rounds (source committing continuously?)")
@@ -307,12 +319,15 @@ def refresh_near_dup_pairs_view(
     src = spec["nd_source"]
     v_from = int(spec["nd_source_version"])
     key = spec["nd_key"]
-    v_to = _refresh_indexes(spark, view_path, spec,
-                            recompute_fraction=recompute_fraction)
+    v_to, gv, bv = _refresh_indexes(spark, view_path, spec,
+                                    recompute_fraction=recompute_fraction)
     if v_to == v_from:
         return view_v
-    band_df = M._read_source(spark, view_path + BANDS_SUFFIX)
-    gram_df = M._read_source(spark, view_path + GRAMS_SUFFIX)
+    # PINNED index reads at the versions whose cursors == v_to: a
+    # concurrent refresher advancing the shared indexes must not leak
+    # future docs into this interval's probe (duplicate-pair hazard)
+    band_df = M._read_source(spark, view_path + BANDS_SUFFIX, bv)
+    gram_df = M._read_source(spark, view_path + GRAMS_SUFFIX, gv)
     new_app = {k: spec[k] for k in spec if k != "nd_source_version"}
     new_app["nd_source_version"] = v_to
 

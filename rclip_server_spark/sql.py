@@ -107,6 +107,15 @@ class Catalog:
         if not _IDENT_RE.match(name) or name.lower() in _RESERVED:
             raise SqlError(f"{name!r} is not a legal table name "
                            f"(identifier, not a reserved word)")
+        # Spark resolves temp views case-insensitively, so names that
+        # collide on lowercase would shadow each other at read time —
+        # reject at declaration, where the operator can still rename
+        clash = next((n for n in self._entries
+                      if n.lower() == name.lower() and n != name), None)
+        if clash:
+            raise SqlError(f"{name!r} collides with registered "
+                           f"{clash!r} (names resolve case-"
+                           f"insensitively, like Spark SQL)")
         self._entries[name] = {"path": os.path.abspath(path),
                                "kind": kind, "meta": meta or {}}
         self._save()
@@ -120,6 +129,9 @@ class Catalog:
 
     def get(self, name: str) -> dict:
         e = self._entries.get(name)
+        if e is None:  # case-insensitive fallback, like Spark SQL
+            e = next((v for n, v in self._entries.items()
+                      if n.lower() == name.lower()), None)
         if e is None:
             raise SqlError(
                 f"unknown table or view: {name} "
@@ -264,11 +276,18 @@ def _read_entry(spark: SparkSession, entry: dict,
     non-canonical SQL aliases gets its declared output names back."""
     df = MV._read_source(spark, entry["path"], version)
     hide = [c for c in df.columns
-            if c == "_pair_key"
+            if c in ("_pair_key", "_nd_pair")
             or (c.startswith("nn_") and f"sum_{c[3:]}" in df.columns)]
     if hide:
         df = df.drop(*hide)
-    aliases = entry.get("meta", {}).get("aliases") or {}
+    meta = entry.get("meta", {})
+    requested = meta.get("requested")
+    if requested:
+        # project to the DECLARED SQL output: asking MIN(x) alone still
+        # maintains the min/max pair, but the unrequested twin is state,
+        # not schema — it must not leak into SELECT *
+        df = df.select(*[c for c in requested if c in df.columns])
+    aliases = meta.get("aliases") or {}
     if aliases:  # canonical state name -> SQL-declared output name
         df = df.select(*[F.col(c).alias(aliases.get(c, c))
                          for c in df.columns])
@@ -288,9 +307,12 @@ def _run_select(spark: SparkSession, text: str, catalog: Catalog
     statement text to spark.sql — full Spark SQL composes over
     maintained state."""
 
+    by_lower = {n.lower(): n for n in catalog.names()}
+
     def _pin(m: re.Match) -> str:
-        name, ver = m.group(1), int(m.group(2))
-        if name not in catalog.names():
+        name = by_lower.get(m.group(1).lower())
+        ver = int(m.group(2))
+        if name is None:
             return m.group(0)
         pinned = f"{name}__v{ver}"
         _read_entry(spark, catalog.get(name), ver)\
@@ -298,9 +320,15 @@ def _run_select(spark: SparkSession, text: str, catalog: Catalog
         return pinned
 
     text = _VERSION_AS_OF.sub(_pin, text)
-    referenced = {t.text for t in _tokenize(text) if t.kind == "ident"}
+    # name discovery is a LENIENT regex scan, case-insensitive like
+    # Spark's own resolution: the statement may use the full Spark SQL
+    # surface (backticks, double quotes, :: casts...) that the DDL
+    # mini-tokenizer has no business parsing — Spark, not this module,
+    # judges the SELECT's syntax
+    referenced = {m.group(0).lower()
+                  for m in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", text)}
     for name in catalog.names():
-        if name in referenced:
+        if name.lower() in referenced:
             _read_entry(spark, catalog.get(name))\
                 .createOrReplaceTempView(name)
     return spark.sql(text)
@@ -679,6 +707,50 @@ def _tk(text: str):
     return _tokenize(text), text
 
 
+def _writable_table(catalog: Catalog, name: str, verb: str) -> dict:
+    """DML targets must be BASE tables: a maintained view's state is
+    owned by its refresher — an INSERT/DELETE behind the cursor's back
+    would silently diverge the view from its declared SQL forever."""
+    e = catalog.get(name)
+    if e["kind"] != "table":
+        raise SqlError(
+            f"{verb} targets a base table; {name} is a materialized "
+            f"view ({e['kind']}) — mutate its SOURCES and run REFRESH "
+            f"MATERIALIZED VIEW {name}")
+    return e
+
+
+def _insert(spark: SparkSession, catalog: Catalog, name: str,
+            body: str) -> dict:
+    df = _run_select(spark, body, catalog)
+    e = _writable_table(catalog, name, "INSERT INTO")
+    target = _read_entry(spark, e).schema
+    if len(df.columns) != len(target):
+        raise SqlError(
+            f"INSERT column count {len(df.columns)} != table "
+            f"{name}'s {len(target)}")
+    # positional alignment (SQL INSERT semantics): VALUES yields
+    # col1/col2/... — rename+cast to the target schema
+    df = df.select(*[
+        F.col(c).cast(f.dataType).alias(f.name)
+        for c, f in zip(df.columns, target.fields)])
+    ver = V.append(spark, e["path"], df)
+    return {"status": "inserted", "name": name, "version": ver}
+
+
+def _delete(spark: SparkSession, catalog: Catalog, name: str,
+            pred: str) -> dict:
+    e = _writable_table(catalog, name, "DELETE FROM")
+    key = e["meta"].get("key")
+    if not key:
+        raise SqlError(
+            f"DELETE needs table {name}'s row-identity column — "
+            f"recreate it with OPTIONS (key='id')")
+    keys = _read_entry(spark, e).where(pred).select(key)
+    ver = V.delete_rows(spark, e["path"], keys, key)
+    return {"status": "deleted", "name": name, "version": ver}
+
+
 # ---------------------------------------------------------------------------
 # statement dispatch
 # ---------------------------------------------------------------------------
@@ -688,14 +760,58 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
     """Run one statement. Returns a DataFrame for SELECT, a dict (or
     list of dicts) for DDL/metadata statements."""
     text = statement.strip().rstrip(";").strip()
-    toks = _tokenize(text)
-    if not toks:
+    head_m = re.match(r"[A-Za-z_][A-Za-z0-9_]*", text)
+    if not head_m:
         raise SqlError("empty statement")
-    cur = _Cursor(toks, text)
-    head = toks[0].lower
+    head = head_m.group(0).lower()
 
-    if head in ("select", "with"):
+    # reads delegate to Spark SQL untokenized — the DDL mini-grammar
+    # must never reject syntax that Spark accepts
+    if head in ("select", "with", "values"):
         return _run_select(spark, text, catalog)
+
+    # statements whose BODY is arbitrary Spark SQL are split by regex
+    # (header) + delegation (body) for the same reason
+    if head == "insert":
+        m = re.match(r"insert\s+into\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.+)$",
+                     text, re.IGNORECASE | re.DOTALL)
+        if not m or not m.group(2).lower().lstrip().startswith(
+                ("select", "with", "values")):
+            raise SqlError("INSERT INTO t SELECT ... | VALUES ...")
+        return _insert(spark, catalog, m.group(1), m.group(2))
+
+    if head == "delete":
+        m = re.match(
+            r"delete\s+from\s+([A-Za-z_][A-Za-z0-9_]*)\s+where\s+(.+)$",
+            text, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise SqlError("DELETE FROM t WHERE <predicate>")
+        return _delete(spark, catalog, m.group(1), m.group(2))
+
+    if head == "create" and re.match(r"create\s+table\b", text,
+                                     re.IGNORECASE):
+        m = re.match(
+            r"create\s+table\s+([A-Za-z_][A-Za-z0-9_]*)\s*"
+            r"(options\s*\([^)]*\))?\s*as\s+(.+)$",
+            text, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise SqlError("CREATE TABLE name [OPTIONS (...)] AS SELECT")
+        opts = {}
+        if m.group(2):
+            opts = _parse_options(_Cursor(_tokenize(m.group(2)),
+                                          m.group(2)))
+        df = _run_select(spark, m.group(3), catalog)
+        name = m.group(1)
+        path = catalog.path_for(name)
+        ver = V.create(spark, path, df)
+        catalog.register(name, path, kind="table",
+                         meta={"key": opts.get("key")}
+                         if opts.get("key") else {})
+        return {"status": "created", "name": name, "path": path,
+                "version": ver}
+
+    toks = _tokenize(text)
+    cur = _Cursor(toks, text)
 
     if head == "show":
         cur.take()
@@ -750,59 +866,8 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
             body = text[cur.peek().start:] if not cur.done() else ""
             plan = _parse_mv_body(cur)
             return _create_mv(spark, catalog, name, opts, plan, body)
-        cur.expect_kw("table")
-        name = cur.expect_ident()
-        opts = _parse_options(cur)
-        cur.expect_kw("as")
-        body = text[cur.peek().start:] if not cur.done() else ""
-        df = _run_select(spark, body, catalog)
-        path = catalog.path_for(name)
-        ver = V.create(spark, path, df)
-        catalog.register(name, path, kind="table",
-                         meta={"key": opts.get("key")}
-                         if opts.get("key") else {})
-        return {"status": "created", "name": name, "path": path,
-                "version": ver}
-
-    if head == "insert":
-        cur.take()
-        cur.expect_kw("into")
-        name = cur.expect_ident()
-        body = text[cur.peek().start:] if not cur.done() else ""
-        if not body.lower().startswith(("select", "with", "values")):
-            raise SqlError("INSERT INTO t SELECT ... | VALUES ...")
-        df = _run_select(spark, body, catalog)
-        e = catalog.get(name)
-        target = _read_entry(spark, e).schema
-        if len(df.columns) != len(target):
-            raise SqlError(
-                f"INSERT column count {len(df.columns)} != table "
-                f"{name}'s {len(target)}")
-        # positional alignment (SQL INSERT semantics): VALUES yields
-        # col1/col2/... — rename+cast to the target schema
-        df = df.select(*[
-            F.col(c).cast(f.dataType).alias(f.name)
-            for c, f in zip(df.columns, target.fields)])
-        ver = V.append(spark, e["path"], df)
-        return {"status": "inserted", "name": name, "version": ver}
-
-    if head == "delete":
-        cur.take()
-        cur.expect_kw("from")
-        name = cur.expect_ident()
-        cur.expect_kw("where")
-        pred = text[cur.peek().start:] if not cur.done() else ""
-        if not pred:
-            raise SqlError("DELETE FROM t WHERE <predicate>")
-        e = catalog.get(name)
-        key = e["meta"].get("key")
-        if not key:
-            raise SqlError(
-                f"DELETE needs table {name}'s row-identity column — "
-                f"recreate it with OPTIONS (key='id')")
-        keys = (_read_entry(spark, e).where(pred).select(key))
-        ver = V.delete_rows(spark, e["path"], keys, key)
-        return {"status": "deleted", "name": name, "version": ver}
+        raise SqlError("CREATE supports TABLE ... AS and "
+                       "MATERIALIZED VIEW ... AS")
 
     if head == "drop":
         cur.take()

@@ -51,12 +51,12 @@ def test_create_matches_full_pipeline(spark, nd):
 def test_append_then_delete_intervals(spark, nd):
     docs, src, vw = nd
     V.append(spark, src, docs.where(F.col("doc_id") % 3 == 2))
-    ND.refresh_near_dup_pairs_view(spark, vw)
+    ND.refresh_near_dup_pairs_view(spark, vw, recompute_fraction=None)
     assert _view_pairs(spark, vw) == _pairs_of(docs)
     V.delete_rows(spark, src,
                   docs.where(F.col("doc_id") % 7 == 0).select("doc_id"),
                   "doc_id")
-    ND.refresh_near_dup_pairs_view(spark, vw)
+    ND.refresh_near_dup_pairs_view(spark, vw, recompute_fraction=None)
     assert _view_pairs(spark, vw) == _pairs_of(
         docs.where(F.col("doc_id") % 7 != 0))
 
@@ -73,7 +73,7 @@ def test_update_retracts_and_rediscovers(spark, nd):
            .select(F.col("vk").alias("doc_id"), F.col("t").alias("text")))
     upd = upd.persist()
     V.upsert(spark, src, upd, key="doc_id")
-    ND.refresh_near_dup_pairs_view(spark, vw)
+    ND.refresh_near_dup_pairs_view(spark, vw, recompute_fraction=None)
     final = V.read(spark, src)
     assert _view_pairs(spark, vw) == _pairs_of(final)
     upd.unpersist()
@@ -104,7 +104,7 @@ def test_vacuum_safely_clamps_to_pairs_cursor(spark, nd):
                   "doc_id")
     # clamped vacuum must retain manifests back to the view's cursor
     M.vacuum_source_safely(src, keep_last=1, views=[vw])
-    ND.refresh_near_dup_pairs_view(spark, vw)
+    ND.refresh_near_dup_pairs_view(spark, vw, recompute_fraction=None)
     assert _view_pairs(spark, vw) == _pairs_of(
         docs.where(F.col("doc_id") % 9 != 0))
 
@@ -113,8 +113,10 @@ def test_heal_after_unsafe_vacuum(spark, nd):
     docs, src, vw = nd
     V.append(spark, src, docs.where(F.col("doc_id") % 3 == 2))
     V.vacuum(src, keep_last=1)  # reaps the cursor's manifest
-    # incremental-only: named failure; with dispatch: heal-recompute
+    # forced-incremental (None): named failure; the SHIPPED default
+    # (cost dispatch): self-heal recompute
     with pytest.raises(RuntimeError):
-        ND.refresh_near_dup_pairs_view(spark, vw)
-    ND.refresh_near_dup_pairs_view(spark, vw, recompute_fraction=0.3)
+        ND.refresh_near_dup_pairs_view(spark, vw,
+                                       recompute_fraction=None)
+    ND.refresh_near_dup_pairs_view(spark, vw)
     assert _view_pairs(spark, vw) == _pairs_of(docs)

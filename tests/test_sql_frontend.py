@@ -236,3 +236,51 @@ def test_catalog_persists_across_instances(spark, events, cat, base):
     S.execute(spark, "REFRESH MATERIALIZED VIEW kept", cat2)
     n = S.execute(spark, "SELECT count(*) AS n FROM kept", cat2)
     assert n.collect()[0]["n"] == base.count()
+
+
+def test_case_insensitive_resolution_and_collision(spark, events, cat,
+                                                   base):
+    # Spark resolves temp views case-insensitively; the catalog must too
+    n1 = S.execute(spark, "SELECT count(*) AS n FROM ev", cat)
+    n2 = S.execute(spark, "SELECT count(*) AS n FROM EV", cat)
+    assert n1.collect()[0]["n"] == n2.collect()[0]["n"]
+    V.append(spark, cat.get("ev")["path"],
+             base.where(F.col("event_id") % 3 == 2))
+    # an uppercase reference after a mutation must NOT serve the stale
+    # lowercase temp view (the review's silent-staleness repro)
+    n3 = S.execute(spark, "SELECT count(*) AS n FROM EV", cat)
+    assert n3.collect()[0]["n"] == base.count()
+    with pytest.raises(S.SqlError, match="collides"):
+        cat.register("Ev", cat.get("ev")["path"])
+
+
+def test_unrequested_minmax_twin_hidden_in_select_star(spark, events,
+                                                       cat, base):
+    S.execute(spark, (
+        "CREATE MATERIALIZED VIEW onlymin AS "
+        "SELECT event_type, COUNT(*) AS cnt, MIN(cents) AS lo "
+        "FROM ev GROUP BY event_type"), cat)
+    got = S.execute(spark, "SELECT * FROM onlymin", cat)
+    # max_cents is maintained state, not declared schema
+    assert got.columns == ["event_type", "cnt", "lo"]
+
+
+def test_full_spark_sql_surface_delegates(spark, events, cat, base):
+    # double quotes, backticks and :: casts are Spark's to judge — the
+    # DDL mini-tokenizer must not reject reads it can't lex
+    out = S.execute(
+        spark,
+        'SELECT `event_type` AS t, "lit" AS s, event_id::string AS e '
+        "FROM ev ORDER BY event_id LIMIT 1", cat)
+    assert out.columns == ["t", "s", "e"]
+
+
+def test_dml_against_materialized_view_rejected(spark, events, cat,
+                                                base):
+    S.execute(spark, (
+        "CREATE MATERIALIZED VIEW guard AS "
+        "SELECT event_id, cents + 1 AS c1 FROM ev"), cat)
+    with pytest.raises(S.SqlError, match="materialized view"):
+        S.execute(spark, "INSERT INTO guard VALUES (1, 2)", cat)
+    with pytest.raises(S.SqlError, match="materialized view"):
+        S.execute(spark, "DELETE FROM guard WHERE c1 > 0", cat)

@@ -1357,22 +1357,22 @@ class TestVersionedTable:
         check()  # initial materialization
         # append-only refresh (O(new segments) CDC fast path)
         V.append(spark, t, mk([(5, "b", 3), (6, "c", 1), (7, None, 4)]))
-        MV.refresh_agg_view(spark, vw)
+        MV.refresh_agg_view(spark, vw, recompute_fraction=None)
         check()
         # delete vector retracts rows; group 'c' retracts to zero and
         # must DROP from the view
         V.delete_rows(spark, t, [6, 2], "id")
-        MV.refresh_agg_view(spark, vw)
+        MV.refresh_agg_view(spark, vw, recompute_fraction=None)
         check()
         assert "c" not in {r.grp for r in
                            MV.read_agg_view(spark, vw).collect()}
         # upsert moves a row between groups (update pre+post images)
         V.upsert(spark, t, mk([(3, "a", 7), (8, "d", 9)]), "id")
-        MV.refresh_agg_view(spark, vw)
+        MV.refresh_agg_view(spark, vw, recompute_fraction=None)
         check()
         # idempotent when already fresh; cursor tracks the source head
         v_before = V.current_version(vw)
-        assert MV.refresh_agg_view(spark, vw) == v_before
+        assert MV.refresh_agg_view(spark, vw, recompute_fraction=None) == v_before
         m = V._manifest(vw, V.current_version(vw))
         assert m["app"]["mv_source_version"] == V.current_version(t)
         # the view is a real versioned table: time travel reaches the
@@ -1412,21 +1412,21 @@ class TestVersionedTable:
 
         # insert-only: monotone merge (max of 'a' grows, min unchanged)
         V.append(spark, t, mk([(4, "a", 99), (5, "c", 1)]))
-        MV.refresh_agg_view(spark, vw)
+        MV.refresh_agg_view(spark, vw, recompute_fraction=None)
         check()
         # delete the CURRENT max of 'a' (99) -> recompute must find 10
         V.delete_rows(spark, t, [4], "id")
-        MV.refresh_agg_view(spark, vw)
+        MV.refresh_agg_view(spark, vw, recompute_fraction=None)
         check()
         row_a = {r.grp: r for r in MV.read_agg_view(spark, vw).collect()}["a"]
         assert row_a.max_v == 10 and row_a.min_v == 5
         # upsert shrinking a min (update pre+post) + fresh group insert
         V.upsert(spark, t, mk([(2, "a", 50), (6, "d", -3)]), "id")
-        MV.refresh_agg_view(spark, vw)
+        MV.refresh_agg_view(spark, vw, recompute_fraction=None)
         check()
         # retract a whole group: 'c' leaves the view entirely
         V.delete_rows(spark, t, [5], "id")
-        MV.refresh_agg_view(spark, vw)
+        MV.refresh_agg_view(spark, vw, recompute_fraction=None)
         check()
         assert "c" not in {r.grp for r in
                            MV.read_agg_view(spark, vw).collect()}
@@ -1472,8 +1472,8 @@ class TestVersionedTable:
         probe = V.read(spark, t).select("grp").distinct()
         assert MV._hint_ret_groups(
             probe, t, v_before_rw, V.current_version(t)) is probe
-        MV.refresh_agg_view(spark, vw)
-        MV.refresh_topk_view(spark, kvw)
+        MV.refresh_agg_view(spark, vw, recompute_fraction=None)
+        MV.refresh_topk_view(spark, kvw, recompute_fraction=None)
         got = sorted((r.grp, r.cnt, r.sum_v, r.min_v, r.max_v)
                      for r in MV.read_agg_view(spark, vw).collect())
         want = sorted(
@@ -1595,7 +1595,7 @@ class TestVersionedTable:
             q.stop()
         # a later manual refresh after more commits catches up exactly
         V.append(spark, t, mk([(6, "d", 1)]))
-        MV.refresh_agg_view(spark, vw)
+        MV.refresh_agg_view(spark, vw, recompute_fraction=None)
         check()
 
     def test_agg_view_random_op_sequences(self, spark, tmp_path):
@@ -1647,8 +1647,8 @@ class TestVersionedTable:
                     live += new
                     V.upsert(spark, t, mk(rand_rows(old + new)), "id")
                 if rng.random() < 0.5:
-                    MV.refresh_agg_view(spark, vw)  # mid-sequence refresh
-            MV.refresh_agg_view(spark, vw)  # final catch-up (multi-commit)
+                    MV.refresh_agg_view(spark, vw, recompute_fraction=None)  # mid-sequence refresh
+            MV.refresh_agg_view(spark, vw, recompute_fraction=None)  # final catch-up (multi-commit)
             got = sorted(
                 ((r.grp, r.cnt, r.sum_v, r.min_v, r.max_v) for r in
                  MV.read_agg_view(spark, vw).collect()),
@@ -1689,7 +1689,7 @@ class TestVersionedTable:
 
         def refresher():
             try:
-                MV.refresh_agg_view_with_retry(spark, vw, max_retries=20)
+                MV.refresh_agg_view_with_retry(spark, vw, max_retries=20, recompute_fraction=None)
             except Exception as e:  # surfaced in the main thread
                 errors.append(e)
 
@@ -1699,7 +1699,7 @@ class TestVersionedTable:
         for th in threads:
             th.join()
         assert not errors, errors
-        MV.refresh_agg_view_with_retry(spark, vw)  # ensure fully caught up
+        MV.refresh_agg_view_with_retry(spark, vw, recompute_fraction=None)  # ensure fully caught up
         got = sorted((r.grp, r.cnt, r.sum_v) for r in
                      MV.read_agg_view(spark, vw).collect())
         want = sorted((r.grp, r.cnt, r.sum_v) for r in
@@ -1742,30 +1742,30 @@ class TestVersionedTable:
 
         check()
         V.append(spark, t, mk([(3, "e f e")]))
-        MV.refresh_transform_view(spark, vw, postings, "postings-v1")
+        MV.refresh_transform_view(spark, vw, postings, "postings-v1", recompute_fraction=None)
         check()
         # update: doc 1's tokens must be REPLACED, not accumulated
         V.upsert(spark, t, mk([(1, "z z q")]), "doc_id")
-        MV.refresh_transform_view(spark, vw, postings, "postings-v1")
+        MV.refresh_transform_view(spark, vw, postings, "postings-v1", recompute_fraction=None)
         check()
         assert ("a" not in {r.tok for r in V.read(spark, vw).collect()})
         # delete: doc 2's postings vanish
         V.delete_rows(spark, t, [2], "doc_id")
-        MV.refresh_transform_view(spark, vw, postings, "postings-v1")
+        MV.refresh_transform_view(spark, vw, postings, "postings-v1", recompute_fraction=None)
         check()
         # idempotent when fresh
         v = V.current_version(vw)
         assert MV.refresh_transform_view(spark, vw, postings,
-                                         "postings-v1") == v
+                                         "postings-v1", recompute_fraction=None) == v
         # compaction preserves the spec and the state
         V.compact(spark, vw)
         check()
         V.append(spark, t, mk([(4, "g")]))
-        MV.refresh_transform_view(spark, vw, postings, "postings-v1")
+        MV.refresh_transform_view(spark, vw, postings, "postings-v1", recompute_fraction=None)
         check()
         # transform-name guard
         with pytest.raises(ValueError, match="postings-v1"):
-            MV.refresh_transform_view(spark, vw, postings, "other")
+            MV.refresh_transform_view(spark, vw, postings, "other", recompute_fraction=None)
 
     def test_transform_view_zero_row_interval_advances_cursor(
         self, spark, tmp_path
@@ -1787,11 +1787,11 @@ class TestVersionedTable:
         MV.create_transform_view(spark, t, vw, key="doc_id",
                                  transform=keep, name="keep-v1")
         V.append(spark, t, mk([(2, "skip")]))  # transforms to nothing
-        MV.refresh_transform_view(spark, vw, keep, "keep-v1")
+        MV.refresh_transform_view(spark, vw, keep, "keep-v1", recompute_fraction=None)
         assert MV._spec_tv(vw)["tv_source_version"] == V.current_version(t)
         assert {r.doc_id for r in V.read(spark, vw).collect()} == {1}
         V.append(spark, t, mk([(3, "b")]))
-        MV.refresh_transform_view(spark, vw, keep, "keep-v1")
+        MV.refresh_transform_view(spark, vw, keep, "keep-v1", recompute_fraction=None)
         assert {r.doc_id for r in V.read(spark, vw).collect()} == {1, 3}
 
     def test_transform_view_auto_compact_bounds_segments(
@@ -1827,7 +1827,7 @@ class TestVersionedTable:
                 V.append(spark, t, mk([(i, f"w{i} x{i}")]))
             MV.refresh_transform_view(spark, vw, postings, "postings-v1",
                                       auto_compact=True,
-                                      compact_threshold=threshold)
+                                      compact_threshold=threshold, recompute_fraction=None)
             m = V._manifest(vw, V.current_version(vw))
             seg_counts.append(len(m["segments"]) +
                               len(m.get("delete_segs") or []))
@@ -2061,20 +2061,20 @@ class TestVersionedTable:
         check()  # initial materialization
         # left append (fast-path ΔL ⋈ R_old)
         V.append(spark, lt, mko([(6, 20, 17), (7, 40, 19), (8, None, 1)]))
-        MV.refresh_join_view(spark, vw)
+        MV.refresh_join_view(spark, vw, recompute_fraction=None)
         check()
         # right append (L_new ⋈ ΔR): ckey 30 gains its first match
         V.append(spark, rt, mkc([(104, 30, "A")]))
-        MV.refresh_join_view(spark, vw)
+        MV.refresh_join_view(spark, vw, recompute_fraction=None)
         check()
         # left delete (retraction through the join)
         V.delete_rows(spark, lt, [2, 7], "o_id")
-        MV.refresh_join_view(spark, vw)
+        MV.refresh_join_view(spark, vw, recompute_fraction=None)
         check()
         # right upsert MOVES a join key (101: 20 -> 50) — its old pairs
         # retract, and seg C's only pair (o7) is already gone
         V.upsert(spark, rt, mkc([(101, 50, "B"), (105, 99, "D")]), "c_id")
-        MV.refresh_join_view(spark, vw)
+        MV.refresh_join_view(spark, vw, recompute_fraction=None)
         check()
         assert "B" not in {r.seg for r in V.read(spark, vw).collect()}
         # BOTH sides advance before one refresh (incl. ΔL⋈ΔR pairs:
@@ -2082,13 +2082,13 @@ class TestVersionedTable:
         V.append(spark, lt, mko([(9, 99, 23), (10, 10, 29)]))
         V.delete_rows(spark, rt, [100], "c_id")
         V.append(spark, rt, mkc([(106, 10, "E")]))
-        MV.refresh_join_view(spark, vw)
+        MV.refresh_join_view(spark, vw, recompute_fraction=None)
         check()
         got = {(r.seg, r.cnt) for r in V.read(spark, vw).collect()}
         assert ("D", 1) in got  # the ΔL⋈ΔR pair landed exactly once
         # idempotent when fresh; both cursors track their heads
         v = V.current_version(vw)
-        assert MV.refresh_join_view(spark, vw) == v
+        assert MV.refresh_join_view(spark, vw, recompute_fraction=None) == v
         spec = MV._spec_jv(vw)
         assert spec["jv_left_version"] == V.current_version(lt)
         assert spec["jv_right_version"] == V.current_version(rt)
@@ -2139,25 +2139,25 @@ class TestVersionedTable:
         check()
         # insert-only: monotone merge (A's max grows to 99, min holds)
         V.append(spark, lt, mko([(4, 10, 99), (5, 20, 1)]))
-        MV.refresh_join_view(spark, vw)
+        MV.refresh_join_view(spark, vw, recompute_fraction=None)
         check()
         # LEFT delete removes A's current max (99) -> recompute finds 70
         V.delete_rows(spark, lt, [4], "o_id")
-        MV.refresh_join_view(spark, vw)
+        MV.refresh_join_view(spark, vw, recompute_fraction=None)
         check()
         row_a = {r.seg: r for r in V.read(spark, vw).collect()}["A"]
         assert row_a.max_amount == 70 and row_a.min_amount == 5
         # RIGHT upsert moves customer 100 from ckey 10 to 30: group A
         # loses ALL its pairs (leaves the view); o-rows at ckey 30 none
         V.upsert(spark, rt, mkc([(100, 30, "A")]), "c_id")
-        MV.refresh_join_view(spark, vw)
+        MV.refresh_join_view(spark, vw, recompute_fraction=None)
         check()
         assert "A" not in {r.seg for r in V.read(spark, vw).collect()}
         # BOTH sides advance: new left rows at ckey 30 (pairs with the
         # moved customer) + right delete of customer 101 (B retracts)
         V.append(spark, lt, mko([(6, 30, 42), (7, 30, 8)]))
         V.delete_rows(spark, rt, [101], "c_id")
-        MV.refresh_join_view(spark, vw)
+        MV.refresh_join_view(spark, vw, recompute_fraction=None)
         check()
         got = {(r.seg, r.min_amount, r.max_amount)
                for r in V.read(spark, vw).collect()}
@@ -2195,7 +2195,7 @@ class TestVersionedTable:
             "o_id long, ckey long, amount long"))
         V.append(spark, rt, spark.createDataFrame(
             [(102, 30, "C")], "c_id long, ckey long, seg string"))
-        MV.refresh_join_view(spark, vw)
+        MV.refresh_join_view(spark, vw, recompute_fraction=None)
         got = sorted(
             (r.seg, r.cnt, r.sum_amount, r.min_amount, r.max_amount)
             for r in V.read(spark, vw).select(
@@ -2246,21 +2246,21 @@ class TestVersionedTable:
 
         # append with duplicate tokens inside one doc ('a a f')
         V.append(spark, t, mk([(3, "a a f")]))
-        MV.refresh_transform_view(spark, tv, toks, "toks-v1")
-        MV.refresh_agg_view(spark, av)
+        MV.refresh_transform_view(spark, tv, toks, "toks-v1", recompute_fraction=None)
+        MV.refresh_agg_view(spark, av, recompute_fraction=None)
         check()
         # upsert: doc 1's two token rows REPLACED by one — the keyed diff
         # would emit 'z' twice here
         V.upsert(spark, t, mk([(1, "z")]), "doc_id")
-        MV.refresh_transform_view(spark, tv, toks, "toks-v1")
-        MV.refresh_agg_view(spark, av)
+        MV.refresh_transform_view(spark, tv, toks, "toks-v1", recompute_fraction=None)
+        MV.refresh_agg_view(spark, av, recompute_fraction=None)
         check()
         assert {r.cnt for r in MV.read_agg_view(spark, av).collect()
                 if r.tok == "z"} == {1}
         # delete: doc 3's duplicate-token rows retract with multiplicity
         V.delete_rows(spark, t, [3], "doc_id")
-        MV.refresh_transform_view(spark, tv, toks, "toks-v1")
-        MV.refresh_agg_view(spark, av)
+        MV.refresh_transform_view(spark, tv, toks, "toks-v1", recompute_fraction=None)
+        MV.refresh_agg_view(spark, av, recompute_fraction=None)
         check()
         assert "a" not in {r.tok for r in
                            MV.read_agg_view(spark, av).collect()}
@@ -2433,10 +2433,10 @@ class TestVersionedTable:
             assert got == want, (got, want)
 
         V.append_bucketed(spark, t, mk([(100, "c", 9), (101, "a", 1)]))
-        MV.refresh_agg_view(spark, vw)
+        MV.refresh_agg_view(spark, vw, recompute_fraction=None)
         check()
         V.upsert_bucketed(spark, t, mk([(100, "c", 90), (5, "a", -5)]))
-        MV.refresh_agg_view(spark, vw)
+        MV.refresh_agg_view(spark, vw, recompute_fraction=None)
         check()
 
     def test_join_view_over_bucketed_left_source(self, spark, tmp_path):
@@ -2484,11 +2484,11 @@ class TestVersionedTable:
 
         check()
         V.append_bucketed(spark, lt, mko([(100, 10, 99)]))
-        MV.refresh_join_view(spark, vw)
+        MV.refresh_join_view(spark, vw, recompute_fraction=None)
         check()
         # bucketed upsert retracts the max of group A (99 -> 2)
         V.upsert_bucketed(spark, lt, mko([(100, 10, 2)]))
-        MV.refresh_join_view(spark, vw)
+        MV.refresh_join_view(spark, vw, recompute_fraction=None)
         check()
         row_a = {r.seg: r for r in V.read(spark, vw).collect()}["A"]
         assert row_a.max_amount < 99
@@ -2545,13 +2545,13 @@ class TestVersionedTable:
         # left append changes revenues -> join view overwrite -> top-k
         # consumes the rewrite through the multiset diff
         V.append(spark, lt, mko([(100, 0, 50), (101, 3, 40)]))
-        MV.refresh_join_view(spark, jv)
-        MV.refresh_topk_view(spark, kv)
+        MV.refresh_join_view(spark, jv, recompute_fraction=None)
+        MV.refresh_topk_view(spark, kv, recompute_fraction=None)
         check()
         # right delete drops a customer: its (region, seg) groups retract
         V.delete_rows(spark, rt, [103], "c_id")
-        MV.refresh_join_view(spark, jv)
-        MV.refresh_topk_view(spark, kv)
+        MV.refresh_join_view(spark, jv, recompute_fraction=None)
+        MV.refresh_topk_view(spark, kv, recompute_fraction=None)
         check()
 
     def test_join_table_view_equals_join_recompute(self, spark, tmp_path):
@@ -2591,17 +2591,17 @@ class TestVersionedTable:
         # left append: provably append-only interval -> the refresh must
         # commit a PLAIN APPEND (manifest-pinned; no netting, no vector)
         V.append(spark, lt, mko([(4, 30, 11), (5, 10, 13)]))
-        MV.refresh_join_table_view(spark, vw)
+        MV.refresh_join_table_view(spark, vw, recompute_fraction=None)
         check()
         assert V._manifest(vw, V.current_version(vw))["op"] == "append"
         # right upsert: payload rewrite (100) + join-key move (101: 20->40)
         V.upsert(spark, rt, mkc([(100, 10, "A2"), (101, 40, "B")]), "c_id")
-        MV.refresh_join_table_view(spark, vw)
+        MV.refresh_join_table_view(spark, vw, recompute_fraction=None)
         check()
         assert "A2" in {r.seg for r in V.read(spark, vw).collect()}
         # left delete
         V.delete_rows(spark, lt, [2], "o_id")
-        MV.refresh_join_table_view(spark, vw)
+        MV.refresh_join_table_view(spark, vw, recompute_fraction=None)
         check()
         # BOTH sides: new left row at ckey 30 while customer 102 (ckey
         # 30) is DELETED in the same interval — term-1 inserts the pair,
@@ -2609,13 +2609,13 @@ class TestVersionedTable:
         V.append(spark, lt, mko([(6, 30, 17)]))
         V.delete_rows(spark, rt, [102], "c_id")
         V.append(spark, rt, mkc([(103, 50, "C")]))
-        MV.refresh_join_table_view(spark, vw)
+        MV.refresh_join_table_view(spark, vw, recompute_fraction=None)
         check()
         assert not [r for r in V.read(spark, vw).collect()
                     if r.ckey == 30]
         # idempotent when fresh; cursors track heads
         v = V.current_version(vw)
-        assert MV.refresh_join_table_view(spark, vw) == v
+        assert MV.refresh_join_table_view(spark, vw, recompute_fraction=None) == v
         spec = MV._spec_jt(vw)
         assert spec["jt_left_version"] == V.current_version(lt)
         assert spec["jt_right_version"] == V.current_version(rt)
@@ -2658,7 +2658,7 @@ class TestVersionedTable:
             else:
                 V.append(spark, lt, mko([(i, i % 4, i * 3)]))
             MV.refresh_join_table_view(spark, vw, auto_compact=True,
-                                       compact_threshold=threshold)
+                                       compact_threshold=threshold, recompute_fraction=None)
             m = V._manifest(vw, V.current_version(vw))
             seg_counts.append(len(m["segments"]) +
                               len(m.get("delete_segs") or []))
@@ -2757,7 +2757,7 @@ class TestVersionedTable:
         d = MV.describe_view(jv)
         assert not d["fresh"]
         assert [s["lag"] for s in d["sources"]] == [1, 0]
-        MV.refresh_join_view(spark, jv)
+        MV.refresh_join_view(spark, jv, recompute_fraction=None)
         assert MV.describe_view(jv)["fresh"]
         with pytest.raises(ValueError, match="not a maintained view"):
             MV.describe_view(lt)
@@ -2792,7 +2792,7 @@ class TestVersionedTable:
         def refresher():
             try:
                 MV.refresh_transform_view_with_retry(
-                    spark, vw, postings, "p1", max_retries=20)
+                    spark, vw, postings, "p1", max_retries=20, recompute_fraction=None)
             except Exception as e:
                 errors.append(e)
 
@@ -2839,7 +2839,7 @@ class TestVersionedTable:
 
         def refresher():
             try:
-                MV.refresh_join_view_with_retry(spark, vw, max_retries=20)
+                MV.refresh_join_view_with_retry(spark, vw, max_retries=20, recompute_fraction=None)
             except Exception as e:
                 errors.append(e)
 
@@ -2879,7 +2879,7 @@ class TestVersionedTable:
                                  transform=postings, name="p1")
         v0 = V.current_version(vw)
         V.upsert(spark, t, mk([(1, "z")]), "doc_id")
-        MV.refresh_transform_view(spark, vw, postings, "p1")
+        MV.refresh_transform_view(spark, vw, postings, "p1", recompute_fraction=None)
         assert V.current_version(vw) == v0 + 1  # exactly one commit
         assert V._manifest(vw, v0 + 1)["op"] == "delete-append"
         got = sorted((r.doc_id, r.tok) for r in V.read(spark, vw).collect())
@@ -2947,7 +2947,7 @@ class TestVersionedTable:
         V.upsert(spark, t, mk([(1, "a", 3)]), "id")
         V.vacuum(t, keep_last=1)
         with pytest.raises(RuntimeError, match="vacuum|retain"):
-            MV.refresh_agg_view(spark, vw)
+            MV.refresh_agg_view(spark, vw, recompute_fraction=None)
 
     def test_transform_view_streaming_refresh(self, spark, tmp_path):
         """Continuous index maintenance: the manifest-log file tail wakes
@@ -3079,23 +3079,23 @@ class TestVersionedTable:
         check()  # id 3 (score 6) is evicted from 'a' at create
         # insert beats rank 1 of 'a'; another insert misses the cut
         V.append(spark, t, mk([(6, "a", 99), (7, "a", 1), (8, "c", 2)]))
-        MV.refresh_topk_view(spark, vw)
+        MV.refresh_topk_view(spark, vw, recompute_fraction=None)
         check()
         # delete 'a's top row: recompute must pull id 2 back to rank 2
         # (and the long-evicted id 3 stays out only if it should)
         V.delete_rows(spark, t, [6, 1], "id")
-        MV.refresh_topk_view(spark, vw)
+        MV.refresh_topk_view(spark, vw, recompute_fraction=None)
         check()
         ranks_a = {(r.rnk, r.id) for r in V.read(spark, vw).collect()
                    if r.grp == "a"}
         assert ranks_a == {(1, 2), (2, 3)}  # evicted id 3 resurfaced
         # update moves id 4 from 'b' to the NULL group with a new score
         V.upsert(spark, t, mk([(4, None, 9)]), "id")
-        MV.refresh_topk_view(spark, vw)
+        MV.refresh_topk_view(spark, vw, recompute_fraction=None)
         check()
         # idempotent when fresh; cursor at head
         v = V.current_version(vw)
-        assert MV.refresh_topk_view_with_retry(spark, vw) == v
+        assert MV.refresh_topk_view_with_retry(spark, vw, recompute_fraction=None) == v
         m = V._manifest(vw, v)
         assert m["app"]["kv_source_version"] == V.current_version(t)
 
@@ -3706,17 +3706,17 @@ class TestJoinViewRound8:
         check()
         V.append(spark, lt, mko([(7, "DE", 96, 23), (8, "FR", 95, 29),
                                  (9, None, 96, 31)]))
-        MV.refresh_join_view(spark, vw)
+        MV.refresh_join_view(spark, vw, recompute_fraction=None)
         check()
         # right rewrite interval: delete one match + append a new one
         V.delete_rows(spark, rt, [100], "c_id")
         V.append(spark, rt, mkc([(105, "US", 95, "D")]))
-        MV.refresh_join_view(spark, vw)
+        MV.refresh_join_view(spark, vw, recompute_fraction=None)
         check()
         # both sides advance; ΔL⋈ΔR composite pair must land exactly once
         V.append(spark, lt, mko([(10, "JP", 99, 37)]))
         V.append(spark, rt, mkc([(106, "JP", 99, "E")]))
-        MV.refresh_join_view(spark, vw)
+        MV.refresh_join_view(spark, vw, recompute_fraction=None)
         check()
         assert ("E", 1) in {(r.seg, r.cnt)
                             for r in V.read(spark, vw).collect()}
@@ -3747,10 +3747,10 @@ class TestJoinViewRound8:
         # move customer 101 from (FR,96) to (FR,95): old pairs retract,
         # new pairs appear — the netted vector+append path
         V.upsert(spark, rt, mkc([(101, "FR", 95, "B")]), "c_id")
-        MV.refresh_join_table_view(spark, vw)
+        MV.refresh_join_table_view(spark, vw, recompute_fraction=None)
         check()
         V.append(spark, lt, mko([(11, "FR", 96, 41)]))
-        MV.refresh_join_table_view(spark, vw)
+        MV.refresh_join_table_view(spark, vw, recompute_fraction=None)
         check()
 
     def test_left_join_view_maintained(self, spark, tmp_path):
@@ -3792,33 +3792,33 @@ class TestJoinViewRound8:
         # left append: one matched, one unmatched, one NULL-component
         V.append(spark, lt, mko([(7, "FR", 96, 23), (8, "BR", 90, 29),
                                  (9, "FR", None, 31)]))
-        MV.refresh_join_view(spark, vw)
+        MV.refresh_join_view(spark, vw, recompute_fraction=None)
         check()
         # right append gives (US,95) its FIRST match: o6's
         # null-extension must RETRACT (term-B flip, sign -1)
         V.append(spark, rt, mkc([(105, "US", 95, "D")]))
-        MV.refresh_join_view(spark, vw)
+        MV.refresh_join_view(spark, vw, recompute_fraction=None)
         check()
         # right delete orphans (FR,95): o1/o2/o8-keys flip TO
         # null-extended (term-B flip, sign +1)
         V.delete_rows(spark, rt, [100], "c_id")
-        MV.refresh_join_view(spark, vw)
+        MV.refresh_join_view(spark, vw, recompute_fraction=None)
         check()
         # delete an UNMATCHED left row (its null-extension retracts via
         # term A) and a matched one in the same interval
         V.delete_rows(spark, lt, [8, 3], "o_id")
-        MV.refresh_join_view(spark, vw)
+        MV.refresh_join_view(spark, vw, recompute_fraction=None)
         check()
         # both sides advance in one interval: new left rows against a
         # right state that simultaneously loses (DE,95) and gains (BR,90)
         V.append(spark, lt, mko([(12, "BR", 90, 43), (13, "DE", 95, 47)]))
         V.delete_rows(spark, rt, [102], "c_id")
         V.append(spark, rt, mkc([(107, "BR", 90, "F")]))
-        MV.refresh_join_view(spark, vw)
+        MV.refresh_join_view(spark, vw, recompute_fraction=None)
         check()
         # idempotent when fresh
         v = V.current_version(vw)
-        assert MV.refresh_join_view(spark, vw) == v
+        assert MV.refresh_join_view(spark, vw, recompute_fraction=None) == v
 
     def test_left_join_table_view_maintained(self, spark, tmp_path):
         """LEFT-outer row-level join TABLE: unmatched left rows live
@@ -3853,14 +3853,14 @@ class TestJoinViewRound8:
         check()  # o5 (NULL nat) and o6 (US,95) start null-extended
         # left append-only + right unchanged: the delete-free fast path
         V.append(spark, lt, mko([(7, "FR", 96, 23), (8, "BR", 90, 29)]))
-        MV.refresh_join_table_view(spark, vw)
+        MV.refresh_join_table_view(spark, vw, recompute_fraction=None)
         check()
         # right APPEND gives (US,95) its first match: o6's null-ext row
         # must be REPLACED (not duplicated) — no fast path despite
         # append-only intervals on both sources
         V.append(spark, rt, mkc([(105, "US", 95, "D")]))
         v_before = V.current_version(vw)
-        MV.refresh_join_table_view(spark, vw)
+        MV.refresh_join_table_view(spark, vw, recompute_fraction=None)
         m = V._manifest(vw, V.current_version(vw))
         assert m["op"] != "append", "right append must not take the " \
             "delete-free fast path on a LEFT join table"
@@ -3869,7 +3869,7 @@ class TestJoinViewRound8:
         # extensions restore; a simultaneous left delete in the interval
         V.delete_rows(spark, rt, [100], "c_id")
         V.delete_rows(spark, lt, [3], "o_id")
-        MV.refresh_join_table_view(spark, vw)
+        MV.refresh_join_table_view(spark, vw, recompute_fraction=None)
         check()
         assert v_before < V.current_version(vw)
 
@@ -4174,7 +4174,7 @@ class TestRefreshCascade:
         V.append(spark, base, mk([(100, 0, 11), (101, 2, 13)]))
         V.delete_rows(spark, base, [1], "id")
         order = MV.refresh_cascade(
-            spark, jv, transforms={tv: (double, "double-v1")})
+            spark, jv, transforms={tv: (double, "double-v1")}, recompute_fraction=None)
         assert order == [tv, jt, jv]
         got = sorted((r.seg, r.cnt, r.sum_v2)
                      for r in V.read(spark, jv).collect())
@@ -4187,7 +4187,7 @@ class TestRefreshCascade:
         # fresh everywhere -> cascade still returns the order but each
         # refresh is the no-op fast return
         assert MV.refresh_cascade(
-            spark, jv, transforms={tv: (double, "double-v1")}) \
+            spark, jv, transforms={tv: (double, "double-v1")}, recompute_fraction=None) \
             == [tv, jt, jv]
 
     def test_cascade_requires_transform_fn(self, spark, tmp_path):
@@ -4204,7 +4204,7 @@ class TestRefreshCascade:
         V.append(spark, base, spark.createDataFrame(
             [(2, 3)], "id long, v long"))
         with pytest.raises(ValueError, match="transform"):
-            MV.refresh_cascade(spark, tv)
+            MV.refresh_cascade(spark, tv, recompute_fraction=None)
 
     def test_refresh_view_dispatches_by_kind(self, spark, tmp_path):
         from rclip_server_spark.sources import matview as MV
@@ -4218,11 +4218,11 @@ class TestRefreshCascade:
                            group_cols=["g"], sum_cols=["v"])
         V.append(spark, base, spark.createDataFrame(
             [(2, "a", 5)], "id long, g string, v long"))
-        MV.refresh_view(spark, vw)
+        MV.refresh_view(spark, vw, recompute_fraction=None)
         [r] = V.read(spark, vw).collect()
         assert (r.g, r.cnt, r.sum_v) == ("a", 2, 7)
         with pytest.raises(ValueError, match="not a maintained view"):
-            MV.refresh_view(spark, base)
+            MV.refresh_view(spark, base, recompute_fraction=None)
 
     def test_view_cascade_refresh_stream(self, spark, tmp_path):
         """One streaming query tails the BASE tables of a 3-hop
@@ -4329,7 +4329,7 @@ class TestRefreshCascade:
 
         def racer():
             try:
-                MV.refresh_view(spark, vw, max_retries=20)
+                MV.refresh_view(spark, vw, max_retries=20, recompute_fraction=None)
             except Exception as e:
                 errors.append(e)
 
@@ -4370,7 +4370,7 @@ class TestRefreshCascade:
         for i in range(1, 9):
             V.append(spark, base, mk([(i, i % 2, i)]))
             MV.refresh_cascade(spark, jv, auto_compact=True,
-                               compact_threshold=4)
+                               compact_threshold=4, recompute_fraction=None)
         m = V._manifest(jt, V.current_version(jt))
         assert len(V._manifest_segments(m)) <= 4
         got = sorted((r.seg, r.cnt, r.sum_v)
@@ -4491,7 +4491,7 @@ class TestRefreshCascade:
         assert rep[0]["fresh"] is False
         assert rep[0]["sources"][0]["lag"] == 1
         assert rep[1]["fresh"] is True
-        MV.refresh_cascade(spark, jv)
+        MV.refresh_cascade(spark, jv, recompute_fraction=None)
         rep = MV.describe_cascade(jv)
         assert all(r["fresh"] for r in rep)
         with pytest.raises(ValueError, match="not a maintained view"):
@@ -4528,7 +4528,7 @@ class TestRefreshCascade:
         V._write_checkpoint(src2, 3)
         assert V.current_version(src2) == 3
         with pytest.raises(RuntimeError, match="BEHIND the view cursor"):
-            MV.refresh_agg_view(spark, vw2)
+            MV.refresh_agg_view(spark, vw2, recompute_fraction=None)
         v_new = MV.refresh_agg_view(spark, vw2, recompute_fraction=1.0)
         assert int(MV._spec(vw2)["mv_source_version"]) == 3
         got = sorted((r.g, r.cnt, r.sum_v)
@@ -4567,7 +4567,7 @@ class TestRefreshCascade:
         # plain vacuum(keep_last=1) would reap v1..v3; the guard clamps
         MV.vacuum_source_safely(src, keep_last=1, views=[vw, ow])
         assert min(V._manifest_versions(src)) == 1
-        MV.refresh_agg_view(spark, vw)  # refresh works after vacuum
+        MV.refresh_agg_view(spark, vw, recompute_fraction=None)  # refresh works after vacuum
         got = sorted((r.g, r.cnt, r.sum_v)
                      for r in V.read(spark, vw).collect())
         assert got == [("a", 1, 3), ("b", 1, 5)]

@@ -670,6 +670,38 @@ def main() -> int:
         "delta-matching keys.",
     ))
 
+    # round-9: the maintained near-dup pairs view's Δ probe — inserted
+    # docs' bands equi-join the band index; the pair volume is bounded
+    # by band collisions, and the plan must be a hash/merge equi-join,
+    # never a nested loop (the all-pairs failure mode LSH exists to
+    # avoid). The Δ-key flag and probe restriction both broadcast.
+    from rclip_server_spark.sources import neardup_view as NDV
+
+    _nddir = _tf.mkdtemp(prefix="nd_audit_")
+    _ndsrc = os.path.join(_nddir, "docs")
+    _ndvw = os.path.join(_nddir, "pairs")
+    V.create(spark, _ndsrc, docs.select("doc_id", "text")
+             .where(F.col("doc_id") % 2 == 0))
+    NDV.create_near_dup_pairs_view(spark, _ndsrc, _ndvw, key="doc_id")
+    _ndspec = NDV._spec_nd(_ndvw)
+    _ndband = MVIEW._read_source(spark, _ndvw + NDV.BANDS_SUFFIX)
+    _ndgram = MVIEW._read_source(spark, _ndvw + NDV.GRAMS_SUFFIX)
+    _ndins = docs.select("doc_id").where(F.col("doc_id") % 20 == 0)
+    audits.append((
+        "Near-dup pairs view Δ probe (Δ-bands ⋈ band index)",
+        NDV._probe_pairs(_ndband, _ndgram, _ndins, _ndspec),
+        {("SortMergeJoin", "BroadcastHashJoin"): True,
+         "CartesianProduct": False, "BroadcastNestedLoopJoin": False},
+        "The incremental pair discovery: the inserted docs' banded "
+        "signatures (semi-join-restricted probe side) equi-join the "
+        "maintained band index on (band, band-hash) — a hash/merge "
+        "join whose output is bounded by band collisions, with the "
+        "Δ-key set broadcast to flag new-vs-new orientation. At 100 TB "
+        "the band index is bucketed by (band, bh) so this probe is a "
+        "co-located join against a day's crawl, never corpus × corpus "
+        "(and never a nested loop — asserted).",
+    ))
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
