@@ -32,6 +32,11 @@ the Spark engine the equivalent entry point for its storage layer:
   is delegated verbatim to ``spark.sql`` — so the FULL Spark SQL
   surface composes on top of maintained state. ``t VERSION AS OF n``
   time-travels a versioned table.
+* ``CREATE MATERIALIZED VIEW v USING near_dup OPTIONS (source='t',
+  key='id', ...)`` — the algorithm-defined kind (the maintained
+  banded-MinHash pair table) that has no SQL shape to infer from.
+* ``EXPLAIN <select>`` — the formatted physical plan, for checking
+  pushdown/broadcast/shuffle shape from the same entry point.
 * ``DESCRIBE [MATERIALIZED] VIEW v`` / ``DESCRIBE CASCADE v`` /
   ``DESCRIBE HISTORY t`` / ``SHOW TABLES`` — manifest-only metadata.
 * ``VACUUM t [KEEP n]`` — cursor-safe: clamped to every registered
@@ -689,6 +694,36 @@ def _create_mv(spark: SparkSession, catalog: Catalog, name: str,
             "path": vp}
 
 
+def _create_using(spark: SparkSession, catalog: Catalog, name: str,
+                  kind: str, opts: dict) -> dict:
+    """``CREATE MATERIALIZED VIEW v USING near_dup OPTIONS (source='t',
+    key='id'[, text_col='text', shingle_n=5, num_hashes=32, bands=8,
+    threshold=0.7, seed=42])`` — the maintained banded-MinHash pair
+    table (sources/neardup_view.py), the one view kind whose definition
+    is an algorithm, not a SQL shape. REFRESH / DESCRIBE / VACUUM /
+    SELECT all work on it like any other registered view."""
+    if kind != "near_dup":
+        raise SqlError(f"unknown USING kind {kind!r}; supported: "
+                       f"near_dup (SQL-shaped kinds use AS SELECT)")
+    from .sources import neardup_view as ND
+
+    src_name = opts.get("source")
+    if not src_name:
+        raise SqlError("USING near_dup needs OPTIONS (source='<table>')")
+    src = catalog.get(str(src_name))
+    key = opts.get("key") or src["meta"].get("key")
+    if not key:
+        raise SqlError("USING near_dup needs OPTIONS (key='id') or a "
+                       "key declared on the source table")
+    vp = catalog.path_for(name)
+    kw = {k: opts[k] for k in ("text_col", "shingle_n", "num_hashes",
+                               "bands", "threshold", "seed") if k in opts}
+    ND.create_near_dup_pairs_view(spark, src["path"], vp, key=key, **kw)
+    catalog.register(name, vp, kind="near_dup", meta={"key": key})
+    return {"status": "created", "name": name, "kind": "near_dup",
+            "path": vp}
+
+
 def _mv_transforms(catalog: Catalog) -> dict:
     """path → (fn, name) for every SQL-defined transform view in the
     catalog — what refresh_view/refresh_cascade need to advance them."""
@@ -769,6 +804,13 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
     # must never reject syntax that Spark accepts
     if head in ("select", "with", "values"):
         return _run_select(spark, text, catalog)
+
+    if head == "explain":
+        body = text[len(head_m.group(0)):].strip()
+        df = _run_select(spark, body, catalog)
+        return {"plan": df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted"))}
 
     # statements whose BODY is arbitrary Spark SQL are split by regex
     # (header) + delegation (body) for the same reason
@@ -861,6 +903,16 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
             cur.take()
             cur.expect_kw("view")
             name = cur.expect_ident()
+            if cur.at_kw("using"):
+                # non-SQL-expressible maintained kinds declare a USING
+                # clause instead of a SELECT body — currently the
+                # banded-MinHash near-dup pair table
+                cur.take()
+                kind = cur.expect_ident().lower()
+                opts = _parse_options(cur)
+                if not cur.done():
+                    raise SqlError("trailing tokens after OPTIONS")
+                return _create_using(spark, catalog, name, kind, opts)
             opts = _parse_options(cur)
             cur.expect_kw("as")
             body = text[cur.peek().start:] if not cur.done() else ""
@@ -903,6 +955,7 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
 
     raise SqlError(
         f"unsupported statement head {toks[0].text!r}; supported: "
-        "SELECT / WITH / CREATE [MATERIALIZED VIEW|TABLE] / REFRESH "
+        "SELECT / WITH / EXPLAIN / CREATE [MATERIALIZED VIEW [USING "
+        "near_dup]|TABLE] / REFRESH "
         "MATERIALIZED VIEW / INSERT INTO / DELETE FROM / DESCRIBE / "
         "SHOW TABLES / VACUUM / DROP")

@@ -120,3 +120,26 @@ def test_heal_after_unsafe_vacuum(spark, nd):
                                        recompute_fraction=None)
     ND.refresh_near_dup_pairs_view(spark, vw)
     assert _view_pairs(spark, vw) == _pairs_of(docs)
+
+
+def test_pairs_view_under_cascade_stream(spark, nd):
+    """Continuous maintenance: the cascade refresh stream dispatches
+    the near_dup kind with no function handle (the spec holds the
+    algorithm parameters), so a source commit ripples into the pair
+    table while the stream runs."""
+    import tempfile
+
+    from rclip_server_spark.streaming import sink
+
+    docs, src, vw = nd
+    ckpt = tempfile.mkdtemp(prefix="nd_stream_ckpt_")
+    q = sink.start_view_cascade_refresh_stream(spark, vw,
+                                               checkpoint_dir=ckpt)
+    try:
+        V.append(spark, src, docs.where(F.col("doc_id") % 3 == 2))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert q.exception() is None
+    assert M.describe_view(vw)["fresh"]
+    assert _view_pairs(spark, vw) == _pairs_of(docs)

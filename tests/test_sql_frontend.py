@@ -284,3 +284,25 @@ def test_dml_against_materialized_view_rejected(spark, events, cat,
         S.execute(spark, "INSERT INTO guard VALUES (1, 2)", cat)
     with pytest.raises(S.SqlError, match="materialized view"):
         S.execute(spark, "DELETE FROM guard WHERE c1 > 0", cat)
+
+
+def test_near_dup_view_via_using_and_explain(spark, documents, cat):
+    docs = documents.select("doc_id", "text")
+    path = cat.path_for("docs")
+    V.create(spark, path, docs.where(F.col("doc_id") % 3 != 2))
+    cat.register("docs", path, meta={"key": "doc_id"})
+    S.execute(spark, (
+        "CREATE MATERIALIZED VIEW pairs USING near_dup "
+        "OPTIONS (source='docs', threshold=0.6)"), cat)
+    V.append(spark, path, docs.where(F.col("doc_id") % 3 == 2))
+    r = S.execute(spark, "REFRESH MATERIALIZED VIEW pairs", cat)
+    assert r["status"] == "refreshed"
+    got = S.execute(spark, "SELECT id_a, id_b, jaccard FROM pairs", cat)
+    from rclip_server_spark.operators import dedup
+    want = dedup.minhash_near_dup(docs, threshold=0.6)
+    assert _rows(got) == _rows(want)
+    assert "_nd_pair" not in got.columns
+    d = S.execute(spark, "DESCRIBE MATERIALIZED VIEW pairs", cat)
+    assert d["view_kind"] == "near_dup" and d["fresh"]
+    plan = S.execute(spark, "EXPLAIN SELECT count(*) FROM pairs", cat)
+    assert "Physical Plan" in plan["plan"]
