@@ -126,7 +126,10 @@ class Catalog:
         self._save()
 
     def unregister(self, name: str) -> dict:
-        e = self._entries.pop(name, None)
+        match = name if name in self._entries else next(
+            (n for n in self._entries if n.lower() == name.lower()),
+            None)
+        e = self._entries.pop(match, None) if match else None
         if e is None:
             raise SqlError(f"unknown table or view: {name}")
         self._save()
@@ -142,6 +145,21 @@ class Catalog:
                 f"unknown table or view: {name} "
                 f"(known: {sorted(self._entries) or '<none>'})")
         return e
+
+    def check_available(self, name: str) -> None:
+        """Validate a NEW name before any data is materialized — name
+        legality, reserved words, case-insensitive collisions, and
+        already-registered names all fail here, not after a full
+        CREATE job has written directories."""
+        if not _IDENT_RE.match(name) or name.lower() in _RESERVED:
+            raise SqlError(f"{name!r} is not a legal table name "
+                           f"(identifier, not a reserved word)")
+        clash = next((n for n in self._entries
+                      if n.lower() == name.lower()), None)
+        if clash:
+            raise SqlError(
+                f"{name!r} already exists as {clash!r} — DROP it "
+                f"first (names resolve case-insensitively)")
 
     def names(self) -> list[str]:
         return sorted(self._entries)
@@ -330,8 +348,11 @@ def _run_select(spark: SparkSession, text: str, catalog: Catalog
     # surface (backticks, double quotes, :: casts...) that the DDL
     # mini-tokenizer has no business parsing — Spark, not this module,
     # judges the SELECT's syntax
+    scannable = re.sub(
+        r"'(?:[^']|'')*'|\"[^\"]*\"|`[^`]*`|--[^\n]*", " ", text)
     referenced = {m.group(0).lower()
-                  for m in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", text)}
+                  for m in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*",
+                                       scannable)}
     for name in catalog.names():
         if name.lower() in referenced:
             _read_entry(spark, catalog.get(name))\
@@ -621,6 +642,7 @@ def _transform_fn(items: list[_Item], where: str | None):
 
 def _create_mv(spark: SparkSession, catalog: Catalog, name: str,
                opts: dict, plan: _MvPlan, body_sql: str) -> dict:
+    catalog.check_available(name)
     vp = catalog.path_for(name)
     meta: dict = {"sql": _norm_sql(body_sql)}
     if plan.kind == "agg":
@@ -715,11 +737,12 @@ def _create_using(spark: SparkSession, catalog: Catalog, name: str,
     if not key:
         raise SqlError("USING near_dup needs OPTIONS (key='id') or a "
                        "key declared on the source table")
+    catalog.check_available(name)
     vp = catalog.path_for(name)
     kw = {k: opts[k] for k in ("text_col", "shingle_n", "num_hashes",
                                "bands", "threshold", "seed") if k in opts}
     ND.create_near_dup_pairs_view(spark, src["path"], vp, key=key, **kw)
-    catalog.register(name, vp, kind="near_dup", meta={"key": key})
+    catalog.register(name, vp, kind="near_dup")
     return {"status": "created", "name": name, "kind": "near_dup",
             "path": vp}
 
@@ -808,9 +831,9 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
     if head == "explain":
         body = text[len(head_m.group(0)):].strip()
         df = _run_select(spark, body, catalog)
-        return {"plan": df._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution
-            .ExplainMode.fromString("formatted"))}
+        jvm = spark.sparkContext._jvm
+        return {"plan": jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")}
 
     # statements whose BODY is arbitrary Spark SQL are split by regex
     # (header) + delegation (body) for the same reason
@@ -824,7 +847,7 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
 
     if head == "delete":
         m = re.match(
-            r"delete\s+from\s+([A-Za-z_][A-Za-z0-9_]*)\s+where\s+(.+)$",
+            r"delete\s+from\s+([A-Za-z_][A-Za-z0-9_]*)\s+where\b\s*(.+)$",
             text, re.IGNORECASE | re.DOTALL)
         if not m:
             raise SqlError("DELETE FROM t WHERE <predicate>")
@@ -834,16 +857,17 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
                                      re.IGNORECASE):
         m = re.match(
             r"create\s+table\s+([A-Za-z_][A-Za-z0-9_]*)\s*"
-            r"(options\s*\([^)]*\))?\s*as\s+(.+)$",
+            r"(options\s*\([^)]*\))?\s*as\b\s*(.+)$",
             text, re.IGNORECASE | re.DOTALL)
         if not m:
             raise SqlError("CREATE TABLE name [OPTIONS (...)] AS SELECT")
+        name = m.group(1)
+        catalog.check_available(name)
         opts = {}
         if m.group(2):
             opts = _parse_options(_Cursor(_tokenize(m.group(2)),
                                           m.group(2)))
         df = _run_select(spark, m.group(3), catalog)
-        name = m.group(1)
         path = catalog.path_for(name)
         ver = V.create(spark, path, df)
         catalog.register(name, path, kind="table",
@@ -931,8 +955,15 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         name = cur.expect_ident()
         e = catalog.unregister(name)
         spark.catalog.dropTempView(name)  # no stale reads post-drop
-        if os.path.isdir(e["path"]):
-            shutil.rmtree(e["path"])
+        doomed = [e["path"]]
+        if e["kind"] == "near_dup":
+            # the pair table owns two internal index views on disk
+            from .sources import neardup_view as ND
+            doomed += [e["path"] + ND.GRAMS_SUFFIX,
+                       e["path"] + ND.BANDS_SUFFIX]
+        for d in doomed:
+            if os.path.isdir(d):
+                shutil.rmtree(d)
         return {"status": "dropped", "name": name}
 
     if head == "vacuum":

@@ -306,3 +306,47 @@ def test_near_dup_view_via_using_and_explain(spark, documents, cat):
     assert d["view_kind"] == "near_dup" and d["fresh"]
     plan = S.execute(spark, "EXPLAIN SELECT count(*) FROM pairs", cat)
     assert "Physical Plan" in plan["plan"]
+
+
+def test_drop_near_dup_reaps_indexes_and_recreate(spark, documents,
+                                                  cat):
+    docs = documents.select("doc_id", "text")
+    path = cat.path_for("d2")
+    V.create(spark, path, docs.limit(100))
+    cat.register("d2", path, meta={"key": "doc_id"})
+    S.execute(spark, "CREATE MATERIALIZED VIEW p2 USING near_dup "
+                     "OPTIONS (source='d2')", cat)
+    S.execute(spark, "DROP MATERIALIZED VIEW p2", cat)
+    for suffix in ("", "_grams", "_bands"):
+        assert not os.path.isdir(cat.path_for("p2") + suffix)
+    # a re-create at the same name must work cleanly
+    S.execute(spark, "CREATE MATERIALIZED VIEW p2 USING near_dup "
+                     "OPTIONS (source='d2')", cat)
+
+
+def test_create_validates_name_before_materializing(spark, events,
+                                                    cat, base):
+    with pytest.raises(S.SqlError, match="already exists"):
+        S.execute(spark, "CREATE TABLE EV AS SELECT 1 AS one", cat)
+    # the failed CREATE must not leave a directory behind
+    assert not os.path.isdir(cat.path_for("EV"))
+    S.execute(spark, "DROP TABLE EV", cat)  # case-insensitive drop
+    with pytest.raises(Exception):  # SqlError or Spark's not-found
+        S.execute(spark, "SELECT count(*) FROM ev", cat).collect()
+    # DELETE with no space after WHERE parses (regex header split)
+    ev2 = events.select("event_id").limit(3)
+    ev2.createOrReplaceTempView("seed3")
+    S.execute(spark, "CREATE TABLE t3 OPTIONS (key='event_id') AS"
+                     "(SELECT * FROM seed3)", cat)
+    S.execute(spark, "DELETE FROM t3 WHERE(event_id >= 0)", cat)
+    assert S.execute(spark, "SELECT count(*) AS n FROM t3",
+                     cat).collect()[0]["n"] == 0
+
+
+def test_string_literals_not_scanned_for_names(spark, events, cat,
+                                               base, tmp_path):
+    # a literal mentioning a catalog name must not trigger its read:
+    # point the entry at a bogus path, reference it ONLY in a string
+    cat.register("ghost", str(tmp_path / "nonexistent"))
+    out = S.execute(spark, "SELECT 'ghost story' AS s", cat)
+    assert out.collect()[0]["s"] == "ghost story"
