@@ -1048,3 +1048,54 @@ _register(
     WHERE jaccard >= 0.7
     """,
 )
+
+
+def _sql_avg_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    ).createOrReplaceTempView("events_seed_a")
+    SQ.execute(spark, "CREATE TABLE eva OPTIONS (key='event_id') AS "
+                      "SELECT * FROM events_seed_a WHERE event_id % 5 <> 4",
+               cat)
+    SQ.execute(spark, (
+        "CREATE MATERIALIZED VIEW avgv AS "
+        "SELECT event_type, COUNT(*) AS cnt, "
+        "AVG(value_cents) AS avg_value_cents "
+        "FROM eva GROUP BY event_type"), cat)
+    SQ.execute(spark, "INSERT INTO eva SELECT * FROM events_seed_a "
+                      "WHERE event_id % 5 = 4", cat)
+    SQ.execute(spark, "DELETE FROM eva WHERE event_id % 9 = 0", cat)
+    SQ.execute(spark, "REFRESH MATERIALIZED VIEW avgv", cat)
+
+
+def _sql_mv_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """AVG through the SQL frontend's maintained agg view: kept as the
+    retractable (BIGINT sum, non-null count) pair and divided at read —
+    the DuckDB twin computes the identical exact-sum/exact-count
+    division over the final state (never engine AVG, whose internal
+    accumulation order is not pinned)."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "sqlavg", _sql_avg_builder)
+    return SQ.execute(
+        spark, "SELECT event_type, cnt, avg_value_cents FROM avgv",
+        SQ.Catalog(path))
+
+
+_register(
+    "sql_mv_avg",
+    _sql_mv_avg,
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+             / CAST(count(round(value * 100)) AS DOUBLE)
+             AS avg_value_cents
+    FROM events
+    WHERE event_id % 9 <> 0
+    GROUP BY event_type
+    """,
+)

@@ -42,6 +42,9 @@ the Spark engine the equivalent entry point for its storage layer:
 * ``VACUUM t [KEEP n]`` — cursor-safe: clamped to every registered
   view's refresh cursor (matview.vacuum_source_safely with the whole
   catalog as the dependent-view list).
+* ``OPTIMIZE t [ZORDER BY (x, y)]`` — fold accreted segments into one
+  committed version (versioned.compact), or recluster by Morton key
+  with zone maps on both columns (versioned.cluster_zorder).
 * ``DROP TABLE t`` / ``DROP MATERIALIZED VIEW v``
 
 Scale notes: every statement is driver-side manifest work plus the
@@ -298,12 +301,17 @@ def _read_entry(spark: SparkSession, entry: dict,
     ``_pair_key`` row identities) are hidden, and an MV created with
     non-canonical SQL aliases gets its declared output names back."""
     df = MV._read_source(spark, entry["path"], version)
+    meta = entry.get("meta", {})
+    for canon, col in (meta.get("avgs") or {}).items():
+        # AVG presents as exact-BIGINT sum / non-null count (nn_*),
+        # the same arithmetic both engines produce for integer AVG;
+        # 0/0 -> NULL matches SQL AVG over an all-NULL group
+        df = df.withColumn(canon, F.col(f"sum_{col}") / F.col(f"nn_{col}"))
     hide = [c for c in df.columns
             if c in ("_pair_key", "_nd_pair")
             or (c.startswith("nn_") and f"sum_{c[3:]}" in df.columns)]
     if hide:
         df = df.drop(*hide)
-    meta = entry.get("meta", {})
     requested = meta.get("requested")
     if requested:
         # project to the DECLARED SQL output: asking MIN(x) alone still
@@ -382,7 +390,7 @@ def _parse_select_items(cur: _Cursor) -> list[_Item]:
             cur.take()
             items.append(_Item("star", None, None))
         elif (t.kind == "ident" and t.lower in ("count", "sum", "min",
-                                                "max")
+                                                "max", "avg")
               and cur.peek(1) is not None and cur.peek(1).text == "("):
             fn = cur.take().lower
             cur.expect_op("(")
@@ -561,13 +569,16 @@ def _agg_spec(items: list[_Item], group_by: list[str]) -> dict:
     (group_cols, sum_cols, minmax_cols) + the alias map canonical→SQL
     name. Bare columns must equal the GROUP BY list; aggregates become
     state columns (MIN or MAX alone still maintains the min/max pair —
-    the unrequested twin is hidden by the alias projection)."""
+    the unrequested twin is hidden by the read projection). AVG(x) is
+    maintained as the retractable pair (sum_x, nn_x) and divided at
+    read time — exact for the integer columns the view layer sums."""
     bare = [i.col for i in items if i.kind == "col"]
     if bare != list(group_by):
         raise SqlError(
             f"select-list bare columns {bare} must equal the GROUP BY "
             f"list {list(group_by)} (in order)")
     sum_cols, minmax_cols, aliases, requested = [], [], {}, []
+    avgs = {}
     has_count = False
     for it in items:
         if it.kind == "col":
@@ -579,26 +590,28 @@ def _agg_spec(items: list[_Item], group_by: list[str]) -> dict:
             requested.append("cnt")
             if it.alias and it.alias != "cnt":
                 aliases["cnt"] = it.alias
-        elif it.kind in ("sum", "min", "max"):
+        elif it.kind in ("sum", "min", "max", "avg"):
             canon = f"{it.kind}_{it.col}"
             requested.append(canon)
             if it.alias and it.alias != canon:
                 aliases[canon] = it.alias
-            if it.kind == "sum":
+            if it.kind in ("sum", "avg"):
                 if it.col not in sum_cols:
                     sum_cols.append(it.col)
+                if it.kind == "avg":
+                    avgs[canon] = it.col
             elif it.col not in minmax_cols:
                 minmax_cols.append(it.col)
         else:
             raise SqlError(
-                "aggregating views support COUNT(*) / SUM / MIN / MAX "
-                "and the grouping columns — arbitrary expressions "
-                "belong in a transform view underneath")
+                "aggregating views support COUNT(*) / SUM / AVG / MIN "
+                "/ MAX and the grouping columns — arbitrary "
+                "expressions belong in a transform view underneath")
     if not has_count:
         raise SqlError("aggregating views must select COUNT(*) — it is "
                        "the maintenance anchor (group liveness)")
     return {"sum_cols": sum_cols, "minmax_cols": minmax_cols,
-            "aliases": aliases, "requested": requested}
+            "aliases": aliases, "requested": requested, "avgs": avgs}
 
 
 def _norm_sql(text: str) -> str:
@@ -657,7 +670,8 @@ def _create_mv(spark: SparkSession, catalog: Catalog, name: str,
                            group_cols=plan.group_by,
                            sum_cols=spec["sum_cols"],
                            minmax_cols=spec["minmax_cols"])
-        meta.update(aliases=spec["aliases"], requested=spec["requested"])
+        meta.update(aliases=spec["aliases"], requested=spec["requested"],
+                    avgs=spec["avgs"])
     elif plan.kind == "join":
         le, re_ = catalog.get(plan.left), catalog.get(plan.right)
         lk = opts.get("left_key") or le["meta"].get("key")
@@ -673,7 +687,8 @@ def _create_mv(spark: SparkSession, catalog: Catalog, name: str,
                             sum_cols=spec["sum_cols"],
                             minmax_cols=spec["minmax_cols"],
                             how=plan.how)
-        meta.update(aliases=spec["aliases"], requested=spec["requested"])
+        meta.update(aliases=spec["aliases"], requested=spec["requested"],
+                    avgs=spec["avgs"])
     elif plan.kind == "join_table":
         le, re_ = catalog.get(plan.left), catalog.get(plan.right)
         lk = opts.get("left_key") or le["meta"].get("key")
@@ -965,6 +980,27 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
             if os.path.isdir(d):
                 shutil.rmtree(d)
         return {"status": "dropped", "name": name}
+
+    if head == "optimize":
+        cur.take()
+        name = cur.expect_ident()
+        e = _writable_table(catalog, name, "OPTIMIZE")
+        if cur.at_kw("zorder"):
+            cur.take()
+            cur.expect_kw("by")
+            cur.expect_op("(")
+            cols = _ident_list(cur)
+            cur.expect_op(")")
+            if len(cols) != 2:
+                raise SqlError("OPTIMIZE t ZORDER BY (x, y) takes "
+                               "exactly two columns (Morton key)")
+            ver = V.cluster_zorder(spark, e["path"], cols[0], cols[1])
+            return {"status": "optimized", "name": name,
+                    "zorder_by": cols, "version": ver}
+        if not cur.done():
+            raise SqlError("OPTIMIZE t [ZORDER BY (x, y)]")
+        ver = V.compact(spark, e["path"])
+        return {"status": "optimized", "name": name, "version": ver}
 
     if head == "vacuum":
         cur.take()

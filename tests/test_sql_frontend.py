@@ -350,3 +350,35 @@ def test_string_literals_not_scanned_for_names(spark, events, cat,
     cat.register("ghost", str(tmp_path / "nonexistent"))
     out = S.execute(spark, "SELECT 'ghost story' AS s", cat)
     assert out.collect()[0]["s"] == "ghost story"
+
+
+def test_avg_in_mv_and_optimize(spark, events, cat, base):
+    S.execute(spark, (
+        "CREATE MATERIALIZED VIEW avgs AS "
+        "SELECT event_type, COUNT(*) AS cnt, AVG(cents) AS mean_cents "
+        "FROM ev GROUP BY event_type"), cat)
+    V.append(spark, cat.get("ev")["path"],
+             base.where(F.col("event_id") % 3 == 2))
+    V.delete_rows(spark, cat.get("ev")["path"],
+                  base.where(F.col("event_id") % 11 == 0)
+                  .select("event_id"), "event_id")
+    S.execute(spark, "REFRESH MATERIALIZED VIEW avgs", cat)
+    got = S.execute(spark, "SELECT * FROM avgs", cat)
+    assert got.columns == ["event_type", "cnt", "mean_cents"]
+    want = (base.where(F.col("event_id") % 11 != 0)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("cnt"),
+                 (F.sum("cents") / F.count("cents"))
+                 .alias("mean_cents")))
+    assert _rows(got) == _rows(want)
+    # OPTIMIZE folds the table's accreted segments into one version
+    r = S.execute(spark, "OPTIMIZE ev", cat)
+    assert r["status"] == "optimized"
+    from rclip_server_spark.sources import versioned as VV
+    m = VV._manifest(cat.get("ev")["path"],
+                     VV.current_version(cat.get("ev")["path"]))
+    assert len(m["segments"]) == 1
+    # the maintained view still refreshes across the compaction commit
+    S.execute(spark, "REFRESH MATERIALIZED VIEW avgs", cat)
+    assert _rows(S.execute(spark, "SELECT * FROM avgs", cat)) \
+        == _rows(want)
