@@ -1099,3 +1099,62 @@ _register(
     GROUP BY event_type
     """,
 )
+
+
+def _vt_ed_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from ..sources import neardup_view as ND
+    from ..sources import versioned as VT
+
+    view = path + "_view"
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    VT.create(spark, path, emb.where(F.col("vec_id") % 3 != 2))
+    ND.create_embed_near_dup_pairs_view(spark, path, view, key="vec_id",
+                                        threshold=0.4, n_planes=6,
+                                        n_sets=3, dim=EMB_DIM)
+    VT.append(spark, path, emb.where(F.col("vec_id") % 3 == 2))
+    ND.refresh_embed_near_dup_pairs_view(spark, view,
+                                         recompute_fraction=None)
+    VT.delete_rows(spark, path,
+                   emb.where(F.col("vec_id") % 7 == 0).select("vec_id"),
+                   "vec_id")
+    ND.refresh_embed_near_dup_pairs_view(spark, view,
+                                         recompute_fraction=None)
+
+
+def _vt_embed_near_dup_pairs_view(spark: SparkSession, sf: str
+                                  ) -> DataFrame:
+    """Maintained EMBEDDING near-dup pair table (hyperplane-multiset
+    candidate tier + exact-cosine verify, sources/neardup_view.py):
+    advanced by an append (Δ buckets probe the maintained sign-bit
+    index) and a delete (pair retraction), then read; the DuckDB twin
+    recomputes the identical bucketing + verification from scratch on
+    the final vector set (threshold 0.4 — the synthetic embeddings are
+    near-orthogonal, see ann_hyperplane_near_dup_multiset)."""
+    from ..sources import neardup_view as ND
+
+    path = _vt_build(spark, sf, "edpairs", _vt_ed_builder)
+    return ND.read_embed_near_dup_pairs_view(spark, path + "_view")
+
+
+from ._base import bucket_sql, dot2_sql  # noqa: E402
+from ._base import PLANES6 as _PL6  # noqa: E402
+from ..operators import ann as _ann  # noqa: E402
+
+_register(
+    "vt_embed_near_dup_pairs_view",
+    _vt_embed_near_dup_pairs_view,
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % 7 <> 0),
+    b AS (SELECT vec_id AS id, embedding AS v,
+                 {bucket_sql('embedding', _PL6)} AS b0,
+                 {bucket_sql('embedding', _ann.hyperplanes(6, EMB_DIM, 43))} AS b1,
+                 {bucket_sql('embedding', _ann.hyperplanes(6, EMB_DIM, 44))} AS b2
+          FROM e)
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.id AS id_a, c.id AS id_b, {dot2_sql('a.v', 'c.v')} AS cosine
+      FROM b a JOIN b c
+        ON a.id < c.id AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2))
+    WHERE cosine >= 0.4
+    """,
+)

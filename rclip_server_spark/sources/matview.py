@@ -1354,6 +1354,8 @@ _VIEW_KINDS = {
     # BY the pairs refresh; their cursors never trail the pairs
     # cursor, so clamping vacuum to nd_source_version is sufficient.
     "nd_source": ("near_dup", [("nd_source", "nd_source_version")]),
+    "ed_source": ("embed_near_dup", [("ed_source",
+                                      "ed_source_version")]),
 }
 
 
@@ -1420,6 +1422,12 @@ def refresh_view(spark: SparkSession, view_path: str,
         from . import neardup_view as ND  # local: ND imports this module
 
         return ND.refresh_near_dup_pairs_view_with_retry(
+            spark, view_path, max_retries=max_retries,
+            recompute_fraction=recompute_fraction)
+    if kind == "embed_near_dup":
+        from . import neardup_view as ND
+
+        return ND.refresh_embed_near_dup_pairs_view_with_retry(
             spark, view_path, max_retries=max_retries,
             recompute_fraction=recompute_fraction)
     if kind == "transform":

@@ -302,37 +302,27 @@ def _refresh_indexes(spark: SparkSession, view_path: str, spec: dict,
         f"version after 5 rounds (source committing continuously?)")
 
 
-def refresh_near_dup_pairs_view(
-        spark: SparkSession, view_path: str,
-        recompute_fraction: float | None = M._RECOMPUTE_BOUND_FRACTION,
-) -> int:
-    """Advance the pair table to the source head: refresh the index
-    views (O(changed docs)), retract pairs touching retracted keys,
-    probe the band index with the inserted docs' bands, and publish
-    both as ONE delete_and_append commit (readers see the old pair set
-    or the new one, never a partially-retracted state). A rewriting
-    interval that trips the shared cost model — or a vacuumed/rolled-
-    back source — heals by full recompute from the refreshed indexes
-    (one overwrite, identical rows)."""
-    view_v = V.current_version(view_path)
-    spec = _spec_nd(view_path, view_v)
-    src = spec["nd_source"]
-    v_from = int(spec["nd_source_version"])
-    key = spec["nd_key"]
-    v_to, gv, bv = _refresh_indexes(spark, view_path, spec,
-                                    recompute_fraction=recompute_fraction)
+def _refresh_pairs_table(spark: SparkSession, view_path: str,
+                         view_v: int, spec: dict, prefix: str,
+                         v_to: int, full_state_fn, probe_fn,
+                         recompute_fraction) -> int:
+    """The SHARED maintenance skeleton both pair-view flavors
+    (MinHash-shingle and hyperplane-embedding) run per interval:
+    retract pairs touching retracted keys (delete vector, found by a
+    broadcast semi-join on the Δ keys), probe the pinned index with
+    the inserted keys, publish both as ONE delete_and_append commit. A
+    rewriting interval that trips the shared cost model — or a
+    vacuumed/rolled-back source — heals by full recompute from the
+    refreshed indexes (one overwrite, identical rows)."""
+    src = spec[f"{prefix}_source"]
+    v_from = int(spec[f"{prefix}_source_version"])
+    key = spec[f"{prefix}_key"]
     if v_to == v_from:
         return view_v
-    # PINNED index reads at the versions whose cursors == v_to: a
-    # concurrent refresher advancing the shared indexes must not leak
-    # future docs into this interval's probe (duplicate-pair hazard)
-    band_df = M._read_source(spark, view_path + BANDS_SUFFIX, bv)
-    gram_df = M._read_source(spark, view_path + GRAMS_SUFFIX, gv)
-    new_app = {k: spec[k] for k in spec if k != "nd_source_version"}
-    new_app["nd_source_version"] = v_to
+    new_app = dict(spec) | {f"{prefix}_source_version": v_to}
 
     def _recompute() -> int:
-        state = _with_pair_col(_full_pairs(band_df, gram_df, spec))
+        state = _with_pair_col(full_state_fn())
         return V.overwrite(spark, view_path, state,
                            extra={"app": new_app},
                            parent_version=view_v)
@@ -359,13 +349,34 @@ def refresh_near_dup_pairs_view(
                 cur.join(dk, cur["id_b"] == F.col("_dk"), "leftsemi"))
             .select(PAIR_COL).distinct()
         )
-        new_pairs = _with_pair_col(
-            _probe_pairs(band_df, gram_df, ins_keys, spec))
+        new_pairs = _with_pair_col(probe_fn(ins_keys))
         return V.delete_and_append(
             spark, view_path, del_pairs, PAIR_COL, new_pairs,
             extra={"app": new_app}, parent_version=view_v)
     finally:
         ch.unpersist()
+
+
+def refresh_near_dup_pairs_view(
+        spark: SparkSession, view_path: str,
+        recompute_fraction: float | None = M._RECOMPUTE_BOUND_FRACTION,
+) -> int:
+    """Advance the pair table to the source head: refresh the index
+    views (O(changed docs)), then run the shared retract+probe+commit
+    skeleton (_refresh_pairs_table) against the PINNED index reads —
+    a concurrent refresher advancing the shared indexes must not leak
+    future docs into this interval's probe (duplicate-pair hazard)."""
+    view_v = V.current_version(view_path)
+    spec = _spec_nd(view_path, view_v)
+    v_to, gv, bv = _refresh_indexes(spark, view_path, spec,
+                                    recompute_fraction=recompute_fraction)
+    band_df = M._read_source(spark, view_path + BANDS_SUFFIX, bv)
+    gram_df = M._read_source(spark, view_path + GRAMS_SUFFIX, gv)
+    return _refresh_pairs_table(
+        spark, view_path, view_v, spec, "nd", v_to,
+        full_state_fn=lambda: _full_pairs(band_df, gram_df, spec),
+        probe_fn=lambda ins: _probe_pairs(band_df, gram_df, ins, spec),
+        recompute_fraction=recompute_fraction)
 
 
 def refresh_near_dup_pairs_view_with_retry(
@@ -375,5 +386,222 @@ def refresh_near_dup_pairs_view_with_retry(
     """OCC rebase loop (the standard view-refresh retry contract)."""
     return M._refresh_with_retry(
         lambda: refresh_near_dup_pairs_view(
+            spark, view_path, recompute_fraction=recompute_fraction),
+        max_retries)
+
+
+# ===========================================================================
+# EMBEDDING near-dup pairs view: hyperplane-multiset LSH over an
+# embedding column — the vector twin of the MinHash flavor, sharing
+# the same maintenance skeleton. The candidate tier is
+# ann.hyperplane_lsh_near_dup_multiset's algebra (n_sets independently
+# seeded sign-bit bucketings, union, distinct), verification is exact
+# cosine ≥ threshold; planes derive deterministically from the seed in
+# the spec, so every refresh buckets identically and the maintained
+# state is row-identical to the one-shot pipeline over the head.
+# ===========================================================================
+
+EVECS_SUFFIX = "_evecs"
+EBKTS_SUFFIX = "_ebuckets"
+
+
+def _evecs_transform(key: str, vec_col: str):
+    def fn(df: DataFrame) -> DataFrame:
+        return df.select(key, F.col(vec_col).alias("v"))
+
+    return fn
+
+
+def _ebkts_transform(key: str, vec_col: str, n_planes: int, n_sets: int,
+                     seed: int, dim: int):
+    from ..operators import ann as A
+
+    def fn(df: DataFrame) -> DataFrame:
+        # buckets are PRECOMPUTED into the index (the literal-planes
+        # expression tree is planned once per refresh over Δ rows, and
+        # probes reuse the stored column — never re-planned per probe)
+        sets = [
+            F.struct(
+                F.lit(s).alias("pset"),
+                A.hyperplane_bucket_col(
+                    F.col(vec_col),
+                    A.hyperplanes(n_planes, dim, seed + s)).alias("bkt"))
+            for s in range(n_sets)
+        ]
+        return (df.select(key, F.explode(F.array(*sets)).alias("sb"))
+                .select(key, F.col("sb.pset").alias("pset"),
+                        F.col("sb.bkt").alias("bkt")))
+
+    return fn
+
+
+def _ed_transform_names(spec: dict) -> tuple[str, str]:
+    tag = (f"{spec['ed_n_planes']}:{spec['ed_n_sets']}:"
+           f"{spec['ed_seed']}:{spec['ed_dim']}")
+    return f"ed_vecs:{spec['ed_vec_col']}", f"ed_buckets:{tag}"
+
+
+def _ed_index_fns(spec: dict):
+    v = _evecs_transform(spec["ed_key"], spec["ed_vec_col"])
+    b = _ebkts_transform(spec["ed_key"], spec["ed_vec_col"],
+                         spec["ed_n_planes"], spec["ed_n_sets"],
+                         spec["ed_seed"], spec["ed_dim"])
+    return v, b
+
+
+def _ed_verified(cands: DataFrame, vec_df: DataFrame, key: str,
+                 threshold: float) -> DataFrame:
+    from ..functions import vector as VEC
+
+    v = vec_df.select(F.col(key).alias("_vid"), "v")
+    joined = (
+        cands
+        .join(v.withColumnRenamed("_vid", "id_a")
+               .withColumnRenamed("v", "va"), "id_a")
+        .join(v.withColumnRenamed("_vid", "id_b")
+               .withColumnRenamed("v", "vb"), "id_b")
+    )
+    return (joined.withColumn("cosine", VEC.dot("va", "vb"))
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
+def _ed_full_pairs(bkt_df: DataFrame, vec_df: DataFrame, spec: dict
+                   ) -> DataFrame:
+    key = spec["ed_key"]
+    a, b = bkt_df.alias("a"), bkt_df.alias("b")
+    ka, kb = F.col(f"a.{key}"), F.col(f"b.{key}")
+    cands = (
+        a.join(b, (F.col("a.pset") == F.col("b.pset"))
+               & (F.col("a.bkt") == F.col("b.bkt")) & (ka < kb))
+        .select(ka.alias("id_a"), kb.alias("id_b"))
+        .distinct()  # a pair colliding in several plane sets is ONE pair
+    )
+    return _ed_verified(cands, vec_df, key, spec["ed_threshold"])
+
+
+def _ed_probe_pairs(bkt_df: DataFrame, vec_df: DataFrame,
+                    ins_keys: DataFrame, spec: dict) -> DataFrame:
+    key = spec["ed_key"]
+    ins = F.broadcast(ins_keys.select(F.col(key).alias("_ins_key"))
+                      .distinct())
+    corpus = (bkt_df.join(ins, bkt_df[key] == F.col("_ins_key"), "left")
+              .withColumn("_is_new", F.col("_ins_key").isNotNull())
+              .drop("_ins_key"))
+    probe = corpus.where(F.col("_is_new")).drop("_is_new")
+    a, b = corpus.alias("a"), probe.alias("b")
+    ka, kb = F.col(f"a.{key}"), F.col(f"b.{key}")
+    cands = (
+        a.join(b, (F.col("a.pset") == F.col("b.pset"))
+               & (F.col("a.bkt") == F.col("b.bkt")) & (ka != kb))
+        .where(~F.col("a._is_new") | (ka < kb))
+        .select(F.least(ka, kb).alias("id_a"),
+                F.greatest(ka, kb).alias("id_b"))
+        .distinct()
+    )
+    return _ed_verified(cands, vec_df, key, spec["ed_threshold"])
+
+
+def create_embed_near_dup_pairs_view(
+    spark: SparkSession, source_path: str, view_path: str, key: str,
+    vec_col: str = "embedding", threshold: float = 0.95,
+    n_planes: int = 6, n_sets: int = 3, seed: int = 42,
+    dim: int | None = None,
+) -> int:
+    """Materialize the EMBEDDING near-dup pair table (cosine ≥
+    threshold through the hyperplane-multiset candidate tier) over the
+    source's head; the bucket/vector index transform views are created
+    alongside. ``dim`` is frozen in the spec (inferred from the source
+    when omitted) so every refresh derives identical planes."""
+    if dim is None:
+        probe = M._read_source(spark, source_path).select(
+            F.size(vec_col)).first()
+        if probe is None or probe[0] is None:
+            raise ValueError(f"cannot infer {vec_col} dim from an "
+                             f"empty source; pass dim=")
+        dim = int(probe[0])
+    spec = {
+        "ed_source": source_path, "ed_key": key, "ed_vec_col": vec_col,
+        "ed_threshold": float(threshold), "ed_n_planes": int(n_planes),
+        "ed_n_sets": int(n_sets), "ed_seed": int(seed),
+        "ed_dim": int(dim),
+    }
+    vname, bname = _ed_transform_names(spec)
+    vfn, bfn = _ed_index_fns(spec)
+    M.create_transform_view(spark, source_path, view_path + EVECS_SUFFIX,
+                            key=key, transform=vfn, name=vname)
+    M.create_transform_view(spark, source_path, view_path + EBKTS_SUFFIX,
+                            key=key, transform=bfn, name=bname)
+    src_v, vv, bv = _ed_refresh_indexes(spark, view_path, spec)
+    bkt_df = M._read_source(spark, view_path + EBKTS_SUFFIX, bv)
+    vec_df = M._read_source(spark, view_path + EVECS_SUFFIX, vv)
+    state = _with_pair_col(_ed_full_pairs(bkt_df, vec_df, spec))
+    return V.create(spark, view_path, state,
+                    extra={"app": spec | {"ed_source_version": src_v}})
+
+
+def _spec_ed(path: str, version: int | None = None) -> dict:
+    v = V.current_version(path) if version is None else int(version)
+    spec = V._manifest(path, v).get("app") or {}
+    if "ed_source" not in spec:
+        raise ValueError(f"{path} is not an embedding near-dup pairs "
+                         f"view (no ed_source in its manifest)")
+    return spec
+
+
+def read_embed_near_dup_pairs_view(spark: SparkSession, view_path: str,
+                                   version: int | None = None
+                                   ) -> DataFrame:
+    return V.read(spark, view_path, version).drop(PAIR_COL)
+
+
+def _ed_refresh_indexes(spark: SparkSession, view_path: str, spec: dict,
+                        recompute_fraction: float | None = None
+                        ) -> tuple[int, int, int]:
+    """_refresh_indexes for the embedding flavor (same convergence +
+    pinning contract)."""
+    vname, bname = _ed_transform_names(spec)
+    vfn, bfn = _ed_index_fns(spec)
+    vp, bp = view_path + EVECS_SUFFIX, view_path + EBKTS_SUFFIX
+    for _ in range(5):
+        M.refresh_transform_view_with_retry(
+            spark, vp, vfn, vname, recompute_fraction=recompute_fraction)
+        M.refresh_transform_view_with_retry(
+            spark, bp, bfn, bname, recompute_fraction=recompute_fraction)
+        vvv, bvv = V.current_version(vp), V.current_version(bp)
+        vv = M._spec_tv(vp, vvv)["tv_source_version"]
+        bv = M._spec_tv(bp, bvv)["tv_source_version"]
+        if vv == bv:
+            return int(vv), vvv, bvv
+    raise RuntimeError(
+        f"index views for {view_path} could not converge on one source "
+        f"version after 5 rounds (source committing continuously?)")
+
+
+def refresh_embed_near_dup_pairs_view(
+        spark: SparkSession, view_path: str,
+        recompute_fraction: float | None = M._RECOMPUTE_BOUND_FRACTION,
+) -> int:
+    """Advance the embedding pair table to the source head — the same
+    pinned-index + shared-skeleton contract as the MinHash flavor."""
+    view_v = V.current_version(view_path)
+    spec = _spec_ed(view_path, view_v)
+    v_to, vv, bv = _ed_refresh_indexes(
+        spark, view_path, spec, recompute_fraction=recompute_fraction)
+    bkt_df = M._read_source(spark, view_path + EBKTS_SUFFIX, bv)
+    vec_df = M._read_source(spark, view_path + EVECS_SUFFIX, vv)
+    return _refresh_pairs_table(
+        spark, view_path, view_v, spec, "ed", v_to,
+        full_state_fn=lambda: _ed_full_pairs(bkt_df, vec_df, spec),
+        probe_fn=lambda ins: _ed_probe_pairs(bkt_df, vec_df, ins, spec),
+        recompute_fraction=recompute_fraction)
+
+
+def refresh_embed_near_dup_pairs_view_with_retry(
+    spark: SparkSession, view_path: str, max_retries: int = 3,
+    recompute_fraction: float | None = M._RECOMPUTE_BOUND_FRACTION,
+) -> int:
+    return M._refresh_with_retry(
+        lambda: refresh_embed_near_dup_pairs_view(
             spark, view_path, recompute_fraction=recompute_fraction),
         max_retries)

@@ -739,26 +739,36 @@ def _create_using(spark: SparkSession, catalog: Catalog, name: str,
     table (sources/neardup_view.py), the one view kind whose definition
     is an algorithm, not a SQL shape. REFRESH / DESCRIBE / VACUUM /
     SELECT all work on it like any other registered view."""
-    if kind != "near_dup":
+    if kind not in ("near_dup", "embed_near_dup"):
         raise SqlError(f"unknown USING kind {kind!r}; supported: "
-                       f"near_dup (SQL-shaped kinds use AS SELECT)")
+                       f"near_dup, embed_near_dup (SQL-shaped kinds "
+                       f"use AS SELECT)")
     from .sources import neardup_view as ND
 
     src_name = opts.get("source")
     if not src_name:
-        raise SqlError("USING near_dup needs OPTIONS (source='<table>')")
+        raise SqlError(f"USING {kind} needs OPTIONS (source='<table>')")
     src = catalog.get(str(src_name))
     key = opts.get("key") or src["meta"].get("key")
     if not key:
-        raise SqlError("USING near_dup needs OPTIONS (key='id') or a "
-                       "key declared on the source table")
+        raise SqlError(f"USING {kind} needs OPTIONS (key='id') or a "
+                       f"key declared on the source table")
     catalog.check_available(name)
     vp = catalog.path_for(name)
-    kw = {k: opts[k] for k in ("text_col", "shingle_n", "num_hashes",
-                               "bands", "threshold", "seed") if k in opts}
-    ND.create_near_dup_pairs_view(spark, src["path"], vp, key=key, **kw)
-    catalog.register(name, vp, kind="near_dup")
-    return {"status": "created", "name": name, "kind": "near_dup",
+    if kind == "near_dup":
+        kw = {k: opts[k] for k in ("text_col", "shingle_n",
+                                   "num_hashes", "bands", "threshold",
+                                   "seed") if k in opts}
+        ND.create_near_dup_pairs_view(spark, src["path"], vp, key=key,
+                                      **kw)
+    else:
+        kw = {k: opts[k] for k in ("vec_col", "threshold", "n_planes",
+                                   "n_sets", "seed", "dim")
+              if k in opts}
+        ND.create_embed_near_dup_pairs_view(spark, src["path"], vp,
+                                            key=key, **kw)
+    catalog.register(name, vp, kind=kind)
+    return {"status": "created", "name": name, "kind": kind,
             "path": vp}
 
 
@@ -971,11 +981,14 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         e = catalog.unregister(name)
         spark.catalog.dropTempView(name)  # no stale reads post-drop
         doomed = [e["path"]]
-        if e["kind"] == "near_dup":
+        if e["kind"] in ("near_dup", "embed_near_dup"):
             # the pair table owns two internal index views on disk
             from .sources import neardup_view as ND
-            doomed += [e["path"] + ND.GRAMS_SUFFIX,
-                       e["path"] + ND.BANDS_SUFFIX]
+            doomed += ([e["path"] + ND.GRAMS_SUFFIX,
+                        e["path"] + ND.BANDS_SUFFIX]
+                       if e["kind"] == "near_dup" else
+                       [e["path"] + ND.EVECS_SUFFIX,
+                        e["path"] + ND.EBKTS_SUFFIX])
         for d in doomed:
             if os.path.isdir(d):
                 shutil.rmtree(d)

@@ -143,3 +143,85 @@ def test_pairs_view_under_cascade_stream(spark, nd):
     assert q.exception() is None
     assert M.describe_view(vw)["fresh"]
     assert _view_pairs(spark, vw) == _pairs_of(docs)
+
+
+# ---------------------------------------------------------------------------
+# EMBEDDING flavor: hyperplane-multiset candidates + exact cosine,
+# same maintenance skeleton — parity oracle is the one-shot pipeline
+# ---------------------------------------------------------------------------
+
+ETHRESH = 0.4  # synthetic embeddings are near-orthogonal
+
+
+def _epairs_of(df):
+    from rclip_server_spark.operators import ann
+    return sorted(tuple(r) for r in ann.hyperplane_lsh_near_dup_multiset(
+        df, threshold=ETHRESH, n_planes=6, n_sets=3, dim=64).collect())
+
+
+def _eview_pairs(spark, vw):
+    return sorted(tuple(r) for r in
+                  ND.read_embed_near_dup_pairs_view(spark, vw).collect())
+
+
+@pytest.fixture()
+def ed(spark, embeddings, tmp_path):
+    emb = embeddings.select("vec_id", "embedding")
+    src = str(tmp_path / "emb")
+    vw = str(tmp_path / "epairs")
+    V.create(spark, src, emb.where(F.col("vec_id") % 3 != 2))
+    ND.create_embed_near_dup_pairs_view(spark, src, vw, key="vec_id",
+                                        threshold=ETHRESH, dim=64)
+    return emb, src, vw
+
+
+def test_embed_create_append_delete_update(spark, ed):
+    emb, src, vw = ed
+    assert _eview_pairs(spark, vw) == _epairs_of(
+        emb.where(F.col("vec_id") % 3 != 2))
+    V.append(spark, src, emb.where(F.col("vec_id") % 3 == 2))
+    ND.refresh_embed_near_dup_pairs_view(spark, vw,
+                                         recompute_fraction=None)
+    assert _eview_pairs(spark, vw) == _epairs_of(emb)
+    V.delete_rows(spark, src,
+                  emb.where(F.col("vec_id") % 7 == 0).select("vec_id"),
+                  "vec_id")
+    ND.refresh_embed_near_dup_pairs_view(spark, vw,
+                                         recompute_fraction=None)
+    assert _eview_pairs(spark, vw) == _epairs_of(
+        emb.where(F.col("vec_id") % 7 != 0))
+    # update: give a slice of vectors OTHER rows' embeddings
+    donors = emb.where(F.col("vec_id") % 10 == 1).limit(10).select(
+        F.col("embedding").alias("e2"))
+    victims = (emb.where((F.col("vec_id") % 10 == 4)
+                         & (F.col("vec_id") % 7 != 0))
+               .limit(10).select("vec_id"))
+    upd = (victims.join(donors).limit(10)
+           .select("vec_id", F.col("e2").alias("embedding"))).persist()
+    V.upsert(spark, src, upd, key="vec_id")
+    ND.refresh_embed_near_dup_pairs_view(spark, vw,
+                                         recompute_fraction=None)
+    assert _eview_pairs(spark, vw) == _epairs_of(V.read(spark, src))
+    upd.unpersist()
+
+
+def test_embed_dispatch_describe_heal(spark, ed):
+    emb, src, vw = ed
+    V.append(spark, src, emb.where(F.col("vec_id") % 3 == 2))
+    M.refresh_view(spark, vw)  # kind-dispatched
+    d = M.describe_view(vw)
+    assert d["view_kind"] == "embed_near_dup" and d["fresh"]
+    assert M.view_base_tables(vw) == [src]
+    assert _eview_pairs(spark, vw) == _epairs_of(emb)
+    # heal after an unsafe vacuum: named error incremental, recompute
+    # under the shipped default
+    V.delete_rows(spark, src,
+                  emb.where(F.col("vec_id") % 5 == 0).select("vec_id"),
+                  "vec_id")
+    V.vacuum(src, keep_last=1)
+    with pytest.raises(RuntimeError):
+        ND.refresh_embed_near_dup_pairs_view(spark, vw,
+                                             recompute_fraction=None)
+    ND.refresh_embed_near_dup_pairs_view(spark, vw)
+    assert _eview_pairs(spark, vw) == _epairs_of(
+        emb.where(F.col("vec_id") % 5 != 0))

@@ -382,3 +382,23 @@ def test_avg_in_mv_and_optimize(spark, events, cat, base):
     S.execute(spark, "REFRESH MATERIALIZED VIEW avgs", cat)
     assert _rows(S.execute(spark, "SELECT * FROM avgs", cat)) \
         == _rows(want)
+
+
+def test_embed_near_dup_via_using(spark, embeddings, cat):
+    emb = embeddings.select("vec_id", "embedding")
+    path = cat.path_for("vecs")
+    V.create(spark, path, emb.where(F.col("vec_id") % 2 == 0))
+    cat.register("vecs", path, meta={"key": "vec_id"})
+    S.execute(spark, (
+        "CREATE MATERIALIZED VIEW epairs USING embed_near_dup "
+        "OPTIONS (source='vecs', threshold=0.4, dim=64)"), cat)
+    V.append(spark, path, emb.where(F.col("vec_id") % 2 == 1))
+    S.execute(spark, "REFRESH MATERIALIZED VIEW epairs", cat)
+    got = S.execute(spark, "SELECT id_a, id_b, cosine FROM epairs", cat)
+    from rclip_server_spark.operators import ann
+    want = ann.hyperplane_lsh_near_dup_multiset(
+        emb, threshold=0.4, n_planes=6, n_sets=3, dim=64)
+    assert _rows(got) == _rows(want)
+    S.execute(spark, "DROP MATERIALIZED VIEW epairs", cat)
+    for suffix in ("", "_evecs", "_ebuckets"):
+        assert not os.path.isdir(cat.path_for("epairs") + suffix)
