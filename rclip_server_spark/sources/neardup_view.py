@@ -273,34 +273,44 @@ def read_near_dup_pairs_view(spark: SparkSession, view_path: str,
     return V.read(spark, view_path, version).drop(PAIR_COL)
 
 
-def _refresh_indexes(spark: SparkSession, view_path: str, spec: dict,
-                     recompute_fraction: float | None = None
-                     ) -> tuple[int, int, int]:
-    """Advance both index views to a COMMON source version (re-run on
-    the rare race where the source commits between the two refreshes).
-    Returns ``(src_v, grams_view_version, bands_view_version)`` — the
-    interval end AND the index versions whose cursors equal it, so the
-    caller reads the indexes PINNED (one consistent read): reading the
-    index heads instead would let a concurrent refresher's later
-    commit leak future docs into this interval's probe, and the next
-    refresh would re-discover (duplicate) those pairs."""
-    gname, bname = _transform_names(spec)
-    gfn, bfn = _index_fns(spec)
-    gp, bp = view_path + GRAMS_SUFFIX, view_path + BANDS_SUFFIX
+def _converge_indexes(spark: SparkSession, view_path: str,
+                      indexes, recompute_fraction: float | None = None
+                      ) -> tuple[int, list[int]]:
+    """Advance a pair view's index transform views to a COMMON source
+    version (re-run on the rare race where the source commits between
+    the refreshes) and return ``(src_v, [index view versions])`` — the
+    versions whose cursors equal src_v, so callers read the indexes
+    PINNED (one consistent read): reading the index heads instead
+    would let a concurrent refresher's later commit leak future docs
+    into this interval's probe, and the next refresh would re-discover
+    (duplicate) those pairs. ``indexes`` is [(path, fn, name), ...]."""
     for _ in range(5):
-        M.refresh_transform_view_with_retry(
-            spark, gp, gfn, gname, recompute_fraction=recompute_fraction)
-        M.refresh_transform_view_with_retry(
-            spark, bp, bfn, bname, recompute_fraction=recompute_fraction)
-        gvv, bvv = V.current_version(gp), V.current_version(bp)
-        gv = M._spec_tv(gp, gvv)["tv_source_version"]
-        bv = M._spec_tv(bp, bvv)["tv_source_version"]
-        if gv == bv:
-            return int(gv), gvv, bvv
+        for path, fn, name in indexes:
+            M.refresh_transform_view_with_retry(
+                spark, path, fn, name,
+                recompute_fraction=recompute_fraction)
+        views = [V.current_version(p) for p, _f, _n in indexes]
+        cursors = [int(M._spec_tv(p, v)["tv_source_version"])
+                   for (p, _f, _n), v in zip(indexes, views)]
+        if len(set(cursors)) == 1:
+            return cursors[0], views
     raise RuntimeError(
         f"index views for {view_path} could not converge on one source "
         f"version after 5 rounds (source committing continuously?)")
 
+
+def _refresh_indexes(spark: SparkSession, view_path: str, spec: dict,
+                     recompute_fraction: float | None = None
+                     ) -> tuple[int, int, int]:
+    """_converge_indexes over the MinHash flavor's gram/band views."""
+    gname, bname = _transform_names(spec)
+    gfn, bfn = _index_fns(spec)
+    src_v, (gvv, bvv) = _converge_indexes(
+        spark, view_path,
+        [(view_path + GRAMS_SUFFIX, gfn, gname),
+         (view_path + BANDS_SUFFIX, bfn, bname)],
+        recompute_fraction=recompute_fraction)
+    return src_v, gvv, bvv
 
 def _refresh_pairs_table(spark: SparkSession, view_path: str,
                          view_v: int, spec: dict, prefix: str,
@@ -370,6 +380,8 @@ def refresh_near_dup_pairs_view(
     spec = _spec_nd(view_path, view_v)
     v_to, gv, bv = _refresh_indexes(spark, view_path, spec,
                                     recompute_fraction=recompute_fraction)
+    if v_to == int(spec["nd_source_version"]):
+        return view_v  # fresh: no manifest/parquet reads on the poll path
     band_df = M._read_source(spark, view_path + BANDS_SUFFIX, bv)
     gram_df = M._read_source(spark, view_path + GRAMS_SUFFIX, gv)
     return _refresh_pairs_table(
@@ -558,24 +570,15 @@ def read_embed_near_dup_pairs_view(spark: SparkSession, view_path: str,
 def _ed_refresh_indexes(spark: SparkSession, view_path: str, spec: dict,
                         recompute_fraction: float | None = None
                         ) -> tuple[int, int, int]:
-    """_refresh_indexes for the embedding flavor (same convergence +
-    pinning contract)."""
+    """_converge_indexes over the embedding flavor's vec/bucket views."""
     vname, bname = _ed_transform_names(spec)
     vfn, bfn = _ed_index_fns(spec)
-    vp, bp = view_path + EVECS_SUFFIX, view_path + EBKTS_SUFFIX
-    for _ in range(5):
-        M.refresh_transform_view_with_retry(
-            spark, vp, vfn, vname, recompute_fraction=recompute_fraction)
-        M.refresh_transform_view_with_retry(
-            spark, bp, bfn, bname, recompute_fraction=recompute_fraction)
-        vvv, bvv = V.current_version(vp), V.current_version(bp)
-        vv = M._spec_tv(vp, vvv)["tv_source_version"]
-        bv = M._spec_tv(bp, bvv)["tv_source_version"]
-        if vv == bv:
-            return int(vv), vvv, bvv
-    raise RuntimeError(
-        f"index views for {view_path} could not converge on one source "
-        f"version after 5 rounds (source committing continuously?)")
+    src_v, (vvv, bvv) = _converge_indexes(
+        spark, view_path,
+        [(view_path + EVECS_SUFFIX, vfn, vname),
+         (view_path + EBKTS_SUFFIX, bfn, bname)],
+        recompute_fraction=recompute_fraction)
+    return src_v, vvv, bvv
 
 
 def refresh_embed_near_dup_pairs_view(
@@ -588,6 +591,8 @@ def refresh_embed_near_dup_pairs_view(
     spec = _spec_ed(view_path, view_v)
     v_to, vv, bv = _ed_refresh_indexes(
         spark, view_path, spec, recompute_fraction=recompute_fraction)
+    if v_to == int(spec["ed_source_version"]):
+        return view_v  # fresh: no manifest/parquet reads on the poll path
     bkt_df = M._read_source(spark, view_path + EBKTS_SUFFIX, bv)
     vec_df = M._read_source(spark, view_path + EVECS_SUFFIX, vv)
     return _refresh_pairs_table(

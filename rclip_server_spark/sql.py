@@ -339,25 +339,36 @@ def _run_select(spark: SparkSession, text: str, catalog: Catalog
     maintained state."""
 
     by_lower = {n.lower(): n for n in catalog.names()}
+    # LENGTH-PRESERVING mask of string literals (incl. \'-escapes and
+    # ''-doubling), quoted identifiers, and both comment syntaxes —
+    # the VERSION AS OF rewrite and the name scan both run against
+    # the mask so quoted/commented text can neither pin versions nor
+    # trigger catalog reads, while offsets into the REAL text stay
+    # valid for the rewrite
+    scannable = re.sub(
+        r"'(?:[^'\\]|\\.|'')*'|\"[^\"]*\"|`[^`]*`"
+        r"|--[^\n]*|/\*.*?\*/",
+        lambda m: " " * len(m.group(0)), text, flags=re.DOTALL)
 
-    def _pin(m: re.Match) -> str:
+    out, last = [], 0
+    for m in _VERSION_AS_OF.finditer(scannable):
         name = by_lower.get(m.group(1).lower())
-        ver = int(m.group(2))
         if name is None:
-            return m.group(0)
+            continue
+        ver = int(m.group(2))
         pinned = f"{name}__v{ver}"
         _read_entry(spark, catalog.get(name), ver)\
             .createOrReplaceTempView(pinned)
-        return pinned
-
-    text = _VERSION_AS_OF.sub(_pin, text)
-    # name discovery is a LENIENT regex scan, case-insensitive like
-    # Spark's own resolution: the statement may use the full Spark SQL
-    # surface (backticks, double quotes, :: casts...) that the DDL
-    # mini-tokenizer has no business parsing — Spark, not this module,
-    # judges the SELECT's syntax
-    scannable = re.sub(
-        r"'(?:[^']|'')*'|\"[^\"]*\"|`[^`]*`|--[^\n]*", " ", text)
+        out.append(text[last:m.start()])
+        out.append(pinned)
+        last = m.end()
+    if out:
+        out.append(text[last:])
+        text = "".join(out)
+        scannable = re.sub(
+            r"'(?:[^'\\]|\\.|'')*'|\"[^\"]*\"|`[^`]*`"
+            r"|--[^\n]*|/\*.*?\*/",
+            lambda m: " " * len(m.group(0)), text, flags=re.DOTALL)
     referenced = {m.group(0).lower()
                   for m in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*",
                                        scannable)}
@@ -1007,6 +1018,8 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
             if len(cols) != 2:
                 raise SqlError("OPTIMIZE t ZORDER BY (x, y) takes "
                                "exactly two columns (Morton key)")
+            if not cur.done():
+                raise SqlError("trailing tokens after ZORDER BY (...)")
             ver = V.cluster_zorder(spark, e["path"], cols[0], cols[1])
             return {"status": "optimized", "name": name,
                     "zorder_by": cols, "version": ver}

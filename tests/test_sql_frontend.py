@@ -402,3 +402,31 @@ def test_embed_near_dup_via_using(spark, embeddings, cat):
     S.execute(spark, "DROP MATERIALIZED VIEW epairs", cat)
     for suffix in ("", "_evecs", "_ebuckets"):
         assert not os.path.isdir(cat.path_for("epairs") + suffix)
+
+
+def test_masked_text_guards_rewrite_and_scan(spark, events, cat, base,
+                                             tmp_path):
+    # VERSION AS OF inside a string literal must NOT pin or rewrite
+    out = S.execute(spark, "SELECT 'ev version as of 1' AS s", cat)
+    assert out.collect()[0]["s"] == "ev version as of 1"
+    # block comments are masked like line comments
+    cat.register("ghost2", str(tmp_path / "nope"))
+    assert S.execute(spark, "SELECT 1 AS x /* ghost2 */",
+                     cat).collect()[0]["x"] == 1
+    # a backslash-escaped quote must not desync the mask: the table
+    # referenced AFTER the literal still resolves
+    n = S.execute(spark,
+                  "SELECT count(*) AS n FROM ev WHERE event_type <> "
+                  "'x\\'y'", cat)
+    assert n.collect()[0]["n"] > 0
+    # real time travel still works after the mask refactor
+    V.append(spark, cat.get("ev")["path"],
+             base.where(F.col("event_id") % 3 == 2))
+    v1 = S.execute(spark, "SELECT count(*) AS n FROM ev "
+                          "VERSION AS OF 1", cat).collect()[0]["n"]
+    v2 = S.execute(spark, "SELECT count(*) AS n FROM ev",
+                   cat).collect()[0]["n"]
+    assert v1 < v2
+    with pytest.raises(S.SqlError, match="trailing"):
+        S.execute(spark, "OPTIMIZE ev ZORDER BY (event_id, cents) "
+                         "KEEP 5", cat)
