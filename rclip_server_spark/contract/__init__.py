@@ -53,7 +53,7 @@ _PRIORITY = [
     # cascade machinery now also driven by the near-dup pairs view and
     # the SQL frontend; (c) this round's 3 NEW rows (SQL-driven MV
     # lifecycle, SQL QUALIFY top-k, maintained near-dup pairs);
-    # (d) 15 recency slots for the rows the DRIVER-window ledger
+    # (d) 13 recency slots for the rows the DRIVER-window ledger
     # (CORRECTNESS_r0*.json) shows oldest: the r2 relational/dedup/
     # text block, the r3 incremental-dedup algebra the pairs view
     # builds on, the r5 event rows the r8 verdict named (transition
@@ -82,17 +82,20 @@ _PRIORITY = [
     "vt_join_table_view", "vt_join_table_left", "vt_three_way_join_view",
     "vt_signature_index_refresh", "vt_view_composition",
     "vt_distinct_count_view",
-    # --- NEW r9 rows ---
+    # --- NEW r9 rows (incl. the late additions: the embedding pairs
+    # view and SQL AVG — new machinery outranks pure recency, so they
+    # take the ngram-jaccard and CMS recency slots; both of those
+    # remain locally replayed) ---
     "vt_near_dup_pairs_view", "sql_mv_roundtrip", "sql_topk_qualify",
-    # --- recency slots (15): oldest per the driver-window ledger ---
+    "vt_embed_near_dup_pairs_view", "sql_mv_avg",
+    # --- recency slots (13): oldest per the driver-window ledger ---
     "ev_transition_matrix", "ev_zscore_outliers",
     "ann_pq_adc_topk", "vec_gramian",  # rows-only by design (RNG/iter)
     "vec_gramian_exact", "vec_quantize_int8_roundtrip",
     "samp_weighted_mixture", "text_lang_id",
     "rel_q1_pricing_summary", "rel_window_running_sum",
     "dedup_minhash_signatures", "dedup_minhash_incremental",
-    "dedup_ngram_jaccard", "ann_hyperplane_near_dup",
-    "sketch_cms_estimates",
+    "ann_hyperplane_near_dup",
 ]
 
 
