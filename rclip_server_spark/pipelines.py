@@ -372,3 +372,38 @@ def start_streaming_corpus_refresh(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def curate_keep_first_via_pairs_view(
+    spark: SparkSession,
+    raw_path: str,
+    pairs_view_path: str,
+) -> DataFrame:
+    """Keep-first dedup served FROM the maintained pair table: advance
+    the near-dup pairs view to the raw table's head (O(changed docs) —
+    sources/neardup_view.py), then anti-join the raw head against the
+    GREATER side of every pair (pairs are stored (lesser id, greater
+    id), so dropping id_b keeps each near-dup group's first-by-id doc,
+    the same keep-min policy as dedup.exact_dedup_mark).
+
+    This is what the r9 pair view exists for operationally: the
+    incremental_corpus_refresh pipeline re-derives batch-vs-corpus
+    pairs per cycle, while a standing pairs view amortizes signatures
+    AND pairs across every consumer — curation here, audit/cluster
+    jobs elsewhere — all reading one incrementally-maintained table.
+    Note the policy difference: anti-joining id_b drops the later doc
+    of EVERY near-dup pair (transitive groups collapse to their
+    minimum id), whereas batch-vs-corpus curation keeps a batch doc
+    unless it matches the already-curated corpus."""
+    from .sources import matview, neardup_view, versioned
+
+    matview.refresh_view(spark, pairs_view_path)
+    dup_keys = (
+        neardup_view.read_near_dup_pairs_view(spark, pairs_view_path)
+        .select("id_b").distinct()
+    )
+    spec = neardup_view._spec_nd(pairs_view_path)
+    raw = versioned.read(spark, raw_path)
+    return raw.join(
+        F.broadcast(dup_keys.withColumnRenamed("id_b", spec["nd_key"])),
+        spec["nd_key"], "left_anti")

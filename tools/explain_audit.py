@@ -702,6 +702,34 @@ def main() -> int:
         "(and never a nested loop — asserted).",
     ))
 
+    # the embedding flavor's probe must hold the same shape: sign-bit
+    # bucket equi-join, never a nested loop over vectors
+    _edvw = os.path.join(_nddir, "epairs")
+    _edsrc = os.path.join(_nddir, "vecs")
+    V.create(spark, _edsrc, emb.select("vec_id", "embedding")
+             .where(F.col("vec_id") % 2 == 0))
+    NDV.create_embed_near_dup_pairs_view(spark, _edsrc, _edvw,
+                                         key="vec_id", threshold=0.4,
+                                         dim=64)
+    _edspec = NDV._spec_ed(_edvw)
+    _edbkt = MVIEW._read_source(spark, _edvw + NDV.EBKTS_SUFFIX)
+    _edvec = MVIEW._read_source(spark, _edvw + NDV.EVECS_SUFFIX)
+    _edins = emb.select("vec_id").where(F.col("vec_id") % 20 == 0)
+    audits.append((
+        "Embedding near-dup pairs view Δ probe (sign-bit buckets)",
+        NDV._ed_probe_pairs(_edbkt, _edvec, _edins, _edspec),
+        {("SortMergeJoin", "BroadcastHashJoin"): True,
+         "CartesianProduct": False, "BroadcastNestedLoopJoin": False},
+        "The vector flavor's incremental discovery: Δ rows' stored "
+        "sign-bit buckets equi-join the maintained bucket index on "
+        "(plane-set, bucket) — hash/merge join, candidates bounded by "
+        "bucket collisions, exact-cosine verification only on the "
+        "candidates. The planes' literal expression tree lives in the "
+        "index TRANSFORM, planned once per refresh over Δ rows — the "
+        "probe reuses the stored column and plans no vector math "
+        "beyond the verification dot products.",
+    ))
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
