@@ -376,15 +376,22 @@ def start_streaming_corpus_refresh(
 
 def curate_keep_first_via_pairs_view(
     spark: SparkSession,
-    raw_path: str,
     pairs_view_path: str,
 ) -> DataFrame:
     """Keep-first dedup served FROM the maintained pair table: advance
-    the near-dup pairs view to the raw table's head (O(changed docs) —
-    sources/neardup_view.py), then anti-join the raw head against the
-    GREATER side of every pair (pairs are stored (lesser id, greater
-    id), so dropping id_b keeps each near-dup group's first-by-id doc,
-    the same keep-min policy as dedup.exact_dedup_mark).
+    the near-dup pairs view to its source's head (O(changed docs) —
+    sources/neardup_view.py), then anti-join that source snapshot
+    against the GREATER side of every pair (pairs are stored (lesser
+    id, greater id), so dropping id_b keeps each near-dup group's
+    first-by-id doc, the same keep-min policy as dedup.exact_dedup_mark).
+
+    PINNED end to end: the pairs view is read at the exact version the
+    refresh returned, its spec names the source AND the source version
+    that pair set covers, and the anti-join reads the source AT that
+    cursor — a concurrent ingest commit between the refresh and the
+    reads can neither leak unpaired docs into the "curated" output nor
+    mix versions (the caller passes only the view; the source is the
+    manifest's, never a parameter that could silently point elsewhere).
 
     This is what the r9 pair view exists for operationally: the
     incremental_corpus_refresh pipeline re-derives batch-vs-corpus
@@ -397,13 +404,15 @@ def curate_keep_first_via_pairs_view(
     unless it matches the already-curated corpus."""
     from .sources import matview, neardup_view, versioned
 
-    matview.refresh_view(spark, pairs_view_path)
+    view_v = matview.refresh_view(spark, pairs_view_path)
+    spec = neardup_view._spec_nd(pairs_view_path, view_v)
     dup_keys = (
-        neardup_view.read_near_dup_pairs_view(spark, pairs_view_path)
+        neardup_view.read_near_dup_pairs_view(spark, pairs_view_path,
+                                              view_v)
         .select("id_b").distinct()
     )
-    spec = neardup_view._spec_nd(pairs_view_path)
-    raw = versioned.read(spark, raw_path)
+    raw = versioned.read(spark, spec["nd_source"],
+                         int(spec["nd_source_version"]))
     return raw.join(
         F.broadcast(dup_keys.withColumnRenamed("id_b", spec["nd_key"])),
         spec["nd_key"], "left_anti")

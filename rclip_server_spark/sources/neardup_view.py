@@ -312,6 +312,7 @@ def _refresh_indexes(spark: SparkSession, view_path: str, spec: dict,
         recompute_fraction=recompute_fraction)
     return src_v, gvv, bvv
 
+
 def _refresh_pairs_table(spark: SparkSession, view_path: str,
                          view_v: int, spec: dict, prefix: str,
                          v_to: int, full_state_fn, probe_fn,

@@ -330,6 +330,23 @@ _VERSION_AS_OF = re.compile(
     re.IGNORECASE,
 )
 
+# LENGTH-PRESERVING mask of string literals (backslash escapes and
+# ''-doubling; BOTH quote styles — Spark treats \" as an escape inside
+# double-quoted literals too), backticked identifiers, and both
+# comment syntaxes: the VERSION AS OF rewrite and the name scan run
+# against the mask, so quoted/commented text can neither pin versions
+# nor trigger catalog reads, while offsets into the REAL text stay
+# valid for the rewrite splice.
+_MASK_RE = re.compile(
+    r"'(?:[^'\\]|\\.|'')*'"
+    r'|"(?:[^"\\]|\\.)*"'
+    r"|`[^`]*`|--[^\n]*|/\*.*?\*/",
+    re.DOTALL)
+
+
+def _mask(text: str) -> str:
+    return _MASK_RE.sub(lambda m: " " * len(m.group(0)), text)
+
 
 def _run_select(spark: SparkSession, text: str, catalog: Catalog
                 ) -> DataFrame:
@@ -339,16 +356,7 @@ def _run_select(spark: SparkSession, text: str, catalog: Catalog
     maintained state."""
 
     by_lower = {n.lower(): n for n in catalog.names()}
-    # LENGTH-PRESERVING mask of string literals (incl. \'-escapes and
-    # ''-doubling), quoted identifiers, and both comment syntaxes —
-    # the VERSION AS OF rewrite and the name scan both run against
-    # the mask so quoted/commented text can neither pin versions nor
-    # trigger catalog reads, while offsets into the REAL text stay
-    # valid for the rewrite
-    scannable = re.sub(
-        r"'(?:[^'\\]|\\.|'')*'|\"[^\"]*\"|`[^`]*`"
-        r"|--[^\n]*|/\*.*?\*/",
-        lambda m: " " * len(m.group(0)), text, flags=re.DOTALL)
+    scannable = _mask(text)
 
     out, last = [], 0
     for m in _VERSION_AS_OF.finditer(scannable):
@@ -365,10 +373,7 @@ def _run_select(spark: SparkSession, text: str, catalog: Catalog
     if out:
         out.append(text[last:])
         text = "".join(out)
-        scannable = re.sub(
-            r"'(?:[^'\\]|\\.|'')*'|\"[^\"]*\"|`[^`]*`"
-            r"|--[^\n]*|/\*.*?\*/",
-            lambda m: " " * len(m.group(0)), text, flags=re.DOTALL)
+        scannable = _mask(text)
     referenced = {m.group(0).lower()
                   for m in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*",
                                        scannable)}

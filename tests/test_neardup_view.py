@@ -235,7 +235,7 @@ def test_curate_keep_first_via_pairs_view(spark, nd):
 
     docs, src, vw = nd
     V.append(spark, src, docs.where(F.col("doc_id") % 3 == 2))
-    curated = P.curate_keep_first_via_pairs_view(spark, src, vw)
+    curated = P.curate_keep_first_via_pairs_view(spark, vw)
     pairs = dedup.minhash_near_dup(docs, threshold=THRESH)
     drop = {r["id_b"] for r in pairs.select("id_b").distinct().collect()}
     want = sorted(r["doc_id"] for r in docs.collect()
