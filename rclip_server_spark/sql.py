@@ -99,10 +99,52 @@ class Catalog:
         self.root = os.path.abspath(root)
         os.makedirs(self.root, exist_ok=True)
         self._file = os.path.join(self.root, "_catalog.json")
+        self._lock = self._file + ".lock"
         self._entries: dict[str, dict] = {}
+        self._load()
+
+    def _load(self) -> None:
         if os.path.exists(self._file):
             with open(self._file) as f:
                 self._entries = json.load(f)
+
+    def _locked(self):
+        """os.link-arbitrated mutual exclusion for catalog mutations —
+        the same primitive the versioned commit protocol uses, so two
+        processes registering different names through one catalog file
+        cannot lose each other's entry (each mutation re-reads the
+        file under the lock before applying itself). The lock is
+        advisory for MUTATIONS only; reads stay lock-free."""
+        import contextlib
+        import time as _time
+        import uuid as _uuid
+
+        @contextlib.contextmanager
+        def cm():
+            tmp = self._lock + f".{_uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                f.write(str(os.getpid()))
+            try:
+                deadline = _time.monotonic() + 30.0
+                while True:
+                    try:
+                        os.link(tmp, self._lock)
+                        break
+                    except FileExistsError:
+                        if _time.monotonic() > deadline:
+                            raise SqlError(
+                                f"catalog lock {self._lock} held for "
+                                f">30s — stale? remove it to recover")
+                        _time.sleep(0.01)
+                try:
+                    self._load()  # rebase onto the latest on-disk state
+                    yield
+                finally:
+                    os.remove(self._lock)
+            finally:
+                os.remove(tmp)
+
+        return cm()
 
     def _save(self) -> None:
         tmp = self._file + ".tmp"
@@ -115,28 +157,31 @@ class Catalog:
         if not _IDENT_RE.match(name) or name.lower() in _RESERVED:
             raise SqlError(f"{name!r} is not a legal table name "
                            f"(identifier, not a reserved word)")
-        # Spark resolves temp views case-insensitively, so names that
-        # collide on lowercase would shadow each other at read time —
-        # reject at declaration, where the operator can still rename
-        clash = next((n for n in self._entries
-                      if n.lower() == name.lower() and n != name), None)
-        if clash:
-            raise SqlError(f"{name!r} collides with registered "
-                           f"{clash!r} (names resolve case-"
-                           f"insensitively, like Spark SQL)")
-        self._entries[name] = {"path": os.path.abspath(path),
-                               "kind": kind, "meta": meta or {}}
-        self._save()
+        with self._locked():
+            # Spark resolves temp views case-insensitively, so names
+            # that collide on lowercase would shadow each other at
+            # read time — reject at declaration
+            clash = next((n for n in self._entries
+                          if n.lower() == name.lower() and n != name),
+                         None)
+            if clash:
+                raise SqlError(f"{name!r} collides with registered "
+                               f"{clash!r} (names resolve case-"
+                               f"insensitively, like Spark SQL)")
+            self._entries[name] = {"path": os.path.abspath(path),
+                                   "kind": kind, "meta": meta or {}}
+            self._save()
 
     def unregister(self, name: str) -> dict:
-        match = name if name in self._entries else next(
-            (n for n in self._entries if n.lower() == name.lower()),
-            None)
-        e = self._entries.pop(match, None) if match else None
-        if e is None:
-            raise SqlError(f"unknown table or view: {name}")
-        self._save()
-        return e
+        with self._locked():
+            match = name if name in self._entries else next(
+                (n for n in self._entries
+                 if n.lower() == name.lower()), None)
+            e = self._entries.pop(match, None) if match else None
+            if e is None:
+                raise SqlError(f"unknown table or view: {name}")
+            self._save()
+            return e
 
     def get(self, name: str) -> dict:
         e = self._entries.get(name)
@@ -855,10 +900,41 @@ def _delete(spark: SparkSession, catalog: Catalog, name: str,
 # ---------------------------------------------------------------------------
 
 
+def execute_script(spark: SparkSession, script: str, catalog: Catalog
+                   ) -> list:
+    """Run a multi-statement script (statements separated by top-level
+    ``;`` — semicolons inside string literals / comments don't split,
+    thanks to the same mask the read path uses). Returns one result
+    per statement, in order — the .sql-file entry point."""
+    results = []
+    masked = _mask(script)
+    last = 0
+    for i, ch in enumerate(masked + ";"):
+        if ch != ";":
+            continue
+        stmt = script[last:i]
+        last = i + 1
+        if stmt.strip():
+            results.append(execute(spark, stmt, catalog))
+    return results
+
+
 def execute(spark: SparkSession, statement: str, catalog: Catalog):
     """Run one statement. Returns a DataFrame for SELECT, a dict (or
     list of dicts) for DDL/metadata statements."""
     text = statement.strip().rstrip(";").strip()
+    # leading/trailing comments are whitespace, so a script statement
+    # can start or end with -- or /* */ annotations; bounds come from
+    # a COMMENT-only mask (string literals must survive the strip —
+    # the full mask would chop a statement ending in a literal)
+    bounds = _MASK_RE.sub(
+        lambda m: (" " * len(m.group(0))
+                   if m.group(0).startswith(("--", "/*"))
+                   else m.group(0)),
+        text)
+    start = len(bounds) - len(bounds.lstrip())
+    end = len(bounds.rstrip())
+    text = text[start:end]
     head_m = re.match(r"[A-Za-z_][A-Za-z0-9_]*", text)
     if not head_m:
         raise SqlError("empty statement")

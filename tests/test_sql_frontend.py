@@ -430,3 +430,55 @@ def test_masked_text_guards_rewrite_and_scan(spark, events, cat, base,
     with pytest.raises(S.SqlError, match="trailing"):
         S.execute(spark, "OPTIMIZE ev ZORDER BY (event_id, cents) "
                          "KEEP 5", cat)
+
+
+def test_execute_script_splits_on_masked_semicolons(spark, events, cat):
+    ev = events.select("event_id", "event_type").limit(5)
+    ev.createOrReplaceTempView("seed_s")
+    out = S.execute_script(spark, """
+        CREATE TABLE st OPTIONS (key='event_id') AS
+          SELECT * FROM seed_s;  -- trailing comment; with semicolon
+        INSERT INTO st VALUES (100, 'a; b');
+        SELECT count(*) AS n FROM st
+    """, cat)
+    assert out[0]["status"] == "created"
+    assert out[1]["status"] == "inserted"
+    assert out[2].collect()[0]["n"] == 6
+    # the literal's semicolon survived intact
+    got = S.execute(spark, "SELECT event_type FROM st "
+                           "WHERE event_id = 100", cat)
+    assert got.collect()[0]["event_type"] == "a; b"
+
+
+def _cat_hammer(root, worker_id, n, q):
+    # module-level: spawn pickles the target by qualified name
+    try:
+        c = S.Catalog(root)
+        for i in range(n):
+            c.register(f"t_{worker_id}_{i}", f"/tmp/x/{worker_id}/{i}")
+        q.put(("ok", worker_id))
+    except Exception as e:
+        q.put(("err", f"{type(e).__name__}: {e}"))
+
+
+def test_catalog_mutations_are_cross_process_safe(tmp_path):
+    """4 processes register disjoint names through one catalog file:
+    the link-arbitrated mutation lock means no entry is lost to a
+    concurrent read-modify-write (pure driver-side — no Spark)."""
+    import multiprocessing as mp
+
+    root = str(tmp_path / "shared_cat")
+    S.Catalog(root)  # create the file
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=_cat_hammer, args=(root, w, 25, q))
+             for w in range(4)]
+    for p in procs:
+        p.start()
+    results = [q.get(timeout=60) for _ in range(4)]
+    for p in procs:
+        p.join(timeout=60)
+    assert all(r[0] == "ok" for r in results), results
+    final = S.Catalog(root)
+    assert len(final.names()) == 100  # no lost updates
