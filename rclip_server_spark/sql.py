@@ -58,11 +58,14 @@ paths resolve to manifests, never to data scans.
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import json
 import os
 import re
 import shutil
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -107,44 +110,68 @@ class Catalog:
         if os.path.exists(self._file):
             with open(self._file) as f:
                 self._entries = json.load(f)
+        else:
+            # a deleted/reset catalog must not be resurrected from a
+            # stale in-memory snapshot by the next mutation's _save
+            self._entries = {}
 
+    def _try_reap_stale_lock(self) -> None:
+        """If the lock's recorded owner pid is dead, remove the lock.
+        The pid is re-read immediately before the unlink so a lock
+        freshly re-acquired by a LIVE process is (almost) never
+        reaped; the 30s deadline in _locked remains the backstop for
+        the residual read-then-unlink window."""
+        try:
+            with open(self._lock) as f:
+                pid = int(f.read().strip() or "0")
+        except (OSError, ValueError):
+            return  # vanished or unreadable — let the retry loop spin
+        try:
+            os.kill(pid, 0)
+            return  # owner is alive
+        except ProcessLookupError:
+            pass
+        except PermissionError:
+            return  # alive, owned by another user
+        try:
+            with open(self._lock) as f:
+                if int(f.read().strip() or "0") == pid:
+                    os.remove(self._lock)
+        except (OSError, ValueError):
+            pass
+
+    @contextlib.contextmanager
     def _locked(self):
         """os.link-arbitrated mutual exclusion for catalog mutations —
         the same primitive the versioned commit protocol uses, so two
         processes registering different names through one catalog file
         cannot lose each other's entry (each mutation re-reads the
         file under the lock before applying itself). The lock is
-        advisory for MUTATIONS only; reads stay lock-free."""
-        import contextlib
-        import time as _time
-        import uuid as _uuid
-
-        @contextlib.contextmanager
-        def cm():
-            tmp = self._lock + f".{_uuid.uuid4().hex[:8]}"
-            with open(tmp, "w") as f:
-                f.write(str(os.getpid()))
-            try:
-                deadline = _time.monotonic() + 30.0
-                while True:
-                    try:
-                        os.link(tmp, self._lock)
-                        break
-                    except FileExistsError:
-                        if _time.monotonic() > deadline:
-                            raise SqlError(
-                                f"catalog lock {self._lock} held for "
-                                f">30s — stale? remove it to recover")
-                        _time.sleep(0.01)
+        advisory for MUTATIONS only; reads stay lock-free. A lock
+        whose recorded owner pid is dead is reaped automatically."""
+        tmp = self._lock + f".{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(str(os.getpid()))
+        try:
+            deadline = time.monotonic() + 30.0
+            while True:
                 try:
-                    self._load()  # rebase onto the latest on-disk state
-                    yield
-                finally:
-                    os.remove(self._lock)
+                    os.link(tmp, self._lock)
+                    break
+                except FileExistsError:
+                    self._try_reap_stale_lock()
+                    if time.monotonic() > deadline:
+                        raise SqlError(
+                            f"catalog lock {self._lock} held for "
+                            f">30s — stale? remove it to recover")
+                    time.sleep(0.01)
+            try:
+                self._load()  # rebase onto the latest on-disk state
+                yield
             finally:
-                os.remove(tmp)
-
-        return cm()
+                os.remove(self._lock)
+        finally:
+            os.remove(tmp)
 
     def _save(self) -> None:
         tmp = self._file + ".tmp"
@@ -160,10 +187,17 @@ class Catalog:
         with self._locked():
             # Spark resolves temp views case-insensitively, so names
             # that collide on lowercase would shadow each other at
-            # read time — reject at declaration
+            # read time — reject at declaration. This check runs on
+            # the freshly-rebased state under the lock, so it is the
+            # AUTHORITATIVE duplicate gate: two processes CREATE-ing
+            # the same name concurrently both pass check_available's
+            # lock-free pre-check, but the second register fails here
+            # instead of silently overwriting the first entry.
             clash = next((n for n in self._entries
-                          if n.lower() == name.lower() and n != name),
-                         None)
+                          if n.lower() == name.lower()), None)
+            if clash == name:
+                raise SqlError(f"{name!r} already exists — DROP it "
+                               f"first")
             if clash:
                 raise SqlError(f"{name!r} collides with registered "
                                f"{clash!r} (names resolve case-"
@@ -198,10 +232,14 @@ class Catalog:
         """Validate a NEW name before any data is materialized — name
         legality, reserved words, case-insensitive collisions, and
         already-registered names all fail here, not after a full
-        CREATE job has written directories."""
+        CREATE job has written directories. Lock-free PRE-check only
+        (refreshed from disk, but another process can still win the
+        name between here and register — register's under-lock clash
+        check is the authoritative gate)."""
         if not _IDENT_RE.match(name) or name.lower() in _RESERVED:
             raise SqlError(f"{name!r} is not a legal table name "
                            f"(identifier, not a reserved word)")
+        self._load()
         clash = next((n for n in self._entries
                       if n.lower() == name.lower()), None)
         if clash:
@@ -900,12 +938,37 @@ def _delete(spark: SparkSession, catalog: Catalog, name: str,
 # ---------------------------------------------------------------------------
 
 
+def _strip_statement(statement: str) -> str:
+    """Strip surrounding whitespace, leading/trailing comment
+    annotations, and trailing top-level semicolons — iterated so
+    ``stmt; -- note`` reduces to ``stmt``. Bounds come from a
+    COMMENT-only mask (string literals must survive the strip — the
+    full mask would chop a statement ending in a literal); whether a
+    trailing ``;`` is top-level comes from the full mask (a ``;``
+    inside a literal is never stripped)."""
+    cm = _MASK_RE.sub(
+        lambda m: (" " * len(m.group(0))
+                   if m.group(0).startswith(("--", "/*"))
+                   else m.group(0)),
+        statement)
+    fm = _mask(statement)
+    start = len(cm) - len(cm.lstrip())
+    end = len(cm.rstrip())
+    while end > start and fm[end - 1] == ";":
+        end -= 1
+        end = len(cm[:end].rstrip())
+    return statement[start:end]
+
+
 def execute_script(spark: SparkSession, script: str, catalog: Catalog
                    ) -> list:
     """Run a multi-statement script (statements separated by top-level
     ``;`` — semicolons inside string literals / comments don't split,
-    thanks to the same mask the read path uses). Returns one result
-    per statement, in order — the .sql-file entry point."""
+    thanks to the same mask the read path uses). Segments that are
+    empty after comment stripping (a trailing ``-- done``, a
+    ``/* note */`` between semicolons) are skipped, not errors.
+    Returns one result per statement, in order — the .sql-file entry
+    point."""
     results = []
     masked = _mask(script)
     last = 0
@@ -914,7 +977,7 @@ def execute_script(spark: SparkSession, script: str, catalog: Catalog
             continue
         stmt = script[last:i]
         last = i + 1
-        if stmt.strip():
+        if _strip_statement(stmt):
             results.append(execute(spark, stmt, catalog))
     return results
 
@@ -922,19 +985,7 @@ def execute_script(spark: SparkSession, script: str, catalog: Catalog
 def execute(spark: SparkSession, statement: str, catalog: Catalog):
     """Run one statement. Returns a DataFrame for SELECT, a dict (or
     list of dicts) for DDL/metadata statements."""
-    text = statement.strip().rstrip(";").strip()
-    # leading/trailing comments are whitespace, so a script statement
-    # can start or end with -- or /* */ annotations; bounds come from
-    # a COMMENT-only mask (string literals must survive the strip —
-    # the full mask would chop a statement ending in a literal)
-    bounds = _MASK_RE.sub(
-        lambda m: (" " * len(m.group(0))
-                   if m.group(0).startswith(("--", "/*"))
-                   else m.group(0)),
-        text)
-    start = len(bounds) - len(bounds.lstrip())
-    end = len(bounds.rstrip())
-    text = text[start:end]
+    text = _strip_statement(statement)
     head_m = re.match(r"[A-Za-z_][A-Za-z0-9_]*", text)
     if not head_m:
         raise SqlError("empty statement")

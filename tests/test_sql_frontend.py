@@ -482,3 +482,72 @@ def test_catalog_mutations_are_cross_process_safe(tmp_path):
     assert all(r[0] == "ok" for r in results), results
     final = S.Catalog(root)
     assert len(final.names()) == 100  # no lost updates
+
+
+def test_strip_statement_comment_and_semicolon_shapes():
+    s = S._strip_statement
+    assert s("DROP TABLE t; -- cleanup") == "DROP TABLE t"
+    assert s("-- header\nSELECT 1;\n-- footer") == "SELECT 1"
+    assert s("SELECT 1 /* note */ ; ; -- done") == "SELECT 1"
+    assert s("\n-- only a comment\n") == ""
+    assert s(" /* note */ ") == ""
+    # literals survive: the trailing ';' is INSIDE the string
+    assert s("SELECT 'a;'") == "SELECT 'a;'"
+    assert s("SELECT 'tail lit'; -- c") == "SELECT 'tail lit'"
+
+
+def test_script_trailing_and_interior_comment_segments(spark, events,
+                                                      cat):
+    ev = events.select("event_id", "event_type").limit(3)
+    ev.createOrReplaceTempView("seed_sc")
+    # a perfectly ordinary .sql-file shape: comment-only segments
+    # after the last ';' and between two ';' must be skipped, and a
+    # statement may end `...; -- note`
+    out = S.execute_script(spark, """
+        CREATE TABLE sct AS SELECT * FROM seed_sc;
+        /* interior note */ ;
+        SELECT count(*) AS n FROM sct;
+        -- cleanup done
+    """, cat)
+    assert len(out) == 2
+    assert out[0]["status"] == "created"
+    assert out[1].collect()[0]["n"] == 3
+    # single-statement execute with a trailing `; -- comment` works too
+    got = S.execute(spark, "SELECT count(*) AS n FROM sct; -- tail",
+                    cat)
+    assert got.collect()[0]["n"] == 3
+
+
+def test_register_rejects_exact_duplicate(tmp_path):
+    c = S.Catalog(str(tmp_path / "dupcat"))
+    c.register("t1", str(tmp_path / "d1"))
+    with pytest.raises(S.SqlError, match="already exists"):
+        c.register("t1", str(tmp_path / "d2"))
+    # the original entry survived un-overwritten
+    assert c.get("t1")["path"] == str(tmp_path / "d1")
+
+
+def test_load_resets_when_catalog_file_deleted(tmp_path):
+    root = str(tmp_path / "rstcat")
+    c = S.Catalog(root)
+    c.register("old1", str(tmp_path / "o1"))
+    c.register("old2", str(tmp_path / "o2"))
+    os.remove(os.path.join(root, "_catalog.json"))  # operator reset
+    c.register("fresh", str(tmp_path / "f"))
+    # the mutation's rebase must not resurrect the deleted entries
+    assert S.Catalog(root).names() == ["fresh"]
+
+
+def test_stale_lock_from_dead_pid_is_reaped(tmp_path):
+    import multiprocessing as mp
+
+    c = S.Catalog(str(tmp_path / "lkcat"))
+    p = mp.get_context("spawn").Process(target=int)
+    p.start()
+    p.join()  # pid now guaranteed dead
+    with open(c._lock, "w") as f:
+        f.write(str(p.pid))
+    t0 = __import__("time").monotonic()
+    c.register("t1", str(tmp_path / "d1"))  # must not spin 30s
+    assert __import__("time").monotonic() - t0 < 5.0
+    assert c.get("t1")["path"] == str(tmp_path / "d1")
