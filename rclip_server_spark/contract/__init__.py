@@ -88,12 +88,15 @@ _PRIORITY = [
     # remain locally replayed) ---
     "vt_near_dup_pairs_view", "sql_mv_roundtrip", "sql_topk_qualify",
     "vt_embed_near_dup_pairs_view", "sql_mv_avg",
-    # --- recency slots (13): oldest per the driver-window ledger ---
+    # SQL DML (UPDATE / MERGE INTO via delete_and_append) — newest
+    # machinery, takes the rel_q1/rel_window recency slots (both stay
+    # locally replayed and become the oldest rows for r10 rotation)
+    "sql_update_roundtrip", "sql_merge_upsert",
+    # --- recency slots (11): oldest per the driver-window ledger ---
     "ev_transition_matrix", "ev_zscore_outliers",
     "ann_pq_adc_topk", "vec_gramian",  # rows-only by design (RNG/iter)
     "vec_gramian_exact", "vec_quantize_int8_roundtrip",
     "samp_weighted_mixture", "text_lang_id",
-    "rel_q1_pricing_summary", "rel_window_running_sum",
     "dedup_minhash_signatures", "dedup_minhash_incremental",
     "ann_hyperplane_near_dup",
 ]

@@ -1158,3 +1158,120 @@ _register(
     WHERE cosine >= 0.4
     """,
 )
+
+
+# ===========================================================================
+# SQL DML: UPDATE and MERGE INTO through the frontend — both land as ONE
+# delete-vector + append commit (versioned.delete_and_append), so cost is
+# O(matched)/O(source), never a table rewrite. The DuckDB twins compute the
+# identical final state from `events` directly (sequential CASE layers for
+# the two stacked UPDATEs; anti-join ∪ source for the full-upsert MERGE).
+# Reference parity: beyond-reference DML surface (the reference mutates via
+# point UPDATEs in SQLite, RS:206-213); Delta-style SET */INSERT * shapes.
+# ===========================================================================
+
+
+def _sql_update_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    ).createOrReplaceTempView("events_seed_u")
+    SQ.execute(spark, "CREATE TABLE evu OPTIONS (key='event_id') AS "
+                      "SELECT * FROM events_seed_u", cat)
+    SQ.execute(spark, "UPDATE evu SET value_cents = value_cents * 3 - 1 "
+                      "WHERE event_id % 5 = 0", cat)
+    # second UPDATE sees the FIRST update's state (stacked semantics)
+    SQ.execute(spark, "UPDATE evu SET event_type = upper(event_type) "
+                      "WHERE value_cents > 5000", cat)
+
+
+def _sql_update_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Two stacked UPDATE statements via the SQL frontend: each is a
+    single delete-vector + append commit whose assignment RHS reads the
+    OLD row image; the second statement's predicate observes the first
+    statement's writes. Oracle: the same two CASE layers applied in
+    sequence over `events`."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "sqlu", _sql_update_builder)
+    return SQ.execute(
+        spark,
+        "SELECT event_id, event_type, value_cents FROM evu",
+        SQ.Catalog(path))
+
+
+_register(
+    "sql_update_roundtrip",
+    _sql_update_roundtrip,
+    """
+    WITH s AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events),
+    u1 AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 5 = 0 THEN vc * 3 - 1 ELSE vc END
+               AS value_cents
+      FROM s)
+    SELECT event_id,
+           CASE WHEN value_cents > 5000 THEN upper(event_type)
+                ELSE event_type END AS event_type,
+           CAST(value_cents AS BIGINT) AS value_cents
+    FROM u1
+    """,
+)
+
+
+def _sql_merge_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    ).createOrReplaceTempView("events_seed_m")
+    SQ.execute(spark, "CREATE TABLE evm OPTIONS (key='event_id') AS "
+                      "SELECT * FROM events_seed_m "
+                      "WHERE event_id % 4 <> 3", cat)
+    SQ.execute(spark, (
+        "MERGE INTO evm USING "
+        "(SELECT event_id, event_type, value_cents * 10 AS value_cents "
+        " FROM events_seed_m WHERE event_id % 2 = 0) "
+        "ON evm.event_id = event_id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"), cat)
+
+
+def _sql_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-upsert MERGE (SET * + INSERT *) through the SQL frontend:
+    NO target read — every source key becomes one delete-vector entry
+    and every source row lands in one appended segment, O(source) at
+    any table size. Oracle: target-minus-source-keys ∪ source."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "sqlm", _sql_merge_builder)
+    return SQ.execute(
+        spark,
+        "SELECT event_id, event_type, value_cents FROM evm",
+        SQ.Catalog(path))
+
+
+_register(
+    "sql_merge_upsert",
+    _sql_merge_upsert,
+    """
+    WITH s AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_cents
+      FROM events)
+    SELECT event_id, event_type, value_cents
+    FROM s WHERE event_id % 4 <> 3 AND event_id % 2 <> 0
+    UNION ALL
+    SELECT event_id, event_type,
+           CAST(value_cents * 10 AS BIGINT) AS value_cents
+    FROM s WHERE event_id % 2 = 0
+    """,
+)

@@ -933,6 +933,175 @@ def _delete(spark: SparkSession, catalog: Catalog, name: str,
     return {"status": "deleted", "name": name, "version": ver}
 
 
+def _split_top_level(text: str, fm: str, sep: str) -> list[str]:
+    """Split ``text`` on ``sep`` occurrences that are OUTSIDE parens,
+    string literals, and comments — positions judged against the
+    length-preserving full mask ``fm``."""
+    parts, depth, last = [], 0, 0
+    for i, ch in enumerate(fm):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append(text[last:i])
+            last = i + 1
+    parts.append(text[last:])
+    return parts
+
+
+def _update(spark: SparkSession, catalog: Catalog, name: str,
+            set_clause: str, pred: str) -> dict:
+    """``UPDATE t SET col = expr [, ...] WHERE pred`` via ONE
+    delete-vector + append commit (versioned.delete_and_append): the
+    matched rows' keys go into a delete vector scoped to the parent's
+    segments and their updated images are appended — zero rewrite of
+    untouched data, so cost is O(matched), not O(table). Assignment
+    RHSs see the OLD row (single projection), standard SQL UPDATE
+    semantics; the row-identity column itself may not be assigned."""
+    e = _writable_table(catalog, name, "UPDATE")
+    key = e["meta"].get("key")
+    if not key:
+        raise SqlError(
+            f"UPDATE needs table {name}'s row-identity column — "
+            f"recreate it with OPTIONS (key='id')")
+    ver0 = V.current_version(e["path"])
+    df = _read_entry(spark, e, version=ver0)
+    by_lower = {c.lower(): c for c in df.columns}
+    assigned: dict[str, str] = {}
+    for piece in _split_top_level(set_clause, _mask(set_clause), ","):
+        m = re.match(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+?)\s*$",
+                     piece, re.DOTALL)
+        if not m:
+            raise SqlError(f"bad SET assignment: {piece.strip()!r} "
+                           f"(want col = <expr>)")
+        col = by_lower.get(m.group(1).lower())
+        if col is None:
+            raise SqlError(f"UPDATE {name}: no column {m.group(1)!r} "
+                           f"(columns: {df.columns})")
+        if col.lower() == key.lower():
+            raise SqlError(
+                f"UPDATE may not assign the row-identity column "
+                f"{key!r} — DELETE + INSERT to change identity")
+        if col in assigned:
+            raise SqlError(f"column {col!r} assigned twice")
+        assigned[col] = m.group(2)
+    types = {f.name: f.dataType for f in df.schema.fields}
+    updated = df.where(pred).select(*[
+        (F.expr(assigned[c]).cast(types[c]) if c in assigned
+         else F.col(c)).alias(c)
+        for c in df.columns])
+    ver = V.delete_and_append(spark, e["path"], updated.select(key),
+                              key, updated, parent_version=ver0)
+    return {"status": "updated", "name": name, "version": ver}
+
+
+def _merge(spark: SparkSession, catalog: Catalog, text: str) -> dict:
+    """``MERGE INTO t USING src ON t.k = s.k WHEN MATCHED THEN UPDATE
+    SET * [WHEN NOT MATCHED THEN INSERT *]`` — Delta-style SET */
+    INSERT * shorthand (the source row replaces / becomes the target
+    row; source and target share a column set).
+
+    Scale shape: the full upsert form needs NO target read at all —
+    every source key goes into one delete vector and every source row
+    into one appended segment (versioned.delete_and_append), so a
+    MERGE against a 100 TB table costs O(source). An update-only or
+    insert-only MERGE adds one key-column semi/anti join against the
+    target (column-pruned scan). Contrast versioned.upsert, which
+    rewrites the whole table into one segment."""
+    fm = _mask(text)
+    m = re.match(
+        r"merge\s+into\s+([A-Za-z_][A-Za-z0-9_]*)\s+using\s+", fm,
+        re.IGNORECASE)
+    if not m:
+        raise SqlError("MERGE INTO t USING <src> ON <t.k = s.k> "
+                       "WHEN [NOT] MATCHED THEN ...")
+    name = text[m.start(1):m.end(1)]
+    on_m = re.search(r"\bon\b", fm[m.end():], re.IGNORECASE)
+    when_m = re.search(r"\bwhen\b", fm[m.end():], re.IGNORECASE)
+    if not on_m or not when_m or when_m.start() < on_m.start():
+        raise SqlError("MERGE needs USING <src> ON <cond> WHEN ...")
+    src_text = text[m.end():m.end() + on_m.start()].strip()
+    on_text = text[m.end() + on_m.end():m.end() + when_m.start()].strip()
+    rest = text[m.end() + when_m.start():]
+
+    qi = r"(?:[A-Za-z_][A-Za-z0-9_]*\.)?([A-Za-z_][A-Za-z0-9_]*)"
+    on_eq = re.match(rf"{qi}\s*=\s*{qi}\s*$", on_text)
+    if not on_eq or on_eq.group(1).lower() != on_eq.group(2).lower():
+        raise SqlError(
+            f"MERGE ON must be a single same-named column equality "
+            f"(t.k = s.k), got: {on_text!r}")
+    on_key = on_eq.group(1)
+
+    matched = re.search(
+        r"when\s+matched\s+then\s+update\s+set\s*\*", rest,
+        re.IGNORECASE)
+    not_matched = re.search(
+        r"when\s+not\s+matched\s+then\s+insert\s*\*", rest,
+        re.IGNORECASE)
+    leftover = rest
+    for mm in (matched, not_matched):
+        if mm:
+            leftover = leftover.replace(mm.group(0), "", 1)
+    if not (matched or not_matched) or leftover.strip():
+        raise SqlError(
+            "MERGE supports WHEN MATCHED THEN UPDATE SET * and/or "
+            "WHEN NOT MATCHED THEN INSERT * "
+            f"(unrecognized: {leftover.strip()!r})" if leftover.strip()
+            else "MERGE needs at least one WHEN clause")
+
+    e = _writable_table(catalog, name, "MERGE INTO")
+    if src_text.startswith("("):
+        inner = src_text[1:src_text.rfind(")")]
+        src = _run_select(spark, inner, catalog)
+    else:
+        if not re.match(r"[A-Za-z_][A-Za-z0-9_]*$", src_text):
+            raise SqlError(f"MERGE USING wants a table name or "
+                           f"(SELECT ...), got: {src_text!r}")
+        src = _run_select(spark, f"SELECT * FROM {src_text}", catalog)
+
+    ver0 = V.current_version(e["path"])
+    target = _read_entry(spark, e, version=ver0)
+    t_by_lower = {c.lower(): c for c in target.columns}
+    s_by_lower = {c.lower(): c for c in src.columns}
+    if set(t_by_lower) != set(s_by_lower):
+        raise SqlError(
+            f"MERGE SET */INSERT * needs matching column sets: "
+            f"target {sorted(t_by_lower)} vs source "
+            f"{sorted(s_by_lower)}")
+    key = t_by_lower.get(on_key.lower())
+    if key is None:
+        raise SqlError(f"MERGE ON column {on_key!r} not in {name}'s "
+                       f"columns {target.columns}")
+    types = {f.name: f.dataType for f in target.schema.fields}
+    src = src.select(*[
+        F.col(s_by_lower[c.lower()]).cast(types[c]).alias(c)
+        for c in target.columns])
+
+    n, nk = src.agg(F.count(F.lit(1)),
+                    F.count_distinct(F.col(key))).first()
+    if n != nk:
+        raise SqlError(
+            f"MERGE source has duplicate {key!r} values "
+            f"({n} rows, {nk} distinct keys) — each target row may "
+            f"match at most one source row")
+
+    if matched and not_matched:
+        batch = src  # full upsert: no target read needed
+    elif matched:
+        batch = src.join(target.select(key).distinct(), [key],
+                         "left_semi")
+    else:
+        batch = src.join(target.select(key).distinct(), [key],
+                         "left_anti")
+        ver = V.append(spark, e["path"], batch,
+                       parent_version=ver0)
+        return {"status": "merged", "name": name, "version": ver}
+    ver = V.delete_and_append(spark, e["path"], batch.select(key),
+                              key, batch, parent_version=ver0)
+    return {"status": "merged", "name": name, "version": ver}
+
+
 # ---------------------------------------------------------------------------
 # statement dispatch
 # ---------------------------------------------------------------------------
@@ -1020,6 +1189,22 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         if not m:
             raise SqlError("DELETE FROM t WHERE <predicate>")
         return _delete(spark, catalog, m.group(1), m.group(2))
+
+    if head == "update":
+        fm = _mask(text)
+        m = re.match(r"update\s+([A-Za-z_][A-Za-z0-9_]*)\s+set\b", fm,
+                     re.IGNORECASE)
+        # WHERE is found on the MASK, so a literal containing the word
+        # can't split the statement (no scalar subqueries in SET)
+        wm = re.search(r"\bwhere\b", fm, re.IGNORECASE)
+        if not m or not wm or wm.start() < m.end():
+            raise SqlError(
+                "UPDATE t SET col = expr [, ...] WHERE <predicate>")
+        return _update(spark, catalog, text[m.start(1):m.end(1)],
+                       text[m.end():wm.start()], text[wm.end():])
+
+    if head == "merge":
+        return _merge(spark, catalog, text)
 
     if head == "create" and re.match(r"create\s+table\b", text,
                                      re.IGNORECASE):

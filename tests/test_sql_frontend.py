@@ -551,3 +551,122 @@ def test_stale_lock_from_dead_pid_is_reaped(tmp_path):
     c.register("t1", str(tmp_path / "d1"))  # must not spin 30s
     assert __import__("time").monotonic() - t0 < 5.0
     assert c.get("t1")["path"] == str(tmp_path / "d1")
+
+
+def test_update_statement_roundtrip(spark, events, cat, base):
+    # RHS sees the OLD row; untouched rows and columns unchanged
+    before = {r["event_id"]: r["cents"]
+              for r in S.execute(spark, "SELECT event_id, cents "
+                                        "FROM ev", cat).collect()}
+    out = S.execute(spark, "UPDATE ev SET cents = cents * 2 + 1 "
+                           "WHERE event_id % 5 = 0", cat)
+    assert out["status"] == "updated"
+    after = {r["event_id"]: r["cents"]
+             for r in S.execute(spark, "SELECT event_id, cents "
+                                       "FROM ev", cat).collect()}
+    assert set(after) == set(before)  # no rows created or destroyed
+    for eid, c in before.items():
+        want = c * 2 + 1 if eid % 5 == 0 else c
+        assert after[eid] == want, eid
+    # multiple assignments in one statement, comma inside a function
+    S.execute(spark, "UPDATE ev SET event_type = upper(event_type), "
+                     "cents = greatest(cents, 0) "
+                     "WHERE event_id = -999999", cat)  # no-op match
+
+
+def test_update_error_shapes(spark, events, cat, base):
+    with pytest.raises(S.SqlError, match="row-identity"):
+        S.execute(spark, "UPDATE ev SET event_id = 1 WHERE true", cat)
+    with pytest.raises(S.SqlError, match="no column"):
+        S.execute(spark, "UPDATE ev SET nope = 1 WHERE true", cat)
+    with pytest.raises(S.SqlError, match="assigned twice"):
+        S.execute(spark, "UPDATE ev SET cents = 1, cents = 2 "
+                         "WHERE true", cat)
+    with pytest.raises(S.SqlError, match="WHERE"):
+        S.execute(spark, "UPDATE ev SET cents = 1", cat)
+    # no-key table
+    ev = events.select("event_id").limit(1)
+    ev.createOrReplaceTempView("seed_nk")
+    S.execute(spark, "CREATE TABLE nk AS SELECT * FROM seed_nk", cat)
+    with pytest.raises(S.SqlError, match="key"):
+        S.execute(spark, "UPDATE nk SET event_id = 0 WHERE true", cat)
+    # MV targets rejected like INSERT/DELETE
+    S.execute(spark, "CREATE MATERIALIZED VIEW uvm AS SELECT "
+                     "event_type, COUNT(*) AS cnt FROM ev "
+                     "GROUP BY event_type", cat)
+    with pytest.raises(S.SqlError, match="base table"):
+        S.execute(spark, "UPDATE uvm SET cnt = 0 WHERE true", cat)
+
+
+def test_merge_statement_upsert(spark, events, cat, base):
+    # source: half updated images of existing rows + brand-new rows
+    src = base.where(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "event_type",
+        (F.col("cents") * 10).alias("cents"))
+    src.createOrReplaceTempView("merge_src")
+    out = S.execute(spark, "MERGE INTO ev USING merge_src "
+                           "ON ev.event_id = merge_src.event_id "
+                           "WHEN MATCHED THEN UPDATE SET * "
+                           "WHEN NOT MATCHED THEN INSERT *", cat)
+    assert out["status"] == "merged"
+    got = {r["event_id"]: r["cents"]
+           for r in S.execute(spark, "SELECT event_id, cents FROM ev",
+                              cat).collect()}
+    want = {r["event_id"]: r["cents"] for r in base.collect()
+            if r["event_id"] % 3 != 2}          # table had 2/3 of events
+    for r in src.collect():                      # source wins, inserts land
+        want[r["event_id"]] = r["cents"]
+    assert got == want
+
+
+def test_merge_matched_only_and_insert_only(spark, events, cat, base):
+    n0 = S.execute(spark, "SELECT count(*) AS n FROM ev",
+                   cat).collect()[0]["n"]
+    # matched-only: rows absent from the table must NOT be inserted
+    src = base.select("event_id", "user_id", "event_type",
+                      F.lit(7).cast("long").alias("cents"))
+    src.createOrReplaceTempView("m_src")
+    S.execute(spark, "MERGE INTO ev USING m_src ON ev.event_id = "
+                     "m_src.event_id WHEN MATCHED THEN UPDATE SET *",
+              cat)
+    rows = S.execute(spark, "SELECT count(*) AS n, min(cents) AS lo, "
+                            "max(cents) AS hi FROM ev", cat).collect()[0]
+    assert rows["n"] == n0 and rows["lo"] == 7 and rows["hi"] == 7
+    # insert-only: existing rows must NOT be touched
+    src2 = base.select("event_id", "user_id", "event_type",
+                       F.lit(99).cast("long").alias("cents"))
+    src2.createOrReplaceTempView("i_src")
+    S.execute(spark, "MERGE INTO ev USING i_src ON ev.event_id = "
+                     "i_src.event_id WHEN NOT MATCHED THEN INSERT *",
+              cat)
+    rows = S.execute(spark, "SELECT count(*) AS n, max(cents) AS hi "
+                            "FROM ev", cat).collect()[0]
+    n_all = base.count()
+    assert rows["n"] == n_all            # the missing 1/3 landed
+    assert rows["hi"] == 99              # only on the new rows
+    n7 = S.execute(spark, "SELECT count(*) AS n FROM ev WHERE "
+                          "cents = 7", cat).collect()[0]["n"]
+    assert n7 == n0                      # existing rows untouched
+
+
+def test_merge_error_shapes(spark, events, cat, base):
+    dup = base.limit(1).unionAll(base.limit(1)).select(
+        "event_id", "user_id", "event_type", "cents")
+    dup.createOrReplaceTempView("dup_src")
+    with pytest.raises(S.SqlError, match="duplicate"):
+        S.execute(spark, "MERGE INTO ev USING dup_src ON "
+                         "ev.event_id = dup_src.event_id "
+                         "WHEN MATCHED THEN UPDATE SET *", cat)
+    bad = base.select("event_id", "cents")
+    bad.createOrReplaceTempView("bad_src")
+    with pytest.raises(S.SqlError, match="column sets"):
+        S.execute(spark, "MERGE INTO ev USING bad_src ON "
+                         "ev.event_id = bad_src.event_id "
+                         "WHEN MATCHED THEN UPDATE SET *", cat)
+    with pytest.raises(S.SqlError, match="same-named"):
+        S.execute(spark, "MERGE INTO ev USING bad_src ON "
+                         "ev.event_id = bad_src.cents "
+                         "WHEN MATCHED THEN UPDATE SET *", cat)
+    with pytest.raises(S.SqlError, match="WHEN"):
+        S.execute(spark, "MERGE INTO ev USING bad_src ON "
+                         "ev.event_id = bad_src.event_id", cat)
