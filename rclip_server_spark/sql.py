@@ -996,11 +996,27 @@ def _update(spark: SparkSession, catalog: Catalog, name: str,
     return {"status": "updated", "name": name, "version": ver}
 
 
+def _find_top_level_kw(fm: str, kw: str, start: int) -> re.Match | None:
+    """First occurrence of keyword ``kw`` at paren depth 0, judged
+    against the length-preserving full mask ``fm`` (literals/comments
+    blanked, so counting parens on the mask is sound) — a USING
+    subquery's inner ``ON``/``WHEN`` (JOIN ... ON, CASE WHEN) must
+    not split the MERGE statement."""
+    for m in re.finditer(rf"\b{kw}\b", fm[start:], re.IGNORECASE):
+        upto = fm[start:start + m.start()]
+        if upto.count("(") == upto.count(")"):
+            return m
+    return None
+
+
 def _merge(spark: SparkSession, catalog: Catalog, text: str) -> dict:
     """``MERGE INTO t USING src ON t.k = s.k WHEN MATCHED THEN UPDATE
     SET * [WHEN NOT MATCHED THEN INSERT *]`` — Delta-style SET */
     INSERT * shorthand (the source row replaces / becomes the target
-    row; source and target share a column set).
+    row; source and target share a column set). The ON column must be
+    the table's DECLARED row-identity key: merging on a non-unique
+    column would collapse every matched target row into one source
+    row, and the delete vector must stay single-keyed.
 
     Scale shape: the full upsert form needs NO target read at all —
     every source key goes into one delete vector and every source row
@@ -1008,7 +1024,9 @@ def _merge(spark: SparkSession, catalog: Catalog, text: str) -> dict:
     MERGE against a 100 TB table costs O(source). An update-only or
     insert-only MERGE adds one key-column semi/anti join against the
     target (column-pruned scan). Contrast versioned.upsert, which
-    rewrites the whole table into one segment."""
+    rewrites the whole table into one segment. NULL-keyed source rows
+    never match (SQL NULL equality), so they insert under WHEN NOT
+    MATCHED and are ignored by a matched-only MERGE."""
     fm = _mask(text)
     m = re.match(
         r"merge\s+into\s+([A-Za-z_][A-Za-z0-9_]*)\s+using\s+", fm,
@@ -1017,8 +1035,8 @@ def _merge(spark: SparkSession, catalog: Catalog, text: str) -> dict:
         raise SqlError("MERGE INTO t USING <src> ON <t.k = s.k> "
                        "WHEN [NOT] MATCHED THEN ...")
     name = text[m.start(1):m.end(1)]
-    on_m = re.search(r"\bon\b", fm[m.end():], re.IGNORECASE)
-    when_m = re.search(r"\bwhen\b", fm[m.end():], re.IGNORECASE)
+    on_m = _find_top_level_kw(fm, "on", m.end())
+    when_m = _find_top_level_kw(fm, "when", m.end())
     if not on_m or not when_m or when_m.start() < on_m.start():
         raise SqlError("MERGE needs USING <src> ON <cond> WHEN ...")
     src_text = text[m.end():m.end() + on_m.start()].strip()
@@ -1043,14 +1061,23 @@ def _merge(spark: SparkSession, catalog: Catalog, text: str) -> dict:
     for mm in (matched, not_matched):
         if mm:
             leftover = leftover.replace(mm.group(0), "", 1)
-    if not (matched or not_matched) or leftover.strip():
+    if leftover.strip():  # rest starts at WHEN, so it's never empty
         raise SqlError(
             "MERGE supports WHEN MATCHED THEN UPDATE SET * and/or "
             "WHEN NOT MATCHED THEN INSERT * "
-            f"(unrecognized: {leftover.strip()!r})" if leftover.strip()
-            else "MERGE needs at least one WHEN clause")
+            f"(unrecognized: {leftover.strip()!r})")
 
     e = _writable_table(catalog, name, "MERGE INTO")
+    decl_key = e["meta"].get("key")
+    if not decl_key:
+        raise SqlError(
+            f"MERGE needs table {name}'s row-identity column — "
+            f"recreate it with OPTIONS (key='id')")
+    if on_key.lower() != decl_key.lower():
+        raise SqlError(
+            f"MERGE ON must use {name}'s declared row-identity "
+            f"column {decl_key!r} (got {on_key!r}) — merging on a "
+            f"non-unique column would collapse matched rows")
     if src_text.startswith("("):
         inner = src_text[1:src_text.rfind(")")]
         src = _run_select(spark, inner, catalog)
@@ -1076,30 +1103,36 @@ def _merge(spark: SparkSession, catalog: Catalog, text: str) -> dict:
     types = {f.name: f.dataType for f in target.schema.fields}
     src = src.select(*[
         F.col(s_by_lower[c.lower()]).cast(types[c]).alias(c)
-        for c in target.columns])
+        for c in target.columns]).persist()
+    try:
+        # count(col) skips NULLs, so both sides of the one-match
+        # check range over NON-NULL keys only: a NULL-keyed source
+        # row is legal (it never matches — pure insert), duplicate
+        # non-null keys are not
+        nn, nk = src.agg(F.count(F.col(key)),
+                         F.count_distinct(F.col(key))).first()
+        if nn != nk:
+            raise SqlError(
+                f"MERGE source has duplicate {key!r} values "
+                f"({nn} non-null keys, {nk} distinct) — each target "
+                f"row may match at most one source row")
 
-    n, nk = src.agg(F.count(F.lit(1)),
-                    F.count_distinct(F.col(key))).first()
-    if n != nk:
-        raise SqlError(
-            f"MERGE source has duplicate {key!r} values "
-            f"({n} rows, {nk} distinct keys) — each target row may "
-            f"match at most one source row")
-
-    if matched and not_matched:
-        batch = src  # full upsert: no target read needed
-    elif matched:
-        batch = src.join(target.select(key).distinct(), [key],
-                         "left_semi")
-    else:
-        batch = src.join(target.select(key).distinct(), [key],
-                         "left_anti")
-        ver = V.append(spark, e["path"], batch,
-                       parent_version=ver0)
+        if matched and not_matched:
+            batch = src  # full upsert: no target read needed
+        elif matched:
+            batch = src.join(target.select(key).distinct(), [key],
+                             "left_semi")
+        else:
+            batch = src.join(target.select(key).distinct(), [key],
+                             "left_anti")
+            ver = V.append(spark, e["path"], batch,
+                           parent_version=ver0)
+            return {"status": "merged", "name": name, "version": ver}
+        ver = V.delete_and_append(spark, e["path"], batch.select(key),
+                                  key, batch, parent_version=ver0)
         return {"status": "merged", "name": name, "version": ver}
-    ver = V.delete_and_append(spark, e["path"], batch.select(key),
-                              key, batch, parent_version=ver0)
-    return {"status": "merged", "name": name, "version": ver}
+    finally:
+        src.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -568,10 +568,26 @@ def test_update_statement_roundtrip(spark, events, cat, base):
     for eid, c in before.items():
         want = c * 2 + 1 if eid % 5 == 0 else c
         assert after[eid] == want, eid
-    # multiple assignments in one statement, comma inside a function
-    S.execute(spark, "UPDATE ev SET event_type = upper(event_type), "
-                     "cents = greatest(cents, 0) "
-                     "WHERE event_id = -999999", cat)  # no-op match
+    # multiple assignments in one statement (comma inside a function
+    # call): BOTH RHSs see the OLD row — cents references event_type's
+    # pre-update length, event_type references the pre-update cents
+    old = {r["event_id"]: (r["event_type"], r["cents"])
+           for r in S.execute(spark, "SELECT event_id, event_type, "
+                                     "cents FROM ev", cat).collect()}
+    S.execute(spark, "UPDATE ev SET "
+                     "event_type = concat(event_type, '_', cents), "
+                     "cents = greatest(cents, length(event_type)) "
+                     "WHERE event_id % 7 = 1", cat)
+    new = {r["event_id"]: (r["event_type"], r["cents"])
+           for r in S.execute(spark, "SELECT event_id, event_type, "
+                                     "cents FROM ev", cat).collect()}
+    assert set(new) == set(old)
+    hit = [eid for eid in old if eid % 7 == 1]
+    assert hit  # predicate must actually match rows
+    for eid, (et, c) in old.items():
+        want = ((f"{et}_{c}", max(c, len(et)))
+                if eid % 7 == 1 else (et, c))
+        assert new[eid] == want, eid
 
 
 def test_update_error_shapes(spark, events, cat, base):
@@ -670,3 +686,59 @@ def test_merge_error_shapes(spark, events, cat, base):
     with pytest.raises(S.SqlError, match="WHEN"):
         S.execute(spark, "MERGE INTO ev USING bad_src ON "
                          "ev.event_id = bad_src.event_id", cat)
+
+
+def test_merge_on_non_key_column_rejected(spark, events, cat, base):
+    one = base.limit(1).select("event_id", "user_id", "event_type",
+                               "cents")
+    one.createOrReplaceTempView("one_src")
+    # merging on a non-unique column would collapse matched rows and
+    # poison the delete-vector key — rejected up front
+    with pytest.raises(S.SqlError, match="row-identity"):
+        S.execute(spark, "MERGE INTO ev USING one_src ON "
+                         "ev.event_type = one_src.event_type "
+                         "WHEN MATCHED THEN UPDATE SET *", cat)
+
+
+def test_merge_null_keyed_source_row_inserts(spark, events, cat, base):
+    n0 = S.execute(spark, "SELECT count(*) AS n FROM ev",
+                   cat).collect()[0]["n"]
+    src = base.limit(2).select(
+        F.lit(None).cast("long").alias("event_id"), "user_id",
+        "event_type", F.lit(5).cast("long").alias("cents")).limit(1) \
+        .unionAll(base.limit(1).select(
+            "event_id", "user_id", "event_type",
+            F.lit(42).cast("long").alias("cents")))
+    src.createOrReplaceTempView("null_src")
+    # a single NULL key is NOT a duplicate; it never matches → insert
+    S.execute(spark, "MERGE INTO ev USING null_src ON "
+                     "ev.event_id = null_src.event_id "
+                     "WHEN MATCHED THEN UPDATE SET * "
+                     "WHEN NOT MATCHED THEN INSERT *", cat)
+    rows = S.execute(spark, "SELECT count(*) AS n FROM ev",
+                    cat).collect()[0]["n"]
+    assert rows == n0 + 1  # the NULL-keyed row landed, matched row updated
+    got = S.execute(spark, "SELECT cents FROM ev WHERE event_id IS "
+                           "NULL", cat).collect()
+    assert [r["cents"] for r in got] == [5]
+
+
+def test_merge_subquery_with_case_when_and_join_on(spark, events, cat,
+                                                   base):
+    base.createOrReplaceTempView("raw_ev")
+    # inner CASE WHEN and JOIN ... ON must not split the MERGE header
+    out = S.execute(spark, (
+        "MERGE INTO ev USING "
+        "(SELECT a.event_id, a.user_id, "
+        " CASE WHEN a.cents > 0 THEN 'pos' ELSE 'neg' END AS "
+        " event_type, a.cents FROM raw_ev a JOIN raw_ev b "
+        " ON a.event_id = b.event_id WHERE a.event_id % 9 = 0) "
+        "ON ev.event_id = event_id "
+        "WHEN MATCHED THEN UPDATE SET *"), cat)
+    assert out["status"] == "merged"
+    got = S.execute(spark, "SELECT count(*) AS n FROM ev WHERE "
+                           "event_type IN ('pos', 'neg')",
+                    cat).collect()[0]["n"]
+    want = base.where((F.col("event_id") % 9 == 0)
+                      & (F.col("event_id") % 3 != 2)).count()
+    assert got == want and want > 0
