@@ -88,16 +88,18 @@ _PRIORITY = [
     # remain locally replayed) ---
     "vt_near_dup_pairs_view", "sql_mv_roundtrip", "sql_topk_qualify",
     "vt_embed_near_dup_pairs_view", "sql_mv_avg",
-    # SQL DML (UPDATE / MERGE INTO via delete_and_append) — newest
-    # machinery, takes the rel_q1/rel_window recency slots (both stay
-    # locally replayed and become the oldest rows for r10 rotation)
+    # SQL DML (UPDATE / MERGE INTO via delete_and_append) and the
+    # stacked COUNT(DISTINCT) view — newest machinery, takes the
+    # rel_q1/rel_window/minhash-signatures recency slots (all three
+    # stay locally replayed and become the oldest rows for r10)
     "sql_update_roundtrip", "sql_merge_upsert",
-    # --- recency slots (11): oldest per the driver-window ledger ---
+    "sql_mv_count_distinct",
+    # --- recency slots (10): oldest per the driver-window ledger ---
     "ev_transition_matrix", "ev_zscore_outliers",
     "ann_pq_adc_topk", "vec_gramian",  # rows-only by design (RNG/iter)
     "vec_gramian_exact", "vec_quantize_int8_roundtrip",
     "samp_weighted_mixture", "text_lang_id",
-    "dedup_minhash_signatures", "dedup_minhash_incremental",
+    "dedup_minhash_incremental",
     "ann_hyperplane_near_dup",
 ]
 

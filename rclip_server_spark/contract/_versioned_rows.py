@@ -1275,3 +1275,57 @@ _register(
     FROM s WHERE event_id % 2 = 0
     """,
 )
+
+
+def _sql_cd_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    ).createOrReplaceTempView("events_seed_cd")
+    SQ.execute(spark, "CREATE TABLE evcd OPTIONS (key='event_id') AS "
+                      "SELECT * FROM events_seed_cd "
+                      "WHERE event_id % 3 <> 2", cat)
+    SQ.execute(spark, (
+        "CREATE MATERIALIZED VIEW ucnt AS "
+        "SELECT event_type, COUNT(*) AS n_events, "
+        "COUNT(DISTINCT user_id) AS n_users "
+        "FROM evcd GROUP BY event_type"), cat)
+    SQ.execute(spark, "INSERT INTO evcd SELECT * FROM events_seed_cd "
+                      "WHERE event_id % 3 = 2", cat)
+    # retracting delete: users whose LAST event goes must leave the
+    # distinct count (the hidden pairs row retracts to zero)
+    SQ.execute(spark, "DELETE FROM evcd WHERE user_id % 4 = 1", cat)
+    SQ.execute(spark, "REFRESH MATERIALIZED VIEW ucnt", cat)
+
+
+def _sql_mv_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Incrementally-maintained EXACT COUNT(DISTINCT) declared through
+    SQL: the frontend stacks a hidden (event_type, user_id) pairs view
+    under the named view (one row per LIVE pair), so the top view's
+    COUNT is the distinct-user count and its SUM over the pair counts
+    is COUNT(*) — both advanced through an insert AND a retracting
+    delete by one REFRESH statement (cascade walk). Oracle: plain
+    COUNT(DISTINCT) over the final state."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "sqlcd", _sql_cd_builder)
+    return SQ.execute(
+        spark,
+        "SELECT event_type, n_events, n_users FROM ucnt",
+        SQ.Catalog(path))
+
+
+_register(
+    "sql_mv_count_distinct",
+    _sql_mv_count_distinct,
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE user_id % 4 <> 1
+    GROUP BY event_type
+    """,
+)

@@ -493,7 +493,10 @@ def _parse_select_items(cur: _Cursor) -> list[_Item]:
               and cur.peek(1) is not None and cur.peek(1).text == "("):
             fn = cur.take().lower
             cur.expect_op("(")
-            if fn == "count":
+            if fn == "count" and cur.at_kw("distinct"):
+                cur.take()
+                fn, col = "count_distinct", cur.expect_ident()
+            elif fn == "count":
                 cur.expect_op("*")
                 col = None
             else:
@@ -701,6 +704,12 @@ def _agg_spec(items: list[_Item], group_by: list[str]) -> dict:
                     avgs[canon] = it.col
             elif it.col not in minmax_cols:
                 minmax_cols.append(it.col)
+        elif it.kind == "count_distinct":
+            raise SqlError(
+                "COUNT(DISTINCT x) is supported in single-source agg "
+                "views (it stacks a hidden pairs view) — for a join, "
+                "materialize the join first and stack the distinct "
+                "view on top")
         else:
             raise SqlError(
                 "aggregating views support COUNT(*) / SUM / AVG / MIN "
@@ -764,6 +773,9 @@ def _create_mv(spark: SparkSession, catalog: Catalog, name: str,
             raise SqlError(
                 "agg views need the source's row-identity column: "
                 "OPTIONS (key='id') on the view or the source table")
+        if any(i.kind == "count_distinct" for i in plan.items):
+            return _create_distinct_mv(spark, catalog, name, key, plan,
+                                       body_sql)
         spec = _agg_spec(plan.items, plan.group_by)
         MV.create_agg_view(spark, src["path"], vp, key=key,
                            group_cols=plan.group_by,
@@ -827,6 +839,70 @@ def _create_mv(spark: SparkSession, catalog: Catalog, name: str,
         raise SqlError(f"unknown view kind {plan.kind}")
     catalog.register(name, vp, kind=plan.kind, meta=meta)
     return {"status": "created", "name": name, "kind": plan.kind,
+            "path": vp}
+
+
+def _create_distinct_mv(spark: SparkSession, catalog: Catalog,
+                        name: str, key: str, plan: _MvPlan,
+                        body_sql: str) -> dict:
+    """``SELECT k, COUNT(DISTINCT x) [, COUNT(*)] FROM t GROUP BY k``
+    as incrementally-maintained EXACT distinct counting — no sketch,
+    pure view COMPOSITION: a hidden level-1 agg view (``<name>__pairs``
+    on disk, not in the catalog) holds one row per LIVE (k, x) pair (a
+    pair whose count retracts to zero leaves it), and the named view
+    aggregates level-1's rows per k — its COUNT is the distinct count
+    and its SUM over level-1's counts is the base-row COUNT(*). Both
+    levels refresh for the cost of the changes; REFRESH on the name
+    walks the chain via the cascade walker, and the graph walker gives
+    vacuum-safety/DESCRIBE CASCADE for free."""
+    cds = [i for i in plan.items if i.kind == "count_distinct"]
+    if len(cds) > 1:
+        raise SqlError("one COUNT(DISTINCT ...) per view — stack "
+                       "another view for a second distinct column")
+    cd = cds[0]
+    bad = [i for i in plan.items
+           if i.kind not in ("col", "count", "count_distinct")]
+    if bad:
+        raise SqlError(
+            "COUNT(DISTINCT x) composes with COUNT(*) and the "
+            "grouping columns only — other aggregates belong in a "
+            "separate view over the same source")
+    bare = [i.col for i in plan.items if i.kind == "col"]
+    if bare != list(plan.group_by):
+        raise SqlError(
+            f"select-list bare columns {bare} must equal the GROUP BY "
+            f"list {list(plan.group_by)} (in order)")
+    src = catalog.get(plan.source)
+    vp = catalog.path_for(name)
+    vp1 = vp + "__pairs"
+    MV.create_agg_view(spark, src["path"], vp1, key=key,
+                       group_cols=list(plan.group_by) + [cd.col])
+    MV.create_agg_view(spark, vp1, vp, key=cd.col,
+                       group_cols=list(plan.group_by),
+                       sum_cols=["cnt"])
+    requested, aliases = [], {}
+    for it in plan.items:
+        if it.kind == "col":
+            requested.append(it.col)
+            if it.alias and it.alias != it.col:
+                aliases[it.col] = it.alias
+        elif it.kind == "count":
+            requested.append("sum_cnt")
+            aliases["sum_cnt"] = it.alias or "cnt"
+        else:
+            requested.append("cnt")
+            aliases["cnt"] = it.alias or f"n_distinct_{cd.col}"
+    try:
+        catalog.register(name, vp, kind="agg",
+                         meta={"sql": _norm_sql(body_sql),
+                               "aliases": aliases,
+                               "requested": requested,
+                               "stack": [vp1]})
+    except SqlError:
+        shutil.rmtree(vp, ignore_errors=True)
+        shutil.rmtree(vp1, ignore_errors=True)
+        raise
+    return {"status": "created", "name": name, "kind": "agg",
             "path": vp}
 
 
@@ -1297,13 +1373,20 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
             cascade = True
         if not cur.done():
             raise SqlError("trailing tokens after REFRESH")
-        path = catalog.get(name)["path"]
+        e = catalog.get(name)
+        path = e["path"]
         transforms = _mv_transforms(catalog)
-        if cascade:
+        # a stacked view (COUNT DISTINCT) is a chain — plain REFRESH
+        # must advance the hidden level(s) first, which is exactly the
+        # cascade walk
+        if cascade or e["meta"].get("stack"):
             refreshed = MV.refresh_cascade(spark, path,
                                            transforms=transforms)
-            return {"status": "refreshed", "name": name,
-                    "refreshed_paths": refreshed}
+            out = {"status": "refreshed", "name": name,
+                   "refreshed_paths": refreshed}
+            if not cascade:
+                out["version"] = V.current_version(path)
+            return out
         ver = MV.refresh_view(spark, path, transforms=transforms)
         return {"status": "refreshed", "name": name, "version": ver}
 
@@ -1341,7 +1424,7 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         name = cur.expect_ident()
         e = catalog.unregister(name)
         spark.catalog.dropTempView(name)  # no stale reads post-drop
-        doomed = [e["path"]]
+        doomed = [e["path"]] + (e["meta"].get("stack") or [])
         if e["kind"] in ("near_dup", "embed_near_dup"):
             # the pair table owns two internal index views on disk
             from .sources import neardup_view as ND

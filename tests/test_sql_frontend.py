@@ -742,3 +742,80 @@ def test_merge_subquery_with_case_when_and_join_on(spark, events, cat,
     want = base.where((F.col("event_id") % 9 == 0)
                       & (F.col("event_id") % 3 != 2)).count()
     assert got == want and want > 0
+
+
+def test_count_distinct_mv_roundtrip(spark, events, cat, base):
+    S.execute(spark, (
+        "CREATE MATERIALIZED VIEW du AS "
+        "SELECT event_type, COUNT(*) AS n_events, "
+        "COUNT(DISTINCT user_id) AS n_users "
+        "FROM ev GROUP BY event_type"), cat)
+    got = S.execute(spark, "SELECT event_type, n_events, n_users "
+                           "FROM du", cat)
+    live = base.where(F.col("event_id") % 3 != 2)
+    want = live.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"))
+    assert sorted((r["event_type"], r["n_events"], r["n_users"])
+                  for r in got.collect()) == \
+           sorted((r["event_type"], r["n_events"], r["n_users"])
+                  for r in want.collect())
+    # advance: appends add new users, a delete retracts — a user whose
+    # last event goes must leave the distinct count
+    V.append(spark, cat.get("ev")["path"],
+             base.where(F.col("event_id") % 3 == 2))
+    V.delete_rows(spark, cat.get("ev")["path"],
+                  base.where(F.col("user_id") % 4 == 1)
+                  .select("event_id"), "event_id")
+    r = S.execute(spark, "REFRESH MATERIALIZED VIEW du", cat)
+    assert r["status"] == "refreshed"
+    assert len(r["refreshed_paths"]) == 2  # hidden pairs level + top
+    got = S.execute(spark, "SELECT event_type, n_events, n_users "
+                           "FROM du", cat)
+    live = base.where(F.col("user_id") % 4 != 1)
+    want = live.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"))
+    assert sorted(tuple(r) for r in got.collect()) == \
+           sorted(tuple(r) for r in want.collect())
+    # the hidden level is invisible to SHOW TABLES but DESCRIBE
+    # CASCADE surfaces the chain
+    assert all("__pairs" not in n for n in cat.names())
+    desc = S.execute(spark, "DESCRIBE CASCADE du", cat)
+    assert [d["view_kind"] for d in desc] == ["agg", "agg"]
+    # DROP reaps the hidden level's directory too
+    p1 = cat.get("du")["meta"]["stack"][0]
+    assert os.path.isdir(p1)
+    S.execute(spark, "DROP MATERIALIZED VIEW du", cat)
+    assert not os.path.isdir(p1)
+
+
+def test_count_distinct_mv_vacuum_safety_and_errors(spark, events, cat,
+                                                    base):
+    S.execute(spark, (
+        "CREATE MATERIALIZED VIEW dv AS "
+        "SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT cents) AS d "
+        "FROM ev GROUP BY event_type"), cat)
+    # many source commits, then VACUUM ev: the hidden level's cursor
+    # must clamp the reap (the graph walker finds it via the top view)
+    for i in range(3):
+        V.append(spark, cat.get("ev")["path"],
+                 base.where(F.col("event_id") % 3 == 2).limit(10 + i))
+    S.execute(spark, "VACUUM ev", cat)
+    r = S.execute(spark, "REFRESH MATERIALIZED VIEW dv", cat)
+    assert r["status"] == "refreshed"
+    got = S.execute(spark, "SELECT d FROM dv WHERE event_type = "
+                           "(SELECT min(event_type) FROM ev)", cat)
+    assert got.collect()[0]["d"] > 0
+    with pytest.raises(S.SqlError, match="one COUNT"):
+        S.execute(spark, "CREATE MATERIALIZED VIEW dd AS "
+                         "SELECT event_type, COUNT(*) AS n, "
+                         "COUNT(DISTINCT cents) AS a, "
+                         "COUNT(DISTINCT user_id) AS b "
+                         "FROM ev GROUP BY event_type", cat)
+    with pytest.raises(S.SqlError, match="composes with"):
+        S.execute(spark, "CREATE MATERIALIZED VIEW dd AS "
+                         "SELECT event_type, COUNT(*) AS n, "
+                         "SUM(cents) AS s, "
+                         "COUNT(DISTINCT user_id) AS b "
+                         "FROM ev GROUP BY event_type", cat)
