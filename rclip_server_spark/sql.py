@@ -666,6 +666,15 @@ def _parse_qualify(cur: _Cursor) -> dict:
     return {"part": part, "score": score, "key": key, "k": int(k_tok.text)}
 
 
+def _bare_cols_must_match(items: list[_Item],
+                          group_by: list[str]) -> None:
+    bare = [i.col for i in items if i.kind == "col"]
+    if bare != list(group_by):
+        raise SqlError(
+            f"select-list bare columns {bare} must equal the GROUP BY "
+            f"list {list(group_by)} (in order)")
+
+
 def _agg_spec(items: list[_Item], group_by: list[str]) -> dict:
     """Map parsed select items onto create_[join_]view's
     (group_cols, sum_cols, minmax_cols) + the alias map canonical→SQL
@@ -674,11 +683,7 @@ def _agg_spec(items: list[_Item], group_by: list[str]) -> dict:
     the unrequested twin is hidden by the read projection). AVG(x) is
     maintained as the retractable pair (sum_x, nn_x) and divided at
     read time — exact for the integer columns the view layer sums."""
-    bare = [i.col for i in items if i.kind == "col"]
-    if bare != list(group_by):
-        raise SqlError(
-            f"select-list bare columns {bare} must equal the GROUP BY "
-            f"list {list(group_by)} (in order)")
+    _bare_cols_must_match(items, group_by)
     sum_cols, minmax_cols, aliases, requested = [], [], {}, []
     avgs = {}
     has_count = False
@@ -842,18 +847,34 @@ def _create_mv(spark: SparkSession, catalog: Catalog, name: str,
             "path": vp}
 
 
+def _synth_transform(sql_text: str):
+    """(fn, name) for a stack-internal transform view, reconstructed
+    from its synthetic SQL exactly the way _mv_transforms rebuilds
+    user-declared transforms — one code path for both."""
+    cur = _Cursor(*_tk(sql_text))
+    plan = _parse_mv_body(cur)
+    return _transform_fn(plan.items, plan.where), _transform_name(
+        sql_text)
+
+
+_DISTINCT_IND = "_x_nn"
+
+
 def _create_distinct_mv(spark: SparkSession, catalog: Catalog,
                         name: str, key: str, plan: _MvPlan,
                         body_sql: str) -> dict:
     """``SELECT k, COUNT(DISTINCT x) [, COUNT(*)] FROM t GROUP BY k``
     as incrementally-maintained EXACT distinct counting — no sketch,
-    pure view COMPOSITION: a hidden level-1 agg view (``<name>__pairs``
-    on disk, not in the catalog) holds one row per LIVE (k, x) pair (a
-    pair whose count retracts to zero leaves it), and the named view
-    aggregates level-1's rows per k — its COUNT is the distinct count
-    and its SUM over level-1's counts is the base-row COUNT(*). Both
-    levels refresh for the cost of the changes; REFRESH on the name
-    walks the chain via the cascade walker, and the graph walker gives
+    pure view COMPOSITION of three hidden-except-the-top levels:
+    a transform view (``<name>__nn``) projects the key/group/distinct
+    columns plus a 0/1 x-IS-NOT-NULL indicator; a pairs agg view
+    (``<name>__pairs``) holds one row per LIVE (k, x) pair (a pair
+    whose count retracts to zero leaves it); and the named top view
+    sums the indicator over pair rows — NULL never counts, matching
+    SQL COUNT(DISTINCT) — while its SUM over the pair counts serves
+    COUNT(*) (which does include NULL-x rows). Each level refreshes
+    for the cost of the changes; plain REFRESH advances exactly the
+    hidden levels then the top, and the graph walker gives
     vacuum-safety/DESCRIBE CASCADE for free."""
     cds = [i for i in plan.items if i.kind == "count_distinct"]
     if len(cds) > 1:
@@ -867,40 +888,55 @@ def _create_distinct_mv(spark: SparkSession, catalog: Catalog,
             "COUNT(DISTINCT x) composes with COUNT(*) and the "
             "grouping columns only — other aggregates belong in a "
             "separate view over the same source")
-    bare = [i.col for i in plan.items if i.kind == "col"]
-    if bare != list(plan.group_by):
+    _bare_cols_must_match(plan.items, plan.group_by)
+    if cd.col.lower() in {c.lower() for c in plan.group_by}:
         raise SqlError(
-            f"select-list bare columns {bare} must equal the GROUP BY "
-            f"list {list(plan.group_by)} (in order)")
+            f"COUNT(DISTINCT {cd.col}) over its own grouping column "
+            f"is constant 1 per group — drop it or group differently")
     src = catalog.get(plan.source)
     vp = catalog.path_for(name)
-    vp1 = vp + "__pairs"
-    MV.create_agg_view(spark, src["path"], vp1, key=key,
-                       group_cols=list(plan.group_by) + [cd.col])
-    MV.create_agg_view(spark, vp1, vp, key=cd.col,
-                       group_cols=list(plan.group_by),
-                       sum_cols=["cnt"])
-    requested, aliases = [], {}
-    for it in plan.items:
-        if it.kind == "col":
-            requested.append(it.col)
-            if it.alias and it.alias != it.col:
-                aliases[it.col] = it.alias
-        elif it.kind == "count":
-            requested.append("sum_cnt")
-            aliases["sum_cnt"] = it.alias or "cnt"
-        else:
-            requested.append("cnt")
-            aliases["cnt"] = it.alias or f"n_distinct_{cd.col}"
+    vp0, vp1 = vp + "__nn", vp + "__pairs"
+    seen: set = set()
+    proj = [c for c in [key, *plan.group_by, cd.col]
+            if not (c.lower() in seen or seen.add(c.lower()))]
+    t_sql = (f"SELECT {', '.join(proj)}, CASE WHEN {cd.col} IS NULL "
+             f"THEN 0 ELSE 1 END AS {_DISTINCT_IND} "
+             f"FROM {plan.source}")
     try:
+        fn, tname = _synth_transform(t_sql)
+        MV.create_transform_view(spark, src["path"], vp0, key=key,
+                                 transform=fn, name=tname)
+        MV.create_agg_view(spark, vp0, vp1, key=key,
+                           group_cols=[*plan.group_by, cd.col,
+                                       _DISTINCT_IND])
+        MV.create_agg_view(spark, vp1, vp, key=cd.col,
+                           group_cols=list(plan.group_by),
+                           sum_cols=["cnt", _DISTINCT_IND])
+        requested, aliases = [], {}
+        for it in plan.items:
+            if it.kind == "col":
+                requested.append(it.col)
+                if it.alias and it.alias != it.col:
+                    aliases[it.col] = it.alias
+            elif it.kind == "count":
+                requested.append("sum_cnt")
+                aliases["sum_cnt"] = it.alias or "cnt"
+            else:
+                requested.append(f"sum_{_DISTINCT_IND}")
+                aliases[f"sum_{_DISTINCT_IND}"] = (
+                    it.alias or f"n_distinct_{cd.col}")
         catalog.register(name, vp, kind="agg",
                          meta={"sql": _norm_sql(body_sql),
                                "aliases": aliases,
                                "requested": requested,
-                               "stack": [vp1]})
-    except SqlError:
-        shutil.rmtree(vp, ignore_errors=True)
-        shutil.rmtree(vp1, ignore_errors=True)
+                               "stack": [vp0, vp1],
+                               "stack_transforms": {
+                                   vp0: _norm_sql(t_sql)}})
+    except Exception:
+        # a failure anywhere mid-chain must not strand unregistered
+        # directories that block the next CREATE of the same name
+        for p in (vp, vp1, vp0):
+            shutil.rmtree(p, ignore_errors=True)
         raise
     return {"status": "created", "name": name, "kind": "agg",
             "path": vp}
@@ -958,6 +994,10 @@ def _mv_transforms(catalog: Catalog) -> dict:
             plan = _parse_mv_body(cur)
             out[e["path"]] = (_transform_fn(plan.items, plan.where),
                               _transform_name(e["meta"]["sql"]))
+        # hidden stack-internal transforms (COUNT DISTINCT chains)
+        # travel in the owning entry's meta, same reconstruction
+        for p, s in (e["meta"].get("stack_transforms") or {}).items():
+            out[p] = _synth_transform(s)
     return out
 
 
@@ -1376,19 +1416,22 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         e = catalog.get(name)
         path = e["path"]
         transforms = _mv_transforms(catalog)
-        # a stacked view (COUNT DISTINCT) is a chain — plain REFRESH
-        # must advance the hidden level(s) first, which is exactly the
-        # cascade walk
-        if cascade or e["meta"].get("stack"):
+        if cascade:
             refreshed = MV.refresh_cascade(spark, path,
                                            transforms=transforms)
-            out = {"status": "refreshed", "name": name,
-                   "refreshed_paths": refreshed}
-            if not cascade:
-                out["version"] = V.current_version(path)
-            return out
+            return {"status": "refreshed", "name": name,
+                    "refreshed_paths": refreshed}
+        # a stacked view (COUNT DISTINCT) is a chain — plain REFRESH
+        # advances exactly its hidden levels then the top, NEVER other
+        # user-registered upstream views (that's what CASCADE is for)
+        stack = e["meta"].get("stack") or []
+        for p in stack:
+            MV.refresh_view(spark, p, transforms=transforms)
         ver = MV.refresh_view(spark, path, transforms=transforms)
-        return {"status": "refreshed", "name": name, "version": ver}
+        out = {"status": "refreshed", "name": name, "version": ver}
+        if stack:
+            out["refreshed_paths"] = stack + [path]
+        return out
 
     if head == "create":
         cur.take()

@@ -769,7 +769,8 @@ def test_count_distinct_mv_roundtrip(spark, events, cat, base):
                   .select("event_id"), "event_id")
     r = S.execute(spark, "REFRESH MATERIALIZED VIEW du", cat)
     assert r["status"] == "refreshed"
-    assert len(r["refreshed_paths"]) == 2  # hidden pairs level + top
+    # hidden indicator transform + hidden pairs level + top
+    assert len(r["refreshed_paths"]) == 3
     got = S.execute(spark, "SELECT event_type, n_events, n_users "
                            "FROM du", cat)
     live = base.where(F.col("user_id") % 4 != 1)
@@ -782,7 +783,7 @@ def test_count_distinct_mv_roundtrip(spark, events, cat, base):
     # CASCADE surfaces the chain
     assert all("__pairs" not in n for n in cat.names())
     desc = S.execute(spark, "DESCRIBE CASCADE du", cat)
-    assert [d["view_kind"] for d in desc] == ["agg", "agg"]
+    assert [d["view_kind"] for d in desc] == ["transform", "agg", "agg"]
     # DROP reaps the hidden level's directory too
     p1 = cat.get("du")["meta"]["stack"][0]
     assert os.path.isdir(p1)
@@ -819,3 +820,81 @@ def test_count_distinct_mv_vacuum_safety_and_errors(spark, events, cat,
                          "SUM(cents) AS s, "
                          "COUNT(DISTINCT user_id) AS b "
                          "FROM ev GROUP BY event_type", cat)
+
+
+def test_count_distinct_null_semantics(spark, events, cat):
+    # SQL COUNT(DISTINCT x) ignores NULL — the maintained view must
+    # not count the live (group, NULL) pair
+    rows = [(1, "a", 7), (2, "a", None), (3, "a", None), (4, "b", None)]
+    df = spark.createDataFrame(rows, "event_id long, grp string, "
+                                     "uid long")
+    df.createOrReplaceTempView("null_seed")
+    S.execute(spark, "CREATE TABLE nt OPTIONS (key='event_id') AS "
+                     "SELECT * FROM null_seed", cat)
+    S.execute(spark, "CREATE MATERIALIZED VIEW nv AS "
+                     "SELECT grp, COUNT(*) AS n, "
+                     "COUNT(DISTINCT uid) AS d FROM nt GROUP BY grp",
+              cat)
+    got = {r["grp"]: (r["n"], r["d"]) for r in
+           S.execute(spark, "SELECT grp, n, d FROM nv", cat).collect()}
+    # COUNT(*) includes NULL-uid rows; COUNT(DISTINCT uid) excludes
+    assert got == {"a": (3, 1), "b": (1, 0)}
+    # the last non-null uid leaving retracts the distinct count to 0
+    S.execute(spark, "DELETE FROM nt WHERE event_id = 1", cat)
+    S.execute(spark, "REFRESH MATERIALIZED VIEW nv", cat)
+    got = {r["grp"]: (r["n"], r["d"]) for r in
+           S.execute(spark, "SELECT grp, n, d FROM nv", cat).collect()}
+    assert got == {"a": (2, 0), "b": (1, 0)}
+
+
+def test_count_distinct_over_group_col_and_orphan_cleanup(spark,
+                                                          events, cat,
+                                                          base):
+    with pytest.raises(S.SqlError, match="constant 1"):
+        S.execute(spark, "CREATE MATERIALIZED VIEW gg AS "
+                         "SELECT event_type, COUNT(*) AS n, "
+                         "COUNT(DISTINCT event_type) AS d "
+                         "FROM ev GROUP BY event_type", cat)
+    # a mid-chain failure must not strand directories that block the
+    # next CREATE of the same name: nonexistent distinct column fails
+    # inside the chain build, then the corrected CREATE succeeds
+    with pytest.raises(Exception):
+        S.execute(spark, "CREATE MATERIALIZED VIEW oc AS "
+                         "SELECT event_type, COUNT(*) AS n, "
+                         "COUNT(DISTINCT no_such_col) AS d "
+                         "FROM ev GROUP BY event_type", cat)
+    out = S.execute(spark, "CREATE MATERIALIZED VIEW oc AS "
+                           "SELECT event_type, COUNT(*) AS n, "
+                           "COUNT(DISTINCT user_id) AS d "
+                           "FROM ev GROUP BY event_type", cat)
+    assert out["status"] == "created"
+
+
+def test_count_distinct_plain_refresh_spares_upstream_views(spark,
+                                                            events,
+                                                            cat, base):
+    # user-registered transform view UNDER the distinct chain: plain
+    # REFRESH of the distinct view must not silently advance it
+    S.execute(spark, "CREATE MATERIALIZED VIEW tvu AS "
+                     "SELECT event_id, user_id, event_type FROM ev "
+                     "WHERE cents >= 0", cat)
+    S.execute(spark, "CREATE MATERIALIZED VIEW duv "
+                     "OPTIONS (key='event_id') AS "
+                     "SELECT event_type, COUNT(*) AS n, "
+                     "COUNT(DISTINCT user_id) AS d "
+                     "FROM tvu GROUP BY event_type", cat)
+    n_tv0 = S.execute(spark, "SELECT count(*) AS n FROM tvu",
+                      cat).collect()[0]["n"]
+    V.append(spark, cat.get("ev")["path"],
+             base.where(F.col("event_id") % 3 == 2))
+    r = S.execute(spark, "REFRESH MATERIALIZED VIEW duv", cat)
+    assert cat.get("tvu")["path"] not in r["refreshed_paths"]
+    n_tv1 = S.execute(spark, "SELECT count(*) AS n FROM tvu",
+                      cat).collect()[0]["n"]
+    assert n_tv1 == n_tv0  # tvu NOT advanced by the plain refresh
+    # CASCADE does advance the whole chain including tvu
+    r = S.execute(spark, "REFRESH MATERIALIZED VIEW duv CASCADE", cat)
+    assert cat.get("tvu")["path"] in r["refreshed_paths"]
+    n_tv2 = S.execute(spark, "SELECT count(*) AS n FROM tvu",
+                      cat).collect()[0]["n"]
+    assert n_tv2 > n_tv1
