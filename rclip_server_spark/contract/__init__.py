@@ -93,14 +93,13 @@ _PRIORITY = [
     # rel_q1/rel_window/minhash-signatures recency slots (all three
     # stay locally replayed and become the oldest rows for r10)
     "sql_update_roundtrip", "sql_merge_upsert",
-    "sql_mv_count_distinct",
-    # --- recency slots (10): oldest per the driver-window ledger ---
+    "sql_mv_count_distinct", "sql_restore_roundtrip",
+    # --- recency slots (9): oldest per the driver-window ledger ---
     "ev_transition_matrix", "ev_zscore_outliers",
     "ann_pq_adc_topk", "vec_gramian",  # rows-only by design (RNG/iter)
     "vec_gramian_exact", "vec_quantize_int8_roundtrip",
     "samp_weighted_mixture", "text_lang_id",
     "dedup_minhash_incremental",
-    "ann_hyperplane_near_dup",
 ]
 
 

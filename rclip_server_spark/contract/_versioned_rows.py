@@ -1329,3 +1329,49 @@ _register(
     GROUP BY event_type
     """,
 )
+
+
+def _sql_restore_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    ).createOrReplaceTempView("events_seed_r")
+    SQ.execute(spark, "CREATE TABLE evr OPTIONS (key='event_id') AS "
+                      "SELECT * FROM events_seed_r "
+                      "WHERE event_id % 3 <> 2", cat)       # v1
+    # bad migration zeroes every value, then RESTORE undoes it
+    SQ.execute(spark, "UPDATE evr SET value_cents = 0 WHERE true", cat)
+    SQ.execute(spark, "RESTORE TABLE evr TO VERSION AS OF 1", cat)
+    # post-restore DML lands on the restored content
+    SQ.execute(spark, "INSERT INTO evr SELECT * FROM events_seed_r "
+                      "WHERE event_id % 3 = 2", cat)
+
+
+def _sql_restore_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """RESTORE TABLE ... VERSION AS OF through the SQL frontend:
+    metadata-only rollback of a destructive UPDATE (the manifest
+    re-points to the pre-update segments; nothing is read or copied),
+    then an INSERT on top of the restored head. Oracle: the original
+    values over the full row set — correct ONLY if the restore
+    actually undid the zeroing and the insert landed after it."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "sqlr", _sql_restore_builder)
+    return SQ.execute(
+        spark,
+        "SELECT event_id, event_type, value_cents FROM evr",
+        SQ.Catalog(path))
+
+
+_register(
+    "sql_restore_roundtrip",
+    _sql_restore_roundtrip,
+    """
+    SELECT event_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    """,
+)

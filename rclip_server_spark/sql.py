@@ -86,6 +86,8 @@ _RESERVED = {
     "refresh", "cascade", "describe", "insert", "into", "delete",
     "drop", "vacuum", "keep", "options", "as", "history", "show",
     "tables", "version", "of", "values", "and", "or", "not",
+    "update", "merge", "set", "when", "matched", "then", "on",
+    "restore", "optimize", "explain", "distinct", "to",
 }
 
 
@@ -1504,6 +1506,32 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         ver = V.compact(spark, e["path"])
         return {"status": "optimized", "name": name, "version": ver}
 
+    if head == "restore":
+        # metadata-only rollback (Delta RESTORE semantics): a NEW
+        # head whose manifest re-points to the old segments — the
+        # "oops" recovery for a bad UPDATE/DELETE/MERGE, no data read
+        # or copied, audit trail intact
+        cur.take()
+        cur.expect_kw("table")
+        name = cur.expect_ident()
+        if cur.at_kw("to"):
+            cur.take()
+        cur.expect_kw("version")
+        cur.expect_kw("as")
+        cur.expect_kw("of")
+        t = cur.take()
+        if t.kind != "num" or "." in t.text:
+            raise SqlError("RESTORE TABLE t [TO] VERSION AS OF <int>")
+        if not cur.done():
+            raise SqlError("trailing tokens after RESTORE")
+        e = _writable_table(catalog, name, "RESTORE")
+        try:
+            ver = V.restore(spark, e["path"], int(t.text))
+        except (ValueError, FileNotFoundError) as ex:
+            raise SqlError(str(ex)) from ex
+        return {"status": "restored", "name": name,
+                "restored_to": int(t.text), "version": ver}
+
     if head == "vacuum":
         cur.take()
         name = cur.expect_ident()
@@ -1526,5 +1554,6 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         f"unsupported statement head {toks[0].text!r}; supported: "
         "SELECT / WITH / EXPLAIN / CREATE [MATERIALIZED VIEW [USING "
         "near_dup]|TABLE] / REFRESH "
-        "MATERIALIZED VIEW / INSERT INTO / DELETE FROM / DESCRIBE / "
-        "SHOW TABLES / VACUUM / DROP")
+        "MATERIALIZED VIEW / INSERT INTO / DELETE FROM / UPDATE / "
+        "MERGE INTO / DESCRIBE / SHOW TABLES / VACUUM / OPTIMIZE / "
+        "RESTORE TABLE / DROP")

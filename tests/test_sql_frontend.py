@@ -898,3 +898,37 @@ def test_count_distinct_plain_refresh_spares_upstream_views(spark,
     n_tv2 = S.execute(spark, "SELECT count(*) AS n FROM tvu",
                       cat).collect()[0]["n"]
     assert n_tv2 > n_tv1
+
+
+def test_restore_table_statement(spark, events, cat, base):
+    # bad migration: zero out every cents value
+    v_good = V.current_version(cat.get("ev")["path"])
+    S.execute(spark, "UPDATE ev SET cents = 0 WHERE true", cat)
+    assert S.execute(spark, "SELECT max(cents) AS m FROM ev",
+                     cat).collect()[0]["m"] == 0
+    r = S.execute(spark, f"RESTORE TABLE ev TO VERSION AS OF {v_good}",
+                  cat)
+    assert r["status"] == "restored"
+    # content is back, and the bad version stays readable for audit
+    good = {(x["event_id"], x["cents"]) for x in base.where(
+        F.col("event_id") % 3 != 2).select("event_id",
+                                           "cents").collect()}
+    got = {(x["event_id"], x["cents"]) for x in S.execute(
+        spark, "SELECT event_id, cents FROM ev", cat).collect()}
+    assert got == good
+    bad_max = S.execute(
+        spark, f"SELECT max(cents) AS m FROM ev VERSION AS OF "
+               f"{v_good + 1}", cat).collect()[0]["m"]
+    assert bad_max == 0
+    # post-restore DML lands on the restored content
+    S.execute(spark, "DELETE FROM ev WHERE event_id % 5 = 0", cat)
+    n = S.execute(spark, "SELECT count(*) AS n FROM ev",
+                  cat).collect()[0]["n"]
+    assert n == len({k for k, _ in good if k % 5 != 0})
+    with pytest.raises(S.SqlError, match="outside"):
+        S.execute(spark, "RESTORE TABLE ev TO VERSION AS OF 999", cat)
+    S.execute(spark, "CREATE MATERIALIZED VIEW rmv AS SELECT "
+                     "event_type, COUNT(*) AS n FROM ev "
+                     "GROUP BY event_type", cat)
+    with pytest.raises(S.SqlError, match="base table"):
+        S.execute(spark, "RESTORE TABLE rmv TO VERSION AS OF 1", cat)
