@@ -86,6 +86,14 @@ _RESERVED = {
     "refresh", "cascade", "describe", "insert", "into", "delete",
     "drop", "vacuum", "keep", "options", "as", "history", "show",
     "tables", "version", "of", "values", "and", "or", "not",
+}
+
+# NEW names may not shadow any statement's grammar words, but these
+# stay OUT of the parser's reserved set (_RESERVED): SQL text stored
+# in existing catalogs may legally use them as identifiers/aliases,
+# and _mv_transforms re-parses that text on every REFRESH — widening
+# the parser set would brick whole legacy catalogs.
+_UNREGISTERABLE = _RESERVED | {
     "update", "merge", "set", "when", "matched", "then", "on",
     "restore", "optimize", "explain", "distinct", "to",
 }
@@ -183,7 +191,7 @@ class Catalog:
 
     def register(self, name: str, path: str, kind: str = "table",
                  meta: dict | None = None) -> None:
-        if not _IDENT_RE.match(name) or name.lower() in _RESERVED:
+        if not _IDENT_RE.match(name) or name.lower() in _UNREGISTERABLE:
             raise SqlError(f"{name!r} is not a legal table name "
                            f"(identifier, not a reserved word)")
         with self._locked():
@@ -238,7 +246,7 @@ class Catalog:
         (refreshed from disk, but another process can still win the
         name between here and register — register's under-lock clash
         check is the authoritative gate)."""
-        if not _IDENT_RE.match(name) or name.lower() in _RESERVED:
+        if not _IDENT_RE.match(name) or name.lower() in _UNREGISTERABLE:
             raise SqlError(f"{name!r} is not a legal table name "
                            f"(identifier, not a reserved word)")
         self._load()
@@ -768,6 +776,26 @@ def _transform_fn(items: list[_Item], where: str | None):
     return fn
 
 
+def _strand_proof(paths: list, fn):
+    """Run a CREATE body; on failure reap exactly the directories it
+    created — a failed CREATE must not strand unregistered dirs that
+    block the next CREATE of the name, nor touch a pre-existing
+    object's data (every path is required to NOT exist up front, so
+    the reap only ever removes this call's own work)."""
+    clash = [p for p in paths if os.path.exists(p)]
+    if clash:
+        raise SqlError(
+            f"cannot create: path(s) already exist on disk: {clash} — "
+            f"another object (or an orphaned directory) owns them; "
+            f"DROP or remove it first")
+    try:
+        return fn()
+    except Exception:
+        for p in paths:
+            shutil.rmtree(p, ignore_errors=True)
+        raise
+
+
 def _create_mv(spark: SparkSession, catalog: Catalog, name: str,
                opts: dict, plan: _MvPlan, body_sql: str) -> dict:
     catalog.check_available(name)
@@ -904,7 +932,8 @@ def _create_distinct_mv(spark: SparkSession, catalog: Catalog,
     t_sql = (f"SELECT {', '.join(proj)}, CASE WHEN {cd.col} IS NULL "
              f"THEN 0 ELSE 1 END AS {_DISTINCT_IND} "
              f"FROM {plan.source}")
-    try:
+
+    def _build() -> dict:
         fn, tname = _synth_transform(t_sql)
         MV.create_transform_view(spark, src["path"], vp0, key=key,
                                  transform=fn, name=tname)
@@ -934,14 +963,10 @@ def _create_distinct_mv(spark: SparkSession, catalog: Catalog,
                                "stack": [vp0, vp1],
                                "stack_transforms": {
                                    vp0: _norm_sql(t_sql)}})
-    except Exception:
-        # a failure anywhere mid-chain must not strand unregistered
-        # directories that block the next CREATE of the same name
-        for p in (vp, vp1, vp0):
-            shutil.rmtree(p, ignore_errors=True)
-        raise
-    return {"status": "created", "name": name, "kind": "agg",
-            "path": vp}
+        return {"status": "created", "name": name, "kind": "agg",
+                "path": vp}
+
+    return _strand_proof([vp, vp1, vp0], _build)
 
 
 def _create_using(spark: SparkSession, catalog: Catalog, name: str,
@@ -968,21 +993,29 @@ def _create_using(spark: SparkSession, catalog: Catalog, name: str,
                        f"key declared on the source table")
     catalog.check_available(name)
     vp = catalog.path_for(name)
-    if kind == "near_dup":
-        kw = {k: opts[k] for k in ("text_col", "shingle_n",
-                                   "num_hashes", "bands", "threshold",
-                                   "seed") if k in opts}
-        ND.create_near_dup_pairs_view(spark, src["path"], vp, key=key,
-                                      **kw)
-    else:
-        kw = {k: opts[k] for k in ("vec_col", "threshold", "n_planes",
-                                   "n_sets", "seed", "dim")
-              if k in opts}
-        ND.create_embed_near_dup_pairs_view(spark, src["path"], vp,
-                                            key=key, **kw)
-    catalog.register(name, vp, kind=kind)
-    return {"status": "created", "name": name, "kind": kind,
-            "path": vp}
+    internals = ([vp + ND.GRAMS_SUFFIX, vp + ND.BANDS_SUFFIX]
+                 if kind == "near_dup"
+                 else [vp + ND.EVECS_SUFFIX, vp + ND.EBKTS_SUFFIX])
+
+    def _build() -> dict:
+        if kind == "near_dup":
+            kw = {k: opts[k] for k in ("text_col", "shingle_n",
+                                       "num_hashes", "bands",
+                                       "threshold", "seed")
+                  if k in opts}
+            ND.create_near_dup_pairs_view(spark, src["path"], vp,
+                                          key=key, **kw)
+        else:
+            kw = {k: opts[k] for k in ("vec_col", "threshold",
+                                       "n_planes", "n_sets", "seed",
+                                       "dim") if k in opts}
+            ND.create_embed_near_dup_pairs_view(spark, src["path"], vp,
+                                                key=key, **kw)
+        catalog.register(name, vp, kind=kind)
+        return {"status": "created", "name": name, "kind": kind,
+                "path": vp}
+
+    return _strand_proof([vp, *internals], _build)
 
 
 def _mv_transforms(catalog: Catalog) -> dict:
@@ -1373,12 +1406,16 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
                                           m.group(2)))
         df = _run_select(spark, m.group(3), catalog)
         path = catalog.path_for(name)
-        ver = V.create(spark, path, df)
-        catalog.register(name, path, kind="table",
-                         meta={"key": opts.get("key")}
-                         if opts.get("key") else {})
-        return {"status": "created", "name": name, "path": path,
-                "version": ver}
+
+        def _mk_table() -> dict:
+            ver = V.create(spark, path, df)
+            catalog.register(name, path, kind="table",
+                             meta={"key": opts.get("key")}
+                             if opts.get("key") else {})
+            return {"status": "created", "name": name, "path": path,
+                    "version": ver}
+
+        return _strand_proof([path], _mk_table)
 
     toks = _tokenize(text)
     cur = _Cursor(toks, text)
@@ -1455,7 +1492,10 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
             cur.expect_kw("as")
             body = text[cur.peek().start:] if not cur.done() else ""
             plan = _parse_mv_body(cur)
-            return _create_mv(spark, catalog, name, opts, plan, body)
+            return _strand_proof(
+                [catalog.path_for(name)],
+                lambda: _create_mv(spark, catalog, name, opts, plan,
+                                   body))
         raise SqlError("CREATE supports TABLE ... AS and "
                        "MATERIALIZED VIEW ... AS")
 

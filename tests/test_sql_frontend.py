@@ -932,3 +932,59 @@ def test_restore_table_statement(spark, events, cat, base):
                      "GROUP BY event_type", cat)
     with pytest.raises(S.SqlError, match="base table"):
         S.execute(spark, "RESTORE TABLE rmv TO VERSION AS OF 1", cat)
+
+
+def test_strand_proof_reaps_only_its_own_dirs(tmp_path):
+    pre = tmp_path / "pre"
+    pre.mkdir()
+    with pytest.raises(S.SqlError, match="already exist"):
+        S._strand_proof([str(pre)], lambda: None)
+    assert pre.exists()  # pre-existing data untouched
+    target = tmp_path / "t"
+
+    def boom():
+        os.makedirs(str(target))
+        raise RuntimeError("mid-create failure")
+
+    with pytest.raises(RuntimeError):
+        S._strand_proof([str(target)], boom)
+    assert not target.exists()  # own work reaped
+
+
+def test_distinct_chain_never_reaps_foreign_sibling(spark, events, cat,
+                                                    base):
+    # a user object whose name happens to equal the chain's internal
+    # suffix: the distinct CREATE must refuse, not destroy it
+    S.execute(spark, "CREATE MATERIALIZED VIEW du__nn AS "
+                     "SELECT event_id, cents FROM ev WHERE cents >= 0",
+              cat)
+    n0 = S.execute(spark, "SELECT count(*) AS n FROM du__nn",
+                   cat).collect()[0]["n"]
+    with pytest.raises(S.SqlError, match="already exist"):
+        S.execute(spark, "CREATE MATERIALIZED VIEW du AS "
+                         "SELECT event_type, COUNT(*) AS n, "
+                         "COUNT(DISTINCT user_id) AS d "
+                         "FROM ev GROUP BY event_type", cat)
+    # the sibling survives, data intact, still refreshable
+    n1 = S.execute(spark, "SELECT count(*) AS n FROM du__nn",
+                   cat).collect()[0]["n"]
+    assert n1 == n0
+    S.execute(spark, "REFRESH MATERIALIZED VIEW du__nn", cat)
+
+
+def test_legacy_identifiers_parse_but_new_names_rejected(spark, events,
+                                                         cat, base):
+    # statement grammar words are NOT parser-reserved: stored SQL may
+    # alias a column 'set' and it must keep parsing (a REFRESH
+    # re-parses every transform view's SQL)
+    S.execute(spark, "CREATE MATERIALIZED VIEW legacy AS "
+                     "SELECT event_id, cents + 1 AS set FROM ev "
+                     "WHERE cents >= 0", cat)
+    S.execute(spark, "REFRESH MATERIALIZED VIEW legacy", cat)
+    got = S.execute(spark, "SELECT set FROM legacy", cat)
+    assert got.count() > 0
+    # ... but NEW object names may not shadow statement heads
+    for bad in ("update", "merge", "restore", "to"):
+        with pytest.raises(S.SqlError, match="not a legal"):
+            S.execute(spark, f"CREATE TABLE {bad} AS SELECT 1 AS x",
+                      cat)
