@@ -62,6 +62,9 @@ FLOOR_SEC = {
     # top of the pair terms; the cascade row is TWO chained refreshes
     # (transform + agg) plus the post-order walk's manifest reads
     "join_view_left_refresh_2k": 1.392, "cascade_refresh_2k": 1.185,
+    # late-r9 first-committed floor: full-upsert MERGE statement, 2k
+    # source (1k delete-vector updates + 1k inserts), zero target read
+    "sql_merge_upsert_2k": 0.825,
 }
 R3_FLOOR_SEC = FLOOR_SEC  # legacy alias
 
@@ -94,6 +97,7 @@ def main() -> None:
     import shutil as _shutil
     import tempfile as _tempfile
 
+    from rclip_server_spark import sql as SQ
     from rclip_server_spark.sources import bloomindex as BX
     from rclip_server_spark.sources import matview as MV
     from rclip_server_spark.sources import versioned as VT
@@ -186,6 +190,28 @@ def main() -> None:
         VT.append(spark, cas_b, _fresh_batch())
         MV.refresh_cascade(spark, cas_a, transforms=_cas_transforms)
 
+    # late-round-9 widening: the SQL DML flagship — a full-upsert MERGE
+    # statement (parse -> one delete-vector + append commit, zero
+    # target read; tools/merge_scale_proof.py proves it flat in table
+    # size). Own target per the isolation rule; each timed run merges a
+    # fresh 2k source (1k updated images + 1k new keys).
+    mrg = os.path.join(vt_tmp, "mrg")
+    VT.create(spark, mrg, orders)
+    _sql_cat = SQ.Catalog(os.path.join(vt_tmp, "cat"))
+    _sql_cat.register("mrg", mrg, meta={"key": "o_orderkey"})
+
+    def _merge_2k():
+        shift = next(_batch_no) * 1_000_000_000
+        src = orders.limit(1000).withColumn(
+            "price_cents", F.col("price_cents") + 1).unionByName(
+            orders.limit(1000).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(shift)))
+        src.createOrReplaceTempView("bench_merge_src")
+        SQ.execute(spark, "MERGE INTO mrg USING bench_merge_src "
+                          "ON mrg.o_orderkey = o_orderkey "
+                          "WHEN MATCHED THEN UPDATE SET * "
+                          "WHEN NOT MATCHED THEN INSERT *", _sql_cat)
+
     _BLOOM_IDS = [17, 4242, 99177, 123456]
 
     benches = {
@@ -269,6 +295,8 @@ def main() -> None:
         # round-9 widening: LEFT-outer maintenance + the cascade walk
         "join_view_left_refresh_2k": _jvl_refresh,
         "cascade_refresh_2k": _cascade_refresh,
+        # late-round-9: the SQL full-upsert MERGE (O(source) DML path)
+        "sql_merge_upsert_2k": _merge_2k,
     }
 
     # warm the JVM/IO, the Python UDF workers, AND whole-stage-codegen
@@ -298,6 +326,7 @@ def main() -> None:
     # refresh fixtures are stateful, so warmup consumes a batch id)
     _jv_refresh()
     _jt_refresh()
+    _merge_2k()  # warm the DML statement path (consumes a batch id)
     BX.read_point_lookup(spark, bt, "event_id", [_BLOOM_IDS[0]]).collect()
     spark.catalog.clearCache()
 
