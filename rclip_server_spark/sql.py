@@ -776,12 +776,38 @@ def _transform_fn(items: list[_Item], where: str | None):
     return fn
 
 
-def _strand_proof(paths: list, fn):
-    """Run a CREATE body; on failure reap exactly the directories it
-    created — a failed CREATE must not strand unregistered dirs that
-    block the next CREATE of the name, nor touch a pre-existing
-    object's data (every path is required to NOT exist up front, so
-    the reap only ever removes this call's own work)."""
+def _catalog_owned_paths(catalog: Catalog) -> set:
+    """Every directory a registered catalog entry owns: its data path,
+    its hidden stack levels, and a pair-table kind's internal index
+    views."""
+    owned = set()
+    for n in catalog.names():
+        e = catalog.get(n)
+        owned.add(os.path.abspath(e["path"]))
+        for p in (e["meta"].get("stack") or []):
+            owned.add(os.path.abspath(p))
+        for p in (e["meta"].get("stack_transforms") or {}):
+            owned.add(os.path.abspath(p))
+        if e["kind"] in ("near_dup", "embed_near_dup"):
+            from .sources import neardup_view as ND
+            sfx = ([ND.GRAMS_SUFFIX, ND.BANDS_SUFFIX]
+                   if e["kind"] == "near_dup"
+                   else [ND.EVECS_SUFFIX, ND.EBKTS_SUFFIX])
+            owned.update(os.path.abspath(e["path"] + s) for s in sfx)
+    return owned
+
+
+def _strand_proof(catalog: Catalog, paths: list, fn):
+    """Run a CREATE body; on failure (including KeyboardInterrupt —
+    a Ctrl-C mid-CREATE must not brick the name) reap the directories
+    the call created, so a failed CREATE neither strands unregistered
+    dirs that block the next CREATE nor touches another object's
+    data. Two guards make the reap safe: every path must NOT exist up
+    front, and at reap time any path a (freshly re-read) catalog
+    entry owns is skipped — so when two processes race the same
+    CREATE, the loser never deletes the registered winner's data (the
+    residual window, a winner mid-build when the loser reaps, fails
+    both CREATEs cleanly without touching registered state)."""
     clash = [p for p in paths if os.path.exists(p)]
     if clash:
         raise SqlError(
@@ -790,9 +816,12 @@ def _strand_proof(paths: list, fn):
             f"DROP or remove it first")
     try:
         return fn()
-    except Exception:
+    except BaseException:
+        catalog._load()
+        owned = _catalog_owned_paths(catalog)
         for p in paths:
-            shutil.rmtree(p, ignore_errors=True)
+            if os.path.abspath(p) not in owned:
+                shutil.rmtree(p, ignore_errors=True)
         raise
 
 
@@ -966,7 +995,7 @@ def _create_distinct_mv(spark: SparkSession, catalog: Catalog,
         return {"status": "created", "name": name, "kind": "agg",
                 "path": vp}
 
-    return _strand_proof([vp, vp1, vp0], _build)
+    return _strand_proof(catalog, [vp, vp1, vp0], _build)
 
 
 def _create_using(spark: SparkSession, catalog: Catalog, name: str,
@@ -1015,7 +1044,7 @@ def _create_using(spark: SparkSession, catalog: Catalog, name: str,
         return {"status": "created", "name": name, "kind": kind,
                 "path": vp}
 
-    return _strand_proof([vp, *internals], _build)
+    return _strand_proof(catalog, [vp, *internals], _build)
 
 
 def _mv_transforms(catalog: Catalog) -> dict:
@@ -1415,7 +1444,7 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
             return {"status": "created", "name": name, "path": path,
                     "version": ver}
 
-        return _strand_proof([path], _mk_table)
+        return _strand_proof(catalog, [path], _mk_table)
 
     toks = _tokenize(text)
     cur = _Cursor(toks, text)
@@ -1492,8 +1521,18 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
             cur.expect_kw("as")
             body = text[cur.peek().start:] if not cur.done() else ""
             plan = _parse_mv_body(cur)
+            # name validation FIRST so an ordinary duplicate reports
+            # "already exists — DROP it first", not an orphan warning
+            catalog.check_available(name)
+            # join TABLE plans carry no select items (SELECT * shape)
+            if any(i.kind == "count_distinct"
+                   for i in getattr(plan, "items", None) or []):
+                # the distinct chain wraps itself (it owns two extra
+                # hidden paths) — no outer wrap, no double reap
+                return _create_mv(spark, catalog, name, opts, plan,
+                                  body)
             return _strand_proof(
-                [catalog.path_for(name)],
+                catalog, [catalog.path_for(name)],
                 lambda: _create_mv(spark, catalog, name, opts, plan,
                                    body))
         raise SqlError("CREATE supports TABLE ... AS and "

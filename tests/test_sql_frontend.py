@@ -935,10 +935,11 @@ def test_restore_table_statement(spark, events, cat, base):
 
 
 def test_strand_proof_reaps_only_its_own_dirs(tmp_path):
+    c = S.Catalog(str(tmp_path / "spc"))
     pre = tmp_path / "pre"
     pre.mkdir()
     with pytest.raises(S.SqlError, match="already exist"):
-        S._strand_proof([str(pre)], lambda: None)
+        S._strand_proof(c, [str(pre)], lambda: None)
     assert pre.exists()  # pre-existing data untouched
     target = tmp_path / "t"
 
@@ -947,8 +948,32 @@ def test_strand_proof_reaps_only_its_own_dirs(tmp_path):
         raise RuntimeError("mid-create failure")
 
     with pytest.raises(RuntimeError):
-        S._strand_proof([str(target)], boom)
+        S._strand_proof(c, [str(target)], boom)
     assert not target.exists()  # own work reaped
+    # a KeyboardInterrupt mid-create must ALSO reap (BaseException)
+    target2 = tmp_path / "t2"
+
+    def interrupted():
+        os.makedirs(str(target2))
+        raise KeyboardInterrupt()
+
+    with pytest.raises(KeyboardInterrupt):
+        S._strand_proof(c, [str(target2)], interrupted)
+    assert not target2.exists()
+    # cross-process race shape: between the pre-check and the reap,
+    # ANOTHER process creates + registers the same path — the loser's
+    # reap must skip the now-registered winner's data
+    winner = tmp_path / "race"
+
+    def lose_race():
+        winner.mkdir()
+        (winner / "data").write_text("winner segment")
+        S.Catalog(str(tmp_path / "spc")).register("race", str(winner))
+        raise RuntimeError("loser fails after winner registered")
+
+    with pytest.raises(RuntimeError):
+        S._strand_proof(c, [str(winner)], lose_race)
+    assert (winner / "data").read_text() == "winner segment"
 
 
 def test_distinct_chain_never_reaps_foreign_sibling(spark, events, cat,
@@ -988,3 +1013,21 @@ def test_legacy_identifiers_parse_but_new_names_rejected(spark, events,
         with pytest.raises(S.SqlError, match="not a legal"):
             S.execute(spark, f"CREATE TABLE {bad} AS SELECT 1 AS x",
                       cat)
+
+
+def test_duplicate_cmv_reports_already_exists(spark, events, cat,
+                                              base):
+    S.execute(spark, "CREATE MATERIALIZED VIEW dupv AS "
+                     "SELECT event_type, COUNT(*) AS n FROM ev "
+                     "GROUP BY event_type", cat)
+    # re-CREATE of a registered view: the accurate duplicate error,
+    # not the on-disk-orphan warning
+    with pytest.raises(S.SqlError, match="already exists"):
+        S.execute(spark, "CREATE MATERIALIZED VIEW dupv AS "
+                         "SELECT event_type, COUNT(*) AS n FROM ev "
+                         "GROUP BY event_type", cat)
+    with pytest.raises(S.SqlError, match="already exists"):
+        S.execute(spark, "CREATE MATERIALIZED VIEW dupv AS "
+                         "SELECT event_type, COUNT(*) AS n, "
+                         "COUNT(DISTINCT user_id) AS d FROM ev "
+                         "GROUP BY event_type", cat)
