@@ -190,7 +190,14 @@ class Catalog:
         os.replace(tmp, self._file)
 
     def register(self, name: str, path: str, kind: str = "table",
-                 meta: dict | None = None) -> None:
+                 meta: dict | None = None,
+                 require_path: bool = False) -> None:
+        """``require_path=True`` (the CREATE paths set it) refuses to
+        publish an entry whose data directory is missing — the
+        closing guard of the CREATE-race protocol: if a concurrent
+        failed CREATE's reap removed this build's directories before
+        we got the lock, fail cleanly instead of registering a
+        dangling name."""
         if not _IDENT_RE.match(name) or name.lower() in _UNREGISTERABLE:
             raise SqlError(f"{name!r} is not a legal table name "
                            f"(identifier, not a reserved word)")
@@ -212,6 +219,11 @@ class Catalog:
                 raise SqlError(f"{name!r} collides with registered "
                                f"{clash!r} (names resolve case-"
                                f"insensitively, like Spark SQL)")
+            if require_path and not os.path.isdir(path):
+                raise SqlError(
+                    f"cannot register {name!r}: data path {path} is "
+                    f"missing — a concurrent failed CREATE may have "
+                    f"reaped it; retry the statement")
             self._entries[name] = {"path": os.path.abspath(path),
                                    "kind": kind, "meta": meta or {}}
             self._save()
@@ -776,24 +788,31 @@ def _transform_fn(items: list[_Item], where: str | None):
     return fn
 
 
+def _kind_internal_suffixes(kind: str) -> list:
+    """Path suffixes of a view kind's hidden internal views — the ONE
+    place a new kind with internals must be added (the strand-proof
+    reap guard, DROP, and _create_using all derive from it)."""
+    from .sources import neardup_view as ND
+    if kind == "near_dup":
+        return [ND.GRAMS_SUFFIX, ND.BANDS_SUFFIX]
+    if kind == "embed_near_dup":
+        return [ND.EVECS_SUFFIX, ND.EBKTS_SUFFIX]
+    return []
+
+
+def _entry_owned_paths(e: dict) -> list:
+    """Every directory one catalog entry owns: its data path, its
+    hidden stack levels, and its kind's internal index views."""
+    return ([e["path"]] + (e["meta"].get("stack") or [])
+            + list(e["meta"].get("stack_transforms") or {})
+            + [e["path"] + s for s in _kind_internal_suffixes(e["kind"])])
+
+
 def _catalog_owned_paths(catalog: Catalog) -> set:
-    """Every directory a registered catalog entry owns: its data path,
-    its hidden stack levels, and a pair-table kind's internal index
-    views."""
     owned = set()
     for n in catalog.names():
-        e = catalog.get(n)
-        owned.add(os.path.abspath(e["path"]))
-        for p in (e["meta"].get("stack") or []):
-            owned.add(os.path.abspath(p))
-        for p in (e["meta"].get("stack_transforms") or {}):
-            owned.add(os.path.abspath(p))
-        if e["kind"] in ("near_dup", "embed_near_dup"):
-            from .sources import neardup_view as ND
-            sfx = ([ND.GRAMS_SUFFIX, ND.BANDS_SUFFIX]
-                   if e["kind"] == "near_dup"
-                   else [ND.EVECS_SUFFIX, ND.EBKTS_SUFFIX])
-            owned.update(os.path.abspath(e["path"] + s) for s in sfx)
+        owned.update(os.path.abspath(p)
+                     for p in _entry_owned_paths(catalog.get(n)))
     return owned
 
 
@@ -802,12 +821,14 @@ def _strand_proof(catalog: Catalog, paths: list, fn):
     a Ctrl-C mid-CREATE must not brick the name) reap the directories
     the call created, so a failed CREATE neither strands unregistered
     dirs that block the next CREATE nor touches another object's
-    data. Two guards make the reap safe: every path must NOT exist up
-    front, and at reap time any path a (freshly re-read) catalog
-    entry owns is skipped — so when two processes race the same
-    CREATE, the loser never deletes the registered winner's data (the
-    residual window, a winner mid-build when the loser reaps, fails
-    both CREATEs cleanly without touching registered state)."""
+    data. The reap runs under the catalog mutation lock with a fresh
+    ownership read, and skips any path a registered entry owns — so
+    a racing loser never deletes the registered winner's data. In
+    the residual window (winner built but not yet registered when the
+    loser reaps), the winner's own register(require_path=True) fails
+    cleanly rather than publishing an entry with no data. The reap is
+    best-effort: if the guard itself fails (unreadable catalog,
+    second interrupt), the ORIGINAL build error still surfaces."""
     clash = [p for p in paths if os.path.exists(p)]
     if clash:
         raise SqlError(
@@ -817,17 +838,22 @@ def _strand_proof(catalog: Catalog, paths: list, fn):
     try:
         return fn()
     except BaseException:
-        catalog._load()
-        owned = _catalog_owned_paths(catalog)
-        for p in paths:
-            if os.path.abspath(p) not in owned:
-                shutil.rmtree(p, ignore_errors=True)
+        try:
+            with catalog._locked():
+                owned = _catalog_owned_paths(catalog)
+                for p in paths:
+                    if os.path.abspath(p) not in owned:
+                        shutil.rmtree(p, ignore_errors=True)
+        except BaseException:
+            pass  # reap is best-effort; the build error must surface
         raise
 
 
 def _create_mv(spark: SparkSession, catalog: Catalog, name: str,
                opts: dict, plan: _MvPlan, body_sql: str) -> dict:
-    catalog.check_available(name)
+    # name already validated by the dispatch (check_available runs
+    # BEFORE the strand-proof disk check so a plain duplicate reports
+    # "already exists", not an orphan warning)
     vp = catalog.path_for(name)
     meta: dict = {"sql": _norm_sql(body_sql)}
     if plan.kind == "agg":
@@ -901,7 +927,8 @@ def _create_mv(spark: SparkSession, catalog: Catalog, name: str,
         meta["key"] = key
     else:  # pragma: no cover - _parse_mv_body is exhaustive
         raise SqlError(f"unknown view kind {plan.kind}")
-    catalog.register(name, vp, kind=plan.kind, meta=meta)
+    catalog.register(name, vp, kind=plan.kind, meta=meta,
+                     require_path=True)
     return {"status": "created", "name": name, "kind": plan.kind,
             "path": vp}
 
@@ -991,7 +1018,8 @@ def _create_distinct_mv(spark: SparkSession, catalog: Catalog,
                                "requested": requested,
                                "stack": [vp0, vp1],
                                "stack_transforms": {
-                                   vp0: _norm_sql(t_sql)}})
+                                   vp0: _norm_sql(t_sql)}},
+                         require_path=True)
         return {"status": "created", "name": name, "kind": "agg",
                 "path": vp}
 
@@ -1022,9 +1050,7 @@ def _create_using(spark: SparkSession, catalog: Catalog, name: str,
                        f"key declared on the source table")
     catalog.check_available(name)
     vp = catalog.path_for(name)
-    internals = ([vp + ND.GRAMS_SUFFIX, vp + ND.BANDS_SUFFIX]
-                 if kind == "near_dup"
-                 else [vp + ND.EVECS_SUFFIX, vp + ND.EBKTS_SUFFIX])
+    internals = [vp + s for s in _kind_internal_suffixes(kind)]
 
     def _build() -> dict:
         if kind == "near_dup":
@@ -1040,7 +1066,7 @@ def _create_using(spark: SparkSession, catalog: Catalog, name: str,
                                        "dim") if k in opts}
             ND.create_embed_near_dup_pairs_view(spark, src["path"], vp,
                                                 key=key, **kw)
-        catalog.register(name, vp, kind=kind)
+        catalog.register(name, vp, kind=kind, require_path=True)
         return {"status": "created", "name": name, "kind": kind,
                 "path": vp}
 
@@ -1440,7 +1466,8 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
             ver = V.create(spark, path, df)
             catalog.register(name, path, kind="table",
                              meta={"key": opts.get("key")}
-                             if opts.get("key") else {})
+                             if opts.get("key") else {},
+                             require_path=True)
             return {"status": "created", "name": name, "path": path,
                     "version": ver}
 
@@ -1524,9 +1551,12 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
             # name validation FIRST so an ordinary duplicate reports
             # "already exists — DROP it first", not an orphan warning
             catalog.check_available(name)
-            # join TABLE plans carry no select items (SELECT * shape)
-            if any(i.kind == "count_distinct"
-                   for i in getattr(plan, "items", None) or []):
+            # only the AGG kind self-wraps via its distinct chain —
+            # mirror _create_mv's dispatch exactly (join TABLE plans
+            # carry no select items at all: SELECT * shape)
+            if plan.kind == "agg" and any(
+                    i.kind == "count_distinct"
+                    for i in getattr(plan, "items", None) or []):
                 # the distinct chain wraps itself (it owns two extra
                 # hidden paths) — no outer wrap, no double reap
                 return _create_mv(spark, catalog, name, opts, plan,
@@ -1548,15 +1578,7 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         name = cur.expect_ident()
         e = catalog.unregister(name)
         spark.catalog.dropTempView(name)  # no stale reads post-drop
-        doomed = [e["path"]] + (e["meta"].get("stack") or [])
-        if e["kind"] in ("near_dup", "embed_near_dup"):
-            # the pair table owns two internal index views on disk
-            from .sources import neardup_view as ND
-            doomed += ([e["path"] + ND.GRAMS_SUFFIX,
-                        e["path"] + ND.BANDS_SUFFIX]
-                       if e["kind"] == "near_dup" else
-                       [e["path"] + ND.EVECS_SUFFIX,
-                        e["path"] + ND.EBKTS_SUFFIX])
+        doomed = _entry_owned_paths(e)
         for d in doomed:
             if os.path.isdir(d):
                 shutil.rmtree(d)
