@@ -730,6 +730,36 @@ def main() -> int:
         "beyond the verification dot products.",
     ))
 
+    # SQL UPDATE lands as ONE delete-vector + append commit; the keys
+    # job (what fills the delete vector) must stay a pruned map-only
+    # scan: key + predicate columns only, filter pushed to parquet,
+    # wide payload columns never read, no shuffle
+    _upath = os.path.join(_nddir, "updtbl")
+    V.create(spark, _upath, emb.select(
+        "vec_id", (F.col("vec_id") % 97).cast("long").alias("score"),
+        "embedding"))
+    _udf = V.read(spark, _upath)
+    _utypes = {f.name: f.dataType for f in _udf.schema.fields}
+    _ukeys = _udf.where("score > 50").select(*[
+        (F.expr("score * 2 + 1").cast(_utypes[c]) if c == "score"
+         else F.col(c)).alias(c)
+        for c in _udf.columns]).select("vec_id")
+    audits.append((
+        "SQL UPDATE delete-vector keys job (pruned scan)",
+        _ukeys,
+        {"PushedFilters": True, "embedding": False, "Exchange": False},
+        "UPDATE t SET score = ... WHERE score > 50 commits one "
+        "delete-vector + append (versioned.delete_and_append). The "
+        "keys job projects the row-identity column out of the "
+        "filtered+reassigned plan, and Catalyst prunes straight "
+        "through the assignment projection: the scan reads ONLY the "
+        "key and predicate columns (the wide embedding payload never "
+        "leaves parquet — asserted by its absence), the predicate is "
+        "pushed to the scan, and the whole job is map-only (zero "
+        "Exchange). At 100 TB an UPDATE's cost is the pruned scan "
+        "plus O(matched) writes — never a table rewrite.",
+    ))
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
