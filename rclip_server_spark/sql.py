@@ -838,14 +838,30 @@ def _strand_proof(catalog: Catalog, paths: list, fn):
     try:
         return fn()
     except BaseException:
+        tombstones = []
         try:
+            # O(1) critical section: RENAME unowned paths to
+            # tombstones under the lock (ownership can't change
+            # mid-decision), delete the bytes after releasing it — a
+            # multi-GB rmtree must not stall other processes into the
+            # 30s lock deadline
             with catalog._locked():
                 owned = _catalog_owned_paths(catalog)
                 for p in paths:
-                    if os.path.abspath(p) not in owned:
-                        shutil.rmtree(p, ignore_errors=True)
+                    if (os.path.abspath(p) not in owned
+                            and os.path.exists(p)):
+                        t = f"{p}.reap-{uuid.uuid4().hex[:8]}"
+                        os.rename(p, t)
+                        tombstones.append(t)
         except BaseException:
-            pass  # reap is best-effort; the build error must surface
+            import sys as _sys
+            stranded = [p for p in paths if os.path.exists(p)]
+            if stranded:  # tell the user what to rm before retrying
+                print(f"warning: failed CREATE could not clean up; "
+                      f"stranded path(s): {stranded}",
+                      file=_sys.stderr)
+        for t in tombstones:
+            shutil.rmtree(t, ignore_errors=True)
         raise
 
 
@@ -1192,14 +1208,23 @@ def _update(spark: SparkSession, catalog: Catalog, name: str,
         if col in assigned:
             raise SqlError(f"column {col!r} assigned twice")
         assigned[col] = m.group(2)
-    types = {f.name: f.dataType for f in df.schema.fields}
-    updated = df.where(pred).select(*[
-        (F.expr(assigned[c]).cast(types[c]) if c in assigned
-         else F.col(c)).alias(c)
-        for c in df.columns])
+    updated = _update_plan(df, assigned, pred)
     ver = V.delete_and_append(spark, e["path"], updated.select(key),
                               key, updated, parent_version=ver0)
     return {"status": "updated", "name": name, "version": ver}
+
+
+def _update_plan(df: DataFrame, assigned: dict, pred: str) -> DataFrame:
+    """The UPDATE statement's row-image plan: filter + one projection
+    where every assignment RHS sees the OLD row and is cast back to
+    the column's declared type. Shared with tools/explain_audit.py so
+    the audited keys-job plan IS the shipped plan, not a replica that
+    can drift."""
+    types = {f.name: f.dataType for f in df.schema.fields}
+    return df.where(pred).select(*[
+        (F.expr(assigned[c]).cast(types[c]) if c in assigned
+         else F.col(c)).alias(c)
+        for c in df.columns])
 
 
 def _find_top_level_kw(fm: str, kw: str, start: int) -> re.Match | None:

@@ -738,12 +738,10 @@ def main() -> int:
     V.create(spark, _upath, emb.select(
         "vec_id", (F.col("vec_id") % 97).cast("long").alias("score"),
         "embedding"))
-    _udf = V.read(spark, _upath)
-    _utypes = {f.name: f.dataType for f in _udf.schema.fields}
-    _ukeys = _udf.where("score > 50").select(*[
-        (F.expr("score * 2 + 1").cast(_utypes[c]) if c == "score"
-         else F.col(c)).alias(c)
-        for c in _udf.columns]).select("vec_id")
+    from rclip_server_spark import sql as SQL
+    _ukeys = SQL._update_plan(V.read(spark, _upath),
+                              {"score": "score * 2 + 1"},
+                              "score > 50").select("vec_id")
     audits.append((
         "SQL UPDATE delete-vector keys job (pruned scan)",
         _ukeys,
