@@ -1519,8 +1519,24 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
                 catalog.get(cur.expect_ident())["path"])
         if cur.at_kw("materialized"):
             cur.take()
-        cur.expect_kw("view")
-        return MV.describe_view(catalog.get(cur.expect_ident())["path"])
+            cur.expect_kw("view")
+            return MV.describe_view(
+                catalog.get(cur.expect_ident())["path"])
+        if cur.at_kw("view"):
+            cur.take()
+            return MV.describe_view(
+                catalog.get(cur.expect_ident())["path"])
+        # plain DESCRIBE t: the everyday "what is this?" — schema,
+        # layout, row/segment counts (manifest-only, zero Spark jobs),
+        # plus what the catalog knows (kind, declared key)
+        name = cur.expect_ident()
+        e = catalog.get(name)
+        out = V.describe(e["path"])
+        out["name"] = name
+        out["kind"] = e["kind"]
+        if e["meta"].get("key"):
+            out["key"] = e["meta"]["key"]
+        return out
 
     if head == "refresh":
         cur.take()

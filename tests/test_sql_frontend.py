@@ -1031,3 +1031,21 @@ def test_duplicate_cmv_reports_already_exists(spark, events, cat,
                          "SELECT event_type, COUNT(*) AS n, "
                          "COUNT(DISTINCT user_id) AS d FROM ev "
                          "GROUP BY event_type", cat)
+
+
+def test_describe_table_plain(spark, events, cat, base):
+    d = S.execute(spark, "DESCRIBE ev", cat)
+    assert d["name"] == "ev" and d["kind"] == "table"
+    assert d["key"] == "event_id" and d["layout"] == "flat"
+    assert d["row_count"] == base.where(
+        F.col("event_id") % 3 != 2).count()
+    assert set(d["col_types"]) == {"event_id", "user_id", "event_type",
+                                   "cents"}
+    # DESCRIBE VIEW and DESCRIBE MATERIALIZED VIEW still work
+    S.execute(spark, "CREATE MATERIALIZED VIEW dtv AS SELECT "
+                     "event_type, COUNT(*) AS n FROM ev "
+                     "GROUP BY event_type", cat)
+    dv = S.execute(spark, "DESCRIBE MATERIALIZED VIEW dtv", cat)
+    assert dv["view_kind"] == "agg"
+    with pytest.raises(S.SqlError, match="unknown table"):
+        S.execute(spark, "DESCRIBE nope", cat)
