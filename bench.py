@@ -62,9 +62,10 @@ FLOOR_SEC = {
     # top of the pair terms; the cascade row is TWO chained refreshes
     # (transform + agg) plus the post-order walk's manifest reads
     "join_view_left_refresh_2k": 1.392, "cascade_refresh_2k": 1.185,
-    # late-r9 first-committed floor: full-upsert MERGE statement, 2k
-    # source (1k delete-vector updates + 1k inserts), zero target read
-    "sql_merge_upsert_2k": 0.825,
+    # late-r9 floor: full-upsert MERGE statement, 2k source (1k
+    # delete-vector updates + 1k inserts), zero target read; 0.825 at
+    # first commit, 0.694 on the idle re-measure same day
+    "sql_merge_upsert_2k": 0.694,
 }
 R3_FLOOR_SEC = FLOOR_SEC  # legacy alias
 
