@@ -855,13 +855,30 @@ def _strand_proof(catalog: Catalog, paths: list, fn):
                         tombstones.append(t)
         except BaseException:
             import sys as _sys
-            stranded = [p for p in paths if os.path.exists(p)]
-            if stranded:  # tell the user what to rm before retrying
+            # best-effort lock-free ownership read JUST for the
+            # warning: never name a registered winner's live data as
+            # "stranded" (a user following rm advice would delete it)
+            try:
+                catalog._load()
+                owned = _catalog_owned_paths(catalog)
+            except BaseException:
+                owned = None
+            stranded = [p for p in paths if os.path.exists(p)
+                        and (owned is None
+                             or os.path.abspath(p) not in owned)]
+            if stranded:
                 print(f"warning: failed CREATE could not clean up; "
-                      f"stranded path(s): {stranded}",
-                      file=_sys.stderr)
-        for t in tombstones:
-            shutil.rmtree(t, ignore_errors=True)
+                      f"possibly stranded path(s): {stranded} — "
+                      f"verify no catalog entry owns them before "
+                      f"removing", file=_sys.stderr)
+        try:
+            for t in tombstones:
+                shutil.rmtree(t, ignore_errors=True)
+        except BaseException:
+            # a second interrupt mid-delete leaves *.reap-* dirs
+            # (harmless, uniquely named) — the ORIGINAL build error
+            # must still be what surfaces
+            pass
         raise
 
 
@@ -1517,19 +1534,22 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
             cur.take()
             return MV.describe_cascade(
                 catalog.get(cur.expect_ident())["path"])
+        is_view = False
         if cur.at_kw("materialized"):
             cur.take()
             cur.expect_kw("view")
-            return MV.describe_view(
-                catalog.get(cur.expect_ident())["path"])
-        if cur.at_kw("view"):
+            is_view = True
+        elif cur.at_kw("view"):
             cur.take()
-            return MV.describe_view(
-                catalog.get(cur.expect_ident())["path"])
+            is_view = True
+        name = cur.expect_ident()
+        if not cur.done():
+            raise SqlError("trailing tokens after DESCRIBE")
+        if is_view:
+            return MV.describe_view(catalog.get(name)["path"])
         # plain DESCRIBE t: the everyday "what is this?" — schema,
         # layout, row/segment counts (manifest-only, zero Spark jobs),
         # plus what the catalog knows (kind, declared key)
-        name = cur.expect_ident()
         e = catalog.get(name)
         out = V.describe(e["path"])
         out["name"] = name

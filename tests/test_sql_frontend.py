@@ -1049,3 +1049,10 @@ def test_describe_table_plain(spark, events, cat, base):
     assert dv["view_kind"] == "agg"
     with pytest.raises(S.SqlError, match="unknown table"):
         S.execute(spark, "DESCRIBE nope", cat)
+
+
+def test_describe_rejects_trailing_tokens(spark, events, cat, base):
+    with pytest.raises(S.SqlError, match="trailing"):
+        S.execute(spark, "DESCRIBE ev VERSION AS OF 2", cat)
+    with pytest.raises(S.SqlError, match="trailing"):
+        S.execute(spark, "DESCRIBE ev extra", cat)
