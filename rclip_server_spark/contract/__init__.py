@@ -91,7 +91,11 @@ _PRIORITY = [
     # SQL DML (UPDATE / MERGE INTO via delete_and_append) and the
     # stacked COUNT(DISTINCT) view — newest machinery, takes the
     # rel_q1/rel_window/minhash-signatures recency slots (all three
-    # stay locally replayed and become the oldest rows for r10)
+    # stay locally replayed and become the oldest rows for r10).
+    # r10 ROTATION BACKLOG (registered late-r9, never driver-run):
+    # sql_insert_overwrite, plus the four swapped-out recency rows
+    # rel_q1_pricing_summary / rel_window_running_sum /
+    # dedup_minhash_signatures / ann_hyperplane_near_dup
     "sql_update_roundtrip", "sql_merge_upsert",
     "sql_mv_count_distinct", "sql_restore_roundtrip",
     # --- recency slots (9): oldest per the driver-window ledger ---

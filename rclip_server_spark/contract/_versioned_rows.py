@@ -1375,3 +1375,57 @@ _register(
     FROM events
     """,
 )
+
+
+def _sql_overwrite_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    ).createOrReplaceTempView("events_seed_o")
+    SQ.execute(spark, "CREATE TABLE evo OPTIONS (key='event_id') AS "
+                      "SELECT * FROM events_seed_o "
+                      "WHERE event_id % 2 = 0", cat)
+    # full reload (B18): one overwrite commit replaces the whole state
+    SQ.execute(spark, "INSERT OVERWRITE evo SELECT event_id, "
+                      "event_type, value_cents * 10 FROM events_seed_o "
+                      "WHERE event_id % 3 = 0", cat)
+    # post-reload DML lands on the reloaded content
+    SQ.execute(spark, "INSERT INTO evo SELECT * FROM events_seed_o "
+                      "WHERE event_id % 3 = 1 AND event_id % 5 = 0",
+               cat)
+
+
+def _sql_insert_overwrite(spark: SparkSession, sf: str) -> DataFrame:
+    """INSERT OVERWRITE through the SQL frontend: one full-replace
+    commit (versioned.overwrite — the reference's B18 full reload,
+    RS:230-235 manual /reload, completed at manifest altitude: old
+    versions stay readable, RESTORE undoes it), then an append on the
+    reloaded head. Oracle: reloaded-set ∪ appended-set from events."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "sqlo", _sql_overwrite_builder)
+    return SQ.execute(
+        spark,
+        "SELECT event_id, event_type, value_cents FROM evo",
+        SQ.Catalog(path))
+
+
+_register(
+    "sql_insert_overwrite",
+    _sql_insert_overwrite,
+    """
+    WITH s AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_cents
+      FROM events)
+    SELECT event_id, event_type,
+           CAST(value_cents * 10 AS BIGINT) AS value_cents
+    FROM s WHERE event_id % 3 = 0
+    UNION ALL
+    SELECT event_id, event_type, value_cents
+    FROM s WHERE event_id % 3 = 1 AND event_id % 5 = 0
+    """,
+)

@@ -1142,19 +1142,26 @@ def _writable_table(catalog: Catalog, name: str, verb: str) -> dict:
 
 
 def _insert(spark: SparkSession, catalog: Catalog, name: str,
-            body: str) -> dict:
+            body: str, overwrite: bool = False) -> dict:
+    """INSERT INTO = O(batch) append commit; INSERT OVERWRITE = one
+    full-replace commit (versioned.overwrite — the full-reload path,
+    old versions stay readable until VACUUM, RESTORE undoes it)."""
     df = _run_select(spark, body, catalog)
-    e = _writable_table(catalog, name, "INSERT INTO")
+    verb = "INSERT OVERWRITE" if overwrite else "INSERT INTO"
+    e = _writable_table(catalog, name, verb)
     target = _read_entry(spark, e).schema
     if len(df.columns) != len(target):
         raise SqlError(
-            f"INSERT column count {len(df.columns)} != table "
+            f"{verb} column count {len(df.columns)} != table "
             f"{name}'s {len(target)}")
     # positional alignment (SQL INSERT semantics): VALUES yields
     # col1/col2/... — rename+cast to the target schema
     df = df.select(*[
         F.col(c).cast(f.dataType).alias(f.name)
         for c, f in zip(df.columns, target.fields)])
+    if overwrite:
+        ver = V.overwrite(spark, e["path"], df)
+        return {"status": "overwritten", "name": name, "version": ver}
     ver = V.append(spark, e["path"], df)
     return {"status": "inserted", "name": name, "version": ver}
 
@@ -1456,12 +1463,16 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
     # statements whose BODY is arbitrary Spark SQL are split by regex
     # (header) + delegation (body) for the same reason
     if head == "insert":
-        m = re.match(r"insert\s+into\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.+)$",
-                     text, re.IGNORECASE | re.DOTALL)
-        if not m or not m.group(2).lower().lstrip().startswith(
+        m = re.match(
+            r"insert\s+(into|overwrite)\s+([A-Za-z_][A-Za-z0-9_]*)"
+            r"\s+(.+)$",
+            text, re.IGNORECASE | re.DOTALL)
+        if not m or not m.group(3).lower().lstrip().startswith(
                 ("select", "with", "values")):
-            raise SqlError("INSERT INTO t SELECT ... | VALUES ...")
-        return _insert(spark, catalog, m.group(1), m.group(2))
+            raise SqlError("INSERT INTO|OVERWRITE t SELECT ... | "
+                           "VALUES ...")
+        return _insert(spark, catalog, m.group(2), m.group(3),
+                       overwrite=m.group(1).lower() == "overwrite")
 
     if head == "delete":
         m = re.match(

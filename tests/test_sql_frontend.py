@@ -1056,3 +1056,28 @@ def test_describe_rejects_trailing_tokens(spark, events, cat, base):
         S.execute(spark, "DESCRIBE ev VERSION AS OF 2", cat)
     with pytest.raises(S.SqlError, match="trailing"):
         S.execute(spark, "DESCRIBE ev extra", cat)
+
+
+def test_insert_overwrite_full_reload(spark, events, cat, base):
+    n0 = S.execute(spark, "SELECT count(*) AS n FROM ev",
+                   cat).collect()[0]["n"]
+    v0 = V.current_version(cat.get("ev")["path"])
+    out = S.execute(spark, "INSERT OVERWRITE ev SELECT event_id, "
+                           "user_id, event_type, cents * 10 FROM ev "
+                           "WHERE event_id % 4 = 0", cat)
+    assert out["status"] == "overwritten"
+    got = S.execute(spark, "SELECT count(*) AS n, min(event_id % 4) "
+                           "AS m FROM ev", cat).collect()[0]
+    want_n = base.where((F.col("event_id") % 3 != 2)
+                        & (F.col("event_id") % 4 == 0)).count()
+    assert got["n"] == want_n and got["m"] == 0
+    # the pre-overwrite version stays readable, and RESTORE undoes it
+    old = S.execute(spark, f"SELECT count(*) AS n FROM ev VERSION "
+                           f"AS OF {v0}", cat).collect()[0]["n"]
+    assert old == n0
+    S.execute(spark, f"RESTORE TABLE ev TO VERSION AS OF {v0}", cat)
+    back = S.execute(spark, "SELECT count(*) AS n FROM ev",
+                     cat).collect()[0]["n"]
+    assert back == n0
+    with pytest.raises(S.SqlError, match="INSERT"):
+        S.execute(spark, "INSERT OVERWRITE ev DELETE everything", cat)
