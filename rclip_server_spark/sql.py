@@ -8,7 +8,8 @@ The reference's whole value was a *query interface* over its index
 the Spark engine the equivalent entry point for its storage layer:
 
 * ``CREATE TABLE t [OPTIONS (key='id')] AS SELECT ...``
-* ``INSERT INTO t SELECT ...`` / ``DELETE FROM t WHERE ...``
+* ``INSERT INTO|OVERWRITE t SELECT ...`` / ``DELETE FROM t WHERE ...``
+* ``UPDATE t SET col = expr WHERE ...`` / ``MERGE INTO t USING src ON ...``
 * ``CREATE MATERIALIZED VIEW v [OPTIONS (...)] AS SELECT ...`` — the
   view KIND is inferred from the query shape (see ``_plan_mv``):
     - ``SELECT g, COUNT(*) AS c, SUM(x) AS s, MIN(y)... FROM t GROUP
@@ -1727,6 +1728,6 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         f"unsupported statement head {toks[0].text!r}; supported: "
         "SELECT / WITH / EXPLAIN / CREATE [MATERIALIZED VIEW [USING "
         "near_dup]|TABLE] / REFRESH "
-        "MATERIALIZED VIEW / INSERT INTO / DELETE FROM / UPDATE / "
+        "MATERIALIZED VIEW / INSERT INTO|OVERWRITE / DELETE FROM / UPDATE / "
         "MERGE INTO / DESCRIBE / SHOW TABLES / VACUUM / OPTIMIZE / "
         "RESTORE TABLE / DROP")
