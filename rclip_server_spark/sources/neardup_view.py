@@ -338,8 +338,26 @@ def _refresh_pairs_table(spark: SparkSession, view_path: str,
                            extra={"app": new_app},
                            parent_version=view_v)
 
-    recompute, _bounds = M._dispatch_recompute(
-        recompute_fraction, [(src, v_from, v_to)])
+    # Pair-view cost model: "recompute" here is the full banded
+    # SELF-JOIN over the whole corpus, not one pass over the head —
+    # the shared row-scan model (bound > fraction x head) undercosts
+    # it by the pairing factor, and any interval containing a
+    # retraction has bound ~= 2 x head, which would trip full corpus
+    # re-pairing on EVERY delete under the 0.5 default. So the cost
+    # trip is DISABLED for the pairs table itself (the O(delta)
+    # retract+probe path is always preferred, per the module's
+    # "never re-pair the corpus" contract); recompute_fraction keeps
+    # exactly its heal semantics — a rolled-back source self-heals
+    # when it is set, raises the named error when it is None. The
+    # index transform views above still dispatch under the row model,
+    # where recompute really is one head pass.
+    try:
+        recompute, _bounds = M._dispatch_recompute(
+            None, [(src, v_from, v_to)])
+    except RuntimeError:
+        if recompute_fraction is None:
+            raise
+        recompute = True  # rollback self-heal, as with the row model
     if recompute:
         return _recompute()
     try:

@@ -126,30 +126,58 @@ class Catalog:
             # stale in-memory snapshot by the next mutation's _save
             self._entries = {}
 
+    @staticmethod
+    def _pid_dead(pid: int) -> bool:
+        try:
+            os.kill(pid, 0)
+            return False
+        except ProcessLookupError:
+            return True
+        except PermissionError:
+            return False  # alive, owned by another user
+
     def _try_reap_stale_lock(self) -> None:
         """If the lock's recorded owner pid is dead, remove the lock.
-        The pid is re-read immediately before the unlink so a lock
-        freshly re-acquired by a LIVE process is (almost) never
-        reaped; the 30s deadline in _locked remains the backstop for
-        the residual read-then-unlink window."""
+        Reap by RENAME-to-unique-tombstone first, then verify the
+        tombstone's pid before unlinking: the rename is atomic, so at
+        most one reaper can ever remove a given lock incarnation — a
+        plain read-then-unlink has a window where another process
+        reaps, a third acquires, and the unlink deletes the LIVE
+        third's lock (two mutators in the critical section). If the
+        tombstoned incarnation turns out to be live after all (it was
+        replaced between the pid check and the rename), it is linked
+        back in place, best-effort; the 30s deadline in _locked
+        remains the liveness backstop."""
         try:
             with open(self._lock) as f:
                 pid = int(f.read().strip() or "0")
         except (OSError, ValueError):
             return  # vanished or unreadable — let the retry loop spin
+        if not self._pid_dead(pid):
+            return
+        tomb = self._lock + f".tomb.{uuid.uuid4().hex[:8]}"
         try:
-            os.kill(pid, 0)
-            return  # owner is alive
-        except ProcessLookupError:
-            pass
-        except PermissionError:
-            return  # alive, owned by another user
+            os.rename(self._lock, tomb)
+        except OSError:
+            return  # someone else reaped (or owner released) first
         try:
-            with open(self._lock) as f:
-                if int(f.read().strip() or "0") == pid:
-                    os.remove(self._lock)
+            with open(tomb) as f:
+                tpid = int(f.read().strip() or "0")
         except (OSError, ValueError):
-            pass
+            tpid = pid  # unreadable tombstone: treat as the judged one
+        if tpid == pid or self._pid_dead(tpid):
+            with contextlib.suppress(OSError):
+                os.remove(tomb)
+            return
+        # we tombstoned a LIVE incarnation that replaced the dead one
+        # mid-decision — restore the same inode so the live holder's
+        # release still finds its lock
+        try:
+            os.link(tomb, self._lock)
+        except OSError:
+            pass  # a waiter slipped in; deadline backstop applies
+        with contextlib.suppress(OSError):
+            os.remove(tomb)
 
     @contextlib.contextmanager
     def _locked(self):
@@ -241,6 +269,12 @@ class Catalog:
             return e
 
     def get(self, name: str) -> dict:
+        # refresh from disk (one small JSON read) so a long-lived
+        # session sees another process's CREATE/DROP — the catalog is
+        # advertised as cross-process, and serving the construction-
+        # time snapshot would resolve DROPped entries to rmtree'd
+        # directories
+        self._load()
         e = self._entries.get(name)
         if e is None:  # case-insensitive fallback, like Spark SQL
             e = next((v for n, v in self._entries.items()
@@ -271,6 +305,7 @@ class Catalog:
                 f"first (names resolve case-insensitively)")
 
     def names(self) -> list[str]:
+        self._load()  # cross-process visibility, same as get()
         return sorted(self._entries)
 
     def path_for(self, name: str) -> str:
@@ -407,6 +442,12 @@ def _read_entry(spark: SparkSession, entry: dict,
     ``_pair_key`` row identities) are hidden, and an MV created with
     non-canonical SQL aliases gets its declared output names back."""
     df = MV._read_source(spark, entry["path"], version)
+    if entry.get("kind") == "table":
+        # maintenance-column hiding / avgs / projection are VIEW-state
+        # concerns — a base table legally owning columns named nn_x
+        # and sum_x must surface them all, or SELECT * and INSERT's
+        # column-count check disagree with append's real schema
+        return df
     meta = entry.get("meta", {})
     for canon, col in (meta.get("avgs") or {}).items():
         # AVG presents as exact-BIGINT sum / non-null count (nn_*),
@@ -807,6 +848,33 @@ def _entry_owned_paths(e: dict) -> list:
     return ([e["path"]] + (e["meta"].get("stack") or [])
             + list(e["meta"].get("stack_transforms") or {})
             + [e["path"] + s for s in _kind_internal_suffixes(e["kind"])])
+
+
+def _dependents_of(catalog: Catalog, name: str, e: dict) -> list[str]:
+    """Registered entries whose view graph READS any path the entry
+    ``name`` owns — discovered from manifests (matview's post-order
+    walk), so hidden stack levels and near-dup index internals count
+    too. Manifest-only, zero Spark jobs."""
+    owned = {os.path.abspath(p) for p in _entry_owned_paths(e)}
+    out = []
+    for n in catalog.names():
+        if n.lower() == name.lower():
+            continue
+        e2 = catalog.get(n)
+        if e2["kind"] == "table":
+            continue
+        reads: set = set()
+        try:
+            nodes, _leaves = MV._walk_views_post_order(e2["path"])
+        except ValueError:
+            continue  # unreadable/cyclic graph: not provably dependent
+        for _p, (_k, _spec, sources) in nodes:
+            reads.update(os.path.abspath(s) for s in sources)
+        reads.discard(os.path.abspath(e2["path"]))
+        reads -= {os.path.abspath(p) for p in _entry_owned_paths(e2)}
+        if reads & owned:
+            out.append(n)
+    return sorted(out)
 
 
 def _catalog_owned_paths(catalog: Catalog) -> set:
@@ -1643,13 +1711,32 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
 
     if head == "drop":
         cur.take()
+        want_view = False
         if cur.at_kw("materialized"):
             cur.take()
             cur.expect_kw("view")
+            want_view = True
         else:
             cur.expect_kw("table")
         name = cur.expect_ident()
-        e = catalog.unregister(name)
+        e = catalog.get(name)
+        # the statement form must match the entry's kind: "DROP TABLE
+        # v" silently deleting a materialized view's state (or the
+        # reverse) is how users lose data to a typo
+        if want_view and e["kind"] == "table":
+            raise SqlError(f"{name} is a base table — use DROP TABLE")
+        if not want_view and e["kind"] != "table":
+            raise SqlError(f"{name} is a materialized view "
+                           f"({e['kind']}) — use DROP MATERIALIZED "
+                           f"VIEW")
+        # refuse to drop an object other registered views read: their
+        # manifests would point at rmtree'd directories forever
+        dependents = _dependents_of(catalog, name, e)
+        if dependents:
+            raise SqlError(
+                f"cannot drop {name}: registered view(s) "
+                f"{dependents} read it — DROP them first")
+        catalog.unregister(name)
         spark.catalog.dropTempView(name)  # no stale reads post-drop
         doomed = _entry_owned_paths(e)
         for d in doomed:

@@ -61,6 +61,24 @@ def test_append_then_delete_intervals(spark, nd):
         docs.where(F.col("doc_id") % 7 != 0))
 
 
+def test_delete_interval_stays_incremental_under_default(spark, nd):
+    """The shared row-scan cost model would trip full re-pairing on
+    ANY retraction-bearing interval (change bound ~ 2x head rows >
+    0.5 x head) — but for a pairs view "recompute" is the quadratic
+    banded self-join, not one head pass, so the pairs table must stay
+    on the O(delta) retract+probe path under the SHIPPED default."""
+    docs, src, vw = nd
+    V.delete_rows(spark, src,
+                  docs.where(F.col("doc_id") % 7 == 0).select("doc_id"),
+                  "doc_id")
+    ND.refresh_near_dup_pairs_view(spark, vw)  # shipped default
+    assert _view_pairs(spark, vw) == _pairs_of(
+        docs.where((F.col("doc_id") % 3 != 2)
+                   & (F.col("doc_id") % 7 != 0)))
+    # the pair commit is a delete-vector + append, never an overwrite
+    assert V.history(vw)[-1]["op"] != "overwrite"
+
+
 def test_update_retracts_and_rediscovers(spark, nd):
     docs, src, vw = nd
     # rewrite a slice of docs with OTHER docs' text: their old pairs

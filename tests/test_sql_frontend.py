@@ -1081,3 +1081,79 @@ def test_insert_overwrite_full_reload(spark, events, cat, base):
     assert back == n0
     with pytest.raises(S.SqlError, match="INSERT"):
         S.execute(spark, "INSERT OVERWRITE ev DELETE everything", cat)
+
+
+def test_drop_kind_must_match_statement(spark, events, cat, base):
+    S.execute(spark, (
+        "CREATE MATERIALIZED VIEW mv_k AS SELECT event_type, "
+        "COUNT(*) AS n FROM ev GROUP BY event_type"), cat)
+    with pytest.raises(S.SqlError, match="use DROP MATERIALIZED"):
+        S.execute(spark, "DROP TABLE mv_k", cat)
+    with pytest.raises(S.SqlError, match="use DROP TABLE"):
+        S.execute(spark, "DROP MATERIALIZED VIEW ev", cat)
+    # neither rejected statement touched any data
+    assert os.path.isdir(cat.get("mv_k")["path"])
+    assert os.path.isdir(cat.get("ev")["path"])
+    S.execute(spark, "DROP MATERIALIZED VIEW mv_k", cat)
+
+
+def test_drop_refuses_source_with_dependents(spark, events, cat, base):
+    S.execute(spark, (
+        "CREATE MATERIALIZED VIEW dep1 AS SELECT event_type, "
+        "COUNT(*) AS n FROM ev GROUP BY event_type"), cat)
+    with pytest.raises(S.SqlError, match="dep1"):
+        S.execute(spark, "DROP TABLE ev", cat)
+    assert os.path.isdir(cat.get("ev")["path"])  # nothing deleted
+    # view-on-view: the middle of a cascade is protected too
+    S.execute(spark, ("CREATE MATERIALIZED VIEW dep_base OPTIONS "
+                      "(key='event_id') AS SELECT event_id, cents "
+                      "FROM ev WHERE cents > 0"), cat)
+    S.execute(spark, (
+        "CREATE MATERIALIZED VIEW dep2 AS SELECT cents, COUNT(*) AS n "
+        "FROM dep_base GROUP BY cents"), cat)
+    with pytest.raises(S.SqlError, match="dep2"):
+        S.execute(spark, "DROP MATERIALIZED VIEW dep_base", cat)
+    # drop order leaf-first works
+    S.execute(spark, "DROP MATERIALIZED VIEW dep2", cat)
+    S.execute(spark, "DROP MATERIALIZED VIEW dep_base", cat)
+    S.execute(spark, "DROP MATERIALIZED VIEW dep1", cat)
+    S.execute(spark, "DROP TABLE ev", cat)
+
+
+def test_catalog_reads_see_other_process_mutations(spark, events, cat,
+                                                   base):
+    """get()/names() refresh from disk: a second Catalog handle on the
+    same root (stand-in for another process) sees a CREATE and a DROP
+    made through the first handle without reconstruction."""
+    other = S.Catalog(cat.root)
+    assert "t_xproc" not in other.names()
+    ev2 = events.select("event_id", "cents" if "cents" in events.columns
+                        else "user_id").limit(5)
+    ev2.createOrReplaceTempView("xp_seed")
+    S.execute(spark, "CREATE TABLE t_xproc AS SELECT * FROM xp_seed",
+              cat)
+    assert "t_xproc" in other.names()
+    assert other.get("t_xproc")["kind"] == "table"
+    S.execute(spark, "DROP TABLE t_xproc", cat)
+    with pytest.raises(S.SqlError, match="unknown table"):
+        other.get("t_xproc")
+    assert "t_xproc" not in other.names()
+
+
+def test_base_table_nn_sum_columns_not_hidden(spark, events, cat):
+    """Maintenance-column hiding is a VIEW-state concern: a base table
+    legally owning nn_x and sum_x must surface both in SELECT *, and
+    INSERT's positional column count must agree with the real schema."""
+    seed = events.limit(3).select(
+        F.col("event_id"), F.col("user_id").alias("nn_x"),
+        (F.col("event_id") * 2).alias("sum_x"))
+    seed.createOrReplaceTempView("nnseed")
+    S.execute(spark, "CREATE TABLE tnn OPTIONS (key='event_id') AS "
+                     "SELECT * FROM nnseed", cat)
+    got = S.execute(spark, "SELECT * FROM tnn", cat)
+    assert set(got.columns) == {"event_id", "nn_x", "sum_x"}
+    r = S.execute(spark, "INSERT INTO tnn VALUES (900001, 7, 8)", cat)
+    assert r["status"] == "inserted"
+    n = S.execute(spark, "SELECT count(*) AS n FROM tnn",
+                  cat).collect()[0]["n"]
+    assert n == 4

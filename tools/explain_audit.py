@@ -10,6 +10,7 @@ Usage: python tools/explain_audit.py [sf_dir]
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -28,6 +29,24 @@ def fmt_plan(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
+
+
+def normalize_plan(plan: str) -> str:
+    """Session-counter renumbering for the WRITTEN file only (the
+    assertions run on the raw plan): plan_id and expression ids are
+    global monotonic counters, so two identical plans captured in
+    different sessions differ on every line — renumber both by first
+    appearance so a clean audit run leaves a byte-identical PLANS.md
+    and real plan changes stand out in review."""
+    ids: dict = {}
+
+    def _sub(m):
+        key = m.group(0)
+        ids.setdefault(key, f"#{len(ids) + 1}")
+        return ids[key]
+
+    plan = re.sub(r"#\d+", _sub, plan)
+    return re.sub(r"plan_id=\d+", "plan_id=X", plan)
 
 
 def main() -> int:
@@ -781,7 +800,8 @@ def main() -> int:
                           f"{'ok' if ok else 'VIOLATED'}")
         lines += [f"## {title}", "", commentary, ""]
         lines += [f"- {c}" for c in checks]
-        lines += ["", "```", plan.strip()[:3500], "```", ""]
+        lines += ["", "```", normalize_plan(plan.strip()[:3500]), "```",
+                  ""]
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
