@@ -1277,6 +1277,76 @@ _register(
 )
 
 
+def _sql_merge_cdc_builder(spark: SparkSession, sf: str,
+                           path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    ).createOrReplaceTempView("events_seed_cdc")
+    SQ.execute(spark, "CREATE TABLE evc OPTIONS (key='event_id') AS "
+                      "SELECT * FROM events_seed_cdc "
+                      "WHERE event_id % 3 <> 2", cat)
+    SQ.execute(spark, (
+        "MERGE INTO evc t USING "
+        "(SELECT event_id, user_id, event_type, "
+        "  value_cents * 2 AS c2, "
+        "  CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op "
+        " FROM events_seed_cdc WHERE event_id % 5 = 0) AS s "
+        "ON t.event_id = s.event_id "
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET value_cents = s.c2 + 1, "
+        "  event_type = upper(s.event_type) "
+        "WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT "
+        "  (event_id, event_type, value_cents) "
+        "  VALUES (s.event_id, s.event_type, s.c2)"), cat)
+
+
+def _sql_merge_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """The CDC-apply MERGE (r9 verdict task 1): one statement mixing a
+    conditional DELETE, a column-level UPDATE whose RHS reads source
+    columns, and a conditional column-list INSERT that NULL-fills the
+    unlisted user_id. Clauses evaluate first-match-wins in statement
+    order; the whole apply is ONE delete-vector + append commit
+    (O(matched + inserted), never a table rewrite). Oracle: the final
+    state recomputed from `events` by set algebra."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "sqlmc", _sql_merge_cdc_builder)
+    return SQ.execute(
+        spark,
+        "SELECT event_id, user_id, event_type, value_cents FROM evc",
+        SQ.Catalog(path))
+
+
+_register(
+    "sql_merge_cdc_apply",
+    _sql_merge_cdc_apply,
+    """
+    WITH s AS (
+      SELECT event_id, user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events)
+    SELECT event_id, user_id, event_type, vc AS value_cents
+    FROM s WHERE event_id % 3 <> 2 AND event_id % 5 <> 0
+    UNION ALL
+    SELECT event_id, user_id, upper(event_type) AS event_type,
+           CAST(vc * 2 + 1 AS BIGINT) AS value_cents
+    FROM s
+    WHERE event_id % 3 <> 2 AND event_id % 5 = 0
+      AND event_id % 10 <> 0
+    UNION ALL
+    SELECT event_id, CAST(NULL AS BIGINT) AS user_id, event_type,
+           CAST(vc * 2 AS BIGINT) AS value_cents
+    FROM s
+    WHERE event_id % 3 = 2 AND event_id % 5 = 0
+      AND event_id % 10 <> 0
+    """,
+)
+
+
 def _sql_cd_builder(spark: SparkSession, sf: str, path: str) -> None:
     from .. import sql as SQ
 

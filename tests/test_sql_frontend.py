@@ -1157,3 +1157,140 @@ def test_base_table_nn_sum_columns_not_hidden(spark, events, cat):
     n = S.execute(spark, "SELECT count(*) AS n FROM tnn",
                   cat).collect()[0]["n"]
     assert n == 4
+
+
+def test_merge_matched_delete_and_conditional_update(spark, events,
+                                                     cat, base):
+    """WHEN MATCHED AND <cond> THEN DELETE / THEN UPDATE SET col=expr:
+    first-match-wins in clause order; untouched rows stay."""
+    src = base.where(F.col("event_id") % 4 == 0).select(
+        "event_id", F.col("cents").alias("c2"))
+    src.createOrReplaceTempView("cdc1")
+    out = S.execute(spark, (
+        "MERGE INTO ev AS t USING cdc1 AS s "
+        "ON t.event_id = s.event_id "
+        "WHEN MATCHED AND s.c2 < 0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET cents = s.c2 * 2 + 1"), cat)
+    assert out["status"] == "merged"
+    got = S.execute(spark, "SELECT event_id, cents FROM ev", cat)
+    inb = base.where(F.col("event_id") % 3 != 2)
+    want = inb.withColumn(
+        "hit", (F.col("event_id") % 4 == 0)).where(
+        ~(F.col("hit") & (F.col("cents") < 0))).select(
+        "event_id",
+        F.when(F.col("hit"), F.col("cents") * 2 + 1)
+        .otherwise(F.col("cents")).alias("cents"))
+    assert _rows(got) == _rows(want)
+
+
+def test_merge_insert_columns_values_null_fill(spark, events, cat,
+                                               base):
+    src = base.where(F.col("event_id") % 3 == 2).limit(7).select(
+        "event_id", F.col("cents").alias("c2"))
+    src.createOrReplaceTempView("cdc2")
+    n0 = S.execute(spark, "SELECT count(*) AS n FROM ev",
+                   cat).collect()[0]["n"]
+    S.execute(spark, (
+        "MERGE INTO ev t USING cdc2 s ON t.event_id = s.event_id "
+        "WHEN NOT MATCHED AND s.c2 >= 0 THEN "
+        "INSERT (event_id, cents) VALUES (s.event_id, s.c2 + 5)"), cat)
+    got = S.execute(spark, "SELECT * FROM ev WHERE user_id IS NULL "
+                           "AND event_type IS NULL", cat)
+    want_n = src.where(F.col("c2") >= 0).count()
+    assert got.count() == want_n
+    # unmatched rows failing every clause are ignored
+    n1 = S.execute(spark, "SELECT count(*) AS n FROM ev",
+                   cat).collect()[0]["n"]
+    assert n1 == n0 + want_n
+
+
+def test_merge_cdc_apply_mixed(spark, events, cat, base):
+    """The CDC-apply shape: one statement mixing conditional DELETE,
+    column-level UPDATE, and conditional INSERT."""
+    cdc = events.select(
+        "event_id", "user_id", "event_type",
+        (F.round(F.col("value") * 100).cast("long") * 2).alias("c2"),
+        F.when(F.col("event_id") % 10 == 0, F.lit("D"))
+        .when(F.col("event_id") % 3 == 2, F.lit("I"))
+        .otherwise(F.lit("U")).alias("op"),
+    ).where(F.col("event_id") % 5 == 0)
+    cdc.createOrReplaceTempView("cdc3")
+    S.execute(spark, (
+        "MERGE INTO ev t USING (SELECT * FROM cdc3) AS s "
+        "ON t.event_id = s.event_id "
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET cents = s.c2, "
+        "event_type = s.event_type "
+        "WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT "
+        "(event_id, user_id, event_type, cents) "
+        "VALUES (s.event_id, s.user_id, s.event_type, s.c2)"), cat)
+    got = S.execute(spark, "SELECT event_id, cents FROM ev", cat)
+    inb = base.where(F.col("event_id") % 3 != 2)
+    cdcv = cdc
+    matched = inb.join(cdcv, "event_id", "inner")
+    final = (
+        inb.join(cdcv.select("event_id"), "event_id", "left_anti")
+        .select("event_id", "cents")
+        .unionByName(matched.where(F.col("op") != "D")
+                     .select("event_id", F.col("c2").alias("cents")))
+        .unionByName(
+            cdcv.join(inb.select("event_id"), "event_id", "left_anti")
+            .where(F.col("op") != "D")
+            .select("event_id", F.col("c2").alias("cents"))))
+    assert _rows(got) == _rows(final)
+
+
+def test_merge_clause_error_shapes(spark, events, cat, base):
+    b4 = base.select("event_id", "user_id", "event_type", "cents")
+    b4.createOrReplaceTempView("m_err")
+    with pytest.raises(S.SqlError, match="LAST"):
+        S.execute(spark, "MERGE INTO ev t USING m_err s ON "
+                         "t.event_id = s.event_id "
+                         "WHEN MATCHED THEN DELETE "
+                         "WHEN MATCHED AND s.cents > 0 THEN UPDATE "
+                         "SET cents = 0", cat)
+    with pytest.raises(S.SqlError, match="alias the source"):
+        S.execute(spark, "MERGE INTO ev USING (SELECT * FROM m_err) "
+                         "ON ev.event_id = event_id "
+                         "WHEN MATCHED THEN DELETE", cat)
+    with pytest.raises(S.SqlError, match="aliases must differ"):
+        S.execute(spark, "MERGE INTO ev x USING m_err x ON "
+                         "x.event_id = x.event_id "
+                         "WHEN MATCHED THEN DELETE", cat)
+    with pytest.raises(S.SqlError, match="row-identity"):
+        S.execute(spark, "MERGE INTO ev t USING m_err s ON "
+                         "t.event_id = s.event_id "
+                         "WHEN MATCHED THEN UPDATE SET event_id = 1",
+                  cat)
+    with pytest.raises(S.SqlError, match="no such target column"):
+        S.execute(spark, "MERGE INTO ev t USING m_err s ON "
+                         "t.event_id = s.event_id "
+                         "WHEN MATCHED THEN UPDATE SET nope = 1", cat)
+    with pytest.raises(S.SqlError, match="INSERT"):
+        S.execute(spark, "MERGE INTO ev t USING m_err s ON "
+                         "t.event_id = s.event_id "
+                         "WHEN NOT MATCHED THEN UPDATE SET cents = 1",
+                  cat)
+    with pytest.raises(S.SqlError, match="pair up"):
+        S.execute(spark, "MERGE INTO ev t USING m_err s ON "
+                         "t.event_id = s.event_id "
+                         "WHEN NOT MATCHED THEN INSERT (event_id) "
+                         "VALUES (s.event_id, 1)", cat)
+
+
+def test_merge_delete_only_is_delete_vector_commit(spark, events, cat,
+                                                   base):
+    src = base.where(F.col("event_id") % 6 == 0).select(
+        "event_id", F.lit("D").alias("op"))
+    src.createOrReplaceTempView("cdc_d")
+    S.execute(spark, (
+        "MERGE INTO ev t USING cdc_d s ON t.event_id = s.event_id "
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE"), cat)
+    got = S.execute(spark, "SELECT count(*) AS n FROM ev",
+                    cat).collect()[0]["n"]
+    want = base.where((F.col("event_id") % 3 != 2)
+                      & (F.col("event_id") % 6 != 0)).count()
+    assert got == want
+    # O(matched): a delete-vector commit, never a rewrite
+    assert V.history(cat.get("ev")["path"])[-1]["op"] not in (
+        "overwrite", "create")

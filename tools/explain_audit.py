@@ -46,7 +46,11 @@ def normalize_plan(plan: str) -> str:
         return ids[key]
 
     plan = re.sub(r"#\d+", _sub, plan)
-    return re.sub(r"plan_id=\d+", "plan_id=X", plan)
+    plan = re.sub(r"plan_id=\d+", "plan_id=X", plan)
+    # audit scratch tables live in per-run mkdtemp dirs with random
+    # names and content-hashed segment files; fixture paths (stable,
+    # informative) are left intact
+    return re.sub(r"file:/tmp/\S+?(?=[\],\s])", "file:/tmp/...", plan)
 
 
 def main() -> int:
@@ -775,6 +779,34 @@ def main() -> int:
         "pushed to the scan, and the whole job is map-only (zero "
         "Exchange). At 100 TB an UPDATE's cost is the pruned scan "
         "plus O(matched) writes — never a table rewrite.",
+    ))
+
+    # MERGE matched-DELETE keys job: the delete-vector keys come off
+    # the SOURCE side of the join, so when the clause condition reads
+    # only source columns, the TARGET scan prunes to the key column
+    # alone — no payload column ever leaves parquet
+    _msrc = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op")).where(F.col("vec_id") % 5 == 0)
+    _mkeys, _mbatch = SQL._merge_stage_plans(
+        V.read(spark, _upath), _msrc, "vec_id", "vec_id", "t", "s",
+        [("s.op = 'D'", "delete", None)], [])
+    assert _mbatch is None  # delete-only: no append side at all
+    audits.append((
+        "SQL MERGE matched-DELETE keys job (target pruned to key)",
+        _mkeys,
+        {("BroadcastHashJoin", "SortMergeJoin"): True,
+         "embedding#": False, "score#": False,
+         "CartesianProduct": False, "BroadcastNestedLoopJoin": False},
+        "MERGE INTO t USING s ON t.k = s.k WHEN MATCHED AND s.op = "
+        "'D' THEN DELETE fills the delete vector from ONE inner "
+        "equi-join whose keys are selected off the SOURCE side: the "
+        "100 TB target contributes a key-column-only scan (the wide "
+        "embedding payload and the score column never appear as plan "
+        "attributes — `col#` asserted absent, the bare name would "
+        "false-match the source's file path) and the commit is a "
+        "delete vector — O(matched), never a rewrite.",
     ))
 
     lines = [
