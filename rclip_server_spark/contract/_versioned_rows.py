@@ -1347,6 +1347,60 @@ _register(
 )
 
 
+def _sql_alter_builder(spark: SparkSession, sf: str,
+                       path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    ).createOrReplaceTempView("events_seed_alt")
+    SQ.execute(spark, "CREATE TABLE eva OPTIONS (key='event_id') AS "
+                      "SELECT * FROM events_seed_alt "
+                      "WHERE event_id % 2 = 0", cat)
+    SQ.execute(spark, "ALTER TABLE eva ADD COLUMN bonus bigint", cat)
+    SQ.execute(spark, "INSERT INTO eva SELECT event_id, event_type, "
+                      "value_cents, value_cents % 7 "
+                      "FROM events_seed_alt WHERE event_id % 2 = 1",
+               cat)
+
+
+def _sql_add_column_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """``ALTER TABLE ADD COLUMN`` (r9 verdict task 4): create → alter →
+    insert, then a SELECT spanning pre- and post-evolution segments —
+    rows committed before the ALTER read the new column as NULL
+    (mergeSchema), rows after carry real values. The ALTER itself is
+    one O(1) zero-row commit through the append path's drift guard.
+    Oracle: NULL-extended old half ∪ computed new half of `events`."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "sqla", _sql_alter_builder)
+    return SQ.execute(
+        spark,
+        "SELECT event_id, event_type, value_cents, bonus FROM eva",
+        SQ.Catalog(path))
+
+
+_register(
+    "sql_add_column_evolution",
+    _sql_add_column_evolution,
+    """
+    WITH s AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_cents
+      FROM events)
+    SELECT event_id, event_type, value_cents,
+           CAST(NULL AS BIGINT) AS bonus
+    FROM s WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, event_type, value_cents,
+           CAST(value_cents % 7 AS BIGINT) AS bonus
+    FROM s WHERE event_id % 2 = 1
+    """,
+)
+
+
 def _sql_cd_builder(spark: SparkSession, sf: str, path: str) -> None:
     from .. import sql as SQ
 

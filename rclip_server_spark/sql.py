@@ -9,7 +9,11 @@ the Spark engine the equivalent entry point for its storage layer:
 
 * ``CREATE TABLE t [OPTIONS (key='id')] AS SELECT ...``
 * ``INSERT INTO|OVERWRITE t SELECT ...`` / ``DELETE FROM t WHERE ...``
-* ``UPDATE t SET col = expr WHERE ...`` / ``MERGE INTO t USING src ON ...``
+* ``UPDATE t SET col = expr WHERE ...`` / ``MERGE INTO t USING src ON
+  t.k = s.k WHEN MATCHED [AND c] THEN UPDATE SET ...|DELETE / WHEN NOT
+  MATCHED [AND c] THEN INSERT ...`` (the CDC-apply clause surface)
+* ``ALTER TABLE t ADD COLUMN c <type>`` — O(1) schema evolution (old
+  segments read the new column as NULL)
 * ``CREATE MATERIALIZED VIEW v [OPTIONS (...)] AS SELECT ...`` — the
   view KIND is inferred from the query shape (see ``_plan_mv``):
     - ``SELECT g, COUNT(*) AS c, SUM(x) AS s, MIN(y)... FROM t GROUP
@@ -27,6 +31,11 @@ the Spark engine the equivalent entry point for its storage layer:
 * ``REFRESH MATERIALIZED VIEW v [CASCADE]`` — kind-dispatched through
   matview.refresh_view / refresh_cascade (transform views have their
   function rebuilt from the catalog-recorded SQL).
+* ``START REFRESH STREAM ON VIEW v [CASCADE]`` / ``STOP REFRESH
+  STREAM ON VIEW v`` — continuous maintenance: a streaming query
+  tails the composition's base-table manifest logs and cascades a
+  refresh per micro-batch; ``DESCRIBE [MATERIALIZED] VIEW`` reports
+  the stream's liveness.
 * ``SELECT ...`` over any mix of registered tables/views — names are
   registered as Spark temp views (internal maintenance columns
   ``nn_*`` / ``_pair_key`` hidden, SQL aliases restored) and the text
@@ -97,6 +106,7 @@ _RESERVED = {
 _UNREGISTERABLE = _RESERVED | {
     "update", "merge", "set", "when", "matched", "then", "on",
     "restore", "optimize", "explain", "distinct", "to",
+    "alter", "add", "column", "start", "stop", "stream",
 }
 
 
@@ -1197,6 +1207,67 @@ def _tk(text: str):
     return _tokenize(text), text
 
 
+# live refresh-stream handles, keyed by (catalog root, lowercased view
+# name). StreamingQuery handles are PROCESS-LOCAL: DESCRIBE VIEW
+# reports liveness for streams started in this process; a stream
+# started by another process shows as absent here (its wakes are still
+# visible as the view's advancing cursor/version).
+_STREAMS: dict[tuple, object] = {}
+
+
+def _stream_key(catalog: Catalog, name: str) -> tuple:
+    return (catalog.root, name.lower())
+
+
+def _start_refresh_stream(spark: SparkSession, catalog: Catalog,
+                          name: str) -> dict:
+    """``START REFRESH STREAM ON VIEW v [CASCADE]`` — continuous
+    maintenance: one streaming query tails the view composition's
+    BASE-table manifest logs and cascades a refresh bottom-up per
+    micro-batch (streaming/sink.start_view_cascade_refresh_stream).
+    The stream always cascades — it wakes on base-leaf commits, so
+    every intermediate registered view on the path refreshes in
+    order; the optional CASCADE keyword documents that. Checkpoints
+    live under ``<catalog root>/.streams/<view>`` so a restarted
+    process resumes the tail instead of reprocessing."""
+    e = catalog.get(name)
+    if e["kind"] == "table":
+        raise SqlError(f"{name} is a base table — refresh streams "
+                       f"maintain views")
+    key = _stream_key(catalog, name)
+    old = _STREAMS.get(key)
+    if old is not None and old.isActive:
+        raise SqlError(f"a refresh stream on {name} is already "
+                       f"running in this process — STOP REFRESH "
+                       f"STREAM ON VIEW {name} first")
+    from .streaming import sink
+
+    ckpt = os.path.join(catalog.root, ".streams", name.lower())
+    q = sink.start_view_cascade_refresh_stream(
+        spark, e["path"], checkpoint_dir=ckpt,
+        transforms=_mv_transforms(catalog))
+    _STREAMS[key] = q
+    return {"status": "stream_started", "name": name,
+            "stream_id": str(q.id)}
+
+
+def _stop_refresh_stream(catalog: Catalog, name: str) -> dict:
+    catalog.get(name)  # unknown names error the same way everywhere
+    q = _STREAMS.pop(_stream_key(catalog, name), None)
+    if q is None:
+        raise SqlError(f"no refresh stream on {name} was started in "
+                       f"this process")
+    q.stop()
+    return {"status": "stream_stopped", "name": name}
+
+
+def _stream_liveness(catalog: Catalog, name: str) -> dict:
+    q = _STREAMS.get(_stream_key(catalog, name))
+    if q is None:
+        return {"live": False, "stream_id": None}
+    return {"live": bool(q.isActive), "stream_id": str(q.id)}
+
+
 def _writable_table(catalog: Catalog, name: str, verb: str) -> dict:
     """DML targets must be BASE tables: a maintained view's state is
     owned by its refresher — an INSERT/DELETE behind the cursor's back
@@ -1953,7 +2024,9 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         if not cur.done():
             raise SqlError("trailing tokens after DESCRIBE")
         if is_view:
-            return MV.describe_view(catalog.get(name)["path"])
+            out = MV.describe_view(catalog.get(name)["path"])
+            out["refresh_stream"] = _stream_liveness(catalog, name)
+            return out
         # plain DESCRIBE t: the everyday "what is this?" — schema,
         # layout, row/segment counts (manifest-only, zero Spark jobs),
         # plus what the catalog knows (kind, declared key)
@@ -2063,6 +2136,12 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
             raise SqlError(
                 f"cannot drop {name}: registered view(s) "
                 f"{dependents} read it — DROP them first")
+        live = _STREAMS.get(_stream_key(catalog, name))
+        if live is not None and live.isActive:
+            raise SqlError(
+                f"cannot drop {name}: a refresh stream is "
+                f"maintaining it — STOP REFRESH STREAM ON VIEW "
+                f"{name} first")
         catalog.unregister(name)
         spark.catalog.dropTempView(name)  # no stale reads post-drop
         doomed = _entry_owned_paths(e)
@@ -2070,6 +2149,58 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
             if os.path.isdir(d):
                 shutil.rmtree(d)
         return {"status": "dropped", "name": name}
+
+    if head in ("start", "stop"):
+        verb = cur.take().lower
+        cur.expect_kw("refresh")
+        cur.expect_kw("stream")
+        cur.expect_kw("on")
+        cur.expect_kw("view")
+        name = cur.expect_ident()
+        if verb == "start" and cur.at_kw("cascade"):
+            cur.take()  # the stream always cascades; keyword is doc
+        if not cur.done():
+            raise SqlError(f"trailing tokens after "
+                           f"{verb.upper()} REFRESH STREAM")
+        if verb == "start":
+            return _start_refresh_stream(spark, catalog, name)
+        return _stop_refresh_stream(catalog, name)
+
+    if head == "alter":
+        # ALTER TABLE t ADD COLUMN c <type> — schema evolution via the
+        # append path's drift guard: ONE zero-row segment carrying the
+        # evolved schema is committed (O(1), no data read or rewritten;
+        # OPTIMIZE folds it away later). Old segments read the new
+        # column as NULL (mergeSchema), DESCRIBE shows the evolved
+        # col_types from the new manifest, and the next INSERT must
+        # supply the column positionally like any other.
+        cur.take()
+        cur.expect_kw("table")
+        name = cur.expect_ident()
+        cur.expect_kw("add")
+        cur.expect_kw("column")
+        col = cur.expect_ident()
+        if cur.done():
+            raise SqlError("ALTER TABLE t ADD COLUMN c <type>")
+        type_text = text[cur.peek().start:].strip()
+        e = _writable_table(catalog, name, "ALTER TABLE")
+        df = _read_entry(spark, e)
+        clash = next((c for c in df.columns
+                      if c.lower() == col.lower()), None)
+        if clash:
+            raise SqlError(f"column {clash!r} already exists on "
+                           f"{name} (names resolve case-"
+                           f"insensitively)")
+        try:
+            empty = df.limit(0).withColumn(
+                col, F.lit(None).cast(type_text))
+        except Exception as ex:
+            raise SqlError(
+                f"bad column type {type_text!r} for ALTER TABLE "
+                f"ADD COLUMN: {ex}") from ex
+        ver = V.append(spark, e["path"], empty)
+        return {"status": "altered", "name": name,
+                "added": {col: type_text}, "version": ver}
 
     if head == "optimize":
         cur.take()
@@ -2143,5 +2274,6 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         "SELECT / WITH / EXPLAIN / CREATE [MATERIALIZED VIEW [USING "
         "near_dup]|TABLE] / REFRESH "
         "MATERIALIZED VIEW / INSERT INTO|OVERWRITE / DELETE FROM / UPDATE / "
-        "MERGE INTO / DESCRIBE / SHOW TABLES / VACUUM / OPTIMIZE / "
-        "RESTORE TABLE / DROP")
+        "MERGE INTO / ALTER TABLE ADD COLUMN / START|STOP REFRESH "
+        "STREAM ON VIEW / DESCRIBE / SHOW TABLES "
+        "/ VACUUM / OPTIMIZE / RESTORE TABLE / DROP")

@@ -1,7 +1,17 @@
 """Compare a fresh bench.py run against the committed per-query
-floor (bench.FLOOR_SEC — round-4 numbers). Protocol: idle machine, best-of-2 (bench.py
-already takes the min of two full runs). Exit 1 if any shared query is
-slower than floor * (1 + slack).
+floor (bench.FLOOR_SEC). Protocol: idle machine, best-of-2 (bench.py
+already takes the min of two full runs).
+
+Contention normalization (r9 verdict task 3): the run's
+``stage_floor_calib`` row — a fixed, data-independent 2-stage job —
+divided by the committed ``bench.CALIB_FLOOR_SEC`` gives the host's
+contention factor for THIS run. Each query is judged twice: absolute
+(raw seconds vs floor, the historical rule) and normalized
+(seconds / contention_factor vs floor). A busy host inflates both the
+calib row and the queries together, so absolute violations with clean
+normalized numbers read "host contention, not a plan regression" —
+the adjudication r6/r8/r9 had to do by hand now lives in the
+artifact. The exit code follows the NORMALIZED verdict.
 
 Usage: python tools/bench_regression.py [slack]   (default slack 0.25 —
 timings at sub-second magnitudes swing on GC/JIT luck; the floor rule is
@@ -27,20 +37,52 @@ def main() -> int:
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     run = json.loads(line)["queries"]
 
-    from bench import FLOOR_SEC
+    from bench import CALIB_FLOOR_SEC, FLOOR_SEC
 
-    bad = []
-    for name, floor in FLOOR_SEC.items():
-        got = run.get(name)
-        # relative slack for real queries PLUS 0.15s absolute grace: on a
-        # 0.2s query, GC/JIT jitter alone exceeds any percentage band, and
-        # the floor rule exists to catch plan regressions, not scheduler luck
-        if got is not None and got > floor * (1 + slack) + 0.15:
-            bad.append((name, floor, got))
-    print(json.dumps({"queries": run, "floor_violations": [
-        {"query": n, "floor_sec": f, "got_sec": g} for n, f, g in bad
-    ]}))
-    return 1 if bad else 0
+    calib = run.get("stage_floor_calib")
+    # a contention factor below 1 means this host ran FASTER than the
+    # committed calib floor — dividing by it would loosen the absolute
+    # rule, so clamp: normalization only ever explains slowness away,
+    # never hides a real regression behind a fast calib sample
+    k = max(calib / CALIB_FLOOR_SEC, 1.0) if calib else 1.0
+
+    def _judge(scale: float) -> list:
+        bad = []
+        for name, floor in FLOOR_SEC.items():
+            got = run.get(name)
+            # relative slack for real queries PLUS 0.15s absolute
+            # grace: on a 0.2s query, GC/JIT jitter alone exceeds any
+            # percentage band; the floor rule exists to catch plan
+            # regressions, not scheduler luck
+            if got is not None and got / scale > floor * (1 + slack) + 0.15:
+                bad.append({"query": name, "floor_sec": floor,
+                            "got_sec": got,
+                            "normalized_sec": round(got / scale, 3)})
+        return bad
+
+    absolute = _judge(1.0)
+    normalized = _judge(k)
+    # second contention signal: the MEDIAN got/floor ratio across all
+    # shared queries. Bursty host noise a single 0.5s calib sample
+    # misses still shifts the whole distribution; a median well above
+    # the calib factor reads "bursty contention (or a uniform global
+    # regression — distinguishable: that would NOT move the calib on
+    # a quiet host)". Diagnostic only — the exit code stays on the
+    # calib-normalized verdict so a genuinely global regression can
+    # never normalize itself away.
+    ratios = sorted(run[n] / f for n, f in FLOOR_SEC.items()
+                    if run.get(n))
+    med = ratios[len(ratios) // 2] if ratios else 1.0
+    print(json.dumps({
+        "queries": run,
+        "calib_sec": calib,
+        "calib_floor_sec": CALIB_FLOOR_SEC,
+        "contention_factor": round(k, 3),
+        "median_floor_ratio": round(med, 3),
+        "floor_violations": absolute,
+        "normalized_violations": normalized,
+    }))
+    return 1 if normalized else 0
 
 
 if __name__ == "__main__":
