@@ -1,0 +1,515 @@
+"""SQL frontend for the lakehouse layer: a driver-side statement
+dispatcher that makes versioned tables and all five maintained-view
+kinds (agg / transform / top-k / join / join-table) reachable through
+SQL text instead of ``import matview``.
+
+The reference's whole value was a *query interface* over its index
+(rclip_server.py:85-106 serves parsed query strings); this module gives
+the Spark engine the equivalent entry point for its storage layer:
+
+* ``CREATE TABLE t [OPTIONS (key='id')] AS SELECT ...``
+* ``INSERT INTO|OVERWRITE t SELECT ...`` / ``DELETE FROM t WHERE ...``
+* ``UPDATE t SET col = expr WHERE ...`` / ``MERGE INTO t USING src ON
+  t.k = s.k WHEN MATCHED [AND c] THEN UPDATE SET ...|DELETE / WHEN NOT
+  MATCHED [AND c] THEN INSERT ...`` (the CDC-apply clause surface)
+* ``ALTER TABLE t ADD COLUMN c <type>`` — O(1) schema evolution (old
+  segments read the new column as NULL)
+* ``CREATE MATERIALIZED VIEW v [OPTIONS (...)] AS SELECT ...`` — the
+  view KIND is inferred from the query shape (see ``_plan_mv``):
+    - ``SELECT g, COUNT(*) AS c, SUM(x) AS s, MIN(y)... FROM t GROUP
+      BY g``                         → incremental agg view
+    - same over ``a [LEFT] JOIN b USING (k)``  → incremental join view
+    - ``SELECT * FROM a [LEFT] JOIN b USING (k)`` → maintained join
+      TABLE (the denormalized pre-join)
+    - ``SELECT <exprs> FROM t [WHERE p]`` → row-transform view (the
+      transform is the projection+filter itself; its identity is a
+      hash of the normalized SQL so refreshes can't silently mix
+      functions)
+    - ``SELECT g..., id, score FROM t QUALIFY ROW_NUMBER() OVER
+      (PARTITION BY g... ORDER BY score DESC, id ASC) <= k``
+                                      → maintained top-k view
+* ``REFRESH MATERIALIZED VIEW v [CASCADE]`` — kind-dispatched through
+  matview.refresh_view / refresh_cascade (transform views have their
+  function rebuilt from the catalog-recorded SQL).
+* ``START REFRESH STREAM ON VIEW v [CASCADE]`` / ``STOP REFRESH
+  STREAM ON VIEW v`` — continuous maintenance: a streaming query
+  tails the composition's base-table manifest logs and cascades a
+  refresh per micro-batch; ``DESCRIBE [MATERIALIZED] VIEW`` reports
+  the stream's liveness.
+* ``SELECT ...`` over any mix of registered tables/views — names are
+  registered as Spark temp views (internal maintenance columns
+  ``nn_*`` / ``_pair_key`` hidden, SQL aliases restored) and the text
+  is delegated verbatim to ``spark.sql`` — so the FULL Spark SQL
+  surface composes on top of maintained state. ``t VERSION AS OF n``
+  time-travels a versioned table.
+* ``CREATE MATERIALIZED VIEW v USING near_dup OPTIONS (source='t',
+  key='id', ...)`` — the algorithm-defined kind (the maintained
+  banded-MinHash pair table) that has no SQL shape to infer from.
+* ``EXPLAIN <select>`` — the formatted physical plan, for checking
+  pushdown/broadcast/shuffle shape from the same entry point.
+* ``DESCRIBE [MATERIALIZED] VIEW v`` / ``DESCRIBE CASCADE v`` /
+  ``DESCRIBE HISTORY t`` / ``SHOW TABLES`` — manifest-only metadata.
+* ``VACUUM t [KEEP n]`` — cursor-safe: clamped to every registered
+  view's refresh cursor (matview.vacuum_source_safely with the whole
+  catalog as the dependent-view list).
+* ``OPTIMIZE t [ZORDER BY (x, y)]`` — fold accreted segments into one
+  committed version (versioned.compact), or recluster by Morton key
+  with zone maps on both columns (versioned.cluster_zorder).
+* ``DROP TABLE t`` / ``DROP MATERIALIZED VIEW v``
+
+Scale notes: every statement is driver-side manifest work plus the
+same incremental refresh plans the Python API produces — the parser
+adds zero Spark jobs and the generated plans are byte-identical to
+the matview/versioned ones (the plan-audit assertions in PLANS.md
+cover them). The catalog is a JSON file next to the tables; at 100 TB
+the same statements run unchanged because names resolve to paths and
+paths resolve to manifests, never to data scans.
+"""
+
+import os
+import re
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import matview as MV
+from ..sources import versioned as V
+from ._base import (  # noqa: F401 — public/compat surface
+    SqlError,
+    _Cursor,
+    _find_top_level_kw,
+    _ident_list,
+    _mask,
+    _matching_paren,
+    _parse_options,
+    _split_top_level,
+    _strip_statement,
+    _tk,
+    _tokenize,
+)
+from ._catalog import Catalog  # noqa: F401
+from ._dml import (  # noqa: F401
+    _delete,
+    _insert,
+    _merge,
+    _merge_stage_plans,
+    _update,
+    _update_plan,
+    _writable_table,
+)
+from ._mvdef import (  # noqa: F401
+    _create_mv,
+    _create_using,
+    _dependents_of,
+    _entry_owned_paths,
+    _mv_transforms,
+    _parse_mv_body,
+    _strand_proof,
+    _synth_transform,
+    _transform_fn,
+    _transform_name,
+)
+from ._reads import _read_entry, _run_select  # noqa: F401
+from ._streams import (  # noqa: F401
+    _STREAMS,
+    _start_refresh_stream,
+    _stop_refresh_stream,
+    _stream_key,
+    _stream_liveness,
+)
+
+
+def execute_script(spark: SparkSession, script: str, catalog: Catalog
+                   ) -> list:
+    """Run a multi-statement script (statements separated by top-level
+    ``;`` — semicolons inside string literals / comments don't split,
+    thanks to the same mask the read path uses). Segments that are
+    empty after comment stripping (a trailing ``-- done``, a
+    ``/* note */`` between semicolons) are skipped, not errors.
+    Returns one result per statement, in order — the .sql-file entry
+    point."""
+    results = []
+    masked = _mask(script)
+    last = 0
+    for i, ch in enumerate(masked + ";"):
+        if ch != ";":
+            continue
+        stmt = script[last:i]
+        last = i + 1
+        if _strip_statement(stmt):
+            results.append(execute(spark, stmt, catalog))
+    return results
+
+
+def execute(spark: SparkSession, statement: str, catalog: Catalog):
+    """Run one statement. Returns a DataFrame for SELECT, a dict (or
+    list of dicts) for DDL/metadata statements."""
+    text = _strip_statement(statement)
+    head_m = re.match(r"[A-Za-z_][A-Za-z0-9_]*", text)
+    if not head_m:
+        raise SqlError("empty statement")
+    head = head_m.group(0).lower()
+
+    # reads delegate to Spark SQL untokenized — the DDL mini-grammar
+    # must never reject syntax that Spark accepts
+    if head in ("select", "with", "values"):
+        return _run_select(spark, text, catalog)
+
+    if head == "explain":
+        body = text[len(head_m.group(0)):].strip()
+        df = _run_select(spark, body, catalog)
+        jvm = spark.sparkContext._jvm
+        return {"plan": jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")}
+
+    # statements whose BODY is arbitrary Spark SQL are split by regex
+    # (header) + delegation (body) for the same reason
+    if head == "insert":
+        m = re.match(
+            r"insert\s+(into|overwrite)\s+([A-Za-z_][A-Za-z0-9_]*)"
+            r"\s+(.+)$",
+            text, re.IGNORECASE | re.DOTALL)
+        if not m or not m.group(3).lower().lstrip().startswith(
+                ("select", "with", "values")):
+            raise SqlError("INSERT INTO|OVERWRITE t SELECT ... | "
+                           "VALUES ...")
+        return _insert(spark, catalog, m.group(2), m.group(3),
+                       overwrite=m.group(1).lower() == "overwrite")
+
+    if head == "delete":
+        m = re.match(
+            r"delete\s+from\s+([A-Za-z_][A-Za-z0-9_]*)\s+where\b\s*(.+)$",
+            text, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise SqlError("DELETE FROM t WHERE <predicate>")
+        return _delete(spark, catalog, m.group(1), m.group(2))
+
+    if head == "update":
+        fm = _mask(text)
+        m = re.match(r"update\s+([A-Za-z_][A-Za-z0-9_]*)\s+set\b", fm,
+                     re.IGNORECASE)
+        # WHERE is found on the MASK, so a literal containing the word
+        # can't split the statement (no scalar subqueries in SET)
+        wm = re.search(r"\bwhere\b", fm, re.IGNORECASE)
+        if not m or not wm or wm.start() < m.end():
+            raise SqlError(
+                "UPDATE t SET col = expr [, ...] WHERE <predicate>")
+        return _update(spark, catalog, text[m.start(1):m.end(1)],
+                       text[m.end():wm.start()], text[wm.end():])
+
+    if head == "merge":
+        return _merge(spark, catalog, text)
+
+    if head == "create" and re.match(r"create\s+table\b", text,
+                                     re.IGNORECASE):
+        m = re.match(
+            r"create\s+table\s+([A-Za-z_][A-Za-z0-9_]*)\s*"
+            r"(options\s*\([^)]*\))?\s*as\b\s*(.+)$",
+            text, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise SqlError("CREATE TABLE name [OPTIONS (...)] AS SELECT")
+        name = m.group(1)
+        catalog.check_available(name)
+        opts = {}
+        if m.group(2):
+            opts = _parse_options(_Cursor(_tokenize(m.group(2)),
+                                          m.group(2)))
+        df = _run_select(spark, m.group(3), catalog)
+        path = catalog.path_for(name)
+
+        def _mk_table() -> dict:
+            ver = V.create(spark, path, df)
+            catalog.register(name, path, kind="table",
+                             meta={"key": opts.get("key")}
+                             if opts.get("key") else {},
+                             require_path=True)
+            return {"status": "created", "name": name, "path": path,
+                    "version": ver}
+
+        return _strand_proof(catalog, [path], _mk_table)
+
+    toks = _tokenize(text)
+    cur = _Cursor(toks, text)
+
+    if head == "show":
+        cur.take()
+        cur.expect_kw("tables")
+        return [{"name": n, **{k: catalog.get(n)[k]
+                               for k in ("kind", "path")}}
+                for n in catalog.names()]
+
+    if head == "describe":
+        cur.take()
+        if cur.at_kw("history"):
+            cur.take()
+            return V.history(catalog.get(cur.expect_ident())["path"])
+        if cur.at_kw("cascade"):
+            cur.take()
+            return MV.describe_cascade(
+                catalog.get(cur.expect_ident())["path"])
+        is_view = False
+        if cur.at_kw("materialized"):
+            cur.take()
+            cur.expect_kw("view")
+            is_view = True
+        elif cur.at_kw("view"):
+            cur.take()
+            is_view = True
+        name = cur.expect_ident()
+        if not cur.done():
+            raise SqlError("trailing tokens after DESCRIBE")
+        if is_view:
+            out = MV.describe_view(catalog.get(name)["path"])
+            out["refresh_stream"] = _stream_liveness(catalog, name)
+            return out
+        # plain DESCRIBE t: the everyday "what is this?" — schema,
+        # layout, row/segment counts (manifest-only, zero Spark jobs),
+        # plus what the catalog knows (kind, declared key)
+        e = catalog.get(name)
+        out = V.describe(e["path"])
+        out["name"] = name
+        out["kind"] = e["kind"]
+        if e["meta"].get("key"):
+            out["key"] = e["meta"]["key"]
+        return out
+
+    if head == "refresh":
+        cur.take()
+        cur.expect_kw("materialized")
+        cur.expect_kw("view")
+        name = cur.expect_ident()
+        cascade = False
+        if cur.at_kw("cascade"):
+            cur.take()
+            cascade = True
+        if not cur.done():
+            raise SqlError("trailing tokens after REFRESH")
+        e = catalog.get(name)
+        path = e["path"]
+        transforms = _mv_transforms(catalog)
+        if cascade:
+            refreshed = MV.refresh_cascade(spark, path,
+                                           transforms=transforms)
+            return {"status": "refreshed", "name": name,
+                    "refreshed_paths": refreshed}
+        # a stacked view (COUNT DISTINCT) is a chain — plain REFRESH
+        # advances exactly its hidden levels then the top, NEVER other
+        # user-registered upstream views (that's what CASCADE is for)
+        stack = e["meta"].get("stack") or []
+        for p in stack:
+            MV.refresh_view(spark, p, transforms=transforms)
+        ver = MV.refresh_view(spark, path, transforms=transforms)
+        out = {"status": "refreshed", "name": name, "version": ver}
+        if stack:
+            out["refreshed_paths"] = stack + [path]
+        return out
+
+    if head == "create":
+        cur.take()
+        if cur.at_kw("materialized"):
+            cur.take()
+            cur.expect_kw("view")
+            name = cur.expect_ident()
+            if cur.at_kw("using"):
+                # non-SQL-expressible maintained kinds declare a USING
+                # clause instead of a SELECT body — currently the
+                # banded-MinHash near-dup pair table
+                cur.take()
+                kind = cur.expect_ident().lower()
+                opts = _parse_options(cur)
+                if not cur.done():
+                    raise SqlError("trailing tokens after OPTIONS")
+                return _create_using(spark, catalog, name, kind, opts)
+            opts = _parse_options(cur)
+            cur.expect_kw("as")
+            body = text[cur.peek().start:] if not cur.done() else ""
+            plan = _parse_mv_body(cur)
+            # name validation FIRST so an ordinary duplicate reports
+            # "already exists — DROP it first", not an orphan warning
+            catalog.check_available(name)
+            # only the AGG kind self-wraps via its distinct chain —
+            # mirror _create_mv's dispatch exactly (join TABLE plans
+            # carry no select items at all: SELECT * shape)
+            if plan.kind == "agg" and any(
+                    i.kind == "count_distinct"
+                    for i in getattr(plan, "items", None) or []):
+                # the distinct chain wraps itself (it owns two extra
+                # hidden paths) — no outer wrap, no double reap
+                return _create_mv(spark, catalog, name, opts, plan,
+                                  body)
+            return _strand_proof(
+                catalog, [catalog.path_for(name)],
+                lambda: _create_mv(spark, catalog, name, opts, plan,
+                                   body))
+        raise SqlError("CREATE supports TABLE ... AS and "
+                       "MATERIALIZED VIEW ... AS")
+
+    if head == "drop":
+        cur.take()
+        want_view = False
+        if cur.at_kw("materialized"):
+            cur.take()
+            cur.expect_kw("view")
+            want_view = True
+        else:
+            cur.expect_kw("table")
+        name = cur.expect_ident()
+        e = catalog.get(name)
+        # the statement form must match the entry's kind: "DROP TABLE
+        # v" silently deleting a materialized view's state (or the
+        # reverse) is how users lose data to a typo
+        if want_view and e["kind"] == "table":
+            raise SqlError(f"{name} is a base table — use DROP TABLE")
+        if not want_view and e["kind"] != "table":
+            raise SqlError(f"{name} is a materialized view "
+                           f"({e['kind']}) — use DROP MATERIALIZED "
+                           f"VIEW")
+        # refuse to drop an object other registered views read: their
+        # manifests would point at rmtree'd directories forever
+        dependents = _dependents_of(catalog, name, e)
+        if dependents:
+            raise SqlError(
+                f"cannot drop {name}: registered view(s) "
+                f"{dependents} read it — DROP them first")
+        live = _STREAMS.get(_stream_key(catalog, name))
+        if live is not None and live.isActive:
+            raise SqlError(
+                f"cannot drop {name}: a refresh stream is "
+                f"maintaining it — STOP REFRESH STREAM ON VIEW "
+                f"{name} first")
+        catalog.unregister(name)
+        spark.catalog.dropTempView(name)  # no stale reads post-drop
+        doomed = _entry_owned_paths(e)
+        for d in doomed:
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        return {"status": "dropped", "name": name}
+
+    if head in ("start", "stop"):
+        verb = cur.take().lower
+        cur.expect_kw("refresh")
+        cur.expect_kw("stream")
+        cur.expect_kw("on")
+        cur.expect_kw("view")
+        name = cur.expect_ident()
+        if verb == "start" and cur.at_kw("cascade"):
+            cur.take()  # the stream always cascades; keyword is doc
+        if not cur.done():
+            raise SqlError(f"trailing tokens after "
+                           f"{verb.upper()} REFRESH STREAM")
+        if verb == "start":
+            return _start_refresh_stream(spark, catalog, name)
+        return _stop_refresh_stream(catalog, name)
+
+    if head == "alter":
+        # ALTER TABLE t ADD COLUMN c <type> — schema evolution via the
+        # append path's drift guard: ONE zero-row segment carrying the
+        # evolved schema is committed (O(1), no data read or rewritten;
+        # OPTIMIZE folds it away later). Old segments read the new
+        # column as NULL (mergeSchema), DESCRIBE shows the evolved
+        # col_types from the new manifest, and the next INSERT must
+        # supply the column positionally like any other.
+        cur.take()
+        cur.expect_kw("table")
+        name = cur.expect_ident()
+        cur.expect_kw("add")
+        cur.expect_kw("column")
+        col = cur.expect_ident()
+        if cur.done():
+            raise SqlError("ALTER TABLE t ADD COLUMN c <type>")
+        type_text = text[cur.peek().start:].strip()
+        e = _writable_table(catalog, name, "ALTER TABLE")
+        df = _read_entry(spark, e)
+        clash = next((c for c in df.columns
+                      if c.lower() == col.lower()), None)
+        if clash:
+            raise SqlError(f"column {clash!r} already exists on "
+                           f"{name} (names resolve case-"
+                           f"insensitively)")
+        try:
+            empty = df.limit(0).withColumn(
+                col, F.lit(None).cast(type_text))
+        except Exception as ex:
+            raise SqlError(
+                f"bad column type {type_text!r} for ALTER TABLE "
+                f"ADD COLUMN: {ex}") from ex
+        ver = V.append(spark, e["path"], empty)
+        return {"status": "altered", "name": name,
+                "added": {col: type_text}, "version": ver}
+
+    if head == "optimize":
+        cur.take()
+        name = cur.expect_ident()
+        e = _writable_table(catalog, name, "OPTIMIZE")
+        if cur.at_kw("zorder"):
+            cur.take()
+            cur.expect_kw("by")
+            cur.expect_op("(")
+            cols = _ident_list(cur)
+            cur.expect_op(")")
+            if len(cols) != 2:
+                raise SqlError("OPTIMIZE t ZORDER BY (x, y) takes "
+                               "exactly two columns (Morton key)")
+            if not cur.done():
+                raise SqlError("trailing tokens after ZORDER BY (...)")
+            ver = V.cluster_zorder(spark, e["path"], cols[0], cols[1])
+            return {"status": "optimized", "name": name,
+                    "zorder_by": cols, "version": ver}
+        if not cur.done():
+            raise SqlError("OPTIMIZE t [ZORDER BY (x, y)]")
+        ver = V.compact(spark, e["path"])
+        return {"status": "optimized", "name": name, "version": ver}
+
+    if head == "restore":
+        # metadata-only rollback (Delta RESTORE semantics): a NEW
+        # head whose manifest re-points to the old segments — the
+        # "oops" recovery for a bad UPDATE/DELETE/MERGE, no data read
+        # or copied, audit trail intact
+        cur.take()
+        cur.expect_kw("table")
+        name = cur.expect_ident()
+        if cur.at_kw("to"):
+            cur.take()
+        cur.expect_kw("version")
+        cur.expect_kw("as")
+        cur.expect_kw("of")
+        t = cur.take()
+        if t.kind != "num" or "." in t.text:
+            raise SqlError("RESTORE TABLE t [TO] VERSION AS OF <int>")
+        if not cur.done():
+            raise SqlError("trailing tokens after RESTORE")
+        e = _writable_table(catalog, name, "RESTORE")
+        try:
+            ver = V.restore(spark, e["path"], int(t.text))
+        except (ValueError, FileNotFoundError) as ex:
+            raise SqlError(str(ex)) from ex
+        return {"status": "restored", "name": name,
+                "restored_to": int(t.text), "version": ver}
+
+    if head == "vacuum":
+        cur.take()
+        name = cur.expect_ident()
+        keep = 1
+        if cur.at_kw("keep"):
+            cur.take()
+            t = cur.take()
+            if t.kind != "num" or "." in t.text:
+                raise SqlError("VACUUM t KEEP <int>")
+            keep = int(t.text)
+        e = catalog.get(name)
+        views = [catalog.get(n)["path"] for n in catalog.names()
+                 if catalog.get(n)["kind"] != "table"]
+        deleted = MV.vacuum_source_safely(e["path"], keep_last=keep,
+                                          views=views)
+        return {"status": "vacuumed", "name": name,
+                "deleted_segments": len(deleted)}
+
+    raise SqlError(
+        f"unsupported statement head {toks[0].text!r}; supported: "
+        "SELECT / WITH / EXPLAIN / CREATE [MATERIALIZED VIEW [USING "
+        "near_dup]|TABLE] / REFRESH "
+        "MATERIALIZED VIEW / INSERT INTO|OVERWRITE / DELETE FROM / UPDATE / "
+        "MERGE INTO / ALTER TABLE ADD COLUMN / START|STOP REFRESH "
+        "STREAM ON VIEW / DESCRIBE / SHOW TABLES "
+        "/ VACUUM / OPTIMIZE / RESTORE TABLE / DROP")

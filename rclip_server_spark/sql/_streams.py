@@ -1,0 +1,71 @@
+"""SQL-started refresh streams: continuous cascade maintenance with
+process-local StreamingQuery handles (see _STREAMS)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from ._base import SqlError
+from ._catalog import Catalog
+from ._mvdef import _mv_transforms
+
+# name). StreamingQuery handles are PROCESS-LOCAL: DESCRIBE VIEW
+# reports liveness for streams started in this process; a stream
+# started by another process shows as absent here (its wakes are still
+# visible as the view's advancing cursor/version).
+_STREAMS: dict[tuple, object] = {}
+
+
+def _stream_key(catalog: Catalog, name: str) -> tuple:
+    return (catalog.root, name.lower())
+
+
+def _start_refresh_stream(spark: SparkSession, catalog: Catalog,
+                          name: str) -> dict:
+    """``START REFRESH STREAM ON VIEW v [CASCADE]`` — continuous
+    maintenance: one streaming query tails the view composition's
+    BASE-table manifest logs and cascades a refresh bottom-up per
+    micro-batch (streaming/sink.start_view_cascade_refresh_stream).
+    The stream always cascades — it wakes on base-leaf commits, so
+    every intermediate registered view on the path refreshes in
+    order; the optional CASCADE keyword documents that. Checkpoints
+    live under ``<catalog root>/.streams/<view>`` so a restarted
+    process resumes the tail instead of reprocessing."""
+    e = catalog.get(name)
+    if e["kind"] == "table":
+        raise SqlError(f"{name} is a base table — refresh streams "
+                       f"maintain views")
+    key = _stream_key(catalog, name)
+    old = _STREAMS.get(key)
+    if old is not None and old.isActive:
+        raise SqlError(f"a refresh stream on {name} is already "
+                       f"running in this process — STOP REFRESH "
+                       f"STREAM ON VIEW {name} first")
+    from ..streaming import sink
+
+    ckpt = os.path.join(catalog.root, ".streams", name.lower())
+    q = sink.start_view_cascade_refresh_stream(
+        spark, e["path"], checkpoint_dir=ckpt,
+        transforms=_mv_transforms(catalog))
+    _STREAMS[key] = q
+    return {"status": "stream_started", "name": name,
+            "stream_id": str(q.id)}
+
+
+def _stop_refresh_stream(catalog: Catalog, name: str) -> dict:
+    catalog.get(name)  # unknown names error the same way everywhere
+    q = _STREAMS.pop(_stream_key(catalog, name), None)
+    if q is None:
+        raise SqlError(f"no refresh stream on {name} was started in "
+                       f"this process")
+    q.stop()
+    return {"status": "stream_stopped", "name": name}
+
+
+def _stream_liveness(catalog: Catalog, name: str) -> dict:
+    q = _STREAMS.get(_stream_key(catalog, name))
+    if q is None:
+        return {"live": False, "stream_id": None}
+    return {"live": bool(q.isActive), "stream_id": str(q.id)}
