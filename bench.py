@@ -77,7 +77,7 @@ R3_FLOOR_SEC = FLOOR_SEC  # legacy alias
 # the artifact itself: contention inflates this row by the same factor
 # as every other stage-floor-bound row, so
 # tools/bench_regression.py normalizes by (run_calib / CALIB_FLOOR_SEC)
-# before judging floors. Committed from an idle best-of-2 (r10).
+# before judging floors. Committed from an idle best-of-5 (r10).
 CALIB_FLOOR_SEC = 0.75  # idle best-of-5 standalone measure, r10
 
 

@@ -113,6 +113,7 @@ from ._mvdef import (  # noqa: F401
 from ._reads import _read_entry, _run_select  # noqa: F401
 from ._streams import (  # noqa: F401
     _STREAMS,
+    _reap_stream_ckpts,
     _start_refresh_stream,
     _stop_refresh_stream,
     _stream_key,
@@ -229,15 +230,51 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
 
         return _strand_proof(catalog, [path], _mk_table)
 
+    if head == "alter":
+        # ALTER TABLE t ADD COLUMN c <type> — schema evolution via the
+        # append path's drift guard: ONE zero-row segment carrying the
+        # evolved schema is committed (O(1), no data read or rewritten;
+        # OPTIMIZE folds it away later). Old segments read the new
+        # column as NULL (mergeSchema), DESCRIBE shows the evolved
+        # col_types from the new manifest, and the next INSERT must
+        # supply the column positionally like any other. Header split
+        # by regex (not the tokenizer): the type text is Spark DDL —
+        # struct<a:int> etc. contain characters the mini-tokenizer
+        # doesn't know, and Spark is the judge of type legality.
+        m = re.match(
+            r"alter\s+table\s+([A-Za-z_][A-Za-z0-9_]*)\s+add\s+"
+            r"column\s+([A-Za-z_][A-Za-z0-9_]*)\s+(\S.*)$",
+            text, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise SqlError("ALTER TABLE t ADD COLUMN c <type>")
+        name, col, type_text = m.group(1), m.group(2), m.group(3).strip()
+        e = _writable_table(catalog, name, "ALTER TABLE")
+        df = _read_entry(spark, e)
+        clash = next((c for c in df.columns
+                      if c.lower() == col.lower()), None)
+        if clash:
+            raise SqlError(f"column {clash!r} already exists on "
+                           f"{name} (names resolve case-"
+                           f"insensitively)")
+        try:
+            empty = df.limit(0).withColumn(
+                col, F.lit(None).cast(type_text))
+        except Exception as ex:
+            raise SqlError(
+                f"bad column type {type_text!r} for ALTER TABLE "
+                f"ADD COLUMN: {ex}") from ex
+        ver = V.append(spark, e["path"], empty)
+        return {"status": "altered", "name": name,
+                "added": {col: type_text}, "version": ver}
+
     toks = _tokenize(text)
     cur = _Cursor(toks, text)
 
     if head == "show":
         cur.take()
         cur.expect_kw("tables")
-        return [{"name": n, **{k: catalog.get(n)[k]
-                               for k in ("kind", "path")}}
-                for n in catalog.names()]
+        return [{"name": n, **{k: e[k] for k in ("kind", "path")}}
+                for n, e in sorted(catalog.snapshot().items())]
 
     if head == "describe":
         cur.take()
@@ -384,6 +421,9 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         for d in doomed:
             if os.path.isdir(d):
                 shutil.rmtree(d)
+        # a later same-named view must never resume a stale stream
+        # checkpoint positioned for THIS composition's base tables
+        _reap_stream_ckpts(catalog, name)
         return {"status": "dropped", "name": name}
 
     if head in ("start", "stop"):
@@ -401,42 +441,6 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         if verb == "start":
             return _start_refresh_stream(spark, catalog, name)
         return _stop_refresh_stream(catalog, name)
-
-    if head == "alter":
-        # ALTER TABLE t ADD COLUMN c <type> — schema evolution via the
-        # append path's drift guard: ONE zero-row segment carrying the
-        # evolved schema is committed (O(1), no data read or rewritten;
-        # OPTIMIZE folds it away later). Old segments read the new
-        # column as NULL (mergeSchema), DESCRIBE shows the evolved
-        # col_types from the new manifest, and the next INSERT must
-        # supply the column positionally like any other.
-        cur.take()
-        cur.expect_kw("table")
-        name = cur.expect_ident()
-        cur.expect_kw("add")
-        cur.expect_kw("column")
-        col = cur.expect_ident()
-        if cur.done():
-            raise SqlError("ALTER TABLE t ADD COLUMN c <type>")
-        type_text = text[cur.peek().start:].strip()
-        e = _writable_table(catalog, name, "ALTER TABLE")
-        df = _read_entry(spark, e)
-        clash = next((c for c in df.columns
-                      if c.lower() == col.lower()), None)
-        if clash:
-            raise SqlError(f"column {clash!r} already exists on "
-                           f"{name} (names resolve case-"
-                           f"insensitively)")
-        try:
-            empty = df.limit(0).withColumn(
-                col, F.lit(None).cast(type_text))
-        except Exception as ex:
-            raise SqlError(
-                f"bad column type {type_text!r} for ALTER TABLE "
-                f"ADD COLUMN: {ex}") from ex
-        ver = V.append(spark, e["path"], empty)
-        return {"status": "altered", "name": name,
-                "added": {col: type_text}, "version": ver}
 
     if head == "optimize":
         cur.take()
@@ -498,8 +502,8 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
                 raise SqlError("VACUUM t KEEP <int>")
             keep = int(t.text)
         e = catalog.get(name)
-        views = [catalog.get(n)["path"] for n in catalog.names()
-                 if catalog.get(n)["kind"] != "table"]
+        views = [e2["path"] for e2 in catalog.snapshot().values()
+                 if e2["kind"] != "table"]
         deleted = MV.vacuum_source_safely(e["path"], keep_last=keep,
                                           views=views)
         return {"status": "vacuumed", "name": name,

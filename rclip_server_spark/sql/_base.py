@@ -191,11 +191,42 @@ def _find_top_level_kw(fm: str, kw: str, start: int) -> re.Match | None:
     against the length-preserving full mask ``fm`` (literals/comments
     blanked, so counting parens on the mask is sound) — a USING
     subquery's inner ``ON``/``WHEN`` (JOIN ... ON, CASE WHEN) must
-    not split the MERGE statement."""
+    not split the MERGE statement. NOT CASE-aware: an unparenthesized
+    top-level ``CASE WHEN``'s keywords count — use
+    ``_find_clause_kw`` where conditions may legally contain CASE
+    expressions."""
     for m in re.finditer(rf"\b{kw}\b", fm[start:], re.IGNORECASE):
         upto = fm[start:start + m.start()]
         if upto.count("(") == upto.count(")"):
             return m
+    return None
+
+
+def _find_clause_kw(fm: str, kw: str, start: int = 0) -> int | None:
+    """ABSOLUTE offset of the first ``kw`` that sits at paren depth 0
+    AND outside any ``CASE ... END`` expression — the clause-boundary
+    scanner for statements whose conditions may legally contain
+    unparenthesized CASE expressions (a MERGE clause's ``WHEN``/
+    ``THEN`` must not be split by the CASE's own WHEN/THEN). Judged
+    on the length-preserving mask."""
+    depth = case_depth = 0
+    for m in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*|[()]", fm[start:]):
+        t = m.group(0)
+        if t == "(":
+            depth += 1
+            continue
+        if t == ")":
+            depth -= 1
+            continue
+        if depth:
+            continue
+        low = t.lower()
+        if low == "case":
+            case_depth += 1
+        elif low == "end" and case_depth:
+            case_depth -= 1
+        elif low == kw and not case_depth:
+            return start + m.start()
     return None
 
 

@@ -26,16 +26,44 @@ class Catalog:
         self._file = os.path.join(self.root, "_catalog.json")
         self._lock = self._file + ".lock"
         self._entries: dict[str, dict] = {}
+        self._sig: tuple | None = None
         self._load()
 
     def _load(self) -> None:
-        if os.path.exists(self._file):
+        try:
+            st = os.stat(self._file)
             with open(self._file) as f:
                 self._entries = json.load(f)
-        else:
+            self._sig = (st.st_mtime_ns, st.st_size)
+        except OSError:
             # a deleted/reset catalog must not be resurrected from a
             # stale in-memory snapshot by the next mutation's _save
             self._entries = {}
+            self._sig = None
+
+    def _refresh(self) -> None:
+        """Cross-process read freshness at one ``os.stat`` per call:
+        reload only when the file's (mtime_ns, size) signature moved —
+        per-name loops over a large catalog stay O(N), not O(N) JSON
+        parses (``_save`` goes through os.replace, which updates the
+        mtime atomically with the content)."""
+        try:
+            st = os.stat(self._file)
+            sig = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            self._entries, self._sig = {}, None
+            return
+        if sig != self._sig:
+            self._load()
+
+    def snapshot(self) -> dict[str, dict]:
+        """One consistent view of all entries for a statement-scoped
+        loop (SHOW TABLES, dependency walks, transform rebuilds):
+        per-name get() after names() could see another process's
+        concurrent DROP mid-listing and raise on a name it just
+        listed. Shallow copy — callers must not mutate entries."""
+        self._refresh()
+        return dict(self._entries)
 
     @staticmethod
     def _pid_dead(pid: int) -> bool:
@@ -86,7 +114,16 @@ class Catalog:
         try:
             os.link(tomb, self._lock)
         except OSError:
-            pass  # a waiter slipped in; deadline backstop applies
+            # a waiter acquired in the window: two holders exist until
+            # one releases — the ownership-checked release below keeps
+            # either from deleting the other's lock, and the 30s
+            # deadline remains the liveness backstop. Loud, because
+            # this triple-interleaving should be vanishingly rare.
+            import sys as _sys
+            print(f"warning: catalog lock {self._lock} was "
+                  f"re-acquired while reaping a stale incarnation; "
+                  f"concurrent holders possible until release",
+                  file=_sys.stderr)
         with contextlib.suppress(OSError):
             os.remove(tomb)
 
@@ -119,7 +156,24 @@ class Catalog:
                 self._load()  # rebase onto the latest on-disk state
                 yield
             finally:
-                os.remove(self._lock)
+                # OWNERSHIP-CHECKED release: if a reaper's triple-race
+                # replaced our incarnation (see _try_reap_stale_lock),
+                # a blind remove would delete the NEW holder's lock —
+                # remove only while the file still records our pid
+                try:
+                    with open(self._lock) as f:
+                        owner = int(f.read().strip() or "0")
+                except (OSError, ValueError):
+                    owner = None  # already gone: nothing to release
+                if owner == os.getpid():
+                    with contextlib.suppress(OSError):
+                        os.remove(self._lock)
+                elif owner is not None:
+                    import sys as _sys
+                    print(f"warning: catalog lock {self._lock} "
+                          f"changed hands mid-critical-section "
+                          f"(now pid {owner}); leaving it in place",
+                          file=_sys.stderr)
         finally:
             os.remove(tmp)
 
@@ -128,6 +182,11 @@ class Catalog:
         with open(tmp, "w") as f:
             json.dump(self._entries, f, indent=1, sort_keys=True)
         os.replace(tmp, self._file)
+        try:  # stamp the sig so the next _refresh skips a reparse
+            st = os.stat(self._file)
+            self._sig = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            self._sig = None
 
     def register(self, name: str, path: str, kind: str = "table",
                  meta: dict | None = None,
@@ -180,12 +239,12 @@ class Catalog:
             return e
 
     def get(self, name: str) -> dict:
-        # refresh from disk (one small JSON read) so a long-lived
-        # session sees another process's CREATE/DROP — the catalog is
+        # refresh from disk (stat-gated) so a long-lived session
+        # sees another process's CREATE/DROP — the catalog is
         # advertised as cross-process, and serving the construction-
         # time snapshot would resolve DROPped entries to rmtree'd
         # directories
-        self._load()
+        self._refresh()
         e = self._entries.get(name)
         if e is None:  # case-insensitive fallback, like Spark SQL
             e = next((v for n, v in self._entries.items()
@@ -207,7 +266,7 @@ class Catalog:
         if not _IDENT_RE.match(name) or name.lower() in _UNREGISTERABLE:
             raise SqlError(f"{name!r} is not a legal table name "
                            f"(identifier, not a reserved word)")
-        self._load()
+        self._refresh()
         clash = next((n for n in self._entries
                       if n.lower() == name.lower()), None)
         if clash:
@@ -216,7 +275,7 @@ class Catalog:
                 f"first (names resolve case-insensitively)")
 
     def names(self) -> list[str]:
-        self._load()  # cross-process visibility, same as get()
+        self._refresh()  # cross-process visibility, same as get()
         return sorted(self._entries)
 
     def path_for(self, name: str) -> str:

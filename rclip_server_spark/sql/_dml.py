@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ..sources import versioned as V
 from ._base import (
     SqlError,
+    _find_clause_kw,
     _find_top_level_kw,
     _mask,
     _matching_paren,
@@ -175,13 +176,16 @@ def _parse_merge_clauses(rest: str) -> tuple[list, list]:
     its condition (an earlier unconditional clause would make the
     rest unreachable — rejected, not silently dead)."""
     fmr = _mask(rest)
+    # clause boundaries and the THEN split are found CASE-aware
+    # (_find_clause_kw): a condition like `AND CASE WHEN ... THEN ...
+    # END` legally contains both keywords and must not split a clause
     starts, pos = [], 0
     while True:
-        mm = _find_top_level_kw(fmr, "when", pos)
-        if mm is None:
+        off = _find_clause_kw(fmr, "when", pos)
+        if off is None:
             break
-        starts.append(pos + mm.start())
-        pos = pos + mm.end()
+        starts.append(off)
+        pos = off + 4
     if not starts or rest[:starts[0]].strip():
         raise SqlError(_MERGE_SYNTAX)
     matched, not_matched = [], []
@@ -193,14 +197,13 @@ def _parse_merge_clauses(rest: str) -> tuple[list, list]:
             raise SqlError(f"bad WHEN clause: {seg.strip()!r} — "
                            f"{_MERGE_SYNTAX}")
         is_matched = not hm.group(1)
-        tm = _find_top_level_kw(segm, "then", hm.end())
-        if tm is None:
+        t_off = _find_clause_kw(segm, "then", hm.end())
+        if t_off is None:
             raise SqlError(f"WHEN clause needs THEN: {seg.strip()!r}")
-        between = seg[hm.end():hm.end() + tm.start()]
+        between = seg[hm.end():t_off]
         cond = None
         if between.strip():
-            am = re.match(r"\s*and\b", segm[hm.end():hm.end()
-                                            + tm.start()],
+            am = re.match(r"\s*and\b", segm[hm.end():t_off],
                           re.IGNORECASE)
             if not am:
                 raise SqlError(
@@ -209,7 +212,7 @@ def _parse_merge_clauses(rest: str) -> tuple[list, list]:
             cond = between[am.end():].strip()
             if not cond:
                 raise SqlError("empty condition after WHEN ... AND")
-        action = seg[hm.end() + tm.end():].strip()
+        action = seg[t_off + 4:].strip()
         parsed = _parse_merge_action(action, is_matched)
         (matched if is_matched else not_matched).append(
             (cond, *parsed))

@@ -349,10 +349,9 @@ def _dependents_of(catalog: Catalog, name: str, e: dict) -> list[str]:
     too. Manifest-only, zero Spark jobs."""
     owned = {os.path.abspath(p) for p in _entry_owned_paths(e)}
     out = []
-    for n in catalog.names():
+    for n, e2 in sorted(catalog.snapshot().items()):
         if n.lower() == name.lower():
             continue
-        e2 = catalog.get(n)
         if e2["kind"] == "table":
             continue
         reads: set = set()
@@ -371,9 +370,8 @@ def _dependents_of(catalog: Catalog, name: str, e: dict) -> list[str]:
 
 def _catalog_owned_paths(catalog: Catalog) -> set:
     owned = set()
-    for n in catalog.names():
-        owned.update(os.path.abspath(p)
-                     for p in _entry_owned_paths(catalog.get(n)))
+    for e in catalog.snapshot().values():
+        owned.update(os.path.abspath(p) for p in _entry_owned_paths(e))
     return owned
 
 
@@ -671,8 +669,7 @@ def _mv_transforms(catalog: Catalog) -> dict:
     """path → (fn, name) for every SQL-defined transform view in the
     catalog — what refresh_view/refresh_cascade need to advance them."""
     out = {}
-    for n in catalog.names():
-        e = catalog.get(n)
+    for n, e in sorted(catalog.snapshot().items()):
         if e["kind"] == "transform" and e["meta"].get("sql"):
             cur = _Cursor(*_tk(e["meta"]["sql"]))
             plan = _parse_mv_body(cur)

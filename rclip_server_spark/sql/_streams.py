@@ -4,6 +4,8 @@ process-local StreamingQuery handles (see _STREAMS)."""
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import SparkSession
 
@@ -11,15 +13,27 @@ from ._base import SqlError
 from ._catalog import Catalog
 from ._mvdef import _mv_transforms
 
-# name). StreamingQuery handles are PROCESS-LOCAL: DESCRIBE VIEW
-# reports liveness for streams started in this process; a stream
-# started by another process shows as absent here (its wakes are still
-# visible as the view's advancing cursor/version).
+# live handles keyed by (catalog root, lowercased view name).
+# StreamingQuery handles are PROCESS-LOCAL: DESCRIBE VIEW reports
+# liveness for streams started in this process; a stream started by
+# another process shows as absent here (its wakes are still visible
+# as the view's advancing cursor/version).
 _STREAMS: dict[tuple, object] = {}
 
 
 def _stream_key(catalog: Catalog, name: str) -> tuple:
     return (catalog.root, name.lower())
+
+
+def _ckpt_root(catalog: Catalog, name: str) -> str:
+    return os.path.join(catalog.root, ".streams", name.lower())
+
+
+def _reap_stream_ckpts(catalog: Catalog, name: str) -> None:
+    """Remove every checkpoint this view's streams ever wrote — run on
+    DROP so a later same-named view can never resume a tail positioned
+    for a different composition's base tables."""
+    shutil.rmtree(_ckpt_root(catalog, name), ignore_errors=True)
 
 
 def _start_refresh_stream(spark: SparkSession, catalog: Catalog,
@@ -30,9 +44,16 @@ def _start_refresh_stream(spark: SparkSession, catalog: Catalog,
     micro-batch (streaming/sink.start_view_cascade_refresh_stream).
     The stream always cascades — it wakes on base-leaf commits, so
     every intermediate registered view on the path refreshes in
-    order; the optional CASCADE keyword documents that. Checkpoints
-    live under ``<catalog root>/.streams/<view>`` so a restarted
-    process resumes the tail instead of reprocessing."""
+    order; the optional CASCADE keyword documents that.
+
+    Each START gets a FRESH checkpoint directory
+    (``<root>/.streams/<view>/<uuid>``): a shared path would let two
+    processes' streams corrupt each other's offset logs, and a
+    DROP-then-recreate would resume a tail positioned for the OLD
+    composition's base tables. Nothing is lost by starting fresh —
+    the starter runs one synchronous catch-up cascade before the tail
+    begins, so the stream only needs future wakes. The previous
+    checkpoint (same process) is reaped on the next START/STOP."""
     e = catalog.get(name)
     if e["kind"] == "table":
         raise SqlError(f"{name} is a base table — refresh streams "
@@ -45,22 +66,31 @@ def _start_refresh_stream(spark: SparkSession, catalog: Catalog,
                        f"STREAM ON VIEW {name} first")
     from ..streaming import sink
 
-    ckpt = os.path.join(catalog.root, ".streams", name.lower())
+    ckpt = os.path.join(_ckpt_root(catalog, name), uuid.uuid4().hex)
     q = sink.start_view_cascade_refresh_stream(
         spark, e["path"], checkpoint_dir=ckpt,
         transforms=_mv_transforms(catalog))
     _STREAMS[key] = q
+    setattr(q, "_rclip_ckpt", ckpt)
     return {"status": "stream_started", "name": name,
             "stream_id": str(q.id)}
 
 
 def _stop_refresh_stream(catalog: Catalog, name: str) -> dict:
     catalog.get(name)  # unknown names error the same way everywhere
-    q = _STREAMS.pop(_stream_key(catalog, name), None)
+    key = _stream_key(catalog, name)
+    q = _STREAMS.get(key)
     if q is None:
         raise SqlError(f"no refresh stream on {name} was started in "
                        f"this process")
+    # stop FIRST, pop only after it succeeds: popping first would
+    # orphan a still-live query when stop() raises (py4j hiccup) —
+    # unstoppable thereafter, and no longer blocking DROP
     q.stop()
+    _STREAMS.pop(key, None)
+    ckpt = getattr(q, "_rclip_ckpt", None)
+    if ckpt:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return {"status": "stream_stopped", "name": name}
 
 

@@ -1398,3 +1398,47 @@ def test_sql_refresh_stream_cascade_chain(spark, events, cat, base):
                          cat)["fresh"] is True
     finally:
         S.execute(spark, "STOP REFRESH STREAM ON VIEW top_v", cat)
+
+
+def test_merge_case_when_inside_condition(spark, events, cat, base):
+    """An unparenthesized CASE WHEN ... THEN ... END inside a clause
+    condition (or a SET expression) must not split the clause list —
+    the clause scanner is CASE-aware."""
+    src = base.where(F.col("event_id") % 4 == 0).select(
+        "event_id", F.col("cents").alias("c2"))
+    src.createOrReplaceTempView("cw_src")
+    S.execute(spark, (
+        "MERGE INTO ev t USING cw_src s ON t.event_id = s.event_id "
+        "WHEN MATCHED AND CASE WHEN s.c2 < 0 THEN true ELSE false END "
+        "THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET cents = "
+        "CASE WHEN s.c2 > 100 THEN s.c2 ELSE 0 END"), cat)
+    got = S.execute(spark, "SELECT event_id, cents FROM ev", cat)
+    inb = base.where(F.col("event_id") % 3 != 2)
+    want = inb.withColumn(
+        "hit", F.col("event_id") % 4 == 0).where(
+        ~(F.col("hit") & (F.col("cents") < 0))).select(
+        "event_id",
+        F.when(~F.col("hit"), F.col("cents"))
+        .when(F.col("cents") > 100, F.col("cents"))
+        .otherwise(F.lit(0)).alias("cents"))
+    assert _rows(got) == _rows(want)
+
+
+def test_alter_add_struct_column(spark, events, cat, base):
+    out = S.execute(spark, "ALTER TABLE ev ADD COLUMN meta "
+                           "struct<w:int,h:int>", cat)
+    assert out["status"] == "altered"
+    got = S.execute(spark, "SELECT meta FROM ev", cat)
+    assert got.where(F.col("meta").isNotNull()).count() == 0
+    d = S.execute(spark, "DESCRIBE ev", cat)
+    assert d["col_types"]["meta"] == "struct<w:int,h:int>"
+
+
+def test_show_tables_uses_one_snapshot(spark, events, cat, base):
+    rows = S.execute(spark, "SHOW TABLES", cat)
+    assert {r["name"] for r in rows} == {"ev"}
+    # a second handle's DROP is visible to the next statement
+    other = S.Catalog(cat.root)
+    ev = other.get("ev")
+    assert ev["kind"] == "table"

@@ -11,7 +11,10 @@ contention factor for THIS run. Each query is judged twice: absolute
 calib row and the queries together, so absolute violations with clean
 normalized numbers read "host contention, not a plan regression" —
 the adjudication r6/r8/r9 had to do by hand now lives in the
-artifact. The exit code follows the NORMALIZED verdict.
+artifact. The exit code follows the NORMALIZED verdict, PLUS the
+calib row's own floor: a regression of shared machinery (session
+config, scheduler, shuffle) inflates the calib too and cannot
+normalize itself away.
 
 Usage: python tools/bench_regression.py [slack]   (default slack 0.25 —
 timings at sub-second magnitudes swing on GC/JIT luck; the floor rule is
@@ -62,6 +65,14 @@ def main() -> int:
 
     absolute = _judge(1.0)
     normalized = _judge(k)
+    # a session/scheduler-level regression inflates the calib row
+    # itself and would otherwise normalize away — the calib row is
+    # held to its OWN committed floor, so a dirty calib fails the run
+    # outright (on the protocol's idle machine, calib inflation IS a
+    # regression of shared machinery; on a contended host it correctly
+    # demands the re-run the protocol already requires)
+    calib_bad = (calib is not None
+                 and calib > CALIB_FLOOR_SEC * (1 + slack) + 0.15)
     # second contention signal: the MEDIAN got/floor ratio across all
     # shared queries. Bursty host noise a single 0.5s calib sample
     # misses still shifts the whole distribution; a median well above
@@ -79,10 +90,11 @@ def main() -> int:
         "calib_floor_sec": CALIB_FLOOR_SEC,
         "contention_factor": round(k, 3),
         "median_floor_ratio": round(med, 3),
+        "calib_violation": calib_bad,
         "floor_violations": absolute,
         "normalized_violations": normalized,
     }))
-    return 1 if normalized else 0
+    return 1 if (normalized or calib_bad) else 0
 
 
 if __name__ == "__main__":

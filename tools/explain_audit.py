@@ -50,7 +50,8 @@ def normalize_plan(plan: str) -> str:
     # audit scratch tables live in per-run mkdtemp dirs with random
     # names and content-hashed segment files; fixture paths (stable,
     # informative) are left intact
-    return re.sub(r"file:/tmp/\S+?(?=[\],\s])", "file:/tmp/...", plan)
+    return re.sub(r"file:/tmp/\S+?(?=[\],\s]|$)", "file:/tmp/...",
+                  plan)
 
 
 def main() -> int:
