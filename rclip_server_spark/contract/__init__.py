@@ -57,10 +57,11 @@ _PRIORITY = [
     # never-windowed rows-only rows (RNG/UDF/iterative — the driver
     # records executed-no-error cells; the judge sees which);
     # (e) 5 machinery slots for what r10 touched: the MERGE engine
-    # rewrite (fast path re-proven), the SQL MV lifecycle through the
-    # package split, the stacked distinct chain, and BOTH pair views
-    # (their refresh cost-dispatch changed — pairs never cost-trip
-    # now); (f) 2 family re-confirmation slots (ev_/samp_ spread).
+    # rewrite (fast path re-proven), ALTER DROP COLUMN (new this
+    # round, hidden_cols carry across commits), the stacked distinct
+    # chain through the package split, and BOTH pair views (their
+    # refresh cost-dispatch changed — pairs never cost-trip now);
+    # (f) 2 family re-confirmation slots (ev_/samp_ spread).
     # Rotated-out rows (r9's vt_ machinery block, SQL UPDATE/AVG/
     # QUALIFY/RESTORE, gramian/int8/lang-id/incremental-minhash
     # recency — all driver-green in CORRECTNESS_r09) stay replayed
@@ -95,7 +96,8 @@ _PRIORITY = [
     # path), SQL MV lifecycle + stacked distinct through the sql/
     # package split, and both maintained pair views under the new
     # pairs-never-cost-trip refresh dispatch ---
-    "sql_merge_upsert", "sql_mv_roundtrip", "sql_mv_count_distinct",
+    "sql_merge_upsert", "sql_drop_column_evolution",
+    "sql_mv_count_distinct",
     "vt_near_dup_pairs_view", "vt_embed_near_dup_pairs_view",
     # --- family-spread re-confirmation (ev_/samp_) ---
     "ev_transition_matrix", "samp_weighted_mixture",

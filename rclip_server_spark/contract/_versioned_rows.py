@@ -1401,6 +1401,52 @@ _register(
 )
 
 
+def _sql_dropcol_builder(spark: SparkSession, sf: str,
+                         path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    ).createOrReplaceTempView("events_seed_dc")
+    SQ.execute(spark, "CREATE TABLE evd OPTIONS (key='event_id') AS "
+                      "SELECT * FROM events_seed_dc "
+                      "WHERE event_id % 2 = 0", cat)
+    SQ.execute(spark, "ALTER TABLE evd DROP COLUMN user_id", cat)
+    SQ.execute(spark, "INSERT INTO evd SELECT event_id, event_type, "
+                      "value_cents FROM events_seed_dc "
+                      "WHERE event_id % 2 = 1", cat)
+
+
+def _sql_drop_column_evolution(spark: SparkSession, sf: str
+                               ) -> DataFrame:
+    """``ALTER TABLE DROP COLUMN``: a metadata-only commit hides the
+    column at the read projection (no byte of the table rewritten —
+    versioned.drop_column), post-drop INSERTs align to the narrowed
+    schema, and a SELECT spans pre- and post-drop segments without the
+    dropped column resurrecting through mergeSchema (the hidden_cols
+    carry). Oracle: the same projection over all of `events`."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "sqldc", _sql_dropcol_builder)
+    return SQ.execute(
+        spark,
+        "SELECT event_id, event_type, value_cents FROM evd",
+        SQ.Catalog(path))
+
+
+_register(
+    "sql_drop_column_evolution",
+    _sql_drop_column_evolution,
+    """
+    SELECT event_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    """,
+)
+
+
 def _sql_cd_builder(spark: SparkSession, sf: str, path: str) -> None:
     from .. import sql as SQ
 

@@ -309,6 +309,16 @@ def create(spark: SparkSession, path: str, df: DataFrame,
     return 1
 
 
+def _apply_hidden(df: DataFrame, m: dict) -> DataFrame:
+    """Project out logically-dropped columns (``drop_column`` — a
+    metadata-only commit; the bytes stay in old segments until a
+    rewrite materializes the drop). Applied at the single flat-read
+    choke point so read / read_pruned / every consumer built on them
+    see the post-drop schema."""
+    hidden = [c for c in m.get("hidden_cols", []) if c in df.columns]
+    return df.drop(*hidden) if hidden else df
+
+
 def _read_with_deletes(spark: SparkSession, path: str, m: dict,
                        segs: list[str]) -> DataFrame:
     """Read the given data segments applying the manifest's pending delete
@@ -325,9 +335,10 @@ def _read_with_deletes(spark: SparkSession, path: str, m: dict,
     if not segs:
         raise FileNotFoundError("no segments to read")
     if not dsegs:
-        return spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(path, s) for s in segs]
-        )
+        return _apply_hidden(
+            spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(path, s) for s in segs]
+            ), m)
     scopes = m.get("delete_scopes", {})
     key = m["delete_key"]
     groups: dict[tuple, list[str]] = {}
@@ -349,7 +360,7 @@ def _read_with_deletes(spark: SparkSession, path: str, m: dict,
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
-    return out
+    return _apply_hidden(out, m)
 
 
 def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
@@ -470,6 +481,15 @@ def _check_schema_compat(parent: dict, batch: DataFrame, op: str) -> dict:
     Returns the updated col_types map to record in the child manifest."""
     known = dict(parent.get("col_types", {}))
     mine = _col_types(batch)
+    hidden = {c.lower() for c in parent.get("hidden_cols", [])}
+    ghosts = sorted(c for c in mine if c.lower() in hidden)
+    if ghosts:
+        # re-appending a logically-dropped name would stay invisible
+        # (the read projection hides it) — a silent data black hole
+        raise SchemaDriftError(
+            f"{op}: column(s) {ghosts} were dropped from this table "
+            f"(drop_column) — rename them, or RESTORE a pre-drop "
+            f"version to resurrect the column")
     conflicts = {
         c: (known[c], t) for c, t in mine.items()
         if c in known and known[c] != t
@@ -484,6 +504,19 @@ def _check_schema_compat(parent: dict, batch: DataFrame, op: str) -> dict:
         )
     known.update(mine)
     return {"col_types": known}
+
+
+def _carry_hidden(parent: dict) -> dict:
+    """Logically-dropped columns survive every accreting commit — a
+    single append without the carry would resurrect the column on the
+    next mergeSchema read (the bytes are still in old segments).
+    Rewriting commits (overwrite / compact / zorder / upsert) build
+    from read(), where the projection already removed the column, so
+    they deliberately do NOT carry — the rewrite materializes the
+    drop."""
+    if parent.get("hidden_cols"):
+        return {"hidden_cols": list(parent["hidden_cols"])}
+    return {}
 
 
 def _carry_deletes(parent: dict) -> dict:
@@ -524,7 +557,8 @@ def append(spark: SparkSession, path: str, batch: DataFrame,
                 extra=dict(extra or {})
                 | _carry_stats(spark, path, parent, [seg],
                                parent["segments"])
-                | _carry_deletes(parent) | compat)
+                | _carry_deletes(parent) | _carry_hidden(parent)
+                | compat)
     except ConcurrentWriteError:
         shutil.rmtree(os.path.join(path, seg))  # orphan cleanup, then surface
         raise
@@ -583,6 +617,7 @@ def delete_rows(spark: SparkSession, path: str, keys, key_col: str,
         # narrowing the versioned_cdc source's declared schema
         "col_types": m.get("col_types", {}),
     }
+    extra |= _carry_hidden(m)
     if m.get("stat_cols"):
         extra |= {"stat_cols": m["stat_cols"],
                   "seg_stats": m.get("seg_stats", {})}
@@ -636,7 +671,7 @@ def delete_and_append(
         _commit(path, v + 1, m["segments"] + [seg], "delete-append",
                 extra=extra
                 | _carry_stats(spark, path, m, [seg], m["segments"])
-                | compat)
+                | _carry_hidden(m) | compat)
     except ConcurrentWriteError:
         shutil.rmtree(os.path.join(path, dseg))
         shutil.rmtree(os.path.join(path, seg))
@@ -691,6 +726,57 @@ def upsert(spark: SparkSession, path: str, updates: DataFrame, key: str) -> int:
     return v + 1
 
 
+def drop_column(spark: SparkSession, path: str, col: str,
+                parent_version: int | None = None) -> int:
+    """METADATA-ONLY column drop (the Delta column-mapping idea at
+    manifest altitude): commit a new version whose ``hidden_cols``
+    carries the dropped name — the read projection (_apply_hidden)
+    removes it at the single flat-read choke point, no byte of a
+    100 TB table is read or rewritten. The bytes stay in old segments
+    until the next REWRITING commit (overwrite / compact / zorder /
+    upsert builds from read(), where the column is already gone) —
+    the same deferred-materialization contract delete vectors follow.
+    Time travel below this version still shows the column; RESTORE to
+    a pre-drop version resurrects it (hidden_cols travels in the
+    manifest, so history is schema-accurate). Re-appending the
+    dropped name is refused by the drift guard until then.
+
+    Flat tables only. The delete-vector key, zone-map stat columns,
+    and the last remaining column are refused — each is load-bearing
+    for reads of retained versions."""
+    v = current_version(path) if parent_version is None \
+        else int(parent_version)
+    m = _manifest(path, v)
+    if "buckets" in m:
+        raise ValueError("drop_column is the flat-table path (a "
+                         "bucketed table's key layout is physical)")
+    types = m.get("col_types", {})
+    real = next((c for c in types if c.lower() == col.lower()), None)
+    if real is None:
+        raise ValueError(f"no column {col!r} on {path} "
+                         f"(columns: {sorted(types)})")
+    if m.get("delete_segs") and m.get("delete_key", "").lower() == \
+            real.lower():
+        raise ValueError(
+            f"cannot drop {real!r}: pending delete vectors key on it "
+            f"— compact() first to materialize them")
+    if real in (m.get("stat_cols") or []):
+        raise ValueError(f"cannot drop {real!r}: it carries zone-map "
+                         f"stats — recluster without it first")
+    if len(types) - len(m.get("hidden_cols", [])) <= 1:
+        raise ValueError("cannot drop the last visible column")
+    extra = {
+        "col_types": {c: t for c, t in types.items() if c != real},
+        "hidden_cols": list(m.get("hidden_cols", [])) + [real],
+    }
+    extra |= _carry_deletes(m)
+    if m.get("stat_cols"):
+        extra |= {"stat_cols": m["stat_cols"],
+                  "seg_stats": m.get("seg_stats", {})}
+    _commit(path, v + 1, m["segments"], "drop-column", extra=extra)
+    return v + 1
+
+
 def compact(spark: SparkSession, path: str) -> int:
     """Fold a flat table's accreted segments into ONE, as a normal
     committed version: reads the head snapshot (pending delete vectors
@@ -710,7 +796,10 @@ def compact(spark: SparkSession, path: str) -> int:
     m = _manifest(path, v)
     if "buckets" in m:
         raise ValueError("bucketed tables compact via compact_bucketed")
-    if len(m["segments"]) <= 1 and not m.get("delete_segs"):
+    if (len(m["segments"]) <= 1 and not m.get("delete_segs")
+            and not m.get("hidden_cols")):
+        # nothing to fold, no deletes and no logical drops to
+        # materialize: the head is already compact
         return v
     merged = read(spark, path, v)
     seg = _write_segment(merged, path)
@@ -841,7 +930,8 @@ def append_exactly_once(
                 "stream-append", batch_id=int(batch_id),
                 extra=_carry_stats(spark, path, parent, [seg],
                                    parent["segments"])
-                | _carry_deletes(parent) | compat)
+                | _carry_deletes(parent) | _carry_hidden(parent)
+                | compat)
     except ConcurrentWriteError:
         shutil.rmtree(os.path.join(path, seg))
         raise
@@ -1625,7 +1715,7 @@ def restore(spark: SparkSession, path: str, to_version: int) -> int:
                 f"cannot restore v{tv}: segment {s} was vacuumed"
             )
     carry_keys = ("segments", "buckets", "bucket_key", "n_buckets",
-                  "stat_cols", "seg_stats", "col_types",
+                  "stat_cols", "seg_stats", "col_types", "hidden_cols",
                   "delete_key", "delete_segs", "delete_scopes", "app")
     extra = {k: src[k] for k in carry_keys
              if k in src and k != "segments"}

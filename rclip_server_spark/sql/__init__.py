@@ -12,8 +12,9 @@ the Spark engine the equivalent entry point for its storage layer:
 * ``UPDATE t SET col = expr WHERE ...`` / ``MERGE INTO t USING src ON
   t.k = s.k WHEN MATCHED [AND c] THEN UPDATE SET ...|DELETE / WHEN NOT
   MATCHED [AND c] THEN INSERT ...`` (the CDC-apply clause surface)
-* ``ALTER TABLE t ADD COLUMN c <type>`` — O(1) schema evolution (old
-  segments read the new column as NULL)
+* ``ALTER TABLE t ADD COLUMN c <type> | DROP COLUMN c`` — O(1)
+  schema evolution both ways (ADD: old segments read NULL; DROP:
+  metadata-only hide, materialized by the next OPTIMIZE)
 * ``CREATE MATERIALIZED VIEW v [OPTIONS (...)] AS SELECT ...`` — the
   view KIND is inferred from the query shape (see ``_plan_mv``):
     - ``SELECT g, COUNT(*) AS c, SUM(x) AS s, MIN(y)... FROM t GROUP
@@ -241,12 +242,43 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         # by regex (not the tokenizer): the type text is Spark DDL —
         # struct<a:int> etc. contain characters the mini-tokenizer
         # doesn't know, and Spark is the judge of type legality.
+        dm = re.match(
+            r"alter\s+table\s+([A-Za-z_][A-Za-z0-9_]*)\s+drop\s+"
+            r"column\s+([A-Za-z_][A-Za-z0-9_]*)\s*$",
+            text, re.IGNORECASE)
+        if dm:
+            # DROP COLUMN: O(1) metadata-only commit (versioned.
+            # drop_column hides the column at the read projection; the
+            # next OPTIMIZE materializes). Refused while any
+            # registered view reads this table — a view spec may
+            # aggregate the column, and its refresh would silently
+            # lose it mid-interval.
+            name, col = dm.group(1), dm.group(2)
+            e = _writable_table(catalog, name, "ALTER TABLE")
+            key = e["meta"].get("key")
+            if key and key.lower() == col.lower():
+                raise SqlError(
+                    f"cannot drop {name}'s declared row-identity "
+                    f"column {key!r}")
+            deps = _dependents_of(catalog, name, e)
+            if deps:
+                raise SqlError(
+                    f"cannot drop a column of {name}: registered "
+                    f"view(s) {deps} read this table — DROP them "
+                    f"first")
+            try:
+                ver = V.drop_column(spark, e["path"], col)
+            except ValueError as ex:
+                raise SqlError(str(ex)) from ex
+            return {"status": "altered", "name": name,
+                    "dropped": col, "version": ver}
         m = re.match(
             r"alter\s+table\s+([A-Za-z_][A-Za-z0-9_]*)\s+add\s+"
             r"column\s+([A-Za-z_][A-Za-z0-9_]*)\s+(\S.*)$",
             text, re.IGNORECASE | re.DOTALL)
         if not m:
-            raise SqlError("ALTER TABLE t ADD COLUMN c <type>")
+            raise SqlError("ALTER TABLE t ADD COLUMN c <type> | "
+                           "DROP COLUMN c")
         name, col, type_text = m.group(1), m.group(2), m.group(3).strip()
         e = _writable_table(catalog, name, "ALTER TABLE")
         df = _read_entry(spark, e)
@@ -514,6 +546,6 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         "SELECT / WITH / EXPLAIN / CREATE [MATERIALIZED VIEW [USING "
         "near_dup]|TABLE] / REFRESH "
         "MATERIALIZED VIEW / INSERT INTO|OVERWRITE / DELETE FROM / UPDATE / "
-        "MERGE INTO / ALTER TABLE ADD COLUMN / START|STOP REFRESH "
+        "MERGE INTO / ALTER TABLE ADD|DROP COLUMN / START|STOP REFRESH "
         "STREAM ON VIEW / DESCRIBE / SHOW TABLES "
         "/ VACUUM / OPTIMIZE / RESTORE TABLE / DROP")
