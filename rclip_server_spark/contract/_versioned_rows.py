@@ -1599,3 +1599,47 @@ _register(
     FROM s WHERE event_id % 3 = 1 AND event_id % 5 = 0
     """,
 )
+
+
+def _sql_schema_builder(spark: SparkSession, sf: str,
+                        path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    ).createOrReplaceTempView("events_seed_sch")
+    SQ.execute(spark, "CREATE TABLE evs (event_id BIGINT, "
+                      "event_type STRING, value_cents BIGINT) "
+                      "OPTIONS (key='event_id')", cat)
+    SQ.execute(spark, "INSERT INTO evs SELECT * FROM events_seed_sch "
+                      "WHERE event_id % 3 <> 1", cat)
+    SQ.execute(spark, "INSERT INTO evs SELECT * FROM events_seed_sch "
+                      "WHERE event_id % 3 = 1", cat)
+
+
+def _sql_create_schema_insert(spark: SparkSession, sf: str
+                              ) -> DataFrame:
+    """Explicit-schema ``CREATE TABLE t (col type, ...)`` (empty
+    declaration, Spark judges the DDL types) followed by two positional
+    INSERT ... SELECT batches — the declare-then-ingest lifecycle.
+    Oracle: the same projection over `events`."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "sqlsc", _sql_schema_builder)
+    return SQ.execute(
+        spark,
+        "SELECT event_id, event_type, value_cents FROM evs",
+        SQ.Catalog(path))
+
+
+_register(
+    "sql_create_schema_insert",
+    _sql_create_schema_insert,
+    """
+    SELECT event_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    """,
+)

@@ -7,7 +7,9 @@ The reference's whole value was a *query interface* over its index
 (rclip_server.py:85-106 serves parsed query strings); this module gives
 the Spark engine the equivalent entry point for its storage layer:
 
-* ``CREATE TABLE t [OPTIONS (key='id')] AS SELECT ...``
+* ``CREATE TABLE t [OPTIONS (key='id')] AS SELECT ...`` /
+  ``CREATE TABLE t (col type, ...) [OPTIONS (...)]`` (explicit empty
+  schema) / ``SHOW CREATE TABLE t`` (reconstructed DDL)
 * ``INSERT INTO|OVERWRITE t SELECT ...`` / ``DELETE FROM t WHERE ...``
 * ``UPDATE t SET col = expr WHERE ...`` / ``MERGE INTO t USING src ON
   t.k = s.k WHEN MATCHED [AND c] THEN UPDATE SET ...|DELETE / WHEN NOT
@@ -122,6 +124,43 @@ from ._streams import (  # noqa: F401
 )
 
 
+
+def _show_create(catalog: Catalog, name: str) -> str:
+    """Reconstruct a statement that would recreate the object: base
+    tables from the manifest's committed col_types (+ declared key),
+    SQL-shaped views from their catalog-recorded normalized SQL, the
+    algorithm-defined pair views from their manifest spec (source path
+    resolved back to its catalog name). Manifest/catalog reads only —
+    zero Spark jobs."""
+    e = catalog.get(name)
+    if e["kind"] == "table":
+        d = V.describe(e["path"])
+        cols = ", ".join(f"{c} {t}" for c, t in d["col_types"].items())
+        opts = (f" OPTIONS (key='{e['meta']['key']}')"
+                if e["meta"].get("key") else "")
+        return f"CREATE TABLE {name} ({cols}){opts}"
+    if e["kind"] in ("near_dup", "embed_near_dup"):
+        spec = (V.describe(e["path"]).get("app") or {})
+        prefix = "nd_" if e["kind"] == "near_dup" else "ed_"
+        by_path = {v["path"]: n for n, v in catalog.snapshot().items()}
+        parts = []
+        for k in sorted(spec):
+            if not k.startswith(prefix) or k.endswith("_version"):
+                continue
+            short = k[len(prefix):]
+            val = spec[k]
+            if short == "source":
+                val = by_path.get(os.path.abspath(str(val)), val)
+            parts.append(f"{short}={val!r}" if isinstance(val, str)
+                         else f"{short}={val}")
+        return (f"CREATE MATERIALIZED VIEW {name} USING {e['kind']} "
+                f"OPTIONS ({', '.join(parts)})")
+    opts = (f" OPTIONS (key='{e['meta']['key']}')"
+            if e["meta"].get("key") else "")
+    return (f"CREATE MATERIALIZED VIEW {name}{opts} AS "
+            f"{e['meta'].get('sql', '<unrecorded>')}")
+
+
 def execute_script(spark: SparkSession, script: str, catalog: Catalog
                    ) -> list:
     """Run a multi-statement script (statements separated by top-level
@@ -202,6 +241,49 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
 
     if head == "merge":
         return _merge(spark, catalog, text)
+
+    if head == "create" and re.match(
+            r"create\s+table\s+[A-Za-z_][A-Za-z0-9_]*\s*\(", text,
+            re.IGNORECASE):
+        # CREATE TABLE t (a BIGINT, b STRING, ...) [OPTIONS (...)] —
+        # explicit empty-schema declaration. The parenthesized column
+        # list is handed to Spark VERBATIM as a DDL schema string
+        # (struct<>/decimal()/array<> all legal), so Spark judges type
+        # syntax, not the mini-grammar.
+        fm0 = _mask(text)
+        nm = re.match(r"create\s+table\s+([A-Za-z_][A-Za-z0-9_]*)\s*",
+                      fm0, re.IGNORECASE)
+        name = text[nm.start(1):nm.end(1)]
+        copen = nm.end()
+        cclose = _matching_paren(fm0, copen)
+        ddl = text[copen + 1:cclose].strip()
+        if not ddl:
+            raise SqlError("CREATE TABLE t (col type, ...) needs at "
+                           "least one column")
+        tail = text[cclose + 1:].strip()
+        opts = {}
+        if tail:
+            opts = _parse_options(_Cursor(_tokenize(tail), tail))
+        catalog.check_available(name)
+        try:
+            empty = spark.createDataFrame([], ddl)
+        except Exception as ex:
+            raise SqlError(f"bad column list {ddl!r}: {ex}") from ex
+        key = opts.get("key")
+        if key and key.lower() not in {c.lower() for c in empty.columns}:
+            raise SqlError(f"OPTIONS key {key!r} is not a declared "
+                           f"column ({empty.columns})")
+        path = catalog.path_for(name)
+
+        def _mk_empty() -> dict:
+            ver = V.create(spark, path, empty)
+            catalog.register(name, path, kind="table",
+                             meta={"key": key} if key else {},
+                             require_path=True)
+            return {"status": "created", "name": name, "path": path,
+                    "version": ver}
+
+        return _strand_proof(catalog, [path], _mk_empty)
 
     if head == "create" and re.match(r"create\s+table\b", text,
                                      re.IGNORECASE):
@@ -304,6 +386,15 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
 
     if head == "show":
         cur.take()
+        if cur.at_kw("create"):
+            cur.take()
+            cur.expect_kw("table")
+            name = cur.expect_ident()
+            if not cur.done():
+                raise SqlError("trailing tokens after SHOW CREATE "
+                               "TABLE")
+            return {"name": name,
+                    "create_statement": _show_create(catalog, name)}
         cur.expect_kw("tables")
         return [{"name": n, **{k: e[k] for k in ("kind", "path")}}
                 for n, e in sorted(catalog.snapshot().items())]
@@ -548,4 +639,4 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         "MATERIALIZED VIEW / INSERT INTO|OVERWRITE / DELETE FROM / UPDATE / "
         "MERGE INTO / ALTER TABLE ADD|DROP COLUMN / START|STOP REFRESH "
         "STREAM ON VIEW / DESCRIBE / SHOW TABLES "
-        "/ VACUUM / OPTIMIZE / RESTORE TABLE / DROP")
+        "/ SHOW CREATE TABLE / VACUUM / OPTIMIZE / RESTORE TABLE / DROP")

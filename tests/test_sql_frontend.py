@@ -1442,3 +1442,56 @@ def test_show_tables_uses_one_snapshot(spark, events, cat, base):
     other = S.Catalog(cat.root)
     ev = other.get("ev")
     assert ev["kind"] == "table"
+
+
+def test_create_table_explicit_schema(spark, events, cat):
+    S.execute(spark, "CREATE TABLE est (event_id BIGINT, tag STRING, "
+                     "meta struct<w:int,h:int>) OPTIONS "
+                     "(key='event_id')", cat)
+    got = S.execute(spark, "SELECT * FROM est", cat)
+    assert got.columns == ["event_id", "tag", "meta"]
+    assert got.count() == 0
+    S.execute(spark, "INSERT INTO est VALUES (1, 'a', named_struct("
+                     "'w', 2, 'h', 3))", cat)
+    row = S.execute(spark, "SELECT meta.w AS w FROM est",
+                    cat).collect()[0]
+    assert row["w"] == 2
+    with pytest.raises(S.SqlError, match="not a declared column"):
+        S.execute(spark, "CREATE TABLE est2 (a BIGINT) OPTIONS "
+                         "(key='b')", cat)
+    with pytest.raises(S.SqlError, match="bad column list"):
+        S.execute(spark, "CREATE TABLE est3 (a NOTATYPE)", cat)
+    assert not os.path.isdir(cat.path_for("est3"))
+
+
+def test_show_create_table(spark, events, cat, base):
+    out = S.execute(spark, "SHOW CREATE TABLE ev", cat)
+    stmt = out["create_statement"]
+    assert stmt.startswith("CREATE TABLE ev (")
+    assert "event_id bigint" in stmt and "key='event_id'" in stmt
+    S.execute(spark, (
+        "CREATE MATERIALIZED VIEW scv AS SELECT event_type, "
+        "COUNT(*) AS n FROM ev GROUP BY event_type"), cat)
+    mv = S.execute(spark, "SHOW CREATE TABLE scv", cat)
+    assert mv["create_statement"] == (
+        "CREATE MATERIALIZED VIEW scv AS SELECT event_type, "
+        "COUNT(*) AS n FROM ev GROUP BY event_type")
+    # the rendered statement round-trips through execute()
+    S.execute(spark, mv["create_statement"].replace(" scv ", " scv2 "),
+              cat)
+    assert _rows(S.execute(spark, "SELECT * FROM scv2", cat)) == \
+           _rows(S.execute(spark, "SELECT * FROM scv", cat))
+
+
+def test_show_create_near_dup_round_trip(spark, documents, cat):
+    docs = documents.select("doc_id", "text").limit(80)
+    path = cat.path_for("scd")
+    V.create(spark, path, docs)
+    cat.register("scd", path, meta={"key": "doc_id"})
+    S.execute(spark, "CREATE MATERIALIZED VIEW scp USING near_dup "
+                     "OPTIONS (source='scd', key='doc_id')", cat)
+    out = S.execute(spark, "SHOW CREATE TABLE scp", cat)
+    stmt = out["create_statement"]
+    assert "USING near_dup" in stmt and "source='scd'" in stmt
+    # a recreate from the rendered statement works
+    S.execute(spark, stmt.replace(" scp ", " scp2 "), cat)
