@@ -458,3 +458,43 @@ _register(
     """,
 )
 
+
+
+def _rel_salted_join_skew(spark, sf):
+    """Hot-key-skew salted join (operators/joins.py:salted_join): the
+    big side's user_id is folded so one key carries ~75% of rows, the
+    deterministic row-hash salt spreads it across 4 reducer slices,
+    and the result multiset equals the plain join's — which is exactly
+    what the DuckDB twin computes."""
+    from ..operators import joins
+
+    ev = _t(spark, sf, "events")
+    big = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 4 != 0, F.lit(7))
+        .otherwise(F.col("user_id")).alias("user_id"),
+        "event_type")
+    small = (ev.select("user_id").distinct()
+             .where(F.col("user_id") % 50 == 0)
+             .withColumn("seg", (F.col("user_id") % 5).cast("long")))
+    return joins.salted_join(big, small, on="user_id", n_salts=4,
+                             how="left")
+
+
+_register(
+    "rel_salted_join_skew",
+    _rel_salted_join_skew,
+    """
+    WITH big AS (
+      SELECT event_id,
+             CASE WHEN event_id % 4 <> 0 THEN 7 ELSE user_id END
+               AS user_id,
+             event_type
+      FROM events),
+    small AS (
+      SELECT DISTINCT user_id, CAST(user_id % 5 AS BIGINT) AS seg
+      FROM events WHERE user_id % 50 = 0)
+    SELECT big.user_id, big.event_id, big.event_type, small.seg
+    FROM big LEFT JOIN small USING (user_id)
+    """,
+)

@@ -202,3 +202,44 @@ def fuzzy_string_join(
         .where((F.col("dist") <= max_dist) & (F.col("sa") != F.col("sb")))
         .select("sa", "sb", F.col("dist").cast("long").alias("dist"))
     )
+
+
+def salted_join(big: DataFrame, small: DataFrame, on: list[str] | str,
+                n_salts: int = 8, how: str = "inner") -> DataFrame:
+    """Hot-key skew mitigation for a shuffle join neither broadcast nor
+    AQE's skew-split can save: a handful of keys carrying a large share
+    of the BIG side's rows would land entire hot keys in single reducer
+    tasks (AQE can split a skewed PARTITION, but a single hot KEY's
+    matched pairs still meet in one task's sort-merge buffer).
+
+    The classic fix, expressed declaratively so Catalyst still plans a
+    plain equi-join: the big side gets a DETERMINISTIC salt in
+    [0, n_salts) hashed from its whole row (no rand() — retries and
+    oracle replays must produce identical plans), the small side is
+    replicated n_salts times via one explode, and the join runs on
+    (key..., salt). Each hot key's rows now spread over ``n_salts``
+    reducer tasks; result multiset is exactly the unsalted join's
+    (every big row meets every one of its key's small rows exactly
+    once — in the one salt replica it carries).
+
+    ``how`` supports inner and left (the big side is the left): each
+    big row keeps exactly one salt value, so left-outer null-extension
+    semantics survive salting unchanged. Row amplification is
+    O(n_salts x |small|) — the small side must be shuffle-sized, not
+    broadcast-sized (if it broadcasts, just broadcast; salting is for
+    the middle regime). Reference: no analogue (the reference joins
+    nothing at scale); standard Spark skew recipe re-expressed.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    n = int(n_salts)
+    if n < 2:
+        raise ValueError("n_salts must be >= 2 (1 is a plain join)")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
+                  F.lit(n)).cast("int")
+    big_s = big.withColumn("__salt", salt)
+    small_s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n)])))
+    out = big_s.join(small_s, on + ["__salt"], how)
+    return out.drop("__salt")

@@ -342,3 +342,38 @@ def test_fuzzy_string_join_excludes_exact_and_far(spark):
              fuzzy_string_join(left, right, "w", "w2", max_dist=1).collect()]
     # exact matches excluded (sa != sb); gamma too far; only alpha~alphax
     assert pairs == [("alpha", "alphax")]
+
+
+def test_salted_join_matches_plain_join(spark, events):
+    from rclip_server_spark.operators import joins
+
+    # skew: fold most user_ids onto one hot key
+    big = events.limit(400).select(
+        "event_id",
+        F.when(F.col("event_id") % 4 != 0, F.lit(7))
+        .otherwise(F.col("user_id")).alias("user_id"),
+        "event_type")
+    small = (events.select("user_id").distinct().limit(50)
+             .withColumn("seg", F.col("user_id") % 5))
+    for how in ("inner", "left"):
+        got = joins.salted_join(big, small, on="user_id", n_salts=4,
+                                how=how)
+        want = big.join(small, ["user_id"], how)
+        assert sorted(map(tuple, got.collect())) == \
+               sorted(map(tuple, want.collect()))
+        assert got.columns == want.columns
+    # the physical plan stays an equi-join — never a nested loop
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_join_guards(spark, events):
+    from rclip_server_spark.operators import joins
+    import pytest
+
+    small = events.select("user_id").distinct().limit(5)
+    with pytest.raises(ValueError, match="n_salts"):
+        joins.salted_join(events, small, "user_id", n_salts=1)
+    with pytest.raises(ValueError, match="inner/left"):
+        joins.salted_join(events, small, "user_id", how="right")

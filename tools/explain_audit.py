@@ -810,6 +810,20 @@ def main() -> int:
         "delete vector — O(matched), never a rewrite.",
     ))
 
+    audits.append((
+        "Salted join (hot-key skew mitigation)",
+        _QUERIES["rel_salted_join_skew"](spark, SF_DIR),
+        {("SortMergeJoin", "BroadcastHashJoin"): True,
+         "CartesianProduct": False, "BroadcastNestedLoopJoin": False},
+        "One hot key carrying ~75% of the big side is spread over 4 "
+        "reducer slices by a DETERMINISTIC row-hash salt; the small "
+        "side replicates once per salt via one explode. Catalyst "
+        "still plans a plain equi-join on (key, salt) — the fix for "
+        "the regime where the small side is too big to broadcast and "
+        "AQE's skew-split can't divide a single key's sort-merge "
+        "buffer.",
+    ))
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
