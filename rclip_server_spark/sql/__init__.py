@@ -52,6 +52,9 @@ the Spark engine the equivalent entry point for its storage layer:
   pushdown/broadcast/shuffle shape from the same entry point.
 * ``DESCRIBE [MATERIALIZED] VIEW v`` / ``DESCRIBE CASCADE v`` /
   ``DESCRIBE HISTORY t`` / ``SHOW TABLES`` — manifest-only metadata.
+* ``DESCRIBE CHANGES t FROM v1 [TO v2]`` — the CDC read (table_changes
+  with Delta-CDF pre-images): O(delta) over append-only intervals,
+  one keyed snapshot diff when the interval rewrote data.
 * ``VACUUM t [KEEP n]`` — cursor-safe: clamped to every registered
   view's refresh cursor (matview.vacuum_source_safely with the whole
   catalog as the dependent-view list).
@@ -404,6 +407,39 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         if cur.at_kw("history"):
             cur.take()
             return V.history(catalog.get(cur.expect_ident())["path"])
+        if cur.at_kw("changes"):
+            # DESCRIBE CHANGES t FROM v1 [TO v2] — the CDC read
+            # (versioned.table_changes with Delta-CDF pre-images):
+            # returns a DataFrame of changed rows tagged _change_type.
+            # O(delta) segment read over append-only intervals; one
+            # keyed snapshot diff (the table's declared key) when the
+            # interval rewrote data — the honest cost, stated in the
+            # function's contract.
+            cur.take()
+            name = cur.expect_ident()
+            cur.expect_kw("from")
+            t1 = cur.take()
+            if t1.kind != "num" or "." in t1.text:
+                raise SqlError("DESCRIBE CHANGES t FROM <int> "
+                               "[TO <int>]")
+            v_to = None
+            if cur.at_kw("to"):
+                cur.take()
+                t2 = cur.take()
+                if t2.kind != "num" or "." in t2.text:
+                    raise SqlError("DESCRIBE CHANGES ... TO <int>")
+                v_to = int(t2.text)
+            if not cur.done():
+                raise SqlError("trailing tokens after DESCRIBE "
+                               "CHANGES")
+            e = _writable_table(catalog, name, "DESCRIBE CHANGES")
+            try:
+                return V.table_changes(
+                    spark, e["path"], from_version=int(t1.text),
+                    to_version=v_to, key=e["meta"].get("key"),
+                    include_preimage=True)
+            except (ValueError, FileNotFoundError) as ex:
+                raise SqlError(str(ex)) from ex
         if cur.at_kw("cascade"):
             cur.take()
             return MV.describe_cascade(

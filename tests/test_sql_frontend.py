@@ -1495,3 +1495,27 @@ def test_show_create_near_dup_round_trip(spark, documents, cat):
     assert "USING near_dup" in stmt and "source='scd'" in stmt
     # a recreate from the rendered statement works
     S.execute(spark, stmt.replace(" scp ", " scp2 "), cat)
+
+
+def test_describe_changes_cdc_read(spark, events, cat, base):
+    v0 = V.current_version(cat.get("ev")["path"])
+    S.execute(spark, "INSERT INTO ev SELECT event_id, user_id, "
+                     "event_type, cents FROM ev WHERE false", cat)
+    V.append(spark, cat.get("ev")["path"],
+             base.where(F.col("event_id") % 3 == 2))
+    ch = S.execute(spark, f"DESCRIBE CHANGES ev FROM {v0}", cat)
+    # append-only interval: all inserts, O(delta)
+    assert set(r["_change_type"] for r in
+               ch.select("_change_type").distinct().collect()) == \
+           {"insert"}
+    assert ch.count() == base.where(F.col("event_id") % 3 == 2).count()
+    # an UPDATE in the interval flips to the keyed diff with preimages
+    v1 = V.current_version(cat.get("ev")["path"])
+    S.execute(spark, "UPDATE ev SET cents = cents + 1 "
+                     "WHERE event_id % 10 = 3", cat)
+    ch2 = S.execute(spark, f"DESCRIBE CHANGES ev FROM {v1}", cat)
+    kinds = {r["_change_type"] for r in
+             ch2.select("_change_type").distinct().collect()}
+    assert kinds == {"update_preimage", "update_postimage"}
+    with pytest.raises(S.SqlError):
+        S.execute(spark, "DESCRIBE CHANGES ev FROM 999", cat)
