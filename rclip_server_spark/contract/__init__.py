@@ -93,9 +93,10 @@ _PRIORITY = [
     "a13_exact_vs_approx_phrase", "d1_embedding_near_dup_documents",
     "d2_audio_features", "d2_video_frame_sample",
     # --- machinery touched in r10: the MERGE clause engine (fast
-    # path), SQL MV lifecycle + stacked distinct through the sql/
-    # package split, and both maintained pair views under the new
-    # pairs-never-cost-trip refresh dispatch ---
+    # path), ALTER DROP COLUMN (hidden_cols carry), the stacked
+    # distinct chain through the sql/ package split, and both
+    # maintained pair views under the new pairs-never-cost-trip
+    # refresh dispatch ---
     "sql_merge_upsert", "sql_drop_column_evolution",
     "sql_mv_count_distinct",
     "vt_near_dup_pairs_view", "vt_embed_near_dup_pairs_view",

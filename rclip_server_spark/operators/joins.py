@@ -236,6 +236,11 @@ def salted_join(big: DataFrame, small: DataFrame, on: list[str] | str,
     n = int(n_salts)
     if n < 2:
         raise ValueError("n_salts must be >= 2 (1 is a plain join)")
+    clash = [c for c in set(big.columns) | set(small.columns)
+             if c == "__salt"]
+    if clash:
+        raise ValueError("salted_join reserves the __salt column name "
+                         "— rename it on the input first")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
                   F.lit(n)).cast("int")
     big_s = big.withColumn("__salt", salt)

@@ -710,6 +710,10 @@ def upsert(spark: SparkSession, path: str, updates: DataFrame, key: str) -> int:
     caller re-merges against the new head instead of silently losing it
     (write-write conflict detection, the Delta-log rule)."""
     v = current_version(path)
+    # ghost guard: an updates batch carrying a logically-dropped
+    # column (drop_column) must not resurrect it through the merged
+    # rewrite — the same refusal append/delete_and_append enforce
+    _check_schema_compat(_manifest(path, v), updates, "upsert")
     target = read(spark, path, v)
     merged = target.join(
         updates.select(key).distinct(), [key], "left_anti"
@@ -763,7 +767,9 @@ def drop_column(spark: SparkSession, path: str, col: str,
     if real in (m.get("stat_cols") or []):
         raise ValueError(f"cannot drop {real!r}: it carries zone-map "
                          f"stats — recluster without it first")
-    if len(types) - len(m.get("hidden_cols", [])) <= 1:
+    if len(types) <= 1:
+        # col_types already excludes previously dropped columns, so
+        # its size IS the visible-column count
         raise ValueError("cannot drop the last visible column")
     extra = {
         "col_types": {c: t for c, t in types.items() if c != real},

@@ -158,8 +158,10 @@ def _show_create(catalog: Catalog, name: str) -> str:
                          else f"{short}={val}")
         return (f"CREATE MATERIALIZED VIEW {name} USING {e['kind']} "
                 f"OPTIONS ({', '.join(parts)})")
-    opts = (f" OPTIONS (key='{e['meta']['key']}')"
-            if e["meta"].get("key") else "")
+    kv = [(k, e["meta"][k]) for k in ("key", "left_key", "right_key")
+          if e["meta"].get(k)]
+    opts = (" OPTIONS (" + ", ".join(f"{k}='{v}'" for k, v in kv) + ")"
+            if kv else "")
     return (f"CREATE MATERIALIZED VIEW {name}{opts} AS "
             f"{e['meta'].get('sql', '<unrecorded>')}")
 
@@ -266,13 +268,25 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         tail = text[cclose + 1:].strip()
         opts = {}
         if tail:
-            opts = _parse_options(_Cursor(_tokenize(tail), tail))
+            tcur = _Cursor(_tokenize(tail), tail)
+            opts = _parse_options(tcur)
+            if not tcur.done() or not opts:
+                # no silent discard: "(cols) AS SELECT ..." would
+                # otherwise create an empty table and drop the query
+                raise SqlError(
+                    f"unexpected tokens after the column list: "
+                    f"{tail!r} (explicit-schema CREATE TABLE takes "
+                    f"only OPTIONS (...); use CREATE TABLE t AS "
+                    f"SELECT to load data)")
         catalog.check_available(name)
         try:
             empty = spark.createDataFrame([], ddl)
         except Exception as ex:
             raise SqlError(f"bad column list {ddl!r}: {ex}") from ex
         key = opts.get("key")
+        if key is not None and not isinstance(key, str):
+            raise SqlError(f"OPTIONS key must be a quoted column "
+                           f"name, got {key!r}")
         if key and key.lower() not in {c.lower() for c in empty.columns}:
             raise SqlError(f"OPTIONS key {key!r} is not a declared "
                            f"column ({empty.columns})")
@@ -302,6 +316,10 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         if m.group(2):
             opts = _parse_options(_Cursor(_tokenize(m.group(2)),
                                           m.group(2)))
+        if opts.get("key") is not None and \
+                not isinstance(opts["key"], str):
+            raise SqlError(f"OPTIONS key must be a quoted column "
+                           f"name, got {opts['key']!r}")
         df = _run_select(spark, m.group(3), catalog)
         path = catalog.path_for(name)
 

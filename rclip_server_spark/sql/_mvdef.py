@@ -464,7 +464,7 @@ def _create_mv(spark: SparkSession, catalog: Catalog, name: str,
                            sum_cols=spec["sum_cols"],
                            minmax_cols=spec["minmax_cols"])
         meta.update(aliases=spec["aliases"], requested=spec["requested"],
-                    avgs=spec["avgs"])
+                    avgs=spec["avgs"], key=key)
     elif plan.kind == "join":
         le, re_ = catalog.get(plan.left), catalog.get(plan.right)
         lk = opts.get("left_key") or le["meta"].get("key")
@@ -481,7 +481,7 @@ def _create_mv(spark: SparkSession, catalog: Catalog, name: str,
                             minmax_cols=spec["minmax_cols"],
                             how=plan.how)
         meta.update(aliases=spec["aliases"], requested=spec["requested"],
-                    avgs=spec["avgs"])
+                    avgs=spec["avgs"], left_key=lk, right_key=rk)
     elif plan.kind == "join_table":
         le, re_ = catalog.get(plan.left), catalog.get(plan.right)
         lk = opts.get("left_key") or le["meta"].get("key")
@@ -493,6 +493,7 @@ def _create_mv(spark: SparkSession, catalog: Catalog, name: str,
         MV.create_join_table_view(spark, le["path"], re_["path"], vp,
                                   on=plan.on, left_key=lk, right_key=rk,
                                   how=plan.how)
+        meta.update(left_key=lk, right_key=rk)
     elif plan.kind == "topk":
         src = catalog.get(plan.source)
         proj = [i.col for i in plan.items if i.kind == "col"]

@@ -1474,8 +1474,8 @@ def test_show_create_table(spark, events, cat, base):
         "COUNT(*) AS n FROM ev GROUP BY event_type"), cat)
     mv = S.execute(spark, "SHOW CREATE TABLE scv", cat)
     assert mv["create_statement"] == (
-        "CREATE MATERIALIZED VIEW scv AS SELECT event_type, "
-        "COUNT(*) AS n FROM ev GROUP BY event_type")
+        "CREATE MATERIALIZED VIEW scv OPTIONS (key='event_id') AS "
+        "SELECT event_type, COUNT(*) AS n FROM ev GROUP BY event_type")
     # the rendered statement round-trips through execute()
     S.execute(spark, mv["create_statement"].replace(" scv ", " scv2 "),
               cat)
@@ -1519,3 +1519,59 @@ def test_describe_changes_cdc_read(spark, events, cat, base):
     assert kinds == {"update_preimage", "update_postimage"}
     with pytest.raises(S.SqlError):
         S.execute(spark, "DESCRIBE CHANGES ev FROM 999", cat)
+
+
+def test_show_create_preserves_key_options(spark, events, cat):
+    """Round-trip for views whose sources declare NO key: the rendered
+    statement must carry the key/left_key/right_key OPTIONS the
+    original CREATE supplied (review finding)."""
+    events.limit(40).select("event_id", "user_id", "event_type")\
+        .createOrReplaceTempView("nk_seed")
+    S.execute(spark, "CREATE TABLE nk AS SELECT * FROM nk_seed", cat)
+    S.execute(spark, ("CREATE MATERIALIZED VIEW nkv OPTIONS "
+                      "(key='event_id') AS SELECT event_type, "
+                      "COUNT(*) AS n FROM nk GROUP BY event_type"),
+              cat)
+    stmt = S.execute(spark, "SHOW CREATE TABLE nkv",
+                     cat)["create_statement"]
+    assert "key='event_id'" in stmt
+    S.execute(spark, stmt.replace(" nkv ", " nkv2 "), cat)
+    assert _rows(S.execute(spark, "SELECT * FROM nkv2", cat)) == \
+           _rows(S.execute(spark, "SELECT * FROM nkv", cat))
+
+
+def test_create_schema_rejects_trailing_and_bad_key(spark, cat):
+    with pytest.raises(S.SqlError, match="unexpected tokens"):
+        S.execute(spark, "CREATE TABLE bt (a BIGINT) AS SELECT 1", cat)
+    with pytest.raises(S.SqlError, match="unexpected tokens"):
+        S.execute(spark, "CREATE TABLE bt (a BIGINT) OPTIONS "
+                         "(key='a') junk", cat)
+    with pytest.raises(S.SqlError, match="quoted column name"):
+        S.execute(spark, "CREATE TABLE bt (a BIGINT) OPTIONS (key=5)",
+                  cat)
+    assert "bt" not in cat.names()  # nothing was created
+
+
+def test_drop_two_of_three_columns(spark, events, tmp_path):
+    """The last-visible-column guard counts col_types (which already
+    excludes hidden) — a 3-column table permits two drops."""
+    path = str(tmp_path / "t3")
+    V.create(spark, path, events.limit(20).select(
+        "event_id", "user_id", "event_type"))
+    V.drop_column(spark, path, "event_type")
+    V.drop_column(spark, path, "user_id")
+    assert V.read(spark, path).columns == ["event_id"]
+    with pytest.raises(ValueError, match="last visible"):
+        V.drop_column(spark, path, "event_id")
+
+
+def test_upsert_refuses_dropped_column(spark, events, tmp_path):
+    path = str(tmp_path / "tu")
+    df = events.limit(20).select("event_id", "user_id", "event_type")
+    V.create(spark, path, df)
+    V.drop_column(spark, path, "user_id")
+    with pytest.raises(V.SchemaDriftError, match="dropped"):
+        V.upsert(spark, path, df.limit(2), key="event_id")
+    # a batch WITHOUT the ghost upserts fine
+    V.upsert(spark, path, df.drop("user_id").limit(2), key="event_id")
+    assert "user_id" not in V.read(spark, path).columns
