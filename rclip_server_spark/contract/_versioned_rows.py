@@ -1643,3 +1643,64 @@ _register(
     FROM events
     """,
 )
+
+
+def _sql_bucketed_builder(spark: SparkSession, sf: str,
+                          path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    ).createOrReplaceTempView("events_seed_bk")
+    SQ.execute(spark, "CREATE TABLE evb OPTIONS (key='event_id', "
+                      "buckets=8) AS SELECT * FROM events_seed_bk "
+                      "WHERE event_id % 2 = 0", cat)
+    SQ.execute(spark, "INSERT INTO evb SELECT * FROM events_seed_bk "
+                      "WHERE event_id % 2 = 1", cat)
+    SQ.execute(spark, (
+        "MERGE INTO evb USING (SELECT event_id, event_type, "
+        "value_cents * 3 AS value_cents FROM events_seed_bk "
+        "WHERE event_id % 5 = 0) "
+        "ON evb.event_id = event_id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"), cat)
+    SQ.execute(spark, "OPTIMIZE evb", cat)
+
+
+def _sql_bucketed_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """The BUCKETED lakehouse lifecycle through SQL: CREATE with
+    OPTIONS (key, buckets) hash-routes rows into per-bucket segments
+    (deterministic pmod(xxhash64(key), N) — same key, same bucket,
+    forever), INSERT appends per-bucket segments (no data read), the
+    full-upsert MERGE rewrites ONLY the touched buckets
+    (versioned.upsert_bucketed), and OPTIMIZE folds multi-segment
+    buckets. At 100 TB this is the co-located-join layout: every
+    key-equi join/upsert touches exactly its buckets. Oracle: the
+    final state by set algebra over `events`."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "sqlbk", _sql_bucketed_builder)
+    return SQ.execute(
+        spark,
+        "SELECT event_id, event_type, value_cents FROM evb",
+        SQ.Catalog(path))
+
+
+_register(
+    "sql_bucketed_lifecycle",
+    _sql_bucketed_lifecycle,
+    """
+    WITH s AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_cents
+      FROM events)
+    SELECT event_id, event_type, value_cents
+    FROM s WHERE event_id % 5 <> 0
+    UNION ALL
+    SELECT event_id, event_type,
+           CAST(value_cents * 3 AS BIGINT) AS value_cents
+    FROM s WHERE event_id % 5 = 0
+    """,
+)

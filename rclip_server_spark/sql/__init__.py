@@ -7,7 +7,10 @@ The reference's whole value was a *query interface* over its index
 (rclip_server.py:85-106 serves parsed query strings); this module gives
 the Spark engine the equivalent entry point for its storage layer:
 
-* ``CREATE TABLE t [OPTIONS (key='id')] AS SELECT ...`` /
+* ``CREATE TABLE t [OPTIONS (key='id'[, buckets=N])] AS SELECT ...``
+  (``buckets`` hash-routes rows into per-bucket segments — the
+  co-located-join layout; INSERT appends per-bucket, the full-upsert
+  MERGE rewrites only touched buckets, OPTIMIZE folds them) /
   ``CREATE TABLE t (col type, ...) [OPTIONS (...)]`` (explicit empty
   schema) / ``SHOW CREATE TABLE t`` (reconstructed DDL)
 * ``INSERT INTO|OVERWRITE t SELECT ...`` / ``DELETE FROM t WHERE ...``
@@ -98,6 +101,7 @@ from ._catalog import Catalog  # noqa: F401
 from ._dml import (  # noqa: F401
     _delete,
     _insert,
+    _is_bucketed as _is_bucketed_entry,
     _merge,
     _merge_stage_plans,
     _update,
@@ -323,8 +327,26 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         df = _run_select(spark, m.group(3), catalog)
         path = catalog.path_for(name)
 
+        buckets = opts.get("buckets")
+        if buckets is not None:
+            if not isinstance(buckets, int) or buckets < 2:
+                raise SqlError(f"OPTIONS buckets must be an integer "
+                               f">= 2, got {buckets!r}")
+            if not opts.get("key"):
+                raise SqlError("bucketed tables hash-route by the "
+                               "row-identity column: OPTIONS "
+                               "(key='id', buckets=N)")
+
         def _mk_table() -> dict:
-            ver = V.create(spark, path, df)
+            if buckets:
+                # physical co-location: rows hash-route by the key
+                # into per-bucket segments, so every later key-equi
+                # join/upsert touches only its buckets
+                ver = V.create_bucketed(spark, path, df,
+                                        key=opts["key"],
+                                        n_buckets=buckets)
+            else:
+                ver = V.create(spark, path, df)
             catalog.register(name, path, kind="table",
                              meta={"key": opts.get("key")}
                              if opts.get("key") else {},
@@ -384,6 +406,10 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
                            "DROP COLUMN c")
         name, col, type_text = m.group(1), m.group(2), m.group(3).strip()
         e = _writable_table(catalog, name, "ALTER TABLE")
+        if _is_bucketed_entry(e):
+            raise SqlError(f"{name} is bucketed — schema evolution "
+                           f"is the flat-table path (the bucket "
+                           f"layout pins the physical schema)")
         df = _read_entry(spark, e)
         clash = next((c for c in df.columns
                       if c.lower() == col.lower()), None)
@@ -634,12 +660,19 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
                                "exactly two columns (Morton key)")
             if not cur.done():
                 raise SqlError("trailing tokens after ZORDER BY (...)")
+            if _is_bucketed_entry(e):
+                raise SqlError(f"{name} is bucketed — already "
+                               f"key-clustered; ZORDER is the flat-"
+                               f"table layout tool")
             ver = V.cluster_zorder(spark, e["path"], cols[0], cols[1])
             return {"status": "optimized", "name": name,
                     "zorder_by": cols, "version": ver}
         if not cur.done():
             raise SqlError("OPTIMIZE t [ZORDER BY (x, y)]")
-        ver = V.compact(spark, e["path"])
+        if _is_bucketed_entry(e):
+            ver = V.compact_bucketed(spark, e["path"])
+        else:
+            ver = V.compact(spark, e["path"])
         return {"status": "optimized", "name": name, "version": ver}
 
     if head == "restore":

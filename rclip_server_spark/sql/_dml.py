@@ -34,6 +34,15 @@ def _writable_table(catalog: Catalog, name: str, verb: str) -> dict:
     return e
 
 
+
+def _head_manifest(e: dict) -> dict:
+    return V._manifest(e["path"], V.current_version(e["path"]))
+
+
+def _is_bucketed(e: dict) -> bool:
+    return "buckets" in _head_manifest(e)
+
+
 def _insert(spark: SparkSession, catalog: Catalog, name: str,
             body: str, overwrite: bool = False) -> dict:
     """INSERT INTO = O(batch) append commit; INSERT OVERWRITE = one
@@ -52,6 +61,14 @@ def _insert(spark: SparkSession, catalog: Catalog, name: str,
     df = df.select(*[
         F.col(c).cast(f.dataType).alias(f.name)
         for c, f in zip(df.columns, target.fields)])
+    if _is_bucketed(e):
+        if overwrite:
+            raise SqlError(
+                f"INSERT OVERWRITE is the flat-table full reload — "
+                f"{name} is bucketed (the layout is physical); DROP "
+                f"and recreate, or MERGE the new state in")
+        ver = V.append_bucketed(spark, e["path"], df)
+        return {"status": "inserted", "name": name, "version": ver}
     if overwrite:
         ver = V.overwrite(spark, e["path"], df)
         return {"status": "overwritten", "name": name, "version": ver}
@@ -62,6 +79,11 @@ def _insert(spark: SparkSession, catalog: Catalog, name: str,
 def _delete(spark: SparkSession, catalog: Catalog, name: str,
             pred: str) -> dict:
     e = _writable_table(catalog, name, "DELETE FROM")
+    if _is_bucketed(e):
+        raise SqlError(
+            f"DELETE uses flat-table delete vectors — {name} is "
+            f"bucketed; express the change as a MERGE (full upsert "
+            f"of the surviving state)")
     key = e["meta"].get("key")
     if not key:
         raise SqlError(
@@ -83,6 +105,10 @@ def _update(spark: SparkSession, catalog: Catalog, name: str,
     RHSs see the OLD row (single projection), standard SQL UPDATE
     semantics; the row-identity column itself may not be assigned."""
     e = _writable_table(catalog, name, "UPDATE")
+    if _is_bucketed(e):
+        raise SqlError(
+            f"UPDATE uses flat-table delete vectors — {name} is "
+            f"bucketed; express the change as a MERGE")
     key = e["meta"].get("key")
     if not key:
         raise SqlError(
@@ -369,6 +395,13 @@ def _merge(spark: SparkSession, catalog: Catalog, text: str) -> dict:
         [c[:2] for c in matched] in ([], [(None, "update_star")])
         and [c[:2] for c in not_matched] in ([], [(None,
                                                    "insert_star")]))
+    bucketed = _is_bucketed(e)
+    if bucketed and not (star_upsert and matched and not_matched):
+        raise SqlError(
+            f"{name} is bucketed — bucketed MERGE supports exactly "
+            f"the full-upsert form (WHEN MATCHED THEN UPDATE SET * "
+            f"WHEN NOT MATCHED THEN INSERT *): touched buckets are "
+            f"rewritten in place (versioned.upsert_bucketed)")
     if not star_upsert:
         return _merge_general(spark, e, name, target, src, key,
                               t_alias, s_alias, matched, not_matched,
@@ -388,6 +421,14 @@ def _merge(spark: SparkSession, catalog: Catalog, text: str) -> dict:
     try:
         _merge_dup_key_check(src, key)
         if matched and not_matched:
+            if bucketed:
+                # bucketed full upsert: only the touched buckets are
+                # read and rewritten, committed atomically across
+                # them (OCC rebase loop)
+                ver = V.upsert_bucketed_with_retry(spark, e["path"],
+                                                   src)
+                return {"status": "merged", "name": name,
+                        "version": ver}
             batch = src  # full upsert: no target read needed
         elif matched:
             batch = src.join(target.select(key).distinct(), [key],

@@ -1575,3 +1575,60 @@ def test_upsert_refuses_dropped_column(spark, events, tmp_path):
     # a batch WITHOUT the ghost upserts fine
     V.upsert(spark, path, df.drop("user_id").limit(2), key="event_id")
     assert "user_id" not in V.read(spark, path).columns
+
+
+def test_bucketed_table_sql_lifecycle(spark, events, cat):
+    """CREATE ... OPTIONS (key, buckets) AS SELECT → INSERT (bucketed
+    append) → full-upsert MERGE (touched-buckets rewrite) → OPTIMIZE
+    (bucketed compaction) → SELECT; flat-only verbs error with the
+    bucketed guidance."""
+    ev = events.select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    ev.limit(300).createOrReplaceTempView("bk_seed")
+    S.execute(spark, "CREATE TABLE bk OPTIONS (key='event_id', "
+                     "buckets=4) AS SELECT * FROM bk_seed "
+                     "WHERE event_id % 2 = 0", cat)
+    d = S.execute(spark, "DESCRIBE bk", cat)
+    assert d["layout"] == "bucketed" and d["n_buckets"] == 4
+    S.execute(spark, "INSERT INTO bk SELECT * FROM bk_seed "
+                     "WHERE event_id % 2 = 1", cat)
+    base = ev.limit(300)
+    got = S.execute(spark, "SELECT event_id, user_id, cents FROM bk",
+                    cat)
+    assert _rows(got) == _rows(base)
+    # full-upsert MERGE rewrites only touched buckets
+    src = base.limit(40).withColumn("cents", F.col("cents") * 2)
+    src.createOrReplaceTempView("bk_upd")
+    out = S.execute(spark, "MERGE INTO bk USING bk_upd ON "
+                           "bk.event_id = bk_upd.event_id "
+                           "WHEN MATCHED THEN UPDATE SET * "
+                           "WHEN NOT MATCHED THEN INSERT *", cat)
+    assert out["status"] == "merged"
+    want = (base.join(src.select("event_id"), "event_id", "left_anti")
+            .unionByName(src))
+    got2 = S.execute(spark, "SELECT event_id, user_id, cents FROM bk",
+                     cat)
+    assert _rows(got2) == _rows(want)
+    S.execute(spark, "OPTIMIZE bk", cat)
+    got3 = S.execute(spark, "SELECT event_id, user_id, cents FROM bk",
+                     cat)
+    assert _rows(got3) == _rows(want)
+    # flat-only verbs carry the bucketed guidance
+    for stmt, msg in (
+        ("DELETE FROM bk WHERE cents > 0", "MERGE"),
+        ("UPDATE bk SET cents = 0 WHERE cents > 0", "MERGE"),
+        ("INSERT OVERWRITE bk SELECT * FROM bk_seed", "bucketed"),
+        ("ALTER TABLE bk ADD COLUMN x long", "bucketed"),
+        ("OPTIMIZE bk ZORDER BY (event_id, cents)", "bucketed"),
+        ("MERGE INTO bk t USING bk_upd s ON t.event_id = s.event_id "
+         "WHEN MATCHED THEN DELETE", "full-upsert"),
+    ):
+        with pytest.raises(S.SqlError, match=msg):
+            S.execute(spark, stmt, cat)
+    with pytest.raises(S.SqlError, match="buckets must be"):
+        S.execute(spark, "CREATE TABLE bk2 OPTIONS (key='event_id', "
+                         "buckets=1) AS SELECT * FROM bk_seed", cat)
+    with pytest.raises(S.SqlError, match="key="):
+        S.execute(spark, "CREATE TABLE bk2 OPTIONS (buckets=4) AS "
+                         "SELECT * FROM bk_seed", cat)
