@@ -1211,6 +1211,14 @@ def read_bucketed(
     ids = sorted(bmap) if buckets is None else [str(b) for b in buckets]
     dirs = [os.path.join(path, s) for b in ids for s in bmap.get(b, [])]
     if not dirs:
+        # an EMPTY bucketed table (declared schema, no rows yet) and a
+        # sparse bucket subset (nothing hashed there) are both
+        # legitimate zero-row reads — reconstruct the schema from the
+        # manifest's committed col_types instead of failing the scan
+        types = m.get("col_types", {})
+        if types:
+            return spark.createDataFrame(
+                [], ", ".join(f"{c} {t}" for c, t in types.items()))
         raise FileNotFoundError(
             f"version {v} holds no segments for buckets {buckets}"
         )

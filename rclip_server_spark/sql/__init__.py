@@ -132,6 +132,23 @@ from ._streams import (  # noqa: F401
 
 
 
+
+def _bucket_opts(opts: dict, key) -> int | None:
+    """Validate the (buckets, key) option pair shared by both CREATE
+    forms; returns the bucket count or None for a flat table."""
+    buckets = opts.get("buckets")
+    if buckets is None:
+        return None
+    if not isinstance(buckets, int) or buckets < 2:
+        raise SqlError(f"OPTIONS buckets must be an integer >= 2, "
+                       f"got {buckets!r}")
+    if not key:
+        raise SqlError("bucketed tables hash-route by the "
+                       "row-identity column: OPTIONS (key='id', "
+                       "buckets=N)")
+    return buckets
+
+
 def _show_create(catalog: Catalog, name: str) -> str:
     """Reconstruct a statement that would recreate the object: base
     tables from the manifest's committed col_types (+ declared key),
@@ -143,8 +160,12 @@ def _show_create(catalog: Catalog, name: str) -> str:
     if e["kind"] == "table":
         d = V.describe(e["path"])
         cols = ", ".join(f"{c} {t}" for c, t in d["col_types"].items())
-        opts = (f" OPTIONS (key='{e['meta']['key']}')"
-                if e["meta"].get("key") else "")
+        kv = []
+        if e["meta"].get("key"):
+            kv.append(f"key='{e['meta']['key']}'")
+        if d.get("layout") == "bucketed":
+            kv.append(f"buckets={d['n_buckets']}")
+        opts = f" OPTIONS ({', '.join(kv)})" if kv else ""
         return f"CREATE TABLE {name} ({cols}){opts}"
     if e["kind"] in ("near_dup", "embed_near_dup"):
         spec = (V.describe(e["path"]).get("app") or {})
@@ -294,10 +315,18 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         if key and key.lower() not in {c.lower() for c in empty.columns}:
             raise SqlError(f"OPTIONS key {key!r} is not a declared "
                            f"column ({empty.columns})")
+        buckets = _bucket_opts(opts, key)
         path = catalog.path_for(name)
 
         def _mk_empty() -> dict:
-            ver = V.create(spark, path, empty)
+            if buckets:
+                # empty bucketed declaration: the manifest records the
+                # layout + col_types; read_bucketed serves the
+                # schema-accurate zero-row frame until the first INSERT
+                ver = V.create_bucketed(spark, path, empty, key=key,
+                                        n_buckets=buckets)
+            else:
+                ver = V.create(spark, path, empty)
             catalog.register(name, path, kind="table",
                              meta={"key": key} if key else {},
                              require_path=True)
@@ -327,15 +356,11 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         df = _run_select(spark, m.group(3), catalog)
         path = catalog.path_for(name)
 
-        buckets = opts.get("buckets")
-        if buckets is not None:
-            if not isinstance(buckets, int) or buckets < 2:
-                raise SqlError(f"OPTIONS buckets must be an integer "
-                               f">= 2, got {buckets!r}")
-            if not opts.get("key"):
-                raise SqlError("bucketed tables hash-route by the "
-                               "row-identity column: OPTIONS "
-                               "(key='id', buckets=N)")
+        buckets = _bucket_opts(opts, opts.get("key"))
+        if buckets and opts["key"].lower() not in {
+                c.lower() for c in df.columns}:
+            raise SqlError(f"OPTIONS key {opts['key']!r} is not a "
+                           f"column of the SELECT ({df.columns})")
 
         def _mk_table() -> dict:
             if buckets:

@@ -35,12 +35,12 @@ def _writable_table(catalog: Catalog, name: str, verb: str) -> dict:
 
 
 
-def _head_manifest(e: dict) -> dict:
-    return V._manifest(e["path"], V.current_version(e["path"]))
-
-
-def _is_bucketed(e: dict) -> bool:
-    return "buckets" in _head_manifest(e)
+def _is_bucketed(e: dict, version: int | None = None) -> bool:
+    """Layout test: one driver-side manifest-JSON read (pass the
+    version a statement already resolved to skip re-resolving the
+    head)."""
+    v = V.current_version(e["path"]) if version is None else version
+    return "buckets" in V._manifest(e["path"], v)
 
 
 def _insert(spark: SparkSession, catalog: Catalog, name: str,
@@ -105,16 +105,16 @@ def _update(spark: SparkSession, catalog: Catalog, name: str,
     RHSs see the OLD row (single projection), standard SQL UPDATE
     semantics; the row-identity column itself may not be assigned."""
     e = _writable_table(catalog, name, "UPDATE")
-    if _is_bucketed(e):
-        raise SqlError(
-            f"UPDATE uses flat-table delete vectors — {name} is "
-            f"bucketed; express the change as a MERGE")
     key = e["meta"].get("key")
     if not key:
         raise SqlError(
             f"UPDATE needs table {name}'s row-identity column — "
             f"recreate it with OPTIONS (key='id')")
     ver0 = V.current_version(e["path"])
+    if _is_bucketed(e, ver0):
+        raise SqlError(
+            f"UPDATE uses flat-table delete vectors — {name} is "
+            f"bucketed; express the change as a MERGE")
     df = _read_entry(spark, e, version=ver0)
     by_lower = {c.lower(): c for c in df.columns}
     assigned: dict[str, str] = {}
@@ -395,7 +395,7 @@ def _merge(spark: SparkSession, catalog: Catalog, text: str) -> dict:
         [c[:2] for c in matched] in ([], [(None, "update_star")])
         and [c[:2] for c in not_matched] in ([], [(None,
                                                    "insert_star")]))
-    bucketed = _is_bucketed(e)
+    bucketed = _is_bucketed(e, ver0)
     if bucketed and not (star_upsert and matched and not_matched):
         raise SqlError(
             f"{name} is bucketed — bucketed MERGE supports exactly "

@@ -1632,3 +1632,30 @@ def test_bucketed_table_sql_lifecycle(spark, events, cat):
     with pytest.raises(S.SqlError, match="key="):
         S.execute(spark, "CREATE TABLE bk2 OPTIONS (buckets=4) AS "
                          "SELECT * FROM bk_seed", cat)
+
+
+def test_bucketed_explicit_schema_and_show_create(spark, events, cat):
+    """Third-review findings: the explicit-schema form honors buckets
+    (empty bucketed declaration readable before the first INSERT), and
+    SHOW CREATE TABLE renders buckets=N so the DDL round-trips the
+    physical layout."""
+    S.execute(spark, "CREATE TABLE ebk (event_id BIGINT, cents BIGINT)"
+                     " OPTIONS (key='event_id', buckets=4)", cat)
+    assert S.execute(spark, "SELECT * FROM ebk", cat).count() == 0
+    d = S.execute(spark, "DESCRIBE ebk", cat)
+    assert d["layout"] == "bucketed" and d["n_buckets"] == 4
+    S.execute(spark, "INSERT INTO ebk VALUES (1, 10), (2, 20)", cat)
+    assert S.execute(spark, "SELECT * FROM ebk", cat).count() == 2
+    stmt = S.execute(spark, "SHOW CREATE TABLE ebk",
+                     cat)["create_statement"]
+    assert "buckets=4" in stmt and "key='event_id'" in stmt
+    S.execute(spark, stmt.replace(" ebk ", " ebk2 "), cat)
+    assert S.execute(spark, "DESCRIBE ebk2", cat)["layout"] == \
+           "bucketed"
+    # CTAS with a key that is not a SELECT column: SqlError, not a
+    # raw AnalysisException
+    events.limit(5).select("event_id").createOrReplaceTempView(
+        "ebk_seed")
+    with pytest.raises(S.SqlError, match="not a column"):
+        S.execute(spark, "CREATE TABLE ebk3 OPTIONS (key='typo', "
+                         "buckets=4) AS SELECT * FROM ebk_seed", cat)
