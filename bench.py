@@ -78,7 +78,7 @@ R3_FLOOR_SEC = FLOOR_SEC  # legacy alias
 # as every other stage-floor-bound row, so
 # tools/bench_regression.py normalizes by (run_calib / CALIB_FLOOR_SEC)
 # before judging floors. Committed from an idle best-of-5 (r10).
-CALIB_FLOOR_SEC = 0.75  # idle best-of-5 standalone measure, r10
+CALIB_FLOOR_SEC = 0.65  # idle best observed (in-bench), r10
 
 
 def _materialize(df) -> int:
