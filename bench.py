@@ -66,6 +66,11 @@ FLOOR_SEC = {
     # delete-vector updates + 1k inserts), zero target read; 0.825 at
     # first commit, 0.694 on the idle re-measure same day
     "sql_merge_upsert_2k": 0.694,
+    # round-10 first-committed floor (idle, 2026-08-15): the bucketed
+    # full-upsert MERGE reads+rewrites the touched buckets (at sf0.1's
+    # 2k batch that is all 16 — the toy-scale worst case; at 100 TB
+    # the touched set tracks the batch's key spread, not table size)
+    "bucketed_merge_2k": 1.126,
 }
 R3_FLOOR_SEC = FLOOR_SEC  # legacy alias
 
@@ -224,6 +229,27 @@ def main() -> None:
                           "WHEN MATCHED THEN UPDATE SET * "
                           "WHEN NOT MATCHED THEN INSERT *", _sql_cat)
 
+    # round-10 widening: the BUCKETED full-upsert MERGE — touched
+    # buckets only are read and rewritten (versioned.upsert_bucketed),
+    # the co-located-ingest steady state. Own target per the
+    # isolation rule.
+    mrgb = os.path.join(vt_tmp, "mrgb")
+    VT.create_bucketed(spark, mrgb, orders, key="o_orderkey",
+                       n_buckets=16)
+    _sql_cat.register("mrgb", mrgb, meta={"key": "o_orderkey"})
+
+    def _bucketed_merge_2k():
+        shift = next(_batch_no) * 1_000_000_000
+        src = orders.limit(1000).withColumn(
+            "price_cents", F.col("price_cents") + 2).unionByName(
+            orders.limit(1000).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(shift)))
+        src.createOrReplaceTempView("bench_bmerge_src")
+        SQ.execute(spark, "MERGE INTO mrgb USING bench_bmerge_src "
+                          "ON mrgb.o_orderkey = o_orderkey "
+                          "WHEN MATCHED THEN UPDATE SET * "
+                          "WHEN NOT MATCHED THEN INSERT *", _sql_cat)
+
     _BLOOM_IDS = [17, 4242, 99177, 123456]
 
     def _stage_floor_calib():
@@ -330,6 +356,8 @@ def main() -> None:
         "cascade_refresh_2k": _cascade_refresh,
         # late-round-9: the SQL full-upsert MERGE (O(source) DML path)
         "sql_merge_upsert_2k": _merge_2k,
+        # round-10: the bucketed flavor (touched-buckets rewrite)
+        "bucketed_merge_2k": _bucketed_merge_2k,
     }
 
     # warm the JVM/IO, the Python UDF workers, AND whole-stage-codegen
@@ -360,6 +388,7 @@ def main() -> None:
     _jv_refresh()
     _jt_refresh()
     _merge_2k()  # warm the DML statement path (consumes a batch id)
+    _bucketed_merge_2k()
     BX.read_point_lookup(spark, bt, "event_id", [_BLOOM_IDS[0]]).collect()
     _stage_floor_calib()  # warm the calib row's codegen like the rest
     spark.catalog.clearCache()
