@@ -1704,3 +1704,59 @@ _register(
     FROM s WHERE event_id % 5 = 0
     """,
 )
+
+
+def _sql_sync_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    ).createOrReplaceTempView("events_seed_sync")
+    SQ.execute(spark, "CREATE TABLE evy OPTIONS (key='event_id') AS "
+                      "SELECT * FROM events_seed_sync", cat)
+    SQ.execute(spark, (
+        "MERGE INTO evy t USING "
+        "(SELECT event_id, event_type, value_cents * 2 AS c2 "
+        " FROM events_seed_sync WHERE event_id % 3 = 0) AS s "
+        "ON t.event_id = s.event_id "
+        "WHEN MATCHED AND s.c2 > 10000 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET value_cents = s.c2 "
+        "WHEN NOT MATCHED BY SOURCE AND t.value_cents < 100 "
+        "THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET "
+        "event_type = 'stale'"), cat)
+
+
+def _sql_merge_sync_by_source(spark: SparkSession, sf: str
+                              ) -> DataFrame:
+    """The full-sync MERGE (Delta's WHEN NOT MATCHED BY SOURCE): one
+    statement that conditionally deletes/updates matched rows AND
+    conditionally deletes/marks the target rows the source no longer
+    carries — still ONE delete-vector + append commit. Oracle: set
+    algebra over `events` (matched third vs unmatched two-thirds)."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "sqlsy", _sql_sync_builder)
+    return SQ.execute(
+        spark,
+        "SELECT event_id, event_type, value_cents FROM evy",
+        SQ.Catalog(path))
+
+
+_register(
+    "sql_merge_sync_by_source",
+    _sql_merge_sync_by_source,
+    """
+    WITH s AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events)
+    SELECT event_id, event_type, CAST(vc * 2 AS BIGINT) AS value_cents
+    FROM s WHERE event_id % 3 = 0 AND vc * 2 <= 10000
+    UNION ALL
+    SELECT event_id, 'stale' AS event_type, vc AS value_cents
+    FROM s WHERE event_id % 3 <> 0 AND vc >= 100
+    """,
+)

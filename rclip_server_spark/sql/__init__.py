@@ -16,7 +16,9 @@ the Spark engine the equivalent entry point for its storage layer:
 * ``INSERT INTO|OVERWRITE t SELECT ...`` / ``DELETE FROM t WHERE ...``
 * ``UPDATE t SET col = expr WHERE ...`` / ``MERGE INTO t USING src ON
   t.k = s.k WHEN MATCHED [AND c] THEN UPDATE SET ...|DELETE / WHEN NOT
-  MATCHED [AND c] THEN INSERT ...`` (the CDC-apply clause surface)
+  MATCHED [BY TARGET] [AND c] THEN INSERT ... / WHEN NOT MATCHED BY
+  SOURCE [AND c] THEN UPDATE ...|DELETE`` (the full Delta CDC-apply
+  clause surface, including full-sync)
 * ``ALTER TABLE t ADD COLUMN c <type> | DROP COLUMN c`` — O(1)
   schema evolution both ways (ADD: old segments read NULL; DROP:
   metadata-only hide, materialized by the next OPTIMIZE)

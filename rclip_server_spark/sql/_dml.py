@@ -160,8 +160,10 @@ _MERGE_SYNTAX = (
     "ON t.k = s.k "
     "WHEN MATCHED [AND <cond>] THEN UPDATE SET * | SET col = expr, ... "
     "| WHEN MATCHED [AND <cond>] THEN DELETE "
-    "| WHEN NOT MATCHED [AND <cond>] THEN INSERT * "
-    "| INSERT (cols) VALUES (exprs)")
+    "| WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN INSERT * "
+    "| INSERT (cols) VALUES (exprs) "
+    "| WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN "
+    "UPDATE SET col = expr, ... | DELETE")
 
 _MERGE_ACT = "__merge_action__"
 
@@ -194,13 +196,18 @@ def _parse_merge_source(src_text: str) -> tuple[str, str | None]:
 
 def _parse_merge_clauses(rest: str) -> tuple[list, list]:
     """Split the ``WHEN ...`` tail into ordered clause lists
-    ``(matched, not_matched)``; each entry is ``(cond_sql_or_None,
-    action, payload)`` where action ∈ {update_star, update, delete,
-    insert_star, insert} and payload carries SET assignments /
-    INSERT column-value pairs. First-match-wins evaluation order is
-    the list order, so only the LAST clause of each group may omit
-    its condition (an earlier unconditional clause would make the
-    rest unreachable — rejected, not silently dead)."""
+    ``(matched, not_matched, nmbs)``; each entry is
+    ``(cond_sql_or_None, action, payload)`` where action ∈
+    {update_star, update, delete, insert_star, insert} and payload
+    carries SET assignments / INSERT column-value pairs. ``nmbs`` is
+    the Delta ``WHEN NOT MATCHED BY SOURCE`` group — target rows with
+    no source key match; its actions are UPDATE SET col = expr /
+    DELETE (no SET * or INSERT: there is no source row), and its
+    conditions/expressions see TARGET columns only. First-match-wins
+    evaluation order is the list order, so only the LAST clause of
+    each group may omit its condition (an earlier unconditional
+    clause would make the rest unreachable — rejected, not silently
+    dead)."""
     fmr = _mask(rest)
     # clause boundaries and the THEN split are found CASE-aware
     # (_find_clause_kw): a condition like `AND CASE WHEN ... THEN ...
@@ -214,15 +221,22 @@ def _parse_merge_clauses(rest: str) -> tuple[list, list]:
         pos = off + 4
     if not starts or rest[:starts[0]].strip():
         raise SqlError(_MERGE_SYNTAX)
-    matched, not_matched = [], []
+    matched, not_matched, nmbs = [], [], []
     for i, st in enumerate(starts):
         en = starts[i + 1] if i + 1 < len(starts) else len(rest)
         seg, segm = rest[st:en], fmr[st:en]
-        hm = re.match(r"when\s+(not\s+)?matched\b", segm, re.IGNORECASE)
+        hm = re.match(
+            r"when\s+(not\s+)?matched(\s+by\s+(source|target))?\b",
+            segm, re.IGNORECASE)
         if not hm:
             raise SqlError(f"bad WHEN clause: {seg.strip()!r} — "
                            f"{_MERGE_SYNTAX}")
         is_matched = not hm.group(1)
+        by = (hm.group(3) or "").lower()
+        if is_matched and by:
+            raise SqlError("BY SOURCE/TARGET qualifies WHEN NOT "
+                           "MATCHED only")
+        by_source = (not is_matched) and by == "source"
         t_off = _find_clause_kw(segm, "then", hm.end())
         if t_off is None:
             raise SqlError(f"WHEN clause needs THEN: {seg.strip()!r}")
@@ -239,18 +253,28 @@ def _parse_merge_clauses(rest: str) -> tuple[list, list]:
             if not cond:
                 raise SqlError("empty condition after WHEN ... AND")
         action = seg[t_off + 4:].strip()
-        parsed = _parse_merge_action(action, is_matched)
-        (matched if is_matched else not_matched).append(
-            (cond, *parsed))
+        if by_source:
+            parsed = _parse_merge_action(action, True)
+            if parsed[0] == "update_star":
+                raise SqlError(
+                    "WHEN NOT MATCHED BY SOURCE has no source row — "
+                    "UPDATE SET col = expr (target columns) or "
+                    "DELETE")
+            nmbs.append((cond, *parsed))
+        else:
+            parsed = _parse_merge_action(action, is_matched)
+            (matched if is_matched else not_matched).append(
+                (cond, *parsed))
     for grp, label in ((matched, "MATCHED"),
-                       (not_matched, "NOT MATCHED")):
+                       (not_matched, "NOT MATCHED"),
+                       (nmbs, "NOT MATCHED BY SOURCE")):
         for c in grp[:-1]:
             if c[0] is None:
                 raise SqlError(
                     f"only the LAST WHEN {label} clause may omit "
                     f"AND <condition> — an unconditional clause "
                     f"makes the later {label} clauses unreachable")
-    return matched, not_matched
+    return matched, not_matched, nmbs
 
 
 def _parse_merge_action(action: str, is_matched: bool) -> tuple:
@@ -318,10 +342,12 @@ def _merge(spark: SparkSession, catalog: Catalog, text: str) -> dict:
     """``MERGE INTO t USING src ON t.k = s.k WHEN ... THEN ...`` with
     the Delta MERGE clause surface: ``WHEN MATCHED [AND <cond>] THEN
     UPDATE SET * | SET col = expr, ...``, ``WHEN MATCHED [AND <cond>]
-    THEN DELETE``, ``WHEN NOT MATCHED [AND <cond>] THEN INSERT * |
-    INSERT (cols) VALUES (exprs)`` — the CDC-apply statement shape the
-    reference's upsert loop (index_wikimedia.py:86-103) grows into at
-    scale. Clauses evaluate in statement order, first match wins; a
+    THEN DELETE``, ``WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN
+    INSERT * | INSERT (cols) VALUES (exprs)``, and ``WHEN NOT MATCHED
+    BY SOURCE [AND <cond>] THEN UPDATE SET col = expr | DELETE``
+    (full-sync: target rows the source no longer carries) — the
+    CDC-apply statement shape the reference's upsert loop
+    (index_wikimedia.py:86-103) grows into at scale. Clauses evaluate in statement order, first match wins; a
     matched row that satisfies no clause is untouched. Conditions and
     expressions may qualify columns by the target/source names or
     their declared aliases. The ON column must be the table's
@@ -367,7 +393,7 @@ def _merge(spark: SparkSession, catalog: Catalog, text: str) -> dict:
             f"MERGE ON must be a single same-named column equality "
             f"(t.k = s.k), got: {on_text!r}")
     on_key = on_eq.group(1)
-    matched, not_matched = _parse_merge_clauses(rest)
+    matched, not_matched, nmbs = _parse_merge_clauses(rest)
 
     e = _writable_table(catalog, name, "MERGE INTO")
     decl_key = e["meta"].get("key")
@@ -392,7 +418,8 @@ def _merge(spark: SparkSession, catalog: Catalog, text: str) -> dict:
                        f"columns {target.columns}")
 
     star_upsert = (
-        [c[:2] for c in matched] in ([], [(None, "update_star")])
+        not nmbs
+        and [c[:2] for c in matched] in ([], [(None, "update_star")])
         and [c[:2] for c in not_matched] in ([], [(None,
                                                    "insert_star")]))
     bucketed = _is_bucketed(e, ver0)
@@ -405,7 +432,7 @@ def _merge(spark: SparkSession, catalog: Catalog, text: str) -> dict:
     if not star_upsert:
         return _merge_general(spark, e, name, target, src, key,
                               t_alias, s_alias, matched, not_matched,
-                              ver0)
+                              nmbs, ver0)
 
     # ---- unconditional SET * / INSERT * fast paths (O(source)) ----
     s_by_lower = {c.lower(): c for c in src.columns}
@@ -462,7 +489,8 @@ def _merge_dup_key_check(src: DataFrame, key: str) -> None:
 
 def _merge_stage_plans(target: DataFrame, src: DataFrame, key: str,
                        skey: str, t_alias: str, s_alias: str,
-                       matched: list, not_matched: list):
+                       matched: list, not_matched: list,
+                       nmbs: list | None = None):
     """The clause engine's DataFrame plans, shared with
     tools/explain_audit.py (the audited matched-DELETE keys job IS
     the shipped plan). Returns ``(del_keys, appends)`` — ``del_keys``
@@ -541,6 +569,27 @@ def _merge_stage_plans(target: DataFrame, src: DataFrame, key: str,
                 (F.expr(assigns[c]).cast(types[c]) if c in assigns
                  else F.expr(f"{t_alias}.{c}")).alias(c)
                 for c in t_cols]))
+    if nmbs:
+        # target rows with NO source key match (full-sync semantics:
+        # delete-or-update what the source no longer carries). This
+        # term scans the target once — inherent to by-source
+        # semantics; Catalyst prunes it to the key plus whatever
+        # columns the conditions/assignments read.
+        t_anti = ta.join(sa, key_eq, "left_anti")
+        trig = _act_chain(t_anti, nmbs)
+        d2 = trig.select(F.expr(f"{t_alias}.{key}")
+                         .cast(types[key]).alias(key))
+        del_keys = (d2 if del_keys is None
+                    else del_keys.unionByName(d2))
+        for i, (_cond, act, payload) in enumerate(nmbs):
+            if act == "delete":
+                continue
+            rows = trig.where(F.col(_MERGE_ACT) == i)
+            assigns = _resolve_assigns(payload)
+            appends.append(rows.select(*[
+                (F.expr(assigns[c]).cast(types[c]) if c in assigns
+                 else F.expr(f"{t_alias}.{c}")).alias(c)
+                for c in t_cols]))
     if not_matched:
         anti = sa.join(ta, key_eq, "left_anti")
         trig = _act_chain(anti, not_matched)
@@ -572,7 +621,7 @@ def _merge_stage_plans(target: DataFrame, src: DataFrame, key: str,
 def _merge_general(spark: SparkSession, e: dict, name: str,
                    target: DataFrame, src: DataFrame, key: str,
                    t_alias: str, s_alias: str | None, matched: list,
-                   not_matched: list, ver0: int) -> dict:
+                   not_matched: list, nmbs: list, ver0: int) -> dict:
     """The conditional/clause MERGE engine: ONE inner join (matched
     clauses) + ONE anti join (not-matched clauses) of the source
     against the target — both column-pruned by Catalyst to the key
@@ -595,7 +644,7 @@ def _merge_general(spark: SparkSession, e: dict, name: str,
         _merge_dup_key_check(src, skey)
         del_keys, batch = _merge_stage_plans(
             target, src, key, skey, t_alias, s_alias, matched,
-            not_matched)
+            not_matched, nmbs)
         if del_keys is None:
             ver = V.append(spark, e["path"], batch,
                            parent_version=ver0)

@@ -1659,3 +1659,54 @@ def test_bucketed_explicit_schema_and_show_create(spark, events, cat):
     with pytest.raises(S.SqlError, match="not a column"):
         S.execute(spark, "CREATE TABLE ebk3 OPTIONS (key='typo', "
                          "buckets=4) AS SELECT * FROM ebk_seed", cat)
+
+
+def test_merge_not_matched_by_source(spark, events, cat, base):
+    """WHEN NOT MATCHED BY SOURCE: full-sync semantics — target rows
+    the source no longer carries are deleted (or updated), on top of
+    the matched/not-matched clauses."""
+    src = base.where(F.col("event_id") % 2 == 0).select(
+        "event_id", (F.col("cents") * 2).alias("c2"))
+    src.createOrReplaceTempView("sync_src")
+    S.execute(spark, (
+        "MERGE INTO ev t USING sync_src s ON t.event_id = s.event_id "
+        "WHEN MATCHED THEN UPDATE SET cents = s.c2 "
+        "WHEN NOT MATCHED BY SOURCE AND t.cents < 0 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET "
+        "event_type = 'stale'"), cat)
+    got = S.execute(spark, "SELECT event_id, event_type, cents "
+                           "FROM ev", cat)
+    inb = base.where(F.col("event_id") % 3 != 2)
+    want = (inb.withColumn("hit", F.col("event_id") % 2 == 0)
+            .where(~(~F.col("hit") & (F.col("cents") < 0)))
+            .select("event_id",
+                    F.when(F.col("hit"), F.col("event_type"))
+                    .otherwise(F.lit("stale")).alias("event_type"),
+                    F.when(F.col("hit"), F.col("cents") * 2)
+                    .otherwise(F.col("cents")).alias("cents")))
+    assert _rows(got) == _rows(want)
+
+
+def test_merge_by_source_sync_delete_only(spark, events, cat, base):
+    """The pure 'sync target to source keys' shape: one delete-vector
+    commit removing everything the source lacks."""
+    src = base.where(F.col("event_id") % 4 == 1).select(
+        "event_id", "user_id", "event_type", "cents")
+    src.createOrReplaceTempView("sync2")
+    S.execute(spark, (
+        "MERGE INTO ev t USING sync2 s ON t.event_id = s.event_id "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"), cat)
+    got = S.execute(spark, "SELECT count(*) AS n FROM ev",
+                    cat).collect()[0]["n"]
+    want = base.where((F.col("event_id") % 3 != 2)
+                      & (F.col("event_id") % 4 == 1)).count()
+    assert got == want
+    assert V.history(cat.get("ev")["path"])[-1]["op"] == "delete"
+    with pytest.raises(S.SqlError, match="no source row"):
+        S.execute(spark, (
+            "MERGE INTO ev t USING sync2 s ON t.event_id = s.event_id "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"), cat)
+    with pytest.raises(S.SqlError, match="BY SOURCE/TARGET"):
+        S.execute(spark, (
+            "MERGE INTO ev t USING sync2 s ON t.event_id = s.event_id "
+            "WHEN MATCHED BY SOURCE THEN DELETE"), cat)
