@@ -135,7 +135,12 @@ def _update(spark: SparkSession, catalog: Catalog, name: str,
         if col in assigned:
             raise SqlError(f"column {col!r} assigned twice")
         assigned[col] = m.group(2)
-    updated = _update_plan(df, assigned, pred)
+    # key-addressed DML never touches NULL-keyed rows: the delete
+    # vector anti-joins on key equality (NULL never matches), so an
+    # update of a NULL-keyed row would append its new image WITHOUT
+    # retracting the old one — a silent duplicate
+    updated = _update_plan(df, assigned, pred).where(
+        F.col(key).isNotNull())
     ver = V.delete_and_append(spark, e["path"], updated.select(key),
                               key, updated, parent_version=ver0)
     return {"status": "updated", "name": name, "version": ver}
@@ -194,7 +199,8 @@ def _parse_merge_source(src_text: str) -> tuple[str, str | None]:
     return f"SELECT * FROM {tbl}", alias
 
 
-def _parse_merge_clauses(rest: str) -> tuple[list, list]:
+def _parse_merge_clauses(rest: str
+                         ) -> tuple[list, list, list]:
     """Split the ``WHEN ...`` tail into ordered clause lists
     ``(matched, not_matched, nmbs)``; each entry is
     ``(cond_sql_or_None, action, payload)`` where action ∈
@@ -254,6 +260,12 @@ def _parse_merge_clauses(rest: str) -> tuple[list, list]:
                 raise SqlError("empty condition after WHEN ... AND")
         action = seg[t_off + 4:].strip()
         if by_source:
+            if re.match(r"insert\b", _mask(action), re.IGNORECASE):
+                raise SqlError(
+                    "WHEN NOT MATCHED BY SOURCE has no source row to "
+                    "insert — INSERT belongs to WHEN NOT MATCHED "
+                    "[BY TARGET]; by-source actions are UPDATE SET "
+                    "col = expr / DELETE")
             parsed = _parse_merge_action(action, True)
             if parsed[0] == "update_star":
                 raise SqlError(
@@ -347,8 +359,9 @@ def _merge(spark: SparkSession, catalog: Catalog, text: str) -> dict:
     BY SOURCE [AND <cond>] THEN UPDATE SET col = expr | DELETE``
     (full-sync: target rows the source no longer carries) — the
     CDC-apply statement shape the reference's upsert loop
-    (index_wikimedia.py:86-103) grows into at scale. Clauses evaluate in statement order, first match wins; a
-    matched row that satisfies no clause is untouched. Conditions and
+    (index_wikimedia.py:86-103) grows into at scale. Clauses
+    evaluate in statement order, first match wins; a matched row that
+    satisfies no clause is untouched. Conditions and
     expressions may qualify columns by the target/source names or
     their declared aliases. The ON column must be the table's
     DECLARED row-identity key: merging on a non-unique column would
@@ -550,6 +563,25 @@ def _merge_stage_plans(target: DataFrame, src: DataFrame, key: str,
             F.expr(f"{s_alias}.{s_by_lower[c.lower()]}")
             .cast(types[c]).alias(c) for c in t_cols])
 
+    def _update_images(trig: DataFrame, clauses: list,
+                       star_what: str | None) -> None:
+        """The ONE updated-row-image projection both update-capable
+        groups (matched, by-source) share: per clause, cast every
+        assignment back to its declared type, carry the rest of the
+        target row through."""
+        for i, (_cond, act, payload) in enumerate(clauses):
+            if act == "delete":
+                continue
+            rows = trig.where(F.col(_MERGE_ACT) == i)
+            if act == "update_star":
+                appends.append(_star_image(rows, star_what))
+                continue
+            assigns = _resolve_assigns(payload)
+            appends.append(rows.select(*[
+                (F.expr(assigns[c]).cast(types[c]) if c in assigns
+                 else F.expr(f"{t_alias}.{c}")).alias(c)
+                for c in t_cols]))
+
     ta, sa = target.alias(t_alias), src.alias(s_alias)
     key_eq = F.expr(f"{t_alias}.{key} = {s_alias}.{skey}")
     del_keys, appends = None, []
@@ -557,39 +589,26 @@ def _merge_stage_plans(target: DataFrame, src: DataFrame, key: str,
         trig = _act_chain(sa.join(ta, key_eq, "inner"), matched)
         del_keys = trig.select(
             F.expr(f"{s_alias}.{skey}").cast(types[key]).alias(key))
-        for i, (_cond, act, payload) in enumerate(matched):
-            if act == "delete":
-                continue
-            rows = trig.where(F.col(_MERGE_ACT) == i)
-            if act == "update_star":
-                appends.append(_star_image(rows, "UPDATE SET *"))
-                continue
-            assigns = _resolve_assigns(payload)
-            appends.append(rows.select(*[
-                (F.expr(assigns[c]).cast(types[c]) if c in assigns
-                 else F.expr(f"{t_alias}.{c}")).alias(c)
-                for c in t_cols]))
+        _update_images(trig, matched, "UPDATE SET *")
     if nmbs:
         # target rows with NO source key match (full-sync semantics:
         # delete-or-update what the source no longer carries). This
         # term scans the target once — inherent to by-source
         # semantics; Catalyst prunes it to the key plus whatever
-        # columns the conditions/assignments read.
-        t_anti = ta.join(sa, key_eq, "left_anti")
+        # columns the conditions/assignments read. NULL-keyed target
+        # rows are EXCLUDED: retraction is key-addressed (the delete
+        # vector anti-joins on key equality, which NULL never
+        # satisfies), so touching them would no-op the DELETE and
+        # duplicate the UPDATE — key-addressed DML never touches
+        # NULL-keyed rows, here and in UPDATE.
+        t_anti = (ta.join(sa, key_eq, "left_anti")
+                  .where(F.expr(f"{t_alias}.{key}").isNotNull()))
         trig = _act_chain(t_anti, nmbs)
         d2 = trig.select(F.expr(f"{t_alias}.{key}")
                          .cast(types[key]).alias(key))
         del_keys = (d2 if del_keys is None
                     else del_keys.unionByName(d2))
-        for i, (_cond, act, payload) in enumerate(nmbs):
-            if act == "delete":
-                continue
-            rows = trig.where(F.col(_MERGE_ACT) == i)
-            assigns = _resolve_assigns(payload)
-            appends.append(rows.select(*[
-                (F.expr(assigns[c]).cast(types[c]) if c in assigns
-                 else F.expr(f"{t_alias}.{c}")).alias(c)
-                for c in t_cols]))
+        _update_images(trig, nmbs, None)  # parser rejects SET * here
     if not_matched:
         anti = sa.join(ta, key_eq, "left_anti")
         trig = _act_chain(anti, not_matched)

@@ -69,16 +69,20 @@ def test_sql_dml_fuzz(spark, tmp_path, seed):
             _snapshot(out["version"])
         elif op == "update":
             m, r = rng.randint(2, 5), rng.randint(0, 1)
+            # abs() keeps b NON-NEGATIVE: Spark's % is truncated
+            # remainder (sign of the dividend) while Python's is
+            # floored — the DELETE predicate below must never see a
+            # negative operand or the model diverges from the engine
             out = S.execute(spark, f"UPDATE fz SET a = a * 2 + 1, "
-                                   f"b = b - k WHERE k % {m} = {r}",
-                            cat)
+                                   f"b = abs(b - k) WHERE "
+                                   f"k % {m} = {r}", cat)
             for k, row in model.items():
                 if k % m == r:
                     # SQL NULL propagation: NULL op x -> NULL
                     row["a"] = (None if row["a"] is None
                                 else row["a"] * 2 + 1)
                     row["b"] = (None if row["b"] is None
-                                else row["b"] - k)
+                                else abs(row["b"] - k))
             _snapshot(out["version"])
         elif op == "delete":
             m, r = rng.randint(2, 6), rng.randint(0, 1)

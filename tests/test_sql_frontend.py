@@ -1671,14 +1671,19 @@ def test_merge_not_matched_by_source(spark, events, cat, base):
     S.execute(spark, (
         "MERGE INTO ev t USING sync_src s ON t.event_id = s.event_id "
         "WHEN MATCHED THEN UPDATE SET cents = s.c2 "
-        "WHEN NOT MATCHED BY SOURCE AND t.cents < 0 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE AND t.cents < 100 THEN DELETE "
         "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET "
         "event_type = 'stale'"), cat)
     got = S.execute(spark, "SELECT event_id, event_type, cents "
                            "FROM ev", cat)
     inb = base.where(F.col("event_id") % 3 != 2)
+    # both by-source branches fire: cents < 100 rows DELETE (the
+    # fixture's cents span 0..20000, so the condition is satisfiable),
+    # the rest mark stale — first-match-wins within the group
+    assert inb.where(~(F.col("event_id") % 2 == 0)
+                     & (F.col("cents") < 100)).count() > 0
     want = (inb.withColumn("hit", F.col("event_id") % 2 == 0)
-            .where(~(~F.col("hit") & (F.col("cents") < 0)))
+            .where(~(~F.col("hit") & (F.col("cents") < 100)))
             .select("event_id",
                     F.when(F.col("hit"), F.col("event_type"))
                     .otherwise(F.lit("stale")).alias("event_type"),
@@ -1710,3 +1715,31 @@ def test_merge_by_source_sync_delete_only(spark, events, cat, base):
         S.execute(spark, (
             "MERGE INTO ev t USING sync2 s ON t.event_id = s.event_id "
             "WHEN MATCHED BY SOURCE THEN DELETE"), cat)
+
+
+def test_null_keyed_rows_are_never_duplicated_by_dml(spark, events,
+                                                     cat, base):
+    """Key-addressed DML (UPDATE, by-source MERGE) must SKIP NULL-keyed
+    rows: the delete vector anti-joins on key equality, which NULL
+    never satisfies — touching them would append a new image without
+    retracting the old one (silent duplicate; review finding)."""
+    S.execute(spark, "INSERT INTO ev VALUES (NULL, 77, 'nk', 5)", cat)
+    n0 = S.execute(spark, "SELECT count(*) AS n FROM ev",
+                   cat).collect()[0]["n"]
+    S.execute(spark, "UPDATE ev SET cents = cents + 1 "
+                     "WHERE user_id = 77", cat)
+    nk = S.execute(spark, "SELECT cents FROM ev WHERE event_id IS "
+                          "NULL", cat).collect()
+    assert len(nk) == 1 and nk[0]["cents"] == 5  # untouched, once
+    base.limit(3).select("event_id", "user_id", "event_type",
+                         "cents").createOrReplaceTempView("nk_src")
+    S.execute(spark, (
+        "MERGE INTO ev t USING nk_src s ON t.event_id = s.event_id "
+        "WHEN NOT MATCHED BY SOURCE AND t.user_id = 77 THEN "
+        "UPDATE SET cents = 99"), cat)
+    nk2 = S.execute(spark, "SELECT cents FROM ev WHERE event_id IS "
+                           "NULL", cat).collect()
+    assert len(nk2) == 1 and nk2[0]["cents"] == 5
+    n1 = S.execute(spark, "SELECT count(*) AS n FROM ev",
+                   cat).collect()[0]["n"]
+    assert n1 == n0  # no silent duplicates anywhere
