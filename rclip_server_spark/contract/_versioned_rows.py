@@ -1760,3 +1760,58 @@ _register(
     FROM s WHERE event_id % 3 <> 0 AND vc >= 100
     """,
 )
+
+
+def _sql_bucket_mig_builder(spark: SparkSession, sf: str,
+                            path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    ).createOrReplaceTempView("events_seed_bm")
+    SQ.execute(spark, "CREATE TABLE evm2 OPTIONS (key='event_id') AS "
+                      "SELECT * FROM events_seed_bm", cat)
+    SQ.execute(spark, "DELETE FROM evm2 WHERE event_id % 7 = 0", cat)
+    SQ.execute(spark, "OPTIMIZE evm2 BUCKET BY (event_id, 8)", cat)
+    # post-migration DML rides the bucketed path
+    SQ.execute(spark, (
+        "MERGE INTO evm2 USING (SELECT event_id, event_type, "
+        "value_cents + 11 AS value_cents FROM events_seed_bm "
+        "WHERE event_id % 4 = 0) "
+        "ON evm2.event_id = event_id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"), cat)
+
+
+def _sql_bucket_migration(spark: SparkSession, sf: str) -> DataFrame:
+    """Flat → bucketed layout migration as one committed rewrite
+    (OPTIMIZE t BUCKET BY (key, n) → versioned.convert_to_bucketed):
+    pending delete vectors are materialized by the rewrite, and the
+    next MERGE takes the touched-buckets path. Oracle: the final
+    state by set algebra over `events` (delete %7, then upsert %4)."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "sqlbm", _sql_bucket_mig_builder)
+    return SQ.execute(
+        spark,
+        "SELECT event_id, event_type, value_cents FROM evm2",
+        SQ.Catalog(path))
+
+
+_register(
+    "sql_bucket_migration",
+    _sql_bucket_migration,
+    """
+    WITH s AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events)
+    SELECT event_id, event_type, vc AS value_cents
+    FROM s WHERE event_id % 7 <> 0 AND event_id % 4 <> 0
+    UNION ALL
+    SELECT event_id, event_type, CAST(vc + 11 AS BIGINT) AS value_cents
+    FROM s WHERE event_id % 4 = 0
+    """,
+)

@@ -1196,6 +1196,45 @@ def create_bucketed(
     return 1
 
 
+def convert_to_bucketed(spark: SparkSession, path: str, key: str,
+                        n_buckets: int = 64) -> int:
+    """Migrate a FLAT table to the hash-bucketed layout as a normal
+    committed version: read the head snapshot (pending delete vectors
+    AND logical column drops are materialized by the rewrite), route
+    rows by ``pmod(xxhash64(key), n_buckets)``, write one segment per
+    bucket, commit a bucketed manifest. Readers of older versions
+    stay flat (read dispatches per-manifest); RESTORE below this
+    version returns to the flat layout. The migration path for a
+    table whose join/upsert traffic has grown into wanting
+    co-location — one rewrite buys every later key-equi join/upsert
+    the touched-buckets cost model."""
+    from .writer import _BUCKET_COL, _bucket_expr
+
+    v = current_version(path)
+    m = _manifest(path, v)
+    if "buckets" in m:
+        raise ValueError(f"{path} is already bucketed "
+                         f"(n_buckets={m.get('n_buckets')})")
+    df = read(spark, path, v)
+    if key not in df.columns:
+        raise ValueError(f"no column {key!r} on {path} "
+                         f"(columns: {df.columns})")
+    df_b = df.withColumn(_BUCKET_COL, _bucket_expr(key, int(n_buckets)))
+    touched = _bucket_ids(df_b)
+    segs = _write_bucket_segments(df_b, path, touched)
+    buckets = {str(b): [segs[b]] for b in segs}
+    try:
+        _commit(path, v + 1, None, "convert-bucketed",
+                extra={"bucket_key": key, "n_buckets": int(n_buckets),
+                       "buckets": buckets,
+                       "col_types": _col_types(df)})
+    except ConcurrentWriteError:
+        for s in segs.values():
+            shutil.rmtree(os.path.join(path, s), ignore_errors=True)
+        raise
+    return v + 1
+
+
 def read_bucketed(
     spark: SparkSession, path: str, version: int | None = None,
     buckets: list[int] | None = None,

@@ -63,9 +63,11 @@ the Spark engine the equivalent entry point for its storage layer:
 * ``VACUUM t [KEEP n]`` — cursor-safe: clamped to every registered
   view's refresh cursor (matview.vacuum_source_safely with the whole
   catalog as the dependent-view list).
-* ``OPTIMIZE t [ZORDER BY (x, y)]`` — fold accreted segments into one
-  committed version (versioned.compact), or recluster by Morton key
-  with zone maps on both columns (versioned.cluster_zorder).
+* ``OPTIMIZE t [ZORDER BY (x, y) | BUCKET BY (key, n)]`` — fold
+  accreted segments into one committed version (versioned.compact /
+  compact_bucketed), recluster by Morton key with zone maps on both
+  columns (cluster_zorder), or migrate a flat table to the
+  hash-bucketed co-located layout (convert_to_bucketed).
 * ``DROP TABLE t`` / ``DROP MATERIALIZED VIEW v``
 
 Scale notes: every statement is driver-side manifest work plus the
@@ -694,8 +696,46 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
             ver = V.cluster_zorder(spark, e["path"], cols[0], cols[1])
             return {"status": "optimized", "name": name,
                     "zorder_by": cols, "version": ver}
+        if cur.at_kw("bucket"):
+            # OPTIMIZE t BUCKET BY (key, N) — migrate a flat table to
+            # the hash-bucketed co-located layout as one committed
+            # rewrite (versioned.convert_to_bucketed); older versions
+            # stay flat, RESTORE returns to flat
+            cur.take()
+            cur.expect_kw("by")
+            cur.expect_op("(")
+            bcol = cur.expect_ident()
+            cur.expect_op(",")
+            t = cur.take()
+            if t.kind != "num" or "." in t.text:
+                raise SqlError("OPTIMIZE t BUCKET BY (key, <int>)")
+            n_buckets = int(t.text)
+            cur.expect_op(")")
+            if not cur.done():
+                raise SqlError("trailing tokens after BUCKET BY (...)")
+            if n_buckets < 2:
+                raise SqlError("bucket count must be >= 2")
+            key = e["meta"].get("key")
+            if not key:
+                raise SqlError(
+                    f"BUCKET BY needs {name}'s declared row-identity "
+                    f"column — recreate it with OPTIONS (key='id')")
+            if bcol.lower() != key.lower():
+                raise SqlError(
+                    f"BUCKET BY must use {name}'s declared "
+                    f"row-identity column {key!r} (got {bcol!r}) — "
+                    f"bucketed MERGE routes by it")
+            try:
+                ver = V.convert_to_bucketed(spark, e["path"], key,
+                                            n_buckets=n_buckets)
+            except ValueError as ex:
+                raise SqlError(str(ex)) from ex
+            return {"status": "optimized", "name": name,
+                    "bucketed_by": key, "n_buckets": n_buckets,
+                    "version": ver}
         if not cur.done():
-            raise SqlError("OPTIMIZE t [ZORDER BY (x, y)]")
+            raise SqlError("OPTIMIZE t [ZORDER BY (x, y) | "
+                           "BUCKET BY (key, n)]")
         if _is_bucketed_entry(e):
             ver = V.compact_bucketed(spark, e["path"])
         else:

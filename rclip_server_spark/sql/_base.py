@@ -30,7 +30,7 @@ _UNREGISTERABLE = _RESERVED | {
     "update", "merge", "set", "when", "matched", "then", "on",
     "restore", "optimize", "explain", "distinct", "to",
     "alter", "add", "column", "start", "stop", "stream",
-    "changes",
+    "changes", "bucket",
 }
 
 

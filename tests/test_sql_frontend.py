@@ -1743,3 +1743,40 @@ def test_null_keyed_rows_are_never_duplicated_by_dml(spark, events,
     n1 = S.execute(spark, "SELECT count(*) AS n FROM ev",
                    cat).collect()[0]["n"]
     assert n1 == n0  # no silent duplicates anywhere
+
+
+def test_optimize_bucket_by_migration(spark, events, cat, base):
+    """OPTIMIZE t BUCKET BY (key, n): one committed rewrite migrates a
+    flat table to the co-located bucketed layout; pending deletes are
+    materialized, the bucketed MERGE path takes over, and RESTORE
+    returns to the flat layout."""
+    S.execute(spark, "DELETE FROM ev WHERE event_id % 9 = 0", cat)
+    v_flat = V.current_version(cat.get("ev")["path"])
+    out = S.execute(spark, "OPTIMIZE ev BUCKET BY (event_id, 4)", cat)
+    assert out["status"] == "optimized" and out["n_buckets"] == 4
+    d = S.execute(spark, "DESCRIBE ev", cat)
+    assert d["layout"] == "bucketed"
+    assert d["pending_delete_vectors"] == 0  # materialized
+    want = base.where((F.col("event_id") % 3 != 2)
+                      & (F.col("event_id") % 9 != 0))
+    got = S.execute(spark, "SELECT event_id, user_id, event_type, "
+                           "cents FROM ev", cat)
+    assert _rows(got) == _rows(want)
+    # bucketed DML takes over
+    src = want.limit(10).withColumn("cents", F.col("cents") + 7)
+    src.createOrReplaceTempView("cvt_upd")
+    S.execute(spark, "MERGE INTO ev USING cvt_upd ON "
+                     "ev.event_id = cvt_upd.event_id "
+                     "WHEN MATCHED THEN UPDATE SET * "
+                     "WHEN NOT MATCHED THEN INSERT *", cat)
+    with pytest.raises(S.SqlError, match="already bucketed"):
+        S.execute(spark, "OPTIMIZE ev BUCKET BY (event_id, 8)", cat)
+    with pytest.raises(S.SqlError, match="row-identity"):
+        S.execute(spark, "OPTIMIZE ev BUCKET BY (cents, 8)", cat)
+    # RESTORE below the conversion returns the flat layout
+    S.execute(spark, f"RESTORE TABLE ev TO VERSION AS OF {v_flat}",
+              cat)
+    assert S.execute(spark, "DESCRIBE ev", cat)["layout"] == "flat"
+    got2 = S.execute(spark, "SELECT event_id, user_id, event_type, "
+                            "cents FROM ev", cat)
+    assert _rows(got2) == _rows(want)

@@ -810,6 +810,30 @@ def main() -> int:
         "delete vector — O(matched), never a rewrite.",
     ))
 
+    # MERGE WHEN NOT MATCHED BY SOURCE keys job: the full-sync delete
+    # term is one target anti-join against the source keys — an
+    # equi-anti-join with both sides pruned to the key (+ condition
+    # columns), never a nested loop, and the wide payload stays in
+    # parquet
+    _bs_keys, _bs_batch = SQL._merge_stage_plans(
+        V.read(spark, _upath), _msrc, "vec_id", "vec_id", "t", "s",
+        [], [], [(None, "delete", None)])
+    assert _bs_batch is None
+    audits.append((
+        "SQL MERGE by-source sync-DELETE keys job",
+        _bs_keys,
+        {("BroadcastHashJoin", "SortMergeJoin"): True,
+         "LeftAnti": True, "embedding#": False, "score#": False,
+         "CartesianProduct": False, "BroadcastNestedLoopJoin": False},
+        "MERGE ... WHEN NOT MATCHED BY SOURCE THEN DELETE (full-sync: "
+        "drop what the source no longer carries) fills the delete "
+        "vector from ONE left-anti equi-join of the target against "
+        "the source keys. The O(target) scan is inherent to by-source "
+        "semantics, but it is a KEY-COLUMN-ONLY scan (payload columns "
+        "asserted absent as plan attributes) and the commit is a "
+        "delete vector — never a rewrite.",
+    ))
+
     audits.append((
         "Salted join (hot-key skew mitigation)",
         _QUERIES["rel_salted_join_skew"](spark, SF_DIR),
