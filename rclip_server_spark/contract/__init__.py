@@ -45,27 +45,20 @@ from . import _tpch7  # noqa: F401,E402
 # tools/check_contract.py.
 _PRIORITY = [
     # The driver verifies the FIRST 50 registered rows each round.
-    # Round-10 rotation — RETIRE THE VERIFICATION DEBT (r9 verdict
-    # task 2): after this window, every registered row has at least
-    # one driver-ledger entry. Composition: (a) the 20 §2-mapped rows
-    # + the fenced drift row stay (the judge reads them against
-    # SURVEY §2 every round); (b) this round's 2 NEW oracle rows
-    # (CDC-apply MERGE, ALTER TABLE ADD COLUMN evolution) plus the
-    # never-driver-run sql_insert_overwrite; (c) the four oracle rows
-    # the r9 DML block displaced (rel_q1 / rel_window /
-    # minhash-signatures / hyperplane-near-dup); (d) ALL 15
-    # never-windowed rows-only rows (RNG/UDF/iterative — the driver
-    # records executed-no-error cells; the judge sees which);
-    # (e) 5 machinery slots for what r10 touched: the MERGE engine
-    # rewrite (fast path re-proven), ALTER DROP COLUMN (new this
-    # round, hidden_cols carry across commits), the stacked distinct
-    # chain through the package split, and BOTH pair views (their
-    # refresh cost-dispatch changed — pairs never cost-trip now);
-    # (f) 2 family re-confirmation slots (ev_/samp_ spread).
-    # Rotated-out rows (r9's vt_ machinery block, SQL UPDATE/AVG/
-    # QUALIFY/RESTORE, gramian/int8/lang-id/incremental-minhash
-    # recency — all driver-green in CORRECTNESS_r09) stay replayed
-    # locally by tools/check_contract.py.
+    # Round-11 rotation (r10 verdict task 1): (a) the 20 §2-mapped
+    # rows + the fenced drift row stay (the judge reads them against
+    # SURVEY §2 every round); (b) the 5 late-r10 oracle rows that
+    # registered after the r10 window froze — the only rows with no
+    # driver-ledger cell (judge-replayed hash-exact, but the ledger
+    # is the proof of record); (c) machinery re-confirmation for what
+    # r11 touches: the MERGE clause engine + delete vectors (bucketed
+    # conditional DML work) and view refresh (vacuum/stream guard);
+    # (d) recency slots spanning the ev_/samp_/text_/ann_/dedup_/
+    # rel_/sql_q/vec_/vt_ families, preferring rows whose last
+    # driver-green cell is oldest. Rotated-out rows (r10's 15
+    # rows-only debt block, CDC/ALTER evolution rows, pair views —
+    # all driver-green in CORRECTNESS_r10) stay replayed locally by
+    # tools/check_contract.py.
     # §2 A-family (vector/similarity)
     "a1_a2_flagship_topk", "a2_topk_k50", "a4_l2_normalize",
     "a6_point_lookup", "a7_feature_minmax", "a8_minmax_normalize",
@@ -78,30 +71,25 @@ _PRIORITY = [
     "rel_anti_join_b8", "d1_embed_documents_distributed",
     # --- drift row (r6's red cell; its dtype class is fenced) ---
     "sketch_histogram_drift",
-    # --- NEW r10 rows + the never-driver-run oracle row ---
-    "sql_merge_cdc_apply", "sql_add_column_evolution",
-    "sql_insert_overwrite",
-    # --- the four oracle rows the r9 DML block displaced ---
-    "rel_q1_pricing_summary", "rel_window_running_sum",
-    "dedup_minhash_signatures", "ann_hyperplane_near_dup",
-    # --- the 15 never-windowed rows-only rows (verification debt) ---
-    "ann_ivf_pq_topk", "ann_ivf_trained_topk", "ann_pca_coarse_topk",
-    "graph_pagerank_suppliers", "ml_train_quality_lr",
-    "pipeline_curate_corpus", "vec_pca_project",
-    "text_bpe_train_merges", "sketch_hll_distinct",
-    "rel_approx_count_distinct", "a11_similar_words_from_corpus",
-    "a13_exact_vs_approx_phrase", "d1_embedding_near_dup_documents",
-    "d2_audio_features", "d2_video_frame_sample",
-    # --- machinery touched in r10: the MERGE clause engine (fast
-    # path), ALTER DROP COLUMN (hidden_cols carry), the stacked
-    # distinct chain through the sql/ package split, and both
-    # maintained pair views under the new pairs-never-cost-trip
-    # refresh dispatch ---
-    "sql_merge_upsert", "sql_drop_column_evolution",
-    "sql_mv_count_distinct",
-    "vt_near_dup_pairs_view", "vt_embed_near_dup_pairs_view",
-    # --- family-spread re-confirmation (ev_/samp_) ---
-    "ev_transition_matrix", "samp_weighted_mixture",
+    # --- the 5 late-r10 rows with no driver-ledger cell yet ---
+    "rel_salted_join_skew", "sql_create_schema_insert",
+    "sql_bucketed_lifecycle", "sql_merge_sync_by_source",
+    "sql_bucket_migration",
+    # --- machinery r11 touches: MERGE engine + delete vectors
+    # (bucketed conditional DML), view refresh (vacuum/stream guard) ---
+    "sql_merge_upsert", "vt_delete_vector_read", "vt_agg_view_refresh",
+    # --- family-spread recency re-confirmation (oldest green first) ---
+    "ev_session_windows", "ev_asof_attribution",
+    "samp_stratified", "samp_temperature_mixture",
+    "text_lang_id", "text_bm25_topk", "text_ngram_contamination",
+    "ann_lsh_knn_join", "ann_lsh_topk_multiprobe",
+    "dedup_minhash_near_dup", "dedup_semantic_semdedup",
+    "rel_grouping_sets", "rel_window_rank",
+    "sql_q17_small_quantity_revenue", "sql_q8_market_share",
+    "vec_quantize_int8_roundtrip",
+    "sql_mv_roundtrip", "sql_topk_qualify",
+    "sql_update_roundtrip", "sql_restore_roundtrip",
+    "vt_view_composition",
 ]
 
 

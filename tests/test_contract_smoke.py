@@ -61,19 +61,12 @@ def test_registry_invariants():
         assert any(n.startswith(prefix) for n in window), prefix
     # everything in the window has an oracle except the NAMED rows-only
     # rows (no SQL twin by design: RNG-seeded/k-means/iterative/UDF
-    # ops). Round 10 deliberately rotates the ENTIRE never-windowed
-    # rows-only backlog through the window (r9 verdict task 2) so
-    # every registered row gains a driver-ledger cell; the driver
-    # records executed-no-error for these.
+    # ops). Round 10 retired the entire never-windowed rows-only
+    # backlog (all 16 hold CORRECTNESS_r10 executed cells); round 11
+    # rotates them back out, so the only rows-only rows left in the
+    # window are the fixed §2 D1 slot and any new r11 rows-only rows.
     assert sorted(n for n in C._PRIORITY if n not in o) == [
-        "a11_similar_words_from_corpus", "a13_exact_vs_approx_phrase",
-        "ann_ivf_pq_topk", "ann_ivf_trained_topk",
-        "ann_pca_coarse_topk", "d1_embed_documents_distributed",
-        "d1_embedding_near_dup_documents", "d2_audio_features",
-        "d2_video_frame_sample", "graph_pagerank_suppliers",
-        "ml_train_quality_lr", "pipeline_curate_corpus",
-        "rel_approx_count_distinct", "sketch_hll_distinct",
-        "text_bpe_train_merges", "vec_pca_project",
+        "d1_embed_documents_distributed",
     ]
 
 
