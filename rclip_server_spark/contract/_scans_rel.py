@@ -498,3 +498,41 @@ _register(
     FROM big LEFT JOIN small USING (user_id)
     """,
 )
+
+
+def _b16_local_binary_ingest(spark, sf):
+    """B16's NETWORK-FREE half (rclip_server.py:440-446 serves local
+    files; index_wikimedia.py:136-143 fetches remote ones): ingest a
+    generated local binary-file corpus through Spark's distributed
+    ``binaryFile`` source → extension allowlist (planning-time
+    pathGlobFilter) → anti-join skip → stub embed → MERGE upsert, then
+    read the indexed table back. Rows-only: DuckDB cannot run the
+    pipeline (the OUTPUT here — basename/size/dim — is deterministic
+    and pinned in tests/test_pipelines.py; paths/mtimes are
+    machine-local)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from .. import pipelines as _P
+
+    d = _tempfile.mkdtemp(prefix="rclip_b16_")
+    for i in range(12):
+        ext = ("jpg", "png", "gif", "txt")[i % 4]
+        with open(_os.path.join(d, f"pic_{i:03d}.{ext}"), "wb") as f:
+            f.write(bytes([i % 251]) * (64 + i))
+    table = _os.path.join(d, "_images")
+    _P.index_local_images(spark, d, table)
+    return (
+        spark.read.parquet(table)
+        .select(
+            F.element_at(F.split("filepath", "/"), -1).alias("basename"),
+            "size",
+            F.size("vector").alias("dim"))
+        .orderBy("basename"))
+
+
+_register(
+    "b16_local_binary_ingest",
+    _b16_local_binary_ingest,
+    None,  # pipeline over generated local files: no SQL twin by design
+)

@@ -1815,3 +1815,175 @@ _register(
     FROM s WHERE event_id % 4 = 0
     """,
 )
+
+
+def _sql_bucketed_cm_builder(spark: SparkSession, sf: str,
+                             path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    ).createOrReplaceTempView("events_seed_bcm")
+    SQ.execute(spark, "CREATE TABLE evbc OPTIONS (key='event_id', "
+                      "buckets=8) AS SELECT * FROM events_seed_bcm",
+               cat)
+    # bucketed DELETE: one bucket-scoped delete vector, zero rewrites
+    SQ.execute(spark, "DELETE FROM evbc WHERE event_id % 7 = 0", cat)
+    # bucketed UPDATE: one delete-vector + per-bucket-append commit
+    SQ.execute(spark, "UPDATE evbc SET value_cents = value_cents + 5 "
+                      "WHERE event_id % 3 = 0", cat)
+    # conditional clause MERGE on the bucketed layout: first-match-wins
+    # DELETE / UPDATE over matched rows + column-list INSERT for the
+    # unmatched — all through versioned.delete_and_append's bucketed
+    # twin (vector + per-bucket appends, no bucket rewritten)
+    SQ.execute(spark, (
+        "MERGE INTO evbc t USING (SELECT event_id, event_type, "
+        "value_cents * 2 AS vc2 FROM events_seed_bcm "
+        "WHERE event_id % 4 = 0) AS s "
+        "ON t.event_id = s.event_id "
+        "WHEN MATCHED AND s.vc2 > 9000 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET value_cents = s.vc2 "
+        "WHEN NOT MATCHED THEN INSERT (event_id, event_type, "
+        "value_cents) VALUES (s.event_id, s.event_type, s.vc2)"), cat)
+
+
+def _sql_bucketed_conditional_merge(spark: SparkSession, sf: str
+                                    ) -> DataFrame:
+    """Conditional DML on the BUCKETED layout (round 11): DELETE,
+    UPDATE, and a conditional multi-clause MERGE against a bucketed
+    table land as bucket-scoped delete vectors + per-bucket appended
+    segments — zero bucket rewrites, O(matched) per statement — so the
+    100 TB ingest layout (hash-bucketed, co-located joins) keeps the
+    full DML verb set instead of forking to flat-only semantics.
+    Oracle: the final state by set algebra over `events`."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "sqlbcm", _sql_bucketed_cm_builder)
+    return SQ.execute(
+        spark,
+        "SELECT event_id, event_type, value_cents FROM evbc",
+        SQ.Catalog(path))
+
+
+_register(
+    "sql_bucketed_conditional_merge",
+    _sql_bucketed_conditional_merge,
+    """
+    WITH s AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events),
+    t2 AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 3 = 0
+                  THEN CAST(vc + 5 AS BIGINT) ELSE vc END AS vc
+      FROM s WHERE event_id % 7 <> 0),
+    m AS (
+      SELECT event_id, event_type, CAST(vc * 2 AS BIGINT) AS vc2
+      FROM s WHERE event_id % 4 = 0)
+    SELECT t2.event_id, t2.event_type, t2.vc AS value_cents
+    FROM t2 LEFT JOIN m ON t2.event_id = m.event_id
+    WHERE m.event_id IS NULL
+    UNION ALL
+    SELECT t2.event_id, t2.event_type, m.vc2 AS value_cents
+    FROM t2 JOIN m ON t2.event_id = m.event_id
+    WHERE m.vc2 <= 9000
+    UNION ALL
+    SELECT m.event_id, m.event_type, m.vc2 AS value_cents
+    FROM m LEFT JOIN t2 ON m.event_id = t2.event_id
+    WHERE t2.event_id IS NULL
+    """,
+)
+
+
+def _sql_dv_read_builder(spark: SparkSession, sf: str,
+                         path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    ).createOrReplaceTempView("events_seed_dvr")
+    SQ.execute(spark, "CREATE TABLE evw OPTIONS (key='event_id') AS "
+                      "SELECT * FROM events_seed_dvr", cat)
+    # leave the delete vectors PENDING (no OPTIMIZE): the read path
+    # must apply them under every SELECT shape, not just scans
+    SQ.execute(spark, "DELETE FROM evw WHERE event_id % 6 = 0", cat)
+    SQ.execute(spark, "DELETE FROM evw WHERE value_cents < 50", cat)
+
+
+def _sql_select_window_over_dv(spark: SparkSession, sf: str
+                               ) -> DataFrame:
+    """Windowed SELECT through the SQL FRONTEND over a versioned table
+    with PENDING delete vectors: the frontend's read path registers the
+    delete-filtered snapshot as the temp view Spark's window operator
+    consumes, so analytic functions never see retracted rows. Oracle:
+    the same window over the set-algebra survivor set."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "sqldvr", _sql_dv_read_builder)
+    return SQ.execute(spark, (
+        "SELECT event_id, event_type, value_cents, "
+        "SUM(value_cents) OVER (PARTITION BY event_type "
+        "ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) AS running "
+        "FROM evw"), SQ.Catalog(path))
+
+
+_register(
+    "sql_select_window_over_dv",
+    _sql_select_window_over_dv,
+    """
+    WITH t AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_cents
+      FROM events
+      WHERE event_id % 6 <> 0
+        AND CAST(round(value * 100) AS BIGINT) >= 50)
+    SELECT event_id, event_type, value_cents,
+           CAST(SUM(value_cents) OVER (PARTITION BY event_type
+                ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS running
+    FROM t
+    """,
+)
+
+
+def _sql_select_grouping_sets_over_dv(spark: SparkSession, sf: str
+                                      ) -> DataFrame:
+    """GROUPING SETS through the SQL frontend over the same
+    pending-delete-vector table: multi-granularity rollup rows are all
+    computed from the delete-filtered snapshot. Oracle: identical
+    GROUPING SETS over the survivor set."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "sqldvr", _sql_dv_read_builder)
+    return SQ.execute(spark, (
+        "SELECT event_type, CAST(event_id % 4 AS BIGINT) AS bucket, "
+        "CAST(SUM(value_cents) AS BIGINT) AS total, "
+        "COUNT(*) AS n "
+        "FROM evw GROUP BY GROUPING SETS "
+        "((event_type), (event_type, bucket), ())"),
+        SQ.Catalog(path))
+
+
+_register(
+    "sql_select_grouping_sets_over_dv",
+    _sql_select_grouping_sets_over_dv,
+    """
+    WITH t AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_cents
+      FROM events
+      WHERE event_id % 6 <> 0
+        AND CAST(round(value * 100) AS BIGINT) >= 50)
+    SELECT event_type, CAST(event_id % 4 AS BIGINT) AS bucket,
+           CAST(SUM(value_cents) AS BIGINT) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM t GROUP BY GROUPING SETS
+    ((event_type), (event_type, bucket), ())
+    """,
+)

@@ -77,6 +77,56 @@ def index_images(
     return _index_batch(spark, meta, table_path, url_col, dim)
 
 
+def index_local_images(
+    spark: SparkSession,
+    image_dir: str,
+    table_path: str,
+    dim: int = 64,
+    pattern: str = "*.{jpg,jpeg,png,gif}",
+) -> int:
+    """B16's NETWORK-FREE branch: index a LOCAL image directory end to
+    end. The reference serves local files too (rclip_server.py:440-446)
+    and its indexer's fetch (index_wikimedia.py:136-143) is just "get
+    the bytes" — for a local corpus Spark's ``binaryFile`` source does
+    that as a DISTRIBUTED scan: files are partitioned across executors,
+    each row carries (path, modificationTime, length, content), and the
+    extension allowlist is a planning-time ``pathGlobFilter`` so
+    non-image files are never even opened (the DataFrame twin of the
+    B13 extension filter). Everything downstream — the B8 anti-join
+    incremental skip, D2 embed, B6 upsert — is the same real pipeline
+    the URL branch uses; only the image DECODE inside the embedder
+    stays honestly stubbed (no codecs in this environment).
+
+    Returns rows upserted; a second run over the same directory is
+    incremental (returns 0)."""
+    writer.create_images_table(spark, table_path)
+    src = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(image_dir)
+        .select("path", "modificationTime", "length", "content")
+    )
+    done = spark.read.parquet(table_path).select(
+        F.col("filepath").alias("path"))
+    todo = writer.anti_join_skip(src, done, "path")
+    embedded = multimodal.embed_binary_column(
+        todo, bin_col="content", dim=dim)
+    rows = embedded.select(
+        F.abs(F.xxhash64("path")).alias("id"),
+        F.lit(None).cast("boolean").alias("deleted"),
+        F.col("path").alias("filepath"),
+        F.col("modificationTime").alias("modified_at"),
+        F.col("length").cast("long").alias("size"),
+        F.col("embedding").cast("array<float>").alias("vector"),
+        F.lit(None).cast("string").alias("wikimedia_descr_url"),
+        F.lit(None).cast("string").alias("wikimedia_thumb_url"),
+    )
+    n = rows.count()
+    if n:
+        writer.upsert_parquet(spark, table_path, rows, key="filepath")
+    return n
+
+
 def index_images_stream(
     spark: SparkSession,
     metadata_dir: str,

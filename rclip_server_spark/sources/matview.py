@@ -1518,10 +1518,24 @@ def vacuum_source_safely(path: str, keep_last: int = 1,
     this source are ignored, so one fleet-wide view list works for
     every source's vacuum. Zero Spark jobs; returns vacuum()'s deleted
     segment list."""
+    cursors = _cursors_into(path, views)
+    if cursors:
+        keep_last = max(int(keep_last),
+                        V.current_version(path) - min(cursors) + 1)
+    return V.vacuum(path, keep_last=keep_last,
+                    retain_seconds=retain_seconds)
+
+
+def _cursors_into(path: str, views) -> list[int]:
+    """Every dependent view cursor that reads ``path`` (directly or
+    through a composition — the graph walker finds the edges). The ONE
+    copy of the cursor scan: vacuum_source_safely clamps with it and
+    the refresh streams derive their vacuum floors from it. Manifest
+    reads only, zero Spark jobs."""
     import os as _os
 
     ap = _os.path.abspath(path)
-    cursors = []
+    cursors: list[int] = []
     for vw in views:
         nodes, _leaves = _walk_views_post_order(vw)
         for _p, (_kind, spec, _srcs) in nodes:
@@ -1530,11 +1544,7 @@ def vacuum_source_safely(path: str, keep_last: int = 1,
             for src_key, cur_key in _VIEW_KINDS[marker][1]:
                 if _os.path.abspath(spec[src_key]) == ap:
                     cursors.append(int(spec[cur_key]))
-    if cursors:
-        keep_last = max(int(keep_last),
-                        V.current_version(path) - min(cursors) + 1)
-    return V.vacuum(path, keep_last=keep_last,
-                    retain_seconds=retain_seconds)
+    return cursors
 
 
 def describe_cascade(view_path: str) -> list[dict]:

@@ -533,6 +533,64 @@ def _carry_deletes(parent: dict) -> dict:
     return {}
 
 
+def _prune_vectors(m: dict, live_segs: set[str]) -> dict:
+    """Carry pending delete vectors across a PARTIAL rewrite
+    (upsert_bucketed / compact_bucketed), dropping vectors whose scope
+    no longer names any live segment — every row such a vector could
+    hide was just materialized out by the rewrite, so carrying it
+    would only grow the manifest forever. Vectors still scoped to an
+    untouched bucket's segments survive verbatim. A legacy vector
+    with no recorded scope conservatively survives everything short
+    of a full rewrite."""
+    dsegs = m.get("delete_segs") or []
+    scopes = m.get("delete_scopes", {})
+    keep = [d for d in dsegs
+            if scopes.get(d) is None or set(scopes[d]) & live_segs]
+    if not keep:
+        return {}
+    return {"delete_key": m["delete_key"], "delete_segs": keep,
+            "delete_scopes": {d: scopes[d] for d in keep if d in scopes}}
+
+
+def _vector_scope_bucketed(m: dict, kdf: DataFrame, key_col: str
+                           ) -> list[str]:
+    """A bucketed delete vector's segment scope. When the vector keys
+    the table's BUCKET key (the SQL layer's only case — bucketed
+    tables hash-route by the declared row identity), a deleted key's
+    rows can only live in that key's own hash bucket, so the scope
+    shrinks to the touched buckets' current segments: reads and
+    rewrites of every other bucket never even see the anti-join (at
+    65536 buckets, a 100-key GDPR erasure scopes ~100 buckets). Any
+    other key column scopes conservatively to every current segment.
+    Cost: one distinct-bucket-ids job over the (already tiny,
+    already materialized) key segment — bounded by n_buckets."""
+    from .writer import _BUCKET_COL, _bucket_expr
+
+    bkey, n_buckets, bmap = _bucketed_meta(m)
+    if key_col != bkey:
+        return sorted(_manifest_segments(m))
+    touched = _bucket_ids(kdf.select(
+        _bucket_expr(key_col, n_buckets).alias(_BUCKET_COL)))
+    return [s for b in touched for s in bmap.get(str(b), [])]
+
+
+def _write_delete_vector(spark: SparkSession, path: str, keys,
+                         key_col: str) -> tuple[str, DataFrame]:
+    """Materialize the delete-key set as a tiny ``del-*`` parquet
+    segment; returns (segment_name, a re-read of it) so callers that
+    need a second pass over the keys (bucket-scope computation) read
+    the KB-sized segment back instead of re-running the caller's
+    possibly table-sized key plan."""
+    if isinstance(keys, DataFrame):
+        kdf = keys
+    else:
+        kdf = spark.createDataFrame([(k,) for k in keys], [key_col])
+    dseg = f"del-{uuid.uuid4().hex[:12]}"
+    dpath = os.path.join(path, dseg)
+    kdf.select(key_col).distinct().write.parquet(dpath)
+    return dseg, spark.read.parquet(dpath)
+
+
 def append(spark: SparkSession, path: str, batch: DataFrame,
            extra: dict | None = None,
            parent_version: int | None = None) -> int:
@@ -550,6 +608,11 @@ def append(spark: SparkSession, path: str, batch: DataFrame,
     v = current_version(path) if parent_version is None \
         else int(parent_version)
     parent = _manifest(path, v)
+    if "buckets" in parent:
+        # layout dispatch: a bucketed table's append routes rows into
+        # per-bucket segments (same O(batch), zero-rewrite contract)
+        return append_bucketed(spark, path, batch, extra=extra,
+                               parent_version=v)
     compat = _check_schema_compat(parent, batch, "append")
     seg = _write_segment(batch, path)
     try:
@@ -590,13 +653,31 @@ def delete_rows(spark: SparkSession, path: str, keys, key_col: str,
     v = current_version(path) if parent_version is None \
         else int(parent_version)
     m = _manifest(path, v)
-    if "buckets" in m:
-        raise ValueError("bucketed versioned tables delete via "
-                         "upsert_bucketed/soft-delete patterns; delete "
-                         "vectors are the flat-table path")
     if m.get("delete_segs") and m["delete_key"] != key_col:
         raise ValueError(f"pending delete vectors use key "
                          f"{m['delete_key']!r}; cannot mix with {key_col!r}")
+    if "buckets" in m:
+        # bucketed twin: same zero-rewrite vector commit, with the
+        # scope shrunk to the deleted keys' own hash buckets when the
+        # vector keys the bucket key — reads of every other bucket
+        # stay anti-join-free (_vector_scope_bucketed)
+        dseg, kset = _write_delete_vector(spark, path, keys, key_col)
+        scope = _vector_scope_bucketed(m, kset, key_col)
+        extra = dict(extra or {})
+        extra |= {
+            "bucket_key": m["bucket_key"], "n_buckets": m["n_buckets"],
+            "buckets": m["buckets"],
+            "delete_key": key_col,
+            "delete_segs": (m.get("delete_segs") or []) + [dseg],
+            "delete_scopes": m.get("delete_scopes", {}) | {dseg: scope},
+            "col_types": m.get("col_types", {}),
+        }
+        try:
+            _commit(path, v + 1, None, "delete", extra=extra)
+        except ConcurrentWriteError:
+            shutil.rmtree(os.path.join(path, dseg))
+            raise
+        return v + 1
     if isinstance(keys, DataFrame):
         kdf = keys
     else:
@@ -648,11 +729,12 @@ def delete_and_append(
     v = current_version(path) if parent_version is None \
         else int(parent_version)
     m = _manifest(path, v)
-    if "buckets" in m:
-        raise ValueError("delete_and_append is the flat-table path")
     if m.get("delete_segs") and m["delete_key"] != key_col:
         raise ValueError(f"pending delete vectors use key "
                          f"{m['delete_key']!r}; cannot mix with {key_col!r}")
+    if "buckets" in m:
+        return _delete_and_append_bucketed(spark, path, v, m, keys,
+                                           key_col, batch, extra)
     compat = _check_schema_compat(m, batch, "delete-append")
     if isinstance(keys, DataFrame):
         kdf = keys
@@ -675,6 +757,51 @@ def delete_and_append(
     except ConcurrentWriteError:
         shutil.rmtree(os.path.join(path, dseg))
         shutil.rmtree(os.path.join(path, seg))
+        raise
+    return v + 1
+
+
+def _delete_and_append_bucketed(
+    spark: SparkSession, path: str, v: int, m: dict, keys,
+    key_col: str, batch: DataFrame, extra: dict | None,
+) -> int:
+    """delete_and_append's bucketed twin — the atomic replace primitive
+    that makes conditional UPDATE / MERGE work on the bucketed layout
+    without rewriting any bucket: the retracted keys land in ONE
+    delete vector scoped to their own hash buckets' current segments
+    (_vector_scope_bucketed), the new row images are appended as
+    per-bucket segments (same accretion as append_bucketed, folded
+    back down by compact_bucketed), and both publish in one manifest
+    link. Cost is O(matched + appended) — at 100 TB a conditional
+    MERGE touching 1k keys writes one KB-sized vector plus ≤1k
+    buckets' worth of new-segment rows, zero existing bytes read."""
+    from .writer import _BUCKET_COL, _bucket_expr
+
+    bkey, n_buckets, bmap = _bucketed_meta(m)
+    compat = _check_schema_compat(m, batch, "delete-append")
+    dseg, kset = _write_delete_vector(spark, path, keys, key_col)
+    # scope = the PARENT's segments (of the touched buckets): the
+    # segments appended in this same commit are new names outside the
+    # scope, so the vector can never hide its own replacement rows
+    scope = _vector_scope_bucketed(m, kset, key_col)
+    bb = batch.withColumn(_BUCKET_COL, _bucket_expr(bkey, n_buckets))
+    touched = _bucket_ids(bb)
+    segs = _write_bucket_segments(bb, path, touched) if touched else {}
+    new_bmap = dict(bmap)
+    for b, s in segs.items():
+        new_bmap[str(b)] = new_bmap.get(str(b), []) + [s]
+    extra = dict(extra or {})
+    extra |= {
+        "bucket_key": bkey, "n_buckets": n_buckets, "buckets": new_bmap,
+        "delete_key": key_col,
+        "delete_segs": (m.get("delete_segs") or []) + [dseg],
+        "delete_scopes": m.get("delete_scopes", {}) | {dseg: scope},
+    } | compat
+    try:
+        _commit(path, v + 1, None, "delete-append", extra=extra)
+    except ConcurrentWriteError:
+        shutil.rmtree(os.path.join(path, dseg))
+        _cleanup_segments(path, segs.values())
         raise
     return v + 1
 
@@ -710,10 +837,21 @@ def upsert(spark: SparkSession, path: str, updates: DataFrame, key: str) -> int:
     caller re-merges against the new head instead of silently losing it
     (write-write conflict detection, the Delta-log rule)."""
     v = current_version(path)
+    m0 = _manifest(path, v)
+    if "buckets" in m0:
+        # layout dispatch (same contract as append/delete_rows): the
+        # bucketed twin rewrites only the touched buckets, but only
+        # merges on the BUCKET key — any other key would need rows
+        # moved across buckets
+        if key != m0["bucket_key"]:
+            raise ValueError(
+                f"bucketed upsert merges on the bucket key "
+                f"{m0['bucket_key']!r}, got {key!r}")
+        return upsert_bucketed(spark, path, updates)
     # ghost guard: an updates batch carrying a logically-dropped
     # column (drop_column) must not resurrect it through the merged
     # rewrite — the same refusal append/delete_and_append enforce
-    _check_schema_compat(_manifest(path, v), updates, "upsert")
+    _check_schema_compat(m0, updates, "upsert")
     target = read(spark, path, v)
     merged = target.join(
         updates.select(key).distinct(), [key], "left_anti"
@@ -929,6 +1067,11 @@ def append_exactly_once(
         return None
     v = current_version(path)
     parent = _manifest(path, v)
+    if "buckets" in parent:
+        # layout dispatch: a table converted to bucketed mid-stream
+        # (OPTIMIZE ... BUCKET BY) keeps its exactly-once sink working
+        return append_bucketed_exactly_once(spark, path, batch,
+                                            batch_id)
     compat = _check_schema_compat(parent, batch, "stream-append")
     seg = _write_segment(batch, path)
     try:
@@ -1013,6 +1156,95 @@ def _manifest_segments(m: dict) -> set[str]:
     return {s for segs in m.get("buckets", {}).values() for s in segs}
 
 
+_FLOOR_RE = re.compile(r"^\.floor-[0-9a-f]{12}\.json$")
+
+
+def register_version_floor(path: str, version: int,
+                           owner: str = "") -> str:
+    """Pin versions >= ``version`` against vacuum: a reader that will
+    KEEP reading the table across an unbounded window (a refresh
+    stream tailing the manifest log) registers a floor; vacuum keeps
+    every manifest at or above the lowest LIVE floor regardless of
+    keep_last/retain_seconds, so the stream's next refresh interval
+    (cursor → head) can never be reaped out from under it. Returns the
+    floor id for advance_version_floor / release_version_floor.
+
+    Crash safety: the floor file records the holder's pid; a floor
+    whose process is gone is ignored and reaped by the next vacuum
+    (same same-machine liveness contract as the catalog lock), so a
+    crashed stream cannot pin the log forever."""
+    fid = f".floor-{uuid.uuid4().hex[:12]}.json"
+    p = os.path.join(path, _SNAP_DIR, fid)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"floor_version": int(version), "pid": os.getpid(),
+                   "owner": owner}, f)
+    os.replace(tmp, p)
+    return fid
+
+
+def advance_version_floor(path: str, floor_id: str,
+                          version: int) -> None:
+    """Move a floor forward (each stream micro-batch advances it to
+    the new cursor, keeping the pinned window O(in-flight), not
+    O(stream lifetime)). Never moves a floor backward."""
+    p = os.path.join(path, _SNAP_DIR, floor_id)
+    try:
+        with open(p) as f:
+            cur = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        cur = {}
+    if cur.get("floor_version", -1) >= int(version):
+        return
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"floor_version": int(version), "pid": os.getpid(),
+                   "owner": cur.get("owner", "")}, f)
+    os.replace(tmp, p)
+
+
+def release_version_floor(path: str, floor_id: str) -> None:
+    try:
+        os.remove(os.path.join(path, _SNAP_DIR, floor_id))
+    except FileNotFoundError:
+        pass
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _live_floor(path: str) -> int | None:
+    """Lowest live floor version, reaping dead-pid and unparseable
+    floor files on the way (vacuum calls this, so leaks self-heal)."""
+    snap_dir = os.path.join(path, _SNAP_DIR)
+    lowest = None
+    for name in os.listdir(snap_dir):
+        if not _FLOOR_RE.match(name):
+            continue
+        p = os.path.join(snap_dir, name)
+        try:
+            with open(p) as f:
+                d = json.load(f)
+            ver, pid = int(d["floor_version"]), int(d["pid"])
+        except (json.JSONDecodeError, KeyError, ValueError, TypeError,
+                FileNotFoundError):
+            # mid-replace or corrupt: skip, do not reap (the writer
+            # may be about to os.replace the real content in)
+            continue
+        if not _pid_alive(pid):
+            os.remove(p)
+            continue
+        lowest = ver if lowest is None else min(lowest, ver)
+    return lowest
+
+
 def vacuum(path: str, keep_last: int = 1,
            retain_seconds: float | None = None) -> list[str]:
     """Drop manifests older than the last ``keep_last`` versions and delete
@@ -1030,6 +1262,12 @@ def vacuum(path: str, keep_last: int = 1,
 
     head = current_version(path)
     cutoff = head - int(keep_last) + 1
+    # a LIVE version floor (register_version_floor — refresh streams
+    # pin their in-read window) lowers the cutoff: everything at or
+    # above the lowest live floor survives regardless of keep_last
+    floor = _live_floor(path)
+    if floor is not None:
+        cutoff = min(cutoff, int(floor))
     now = _time.time()
     keep_segs: set[str] = set()
     snap_dir = os.path.join(path, _SNAP_DIR)
@@ -1054,7 +1292,8 @@ def vacuum(path: str, keep_last: int = 1,
     _TMP_MIN_AGE_SEC = 300.0
     tmp_cutoff = max(float(retain_seconds or 0.0), _TMP_MIN_AGE_SEC)
     for name in os.listdir(snap_dir):
-        if name.startswith((".tmp-", ".ckpt-")):
+        if name.startswith((".tmp-", ".ckpt-")) or (
+                name.startswith(".floor-") and name.endswith(".tmp")):
             p = os.path.join(snap_dir, name)
             if now - os.path.getmtime(p) >= tmp_cutoff:
                 os.remove(p)
@@ -1248,8 +1487,8 @@ def read_bucketed(
     m = _manifest(path, v)
     _, _, bmap = _bucketed_meta(m)
     ids = sorted(bmap) if buckets is None else [str(b) for b in buckets]
-    dirs = [os.path.join(path, s) for b in ids for s in bmap.get(b, [])]
-    if not dirs:
+    segs = [s for b in ids for s in bmap.get(b, [])]
+    if not segs:
         # an EMPTY bucketed table (declared schema, no rows yet) and a
         # sparse bucket subset (nothing hashed there) are both
         # legitimate zero-row reads — reconstruct the schema from the
@@ -1261,7 +1500,11 @@ def read_bucketed(
         raise FileNotFoundError(
             f"version {v} holds no segments for buckets {buckets}"
         )
-    return spark.read.option("mergeSchema", "true").parquet(*dirs)
+    # pending delete vectors apply with their SCOPES, same choke point
+    # as the flat read: a vector scoped to other buckets' segments
+    # groups this read's segments into the no-vector bucket — zero
+    # anti-join cost for buckets the delete never touched
+    return _read_with_deletes(spark, path, m, segs)
 
 
 def point_lookup_bucketed(
@@ -1305,12 +1548,13 @@ def upsert_bucketed(
     touched = _bucket_ids(ub)
     if not touched:
         return v
-    target_dirs = [
-        os.path.join(path, s) for b in touched for s in bmap.get(str(b), [])
-    ]
-    if target_dirs:
+    target_segs = [s for b in touched for s in bmap.get(str(b), [])]
+    if target_segs:
+        # _read_with_deletes: the rewrite MATERIALIZES any pending
+        # delete vectors for the touched buckets (their new segments
+        # are built from the delete-filtered state)
         target = (
-            spark.read.option("mergeSchema", "true").parquet(*target_dirs)
+            _read_with_deletes(spark, path, m, target_segs)
             .withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
         )
         merged = target.join(
@@ -1322,12 +1566,13 @@ def upsert_bucketed(
     new_bmap = dict(bmap)
     for b in touched:
         new_bmap[str(b)] = [segs[b]] if b in segs else []
+    live = {s for ss in new_bmap.values() for s in ss}
     try:
         _commit(path, v + 1, None, "upsert-bucketed",
                 extra={"bucket_key": key, "n_buckets": n_buckets,
                        "buckets": new_bmap,
                        "col_types": m.get("col_types", {})
-                       | _col_types(updates)})
+                       | _col_types(updates)} | _prune_vectors(m, live))
     except ConcurrentWriteError:
         _cleanup_segments(path, segs.values())
         raise
@@ -1335,15 +1580,21 @@ def upsert_bucketed(
 
 
 def append_bucketed(
-    spark: SparkSession, path: str, batch: DataFrame
+    spark: SparkSession, path: str, batch: DataFrame,
+    extra: dict | None = None, parent_version: int | None = None,
 ) -> int:
     """O(batch) ingest commit: write the batch's per-bucket segments and
     APPEND them to the touched buckets' segment lists — existing data is
     never read or rewritten (the versioned twin of the streaming bucketed
-    sink's accretion; compact_bucketed folds the lists back down)."""
+    sink's accretion; compact_bucketed folds the lists back down).
+    Pending delete vectors carry forward untouched — the new segments
+    are outside every vector's scope, so re-inserts of a deleted key
+    are visible (same delete-then-insert semantics as the flat append).
+    ``extra``/``parent_version``: same contracts as append()."""
     from .writer import _bucket_expr, _BUCKET_COL
 
-    v = current_version(path)
+    v = current_version(path) if parent_version is None \
+        else int(parent_version)
     m = _manifest(path, v)
     key, n_buckets, bmap = _bucketed_meta(m)
     compat = _check_schema_compat(m, batch, "append-bucketed")
@@ -1357,8 +1608,10 @@ def append_bucketed(
         new_bmap[str(b)] = new_bmap.get(str(b), []) + [s]
     try:
         _commit(path, v + 1, None, "append-bucketed",
-                extra={"bucket_key": key, "n_buckets": n_buckets,
-                       "buckets": new_bmap} | compat)
+                extra=dict(extra or {})
+                | {"bucket_key": key, "n_buckets": n_buckets,
+                   "buckets": new_bmap}
+                | _carry_deletes(m) | compat)
     except ConcurrentWriteError:
         _cleanup_segments(path, segs.values())
         raise
@@ -1379,23 +1632,37 @@ def compact_bucketed(
     v = current_version(path)
     m = _manifest(path, v)
     key, n_buckets, bmap = _bucketed_meta(m)
-    todo = sorted(int(b) for b, ss in bmap.items() if len(ss) >= min_segments)
+    # rewrite a bucket when it accreted segments (>= min_segments) OR
+    # any pending delete vector scopes into it — so OPTIMIZE both
+    # folds the layout AND materializes pending deletes, still paying
+    # only for the buckets that actually changed
+    scoped: set[str] = set()
+    for dseg in m.get("delete_segs") or []:
+        sc = m.get("delete_scopes", {}).get(dseg)
+        scoped |= _manifest_segments(m) if sc is None else set(sc)
+    todo = sorted(int(b) for b, ss in bmap.items()
+                  if len(ss) >= min_segments or scoped & set(ss))
     if not todo:
         return v
-    dirs = [os.path.join(path, s) for b in todo for s in bmap[str(b)]]
+    todo_segs = [s for b in todo for s in bmap[str(b)]]
+    # vector-aware rewrite: compacted buckets materialize their pending
+    # deletes; vectors still scoped to an uncompacted bucket's segments
+    # carry forward (_prune_vectors drops the fully-materialized ones)
     df_b = (
-        spark.read.option("mergeSchema", "true").parquet(*dirs)
+        _read_with_deletes(spark, path, m, todo_segs)
         .withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
     )
     segs = _write_bucket_segments(df_b, path, todo)
     new_bmap = dict(bmap)
     for b in todo:
         new_bmap[str(b)] = [segs[b]] if b in segs else []
+    live = {s for ss in new_bmap.values() for s in ss}
     try:
         _commit(path, v + 1, None, "compact-bucketed",
                 extra={"bucket_key": key, "n_buckets": n_buckets,
                        "buckets": new_bmap,
-                       "col_types": m.get("col_types", {})})
+                       "col_types": m.get("col_types", {})}
+                | _prune_vectors(m, live))
     except ConcurrentWriteError:
         _cleanup_segments(path, segs.values())
         raise
@@ -1422,7 +1689,12 @@ def maybe_compact(spark: SparkSession, path: str,
     m = _manifest(path, v)
     if "buckets" in m:
         worst = max((len(s) for s in m["buckets"].values()), default=0)
-        if worst < max_segments:
+        # pending delete vectors count toward the maintenance trigger
+        # (each is a per-read anti-join until materialized); the
+        # compaction pass rewrites vector-scoped buckets regardless of
+        # their segment count, so triggering here clears them
+        if worst < max_segments \
+                and len(m.get("delete_segs") or []) < max_segments:
             return v
         try:
             return compact_bucketed(spark, path, min_segments=max_segments)
@@ -1479,7 +1751,8 @@ def append_bucketed_exactly_once(
         _commit(path, v + 1, None, "stream-append-bucketed",
                 batch_id=int(batch_id),
                 extra={"bucket_key": key, "n_buckets": n_buckets,
-                       "buckets": new_bmap} | compat)
+                       "buckets": new_bmap}
+                | _carry_deletes(m) | compat)
     except ConcurrentWriteError:
         _cleanup_segments(path, segs.values())
         raise

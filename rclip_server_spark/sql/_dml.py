@@ -79,11 +79,6 @@ def _insert(spark: SparkSession, catalog: Catalog, name: str,
 def _delete(spark: SparkSession, catalog: Catalog, name: str,
             pred: str) -> dict:
     e = _writable_table(catalog, name, "DELETE FROM")
-    if _is_bucketed(e):
-        raise SqlError(
-            f"DELETE uses flat-table delete vectors — {name} is "
-            f"bucketed; express the change as a MERGE (full upsert "
-            f"of the surviving state)")
     key = e["meta"].get("key")
     if not key:
         raise SqlError(
@@ -111,10 +106,6 @@ def _update(spark: SparkSession, catalog: Catalog, name: str,
             f"UPDATE needs table {name}'s row-identity column — "
             f"recreate it with OPTIONS (key='id')")
     ver0 = V.current_version(e["path"])
-    if _is_bucketed(e, ver0):
-        raise SqlError(
-            f"UPDATE uses flat-table delete vectors — {name} is "
-            f"bucketed; express the change as a MERGE")
     df = _read_entry(spark, e, version=ver0)
     by_lower = {c.lower(): c for c in df.columns}
     assigned: dict[str, str] = {}
@@ -436,13 +427,12 @@ def _merge(spark: SparkSession, catalog: Catalog, text: str) -> dict:
         and [c[:2] for c in not_matched] in ([], [(None,
                                                    "insert_star")]))
     bucketed = _is_bucketed(e, ver0)
-    if bucketed and not (star_upsert and matched and not_matched):
-        raise SqlError(
-            f"{name} is bucketed — bucketed MERGE supports exactly "
-            f"the full-upsert form (WHEN MATCHED THEN UPDATE SET * "
-            f"WHEN NOT MATCHED THEN INSERT *): touched buckets are "
-            f"rewritten in place (versioned.upsert_bucketed)")
     if not star_upsert:
+        # conditional clauses work on BOTH layouts: the engine commits
+        # through versioned.delete_rows / delete_and_append / append,
+        # which dispatch per-manifest (bucketed targets get
+        # bucket-scoped delete vectors + per-bucket append segments —
+        # zero existing bytes rewritten either way)
         return _merge_general(spark, e, name, target, src, key,
                               t_alias, s_alias, matched, not_matched,
                               nmbs, ver0)

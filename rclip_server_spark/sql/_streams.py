@@ -83,10 +83,14 @@ def _stop_refresh_stream(catalog: Catalog, name: str) -> dict:
     if q is None:
         raise SqlError(f"no refresh stream on {name} was started in "
                        f"this process")
+    from ..streaming import sink
+
     # stop FIRST, pop only after it succeeds: popping first would
     # orphan a still-live query when stop() raises (py4j hiccup) —
-    # unstoppable thereafter, and no longer blocking DROP
-    q.stop()
+    # unstoppable thereafter, and no longer blocking DROP.
+    # stop_view_refresh_stream also releases the stream's vacuum
+    # floors on the base tables (versioned.register_version_floor).
+    sink.stop_view_refresh_stream(q)
     _STREAMS.pop(key, None)
     ckpt = getattr(q, "_rclip_ckpt", None)
     if ckpt:

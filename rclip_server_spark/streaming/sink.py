@@ -326,6 +326,7 @@ def start_view_cascade_refresh_stream(
     via ``transforms`` — validated HERE, synchronously, not as a
     first-micro-batch crash."""
     from ..sources import matview
+    from ..sources import versioned as V
 
     if matview._view_kind(view_path) is None:
         raise ValueError(f"{view_path} is not a maintained view")
@@ -338,14 +339,59 @@ def start_view_cascade_refresh_stream(
             auto_compact=auto_compact,
             compact_threshold=compact_threshold)
 
+    def _floor_of(base: str) -> int:
+        cursors = matview._cursors_into(base, [view_path])
+        return min(cursors) if cursors else V.current_version(base)
+
+    # VACUUM FLOORS: the stream's refresh interval is (cursor, head]
+    # per base table — a concurrent vacuum(retain_seconds=...) could
+    # otherwise reap exactly the manifests the next wake needs.
+    # Register a floor at each base's current dependent cursor BEFORE
+    # the catch-up (no unguarded window), advance it to the new cursor
+    # after every cascade (the pinned window stays O(in-flight), not
+    # O(stream lifetime)), release on sink.stop_view_refresh_stream /
+    # the SQL layer's STOP. A crashed holder's floor is dead-pid-reaped
+    # by the next vacuum.
+    floors = {b: V.register_version_floor(
+        b, _floor_of(b), owner=f"cascade:{view_path}") for b in bases}
+
+    def _advance_floors():
+        for b, fid in floors.items():
+            V.advance_version_floor(b, fid, _floor_of(b))
+
+    def _cascade_and_advance():
+        _cascade()
+        _advance_floors()
+
     # fail-synchronously convention: a transform view missing its
     # function would otherwise kill the stream on the first wake. A
     # zero-interval cascade run is the cheapest complete validation
     # (every refresh is the fresh-cursor fast return when idle, but
     # spec/kind/function resolution all execute).
-    _cascade()
-    return _start_view_refresh_stream(spark, bases, _cascade,
-                                      checkpoint_dir)
+    try:
+        _cascade_and_advance()
+        q = _start_view_refresh_stream(spark, bases,
+                                       _cascade_and_advance,
+                                       checkpoint_dir)
+    except BaseException:
+        for b, fid in floors.items():
+            V.release_version_floor(b, fid)
+        raise
+    setattr(q, "_rclip_floors", floors)
+    return q
+
+
+def stop_view_refresh_stream(q) -> None:
+    """Stop a refresh stream AND release its registered vacuum floors
+    (start_view_cascade_refresh_stream attaches them to the query).
+    Plain q.stop() leaves the floors pinned until the holder process
+    exits (the next vacuum then dead-pid-reaps them) — correct but
+    sticky; this is the clean shutdown."""
+    from ..sources import versioned as V
+
+    q.stop()
+    for b, fid in (getattr(q, "_rclip_floors", None) or {}).items():
+        V.release_version_floor(b, fid)
 
 
 def start_join_table_view_refresh_stream(

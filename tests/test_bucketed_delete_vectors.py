@@ -1,0 +1,222 @@
+"""Delete vectors on the BUCKETED versioned layout (round 11).
+
+The flat layout has had O(delete-set) delete vectors since round 5;
+these tests pin their bucketed twins: a DELETE/UPDATE/conditional-MERGE
+against a bucketed table commits a KB-sized ``del-*`` vector scoped to
+the deleted keys' own hash buckets (plus per-bucket appends for the new
+row images) — zero bucket rewrites — and every reader/rewriter applies
+or materializes the vectors correctly:
+
+* read_bucketed / point_lookup_bucketed apply scoped vectors;
+* re-inserting a deleted key is visible again (delete-then-insert
+  semantics: the vector's scope is the segments that existed at delete
+  time);
+* upsert_bucketed / compact_bucketed materialize pending vectors for
+  the buckets they rewrite and prune fully-materialized vectors from
+  the manifest;
+* time travel, RESTORE, and vacuum treat the vectors like any other
+  manifest state.
+
+Reference parity note: rclip-server's only delete is the soft-delete
+censor list (RS:92-104); the bucketed-vector machinery is the
+100 TB-scale generalization this engine adds.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rclip_server_spark.sources import versioned as V
+
+
+def _mk(spark, path, n=24, n_buckets=8):
+    df = spark.createDataFrame(
+        [(i, f"n{i}", i * 10) for i in range(n)],
+        "id INT, name STRING, val INT")
+    V.create_bucketed(spark, str(path), df, key="id", n_buckets=n_buckets)
+    return str(path)
+
+
+def _ids(spark, t, version=None):
+    return sorted(r.id for r in
+                  V.read_bucketed(spark, t, version=version).collect())
+
+
+def test_delete_rows_bucketed_zero_rewrite(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    m1 = V._manifest(t, 1)
+    v2 = V.delete_rows(spark, t, [3, 7], "id")
+    assert _ids(spark, t) == [i for i in range(24) if i not in (3, 7)]
+    m2 = V._manifest(t, v2)
+    # zero rewrite: every data segment of v1 survives verbatim
+    assert m2["buckets"] == m1["buckets"]
+    assert len(m2["delete_segs"]) == 1
+    # the vector's scope covers ONLY the deleted keys' own hash
+    # buckets' segments — reads of other buckets never see the
+    # anti-join
+    b = {r.b: None for r in spark.createDataFrame(
+        [(3,), (7,)], "id INT").select(
+        F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(8))
+        .cast("int").alias("b")).collect()}
+    want_scope = {s for bid in b for s in m1["buckets"].get(str(bid), [])}
+    got_scope = set(m2["delete_scopes"][m2["delete_segs"][0]])
+    assert got_scope == want_scope
+    assert got_scope < V._manifest_segments(m1)  # strictly bucket-scoped
+
+
+def test_point_lookup_sees_vector(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    V.delete_rows(spark, t, [5], "id")
+    assert V.point_lookup_bucketed(spark, t, 5).count() == 0
+    assert V.point_lookup_bucketed(spark, t, 6).count() == 1
+
+
+def test_reinsert_after_delete_is_visible(spark, tmp_path):
+    """Delete-then-insert semantics: the vector scopes the segments
+    that existed at delete time, so a later append of the same key is
+    a new row the delete never saw."""
+    t = _mk(spark, tmp_path / "t")
+    V.delete_rows(spark, t, [3], "id")
+    v3 = V.append(spark, t, spark.createDataFrame(
+        [(3, "n3b", 333)], "id INT, name STRING, val INT"))
+    m3 = V._manifest(t, v3)
+    assert m3["op"] == "append-bucketed"  # layout dispatch in append()
+    assert m3.get("delete_segs")  # the vector still carries
+    rows = {r.id: r.val for r in V.read_bucketed(spark, t).collect()}
+    assert rows[3] == 333
+
+
+def test_delete_and_append_bucketed_one_commit(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    v1 = V.current_version(t)
+    upd = spark.createDataFrame([(5, "n5b", 555)],
+                                "id INT, name STRING, val INT")
+    v2 = V.delete_and_append(spark, t, upd.select("id"), "id", upd)
+    assert v2 == v1 + 1  # ONE commit for retraction + replacement
+    rows = {r.id: r.val for r in V.read_bucketed(spark, t).collect()}
+    assert rows[5] == 555 and len(rows) == 24
+    # the appended segment is outside the vector's scope
+    m = V._manifest(t, v2)
+    dseg = m["delete_segs"][-1]
+    appended = V._manifest_segments(m) - V._manifest_segments(
+        V._manifest(t, v1))
+    assert appended and not appended & set(m["delete_scopes"][dseg])
+
+
+def test_upsert_materializes_and_prunes_vectors(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    V.delete_rows(spark, t, [2, 4], "id")
+    # an upsert touching EVERY bucket rewrites every scoped segment →
+    # the vector is fully materialized and pruned from the manifest
+    up = spark.createDataFrame([(i, f"u{i}", i) for i in range(24)],
+                               "id INT, name STRING, val INT")
+    v = V.upsert_bucketed(spark, t, up)
+    m = V._manifest(t, v)
+    assert not m.get("delete_segs")
+    assert _ids(spark, t) == list(range(24))
+
+
+def test_partial_upsert_keeps_other_buckets_vector(spark, tmp_path):
+    """An upsert that rewrites only SOME of a vector's scoped buckets
+    must keep the vector for the untouched ones."""
+    t = _mk(spark, tmp_path / "t")
+    # find two ids in different buckets
+    rows = spark.createDataFrame([(i,) for i in range(24)], "id INT") \
+        .select("id", F.pmod(F.xxhash64(F.col("id").cast("string")),
+                             F.lit(8)).cast("int").alias("b")).collect()
+    by_bucket: dict = {}
+    for r in rows:
+        by_bucket.setdefault(r.b, []).append(r.id)
+    (b1, ids1), (b2, ids2) = sorted(by_bucket.items())[:2]
+    V.delete_rows(spark, t, [ids1[0], ids2[0]], "id")
+    # upsert touching only bucket b1 (same key re-written)
+    up = spark.createDataFrame([(ids1[1], "z", 0)],
+                               "id INT, name STRING, val INT")
+    v = V.upsert_bucketed(spark, t, up)
+    m = V._manifest(t, v)
+    assert len(m.get("delete_segs") or []) == 1  # still pending for b2
+    got = _ids(spark, t)
+    assert ids1[0] not in got and ids2[0] not in got
+
+
+def test_compact_materializes_vector_scoped_buckets(spark, tmp_path):
+    """compact_bucketed rewrites vector-scoped buckets even below
+    min_segments, so OPTIMIZE clears pending vectors bucket-at-a-time
+    — never an O(table) pass for untouched buckets."""
+    t = _mk(spark, tmp_path / "t")
+    m1 = V._manifest(t, 1)
+    V.delete_rows(spark, t, [9], "id")
+    v = V.compact_bucketed(spark, t, min_segments=2)
+    m = V._manifest(t, v)
+    assert not m.get("delete_segs")
+    assert 9 not in _ids(spark, t)
+    # only the deleted key's bucket was rewritten
+    changed = {b for b, ss in m["buckets"].items()
+               if ss != m1["buckets"].get(b)}
+    assert len(changed) == 1
+
+
+def test_maybe_compact_triggers_on_vector_pileup(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    for k in (1, 2, 3):
+        V.delete_rows(spark, t, [k], "id")
+    v0 = V.current_version(t)
+    v = V.maybe_compact(spark, t, max_segments=3)
+    assert v > v0
+    assert not V._manifest(t, v).get("delete_segs")
+    assert _ids(spark, t) == [i for i in range(24) if i not in (1, 2, 3)]
+
+
+def test_time_travel_restore_and_vacuum(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    v2 = V.delete_rows(spark, t, [0], "id")
+    up = spark.createDataFrame([(i, f"u{i}", i) for i in range(24)],
+                               "id INT, name STRING, val INT")
+    v3 = V.upsert_bucketed(spark, t, up)  # materializes, prunes
+    # time travel: v2 still applies the vector
+    assert 0 not in _ids(spark, t, version=v2)
+    assert _ids(spark, t, version=v3) == list(range(24))
+    # restore to v2 resurrects the pending vector verbatim
+    v4 = V.restore(spark, t, v2)
+    assert V._manifest(t, v4).get("delete_segs")
+    assert 0 not in _ids(spark, t)
+    # vacuum keeps the del-* segment while a kept manifest references it
+    V.vacuum(t, keep_last=1)
+    assert 0 not in _ids(spark, t)
+    # materialize again at the new head; vacuum reaps the dead vector
+    V.upsert_bucketed(spark, t, up)
+    V.vacuum(t, keep_last=1)
+    assert not [d for d in os.listdir(t) if d.startswith("del-")]
+    assert _ids(spark, t) == list(range(24))
+
+
+def test_mixed_key_vector_guard(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    V.delete_rows(spark, t, [1], "id")
+    with pytest.raises(ValueError, match="pending delete vectors"):
+        V.delete_rows(spark, t, ["n2"], "name")
+
+
+def test_non_bucket_key_vector_scopes_everything(spark, tmp_path):
+    """Deleting by a NON-bucket key is legal at the versioned layer;
+    the vector conservatively scopes every current segment (the rows
+    could live anywhere)."""
+    t = _mk(spark, tmp_path / "t")
+    m1 = V._manifest(t, 1)
+    v2 = V.delete_rows(spark, t, ["n3", "n17"], "name")
+    m2 = V._manifest(t, v2)
+    scope = set(m2["delete_scopes"][m2["delete_segs"][0]])
+    assert scope == V._manifest_segments(m1)
+    got = sorted(r.name for r in V.read_bucketed(spark, t).collect())
+    assert "n3" not in got and "n17" not in got and len(got) == 22
+
+
+def test_row_count_is_predelete_bound(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    V.delete_rows(spark, t, [1, 2], "id")
+    assert V.table_row_count(t) == 24  # documented pre-delete bound
+    d = V.describe(t)
+    assert d["pending_delete_vectors"] == 1
+    V.compact_bucketed(spark, t, min_segments=2)
+    assert V.table_row_count(t) == 22  # exact after materialization

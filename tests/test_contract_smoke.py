@@ -66,6 +66,7 @@ def test_registry_invariants():
     # rotates them back out, so the only rows-only rows left in the
     # window are the fixed §2 D1 slot and any new r11 rows-only rows.
     assert sorted(n for n in C._PRIORITY if n not in o) == [
+        "b16_local_binary_ingest",  # local-file pipeline, no SQL twin
         "d1_embed_documents_distributed",
     ]
 

@@ -46,6 +46,41 @@ def test_indexer_pipeline_and_incremental_skip(spark, tmp_path, meta_ndjson):
     assert spark.read.parquet(table).count() == 18
 
 
+def test_local_binary_ingest_end_to_end(spark, tmp_path):
+    """B16's network-free branch over REAL local binary fixtures: the
+    binaryFile source scans the directory distributed, pathGlobFilter
+    drops non-images at planning time, the anti-join makes rerun/delta
+    runs incremental, and the indexed table serves search_api."""
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(12):
+        ext = ["jpg", "png", "gif", "txt"][i % 4]
+        (d / f"pic_{i:03d}.{ext}").write_bytes(bytes([i]) * (100 + i))
+    table = str(tmp_path / "images_local")
+    n1 = pipelines.index_local_images(spark, str(d), table)
+    assert n1 == 9  # the three .txt files never enter the scan
+    df = spark.read.parquet(table)
+    assert df.count() == 9
+    row = df.where(df.filepath.endswith("pic_000.jpg")).first()
+    assert row.size == 100 and len(row.vector) == 64
+    # the stub embedder is deterministic on the file bytes
+    again = pipelines.index_local_images(
+        spark, str(d), str(tmp_path / "images_local2"))
+    assert again == 9
+    row2 = (spark.read.parquet(str(tmp_path / "images_local2"))
+            .where("filepath like '%pic_000.jpg'").first())
+    assert list(row2.vector) == list(row.vector)
+    # incremental: second run over the same directory is a no-op
+    assert pipelines.index_local_images(spark, str(d), table) == 0
+    # delta: one new image → exactly one row upserted
+    (d / "pic_new.png").write_bytes(b"\x7f" * 50)
+    assert pipelines.index_local_images(spark, str(d), table) == 1
+    assert spark.read.parquet(table).count() == 10
+    # the indexed table is a live search target (§3.1 lifecycle)
+    out = pipelines.search_api(spark, table, "zebra", E, num=3)
+    assert out.count() == 3
+
+
 def test_search_api_over_indexed_table(spark, tmp_path, meta_ndjson):
     table = str(tmp_path / "images")
     pipelines.index_images(spark, meta_ndjson, table)

@@ -1614,18 +1614,50 @@ def test_bucketed_table_sql_lifecycle(spark, events, cat):
     got3 = S.execute(spark, "SELECT event_id, user_id, cents FROM bk",
                      cat)
     assert _rows(got3) == _rows(want)
-    # flat-only verbs carry the bucketed guidance
+    # conditional DML works on the bucketed layout too (r11): DELETE /
+    # UPDATE / clause MERGE land as bucket-scoped delete vectors +
+    # per-bucket appends — zero bucket rewrites
+    n_before = got3.count()
+    S.execute(spark, "DELETE FROM bk WHERE cents > 5000", cat)
+    want = want.where(F.col("cents") <= 5000)
+    got4 = S.execute(spark, "SELECT event_id, user_id, cents FROM bk",
+                     cat)
+    assert _rows(got4) == _rows(want) and got4.count() < n_before
+    S.execute(spark, "UPDATE bk SET cents = cents + 7 "
+                     "WHERE event_id % 10 = 0", cat)
+    want = want.withColumn(
+        "cents", F.when(F.col("event_id") % 10 == 0,
+                        F.col("cents") + 7).otherwise(F.col("cents")))
+    got5 = S.execute(spark, "SELECT event_id, user_id, cents FROM bk",
+                     cat)
+    assert _rows(got5) == _rows(want)
+    out = S.execute(spark, "MERGE INTO bk t USING bk_upd s ON "
+                           "t.event_id = s.event_id "
+                           "WHEN MATCHED AND s.cents > 100 THEN DELETE",
+                    cat)
+    assert out["status"] == "merged"
+    doomed = src.where(F.col("cents") > 100).select("event_id")
+    want = want.join(doomed, "event_id", "left_anti")
+    got6 = S.execute(spark, "SELECT event_id, user_id, cents FROM bk",
+                     cat)
+    assert _rows(got6) == _rows(want)
+    # the remaining physically-flat-only verbs still carry guidance
     for stmt, msg in (
-        ("DELETE FROM bk WHERE cents > 0", "MERGE"),
-        ("UPDATE bk SET cents = 0 WHERE cents > 0", "MERGE"),
         ("INSERT OVERWRITE bk SELECT * FROM bk_seed", "bucketed"),
         ("ALTER TABLE bk ADD COLUMN x long", "bucketed"),
         ("OPTIMIZE bk ZORDER BY (event_id, cents)", "bucketed"),
-        ("MERGE INTO bk t USING bk_upd s ON t.event_id = s.event_id "
-         "WHEN MATCHED THEN DELETE", "full-upsert"),
     ):
         with pytest.raises(S.SqlError, match=msg):
             S.execute(spark, stmt, cat)
+    # OPTIMIZE materializes the pending vectors (bucket-scoped rewrite)
+    assert S.execute(spark, "DESCRIBE bk",
+                     cat)["pending_delete_vectors"] > 0
+    S.execute(spark, "OPTIMIZE bk", cat)
+    assert S.execute(spark, "DESCRIBE bk",
+                     cat)["pending_delete_vectors"] == 0
+    got7 = S.execute(spark, "SELECT event_id, user_id, cents FROM bk",
+                     cat)
+    assert _rows(got7) == _rows(want)
     with pytest.raises(S.SqlError, match="buckets must be"):
         S.execute(spark, "CREATE TABLE bk2 OPTIONS (key='event_id', "
                          "buckets=1) AS SELECT * FROM bk_seed", cat)
