@@ -55,9 +55,17 @@ def _index_batch(
         F.col("thumb_url").alias("wikimedia_thumb_url"),
         F.lit(None).cast("string").alias("wikimedia_descr_url"),
     )
-    n = rows.count()
-    if n:
-        writer.upsert_parquet(spark, table_path, rows, key="filepath")
+    # persist across the count + write: without it the whole
+    # scan→anti-join→embed pipeline executes twice, and the embed
+    # stage dominates once a real encoder replaces the stub
+    rows = rows.persist()
+    try:
+        n = rows.count()
+        if n:
+            writer.upsert_parquet(spark, table_path, rows,
+                                  key="filepath")
+    finally:
+        rows.unpersist()
     return n
 
 
@@ -121,9 +129,17 @@ def index_local_images(
         F.lit(None).cast("string").alias("wikimedia_descr_url"),
         F.lit(None).cast("string").alias("wikimedia_thumb_url"),
     )
-    n = rows.count()
-    if n:
-        writer.upsert_parquet(spark, table_path, rows, key="filepath")
+    # persist across the count + write: without it the whole
+    # scan→anti-join→embed pipeline executes twice, and the embed
+    # stage dominates once a real encoder replaces the stub
+    rows = rows.persist()
+    try:
+        n = rows.count()
+        if n:
+            writer.upsert_parquet(spark, table_path, rows,
+                                  key="filepath")
+    finally:
+        rows.unpersist()
     return n
 
 

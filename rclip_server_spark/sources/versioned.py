@@ -667,23 +667,30 @@ def delete_rows(spark: SparkSession, path: str, keys, key_col: str,
         extra |= {
             "bucket_key": m["bucket_key"], "n_buckets": m["n_buckets"],
             "buckets": m["buckets"],
-            "delete_key": key_col,
-            "delete_segs": (m.get("delete_segs") or []) + [dseg],
-            "delete_scopes": m.get("delete_scopes", {}) | {dseg: scope},
             "col_types": m.get("col_types", {}),
-        }
+        } | _carry_deletes(m)
+        if scope:
+            extra |= {
+                "delete_key": key_col,
+                "delete_segs": (m.get("delete_segs") or []) + [dseg],
+                "delete_scopes": m.get("delete_scopes", {})
+                | {dseg: scope},
+            }
+        else:
+            # EMPTY scope (no keys, or keys hashing to empty buckets):
+            # the vector could never filter a row, and no rewrite
+            # would ever clear it (OPTIMIZE rewrites scoped buckets —
+            # an empty scope names none) — commit the version without
+            # registering it
+            shutil.rmtree(os.path.join(path, dseg))
         try:
             _commit(path, v + 1, None, "delete", extra=extra)
         except ConcurrentWriteError:
-            shutil.rmtree(os.path.join(path, dseg))
+            if scope:
+                shutil.rmtree(os.path.join(path, dseg))
             raise
         return v + 1
-    if isinstance(keys, DataFrame):
-        kdf = keys
-    else:
-        kdf = spark.createDataFrame([(k,) for k in keys], [key_col])
-    dseg = f"del-{uuid.uuid4().hex[:12]}"
-    kdf.select(key_col).distinct().write.parquet(os.path.join(path, dseg))
+    dseg, _ = _write_delete_vector(spark, path, keys, key_col)
     extra = dict(extra or {})  # caller metadata first; reserved keys win
     extra |= {
         "delete_key": key_col,
@@ -736,12 +743,7 @@ def delete_and_append(
         return _delete_and_append_bucketed(spark, path, v, m, keys,
                                            key_col, batch, extra)
     compat = _check_schema_compat(m, batch, "delete-append")
-    if isinstance(keys, DataFrame):
-        kdf = keys
-    else:
-        kdf = spark.createDataFrame([(k,) for k in keys], [key_col])
-    dseg = f"del-{uuid.uuid4().hex[:12]}"
-    kdf.select(key_col).distinct().write.parquet(os.path.join(path, dseg))
+    dseg, _ = _write_delete_vector(spark, path, keys, key_col)
     seg = _write_segment(batch, path)
     extra = dict(extra or {})
     extra |= {
@@ -791,16 +793,22 @@ def _delete_and_append_bucketed(
     for b, s in segs.items():
         new_bmap[str(b)] = new_bmap.get(str(b), []) + [s]
     extra = dict(extra or {})
-    extra |= {
-        "bucket_key": bkey, "n_buckets": n_buckets, "buckets": new_bmap,
-        "delete_key": key_col,
-        "delete_segs": (m.get("delete_segs") or []) + [dseg],
-        "delete_scopes": m.get("delete_scopes", {}) | {dseg: scope},
-    } | compat
+    extra |= {"bucket_key": bkey, "n_buckets": n_buckets,
+              "buckets": new_bmap} | _carry_deletes(m) | compat
+    if scope:
+        extra |= {
+            "delete_key": key_col,
+            "delete_segs": (m.get("delete_segs") or []) + [dseg],
+            "delete_scopes": m.get("delete_scopes", {}) | {dseg: scope},
+        }
+    else:
+        # empty scope: an unregistrable no-op vector (see delete_rows)
+        shutil.rmtree(os.path.join(path, dseg))
     try:
         _commit(path, v + 1, None, "delete-append", extra=extra)
     except ConcurrentWriteError:
-        shutil.rmtree(os.path.join(path, dseg))
+        if scope:
+            shutil.rmtree(os.path.join(path, dseg))
         _cleanup_segments(path, segs.values())
         raise
     return v + 1
@@ -1194,6 +1202,11 @@ def advance_version_floor(path: str, floor_id: str,
             cur = json.load(f)
     except (FileNotFoundError, json.JSONDecodeError):
         cur = {}
+    if not cur:
+        # floor already RELEASED (stop racing an in-flight micro-batch's
+        # advance): recreating it here would re-pin the table forever
+        # with no handle left to release — a missing floor stays gone
+        return
     if cur.get("floor_version", -1) >= int(version):
         return
     tmp = p + ".tmp"
@@ -1239,7 +1252,10 @@ def _live_floor(path: str) -> int | None:
             # may be about to os.replace the real content in)
             continue
         if not _pid_alive(pid):
-            os.remove(p)
+            try:
+                os.remove(p)  # two concurrent vacuums may race the reap
+            except FileNotFoundError:
+                pass
             continue
         lowest = ver if lowest is None else min(lowest, ver)
     return lowest
@@ -1544,6 +1560,10 @@ def upsert_bucketed(
     v = current_version(path)
     m = _manifest(path, v)
     key, n_buckets, bmap = _bucketed_meta(m)
+    # same schema-drift/ghost-column guard as every flat write path: a
+    # type-changing batch would leave touched buckets' parquet types
+    # disagreeing with untouched ones (mergeSchema then fails at read)
+    compat = _check_schema_compat(m, updates, "upsert-bucketed")
     ub = updates.withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
     touched = _bucket_ids(ub)
     if not touched:
@@ -1570,9 +1590,8 @@ def upsert_bucketed(
     try:
         _commit(path, v + 1, None, "upsert-bucketed",
                 extra={"bucket_key": key, "n_buckets": n_buckets,
-                       "buckets": new_bmap,
-                       "col_types": m.get("col_types", {})
-                       | _col_types(updates)} | _prune_vectors(m, live))
+                       "buckets": new_bmap}
+                | compat | _prune_vectors(m, live))
     except ConcurrentWriteError:
         _cleanup_segments(path, segs.values())
         raise
@@ -2073,6 +2092,10 @@ def describe(path: str) -> dict:
         "n_segments": len(segs),
         "row_count": row_count,
         "pending_delete_vectors": len(m.get("delete_segs") or []),
+        # lowest LIVE vacuum floor (refresh streams pin their in-read
+        # window); None when nothing is pinned — the operational "why
+        # is vacuum keeping history?" answer
+        "version_floor": _live_floor(path),
         "col_types": m.get("col_types", {}),
         "stat_cols": m.get("stat_cols", []),
         "app": m.get("app"),

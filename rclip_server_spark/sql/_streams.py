@@ -59,12 +59,20 @@ def _start_refresh_stream(spark: SparkSession, catalog: Catalog,
         raise SqlError(f"{name} is a base table — refresh streams "
                        f"maintain views")
     key = _stream_key(catalog, name)
-    old = _STREAMS.get(key)
-    if old is not None and old.isActive:
-        raise SqlError(f"a refresh stream on {name} is already "
-                       f"running in this process — STOP REFRESH "
-                       f"STREAM ON VIEW {name} first")
     from ..streaming import sink
+
+    old = _STREAMS.get(key)
+    if old is not None:
+        if old.isActive:
+            raise SqlError(f"a refresh stream on {name} is already "
+                           f"running in this process — STOP REFRESH "
+                           f"STREAM ON VIEW {name} first")
+        # the predecessor died asynchronously: release its vacuum
+        # floors (the holder pid — this process — is still alive, so
+        # dead-pid reaping would never fire and every vacuum would
+        # stay pinned at the dead stream's cursor forever)
+        sink.stop_view_refresh_stream(old)
+        _STREAMS.pop(key, None)
 
     ckpt = os.path.join(_ckpt_root(catalog, name), uuid.uuid4().hex)
     q = sink.start_view_cascade_refresh_stream(

@@ -133,7 +133,7 @@ def start_stream_append_versioned(
 
 def _start_view_refresh_stream(
     spark: SparkSession, source_path: str, refresh_fn,
-    checkpoint_dir: str | None,
+    checkpoint_dir: str | None, view_path: str | None = None,
 ):
     """Shared wiring for continuous view maintenance: tail the SOURCE's
     manifest log with a file stream (one tiny JSON per commit) and run
@@ -164,6 +164,37 @@ def _start_view_refresh_stream(
     paths = source_path if isinstance(source_path, (list, tuple)) \
         else [source_path]
 
+    # VACUUM FLOORS (when the caller names the view whose cursors the
+    # refresh reads): the refresh interval is (cursor, head] per source
+    # — a concurrent vacuum(keep_last=1) could otherwise reap exactly
+    # the manifests the next wake needs. Register a floor per source
+    # at its current dependent cursor BEFORE the tail starts, advance
+    # it after every refresh (the pinned window stays O(in-flight),
+    # not O(stream lifetime)), release on stop_view_refresh_stream /
+    # the SQL layer's STOP. A crashed holder's floor is dead-pid-
+    # reaped by the next vacuum. Living at THIS choke point covers
+    # every refresh-stream flavor (agg/transform/join/join-table/
+    # cascade) with one implementation.
+    floors: dict = {}
+    run = refresh_fn
+    if view_path is not None:
+        from ..sources import matview
+        from ..sources import versioned as V
+
+        def _floor_of(base: str) -> int:
+            cursors = matview._cursors_into(base, [view_path])
+            return min(cursors) if cursors \
+                else V.current_version(base)
+
+        floors = {p: V.register_version_floor(
+            p, _floor_of(p), owner=f"refresh:{view_path}")
+            for p in paths}
+
+        def run():
+            refresh_fn()
+            for b, fid in floors.items():
+                V.advance_version_floor(b, fid, _floor_of(b))
+
     def _tail(p: str):
         return (
             spark.readStream.schema("version long")
@@ -172,17 +203,26 @@ def _start_view_refresh_stream(
             .json(os.path.join(p, "_snapshots"))
         )
 
-    stream = _tail(paths[0])
-    for p in paths[1:]:
-        stream = stream.union(_tail(p))
-
     def _refresh(batch_df: DataFrame, batch_id: int) -> None:
-        refresh_fn()
+        run()
 
-    out = stream.writeStream.foreachBatch(_refresh).outputMode("append")
-    if checkpoint_dir is not None:
-        out = out.option("checkpointLocation", checkpoint_dir)
-    return out.start()
+    try:
+        stream = _tail(paths[0])
+        for p in paths[1:]:
+            stream = stream.union(_tail(p))
+        out = stream.writeStream.foreachBatch(_refresh) \
+            .outputMode("append")
+        if checkpoint_dir is not None:
+            out = out.option("checkpointLocation", checkpoint_dir)
+        q = out.start()
+    except BaseException:
+        from ..sources import versioned as V
+
+        for b, fid in floors.items():
+            V.release_version_floor(b, fid)
+        raise
+    setattr(q, "_rclip_floors", floors)
+    return q
 
 
 def start_agg_view_refresh_stream(
@@ -203,7 +243,8 @@ def start_agg_view_refresh_stream(
         # kill the streaming query — the loser's rebase is a cheap no-op
         matview.refresh_agg_view_with_retry(spark, view_path)
 
-    return _start_view_refresh_stream(spark, src, _go, checkpoint_dir)
+    return _start_view_refresh_stream(spark, src, _go, checkpoint_dir,
+                                      view_path=view_path)
 
 
 def start_transform_view_refresh_stream(
@@ -237,7 +278,8 @@ def start_transform_view_refresh_stream(
             auto_compact=auto_compact, compact_threshold=compact_threshold)
 
     return _start_view_refresh_stream(spark, spec["tv_source"], _go,
-                                      checkpoint_dir)
+                                      checkpoint_dir,
+                                      view_path=view_path)
 
 
 def start_join_view_refresh_stream(
@@ -259,7 +301,8 @@ def start_join_view_refresh_stream(
         matview.refresh_join_view_with_retry(spark, view_path)
 
     return _start_view_refresh_stream(
-        spark, [spec["jv_left"], spec["jv_right"]], _go, checkpoint_dir)
+        spark, [spec["jv_left"], spec["jv_right"]], _go, checkpoint_dir,
+        view_path=view_path)
 
 
 def start_bloom_index_stream(
@@ -326,7 +369,6 @@ def start_view_cascade_refresh_stream(
     via ``transforms`` — validated HERE, synchronously, not as a
     first-micro-batch crash."""
     from ..sources import matview
-    from ..sources import versioned as V
 
     if matview._view_kind(view_path) is None:
         raise ValueError(f"{view_path} is not a maintained view")
@@ -339,46 +381,15 @@ def start_view_cascade_refresh_stream(
             auto_compact=auto_compact,
             compact_threshold=compact_threshold)
 
-    def _floor_of(base: str) -> int:
-        cursors = matview._cursors_into(base, [view_path])
-        return min(cursors) if cursors else V.current_version(base)
-
-    # VACUUM FLOORS: the stream's refresh interval is (cursor, head]
-    # per base table — a concurrent vacuum(retain_seconds=...) could
-    # otherwise reap exactly the manifests the next wake needs.
-    # Register a floor at each base's current dependent cursor BEFORE
-    # the catch-up (no unguarded window), advance it to the new cursor
-    # after every cascade (the pinned window stays O(in-flight), not
-    # O(stream lifetime)), release on sink.stop_view_refresh_stream /
-    # the SQL layer's STOP. A crashed holder's floor is dead-pid-reaped
-    # by the next vacuum.
-    floors = {b: V.register_version_floor(
-        b, _floor_of(b), owner=f"cascade:{view_path}") for b in bases}
-
-    def _advance_floors():
-        for b, fid in floors.items():
-            V.advance_version_floor(b, fid, _floor_of(b))
-
-    def _cascade_and_advance():
-        _cascade()
-        _advance_floors()
-
     # fail-synchronously convention: a transform view missing its
     # function would otherwise kill the stream on the first wake. A
     # zero-interval cascade run is the cheapest complete validation
     # (every refresh is the fresh-cursor fast return when idle, but
     # spec/kind/function resolution all execute).
-    try:
-        _cascade_and_advance()
-        q = _start_view_refresh_stream(spark, bases,
-                                       _cascade_and_advance,
-                                       checkpoint_dir)
-    except BaseException:
-        for b, fid in floors.items():
-            V.release_version_floor(b, fid)
-        raise
-    setattr(q, "_rclip_floors", floors)
-    return q
+    _cascade()
+    return _start_view_refresh_stream(spark, bases, _cascade,
+                                      checkpoint_dir,
+                                      view_path=view_path)
 
 
 def stop_view_refresh_stream(q) -> None:
@@ -414,4 +425,5 @@ def start_join_table_view_refresh_stream(
             auto_compact=auto_compact, compact_threshold=compact_threshold)
 
     return _start_view_refresh_stream(
-        spark, [spec["jt_left"], spec["jt_right"]], _go, checkpoint_dir)
+        spark, [spec["jt_left"], spec["jt_right"]], _go, checkpoint_dir,
+        view_path=view_path)

@@ -220,3 +220,37 @@ def test_row_count_is_predelete_bound(spark, tmp_path):
     assert d["pending_delete_vectors"] == 1
     V.compact_bucketed(spark, t, min_segments=2)
     assert V.table_row_count(t) == 22  # exact after materialization
+
+
+def test_bucketed_upsert_schema_drift_guard(spark, tmp_path):
+    """Review fix (r11): the bucketed upsert enforces the same
+    schema-drift guard as every flat write path — a type-changing
+    batch would leave touched buckets' parquet types disagreeing with
+    untouched ones."""
+    t = _mk(spark, tmp_path / "t")
+    bad = spark.createDataFrame([(1, "x", 1.5)],
+                                "id INT, name STRING, val DOUBLE")
+    with pytest.raises(V.SchemaDriftError):
+        V.upsert_bucketed(spark, t, bad)
+    good = spark.createDataFrame([(1, "x", 7)],
+                                 "id INT, name STRING, val INT")
+    V.upsert_bucketed(spark, t, good)
+    assert V.point_lookup_bucketed(spark, t, 1).first().val == 7
+
+
+def test_empty_scope_delete_registers_no_vector(spark, tmp_path):
+    """Review fix (r11): a DELETE matching zero rows commits a version
+    but registers NO vector — an empty-scope vector could never filter
+    a row and no rewrite would ever clear it."""
+    t = _mk(spark, tmp_path / "t")
+    empty = spark.createDataFrame([], "id INT")
+    v = V.delete_rows(spark, t, empty, "id")
+    m = V._manifest(t, v)
+    assert v == 2 and not m.get("delete_segs")
+    assert not [d for d in os.listdir(t) if d.startswith("del-")]
+    assert _ids(spark, t) == list(range(24))
+    # and it still CARRIES an earlier real vector
+    V.delete_rows(spark, t, [3], "id")
+    v2 = V.delete_rows(spark, t, empty, "id")
+    assert len(V._manifest(t, v2).get("delete_segs") or []) == 1
+    assert 3 not in _ids(spark, t)

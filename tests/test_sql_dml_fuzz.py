@@ -17,6 +17,12 @@ from rclip_server_spark.sources import versioned as V
 SEEDS = [11, 23, 37, 58, 71, 94]
 N_OPS = 12
 
+# bucketed twin (r11): the SAME model, the SAME verbs — DML must be
+# layout-equivalent now that delete vectors + conditional MERGE work
+# on hash-bucketed tables. ALTER is excluded (schema evolution is the
+# flat-table path by design), so the op pool differs only there.
+BUCKETED_SEEDS = [13, 29, 47, 83]
+
 
 def _select_all(spark, cat, cols):
     df = S.execute(spark, f"SELECT {', '.join(cols)} FROM fz", cat)
@@ -28,13 +34,16 @@ def _model_rows(model, cols):
                   for row in model.values())
 
 
-@pytest.mark.parametrize("seed", SEEDS)
-def test_sql_dml_fuzz(spark, tmp_path, seed):
+@pytest.mark.parametrize("layout,seed",
+                         [("flat", s) for s in SEEDS]
+                         + [("bucketed", s) for s in BUCKETED_SEEDS])
+def test_sql_dml_fuzz(spark, tmp_path, layout, seed):
     rng = random.Random(seed)
-    cat = S.Catalog(str(tmp_path / f"cat{seed}"))
+    cat = S.Catalog(str(tmp_path / f"cat{layout}{seed}"))
     cols = ["k", "a", "b"]
+    opts = "key='k'" if layout == "flat" else "key='k', buckets=4"
     S.execute(spark, "CREATE TABLE fz (k BIGINT, a BIGINT, b BIGINT) "
-                     "OPTIONS (key='k')", cat)
+                     f"OPTIONS ({opts})", cat)
     model: dict = {}
     all_cols = list(cols)  # declared schema, evolves under ALTER
     next_key = 0
@@ -47,8 +56,11 @@ def test_sql_dml_fuzz(spark, tmp_path, seed):
         states[ver] = (copy.deepcopy(model), list(all_cols))
 
     for step in range(N_OPS):
-        op = rng.choice(["insert", "insert", "update", "delete",
-                         "merge", "restore", "optimize", "alter"])
+        ops = ["insert", "insert", "update", "delete",
+               "merge", "restore", "optimize", "alter"]
+        if layout == "bucketed":
+            ops.remove("alter")
+        op = rng.choice(ops)
         if op == "insert":
             n = rng.randint(1, 5)
             rows = []

@@ -126,3 +126,40 @@ def test_cascade_stream_survives_hostile_vacuum(spark, events, tmp_path):
     # and a post-stop vacuum is unconstrained again
     V.vacuum(base, keep_last=1)
     assert len(V._manifest_versions(base)) == 1
+
+
+def test_advance_after_release_does_not_resurrect(spark, tmp_path):
+    """Review fix (r11): a release racing an in-flight micro-batch's
+    advance must win — advance on a missing floor file is a no-op,
+    never a re-creation (which would re-pin the table forever with no
+    handle left to release)."""
+    t = _mk_flat(spark, tmp_path / "t")
+    fid = V.register_version_floor(t, 1, owner="race")
+    V.release_version_floor(t, fid)
+    V.advance_version_floor(t, fid, 5)
+    assert not os.path.exists(os.path.join(t, V._SNAP_DIR, fid))
+
+
+def test_agg_view_stream_gets_floors_too(spark, tmp_path):
+    """Review fix (r11): floors live at the shared starter, so EVERY
+    refresh-stream flavor is guarded, not just the cascade."""
+    base = _mk_flat(spark, tmp_path / "base")
+    view = str(tmp_path / "view")
+    MV.create_agg_view(spark, base, view, key="id",
+                       group_cols=["id"], sum_cols=["val"])
+    q = sink.start_agg_view_refresh_stream(
+        spark, view, checkpoint_dir=str(tmp_path / "ckpt"))
+    try:
+        floors = getattr(q, "_rclip_floors")
+        assert set(floors) == {base}
+        assert os.path.exists(os.path.join(base, V._SNAP_DIR,
+                                           floors[base]))
+        V.append(spark, base, spark.createDataFrame(
+            [(1, 1)], "id INT, val INT"))
+        V.vacuum(base, keep_last=1)
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        sink.stop_view_refresh_stream(q)
+    assert not os.path.exists(os.path.join(base, V._SNAP_DIR,
+                                           floors[base]))
