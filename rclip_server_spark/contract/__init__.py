@@ -84,13 +84,14 @@ _PRIORITY = [
     "text_lang_id", "text_bm25_topk", "text_ngram_contamination",
     "ann_lsh_knn_join", "ann_lsh_topk_multiprobe",
     "dedup_minhash_near_dup", "dedup_semantic_semdedup",
-    "sql_q17_small_quantity_revenue", "sql_q8_market_share",
+    "sql_q17_small_quantity_revenue",
     "vec_quantize_int8_roundtrip",
     "sql_mv_roundtrip", "sql_topk_qualify",
     "vt_view_composition",
     # --- NEW r11 rows ---
     "sql_bucketed_conditional_merge", "b16_local_binary_ingest",
     "sql_select_window_over_dv", "sql_select_grouping_sets_over_dv",
+    "sql_bucketed_schema_evolution",
 ]
 
 

@@ -1987,3 +1987,59 @@ _register(
     ((event_type), (event_type, bucket), ())
     """,
 )
+
+
+def _sql_bucketed_evo_builder(spark: SparkSession, sf: str,
+                              path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    ).createOrReplaceTempView("events_seed_bevo")
+    SQ.execute(spark, "CREATE TABLE evbe OPTIONS (key='event_id', "
+                      "buckets=8) AS SELECT * FROM events_seed_bevo",
+               cat)
+    # metadata-only ADD on the bucketed layout: no segment written,
+    # reads reconcile the unwritten column as typed NULLs
+    SQ.execute(spark, "ALTER TABLE evbe ADD COLUMN bonus BIGINT", cat)
+    # bucketed conditional DML writes real values into the evolved
+    # column (delete-vector + per-bucket-append commit)
+    SQ.execute(spark, "UPDATE evbe SET bonus = value_cents * 2 "
+                      "WHERE event_id % 3 = 0", cat)
+    # metadata-only DROP: hidden at the read projection, bytes stay
+    # until the next full OPTIMIZE pass
+    SQ.execute(spark, "ALTER TABLE evbe DROP COLUMN event_type", cat)
+
+
+def _sql_bucketed_schema_evolution(spark: SparkSession, sf: str
+                                   ) -> DataFrame:
+    """Schema evolution on the BUCKETED layout (round 11): ALTER ADD
+    is a metadata-only manifest commit (read_bucketed reconciles the
+    declared-but-unwritten column as typed NULLs — the bucketed twin
+    of the flat path's zero-row evolved segment), ALTER DROP is the
+    same hidden_cols projection flat tables use, and bucketed
+    conditional DML reads/writes the evolved column in between.
+    Oracle: the final state by set algebra over `events`."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "sqlbevo", _sql_bucketed_evo_builder)
+    return SQ.execute(
+        spark,
+        "SELECT event_id, value_cents, bonus FROM evbe",
+        SQ.Catalog(path))
+
+
+_register(
+    "sql_bucketed_schema_evolution",
+    _sql_bucketed_schema_evolution,
+    """
+    SELECT event_id,
+           CAST(round(value * 100) AS BIGINT) AS value_cents,
+           CASE WHEN event_id % 3 = 0
+                THEN CAST(round(value * 100) * 2 AS BIGINT)
+                ELSE NULL END AS bonus
+    FROM events
+    """,
+)

@@ -668,7 +668,7 @@ def delete_rows(spark: SparkSession, path: str, keys, key_col: str,
             "bucket_key": m["bucket_key"], "n_buckets": m["n_buckets"],
             "buckets": m["buckets"],
             "col_types": m.get("col_types", {}),
-        } | _carry_deletes(m)
+        } | _carry_deletes(m) | _carry_hidden(m)
         if scope:
             extra |= {
                 "delete_key": key_col,
@@ -794,7 +794,8 @@ def _delete_and_append_bucketed(
         new_bmap[str(b)] = new_bmap.get(str(b), []) + [s]
     extra = dict(extra or {})
     extra |= {"bucket_key": bkey, "n_buckets": n_buckets,
-              "buckets": new_bmap} | _carry_deletes(m) | compat
+              "buckets": new_bmap} | _carry_deletes(m) \
+        | _carry_hidden(m) | compat
     if scope:
         extra |= {
             "delete_key": key_col,
@@ -876,6 +877,49 @@ def upsert(spark: SparkSession, path: str, updates: DataFrame, key: str) -> int:
     return v + 1
 
 
+def add_column(spark: SparkSession, path: str, col: str, dtype: str,
+               parent_version: int | None = None) -> int:
+    """METADATA-ONLY column add for the BUCKETED layout: commit a new
+    version whose ``col_types`` carries the evolved column — no
+    segment is written (the flat path appends a zero-row evolved
+    segment and lets mergeSchema surface the column; a bucketed table
+    has no natural bucket for an empty segment, so the declaration
+    lives in the manifest and ``read_bucketed`` reconciles
+    declared-but-unwritten columns as typed NULLs). Existing rows read
+    NULL; batches appended with or without the column both work (the
+    drift guard knows the declared type)."""
+    v = current_version(path) if parent_version is None \
+        else int(parent_version)
+    m = _manifest(path, v)
+    if "buckets" not in m:
+        raise ValueError("flat tables add columns via a zero-row "
+                         "evolved-schema append (the SQL ALTER path)")
+    types = m.get("col_types", {})
+    clash = next((c for c in types if c.lower() == col.lower()), None)
+    if clash:
+        raise ValueError(f"column {clash!r} already exists on {path}")
+    hidden = next((c for c in m.get("hidden_cols", [])
+                   if c.lower() == col.lower()), None)
+    if hidden:
+        raise ValueError(
+            f"column {hidden!r} was dropped from this table — rename "
+            f"it, or RESTORE a pre-drop version to resurrect it")
+    # validate + normalize the type string through Spark's DDL parser
+    try:
+        field = spark.createDataFrame([], f"`{col}` {dtype}") \
+            .schema.fields[0]
+    except Exception as ex:
+        raise ValueError(f"bad column type {dtype!r}: {ex}") from ex
+    extra = {
+        "bucket_key": m["bucket_key"], "n_buckets": m["n_buckets"],
+        "buckets": m["buckets"],
+        "col_types": dict(types) | {col: field.dataType.simpleString()},
+    }
+    extra |= _carry_deletes(m) | _carry_hidden(m)
+    _commit(path, v + 1, None, "add-column", extra=extra)
+    return v + 1
+
+
 def drop_column(spark: SparkSession, path: str, col: str,
                 parent_version: int | None = None) -> int:
     """METADATA-ONLY column drop (the Delta column-mapping idea at
@@ -897,14 +941,14 @@ def drop_column(spark: SparkSession, path: str, col: str,
     v = current_version(path) if parent_version is None \
         else int(parent_version)
     m = _manifest(path, v)
-    if "buckets" in m:
-        raise ValueError("drop_column is the flat-table path (a "
-                         "bucketed table's key layout is physical)")
     types = m.get("col_types", {})
     real = next((c for c in types if c.lower() == col.lower()), None)
     if real is None:
         raise ValueError(f"no column {col!r} on {path} "
                          f"(columns: {sorted(types)})")
+    if "buckets" in m and real == m["bucket_key"]:
+        raise ValueError(f"cannot drop {real!r}: it is the bucket "
+                         f"key — the physical layout hashes on it")
     if m.get("delete_segs") and m.get("delete_key", "").lower() == \
             real.lower():
         raise ValueError(
@@ -922,6 +966,16 @@ def drop_column(spark: SparkSession, path: str, col: str,
         "hidden_cols": list(m.get("hidden_cols", [])) + [real],
     }
     extra |= _carry_deletes(m)
+    if "buckets" in m:
+        # bucketed twin: same metadata-only hide, applied by
+        # _apply_hidden at the shared read choke point; the bytes stay
+        # in the per-bucket segments until a full OPTIMIZE pass
+        # materializes the drop (compact_bucketed rewrites every
+        # non-empty bucket while hidden_cols is set, then clears it)
+        extra |= {"bucket_key": m["bucket_key"],
+                  "n_buckets": m["n_buckets"], "buckets": m["buckets"]}
+        _commit(path, v + 1, None, "drop-column", extra=extra)
+        return v + 1
     if m.get("stat_cols"):
         extra |= {"stat_cols": m["stat_cols"],
                   "seg_stats": m.get("seg_stats", {})}
@@ -1520,7 +1574,17 @@ def read_bucketed(
     # as the flat read: a vector scoped to other buckets' segments
     # groups this read's segments into the no-vector bucket — zero
     # anti-join cost for buckets the delete never touched
-    return _read_with_deletes(spark, path, m, segs)
+    df = _read_with_deletes(spark, path, m, segs)
+    # schema reconciliation: a column ADDED by the metadata-only
+    # add_column has no bytes in any segment yet — surface it as the
+    # declared type's NULL (the bucketed twin of the flat path's
+    # zero-row evolved segment + mergeSchema)
+    import pyspark.sql.functions as F
+
+    for c, t in m.get("col_types", {}).items():
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast(t))
+    return df
 
 
 def point_lookup_bucketed(
@@ -1591,7 +1655,7 @@ def upsert_bucketed(
         _commit(path, v + 1, None, "upsert-bucketed",
                 extra={"bucket_key": key, "n_buckets": n_buckets,
                        "buckets": new_bmap}
-                | compat | _prune_vectors(m, live))
+                | compat | _carry_hidden(m) | _prune_vectors(m, live))
     except ConcurrentWriteError:
         _cleanup_segments(path, segs.values())
         raise
@@ -1630,7 +1694,7 @@ def append_bucketed(
                 extra=dict(extra or {})
                 | {"bucket_key": key, "n_buckets": n_buckets,
                    "buckets": new_bmap}
-                | _carry_deletes(m) | compat)
+                | _carry_deletes(m) | _carry_hidden(m) | compat)
     except ConcurrentWriteError:
         _cleanup_segments(path, segs.values())
         raise
@@ -1654,13 +1718,19 @@ def compact_bucketed(
     # rewrite a bucket when it accreted segments (>= min_segments) OR
     # any pending delete vector scopes into it — so OPTIMIZE both
     # folds the layout AND materializes pending deletes, still paying
-    # only for the buckets that actually changed
+    # only for the buckets that actually changed. A pending COLUMN
+    # DROP (hidden_cols) forces the full pass: every non-empty bucket
+    # rewrites without the column, and the hidden list clears — the
+    # bucketed twin of the flat compact()'s materialization, and the
+    # one O(table) case (user-invoked maintenance, not a DML tax).
+    hidden = m.get("hidden_cols") or []
     scoped: set[str] = set()
     for dseg in m.get("delete_segs") or []:
         sc = m.get("delete_scopes", {}).get(dseg)
         scoped |= _manifest_segments(m) if sc is None else set(sc)
     todo = sorted(int(b) for b, ss in bmap.items()
-                  if len(ss) >= min_segments or scoped & set(ss))
+                  if ss and (hidden or len(ss) >= min_segments
+                             or scoped & set(ss)))
     if not todo:
         return v
     todo_segs = [s for b in todo for s in bmap[str(b)]]
@@ -1771,7 +1841,7 @@ def append_bucketed_exactly_once(
                 batch_id=int(batch_id),
                 extra={"bucket_key": key, "n_buckets": n_buckets,
                        "buckets": new_bmap}
-                | _carry_deletes(m) | compat)
+                | _carry_deletes(m) | _carry_hidden(m) | compat)
     except ConcurrentWriteError:
         _cleanup_segments(path, segs.values())
         raise

@@ -436,9 +436,16 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         name, col, type_text = m.group(1), m.group(2), m.group(3).strip()
         e = _writable_table(catalog, name, "ALTER TABLE")
         if _is_bucketed_entry(e):
-            raise SqlError(f"{name} is bucketed — schema evolution "
-                           f"is the flat-table path (the bucket "
-                           f"layout pins the physical schema)")
+            # bucketed twin: metadata-only manifest evolution (there
+            # is no natural bucket for a zero-row segment); reads
+            # reconcile the declared-but-unwritten column as typed
+            # NULLs (versioned.add_column / read_bucketed)
+            try:
+                ver = V.add_column(spark, e["path"], col, type_text)
+            except ValueError as ex:
+                raise SqlError(str(ex)) from ex
+            return {"status": "altered", "name": name,
+                    "added": {col: type_text}, "version": ver}
         df = _read_entry(spark, e)
         clash = next((c for c in df.columns
                       if c.lower() == col.lower()), None)

@@ -17,10 +17,10 @@ from rclip_server_spark.sources import versioned as V
 SEEDS = [11, 23, 37, 58, 71, 94]
 N_OPS = 12
 
-# bucketed twin (r11): the SAME model, the SAME verbs — DML must be
-# layout-equivalent now that delete vectors + conditional MERGE work
-# on hash-bucketed tables. ALTER is excluded (schema evolution is the
-# flat-table path by design), so the op pool differs only there.
+# bucketed twin (r11): the SAME model, the SAME verbs — DML and
+# schema evolution must be layout-equivalent now that delete vectors,
+# conditional MERGE, and metadata-only ALTER work on hash-bucketed
+# tables. The op pools are identical.
 BUCKETED_SEEDS = [13, 29, 47, 83]
 
 
@@ -56,11 +56,8 @@ def test_sql_dml_fuzz(spark, tmp_path, layout, seed):
         states[ver] = (copy.deepcopy(model), list(all_cols))
 
     for step in range(N_OPS):
-        ops = ["insert", "insert", "update", "delete",
-               "merge", "restore", "optimize", "alter"]
-        if layout == "bucketed":
-            ops.remove("alter")
-        op = rng.choice(ops)
+        op = rng.choice(["insert", "insert", "update", "delete",
+                         "merge", "restore", "optimize", "alter"])
         if op == "insert":
             n = rng.randint(1, 5)
             rows = []

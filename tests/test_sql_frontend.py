@@ -1641,10 +1641,17 @@ def test_bucketed_table_sql_lifecycle(spark, events, cat):
     got6 = S.execute(spark, "SELECT event_id, user_id, cents FROM bk",
                      cat)
     assert _rows(got6) == _rows(want)
+    # schema evolution works on the bucketed layout too (r11):
+    # metadata-only ADD, reads reconcile the unwritten column as NULL
+    S.execute(spark, "ALTER TABLE bk ADD COLUMN x long", cat)
+    gotx = S.execute(spark, "SELECT event_id, x FROM bk", cat)
+    assert gotx.where("x IS NOT NULL").count() == 0
+    S.execute(spark, "ALTER TABLE bk DROP COLUMN x", cat)
+    assert "x" not in S.execute(spark, "SELECT * FROM bk",
+                                cat).columns
     # the remaining physically-flat-only verbs still carry guidance
     for stmt, msg in (
         ("INSERT OVERWRITE bk SELECT * FROM bk_seed", "bucketed"),
-        ("ALTER TABLE bk ADD COLUMN x long", "bucketed"),
         ("OPTIMIZE bk ZORDER BY (event_id, cents)", "bucketed"),
     ):
         with pytest.raises(S.SqlError, match=msg):
