@@ -825,8 +825,36 @@ def overwrite(spark: SparkSession, path: str, df: DataFrame,
     parent (same read-modify-write contract as append)."""
     v = current_version(path) if parent_version is None \
         else int(parent_version)
-    seg = _write_segment(df, path)
     parent = _manifest(path, v)
+    if "buckets" in parent:
+        # layout dispatch: the full reload of a bucketed table writes
+        # a fresh per-bucket segment map (same deterministic hash
+        # routing, bucket count preserved); pending delete vectors and
+        # hidden columns are definitionally materialized — the new
+        # state IS df
+        from .writer import _BUCKET_COL, _bucket_expr
+
+        key, n_buckets, _ = _bucketed_meta(parent)
+        if key not in df.columns:
+            raise ValueError(f"overwrite of a bucketed table needs "
+                             f"its bucket key {key!r} (columns: "
+                             f"{df.columns})")
+        df_b = df.withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
+        touched = _bucket_ids(df_b)
+        segs = _write_bucket_segments(df_b, path, touched) \
+            if touched else {}
+        try:
+            _commit(path, v + 1, None, "overwrite",
+                    extra=dict(extra or {})
+                    | {"bucket_key": key, "n_buckets": n_buckets,
+                       "buckets": {str(b): [s]
+                                   for b, s in segs.items()},
+                       "col_types": _col_types(df)})
+        except ConcurrentWriteError:
+            _cleanup_segments(path, segs.values())
+            raise
+        return v + 1
+    seg = _write_segment(df, path)
     try:
         _commit(path, v + 1, [seg], "overwrite",
                 extra=dict(extra or {})

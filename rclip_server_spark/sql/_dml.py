@@ -61,12 +61,7 @@ def _insert(spark: SparkSession, catalog: Catalog, name: str,
     df = df.select(*[
         F.col(c).cast(f.dataType).alias(f.name)
         for c, f in zip(df.columns, target.fields)])
-    if _is_bucketed(e):
-        if overwrite:
-            raise SqlError(
-                f"INSERT OVERWRITE is the flat-table full reload — "
-                f"{name} is bucketed (the layout is physical); DROP "
-                f"and recreate, or MERGE the new state in")
+    if _is_bucketed(e) and not overwrite:
         ver = V.append_bucketed(spark, e["path"], df)
         return {"status": "inserted", "name": name, "version": ver}
     if overwrite:

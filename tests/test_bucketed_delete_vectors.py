@@ -254,3 +254,28 @@ def test_empty_scope_delete_registers_no_vector(spark, tmp_path):
     v2 = V.delete_rows(spark, t, empty, "id")
     assert len(V._manifest(t, v2).get("delete_segs") or []) == 1
     assert 3 not in _ids(spark, t)
+
+
+def test_overwrite_bucketed_full_reload(spark, tmp_path):
+    """INSERT OVERWRITE's versioned substrate on the bucketed layout
+    (r11): a fresh per-bucket segment map replaces the whole state —
+    pending vectors and hidden columns are definitionally
+    materialized, older versions stay readable, RESTORE undoes it."""
+    t = _mk(spark, tmp_path / "t")
+    V.delete_rows(spark, t, [3], "id")
+    v_pre = V.current_version(t)
+    new = spark.createDataFrame([(i, f"o{i}", -i) for i in range(5)],
+                                "id INT, name STRING, val INT")
+    v = V.overwrite(spark, t, new)
+    m = V._manifest(t, v)
+    assert "buckets" in m and not m.get("delete_segs")
+    assert _ids(spark, t) == list(range(5))
+    assert V.point_lookup_bucketed(spark, t, 2).first().val == -2
+    # old version still vector-filtered; restore returns to it
+    assert 3 not in _ids(spark, t, version=v_pre)
+    V.restore(spark, t, v_pre)
+    assert 3 not in _ids(spark, t) and len(_ids(spark, t)) == 23
+    # missing bucket key refused
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bucket key"):
+        V.overwrite(spark, t, new.drop("id"))

@@ -1641,21 +1641,6 @@ def test_bucketed_table_sql_lifecycle(spark, events, cat):
     got6 = S.execute(spark, "SELECT event_id, user_id, cents FROM bk",
                      cat)
     assert _rows(got6) == _rows(want)
-    # schema evolution works on the bucketed layout too (r11):
-    # metadata-only ADD, reads reconcile the unwritten column as NULL
-    S.execute(spark, "ALTER TABLE bk ADD COLUMN x long", cat)
-    gotx = S.execute(spark, "SELECT event_id, x FROM bk", cat)
-    assert gotx.where("x IS NOT NULL").count() == 0
-    S.execute(spark, "ALTER TABLE bk DROP COLUMN x", cat)
-    assert "x" not in S.execute(spark, "SELECT * FROM bk",
-                                cat).columns
-    # the remaining physically-flat-only verbs still carry guidance
-    for stmt, msg in (
-        ("INSERT OVERWRITE bk SELECT * FROM bk_seed", "bucketed"),
-        ("OPTIMIZE bk ZORDER BY (event_id, cents)", "bucketed"),
-    ):
-        with pytest.raises(S.SqlError, match=msg):
-            S.execute(spark, stmt, cat)
     # OPTIMIZE materializes the pending vectors (bucket-scoped rewrite)
     assert S.execute(spark, "DESCRIBE bk",
                      cat)["pending_delete_vectors"] > 0
@@ -1665,6 +1650,26 @@ def test_bucketed_table_sql_lifecycle(spark, events, cat):
     got7 = S.execute(spark, "SELECT event_id, user_id, cents FROM bk",
                      cat)
     assert _rows(got7) == _rows(want)
+    # schema evolution works on the bucketed layout too (r11):
+    # metadata-only ADD, reads reconcile the unwritten column as NULL
+    S.execute(spark, "ALTER TABLE bk ADD COLUMN x long", cat)
+    gotx = S.execute(spark, "SELECT event_id, x FROM bk", cat)
+    assert gotx.where("x IS NOT NULL").count() == 0
+    S.execute(spark, "ALTER TABLE bk DROP COLUMN x", cat)
+    assert "x" not in S.execute(spark, "SELECT * FROM bk",
+                                cat).columns
+    # INSERT OVERWRITE = the full reload on both layouts (r11): a
+    # fresh per-bucket segment map, pending vectors/hidden cols
+    # definitionally materialized
+    S.execute(spark, "INSERT OVERWRITE bk SELECT * FROM bk_seed", cat)
+    got8 = S.execute(spark, "SELECT event_id, user_id, cents FROM bk",
+                     cat)
+    assert _rows(got8) == _rows(ev.limit(300))
+    assert S.execute(spark, "DESCRIBE bk", cat)["layout"] == "bucketed"
+    # ZORDER stays flat-only (bucketed layouts already co-locate by key)
+    with pytest.raises(S.SqlError, match="bucketed"):
+        S.execute(spark, "OPTIMIZE bk ZORDER BY (event_id, cents)",
+                  cat)
     with pytest.raises(S.SqlError, match="buckets must be"):
         S.execute(spark, "CREATE TABLE bk2 OPTIONS (key='event_id', "
                          "buckets=1) AS SELECT * FROM bk_seed", cat)
