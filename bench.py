@@ -250,6 +250,26 @@ def main() -> None:
                           "WHEN MATCHED THEN UPDATE SET * "
                           "WHEN NOT MATCHED THEN INSERT *", _sql_cat)
 
+    def _bucketed_conditional_dml_2k():
+        # r11: conditional MERGE on the bucketed layout — one inner +
+        # one anti join feeding ONE bucket-scoped delete-vector +
+        # per-bucket-append commit; ZERO buckets rewritten (contrast
+        # bucketed_merge_2k's full-upsert touched-bucket rewrite).
+        # Scale-proved flat across 8x table growth in BASELINE.md
+        # (tools/bucketed_dv_scale_proof.py).
+        shift = next(_batch_no) * 1_000_000_000
+        src = orders.limit(1000).withColumn(
+            "price_cents", F.col("price_cents") + 3).unionByName(
+            orders.limit(1000).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(shift)))
+        src.createOrReplaceTempView("bench_bcdml_src")
+        SQ.execute(spark, (
+            "MERGE INTO mrgb t USING bench_bcdml_src AS s "
+            "ON t.o_orderkey = s.o_orderkey "
+            "WHEN MATCHED AND s.price_cents % 97 = 0 THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET price_cents = s.price_cents "
+            "WHEN NOT MATCHED THEN INSERT *"), _sql_cat)
+
     _BLOOM_IDS = [17, 4242, 99177, 123456]
 
     def _stage_floor_calib():
@@ -358,6 +378,7 @@ def main() -> None:
         "sql_merge_upsert_2k": _merge_2k,
         # round-10: the bucketed flavor (touched-buckets rewrite)
         "bucketed_merge_2k": _bucketed_merge_2k,
+        "bucketed_conditional_dml_2k": _bucketed_conditional_dml_2k,
     }
 
     # warm the JVM/IO, the Python UDF workers, AND whole-stage-codegen

@@ -840,9 +840,12 @@ def overwrite(spark: SparkSession, path: str, df: DataFrame,
                              f"its bucket key {key!r} (columns: "
                              f"{df.columns})")
         df_b = df.withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
-        touched = _bucket_ids(df_b)
-        segs = _write_bucket_segments(df_b, path, touched) \
-            if touched else {}
+        # ONE pass: _write_bucket_segments skips absent partition dirs,
+        # so probing all bucket ids costs nothing extra, while a
+        # separate _bucket_ids() job would execute the caller's whole
+        # source plan a second time
+        segs = _write_bucket_segments(df_b, path,
+                                      list(range(n_buckets)))
         try:
             _commit(path, v + 1, None, "overwrite",
                     extra=dict(extra or {})
@@ -922,6 +925,14 @@ def add_column(spark: SparkSession, path: str, col: str, dtype: str,
     if "buckets" not in m:
         raise ValueError("flat tables add columns via a zero-row "
                          "evolved-schema append (the SQL ALTER path)")
+    from .writer import _BUCKET_COL
+
+    if col.lower() == _BUCKET_COL:
+        # the internal routing column: append_bucketed overwrites it
+        # and _write_bucket_segments strips it from the files — user
+        # data under this name would silently read back NULL forever
+        raise ValueError(f"{_BUCKET_COL!r} is the bucketed layout's "
+                         f"reserved routing column")
     types = m.get("col_types", {})
     clash = next((c for c in types if c.lower() == col.lower()), None)
     if clash:
@@ -1277,17 +1288,24 @@ def advance_version_floor(path: str, floor_id: str,
                           version: int) -> None:
     """Move a floor forward (each stream micro-batch advances it to
     the new cursor, keeping the pinned window O(in-flight), not
-    O(stream lifetime)). Never moves a floor backward."""
+    O(stream lifetime)). Never moves a floor backward, and never
+    resurrects a RELEASED floor: release writes a ``.released``
+    tombstone before removing the file, and advance checks it both
+    before and after its atomic replace — so a release interleaving
+    anywhere inside an in-flight advance still wins (the recreated
+    file is removed immediately), closing the check-then-write race
+    that would otherwise re-pin the table with no handle left."""
     p = os.path.join(path, _SNAP_DIR, floor_id)
+    tomb = p + ".released"
+    if os.path.exists(tomb):
+        _suppress_remove(p)
+        return
     try:
         with open(p) as f:
             cur = json.load(f)
     except (FileNotFoundError, json.JSONDecodeError):
-        cur = {}
-    if not cur:
-        # floor already RELEASED (stop racing an in-flight micro-batch's
-        # advance): recreating it here would re-pin the table forever
-        # with no handle left to release — a missing floor stays gone
+        # missing (released) or mid-replace: skip this advance — the
+        # next micro-batch advances again
         return
     if cur.get("floor_version", -1) >= int(version):
         return
@@ -1296,13 +1314,27 @@ def advance_version_floor(path: str, floor_id: str,
         json.dump({"floor_version": int(version), "pid": os.getpid(),
                    "owner": cur.get("owner", "")}, f)
     os.replace(tmp, p)
+    if os.path.exists(tomb):  # release raced the replace: it wins
+        _suppress_remove(p)
+
+
+def _suppress_remove(p: str) -> None:
+    try:
+        os.remove(p)
+    except OSError:
+        pass
 
 
 def release_version_floor(path: str, floor_id: str) -> None:
+    """Release a floor. Tombstone-first: the marker is what makes a
+    racing in-flight advance unable to resurrect the floor file (see
+    advance_version_floor); vacuum reaps aged tombstones."""
+    p = os.path.join(path, _SNAP_DIR, floor_id)
     try:
-        os.remove(os.path.join(path, _SNAP_DIR, floor_id))
-    except FileNotFoundError:
+        open(p + ".released", "w").close()
+    except OSError:
         pass
+    _suppress_remove(p)
 
 
 def _pid_alive(pid: int) -> bool:
@@ -1315,15 +1347,23 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
-def _live_floor(path: str) -> int | None:
-    """Lowest live floor version, reaping dead-pid and unparseable
-    floor files on the way (vacuum calls this, so leaks self-heal)."""
+def _live_floor(path: str, reap: bool = True) -> int | None:
+    """Lowest live floor version. With ``reap`` (vacuum's mode),
+    dead-pid and tombstoned floor files are removed on the way so
+    leaks self-heal; read-only callers (describe) pass reap=False —
+    a metadata report must not mutate the table directory (and must
+    not reap floors on behalf of a vacuum it isn't)."""
     snap_dir = os.path.join(path, _SNAP_DIR)
     lowest = None
     for name in os.listdir(snap_dir):
         if not _FLOOR_RE.match(name):
             continue
         p = os.path.join(snap_dir, name)
+        if os.path.exists(p + ".released"):
+            # released; the file is race residue (advance recreated it)
+            if reap:
+                _suppress_remove(p)
+            continue
         try:
             with open(p) as f:
                 d = json.load(f)
@@ -1334,10 +1374,8 @@ def _live_floor(path: str) -> int | None:
             # may be about to os.replace the real content in)
             continue
         if not _pid_alive(pid):
-            try:
-                os.remove(p)  # two concurrent vacuums may race the reap
-            except FileNotFoundError:
-                pass
+            if reap:
+                _suppress_remove(p)
             continue
         lowest = ver if lowest is None else min(lowest, ver)
     return lowest
@@ -1391,7 +1429,8 @@ def vacuum(path: str, keep_last: int = 1,
     tmp_cutoff = max(float(retain_seconds or 0.0), _TMP_MIN_AGE_SEC)
     for name in os.listdir(snap_dir):
         if name.startswith((".tmp-", ".ckpt-")) or (
-                name.startswith(".floor-") and name.endswith(".tmp")):
+                name.startswith(".floor-")
+                and name.endswith((".tmp", ".released"))):
             p = os.path.join(snap_dir, name)
             if now - os.path.getmtime(p) >= tmp_cutoff:
                 os.remove(p)
@@ -1760,6 +1799,17 @@ def compact_bucketed(
                   if ss and (hidden or len(ss) >= min_segments
                              or scoped & set(ss)))
     if not todo:
+        if hidden:
+            # an ALL-EMPTY table still holding a pending drop: no
+            # segment holds the column's bytes anywhere, so the drop
+            # is already materialized — commit the metadata that says
+            # so (otherwise OPTIMIZE is a no-op forever and the name
+            # can never return)
+            _commit(path, v + 1, None, "compact-bucketed",
+                    extra={"bucket_key": key, "n_buckets": n_buckets,
+                           "buckets": bmap,
+                           "col_types": m.get("col_types", {})})
+            return v + 1
         return v
     todo_segs = [s for b in todo for s in bmap[str(b)]]
     # vector-aware rewrite: compacted buckets materialize their pending
@@ -2193,7 +2243,7 @@ def describe(path: str) -> dict:
         # lowest LIVE vacuum floor (refresh streams pin their in-read
         # window); None when nothing is pinned — the operational "why
         # is vacuum keeping history?" answer
-        "version_floor": _live_floor(path),
+        "version_floor": _live_floor(path, reap=False),
         "col_types": m.get("col_types", {}),
         "stat_cols": m.get("stat_cols", []),
         "app": m.get("app"),

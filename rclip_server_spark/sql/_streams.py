@@ -70,9 +70,14 @@ def _start_refresh_stream(spark: SparkSession, catalog: Catalog,
         # the predecessor died asynchronously: release its vacuum
         # floors (the holder pid — this process — is still alive, so
         # dead-pid reaping would never fire and every vacuum would
-        # stay pinned at the dead stream's cursor forever)
+        # stay pinned at the dead stream's cursor forever) AND reap
+        # its checkpoint dir (the docstring's next-START/STOP promise;
+        # repeated die-then-START cycles must not accrete orphans)
         sink.stop_view_refresh_stream(old)
         _STREAMS.pop(key, None)
+        old_ckpt = getattr(old, "_rclip_ckpt", None)
+        if old_ckpt:
+            shutil.rmtree(old_ckpt, ignore_errors=True)
 
     ckpt = os.path.join(_ckpt_root(catalog, name), uuid.uuid4().hex)
     q = sink.start_view_cascade_refresh_stream(

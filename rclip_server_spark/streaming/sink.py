@@ -134,6 +134,7 @@ def start_stream_append_versioned(
 def _start_view_refresh_stream(
     spark: SparkSession, source_path: str, refresh_fn,
     checkpoint_dir: str | None, view_path: str | None = None,
+    pre_start=None,
 ):
     """Shared wiring for continuous view maintenance: tail the SOURCE's
     manifest log with a file stream (one tiny JSON per commit) and run
@@ -175,20 +176,17 @@ def _start_view_refresh_stream(
     # reaped by the next vacuum. Living at THIS choke point covers
     # every refresh-stream flavor (agg/transform/join/join-table/
     # cascade) with one implementation.
+    from ..sources import versioned as V
+
     floors: dict = {}
     run = refresh_fn
     if view_path is not None:
         from ..sources import matview
-        from ..sources import versioned as V
 
         def _floor_of(base: str) -> int:
             cursors = matview._cursors_into(base, [view_path])
             return min(cursors) if cursors \
                 else V.current_version(base)
-
-        floors = {p: V.register_version_floor(
-            p, _floor_of(p), owner=f"refresh:{view_path}")
-            for p in paths}
 
         def run():
             refresh_fn()
@@ -206,7 +204,22 @@ def _start_view_refresh_stream(
     def _refresh(batch_df: DataFrame, batch_id: int) -> None:
         run()
 
+    # ONE try covers floor registration, the caller's synchronous
+    # pre-start work, and the stream start: a failure anywhere
+    # releases every floor already registered (a partial registration
+    # held by this still-alive process would pin vacuum with no
+    # handle left to release). Floors register BEFORE pre_start so
+    # the cascade starter's catch-up refresh is already guarded — no
+    # unguarded window between its interval read and the tail.
     try:
+        if view_path is not None:
+            for p in paths:
+                floors[p] = V.register_version_floor(
+                    p, _floor_of(p), owner=f"refresh:{view_path}")
+        if pre_start is not None:
+            pre_start()
+            for b, fid in floors.items():
+                V.advance_version_floor(b, fid, _floor_of(b))
         stream = _tail(paths[0])
         for p in paths[1:]:
             stream = stream.union(_tail(p))
@@ -216,8 +229,6 @@ def _start_view_refresh_stream(
             out = out.option("checkpointLocation", checkpoint_dir)
         q = out.start()
     except BaseException:
-        from ..sources import versioned as V
-
         for b, fid in floors.items():
             V.release_version_floor(b, fid)
         raise
@@ -385,11 +396,13 @@ def start_view_cascade_refresh_stream(
     # function would otherwise kill the stream on the first wake. A
     # zero-interval cascade run is the cheapest complete validation
     # (every refresh is the fresh-cursor fast return when idle, but
-    # spec/kind/function resolution all execute).
-    _cascade()
+    # spec/kind/function resolution all execute). Passed as pre_start
+    # so it runs AFTER the vacuum floors register — the catch-up's own
+    # (cursor, head] reads are already guarded.
     return _start_view_refresh_stream(spark, bases, _cascade,
                                       checkpoint_dir,
-                                      view_path=view_path)
+                                      view_path=view_path,
+                                      pre_start=_cascade)
 
 
 def stop_view_refresh_stream(q) -> None:

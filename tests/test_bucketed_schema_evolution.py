@@ -123,3 +123,43 @@ def test_restore_across_evolution(spark, tmp_path):
            ["id", "name", "val", "bonus"]
     V.restore(spark, t, 1)
     assert V.read_bucketed(spark, t).columns == ["id", "name", "val"]
+
+
+def test_reserved_bucket_column_refused(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    with pytest.raises(ValueError, match="reserved routing column"):
+        V.add_column(spark, t, "__bucket", "bigint")
+
+
+def test_optimize_clears_drop_on_all_empty_table(spark, tmp_path):
+    """Second-review fix: a pending DROP on an all-empty bucketed
+    table still materializes (no bytes exist anywhere), so the name
+    can return."""
+    t = _mk(spark, tmp_path / "t")
+    V.overwrite(spark, t, spark.createDataFrame(
+        [], "id INT, name STRING, val INT"))  # buckets = {}
+    V.drop_column(spark, t, "name")
+    v = V.compact_bucketed(spark, t)
+    assert not V._manifest(t, v).get("hidden_cols")
+    V.add_column(spark, t, "name", "string")
+    assert "name" in V.read_bucketed(spark, t).columns
+
+
+def test_overwrite_bucketed_single_pass(spark, tmp_path):
+    """Second-review fix: the bucketed overwrite must not execute the
+    source plan twice — count the executions with an accumulator."""
+    t = _mk(spark, tmp_path / "t", n=8)
+    acc = spark.sparkContext.accumulator(0)
+
+    def _tick(it):
+        acc.add(1)
+        return it
+
+    src = (spark.createDataFrame([(i, f"z{i}", i) for i in range(8)],
+                                 "id INT, name STRING, val INT")
+           .repartition(1).rdd.mapPartitions(_tick).toDF(
+               "id INT, name STRING, val INT"))
+    V.overwrite(spark, t, src)
+    assert sorted(r.id for r in V.read_bucketed(spark, t).collect()) \
+        == list(range(8))
+    assert acc.value == 1, f"source plan executed {acc.value} times"

@@ -163,3 +163,93 @@ def test_agg_view_stream_gets_floors_too(spark, tmp_path):
         sink.stop_view_refresh_stream(q)
     assert not os.path.exists(os.path.join(base, V._SNAP_DIR,
                                            floors[base]))
+
+
+def test_release_tombstone_beats_racing_advance(spark, tmp_path):
+    """Second-review fix: release is tombstone-first, so an advance
+    that already loaded the floor file and replaces it AFTER the
+    release still cannot resurrect the pin."""
+    t = _mk_flat(spark, tmp_path / "t")
+    fid = V.register_version_floor(t, 1, owner="race")
+    fp = os.path.join(t, V._SNAP_DIR, fid)
+    # simulate the interleave: the advance's read happened (file
+    # present), then release lands, then the advance's replace
+    V.release_version_floor(t, fid)
+    json.dump({"floor_version": 3, "pid": os.getpid(), "owner": "race"},
+              open(fp, "w"))  # the racing replace re-creates the file
+    # the NEXT advance (or any floor scan) sees the tombstone and
+    # removes the residue instead of honoring it
+    V.advance_version_floor(t, fid, 5)
+    assert not os.path.exists(fp)
+    assert V._live_floor(t) is None
+
+
+def test_describe_is_read_only_about_floors(spark, tmp_path):
+    """Second-review fix: describe() must not reap floor files (a
+    metadata report has no business mutating the table directory)."""
+    t = _mk_flat(spark, tmp_path / "t")
+    fid = V.register_version_floor(t, 1, owner="x")
+    fp = os.path.join(t, V._SNAP_DIR, fid)
+    d = json.load(open(fp))
+    d["pid"] = 999999999  # certainly not a live pid
+    json.dump(d, open(fp, "w"))
+    rep = V.describe(t)
+    assert rep["version_floor"] is None  # dead floor doesn't pin
+    assert os.path.exists(fp)  # ...but describe didn't delete it
+    V.vacuum(t, keep_last=1)  # vacuum DOES reap it
+    assert not os.path.exists(fp)
+
+
+def test_partial_floor_registration_releases(spark, tmp_path, events):
+    """Second-review fix: if floor registration fails for the second
+    source of a join view, the first source's floor must release."""
+    from pyspark.sql import functions as F
+    from rclip_server_spark.streaming.sink import (
+        _start_view_refresh_stream,
+    )
+
+    left = _mk_flat(spark, tmp_path / "left")
+    right = str(tmp_path / "right_missing")  # no _snapshots dir
+
+    def _boom():
+        raise AssertionError("refresh must not run")
+
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        _start_view_refresh_stream(spark, [left, right], _boom,
+                                   None, view_path=left)
+    # no floor file leaked on the side that registered first
+    assert not [f for f in os.listdir(os.path.join(left, V._SNAP_DIR))
+                if f.startswith(".floor-") and f.endswith(".json")]
+
+
+def test_cascade_catchup_is_floor_guarded(spark, tmp_path):
+    """Second-review fix: the cascade starter's synchronous catch-up
+    runs AFTER floor registration — during the catch-up, the base's
+    floor file already exists at the pre-catch-up cursor."""
+    base = _mk_flat(spark, tmp_path / "base")
+    view = str(tmp_path / "view")
+    MV.create_agg_view(spark, base, view, key="id",
+                       group_cols=["id"], sum_cols=["val"])
+    V.append(spark, base, spark.createDataFrame(
+        [(99, 9)], "id INT, val INT"))  # stale cursor -> catch-up work
+    seen = {}
+    orig = MV.refresh_cascade
+
+    def _spy(*a, **k):
+        seen["floors"] = [f for f in
+                          os.listdir(os.path.join(base, V._SNAP_DIR))
+                          if f.startswith(".floor-")
+                          and f.endswith(".json")]
+        return orig(*a, **k)
+
+    MV.refresh_cascade = _spy
+    try:
+        q = sink.start_view_cascade_refresh_stream(
+            spark, view, checkpoint_dir=str(tmp_path / "ckpt"))
+    finally:
+        MV.refresh_cascade = orig
+    try:
+        assert seen["floors"], "catch-up ran without a floor in place"
+    finally:
+        sink.stop_view_refresh_stream(q)
