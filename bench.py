@@ -71,6 +71,12 @@ FLOOR_SEC = {
     # 2k batch that is all 16 — the toy-scale worst case; at 100 TB
     # the touched set tracks the batch's key spread, not table size)
     "bucketed_merge_2k": 1.126,
+    # round-11 first-committed floor (idle, calib 0.624): conditional
+    # D/U/I MERGE on the bucketed layout — one inner + one anti join
+    # feeding ONE bucket-scoped delete-vector + per-bucket-append
+    # commit, zero buckets rewritten (flat across 8x table growth,
+    # BASELINE.md bucketed_dv_scale_proof)
+    "bucketed_conditional_dml_2k": 1.914,
 }
 R3_FLOOR_SEC = FLOOR_SEC  # legacy alias
 

@@ -69,7 +69,12 @@ _MANIFEST_RE = re.compile(r"^v(\d{8})\.json$")
 # commit ops that only ADD rows — an interval of these has zero
 # retractions (table_changes fast path, matview broadcast sizing)
 APPEND_OPS = ("append", "append-bucketed", "stream-append",
-              "stream-append-bucketed")
+              "stream-append-bucketed",
+              # metadata-only schema ADD (bucketed add_column): zero
+              # row changes by definition — the CDC fast path emits
+              # its new segments (none), instead of a wasteful
+              # snapshot-diff recompute of an unchanged table
+              "add-column")
 
 
 class ConcurrentWriteError(RuntimeError):

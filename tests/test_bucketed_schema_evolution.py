@@ -163,3 +163,22 @@ def test_overwrite_bucketed_single_pass(spark, tmp_path):
     assert sorted(r.id for r in V.read_bucketed(spark, t).collect()) \
         == list(range(8))
     assert acc.value == 1, f"source plan executed {acc.value} times"
+
+
+def test_add_column_is_cdc_noop(spark, tmp_path):
+    """add-column is metadata-only, so a CDC interval containing it
+    takes the zero-insert fast path — no snapshot-diff recompute of
+    an unchanged table, and downstream view refreshes see an empty
+    delta instead of a rewriting interval."""
+    t = _mk(spark, tmp_path / "t")
+    v1 = V.current_version(t)
+    V.add_column(spark, t, "bonus", "bigint")
+    ch = V.table_changes(spark, t, v1)
+    assert ch.count() == 0
+    V.append(spark, t, spark.createDataFrame(
+        [(50, "x", 1, 500)],
+        "id INT, name STRING, val INT, bonus BIGINT"))
+    ch2 = V.table_changes(spark, t, v1)
+    assert ch2.count() == 1
+    assert set(ch2.select("_change_type").distinct().toPandas()
+               ["_change_type"]) == {"insert"}
