@@ -1881,6 +1881,62 @@ def maybe_compact(spark: SparkSession, path: str,
         return current_version(path)
 
 
+def cluster_zorder_bucketed(
+    spark: SparkSession, path: str, x_col: str, y_col: str,
+    bits: int = 16,
+) -> int:
+    """OPTIMIZE ZORDER for the BUCKETED layout: rewrite every
+    non-empty bucket into one segment whose rows are sorted by the
+    Morton key of ``(x_col, y_col)`` — WITHIN-bucket clustering. The
+    bucket hash stays the join/upsert co-location story; the z-sort
+    makes parquet row-group min/max stats selective INSIDE each
+    bucket, so a range predicate on either column skips most row
+    groups of every bucket it must visit (the at-rest layering Delta
+    calls partition + ZORDER). Pending delete vectors and hidden
+    columns are materialized by the rewrite; one committed version,
+    readers of older versions stay isolated.
+
+    Plan shape: one hash repartition on the bucket id with a
+    within-partition sort on (bucket, z) — never a global sort; cost
+    is one pass over the table, the same as compact_bucketed's full
+    pass, which this subsumes (every bucket folds to one segment)."""
+    import pyspark.sql.functions as F
+
+    from .writer import _BUCKET_COL, _bucket_expr, zorder_value
+
+    v = current_version(path)
+    m = _manifest(path, v)
+    key, n_buckets, bmap = _bucketed_meta(m)
+    types = m.get("col_types", {})
+    for c in (x_col, y_col):
+        if types and c not in types:
+            raise ValueError(f"no column {c!r} on {path} "
+                             f"(columns: {sorted(types)})")
+    todo = sorted(int(b) for b, ss in bmap.items() if ss)
+    if not todo:
+        return v
+    todo_segs = [s for b in todo for s in bmap[str(b)]]
+    df = _read_with_deletes(spark, path, m, todo_segs)
+    df_b = (df.withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
+            .withColumn("__z", zorder_value(
+                F.col(x_col), F.col(y_col), int(bits)))
+            .repartition(len(todo), _BUCKET_COL)
+            .sortWithinPartitions(_BUCKET_COL, "__z")
+            .drop("__z"))
+    segs = _write_bucket_segments(df_b, path, todo)
+    new_bmap = {str(b): ([segs[b]] if b in segs else [])
+                for b in map(int, bmap)}
+    try:
+        _commit(path, v + 1, None, "zorder-bucketed",
+                extra={"bucket_key": key, "n_buckets": n_buckets,
+                       "buckets": new_bmap,
+                       "col_types": types})
+    except ConcurrentWriteError:
+        _cleanup_segments(path, segs.values())
+        raise
+    return v + 1
+
+
 def upsert_bucketed_with_retry(
     spark: SparkSession, path: str, updates: DataFrame, max_retries: int = 3
 ) -> int:

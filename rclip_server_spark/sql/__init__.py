@@ -696,11 +696,19 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
                                "exactly two columns (Morton key)")
             if not cur.done():
                 raise SqlError("trailing tokens after ZORDER BY (...)")
-            if _is_bucketed_entry(e):
-                raise SqlError(f"{name} is bucketed — already "
-                               f"key-clustered; ZORDER is the flat-"
-                               f"table layout tool")
-            ver = V.cluster_zorder(spark, e["path"], cols[0], cols[1])
+            try:
+                if _is_bucketed_entry(e):
+                    # WITHIN-bucket reclustering: the bucket hash
+                    # stays the co-location story; the z-sort makes
+                    # parquet row-group stats selective inside each
+                    # bucket (partition + ZORDER layering)
+                    ver = V.cluster_zorder_bucketed(
+                        spark, e["path"], cols[0], cols[1])
+                else:
+                    ver = V.cluster_zorder(spark, e["path"], cols[0],
+                                           cols[1])
+            except ValueError as ex:
+                raise SqlError(str(ex)) from ex
             return {"status": "optimized", "name": name,
                     "zorder_by": cols, "version": ver}
         if cur.at_kw("bucket"):

@@ -182,3 +182,41 @@ def test_add_column_is_cdc_noop(spark, tmp_path):
     assert ch2.count() == 1
     assert set(ch2.select("_change_type").distinct().toPandas()
                ["_change_type"]) == {"insert"}
+
+
+def test_zorder_bucketed_within_bucket_clustering(spark, tmp_path):
+    """OPTIMIZE ZORDER on the bucketed layout (r11): every non-empty
+    bucket folds to ONE segment whose rows are Morton-sorted — the
+    within-bucket ordering that makes parquet row-group stats
+    selective. State preserved exactly; pending vectors materialized."""
+    import os
+
+    from rclip_server_spark.sources.writer import zorder_value
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 17, (i * 7) % 23) for i in range(400)],
+        "id INT, x INT, y INT")
+    V.create_bucketed(spark, t, df, key="id", n_buckets=4)
+    V.append(spark, t, spark.createDataFrame(
+        [(1000, 3, 4)], "id INT, x INT, y INT"))  # accreted segment
+    V.delete_rows(spark, t, [7], "id")
+    before = sorted(tuple(r) for r in V.read_bucketed(spark, t)
+                    .collect())
+    v = V.cluster_zorder_bucketed(spark, t, "x", "y")
+    m = V._manifest(t, v)
+    assert all(len(ss) == 1 for ss in m["buckets"].values() if ss)
+    assert not m.get("delete_segs")
+    after = sorted(tuple(r) for r in V.read_bucketed(spark, t)
+                   .collect())
+    assert after == before
+    # physical ordering: each bucket segment's rows are z-nondecreasing
+    for ss in m["buckets"].values():
+        for s in ss:
+            seg = spark.read.parquet(os.path.join(t, s))
+            zs = [r.z for r in seg.select(zorder_value(
+                F.col("x"), F.col("y"), 16).alias("z")).collect()]
+            assert zs == sorted(zs), "bucket segment not z-sorted"
+    # unknown column named
+    with pytest.raises(ValueError, match="no column"):
+        V.cluster_zorder_bucketed(spark, t, "x", "nope")

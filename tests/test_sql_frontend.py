@@ -1666,10 +1666,16 @@ def test_bucketed_table_sql_lifecycle(spark, events, cat):
                      cat)
     assert _rows(got8) == _rows(ev.limit(300))
     assert S.execute(spark, "DESCRIBE bk", cat)["layout"] == "bucketed"
-    # ZORDER stays flat-only (bucketed layouts already co-locate by key)
-    with pytest.raises(S.SqlError, match="bucketed"):
-        S.execute(spark, "OPTIMIZE bk ZORDER BY (event_id, cents)",
-                  cat)
+    # ZORDER on bucketed = WITHIN-bucket reclustering (r11): state
+    # preserved, layout stays bucketed, every bucket one z-sorted
+    # segment
+    out = S.execute(spark, "OPTIMIZE bk ZORDER BY (event_id, cents)",
+                    cat)
+    assert out["status"] == "optimized"
+    got9 = S.execute(spark, "SELECT event_id, user_id, cents FROM bk",
+                     cat)
+    assert _rows(got9) == _rows(ev.limit(300))
+    assert S.execute(spark, "DESCRIBE bk", cat)["layout"] == "bucketed"
     with pytest.raises(S.SqlError, match="buckets must be"):
         S.execute(spark, "CREATE TABLE bk2 OPTIONS (key='event_id', "
                          "buckets=1) AS SELECT * FROM bk_seed", cat)
