@@ -2043,3 +2043,46 @@ _register(
     FROM events
     """,
 )
+
+
+def _vt_bucketed_zone_builder(spark: SparkSession, sf: str,
+                              path: str) -> None:
+    from ..sources import versioned as VT
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"))
+    # two range-disjoint commits so the zone maps have something to
+    # skip: low-cents rows at create, high-cents rows appended
+    VT.create_bucketed(spark, path, ev.where("value_cents < 5000"),
+                       key="event_id", n_buckets=8,
+                       stat_cols=["value_cents"])
+    VT.append_bucketed(spark, path, ev.where("value_cents >= 5000"))
+
+
+def _vt_bucketed_pruned_read(spark: SparkSession, sf: str
+                             ) -> DataFrame:
+    """Zone maps on the bucketed layout (round 11): per-segment
+    min/max recorded by every bucketed commit; a range read skips
+    whole segments at manifest resolution (the second pruning layer
+    on top of bucket subsetting — bucket hash answers key-equi
+    questions, zone maps answer range questions). The high-cents
+    append's segments never enter this plan. Oracle: the same range
+    predicate over `events`."""
+    from ..sources import versioned as VT
+
+    path = _vt_build(spark, sf, "vtbzm", _vt_bucketed_zone_builder)
+    return VT.read_bucketed_pruned(
+        spark, path, {"value_cents": (100, 3000)}
+    ).select("event_id", "value_cents")
+
+
+_register(
+    "vt_bucketed_pruned_read",
+    _vt_bucketed_pruned_read,
+    """
+    SELECT event_id, CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    WHERE CAST(round(value * 100) AS BIGINT) BETWEEN 100 AND 3000
+    """,
+)

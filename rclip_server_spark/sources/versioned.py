@@ -357,7 +357,9 @@ def _read_with_deletes(spark: SparkSession, path: str, m: dict,
             *[os.path.join(path, s) for s in ss]
         )
         if vs:
-            kd = spark.read.parquet(
+            # mergeSchema: tolerate vectors of mixed physical widths
+            # written before _write_delete_vector pinned the key type
+            kd = spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(path, d) for d in vs]
             ).distinct()
             df = df.join(kd, [key], "left_anti")
@@ -580,19 +582,27 @@ def _vector_scope_bucketed(m: dict, kdf: DataFrame, key_col: str
 
 
 def _write_delete_vector(spark: SparkSession, path: str, keys,
-                         key_col: str) -> tuple[str, DataFrame]:
+                         key_col: str, key_type: str | None = None
+                         ) -> tuple[str, DataFrame]:
     """Materialize the delete-key set as a tiny ``del-*`` parquet
     segment; returns (segment_name, a re-read of it) so callers that
     need a second pass over the keys (bucket-scope computation) read
     the KB-sized segment back instead of re-running the caller's
-    possibly table-sized key plan."""
+    possibly table-sized key plan.
+
+    ``key_type`` (the table's declared type for ``key_col``) pins the
+    vector's physical type: a Python-list key set infers BIGINT while
+    a DataFrame-sourced one carries the table's (possibly narrower)
+    type — two pending vectors of different physical types would fail
+    the one multi-file read that unions them."""
     if isinstance(keys, DataFrame):
         kdf = keys
     else:
         kdf = spark.createDataFrame([(k,) for k in keys], [key_col])
+    col = kdf[key_col].cast(key_type) if key_type else kdf[key_col]
     dseg = f"del-{uuid.uuid4().hex[:12]}"
     dpath = os.path.join(path, dseg)
-    kdf.select(key_col).distinct().write.parquet(dpath)
+    kdf.select(col.alias(key_col)).distinct().write.parquet(dpath)
     return dseg, spark.read.parquet(dpath)
 
 
@@ -666,14 +676,17 @@ def delete_rows(spark: SparkSession, path: str, keys, key_col: str,
         # scope shrunk to the deleted keys' own hash buckets when the
         # vector keys the bucket key — reads of every other bucket
         # stay anti-join-free (_vector_scope_bucketed)
-        dseg, kset = _write_delete_vector(spark, path, keys, key_col)
+        dseg, kset = _write_delete_vector(
+        spark, path, keys, key_col,
+        key_type=m.get("col_types", {}).get(key_col))
         scope = _vector_scope_bucketed(m, kset, key_col)
         extra = dict(extra or {})
         extra |= {
             "bucket_key": m["bucket_key"], "n_buckets": m["n_buckets"],
             "buckets": m["buckets"],
             "col_types": m.get("col_types", {}),
-        } | _carry_deletes(m) | _carry_hidden(m)
+        } | _carry_stats_bucketed(spark, path, m, [], m["buckets"]) \
+            | _carry_deletes(m) | _carry_hidden(m)
         if scope:
             extra |= {
                 "delete_key": key_col,
@@ -695,7 +708,9 @@ def delete_rows(spark: SparkSession, path: str, keys, key_col: str,
                 shutil.rmtree(os.path.join(path, dseg))
             raise
         return v + 1
-    dseg, _ = _write_delete_vector(spark, path, keys, key_col)
+    dseg, _ = _write_delete_vector(
+        spark, path, keys, key_col,
+        key_type=m.get("col_types", {}).get(key_col))
     extra = dict(extra or {})  # caller metadata first; reserved keys win
     extra |= {
         "delete_key": key_col,
@@ -748,7 +763,9 @@ def delete_and_append(
         return _delete_and_append_bucketed(spark, path, v, m, keys,
                                            key_col, batch, extra)
     compat = _check_schema_compat(m, batch, "delete-append")
-    dseg, _ = _write_delete_vector(spark, path, keys, key_col)
+    dseg, _ = _write_delete_vector(
+        spark, path, keys, key_col,
+        key_type=m.get("col_types", {}).get(key_col))
     seg = _write_segment(batch, path)
     extra = dict(extra or {})
     extra |= {
@@ -786,7 +803,9 @@ def _delete_and_append_bucketed(
 
     bkey, n_buckets, bmap = _bucketed_meta(m)
     compat = _check_schema_compat(m, batch, "delete-append")
-    dseg, kset = _write_delete_vector(spark, path, keys, key_col)
+    dseg, kset = _write_delete_vector(
+        spark, path, keys, key_col,
+        key_type=m.get("col_types", {}).get(key_col))
     # scope = the PARENT's segments (of the touched buckets): the
     # segments appended in this same commit are new names outside the
     # scope, so the vector can never hide its own replacement rows
@@ -799,8 +818,10 @@ def _delete_and_append_bucketed(
         new_bmap[str(b)] = new_bmap.get(str(b), []) + [s]
     extra = dict(extra or {})
     extra |= {"bucket_key": bkey, "n_buckets": n_buckets,
-              "buckets": new_bmap} | _carry_deletes(m) \
-        | _carry_hidden(m) | compat
+              "buckets": new_bmap} \
+        | _carry_stats_bucketed(spark, path, m, list(segs.values()),
+                                new_bmap) \
+        | _carry_deletes(m) | _carry_hidden(m) | compat
     if scope:
         extra |= {
             "delete_key": key_col,
@@ -852,12 +873,15 @@ def overwrite(spark: SparkSession, path: str, df: DataFrame,
         segs = _write_bucket_segments(df_b, path,
                                       list(range(n_buckets)))
         try:
+            new_bmap = {str(b): [s] for b, s in segs.items()}
             _commit(path, v + 1, None, "overwrite",
                     extra=dict(extra or {})
                     | {"bucket_key": key, "n_buckets": n_buckets,
-                       "buckets": {str(b): [s]
-                                   for b, s in segs.items()},
-                       "col_types": _col_types(df)})
+                       "buckets": new_bmap,
+                       "col_types": _col_types(df)}
+                    | _carry_stats_bucketed(spark, path, parent,
+                                            list(segs.values()),
+                                            new_bmap))
         except ConcurrentWriteError:
             _cleanup_segments(path, segs.values())
             raise
@@ -959,6 +983,7 @@ def add_column(spark: SparkSession, path: str, col: str, dtype: str,
         "buckets": m["buckets"],
         "col_types": dict(types) | {col: field.dataType.simpleString()},
     }
+    extra |= _carry_stats_bucketed(spark, path, m, [], m["buckets"])
     extra |= _carry_deletes(m) | _carry_hidden(m)
     _commit(path, v + 1, None, "add-column", extra=extra)
     return v + 1
@@ -1018,6 +1043,7 @@ def drop_column(spark: SparkSession, path: str, col: str,
         # non-empty bucket while hidden_cols is set, then clears it)
         extra |= {"bucket_key": m["bucket_key"],
                   "n_buckets": m["n_buckets"], "buckets": m["buckets"]}
+        extra |= _carry_stats_bucketed(spark, path, m, [], m["buckets"])
         _commit(path, v + 1, None, "drop-column", extra=extra)
         return v + 1
     if m.get("stat_cols"):
@@ -1549,6 +1575,27 @@ def _cleanup_segments(path: str, segs) -> None:
         shutil.rmtree(os.path.join(path, s), ignore_errors=True)
 
 
+def _carry_stats_bucketed(spark: SparkSession, path: str,
+                          parent: dict, new_segs,
+                          new_bmap: dict) -> dict:
+    """_carry_stats' bucketed twin: parent's zone-map entries for every
+    segment still referenced by ``new_bmap`` plus fresh entries for the
+    just-written segments (computed from the WRITTEN files — the same
+    no-false-prune guarantee). Empty when the table tracks no stats.
+    Cost: one partial-agg pass per NEW segment, i.e. bounded by the
+    touched buckets, never the table."""
+    cols = parent.get("stat_cols")
+    if not cols:
+        return {}
+    old = parent.get("seg_stats", {})
+    live = {s for ss in new_bmap.values() for s in ss}
+    seg_stats = {s: old[s] for s in live if s in old}
+    for seg in new_segs:
+        seg_stats[seg] = _segment_stats(
+            spark.read.parquet(os.path.join(path, seg)), cols)
+    return {"stat_cols": cols, "seg_stats": seg_stats}
+
+
 def _bucketed_meta(m: dict) -> tuple[str, int, dict]:
     if "buckets" not in m:
         raise ValueError("not a bucketed versioned table (no 'buckets' in "
@@ -1558,12 +1605,20 @@ def _bucketed_meta(m: dict) -> tuple[str, int, dict]:
 
 def create_bucketed(
     spark: SparkSession, path: str, df: DataFrame, key: str,
-    n_buckets: int = 64,
+    n_buckets: int = 64, stat_cols: list[str] | None = None,
 ) -> int:
     """Create a BUCKETED versioned table as version 1: rows are hash-routed
     by ``pmod(xxhash64(key), n_buckets)`` (writer.py's deterministic
     bucketing — same key, same bucket, forever) into per-bucket immutable
-    segments; the manifest records the bucket map."""
+    segments; the manifest records the bucket map.
+
+    ``stat_cols`` declares zone-map columns, same contract as the flat
+    create(): every later bucketed commit records per-segment
+    min/max/null-count for them and ``read_bucketed_pruned`` skips
+    whole segments at manifest resolution — the second pruning layer
+    on top of bucket subsetting (bucket hash answers key-equi
+    questions; zone maps answer RANGE questions, e.g. a time window
+    over a user-bucketed table)."""
     from .writer import _bucket_expr, _BUCKET_COL
 
     os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=False)
@@ -1571,9 +1626,13 @@ def create_bucketed(
     touched = _bucket_ids(df_b)
     segs = _write_bucket_segments(df_b, path, touched)
     buckets = {str(b): [segs[b]] for b in segs}
-    _commit(path, 1, None, "create-bucketed",
-            extra={"bucket_key": key, "n_buckets": int(n_buckets),
-                   "buckets": buckets, "col_types": _col_types(df)})
+    extra = {"bucket_key": key, "n_buckets": int(n_buckets),
+             "buckets": buckets, "col_types": _col_types(df)}
+    if stat_cols:
+        extra |= _carry_stats_bucketed(
+            spark, path, {"stat_cols": list(stat_cols)},
+            list(segs.values()), buckets)
+    _commit(path, 1, None, "create-bucketed", extra=extra)
     return 1
 
 
@@ -1608,7 +1667,11 @@ def convert_to_bucketed(spark: SparkSession, path: str, key: str,
         _commit(path, v + 1, None, "convert-bucketed",
                 extra={"bucket_key": key, "n_buckets": int(n_buckets),
                        "buckets": buckets,
-                       "col_types": _col_types(df)})
+                       "col_types": _col_types(df)}
+                # a flat table's declared zone-map columns survive the
+                # migration: fresh per-bucket-segment stats
+                | _carry_stats_bucketed(spark, path, m,
+                                        list(segs.values()), buckets))
     except ConcurrentWriteError:
         for s in segs.values():
             shutil.rmtree(os.path.join(path, s), ignore_errors=True)
@@ -1657,6 +1720,46 @@ def read_bucketed(
         if c not in df.columns:
             df = df.withColumn(c, F.lit(None).cast(t))
     return df
+
+
+def read_bucketed_pruned(
+    spark: SparkSession, path: str, ranges: dict,
+    version: int | None = None, buckets: list[int] | None = None,
+) -> DataFrame:
+    """Range read of a BUCKETED table with BOTH pruning layers:
+    optional bucket subsetting (key-equi questions) and manifest-level
+    zone-map segment skipping (range questions — a segment whose
+    recorded [min, max] cannot overlap every range never enters the
+    plan; stats-less segments are kept conservatively). Residual row
+    predicates apply inside the survivors, and parquet row-group stats
+    prune further below — after cluster_zorder_bucketed the row groups
+    inside each bucket are range-disjoint on the z key, so all three
+    layers compose. ``ranges``: {"col": (lo_or_None, hi_or_None)},
+    the read_pruned contract."""
+    import pyspark.sql.functions as F
+
+    v = current_version(path) if version is None else int(version)
+    m = _manifest(path, v)
+    _, _, bmap = _bucketed_meta(m)
+    ids = sorted(bmap) if buckets is None else [str(b) for b in buckets]
+    stats = m.get("seg_stats", {})
+    keep = [s for b in ids for s in bmap.get(b, [])
+            if zone_survives(stats.get(s, {}), ranges)]
+    if not keep:
+        out = read_bucketed(spark, path, v).limit(0)
+        residual = {}
+    else:
+        out = _read_with_deletes(spark, path, m, keep)
+        for c, t in m.get("col_types", {}).items():
+            if c not in out.columns:
+                out = out.withColumn(c, F.lit(None).cast(t))
+        residual = ranges
+    for c, (c_lo, c_hi) in residual.items():
+        if c_lo is not None:
+            out = out.where(F.col(c) >= F.lit(c_lo))
+        if c_hi is not None:
+            out = out.where(F.col(c) <= F.lit(c_hi))
+    return out
 
 
 def point_lookup_bucketed(
@@ -1727,6 +1830,8 @@ def upsert_bucketed(
         _commit(path, v + 1, None, "upsert-bucketed",
                 extra={"bucket_key": key, "n_buckets": n_buckets,
                        "buckets": new_bmap}
+                | _carry_stats_bucketed(spark, path, m,
+                                        list(segs.values()), new_bmap)
                 | compat | _carry_hidden(m) | _prune_vectors(m, live))
     except ConcurrentWriteError:
         _cleanup_segments(path, segs.values())
@@ -1766,6 +1871,8 @@ def append_bucketed(
                 extra=dict(extra or {})
                 | {"bucket_key": key, "n_buckets": n_buckets,
                    "buckets": new_bmap}
+                | _carry_stats_bucketed(spark, path, m,
+                                        list(segs.values()), new_bmap)
                 | _carry_deletes(m) | _carry_hidden(m) | compat)
     except ConcurrentWriteError:
         _cleanup_segments(path, segs.values())
@@ -1834,6 +1941,8 @@ def compact_bucketed(
                 extra={"bucket_key": key, "n_buckets": n_buckets,
                        "buckets": new_bmap,
                        "col_types": m.get("col_types", {})}
+                | _carry_stats_bucketed(spark, path, m,
+                                        list(segs.values()), new_bmap)
                 | _prune_vectors(m, live))
     except ConcurrentWriteError:
         _cleanup_segments(path, segs.values())
@@ -1930,7 +2039,9 @@ def cluster_zorder_bucketed(
         _commit(path, v + 1, None, "zorder-bucketed",
                 extra={"bucket_key": key, "n_buckets": n_buckets,
                        "buckets": new_bmap,
-                       "col_types": types})
+                       "col_types": types}
+                | _carry_stats_bucketed(spark, path, m,
+                                        list(segs.values()), new_bmap))
     except ConcurrentWriteError:
         _cleanup_segments(path, segs.values())
         raise
@@ -1980,6 +2091,8 @@ def append_bucketed_exactly_once(
                 batch_id=int(batch_id),
                 extra={"bucket_key": key, "n_buckets": n_buckets,
                        "buckets": new_bmap}
+                | _carry_stats_bucketed(spark, path, m,
+                                        list(segs.values()), new_bmap)
                 | _carry_deletes(m) | _carry_hidden(m) | compat)
     except ConcurrentWriteError:
         _cleanup_segments(path, segs.values())

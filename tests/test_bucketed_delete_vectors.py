@@ -279,3 +279,69 @@ def test_overwrite_bucketed_full_reload(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="bucket key"):
         V.overwrite(spark, t, new.drop("id"))
+
+
+def test_agg_view_refresh_over_bucketed_dml(spark, tmp_path):
+    """Integration: an incremental agg view whose SOURCE is a bucketed
+    table must refresh exactly across the new bucketed delete-vector
+    commits (delete / delete-append are rewriting intervals — the
+    snapshot diff dispatches read_bucketed, which now applies
+    vectors)."""
+    from rclip_server_spark.sources import matview as MV
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    df = spark.createDataFrame(
+        [(i, i % 5, i * 10) for i in range(50)],
+        "id INT, grp INT, val INT")
+    V.create_bucketed(spark, src, df, key="id", n_buckets=4)
+    MV.create_agg_view(spark, src, view, key="id",
+                       group_cols=["grp"], sum_cols=["val"])
+
+    def _check():
+        got = sorted(tuple(r) for r in V.read(spark, view)
+                     .select("grp", "cnt", "sum_val").collect())
+        want = sorted(tuple(r) for r in
+                      V.read_bucketed(spark, src)
+                      .groupBy("grp")
+                      .agg(F.count(F.lit(1)).alias("cnt"),
+                           F.sum("val").alias("sum_val"))
+                      .collect())
+        assert got == want
+
+    # bucketed DELETE (vector commit) → retraction interval
+    V.delete_rows(spark, src, [3, 8, 13], "id")
+    MV.refresh_agg_view(spark, view)
+    _check()
+    # bucketed delete_and_append (the UPDATE shape)
+    upd = spark.createDataFrame([(4, 4, 4000)],
+                                "id INT, grp INT, val INT")
+    V.delete_and_append(spark, src, upd.select("id"), "id", upd)
+    MV.refresh_agg_view(spark, view)
+    _check()
+    # vector materialization (upsert rewrite) must be a refresh no-op
+    # content-wise
+    up = spark.createDataFrame([(i, i % 5, i) for i in range(10)],
+                               "id INT, grp INT, val INT")
+    V.upsert_bucketed(spark, src, up)
+    MV.refresh_agg_view(spark, view)
+    _check()
+
+
+def test_mixed_source_vectors_share_one_physical_type(spark, tmp_path):
+    """Regression (r11): a Python-list key set infers BIGINT while a
+    DataFrame-sourced one carries the table's INT — two pending
+    vectors of different physical types crashed the multi-file vector
+    read. _write_delete_vector now pins the table's declared type."""
+    t = _mk(spark, tmp_path / "t")
+    V.delete_rows(spark, t, [3, 8], "id")          # list → was BIGINT
+    upd = spark.createDataFrame([(5, "x", 1)],
+                                "id INT, name STRING, val INT")
+    V.delete_and_append(spark, t, upd.select("id"), "id", upd)  # INT
+    got = _ids(spark, t)  # one grouped read unions both vectors
+    assert 3 not in got and 8 not in got and len(got) == 22
+    m = V._manifest(t, V.current_version(t))
+    import os as _os
+    for d in m["delete_segs"]:
+        seg = spark.read.parquet(_os.path.join(t, d))
+        assert dict(seg.dtypes)["id"] == "int", seg.dtypes
