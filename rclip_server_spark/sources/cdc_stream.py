@@ -41,9 +41,14 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+# the create ops plus versioned.APPEND_OPS (imported, not copied —
+# r11 added the metadata-only 'add-column' there and a parallel list
+# here silently diverged: batch table_changes accepted the commit
+# while this stream reader killed the query on it)
+from .versioned import APPEND_OPS as _V_APPEND_OPS
+
 _APPEND_OPS = frozenset(
-    {"create", "create-bucketed", "append", "append-bucketed",
-     "stream-append", "stream-append-bucketed"}
+    {"create", "create-bucketed", *_V_APPEND_OPS}
 )
 
 

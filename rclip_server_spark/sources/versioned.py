@@ -314,6 +314,34 @@ def create(spark: SparkSession, path: str, df: DataFrame,
     return 1
 
 
+def _reconcile_declared(df: DataFrame, m: dict) -> DataFrame:
+    """Surface DECLARED-but-unwritten columns as typed NULLs — the
+    bucketed twin of the flat path's zero-row evolved segment +
+    mergeSchema (add_column is metadata-only there). The ONE copy of
+    the schema-reconciliation contract: read_bucketed,
+    read_bucketed_pruned, and cluster_zorder_bucketed all route
+    through it."""
+    import pyspark.sql.functions as F
+
+    for c, t in m.get("col_types", {}).items():
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast(t))
+    return df
+
+
+def _apply_ranges(df: DataFrame, ranges: dict) -> DataFrame:
+    """Residual row predicates of a zone-pruned read (shared by
+    read_pruned and read_bucketed_pruned)."""
+    import pyspark.sql.functions as F
+
+    for c, (c_lo, c_hi) in ranges.items():
+        if c_lo is not None:
+            df = df.where(F.col(c) >= F.lit(c_lo))
+        if c_hi is not None:
+            df = df.where(F.col(c) <= F.lit(c_hi))
+    return df
+
+
 def _apply_hidden(df: DataFrame, m: dict) -> DataFrame:
     """Project out logically-dropped columns (``drop_column`` — a
     metadata-only commit; the bytes stay in old segments until a
@@ -414,12 +442,7 @@ def read_pruned(
         ranges = {}
     else:
         out = _read_with_deletes(spark, path, m, keep)
-    for c, (c_lo, c_hi) in ranges.items():
-        if c_lo is not None:
-            out = out.where(F.col(c) >= F.lit(c_lo))
-        if c_hi is not None:
-            out = out.where(F.col(c) <= F.lit(c_hi))
-    return out
+    return _apply_ranges(out, ranges)
 
 
 def zone_survives(seg_stats: dict, ranges: dict) -> bool:
@@ -1590,9 +1613,45 @@ def _carry_stats_bucketed(spark: SparkSession, path: str,
     old = parent.get("seg_stats", {})
     live = {s for ss in new_bmap.values() for s in ss}
     seg_stats = {s: old[s] for s in live if s in old}
-    for seg in new_segs:
-        seg_stats[seg] = _segment_stats(
-            spark.read.parquet(os.path.join(path, seg)), cols)
+    if new_segs:
+        # ONE grouped aggregate over all new segments (derive the
+        # segment from input_file_name) — a full-rewrite commit
+        # (zorder/overwrite/convert) would otherwise issue n_buckets
+        # sequential read+agg jobs
+        import pyspark.sql.functions as F
+
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, s) for s in new_segs])
+        # a batch legally omits columns (they read as NULL); a stat
+        # column absent from every new segment must aggregate as
+        # all-NULL, not fail resolution
+        types = parent.get("col_types", {})
+        for c in cols:
+            if c not in df.columns:
+                df = df.withColumn(
+                    c, F.lit(None).cast(types.get(c, "string")))
+        aggs = []
+        for c in cols:
+            aggs += [
+                F.min(c).alias(f"__mn_{c}"),
+                F.max(c).alias(f"__mx_{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nl_{c}"),
+            ]
+        rows = (df.withColumn(
+            "__seg", F.element_at(F.split(F.input_file_name(), "/"),
+                                  -2))
+            .groupBy("__seg").agg(*aggs).collect())
+        by_seg = {r["__seg"]: r for r in rows}
+        for seg in new_segs:
+            r = by_seg.get(seg)
+            if r is None:
+                continue  # zero-row segment: no stats, kept by reads
+            seg_stats[seg] = {
+                c: {"min": _json_stat(r[f"__mn_{c}"]),
+                    "max": _json_stat(r[f"__mx_{c}"]),
+                    "nulls": int(r[f"__nl_{c}"] or 0)}
+                for c in cols
+            }
     return {"stat_cols": cols, "seg_stats": seg_stats}
 
 
@@ -1709,17 +1768,8 @@ def read_bucketed(
     # as the flat read: a vector scoped to other buckets' segments
     # groups this read's segments into the no-vector bucket — zero
     # anti-join cost for buckets the delete never touched
-    df = _read_with_deletes(spark, path, m, segs)
-    # schema reconciliation: a column ADDED by the metadata-only
-    # add_column has no bytes in any segment yet — surface it as the
-    # declared type's NULL (the bucketed twin of the flat path's
-    # zero-row evolved segment + mergeSchema)
-    import pyspark.sql.functions as F
-
-    for c, t in m.get("col_types", {}).items():
-        if c not in df.columns:
-            df = df.withColumn(c, F.lit(None).cast(t))
-    return df
+    return _reconcile_declared(
+        _read_with_deletes(spark, path, m, segs), m)
 
 
 def read_bucketed_pruned(
@@ -1746,20 +1796,10 @@ def read_bucketed_pruned(
     keep = [s for b in ids for s in bmap.get(b, [])
             if zone_survives(stats.get(s, {}), ranges)]
     if not keep:
-        out = read_bucketed(spark, path, v).limit(0)
-        residual = {}
-    else:
-        out = _read_with_deletes(spark, path, m, keep)
-        for c, t in m.get("col_types", {}).items():
-            if c not in out.columns:
-                out = out.withColumn(c, F.lit(None).cast(t))
-        residual = ranges
-    for c, (c_lo, c_hi) in residual.items():
-        if c_lo is not None:
-            out = out.where(F.col(c) >= F.lit(c_lo))
-        if c_hi is not None:
-            out = out.where(F.col(c) <= F.lit(c_hi))
-    return out
+        return read_bucketed(spark, path, v).limit(0)
+    out = _reconcile_declared(
+        _read_with_deletes(spark, path, m, keep), m)
+    return _apply_ranges(out, ranges)
 
 
 def point_lookup_bucketed(
@@ -2017,15 +2057,25 @@ def cluster_zorder_bucketed(
     m = _manifest(path, v)
     key, n_buckets, bmap = _bucketed_meta(m)
     types = m.get("col_types", {})
-    for c in (x_col, y_col):
-        if types and c not in types:
-            raise ValueError(f"no column {c!r} on {path} "
+    by_lower = {c.lower(): c for c in types}
+    if types:
+        # resolve case-insensitively, like every other schema verb
+        missing = [c for c in (x_col, y_col)
+                   if c.lower() not in by_lower]
+        if missing:
+            raise ValueError(f"no column {missing[0]!r} on {path} "
                              f"(columns: {sorted(types)})")
+        x_col = by_lower[x_col.lower()]
+        y_col = by_lower[y_col.lower()]
     todo = sorted(int(b) for b, ss in bmap.items() if ss)
     if not todo:
         return v
     todo_segs = [s for b in todo for s in bmap[str(b)]]
-    df = _read_with_deletes(spark, path, m, todo_segs)
+    # reconcile declared-but-unwritten columns (metadata-only
+    # add_column) so z-ordering by such a column sorts its NULLs
+    # instead of failing resolution
+    df = _reconcile_declared(
+        _read_with_deletes(spark, path, m, todo_segs), m)
     df_b = (df.withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
             .withColumn("__z", zorder_value(
                 F.col(x_col), F.col(y_col), int(bits)))

@@ -95,3 +95,45 @@ def test_stat_col_drop_refused_on_bucketed(spark, tmp_path):
     t, _, _ = _mk(spark, tmp_path / "t")
     with pytest.raises(ValueError, match="zone-map"):
         V.drop_column(spark, t, "val")
+
+
+def test_zorder_by_declared_unwritten_column(spark, tmp_path):
+    """Third-review fixes: ZORDER BY a metadata-only added column
+    reconciles (NULL z-component) instead of failing resolution, and
+    column names resolve case-insensitively like every other verb."""
+    t, lo, hi = _mk(spark, tmp_path / "t")
+    V.add_column(spark, t, "ts", "bigint")
+    v = V.cluster_zorder_bucketed(spark, t, "TS", "VAL")
+    assert v > 0
+    got = sorted(r.id for r in V.read_bucketed(spark, t).collect())
+    assert got == list(range(200))
+    with pytest.raises(ValueError, match="no column"):
+        V.cluster_zorder_bucketed(spark, t, "nope", "val")
+
+
+def test_stats_single_job_covers_every_new_segment(spark, tmp_path):
+    """Third-review fix: a full-rewrite commit computes ALL new
+    segments' stats in one grouped aggregate — verified by the stats
+    being present and exact for every bucket after a zorder pass."""
+    t, lo, hi = _mk(spark, tmp_path / "t")
+    V.cluster_zorder_bucketed(spark, t, "id", "val")
+    m = V._manifest(t, V.current_version(t))
+    segs = {s for ss in m["buckets"].values() for s in ss}
+    assert set(m["seg_stats"]) == segs
+    import os as _os
+    for s in segs:
+        seg = spark.read.parquet(_os.path.join(t, s))
+        mn, mx = seg.agg(F.min("val"), F.max("val")).first()
+        assert m["seg_stats"][s]["val"]["min"] == mn
+        assert m["seg_stats"][s]["val"]["max"] == mx
+
+
+def test_cdc_stream_survives_add_column(spark, tmp_path):
+    """Third-review fix: the Arrow CDC stream source accepts the
+    metadata-only add-column commit (it shares versioned.APPEND_OPS
+    now) instead of killing the query batch table_changes accepts."""
+    from rclip_server_spark.sources import cdc_stream as CS
+
+    assert "add-column" in CS._APPEND_OPS
+    assert "append-bucketed" in CS._APPEND_OPS
+    assert "create-bucketed" in CS._APPEND_OPS
