@@ -86,12 +86,18 @@ _PRIORITY = [
     "dedup_minhash_near_dup", "dedup_semantic_semdedup",
     "sql_q17_small_quantity_revenue",
     "vec_quantize_int8_roundtrip",
-    "sql_mv_roundtrip", "vt_view_composition",
+    "vt_view_composition",
     # --- NEW r11 rows ---
     "sql_bucketed_conditional_merge", "b16_local_binary_ingest",
     "sql_select_window_over_dv", "sql_select_grouping_sets_over_dv",
     "sql_bucketed_schema_evolution", "vt_bucketed_pruned_read",
+    "sql_bucketed_zorder_roundtrip",
 ]
+# r12 rotation candidates (driver-green in earlier rounds, displaced
+# by the r11 rows above): sql_mv_roundtrip, sql_topk_qualify,
+# sql_update_roundtrip, sql_restore_roundtrip, sql_q8_market_share,
+# rel_grouping_sets, rel_window_rank — plus the usual oldest-green
+# recency sweep.
 
 
 def _ordered(reg: dict) -> dict:

@@ -2086,3 +2086,56 @@ _register(
     WHERE CAST(round(value * 100) AS BIGINT) BETWEEN 100 AND 3000
     """,
 )
+
+
+def _sql_bucketed_zorder_builder(spark: SparkSession, sf: str,
+                                 path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "events").select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    ).createOrReplaceTempView("events_seed_bz")
+    SQ.execute(spark, "CREATE TABLE evbz OPTIONS (key='event_id', "
+                      "buckets=8) AS SELECT * FROM events_seed_bz",
+               cat)
+    # conditional DML leaves pending vectors + appended segments...
+    SQ.execute(spark, "DELETE FROM evbz WHERE event_id % 9 = 0", cat)
+    SQ.execute(spark, "UPDATE evbz SET value_cents = value_cents + 1 "
+                      "WHERE user_id % 4 = 0", cat)
+    # ...and the within-bucket ZORDER pass materializes them while
+    # Morton-sorting (user_id, value_cents) inside every bucket
+    SQ.execute(spark, "OPTIMIZE evbz ZORDER BY (user_id, value_cents)",
+               cat)
+
+
+def _sql_bucketed_zorder_roundtrip(spark: SparkSession, sf: str
+                                   ) -> DataFrame:
+    """OPTIMIZE ZORDER on the bucketed layout through SQL (round 11):
+    within-bucket Morton reclustering — the bucket hash keeps
+    join/upsert co-location while the z-sort makes parquet row-group
+    stats selective inside each bucket; the rewrite also materializes
+    the pending delete vectors the preceding conditional DML left.
+    Oracle: the final state by set algebra over `events`."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "sqlbz", _sql_bucketed_zorder_builder)
+    return SQ.execute(
+        spark,
+        "SELECT event_id, user_id, value_cents FROM evbz",
+        SQ.Catalog(path))
+
+
+_register(
+    "sql_bucketed_zorder_roundtrip",
+    _sql_bucketed_zorder_roundtrip,
+    """
+    SELECT event_id, user_id,
+           CASE WHEN user_id % 4 = 0
+                THEN CAST(round(value * 100) + 1 AS BIGINT)
+                ELSE CAST(round(value * 100) AS BIGINT)
+           END AS value_cents
+    FROM events WHERE event_id % 9 <> 0
+    """,
+)
