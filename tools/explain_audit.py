@@ -898,12 +898,16 @@ def main() -> int:
                 for s in ss} - _lo_segs
     assert _lo_segs and _hi_segs
     _pruned_df = V.read_bucketed_pruned(spark, _zt, {"val": (0, 500)})
-    # the survivor set is asserted exactly via the resolved input
-    # files (the plan TEXT truncates long path lists); the audit's
-    # plan-substring check then pins the skipped segments' absence
+    # BOTH directions asserted via the resolved input files — the plan
+    # TEXT truncates its Location path list (maxMetadataStringLength),
+    # so a substring check against it is vacuous for absence too; the
+    # plan-substring checks below are belt-and-braces only
     _in_files = set(_pruned_df.inputFiles())
     assert all(any(f"/{s}/" in f for f in _in_files)
                for s in _lo_segs), "survivor segment missing from scan"
+    assert not any(f"/{s}/" in f for s in _hi_segs
+                   for f in _in_files), \
+        "zone-skipped segment leaked into the scan"
     audits.append((
         "Bucketed zone-map pruned range read",
         _pruned_df,
