@@ -253,3 +253,28 @@ def test_cascade_catchup_is_floor_guarded(spark, tmp_path):
         assert seen["floors"], "catch-up ran without a floor in place"
     finally:
         sink.stop_view_refresh_stream(q)
+
+
+def test_floor_respected_across_processes(spark, tmp_path):
+    """The floor's liveness contract is same-machine pid-based, so a
+    vacuum run by ANOTHER process must still honor a floor held by
+    this (alive) one — pinned with a real subprocess vacuum."""
+    t = _mk_flat(spark, tmp_path / "t")
+    for k in range(3):
+        V.append(spark, t, spark.createDataFrame(
+            [(100 + k, k)], "id INT, val INT"))
+    fid = V.register_version_floor(t, 2, owner="xproc")
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo');"
+        "from rclip_server_spark.sources import versioned as V;"
+        f"V.vacuum({str(t)!r}, keep_last=1)"
+    )
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-500:]
+    try:
+        # versions 2..head survived the other process's keep_last=1
+        assert V._manifest_versions(t)[0] == 2
+        assert V.read(spark, t, version=2).count() == 13
+    finally:
+        V.release_version_floor(t, fid)
