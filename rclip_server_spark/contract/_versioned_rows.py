@@ -2139,3 +2139,61 @@ _register(
     FROM events WHERE event_id % 9 <> 0
     """,
 )
+
+
+def _sql_truncate_builder(spark: SparkSession, sf: str,
+                          path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    ).createOrReplaceTempView("events_seed_tt")
+    SQ.execute(spark, "CREATE TABLE evtt OPTIONS (key='event_id') AS "
+                      "SELECT * FROM events_seed_tt "
+                      "WHERE event_id % 5 < 3", cat)
+    # pending vector at truncate time: truncate must clear it WITH the
+    # rows (a later re-insert of the residue class is visible)
+    SQ.execute(spark, "DELETE FROM evtt WHERE event_id % 4 = 0", cat)
+    SQ.execute(spark, "TRUNCATE TABLE evtt", cat)
+    SQ.execute(spark, "INSERT INTO evtt SELECT * FROM events_seed_tt "
+                      "WHERE event_id % 5 = 4", cat)
+
+
+def _sql_truncate_timetravel(spark: SparkSession, sf: str) -> DataFrame:
+    """TRUNCATE TABLE through the SQL frontend (versioned.truncate):
+    a zero-row overwrite commit — reversible (old versions stay
+    readable; RESTORE undoes it) and vector-materializing (pending
+    delete vectors clear with the rows). The one result frame reads
+    BOTH sides of the truncate: the post-truncate reload ('post') and
+    the pre-truncate state via time travel ('pre' = VERSION AS OF 2,
+    the post-DELETE head). Oracle: set algebra over `events`.
+    Reference parity: B18 full reload (rclip_server.py:393-401) at
+    manifest altitude."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "sqltt", _sql_truncate_builder)
+    return SQ.execute(spark, (
+        "SELECT event_id, event_type, value_cents, 'post' AS phase "
+        "FROM evtt "
+        "UNION ALL "
+        "SELECT event_id, event_type, value_cents, 'pre' AS phase "
+        "FROM evtt VERSION AS OF 2"), SQ.Catalog(path))
+
+
+_register(
+    "sql_truncate_timetravel",
+    _sql_truncate_timetravel,
+    """
+    WITH s AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_cents
+      FROM events)
+    SELECT event_id, event_type, value_cents, 'post' AS phase
+    FROM s WHERE event_id % 5 = 4
+    UNION ALL
+    SELECT event_id, event_type, value_cents, 'pre' AS phase
+    FROM s WHERE event_id % 5 < 3 AND event_id % 4 <> 0
+    """,
+)

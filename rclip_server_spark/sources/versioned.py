@@ -866,12 +866,14 @@ def _delete_and_append_bucketed(
 
 def overwrite(spark: SparkSession, path: str, df: DataFrame,
               extra: dict | None = None,
-              parent_version: int | None = None) -> int:
+              parent_version: int | None = None,
+              op: str = "overwrite") -> int:
     """Full-replace commit (B18-flavored reload target): one new segment is
     the whole new state. Old versions remain readable until vacuum.
     ``extra``: caller metadata recorded in the manifest (reserved keys
     win), same contract as create(). ``parent_version`` pins the OCC
-    parent (same read-modify-write contract as append)."""
+    parent (same read-modify-write contract as append). ``op`` labels
+    the commit in DESCRIBE HISTORY (truncate() reuses this path)."""
     v = current_version(path) if parent_version is None \
         else int(parent_version)
     parent = _manifest(path, v)
@@ -897,7 +899,7 @@ def overwrite(spark: SparkSession, path: str, df: DataFrame,
                                       list(range(n_buckets)))
         try:
             new_bmap = {str(b): [s] for b, s in segs.items()}
-            _commit(path, v + 1, None, "overwrite",
+            _commit(path, v + 1, None, op,
                     extra=dict(extra or {})
                     | {"bucket_key": key, "n_buckets": n_buckets,
                        "buckets": new_bmap,
@@ -911,7 +913,7 @@ def overwrite(spark: SparkSession, path: str, df: DataFrame,
         return v + 1
     seg = _write_segment(df, path)
     try:
-        _commit(path, v + 1, [seg], "overwrite",
+        _commit(path, v + 1, [seg], op,
                 extra=dict(extra or {})
                 | _carry_stats(spark, path, parent, [seg], [])
                 | {"col_types": _col_types(df)})
@@ -919,6 +921,25 @@ def overwrite(spark: SparkSession, path: str, df: DataFrame,
         shutil.rmtree(os.path.join(path, seg))
         raise
     return v + 1
+
+
+def truncate(spark: SparkSession, path: str) -> int:
+    """Delta-style TRUNCATE TABLE: one commit whose new state is the
+    zero-row frame of the CURRENT user-visible schema (pending delete
+    vectors and hidden columns are definitionally materialized — the
+    new state is empty). Old versions stay readable until vacuum and
+    RESTORE undoes it, so this is the reversible "reload from scratch"
+    primitive (reference B18 full-reload, rclip_server.py:393-401,
+    completed at manifest altitude). Layout-dispatched through
+    overwrite(): a bucketed table keeps its bucket key + count (the
+    manifest's bucket map just goes empty), so post-truncate INSERTs
+    hash-route exactly as before. Cost: one empty-segment write —
+    zero data read, zero data-sized job, same at 100 TB."""
+    v = current_version(path)
+    m = _manifest(path, v)
+    empty = (read_bucketed(spark, path, v) if "buckets" in m
+             else read(spark, path, v)).limit(0)
+    return overwrite(spark, path, empty, op="truncate")
 
 
 def upsert(spark: SparkSession, path: str, updates: DataFrame, key: str) -> int:

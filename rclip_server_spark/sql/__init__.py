@@ -68,6 +68,8 @@ the Spark engine the equivalent entry point for its storage layer:
   compact_bucketed), recluster by Morton key with zone maps on both
   columns (cluster_zorder), or migrate a flat table to the
   hash-bucketed co-located layout (convert_to_bucketed).
+* ``TRUNCATE TABLE t`` — reversible empty-the-table commit (zero-row
+  overwrite; RESTORE undoes it; a bucketed table keeps its layout)
 * ``DROP TABLE t`` / ``DROP MATERIALIZED VIEW v``
 
 Scale notes: every statement is driver-side manifest work plus the
@@ -757,6 +759,20 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
             ver = V.compact(spark, e["path"])
         return {"status": "optimized", "name": name, "version": ver}
 
+    if head == "truncate":
+        # TRUNCATE TABLE t — the reversible empty-the-table commit
+        # (versioned.truncate): zero-row overwrite, old versions stay
+        # readable, RESTORE undoes it. Same dependents story as INSERT
+        # OVERWRITE (views refresh via their cursors over the rewrite).
+        cur.take()
+        cur.expect_kw("table")
+        name = cur.expect_ident()
+        if not cur.done():
+            raise SqlError("trailing tokens after TRUNCATE TABLE")
+        e = _writable_table(catalog, name, "TRUNCATE TABLE")
+        ver = V.truncate(spark, e["path"])
+        return {"status": "truncated", "name": name, "version": ver}
+
     if head == "restore":
         # metadata-only rollback (Delta RESTORE semantics): a NEW
         # head whose manifest re-points to the old segments — the
@@ -808,4 +824,5 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         "MATERIALIZED VIEW / INSERT INTO|OVERWRITE / DELETE FROM / UPDATE / "
         "MERGE INTO / ALTER TABLE ADD|DROP COLUMN / START|STOP REFRESH "
         "STREAM ON VIEW / DESCRIBE / SHOW TABLES "
-        "/ SHOW CREATE TABLE / VACUUM / OPTIMIZE / RESTORE TABLE / DROP")
+        "/ SHOW CREATE TABLE / VACUUM / OPTIMIZE / RESTORE TABLE / "
+        "TRUNCATE TABLE / DROP")
