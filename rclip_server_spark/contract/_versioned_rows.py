@@ -2197,3 +2197,62 @@ _register(
     FROM s WHERE event_id % 5 < 3 AND event_id % 4 <> 0
     """,
 )
+
+
+def _sql_copy_builder(spark: SparkSession, sf: str, path: str) -> None:
+    import os as _os
+
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(_os.path.join(path, "cat"))
+    src = _os.path.join(path, "in_csv")
+    _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    ).where(F.col("event_id") % 5 < 4) \
+        .write.option("header", "true").csv(src)
+    SQ.execute(spark, "CREATE TABLE evcp (event_id BIGINT, event_type "
+                      "STRING, value_cents BIGINT) OPTIONS "
+                      "(key='event_id')", cat)
+    # ingest half: schemaful distributed csv scan -> one append commit
+    SQ.execute(spark, f"COPY evcp FROM '{src}' OPTIONS (format='csv', "
+                      f"header=true)", cat)
+    # export half: query -> ndjson files
+    SQ.execute(spark, (
+        f"COPY (SELECT event_id, event_type, value_cents FROM evcp "
+        f"WHERE event_id % 3 = 0) TO "
+        f"'{_os.path.join(path, 'out_json')}' OPTIONS "
+        f"(format='ndjson')"), cat)
+
+
+def _sql_copy_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """COPY FROM / COPY TO through the SQL frontend: csv files ingest
+    into a versioned table via a SCHEMAFUL distributed scan (the
+    table's declared types are pushed to the reader — no inference
+    job) + one append commit, and a query exports to ndjson with
+    Spark's parallel writer. The result frame is the exported ndjson
+    READ BACK, so the row proves the full file→table→file loop.
+    Oracle: the same set algebra over `events` (ingest slice %5<4,
+    export filter %3=0). Reference parity: the indexer's file ingest
+    half (index_wikimedia.py ingest loop, IW:136-143) generalized to
+    schemaful bulk formats."""
+    import os as _os
+
+    from .. import sql as SQ  # noqa: F401 — builder dependency
+
+    path = _vt_build(spark, sf, "sqlcp", _sql_copy_builder)
+    return spark.read.schema(
+        "event_id bigint, event_type string, value_cents bigint"
+    ).json(_os.path.join(path, "out_json"))
+
+
+_register(
+    "sql_copy_roundtrip",
+    _sql_copy_roundtrip,
+    """
+    SELECT event_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    WHERE event_id % 5 < 4 AND event_id % 3 = 0
+    """,
+)

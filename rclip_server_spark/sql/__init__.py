@@ -70,6 +70,11 @@ the Spark engine the equivalent entry point for its storage layer:
   hash-bucketed co-located layout (convert_to_bucketed).
 * ``TRUNCATE TABLE t`` — reversible empty-the-table commit (zero-row
   overwrite; RESTORE undoes it; a bucketed table keeps its layout)
+* ``COPY t FROM '<path>' [OPTIONS (format='csv'|'ndjson'|'parquet',
+  header=...)]`` / ``COPY t | (SELECT ...) TO '<path>' [OPTIONS
+  (format=..., partition_by='c1,c2', overwrite=true)]`` — distributed
+  file ingest (schemaful scan + append commit through the layout
+  dispatch) and export (optional Hive-style partition layout)
 * ``DROP TABLE t`` / ``DROP MATERIALIZED VIEW v``
 
 Scale notes: every statement is driver-side manifest work plus the
@@ -277,6 +282,117 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
 
     if head == "merge":
         return _merge(spark, catalog, text)
+
+    if head == "copy":
+        # COPY t FROM '<path>' [OPTIONS (format='parquet'|'csv'|
+        # 'ndjson', header=true|false)] — distributed file ingest into
+        # a versioned table: the files are scanned by Spark's parallel
+        # reader (one task per split, same at 100 TB), csv/ndjson are
+        # read WITH the table's declared schema (no inference job, no
+        # type drift), and the batch lands as one append commit through
+        # the layout dispatch (a bucketed target hash-routes per
+        # bucket) with the usual schema drift guard.
+        # COPY t | (SELECT ...) TO '<path>' [OPTIONS (format=...,
+        # header=..., partition_by='c1,c2', overwrite=true)] — the
+        # export half: distributed write, optional Hive-style
+        # partition layout (downstream readers get partition pruning
+        # for free). Refuses to clobber unless overwrite=true.
+        fm = _mask(text)
+        cm = re.match(r"copy\s*", fm, re.IGNORECASE)
+        src_body = None
+        if text[cm.end():cm.end() + 1] == "(":
+            close = _matching_paren(fm, cm.end())
+            src_body = text[cm.end() + 1:close].strip()
+            if not src_body.lower().startswith(("select", "with",
+                                                "values")):
+                raise SqlError("COPY (SELECT ...) TO '<path>' — the "
+                               "parenthesized source must be a query")
+            tail = text[close + 1:]
+        else:
+            tail = text[cm.end():]
+        tcur = _Cursor(_tokenize(tail), tail)
+        name = None
+        if src_body is None:
+            name = tcur.expect_ident()
+        if not (tcur.at_kw("from") or tcur.at_kw("to")):
+            raise SqlError("COPY t FROM '<path>' | COPY t|(SELECT...) "
+                           "TO '<path>'")
+        direction = tcur.take().lower
+        pt = tcur.take()
+        if pt.kind != "str":
+            raise SqlError("COPY needs a quoted file path")
+        fpath = pt.text[1:-1].replace("''", "'")
+        opts = _parse_options(tcur)
+        if not tcur.done():
+            raise SqlError("trailing tokens after COPY")
+        fmt = str(opts.get("format", "parquet")).lower()
+        if fmt not in ("parquet", "csv", "ndjson"):
+            raise SqlError(f"COPY format must be parquet, csv, or "
+                           f"ndjson, got {fmt!r}")
+        header = opts.get("header", True)
+        if direction == "from":
+            if src_body is not None:
+                raise SqlError("COPY FROM targets a table, not a "
+                               "query")
+            e = _writable_table(catalog, name, "COPY")
+            if fmt == "parquet":
+                # parquet carries its own schema; append's drift
+                # guard judges compatibility with the declared types
+                batch = spark.read.parquet(fpath)
+            else:
+                # schemaful scan: the TABLE's visible schema is pushed
+                # to the reader, so there is no inference pass and a
+                # malformed value fails the load, not a later query
+                schema = _read_entry(spark, e).limit(0).schema
+                rd = spark.read.schema(schema)
+                if fmt == "csv":
+                    batch = rd.option(
+                        "header", "true" if header else "false"
+                    ).csv(fpath)
+                else:
+                    batch = rd.json(fpath)
+            try:
+                ver = V.append(spark, e["path"], batch)
+            except (V.SchemaDriftError, ValueError) as ex:
+                raise SqlError(str(ex)) from ex
+            return {"status": "copied", "name": name, "from": fpath,
+                    "format": fmt, "version": ver}
+        if src_body is not None:
+            df = _run_select(spark, src_body, catalog)
+        else:
+            df = _read_entry(spark, catalog.get(name))
+        w = df.write.mode(
+            "overwrite" if opts.get("overwrite") else "errorifexists")
+        pb = opts.get("partition_by")
+        part_cols = []
+        if pb:
+            part_cols = [c.strip() for c in str(pb).split(",")
+                         if c.strip()]
+            missing = [c for c in part_cols if c not in df.columns]
+            if missing:
+                raise SqlError(f"partition_by column(s) {missing} not "
+                               f"in the output ({df.columns})")
+            w = w.partitionBy(*part_cols)
+        try:
+            if fmt == "parquet":
+                w.parquet(fpath)
+            elif fmt == "csv":
+                w.option("header", "true" if header else "false"
+                         ).csv(fpath)
+            else:
+                w.json(fpath)
+        except Exception as ex:
+            if "already exists" in str(ex).lower():
+                raise SqlError(
+                    f"COPY TO target {fpath!r} exists — pass OPTIONS "
+                    f"(overwrite=true) to replace it") from ex
+            raise
+        out = {"status": "copied", "to": fpath, "format": fmt}
+        if part_cols:
+            out["partition_by"] = part_cols
+        if name is not None:
+            out["name"] = name
+        return out
 
     if head == "create" and re.match(
             r"create\s+table\s+[A-Za-z_][A-Za-z0-9_]*\s*\(", text,
@@ -825,4 +941,4 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         "MERGE INTO / ALTER TABLE ADD|DROP COLUMN / START|STOP REFRESH "
         "STREAM ON VIEW / DESCRIBE / SHOW TABLES "
         "/ SHOW CREATE TABLE / VACUUM / OPTIMIZE / RESTORE TABLE / "
-        "TRUNCATE TABLE / DROP")
+        "TRUNCATE TABLE / COPY FROM|TO / DROP")

@@ -142,9 +142,11 @@ def _parse_options(cur: _Cursor) -> dict:
             opts[k] = t.text[1:-1].replace("''", "'")
         elif t.kind == "num":
             opts[k] = float(t.text) if "." in t.text else int(t.text)
+        elif t.kind == "ident" and t.lower in ("true", "false"):
+            opts[k] = t.lower == "true"
         else:
-            raise SqlError(f"OPTIONS value must be a string or number, "
-                           f"got {t.text!r}")
+            raise SqlError(f"OPTIONS value must be a string, number, "
+                           f"or true/false, got {t.text!r}")
         nxt = cur.take()
         if nxt.text == ")":
             return opts
