@@ -2256,3 +2256,65 @@ _register(
     WHERE event_id % 5 < 4 AND event_id % 3 = 0
     """,
 )
+
+
+def _sql_clone_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    ).createOrReplaceTempView("events_seed_cl")
+    SQ.execute(spark, "CREATE TABLE evsrc OPTIONS (key='event_id') AS "
+                      "SELECT * FROM events_seed_cl", cat)
+    # pending vector at clone time: carries over WITH its scope
+    SQ.execute(spark, "DELETE FROM evsrc WHERE event_id % 7 = 0", cat)
+    SQ.execute(spark, "CREATE TABLE evcl CLONE evsrc", cat)
+    # diverge BOTH sides of the shared base
+    SQ.execute(spark, "UPDATE evcl SET value_cents = value_cents + 3 "
+                      "WHERE event_id % 2 = 0", cat)
+    SQ.execute(spark, "DELETE FROM evsrc WHERE event_id % 3 = 0", cat)
+    # rewrite + aggressive vacuum on the source: the clone's pinned
+    # segments must survive (ref files under _clones/)
+    SQ.execute(spark, "OPTIMIZE evsrc", cat)
+    SQ.execute(spark, "VACUUM evsrc KEEP 1", cat)
+
+
+def _sql_clone_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """Shallow CLONE through the SQL frontend (versioned.clone):
+    CREATE TABLE c CLONE t references the source's segments by
+    absolute path — zero bytes copied — then both tables diverge with
+    their own DML, and the source is rewritten + vacuumed KEEP 1
+    underneath the clone (the clone's _clones/ refs pin the shared
+    segments, so the clone still answers from the base it snapshot).
+    One frame reads both sides. Oracle: set algebra over `events`."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "sqlcl", _sql_clone_builder)
+    return SQ.execute(spark, (
+        "SELECT event_id, event_type, value_cents, 'src' AS side "
+        "FROM evsrc "
+        "UNION ALL "
+        "SELECT event_id, event_type, value_cents, 'clone' AS side "
+        "FROM evcl"), SQ.Catalog(path))
+
+
+_register(
+    "sql_clone_divergence",
+    _sql_clone_divergence,
+    """
+    WITH s AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events WHERE event_id % 7 <> 0)
+    SELECT event_id, event_type, vc AS value_cents, 'src' AS side
+    FROM s WHERE event_id % 3 <> 0
+    UNION ALL
+    SELECT event_id, event_type,
+           CASE WHEN event_id % 2 = 0 THEN CAST(vc + 3 AS BIGINT)
+                ELSE vc END AS value_cents,
+           'clone' AS side
+    FROM s
+    """,
+)

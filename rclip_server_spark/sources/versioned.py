@@ -200,8 +200,14 @@ def _commit(path: str, version: int, segments: list[str], op: str,
     # silently drop the spec the next refresh needs
     if "app" not in manifest and parent_m.get("app") is not None:
         manifest["app"] = parent_m["app"]
+    # a committer may SEED seg_rows through extra (clone() passes the
+    # source's counts through so a zero-copy clone never re-opens the
+    # source's footers); unseeded segments fall back to parent-carry
+    # then footer reads as before
+    seeded = manifest.get("seg_rows") or {}
     manifest["seg_rows"] = {
-        s: parent_rows[s] if s in parent_rows
+        s: seeded[s] if s in seeded
+        else parent_rows[s] if s in parent_rows
         else _footer_rows(os.path.join(path, s))
         for s in _manifest_segments(manifest)
     }
@@ -942,6 +948,180 @@ def truncate(spark: SparkSession, path: str) -> int:
     return overwrite(spark, path, empty, op="truncate")
 
 
+_CLONE_DIR = "_clones"
+
+
+def _register_clone_ref(owner_path: str, clone_path: str) -> str:
+    """Pin ``owner_path``'s segments for a shallow clone: one ref file
+    per (owner, clone) under the owner's ``_clones/``, written
+    atomically (fsync + rename). The owner's vacuum reads these refs
+    and keeps every segment a LIVE clone's manifests still name; a ref
+    whose clone directory is gone (DROPped) is dead and reaped by the
+    next vacuum — same liveness-by-filesystem contract as the catalog
+    lock and the version floors."""
+    croot = os.path.join(owner_path, _CLONE_DIR)
+    os.makedirs(croot, exist_ok=True)
+    p = os.path.join(croot, f"ref-{uuid.uuid4().hex[:12]}.json")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"clone": os.path.realpath(clone_path)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, p)
+    return p
+
+
+def live_clone_refs(path: str) -> list[str]:
+    """Paths of still-existing clones registered against this table
+    (dead refs are skipped, not reaped — vacuum owns reaping)."""
+    croot = os.path.join(path, _CLONE_DIR)
+    if not os.path.isdir(croot):
+        return []
+    out = []
+    for f in sorted(os.listdir(croot)):
+        if not f.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(croot, f)) as fh:
+                clone = json.load(fh)["clone"]
+        except (OSError, ValueError, KeyError):
+            continue
+        if os.path.isdir(os.path.join(clone, _SNAP_DIR)):
+            out.append(clone)
+    return sorted(set(out))
+
+
+def _clone_pinned_segments(path: str) -> set[str] | None:
+    """Segment NAMES of ``path`` that live clones still reference —
+    unioned into vacuum's keep set. Returns ``None`` (pin everything,
+    skip this run's segment deletion) when a registered clone exists
+    but has no manifests yet: that's a clone mid-creation, whose ref
+    landed before its first commit precisely so a racing vacuum backs
+    off. Dead refs (clone directory gone) are reaped here; ref temp
+    files from a crashed registration are reaped after the same
+    minimum age as commit temp files."""
+    import time as _time
+
+    croot = os.path.join(path, _CLONE_DIR)
+    if not os.path.isdir(croot):
+        return set()
+    me = os.path.realpath(path)
+    now = _time.time()
+    out: set[str] = set()
+    pin_all = False
+    for f in sorted(os.listdir(croot)):
+        p = os.path.join(croot, f)
+        if f.endswith(".json.tmp"):
+            if now - os.path.getmtime(p) >= 300.0:
+                _suppress_remove(p)
+            continue
+        if not f.endswith(".json"):
+            continue
+        try:
+            with open(p) as fh:
+                clone = json.load(fh)["clone"]
+        except (OSError, ValueError, KeyError):
+            continue  # unreadable ref: never a reason to reap data
+        if not os.path.isdir(os.path.join(clone, _SNAP_DIR)):
+            _suppress_remove(p)  # clone dropped — dead ref
+            continue
+        versions = _manifest_versions(clone)
+        if not versions:
+            pin_all = True
+            continue
+        for v in versions:
+            try:
+                m = _manifest(clone, v)
+            except FileNotFoundError:
+                continue  # the clone's own vacuum raced us
+            for s in list(_manifest_segments(m)) + list(
+                    m.get("delete_segs") or []):
+                if os.path.isabs(s) and \
+                        os.path.realpath(os.path.dirname(s)) == me:
+                    out.add(os.path.basename(s))
+    return None if pin_all else out
+
+
+def clone(src_path: str, dst_path: str, version: int | None = None
+          ) -> int:
+    """SHALLOW clone (Delta CLONE semantics, plus the vacuum safety
+    Delta doesn't give you): the clone's v1 manifest references the
+    source's segment directories by ABSOLUTE path — zero bytes copied,
+    O(manifest) time at any table size. Every read/DML/OPTIMIZE verb
+    works on the clone unchanged because all segment resolution goes
+    through ``os.path.join(table, seg)``, which passes absolute refs
+    through; writes land as clone-local segments, so the two tables
+    diverge from the shared base without ever touching each other's
+    data. Layout (bucket map), pending delete vectors (with scopes),
+    zone maps, hidden columns, and per-segment row counts all carry
+    over — a clone of a bucketed table IS bucketed.
+
+    Vacuum safety: before the clone's first commit, a ref file is
+    registered under every owner table's ``_clones/`` (ref-first
+    ordering: a source vacuum that sees a manifest-less clone pins
+    everything and backs off). The owner's vacuum keeps every segment
+    a live clone's manifests still name and reaps refs whose clone
+    directory is gone. OPTIMIZE on the clone materializes it (fresh
+    local segments); once the clone's own history drops the foreign
+    refs, the source's vacuum reclaims them.
+
+    Remaining race (documented): a source vacuum that listed
+    ``_clones/`` before our ref landed may delete segments after we
+    read the manifest — the post-commit existence re-check below turns
+    that into a clean error instead of a broken table. Delta shallow
+    clones have no protection at all here; ours narrows the window to
+    an in-flight vacuum."""
+    v = current_version(src_path) if version is None else int(version)
+    m = _manifest(src_path, v)
+    src_abs = os.path.realpath(src_path)
+
+    def _abs(s: str) -> str:
+        return s if os.path.isabs(s) else os.path.join(src_abs, s)
+
+    extra: dict = {"col_types": m.get("col_types", {}),
+                   "cloned_from": {"path": src_abs, "version": v}}
+    for k in ("hidden_cols", "delete_key", "stat_cols"):
+        if m.get(k) is not None:
+            extra[k] = m[k]
+    if m.get("delete_segs"):
+        extra["delete_segs"] = [_abs(d) for d in m["delete_segs"]]
+        scopes = m.get("delete_scopes") or {}
+        extra["delete_scopes"] = {
+            _abs(d): (None if ss is None else [_abs(s) for s in ss])
+            for d, ss in scopes.items()}
+    for k in ("seg_stats", "seg_rows"):
+        if m.get(k):
+            extra[k] = {_abs(s): val for s, val in m[k].items()}
+    segments = None
+    if "buckets" in m:
+        extra |= {"bucket_key": m["bucket_key"],
+                  "n_buckets": m["n_buckets"],
+                  "buckets": {b: [_abs(s) for s in ss]
+                              for b, ss in m["buckets"].items()}}
+        data_refs = [s for ss in extra["buckets"].values() for s in ss]
+    else:
+        segments = [_abs(s) for s in m["segments"]]
+        data_refs = list(segments)
+    all_refs = data_refs + list(extra.get("delete_segs", []))
+    os.makedirs(os.path.join(dst_path, _SNAP_DIR), exist_ok=False)
+    refs = []
+    try:
+        for owner in sorted({os.path.dirname(s) for s in all_refs}):
+            refs.append(_register_clone_ref(owner, dst_path))
+        _commit(dst_path, 1, segments, "clone", extra=extra)
+        missing = [s for s in all_refs if not os.path.isdir(s)]
+        if missing:
+            raise FileNotFoundError(
+                f"clone source segment(s) vanished under a racing "
+                f"vacuum: {missing[:3]} — re-run the clone")
+    except BaseException:
+        for r in refs:
+            _suppress_remove(r)
+        shutil.rmtree(dst_path, ignore_errors=True)
+        raise
+    return 1
+
+
 def upsert(spark: SparkSession, path: str, updates: DataFrame, key: str) -> int:
     """MERGE-on-key commit: read the head snapshot, left-anti + union merge
     (writer.upsert_parquet's plan), write the merged state as one new
@@ -1117,9 +1297,11 @@ def compact(spark: SparkSession, path: str) -> int:
     if "buckets" in m:
         raise ValueError("bucketed tables compact via compact_bucketed")
     if (len(m["segments"]) <= 1 and not m.get("delete_segs")
-            and not m.get("hidden_cols")):
+            and not m.get("hidden_cols")
+            and not any(os.path.isabs(s) for s in m["segments"])):
         # nothing to fold, no deletes and no logical drops to
-        # materialize: the head is already compact
+        # materialize, and no foreign (clone) refs to localize: the
+        # head is already compact
         return v
     merged = read(spark, path, v)
     seg = _write_segment(merged, path)
@@ -1509,6 +1691,17 @@ def vacuum(path: str, keep_last: int = 1,
             p = os.path.join(snap_dir, name)
             if now - os.path.getmtime(p) >= tmp_cutoff:
                 os.remove(p)
+    # shallow clones pin segments across tables: keep everything a
+    # LIVE clone's manifests still reference (None = a clone is
+    # mid-creation; pin everything this run and let the next vacuum
+    # see its manifest)
+    clone_pins = _clone_pinned_segments(path)
+    if clone_pins is None:
+        keep_segs.update(
+            d for d in os.listdir(path)
+            if d.startswith("seg-") or d.startswith("del-"))
+    else:
+        keep_segs.update(clone_pins)
     deleted = []
     for d in sorted(os.listdir(path)):
         if (d.startswith("seg-") or d.startswith("del-")) \
@@ -1970,7 +2163,10 @@ def compact_bucketed(
         scoped |= _manifest_segments(m) if sc is None else set(sc)
     todo = sorted(int(b) for b, ss in bmap.items()
                   if ss and (hidden or len(ss) >= min_segments
-                             or scoped & set(ss)))
+                             or scoped & set(ss)
+                             # foreign (clone) refs: OPTIMIZE on a
+                             # clone localizes its buckets
+                             or any(os.path.isabs(s) for s in ss)))
     if not todo:
         if hidden:
             # an ALL-EMPTY table still holding a pending drop: no

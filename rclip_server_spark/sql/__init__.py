@@ -70,6 +70,10 @@ the Spark engine the equivalent entry point for its storage layer:
   hash-bucketed co-located layout (convert_to_bucketed).
 * ``TRUNCATE TABLE t`` — reversible empty-the-table commit (zero-row
   overwrite; RESTORE undoes it; a bucketed table keeps its layout)
+* ``CREATE TABLE c CLONE t [VERSION AS OF n]`` — zero-copy SHALLOW
+  clone: the new manifest references the source's segments by
+  absolute path (O(manifest) at any size); writes diverge locally;
+  the source's vacuum pins segments live clones still name
 * ``COPY t FROM '<path>' [OPTIONS (format='csv'|'ndjson'|'parquet',
   header=...)]`` / ``COPY t | (SELECT ...) TO '<path>' [OPTIONS
   (format=..., partition_by='c1,c2', overwrite=true)]`` — distributed
@@ -393,6 +397,41 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         if name is not None:
             out["name"] = name
         return out
+
+    if head == "create" and re.match(
+            r"create\s+table\s+[A-Za-z_][A-Za-z0-9_]*\s+clone\b",
+            text, re.IGNORECASE):
+        # CREATE TABLE c CLONE t [VERSION AS OF n] — SHALLOW clone
+        # (versioned.clone): the new table's manifest references the
+        # source's segments by absolute path, zero bytes copied at any
+        # table size. Writes diverge as clone-local segments; the
+        # source's vacuum keeps every segment a live clone still
+        # names (ref files under _clones/); OPTIMIZE c materializes.
+        m = re.match(
+            r"create\s+table\s+([A-Za-z_][A-Za-z0-9_]*)\s+clone\s+"
+            r"([A-Za-z_][A-Za-z0-9_]*)"
+            r"(?:\s+version\s+as\s+of\s+(\d+))?\s*$",
+            text, re.IGNORECASE)
+        if not m:
+            raise SqlError("CREATE TABLE c CLONE t "
+                           "[VERSION AS OF <int>]")
+        name, src_name, ver = m.group(1), m.group(2), m.group(3)
+        catalog.check_available(name)
+        se = _writable_table(catalog, src_name, "CLONE")
+        path = catalog.path_for(name)
+
+        def _mk_clone() -> dict:
+            try:
+                V.clone(se["path"], path,
+                        None if ver is None else int(ver))
+            except (ValueError, FileNotFoundError) as ex:
+                raise SqlError(str(ex)) from ex
+            catalog.register(name, path, kind="table",
+                             meta=dict(se["meta"]), require_path=True)
+            return {"status": "created", "name": name, "path": path,
+                    "cloned_from": src_name, "version": 1}
+
+        return _strand_proof(catalog, [path], _mk_clone)
 
     if head == "create" and re.match(
             r"create\s+table\s+[A-Za-z_][A-Za-z0-9_]*\s*\(", text,
@@ -766,6 +805,14 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
             raise SqlError(
                 f"cannot drop {name}: registered view(s) "
                 f"{dependents} read it — DROP them first")
+        # same rule for shallow clones: a live clone's manifests name
+        # this table's segment directories by absolute path
+        if e["kind"] == "table":
+            clones = V.live_clone_refs(e["path"])
+            if clones:
+                raise SqlError(
+                    f"cannot drop {name}: live clone(s) at {clones} "
+                    f"still reference its segments — DROP them first")
         live = _STREAMS.get(_stream_key(catalog, name))
         if live is not None and live.isActive:
             raise SqlError(

@@ -116,3 +116,153 @@ def test_truncate_guards(spark, seed, cat):
         S.execute(spark, "TRUNCATE TABLE tg KEEP 2", cat)  # trailing
     with pytest.raises(S.SqlError):
         S.execute(spark, "TRUNCATE TABLE nosuch", cat)
+
+
+# ===========================================================================
+# Shallow CLONE (versioned.clone + CREATE TABLE c CLONE t)
+# ===========================================================================
+
+
+def _seg_dirs(path):
+    return sorted(d for d in os.listdir(path)
+                  if d.startswith(("seg-", "del-")))
+
+
+import os  # noqa: E402
+
+
+def test_clone_flat_zero_copy_and_divergence(spark, seed, cat):
+    seed.createOrReplaceTempView("seed_cl1")
+    S.execute(spark, "CREATE TABLE src1 OPTIONS (key='event_id') AS "
+                     "SELECT * FROM seed_cl1", cat)
+    # pending delete vector at clone time must carry over WITH scope
+    S.execute(spark, "DELETE FROM src1 WHERE event_id % 7 = 0", cat)
+    r = S.execute(spark, "CREATE TABLE cl1 CLONE src1", cat)
+    assert r["status"] == "created" and r["cloned_from"] == "src1"
+    want = seed.where(F.col("event_id") % 7 != 0)
+    assert _rows(S.execute(spark, "SELECT * FROM cl1", cat)) == \
+        _rows(want)
+    # ZERO data copied: the clone directory owns no segments
+    assert _seg_dirs(cat.get("cl1")["path"]) == []
+    # writes diverge both ways
+    S.execute(spark, "DELETE FROM cl1 WHERE event_id % 2 = 0", cat)
+    S.execute(spark, "UPDATE src1 SET cents = cents + 1 "
+                     "WHERE event_id % 2 = 1", cat)
+    assert _rows(S.execute(spark, "SELECT * FROM cl1", cat)) == \
+        _rows(want.where(F.col("event_id") % 2 == 1))
+    assert _rows(S.execute(spark, "SELECT * FROM src1", cat)) == _rows(
+        want.withColumn("cents", F.when(F.col("event_id") % 2 == 1,
+                                        F.col("cents") + 1)
+                        .otherwise(F.col("cents"))))
+
+
+def test_clone_version_as_of(spark, seed, cat):
+    seed.createOrReplaceTempView("seed_cl2")
+    S.execute(spark, "CREATE TABLE src2 OPTIONS (key='event_id') AS "
+                     "SELECT * FROM seed_cl2", cat)
+    S.execute(spark, "DELETE FROM src2 WHERE event_id % 3 = 0", cat)
+    S.execute(spark, "CREATE TABLE cl2 CLONE src2 VERSION AS OF 1",
+              cat)
+    assert _rows(S.execute(spark, "SELECT * FROM cl2", cat)) == \
+        _rows(seed)
+
+
+def test_clone_bucketed_keeps_layout_and_dml(spark, seed, cat):
+    seed.createOrReplaceTempView("seed_cl3")
+    S.execute(spark, "CREATE TABLE src3 OPTIONS (key='event_id', "
+                     "buckets=8) AS SELECT * FROM seed_cl3", cat)
+    S.execute(spark, "CREATE TABLE cl3 CLONE src3", cat)
+    p = cat.get("cl3")["path"]
+    m = V._manifest(p, V.current_version(p))
+    assert m["bucket_key"] == "event_id" and m["n_buckets"] == 8
+    # bucketed conditional DML rides the clone unchanged
+    S.execute(spark, (
+        "MERGE INTO cl3 t USING (SELECT event_id, event_type, "
+        "cents * 2 AS c2 FROM seed_cl3 WHERE event_id % 4 = 0) AS s "
+        "ON t.event_id = s.event_id "
+        "WHEN MATCHED THEN UPDATE SET cents = s.c2"), cat)
+    want = seed.withColumn(
+        "cents", F.when(F.col("event_id") % 4 == 0,
+                        F.col("cents") * 2).otherwise(F.col("cents")))
+    assert _rows(S.execute(spark, "SELECT * FROM cl3", cat)) == \
+        _rows(want)
+    # the source never saw the merge
+    assert _rows(S.execute(spark, "SELECT * FROM src3", cat)) == \
+        _rows(seed)
+
+
+def test_clone_survives_source_vacuum(spark, seed, cat):
+    seed.createOrReplaceTempView("seed_cl4")
+    S.execute(spark, "CREATE TABLE src4 OPTIONS (key='event_id') AS "
+                     "SELECT * FROM seed_cl4", cat)
+    S.execute(spark, "CREATE TABLE cl4 CLONE src4", cat)
+    # source rewrites + aggressive vacuum: the clone's pinned segments
+    # must survive even though no kept SOURCE manifest references them
+    S.execute(spark, "UPDATE src4 SET cents = 0 WHERE event_id % 2 = 0",
+              cat)
+    S.execute(spark, "OPTIMIZE src4", cat)
+    S.execute(spark, "VACUUM src4 KEEP 1", cat)
+    assert _rows(S.execute(spark, "SELECT * FROM cl4", cat)) == \
+        _rows(seed)
+    # drop the clone -> the ref dies -> the next vacuum reaps the
+    # formerly pinned segments
+    src_path = cat.get("src4")["path"]
+    pinned_before = V._clone_pinned_segments(src_path)
+    assert pinned_before  # the clone really was pinning something
+    S.execute(spark, "DROP TABLE cl4", cat)
+    V.vacuum(src_path, keep_last=1)
+    assert V._clone_pinned_segments(src_path) == set()
+    for s in pinned_before:
+        assert not os.path.isdir(os.path.join(src_path, s))
+    # the source itself is intact
+    got = S.execute(spark, "SELECT * FROM src4", cat)
+    assert got.count() == seed.count()
+
+
+def test_clone_blocks_source_drop(spark, seed, cat):
+    seed.limit(50).createOrReplaceTempView("seed_cl5")
+    S.execute(spark, "CREATE TABLE src5 OPTIONS (key='event_id') AS "
+                     "SELECT * FROM seed_cl5", cat)
+    S.execute(spark, "CREATE TABLE cl5 CLONE src5", cat)
+    with pytest.raises(S.SqlError):
+        S.execute(spark, "DROP TABLE src5", cat)
+    S.execute(spark, "DROP TABLE cl5", cat)
+    S.execute(spark, "DROP TABLE src5", cat)  # now allowed
+
+
+def test_clone_materializes_via_optimize(spark, seed, cat):
+    seed.createOrReplaceTempView("seed_cl6")
+    S.execute(spark, "CREATE TABLE src6 OPTIONS (key='event_id') AS "
+                     "SELECT * FROM seed_cl6", cat)
+    S.execute(spark, "CREATE TABLE cl6 CLONE src6", cat)
+    S.execute(spark, "OPTIMIZE cl6", cat)  # materialize: local segments
+    assert _seg_dirs(cat.get("cl6")["path"])
+    # once the clone's HISTORY drops the foreign refs, the source's
+    # vacuum reclaims: vacuum the clone (drops the v1 manifest), then
+    # vacuum the source
+    src_path = cat.get("src6")["path"]
+    S.execute(spark, "VACUUM cl6 KEEP 1", cat)
+    assert V._clone_pinned_segments(src_path) == set()
+    S.execute(spark, "TRUNCATE TABLE src6", cat)
+    S.execute(spark, "VACUUM src6 KEEP 1", cat)
+    # clone unaffected by the source's truncate + vacuum
+    assert _rows(S.execute(spark, "SELECT * FROM cl6", cat)) == \
+        _rows(seed)
+
+
+def test_clone_guards(spark, seed, cat):
+    seed.limit(20).createOrReplaceTempView("seed_cl7")
+    S.execute(spark, "CREATE TABLE src7 OPTIONS (key='event_id') AS "
+                     "SELECT * FROM seed_cl7", cat)
+    S.execute(spark, "CREATE MATERIALIZED VIEW v7 AS SELECT "
+                     "event_type, COUNT(*) AS n FROM src7 "
+                     "GROUP BY event_type", cat)
+    with pytest.raises(S.SqlError):  # clone of a view
+        S.execute(spark, "CREATE TABLE c CLONE v7", cat)
+    with pytest.raises(S.SqlError):  # duplicate name
+        S.execute(spark, "CREATE TABLE src7 CLONE src7", cat)
+    with pytest.raises(S.SqlError):  # trailing tokens
+        S.execute(spark, "CREATE TABLE c CLONE src7 EXTRA", cat)
+    with pytest.raises(S.SqlError):  # bad version
+        S.execute(spark, "CREATE TABLE c CLONE src7 VERSION AS OF 99",
+                  cat)
