@@ -2318,3 +2318,59 @@ _register(
     FROM s
     """,
 )
+
+
+_EXPORT_CACHE: dict = {}
+
+
+def _samp_export_shards_manifest(spark: SparkSession, sf: str
+                                 ) -> DataFrame:
+    """Training-shard export (sampling.export_training_shards): the
+    curated table materializes as shard=N/ parquet dirs in
+    pseudorandom read order plus a _shards.json manifest computed by
+    READING BACK the written files — per shard, row count and a
+    placement checksum (sum of hash32('salt|id|pos')) that any lost,
+    duplicated, or re-ordered row would change. The returned frame IS
+    that manifest, so the oracle (which recomputes shard/pos/checksum
+    from `documents` with the same md5 arithmetic) verifies the whole
+    write→read loop. The epoch-ready layout every trainer streams."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..operators import sampling as _samp
+
+    key = _os.path.abspath(sf)
+    mf = _EXPORT_CACHE.get(key)
+    if mf is None or not _os.path.isdir(mf["_dir"]):
+        out = _tempfile.mkdtemp(prefix="rclip_shards_")
+        m = _samp.export_training_shards(
+            _t(spark, sf, "documents").select("doc_id", "text"),
+            "doc_id", 4, out, overwrite=True)
+        mf = {"_dir": out, "m": m}
+        _EXPORT_CACHE[key] = mf
+    rows = [(int(s), v["rows"], v["checksum"])
+            for s, v in sorted(mf["m"]["shards"].items())]
+    return spark.createDataFrame(
+        rows, "shard bigint, n_rows bigint, checksum bigint")
+
+
+_register(
+    "samp_export_shards_manifest",
+    _samp_export_shards_manifest,
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             {hash32_sql("concat_ws('|', 'shuffle', CAST(doc_id AS VARCHAR))")} AS hh
+      FROM documents),
+    sp AS (
+      SELECT doc_id, CAST(hh % 4 AS BIGINT) AS shard,
+             CAST(row_number() OVER (PARTITION BY hh % 4
+                  ORDER BY hh ASC, doc_id ASC) - 1 AS BIGINT) AS pos
+      FROM h)
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({hash32_sql(
+               "concat_ws('|', 'shuffle', CAST(doc_id AS VARCHAR), "
+               "CAST(pos AS VARCHAR))")}) AS BIGINT) AS checksum
+    FROM sp GROUP BY shard
+    """,
+)

@@ -297,6 +297,80 @@ def training_shuffle(
     )
 
 
+def export_training_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    out_dir: str,
+    salt: str = "shuffle",
+    overwrite: bool = False,
+) -> dict:
+    """Materialize ``training_shuffle``'s layout to disk: one
+    ``shard=N`` parquet directory per shard, rows stored in the
+    shard's pseudorandom read order (``pos``-sorted files), plus an
+    atomically-written ``_shards.json`` manifest the training loader
+    checks before streaming. This is the LAST step of a curation
+    pipeline — curated table in, epoch-ready shard files out — and it
+    must be reproducible: same input + same salt = byte-identical
+    shard membership and order on any cluster (hash order, never
+    ``rand()``).
+
+    The manifest is computed by READING BACK the written files
+    (verify-what-landed, not what was planned): per shard, the row
+    count and a placement checksum = sum of the salted 32-bit hash of
+    ``id|pos`` — any lost, duplicated, or re-ordered row changes it.
+
+    Scale: one exchange keyed on ``shard`` (each task sorts its own
+    shards: size corpus/n_shards, so pick n_shards to fit an executor
+    — 100k shards at 100 TB => ~1 GB sorts), one partitioned write,
+    one read-back aggregation over (id, pos) only (column-pruned to
+    two columns of the written parquet). The checksum sum stays far
+    inside int64 while shards hold < 2^30 rows each — which the
+    shard-sizing rule above already guarantees."""
+    import json as _json
+    import os as _os
+
+    if _os.path.exists(out_dir):
+        if not overwrite:
+            raise ValueError(
+                f"export target {out_dir!r} exists — pass "
+                f"overwrite=True to replace it")
+        import shutil as _shutil
+
+        _shutil.rmtree(out_dir)
+    spark = df.sparkSession
+    shuffled = training_shuffle(df, id_col, n_shards, salt=salt)
+    (shuffled
+     .repartition(n_shards, "shard")
+     .sortWithinPartitions("shard", "pos")
+     .write.partitionBy("shard").parquet(out_dir))
+    back = spark.read.parquet(out_dir)
+    per_shard = (
+        back.select(
+            "shard",
+            portable_hash32(F.concat_ws(
+                "|", F.lit(salt), F.col(id_col).cast("string"),
+                F.col("pos").cast("string"))).alias("__h"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("rows"),
+             F.sum("__h").alias("checksum"))
+        .collect())  # n_shards rows — bounded, never data-sized
+    manifest = {
+        "n_shards": int(n_shards), "salt": salt, "id_col": id_col,
+        "total_rows": int(sum(r["rows"] for r in per_shard)),
+        "shards": {int(r["shard"]): {"rows": int(r["rows"]),
+                                     "checksum": int(r["checksum"])}
+                   for r in per_shard},
+    }
+    tmp = _os.path.join(out_dir, "._shards.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f)
+        f.flush()
+        _os.fsync(f.fileno())
+    _os.rename(tmp, _os.path.join(out_dir, "_shards.json"))
+    return manifest
+
+
 def split_leakage_report(
     pairs: DataFrame,
     splits: DataFrame,

@@ -365,6 +365,36 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
             df = _run_select(spark, src_body, catalog)
         else:
             df = _read_entry(spark, catalog.get(name))
+        if opts.get("shards"):
+            # COPY ... TO '<dir>' OPTIONS (shards=N, shard_by='id'
+            # [, salt='epoch0', overwrite=true]) — training-shard
+            # export (sampling.export_training_shards): deterministic
+            # hash-shuffled shard=N/ parquet dirs in pseudorandom read
+            # order + a read-back-verified _shards.json manifest
+            shard_by = opts.get("shard_by")
+            if not isinstance(shard_by, str) or not shard_by:
+                raise SqlError("COPY TO with shards=N needs "
+                               "shard_by='<id column>'")
+            if shard_by not in df.columns:
+                raise SqlError(f"shard_by column {shard_by!r} not in "
+                               f"the output ({df.columns})")
+            if str(opts.get("format", "parquet")).lower() != "parquet":
+                raise SqlError("sharded COPY TO writes parquet only")
+            if opts.get("partition_by"):
+                raise SqlError("shards and partition_by are exclusive "
+                               "— the shard IS the partition")
+            from ..operators.sampling import export_training_shards
+
+            try:
+                mf = export_training_shards(
+                    df, shard_by, int(opts["shards"]), fpath,
+                    salt=str(opts.get("salt", "shuffle")),
+                    overwrite=bool(opts.get("overwrite")))
+            except ValueError as ex:
+                raise SqlError(str(ex)) from ex
+            return {"status": "copied", "to": fpath,
+                    "format": "parquet", "n_shards": mf["n_shards"],
+                    "total_rows": mf["total_rows"]}
         w = df.write.mode(
             "overwrite" if opts.get("overwrite") else "errorifexists")
         pb = opts.get("partition_by")

@@ -330,3 +330,80 @@ class TestTemperatureMixture:
         if n_by[big] > 2 * n_by[small]:
             assert (k_by.get(big, 0) / n_by[big]
                     <= k_by.get(small, 0) / n_by[small] + 0.05)
+
+
+# ---------------------------------------------------------------------------
+# export_training_shards
+# ---------------------------------------------------------------------------
+
+
+def test_export_shards_roundtrip_and_manifest(spark, documents, tmp_path):
+    import json
+    import os
+
+    out = str(tmp_path / "shards")
+    docs = documents.select("doc_id", "text")
+    mf = sampling.export_training_shards(docs, "doc_id", 4, out)
+    assert mf["n_shards"] == 4 and mf["total_rows"] == docs.count()
+    assert sorted(mf["shards"]) == [0, 1, 2, 3]
+    # the on-disk manifest is the returned one
+    with open(os.path.join(out, "_shards.json")) as f:
+        assert json.load(f)["shards"] == {
+            str(k): v for k, v in mf["shards"].items()}
+    # every row landed exactly once, in the training_shuffle layout
+    back = spark.read.parquet(out)
+    want = sampling.training_shuffle(docs, "doc_id", 4)
+    assert sorted(tuple(r) for r in
+                  back.select("doc_id", "shard", "pos").collect()) == \
+        sorted(tuple(r) for r in
+               want.select("doc_id", "shard", "pos").collect())
+    # shard files are pos-sorted (sequential-read order inside a file)
+    sh0 = os.path.join(out, "shard=0")
+    parts = sorted(f for f in os.listdir(sh0) if f.endswith(".parquet"))
+    import pandas as pd
+
+    got = pd.concat([pd.read_parquet(os.path.join(sh0, p))
+                     for p in parts])
+    assert list(got["pos"]) == sorted(got["pos"])
+
+
+def test_export_shards_deterministic_and_guarded(spark, documents,
+                                                 tmp_path):
+    docs = documents.select("doc_id", "text").limit(200)
+    a = sampling.export_training_shards(
+        docs, "doc_id", 3, str(tmp_path / "a"))
+    b = sampling.export_training_shards(
+        docs, "doc_id", 3, str(tmp_path / "b"))
+    assert a["shards"] == b["shards"]  # same salt = same placement
+    c = sampling.export_training_shards(
+        docs, "doc_id", 3, str(tmp_path / "c"), salt="epoch1")
+    assert c["shards"] != a["shards"]  # salt bump reshuffles
+    with pytest.raises(ValueError):
+        sampling.export_training_shards(
+            docs, "doc_id", 3, str(tmp_path / "a"))
+    # overwrite=True replaces
+    d = sampling.export_training_shards(
+        docs, "doc_id", 3, str(tmp_path / "a"), overwrite=True)
+    assert d["shards"] == a["shards"]
+
+
+def test_export_shards_sql_copy(spark, documents, tmp_path):
+    from rclip_server_spark import sql as S
+
+    cat = S.Catalog(str(tmp_path / "cat"))
+    documents.select("doc_id", "text").limit(300) \
+        .createOrReplaceTempView("docs_seed_sh")
+    S.execute(spark, "CREATE TABLE dsh OPTIONS (key='doc_id') AS "
+                     "SELECT * FROM docs_seed_sh", cat)
+    out = str(tmp_path / "sqlshards")
+    r = S.execute(spark, f"COPY dsh TO '{out}' OPTIONS (shards=2, "
+                         f"shard_by='doc_id')", cat)
+    assert r["n_shards"] == 2 and r["total_rows"] == 300
+    assert spark.read.parquet(out).count() == 300
+    with pytest.raises(S.SqlError):  # missing shard_by
+        S.execute(spark, f"COPY dsh TO '{tmp_path / 'x'}' OPTIONS "
+                         f"(shards=2)", cat)
+    with pytest.raises(S.SqlError):  # sharded csv unsupported
+        S.execute(spark, f"COPY dsh TO '{tmp_path / 'y'}' OPTIONS "
+                         f"(shards=2, shard_by='doc_id', "
+                         f"format='csv')", cat)
