@@ -2374,3 +2374,75 @@ _register(
     FROM sp GROUP BY shard
     """,
 )
+
+
+def _sql_analyze_builder(spark: SparkSession, sf: str,
+                         path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "events").select(
+        "event_id", "event_type", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    ).createOrReplaceTempView("events_seed_an")
+    SQ.execute(spark, "CREATE TABLE evan OPTIONS (key='event_id') AS "
+                      "SELECT * FROM events_seed_an", cat)
+    # pending delete vector: ANALYZE must aggregate the delete-
+    # filtered snapshot, not the raw segments
+    SQ.execute(spark, "DELETE FROM evan WHERE event_id % 6 = 0", cat)
+    SQ.execute(spark, "ANALYZE TABLE evan EXACT", cat)
+
+
+def _sql_analyze_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """ANALYZE TABLE through the SQL frontend (versioned.analyze):
+    one distributed aggregation pass over the head snapshot (pending
+    delete vectors applied) computing per-column nulls / NDV / min /
+    max, persisted as a version-keyed _stats sidecar and served by
+    DESCRIBE STATS. EXACT mode here so the oracle can recompute the
+    identical numbers (the default HLL approx-NDV is the one-pass
+    100 TB path, pinned separately by tests). min/max stringified for
+    a stable cross-engine schema (bigint/string columns only)."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "sqlan", _sql_analyze_builder)
+    d = SQ.execute(spark, "DESCRIBE STATS evan", SQ.Catalog(path))
+    rows = [(c, s["nulls"], s["ndv"], str(s["min"]), str(s["max"]))
+            for c, s in sorted(d["columns"].items())]
+    return spark.createDataFrame(
+        rows, "col string, nulls bigint, ndv bigint, "
+              "min_s string, max_s string")
+
+
+_register(
+    "sql_analyze_stats",
+    _sql_analyze_stats,
+    """
+    WITH t AS (
+      SELECT event_id, event_type, user_id,
+             CAST(round(value * 100) AS BIGINT) AS value_cents
+      FROM events WHERE event_id % 6 <> 0),
+    u AS (
+      SELECT 'event_id' AS col, COUNT(*) - COUNT(event_id) AS nulls,
+             COUNT(DISTINCT event_id) AS ndv,
+             CAST(MIN(event_id) AS VARCHAR) AS min_s,
+             CAST(MAX(event_id) AS VARCHAR) AS max_s FROM t
+      UNION ALL
+      SELECT 'event_type', COUNT(*) - COUNT(event_type),
+             COUNT(DISTINCT event_type),
+             CAST(MIN(event_type) AS VARCHAR),
+             CAST(MAX(event_type) AS VARCHAR) FROM t
+      UNION ALL
+      SELECT 'user_id', COUNT(*) - COUNT(user_id),
+             COUNT(DISTINCT user_id),
+             CAST(MIN(user_id) AS VARCHAR),
+             CAST(MAX(user_id) AS VARCHAR) FROM t
+      UNION ALL
+      SELECT 'value_cents', COUNT(*) - COUNT(value_cents),
+             COUNT(DISTINCT value_cents),
+             CAST(MIN(value_cents) AS VARCHAR),
+             CAST(MAX(value_cents) AS VARCHAR) FROM t)
+    SELECT col, CAST(nulls AS BIGINT) AS nulls,
+           CAST(ndv AS BIGINT) AS ndv, min_s, max_s
+    FROM u
+    """,
+)

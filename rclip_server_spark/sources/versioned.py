@@ -1742,6 +1742,24 @@ def vacuum(path: str, keep_last: int = 1,
                     if seg not in keep_segs \
                             and not os.path.isdir(os.path.join(path, seg)):
                         os.remove(p)
+    # ANALYZE sidecars (_stats/vN.json): keep the most recent one at
+    # or below head (describe_stats serves it, stale-marked) and any
+    # within the kept version window; reap the rest + aged tmp orphans
+    sdir = os.path.join(path, _STATS_DIR)
+    if os.path.isdir(sdir):
+        svs = []
+        for f in os.listdir(sdir):
+            mm = re.match(r"v(\d+)\.json$", f)
+            if mm:
+                svs.append(int(mm.group(1)))
+            elif ".json.tmp-" in f:
+                p = os.path.join(sdir, f)
+                if now - os.path.getmtime(p) >= tmp_cutoff:
+                    _suppress_remove(p)
+        keep_stat = max([sv for sv in svs if sv <= head], default=None)
+        for sv in svs:
+            if sv != keep_stat and sv < cutoff:
+                _suppress_remove(os.path.join(sdir, f"v{sv}.json"))
     # refresh the head-resolution checkpoint: reaping manifests may have
     # invalidated an old hint (its version vacuumed away), which would
     # silently degrade every current_version() to the full listing
@@ -2694,6 +2712,108 @@ def describe(path: str) -> dict:
         out["n_buckets"] = m.get("n_buckets")
         out["bucket_key"] = m.get("bucket_key")
     return out
+
+
+_STATS_DIR = "_stats"
+
+# analyzable column types: orderable atomics whose min/max are
+# JSON-encodable via _json_stat and whose distinct counts mean
+# something at table altitude (complex types are skipped, not erred —
+# ANALYZE over a mixed-schema table must not fail on the one array
+# column)
+_ANALYZABLE = ("boolean", "tinyint", "smallint", "int", "integer",
+               "bigint", "long", "float", "double", "decimal", "date",
+               "timestamp", "string", "varchar")
+
+
+def analyze(spark: SparkSession, path: str,
+            columns: list[str] | None = None,
+            exact_ndv: bool = False) -> dict:
+    """ANALYZE TABLE: ONE distributed aggregation pass over the head
+    snapshot computing table row count and, per analyzable column,
+    null count, distinct count (HyperLogLog approx by default — the
+    only choice that stays one pass at 100 TB; ``exact_ndv=True``
+    switches to exact COUNT DISTINCT, which Spark plans as one expand
+    + aggregate, for small tables or audits), and min/max. Results
+    are written atomically to a ``_stats/v{N}.json`` sidecar keyed by
+    the ANALYZED version — stats are metadata about a version, not a
+    commit, so the history stays a pure data-change log and time
+    travel is unaffected. ``describe_stats`` reports them with a
+    staleness marker (analyzed_version vs head). Unlike the zone-map
+    seg_stats (per-segment, commit-maintained, used for pruning),
+    these are table-level planner/operator statistics."""
+    from pyspark.sql import functions as F
+
+    v = current_version(path)
+    m = _manifest(path, v)
+    df = read_bucketed(spark, path, v) if "buckets" in m \
+        else read(spark, path, v)
+    types = dict(df.dtypes)
+    if columns is not None:
+        missing = [c for c in columns if c not in types]
+        if missing:
+            raise ValueError(f"no column(s) {missing} on {path} "
+                             f"(columns: {sorted(types)})")
+        cols = list(columns)
+    else:
+        cols = list(df.columns)
+    cols = [c for c in cols
+            if types[c].split("(")[0] in _ANALYZABLE]
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__n{i}"),
+            (F.countDistinct(c) if exact_ndv
+             else F.approx_count_distinct(c)).alias(f"__d{i}"),
+            F.min(c).alias(f"__lo{i}"),
+            F.max(c).alias(f"__hi{i}"),
+        ]
+    row = df.agg(*aggs).collect()[0]  # one row — never data-sized
+    stats = {
+        "analyzed_version": v,
+        "row_count": int(row["__rows"]),
+        "exact_ndv": bool(exact_ndv),
+        "columns": {
+            c: {"type": types[c],
+                "nulls": int(row[f"__n{i}"] or 0),
+                "ndv": int(row[f"__d{i}"]),
+                "min": _json_stat(row[f"__lo{i}"]),
+                "max": _json_stat(row[f"__hi{i}"])}
+            for i, c in enumerate(cols)
+        },
+    }
+    sdir = os.path.join(path, _STATS_DIR)
+    os.makedirs(sdir, exist_ok=True)
+    tmp = os.path.join(sdir, f".v{v}.json.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(sdir, f"v{v}.json"))
+    return stats
+
+
+def describe_stats(path: str) -> dict:
+    """The most recent ANALYZE result at or below the head version,
+    with ``stale`` marking whether data changed since (manifest-only;
+    zero Spark jobs). Raises if the table was never analyzed."""
+    head = current_version(path)
+    sdir = os.path.join(path, _STATS_DIR)
+    best = None
+    if os.path.isdir(sdir):
+        for f in os.listdir(sdir):
+            mm = re.match(r"v(\d+)\.json$", f)
+            if mm and int(mm.group(1)) <= head:
+                best = max(best or 0, int(mm.group(1)))
+    if best is None:
+        raise FileNotFoundError(
+            f"{path} has no ANALYZE result at or below v{head} — run "
+            f"analyze() first")
+    with open(os.path.join(sdir, f"v{best}.json")) as f:
+        stats = json.load(f)
+    stats["head_version"] = head
+    stats["stale"] = best < head
+    return stats
 
 
 def register_sql_view(spark: SparkSession, name: str, path: str,

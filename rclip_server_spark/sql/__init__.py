@@ -70,6 +70,10 @@ the Spark engine the equivalent entry point for its storage layer:
   hash-bucketed co-located layout (convert_to_bucketed).
 * ``TRUNCATE TABLE t`` — reversible empty-the-table commit (zero-row
   overwrite; RESTORE undoes it; a bucketed table keeps its layout)
+* ``ANALYZE TABLE t [COLUMNS (a, b)] [EXACT]`` / ``DESCRIBE STATS t``
+  — one distributed agg pass (rows, per-column nulls/ndv/min/max)
+  stored as a version-keyed sidecar; DESCRIBE STATS reports it with a
+  staleness marker
 * ``CREATE TABLE c CLONE t [VERSION AS OF n]`` — zero-copy SHALLOW
   clone: the new manifest references the source's segments by
   absolute path (O(manifest) at any size); writes diverge locally;
@@ -669,8 +673,51 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         return [{"name": n, **{k: e[k] for k in ("kind", "path")}}
                 for n, e in sorted(catalog.snapshot().items())]
 
+    if head == "analyze":
+        # ANALYZE TABLE t [COLUMNS (a, b, ...)] [EXACT] — one
+        # distributed agg pass (versioned.analyze): row count + per
+        # analyzable column nulls / ndv (HLL approx by default, the
+        # one-pass choice at 100 TB; EXACT switches to COUNT DISTINCT)
+        # / min / max, stored as a _stats/v{N}.json sidecar keyed by
+        # the analyzed version. DESCRIBE STATS t serves it.
+        cur.take()
+        cur.expect_kw("table")
+        name = cur.expect_ident()
+        columns = None
+        if cur.at_kw("columns"):
+            cur.take()
+            cur.expect_op("(")
+            columns = _ident_list(cur)
+            cur.expect_op(")")
+        exact = False
+        if cur.at_kw("exact"):
+            cur.take()
+            exact = True
+        if not cur.done():
+            raise SqlError("ANALYZE TABLE t [COLUMNS (a, b, ...)] "
+                           "[EXACT]")
+        e = _writable_table(catalog, name, "ANALYZE TABLE")
+        try:
+            stats = V.analyze(spark, e["path"], columns=columns,
+                              exact_ndv=exact)
+        except ValueError as ex:
+            raise SqlError(str(ex)) from ex
+        return {"status": "analyzed", "name": name, **stats}
+
     if head == "describe":
         cur.take()
+        if cur.at_kw("stats"):
+            cur.take()
+            name = cur.expect_ident()
+            if not cur.done():
+                raise SqlError("trailing tokens after DESCRIBE STATS")
+            e = _writable_table(catalog, name, "DESCRIBE STATS")
+            try:
+                out = V.describe_stats(e["path"])
+            except FileNotFoundError as ex:
+                raise SqlError(str(ex)) from ex
+            out["name"] = name
+            return out
         if cur.at_kw("history"):
             cur.take()
             return V.history(catalog.get(cur.expect_ident())["path"])
@@ -1018,4 +1065,4 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         "MERGE INTO / ALTER TABLE ADD|DROP COLUMN / START|STOP REFRESH "
         "STREAM ON VIEW / DESCRIBE / SHOW TABLES "
         "/ SHOW CREATE TABLE / VACUUM / OPTIMIZE / RESTORE TABLE / "
-        "TRUNCATE TABLE / COPY FROM|TO / DROP")
+        "TRUNCATE TABLE / COPY FROM|TO / ANALYZE TABLE / DROP")
