@@ -78,26 +78,35 @@ _PRIORITY = [
     # --- machinery r11 touches: MERGE engine + delete vectors
     # (bucketed conditional DML), view refresh (vacuum/stream guard) ---
     "sql_merge_upsert", "vt_delete_vector_read", "vt_agg_view_refresh",
-    # --- family-spread recency re-confirmation (oldest green first) ---
-    "ev_session_windows", "ev_asof_attribution",
-    "samp_stratified", "samp_temperature_mixture",
-    "text_lang_id", "text_bm25_topk", "text_ngram_contamination",
-    "ann_lsh_knn_join", "ann_lsh_topk_multiprobe",
+    # --- family-spread recency re-confirmation (oldest green first;
+    # 5 slots ceded to the late-r11 rows below, which have no driver-
+    # ledger cell yet — the displaced rows are all multi-round green
+    # and stay replayed locally by tools/check_contract.py) ---
+    "ev_asof_attribution",
+    "samp_temperature_mixture",
+    "text_bm25_topk", "text_ngram_contamination",
+    "ann_lsh_knn_join",
     "dedup_minhash_near_dup", "dedup_semantic_semdedup",
     "sql_q17_small_quantity_revenue",
-    "vec_quantize_int8_roundtrip",
     "vt_view_composition",
     # --- NEW r11 rows ---
     "sql_bucketed_conditional_merge", "b16_local_binary_ingest",
     "sql_select_window_over_dv", "sql_select_grouping_sets_over_dv",
     "sql_bucketed_schema_evolution", "vt_bucketed_pruned_read",
     "sql_bucketed_zorder_roundtrip",
+    # --- LATE r11 rows (TRUNCATE / COPY / CLONE / shard export /
+    # ANALYZE — each a new SQL-or-pipeline surface this round) ---
+    "sql_truncate_timetravel", "sql_copy_roundtrip",
+    "sql_clone_divergence", "samp_export_shards_manifest",
+    "sql_analyze_stats",
 ]
 # r12 rotation candidates (driver-green in earlier rounds, displaced
 # by the r11 rows above): sql_mv_roundtrip, sql_topk_qualify,
 # sql_update_roundtrip, sql_restore_roundtrip, sql_q8_market_share,
-# rel_grouping_sets, rel_window_rank — plus the usual oldest-green
-# recency sweep.
+# rel_grouping_sets, rel_window_rank, ev_session_windows,
+# samp_stratified, text_lang_id, ann_lsh_topk_multiprobe,
+# vec_quantize_int8_roundtrip — plus the usual oldest-green recency
+# sweep.
 
 
 def _ordered(reg: dict) -> dict:
