@@ -55,9 +55,15 @@ def _index_batch(
         F.col("thumb_url").alias("wikimedia_thumb_url"),
         F.lit(None).cast("string").alias("wikimedia_descr_url"),
     )
-    # persist across the count + write: without it the whole
-    # scan→anti-join→embed pipeline executes twice, and the embed
-    # stage dominates once a real encoder replaces the stub
+    return _count_and_upsert(spark, rows, table_path)
+
+
+def _count_and_upsert(spark: SparkSession, rows: DataFrame,
+                      table_path: str) -> int:
+    """Count + conditional upsert of an indexed-rows frame, persisted
+    across the two actions: without the persist the whole
+    scan→anti-join→embed pipeline executes twice, and the embed stage
+    dominates once a real encoder replaces the stub."""
     rows = rows.persist()
     try:
         n = rows.count()
@@ -129,18 +135,7 @@ def index_local_images(
         F.lit(None).cast("string").alias("wikimedia_descr_url"),
         F.lit(None).cast("string").alias("wikimedia_thumb_url"),
     )
-    # persist across the count + write: without it the whole
-    # scan→anti-join→embed pipeline executes twice, and the embed
-    # stage dominates once a real encoder replaces the stub
-    rows = rows.persist()
-    try:
-        n = rows.count()
-        if n:
-            writer.upsert_parquet(spark, table_path, rows,
-                                  key="filepath")
-    finally:
-        rows.unpersist()
-    return n
+    return _count_and_upsert(spark, rows, table_path)
 
 
 def index_images_stream(

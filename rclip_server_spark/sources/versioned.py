@@ -2195,7 +2195,12 @@ def compact_bucketed(
             _commit(path, v + 1, None, "compact-bucketed",
                     extra={"bucket_key": key, "n_buckets": n_buckets,
                            "buckets": bmap,
-                           "col_types": m.get("col_types", {})})
+                           "col_types": m.get("col_types", {})}
+                    # stat_cols survive the metadata-only commit: an
+                    # all-empty table keeps its zone-map declaration,
+                    # or every later commit's _carry_stats_bucketed
+                    # silently stops maintaining stats
+                    | _carry_stats_bucketed(spark, path, m, [], bmap))
             return v + 1
         return v
     todo_segs = [s for b in todo for s in bmap[str(b)]]
@@ -2418,8 +2423,18 @@ def _changes_fast_path(
         return (base.limit(0).withColumn("_change_type", F.lit("insert")),
                 from_v, to_v, ops)
     dirs = [os.path.join(path, s) for s in new_segs]
+    # reconcile DECLARED-but-unwritten columns as typed NULLs, same as
+    # the snapshot reads: the interval's new segments may legally omit
+    # a committed column (bucketed add_column is metadata-only — no
+    # segment ever carries it until a DML writes it; a flat append may
+    # omit an evolved column too), and a consumer selecting it (an agg
+    # view summing the evolved column) must not fail resolution on an
+    # append-only interval when the same read at snapshot altitude
+    # would have surfaced the column as NULL
     return (
-        spark.read.option("mergeSchema", "true").parquet(*dirs)
+        _reconcile_declared(
+            spark.read.option("mergeSchema", "true").parquet(*dirs),
+            _manifest(path, to_v))
         .withColumn("_change_type", F.lit("insert")),
         from_v, to_v, ops,
     )
@@ -2750,11 +2765,14 @@ def analyze(spark: SparkSession, path: str,
         else read(spark, path, v)
     types = dict(df.dtypes)
     if columns is not None:
-        missing = [c for c in columns if c not in types]
+        # resolve case-insensitively, like every other schema verb
+        # (add_column / cluster_zorder / UPDATE)
+        by_lower = {c.lower(): c for c in types}
+        missing = [c for c in columns if c.lower() not in by_lower]
         if missing:
             raise ValueError(f"no column(s) {missing} on {path} "
                              f"(columns: {sorted(types)})")
-        cols = list(columns)
+        cols = [by_lower[c.lower()] for c in columns]
     else:
         cols = list(df.columns)
     cols = [c for c in cols

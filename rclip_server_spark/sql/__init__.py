@@ -337,7 +337,20 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         if fmt not in ("parquet", "csv", "ndjson"):
             raise SqlError(f"COPY format must be parquet, csv, or "
                            f"ndjson, got {fmt!r}")
-        header = opts.get("header", True)
+
+        def _flag(k: str, default: bool = False) -> bool:
+            # accept both the bare literal (header=false) and the
+            # quoted form (header='false'): a truthiness test on the
+            # string 'false' would silently enable the flag
+            v = opts.get(k, default)
+            if isinstance(v, str):
+                if v.strip().lower() not in ("true", "false"):
+                    raise SqlError(f"COPY option {k} must be "
+                                   f"true or false, got {v!r}")
+                return v.strip().lower() == "true"
+            return bool(v)
+
+        header = _flag("header", True)
         if direction == "from":
             if src_body is not None:
                 raise SqlError("COPY FROM targets a table, not a "
@@ -393,14 +406,14 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
                 mf = export_training_shards(
                     df, shard_by, int(opts["shards"]), fpath,
                     salt=str(opts.get("salt", "shuffle")),
-                    overwrite=bool(opts.get("overwrite")))
+                    overwrite=_flag("overwrite"))
             except ValueError as ex:
                 raise SqlError(str(ex)) from ex
             return {"status": "copied", "to": fpath,
                     "format": "parquet", "n_shards": mf["n_shards"],
                     "total_rows": mf["total_rows"]}
         w = df.write.mode(
-            "overwrite" if opts.get("overwrite") else "errorifexists")
+            "overwrite" if _flag("overwrite") else "errorifexists")
         pb = opts.get("partition_by")
         part_cols = []
         if pb:

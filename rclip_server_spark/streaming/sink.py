@@ -213,7 +213,12 @@ def _start_view_refresh_stream(
     # unguarded window between its interval read and the tail.
     try:
         if view_path is not None:
-            for p in paths:
+            # dedupe: a self-join view names the same base twice —
+            # registering per OCCURRENCE would overwrite the first
+            # floor id in the dict, leaving an orphan floor no
+            # advance/release/reap ever touches while this process
+            # lives (vacuum pinned at the start cursor forever)
+            for p in dict.fromkeys(paths):
                 floors[p] = V.register_version_floor(
                     p, _floor_of(p), owner=f"refresh:{view_path}")
         if pre_start is not None:
