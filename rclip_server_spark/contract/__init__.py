@@ -84,7 +84,7 @@ _PRIORITY = [
     # and stay replayed locally by tools/check_contract.py) ---
     "ev_asof_attribution",
     "samp_temperature_mixture",
-    "text_bm25_topk", "text_ngram_contamination",
+    "text_ngram_contamination",
     "ann_lsh_knn_join",
     "dedup_minhash_near_dup", "dedup_semantic_semdedup",
     "sql_q17_small_quantity_revenue",
@@ -98,7 +98,7 @@ _PRIORITY = [
     # ANALYZE — each a new SQL-or-pipeline surface this round) ---
     "sql_truncate_timetravel", "sql_copy_roundtrip",
     "sql_clone_divergence", "samp_export_shards_manifest",
-    "sql_analyze_stats",
+    "sql_analyze_stats", "sql_copy_stream_ingest",
 ]
 # r12 rotation candidates (driver-green in earlier rounds, displaced
 # by the r11 rows above): sql_mv_roundtrip, sql_topk_qualify,

@@ -2446,3 +2446,74 @@ _register(
     FROM u
     """,
 )
+
+
+def _sql_copy_stream_builder(spark: SparkSession, sf: str,
+                             path: str) -> None:
+    import os as _os
+    import shutil as _shutil
+
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(_os.path.join(path, "cat"))
+    src = _os.path.join(path, "landing")
+    _os.makedirs(src)
+    seed = _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"))
+
+    def _drop(df, n):
+        stage = _os.path.join(path, f".stage{n}")
+        df.coalesce(1).write.json(stage)
+        for f in _os.listdir(stage):
+            if f.endswith(".json"):
+                _os.rename(_os.path.join(stage, f),
+                           _os.path.join(src, f"w{n}-{f}"))
+        _shutil.rmtree(stage)
+
+    SQ.execute(spark, "CREATE TABLE evst (event_id BIGINT, event_type "
+                      "STRING, value_cents BIGINT) OPTIONS "
+                      "(key='event_id', buckets=4)", cat)
+    _drop(seed.where(F.col("event_id") % 3 == 0), 0)
+    SQ.execute(spark, f"START COPY STREAM FROM '{src}' INTO evst "
+                      f"OPTIONS (format='ndjson')", cat)
+    q = SQ._STREAMS[SQ._copy_stream_key(cat, "evst")]
+    try:
+        q.processAllAvailable()
+        # second wave: only the newly-landed files are read
+        _drop(seed.where(F.col("event_id") % 3 == 1), 1)
+        q.processAllAvailable()
+    finally:
+        SQ.execute(spark, "STOP COPY STREAM ON evst", cat)
+
+
+def _sql_copy_stream_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous file ingest through the SQL frontend (START COPY
+    STREAM → streaming/sink.start_file_ingest_stream): two waves of
+    ndjson files land in a directory; each micro-batch reads only the
+    NEW files (incremental file index) with the TABLE's declared
+    schema and commits through the exactly-once versioned sink into a
+    BUCKETED table (per-bucket hash routing). Deterministic end
+    state: exactly the union of the files fed in. Oracle: the same
+    set algebra over `events`. Reference parity: the indexer's
+    incremental ingest loop (IW:136-143) as a continuous stream."""
+    import os as _os
+
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "sqlst", _sql_copy_stream_builder)
+    return SQ.execute(
+        spark,
+        "SELECT event_id, event_type, value_cents FROM evst",
+        SQ.Catalog(_os.path.join(path, "cat")))
+
+
+_register(
+    "sql_copy_stream_ingest",
+    _sql_copy_stream_ingest,
+    """
+    SELECT event_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events WHERE event_id % 3 < 2
+    """,
+)

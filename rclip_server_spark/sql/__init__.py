@@ -83,6 +83,12 @@ the Spark engine the equivalent entry point for its storage layer:
   (format=..., partition_by='c1,c2', overwrite=true)]`` — distributed
   file ingest (schemaful scan + append commit through the layout
   dispatch) and export (optional Hive-style partition layout)
+* ``START COPY STREAM FROM '<dir>' INTO t [OPTIONS (format=...,
+  header=..., max_files=N)]`` / ``STOP COPY STREAM ON t`` —
+  continuous file ingest (the Auto Loader idea): micro-batches read
+  only newly-landed files and commit through the exactly-once
+  versioned sink; the checkpoint is a persistent per-table ingest
+  identity, so restarts resume instead of double-ingesting
 * ``DROP TABLE t`` / ``DROP MATERIALIZED VIEW v``
 
 Scale notes: every statement is driver-side manifest work plus the
@@ -142,8 +148,12 @@ from ._mvdef import (  # noqa: F401
 from ._reads import _read_entry, _run_select  # noqa: F401
 from ._streams import (  # noqa: F401
     _STREAMS,
+    _copy_ckpt_root,
+    _copy_stream_key,
     _reap_stream_ckpts,
+    _start_copy_stream,
     _start_refresh_stream,
+    _stop_copy_stream,
     _stop_refresh_stream,
     _stream_key,
     _stream_liveness,
@@ -909,6 +919,11 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
                 f"cannot drop {name}: a refresh stream is "
                 f"maintaining it — STOP REFRESH STREAM ON VIEW "
                 f"{name} first")
+        live_copy = _STREAMS.get(_copy_stream_key(catalog, name))
+        if live_copy is not None and live_copy.isActive:
+            raise SqlError(
+                f"cannot drop {name}: a copy stream is ingesting "
+                f"into it — STOP COPY STREAM ON {name} first")
         catalog.unregister(name)
         spark.catalog.dropTempView(name)  # no stale reads post-drop
         doomed = _entry_owned_paths(e)
@@ -916,12 +931,44 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
             if os.path.isdir(d):
                 shutil.rmtree(d)
         # a later same-named view must never resume a stale stream
-        # checkpoint positioned for THIS composition's base tables
+        # checkpoint positioned for THIS composition's base tables;
+        # a dropped table's ingest identity (copy-stream checkpoint +
+        # batch-id sequence) dies with it too
         _reap_stream_ckpts(catalog, name)
+        shutil.rmtree(_copy_ckpt_root(catalog, name),
+                      ignore_errors=True)
         return {"status": "dropped", "name": name}
 
     if head in ("start", "stop"):
         verb = cur.take().lower
+        if cur.at_kw("copy"):
+            # START COPY STREAM FROM '<dir>' INTO t [OPTIONS
+            # (format=..., header=..., max_files=N)] /
+            # STOP COPY STREAM ON t — continuous file ingest into a
+            # versioned table through the exactly-once sink, with a
+            # persistent resume identity per (table, source, format)
+            cur.take()
+            cur.expect_kw("stream")
+            if verb == "stop":
+                cur.expect_kw("on")
+                name = cur.expect_ident()
+                if not cur.done():
+                    raise SqlError("trailing tokens after STOP COPY "
+                                   "STREAM")
+                return _stop_copy_stream(catalog, name)
+            cur.expect_kw("from")
+            pt = cur.take()
+            if pt.kind != "str":
+                raise SqlError("START COPY STREAM FROM '<dir>' "
+                               "INTO t")
+            src = pt.text[1:-1].replace("''", "'")
+            cur.expect_kw("into")
+            name = cur.expect_ident()
+            opts = _parse_options(cur)
+            if not cur.done():
+                raise SqlError("trailing tokens after START COPY "
+                               "STREAM")
+            return _start_copy_stream(spark, catalog, name, src, opts)
         cur.expect_kw("refresh")
         cur.expect_kw("stream")
         cur.expect_kw("on")

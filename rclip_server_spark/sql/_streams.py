@@ -116,3 +116,106 @@ def _stream_liveness(catalog: Catalog, name: str) -> dict:
     if q is None:
         return {"live": False, "stream_id": None}
     return {"live": bool(q.isActive), "stream_id": str(q.id)}
+
+
+# ---------------------------------------------------------------------------
+# COPY STREAM: continuous file ingest into a versioned table
+# ---------------------------------------------------------------------------
+
+
+def _copy_stream_key(catalog: Catalog, name: str) -> tuple:
+    # distinct key space: a table may be the target of an ingest
+    # stream while a same-named view has a refresh stream
+    return (catalog.root, "copy:" + name.lower())
+
+
+def _copy_ckpt_root(catalog: Catalog, name: str) -> str:
+    return os.path.join(catalog.root, ".streams",
+                        "copy-" + name.lower())
+
+
+def _start_copy_stream(spark: SparkSession, catalog: Catalog,
+                       name: str, src: str, opts: dict) -> dict:
+    """``START COPY STREAM FROM '<dir>' INTO t [OPTIONS (...)]`` —
+    continuous file ingest (streaming/sink.start_file_ingest_stream):
+    each micro-batch reads only newly-landed files and commits through
+    the exactly-once versioned sink.
+
+    The checkpoint is PERSISTENT and keyed by (table, source, format):
+    restarting the stream RESUMES its file index and batch-id sequence,
+    so the table never double-ingests across process restarts — which
+    also means ONE ingest identity per table: starting a copy stream
+    from a DIFFERENT source directory is refused while the first
+    identity's checkpoint exists (a fresh checkpoint would restart
+    batch ids at 0 and the exactly-once log would silently skip them).
+    DROP TABLE reaps the identity with the table."""
+    import hashlib
+    import json
+
+    from ..sources import versioned as V
+    from ..streaming import sink
+    from ._dml import _writable_table
+
+    e = _writable_table(catalog, name, "COPY STREAM")
+    fmt = str(opts.get("format", "parquet")).lower()
+    key = _copy_stream_key(catalog, name)
+    old = _STREAMS.get(key)
+    if old is not None and old.isActive:
+        raise SqlError(f"a copy stream into {name} is already running "
+                       f"in this process — STOP COPY STREAM ON {name} "
+                       f"first")
+    croot = _copy_ckpt_root(catalog, name)
+    ident = hashlib.md5(
+        f"{os.path.abspath(src)}|{fmt}".encode()).hexdigest()[:12]
+    if os.path.isdir(croot):
+        others = [d for d in os.listdir(croot)
+                  if d != ident and not d.endswith(".json")]
+        if others:
+            marker = os.path.join(croot, others[0] + ".json")
+            prev = "<unknown>"
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    prev = json.load(f).get("src", prev)
+            raise SqlError(
+                f"{name} already has an ingest identity (source "
+                f"{prev!r}): one copy stream per table — resume it by "
+                f"starting from the same source, or recreate the "
+                f"table for a new one")
+    ckpt = os.path.join(croot, ident)
+    os.makedirs(croot, exist_ok=True)
+    with open(os.path.join(croot, ident + ".json"), "w") as f:
+        json.dump({"src": os.path.abspath(src), "format": fmt}, f)
+    try:
+        mf = int(opts["max_files"]) if "max_files" in opts else None
+        header = opts.get("header", True)
+        if isinstance(header, str):
+            header = header.strip().lower() == "true"
+        q = sink.start_file_ingest_stream(
+            spark, src, e["path"], fmt=fmt, header=bool(header),
+            checkpoint_dir=ckpt, max_files_per_trigger=mf)
+    except ValueError as ex:
+        raise SqlError(str(ex)) from ex
+    _STREAMS[key] = q
+    # resume marker for DESCRIBE: the head before this process's tail
+    setattr(q, "_rclip_ckpt", None)  # persistent — never auto-reaped
+    return {"status": "copy_stream_started", "name": name,
+            "from": src, "format": fmt, "stream_id": str(q.id),
+            "resumed": V.committed_batch_ids(e["path"]) != set()}
+
+
+def _stop_copy_stream(catalog: Catalog, name: str) -> dict:
+    catalog.get(name)
+    key = _copy_stream_key(catalog, name)
+    q = _STREAMS.get(key)
+    if q is None:
+        raise SqlError(f"no copy stream into {name} was started in "
+                       f"this process")
+    q.stop()
+    try:
+        q.awaitTermination(30)
+    except Exception:
+        pass
+    _STREAMS.pop(key, None)
+    # the checkpoint stays: it IS the resume identity (batch ids +
+    # file index); DROP TABLE reaps it with the table
+    return {"status": "copy_stream_stopped", "name": name}

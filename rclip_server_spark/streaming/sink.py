@@ -131,6 +131,58 @@ def start_stream_append_versioned(
     return out.start()
 
 
+def start_file_ingest_stream(
+    spark: SparkSession, src_dir: str, table_path: str,
+    fmt: str = "parquet", header: bool = True,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous file ingest (the Auto Loader idea on the versioned
+    log): Spark's file streaming source discovers files landing in
+    ``src_dir`` — each micro-batch reads only the NEW files, listed
+    incrementally from the checkpoint's file index, never a full
+    directory rescan of what's already ingested — and every batch
+    lands through the exactly-once versioned sink (one segment + the
+    batch id in the manifest, so crash-replayed batches are detected
+    in the log and skipped, and the ingest history time-travels).
+
+    The scan is SCHEMAFUL from the TABLE's declared schema (same
+    contract as COPY FROM: no inference job, a malformed value fails
+    the batch, schema drift is refused by the append guard), and a
+    bucketed target hash-routes per bucket automatically
+    (append_bucketed_exactly_once). ``max_files_per_trigger`` bounds a
+    batch for steady latency under a backlog.
+
+    Exactly-once identity lives in (checkpoint, table): RESUME a
+    stream by reusing its checkpoint_dir — batch ids continue and the
+    table never double-ingests; a FRESH checkpoint restarts batch ids
+    at 0, so never point a fresh checkpoint at a table that already
+    holds this stream's commits (the SQL frontend enforces one
+    persistent ingest identity per table)."""
+    from ..sources import versioned as V
+
+    fmt = fmt.lower()
+    if fmt not in ("parquet", "csv", "ndjson"):
+        raise ValueError(f"format must be parquet, csv, or ndjson, "
+                         f"got {fmt!r}")
+    m = V._manifest(table_path, V.current_version(table_path))
+    bucketed = "buckets" in m
+    snap = (V.read_bucketed(spark, table_path) if bucketed
+            else V.read(spark, table_path)).limit(0)
+    rd = spark.readStream.schema(snap.schema)
+    if max_files_per_trigger is not None:
+        rd = rd.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    if fmt == "csv":
+        stream = rd.option("header",
+                           "true" if header else "false").csv(src_dir)
+    elif fmt == "ndjson":
+        stream = rd.json(src_dir)
+    else:
+        stream = rd.parquet(src_dir)
+    return start_stream_append_versioned(
+        stream, spark, table_path, checkpoint_dir, bucketed=bucketed)
+
+
 def _start_view_refresh_stream(
     spark: SparkSession, source_path: str, refresh_fn,
     checkpoint_dir: str | None, view_path: str | None = None,
