@@ -83,7 +83,6 @@ _PRIORITY = [
     # ledger cell yet — the displaced rows are all multi-round green
     # and stay replayed locally by tools/check_contract.py) ---
     "ev_asof_attribution",
-    "samp_temperature_mixture",
     "text_ngram_contamination",
     "ann_lsh_knn_join",
     "dedup_minhash_near_dup", "dedup_semantic_semdedup",
@@ -99,6 +98,7 @@ _PRIORITY = [
     "sql_truncate_timetravel", "sql_copy_roundtrip",
     "sql_clone_divergence", "samp_export_shards_manifest",
     "sql_analyze_stats", "sql_copy_stream_ingest",
+    "sql_check_constraint_gate",
 ]
 # r12 rotation candidates (driver-green in earlier rounds, displaced
 # by the r11 rows above): sql_mv_roundtrip, sql_topk_qualify,

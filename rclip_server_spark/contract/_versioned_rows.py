@@ -2517,3 +2517,70 @@ _register(
     FROM events WHERE event_id % 3 < 2
     """,
 )
+
+
+def _sql_constraint_builder(spark: SparkSession, sf: str,
+                            path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    ).createOrReplaceTempView("events_seed_ck")
+    SQ.execute(spark, "CREATE TABLE evck OPTIONS (key='event_id') AS "
+                      "SELECT * FROM events_seed_ck "
+                      "WHERE event_id % 4 < 3", cat)
+    SQ.execute(spark, "ALTER TABLE evck ADD CONSTRAINT pos "
+                      "CHECK (value_cents >= 0)", cat)
+    # a violating INSERT must fail IN the write job and commit NOTHING
+    try:
+        SQ.execute(spark, "INSERT INTO evck SELECT event_id + "
+                          "10000000, event_type, -1 FROM "
+                          "events_seed_ck WHERE event_id % 50 = 0",
+                   cat)
+        raise AssertionError("violating INSERT was not refused")
+    except AssertionError:
+        raise
+    except Exception:
+        pass  # the expected constraint failure
+    # clean rows flow; DROP lifts the gate for the final insert
+    SQ.execute(spark, "INSERT INTO evck SELECT * FROM events_seed_ck "
+                      "WHERE event_id % 4 = 3", cat)
+    SQ.execute(spark, "ALTER TABLE evck DROP CONSTRAINT pos", cat)
+    SQ.execute(spark, "INSERT INTO evck SELECT event_id + 20000000, "
+                      "'neg', CAST(-7 AS BIGINT) FROM events_seed_ck "
+                      "WHERE event_id % 500 = 0", cat)
+
+
+def _sql_check_constraint_gate(spark: SparkSession, sf: str
+                               ) -> DataFrame:
+    """CHECK constraints through the SQL frontend (versioned.
+    add_constraint / _apply_constraints): existing data validated at
+    ADD, then every later batch enforced INLINE in its write job — a
+    violating INSERT fails before any commit (proved by the final
+    state carrying none of its rows), clean batches flow, and DROP
+    CONSTRAINT lifts the gate. Oracle: set algebra over `events` —
+    the violating insert contributes NOTHING."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "sqlck", _sql_constraint_builder)
+    return SQ.execute(
+        spark,
+        "SELECT event_id, event_type, value_cents FROM evck",
+        SQ.Catalog(path))
+
+
+_register(
+    "sql_check_constraint_gate",
+    _sql_check_constraint_gate,
+    """
+    SELECT event_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    UNION ALL
+    SELECT event_id + 20000000 AS event_id, 'neg' AS event_type,
+           CAST(-7 AS BIGINT) AS value_cents
+    FROM events WHERE event_id % 500 = 0
+    """,
+)

@@ -542,6 +542,117 @@ def _check_schema_compat(parent: dict, batch: DataFrame, op: str) -> dict:
     return {"col_types": known}
 
 
+def _constraints(m: dict) -> dict:
+    """The table's CHECK constraints ({name: sql_expr}): stored under
+    the manifest's auto-carried ``app`` namespace so every commit op
+    preserves them without each committer threading a key."""
+    return dict((m.get("app") or {}).get("table_constraints") or {})
+
+
+def _apply_constraints(batch: DataFrame, m: dict, op: str) -> DataFrame:
+    """Inline CHECK enforcement (Delta table-constraint semantics): wrap
+    incoming rows with ``assert_true`` so the WRITE JOB ITSELF fails on
+    the first violating row — zero extra pass over the batch, no
+    separate validation action (Delta pays a metric pass; this is
+    strictly cheaper and fails faster). NULL predicates PASS (SQL
+    CHECK's unknown-is-satisfied rule). The violating row is embedded
+    in the error as JSON, so a failed 100 TB ingest names its poison
+    row instead of a stage id."""
+    cons = _constraints(m)
+    if not cons:
+        return batch
+    from pyspark.sql import functions as F
+
+    # the check is threaded INTO a written column's expression —
+    # when(cond, col).otherwise(raise_error(...)) — because a column
+    # added for the check alone (assert_true + drop) is pruned out of
+    # the plan by Catalyst and the assertion never runs. Wrapping a
+    # column the write actually persists cannot be pruned.
+    cols = list(batch.columns)
+    first = cols[0]
+    ftype = batch.schema[first].dataType.simpleString()
+    row_json = F.to_json(F.struct(*[F.col(c) for c in cols]))
+    wrapped = F.col(first)
+    for name, expr in sorted(cons.items()):
+        cond = F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+        wrapped = F.when(cond, wrapped).otherwise(
+            F.raise_error(F.concat(
+                F.lit(f"CHECK constraint {name} ({expr}) violated "
+                      f"during {op} by row: "),
+                row_json)).cast(ftype))
+    return batch.select(wrapped.alias(first), *cols[1:])
+
+
+def _constraint_commit_extra(spark: SparkSession, path: str,
+                             m: dict, app: dict) -> dict:
+    """Metadata-only commit payload that carries EVERYTHING (layout,
+    vectors, hidden cols, zone maps) and replaces the app namespace —
+    the add/drop-constraint twin of drop_column's carry dance."""
+    extra: dict = {"col_types": m.get("col_types", {}), "app": app}
+    extra |= _carry_deletes(m) | _carry_hidden(m)
+    if "buckets" in m:
+        extra |= {"bucket_key": m["bucket_key"],
+                  "n_buckets": m["n_buckets"], "buckets": m["buckets"]}
+        extra |= _carry_stats_bucketed(spark, path, m, [],
+                                       m["buckets"])
+    elif m.get("stat_cols"):
+        extra |= {"stat_cols": m["stat_cols"],
+                  "seg_stats": m.get("seg_stats", {})}
+    return extra
+
+
+def add_constraint(spark: SparkSession, path: str, name: str,
+                   expr: str) -> int:
+    """ALTER TABLE ADD CONSTRAINT nm CHECK (expr): validates the
+    EXISTING data first (one filter-count over the head snapshot —
+    refused with the violation count if any row fails; the one honest
+    O(table) step, same as Delta), then commits the constraint
+    metadata-only under the auto-carried app namespace. Every later
+    batch entering through append / upsert / MERGE / overwrite /
+    stream sinks is enforced INLINE in its write job
+    (_apply_constraints)."""
+    from pyspark.sql import functions as F
+
+    v = current_version(path)
+    m = _manifest(path, v)
+    cons = _constraints(m)
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists on "
+                         f"{path}: CHECK ({cons[name]})")
+    df = read_bucketed(spark, path, v) if "buckets" in m \
+        else read(spark, path, v)
+    try:
+        cond = F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+        bad = df.where(~cond).count()
+    except Exception as ex:
+        raise ValueError(f"bad CHECK expression {expr!r}: {ex}") from ex
+    if bad:
+        raise ValueError(
+            f"cannot add constraint {name!r}: {bad} existing row(s) "
+            f"violate CHECK ({expr})")
+    app = dict(m.get("app") or {})
+    app["table_constraints"] = cons | {name: expr}
+    _commit(path, v + 1, m.get("segments"), "add-constraint",
+            extra=_constraint_commit_extra(spark, path, m, app))
+    return v + 1
+
+
+def drop_constraint(spark: SparkSession, path: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT nm: metadata-only removal."""
+    v = current_version(path)
+    m = _manifest(path, v)
+    cons = _constraints(m)
+    if name not in cons:
+        raise ValueError(f"no constraint {name!r} on {path} "
+                         f"(constraints: {sorted(cons)})")
+    del cons[name]
+    app = dict(m.get("app") or {})
+    app["table_constraints"] = cons
+    _commit(path, v + 1, m.get("segments"), "drop-constraint",
+            extra=_constraint_commit_extra(spark, path, m, app))
+    return v + 1
+
+
 def _carry_hidden(parent: dict) -> dict:
     """Logically-dropped columns survive every accreting commit — a
     single append without the carry would resurrect the column on the
@@ -658,6 +769,7 @@ def append(spark: SparkSession, path: str, batch: DataFrame,
         return append_bucketed(spark, path, batch, extra=extra,
                                parent_version=v)
     compat = _check_schema_compat(parent, batch, "append")
+    batch = _apply_constraints(batch, parent, "append")
     seg = _write_segment(batch, path)
     try:
         _commit(path, v + 1, parent["segments"] + [seg], "append",
@@ -792,6 +904,7 @@ def delete_and_append(
         return _delete_and_append_bucketed(spark, path, v, m, keys,
                                            key_col, batch, extra)
     compat = _check_schema_compat(m, batch, "delete-append")
+    batch = _apply_constraints(batch, m, "delete-append")
     dseg, _ = _write_delete_vector(
         spark, path, keys, key_col,
         key_type=m.get("col_types", {}).get(key_col))
@@ -832,6 +945,7 @@ def _delete_and_append_bucketed(
 
     bkey, n_buckets, bmap = _bucketed_meta(m)
     compat = _check_schema_compat(m, batch, "delete-append")
+    batch = _apply_constraints(batch, m, "delete-append")
     dseg, kset = _write_delete_vector(
         spark, path, keys, key_col,
         key_type=m.get("col_types", {}).get(key_col))
@@ -883,6 +997,9 @@ def overwrite(spark: SparkSession, path: str, df: DataFrame,
     v = current_version(path) if parent_version is None \
         else int(parent_version)
     parent = _manifest(path, v)
+    # CHECK constraints apply to the replacement state inline in the
+    # write job (truncate's empty frame passes trivially)
+    df = _apply_constraints(df, parent, op)
     if "buckets" in parent:
         # layout dispatch: the full reload of a bucketed table writes
         # a fresh per-bucket segment map (same deterministic hash
@@ -1145,6 +1262,7 @@ def upsert(spark: SparkSession, path: str, updates: DataFrame, key: str) -> int:
     # column (drop_column) must not resurrect it through the merged
     # rewrite — the same refusal append/delete_and_append enforce
     _check_schema_compat(m0, updates, "upsert")
+    updates = _apply_constraints(updates, m0, "upsert")
     target = read(spark, path, v)
     merged = target.join(
         updates.select(key).distinct(), [key], "left_anti"
@@ -1431,6 +1549,7 @@ def append_exactly_once(
         return append_bucketed_exactly_once(spark, path, batch,
                                             batch_id)
     compat = _check_schema_compat(parent, batch, "stream-append")
+    batch = _apply_constraints(batch, parent, "stream-append")
     seg = _write_segment(batch, path)
     try:
         _commit(path, v + 1, parent["segments"] + [seg],
@@ -2075,6 +2194,7 @@ def upsert_bucketed(
     # type-changing batch would leave touched buckets' parquet types
     # disagreeing with untouched ones (mergeSchema then fails at read)
     compat = _check_schema_compat(m, updates, "upsert-bucketed")
+    updates = _apply_constraints(updates, m, "upsert-bucketed")
     ub = updates.withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
     touched = _bucket_ids(ub)
     if not touched:
@@ -2130,6 +2250,7 @@ def append_bucketed(
     m = _manifest(path, v)
     key, n_buckets, bmap = _bucketed_meta(m)
     compat = _check_schema_compat(m, batch, "append-bucketed")
+    batch = _apply_constraints(batch, m, "append-bucketed")
     bb = batch.withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
     touched = _bucket_ids(bb)
     if not touched:
@@ -2370,6 +2491,7 @@ def append_bucketed_exactly_once(
     m = _manifest(path, v)
     key, n_buckets, bmap = _bucketed_meta(m)
     compat = _check_schema_compat(m, batch, "stream-append-bucketed")
+    batch = _apply_constraints(batch, m, "stream-append-bucketed")
     bb = batch.withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
     touched = _bucket_ids(bb)
     segs = _write_bucket_segments(bb, path, touched) if touched else {}
@@ -2720,6 +2842,7 @@ def describe(path: str) -> dict:
         "version_floor": _live_floor(path, reap=False),
         "col_types": m.get("col_types", {}),
         "stat_cols": m.get("stat_cols", []),
+        "constraints": _constraints(m),
         "app": m.get("app"),
         "versions_retained": len(versions),
     }

@@ -22,6 +22,11 @@ the Spark engine the equivalent entry point for its storage layer:
 * ``ALTER TABLE t ADD COLUMN c <type> | DROP COLUMN c`` — O(1)
   schema evolution both ways (ADD: old segments read NULL; DROP:
   metadata-only hide, materialized by the next OPTIMIZE)
+* ``ALTER TABLE t ADD CONSTRAINT nm CHECK (<expr>) | DROP CONSTRAINT
+  nm`` — Delta-style table constraints: existing data validated once
+  at ADD; every later batch enforced INLINE in its write job
+  (assert_true wrap — zero extra pass, violating row named as JSON);
+  NULL predicates pass (SQL CHECK unknown-is-satisfied)
 * ``CREATE MATERIALIZED VIEW v [OPTIONS (...)] AS SELECT ...`` — the
   view KIND is inferred from the query shape (see ``_plan_mv``):
     - ``SELECT g, COUNT(*) AS c, SUM(x) AS s, MIN(y)... FROM t GROUP
@@ -598,6 +603,52 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
                     "version": ver}
 
         return _strand_proof(catalog, [path], _mk_table)
+
+    if head == "alter" and re.search(r"\bconstraint\b", _mask(text),
+                                     re.IGNORECASE):
+        # ALTER TABLE t ADD CONSTRAINT nm CHECK (<expr>) — validates
+        # existing data (one filter-count; refused with the violation
+        # count), then commits metadata-only; every later batch is
+        # enforced INLINE in its write job (versioned.
+        # _apply_constraints wraps rows with assert_true — zero extra
+        # pass, and the error names the violating row as JSON).
+        # ALTER TABLE t DROP CONSTRAINT nm — metadata-only removal.
+        fm = _mask(text)
+        dm = re.match(
+            r"alter\s+table\s+([A-Za-z_][A-Za-z0-9_]*)\s+drop\s+"
+            r"constraint\s+([A-Za-z_][A-Za-z0-9_]*)\s*$",
+            fm, re.IGNORECASE)
+        if dm:
+            name, cname = dm.group(1), dm.group(2)
+            e = _writable_table(catalog, name, "ALTER TABLE")
+            try:
+                ver = V.drop_constraint(spark, e["path"], cname)
+            except ValueError as ex:
+                raise SqlError(str(ex)) from ex
+            return {"status": "altered", "name": name,
+                    "dropped_constraint": cname, "version": ver}
+        am = re.match(
+            r"alter\s+table\s+([A-Za-z_][A-Za-z0-9_]*)\s+add\s+"
+            r"constraint\s+([A-Za-z_][A-Za-z0-9_]*)\s+check\s*\(",
+            fm, re.IGNORECASE)
+        if not am:
+            raise SqlError("ALTER TABLE t ADD CONSTRAINT nm CHECK "
+                           "(<expr>) | DROP CONSTRAINT nm")
+        copen = am.end() - 1
+        cclose = _matching_paren(fm, copen)
+        expr = text[copen + 1:cclose].strip()
+        if text[cclose + 1:].strip():
+            raise SqlError("trailing tokens after CHECK (...)")
+        if not expr:
+            raise SqlError("empty CHECK expression")
+        name, cname = am.group(1), am.group(2)
+        e = _writable_table(catalog, name, "ALTER TABLE")
+        try:
+            ver = V.add_constraint(spark, e["path"], cname, expr)
+        except ValueError as ex:
+            raise SqlError(str(ex)) from ex
+        return {"status": "altered", "name": name,
+                "added_constraint": {cname: expr}, "version": ver}
 
     if head == "alter":
         # ALTER TABLE t ADD COLUMN c <type> — schema evolution via the
