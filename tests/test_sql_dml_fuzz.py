@@ -57,7 +57,8 @@ def test_sql_dml_fuzz(spark, tmp_path, layout, seed):
 
     for step in range(N_OPS):
         op = rng.choice(["insert", "insert", "update", "delete",
-                         "merge", "restore", "optimize", "alter"])
+                         "merge", "restore", "optimize", "alter",
+                         "truncate"])
         if op == "insert":
             n = rng.randint(1, 5)
             rows = []
@@ -139,6 +140,12 @@ def test_sql_dml_fuzz(spark, tmp_path, layout, seed):
             _snapshot(out["version"])
         elif op == "optimize":
             out = S.execute(spark, "OPTIMIZE fz", cat)
+            _snapshot(out["version"])
+        elif op == "truncate":
+            # reversible empty-the-table commit: rows AND pending
+            # vectors go, schema stays, RESTORE can undo it
+            out = S.execute(spark, "TRUNCATE TABLE fz", cat)
+            model = {}
             _snapshot(out["version"])
         else:  # alter: add one evolved column, NULL everywhere
             cname = f"x{step}"
