@@ -297,6 +297,31 @@ def training_shuffle(
     )
 
 
+def _shard_write_frame(df: DataFrame, id_col: str, n_shards: int,
+                       salt: str) -> DataFrame:
+    """The frame export_training_shards writes — shared with
+    tools/explain_audit.py so the audited plan IS the shipped plan.
+    ONE exchange, not two: repartition by shard FIRST — the pos
+    window's ClusteredDistribution(shard) is satisfied by the existing
+    HashPartitioning(shard), so the window adds a per-partition sort
+    but no second corpus-wide shuffle (training_shuffle then
+    repartition would shuffle the corpus twice). Values are identical
+    either way: (shard, pos) depend only on the hash, never on the
+    partitioning."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1; got {n_shards}")
+    h = _row_hash(id_col, salt)
+    placed = (df.withColumn("__h", h)
+              .withColumn("shard",
+                          (F.col("__h") % F.lit(n_shards)).cast("long"))
+              .repartition(n_shards, "shard"))
+    w = Window.partitionBy("shard").orderBy(F.asc("__h"),
+                                            F.asc(id_col))
+    return (placed.withColumn(
+        "pos", F.row_number().over(w).cast("long") - 1).drop("__h")
+        .sortWithinPartitions("shard", "pos"))
+
+
 def export_training_shards(
     df: DataFrame,
     id_col: str,
@@ -339,10 +364,7 @@ def export_training_shards(
 
         _shutil.rmtree(out_dir)
     spark = df.sparkSession
-    shuffled = training_shuffle(df, id_col, n_shards, salt=salt)
-    (shuffled
-     .repartition(n_shards, "shard")
-     .sortWithinPartitions("shard", "pos")
+    (_shard_write_frame(df, id_col, n_shards, salt)
      .write.partitionBy("shard").parquet(out_dir))
     back = spark.read.parquet(out_dir)
     per_shard = (
