@@ -77,6 +77,11 @@ FLOOR_SEC = {
     # commit, zero buckets rewritten (flat across 8x table growth,
     # BASELINE.md bucketed_dv_scale_proof)
     "bucketed_conditional_dml_2k": 1.914,
+    # late-round-11 first-committed floor (idle, calib 0.664): the
+    # training-shard export — one shard-keyed exchange (plan-asserted
+    # single Exchange), one partitioned parquet write, one
+    # column-pruned read-back agg building the verified manifest
+    "export_shards_docs": 0.510,
 }
 R3_FLOOR_SEC = FLOOR_SEC  # legacy alias
 
@@ -278,6 +283,17 @@ def main() -> None:
 
     _BLOOM_IDS = [17, 4242, 99177, 123456]
 
+    def _export_shards():
+        from rclip_server_spark.operators import sampling as SAMP
+
+        out = _tempfile.mkdtemp(prefix="bench_shards_")
+        try:
+            SAMP.export_training_shards(
+                docs.select("doc_id", "text"), "doc_id", 8, out,
+                overwrite=True)
+        finally:
+            _shutil.rmtree(out, ignore_errors=True)
+
     def _stage_floor_calib():
         # FIXED composite job — the contention-normalization
         # denominator. Three legs exercise the three resources the
@@ -385,6 +401,11 @@ def main() -> None:
         # round-10: the bucketed flavor (touched-buckets rewrite)
         "bucketed_merge_2k": _bucketed_merge_2k,
         "bucketed_conditional_dml_2k": _bucketed_conditional_dml_2k,
+        # late-round-11: the training-shard export (curated table ->
+        # epoch-ready shard files + read-back-verified manifest) —
+        # one shard-keyed exchange, one partitioned write, one
+        # column-pruned read-back agg over (id, pos)
+        "export_shards_docs": _export_shards,
     }
 
     # warm the JVM/IO, the Python UDF workers, AND whole-stage-codegen
@@ -417,6 +438,13 @@ def main() -> None:
     _merge_2k()  # warm the DML statement path (consumes a batch id)
     _bucketed_merge_2k()
     BX.read_point_lookup(spark, bt, "event_id", [_BLOOM_IDS[0]]).collect()
+    # warm the shard-export plan shape (write + read-back agg) on a slice
+    from rclip_server_spark.operators import sampling as _SAMP
+
+    _warm_out = _tempfile.mkdtemp(prefix="bench_shards_warm_")
+    _SAMP.export_training_shards(docs.limit(64).select("doc_id", "text"),
+                                 "doc_id", 2, _warm_out, overwrite=True)
+    _shutil.rmtree(_warm_out, ignore_errors=True)
     _stage_floor_calib()  # warm the calib row's codegen like the rest
     spark.catalog.clearCache()
 
