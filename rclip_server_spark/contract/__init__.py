@@ -87,7 +87,6 @@ _PRIORITY = [
     "ann_lsh_knn_join",
     "dedup_minhash_near_dup", "dedup_semantic_semdedup",
     "sql_q17_small_quantity_revenue",
-    "vt_view_composition",
     # --- NEW r11 rows ---
     "sql_bucketed_conditional_merge", "b16_local_binary_ingest",
     "sql_select_window_over_dv", "sql_select_grouping_sets_over_dv",
@@ -98,7 +97,7 @@ _PRIORITY = [
     "sql_truncate_timetravel", "sql_copy_roundtrip",
     "sql_clone_divergence", "samp_export_shards_manifest",
     "sql_analyze_stats", "sql_copy_stream_ingest",
-    "sql_check_constraint_gate",
+    "sql_check_constraint_gate", "sql_timestamp_time_travel",
 ]
 # r12 rotation candidates (driver-green in earlier rounds, displaced
 # by the r11 rows above): sql_mv_roundtrip, sql_topk_qualify,

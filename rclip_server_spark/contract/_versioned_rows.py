@@ -2584,3 +2584,72 @@ _register(
     FROM events WHERE event_id % 500 = 0
     """,
 )
+
+
+def _sql_ts_travel_builder(spark: SparkSession, sf: str,
+                           path: str) -> None:
+    import os as _os
+    import time as _time
+
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    ).createOrReplaceTempView("events_seed_ts")
+    SQ.execute(spark, "CREATE TABLE evts OPTIONS (key='event_id') AS "
+                      "SELECT * FROM events_seed_ts "
+                      "WHERE event_id % 2 = 0", cat)
+    SQ.execute(spark, "DELETE FROM evts WHERE event_id % 4 = 0", cat)
+    SQ.execute(spark, "INSERT INTO evts SELECT * FROM events_seed_ts "
+                      "WHERE event_id % 2 = 1", cat)
+    # spread the commit clock deterministically (mtimes can collide at
+    # filesystem second granularity)
+    from ..sources import versioned as VT
+
+    tpath = cat.get("evts")["path"]
+    now = _time.time()
+    for i, v in enumerate(VT._manifest_versions(tpath)):
+        p = VT._snap_path(tpath, v)
+        _os.utime(p, (now - 100 + i * 10, now - 100 + i * 10))
+
+
+def _sql_timestamp_time_travel(spark: SparkSession, sf: str
+                               ) -> DataFrame:
+    """TIMESTAMP AS OF time travel through the SQL frontend: the
+    timestamp literal resolves against the commit clock DESCRIBE
+    HISTORY reports (manifest mtime — the same clock vacuum's
+    retention guard uses) to the largest version at-or-before it,
+    then reads exactly that snapshot. One frame unions the
+    mid-history state (post-DELETE v2, addressed by ITS timestamp)
+    with the head. Oracle: set algebra over `events`."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "sqlts", _sql_ts_travel_builder)
+    cat = SQ.Catalog(path)
+    hist = SQ.execute(spark, "DESCRIBE HISTORY evts", cat)
+    ts2 = hist[1]["timestamp"]
+    return SQ.execute(spark, (
+        f"SELECT event_id, event_type, value_cents, 'v2' AS at "
+        f"FROM evts TIMESTAMP AS OF '{ts2}' "
+        f"UNION ALL "
+        f"SELECT event_id, event_type, value_cents, 'head' AS at "
+        f"FROM evts"), cat)
+
+
+_register(
+    "sql_timestamp_time_travel",
+    _sql_timestamp_time_travel,
+    """
+    WITH s AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_cents
+      FROM events)
+    SELECT event_id, event_type, value_cents, 'v2' AS at
+    FROM s WHERE event_id % 2 = 0 AND event_id % 4 <> 0
+    UNION ALL
+    SELECT event_id, event_type, value_cents, 'head' AS at
+    FROM s WHERE event_id % 4 <> 0
+    """,
+)

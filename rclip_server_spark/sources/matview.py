@@ -1506,7 +1506,7 @@ def refresh_cascade(spark: SparkSession, view_path: str,
 
 def vacuum_source_safely(path: str, keep_last: int = 1,
                          retain_seconds: float | None = None,
-                         views=()) -> list[str]:
+                         views=(), dry_run: bool = False) -> list[str]:
     """versioned.vacuum CLAMPED to the given views' refresh cursors:
     the view-refresh contract says a source must retain manifests back
     to every dependent view's cursor (a reaped interval turns the next
@@ -1523,7 +1523,7 @@ def vacuum_source_safely(path: str, keep_last: int = 1,
         keep_last = max(int(keep_last),
                         V.current_version(path) - min(cursors) + 1)
     return V.vacuum(path, keep_last=keep_last,
-                    retain_seconds=retain_seconds)
+                    retain_seconds=retain_seconds, dry_run=dry_run)
 
 
 def _cursors_into(path: str, views) -> list[int]:

@@ -1108,7 +1108,8 @@ def live_clone_refs(path: str) -> list[str]:
     return sorted(set(out))
 
 
-def _clone_pinned_segments(path: str) -> set[str] | None:
+def _clone_pinned_segments(path: str, reap: bool = True
+                           ) -> set[str] | None:
     """Segment NAMES of ``path`` that live clones still reference —
     unioned into vacuum's keep set. Returns ``None`` (pin everything,
     skip this run's segment deletion) when a registered clone exists
@@ -1129,7 +1130,7 @@ def _clone_pinned_segments(path: str) -> set[str] | None:
     for f in sorted(os.listdir(croot)):
         p = os.path.join(croot, f)
         if f.endswith(".json.tmp"):
-            if now - os.path.getmtime(p) >= 300.0:
+            if reap and now - os.path.getmtime(p) >= 300.0:
                 _suppress_remove(p)
             continue
         if not f.endswith(".json"):
@@ -1140,7 +1141,8 @@ def _clone_pinned_segments(path: str) -> set[str] | None:
         except (OSError, ValueError, KeyError):
             continue  # unreadable ref: never a reason to reap data
         if not os.path.isdir(os.path.join(clone, _SNAP_DIR)):
-            _suppress_remove(p)  # clone dropped — dead ref
+            if reap:
+                _suppress_remove(p)  # clone dropped — dead ref
             continue
         versions = _manifest_versions(clone)
         if not versions:
@@ -1514,6 +1516,38 @@ def cluster_zorder(
     return v + 1
 
 
+def version_at_timestamp(path: str, ts) -> int:
+    """Largest RETAINED version committed at or before ``ts`` — the
+    timestamp half of time travel (Delta's TIMESTAMP AS OF). The
+    commit clock is the manifest file's mtime, the same clock
+    vacuum's ``retain_seconds`` drain guard reads, so the two
+    features agree about when a version existed. ``ts``: epoch
+    seconds, or an ISO-8601 string (naive = UTC — the engine session
+    is pinned to UTC). Manifest-listing only, zero Spark jobs."""
+    import datetime as _dt
+
+    if isinstance(ts, str):
+        try:
+            t = _dt.datetime.fromisoformat(ts)
+        except ValueError as ex:
+            raise ValueError(f"bad timestamp {ts!r}: {ex}") from ex
+        if t.tzinfo is None:
+            t = t.replace(tzinfo=_dt.timezone.utc)
+        target = t.timestamp()
+    else:
+        target = float(ts)
+    best = None
+    for v in _manifest_versions(path):
+        if os.path.getmtime(_snap_path(path, v)) <= target:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no retained version of {path} existed at or before "
+            f"{ts!r} (oldest retained: "
+            f"v{_manifest_versions(path)[:1] or ['-none-']})")
+    return best
+
+
 def committed_batch_ids(path: str) -> set[int]:
     """Batch ids recorded by ``append_exactly_once`` commits still in the
     log. Vacuum trims old manifests, so the streaming engine's checkpoint
@@ -1612,15 +1646,23 @@ def _manifest_row_count(path: str, m: dict) -> int:
 
 
 def history(path: str) -> list[dict]:
-    """The commit log, oldest first: version, op, parent, segment count."""
+    """The commit log, oldest first: version, op, parent, segment
+    count, and the commit timestamp (manifest mtime as ISO-8601 UTC —
+    the value TIMESTAMP AS OF / RESTORE ... TO TIMESTAMP resolve
+    against)."""
+    import datetime as _dt
+
     out = []
     for v in _manifest_versions(path):
         m = _manifest(path, v)
         segs = m.get("segments") or sorted(
             s for segs in m.get("buckets", {}).values() for s in segs
         )
+        mt = os.path.getmtime(_snap_path(path, v))
         out.append({"version": m["version"], "op": m["op"],
-                    "parent": m["parent"], "n_segments": len(segs)})
+                    "parent": m["parent"], "n_segments": len(segs),
+                    "timestamp": _dt.datetime.fromtimestamp(
+                        mt, _dt.timezone.utc).isoformat()})
     return out
 
 
@@ -1758,7 +1800,8 @@ def _live_floor(path: str, reap: bool = True) -> int | None:
 
 
 def vacuum(path: str, keep_last: int = 1,
-           retain_seconds: float | None = None) -> list[str]:
+           retain_seconds: float | None = None,
+           dry_run: bool = False) -> list[str]:
     """Drop manifests older than the last ``keep_last`` versions and delete
     segments no kept manifest references. Returns the deleted segment names.
     The only destructive operation — time travel reaches exactly the kept
@@ -1769,7 +1812,13 @@ def vacuum(path: str, keep_last: int = 1,
     even when it falls outside ``keep_last``, so a reader that resolved a
     just-expired version finishes against still-present segments before
     any later vacuum can reap them — the Delta ``deletedFileRetentionDuration``
-    idea. Also reaps orphaned commit temp files older than the window."""
+    idea. Also reaps orphaned commit temp files older than the window.
+
+    ``dry_run=True`` previews: the same keep/reap decision (floors,
+    clone pins, retention — all live side effects suppressed) returns
+    the segment names a real run would delete, and deletes nothing —
+    the operator's "what am I about to lose?" check before an
+    aggressive KEEP 1."""
     import time as _time
 
     head = current_version(path)
@@ -1793,7 +1842,7 @@ def vacuum(path: str, keep_last: int = 1,
         if v >= cutoff or recent:
             keep_segs.update(_manifest_segments(m))
             keep_segs.update(m.get("delete_segs") or [])
-        else:
+        elif not dry_run:
             os.remove(p)
     # Orphaned commit temp files: only reap when OLDER than a minimum
     # age — a concurrent committer's fsync'd-but-not-yet-linked temp file
@@ -1808,13 +1857,13 @@ def vacuum(path: str, keep_last: int = 1,
                 name.startswith(".floor-")
                 and name.endswith((".tmp", ".released"))):
             p = os.path.join(snap_dir, name)
-            if now - os.path.getmtime(p) >= tmp_cutoff:
+            if not dry_run and now - os.path.getmtime(p) >= tmp_cutoff:
                 os.remove(p)
     # shallow clones pin segments across tables: keep everything a
     # LIVE clone's manifests still reference (None = a clone is
     # mid-creation; pin everything this run and let the next vacuum
     # see its manifest)
-    clone_pins = _clone_pinned_segments(path)
+    clone_pins = _clone_pinned_segments(path, reap=not dry_run)
     if clone_pins is None:
         keep_segs.update(
             d for d in os.listdir(path)
@@ -1825,9 +1874,10 @@ def vacuum(path: str, keep_last: int = 1,
     for d in sorted(os.listdir(path)):
         if (d.startswith("seg-") or d.startswith("del-")) \
                 and d not in keep_segs:
-            shutil.rmtree(os.path.join(path, d))
+            if not dry_run:
+                shutil.rmtree(os.path.join(path, d))
             deleted.append(d)
-        elif d.startswith(".zorder-"):
+        elif not dry_run and d.startswith(".zorder-"):
             # crashed cluster_zorder staging dir: same min-age guard as
             # commit temp files (a live recluster is seconds between
             # write and rename; minutes of slack is decisively safe)
@@ -1846,6 +1896,8 @@ def vacuum(path: str, keep_last: int = 1,
     # files). Stray non-directory entries under _bloom/ are skipped —
     # vacuum must never crash after segments are already gone.
     bloom_root = os.path.join(path, "_bloom")
+    if dry_run:
+        return deleted  # preview complete; every later step mutates
     if os.path.isdir(bloom_root):
         for col_dir in os.listdir(bloom_root):
             cd = os.path.join(bloom_root, col_dir)

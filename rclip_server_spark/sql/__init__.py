@@ -54,7 +54,11 @@ the Spark engine the equivalent entry point for its storage layer:
   ``nn_*`` / ``_pair_key`` hidden, SQL aliases restored) and the text
   is delegated verbatim to ``spark.sql`` — so the FULL Spark SQL
   surface composes on top of maintained state. ``t VERSION AS OF n``
-  time-travels a versioned table.
+  / ``t TIMESTAMP AS OF '<ts>'`` time-travel a versioned table (the
+  timestamp resolves against the commit clock DESCRIBE HISTORY
+  reports); ``VACUUM t [KEEP n] DRY RUN`` previews a vacuum;
+  ``RESTORE TABLE t TO TIMESTAMP AS OF '<ts>'`` is the timestamp
+  flavor of the metadata-only rollback.
 * ``CREATE MATERIALIZED VIEW v USING near_dup OPTIONS (source='t',
   key='id', ...)`` — the algorithm-defined kind (the maintained
   banded-MinHash pair table) that has no SQL shape to infer from.
@@ -1134,15 +1138,36 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
         name = cur.expect_ident()
         if cur.at_kw("to"):
             cur.take()
+        e = _writable_table(catalog, name, "RESTORE")
+        if cur.at_kw("timestamp"):
+            # RESTORE TABLE t [TO] TIMESTAMP AS OF '<ts>' — resolve
+            # against the same commit clock TIMESTAMP AS OF reads use
+            cur.take()
+            cur.expect_kw("as")
+            cur.expect_kw("of")
+            t = cur.take()
+            if t.kind != "str":
+                raise SqlError("RESTORE ... TIMESTAMP AS OF takes a "
+                               "quoted timestamp")
+            if not cur.done():
+                raise SqlError("trailing tokens after RESTORE")
+            try:
+                target = V.version_at_timestamp(
+                    e["path"], t.text[1:-1].replace("''", "'"))
+                ver = V.restore(spark, e["path"], target)
+            except (ValueError, FileNotFoundError) as ex:
+                raise SqlError(str(ex)) from ex
+            return {"status": "restored", "name": name,
+                    "restored_to": target, "version": ver}
         cur.expect_kw("version")
         cur.expect_kw("as")
         cur.expect_kw("of")
         t = cur.take()
         if t.kind != "num" or "." in t.text:
-            raise SqlError("RESTORE TABLE t [TO] VERSION AS OF <int>")
+            raise SqlError("RESTORE TABLE t [TO] VERSION AS OF <int> "
+                           "| TIMESTAMP AS OF '<ts>'")
         if not cur.done():
             raise SqlError("trailing tokens after RESTORE")
-        e = _writable_table(catalog, name, "RESTORE")
         try:
             ver = V.restore(spark, e["path"], int(t.text))
         except (ValueError, FileNotFoundError) as ex:
@@ -1160,11 +1185,24 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
             if t.kind != "num" or "." in t.text:
                 raise SqlError("VACUUM t KEEP <int>")
             keep = int(t.text)
+        dry = False
+        if cur.at_kw("dry"):
+            # VACUUM t [KEEP n] DRY RUN — preview: the same keep/reap
+            # decision (cursors, floors, clone pins), nothing deleted
+            cur.take()
+            cur.expect_kw("run")
+            dry = True
+        if not cur.done():
+            raise SqlError("VACUUM t [KEEP <int>] [DRY RUN]")
         e = catalog.get(name)
         views = [e2["path"] for e2 in catalog.snapshot().values()
                  if e2["kind"] != "table"]
         deleted = MV.vacuum_source_safely(e["path"], keep_last=keep,
-                                          views=views)
+                                          views=views, dry_run=dry)
+        if dry:
+            return {"status": "dry_run", "name": name,
+                    "would_delete_segments": len(deleted),
+                    "segments": deleted}
         return {"status": "vacuumed", "name": name,
                 "deleted_segments": len(deleted)}
 

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import matview as MV
-from ._base import _mask
+from ._base import SqlError, _mask
 from ._catalog import Catalog
 
 # ---------------------------------------------------------------------------
@@ -59,6 +59,15 @@ _VERSION_AS_OF = re.compile(
     re.IGNORECASE,
 )
 
+# the literal (quotes included) is blanked to spaces on the mask, so
+# the pattern ends at OF; whitespace is then skipped and the literal
+# recovered from the ORIGINAL text
+_TIMESTAMP_AS_OF = re.compile(
+    r"\b([A-Za-z_][A-Za-z0-9_]*)\s+timestamp\s+as\s+of\b",
+    re.IGNORECASE,
+)
+_TS_LITERAL = re.compile(r"\s*'((?:[^']|'')*)'")
+
 # LENGTH-PRESERVING mask of string literals (backslash escapes and
 # ''-doubling; BOTH quote styles — Spark treats \" as an escape inside
 # double-quoted literals too), backticked identifiers, and both
@@ -74,10 +83,15 @@ def _run_select(spark: SparkSession, text: str, catalog: Catalog
     statement text to spark.sql — full Spark SQL composes over
     maintained state."""
 
+    from ..sources import versioned as V
+
     by_lower = {n.lower(): n for n in catalog.names()}
     scannable = _mask(text)
 
-    out, last = [], 0
+    # both time-travel forms rewrite to a pinned temp view; spans are
+    # collected first (mixed forms in one statement), then spliced in
+    # one left-to-right pass
+    pins: list[tuple[int, int, str]] = []  # (start, end, view_name)
     for m in _VERSION_AS_OF.finditer(scannable):
         name = by_lower.get(m.group(1).lower())
         if name is None:
@@ -86,10 +100,29 @@ def _run_select(spark: SparkSession, text: str, catalog: Catalog
         pinned = f"{name}__v{ver}"
         _read_entry(spark, catalog.get(name), ver)\
             .createOrReplaceTempView(pinned)
-        out.append(text[last:m.start()])
-        out.append(pinned)
-        last = m.end()
-    if out:
+        pins.append((m.start(), m.end(), pinned))
+    for m in _TIMESTAMP_AS_OF.finditer(scannable):
+        name = by_lower.get(m.group(1).lower())
+        if name is None:
+            continue
+        lm = _TS_LITERAL.match(text, m.end())
+        if lm is None:
+            continue
+        ts = lm.group(1).replace("''", "'")
+        entry = catalog.get(name)
+        try:
+            ver = V.version_at_timestamp(entry["path"], ts)
+        except ValueError as ex:
+            raise SqlError(str(ex)) from ex
+        pinned = f"{name}__v{ver}"
+        _read_entry(spark, entry, ver).createOrReplaceTempView(pinned)
+        pins.append((m.start(), lm.end(), pinned))
+    if pins:
+        out, last = [], 0
+        for start, end, pinned in sorted(pins):
+            out.append(text[last:start])
+            out.append(pinned)
+            last = end
         out.append(text[last:])
         text = "".join(out)
         scannable = _mask(text)
