@@ -571,6 +571,15 @@ def _apply_constraints(batch: DataFrame, m: dict, op: str) -> DataFrame:
     cols = list(batch.columns)
     first = cols[0]
     ftype = batch.schema[first].dataType.simpleString()
+    # a batch may legally omit declared columns (they read as NULL —
+    # _check_schema_compat): evaluate the predicate against typed-NULL
+    # stand-ins so the unknown-is-satisfied rule applies instead of
+    # failing resolution; the final select keeps the batch's own
+    # columns, so the written schema is untouched
+    have = {c.lower() for c in cols}
+    for c, t in (m.get("col_types") or {}).items():
+        if c.lower() not in have:
+            batch = batch.withColumn(c, F.lit(None).cast(t))
     row_json = F.to_json(F.struct(*[F.col(c) for c in cols]))
     wrapped = F.col(first)
     for name, expr in sorted(cons.items()):
@@ -1537,14 +1546,23 @@ def version_at_timestamp(path: str, ts) -> int:
     else:
         target = float(ts)
     best = None
-    for v in _manifest_versions(path):
-        if os.path.getmtime(_snap_path(path, v)) <= target:
+    versions = _manifest_versions(path)
+    for v in versions:
+        mt = os.path.getmtime(_snap_path(path, v))
+        # quantize to the MICROSECOND clock history()/DESCRIBE HISTORY
+        # report (datetime truncates sub-µs mtime nanoseconds), so a
+        # reported commit timestamp always resolves to its own version
+        # — comparing the raw float mtime would land sub-µs AFTER the
+        # reported timestamp and skip back one version
+        mt = _dt.datetime.fromtimestamp(
+            mt, _dt.timezone.utc).timestamp()
+        if mt <= target:
             best = v
     if best is None:
+        oldest = f"v{versions[0]}" if versions else "-none-"
         raise ValueError(
             f"no retained version of {path} existed at or before "
-            f"{ts!r} (oldest retained: "
-            f"v{_manifest_versions(path)[:1] or ['-none-']})")
+            f"{ts!r} (oldest retained: {oldest})")
     return best
 
 
@@ -1826,7 +1844,9 @@ def vacuum(path: str, keep_last: int = 1,
     # a LIVE version floor (register_version_floor — refresh streams
     # pin their in-read window) lowers the cutoff: everything at or
     # above the lowest live floor survives regardless of keep_last
-    floor = _live_floor(path)
+    # (dry run reads floors without reaping dead-pid/tombstone files —
+    # a preview must not mutate the table directory)
+    floor = _live_floor(path, reap=not dry_run)
     if floor is not None:
         cutoff = min(cutoff, int(floor))
     now = _time.time()
@@ -1877,13 +1897,16 @@ def vacuum(path: str, keep_last: int = 1,
             if not dry_run:
                 shutil.rmtree(os.path.join(path, d))
             deleted.append(d)
-        elif not dry_run and d.startswith(".zorder-"):
+        elif d.startswith(".zorder-"):
             # crashed cluster_zorder staging dir: same min-age guard as
             # commit temp files (a live recluster is seconds between
-            # write and rename; minutes of slack is decisively safe)
+            # write and rename; minutes of slack is decisively safe).
+            # The dry run previews these too — the real run counts them
+            # in its returned deletion list
             p = os.path.join(path, d)
             if now - os.path.getmtime(p) >= tmp_cutoff:
-                shutil.rmtree(p)
+                if not dry_run:
+                    shutil.rmtree(p)
                 deleted.append(d)
     # Bloom sidecars of reaped segments (bloomindex.py): write-once per
     # immutable segment, so a sidecar is garbage exactly when its
