@@ -83,9 +83,8 @@ _PRIORITY = [
     # ledger cell yet — the displaced rows are all multi-round green
     # and stay replayed locally by tools/check_contract.py) ---
     "ev_asof_attribution",
-    "text_ngram_contamination",
     "ann_lsh_knn_join",
-    "dedup_minhash_near_dup", "dedup_semantic_semdedup",
+    "dedup_minhash_near_dup",
     "sql_q17_small_quantity_revenue",
     # --- NEW r11 rows ---
     "sql_bucketed_conditional_merge", "b16_local_binary_ingest",
@@ -98,6 +97,10 @@ _PRIORITY = [
     "sql_clone_divergence", "samp_export_shards_manifest",
     "sql_analyze_stats", "sql_copy_stream_ingest",
     "sql_check_constraint_gate", "sql_timestamp_time_travel",
+    # maintained full-text (BM25) index view: postings parity after
+    # an O(changed docs) refresh + indexed-query parity vs the batch
+    # scorer's oracle
+    "ti_postings", "ti_bm25_indexed_topk",
 ]
 # r12 rotation candidates (driver-green in earlier rounds, displaced
 # by the r11 rows above): sql_mv_roundtrip, sql_topk_qualify,

@@ -4,6 +4,7 @@ from __future__ import annotations
 from ._base import *  # noqa: F401,F403
 from ._base import _register, _t  # noqa: F401
 from ._dedup_text import _HASHED_SHINGLES, _SIG_LIST  # noqa: F401
+from ._breadth1 import BM25_TERMS, _bm25_sql  # noqa: F401
 
 # ===========================================================================
 # Versioned-table READ-side rows through the driver (sources/versioned.py):
@@ -2652,4 +2653,102 @@ _register(
     SELECT event_id, event_type, value_cents, 'head' AS at
     FROM s WHERE event_id % 4 <> 0
     """,
+)
+
+
+# ===========================================================================
+# Maintained full-text (BM25) index view (sources/textindex.py):
+# postings parity + indexed-query parity over a post-DML refreshed
+# index — the secondary-index kind for ranked text queries.
+# ===========================================================================
+
+_TI_CORPUS_SQL = (
+    "(SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0 "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, text "
+    "FROM documents WHERE doc_id % 13 = 0)"
+)
+
+
+def _ti_index_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "documents").select("doc_id", "text") \
+        .createOrReplaceTempView("docs_seed_ti")
+    SQ.execute(spark, "CREATE TABLE tidocs OPTIONS (key='doc_id') AS "
+                      "SELECT * FROM docs_seed_ti", cat)
+    SQ.execute(spark, "CREATE MATERIALIZED VIEW tiidx USING "
+                      "text_index OPTIONS (source='tidocs', "
+                      "key='doc_id')", cat)
+    # churn the corpus, then advance the index O(changed docs): the
+    # oracle checks the POST-DML state, so a stale or over-retracted
+    # index cannot pass
+    SQ.execute(spark, "DELETE FROM tidocs WHERE doc_id % 17 = 0", cat)
+    SQ.execute(spark, "INSERT INTO tidocs SELECT doc_id + 1000000, "
+                      "text FROM docs_seed_ti WHERE doc_id % 13 = 0",
+               cat)
+    SQ.execute(spark, "REFRESH MATERIALIZED VIEW tiidx", cat)
+
+
+def _ti_postings(spark: SparkSession, sf: str) -> DataFrame:
+    """Maintained BM25 postings table (CREATE MATERIALIZED VIEW ...
+    USING text_index): the inverted (term, doc_id, tf, dl) index over
+    a versioned source, kept in sync through the CDC log — this row
+    reads the postings AFTER a delete+insert interval and an
+    O(changed docs) REFRESH, so retraction (doc-key delete vector)
+    and append must both be exact. Oracle: postings recomputed from
+    the post-DML corpus with the same tokenizer."""
+    from ..sources import textindex as TI
+
+    path = _vt_build(spark, sf, "tiidx", _ti_index_builder)
+    import os as _os
+
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    return TI.read_text_index(spark, cat.get("tiidx")["path"])
+
+
+_register(
+    "ti_postings",
+    _ti_postings,
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {tokens_sql("text")} AS toks
+      FROM {_TI_CORPUS_SQL}),
+    ex AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+             unnest(toks) AS term
+      FROM tk)
+    SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf, dl
+    FROM ex GROUP BY term, doc_id, dl
+    """,
+)
+
+
+def _ti_bm25_indexed_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-10 scored FROM the maintained postings index
+    (textindex.query_text_index): reads only the query terms' posting
+    rows + the spec's exact integer corpus stats — O(matching
+    postings), never a corpus scan — and must produce the SAME scores,
+    filter, ordering, and tie-break as the batch scorer
+    (retrieval.bm25_topk) over the post-DML corpus. Oracle: the
+    text_bm25_topk oracle SQL retargeted at that corpus; bm25 rounded
+    to 6 dp in both engines (repo rule for transcendental floats)."""
+    from ..sources import textindex as TI
+
+    path = _vt_build(spark, sf, "tiidx", _ti_index_builder)
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    out = TI.query_text_index(spark, cat.get("tiidx")["path"],
+                              BM25_TERMS, k=10)
+    return out.withColumn("bm25", F.round("bm25", 6))
+
+
+_register(
+    "ti_bm25_indexed_topk",
+    _ti_bm25_indexed_topk,
+    _bm25_sql(BM25_TERMS, topk=10).replace("FROM documents",
+                                           f"FROM {_TI_CORPUS_SQL}"),
 )

@@ -1356,6 +1356,8 @@ _VIEW_KINDS = {
     "nd_source": ("near_dup", [("nd_source", "nd_source_version")]),
     "ed_source": ("embed_near_dup", [("ed_source",
                                       "ed_source_version")]),
+    # maintained full-text (BM25) postings index (sources/textindex.py)
+    "ti_source": ("text_index", [("ti_source", "ti_source_version")]),
 }
 
 
@@ -1428,6 +1430,12 @@ def refresh_view(spark: SparkSession, view_path: str,
         from . import neardup_view as ND
 
         return ND.refresh_embed_near_dup_pairs_view_with_retry(
+            spark, view_path, max_retries=max_retries,
+            recompute_fraction=recompute_fraction)
+    if kind == "text_index":
+        from . import textindex as TI  # local: TI imports this module
+
+        return TI.refresh_text_index_with_retry(
             spark, view_path, max_retries=max_retries,
             recompute_fraction=recompute_fraction)
     if kind == "transform":

@@ -1,0 +1,116 @@
+"""Maintained full-text (BM25) index view (sources/textindex.py +
+CREATE MATERIALIZED VIEW ... USING text_index): postings parity with
+direct tokenization, indexed-query parity with the batch BM25 scorer,
+O(changed docs) incremental maintenance equal to a full rebuild, and
+exact integer corpus stats across DML."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rclip_server_spark import sql as S
+from rclip_server_spark.operators import retrieval
+from rclip_server_spark.sources import textindex as TI
+from rclip_server_spark.sources import versioned as V
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return S.Catalog(str(tmp_path / "cat"))
+
+
+@pytest.fixture()
+def corpus(documents):
+    return documents.select("doc_id", "text").where(
+        F.col("doc_id") % 3 == 0)
+
+
+def _mk_index(spark, corpus, cat, name="docs"):
+    corpus.createOrReplaceTempView(f"seed_{name}")
+    S.execute(spark, f"CREATE TABLE {name} OPTIONS (key='doc_id') AS "
+                     f"SELECT * FROM seed_{name}", cat)
+    S.execute(spark, f"CREATE MATERIALIZED VIEW {name}_idx USING "
+                     f"text_index OPTIONS (source='{name}', "
+                     f"key='doc_id')", cat)
+    return cat.get(f"{name}_idx")["path"]
+
+
+def test_postings_match_direct_tokenization(spark, corpus, cat):
+    vp = _mk_index(spark, corpus, cat)
+    got = TI.read_text_index(spark, vp)
+    want = TI._postings(corpus, "doc_id", "text")
+    assert _rows(got) == _rows(want)
+    # SELECT through the frontend serves the postings
+    n = S.execute(spark, "SELECT count(*) AS n FROM docs_idx",
+                  cat).collect()[0]["n"]
+    assert n == want.count()
+    # spec stats are the exact corpus integers
+    spec = TI._spec_ti(vp)
+    nd, tl = TI._corpus_stats(corpus, "text")
+    assert (spec["ti_ndocs"], spec["ti_total_len"]) == (nd, tl)
+
+
+def test_indexed_query_matches_batch_bm25(spark, corpus, cat):
+    vp = _mk_index(spark, corpus, cat, "q")
+    terms = ["vector", "join", "spark"]
+    got = TI.query_text_index(spark, vp, terms, k=10) \
+        .withColumn("bm25", F.round("bm25", 6))
+    want = retrieval.bm25_topk(corpus, terms, k=10) \
+        .withColumn("bm25", F.round("bm25", 6))
+    assert _rows(got) == _rows(want)
+    # string-query form tokenizes like the corpus does
+    got2 = TI.query_text_index(spark, vp, "Vector JOIN spark", k=10) \
+        .withColumn("bm25", F.round("bm25", 6))
+    assert _rows(got2) == _rows(want)
+
+
+def test_incremental_refresh_equals_rebuild(spark, corpus, cat,
+                                            documents):
+    vp = _mk_index(spark, corpus, cat, "inc")
+    # churn the source: insert new docs, delete some, rewrite one
+    S.execute(spark, "INSERT INTO inc SELECT doc_id, text FROM "
+                     "seed_inc_extra", cat) if False else None
+    documents.select("doc_id", "text").where(
+        F.col("doc_id") % 3 == 1).limit(50) \
+        .createOrReplaceTempView("inc_extra")
+    S.execute(spark, "INSERT INTO inc SELECT * FROM inc_extra", cat)
+    S.execute(spark, "DELETE FROM inc WHERE doc_id % 9 = 0", cat)
+    S.execute(spark, "UPDATE inc SET text = 'spark spark rewrite' "
+                     "WHERE doc_id % 7 = 0", cat)
+    r = S.execute(spark, "REFRESH MATERIALIZED VIEW inc_idx", cat)
+    assert r["status"] == "refreshed"
+    # postings equal a from-scratch build over the CURRENT source
+    current = S.execute(spark, "SELECT doc_id, text FROM inc", cat)
+    assert _rows(TI.read_text_index(spark, vp)) == \
+        _rows(TI._postings(current, "doc_id", "text"))
+    # stats rolled forward EXACTLY (integers, no drift)
+    spec = TI._spec_ti(vp)
+    nd, tl = TI._corpus_stats(current, "text")
+    assert (spec["ti_ndocs"], spec["ti_total_len"]) == (nd, tl)
+    # and the indexed query still matches the batch scorer
+    terms = ["spark", "rewrite"]
+    got = TI.query_text_index(spark, vp, terms, k=10) \
+        .withColumn("bm25", F.round("bm25", 6))
+    want = retrieval.bm25_topk(current, terms, k=10) \
+        .withColumn("bm25", F.round("bm25", 6))
+    assert _rows(got) == _rows(want)
+
+
+def test_describe_and_guards(spark, corpus, cat):
+    vp = _mk_index(spark, corpus, cat, "g")
+    d = S.execute(spark, "DESCRIBE MATERIALIZED VIEW g_idx", cat)
+    assert d["view_kind"] == "text_index" and d["fresh"] is True
+    # DML against the view is refused (its state is the refresher's)
+    with pytest.raises(S.SqlError):
+        S.execute(spark, "DELETE FROM g_idx WHERE tf > 0", cat)
+    with pytest.raises(S.SqlError):
+        S.execute(spark, "CREATE MATERIALIZED VIEW x USING "
+                         "text_index OPTIONS (key='doc_id')", cat)
+    with pytest.raises(ValueError):
+        TI.query_text_index(spark, vp, [])
+    # unknown terms contribute nothing but don't error
+    got = TI.query_text_index(spark, vp, ["zzzznotaterm"], k=5)
+    assert got.count() == 0
