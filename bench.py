@@ -283,6 +283,21 @@ def main() -> None:
 
     _BLOOM_IDS = [17, 4242, 99177, 123456]
 
+    # late-r11: maintained BM25 postings index built ONCE over the
+    # documents fixture; the bench times the indexed query — the same
+    # answer bm25_topk computes by scanning+tokenizing the corpus,
+    # read from O(matching postings) instead
+    from rclip_server_spark.sources import textindex as TI
+
+    ti_src = os.path.join(vt_tmp, "tidocs")
+    ti_idx = os.path.join(vt_tmp, "tiidx")
+    VT.create(spark, ti_src, docs.select("doc_id", "text"))
+    TI.create_text_index(spark, ti_src, ti_idx, key="doc_id")
+
+    def _bm25_indexed():
+        return TI.query_text_index(
+            spark, ti_idx, ["vector", "join", "spark"], k=10).collect()
+
     def _export_shards():
         from rclip_server_spark.operators import sampling as SAMP
 
@@ -406,6 +421,8 @@ def main() -> None:
         # one shard-keyed exchange, one partitioned write, one
         # column-pruned read-back agg over (id, pos)
         "export_shards_docs": _export_shards,
+        # same answer as bm25_topk, served from the maintained index
+        "bm25_indexed_topk": _bm25_indexed,
     }
 
     # warm the JVM/IO, the Python UDF workers, AND whole-stage-codegen
@@ -445,6 +462,7 @@ def main() -> None:
     _SAMP.export_training_shards(docs.limit(64).select("doc_id", "text"),
                                  "doc_id", 2, _warm_out, overwrite=True)
     _shutil.rmtree(_warm_out, ignore_errors=True)
+    _bm25_indexed()  # warm the postings-query plan shape
     _stage_floor_calib()  # warm the calib row's codegen like the rest
     spark.catalog.clearCache()
 

@@ -71,8 +71,6 @@ def test_incremental_refresh_equals_rebuild(spark, corpus, cat,
                                             documents):
     vp = _mk_index(spark, corpus, cat, "inc")
     # churn the source: insert new docs, delete some, rewrite one
-    S.execute(spark, "INSERT INTO inc SELECT doc_id, text FROM "
-                     "seed_inc_extra", cat) if False else None
     documents.select("doc_id", "text").where(
         F.col("doc_id") % 3 == 1).limit(50) \
         .createOrReplaceTempView("inc_extra")
@@ -114,3 +112,22 @@ def test_describe_and_guards(spark, corpus, cat):
     # unknown terms contribute nothing but don't error
     got = TI.query_text_index(spark, vp, ["zzzznotaterm"], k=5)
     assert got.count() == 0
+
+
+def test_refresh_stream_maintains_index(spark, corpus, cat, tmp_path):
+    """Continuous maintenance through the generic stream machinery:
+    START REFRESH STREAM ON VIEW tails the source's manifest log and
+    advances the postings per commit."""
+    vp = _mk_index(spark, corpus, cat, "st")
+    S.execute(spark, "START REFRESH STREAM ON VIEW st_idx", cat)
+    try:
+        q = S._STREAMS[S._stream_key(cat, "st_idx")]
+        S.execute(spark, "DELETE FROM st WHERE doc_id % 6 = 0", cat)
+        q.processAllAvailable()
+        current = S.execute(spark, "SELECT doc_id, text FROM st", cat)
+        assert _rows(TI.read_text_index(spark, vp)) == \
+            _rows(TI._postings(current, "doc_id", "text"))
+        d = S.execute(spark, "DESCRIBE MATERIALIZED VIEW st_idx", cat)
+        assert d["fresh"] is True and d["refresh_stream"]["live"]
+    finally:
+        S.execute(spark, "STOP REFRESH STREAM ON VIEW st_idx", cat)
