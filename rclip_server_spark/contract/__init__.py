@@ -83,7 +83,6 @@ _PRIORITY = [
     # ledger cell yet — the displaced rows are all multi-round green
     # and stay replayed locally by tools/check_contract.py) ---
     "ev_asof_attribution",
-    "ann_lsh_knn_join",
     "dedup_minhash_near_dup",
     "sql_q17_small_quantity_revenue",
     # --- NEW r11 rows ---
@@ -101,6 +100,8 @@ _PRIORITY = [
     # an O(changed docs) refresh + indexed-query parity vs the batch
     # scorer's oracle
     "ti_postings", "ti_bm25_indexed_topk",
+    # maintained ANN (LSH) index view: indexed multiprobe parity
+    "ai_lsh_indexed_topk",
 ]
 # r12 rotation candidates (driver-green in earlier rounds, displaced
 # by the r11 rows above): sql_mv_roundtrip, sql_topk_qualify,

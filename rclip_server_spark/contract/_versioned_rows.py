@@ -5,6 +5,7 @@ from ._base import *  # noqa: F401,F403
 from ._base import _register, _t  # noqa: F401
 from ._dedup_text import _HASHED_SHINGLES, _SIG_LIST  # noqa: F401
 from ._breadth1 import BM25_TERMS, _bm25_sql  # noqa: F401
+from ._breadth1 import _MP_PROBES as _AI_MP_PROBES  # noqa: F401
 
 # ===========================================================================
 # Versioned-table READ-side rows through the driver (sources/versioned.py):
@@ -2751,4 +2752,67 @@ _register(
     _ti_bm25_indexed_topk,
     _bm25_sql(BM25_TERMS, topk=10).replace("FROM documents",
                                            f"FROM {_TI_CORPUS_SQL}"),
+)
+
+
+# ===========================================================================
+# Maintained ANN (hyperplane-LSH) index view (sources/annindex.py):
+# indexed multiprobe query parity over a post-DML refreshed index.
+# ===========================================================================
+
+_AI_CORPUS_SQL = (
+    "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 11 <> 0 "
+    "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding "
+    "FROM embeddings WHERE vec_id % 13 = 0)"
+)
+
+
+def _ai_index_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "embeddings").select("vec_id", "embedding") \
+        .createOrReplaceTempView("embs_seed_ai")
+    SQ.execute(spark, "CREATE TABLE aivecs OPTIONS (key='vec_id') AS "
+                      "SELECT * FROM embs_seed_ai", cat)
+    SQ.execute(spark, "CREATE MATERIALIZED VIEW aiidx USING ann_index "
+                      "OPTIONS (source='aivecs', key='vec_id', "
+                      "n_planes=4)", cat)
+    SQ.execute(spark, "DELETE FROM aivecs WHERE vec_id % 11 = 0", cat)
+    SQ.execute(spark, "INSERT INTO aivecs SELECT vec_id + 1000000, "
+                      "embedding FROM embs_seed_ai "
+                      "WHERE vec_id % 13 = 0", cat)
+    SQ.execute(spark, "REFRESH MATERIALIZED VIEW aiidx", cat)
+
+
+def _ai_lsh_indexed_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiprobe LSH top-10 served FROM the maintained ANN index
+    (CREATE MATERIALIZED VIEW ... USING ann_index): buckets are
+    precomputed at WRITE time and kept in sync through the CDC log
+    (this row queries AFTER a delete+insert interval and an O(changed
+    rows) REFRESH), so the query filters the stored bucket column to
+    the probe set and scores only those rows — O(probe fraction),
+    never a corpus re-bucketing pass. Same probe set / planes / exact
+    dot scoring / tie-break as ann.lsh_topk_multiprobe. Oracle: the
+    multiprobe oracle SQL retargeted at the post-DML corpus."""
+    from ..sources import annindex as AI
+
+    path = _vt_build(spark, sf, "aiidx", _ai_index_builder)
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    return AI.query_ann_index(spark, cat.get("aiidx")["path"],
+                              QV_ZEBRA, k=10, n_probe_bits=1)
+
+
+_register(
+    "ai_lsh_indexed_topk",
+    _ai_lsh_indexed_topk,
+    f"""
+    SELECT vec_id, {dot_sql('embedding', QV_ZEBRA)} AS score
+    FROM {_AI_CORPUS_SQL}
+    WHERE {bucket_sql('embedding', PLANES4)}
+          IN ({', '.join(str(b) for b in _AI_MP_PROBES)})
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
 )

@@ -1,0 +1,194 @@
+"""Maintained ANN (hyperplane-LSH) index view: the source's embedding
+rows stored WITH their precomputed sign-bit bucket, kept in sync
+through the CDC log — the vector twin of the full-text postings index
+(textindex.py), completing the maintained-index trio: Bloom sidecars
+answer point lookups, text_index answers ranked lexical queries, this
+answers approximate nearest-neighbor queries.
+
+Reference parity: the reference scores every row per query
+(rclip_server.py:150-166, the brute-force GEMV); the engine's ad-hoc
+LSH tiers (operators/ann.py) already prune that scan per query, but
+they re-derive the bucket column per CALL — one full corpus pass each
+time. The maintained index moves bucketing to WRITE time: a refresh
+costs O(changed rows) (key delete-vector retraction + bucketed rows
+append, ONE delete_and_append commit), and a query reads only the
+probed buckets' rows — O(probe fraction), never O(corpus).
+
+Exactness: planes derive deterministically from (n_planes, dim, seed)
+in the spec — the same ``ann.hyperplanes`` every ad-hoc tier uses — so
+``query_ann_index`` returns row-identically what
+``ann.lsh_topk_multiprobe`` computes over the current source (pinned
+by an oracle row against the DuckDB bucket+dot twin).
+
+Scale: the index build is one map pass (bucket column is a row-local
+sign fold); queries filter to ≤(1 + C(p,1) + C(p,2)) of 2^n_planes
+buckets and score only those rows. At rest the state can additionally
+be laid out by versioned.convert_to_bucketed on the bucket for
+physical pruning. Joins the matview graph through the standard marker
+registry (``ai_source``), so REFRESH / CASCADE / DESCRIBE / cursor-
+safe VACUUM / refresh streams all work with no extra wiring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import vector as VEC
+from ..operators.ann import hyperplane_bucket_col, hyperplanes
+from . import matview as M
+from . import versioned as V
+from .matview import _INSERTING, _RETRACTING
+
+
+def _bucketed_rows(df: DataFrame, key: str, vec_col: str,
+                   n_planes: int, dim: int, seed: int) -> DataFrame:
+    planes = hyperplanes(n_planes, dim, seed)
+    return df.select(
+        hyperplane_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        F.col(key), F.col(vec_col))
+
+
+def create_ann_index(
+    spark: SparkSession, source_path: str, view_path: str, key: str,
+    vec_col: str = "embedding", n_planes: int = 6, seed: int = 42,
+    dim: int | None = None,
+) -> int:
+    """Materialize the bucketed embedding rows over the source's head
+    and record the spec + cursor. ``dim`` is probed from one row when
+    absent (errors clearly on an empty source — pass it explicitly to
+    stay lazy)."""
+    src_v = V.current_version(source_path)
+    df = M._read_source(spark, source_path, src_v)
+    if dim is None:
+        probe = df.select(F.size(vec_col)).first()
+        if probe is None or probe[0] is None:
+            raise ValueError("cannot infer embedding dim from an "
+                             "empty source; pass dim=")
+        dim = int(probe[0])
+    spec = {
+        "ai_source": source_path, "ai_key": key,
+        "ai_vec_col": vec_col, "ai_n_planes": int(n_planes),
+        "ai_seed": int(seed), "ai_dim": int(dim),
+        "ai_source_version": src_v,
+    }
+    state = _bucketed_rows(df, key, vec_col, n_planes, dim, seed)
+    return V.create(spark, view_path, state, extra={"app": spec})
+
+
+def _spec_ai(path: str, version: int | None = None) -> dict:
+    v = V.current_version(path) if version is None else int(version)
+    spec = V._manifest(path, v).get("app") or {}
+    if "ai_source" not in spec:
+        raise ValueError(f"{path} is not an ann-index view (no "
+                         f"ai_source in its manifest app namespace)")
+    return spec
+
+
+def read_ann_index(spark: SparkSession, view_path: str,
+                   version: int | None = None) -> DataFrame:
+    """The bucketed rows at a version, canonical column order."""
+    v = V.current_version(view_path) if version is None else int(version)
+    spec = _spec_ai(view_path, v)
+    return V.read(spark, view_path, v).select(
+        "bucket", spec["ai_key"], spec["ai_vec_col"])
+
+
+def refresh_ann_index(
+    spark: SparkSession, view_path: str,
+    recompute_fraction: float | None = M._RECOMPUTE_BOUND_FRACTION,
+) -> int:
+    """Advance the index to the source head: retract changed keys'
+    rows (key delete vector), append the new rows WITH their buckets —
+    ONE delete_and_append commit, O(changed rows). Rollback/vacuumed-
+    past-cursor heals by full recompute (same contract as the pair
+    and text-index views)."""
+    view_v = V.current_version(view_path)
+    spec = _spec_ai(view_path, view_v)
+    src, key = spec["ai_source"], spec["ai_key"]
+    vec_col = spec["ai_vec_col"]
+    n_planes, dim, seed = (int(spec["ai_n_planes"]),
+                           int(spec["ai_dim"]), int(spec["ai_seed"]))
+    v_from = int(spec["ai_source_version"])
+    v_to = V.current_version(src)
+    if v_to == v_from:
+        return view_v
+    new_app = dict(spec) | {"ai_source_version": v_to}
+
+    def _recompute() -> int:
+        head = M._read_source(spark, src, v_to)
+        return V.overwrite(
+            spark, view_path,
+            _bucketed_rows(head, key, vec_col, n_planes, dim, seed),
+            extra={"app": new_app}, parent_version=view_v)
+
+    try:
+        recompute, _bounds = M._dispatch_recompute(
+            None, [(src, v_from, v_to)])
+    except RuntimeError:
+        if recompute_fraction is None:
+            raise
+        recompute = True
+    if recompute:
+        return _recompute()
+    try:
+        ch = M._changes_since_cursor(spark, src, v_from, v_to, key)
+    except RuntimeError:
+        return _recompute()
+    del_keys = (ch.where(F.col("_change_type").isin(
+        *(_RETRACTING + _INSERTING))).select(key).distinct())
+    ins = ch.where(F.col("_change_type").isin(*_INSERTING))
+    new_rows = _bucketed_rows(ins, key, vec_col, n_planes, dim, seed)
+    return V.delete_and_append(
+        spark, view_path, del_keys, key, new_rows,
+        extra={"app": new_app}, parent_version=view_v)
+
+
+def refresh_ann_index_with_retry(
+    spark: SparkSession, view_path: str, max_retries: int = 3,
+    recompute_fraction: float | None = M._RECOMPUTE_BOUND_FRACTION,
+) -> int:
+    """OCC rebase loop (the standard view-refresh retry contract)."""
+    return M._refresh_with_retry(
+        lambda: refresh_ann_index(
+            spark, view_path, recompute_fraction=recompute_fraction),
+        max_retries)
+
+
+def query_ann_index(
+    spark: SparkSession, view_path: str, query_vec, k: int = 10,
+    n_probe_bits: int = 1, version: int | None = None,
+) -> DataFrame:
+    """Approximate top-k FROM the maintained index: the query's bucket
+    and its ≤``n_probe_bits``-Hamming neighbors are computed driver-
+    side from the spec's deterministic planes, the state is filtered
+    to those buckets (O(probe fraction) rows), and only they are
+    scored by exact dot product. Returns (<key>, score) — the same
+    probe set, scoring, ordering, and tie-break as
+    ann.lsh_topk_multiprobe over the current source."""
+    v = V.current_version(view_path) if version is None else int(version)
+    spec = _spec_ai(view_path, v)
+    key, vec_col = spec["ai_key"], spec["ai_vec_col"]
+    n_planes, dim, seed = (int(spec["ai_n_planes"]),
+                           int(spec["ai_dim"]), int(spec["ai_seed"]))
+    qv = np.asarray(query_vec, dtype=np.float64)
+    if qv.shape != (dim,):
+        raise ValueError(f"query dim {qv.shape} != index dim ({dim},)")
+    planes = hyperplanes(n_planes, dim, seed)
+    qbucket = int(sum((1 << i) for i, p in enumerate(planes)
+                      if float(p @ qv) >= 0))
+    probes = {qbucket}
+    if n_probe_bits >= 1:
+        probes |= {qbucket ^ (1 << i) for i in range(n_planes)}
+    if n_probe_bits >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(qbucket ^ (1 << i) ^ (1 << j))
+    cand = V.read(spark, view_path, v).where(
+        F.col("bucket").isin(sorted(probes)))
+    scored = cand.withColumn(
+        "score", VEC.dot(F.col(vec_col), VEC.vec_lit(list(qv))))
+    return (scored.select(key, "score")
+            .orderBy(F.desc("score"), F.asc(key))
+            .limit(k))

@@ -1358,6 +1358,8 @@ _VIEW_KINDS = {
                                       "ed_source_version")]),
     # maintained full-text (BM25) postings index (sources/textindex.py)
     "ti_source": ("text_index", [("ti_source", "ti_source_version")]),
+    # maintained ANN (hyperplane-LSH) index (sources/annindex.py)
+    "ai_source": ("ann_index", [("ai_source", "ai_source_version")]),
 }
 
 
@@ -1436,6 +1438,12 @@ def refresh_view(spark: SparkSession, view_path: str,
         from . import textindex as TI  # local: TI imports this module
 
         return TI.refresh_text_index_with_retry(
+            spark, view_path, max_retries=max_retries,
+            recompute_fraction=recompute_fraction)
+    if kind == "ann_index":
+        from . import annindex as AI  # local: AI imports this module
+
+        return AI.refresh_ann_index_with_retry(
             spark, view_path, max_retries=max_retries,
             recompute_fraction=recompute_fraction)
     if kind == "transform":

@@ -627,10 +627,11 @@ def _create_using(spark: SparkSession, catalog: Catalog, name: str,
     table (sources/neardup_view.py), the one view kind whose definition
     is an algorithm, not a SQL shape. REFRESH / DESCRIBE / VACUUM /
     SELECT all work on it like any other registered view."""
-    if kind not in ("near_dup", "embed_near_dup", "text_index"):
+    if kind not in ("near_dup", "embed_near_dup", "text_index",
+                    "ann_index"):
         raise SqlError(f"unknown USING kind {kind!r}; supported: "
-                       f"near_dup, embed_near_dup, text_index "
-                       f"(SQL-shaped kinds use AS SELECT)")
+                       f"near_dup, embed_near_dup, text_index, "
+                       f"ann_index (SQL-shaped kinds use AS SELECT)")
     from ..sources import neardup_view as ND
 
     src_name = opts.get("source")
@@ -652,6 +653,12 @@ def _create_using(spark: SparkSession, catalog: Catalog, name: str,
             kw = {k: opts[k] for k in ("text_col", "k1", "b")
                   if k in opts}
             TI.create_text_index(spark, src["path"], vp, key=key, **kw)
+        elif kind == "ann_index":
+            from ..sources import annindex as AI
+
+            kw = {k: opts[k] for k in ("vec_col", "n_planes", "seed",
+                                       "dim") if k in opts}
+            AI.create_ann_index(spark, src["path"], vp, key=key, **kw)
         elif kind == "near_dup":
             kw = {k: opts[k] for k in ("text_col", "shingle_n",
                                        "num_hashes", "bands",

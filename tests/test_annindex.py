@@ -1,0 +1,99 @@
+"""Maintained ANN (hyperplane-LSH) index view (sources/annindex.py +
+CREATE MATERIALIZED VIEW ... USING ann_index): state parity with the
+ad-hoc bucketing, indexed-query parity with ann.lsh_topk_multiprobe,
+and O(changed rows) incremental maintenance equal to a full rebuild."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rclip_server_spark import sql as S
+from rclip_server_spark.operators import ann
+from rclip_server_spark.sources import annindex as AI
+from rclip_server_spark.sources import versioned as V
+
+QV = [0.125] * 32 + [-0.125] * 32
+
+
+def _rows(df):
+    return sorted(tuple(r if not isinstance(r, list) else tuple(r)
+                        for r in row) for row in
+                  (tuple(x) for x in df.collect()))
+
+
+def _ids_scores(df):
+    return [(r[0], round(r[1], 9)) for r in df.collect()]
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return S.Catalog(str(tmp_path / "cat"))
+
+
+@pytest.fixture()
+def vecs(embeddings):
+    return embeddings.select("vec_id", "embedding").where(
+        F.col("vec_id") % 2 == 0)
+
+
+def _mk(spark, vecs, cat, name="emb"):
+    vecs.createOrReplaceTempView(f"seed_{name}")
+    S.execute(spark, f"CREATE TABLE {name} OPTIONS (key='vec_id') AS "
+                     f"SELECT * FROM seed_{name}", cat)
+    S.execute(spark, f"CREATE MATERIALIZED VIEW {name}_ann USING "
+                     f"ann_index OPTIONS (source='{name}', "
+                     f"key='vec_id', n_planes=4)", cat)
+    return cat.get(f"{name}_ann")["path"]
+
+
+def test_state_and_query_match_adhoc(spark, vecs, cat):
+    vp = _mk(spark, vecs, cat)
+    # state = the ad-hoc bucketing of the same rows
+    planes = ann.hyperplanes(4, 64, 42)
+    want_state = vecs.select(
+        ann.hyperplane_bucket_col(F.col("embedding"), planes)
+        .alias("bucket"), "vec_id")
+    got_state = AI.read_ann_index(spark, vp).select("bucket", "vec_id")
+    assert sorted(map(tuple, got_state.collect())) == \
+        sorted(map(tuple, want_state.collect()))
+    # indexed query == the ad-hoc multiprobe tier, row for row
+    got = AI.query_ann_index(spark, vp, QV, k=10, n_probe_bits=1)
+    want = ann.lsh_topk_multiprobe(vecs, QV, k=10, n_planes=4,
+                                   n_probe_bits=1, seed=42)
+    assert _ids_scores(got) == _ids_scores(want)
+
+
+def test_incremental_refresh_equals_rebuild(spark, vecs, cat,
+                                            embeddings):
+    vp = _mk(spark, vecs, cat, "inc")
+    embeddings.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    ).where(F.col("vec_id") % 2 == 1).limit(100) \
+        .createOrReplaceTempView("inc_extra")
+    S.execute(spark, "INSERT INTO inc SELECT * FROM inc_extra", cat)
+    S.execute(spark, "DELETE FROM inc WHERE vec_id % 6 = 0", cat)
+    r = S.execute(spark, "REFRESH MATERIALIZED VIEW inc_ann", cat)
+    assert r["status"] == "refreshed"
+    current = S.execute(spark, "SELECT vec_id, embedding FROM inc",
+                        cat)
+    got = AI.query_ann_index(spark, vp, QV, k=10, n_probe_bits=2)
+    want = ann.lsh_topk_multiprobe(current, QV, k=10, n_planes=4,
+                                   n_probe_bits=2, seed=42)
+    assert _ids_scores(got) == _ids_scores(want)
+    # bucketed state equals a rebuild over the current source
+    planes = ann.hyperplanes(4, 64, 42)
+    want_state = current.select(
+        ann.hyperplane_bucket_col(F.col("embedding"), planes)
+        .alias("bucket"), "vec_id")
+    assert sorted(map(tuple, AI.read_ann_index(spark, vp)
+                      .select("bucket", "vec_id").collect())) == \
+        sorted(map(tuple, want_state.collect()))
+    d = S.execute(spark, "DESCRIBE MATERIALIZED VIEW inc_ann", cat)
+    assert d["view_kind"] == "ann_index" and d["fresh"] is True
+
+
+def test_guards(spark, vecs, cat):
+    vp = _mk(spark, vecs, cat, "g")
+    with pytest.raises(ValueError):
+        AI.query_ann_index(spark, vp, [0.0] * 7)  # wrong dim
+    with pytest.raises(S.SqlError):
+        S.execute(spark, "DELETE FROM g_ann WHERE bucket = 0", cat)
