@@ -994,6 +994,52 @@ def main() -> int:
         "exchange, the write job fails on the first violating row.",
     ))
 
+    # --- maintained index views (late r11): the query-side plans must
+    # push their selection into the index scan ---
+    from rclip_server_spark.sources import annindex as AIX
+    from rclip_server_spark.sources import textindex as TIX
+
+    _tis = tempfile.mkdtemp(prefix="rclip_audit_tis_")
+    os.rmdir(_tis)
+    V.create(spark, _tis, docs.select("doc_id", "text").limit(2000))
+    _tii = tempfile.mkdtemp(prefix="rclip_audit_tii_")
+    os.rmdir(_tii)
+    TIX.create_text_index(spark, _tis, _tii, key="doc_id")
+    audits.append((
+        "Text-index query (term filter pushed to the postings scan)",
+        TIX.query_text_index(spark, _tii, ["vector", "join"], k=10),
+        {"PushedFilters: [In(term": True, "TakeOrderedAndProject": True},
+        "query_text_index reads ONLY the query terms' posting rows: "
+        "the term IN-list reaches the parquet scan as a pushed filter "
+        "(row-group min/max + dictionary skipping), so a query costs "
+        "O(matching postings) — never a corpus scan or re-tokenization "
+        "pass — and the top-k is a per-partition heap, not a global "
+        "sort. After OPTIMIZE ZORDER/bucketing by term the same filter "
+        "prunes whole segments too.",
+    ))
+
+    _ais = tempfile.mkdtemp(prefix="rclip_audit_ais_")
+    os.rmdir(_ais)
+    V.create(spark, _ais,
+             load_table(spark, SF_DIR, "embeddings")
+             .select("vec_id", "embedding").limit(2000))
+    _aii = tempfile.mkdtemp(prefix="rclip_audit_aii_")
+    os.rmdir(_aii)
+    AIX.create_ann_index(spark, _ais, _aii, key="vec_id", n_planes=4)
+    audits.append((
+        "ANN-index query (bucket probe set pushed to the scan)",
+        AIX.query_ann_index(spark, _aii, [0.125] * 32 + [-0.125] * 32,
+                            k=10, n_probe_bits=1),
+        {"PushedFilters: [In(bucket": True,
+         "TakeOrderedAndProject": True},
+        "query_ann_index filters the stored bucket column to the "
+        "driver-computed probe set BEFORE any scoring: the IN-list "
+        "reaches the parquet scan, so only the probed buckets' rows "
+        "are read and dot-scored — O(probe fraction of the corpus) "
+        "per query, with the bucketing paid once at WRITE time "
+        "instead of per call.",
+    ))
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
