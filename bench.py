@@ -82,6 +82,13 @@ FLOOR_SEC = {
     # single Exchange), one partitioned parquet write, one
     # column-pruned read-back agg building the verified manifest
     "export_shards_docs": 0.510,
+    # late-r11 first-committed floor (best-of-session under calib
+    # 0.995, contention k~1.5 — conservative; re-pin on an idle round):
+    # BM25 top-10 from the maintained postings index (pushed term
+    # IN-list scan + <=|terms|-row df agg + heap top-k) — same answer
+    # as bm25_topk's 1.07 s corpus scan+tokenize, ~2.5x faster even at
+    # toy scale where the JVM stage floor dominates
+    "bm25_indexed_topk": 0.436,
 }
 R3_FLOOR_SEC = FLOOR_SEC  # legacy alias
 

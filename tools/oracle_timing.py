@@ -44,6 +44,13 @@ HEADLINER_ORACLE = {
     "train_quality_lr": None,          # iterative training: no SQL twin
     "weighted_fixed_k": "samp_weighted_fixed_k",
     "hist_quantiles": "sketch_histogram_quantiles",
+    # late-r11 headliners: the shard export WRITES real shard files +
+    # reads them back — the manifest oracle only recomputes the
+    # numbers, so there is no matched-work SQL twin; the indexed bm25
+    # answers the SAME query the corpus-scan oracle computes (the
+    # index-vs-scan claim)
+    "export_shards_docs": None,
+    "bm25_indexed_topk": "text_bm25_topk",
     "lsh_knn_join": "__knn_bench__",  # bench config differs from the
     # contract row (bigger left side, 9 planes) — a matched-semantics SQL
     # is generated below so the baseline compares the same workload
