@@ -2702,8 +2702,6 @@ def _ti_postings(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources import textindex as TI
 
     path = _vt_build(spark, sf, "tiidx", _ti_index_builder)
-    import os as _os
-
     from .. import sql as SQ
 
     cat = SQ.Catalog(path)

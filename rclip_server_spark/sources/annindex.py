@@ -136,13 +136,22 @@ def refresh_ann_index(
         ch = M._changes_since_cursor(spark, src, v_from, v_to, key)
     except RuntimeError:
         return _recompute()
-    del_keys = (ch.where(F.col("_change_type").isin(
-        *(_RETRACTING + _INSERTING))).select(key).distinct())
-    ins = ch.where(F.col("_change_type").isin(*_INSERTING))
-    new_rows = _bucketed_rows(ins, key, vec_col, n_planes, dim, seed)
-    return V.delete_and_append(
-        spark, view_path, del_keys, key, new_rows,
-        extra={"app": new_app}, parent_version=view_v)
+    # persist: the frame is consumed twice inside delete_and_append
+    # (delete-vector write + segment write), and a rewriting interval's
+    # CDC is a snapshot-diff join — don't run it per consumer (same
+    # stance as the text-index and pair-view refreshers)
+    ch = ch.persist()
+    try:
+        del_keys = (ch.where(F.col("_change_type").isin(
+            *(_RETRACTING + _INSERTING))).select(key).distinct())
+        ins = ch.where(F.col("_change_type").isin(*_INSERTING))
+        new_rows = _bucketed_rows(ins, key, vec_col, n_planes, dim,
+                                  seed)
+        return V.delete_and_append(
+            spark, view_path, del_keys, key, new_rows,
+            extra={"app": new_app}, parent_version=view_v)
+    finally:
+        ch.unpersist()
 
 
 def refresh_ann_index_with_retry(

@@ -208,6 +208,15 @@ def query_text_index(
         terms = [t for t in terms.lower().split() if t]
     if not terms:
         raise ValueError("query_text_index needs at least one term")
+    # collapse repeats to (unique term, multiplicity): create_map
+    # rejects duplicate keys (mapKeyDedupPolicy=EXCEPTION), and the
+    # batch scorer sums one contribution PER OCCURRENCE — contrib is
+    # linear in idf, so weighting idf by the multiplicity reproduces
+    # it exactly
+    mult = {}
+    for t in terms:
+        mult[t] = mult.get(t, 0) + 1
+    terms = list(mult)
     v = V.current_version(view_path) if version is None else int(version)
     spec = _spec_ti(view_path, v)
     key = spec["ti_key"]
@@ -231,7 +240,8 @@ def query_text_index(
         return math.log((n - d + 0.5) / (d + 0.5) + 1.0)
 
     idf_map = F.create_map(*[x for t in terms
-                             for x in (F.lit(t), F.lit(_idf(t)))])
+                             for x in (F.lit(t),
+                                       F.lit(_idf(t) * mult[t]))])
     tf = F.col("tf").cast("double")
     denom = tf + F.lit(k1) * (F.lit(1.0 - b)
                               + F.lit(b) * (F.col("dl").cast("double")

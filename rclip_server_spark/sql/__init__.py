@@ -60,12 +60,14 @@ the Spark engine the equivalent entry point for its storage layer:
   ``RESTORE TABLE t TO TIMESTAMP AS OF '<ts>'`` is the timestamp
   flavor of the metadata-only rollback.
 * ``CREATE MATERIALIZED VIEW v USING near_dup | embed_near_dup |
-  text_index OPTIONS (source='t', key='id', ...)`` — the
+  text_index | ann_index OPTIONS (source='t', key='id', ...)`` — the
   algorithm-defined kinds that have no SQL shape to infer from: the
-  maintained banded-MinHash / hyperplane-LSH pair tables, and the
+  maintained banded-MinHash / hyperplane-LSH pair tables, the
   maintained full-text (BM25) postings index (refresh O(changed
   docs); textindex.query_text_index scores from the postings,
-  O(matching postings) per query).
+  O(matching postings) per query), and the maintained ANN
+  (hyperplane-LSH) index (annindex.query_ann_index scores only the
+  probed buckets' rows).
 * ``EXPLAIN <select>`` — the formatted physical plan, for checking
   pushdown/broadcast/shuffle shape from the same entry point.
 * ``DESCRIBE [MATERIALIZED] VIEW v`` / ``DESCRIBE CASCADE v`` /

@@ -9,15 +9,8 @@ from pyspark.sql import functions as F
 from rclip_server_spark import sql as S
 from rclip_server_spark.operators import ann
 from rclip_server_spark.sources import annindex as AI
-from rclip_server_spark.sources import versioned as V
 
 QV = [0.125] * 32 + [-0.125] * 32
-
-
-def _rows(df):
-    return sorted(tuple(r if not isinstance(r, list) else tuple(r)
-                        for r in row) for row in
-                  (tuple(x) for x in df.collect()))
 
 
 def _ids_scores(df):

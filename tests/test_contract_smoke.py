@@ -56,8 +56,11 @@ def test_registry_invariants():
     # dedup_ rows are absent BY DESIGN — every one of them is already
     # driver-verified (CORRECTNESS_r03/r04 green cells), and their slots
     # now carry never-verified backlog rows (the cumulative-coverage goal).
-    for prefix in ("a", "b", "ev_", "samp_", "text_",
-                   "rel_", "ann_", "sketch_", "d1_"):
+    # late-r11: the text/ann family slots may be carried by their
+    # maintained-index twins (ti_/ai_ rows exercise the same operators
+    # through the index surface)
+    for prefix in ("a", "b", "ev_", "samp_", ("text_", "ti_"),
+                   "rel_", ("ann_", "ai_"), "sketch_", "d1_"):
         assert any(n.startswith(prefix) for n in window), prefix
     # everything in the window has an oracle except the NAMED rows-only
     # rows (no SQL twin by design: RNG-seeded/k-means/iterative/UDF

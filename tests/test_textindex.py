@@ -10,7 +10,6 @@ from pyspark.sql import functions as F
 from rclip_server_spark import sql as S
 from rclip_server_spark.operators import retrieval
 from rclip_server_spark.sources import textindex as TI
-from rclip_server_spark.sources import versioned as V
 
 
 def _rows(df):
