@@ -753,6 +753,25 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
                                "TABLE")
             return {"name": name,
                     "create_statement": _show_create(catalog, name)}
+        if cur.at_kw("streams"):
+            # SHOW STREAMS — every live streaming query THIS process
+            # started through the frontend (refresh + copy ingest);
+            # handles are process-local, same contract DESCRIBE VIEW's
+            # liveness states
+            cur.take()
+            if not cur.done():
+                raise SqlError("trailing tokens after SHOW STREAMS")
+            out = []
+            for (root, label), q in _STREAMS.items():
+                if root != catalog.root or not q.isActive:
+                    continue
+                if label.startswith("copy:"):
+                    out.append({"name": label[5:], "type": "copy",
+                                "stream_id": str(q.id)})
+                else:
+                    out.append({"name": label, "type": "refresh",
+                                "stream_id": str(q.id)})
+            return sorted(out, key=lambda r: (r["name"], r["type"]))
         cur.expect_kw("tables")
         return [{"name": n, **{k: e[k] for k in ("kind", "path")}}
                 for n, e in sorted(catalog.snapshot().items())]

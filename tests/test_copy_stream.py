@@ -144,3 +144,29 @@ def test_copy_stream_identity_and_drop_guards(spark, seed, cat,
     assert os.path.isdir(ckroot)
     S.execute(spark, "DROP TABLE tg", cat)
     assert not os.path.isdir(ckroot)
+
+
+def test_show_streams_lists_both_kinds(spark, seed, cat, tmp_path):
+    src = str(tmp_path / "ss_landing")
+    os.makedirs(src)
+    S.execute(spark, "CREATE TABLE ts (event_id BIGINT, event_type "
+                     "STRING, cents BIGINT) OPTIONS (key='event_id')",
+              cat)
+    seed.limit(20).createOrReplaceTempView("seed_ss")
+    S.execute(spark, "CREATE TABLE tsv OPTIONS (key='event_id') AS "
+                     "SELECT * FROM seed_ss", cat)
+    S.execute(spark, "CREATE MATERIALIZED VIEW ssv AS SELECT "
+                     "event_type, COUNT(*) AS n FROM tsv "
+                     "GROUP BY event_type", cat)
+    assert S.execute(spark, "SHOW STREAMS", cat) == []
+    S.execute(spark, f"START COPY STREAM FROM '{src}' INTO ts "
+                     f"OPTIONS (format='ndjson')", cat)
+    S.execute(spark, "START REFRESH STREAM ON VIEW ssv", cat)
+    try:
+        got = S.execute(spark, "SHOW STREAMS", cat)
+        assert [(r["name"], r["type"]) for r in got] == \
+            [("ssv", "refresh"), ("ts", "copy")]
+    finally:
+        S.execute(spark, "STOP COPY STREAM ON ts", cat)
+        S.execute(spark, "STOP REFRESH STREAM ON VIEW ssv", cat)
+    assert S.execute(spark, "SHOW STREAMS", cat) == []
