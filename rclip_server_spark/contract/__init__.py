@@ -84,7 +84,6 @@ _PRIORITY = [
     # and stay replayed locally by tools/check_contract.py) ---
     "ev_asof_attribution",
     "dedup_minhash_near_dup",
-    "sql_q17_small_quantity_revenue",
     # --- NEW r11 rows ---
     "sql_bucketed_conditional_merge", "b16_local_binary_ingest",
     "sql_select_window_over_dv", "sql_select_grouping_sets_over_dv",
@@ -102,14 +101,19 @@ _PRIORITY = [
     "ti_postings", "ti_bm25_indexed_topk",
     # maintained ANN (LSH) index view: indexed multiprobe parity
     "ai_lsh_indexed_topk",
+    # hybrid retrieval from BOTH maintained indexes (RRF capstone)
+    "hybrid_indexed_rrf",
 ]
 # r12 rotation candidates (driver-green in earlier rounds, displaced
 # by the r11 rows above): sql_mv_roundtrip, sql_topk_qualify,
 # sql_update_roundtrip, sql_restore_roundtrip, sql_q8_market_share,
-# rel_grouping_sets, rel_window_rank, ev_session_windows,
-# samp_stratified, text_lang_id, ann_lsh_topk_multiprobe,
-# vec_quantize_int8_roundtrip — plus the usual oldest-green recency
-# sweep.
+# sql_q17_small_quantity_revenue, rel_grouping_sets, rel_window_rank,
+# ev_session_windows, samp_stratified, samp_temperature_mixture,
+# text_lang_id, text_bm25_topk, text_ngram_contamination,
+# ann_lsh_topk_multiprobe, ann_lsh_knn_join, dedup_semantic_semdedup,
+# vec_quantize_int8_roundtrip, vt_view_composition — plus the usual
+# oldest-green recency sweep. (The text/ann family slots are carried
+# by their maintained-index twins ti_/ai_ this round.)
 
 
 def _ordered(reg: dict) -> dict:

@@ -2,7 +2,7 @@
 from __future__ import annotations
 
 from ._base import *  # noqa: F401,F403
-from ._base import _register, _t  # noqa: F401
+from ._base import _register, _t, _f  # noqa: F401
 from ._dedup_text import _HASHED_SHINGLES, _SIG_LIST  # noqa: F401
 from ._breadth1 import BM25_TERMS, _bm25_sql  # noqa: F401
 from ._breadth1 import _MP_PROBES as _AI_MP_PROBES  # noqa: F401
@@ -2812,5 +2812,65 @@ _register(
     WHERE {bucket_sql('embedding', PLANES4)}
           IN ({', '.join(str(b) for b in _AI_MP_PROBES)})
     ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+
+
+def _hybrid_indexed_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval FROM the two maintained indexes (the capstone
+    composition): the lexical side is BM25 top-50 from the postings
+    index, the vector side is multiprobe-LSH top-50 from the ANN
+    index — each O(its selection), neither a corpus scan — fused by
+    reciprocal-rank (retrieval.rrf_fusion). Both indexes are the
+    post-DML refreshed fixtures, so the row also re-proves their
+    maintenance. Oracle: both sides recomputed set-algebraically over
+    their churned corpora, same ranks, same fusion arithmetic."""
+    from ..operators import retrieval
+    from ..sources import annindex as AI
+    from ..sources import textindex as TI
+
+    import os as _os
+
+    from .. import sql as SQ
+
+    tpath = _vt_build(spark, sf, "tiidx", _ti_index_builder)
+    apath = _vt_build(spark, sf, "aiidx", _ai_index_builder)
+    text_side = TI.query_text_index(
+        spark, SQ.Catalog(tpath).get("tiidx")["path"],
+        BM25_TERMS, k=50)
+    vec_side = AI.query_ann_index(
+        spark, SQ.Catalog(apath).get("aiidx")["path"],
+        QV_ZEBRA, k=50, n_probe_bits=1).withColumnRenamed(
+        "vec_id", "doc_id")
+    return retrieval.rrf_fusion(text_side, vec_side, k=10, pool=50)
+
+
+_register(
+    "hybrid_indexed_rrf",
+    _hybrid_indexed_rrf,
+    f"""
+    WITH txt AS ({_bm25_sql(BM25_TERMS, topk=50).replace(
+        "FROM documents", f"FROM {_TI_CORPUS_SQL}")}),
+    tr AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                       AS BIGINT) AS t_rank
+           FROM txt),
+    vec AS (SELECT vec_id AS doc_id,
+                   {dot_sql('embedding', QV_ZEBRA)} AS score
+            FROM {_AI_CORPUS_SQL}
+            WHERE {bucket_sql('embedding', PLANES4)}
+                  IN ({', '.join(str(b) for b in _AI_MP_PROBES)})
+            ORDER BY score DESC, doc_id LIMIT 50),
+    vr AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                       AS BIGINT) AS v_rank
+           FROM vec),
+    fused AS (
+      SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id, t_rank, v_rank,
+             (COALESCE({_f(1.0)} / ({_f(60.0)} + CAST(t_rank AS DOUBLE)), {_f(0.0)})
+              + COALESCE({_f(1.0)} / ({_f(60.0)} + CAST(v_rank AS DOUBLE)), {_f(0.0)})) AS rrf
+      FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id)
+    SELECT doc_id, t_rank, v_rank, rrf FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT 10
     """,
 )
