@@ -2590,7 +2590,6 @@ _register(
 
 def _sql_ts_travel_builder(spark: SparkSession, sf: str,
                            path: str) -> None:
-    import os as _os
     import time as _time
 
     from .. import sql as SQ
@@ -2606,15 +2605,15 @@ def _sql_ts_travel_builder(spark: SparkSession, sf: str,
     SQ.execute(spark, "DELETE FROM evts WHERE event_id % 4 = 0", cat)
     SQ.execute(spark, "INSERT INTO evts SELECT * FROM events_seed_ts "
                       "WHERE event_id % 2 = 1", cat)
-    # spread the commit clock deterministically (mtimes can collide at
-    # filesystem second granularity)
+    # spread the commit clock deterministically (real commits can land
+    # within one clock tick) — rewrites committed_at, the clock
+    # TIMESTAMP AS OF actually resolves against
     from ..sources import versioned as VT
 
     tpath = cat.get("evts")["path"]
     now = _time.time()
     for i, v in enumerate(VT._manifest_versions(tpath)):
-        p = VT._snap_path(tpath, v)
-        _os.utime(p, (now - 100 + i * 10, now - 100 + i * 10))
+        VT._rewrite_commit_epoch(tpath, v, now - 100 + i * 10)
 
 
 def _sql_timestamp_time_travel(spark: SparkSession, sf: str

@@ -57,6 +57,7 @@ import logging
 import os
 import re
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -182,6 +183,14 @@ def _commit(path: str, version: int, segments: list[str], op: str,
         manifest["batch_id"] = int(batch_id)
     if extra:
         manifest.update(extra)
+    # explicit commit clock INSIDE the manifest: time travel and
+    # DESCRIBE HISTORY resolve against this, not the file mtime, so an
+    # rsync/cp/restore of the table directory that loses mtimes cannot
+    # silently rewrite history (legacy manifests without the field
+    # fall back to mtime). A committer may seed it through ``extra``
+    # (test fixtures spreading a deterministic clock).
+    if "committed_at" not in manifest:
+        manifest["committed_at"] = time.time()
     # per-segment row counts, carried from the parent for retained
     # segments and read from parquet FOOTERS for new ones (metadata-only,
     # no Spark job) — so table_row_count() answers any version's size
@@ -1117,6 +1126,51 @@ def live_clone_refs(path: str) -> list[str]:
     return sorted(set(out))
 
 
+def clones_still_referencing(path: str) -> list[str]:
+    """Live clones whose RETAINED MANIFESTS still name this table's
+    segments — the manifest-walking liveness check DROP TABLE blocks
+    on (ADVICE r11: the existence-only ``live_clone_refs`` guard
+    permanently blocked dropping a source even after every clone had
+    been localized by OPTIMIZE + VACUUM). Consistent with vacuum's
+    ``_clone_pinned_segments``: a clone whose history no longer
+    references us releases the block exactly when it would release
+    the segment pins. A registered clone with no manifests yet
+    (mid-creation) blocks conservatively — its first commit is about
+    to reference us."""
+    croot = os.path.join(path, _CLONE_DIR)
+    if not os.path.isdir(croot):
+        return []
+    me = os.path.realpath(path)
+    out: set[str] = set()
+    for f in sorted(os.listdir(croot)):
+        if not f.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(croot, f)) as fh:
+                clone = json.load(fh)["clone"]
+        except (OSError, ValueError, KeyError):
+            continue
+        if not os.path.isdir(os.path.join(clone, _SNAP_DIR)):
+            continue  # clone DROPped: dead ref (vacuum owns reaping)
+        versions = _manifest_versions(clone)
+        if not versions:
+            out.add(clone)  # mid-creation clone: conservative block
+            continue
+        for v in versions:
+            try:
+                m = _manifest(clone, v)
+            except FileNotFoundError:
+                continue  # the clone's own vacuum raced us
+            segs = list(_manifest_segments(m)) + list(
+                m.get("delete_segs") or [])
+            if any(os.path.isabs(s)
+                   and os.path.realpath(os.path.dirname(s)) == me
+                   for s in segs):
+                out.add(clone)
+                break
+    return sorted(out)
+
+
 def _clone_pinned_segments(path: str, reap: bool = True
                            ) -> set[str] | None:
     """Segment NAMES of ``path`` that live clones still reference —
@@ -1208,6 +1262,15 @@ def clone(src_path: str, dst_path: str, version: int | None = None
 
     extra: dict = {"col_types": m.get("col_types", {}),
                    "cloned_from": {"path": src_abs, "version": v}}
+    # CHECK constraints carry over (Delta CLONE copies table
+    # constraints/properties): without this an insert into the clone
+    # of a constrained table would silently bypass enforcement. View-
+    # spec app keys are deliberately NOT carried — a clone of a
+    # maintained view is an ordinary table snapshot, not a second
+    # refresher racing the original's cursor.
+    cons = _constraints(m)
+    if cons:
+        extra["app"] = {"table_constraints": cons}
     for k in ("hidden_cols", "delete_key", "stat_cols"):
         if m.get(k) is not None:
             extra[k] = m[k]
@@ -1231,7 +1294,12 @@ def clone(src_path: str, dst_path: str, version: int | None = None
         segments = [_abs(s) for s in m["segments"]]
         data_refs = list(segments)
     all_refs = data_refs + list(extra.get("delete_segs", []))
-    os.makedirs(os.path.join(dst_path, _SNAP_DIR), exist_ok=False)
+    # claim the DESTINATION ROOT exclusively (not just the _snap leaf):
+    # the failure path below rmtree's dst_path, so proceeding over a
+    # pre-existing non-table directory would wipe the user's data on a
+    # later error. makedirs(exist_ok=False) is the atomic claim.
+    os.makedirs(dst_path, exist_ok=False)
+    os.makedirs(os.path.join(dst_path, _SNAP_DIR))
     refs = []
     try:
         for owner in sorted({os.path.dirname(s) for s in all_refs}):
@@ -1525,12 +1593,41 @@ def cluster_zorder(
     return v + 1
 
 
+def _commit_epoch(path: str, v: int, m: dict | None = None) -> float:
+    """The commit clock for one version: the explicit ``committed_at``
+    epoch recorded inside the manifest at _commit time (survives
+    cp/rsync/restore of the table directory), falling back to the
+    manifest file's mtime for legacy manifests written before the
+    field existed."""
+    if m is None:
+        m = _manifest(path, v)
+    ca = m.get("committed_at")
+    if ca is not None:
+        return float(ca)
+    return os.path.getmtime(_snap_path(path, v))
+
+
+def _rewrite_commit_epoch(path: str, version: int, epoch: float) -> None:
+    """TEST-SUPPORT ONLY: rewrite one committed manifest's
+    ``committed_at`` (and the file mtime, keeping the legacy fallback
+    clock consistent). Fixtures spread the commit clock
+    deterministically because real commits can land within one clock
+    tick; production code never rewrites a published manifest."""
+    p = _snap_path(path, version)
+    with open(p) as f:
+        m = json.load(f)
+    m["committed_at"] = float(epoch)
+    with open(p, "w") as f:
+        json.dump(m, f)
+    os.utime(p, (epoch, epoch))
+
+
 def version_at_timestamp(path: str, ts) -> int:
     """Largest RETAINED version committed at or before ``ts`` — the
     timestamp half of time travel (Delta's TIMESTAMP AS OF). The
-    commit clock is the manifest file's mtime, the same clock
-    vacuum's ``retain_seconds`` drain guard reads, so the two
-    features agree about when a version existed. ``ts``: epoch
+    commit clock is the ``committed_at`` epoch recorded inside each
+    manifest (mtime fallback for legacy manifests), so a directory
+    copy that loses mtimes cannot rewrite history. ``ts``: epoch
     seconds, or an ISO-8601 string (naive = UTC — the engine session
     is pinned to UTC). Manifest-listing only, zero Spark jobs."""
     import datetime as _dt
@@ -1548,11 +1645,11 @@ def version_at_timestamp(path: str, ts) -> int:
     best = None
     versions = _manifest_versions(path)
     for v in versions:
-        mt = os.path.getmtime(_snap_path(path, v))
+        mt = _commit_epoch(path, v)
         # quantize to the MICROSECOND clock history()/DESCRIBE HISTORY
-        # report (datetime truncates sub-µs mtime nanoseconds), so a
+        # report (datetime truncates sub-µs nanoseconds), so a
         # reported commit timestamp always resolves to its own version
-        # — comparing the raw float mtime would land sub-µs AFTER the
+        # — comparing the raw float would land sub-µs AFTER the
         # reported timestamp and skip back one version
         mt = _dt.datetime.fromtimestamp(
             mt, _dt.timezone.utc).timestamp()
@@ -1665,8 +1762,9 @@ def _manifest_row_count(path: str, m: dict) -> int:
 
 def history(path: str) -> list[dict]:
     """The commit log, oldest first: version, op, parent, segment
-    count, and the commit timestamp (manifest mtime as ISO-8601 UTC —
-    the value TIMESTAMP AS OF / RESTORE ... TO TIMESTAMP resolve
+    count, and the commit timestamp (the manifest's ``committed_at``
+    epoch as ISO-8601 UTC, mtime fallback for legacy manifests — the
+    value TIMESTAMP AS OF / RESTORE ... TO TIMESTAMP resolve
     against)."""
     import datetime as _dt
 
@@ -1676,7 +1774,7 @@ def history(path: str) -> list[dict]:
         segs = m.get("segments") or sorted(
             s for segs in m.get("buckets", {}).values() for s in segs
         )
-        mt = os.path.getmtime(_snap_path(path, v))
+        mt = _commit_epoch(path, v, m)
         out.append({"version": m["version"], "op": m["op"],
                     "parent": m["parent"], "n_segments": len(segs),
                     "timestamp": _dt.datetime.fromtimestamp(

@@ -388,9 +388,14 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
             else:
                 # schemaful scan: the TABLE's visible schema is pushed
                 # to the reader, so there is no inference pass and a
-                # malformed value fails the load, not a later query
+                # malformed value fails the load, not a later query —
+                # FAILFAST makes that promise real (Spark's default
+                # PERMISSIVE mode would silently NULL the bad value
+                # and commit it, and NULLs even satisfy CHECK
+                # constraints under unknown-is-satisfied)
                 schema = _read_entry(spark, e).limit(0).schema
-                rd = spark.read.schema(schema)
+                rd = spark.read.schema(schema).option("mode",
+                                                      "FAILFAST")
                 if fmt == "csv":
                     batch = rd.option(
                         "header", "true" if header else "false"
@@ -985,14 +990,18 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
             raise SqlError(
                 f"cannot drop {name}: registered view(s) "
                 f"{dependents} read it — DROP them first")
-        # same rule for shallow clones: a live clone's manifests name
-        # this table's segment directories by absolute path
+        # same rule for shallow clones — but MANIFEST-WALKING, the
+        # same liveness vacuum's segment pinning uses: a clone whose
+        # retained history still names this table's segment dirs
+        # blocks the drop; one fully localized (OPTIMIZE + VACUUM of
+        # its old manifests) or dropped releases it
         if e["kind"] == "table":
-            clones = V.live_clone_refs(e["path"])
+            clones = V.clones_still_referencing(e["path"])
             if clones:
                 raise SqlError(
                     f"cannot drop {name}: live clone(s) at {clones} "
-                    f"still reference its segments — DROP them first")
+                    f"still reference its segments — DROP them, or "
+                    f"localize them (OPTIMIZE + VACUUM) first")
         live = _STREAMS.get(_stream_key(catalog, name))
         if live is not None and live.isActive:
             raise SqlError(

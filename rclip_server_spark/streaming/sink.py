@@ -169,7 +169,11 @@ def start_file_ingest_stream(
     bucketed = "buckets" in m
     snap = (V.read_bucketed(spark, table_path) if bucketed
             else V.read(spark, table_path)).limit(0)
-    rd = spark.readStream.schema(snap.schema)
+    # FAILFAST: "a malformed value fails the batch" must be literal —
+    # the default PERMISSIVE mode would silently commit NULLs for
+    # unparseable values (which even pass CHECK constraints under the
+    # unknown-is-satisfied rule)
+    rd = spark.readStream.schema(snap.schema).option("mode", "FAILFAST")
     if max_files_per_trigger is not None:
         rd = rd.option("maxFilesPerTrigger", int(max_files_per_trigger))
     if fmt == "csv":

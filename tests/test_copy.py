@@ -132,3 +132,59 @@ def test_copy_guards(spark, seed, cat, tmp_path):
                          f"(partition_by='nope')", cat)
     with pytest.raises(S.SqlError):  # unquoted path
         S.execute(spark, "COPY c7 TO outdir", cat)
+
+
+def test_copy_from_malformed_csv_fails_load(spark, seed, cat,
+                                            tmp_path):
+    """ADVICE r11: 'a malformed value fails the load, not a later
+    query' must be literal — FAILFAST, not PERMISSIVE null-ing (NULLs
+    would even pass CHECK constraints under unknown-is-satisfied)."""
+    src = str(tmp_path / "bad_csv")
+    os.makedirs(src)
+    with open(os.path.join(src, "part-0.csv"), "w") as f:
+        f.write("event_id,event_type,cents\n"
+                "1,click,100\n"
+                "2,view,NOT_A_NUMBER\n")
+    S.execute(spark, "CREATE TABLE cbad (event_id BIGINT, event_type "
+                     "STRING, cents BIGINT) OPTIONS (key='event_id')",
+              cat)
+    with pytest.raises(Exception) as ex:
+        S.execute(spark, f"COPY cbad FROM '{src}' OPTIONS "
+                         f"(format='csv', header=true)", cat)
+    assert "Malformed" in str(ex.value) or "FAILFAST" in str(ex.value)
+    # nothing committed: the table is still at its empty v1
+    assert S.execute(spark, "SELECT COUNT(*) AS n FROM cbad",
+                     cat).first()["n"] == 0
+
+
+def test_copy_stream_malformed_ndjson_fails_batch(spark, seed, cat,
+                                                  tmp_path):
+    """The continuous-ingest twin of the FAILFAST contract: a
+    malformed value fails the micro-batch (stream dies loudly), and
+    the exactly-once sink commits nothing for it."""
+    import time as _t
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    S.execute(spark, "CREATE TABLE sbad (event_id BIGINT, cents "
+                     "BIGINT) OPTIONS (key='event_id')", cat)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write('{"event_id": 1, "cents": "garbage"}\n')
+    r = S.execute(spark, f"START COPY STREAM FROM '{src}' INTO sbad "
+                         f"OPTIONS (format='ndjson')", cat)
+    assert r["status"] == "copy_stream_started"
+    from rclip_server_spark.sql._streams import (_STREAMS,
+                                                 _copy_stream_key)
+
+    q = _STREAMS[_copy_stream_key(cat, "sbad")]
+    # the poisoned batch must kill the query (not silently commit
+    # NULLs); surface within a bounded wait
+    deadline = _t.time() + 60
+    while q.isActive and _t.time() < deadline:
+        _t.sleep(0.5)
+    assert not q.isActive
+    err = q.exception()
+    assert err is not None
+    assert S.execute(spark, "SELECT COUNT(*) AS n FROM sbad",
+                     cat).first()["n"] == 0
+    _STREAMS.pop(_copy_stream_key(cat, "sbad"), None)

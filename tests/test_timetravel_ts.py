@@ -33,13 +33,13 @@ def _mk_versions(spark, events, cat, name):
     S.execute(spark, f"DELETE FROM {name} WHERE event_id % 4 = 0", cat)
     S.execute(spark, f"INSERT INTO {name} SELECT * FROM seed_{name} "
                      f"WHERE event_id % 2 = 1", cat)
-    # separate the commit clock: mtimes are second-granular on some
-    # filesystems, so spread them deterministically
+    # separate the commit clock deterministically (commits can land
+    # within one clock tick) — rewrites committed_at, the clock
+    # TIMESTAMP AS OF actually resolves against
     path = cat.get(name)["path"]
     now = time.time()
     for i, v in enumerate(V._manifest_versions(path)):
-        p = V._snap_path(path, v)
-        os.utime(p, (now - 100 + i * 10, now - 100 + i * 10))
+        V._rewrite_commit_epoch(path, v, now - 100 + i * 10)
     return ev, path
 
 
@@ -90,3 +90,32 @@ def test_vacuum_dry_run_previews_exactly(spark, events, cat):
     assert r2["deleted_segments"] == len(preview)
     for s in preview:
         assert not os.path.isdir(os.path.join(path, s))
+
+
+def test_commit_clock_survives_mtime_loss(spark, events, cat, tmp_path):
+    """ADVICE r11: the commit clock lives INSIDE the manifest
+    (committed_at), so copying/rsyncing the table directory without
+    preserving mtimes cannot rewrite history — TIMESTAMP AS OF
+    resolves to the same versions before and after the copy."""
+    import shutil
+
+    ev, path = _mk_versions(spark, events, cat, "tt4")
+    hist = S.execute(spark, "DESCRIBE HISTORY tt4", cat)
+    ts2 = hist[1]["timestamp"]
+    want = _rows(S.execute(
+        spark, f"SELECT * FROM tt4 TIMESTAMP AS OF '{ts2}'", cat))
+    # simulate a metadata-losing copy: fresh mtimes on every manifest
+    # (copy=shutil.copy, not copy2), all set to NOW — under the old
+    # mtime clock every version would collide at the copy instant
+    dst = str(tmp_path / "tt4_copy")
+    shutil.copytree(path, dst, copy_function=shutil.copy)
+    now = time.time()
+    for v in V._manifest_versions(dst):
+        os.utime(V._snap_path(dst, v), (now, now))
+    assert V.version_at_timestamp(dst, ts2) == \
+        V.version_at_timestamp(path, ts2)
+    hist2 = V.history(dst)
+    assert [h["timestamp"] for h in hist2] == \
+        [h["timestamp"] for h in V.history(path)]
+    got = V.read(spark, dst, V.version_at_timestamp(dst, ts2))
+    assert _rows(got.select("event_id", "event_type")) == want

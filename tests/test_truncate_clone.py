@@ -266,3 +266,68 @@ def test_clone_guards(spark, seed, cat):
     with pytest.raises(S.SqlError):  # bad version
         S.execute(spark, "CREATE TABLE c CLONE src7 VERSION AS OF 99",
                   cat)
+
+
+def test_clone_carries_check_constraints(spark, seed, cat):
+    """ADVICE r11: Delta CLONE copies table constraints — a clone of a
+    constrained table must reject violating inserts, not silently
+    bypass enforcement."""
+    seed.limit(30).createOrReplaceTempView("seed_cl8")
+    S.execute(spark, "CREATE TABLE src8 OPTIONS (key='event_id') AS "
+                     "SELECT * FROM seed_cl8", cat)
+    S.execute(spark, "ALTER TABLE src8 ADD CONSTRAINT pos_cents "
+                     "CHECK (cents >= 0)", cat)
+    S.execute(spark, "CREATE TABLE cl8 CLONE src8", cat)
+    with pytest.raises(Exception) as ex:
+        S.execute(spark, "INSERT INTO cl8 VALUES "
+                         "(999001, 'bad', -5)", cat)
+    assert "pos_cents" in str(ex.value)
+    # non-violating inserts still land
+    S.execute(spark, "INSERT INTO cl8 VALUES (999002, 'ok', 7)", cat)
+    got = S.execute(spark, "SELECT cents FROM cl8 WHERE "
+                           "event_id = 999002", cat)
+    assert [r["cents"] for r in got.collect()] == [7]
+    # DESCRIBE shows the carried constraint
+    d = S.execute(spark, "DESCRIBE cl8", cat)
+    assert d["constraints"] == {"pos_cents": "cents >= 0"}
+
+
+def test_clone_refuses_existing_destination(spark, seed, cat,
+                                            tmp_path):
+    """ADVICE r11: clone() claims the destination ROOT exclusively —
+    a pre-existing directory must refuse up front, and a failed clone
+    must never rmtree a directory it didn't create."""
+    import os
+
+    seed.limit(10).createOrReplaceTempView("seed_cl9")
+    S.execute(spark, "CREATE TABLE src9 OPTIONS (key='event_id') AS "
+                     "SELECT * FROM seed_cl9", cat)
+    src_path = cat.get("src9")["path"]
+    dst = str(tmp_path / "precious")
+    os.makedirs(dst)
+    keep = os.path.join(dst, "user_data.txt")
+    with open(keep, "w") as f:
+        f.write("do not delete")
+    with pytest.raises(FileExistsError):
+        V.clone(src_path, dst)
+    assert os.path.exists(keep)  # pre-existing contents untouched
+
+
+def test_drop_allowed_after_clone_localized(spark, seed, cat):
+    """ADVICE r11: the DROP guard walks clone manifests (vacuum's
+    liveness rule) — a clone fully localized by OPTIMIZE + VACUUM no
+    longer references the source's segments and releases the block."""
+    seed.limit(40).createOrReplaceTempView("seed_cl10")
+    S.execute(spark, "CREATE TABLE src10 OPTIONS (key='event_id') AS "
+                     "SELECT * FROM seed_cl10", cat)
+    S.execute(spark, "CREATE TABLE cl10 CLONE src10", cat)
+    with pytest.raises(S.SqlError):  # still shares segments
+        S.execute(spark, "DROP TABLE src10", cat)
+    S.execute(spark, "OPTIMIZE cl10", cat)   # local segments
+    with pytest.raises(S.SqlError):  # v1 manifest still names them
+        S.execute(spark, "DROP TABLE src10", cat)
+    S.execute(spark, "VACUUM cl10 KEEP 1", cat)  # drop old manifests
+    S.execute(spark, "DROP TABLE src10", cat)    # now allowed
+    # the localized clone still reads fine
+    assert S.execute(spark, "SELECT COUNT(*) AS n FROM cl10",
+                     cat).first()["n"] == 40
