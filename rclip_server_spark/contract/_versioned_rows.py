@@ -2775,6 +2775,13 @@ def _ai_index_builder(spark: SparkSession, sf: str, path: str) -> None:
     SQ.execute(spark, "CREATE MATERIALIZED VIEW aiidx USING ann_index "
                       "OPTIONS (source='aivecs', key='vec_id', "
                       "n_planes=4)", cat)
+    # r12: migrate the index to the hash-bucketed AT-REST layout
+    # BEFORE the churn — the refresh below then exercises the bucketed
+    # delete_and_append twin and the query reads ONLY the probed
+    # physical buckets' segment files (file pruning, plan-asserted in
+    # tests/test_annindex.py); the oracle recomputes from the corpus,
+    # so the bucketed path must stay hash-exact
+    SQ.execute(spark, "OPTIMIZE aiidx BUCKET BY (bucket, 8)", cat)
     SQ.execute(spark, "DELETE FROM aivecs WHERE vec_id % 11 = 0", cat)
     SQ.execute(spark, "INSERT INTO aivecs SELECT vec_id + 1000000, "
                       "embedding FROM embs_seed_ai "
@@ -2871,5 +2878,67 @@ _register(
       FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id)
     SELECT doc_id, t_rank, v_rank, rrf FROM fused
     ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+
+
+# ===========================================================================
+# SQL table functions over the maintained indexes (sql/_reads.py
+# _rewrite_index_searches): TEXT_SEARCH / ANN_SEARCH drive the SAME
+# index-served plans through SQ.execute — the idiomatic SQL surface
+# the r11 verdict asked for. Oracles: the ti_/ai_ rows' recompute-
+# from-scratch SQL, so the rewrite layer cannot hide a wrong answer.
+# ===========================================================================
+
+
+def _sql_text_search_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-10 through the SQL frontend's TEXT_SEARCH table
+    function — parses, rewrites to the postings-index query
+    (textindex.query_text_index, term IN-list pushed to the scan),
+    and composes with an outer SELECT's round(). Same post-DML
+    refreshed fixture as ti_bm25_indexed_topk."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "tiidx", _ti_index_builder)
+    cat = SQ.Catalog(path)
+    terms = " ".join(BM25_TERMS)
+    return SQ.execute(spark, (
+        f"SELECT doc_id, round(bm25, 6) AS bm25 "
+        f"FROM TEXT_SEARCH('tiidx', '{terms}', 10)"), cat)
+
+
+_register(
+    "sql_text_search_topk",
+    _sql_text_search_topk,
+    _bm25_sql(BM25_TERMS, topk=10).replace("FROM documents",
+                                           f"FROM {_TI_CORPUS_SQL}"),
+)
+
+
+def _sql_ann_search_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiprobe-LSH top-10 through the SQL frontend's ANN_SEARCH
+    table function over the BUCKETED index state (the fixture runs
+    OPTIMIZE ... BUCKET BY (bucket, 8) before the churn) — the query
+    names only the probed physical buckets' segment files in its scan.
+    Same probe set / scoring / tie-break as ai_lsh_indexed_topk."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "aiidx", _ai_index_builder)
+    cat = SQ.Catalog(path)
+    arr = ", ".join(repr(float(x)) for x in QV_ZEBRA)
+    return SQ.execute(spark, (
+        f"SELECT vec_id, score "
+        f"FROM ANN_SEARCH('aiidx', array({arr}), 10, 1)"), cat)
+
+
+_register(
+    "sql_ann_search_topk",
+    _sql_ann_search_topk,
+    f"""
+    SELECT vec_id, {dot_sql('embedding', QV_ZEBRA)} AS score
+    FROM {_AI_CORPUS_SQL}
+    WHERE {bucket_sql('embedding', PLANES4)}
+          IN ({', '.join(str(b) for b in _AI_MP_PROBES)})
+    ORDER BY score DESC, vec_id LIMIT 10
     """,
 )

@@ -86,13 +86,66 @@ def _spec_ai(path: str, version: int | None = None) -> dict:
     return spec
 
 
+def _state(spark: SparkSession, view_path: str, v: int,
+           buckets: list[int] | None = None) -> DataFrame:
+    """The index state at a version, layout-dispatched: a flat index
+    reads all segments; one converted to the hash-bucketed at-rest
+    layout (convert_index_to_bucketed) reads only the requested
+    physical buckets' segments — FILE pruning at manifest resolution,
+    the at-rest half of the probe-pruning story."""
+    m = V._manifest(view_path, v)
+    if "buckets" in m:
+        return V.read_bucketed(spark, view_path, v, buckets=buckets)
+    return V.read(spark, view_path, v)
+
+
 def read_ann_index(spark: SparkSession, view_path: str,
                    version: int | None = None) -> DataFrame:
     """The bucketed rows at a version, canonical column order."""
     v = V.current_version(view_path) if version is None else int(version)
     spec = _spec_ai(view_path, v)
-    return V.read(spark, view_path, v).select(
+    return _state(spark, view_path, v).select(
         "bucket", spec["ai_key"], spec["ai_vec_col"])
+
+
+def convert_index_to_bucketed(spark: SparkSession, view_path: str,
+                              n_buckets: int | None = None) -> int:
+    """Physically lay the index out by its LSH ``bucket`` column
+    (versioned.convert_to_bucketed): one rewrite, after which a probe
+    query's candidate read SKIPS FILES, not rows — the probed LSH
+    buckets hash to a subset of the physical buckets, and only those
+    buckets' segment directories are ever named in the scan plan (at
+    100 TB the untouched ~(1 - probe fraction) of the corpus costs
+    zero IO, zero tasks). Refreshes keep working unchanged: the
+    delete_and_append refresh commit dispatches to the bucketed twin
+    (per-bucket appends + a delete vector), and compact_bucketed /
+    maybe_compact fold refresh accretion back down.
+
+    Default ``n_buckets`` = 2^n_planes (one physical bucket per LSH
+    bucket modulo hash collisions), capped at 256 — beyond that the
+    per-bucket segments at toy scale are empty files for no pruning
+    gain."""
+    spec = _spec_ai(view_path)
+    if n_buckets is None:
+        n_buckets = min(2 ** int(spec["ai_n_planes"]), 256)
+    return V.convert_to_bucketed(spark, view_path, "bucket",
+                                 int(n_buckets))
+
+
+def _probe_hash_buckets(spark: SparkSession, probes: list[int],
+                        n_buckets: int) -> list[int]:
+    """Physical hash buckets of the probed LSH bucket VALUES — the
+    exact writer-side expression (pmod(xxhash64(cast string), n)) run
+    over the ≤(1+p+C(p,2))-row probe list: one tiny Spark job, bounded
+    by the probe count, never by data."""
+    from .writer import _bucket_expr
+
+    pdf = spark.createDataFrame([(int(b),) for b in probes],
+                                "bucket long")
+    rows = pdf.select(
+        _bucket_expr("bucket", int(n_buckets)).alias("pb")
+    ).distinct().collect()
+    return sorted(int(r["pb"]) for r in rows)
 
 
 def refresh_ann_index(
@@ -194,7 +247,18 @@ def query_ann_index(
         for i in range(n_planes):
             for j in range(i + 1, n_planes):
                 probes.add(qbucket ^ (1 << i) ^ (1 << j))
-    cand = V.read(spark, view_path, v).where(
+    # at-rest pruning: on a hash-bucketed index state
+    # (convert_index_to_bucketed) resolve the probed LSH buckets to
+    # their physical buckets and name ONLY those buckets' segment
+    # files in the plan — non-probed buckets are skipped at manifest
+    # resolution (files, not rows). The residual bucket IN-list then
+    # prunes hash-collided rows inside the survivors.
+    m = V._manifest(view_path, v)
+    phys = None
+    if "buckets" in m and m.get("bucket_key") == "bucket":
+        phys = _probe_hash_buckets(spark, sorted(probes),
+                                   int(m["n_buckets"]))
+    cand = _state(spark, view_path, v, buckets=phys).where(
         F.col("bucket").isin(sorted(probes)))
     scored = cand.withColumn(
         "score", VEC.dot(F.col(vec_col), VEC.vec_lit(list(qv))))

@@ -1400,9 +1400,10 @@ def refresh_view(spark: SparkSession, view_path: str,
     code. Runs under the standard OCC rebase loop (``max_retries``) so
     a concurrent manual refresher's commit re-reads the advanced
     cursor instead of surfacing ConcurrentWriteError;
-    ``auto_compact``/``compact_threshold`` forward to the
-    segment-accreting kinds (transform, join-table) for unattended
-    streaming use."""
+    ``auto_compact``/``compact_threshold`` forward to every
+    segment-accreting kind (transform, join-table, and the
+    delete_and_append family: pair views, text_index, ann_index) for
+    unattended streaming use."""
     kind = _view_kind(view_path)
     if kind == "agg":
         return refresh_agg_view_with_retry(
@@ -1422,30 +1423,41 @@ def refresh_view(spark: SparkSession, view_path: str,
             auto_compact=auto_compact,
             compact_threshold=compact_threshold,
             recompute_fraction=recompute_fraction)
+    def _fold(out_v: int) -> int:
+        # the delete_and_append-accreting kinds (pair views, postings
+        # index, ANN index) gain a segment + a delete vector per
+        # refresh: under unattended streaming maintenance fold them
+        # back down past the threshold (one manifest read when below
+        # it) — the endurance guarantee that query latency and
+        # manifest size stay bounded over thousands of churn cycles
+        if auto_compact:
+            return V.maybe_compact(spark, view_path, compact_threshold)
+        return out_v
+
     if kind == "near_dup":
         from . import neardup_view as ND  # local: ND imports this module
 
-        return ND.refresh_near_dup_pairs_view_with_retry(
+        return _fold(ND.refresh_near_dup_pairs_view_with_retry(
             spark, view_path, max_retries=max_retries,
-            recompute_fraction=recompute_fraction)
+            recompute_fraction=recompute_fraction))
     if kind == "embed_near_dup":
         from . import neardup_view as ND
 
-        return ND.refresh_embed_near_dup_pairs_view_with_retry(
+        return _fold(ND.refresh_embed_near_dup_pairs_view_with_retry(
             spark, view_path, max_retries=max_retries,
-            recompute_fraction=recompute_fraction)
+            recompute_fraction=recompute_fraction))
     if kind == "text_index":
         from . import textindex as TI  # local: TI imports this module
 
-        return TI.refresh_text_index_with_retry(
+        return _fold(TI.refresh_text_index_with_retry(
             spark, view_path, max_retries=max_retries,
-            recompute_fraction=recompute_fraction)
+            recompute_fraction=recompute_fraction))
     if kind == "ann_index":
         from . import annindex as AI  # local: AI imports this module
 
-        return AI.refresh_ann_index_with_retry(
+        return _fold(AI.refresh_ann_index_with_retry(
             spark, view_path, max_retries=max_retries,
-            recompute_fraction=recompute_fraction)
+            recompute_fraction=recompute_fraction))
     if kind == "transform":
         entry = (transforms or {}).get(view_path)
         if entry is None:

@@ -1075,7 +1075,13 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
     if head == "optimize":
         cur.take()
         name = cur.expect_ident()
-        e = _writable_table(catalog, name, "OPTIMIZE")
+        # OPTIMIZE is STATE-PRESERVING (compaction / clustering /
+        # layout migration) — legal on maintained views too, unlike
+        # DML: refresh accretion (delete_and_append segments +
+        # vectors) folds back down without diverging the view from
+        # its definition, and the app-namespace spec carries through
+        # every compaction commit
+        e = catalog.get(name)
         if cur.at_kw("zorder"):
             cur.take()
             cur.expect_kw("by")
@@ -1121,6 +1127,30 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
                 raise SqlError("trailing tokens after BUCKET BY (...)")
             if n_buckets < 2:
                 raise SqlError("bucket count must be >= 2")
+            if e["kind"] == "ann_index":
+                # OPTIMIZE aiidx BUCKET BY (bucket, N): lay the ANN
+                # index out by its LSH bucket column so probe queries
+                # skip FILES (non-probed buckets' segments are never
+                # named in the plan), not rows
+                if bcol.lower() != "bucket":
+                    raise SqlError(
+                        f"an ann_index view buckets by its LSH "
+                        f"'bucket' column (got {bcol!r})")
+                from ..sources import annindex as AI
+
+                try:
+                    ver = AI.convert_index_to_bucketed(
+                        spark, e["path"], n_buckets)
+                except ValueError as ex:
+                    raise SqlError(str(ex)) from ex
+                return {"status": "optimized", "name": name,
+                        "bucketed_by": "bucket",
+                        "n_buckets": n_buckets, "version": ver}
+            if e["kind"] != "table":
+                raise SqlError(
+                    f"BUCKET BY migrates base tables (or an "
+                    f"ann_index view on its bucket column); {name} "
+                    f"is a {e['kind']} view")
             key = e["meta"].get("key")
             if not key:
                 raise SqlError(

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import matview as MV
-from ._base import SqlError, _mask
+from ._base import SqlError, _mask, _matching_paren
 from ._catalog import Catalog
 
 # ---------------------------------------------------------------------------
@@ -76,15 +76,141 @@ _TS_LITERAL = re.compile(r"\s*'((?:[^']|'')*)'")
 # nor trigger catalog reads, while offsets into the REAL text stay
 
 
+_INDEX_FN = re.compile(r"\b(text_search|ann_search)\s*\(",
+                       re.IGNORECASE)
+
+
+def _split_args(s: str) -> list[str]:
+    """Split a call's argument text on TOP-LEVEL commas (paren depth +
+    single-quote tracking — an array(...) arg or a quoted comma never
+    splits)."""
+    out, depth, i, start, n = [], 0, 0, 0, len(s)
+    in_str = False
+    while i < n:
+        c = s[i]
+        if in_str:
+            if c == "'":
+                if i + 1 < n and s[i + 1] == "'":
+                    i += 1
+                else:
+                    in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            out.append(s[start:i].strip())
+            start = i + 1
+        i += 1
+    tail = s[start:].strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _str_arg(a: str, fn: str, what: str) -> str:
+    if len(a) >= 2 and a[0] == "'" and a[-1] == "'":
+        return a[1:-1].replace("''", "'")
+    raise SqlError(f"{fn} needs a quoted {what}, got {a!r}")
+
+
+def _int_arg(a: str, fn: str, what: str) -> int:
+    try:
+        return int(a)
+    except ValueError:
+        raise SqlError(f"{fn} needs an integer {what}, "
+                       f"got {a!r}") from None
+
+
+def _rewrite_index_searches(spark: SparkSession, text: str,
+                            catalog: Catalog) -> str:
+    """Table-function rewrites for the maintained indexes —
+    ``TEXT_SEARCH('view', 'terms', k)`` → the BM25 top-k FROM the
+    postings index (textindex.query_text_index: O(matching postings),
+    the term IN-list pushed to the scan) and
+    ``ANN_SEARCH('view', array(x, y, ...), k[, probe_bits])`` → the
+    multiprobe-LSH top-k FROM the ANN index (annindex.query_ann_index:
+    O(probe fraction), file-pruned on a bucketed layout). Each call is
+    evaluated against the index VIEW named by its first argument and
+    spliced in as a temp view, so the result composes with full Spark
+    SQL — joins, CTEs, window functions, aliases all work. k and
+    probe_bits must be literals (the plan is resolved at parse time,
+    exactly like VERSION AS OF)."""
+    scannable = _mask(text)
+    spans: list[tuple[int, int, str]] = []
+    for i, m in enumerate(_INDEX_FN.finditer(scannable)):
+        fn = m.group(1).lower()
+        close = _matching_paren(scannable, m.end() - 1)
+        args = _split_args(text[m.end():close])
+        vname = _str_arg(args[0] if args else "''", fn.upper(),
+                         "view name")
+        e = catalog.get(vname)
+        tmp = f"__{fn}_{i}"
+        if fn == "text_search":
+            if len(args) != 3:
+                raise SqlError("TEXT_SEARCH('view', 'terms', k)")
+            from ..sources import textindex as TI
+
+            if e["kind"] != "text_index":
+                raise SqlError(f"TEXT_SEARCH reads a text_index view; "
+                               f"{vname} is a {e['kind']}")
+            terms = _str_arg(args[1], "TEXT_SEARCH", "terms string")
+            k = _int_arg(args[2], "TEXT_SEARCH", "k")
+            TI.query_text_index(spark, e["path"], terms, k=k)\
+                .createOrReplaceTempView(tmp)
+        else:
+            if len(args) not in (3, 4):
+                raise SqlError("ANN_SEARCH('view', array(...), k"
+                               "[, probe_bits])")
+            from ..sources import annindex as AI
+
+            if e["kind"] != "ann_index":
+                raise SqlError(f"ANN_SEARCH reads an ann_index view; "
+                               f"{vname} is a {e['kind']}")
+            am = re.match(r"array\s*\((.*)\)\s*$", args[1],
+                          re.IGNORECASE | re.DOTALL)
+            if not am:
+                raise SqlError("ANN_SEARCH's query vector must be an "
+                               "array(x, y, ...) literal")
+            try:
+                qv = [float(x.rstrip("dDfF")) for x in
+                      am.group(1).split(",")]
+            except ValueError as ex:
+                raise SqlError(f"bad vector literal: {ex}") from ex
+            k = _int_arg(args[2], "ANN_SEARCH", "k")
+            probes = _int_arg(args[3], "ANN_SEARCH", "probe_bits") \
+                if len(args) == 4 else 1
+            try:
+                AI.query_ann_index(spark, e["path"], qv, k=k,
+                                   n_probe_bits=probes)\
+                    .createOrReplaceTempView(tmp)
+            except ValueError as ex:
+                raise SqlError(str(ex)) from ex
+        spans.append((m.start(), close + 1, tmp))
+    if not spans:
+        return text
+    out, last = [], 0
+    for start, end, tmp in spans:
+        out.append(text[last:start])
+        out.append(tmp)
+        last = end
+    out.append(text[last:])
+    return "".join(out)
+
+
 def _run_select(spark: SparkSession, text: str, catalog: Catalog
                 ) -> DataFrame:
     """Register every referenced catalog name as a temp view, rewrite
-    ``name VERSION AS OF n`` to a pinned temp view, and delegate the
-    statement text to spark.sql — full Spark SQL composes over
-    maintained state."""
+    ``name VERSION AS OF n`` to a pinned temp view and the
+    TEXT_SEARCH/ANN_SEARCH index table functions to their evaluated
+    results, and delegate the statement text to spark.sql — full
+    Spark SQL composes over maintained state."""
 
     from ..sources import versioned as V
 
+    text = _rewrite_index_searches(spark, text, catalog)
     by_lower = {n.lower(): n for n in catalog.names()}
     scannable = _mask(text)
 

@@ -90,3 +90,76 @@ def test_guards(spark, vecs, cat):
         AI.query_ann_index(spark, vp, [0.0] * 7)  # wrong dim
     with pytest.raises(S.SqlError):
         S.execute(spark, "DELETE FROM g_ann WHERE bucket = 0", cat)
+
+
+def test_bucketed_at_rest_layout_prunes_files(spark, vecs, cat):
+    """r12: OPTIMIZE aiidx BUCKET BY (bucket, N) lays the index out by
+    its LSH bucket — a probe query then names ONLY the probed physical
+    buckets' segment files in the plan (file skipping, not row
+    filtering), while staying row-identical to the flat index and the
+    ad-hoc multiprobe tier."""
+    from rclip_server_spark.sources import versioned as V
+    from rclip_server_spark.sources.writer import _bucket_expr
+
+    vp = _mk(spark, vecs, cat, "bk")
+    flat = _ids_scores(AI.query_ann_index(spark, vp, QV, k=10,
+                                          n_probe_bits=1))
+    r = S.execute(spark, "OPTIMIZE bk_ann BUCKET BY (bucket, 16)", cat)
+    assert r["status"] == "optimized" and r["n_buckets"] == 16
+    got_df = AI.query_ann_index(spark, vp, QV, k=10, n_probe_bits=1)
+    assert _ids_scores(got_df) == flat  # row-identical post-migration
+    # ad-hoc tier parity too (the oracle the ai_ row pins)
+    want = ann.lsh_topk_multiprobe(
+        S.execute(spark, "SELECT vec_id, embedding FROM bk", cat),
+        QV, k=10, n_planes=4, n_probe_bits=1, seed=42)
+    assert _ids_scores(got_df) == _ids_scores(want)
+    # PLAN ASSERTION: the scan's files live only in probed physical
+    # buckets' segment dirs — non-probed buckets are absent
+    m = V._manifest(vp, V.current_version(vp))
+    assert m.get("bucket_key") == "bucket" and m["n_buckets"] == 16
+    import numpy as np
+
+    planes = ann.hyperplanes(4, 64, 42)
+    qb = int(sum((1 << i) for i, p in enumerate(planes)
+                 if float(p @ np.asarray(QV)) >= 0))
+    probes = {qb} | {qb ^ (1 << i) for i in range(4)}
+    phys = set(AI._probe_hash_buckets(spark, sorted(probes), 16))
+    probed_segs = {s for b in phys
+                   for s in m["buckets"].get(str(b), [])}
+    other_segs = {s for b, ss in m["buckets"].items()
+                  if int(b) not in phys for s in ss}
+    touched = {f.split(vp + "/")[1].split("/")[0]
+               for f in got_df.inputFiles()}
+    assert touched <= probed_segs
+    assert not (touched & other_segs)
+    assert other_segs  # the assertion is vacuous if everything probed
+
+
+def test_bucketed_index_refresh_stays_exact(spark, vecs, cat,
+                                            embeddings):
+    """Refreshes keep working on the bucketed layout (the
+    delete_and_append commit dispatches to the bucketed twin) and the
+    indexed answer still equals the ad-hoc tier over the post-DML
+    source."""
+    vp = _mk(spark, vecs, cat, "bkr")
+    S.execute(spark, "OPTIMIZE bkr_ann BUCKET BY (bucket, 16)", cat)
+    embeddings.select(
+        (F.col("vec_id") + 2000000).alias("vec_id"), "embedding"
+    ).where(F.col("vec_id") % 2 == 1).limit(80) \
+        .createOrReplaceTempView("bkr_extra")
+    S.execute(spark, "INSERT INTO bkr SELECT * FROM bkr_extra", cat)
+    S.execute(spark, "DELETE FROM bkr WHERE vec_id % 10 = 0", cat)
+    r = S.execute(spark, "REFRESH MATERIALIZED VIEW bkr_ann", cat)
+    assert r["status"] == "refreshed"
+    current = S.execute(spark, "SELECT vec_id, embedding FROM bkr",
+                        cat)
+    got = AI.query_ann_index(spark, vp, QV, k=10, n_probe_bits=2)
+    want = ann.lsh_topk_multiprobe(current, QV, k=10, n_planes=4,
+                                   n_probe_bits=2, seed=42)
+    assert _ids_scores(got) == _ids_scores(want)
+    # OPTIMIZE (plain compaction) folds refresh accretion, app spec
+    # survives, answers unchanged
+    S.execute(spark, "OPTIMIZE bkr_ann", cat)
+    assert _ids_scores(AI.query_ann_index(spark, vp, QV, k=10,
+                                          n_probe_bits=2)) == \
+        _ids_scores(want)

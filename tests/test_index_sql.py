@@ -1,0 +1,110 @@
+"""SQL table functions over the maintained indexes:
+TEXT_SEARCH('v', 'terms', k) and ANN_SEARCH('v', array(...), k[, p])
+rewrite to the index-served top-k (postings / probed buckets only)
+and compose with full Spark SQL. Parity oracle: the Python query_*
+entry points the ti_/ai_ contract rows already pin to DuckDB."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rclip_server_spark import sql as S
+from rclip_server_spark.sources import annindex as AI
+from rclip_server_spark.sources import textindex as TI
+
+QV = [0.125] * 32 + [-0.125] * 32
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return S.Catalog(str(tmp_path / "cat"))
+
+
+@pytest.fixture()
+def both(spark, documents, embeddings, cat):
+    documents.select("doc_id", "text").limit(400)\
+        .createOrReplaceTempView("d_seed")
+    embeddings.select("vec_id", "embedding").limit(400)\
+        .createOrReplaceTempView("e_seed")
+    S.execute(spark, "CREATE TABLE d OPTIONS (key='doc_id') AS "
+                     "SELECT * FROM d_seed", cat)
+    S.execute(spark, "CREATE TABLE e OPTIONS (key='vec_id') AS "
+                     "SELECT * FROM e_seed", cat)
+    S.execute(spark, "CREATE MATERIALIZED VIEW ti USING text_index "
+                     "OPTIONS (source='d', key='doc_id')", cat)
+    S.execute(spark, "CREATE MATERIALIZED VIEW ai USING ann_index "
+                     "OPTIONS (source='e', key='vec_id', n_planes=4)",
+              cat)
+    return cat
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_text_search_matches_python_api(spark, both):
+    cat = both
+    got = S.execute(spark, "SELECT doc_id, round(bm25, 6) AS bm25 "
+                           "FROM TEXT_SEARCH('ti', 'data model', 10)",
+                    cat)
+    want = TI.query_text_index(spark, cat.get("ti")["path"],
+                               "data model", k=10)\
+        .withColumn("bm25", F.round("bm25", 6))
+    assert _rows(got) == _rows(want)
+
+
+def test_ann_search_matches_python_api(spark, both):
+    cat = both
+    arr = ", ".join(repr(x) for x in QV)
+    got = S.execute(spark, f"SELECT vec_id, score FROM "
+                           f"ANN_SEARCH('ai', array({arr}), 10, 2)",
+                    cat)
+    want = AI.query_ann_index(spark, cat.get("ai")["path"], QV, k=10,
+                              n_probe_bits=2)
+    assert _rows(got) == _rows(want)
+
+
+def test_index_search_composes_with_sql(spark, both):
+    """Aliases, CTEs, joins back to the base table, and BOTH functions
+    in one statement — the rewrite must splice cleanly."""
+    cat = both
+    arr = ", ".join(repr(x) for x in QV)
+    got = S.execute(spark, f"""
+        WITH t AS (SELECT doc_id, bm25 FROM
+                   TEXT_SEARCH('ti', 'data model', 50) ts),
+             v AS (SELECT vec_id AS doc_id, score FROM
+                   ANN_SEARCH('ai', array({arr}), 50) vs)
+        SELECT t.doc_id, round(t.bm25, 6) AS bm25,
+               round(v.score, 9) AS score
+        FROM t JOIN v USING (doc_id)
+        ORDER BY doc_id""", cat)
+    t = TI.query_text_index(spark, cat.get("ti")["path"],
+                            "data model", k=50)
+    v = AI.query_ann_index(spark, cat.get("ai")["path"], QV, k=50)\
+        .withColumnRenamed("vec_id", "doc_id")
+    want = (t.join(v, "doc_id")
+            .select("doc_id", F.round("bm25", 6).alias("bm25"),
+                    F.round("score", 9).alias("score"))
+            .orderBy("doc_id"))
+    assert _rows(got) == _rows(want)
+
+
+def test_index_search_guards(spark, both):
+    cat = both
+    with pytest.raises(S.SqlError):  # wrong view kind
+        S.execute(spark, "SELECT * FROM TEXT_SEARCH('ai', 'x', 5)",
+                  cat)
+    with pytest.raises(S.SqlError):  # wrong kind the other way
+        S.execute(spark, "SELECT * FROM ANN_SEARCH('ti', "
+                         "array(1.0), 5)", cat)
+    with pytest.raises(S.SqlError):  # arity
+        S.execute(spark, "SELECT * FROM TEXT_SEARCH('ti', 'x')", cat)
+    with pytest.raises(S.SqlError):  # vector must be array literal
+        S.execute(spark, "SELECT * FROM ANN_SEARCH('ti', 'x', 5)",
+                  cat)
+    with pytest.raises(S.SqlError):  # unknown view
+        S.execute(spark, "SELECT * FROM TEXT_SEARCH('nope', 'x', 5)",
+                  cat)
+    # a string literal containing the function name is NOT rewritten
+    r = S.execute(spark, "SELECT 'TEXT_SEARCH(''ti'', ''x'', 1)' AS s",
+                  cat)
+    assert r.first()["s"].startswith("TEXT_SEARCH")
