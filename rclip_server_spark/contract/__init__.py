@@ -45,20 +45,22 @@ from . import _tpch7  # noqa: F401,E402
 # tools/check_contract.py.
 _PRIORITY = [
     # The driver verifies the FIRST 50 registered rows each round.
-    # Round-11 rotation (r10 verdict task 1): (a) the 20 §2-mapped
+    # Round-12 rotation (r11 verdict tasks 5/10): (a) the 20 §2-mapped
     # rows + the fenced drift row stay (the judge reads them against
-    # SURVEY §2 every round); (b) the 5 late-r10 oracle rows that
-    # registered after the r10 window froze — the only rows with no
-    # driver-ledger cell (judge-replayed hash-exact, but the ledger
-    # is the proof of record); (c) machinery re-confirmation for what
-    # r11 touches: the MERGE clause engine + delete vectors (bucketed
-    # conditional DML work) and view refresh (vacuum/stream guard);
-    # (d) recency slots spanning the ev_/samp_/text_/ann_/dedup_/
-    # rel_/sql_q/vec_/vt_ families, preferring rows whose last
-    # driver-green cell is oldest. Rotated-out rows (r10's 15
-    # rows-only debt block, CDC/ALTER evolution rows, pair views —
-    # all driver-green in CORRECTNESS_r10) stay replayed locally by
-    # tools/check_contract.py.
+    # SURVEY §2 every round); (b) the 3 NEW r12 rows with no ledger
+    # cell yet (SQL table functions over both indexes — the ANN one
+    # over the BUCKETED at-rest layout — and the positional phrase
+    # index); (c) the 11 rows the late-r11 rotation displaced, each
+    # multi-round green but owed a fresh cell (the verdict names
+    # them); (d) the 4 maintained-index rows — their machinery changed
+    # this round (bucketed ai fixture, positions-aware refresh);
+    # (e) machinery re-confirmation for everything else r12 touched:
+    # clone (constraint carry + dst claim), the commit clock
+    # (committed_at), COPY FROM + copy stream (FAILFAST), constraint
+    # gating, truncate/restore time travel; (f) recency sweep.
+    # Rotated-out rows stay replayed locally by
+    # tools/check_contract.py (and were judge-replayed in full, 241/0
+    # fail, in r11).
     # §2 A-family (vector/similarity)
     "a1_a2_flagship_topk", "a2_topk_k50", "a4_l2_normalize",
     "a6_point_lookup", "a7_feature_minmax", "a8_minmax_normalize",
@@ -71,49 +73,41 @@ _PRIORITY = [
     "rel_anti_join_b8", "d1_embed_documents_distributed",
     # --- drift row (r6's red cell; its dtype class is fenced) ---
     "sketch_histogram_drift",
-    # --- the 5 late-r10 rows with no driver-ledger cell yet ---
-    "rel_salted_join_skew", "sql_create_schema_insert",
-    "sql_bucketed_lifecycle", "sql_merge_sync_by_source",
-    "sql_bucket_migration",
-    # --- machinery r11 touches: MERGE engine + delete vectors
-    # (bucketed conditional DML), view refresh (vacuum/stream guard) ---
-    "sql_merge_upsert", "vt_delete_vector_read", "vt_agg_view_refresh",
-    # --- family-spread recency re-confirmation (oldest green first;
-    # 5 slots ceded to the late-r11 rows below, which have no driver-
-    # ledger cell yet — the displaced rows are all multi-round green
-    # and stay replayed locally by tools/check_contract.py) ---
-    "ev_asof_attribution",
-    "dedup_minhash_near_dup",
-    # --- NEW r11 rows ---
-    "sql_bucketed_conditional_merge", "b16_local_binary_ingest",
-    "sql_select_window_over_dv", "sql_select_grouping_sets_over_dv",
-    "sql_bucketed_schema_evolution", "vt_bucketed_pruned_read",
-    "sql_bucketed_zorder_roundtrip",
-    # --- LATE r11 rows (TRUNCATE / COPY / CLONE / shard export /
-    # ANALYZE — each a new SQL-or-pipeline surface this round) ---
-    "sql_truncate_timetravel", "sql_copy_roundtrip",
-    "sql_clone_divergence", "samp_export_shards_manifest",
-    "sql_analyze_stats", "sql_copy_stream_ingest",
-    "sql_check_constraint_gate", "sql_timestamp_time_travel",
-    # maintained full-text (BM25) index view: postings parity after
-    # an O(changed docs) refresh + indexed-query parity vs the batch
-    # scorer's oracle
-    "ti_postings", "ti_bm25_indexed_topk",
-    # maintained ANN (LSH) index view: indexed multiprobe parity
-    "ai_lsh_indexed_topk",
-    # hybrid retrieval from BOTH maintained indexes (RRF capstone)
+    # --- NEW r12 rows (no driver-ledger cell yet) ---
+    "sql_text_search_topk", "sql_ann_search_topk", "ti_phrase_topk",
+    # --- the 11 rows displaced by the late-r11 rotation (verdict
+    # task 5: each owed a fresh r12 cell) ---
+    "ev_session_windows", "samp_stratified",
+    "samp_temperature_mixture", "text_lang_id", "text_bm25_topk",
+    "text_ngram_contamination", "ann_lsh_topk_multiprobe",
+    "ann_lsh_knn_join", "dedup_semantic_semdedup",
+    "vec_quantize_int8_roundtrip", "vt_view_composition",
+    # --- maintained-index rows: machinery r12 touched (bucketed
+    # at-rest ai fixture; positions-aware text refresh) ---
+    "ti_postings", "ti_bm25_indexed_topk", "ai_lsh_indexed_topk",
     "hybrid_indexed_rrf",
+    # --- machinery re-confirmation for the r12 ADVICE fixes: clone
+    # (constraint carry, dst claim, drop guard), commit clock
+    # (committed_at), COPY + copy stream (FAILFAST), constraints,
+    # truncate/restore travel ---
+    "sql_clone_divergence", "sql_timestamp_time_travel",
+    "sql_copy_roundtrip", "sql_copy_stream_ingest",
+    "sql_check_constraint_gate", "sql_truncate_timetravel",
+    # --- recency sweep (oldest driver-green first) ---
+    "sql_restore_roundtrip", "sql_mv_roundtrip", "rel_window_rank",
+    "sql_q8_market_share", "rel_grouping_sets",
 ]
-# r12 rotation candidates (driver-green in earlier rounds, displaced
-# by the r11 rows above): sql_mv_roundtrip, sql_topk_qualify,
-# sql_update_roundtrip, sql_restore_roundtrip, sql_q8_market_share,
-# sql_q17_small_quantity_revenue, rel_grouping_sets, rel_window_rank,
-# ev_session_windows, samp_stratified, samp_temperature_mixture,
-# text_lang_id, text_bm25_topk, text_ngram_contamination,
-# ann_lsh_topk_multiprobe, ann_lsh_knn_join, dedup_semantic_semdedup,
-# vec_quantize_int8_roundtrip, vt_view_composition — plus the usual
-# oldest-green recency sweep. (The text/ann family slots are carried
-# by their maintained-index twins ti_/ai_ this round.)
+# r13 rotation candidates (driver-green in r11, displaced by the r12
+# rows above): rel_salted_join_skew, sql_create_schema_insert,
+# sql_bucketed_lifecycle, sql_merge_sync_by_source,
+# sql_bucket_migration, sql_merge_upsert, vt_delete_vector_read,
+# vt_agg_view_refresh, ev_asof_attribution, dedup_minhash_near_dup,
+# sql_bucketed_conditional_merge, b16_local_binary_ingest,
+# sql_select_window_over_dv, sql_select_grouping_sets_over_dv,
+# sql_bucketed_schema_evolution, vt_bucketed_pruned_read,
+# sql_bucketed_zorder_roundtrip, samp_export_shards_manifest,
+# sql_analyze_stats, sql_topk_qualify, sql_update_roundtrip,
+# sql_q17_small_quantity_revenue — plus the usual oldest-green sweep.
 
 
 def _ordered(reg: dict) -> dict:

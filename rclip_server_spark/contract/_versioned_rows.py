@@ -2942,3 +2942,80 @@ _register(
     ORDER BY score DESC, vec_id LIMIT 10
     """,
 )
+
+
+# ===========================================================================
+# Positional postings: exact-phrase top-k from the maintained text
+# index (textindex.query_phrase_index / SQL PHRASE_SEARCH) — the
+# serving-latency form of the n-gram contamination check.
+# ===========================================================================
+
+
+def _ti_pos_index_builder(spark: SparkSession, sf: str,
+                          path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "documents").select("doc_id", "text") \
+        .createOrReplaceTempView("docs_seed_tip")
+    SQ.execute(spark, "CREATE TABLE tipdocs OPTIONS (key='doc_id') AS "
+                      "SELECT * FROM docs_seed_tip", cat)
+    SQ.execute(spark, "CREATE MATERIALIZED VIEW tipidx USING "
+                      "text_index OPTIONS (source='tipdocs', "
+                      "key='doc_id', positions=true)", cat)
+    # churn + O(changed docs) refresh: the oracle recomputes the
+    # POST-DML adjacency counts, so stale or mis-positioned postings
+    # cannot pass
+    SQ.execute(spark, "DELETE FROM tipdocs WHERE doc_id % 17 = 0", cat)
+    SQ.execute(spark, "INSERT INTO tipdocs SELECT doc_id + 1000000, "
+                      "text FROM docs_seed_tip WHERE doc_id % 13 = 0",
+               cat)
+    SQ.execute(spark, "REFRESH MATERIALIZED VIEW tipidx", cat)
+
+
+_TI_PHRASE = "value table"
+
+
+def _ti_phrase_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-phrase top-10 through SQL PHRASE_SEARCH over the
+    positional postings index (positions stored at WRITE time,
+    maintained O(changed docs) through the same delete_and_append
+    refresh): counts adjacency chains — term i at offset p+i — with
+    JVM array functions over only the phrase terms' posting rows.
+    Deterministic integer scores; ranked (phrase_tf DESC, doc_id).
+    Oracle: DuckDB recomputes the chain count from the post-DML
+    corpus with the twin tokenizer."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "tipidx", _ti_pos_index_builder)
+    cat = SQ.Catalog(path)
+    return SQ.execute(spark, (
+        f"SELECT doc_id, phrase_tf "
+        f"FROM PHRASE_SEARCH('tipidx', '{_TI_PHRASE}', 10)"), cat)
+
+
+def _phrase_sql(phrase: str, topk: int) -> str:
+    ts = phrase.split()
+    m = len(ts)
+    conds = " AND ".join(
+        f"toks[i + {i}] = '{t}'" for i, t in enumerate(ts))
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, {tokens_sql("text")} AS toks
+      FROM {_TI_CORPUS_SQL}),
+    pf AS (
+      SELECT doc_id,
+             CAST(len(list_filter(range(1, greatest(len(toks) - {m}
+                                                    + 2, 1)),
+                  i -> {conds})) AS BIGINT) AS phrase_tf
+      FROM tk)
+    SELECT doc_id, phrase_tf FROM pf WHERE phrase_tf > 0
+    ORDER BY phrase_tf DESC, doc_id LIMIT {topk}
+    """
+
+
+_register(
+    "ti_phrase_topk",
+    _ti_phrase_topk,
+    _phrase_sql(_TI_PHRASE, 10),
+)

@@ -262,16 +262,28 @@ def train_logistic(df: DataFrame, feature_cols: list[str], label_col: str,
     (dim+1) floats per Arrow batch; the driver holds the model (dim+1
     parameters), exactly like pca_fit holds the dim^2 Gramian. Returns
     (weights, bias, losses). Deterministic for a fixed partitioning
-    (float partial-sum order); seed-free. Cache ``df`` first — each
-    iteration rescans it."""
+    (float partial-sum order); seed-free.
+
+    The trainer PERSISTS its (column-pruned) input for the duration of
+    the loop (r11 verdict): each of the ``iters`` iterations re-executes
+    the frame, and an uncached 100 TB input would pay ``iters`` full
+    scans — the projection is persisted (features + label only, the
+    frame every gradient pass reads), evaluated once, and unpersisted
+    in a finally. A caller-persisted input composes fine (Spark layers
+    the narrower cache)."""
+    proj = df.select(*feature_cols, label_col).persist()
     w = np.zeros(len(feature_cols), dtype=np.float64)
     b = 0.0
     losses = []
-    for _ in range(int(iters)):
-        gw, gb, loss, _n = logistic_gradient(df, feature_cols, label_col, w, b, l2)
-        w -= lr * gw
-        b -= lr * gb
-        losses.append(loss)
+    try:
+        for _ in range(int(iters)):
+            gw, gb, loss, _n = logistic_gradient(
+                proj, feature_cols, label_col, w, b, l2)
+            w -= lr * gw
+            b -= lr * gb
+            losses.append(loss)
+    finally:
+        proj.unpersist()
     return w, b, losses
 
 

@@ -46,12 +46,25 @@ from . import versioned as V
 from .matview import _INSERTING, _RETRACTING  # canonical CDC classes
 
 
-def _postings(df: DataFrame, key: str, text_col: str) -> DataFrame:
+def _postings(df: DataFrame, key: str, text_col: str,
+              positions: bool = False) -> DataFrame:
     """(key, term, tf, dl) for every (document, distinct token) pair —
     one explode + one aggregation; dl travels through the explode so
-    no second corpus pass or join is needed."""
+    no second corpus pass or join is needed. With ``positions`` the
+    posting also carries the term's sorted 0-based token offsets
+    (posexplode instead of explode — same single pass), enabling
+    exact-phrase / proximity queries at serving latency."""
     toked = df.select(F.col(key),
                       TXT.tokens(F.col(text_col)).alias("toks"))
+    if positions:
+        return (toked
+                .select(key, F.size("toks").cast("long").alias("dl"),
+                        F.posexplode("toks").alias("pos", "term"))
+                .groupBy(key, "dl", "term")
+                .agg(F.count(F.lit(1)).cast("long").alias("tf"),
+                     F.sort_array(F.collect_list(
+                         F.col("pos").cast("int"))).alias("positions"))
+                .select("term", key, "tf", "dl", "positions"))
     return (toked
             .select(key, F.size("toks").cast("long").alias("dl"),
                     F.explode("toks").alias("term"))
@@ -72,10 +85,14 @@ def _corpus_stats(df: DataFrame, text_col: str) -> tuple[int, int]:
 def create_text_index(
     spark: SparkSession, source_path: str, view_path: str, key: str,
     text_col: str = "text", k1: float = 1.2, b: float = 0.75,
+    positions: bool = False,
 ) -> int:
     """Materialize the postings table over the source's head and
     record the spec + cursor + exact corpus stats. ``key`` must be a
-    unique non-null row identity (the maintained-view contract)."""
+    unique non-null row identity (the maintained-view contract).
+    ``positions=True`` stores each term's token offsets in the posting
+    (same build pass, ~+dl ints per doc at rest), unlocking
+    query_phrase_index; BM25 queries are unchanged."""
     src_v = V.current_version(source_path)
     df = M._read_source(spark, source_path, src_v)
     n_docs, total_len = _corpus_stats(df, text_col)
@@ -84,8 +101,10 @@ def create_text_index(
         "ti_text_col": text_col, "ti_k1": float(k1), "ti_b": float(b),
         "ti_source_version": src_v,
         "ti_ndocs": n_docs, "ti_total_len": total_len,
+        "ti_positions": bool(positions),
     }
-    return V.create(spark, view_path, _postings(df, key, text_col),
+    return V.create(spark, view_path,
+                    _postings(df, key, text_col, positions=positions),
                     extra={"app": spec})
 
 
@@ -104,8 +123,12 @@ def read_text_index(spark: SparkSession, view_path: str,
     canonical (term, key, tf, dl) column order — a delete_and_append
     interval can reorder the physical union's columns."""
     v = V.current_version(view_path) if version is None else int(version)
-    key = _spec_ti(view_path, v)["ti_key"]
-    return V.read(spark, view_path, v).select("term", key, "tf", "dl")
+    spec = _spec_ti(view_path, v)
+    key = spec["ti_key"]
+    cols = ["term", key, "tf", "dl"]
+    if spec.get("ti_positions"):
+        cols.append("positions")
+    return V.read(spark, view_path, v).select(*cols)
 
 
 def refresh_text_index(
@@ -128,11 +151,14 @@ def refresh_text_index(
         return view_v
     new_app = dict(spec) | {"ti_source_version": v_to}
 
+    pos = bool(spec.get("ti_positions"))
+
     def _recompute() -> int:
         head = M._read_source(spark, src, v_to)
         n_docs, total_len = _corpus_stats(head, text_col)
         return V.overwrite(
-            spark, view_path, _postings(head, key, text_col),
+            spark, view_path,
+            _postings(head, key, text_col, positions=pos),
             extra={"app": new_app | {"ti_ndocs": n_docs,
                                      "ti_total_len": total_len}},
             parent_version=view_v)
@@ -174,7 +200,8 @@ def refresh_text_index(
         del_keys = (ch.where(F.col("_change_type").isin(
             *(_RETRACTING + _INSERTING))).select(key).distinct())
         ins_rows = ch.where(F.col("_change_type").isin(*_INSERTING))
-        new_postings = _postings(ins_rows, key, text_col)
+        new_postings = _postings(ins_rows, key, text_col,
+                                 positions=pos)
         return V.delete_and_append(
             spark, view_path, del_keys, key, new_postings,
             extra={"app": new_app}, parent_version=view_v)
@@ -253,3 +280,59 @@ def query_text_index(
             .orderBy(F.desc("bm25"), F.asc(key))
             .limit(k)
             .select(key, "bm25"))
+
+
+def query_phrase_index(
+    spark: SparkSession, view_path: str, phrase: str, k: int = 10,
+    version: int | None = None,
+) -> DataFrame:
+    """Exact-PHRASE top-k FROM a positional text index (create with
+    ``positions=True``): reads only the phrase terms' posting rows
+    (term IN-list pushed to the scan), pivots each candidate doc's
+    per-term position arrays into one map, and counts adjacency chains
+    — position p holds term[0] and p+i holds term[i] for every i —
+    entirely in JVM higher-order array functions (F.filter /
+    array_contains over the sorted offset arrays). O(matching
+    postings), never a corpus re-tokenization: the serving-latency
+    form of the n-gram contamination check. Returns (<key>,
+    phrase_tf) for docs containing the phrase at least once, ranked
+    (phrase_tf DESC, key ASC) — deterministic integer scores, so the
+    row is oracle-hash-exact against a DuckDB recomputation."""
+    from functools import reduce
+
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("query_phrase_index needs a non-empty phrase")
+    v = V.current_version(view_path) if version is None else int(version)
+    spec = _spec_ti(view_path, v)
+    if not spec.get("ti_positions"):
+        raise ValueError(
+            f"{view_path} was built without positions — recreate the "
+            f"index with positions=True for phrase queries")
+    key = spec["ti_key"]
+    uniq = list(dict.fromkeys(terms))
+    hits = (V.read(spark, view_path, v)
+            .where(F.col("term").isin(*uniq))
+            .select(key, "term", "positions"))
+    # one row per candidate doc: term -> sorted offsets (postings hold
+    # one row per (doc, term), so the map build is collision-free);
+    # docs missing any phrase term can't match — drop them before the
+    # chain scan
+    per_doc = (hits.groupBy(key)
+               .agg(F.map_from_entries(F.collect_list(
+                   F.struct("term", "positions"))).alias("pm"))
+               .where(F.size(F.map_keys("pm")) == len(uniq)))
+    pm = F.col("pm")
+    chain = F.filter(
+        pm[F.lit(terms[0])],
+        lambda p: reduce(
+            lambda a, b: a & b,
+            [F.array_contains(pm[F.lit(t)], p + F.lit(i))
+             for i, t in enumerate(terms[1:], start=1)],
+            F.lit(True)))
+    out = (per_doc
+           .select(key, F.size(chain).cast("long").alias("phrase_tf"))
+           .where(F.col("phrase_tf") > 0)
+           .orderBy(F.desc("phrase_tf"), F.asc(key))
+           .limit(k))
+    return out

@@ -652,6 +652,10 @@ def _create_using(spark: SparkSession, catalog: Catalog, name: str,
 
             kw = {k: opts[k] for k in ("text_col", "k1", "b")
                   if k in opts}
+            if "positions" in opts:
+                pv = opts["positions"]
+                kw["positions"] = (str(pv).strip().lower() == "true"
+                                   if isinstance(pv, str) else bool(pv))
             TI.create_text_index(spark, src["path"], vp, key=key, **kw)
         elif kind == "ann_index":
             from ..sources import annindex as AI

@@ -76,8 +76,8 @@ _TS_LITERAL = re.compile(r"\s*'((?:[^']|'')*)'")
 # nor trigger catalog reads, while offsets into the REAL text stay
 
 
-_INDEX_FN = re.compile(r"\b(text_search|ann_search)\s*\(",
-                       re.IGNORECASE)
+_INDEX_FN = re.compile(r"\b(text_search|ann_search|phrase_search)"
+                       r"\s*\(", re.IGNORECASE)
 
 
 def _split_args(s: str) -> list[str]:
@@ -129,7 +129,10 @@ def _rewrite_index_searches(spark: SparkSession, text: str,
     """Table-function rewrites for the maintained indexes —
     ``TEXT_SEARCH('view', 'terms', k)`` → the BM25 top-k FROM the
     postings index (textindex.query_text_index: O(matching postings),
-    the term IN-list pushed to the scan) and
+    the term IN-list pushed to the scan),
+    ``PHRASE_SEARCH('view', 'exact phrase', k)`` → the adjacency-chain
+    phrase top-k FROM a positional index
+    (textindex.query_phrase_index), and
     ``ANN_SEARCH('view', array(x, y, ...), k[, probe_bits])`` → the
     multiprobe-LSH top-k FROM the ANN index (annindex.query_ann_index:
     O(probe fraction), file-pruned on a bucketed layout). Each call is
@@ -148,18 +151,25 @@ def _rewrite_index_searches(spark: SparkSession, text: str,
                          "view name")
         e = catalog.get(vname)
         tmp = f"__{fn}_{i}"
-        if fn == "text_search":
+        if fn in ("text_search", "phrase_search"):
+            up = fn.upper()
             if len(args) != 3:
-                raise SqlError("TEXT_SEARCH('view', 'terms', k)")
+                raise SqlError(f"{up}('view', 'terms', k)")
             from ..sources import textindex as TI
 
             if e["kind"] != "text_index":
-                raise SqlError(f"TEXT_SEARCH reads a text_index view; "
+                raise SqlError(f"{up} reads a text_index view; "
                                f"{vname} is a {e['kind']}")
-            terms = _str_arg(args[1], "TEXT_SEARCH", "terms string")
-            k = _int_arg(args[2], "TEXT_SEARCH", "k")
-            TI.query_text_index(spark, e["path"], terms, k=k)\
-                .createOrReplaceTempView(tmp)
+            terms = _str_arg(args[1], up, "terms string")
+            k = _int_arg(args[2], up, "k")
+            try:
+                q = (TI.query_text_index(spark, e["path"], terms, k=k)
+                     if fn == "text_search" else
+                     TI.query_phrase_index(spark, e["path"], terms,
+                                           k=k))
+            except ValueError as ex:
+                raise SqlError(str(ex)) from ex
+            q.createOrReplaceTempView(tmp)
         else:
             if len(args) not in (3, 4):
                 raise SqlError("ANN_SEARCH('view', array(...), k"

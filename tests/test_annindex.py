@@ -163,3 +163,37 @@ def test_bucketed_index_refresh_stays_exact(spark, vecs, cat,
     assert _ids_scores(AI.query_ann_index(spark, vp, QV, k=10,
                                           n_probe_bits=2)) == \
         _ids_scores(want)
+
+
+def test_refresh_stream_maintains_ann_index(spark, vecs, cat):
+    """r12 (verdict task 4): continuous maintenance of the ANN index
+    through START REFRESH STREAM — the manifest-log tail wakes the
+    kind-dispatched refresher per source commit, the stream stop path
+    releases its vacuum floors, and the post-wake indexed answer
+    equals the ad-hoc tier over the current source. Runs on the
+    BUCKETED at-rest layout so the streamed refresh exercises the
+    bucketed delete_and_append twin too."""
+    vp = _mk(spark, vecs, cat, "st")
+    S.execute(spark, "OPTIMIZE st_ann BUCKET BY (bucket, 16)", cat)
+    r = S.execute(spark, "START REFRESH STREAM ON VIEW st_ann", cat)
+    assert r["status"] == "stream_started"
+    try:
+        q = S._STREAMS[S._stream_key(cat, "st_ann")]
+        S.execute(spark, "DELETE FROM st WHERE vec_id % 6 = 0", cat)
+        q.processAllAvailable()
+        current = S.execute(spark, "SELECT vec_id, embedding FROM st",
+                            cat)
+        got = AI.query_ann_index(spark, vp, QV, k=10, n_probe_bits=1)
+        want = ann.lsh_topk_multiprobe(current, QV, k=10, n_planes=4,
+                                       n_probe_bits=1, seed=42)
+        assert _ids_scores(got) == _ids_scores(want)
+        d = S.execute(spark, "DESCRIBE MATERIALIZED VIEW st_ann", cat)
+        assert d["fresh"] is True and d["refresh_stream"]["live"]
+        # SHOW STREAMS reports the live maintainer
+        rows = S.execute(spark, "SHOW STREAMS", cat)
+        mine = [x for x in rows if x["name"] == "st_ann"]
+        assert mine and mine[0]["type"] == "refresh"
+    finally:
+        S.execute(spark, "STOP REFRESH STREAM ON VIEW st_ann", cat)
+    rows = S.execute(spark, "SHOW STREAMS", cat)
+    assert not any(x["name"] == "st_ann" for x in rows)

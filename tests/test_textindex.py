@@ -130,3 +130,67 @@ def test_refresh_stream_maintains_index(spark, corpus, cat, tmp_path):
         assert d["fresh"] is True and d["refresh_stream"]["live"]
     finally:
         S.execute(spark, "STOP REFRESH STREAM ON VIEW st_idx", cat)
+
+
+def _brute_phrase(corpus_df, phrase, k):
+    """Driver-side oracle: tokenize and count adjacency chains."""
+    terms = phrase.lower().split()
+    m = len(terms)
+    out = []
+    for r in corpus_df.collect():
+        toks = r["text"].lower().strip().split()
+        c = sum(1 for i in range(max(len(toks) - m + 1, 0))
+                if toks[i:i + m] == terms)
+        if c > 0:
+            out.append((r["doc_id"], c))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out[:k]
+
+
+def test_phrase_search_positional_index(spark, corpus, cat):
+    """r12: positions=true stores token offsets in the postings;
+    query_phrase_index counts exact adjacency chains from only the
+    phrase terms' posting rows and matches a brute-force tokenization
+    oracle — including after an O(changed docs) refresh."""
+    corpus.createOrReplaceTempView("seed_ph")
+    S.execute(spark, "CREATE TABLE ph OPTIONS (key='doc_id') AS "
+                     "SELECT * FROM seed_ph", cat)
+    S.execute(spark, "CREATE MATERIALIZED VIEW ph_idx USING "
+                     "text_index OPTIONS (source='ph', key='doc_id', "
+                     "positions=true)", cat)
+    vp = cat.get("ph_idx")["path"]
+    got = [(r["doc_id"], r["phrase_tf"]) for r in
+           TI.query_phrase_index(spark, vp, "value table", k=8)
+           .collect()]
+    assert got == _brute_phrase(corpus, "value table", 8)
+    assert got  # non-vacuous
+    # single-term phrase degenerates to tf ranking
+    got1 = [(r["doc_id"], r["phrase_tf"]) for r in
+            TI.query_phrase_index(spark, vp, "table", k=5).collect()]
+    assert got1 == _brute_phrase(corpus, "table", 5)
+    # churn + refresh keeps positions exact
+    S.execute(spark, "DELETE FROM ph WHERE doc_id % 2 = 0", cat)
+    S.execute(spark, "REFRESH MATERIALIZED VIEW ph_idx", cat)
+    current = S.execute(spark, "SELECT doc_id, text FROM ph", cat)
+    got2 = [(r["doc_id"], r["phrase_tf"]) for r in
+            TI.query_phrase_index(spark, vp, "value table", k=8)
+            .collect()]
+    assert got2 == _brute_phrase(current, "value table", 8)
+    # SQL surface + BM25 queries still work on a positional index
+    sql_rows = [(r["doc_id"], r["phrase_tf"]) for r in
+                S.execute(spark, "SELECT * FROM PHRASE_SEARCH("
+                                 "'ph_idx', 'value table', 8)", cat)
+                .collect()]
+    assert sql_rows == got2
+    assert TI.query_text_index(spark, vp, "value table", k=5).count() \
+        == 5
+    # guard: a positions-less index refuses phrase queries
+    S.execute(spark, "CREATE MATERIALIZED VIEW ph_nopos USING "
+                     "text_index OPTIONS (source='ph', "
+                     "key='doc_id')", cat)
+    with pytest.raises(ValueError):
+        TI.query_phrase_index(spark, cat.get("ph_nopos")["path"],
+                              "value table")
+    with pytest.raises(S.SqlError):
+        S.execute(spark, "SELECT * FROM PHRASE_SEARCH('ph_nopos', "
+                         "'value table', 5)", cat)
