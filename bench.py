@@ -82,13 +82,14 @@ FLOOR_SEC = {
     # single Exchange), one partitioned parquet write, one
     # column-pruned read-back agg building the verified manifest
     "export_shards_docs": 0.510,
-    # late-r11 first-committed floor (best-of-session under calib
-    # 0.995, contention k~1.5 — conservative; re-pin on an idle round):
-    # BM25 top-10 from the maintained postings index (pushed term
-    # IN-list scan + <=|terms|-row df agg + heap top-k) — same answer
-    # as bm25_topk's 1.07 s corpus scan+tokenize, ~2.5x faster even at
-    # toy scale where the JVM stage floor dominates
-    "bm25_indexed_topk": 0.436,
+    # late-r11 floor, RE-PINNED IDLE in r12 (judge's idle re-measure,
+    # calib 0.583: 0.431 — the r11 commit was best-of-session under
+    # k~1.5 contention): BM25 top-10 from the maintained postings
+    # index (pushed term IN-list scan + <=|terms|-row df agg + heap
+    # top-k) — same answer as bm25_topk's 1.07 s corpus scan+tokenize,
+    # ~2.5x faster even at toy scale where the JVM stage floor
+    # dominates
+    "bm25_indexed_topk": 0.431,
 }
 R3_FLOOR_SEC = FLOOR_SEC  # legacy alias
 
@@ -305,6 +306,34 @@ def main() -> None:
         return TI.query_text_index(
             spark, ti_idx, ["vector", "join", "spark"], k=10).collect()
 
+    # r12: maintained ANN index on the BUCKETED at-rest layout, built
+    # ONCE — the bench times (a) the indexed multiprobe query (reads
+    # only the probed physical buckets' segment files, scores only the
+    # probed LSH buckets' rows) and (b) the hybrid RRF fusion from
+    # BOTH maintained indexes (two pool-sized rank windows + one
+    # pool-sized outer join on top of the index-served sides)
+    from rclip_server_spark.operators import retrieval as RETR
+    from rclip_server_spark.sources import annindex as AIX
+
+    ai_src = os.path.join(vt_tmp, "aivecs")
+    ai_idx = os.path.join(vt_tmp, "aiidx")
+    VT.create(spark, ai_src, emb.select("vec_id", "embedding"))
+    AIX.create_ann_index(spark, ai_src, ai_idx, key="vec_id",
+                         n_planes=6)
+    AIX.convert_index_to_bucketed(spark, ai_idx, n_buckets=64)
+
+    def _ann_indexed():
+        return AIX.query_ann_index(spark, ai_idx, QV_FLAGSHIP, k=10,
+                                   n_probe_bits=1).collect()
+
+    def _hybrid_indexed():
+        t = TI.query_text_index(spark, ti_idx,
+                                ["vector", "join", "spark"], k=50)
+        v = AIX.query_ann_index(spark, ai_idx, QV_FLAGSHIP, k=50,
+                                n_probe_bits=1).withColumnRenamed(
+            "vec_id", "doc_id")
+        return RETR.rrf_fusion(t, v, k=10, pool=50).collect()
+
     def _export_shards():
         from rclip_server_spark.operators import sampling as SAMP
 
@@ -430,6 +459,10 @@ def main() -> None:
         "export_shards_docs": _export_shards,
         # same answer as bm25_topk, served from the maintained index
         "bm25_indexed_topk": _bm25_indexed,
+        # r12: the bucketed ANN index query (file-pruned probe read)
+        # and the hybrid fusion from BOTH maintained indexes
+        "ann_indexed_topk": _ann_indexed,
+        "hybrid_indexed_rrf": _hybrid_indexed,
     }
 
     # warm the JVM/IO, the Python UDF workers, AND whole-stage-codegen
@@ -470,6 +503,8 @@ def main() -> None:
                                  "doc_id", 2, _warm_out, overwrite=True)
     _shutil.rmtree(_warm_out, ignore_errors=True)
     _bm25_indexed()  # warm the postings-query plan shape
+    _ann_indexed()  # warm the bucketed probe-read plan shape
+    _hybrid_indexed()  # warm the fusion (windows + outer join)
     _stage_floor_calib()  # warm the calib row's codegen like the rest
     spark.catalog.clearCache()
 

@@ -2544,15 +2544,30 @@ def maybe_compact(spark: SparkSession, path: str,
     m = _manifest(path, v)
     if "buckets" in m:
         worst = max((len(s) for s in m["buckets"].values()), default=0)
-        # pending delete vectors count toward the maintenance trigger
-        # (each is a per-read anti-join until materialized); the
-        # compaction pass rewrites vector-scoped buckets regardless of
-        # their segment count, so triggering here clears them
-        if worst < max_segments \
+        # TWO accretion shapes trigger (r12 endurance-proof finding):
+        # (a) a HOT bucket — one bucket at/over the bound (churn
+        # concentrated on few keys); (b) DIFFUSE accretion — every
+        # refresh appends a segment per touched bucket, so a streamed
+        # maintainer grows TOTAL file count (and with it query task
+        # count, commit-time footer reads, and manifest size) without
+        # any single bucket ever reaching the bound. Diffuse budget:
+        # 2x one-segment-per-non-empty-bucket steady state, gated on
+        # the bound so a handful of files never churns maintenance.
+        # Pending delete vectors count toward the trigger too (each is
+        # a per-read anti-join until materialized).
+        nonempty = sum(1 for ss in m["buckets"].values() if ss)
+        total = sum(len(ss) for ss in m["buckets"].values())
+        diffuse = total >= max(2 * nonempty, max_segments)
+        if worst < max_segments and not diffuse \
                 and len(m.get("delete_segs") or []) < max_segments:
             return v
         try:
-            return compact_bucketed(spark, path, min_segments=max_segments)
+            # the diffuse trigger folds EVERY multi-segment bucket
+            # (min_segments=2) — folding only at/over-bound buckets
+            # would leave the file count unchanged in shape (a)
+            return compact_bucketed(
+                spark, path,
+                min_segments=2 if diffuse else max_segments)
         except ConcurrentWriteError:
             return current_version(path)
     n = len(m.get("segments") or []) + len(m.get("delete_segs") or [])

@@ -663,6 +663,13 @@ def _create_using(spark: SparkSession, catalog: Catalog, name: str,
             kw = {k: opts[k] for k in ("vec_col", "n_planes", "seed",
                                        "dim") if k in opts}
             AI.create_ann_index(spark, src["path"], vp, key=key, **kw)
+            if "buckets" in opts:
+                # OPTIONS (buckets=N): the at-rest hash-bucketed
+                # layout in one statement — probe queries skip files
+                # from the first query (same as a post-hoc OPTIMIZE
+                # ... BUCKET BY (bucket, N))
+                AI.convert_index_to_bucketed(spark, vp,
+                                             int(opts["buckets"]))
         elif kind == "near_dup":
             kw = {k: opts[k] for k in ("text_col", "shingle_n",
                                        "num_hashes", "bands",

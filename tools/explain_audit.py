@@ -1040,6 +1040,52 @@ def main() -> int:
         "instead of per call.",
     ))
 
+    # --- r12: the bucketed AT-REST layout — probe queries skip FILES
+    # (manifest-resolution pruning), not just rows ---
+    AIX.convert_index_to_bucketed(spark, _aii, n_buckets=16)
+    _aq = AIX.query_ann_index(spark, _aii,
+                              [0.125] * 32 + [-0.125] * 32,
+                              k=10, n_probe_bits=1)
+    _am = V._manifest(_aii, V.current_version(_aii))
+    _probed = {os.path.basename(os.path.dirname(f))
+               for f in _aq.inputFiles()}
+    _all_buckets = {s for ss in _am["buckets"].values() for s in ss}
+    assert _probed < _all_buckets, \
+        "bucketed ANN probe read must name a STRICT SUBSET of the " \
+        "index's bucket segments in its plan (file pruning)"
+    audits.append((
+        "Bucketed ANN-index probe read (file skipping at rest)",
+        _aq,
+        {"PushedFilters: [In(bucket": True,
+         "TakeOrderedAndProject": True},
+        "After OPTIMIZE aiidx BUCKET BY (bucket, N) the probed LSH "
+        "buckets resolve to a subset of the physical hash buckets at "
+        "MANIFEST resolution — non-probed buckets' segment files are "
+        "never named in the plan (verified: the scan's input files "
+        f"are {len(_probed)} of {len(_all_buckets)} bucket segments, "
+        "a strict subset), and the residual bucket IN-list prunes "
+        "hash-collided rows inside the survivors. At 100 TB the "
+        "untouched (1 - probe fraction) of the corpus costs zero IO "
+        "and zero tasks.",
+    ))
+
+    _tip = tempfile.mkdtemp(prefix="rclip_audit_tip_")
+    os.rmdir(_tip)
+    TIX.create_text_index(spark, _tis, _tip, key="doc_id",
+                          positions=True)
+    audits.append((
+        "Phrase query from the positional index (no corpus pass)",
+        TIX.query_phrase_index(spark, _tip, "value table", k=10),
+        {"PushedFilters: [In(term": True,
+         "TakeOrderedAndProject": True},
+        "query_phrase_index reads ONLY the phrase terms' posting rows "
+        "(pushed term IN-list), pivots each candidate's per-term "
+        "offset arrays into one map, and counts adjacency chains with "
+        "JVM higher-order array functions — exact-phrase matching at "
+        "O(matching postings), never a re-tokenization of the corpus; "
+        "the top-k is a per-partition heap.",
+    ))
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
