@@ -3019,3 +3019,103 @@ _register(
     _ti_phrase_topk,
     _phrase_sql(_TI_PHRASE, 10),
 )
+
+
+def _hy_index_builder(spark: SparkSession, sf: str, path: str) -> None:
+    """BOTH maintained indexes in ONE catalog (the pure-SQL hybrid row
+    needs a single statement to reach both): same corpora, churn, and
+    refreshes as the ti/ai fixtures."""
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "documents").select("doc_id", "text") \
+        .createOrReplaceTempView("docs_seed_hy")
+    _t(spark, sf, "embeddings").select("vec_id", "embedding") \
+        .createOrReplaceTempView("embs_seed_hy")
+    SQ.execute(spark, "CREATE TABLE hydocs OPTIONS (key='doc_id') AS "
+                      "SELECT * FROM docs_seed_hy", cat)
+    SQ.execute(spark, "CREATE TABLE hyvecs OPTIONS (key='vec_id') AS "
+                      "SELECT * FROM embs_seed_hy", cat)
+    SQ.execute(spark, "CREATE MATERIALIZED VIEW hyti USING text_index "
+                      "OPTIONS (source='hydocs', key='doc_id')", cat)
+    SQ.execute(spark, "CREATE MATERIALIZED VIEW hyai USING ann_index "
+                      "OPTIONS (source='hyvecs', key='vec_id', "
+                      "n_planes=4, buckets=8)", cat)
+    SQ.execute(spark, "DELETE FROM hydocs WHERE doc_id % 17 = 0", cat)
+    SQ.execute(spark, "INSERT INTO hydocs SELECT doc_id + 1000000, "
+                      "text FROM docs_seed_hy WHERE doc_id % 13 = 0",
+               cat)
+    SQ.execute(spark, "DELETE FROM hyvecs WHERE vec_id % 11 = 0", cat)
+    SQ.execute(spark, "INSERT INTO hyvecs SELECT vec_id + 1000000, "
+                      "embedding FROM embs_seed_hy "
+                      "WHERE vec_id % 13 = 0", cat)
+    SQ.execute(spark, "REFRESH MATERIALIZED VIEW hyti", cat)
+    SQ.execute(spark, "REFRESH MATERIALIZED VIEW hyai", cat)
+
+
+def _sql_hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """The hybrid capstone in PURE SQL: one statement composes
+    TEXT_SEARCH + ANN_SEARCH (each index-served — postings IN-list /
+    bucketed probe read) with rank windows and the RRF arithmetic —
+    no Python operator in the loop, proving the table functions
+    compose with full Spark SQL. Oracle: the hybrid_indexed_rrf
+    recompute-from-scratch SQL (same corpora, same churn)."""
+    from .. import sql as SQ
+
+    path = _vt_build(spark, sf, "hyidx", _hy_index_builder)
+    cat = SQ.Catalog(path)
+    terms = " ".join(BM25_TERMS)
+    arr = ", ".join(repr(float(x)) for x in QV_ZEBRA)
+    return SQ.execute(spark, f"""
+        WITH tr AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                      AS BIGINT) AS t_rank
+          FROM TEXT_SEARCH('hyti', '{terms}', 50)),
+        vr AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                      AS BIGINT) AS v_rank
+          FROM (SELECT vec_id AS doc_id, score
+                FROM ANN_SEARCH('hyai', array({arr}), 50, 1))),
+        fused AS (
+          SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id, t_rank,
+                 v_rank,
+                 (COALESCE(1.0D / (60.0D + CAST(t_rank AS DOUBLE)),
+                           0.0D)
+                  + COALESCE(1.0D / (60.0D + CAST(v_rank AS DOUBLE)),
+                             0.0D)) AS rrf
+          FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id)
+        SELECT doc_id, t_rank, v_rank, rrf FROM fused
+        ORDER BY rrf DESC, doc_id LIMIT 10""", cat)
+
+
+_register(
+    "sql_hybrid_search_rrf",
+    _sql_hybrid_search_rrf,
+    f"""
+    WITH txt AS ({_bm25_sql(BM25_TERMS, topk=50).replace(
+        "FROM documents", f"FROM {_TI_CORPUS_SQL}")}),
+    tr AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                       AS BIGINT) AS t_rank
+           FROM txt),
+    vec AS (SELECT vec_id AS doc_id,
+                   {dot_sql('embedding', QV_ZEBRA)} AS score
+            FROM {_AI_CORPUS_SQL}
+            WHERE {bucket_sql('embedding', PLANES4)}
+                  IN ({', '.join(str(b) for b in _AI_MP_PROBES)})
+            ORDER BY score DESC, doc_id LIMIT 50),
+    vr AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                       AS BIGINT) AS v_rank
+           FROM vec),
+    fused AS (
+      SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id, t_rank, v_rank,
+             (COALESCE({_f(1.0)} / ({_f(60.0)} + CAST(t_rank AS DOUBLE)), {_f(0.0)})
+              + COALESCE({_f(1.0)} / ({_f(60.0)} + CAST(v_rank AS DOUBLE)), {_f(0.0)})) AS rrf
+      FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id)
+    SELECT doc_id, t_rank, v_rank, rrf FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)

@@ -64,12 +64,10 @@ def test_registry_invariants():
         assert any(n.startswith(prefix) for n in window), prefix
     # everything in the window has an oracle except the NAMED rows-only
     # rows (no SQL twin by design: RNG-seeded/k-means/iterative/UDF
-    # ops). Round 10 retired the entire never-windowed rows-only
-    # backlog (all 16 hold CORRECTNESS_r10 executed cells); round 11
-    # rotates them back out, so the only rows-only rows left in the
-    # window are the fixed §2 D1 slot and any new r11 rows-only rows.
+    # ops). The r12 rotation carries exactly ONE rows-only row — the
+    # fixed §2 D1 slot (b16_local_binary_ingest rotated out with an
+    # executed CORRECTNESS_r11 cell; it stays replayed locally).
     assert sorted(n for n in C._PRIORITY if n not in o) == [
-        "b16_local_binary_ingest",  # local-file pipeline, no SQL twin
         "d1_embed_documents_distributed",
     ]
 
