@@ -90,6 +90,14 @@ FLOOR_SEC = {
     # ~2.5x faster even at toy scale where the JVM stage floor
     # dominates
     "bm25_indexed_topk": 0.431,
+    # r12 first-committed floors (best-of-2 under calib 0.711/0.783,
+    # k~1.1-1.2 — mildly contended; re-pin on an idle round): the
+    # bucketed ANN index probe query (file-pruned read of the probed
+    # physical buckets + exact dot top-k) and the hybrid RRF fusion
+    # from BOTH maintained indexes (index-served sides + two
+    # pool-sized rank windows + one pool-sized outer join)
+    "ann_indexed_topk": 0.66,
+    "hybrid_indexed_rrf": 1.19,
 }
 R3_FLOOR_SEC = FLOOR_SEC  # legacy alias
 
