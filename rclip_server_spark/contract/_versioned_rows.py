@@ -3119,3 +3119,59 @@ _register(
     ORDER BY rrf DESC, doc_id LIMIT 10
     """,
 )
+
+
+def _ai_knn_join_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-table approximate k-NN JOIN served FROM the maintained
+    ANN index (annindex.knn_join_via_index): the corpus side's bucket
+    column is precomputed at write time (no per-call corpus bucketing
+    pass) and the scale guard's right count comes from the manifest
+    (zero jobs). Left = a query corpus slice bucketed once + probe-
+    mask exploded; one bucket equi-join; per-left top-3 window —
+    row-identical to ann.lsh_knn_join over the post-DML source.
+    Oracle: the lsh_knn_join SQL twin retargeted at the churned
+    corpus."""
+    from ..sources import annindex as AI
+
+    path = _vt_build(spark, sf, "aiidx", _ai_index_builder)
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    left = _t(spark, sf, "embeddings").select("vec_id", "embedding") \
+        .where(F.col("vec_id") % 17 == 0)
+    out = AI.knn_join_via_index(
+        spark, left, cat.get("aiidx")["path"], k=3, n_probe_bits=1)
+    return out.withColumn("cosine", F.round("cosine", 9))
+
+
+_register(
+    "ai_knn_join_indexed",
+    _ai_knn_join_indexed,
+    f"""
+    WITH l AS (
+      SELECT vec_id AS id_a, embedding AS va,
+             {bucket_sql('embedding', PLANES4)} AS b0
+      FROM embeddings WHERE vec_id % 17 = 0),
+    lp AS (
+      SELECT id_a, va, CAST(xor(b0, m) AS BIGINT) AS bucket
+      FROM l CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS m)),
+    r AS (
+      SELECT vec_id AS id_b, embedding AS vb,
+             {bucket_sql('embedding', PLANES4)} AS bucket
+      FROM {_AI_CORPUS_SQL}),
+    c AS (
+      SELECT id_a, id_b, {dot2_sql('va', 'vb')} AS cosine
+      FROM lp JOIN r USING (bucket)),
+    ranked AS (
+      -- rank on the UNROUNDED cosine (the Spark side does), round
+      -- only for output: rounding before ranking could flip a
+      -- sub-1e-9 near-tie's order between the engines
+      SELECT id_a, id_b, cosine,
+             row_number() OVER (PARTITION BY id_a
+                                ORDER BY cosine DESC, id_b) AS rnk
+      FROM c)
+    SELECT id_a, id_b, round(cosine, 9) AS cosine,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)

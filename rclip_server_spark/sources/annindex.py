@@ -265,3 +265,84 @@ def query_ann_index(
     return (scored.select(key, "score")
             .orderBy(F.desc("score"), F.asc(key))
             .limit(k))
+
+
+def knn_join_via_index(
+    spark: SparkSession, left: DataFrame, view_path: str, k: int = 5,
+    n_probe_bits: int = 1, id_col: str = "vec_id",
+    vec_col: str = "embedding", version: int | None = None,
+    max_expected_candidates: int | None = 50_000_000,
+    n_left: int | None = None, skew_prepass: bool = False,
+) -> DataFrame:
+    """Approximate k-NN JOIN against the MAINTAINED index — the
+    two-large-tables alignment primitive (ann.lsh_knn_join) with the
+    corpus side served from the index instead of re-derived per call:
+
+    * the right side's bucket column is precomputed at WRITE time and
+      kept in sync through the CDC refresh — the ad-hoc join's
+      full-corpus bucketing pass disappears from every call;
+    * the right row count for the candidate-volume scale guard comes
+      from the MANIFEST (versioned.table_row_count — parquet footers,
+      zero Spark jobs), so guard planning stays lazy;
+    * planes/seed/dim come from the spec, so the result is
+      row-identical to ``ann.lsh_knn_join(left, source_head)`` with
+      the same parameters (same probe masks, same exact dot scoring,
+      same (cosine DESC, id_b ASC) total order).
+
+    The left side buckets ONCE (n_planes dots) and explodes its probe
+    masks; one equi-join on the bucket; per-left-row top-k window.
+    ``skew_prepass`` inserts the per-partition partial top-k guard for
+    extreme right-side skew (bit-identical on or off). Returns
+    (id_a, id_b, cosine, rnk)."""
+    from ..operators.ann import partition_partial_topk
+    from ..operators.dedup import ScaleGuardError
+
+    v = V.current_version(view_path) if version is None else int(version)
+    spec = _spec_ai(view_path, v)
+    key, ivec = spec["ai_key"], spec["ai_vec_col"]
+    n_planes, dim, seed = (int(spec["ai_n_planes"]),
+                           int(spec["ai_dim"]), int(spec["ai_seed"]))
+    planes = hyperplanes(n_planes, dim, seed)
+    masks = [0]
+    if n_probe_bits >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if n_probe_bits >= 2:
+        masks += [(1 << i) | (1 << j)
+                  for i in range(n_planes)
+                  for j in range(i + 1, n_planes)]
+    if max_expected_candidates is not None:
+        nl = int(n_left) if n_left is not None else left.count()
+        nr = V.table_row_count(view_path, v)  # manifest, zero jobs
+        expected = nl * nr * len(masks) / (1 << n_planes)
+        if expected > max_expected_candidates:
+            raise ScaleGuardError(
+                f"knn_join_via_index expects ~{expected:.2e} candidate "
+                f"pairs (|L|*|R|*{len(masks)}/2^{n_planes}) > "
+                f"{max_expected_candidates:.0e}; rebuild the index "
+                f"with more planes (2^n_planes should track |corpus|), "
+                f"lower n_probe_bits, or pass "
+                f"max_expected_candidates=None deliberately.")
+    lf = left.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        hyperplane_bucket_col(F.col(vec_col), planes).alias("b0"),
+    ).select(
+        "id_a", "va",
+        F.explode(F.array(*[F.col("b0").bitwiseXOR(F.lit(m))
+                            for m in masks])).alias("bucket"))
+    rt = _state(spark, view_path, v).select(
+        "bucket", F.col(key).alias("id_b"), F.col(ivec).alias("vb"))
+    scored = (lf.join(rt, "bucket")
+              .withColumn("cosine", VEC.dot("va", "vb"))
+              .select("id_a", "id_b", "cosine"))
+    if skew_prepass:
+        scored = partition_partial_topk(
+            scored, k, query_id="id_a", id_col="id_b",
+            score_col="cosine")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"),
+                                           F.asc("id_b"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("id_a", "id_b", "cosine",
+                    F.col("rnk").cast("long").alias("rnk")))

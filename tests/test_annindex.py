@@ -197,3 +197,37 @@ def test_refresh_stream_maintains_ann_index(spark, vecs, cat):
         S.execute(spark, "STOP REFRESH STREAM ON VIEW st_ann", cat)
     rows = S.execute(spark, "SHOW STREAMS", cat)
     assert not any(x["name"] == "st_ann" for x in rows)
+
+
+def test_knn_join_via_index_matches_adhoc(spark, vecs, cat,
+                                          embeddings):
+    """r12: the cross-table k-NN join served FROM the maintained index
+    is row-identical to ann.lsh_knn_join over the current source with
+    the same parameters — including after churn + refresh, on the
+    bucketed layout, and with the skew prepass on."""
+    vp = _mk(spark, vecs, cat, "kj")
+    S.execute(spark, "OPTIMIZE kj_ann BUCKET BY (bucket, 16)", cat)
+    S.execute(spark, "DELETE FROM kj WHERE vec_id % 8 = 0", cat)
+    S.execute(spark, "REFRESH MATERIALIZED VIEW kj_ann", cat)
+    left = embeddings.select("vec_id", "embedding").where(
+        F.col("vec_id") % 2 == 1).limit(60)
+    current = S.execute(spark, "SELECT vec_id, embedding FROM kj", cat)
+    got = AI.knn_join_via_index(spark, left, vp, k=4, n_probe_bits=1)
+    want = ann.lsh_knn_join(left, current, k=4, n_planes=4,
+                            n_probe_bits=1, seed=42)
+    def rows(df):
+        return sorted((r["id_a"], r["rnk"], r["id_b"],
+                       round(r["cosine"], 9)) for r in df.collect())
+    assert rows(got) == rows(want)
+    assert got.count() > 0
+    # skew prepass is bit-identical
+    got_sp = AI.knn_join_via_index(spark, left, vp, k=4,
+                                   n_probe_bits=1, skew_prepass=True)
+    assert rows(got_sp) == rows(want)
+    # the scale guard plans with the MANIFEST count (no count() job)
+    # and fires loudly when the expected candidate volume explodes
+    from rclip_server_spark.operators.dedup import ScaleGuardError
+    with pytest.raises(ScaleGuardError):
+        AI.knn_join_via_index(spark, left, vp, k=4, n_probe_bits=2,
+                              n_left=10_000_000_000,
+                              max_expected_candidates=1_000_000)
