@@ -2551,20 +2551,28 @@ def maybe_compact(spark: SparkSession, path: str,
         # maintainer grows TOTAL file count (and with it query task
         # count, commit-time footer reads, and manifest size) without
         # any single bucket ever reaching the bound. Diffuse budget:
-        # 2x one-segment-per-non-empty-bucket steady state, gated on
-        # the bound so a handful of files never churns maintenance.
-        # Pending delete vectors count toward the trigger too (each is
-        # a per-read anti-join until materialized).
+        # AVERAGE segments/bucket >= bound/2 (coherent with the
+        # worst-bucket tolerance of `bound` per bucket, and amortized:
+        # a refresh stream touching every bucket folds once per
+        # ~bound/2 refreshes, not every refresh — a per-refresh
+        # O(table) fold would be the exact write amplification the
+        # bucketed layout exists to avoid), floored at the bound so a
+        # handful of files never churns maintenance. Pending delete
+        # vectors count toward the trigger too (each is a per-read
+        # anti-join until materialized).
         nonempty = sum(1 for ss in m["buckets"].values() if ss)
         total = sum(len(ss) for ss in m["buckets"].values())
-        diffuse = total >= max(2 * nonempty, max_segments)
+        diffuse = total >= max(nonempty * max_segments // 2,
+                               max_segments)
         if worst < max_segments and not diffuse \
                 and len(m.get("delete_segs") or []) < max_segments:
             return v
         try:
             # the diffuse trigger folds EVERY multi-segment bucket
-            # (min_segments=2) — folding only at/over-bound buckets
-            # would leave the file count unchanged in shape (a)
+            # (min_segments=2): under shape (b) the accretion is
+            # spread across buckets, so folding only at/over-bound
+            # buckets (none exist) would be a no-op and the file
+            # count would keep growing
             return compact_bucketed(
                 spark, path,
                 min_segments=2 if diffuse else max_segments)

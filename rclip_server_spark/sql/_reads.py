@@ -80,36 +80,6 @@ _INDEX_FN = re.compile(r"\b(text_search|ann_search|phrase_search)"
                        r"\s*\(", re.IGNORECASE)
 
 
-def _split_args(s: str) -> list[str]:
-    """Split a call's argument text on TOP-LEVEL commas (paren depth +
-    single-quote tracking — an array(...) arg or a quoted comma never
-    splits)."""
-    out, depth, i, start, n = [], 0, 0, 0, len(s)
-    in_str = False
-    while i < n:
-        c = s[i]
-        if in_str:
-            if c == "'":
-                if i + 1 < n and s[i + 1] == "'":
-                    i += 1
-                else:
-                    in_str = False
-        elif c == "'":
-            in_str = True
-        elif c == "(":
-            depth += 1
-        elif c == ")":
-            depth -= 1
-        elif c == "," and depth == 0:
-            out.append(s[start:i].strip())
-            start = i + 1
-        i += 1
-    tail = s[start:].strip()
-    if tail:
-        out.append(tail)
-    return out
-
-
 def _str_arg(a: str, fn: str, what: str) -> str:
     if len(a) >= 2 and a[0] == "'" and a[-1] == "'":
         return a[1:-1].replace("''", "'")
@@ -141,16 +111,34 @@ def _rewrite_index_searches(spark: SparkSession, text: str,
     SQL — joins, CTEs, window functions, aliases all work. k and
     probe_bits must be literals (the plan is resolved at parse time,
     exactly like VERSION AS OF)."""
+    import hashlib
+
+    from ..sources import versioned as V
+    from ._base import _split_top_level
+
     scannable = _mask(text)
     spans: list[tuple[int, int, str]] = []
-    for i, m in enumerate(_INDEX_FN.finditer(scannable)):
+    for m in _INDEX_FN.finditer(scannable):
         fn = m.group(1).lower()
         close = _matching_paren(scannable, m.end() - 1)
-        args = _split_args(text[m.end():close])
+        # split on the MASK (the repo's one top-level splitter):
+        # commas inside comments, literals, or array(...) never split
+        args = [a.strip() for a in _split_top_level(
+            text[m.end():close], scannable[m.end():close], ",")]
+        if args == [""]:
+            args = []
         vname = _str_arg(args[0] if args else "''", fn.upper(),
                          "view name")
         e = catalog.get(vname)
-        tmp = f"__{fn}_{i}"
+        # CONTENT-KEYED temp-view name (fn + args + the index's
+        # current version): two concurrent statements on one session
+        # can only collide when they'd register the identical frame —
+        # a position-keyed name (__text_search_0) would let statement
+        # B clobber A's view with different content between A's
+        # registration and A's spark.sql, silently swapping results
+        ver = V.current_version(e["path"])
+        tmp = "__{}_{}".format(fn, hashlib.md5(repr(
+            (vname, ver, args)).encode()).hexdigest()[:12])
         if fn in ("text_search", "phrase_search"):
             up = fn.upper()
             if len(args) != 3:
@@ -163,10 +151,11 @@ def _rewrite_index_searches(spark: SparkSession, text: str,
             terms = _str_arg(args[1], up, "terms string")
             k = _int_arg(args[2], up, "k")
             try:
-                q = (TI.query_text_index(spark, e["path"], terms, k=k)
+                q = (TI.query_text_index(spark, e["path"], terms,
+                                         k=k, version=ver)
                      if fn == "text_search" else
                      TI.query_phrase_index(spark, e["path"], terms,
-                                           k=k))
+                                           k=k, version=ver))
             except ValueError as ex:
                 raise SqlError(str(ex)) from ex
             q.createOrReplaceTempView(tmp)
@@ -194,7 +183,7 @@ def _rewrite_index_searches(spark: SparkSession, text: str,
                 if len(args) == 4 else 1
             try:
                 AI.query_ann_index(spark, e["path"], qv, k=k,
-                                   n_probe_bits=probes)\
+                                   n_probe_bits=probes, version=ver)\
                     .createOrReplaceTempView(tmp)
             except ValueError as ex:
                 raise SqlError(str(ex)) from ex

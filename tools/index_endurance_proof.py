@@ -43,7 +43,7 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 TEXT_CYCLES = int(sys.argv[2]) if len(sys.argv) > 2 else 60
 ANN_CYCLES = int(sys.argv[3]) if len(sys.argv) > 3 else 30
 BATCH = 20
-COMPACT_THRESHOLD = 12
+COMPACT_THRESHOLD = 6
 VACUUM_EVERY = 10
 QV = [0.125] * 32 + [-0.125] * 32
 
@@ -102,8 +102,16 @@ def _endure(spark, src, idx, n_cycles, churn, query, rebuild_check):
     rebuild_check()
     first, last = checkpoints[0], checkpoints[-1]
     flat = last["query_sec"] <= first["query_sec"] * 1.5 + 0.15
+    # file-count bound = the diffuse budget (avg segments/bucket <=
+    # bound/2 between folds; flat tables fold at the bound) plus one
+    # refresh's worth of headroom (a checkpoint can land just before
+    # the fold that clears it)
+    m = V._manifest(idx, V.current_version(idx))
+    nonempty = sum(1 for ss in m.get("buckets", {}).values() if ss) \
+        if "buckets" in m else 0
+    budget = max(nonempty * COMPACT_THRESHOLD // 2, COMPACT_THRESHOLD)
     bounded_segs = last["segments"] + last["delete_vectors"] \
-        <= COMPACT_THRESHOLD + BATCH  # bucketed appends land per bucket
+        <= budget + BATCH
     bounded_manifests = last["manifests"] <= VACUUM_EVERY + 2
     assert flat, f"query latency grew: {first} -> {last}"
     assert bounded_segs, f"segment growth unbounded: {last}"
