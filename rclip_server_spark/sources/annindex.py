@@ -95,7 +95,10 @@ def _state(spark: SparkSession, view_path: str, v: int,
     the at-rest half of the probe-pruning story."""
     m = V._manifest(view_path, v)
     if "buckets" in m:
-        return V.read_bucketed(spark, view_path, v, buckets=buckets)
+        # pin_schema: the serving path plans with the manifest's
+        # committed schema — no mergeSchema footer job per query
+        return V.read_bucketed(spark, view_path, v, buckets=buckets,
+                               pin_schema=True)
     return V.read(spark, view_path, v)
 
 
@@ -135,17 +138,15 @@ def convert_index_to_bucketed(spark: SparkSession, view_path: str,
 def _probe_hash_buckets(spark: SparkSession, probes: list[int],
                         n_buckets: int) -> list[int]:
     """Physical hash buckets of the probed LSH bucket VALUES — the
-    exact writer-side expression (pmod(xxhash64(cast string), n)) run
-    over the ≤(1+p+C(p,2))-row probe list: one tiny Spark job, bounded
-    by the probe count, never by data."""
-    from .writer import _bucket_expr
+    exact writer-side expression (pmod(xxhash64(cast string), n))
+    evaluated DRIVER-SIDE in pure Python (functions/xxh.py, parity
+    pinned against the live Spark expression by tests/test_xxh.py):
+    zero Spark jobs on the serving path, a few microseconds for the
+    ≤(1+p+C(p,2))-entry probe list. (r12 ran a createDataFrame+collect
+    round trip here — bounded, but a full Spark job per query.)"""
+    from ..functions.xxh import buckets_of
 
-    pdf = spark.createDataFrame([(int(b),) for b in probes],
-                                "bucket long")
-    rows = pdf.select(
-        _bucket_expr("bucket", int(n_buckets)).alias("pb")
-    ).distinct().collect()
-    return sorted(int(r["pb"]) for r in rows)
+    return buckets_of([int(b) for b in probes], int(n_buckets))
 
 
 def refresh_ann_index(

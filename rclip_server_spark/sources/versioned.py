@@ -367,8 +367,31 @@ def _apply_hidden(df: DataFrame, m: dict) -> DataFrame:
     return df.drop(*hidden) if hidden else df
 
 
+def _pinned_schema(m: dict) -> str | None:
+    """Explicit read schema from the manifest's committed col_types
+    (minus logically-dropped columns) — the serving-path alternative
+    to mergeSchema footer inference. Safe BECAUSE the commit layer
+    enforces it: _check_schema_compat blocks type changes, so every
+    segment's columns are a by-name subset of col_types at identical
+    types, and parquet fills absent-by-name columns with NULL (which
+    IS the evolution semantics mergeSchema reconstructs by reading
+    every footer). At 100 TB this is the difference between zero
+    planning IO and an O(n_files) footer job per query. Returns None
+    when the manifest predates col_types (legacy → caller falls back
+    to mergeSchema)."""
+    types = m.get("col_types") or {}
+    if not types:
+        return None
+    hidden = {c.lower() for c in m.get("hidden_cols", [])}
+    kept = {c: t for c, t in types.items() if c.lower() not in hidden}
+    if not kept:
+        return None
+    return ", ".join(f"`{c}` {t}" for c, t in kept.items())
+
+
 def _read_with_deletes(spark: SparkSession, path: str, m: dict,
-                       segs: list[str]) -> DataFrame:
+                       segs: list[str],
+                       pin_schema: bool = False) -> DataFrame:
     """Read the given data segments applying the manifest's pending delete
     vectors with their SCOPES: each vector filters only the segments that
     existed when it was committed, so a key deleted and later re-appended
@@ -378,15 +401,24 @@ def _read_with_deletes(spark: SparkSession, path: str, m: dict,
     set (≤ one group per delete commit + 1), each group anti-joins the
     union of its vectors' keys (broadcast — vectors are KB-sized), and
     the groups union back together. Vectors committed without a recorded
-    scope (legacy) conservatively apply to every segment."""
+    scope (legacy) conservatively apply to every segment.
+
+    ``pin_schema`` reads with the manifest's committed schema instead
+    of mergeSchema footer inference (_pinned_schema) — zero Spark jobs
+    at plan time, for serving paths that build a query per request."""
+    pinned = _pinned_schema(m) if pin_schema else None
+
+    def _rd(paths: list[str]) -> DataFrame:
+        if pinned is not None:
+            return spark.read.schema(pinned).parquet(*paths)
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
+
     dsegs = m.get("delete_segs") or []
     if not segs:
         raise FileNotFoundError("no segments to read")
     if not dsegs:
         return _apply_hidden(
-            spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(path, s) for s in segs]
-            ), m)
+            _rd([os.path.join(path, s) for s in segs]), m)
     scopes = m.get("delete_scopes", {})
     key = m["delete_key"]
     groups: dict[tuple, list[str]] = {}
@@ -396,13 +428,17 @@ def _read_with_deletes(spark: SparkSession, path: str, m: dict,
         groups.setdefault(vs, []).append(s)
     parts = []
     for vs, ss in groups.items():
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(path, s) for s in ss]
-        )
+        df = _rd([os.path.join(path, s) for s in ss])
         if vs:
-            # mergeSchema: tolerate vectors of mixed physical widths
+            # the vector schema is pinned from the manifest too (one
+            # key column at its committed type); legacy manifests keep
+            # the mergeSchema read that tolerates mixed-width vectors
             # written before _write_delete_vector pinned the key type
-            kd = spark.read.option("mergeSchema", "true").parquet(
+            ktype = (m.get("col_types") or {}).get(key)
+            vr = (spark.read.schema(f"`{key}` {ktype}")
+                  if pinned is not None and ktype
+                  else spark.read.option("mergeSchema", "true"))
+            kd = vr.parquet(
                 *[os.path.join(path, d) for d in vs]
             ).distinct()
             df = df.join(kd, [key], "left_anti")
@@ -2264,13 +2300,15 @@ def convert_to_bucketed(spark: SparkSession, path: str, key: str,
 
 def read_bucketed(
     spark: SparkSession, path: str, version: int | None = None,
-    buckets: list[int] | None = None,
+    buckets: list[int] | None = None, pin_schema: bool = False,
 ) -> DataFrame:
     """Read a bucketed versioned table AT a version (default head),
     optionally restricted to a bucket subset — restriction is directory
     pruning at MANIFEST-resolution time: non-listed buckets' segments are
     never even named in the plan (the at-rest analog of a planning-time
-    partition filter)."""
+    partition filter). ``pin_schema`` additionally reads with the
+    manifest's committed schema instead of mergeSchema footer
+    inference — ZERO Spark jobs at plan time (serving paths)."""
     v = current_version(path) if version is None else int(version)
     m = _manifest(path, v)
     _, _, bmap = _bucketed_meta(m)
@@ -2293,7 +2331,8 @@ def read_bucketed(
     # groups this read's segments into the no-vector bucket — zero
     # anti-join cost for buckets the delete never touched
     return _reconcile_declared(
-        _read_with_deletes(spark, path, m, segs), m)
+        _read_with_deletes(spark, path, m, segs,
+                           pin_schema=pin_schema), m)
 
 
 def read_bucketed_pruned(

@@ -199,6 +199,36 @@ def test_refresh_stream_maintains_ann_index(spark, vecs, cat):
     assert not any(x["name"] == "st_ann" for x in rows)
 
 
+def test_bucketed_query_plans_with_zero_spark_jobs(spark, vecs, cat):
+    """r13 (verdict task 4): query_ann_index on the bucketed at-rest
+    layout builds its ENTIRE plan with zero Spark jobs — the LSH→
+    physical-bucket resolution is driver-side pure Python (xxh parity
+    pinned by tests/test_xxh.py) and the scan reads with the
+    manifest's committed schema instead of a mergeSchema footer job.
+    Runs post-churn so a pending delete vector is on the read path
+    too (the vector's schema is pinned from col_types)."""
+    vp = _mk(spark, vecs, cat, "zj")
+    S.execute(spark, "OPTIMIZE zj_ann BUCKET BY (bucket, 16)", cat)
+    S.execute(spark, "DELETE FROM zj WHERE vec_id % 8 = 0", cat)
+    S.execute(spark, "REFRESH MATERIALIZED VIEW zj_ann", cat)
+    sc = spark.sparkContext
+    group = "ann-serving-zero-jobs"
+    sc.setJobGroup(group, "plan-time")
+    try:
+        got_df = AI.query_ann_index(spark, vp, QV, k=10,
+                                    n_probe_bits=1)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert jobs == [], f"serving path ran Spark jobs at plan " \
+                           f"time: {jobs}"
+    finally:
+        sc.setJobGroup("", "")
+    # the lazily-built plan still answers exactly (ad-hoc parity)
+    current = S.execute(spark, "SELECT vec_id, embedding FROM zj", cat)
+    want = ann.lsh_topk_multiprobe(current, QV, k=10, n_planes=4,
+                                   n_probe_bits=1, seed=42)
+    assert _ids_scores(got_df) == _ids_scores(want)
+
+
 def test_knn_join_via_index_matches_adhoc(spark, vecs, cat,
                                           embeddings):
     """r12: the cross-table k-NN join served FROM the maintained index
