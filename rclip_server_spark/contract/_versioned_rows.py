@@ -2680,6 +2680,13 @@ def _ti_index_builder(spark: SparkSession, sf: str, path: str) -> None:
     SQ.execute(spark, "CREATE MATERIALIZED VIEW tiidx USING "
                       "text_index OPTIONS (source='tidocs', "
                       "key='doc_id')", cat)
+    # r13: migrate the postings to the term-hash-bucketed AT-REST
+    # layout BEFORE the churn — the refresh below then exercises the
+    # bucketed delete_and_append twin and queries read ONLY the query
+    # terms' buckets' segment files (file pruning, plan-asserted in
+    # tests/test_textindex.py); the oracle recomputes from the
+    # corpus, so the bucketed path must stay hash-exact
+    SQ.execute(spark, "OPTIMIZE tiidx BUCKET BY (term, 16)", cat)
     # churn the corpus, then advance the index O(changed docs): the
     # oracle checks the POST-DML state, so a stale or over-retracted
     # index cannot pass
@@ -2962,7 +2969,11 @@ def _ti_pos_index_builder(spark: SparkSession, sf: str,
                       "SELECT * FROM docs_seed_tip", cat)
     SQ.execute(spark, "CREATE MATERIALIZED VIEW tipidx USING "
                       "text_index OPTIONS (source='tipdocs', "
-                      "key='doc_id', positions=true)", cat)
+                      "key='doc_id', positions=true, buckets=16)",
+               cat)
+    # (buckets=16: the positional index lives on the term-hash-
+    # bucketed at-rest layout from creation — phrase queries name
+    # only the phrase terms' buckets' files in the plan)
     # churn + O(changed docs) refresh: the oracle recomputes the
     # POST-DML adjacency counts, so stale or mis-positioned postings
     # cannot pass

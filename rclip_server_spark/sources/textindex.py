@@ -117,6 +117,56 @@ def _spec_ti(path: str, version: int | None = None) -> dict:
     return spec
 
 
+def _state(spark: SparkSession, view_path: str, v: int,
+           terms: list[str] | None = None) -> DataFrame:
+    """The postings state at a version, layout-dispatched (the
+    annindex._state twin): a flat index reads all segments; one
+    converted to the hash-bucketed at-rest layout
+    (convert_index_to_bucketed, bucket key = term) resolves the query
+    TERMS to their physical buckets DRIVER-SIDE (functions/xxh.py —
+    the writer's pmod(xxhash64(term), n) evaluated in pure Python,
+    parity-pinned) and names ONLY those buckets' segment files in the
+    plan — at 100 TB a 3-term query opens the 3 terms' buckets'
+    files, never the whole postings table. pin_schema: the serving
+    path plans with the manifest's committed schema, zero Spark jobs
+    before the scan itself."""
+    m = V._manifest(view_path, v)
+    if "buckets" in m:
+        phys = None
+        if terms is not None and m.get("bucket_key") == "term":
+            from ..functions.xxh import buckets_of
+
+            phys = buckets_of(terms, int(m["n_buckets"]))
+        return V.read_bucketed(spark, view_path, v, buckets=phys,
+                               pin_schema=True)
+    return V.read(spark, view_path, v)
+
+
+def convert_index_to_bucketed(spark: SparkSession, view_path: str,
+                              n_buckets: int = 64) -> int:
+    """Physically lay the postings out by their ``term`` hash bucket
+    (versioned.convert_to_bucketed) — the text twin of the ANN
+    index's at-rest layout: one rewrite, after which a term/phrase
+    query's read SKIPS FILES, not rows (only the query terms' hash
+    buckets' segment directories are ever named in the scan plan;
+    r12's layout pushed the term IN-list to the scan, which pruned
+    row groups but still OPENED every segment file). Refreshes keep
+    working unchanged — the delete_and_append refresh commit
+    dispatches to the bucketed twin; the doc-key delete vector scopes
+    conservatively to all segments (a doc's postings scatter across
+    term buckets), which costs one broadcast anti-join per read
+    group, not extra IO. compact_bucketed / OPTIMIZE fold refresh
+    accretion back down per bucket.
+
+    Sizing: terms are high-cardinality, so ``n_buckets`` trades probe
+    selectivity (a q-term query reads ≤q buckets = ~q/n of the index)
+    against per-bucket segment size — at 100 TB pick n so a bucket is
+    a few hundred MB; the 64 default keeps toy-scale segments
+    non-empty."""
+    return V.convert_to_bucketed(spark, view_path, "term",
+                                 int(n_buckets))
+
+
 def read_text_index(spark: SparkSession, view_path: str,
                     version: int | None = None) -> DataFrame:
     """The postings table at a version (default head), in the
@@ -128,7 +178,7 @@ def read_text_index(spark: SparkSession, view_path: str,
     cols = ["term", key, "tf", "dl"]
     if spec.get("ti_positions"):
         cols.append("positions")
-    return V.read(spark, view_path, v).select(*cols)
+    return _state(spark, view_path, v).select(*cols)
 
 
 def refresh_text_index(
@@ -253,7 +303,11 @@ def query_text_index(
     if n <= 0:
         raise ValueError(f"{view_path} indexes an empty corpus")
     avgdl = total_len / n
-    hits = V.read(spark, view_path, v).where(F.col("term").isin(*terms))
+    # bucketed at-rest state: only the query terms' hash buckets'
+    # files enter the plan (driver-side term→bucket resolution); the
+    # residual IN-list prunes hash-collided terms inside survivors
+    hits = _state(spark, view_path, v, terms=terms).where(
+        F.col("term").isin(*terms))
     # df per query term: a ≤|terms|-row aggregate over the hit rows
     # (postings carry tf > 0 rows only, so count(rows) IS df)
     dfs = {r["term"]: int(r["n"])
@@ -311,7 +365,7 @@ def query_phrase_index(
             f"index with positions=True for phrase queries")
     key = spec["ti_key"]
     uniq = list(dict.fromkeys(terms))
-    hits = (V.read(spark, view_path, v)
+    hits = (_state(spark, view_path, v, terms=uniq)
             .where(F.col("term").isin(*uniq))
             .select(key, "term", "positions"))
     # one row per candidate doc: term -> sorted offsets (postings hold

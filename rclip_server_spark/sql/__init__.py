@@ -1146,11 +1146,30 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
                 return {"status": "optimized", "name": name,
                         "bucketed_by": "bucket",
                         "n_buckets": n_buckets, "version": ver}
+            if e["kind"] == "text_index":
+                # OPTIMIZE tiidx BUCKET BY (term, N): lay the postings
+                # out by their term hash bucket so term/phrase queries
+                # skip FILES (only the query terms' buckets' segments
+                # are named in the plan), not rows
+                if bcol.lower() != "term":
+                    raise SqlError(
+                        f"a text_index view buckets by its 'term' "
+                        f"column (got {bcol!r})")
+                from ..sources import textindex as TI
+
+                try:
+                    ver = TI.convert_index_to_bucketed(
+                        spark, e["path"], n_buckets)
+                except ValueError as ex:
+                    raise SqlError(str(ex)) from ex
+                return {"status": "optimized", "name": name,
+                        "bucketed_by": "term",
+                        "n_buckets": n_buckets, "version": ver}
             if e["kind"] != "table":
                 raise SqlError(
                     f"BUCKET BY migrates base tables (or an "
-                    f"ann_index view on its bucket column); {name} "
-                    f"is a {e['kind']} view")
+                    f"ann_index / text_index view on its bucket/term "
+                    f"column); {name} is a {e['kind']} view")
             key = e["meta"].get("key")
             if not key:
                 raise SqlError(

@@ -657,6 +657,13 @@ def _create_using(spark: SparkSession, catalog: Catalog, name: str,
                 kw["positions"] = (str(pv).strip().lower() == "true"
                                    if isinstance(pv, str) else bool(pv))
             TI.create_text_index(spark, src["path"], vp, key=key, **kw)
+            if "buckets" in opts:
+                # OPTIONS (buckets=N): the at-rest term-hash-bucketed
+                # layout in one statement — term/phrase queries skip
+                # segment files from the first query (same as a
+                # post-hoc OPTIMIZE ... BUCKET BY (term, N))
+                TI.convert_index_to_bucketed(spark, vp,
+                                             int(opts["buckets"]))
         elif kind == "ann_index":
             from ..sources import annindex as AI
 

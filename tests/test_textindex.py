@@ -194,3 +194,112 @@ def test_phrase_search_positional_index(spark, corpus, cat):
     with pytest.raises(S.SqlError):
         S.execute(spark, "SELECT * FROM PHRASE_SEARCH('ph_nopos', "
                          "'value table', 5)", cat)
+
+
+def test_bucketed_at_rest_layout_prunes_files(spark, corpus, cat):
+    """r13 (verdict task 1): OPTIMIZE tiidx BUCKET BY (term, N) lays
+    the postings out by term hash bucket — a term query then names
+    ONLY the query terms' physical buckets' segment files in the plan
+    (file skipping, not just row-group pruning), while staying
+    row-identical to the flat index and the batch BM25 scorer."""
+    from rclip_server_spark.functions.xxh import buckets_of
+    from rclip_server_spark.sources import versioned as V
+
+    vp = _mk_index(spark, corpus, cat, "bk")
+    terms = ["vector", "join", "spark"]
+    flat = _rows(TI.query_text_index(spark, vp, terms, k=10)
+                 .withColumn("bm25", F.round("bm25", 6)))
+    r = S.execute(spark, "OPTIMIZE bk_idx BUCKET BY (term, 16)", cat)
+    assert r["status"] == "optimized" and r["n_buckets"] == 16
+    got_df = TI.query_text_index(spark, vp, terms, k=10)
+    assert _rows(got_df.withColumn("bm25", F.round("bm25", 6))) == flat
+    # batch-scorer parity too (the oracle the ti_ rows pin)
+    want = retrieval.bm25_topk(
+        S.execute(spark, "SELECT doc_id, text FROM bk", cat),
+        terms, k=10)
+    assert _rows(got_df.withColumn("bm25", F.round("bm25", 6))) == \
+        _rows(want.withColumn("bm25", F.round("bm25", 6)))
+    # PLAN ASSERTION: the scan's files live only in the query terms'
+    # hash buckets' segment dirs — non-probed buckets are absent
+    m = V._manifest(vp, V.current_version(vp))
+    assert m.get("bucket_key") == "term" and m["n_buckets"] == 16
+    phys = set(buckets_of(terms, 16))
+    probed_segs = {s for b in phys
+                   for s in m["buckets"].get(str(b), [])}
+    other_segs = {s for b, ss in m["buckets"].items()
+                  if int(b) not in phys for s in ss}
+    touched = {f.split(vp + "/")[1].split("/")[0]
+               for f in got_df.inputFiles()}
+    assert touched <= probed_segs
+    assert not (touched & other_segs)
+    assert other_segs  # the assertion is vacuous if everything probed
+
+
+def test_bucketed_text_refresh_stays_exact(spark, corpus, cat,
+                                           documents):
+    """Refreshes keep working on the bucketed layout (delete_and_append
+    dispatches to the bucketed twin; the doc-key vector scopes
+    conservatively across term buckets) and the indexed answer still
+    equals the batch scorer over the post-DML source."""
+    vp = _mk_index(spark, corpus, cat, "bkr")
+    S.execute(spark, "OPTIMIZE bkr_idx BUCKET BY (term, 16)", cat)
+    documents.select("doc_id", "text").where(
+        F.col("doc_id") % 3 == 1).limit(40) \
+        .createOrReplaceTempView("bkr_extra")
+    S.execute(spark, "INSERT INTO bkr SELECT * FROM bkr_extra", cat)
+    S.execute(spark, "DELETE FROM bkr WHERE doc_id % 9 = 0", cat)
+    S.execute(spark, "UPDATE bkr SET text = 'spark bucket rewrite' "
+                     "WHERE doc_id % 7 = 0", cat)
+    r = S.execute(spark, "REFRESH MATERIALIZED VIEW bkr_idx", cat)
+    assert r["status"] == "refreshed"
+    current = S.execute(spark, "SELECT doc_id, text FROM bkr", cat)
+    # full-state parity: postings equal a from-scratch rebuild
+    assert _rows(TI.read_text_index(spark, vp)) == \
+        _rows(TI._postings(current, "doc_id", "text"))
+    spec = TI._spec_ti(vp)
+    nd, tl = TI._corpus_stats(current, "text")
+    assert (spec["ti_ndocs"], spec["ti_total_len"]) == (nd, tl)
+    terms = ["spark", "rewrite"]
+    got = TI.query_text_index(spark, vp, terms, k=10) \
+        .withColumn("bm25", F.round("bm25", 6))
+    want = retrieval.bm25_topk(current, terms, k=10) \
+        .withColumn("bm25", F.round("bm25", 6))
+    assert _rows(got) == _rows(want)
+    # OPTIMIZE (plain compaction) folds refresh accretion per bucket,
+    # spec survives, answers unchanged
+    S.execute(spark, "OPTIMIZE bkr_idx", cat)
+    assert _rows(TI.query_text_index(spark, vp, terms, k=10)
+                 .withColumn("bm25", F.round("bm25", 6))) == _rows(want)
+
+
+def test_bucketed_phrase_plans_with_zero_spark_jobs(spark, corpus,
+                                                    cat):
+    """Phrase queries on a bucketed positional index build their
+    ENTIRE plan with zero Spark jobs (driver-side term→bucket
+    resolution + manifest-pinned scan schema) and still match the
+    brute-force oracle. Created with OPTIONS (buckets=N) — the
+    one-statement at-rest form."""
+    corpus.createOrReplaceTempView("seed_zb")
+    S.execute(spark, "CREATE TABLE zb OPTIONS (key='doc_id') AS "
+                     "SELECT * FROM seed_zb", cat)
+    S.execute(spark, "CREATE MATERIALIZED VIEW zb_idx USING "
+                     "text_index OPTIONS (source='zb', key='doc_id', "
+                     "positions=true, buckets=16)", cat)
+    vp = cat.get("zb_idx")["path"]
+    # churn so a pending delete vector sits on the read path
+    S.execute(spark, "DELETE FROM zb WHERE doc_id % 2 = 0", cat)
+    S.execute(spark, "REFRESH MATERIALIZED VIEW zb_idx", cat)
+    sc = spark.sparkContext
+    group = "ti-serving-zero-jobs"
+    sc.setJobGroup(group, "plan-time")
+    try:
+        got_df = TI.query_phrase_index(spark, vp, "value table", k=8)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert jobs == [], f"phrase serving ran Spark jobs at plan " \
+                           f"time: {jobs}"
+    finally:
+        sc.setJobGroup("", "")
+    current = S.execute(spark, "SELECT doc_id, text FROM zb", cat)
+    got = [(r["doc_id"], r["phrase_tf"]) for r in got_df.collect()]
+    assert got == _brute_phrase(current, "value table", 8)
+    assert got  # non-vacuous

@@ -1086,6 +1086,83 @@ def main() -> int:
         "the top-k is a per-partition heap.",
     ))
 
+    # --- r13: the TEXT index's bucketed at-rest layout — term/phrase
+    # queries skip FILES at manifest resolution, the symmetric twin of
+    # the r12 ANN treatment ---
+    TIX.convert_index_to_bucketed(spark, _tii, n_buckets=16)
+    _tq = TIX.query_text_index(spark, _tii, ["vector", "join"], k=10)
+    _tm = V._manifest(_tii, V.current_version(_tii))
+    _t_probed = {os.path.basename(os.path.dirname(f))
+                 for f in _tq.inputFiles()}
+    _t_all = {s for ss in _tm["buckets"].values() for s in ss}
+    assert _t_probed < _t_all, \
+        "bucketed text-index term read must name a STRICT SUBSET of " \
+        "the postings' bucket segments in its plan (file pruning)"
+    audits.append((
+        "Bucketed text-index term read (file skipping at rest)",
+        _tq,
+        {"PushedFilters: [In(term": True,
+         "TakeOrderedAndProject": True},
+        "After OPTIMIZE tiidx BUCKET BY (term, N) the query terms "
+        "resolve to their physical hash buckets DRIVER-SIDE (pure-"
+        "Python xxhash64, parity-pinned by tests/test_xxh.py — zero "
+        "Spark jobs) and only those buckets' segment files are named "
+        "in the plan (verified: the scan's input files are "
+        f"{len(_t_probed)} of {len(_t_all)} bucket segments, a strict "
+        "subset); the residual term IN-list prunes hash-collided "
+        "terms inside the survivors. At 100 TB a 3-term query opens "
+        "the 3 terms' buckets, never the whole postings table — "
+        "r12's layout pushed the IN-list to the scan but still OPENED "
+        "every segment file.",
+    ))
+
+    TIX.convert_index_to_bucketed(spark, _tip, n_buckets=16)
+    _pq = TIX.query_phrase_index(spark, _tip, "value table", k=10)
+    _pm = V._manifest(_tip, V.current_version(_tip))
+    _p_probed = {os.path.basename(os.path.dirname(f))
+                 for f in _pq.inputFiles()}
+    _p_all = {s for ss in _pm["buckets"].values() for s in ss}
+    assert _p_probed < _p_all, \
+        "bucketed phrase read must name a STRICT SUBSET of the " \
+        "postings' bucket segments in its plan"
+    audits.append((
+        "Bucketed positional phrase read (file skipping at rest)",
+        _pq,
+        {"PushedFilters: [In(term": True,
+         "TakeOrderedAndProject": True},
+        "Phrase queries get the same at-rest pruning: the phrase "
+        "terms' buckets' files only (verified strict subset, "
+        f"{len(_p_probed)} of {len(_p_all)}), adjacency chains "
+        "counted with JVM array functions inside the survivors. The "
+        "whole plan builds with ZERO Spark jobs (driver-side bucket "
+        "resolution + manifest-pinned scan schema, status-tracker-"
+        "asserted in tests/test_textindex.py).",
+    ))
+
+    # --- r13: the indexed cross-table k-NN join (annindex.
+    # knn_join_via_index) — the ad-hoc lsh_knn_join's plan shape with
+    # the corpus side served from the maintained index ---
+    _kjl = load_table(spark, SF_DIR, "embeddings") \
+        .select("vec_id", "embedding").limit(50)
+    audits.append((
+        "Indexed cross-table k-NN join (bucket equi-join, manifest "
+        "guard)",
+        AIX.knn_join_via_index(spark, _kjl, _aii, k=5, n_probe_bits=1,
+                               n_left=1),
+        {"CartesianProduct": False, "BroadcastNestedLoopJoin": False,
+         "Window": True},
+        "knn_join_via_index inherits the ad-hoc join's contract — an "
+        "EQUI-join on the bucket column (never a cross product), "
+        "probe masks XORed against a once-computed left bucket, "
+        "per-left-row top-k as a Window — with two serving wins: the "
+        "right side's bucket column comes from the MAINTAINED index "
+        "(the ad-hoc full-corpus bucketing pass disappears from "
+        "every call), and the candidate-volume scale guard plans "
+        "from the manifest's row count (parquet footers, zero Spark "
+        "jobs). On a bucketed index state the right scan additionally "
+        "skips non-probed buckets' files.",
+    ))
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
