@@ -90,14 +90,18 @@ FLOOR_SEC = {
     # ~2.5x faster even at toy scale where the JVM stage floor
     # dominates
     "bm25_indexed_topk": 0.431,
-    # r12 first-committed floors (best-of-2 under calib 0.711/0.783,
-    # k~1.1-1.2 — mildly contended; re-pin on an idle round): the
-    # bucketed ANN index probe query (file-pruned read of the probed
-    # physical buckets + exact dot top-k) and the hybrid RRF fusion
-    # from BOTH maintained indexes (index-served sides + two
-    # pool-sized rank windows + one pool-sized outer join)
-    "ann_indexed_topk": 0.66,
-    "hybrid_indexed_rrf": 1.19,
+    # r12 floors RE-PINNED in r13 (calib 0.682, near idle) after the
+    # serving-path overhaul: driver-side xxhash64 bucket resolution
+    # (no per-query createDataFrame+collect job) + manifest-pinned
+    # scan schema (no mergeSchema footer job) cut the bucketed probe
+    # query 0.66 -> 0.147 and the hybrid fusion 1.19 -> 0.696
+    "ann_indexed_topk": 0.147,
+    "hybrid_indexed_rrf": 0.696,
+    # r13 first-committed floor (calib 0.682, near idle): the indexed
+    # cross-table k-NN join — same masks/scoring/order as the
+    # lsh_knn_join headliner (1.68 s same session), minus the per-call
+    # corpus bucketing pass the maintained index absorbs at write time
+    "knn_join_indexed": 1.207,
 }
 R3_FLOOR_SEC = FLOOR_SEC  # legacy alias
 
@@ -342,6 +346,27 @@ def main() -> None:
             "vec_id", "doc_id")
         return RETR.rrf_fusion(t, v, k=10, pool=50).collect()
 
+    # r13: the cross-table k-NN join SERVED FROM the maintained index
+    # — same probe masks / scoring / total order as the lsh_knn_join
+    # headliner, but the corpus side's bucket column is precomputed at
+    # write time (the ad-hoc per-call bucketing pass disappears) and
+    # the scale guard plans from the manifest row count. Built over
+    # its own 9-plane index so the bench compares like-for-like with
+    # the lsh_knn_join row's sizing discipline.
+    kj_src = os.path.join(vt_tmp, "kjvecs")
+    kj_idx = os.path.join(vt_tmp, "kjidx")
+    VT.create(spark, kj_src, emb.select("vec_id", "embedding"))
+    AIX.create_ann_index(spark, kj_src, kj_idx, key="vec_id",
+                         n_planes=9)
+    AIX.convert_index_to_bucketed(spark, kj_idx, n_buckets=64)
+    _kj_left = emb.where(F.col("vec_id") % 17 == 0)
+    _kj_nl = n_emb // 17 + 1
+
+    def _knn_join_indexed():
+        return AIX.knn_join_via_index(
+            spark, _kj_left, kj_idx, k=5, n_probe_bits=1,
+            n_left=_kj_nl).count()
+
     def _export_shards():
         from rclip_server_spark.operators import sampling as SAMP
 
@@ -471,6 +496,8 @@ def main() -> None:
         # and the hybrid fusion from BOTH maintained indexes
         "ann_indexed_topk": _ann_indexed,
         "hybrid_indexed_rrf": _hybrid_indexed,
+        # r13: lsh_knn_join served from the maintained bucketed index
+        "knn_join_indexed": _knn_join_indexed,
     }
 
     # warm the JVM/IO, the Python UDF workers, AND whole-stage-codegen
@@ -513,6 +540,7 @@ def main() -> None:
     _bm25_indexed()  # warm the postings-query plan shape
     _ann_indexed()  # warm the bucketed probe-read plan shape
     _hybrid_indexed()  # warm the fusion (windows + outer join)
+    _knn_join_indexed()  # warm the indexed-join plan shape
     _stage_floor_calib()  # warm the calib row's codegen like the rest
     spark.catalog.clearCache()
 

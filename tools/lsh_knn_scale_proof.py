@@ -10,6 +10,14 @@ Claim being tested: the Spark/oracle wall-clock ratio falls below 2x once
 the data outgrows the fixed floor. One JSON line out; the measured table
 is committed to BASELINE.md (§ lsh_knn_join scale proof).
 
+r13 addition: at every scale the proof ALSO times knn_join_via_index —
+the same join served from a MAINTAINED bucketed ANN index (same
+planes/seed, row-identical output, asserted by count) — and records
+indexed vs ad-hoc. The indexed path should never lose: it skips
+exactly the per-call full-corpus bucketing pass the ad-hoc operator
+pays (the bucket column is precomputed at write time), and its scale
+guard plans from the manifest row count instead of a count() job.
+
 Usage: python tools/lsh_knn_scale_proof.py [sf_dir] [copies ...]
        (defaults: /root/testdata/sf0.1 and 1 4 8)
 """
@@ -109,6 +117,29 @@ def main() -> None:
                 ).count()
                 spark_secs.append(time.monotonic() - t0)
 
+            # indexed twin: corpus side served from the maintained
+            # bucketed ANN index (same planes/seed => row-identical);
+            # the build is write-time cost, NOT part of the serving
+            # measurement — that asymmetry IS the operator's point
+            from rclip_server_spark.sources import annindex as AIX
+            from rclip_server_spark.sources import versioned as VT
+
+            src_p = os.path.join(tmp, f"src_x{copies}")
+            idx_p = os.path.join(tmp, f"idx_x{copies}")
+            VT.create(spark, src_p, right)
+            AIX.create_ann_index(spark, src_p, idx_p, key="vec_id",
+                                 n_planes=n_planes, dim=EMB_DIM)
+            AIX.convert_index_to_bucketed(spark, idx_p, n_buckets=64)
+            idx_secs = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                n_idx = AIX.knn_join_via_index(
+                    spark, left, idx_p, k=K, n_probe_bits=1,
+                    n_left=n_left,
+                ).count()
+                idx_secs.append(time.monotonic() - t0)
+            assert n_idx == n_out, (copies, n_idx, n_out)
+
             con = duckdb.connect()
             con.execute(
                 f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}/*.parquet')"
@@ -123,14 +154,20 @@ def main() -> None:
 
             assert n_out == n_duck, (copies, n_out, n_duck)
             s, d = min(spark_secs), min(duck_secs)
+            si = min(idx_secs)
             results[f"x{copies}"] = {
                 "n_left": n_left, "n_right": n_right, "n_planes": n_planes,
                 "rows_out": n_out, "spark_sec": round(s, 3),
+                "indexed_sec": round(si, 3),
+                "indexed_le_adhoc": si <= s,
                 "duckdb_sec": round(d, 3),
                 "ratio": round(s / d, 2) if d > 0 else None,
+                "indexed_ratio": round(si / d, 2) if d > 0 else None,
             }
-            print(f"x{copies}: spark {s:.2f}s duckdb {d:.2f}s "
-                  f"ratio {s / d:.2f} ({n_out} rows)", file=sys.stderr)
+            print(f"x{copies}: spark {s:.2f}s indexed {si:.2f}s "
+                  f"duckdb {d:.2f}s ratio {s / d:.2f} "
+                  f"indexed_ratio {si / d:.2f} ({n_out} rows)",
+                  file=sys.stderr)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
