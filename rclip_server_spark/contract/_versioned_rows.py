@@ -3186,3 +3186,53 @@ _register(
     FROM ranked WHERE rnk <= 3
     """,
 )
+
+
+def _sql_knn_join_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """The indexed k-NN join through the SQL frontend's KNN_JOIN table
+    function (sql/_reads.py): KNN_JOIN('aiidx', left_table, 3, 1)
+    rewrites to annindex.knn_join_via_index with the index spec's
+    key/vec_col and composes with an outer SELECT's round() + ORDER —
+    the r13 SQL surface for the cross-table alignment primitive.
+    Same fixture/oracle as ai_knn_join_indexed, so the rewrite layer
+    cannot hide a wrong answer."""
+    path = _vt_build(spark, sf, "aiidx", _ai_index_builder)
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "embeddings").select("vec_id", "embedding") \
+        .where(F.col("vec_id") % 17 == 0) \
+        .createOrReplaceTempView("knn_left_sql")
+    return SQ.execute(spark, (
+        "SELECT id_a, id_b, round(cosine, 9) AS cosine, rnk "
+        "FROM KNN_JOIN('aiidx', knn_left_sql, 3, 1)"), cat)
+
+
+_register(
+    "sql_knn_join_indexed",
+    _sql_knn_join_indexed,
+    f"""
+    WITH l AS (
+      SELECT vec_id AS id_a, embedding AS va,
+             {bucket_sql('embedding', PLANES4)} AS b0
+      FROM embeddings WHERE vec_id % 17 = 0),
+    lp AS (
+      SELECT id_a, va, CAST(xor(b0, m) AS BIGINT) AS bucket
+      FROM l CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS m)),
+    r AS (
+      SELECT vec_id AS id_b, embedding AS vb,
+             {bucket_sql('embedding', PLANES4)} AS bucket
+      FROM {_AI_CORPUS_SQL}),
+    c AS (
+      SELECT id_a, id_b, {dot2_sql('va', 'vb')} AS cosine
+      FROM lp JOIN r USING (bucket)),
+    ranked AS (
+      SELECT id_a, id_b, cosine,
+             row_number() OVER (PARTITION BY id_a
+                                ORDER BY cosine DESC, id_b) AS rnk
+      FROM c)
+    SELECT id_a, id_b, round(cosine, 9) AS cosine,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)

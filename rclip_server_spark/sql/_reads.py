@@ -76,8 +76,8 @@ _TS_LITERAL = re.compile(r"\s*'((?:[^']|'')*)'")
 # nor trigger catalog reads, while offsets into the REAL text stay
 
 
-_INDEX_FN = re.compile(r"\b(text_search|ann_search|phrase_search)"
-                       r"\s*\(", re.IGNORECASE)
+_INDEX_FN = re.compile(r"\b(text_search|ann_search|phrase_search|"
+                       r"knn_join)\s*\(", re.IGNORECASE)
 
 
 def _str_arg(a: str, fn: str, what: str) -> str:
@@ -139,6 +139,68 @@ def _rewrite_index_searches(spark: SparkSession, text: str,
         ver = V.current_version(e["path"])
         tmp = "__{}_{}".format(fn, hashlib.md5(repr(
             (vname, ver, args)).encode()).hexdigest()[:12])
+        if fn == "knn_join":
+            # KNN_JOIN('ann_view', left_table, k[, probe_bits]) — the
+            # cross-table alignment primitive through SQL: every LEFT
+            # row gets its k approximate nearest corpus rows FROM the
+            # maintained index (annindex.knn_join_via_index — the
+            # corpus bucketing pass is write-time state, the scale
+            # guard plans from the manifest row count). The left side
+            # is a TABLE NAME (catalog table/view or session temp
+            # view) whose columns match the index spec's key/vec_col.
+            # Returns (id_a, id_b, cosine, rnk), composable like the
+            # other table functions.
+            if len(args) not in (3, 4):
+                raise SqlError("KNN_JOIN('ann_view', left_table, k"
+                               "[, probe_bits])")
+            from ..sources import annindex as AI
+
+            if e["kind"] != "ann_index":
+                raise SqlError(f"KNN_JOIN reads an ann_index view; "
+                               f"{vname} is a {e['kind']}")
+            lname = args[1]
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", lname):
+                raise SqlError(f"KNN_JOIN's left side must be a "
+                               f"table name, got {lname!r}")
+            lkey = lname.lower()
+            lcat = {n.lower(): n for n in catalog.names()}.get(lkey)
+            if lcat is not None:
+                left = _read_entry(spark, catalog.get(lcat))
+                lver = V.current_version(catalog.get(lcat)["path"])
+            else:
+                try:
+                    left = spark.table(lname)
+                except Exception:
+                    raise SqlError(
+                        f"KNN_JOIN: no catalog table or temp view "
+                        f"named {lname!r}") from None
+                lver = None
+            k = _int_arg(args[2], "KNN_JOIN", "k")
+            probes = _int_arg(args[3], "KNN_JOIN", "probe_bits") \
+                if len(args) == 4 else 1
+            spec = AI._spec_ai(e["path"], ver)
+            missing = [c for c in (spec["ai_key"], spec["ai_vec_col"])
+                       if c not in left.columns]
+            if missing:
+                raise SqlError(
+                    f"KNN_JOIN: left table {lname!r} lacks the "
+                    f"index's column(s) {missing} (index {vname} "
+                    f"joins on key={spec['ai_key']!r}, "
+                    f"vec_col={spec['ai_vec_col']!r})")
+            # re-key the content hash with the LEFT side's identity
+            # too: same args over a churned left table must not share
+            # a temp-view name across concurrent statements
+            tmp = "__{}_{}".format(fn, hashlib.md5(repr(
+                (vname, ver, args, lver)).encode()).hexdigest()[:12])
+            try:
+                AI.knn_join_via_index(
+                    spark, left, e["path"], k=k, n_probe_bits=probes,
+                    id_col=spec["ai_key"], vec_col=spec["ai_vec_col"],
+                    version=ver).createOrReplaceTempView(tmp)
+            except (ValueError, KeyError) as ex:
+                raise SqlError(str(ex)) from ex
+            spans.append((m.start(), close + 1, tmp))
+            continue
         if fn in ("text_search", "phrase_search"):
             up = fn.upper()
             if len(args) != 3:

@@ -108,3 +108,57 @@ def test_index_search_guards(spark, both):
     r = S.execute(spark, "SELECT 'TEXT_SEARCH(''ti'', ''x'', 1)' AS s",
                   cat)
     assert r.first()["s"].startswith("TEXT_SEARCH")
+
+
+def test_knn_join_matches_python_api(spark, both, embeddings):
+    """r13 (verdict task 6): KNN_JOIN('ai', left, k[, p]) — the
+    cross-table alignment primitive through SQL, row-identical to
+    annindex.knn_join_via_index with the index spec's key/vec_col,
+    for both a catalog-table left and a session temp-view left."""
+    cat = both
+    # catalog-table left
+    embeddings.select("vec_id", "embedding").where(
+        F.col("vec_id") % 2 == 1).limit(40)\
+        .createOrReplaceTempView("l_seed")
+    S.execute(spark, "CREATE TABLE lt OPTIONS (key='vec_id') AS "
+                     "SELECT * FROM l_seed", cat)
+    got = S.execute(spark, "SELECT id_a, id_b, round(cosine, 9) AS c, "
+                           "rnk FROM KNN_JOIN('ai', lt, 3, 1) "
+                           "ORDER BY id_a, rnk", cat)
+    left = S.execute(spark, "SELECT vec_id, embedding FROM lt", cat)
+    want = AI.knn_join_via_index(
+        spark, left, cat.get("ai")["path"], k=3, n_probe_bits=1,
+        id_col="vec_id", vec_col="embedding")\
+        .select("id_a", "id_b", F.round("cosine", 9).alias("c"), "rnk")\
+        .orderBy("id_a", "rnk")
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0
+    # temp-view left (uncataloged) + composition with an outer agg
+    got2 = S.execute(spark, "SELECT id_a, count(*) AS n "
+                            "FROM KNN_JOIN('ai', l_seed, 3) "
+                            "GROUP BY id_a ORDER BY id_a", cat)
+    want2 = (AI.knn_join_via_index(
+        spark, spark.table("l_seed"), cat.get("ai")["path"], k=3,
+        n_probe_bits=1, id_col="vec_id", vec_col="embedding")
+        .groupBy("id_a").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("id_a"))
+    assert _rows(got2) == _rows(want2)
+
+
+def test_knn_join_guards(spark, both, documents):
+    cat = both
+    with pytest.raises(S.SqlError):  # wrong view kind
+        S.execute(spark, "SELECT * FROM KNN_JOIN('ti', e, 3)", cat)
+    with pytest.raises(S.SqlError):  # arity
+        S.execute(spark, "SELECT * FROM KNN_JOIN('ai', e)", cat)
+    with pytest.raises(S.SqlError):  # left must be a bare name
+        S.execute(spark, "SELECT * FROM KNN_JOIN('ai', 'e', 3)", cat)
+    with pytest.raises(S.SqlError):  # unknown left table
+        S.execute(spark, "SELECT * FROM KNN_JOIN('ai', nope_t, 3)",
+                  cat)
+    # left lacking the index's columns names them in the error
+    documents.select("doc_id", "text").limit(5)\
+        .createOrReplaceTempView("not_vecs")
+    with pytest.raises(S.SqlError, match="embedding"):
+        S.execute(spark, "SELECT * FROM KNN_JOIN('ai', not_vecs, 3)",
+                  cat)
