@@ -3236,3 +3236,104 @@ _register(
     FROM ranked WHERE rnk <= 3
     """,
 )
+
+
+# ===========================================================================
+# Maintained IVF (inverted-file) index view (sources/ivfindex.py):
+# indexed probe query parity — EXACT re-rank tier — over a post-DML
+# refreshed index with FROZEN centroids.
+# ===========================================================================
+
+# explicit deterministic centroids (unit vectors from the repo's
+# seeded generator): the oracle can then recompute the argmax cell
+# assignment from the same literals — a kmeans-trained quantizer's
+# centroids depend on the data and could not be embedded in a static
+# oracle string (the trained path is pinned by recall-floor and
+# rebuild-parity tests in tests/test_ivfindex.py instead)
+_II_CENTS = _ann.hyperplanes(8, EMB_DIM, seed=7)
+_II_NPROBE = 3
+
+_II_CORPUS_SQL = (
+    "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 0 "
+    "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding "
+    "FROM embeddings WHERE vec_id % 11 = 0)"
+)
+
+
+def _ii_index_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .. import sql as SQ
+    from ..sources import ivfindex as II
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "embeddings").select("vec_id", "embedding") \
+        .createOrReplaceTempView("embs_seed_ii")
+    SQ.execute(spark, "CREATE TABLE iivecs OPTIONS (key='vec_id') AS "
+                      "SELECT * FROM embs_seed_ii", cat)
+    # explicit centroids (deterministic literals the oracle shares);
+    # registered into the catalog like the USING form would
+    vp = cat.path_for("iiidx")
+    II.create_ivf_index(spark, cat.get("iivecs")["path"], vp,
+                        key="vec_id", centroids=_II_CENTS)
+    cat.register("iiidx", vp, kind="ivf_index", require_path=True)
+    # bucketed at-rest layout + churn + O(changed rows) refresh under
+    # the frozen centroids: the oracle recomputes assignment from the
+    # post-DML corpus, so a stale cell or a moved centroid cannot pass
+    SQ.execute(spark, "OPTIMIZE iiidx BUCKET BY (ivf_cell, 8)", cat)
+    SQ.execute(spark, "DELETE FROM iivecs WHERE vec_id % 7 = 0", cat)
+    SQ.execute(spark, "INSERT INTO iivecs SELECT vec_id + 1000000, "
+                      "embedding FROM embs_seed_ii "
+                      "WHERE vec_id % 11 = 0", cat)
+    SQ.execute(spark, "REFRESH MATERIALIZED VIEW iiidx", cat)
+
+
+def _ii_probe_cells() -> list[int]:
+    import numpy as np
+
+    qv = np.asarray(QV_ZEBRA, dtype=np.float64)
+    order = np.argsort(-(_II_CENTS @ qv))[:_II_NPROBE]
+    return [int(i) for i in order]
+
+
+def _ii_ivf_indexed_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF probe top-10 served FROM the maintained index through the
+    SQL frontend's IVF_SEARCH table function: cells are assigned at
+    WRITE time under frozen centroids and kept in sync through the CDC
+    log (this row queries AFTER a delete+insert interval and an
+    O(changed rows) REFRESH on the BUCKETED at-rest layout); the
+    n_probe nearest cells rank driver-side from the spec's stored
+    centroids and only their rows are EXACT-dot re-ranked. Oracle:
+    DuckDB recomputes each row's argmax cell from the same centroid
+    literals (correlated VALUES subquery, ties (s DESC, c DESC) —
+    greatest-of-structs' order), filters to the same probe cells, and
+    exact-dot ranks."""
+    path = _vt_build(spark, sf, "iiidx", _ii_index_builder)
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    arr = ", ".join(repr(float(x)) for x in QV_ZEBRA)
+    return SQ.execute(spark, (
+        f"SELECT vec_id, round(score, 9) AS score "
+        f"FROM IVF_SEARCH('iiidx', array({arr}), 10, {_II_NPROBE})"),
+        cat)
+
+
+def _cell_sql(expr: str) -> str:
+    rows = ", ".join(
+        f"({i}, {dot_sql(expr, c)})" for i, c in enumerate(_II_CENTS))
+    return (f"(SELECT c FROM (VALUES {rows}) AS t(c, s) "
+            f"ORDER BY s DESC, c DESC LIMIT 1)")
+
+
+_register(
+    "ii_ivf_indexed_topk",
+    _ii_ivf_indexed_topk,
+    f"""
+    WITH cellof AS (
+      SELECT vec_id, embedding, {_cell_sql('embedding')} AS cell
+      FROM {_II_CORPUS_SQL})
+    SELECT vec_id, round({dot_sql('embedding', QV_ZEBRA)}, 9) AS score
+    FROM cellof
+    WHERE cell IN ({', '.join(str(c) for c in _ii_probe_cells())})
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)

@@ -1,0 +1,246 @@
+"""Maintained IVF (inverted-file) index view: the source's embedding
+rows stored WITH their nearest-centroid cell, kept in sync through the
+CDC log — the coarse-quantizer twin of the LSH ann_index, completing
+the ad-hoc ladder's IVF tier (operators/ann.py ivf_topk /
+write_partitioned_by_ivf) with O(changed rows) maintenance.
+
+Reference parity: the reference scores every row per query
+(rclip_server.py:150-166); the ad-hoc IVF tier prunes that scan but
+re-assigns the whole corpus per call (ivf_assign is a map pass over
+every row). The maintained index moves assignment to WRITE time: a
+refresh costs O(changed rows) (key delete-vector retraction + assigned
+rows append, ONE delete_and_append commit), and a query reads only the
+``n_probe`` nearest cells' rows — O(probe fraction), never O(corpus).
+
+Centroids are trained ONCE at create time (operators/ann.py
+ivf_train_kmeans — deterministic k-means, or caller-provided explicit
+centroids) and FROZEN in the manifest spec: retraining on refresh
+would force a full corpus re-assignment (O(corpus), the exact cost
+the index exists to avoid) and silently reshuffle every cell. This is
+the standard IVF maintenance contract (FAISS trains the coarse
+quantizer once and adds incrementally); under real distribution
+drift, recall decays gracefully and the heal is an explicit re-create
+— an operator decision, never an implicit 100 TB rewrite.
+
+Exactness: query_ivf_index ranks cells driver-side from the spec's
+stored centroids (KB-sized: n_cells x dim floats in the manifest app
+namespace — zero Spark jobs) and exact-dot re-ranks only the probed
+cells' rows, so the result is row-identical to ann.ivf_topk over the
+current source with the same centroids (pinned by an oracle row
+against a DuckDB argmax+dot twin). Joins the matview graph through
+the standard marker registry (``ii_source``), so REFRESH / CASCADE /
+DESCRIBE / cursor-safe VACUUM / refresh streams all work unchanged.
+
+Scale: the index build is one map pass (assignment is a
+greatest-of-structs over literal centroids); at rest the state can be
+hash-bucketed on ``ivf_cell`` (convert_index_to_bucketed) so probe
+queries skip FILES at manifest resolution — only the probed cells'
+buckets' segments are ever named in the plan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import vector as VEC
+from ..operators.ann import ivf_assign, ivf_train_kmeans
+from . import matview as M
+from . import versioned as V
+from .matview import _INSERTING, _RETRACTING
+
+
+def _assigned_rows(df: DataFrame, key: str, vec_col: str,
+                   centroids: np.ndarray) -> DataFrame:
+    a = ivf_assign(df, centroids, id_col=key, vec_col=vec_col)
+    return a.select("ivf_cell", key, vec_col)
+
+
+def create_ivf_index(
+    spark: SparkSession, source_path: str, view_path: str, key: str,
+    vec_col: str = "embedding", n_cells: int = 8, iters: int = 3,
+    init: str = "first_k", centroids=None, dim: int | None = None,
+) -> int:
+    """Train centroids over the source's head (or take explicit
+    ``centroids`` — deterministic external quantizers, test fixtures),
+    materialize the assigned rows, and record spec + cursor + the
+    full centroid matrix (exact float64 round-trip through the
+    manifest JSON)."""
+    src_v = V.current_version(source_path)
+    df = M._read_source(spark, source_path, src_v)
+    if centroids is None:
+        centroids = ivf_train_kmeans(df, k=int(n_cells), iters=int(iters),
+                                     id_col=key, vec_col=vec_col,
+                                     init=init)
+        trained = f"kmeans:{init}:{int(iters)}"
+    else:
+        centroids = np.asarray(centroids, dtype=np.float64)
+        trained = "explicit"
+    if dim is None:
+        dim = int(centroids.shape[1])
+    if centroids.ndim != 2 or centroids.shape[1] != dim:
+        raise ValueError(f"centroids must be (n_cells, {dim}), got "
+                         f"{centroids.shape}")
+    spec = {
+        "ii_source": source_path, "ii_key": key,
+        "ii_vec_col": vec_col, "ii_n_cells": int(centroids.shape[0]),
+        "ii_dim": int(dim), "ii_trained": trained,
+        "ii_source_version": src_v,
+        "ii_centroids": [[float(x) for x in c] for c in centroids],
+    }
+    state = _assigned_rows(df, key, vec_col, centroids)
+    return V.create(spark, view_path, state, extra={"app": spec})
+
+
+def _spec_ii(path: str, version: int | None = None) -> dict:
+    v = V.current_version(path) if version is None else int(version)
+    spec = V._manifest(path, v).get("app") or {}
+    if "ii_source" not in spec:
+        raise ValueError(f"{path} is not an ivf-index view (no "
+                         f"ii_source in its manifest app namespace)")
+    return spec
+
+
+def _centroids(spec: dict) -> np.ndarray:
+    return np.asarray(spec["ii_centroids"], dtype=np.float64)
+
+
+def _state(spark: SparkSession, view_path: str, v: int,
+           cells: list[int] | None = None) -> DataFrame:
+    """Layout-dispatched state read (the annindex._state twin): on the
+    hash-bucketed at-rest layout the probed CELLS resolve to physical
+    buckets driver-side (pure-Python xxhash64, parity-pinned) and only
+    those buckets' segment files are named in the plan; pin_schema
+    plans with the manifest's committed schema — zero Spark jobs
+    before the scan itself."""
+    m = V._manifest(view_path, v)
+    if "buckets" in m:
+        phys = None
+        if cells is not None and m.get("bucket_key") == "ivf_cell":
+            from ..functions.xxh import buckets_of
+
+            phys = buckets_of([int(c) for c in cells],
+                              int(m["n_buckets"]))
+        return V.read_bucketed(spark, view_path, v, buckets=phys,
+                               pin_schema=True)
+    return V.read(spark, view_path, v)
+
+
+def read_ivf_index(spark: SparkSession, view_path: str,
+                   version: int | None = None) -> DataFrame:
+    """The assigned rows at a version, canonical column order."""
+    v = V.current_version(view_path) if version is None else int(version)
+    spec = _spec_ii(view_path, v)
+    return _state(spark, view_path, v).select(
+        "ivf_cell", spec["ii_key"], spec["ii_vec_col"])
+
+
+def convert_index_to_bucketed(spark: SparkSession, view_path: str,
+                              n_buckets: int | None = None) -> int:
+    """Physically lay the index out by its ``ivf_cell`` column
+    (versioned.convert_to_bucketed): one rewrite, after which a probe
+    query's candidate read SKIPS FILES, not rows. Default n_buckets =
+    n_cells (one physical bucket per cell modulo hash collisions),
+    capped at 256."""
+    spec = _spec_ii(view_path)
+    if n_buckets is None:
+        n_buckets = min(int(spec["ii_n_cells"]), 256)
+    return V.convert_to_bucketed(spark, view_path, "ivf_cell",
+                                 int(n_buckets))
+
+
+def refresh_ivf_index(
+    spark: SparkSession, view_path: str,
+    recompute_fraction: float | None = M._RECOMPUTE_BOUND_FRACTION,
+) -> int:
+    """Advance the index to the source head: retract changed keys'
+    rows (key delete vector), append the new rows WITH their cells
+    under the FROZEN centroids — ONE delete_and_append commit,
+    O(changed rows). Rollback/vacuumed-past-cursor heals by full
+    recompute (same assignments — the centroids don't move, so heal
+    is layout repair, never a semantic change)."""
+    view_v = V.current_version(view_path)
+    spec = _spec_ii(view_path, view_v)
+    src, key = spec["ii_source"], spec["ii_key"]
+    vec_col = spec["ii_vec_col"]
+    cents = _centroids(spec)
+    v_from = int(spec["ii_source_version"])
+    v_to = V.current_version(src)
+    if v_to == v_from:
+        return view_v
+    new_app = dict(spec) | {"ii_source_version": v_to}
+
+    def _recompute() -> int:
+        head = M._read_source(spark, src, v_to)
+        return V.overwrite(
+            spark, view_path,
+            _assigned_rows(head, key, vec_col, cents),
+            extra={"app": new_app}, parent_version=view_v)
+
+    try:
+        recompute, _bounds = M._dispatch_recompute(
+            None, [(src, v_from, v_to)])
+    except RuntimeError:
+        if recompute_fraction is None:
+            raise
+        recompute = True
+    if recompute:
+        return _recompute()
+    try:
+        ch = M._changes_since_cursor(spark, src, v_from, v_to, key)
+    except RuntimeError:
+        return _recompute()
+    ch = ch.persist()  # consumed twice inside delete_and_append
+    try:
+        del_keys = (ch.where(F.col("_change_type").isin(
+            *(_RETRACTING + _INSERTING))).select(key).distinct())
+        ins = ch.where(F.col("_change_type").isin(*_INSERTING))
+        new_rows = _assigned_rows(ins, key, vec_col, cents)
+        return V.delete_and_append(
+            spark, view_path, del_keys, key, new_rows,
+            extra={"app": new_app}, parent_version=view_v)
+    finally:
+        ch.unpersist()
+
+
+def refresh_ivf_index_with_retry(
+    spark: SparkSession, view_path: str, max_retries: int = 3,
+    recompute_fraction: float | None = M._RECOMPUTE_BOUND_FRACTION,
+) -> int:
+    """OCC rebase loop (the standard view-refresh retry contract)."""
+    return M._refresh_with_retry(
+        lambda: refresh_ivf_index(
+            spark, view_path, recompute_fraction=recompute_fraction),
+        max_retries)
+
+
+def query_ivf_index(
+    spark: SparkSession, view_path: str, query_vec, k: int = 10,
+    n_probe: int = 2, version: int | None = None,
+) -> DataFrame:
+    """Approximate top-k FROM the maintained index with an EXACT
+    re-rank tier: the ``n_probe`` nearest cells are ranked driver-side
+    from the spec's stored centroids (zero Spark jobs), the state is
+    filtered to those cells (file-pruned on a bucketed layout), and
+    only they are scored by exact dot product. Returns (<key>, score)
+    — the same probe order (np.argsort(-dots), ties by cell index),
+    scoring, ordering, and tie-break as ann.ivf_topk over the current
+    source with the same centroids."""
+    v = V.current_version(view_path) if version is None else int(version)
+    spec = _spec_ii(view_path, v)
+    key, vec_col = spec["ii_key"], spec["ii_vec_col"]
+    dim = int(spec["ii_dim"])
+    qv = np.asarray(query_vec, dtype=np.float64)
+    if qv.shape != (dim,):
+        raise ValueError(f"query dim {qv.shape} != index dim ({dim},)")
+    cents = _centroids(spec)
+    order = np.argsort(-(cents @ qv))[:int(n_probe)]
+    cells = [int(i) for i in order]
+    cand = _state(spark, view_path, v, cells=cells).where(
+        F.col("ivf_cell").isin(cells))
+    scored = cand.withColumn(
+        "score", VEC.dot(F.col(vec_col), VEC.vec_lit(list(qv))))
+    return (scored.select(key, "score")
+            .orderBy(F.desc("score"), F.asc(key))
+            .limit(k))

@@ -1360,6 +1360,8 @@ _VIEW_KINDS = {
     "ti_source": ("text_index", [("ti_source", "ti_source_version")]),
     # maintained ANN (hyperplane-LSH) index (sources/annindex.py)
     "ai_source": ("ann_index", [("ai_source", "ai_source_version")]),
+    # maintained IVF (inverted-file) index (sources/ivfindex.py)
+    "ii_source": ("ivf_index", [("ii_source", "ii_source_version")]),
 }
 
 
@@ -1456,6 +1458,12 @@ def refresh_view(spark: SparkSession, view_path: str,
         from . import annindex as AI  # local: AI imports this module
 
         return _fold(AI.refresh_ann_index_with_retry(
+            spark, view_path, max_retries=max_retries,
+            recompute_fraction=recompute_fraction))
+    if kind == "ivf_index":
+        from . import ivfindex as II  # local: II imports this module
+
+        return _fold(II.refresh_ivf_index_with_retry(
             spark, view_path, max_retries=max_retries,
             recompute_fraction=recompute_fraction))
     if kind == "transform":

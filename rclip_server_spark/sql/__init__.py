@@ -1146,6 +1146,23 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
                 return {"status": "optimized", "name": name,
                         "bucketed_by": "bucket",
                         "n_buckets": n_buckets, "version": ver}
+            if e["kind"] == "ivf_index":
+                # OPTIMIZE ivfidx BUCKET BY (ivf_cell, N): lay the
+                # index out by its cell so probe queries skip FILES
+                if bcol.lower() != "ivf_cell":
+                    raise SqlError(
+                        f"an ivf_index view buckets by its "
+                        f"'ivf_cell' column (got {bcol!r})")
+                from ..sources import ivfindex as II
+
+                try:
+                    ver = II.convert_index_to_bucketed(
+                        spark, e["path"], n_buckets)
+                except ValueError as ex:
+                    raise SqlError(str(ex)) from ex
+                return {"status": "optimized", "name": name,
+                        "bucketed_by": "ivf_cell",
+                        "n_buckets": n_buckets, "version": ver}
             if e["kind"] == "text_index":
                 # OPTIMIZE tiidx BUCKET BY (term, N): lay the postings
                 # out by their term hash bucket so term/phrase queries

@@ -628,10 +628,11 @@ def _create_using(spark: SparkSession, catalog: Catalog, name: str,
     is an algorithm, not a SQL shape. REFRESH / DESCRIBE / VACUUM /
     SELECT all work on it like any other registered view."""
     if kind not in ("near_dup", "embed_near_dup", "text_index",
-                    "ann_index"):
+                    "ann_index", "ivf_index"):
         raise SqlError(f"unknown USING kind {kind!r}; supported: "
                        f"near_dup, embed_near_dup, text_index, "
-                       f"ann_index (SQL-shaped kinds use AS SELECT)")
+                       f"ann_index, ivf_index (SQL-shaped kinds use "
+                       f"AS SELECT)")
     from ..sources import neardup_view as ND
 
     src_name = opts.get("source")
@@ -676,6 +677,22 @@ def _create_using(spark: SparkSession, catalog: Catalog, name: str,
                 # from the first query (same as a post-hoc OPTIMIZE
                 # ... BUCKET BY (bucket, N))
                 AI.convert_index_to_bucketed(spark, vp,
+                                             int(opts["buckets"]))
+        elif kind == "ivf_index":
+            from ..sources import ivfindex as II
+
+            kw = {}
+            for ok, cast in (("vec_col", str), ("n_cells", int),
+                             ("iters", int), ("init", str)):
+                if ok in opts:
+                    kw[ok] = cast(opts[ok])
+            try:
+                II.create_ivf_index(spark, src["path"], vp, key=key,
+                                    **kw)
+            except ValueError as ex:
+                raise SqlError(str(ex)) from ex
+            if "buckets" in opts:
+                II.convert_index_to_bucketed(spark, vp,
                                              int(opts["buckets"]))
         elif kind == "near_dup":
             kw = {k: opts[k] for k in ("text_col", "shingle_n",

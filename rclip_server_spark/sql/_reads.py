@@ -77,7 +77,7 @@ _TS_LITERAL = re.compile(r"\s*'((?:[^']|'')*)'")
 
 
 _INDEX_FN = re.compile(r"\b(text_search|ann_search|phrase_search|"
-                       r"knn_join)\s*\(", re.IGNORECASE)
+                       r"knn_join|ivf_search)\s*\(", re.IGNORECASE)
 
 
 def _str_arg(a: str, fn: str, what: str) -> str:
@@ -222,31 +222,44 @@ def _rewrite_index_searches(spark: SparkSession, text: str,
                 raise SqlError(str(ex)) from ex
             q.createOrReplaceTempView(tmp)
         else:
+            up = fn.upper()
             if len(args) not in (3, 4):
-                raise SqlError("ANN_SEARCH('view', array(...), k"
-                               "[, probe_bits])")
-            from ..sources import annindex as AI
-
-            if e["kind"] != "ann_index":
-                raise SqlError(f"ANN_SEARCH reads an ann_index view; "
+                raise SqlError(f"{up}('view', array(...), k"
+                               f"[, {'n_probe' if fn == 'ivf_search' else 'probe_bits'}])")
+            want_kind = ("ivf_index" if fn == "ivf_search"
+                         else "ann_index")
+            if e["kind"] != want_kind:
+                raise SqlError(f"{up} reads a {want_kind} view; "
                                f"{vname} is a {e['kind']}")
             am = re.match(r"array\s*\((.*)\)\s*$", args[1],
                           re.IGNORECASE | re.DOTALL)
             if not am:
-                raise SqlError("ANN_SEARCH's query vector must be an "
-                               "array(x, y, ...) literal")
+                raise SqlError(f"{up}'s query vector must be an "
+                               f"array(x, y, ...) literal")
             try:
                 qv = [float(x.rstrip("dDfF")) for x in
                       am.group(1).split(",")]
             except ValueError as ex:
                 raise SqlError(f"bad vector literal: {ex}") from ex
-            k = _int_arg(args[2], "ANN_SEARCH", "k")
-            probes = _int_arg(args[3], "ANN_SEARCH", "probe_bits") \
-                if len(args) == 4 else 1
+            k = _int_arg(args[2], up, "k")
             try:
-                AI.query_ann_index(spark, e["path"], qv, k=k,
-                                   n_probe_bits=probes, version=ver)\
-                    .createOrReplaceTempView(tmp)
+                if fn == "ivf_search":
+                    from ..sources import ivfindex as II
+
+                    n_probe = _int_arg(args[3], up, "n_probe") \
+                        if len(args) == 4 else 2
+                    II.query_ivf_index(spark, e["path"], qv, k=k,
+                                       n_probe=n_probe, version=ver)\
+                        .createOrReplaceTempView(tmp)
+                else:
+                    from ..sources import annindex as AI
+
+                    probes = _int_arg(args[3], up, "probe_bits") \
+                        if len(args) == 4 else 1
+                    AI.query_ann_index(spark, e["path"], qv, k=k,
+                                       n_probe_bits=probes,
+                                       version=ver)\
+                        .createOrReplaceTempView(tmp)
             except ValueError as ex:
                 raise SqlError(str(ex)) from ex
         spans.append((m.start(), close + 1, tmp))

@@ -15,8 +15,16 @@ the BUCKETED at-rest layout): 30 cycles of delete-20 + insert-20
 vectors. Each cycle refreshes through matview.refresh_view(
 auto_compact=True) — the same call the refresh streams make.
 
+r13 (--concurrent-ingest): a second WRITER thread appends disjoint
+batches into each source for the whole run, so every churn commit and
+every refresh rebases through the OCC loop against live contention —
+the endurance numbers then cover the two-writer shape a production
+deployment actually runs, and the final rebuild check proves zero
+lost refreshes under it.
+
 Usage: python tools/index_endurance_proof.py [sf_dir] [text_cycles]
-       [ann_cycles]   ->  one JSON line (checkpoints every 10 cycles)
+       [ann_cycles] [--concurrent-ingest]
+       ->  one JSON line (checkpoints every 10 cycles)
 """
 
 from __future__ import annotations
@@ -39,9 +47,11 @@ from rclip_server_spark.sources import matview as MV
 from rclip_server_spark.sources import textindex as TI
 from rclip_server_spark.sources import versioned as V
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-TEXT_CYCLES = int(sys.argv[2]) if len(sys.argv) > 2 else 60
-ANN_CYCLES = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+_ARGS = [a for a in sys.argv[1:] if a != "--concurrent-ingest"]
+CONCURRENT = "--concurrent-ingest" in sys.argv[1:]
+SF_DIR = _ARGS[0] if len(_ARGS) > 0 else "/root/testdata/sf0.01"
+TEXT_CYCLES = int(_ARGS[1]) if len(_ARGS) > 1 else 60
+ANN_CYCLES = int(_ARGS[2]) if len(_ARGS) > 2 else 30
 BATCH = 20
 COMPACT_THRESHOLD = 6
 VACUUM_EVERY = 10
@@ -66,32 +76,93 @@ def _median3(fn) -> float:
     return sorted(ts)[1]
 
 
-def _endure(spark, src, idx, n_cycles, churn, query, rebuild_check):
+def _retry_occ(fn, tries: int = 50):
+    """OCC rebase for the loop's own source commits when the
+    concurrent ingest writer is live: nothing commits on failure, and
+    the versioned ops re-read head per attempt, so a plain re-run is
+    the correct rebase. Linear backoff breaks the long-vs-short
+    livelock (a multi-job delete_and_append re-runs its whole write
+    per attempt and would otherwise always lose the commit race to a
+    sub-second appender — the backoff lets it land between the
+    appender's commits)."""
+    for attempt in range(tries):
+        try:
+            return fn()
+        except V.ConcurrentWriteError:
+            time.sleep(min(0.1 * attempt, 2.0))
+    raise RuntimeError("OCC rebase loop exhausted")
+
+
+def _start_ingest(spark, src, mk_batch, stop, errors):
+    """The r13 concurrent writer: keeps appending disjoint batches
+    into the source until told to stop, every commit under OCC
+    retry."""
+    import threading
+
+    def _run():
+        j = 0
+        try:
+            while not stop.is_set():
+                batch = mk_batch(j)
+                _retry_occ(lambda: V.append(spark, src, batch))
+                j += 1
+                # ingest cadence ~1 Hz: contention on most cycles
+                # without starving the loop's multi-job transactions
+                time.sleep(1.0)
+        except Exception as e:  # pragma: no cover
+            import traceback
+
+            errors.append(f"{type(e).__name__}: {e}\n"
+                          f"{traceback.format_exc()}")
+
+    t = threading.Thread(target=_run)
+    t.start()
+    return t
+
+
+def _endure(spark, src, idx, n_cycles, churn, query, rebuild_check,
+            ingest_batch=None):
     """The shared loop: churn source -> refresh_view(auto_compact) ->
     periodic view vacuum; latency + live-count checkpoints at the
-    first / middle / last cycle."""
+    first / middle / last cycle. With ``ingest_batch`` (concurrent
+    mode) a second writer thread appends throughout; every loop
+    commit then rebases through OCC against live contention."""
+    import threading
+
     marks = {1, n_cycles // 2, n_cycles}
     checkpoints = []
     t_refresh_total = 0.0
+    stop = threading.Event()
+    errors: list[str] = []
+    ingest_t = None
+    if ingest_batch is not None:
+        ingest_t = _start_ingest(spark, src, ingest_batch, stop,
+                                 errors)
     for i in range(1, n_cycles + 1):
-        churn(i)
+        _retry_occ(lambda: churn(i))
         t0 = time.time()
         MV.refresh_view(spark, idx, auto_compact=True,
-                        compact_threshold=COMPACT_THRESHOLD)
+                        compact_threshold=COMPACT_THRESHOLD,
+                        max_retries=50)
         t_refresh_total += time.time() - t0
         # the SOURCE is maintained too (a production loop compacts its
         # hot tables): without this the flat source accretes a segment
         # + a scoped delete vector per churn cycle, and the refresh's
         # CDC snapshot reads pay an ever-growing anti-join-group plan
         # (~1 MiB task binaries by cycle 25 in the unmaintained run)
-        V.maybe_compact(spark, src, COMPACT_THRESHOLD)
+        _retry_occ(lambda: V.maybe_compact(spark, src,
+                                           COMPACT_THRESHOLD))
         if i % VACUUM_EVERY == 0:
             # history maintenance a production loop schedules: the
             # SOURCE keeps enough history for the cursor (the refresh
             # just advanced it to head, so keep_last=2 is safe here);
-            # the VIEW's own history has no cursor consumers
-            V.vacuum(src, keep_last=2)
-            V.vacuum(idx, keep_last=2)
+            # the VIEW's own history has no cursor consumers.
+            # keep_last=4 under concurrency: the ingest writer may
+            # have advanced head past the cursor between the refresh
+            # and this vacuum — keep the cursor's manifest reachable
+            keep = 4 if ingest_batch is not None else 2
+            _retry_occ(lambda: V.vacuum(src, keep_last=keep))
+            _retry_occ(lambda: V.vacuum(idx, keep_last=2))
         if i in marks:
             checkpoints.append({
                 "cycle": i,
@@ -99,6 +170,16 @@ def _endure(spark, src, idx, n_cycles, churn, query, rebuild_check):
                 "avg_refresh_sec": round(t_refresh_total / i, 3),
                 **_live_counts(idx),
             })
+    if ingest_t is not None:
+        stop.set()
+        ingest_t.join(timeout=300)
+        assert not ingest_t.is_alive(), "ingest writer hung"
+        assert not errors, errors[0]
+        # fold in whatever landed after the last loop refresh, then
+        # prove convergence: zero lost refreshes under contention
+        MV.refresh_view(spark, idx, auto_compact=True,
+                        compact_threshold=COMPACT_THRESHOLD,
+                        max_retries=50)
     rebuild_check()
     first, last = checkpoints[0], checkpoints[-1]
     flat = last["query_sec"] <= first["query_sec"] * 1.5 + 0.15
@@ -112,7 +193,12 @@ def _endure(spark, src, idx, n_cycles, churn, query, rebuild_check):
     budget = max(nonempty * COMPACT_THRESHOLD // 2, COMPACT_THRESHOLD)
     bounded_segs = last["segments"] + last["delete_vectors"] \
         <= budget + BATCH
-    bounded_manifests = last["manifests"] <= VACUUM_EVERY + 2
+    # the tight bound holds when the final cycle vacuumed (full runs:
+    # n_cycles % VACUUM_EVERY == 0); a short diagnostic run's tail
+    # cycles since the last vacuum each add <=2 manifests (refresh +
+    # compaction fold), which the bound must budget for
+    bounded_manifests = last["manifests"] <= \
+        VACUUM_EVERY + 2 + 2 * (n_cycles % VACUUM_EVERY)
     assert flat, f"query latency grew: {first} -> {last}"
     assert bounded_segs, f"segment growth unbounded: {last}"
     assert bounded_manifests, f"manifest growth unbounded: {last}"
@@ -176,8 +262,15 @@ def main() -> None:
                 and want.exceptAll(got).count() == 0, \
                 "text postings diverged from rebuild"
 
-        out["text_index"] = _endure(spark, tsrc, tidx, TEXT_CYCLES,
-                                    t_churn, t_query, t_check)
+        def t_ingest(j: int):
+            # id space disjoint from every churn cycle's shifts
+            return docs.limit(BATCH).select(
+                (F.col("doc_id") + 900_000_000_000 + j * 10_000)
+                .alias("doc_id"), "text")
+
+        out["text_index"] = _endure(
+            spark, tsrc, tidx, TEXT_CYCLES, t_churn, t_query, t_check,
+            ingest_batch=t_ingest if CONCURRENT else None)
 
         # ------------- ann index (bucketed at rest) -------------
         asrc = os.path.join(tmp, "asrc")
@@ -223,11 +316,18 @@ def main() -> None:
                 and want.exceptAll(got).count() == 0, \
                 "ann buckets diverged from rebuild"
 
+        def a_ingest(j: int):
+            return embs.limit(BATCH).select(
+                (F.col("vec_id") + 900_000_000_000 + j * 10_000)
+                .alias("vec_id"), "embedding")
+
         out["ann_index_bucketed"] = _endure(
-            spark, asrc, aidx, ANN_CYCLES, a_churn, a_query, a_check)
+            spark, asrc, aidx, ANN_CYCLES, a_churn, a_query, a_check,
+            ingest_batch=a_ingest if CONCURRENT else None)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps({"metric": "index_endurance_proof",
+                      "concurrent_ingest": CONCURRENT,
                       "sf_dir": SF_DIR, "batch": BATCH,
                       "compact_threshold": COMPACT_THRESHOLD,
                       "vacuum_every": VACUUM_EVERY,
