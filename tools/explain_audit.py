@@ -1139,6 +1139,48 @@ def main() -> int:
         "asserted in tests/test_textindex.py).",
     ))
 
+    # --- r13: the maintained IVF index — probe queries skip files on
+    # the bucketed layout, exact-dot re-rank inside the probed cells
+    from rclip_server_spark.sources import ivfindex as IIX
+
+    _iis = tempfile.mkdtemp(prefix="rclip_audit_iis_")
+    os.rmdir(_iis)
+    V.create(spark, _iis,
+             load_table(spark, SF_DIR, "embeddings")
+             .select("vec_id", "embedding").limit(2000))
+    _iii = tempfile.mkdtemp(prefix="rclip_audit_iii_")
+    os.rmdir(_iii)
+    IIX.create_ivf_index(spark, _iis, _iii, key="vec_id", n_cells=8,
+                         iters=2)
+    IIX.convert_index_to_bucketed(spark, _iii, n_buckets=8)
+    _iq = IIX.query_ivf_index(spark, _iii,
+                              [0.125] * 32 + [-0.125] * 32,
+                              k=10, n_probe=2)
+    _im = V._manifest(_iii, V.current_version(_iii))
+    _i_probed = {os.path.basename(os.path.dirname(f))
+                 for f in _iq.inputFiles()}
+    _i_all = {s for ss in _im["buckets"].values() for s in ss}
+    assert _i_probed < _i_all, \
+        "bucketed IVF probe read must name a STRICT SUBSET of the " \
+        "index's bucket segments in its plan (file pruning)"
+    audits.append((
+        "Bucketed IVF-index probe read (exact re-rank tier)",
+        _iq,
+        {"PushedFilters: [In(ivf_cell": True,
+         "TakeOrderedAndProject": True},
+        "The maintained IVF index assigns cells at WRITE time under "
+        "FROZEN centroids (stored in the manifest spec, KB-sized); a "
+        "query ranks cells DRIVER-SIDE from those centroids (zero "
+        "Spark jobs) and exact-dot re-ranks only the n_probe nearest "
+        "cells' rows. On the bucketed at-rest layout the probed "
+        "cells' buckets' segment files alone enter the plan "
+        f"(verified strict subset: {len(_i_probed)} of {len(_i_all)} "
+        "bucket segments) with the residual cell IN-list pruning "
+        "hash-collided rows inside survivors. Refresh is O(changed "
+        "rows) — retraining would be an implicit corpus rewrite, so "
+        "centroids freeze and drift-heal is an explicit re-create.",
+    ))
+
     # --- r13: the indexed cross-table k-NN join (annindex.
     # knn_join_via_index) — the ad-hoc lsh_knn_join's plan shape with
     # the corpus side served from the maintained index ---
