@@ -82,21 +82,20 @@ FLOOR_SEC = {
     # single Exchange), one partitioned parquet write, one
     # column-pruned read-back agg building the verified manifest
     "export_shards_docs": 0.510,
-    # late-r11 floor, RE-PINNED IDLE in r12 (judge's idle re-measure,
-    # calib 0.583: 0.431 — the r11 commit was best-of-session under
-    # k~1.5 contention): BM25 top-10 from the maintained postings
-    # index (pushed term IN-list scan + <=|terms|-row df agg + heap
-    # top-k) — same answer as bm25_topk's 1.07 s corpus scan+tokenize,
-    # ~2.5x faster even at toy scale where the JVM stage floor
-    # dominates
-    "bm25_indexed_topk": 0.431,
+    # late-r11 floor, re-pinned r12 idle at 0.431, RE-PINNED r13 at
+    # 0.381 (calib 0.684) after the one-plan rewrite: the per-term df
+    # aggregation is now a COUNT window inside the query plan instead
+    # of a driver collect — single scan of the probed postings, zero
+    # plan-time Spark jobs, idf in the same JVM F.log as the batch
+    # scorer (same answer as bm25_topk's 1.0 s corpus scan+tokenize)
+    "bm25_indexed_topk": 0.381,
     # r12 floors RE-PINNED in r13 (calib 0.682, near idle) after the
     # serving-path overhaul: driver-side xxhash64 bucket resolution
     # (no per-query createDataFrame+collect job) + manifest-pinned
     # scan schema (no mergeSchema footer job) cut the bucketed probe
     # query 0.66 -> 0.147 and the hybrid fusion 1.19 -> 0.696
-    "ann_indexed_topk": 0.147,
-    "hybrid_indexed_rrf": 0.696,
+    "ann_indexed_topk": 0.141,
+    "hybrid_indexed_rrf": 0.646,
     # r13 first-committed floor (calib 0.682, near idle): the indexed
     # cross-table k-NN join — same masks/scoring/order as the
     # lsh_knn_join headliner (1.68 s same session), minus the per-call

@@ -276,11 +276,14 @@ def query_text_index(
 ) -> DataFrame:
     """Top-k documents by BM25, scored FROM the maintained postings:
     reads only the query terms' posting rows, df per term comes from a
-    ≤|terms|-row aggregation over those same rows, and N/avgdl come
-    from the spec's exact integer stats — O(matching postings), never
-    a corpus scan. Returns (<key>, bm25), the same formula, filter
-    (score > 0), ordering, and tie-break as retrieval.bm25_topk, so
-    the indexed answer is checkable against the batch scorer."""
+    ≤|terms|-row aggregation over those same rows (broadcast-joined
+    back in-plan — the whole query is ONE lazy plan, zero Spark jobs
+    before execution), and N/avgdl come from the spec's exact integer
+    stats — O(matching postings), never a corpus scan. Returns
+    (<key>, bm25), the same formula (idf in the same JVM F.log),
+    filter (score > 0), ordering, and tie-break as
+    retrieval.bm25_topk, so the indexed answer is checkable against
+    the batch scorer."""
     if isinstance(terms, str):
         terms = [t for t in terms.lower().split() if t]
     if not terms:
@@ -308,26 +311,29 @@ def query_text_index(
     # residual IN-list prunes hash-collided terms inside survivors
     hits = _state(spark, view_path, v, terms=terms).where(
         F.col("term").isin(*terms))
-    # df per query term: a ≤|terms|-row aggregate over the hit rows
-    # (postings carry tf > 0 rows only, so count(rows) IS df)
-    dfs = {r["term"]: int(r["n"])
-           for r in hits.groupBy("term")
-           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    # df per query term: a COUNT window over the term partition
+    # (postings carry tf > 0 rows only, so count(rows) IS df) — r12
+    # collected a per-term aggregate to the driver, one full Spark
+    # job per query before the scan; the window keeps the whole
+    # query ONE lazy plan (zero plan-time jobs) over a SINGLE scan of
+    # the probed postings (a broadcast-join formulation would scan
+    # them twice), with idf in the SAME JVM F.log the batch scorer
+    # uses. The term shuffle is O(matching postings), never corpus.
+    from pyspark.sql import Window
 
-    def _idf(term: str) -> float:
-        import math
-
-        d = float(dfs.get(term, 0))
-        return math.log((n - d + 0.5) / (d + 0.5) + 1.0)
-
-    idf_map = F.create_map(*[x for t in terms
-                             for x in (F.lit(t),
-                                       F.lit(_idf(t) * mult[t]))])
+    dfq = (F.count(F.lit(1)).over(Window.partitionBy("term"))
+           .cast("double"))
+    mult_map = F.create_map(*[x for t in terms
+                              for x in (F.lit(t),
+                                        F.lit(float(mult[t])))])
+    idf = F.log((F.lit(n) - dfq + F.lit(0.5))
+                / (dfq + F.lit(0.5)) + F.lit(1.0))
     tf = F.col("tf").cast("double")
     denom = tf + F.lit(k1) * (F.lit(1.0 - b)
                               + F.lit(b) * (F.col("dl").cast("double")
                                             / F.lit(avgdl)))
-    contrib = idf_map[F.col("term")] * ((tf * F.lit(k1 + 1.0)) / denom)
+    contrib = (mult_map[F.col("term")] * idf
+               * ((tf * F.lit(k1 + 1.0)) / denom))
     scored = (hits.withColumn("_c", contrib)
               .groupBy(key).agg(F.sum("_c").alias("bm25")))
     return (scored.where(F.col("bm25") > 0.0)

@@ -64,10 +64,13 @@ def test_registry_invariants():
         assert any(n.startswith(prefix) for n in window), prefix
     # everything in the window has an oracle except the NAMED rows-only
     # rows (no SQL twin by design: RNG-seeded/k-means/iterative/UDF
-    # ops). The r12 rotation carries exactly ONE rows-only row — the
-    # fixed §2 D1 slot (b16_local_binary_ingest rotated out with an
-    # executed CORRECTNESS_r11 cell; it stays replayed locally).
+    # ops). The r13 rotation carries exactly TWO rows-only rows — the
+    # fixed §2 D1 slot, and b16_local_binary_ingest rotated back in
+    # with the r12-displaced recency sweep (binary ingest has no
+    # DuckDB twin: the checker's value-hash can't canonicalize
+    # binary columns).
     assert sorted(n for n in C._PRIORITY if n not in o) == [
+        "b16_local_binary_ingest",
         "d1_embed_documents_distributed",
     ]
 

@@ -294,11 +294,15 @@ def test_bucketed_phrase_plans_with_zero_spark_jobs(spark, corpus,
     sc.setJobGroup(group, "plan-time")
     try:
         got_df = TI.query_phrase_index(spark, vp, "value table", k=8)
+        # r13: the BM25 path is fully lazy too (the per-term df
+        # aggregation broadcast-joins in-plan instead of collecting)
+        bm_df = TI.query_text_index(spark, vp, "value table", k=5)
         jobs = sc.statusTracker().getJobIdsForGroup(group)
-        assert jobs == [], f"phrase serving ran Spark jobs at plan " \
-                           f"time: {jobs}"
+        assert jobs == [], f"text-index serving ran Spark jobs at " \
+                           f"plan time: {jobs}"
     finally:
         sc.setJobGroup("", "")
+    assert bm_df.count() == 5
     current = S.execute(spark, "SELECT doc_id, text FROM zb", cat)
     got = [(r["doc_id"], r["phrase_tf"]) for r in got_df.collect()]
     assert got == _brute_phrase(current, "value table", 8)
