@@ -88,7 +88,9 @@ FLOOR_SEC = {
     # of a driver collect — single scan of the probed postings, zero
     # plan-time Spark jobs, idf in the same JVM F.log as the batch
     # scorer (same answer as bm25_topk's 1.0 s corpus scan+tokenize)
-    "bm25_indexed_topk": 0.381,
+    # (0.381 flat; 0.34 once the bench index moved to the bucketed
+    # at-rest layout — the 3 query terms' buckets' files only)
+    "bm25_indexed_topk": 0.34,
     # r12 floors RE-PINNED in r13 (calib 0.682, near idle) after the
     # serving-path overhaul: driver-side xxhash64 bucket resolution
     # (no per-query createDataFrame+collect job) + manifest-pinned
@@ -101,6 +103,10 @@ FLOOR_SEC = {
     # lsh_knn_join headliner (1.68 s same session), minus the per-call
     # corpus bucketing pass the maintained index absorbs at write time
     "knn_join_indexed": 1.207,
+    # r13 first-committed floor (calib 0.898, contended k~1.38 — best
+    # observed; re-pin idle): maintained IVF probe query, 4/16 cells,
+    # exact-dot re-rank on the bucketed at-rest layout
+    "ivf_indexed_topk": 0.155,
 }
 R3_FLOOR_SEC = FLOOR_SEC  # legacy alias
 
@@ -312,6 +318,10 @@ def main() -> None:
     ti_idx = os.path.join(vt_tmp, "tiidx")
     VT.create(spark, ti_src, docs.select("doc_id", "text"))
     TI.create_text_index(spark, ti_src, ti_idx, key="doc_id")
+    # r13: the bucketed at-rest layout (the recommended deployment,
+    # mirroring the ANN row) — the query names only the 3 terms'
+    # buckets' segment files and plans with zero Spark jobs
+    TI.convert_index_to_bucketed(spark, ti_idx, n_buckets=64)
 
     def _bm25_indexed():
         return TI.query_text_index(
@@ -336,6 +346,19 @@ def main() -> None:
     def _ann_indexed():
         return AIX.query_ann_index(spark, ai_idx, QV_FLAGSHIP, k=10,
                                    n_probe_bits=1).collect()
+
+    # r13: the maintained IVF index (kmeans-trained, frozen centroids,
+    # bucketed at-rest) — probe 4 of 16 cells, exact-dot re-rank
+    from rclip_server_spark.sources import ivfindex as IIX
+
+    ii_idx = os.path.join(vt_tmp, "iiidx")
+    IIX.create_ivf_index(spark, ai_src, ii_idx, key="vec_id",
+                         n_cells=16, iters=2)
+    IIX.convert_index_to_bucketed(spark, ii_idx, n_buckets=16)
+
+    def _ivf_indexed():
+        return IIX.query_ivf_index(spark, ii_idx, QV_FLAGSHIP, k=10,
+                                   n_probe=4).collect()
 
     def _hybrid_indexed():
         t = TI.query_text_index(spark, ti_idx,
@@ -497,6 +520,8 @@ def main() -> None:
         "hybrid_indexed_rrf": _hybrid_indexed,
         # r13: lsh_knn_join served from the maintained bucketed index
         "knn_join_indexed": _knn_join_indexed,
+        # r13: the IVF probe query (4/16 cells, exact-dot re-rank)
+        "ivf_indexed_topk": _ivf_indexed,
     }
 
     # warm the JVM/IO, the Python UDF workers, AND whole-stage-codegen
@@ -540,6 +565,7 @@ def main() -> None:
     _ann_indexed()  # warm the bucketed probe-read plan shape
     _hybrid_indexed()  # warm the fusion (windows + outer join)
     _knn_join_indexed()  # warm the indexed-join plan shape
+    _ivf_indexed()  # warm the IVF probe plan shape
     _stage_floor_calib()  # warm the calib row's codegen like the rest
     spark.catalog.clearCache()
 

@@ -2279,6 +2279,17 @@ def convert_to_bucketed(spark: SparkSession, path: str, key: str,
         raise ValueError(f"no column {key!r} on {path} "
                          f"(columns: {df.columns})")
     df_b = df.withColumn(_BUCKET_COL, _bucket_expr(key, int(n_buckets)))
+    # cluster each bucket into one task before the partitioned write:
+    # without this, partitionBy fans every task across every bucket it
+    # holds rows for — ~parallelism FILES PER BUCKET, the small-files
+    # problem that turns a 3-bucket probe read into dozens of opens at
+    # 100 TB. One shuffle at conversion time (the rewrite already
+    # reads everything); incremental per-bucket APPENDS stay
+    # shuffle-free (their batches are delta-sized, few files by
+    # construction, folded by compact_bucketed)
+    import pyspark.sql.functions as F
+
+    df_b = df_b.repartition(int(n_buckets), F.col(_BUCKET_COL))
     touched = _bucket_ids(df_b)
     segs = _write_bucket_segments(df_b, path, touched)
     buckets = {str(b): [segs[b]] for b in segs}
@@ -2544,6 +2555,12 @@ def compact_bucketed(
         _read_with_deletes(spark, path, m, todo_segs)
         .withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
     )
+    # cluster each rewritten bucket into one task: the fold's whole
+    # point is few files per bucket — without this, partitionBy fans
+    # every task across every todo bucket (~parallelism files each)
+    import pyspark.sql.functions as F
+
+    df_b = df_b.repartition(max(len(todo), 1), F.col(_BUCKET_COL))
     segs = _write_bucket_segments(df_b, path, todo)
     new_bmap = dict(bmap)
     for b in todo:

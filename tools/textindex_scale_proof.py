@@ -7,7 +7,11 @@
 * the indexed query stays ~flat too (it reads the query terms'
   postings, pruned by the pushed IN-list, not the corpus);
 * the from-scratch rebuild (what a non-incremental engine pays per
-  change) grows linearly — the gap IS the index's value.
+  change) grows linearly — the gap IS the index's value;
+* (r13) the bucketed AT-REST layout answers the same query
+  row-identically while naming only the query terms' hash buckets'
+  segment FILES in the plan — files-opened counts recorded and
+  asserted strictly smaller than the flat read's at every size.
 
 Targets are 1x/4x/8x id-shifted replicas of the sf0.1 documents
 fixture. Postings equality vs a full rebuild is asserted at every
@@ -77,10 +81,38 @@ def main() -> None:
             t0 = time.time()
             TI.refresh_text_index(spark, idx)
             t_refresh = time.time() - t0
+            def _scan_bytes(q) -> tuple[int, int]:
+                files = {f for f in q.inputFiles()
+                         if "/del-" not in f}
+                paths = [f.replace("file:", "") for f in files]
+                return len(files), sum(os.path.getsize(p)
+                                       for p in paths
+                                       if os.path.exists(p))
+
+            terms = ["vector", "join", "spark"]
+            q_flat = TI.query_text_index(spark, idx, terms, k=10)
+            files_flat, bytes_flat = _scan_bytes(q_flat)
             t0 = time.time()
-            TI.query_text_index(spark, idx, ["vector", "join",
-                                             "spark"], k=10).collect()
+            flat_rows = [(r[0], round(r[1], 9))
+                         for r in q_flat.collect()]
             t_query = time.time() - t0
+            # r13: the bucketed AT-REST layout — the same query then
+            # names only the query terms' hash buckets' segment FILES
+            # in its plan (conversion is write-time cost, one rewrite)
+            TI.convert_index_to_bucketed(spark, idx, n_buckets=64)
+            q_bk = TI.query_text_index(spark, idx, terms, k=10)
+            files_bk, bytes_bk = _scan_bytes(q_bk)
+            t0 = time.time()
+            bk_rows = [(r[0], round(r[1], 9)) for r in q_bk.collect()]
+            t_bquery = time.time() - t0
+            assert bk_rows == flat_rows, f"{c}x bucketed != flat"
+            # BYTES is the honest cross-layout metric (a flat index is
+            # few BIG files, a bucketed one many SMALL per-bucket
+            # files): the probe read must plan strictly less IO than
+            # the flat full-postings read
+            assert bytes_bk < bytes_flat, \
+                f"{c}x: bucketed read plans {bytes_bk}B vs flat " \
+                f"{bytes_flat}B — no at-rest pruning"
             # exactness at every size: postings == full rebuild
             cur = V.read(spark, src)
             got = TI.read_text_index(spark, idx)
@@ -92,6 +124,11 @@ def main() -> None:
                 "build_sec": round(t_build, 2),
                 "refresh_200_sec": round(t_refresh, 2),
                 "indexed_query_sec": round(t_query, 2),
+                "bucketed_query_sec": round(t_bquery, 2),
+                "files_flat": files_flat,
+                "files_bucketed": files_bk,
+                "scan_mb_flat": round(bytes_flat / 1e6, 2),
+                "scan_mb_bucketed": round(bytes_bk / 1e6, 2),
             }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
