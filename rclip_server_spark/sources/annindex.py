@@ -87,19 +87,15 @@ def _spec_ai(path: str, version: int | None = None) -> dict:
 
 
 def _state(spark: SparkSession, view_path: str, v: int,
-           buckets: list[int] | None = None) -> DataFrame:
-    """The index state at a version, layout-dispatched: a flat index
-    reads all segments; one converted to the hash-bucketed at-rest
-    layout (convert_index_to_bucketed) reads only the requested
-    physical buckets' segments — FILE pruning at manifest resolution,
-    the at-rest half of the probe-pruning story."""
-    m = V._manifest(view_path, v)
-    if "buckets" in m:
-        # pin_schema: the serving path plans with the manifest's
-        # committed schema — no mergeSchema footer job per query
-        return V.read_bucketed(spark, view_path, v, buckets=buckets,
-                               pin_schema=True)
-    return V.read(spark, view_path, v)
+           probes: list[int] | None = None) -> DataFrame:
+    """The index state at a version, layout-dispatched through the
+    shared serving read (versioned.read_probed): on the bucketed
+    at-rest layout the probed LSH bucket VALUES resolve to physical
+    buckets driver-side and only those buckets' segment files enter
+    the plan, schema pinned from the manifest — zero pre-scan Spark
+    jobs."""
+    return V.read_probed(spark, view_path, v, "bucket",
+                         probe_values=probes)
 
 
 def read_ann_index(spark: SparkSession, view_path: str,
@@ -249,17 +245,13 @@ def query_ann_index(
             for j in range(i + 1, n_planes):
                 probes.add(qbucket ^ (1 << i) ^ (1 << j))
     # at-rest pruning: on a hash-bucketed index state
-    # (convert_index_to_bucketed) resolve the probed LSH buckets to
-    # their physical buckets and name ONLY those buckets' segment
-    # files in the plan — non-probed buckets are skipped at manifest
-    # resolution (files, not rows). The residual bucket IN-list then
-    # prunes hash-collided rows inside the survivors.
-    m = V._manifest(view_path, v)
-    phys = None
-    if "buckets" in m and m.get("bucket_key") == "bucket":
-        phys = _probe_hash_buckets(spark, sorted(probes),
-                                   int(m["n_buckets"]))
-    cand = _state(spark, view_path, v, buckets=phys).where(
+    # (convert_index_to_bucketed) the probed LSH buckets resolve to
+    # their physical buckets driver-side and ONLY those buckets'
+    # segment files are named in the plan — non-probed buckets are
+    # skipped at manifest resolution (files, not rows). The residual
+    # bucket IN-list then prunes hash-collided rows inside survivors.
+    cand = _state(spark, view_path, v,
+                  probes=sorted(int(b) for b in probes)).where(
         F.col("bucket").isin(sorted(probes)))
     scored = cand.withColumn(
         "score", VEC.dot(F.col(vec_col), VEC.vec_lit(list(qv))))

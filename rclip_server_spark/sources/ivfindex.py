@@ -77,9 +77,12 @@ def create_ivf_index(
     else:
         centroids = np.asarray(centroids, dtype=np.float64)
         trained = "explicit"
+    if centroids.ndim != 2:
+        raise ValueError(f"centroids must be a (n_cells, dim) matrix, "
+                         f"got shape {centroids.shape}")
     if dim is None:
         dim = int(centroids.shape[1])
-    if centroids.ndim != 2 or centroids.shape[1] != dim:
+    if centroids.shape[1] != dim:
         raise ValueError(f"centroids must be (n_cells, {dim}), got "
                          f"{centroids.shape}")
     spec = {
@@ -108,23 +111,15 @@ def _centroids(spec: dict) -> np.ndarray:
 
 def _state(spark: SparkSession, view_path: str, v: int,
            cells: list[int] | None = None) -> DataFrame:
-    """Layout-dispatched state read (the annindex._state twin): on the
-    hash-bucketed at-rest layout the probed CELLS resolve to physical
-    buckets driver-side (pure-Python xxhash64, parity-pinned) and only
-    those buckets' segment files are named in the plan; pin_schema
-    plans with the manifest's committed schema — zero Spark jobs
-    before the scan itself."""
-    m = V._manifest(view_path, v)
-    if "buckets" in m:
-        phys = None
-        if cells is not None and m.get("bucket_key") == "ivf_cell":
-            from ..functions.xxh import buckets_of
-
-            phys = buckets_of([int(c) for c in cells],
-                              int(m["n_buckets"]))
-        return V.read_bucketed(spark, view_path, v, buckets=phys,
-                               pin_schema=True)
-    return V.read(spark, view_path, v)
+    """Layout-dispatched state read through the shared serving read
+    (versioned.read_probed, bucket key = ivf_cell): on the bucketed
+    at-rest layout the probed CELLS resolve to physical buckets
+    driver-side and only those buckets' segment files enter the plan,
+    schema pinned from the manifest — zero pre-scan Spark jobs."""
+    return V.read_probed(
+        spark, view_path, v, "ivf_cell",
+        probe_values=None if cells is None else [int(c) for c in
+                                                 cells])
 
 
 def read_ivf_index(spark: SparkSession, view_path: str,

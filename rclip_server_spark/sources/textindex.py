@@ -119,27 +119,16 @@ def _spec_ti(path: str, version: int | None = None) -> dict:
 
 def _state(spark: SparkSession, view_path: str, v: int,
            terms: list[str] | None = None) -> DataFrame:
-    """The postings state at a version, layout-dispatched (the
-    annindex._state twin): a flat index reads all segments; one
-    converted to the hash-bucketed at-rest layout
-    (convert_index_to_bucketed, bucket key = term) resolves the query
-    TERMS to their physical buckets DRIVER-SIDE (functions/xxh.py —
-    the writer's pmod(xxhash64(term), n) evaluated in pure Python,
-    parity-pinned) and names ONLY those buckets' segment files in the
-    plan — at 100 TB a 3-term query opens the 3 terms' buckets'
-    files, never the whole postings table. pin_schema: the serving
-    path plans with the manifest's committed schema, zero Spark jobs
-    before the scan itself."""
-    m = V._manifest(view_path, v)
-    if "buckets" in m:
-        phys = None
-        if terms is not None and m.get("bucket_key") == "term":
-            from ..functions.xxh import buckets_of
-
-            phys = buckets_of(terms, int(m["n_buckets"]))
-        return V.read_bucketed(spark, view_path, v, buckets=phys,
-                               pin_schema=True)
-    return V.read(spark, view_path, v)
+    """The postings state at a version, layout-dispatched through the
+    shared serving read (versioned.read_probed, bucket key = term):
+    on the bucketed at-rest layout the query TERMS resolve to their
+    physical buckets driver-side and only those buckets' segment
+    files enter the plan — at 100 TB a 3-term query opens the 3
+    terms' buckets' files, never the whole postings table — with the
+    scan schema pinned from the manifest (zero pre-scan Spark
+    jobs)."""
+    return V.read_probed(spark, view_path, v, "term",
+                         probe_values=terms)
 
 
 def convert_index_to_bucketed(spark: SparkSession, view_path: str,

@@ -449,15 +449,19 @@ def _read_with_deletes(spark: SparkSession, path: str, m: dict,
     return _apply_hidden(out, m)
 
 
-def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+def read(spark: SparkSession, path: str, version: int | None = None,
+         pin_schema: bool = False) -> DataFrame:
     """Read the table AT a version (default: head). Resolves the manifest
     once — the returned plan names immutable segment dirs, so concurrent
     commits and even a head overwrite cannot shear this reader. Pending
     delete vectors (delete_rows) are applied as scoped broadcast
-    anti-joins."""
+    anti-joins. ``pin_schema`` reads with the manifest's committed
+    schema instead of mergeSchema footer inference (zero Spark jobs at
+    plan time — serving paths; see _pinned_schema for why it's safe)."""
     v = current_version(path) if version is None else int(version)
     m = _manifest(path, v)
-    return _read_with_deletes(spark, path, m, m["segments"])
+    return _read_with_deletes(spark, path, m, m["segments"],
+                              pin_schema=pin_schema)
 
 
 def read_pruned(
@@ -2344,6 +2348,34 @@ def read_bucketed(
     return _reconcile_declared(
         _read_with_deletes(spark, path, m, segs,
                            pin_schema=pin_schema), m)
+
+
+def read_probed(
+    spark: SparkSession, path: str, version: int,
+    bucket_key: str, probe_values=None,
+) -> DataFrame:
+    """The ONE layout-dispatched serving read the maintained index
+    kinds share (ann/text/ivf ``_state``): a flat table reads all
+    segments; one converted to the hash-bucketed at-rest layout on
+    ``bucket_key`` resolves the caller's probe VALUES to physical
+    buckets DRIVER-SIDE (functions/xxh.py — the writer's
+    pmod(xxhash64(cast string), n) in pure Python, parity-pinned by
+    tests/test_xxh.py) and names only those buckets' segment files in
+    the plan, reading with the manifest-pinned schema — ZERO Spark
+    jobs before the scan itself. A bucketed layout on a DIFFERENT key
+    (or ``probe_values=None``) reads every bucket, still
+    schema-pinned. Changes to this serving contract land here once,
+    not per index kind."""
+    m = _manifest(path, version)
+    if "buckets" not in m:
+        return read(spark, path, version, pin_schema=True)
+    phys = None
+    if probe_values is not None and m.get("bucket_key") == bucket_key:
+        from ..functions.xxh import buckets_of
+
+        phys = buckets_of(probe_values, int(m["n_buckets"]))
+    return read_bucketed(spark, path, version, buckets=phys,
+                         pin_schema=True)
 
 
 def read_bucketed_pruned(

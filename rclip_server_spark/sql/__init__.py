@@ -1127,66 +1127,41 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
                 raise SqlError("trailing tokens after BUCKET BY (...)")
             if n_buckets < 2:
                 raise SqlError("bucket count must be >= 2")
-            if e["kind"] == "ann_index":
-                # OPTIMIZE aiidx BUCKET BY (bucket, N): lay the ANN
-                # index out by its LSH bucket column so probe queries
-                # skip FILES (non-probed buckets' segments are never
-                # named in the plan), not rows
-                if bcol.lower() != "bucket":
+            # index kinds: OPTIMIZE v BUCKET BY (<probe col>, N) lays
+            # the maintained index out by its probe column so serving
+            # queries skip FILES (only the probed buckets' segments
+            # are named in the plan), not rows — ONE table, not a
+            # branch per kind (the serving contract lives in
+            # versioned.read_probed; this is just its layout knob)
+            _INDEX_BUCKET_COLS = {
+                "ann_index": ("bucket", "annindex"),
+                "ivf_index": ("ivf_cell", "ivfindex"),
+                "text_index": ("term", "textindex"),
+            }
+            if e["kind"] in _INDEX_BUCKET_COLS:
+                col, mod = _INDEX_BUCKET_COLS[e["kind"]]
+                if bcol.lower() != col:
                     raise SqlError(
-                        f"an ann_index view buckets by its LSH "
-                        f"'bucket' column (got {bcol!r})")
-                from ..sources import annindex as AI
+                        f"a {e['kind']} view buckets by its "
+                        f"{col!r} column (got {bcol!r})")
+                import importlib
 
+                m_ = importlib.import_module(f"..sources.{mod}",
+                                             __package__)
                 try:
-                    ver = AI.convert_index_to_bucketed(
+                    ver = m_.convert_index_to_bucketed(
                         spark, e["path"], n_buckets)
                 except ValueError as ex:
                     raise SqlError(str(ex)) from ex
                 return {"status": "optimized", "name": name,
-                        "bucketed_by": "bucket",
-                        "n_buckets": n_buckets, "version": ver}
-            if e["kind"] == "ivf_index":
-                # OPTIMIZE ivfidx BUCKET BY (ivf_cell, N): lay the
-                # index out by its cell so probe queries skip FILES
-                if bcol.lower() != "ivf_cell":
-                    raise SqlError(
-                        f"an ivf_index view buckets by its "
-                        f"'ivf_cell' column (got {bcol!r})")
-                from ..sources import ivfindex as II
-
-                try:
-                    ver = II.convert_index_to_bucketed(
-                        spark, e["path"], n_buckets)
-                except ValueError as ex:
-                    raise SqlError(str(ex)) from ex
-                return {"status": "optimized", "name": name,
-                        "bucketed_by": "ivf_cell",
-                        "n_buckets": n_buckets, "version": ver}
-            if e["kind"] == "text_index":
-                # OPTIMIZE tiidx BUCKET BY (term, N): lay the postings
-                # out by their term hash bucket so term/phrase queries
-                # skip FILES (only the query terms' buckets' segments
-                # are named in the plan), not rows
-                if bcol.lower() != "term":
-                    raise SqlError(
-                        f"a text_index view buckets by its 'term' "
-                        f"column (got {bcol!r})")
-                from ..sources import textindex as TI
-
-                try:
-                    ver = TI.convert_index_to_bucketed(
-                        spark, e["path"], n_buckets)
-                except ValueError as ex:
-                    raise SqlError(str(ex)) from ex
-                return {"status": "optimized", "name": name,
-                        "bucketed_by": "term",
+                        "bucketed_by": col,
                         "n_buckets": n_buckets, "version": ver}
             if e["kind"] != "table":
                 raise SqlError(
-                    f"BUCKET BY migrates base tables (or an "
-                    f"ann_index / text_index view on its bucket/term "
-                    f"column); {name} is a {e['kind']} view")
+                    f"BUCKET BY migrates base tables (or an index "
+                    f"view on its probe column: "
+                    f"{', '.join(f'{k} by {c}' for k, (c, _) in sorted(_INDEX_BUCKET_COLS.items()))}); "
+                    f"{name} is a {e['kind']} view")
             key = e["meta"].get("key")
             if not key:
                 raise SqlError(

@@ -657,43 +657,53 @@ def _create_using(spark: SparkSession, catalog: Catalog, name: str,
                 pv = opts["positions"]
                 kw["positions"] = (str(pv).strip().lower() == "true"
                                    if isinstance(pv, str) else bool(pv))
-            TI.create_text_index(spark, src["path"], vp, key=key, **kw)
-            if "buckets" in opts:
-                # OPTIONS (buckets=N): the at-rest term-hash-bucketed
-                # layout in one statement — term/phrase queries skip
-                # segment files from the first query (same as a
-                # post-hoc OPTIMIZE ... BUCKET BY (term, N))
-                TI.convert_index_to_bucketed(spark, vp,
-                                             int(opts["buckets"]))
+            try:
+                TI.create_text_index(spark, src["path"], vp, key=key,
+                                     **kw)
+                if "buckets" in opts:
+                    # OPTIONS (buckets=N): the at-rest term-hash-
+                    # bucketed layout in one statement — term/phrase
+                    # queries skip segment files from the first query
+                    # (same as OPTIMIZE ... BUCKET BY (term, N))
+                    TI.convert_index_to_bucketed(
+                        spark, vp, int(opts["buckets"]))
+            except ValueError as ex:
+                raise SqlError(str(ex)) from ex
         elif kind == "ann_index":
             from ..sources import annindex as AI
 
             kw = {k: opts[k] for k in ("vec_col", "n_planes", "seed",
                                        "dim") if k in opts}
-            AI.create_ann_index(spark, src["path"], vp, key=key, **kw)
-            if "buckets" in opts:
-                # OPTIONS (buckets=N): the at-rest hash-bucketed
-                # layout in one statement — probe queries skip files
-                # from the first query (same as a post-hoc OPTIMIZE
-                # ... BUCKET BY (bucket, N))
-                AI.convert_index_to_bucketed(spark, vp,
-                                             int(opts["buckets"]))
+            try:
+                AI.create_ann_index(spark, src["path"], vp, key=key,
+                                    **kw)
+                if "buckets" in opts:
+                    # OPTIONS (buckets=N): the at-rest hash-bucketed
+                    # layout in one statement — probe queries skip
+                    # files from the first query (same as OPTIMIZE
+                    # ... BUCKET BY (bucket, N))
+                    AI.convert_index_to_bucketed(
+                        spark, vp, int(opts["buckets"]))
+            except ValueError as ex:
+                raise SqlError(str(ex)) from ex
         elif kind == "ivf_index":
             from ..sources import ivfindex as II
 
-            kw = {}
-            for ok, cast in (("vec_col", str), ("n_cells", int),
-                             ("iters", int), ("init", str)):
-                if ok in opts:
-                    kw[ok] = cast(opts[ok])
             try:
+                # coercions INSIDE the wrap: n_cells='abc' must
+                # surface as SqlError, the layer's error contract
+                kw = {}
+                for ok, cast in (("vec_col", str), ("n_cells", int),
+                                 ("iters", int), ("init", str)):
+                    if ok in opts:
+                        kw[ok] = cast(opts[ok])
                 II.create_ivf_index(spark, src["path"], vp, key=key,
                                     **kw)
+                if "buckets" in opts:
+                    II.convert_index_to_bucketed(
+                        spark, vp, int(opts["buckets"]))
             except ValueError as ex:
                 raise SqlError(str(ex)) from ex
-            if "buckets" in opts:
-                II.convert_index_to_bucketed(spark, vp,
-                                             int(opts["buckets"]))
         elif kind == "near_dup":
             kw = {k: opts[k] for k in ("text_col", "shingle_n",
                                        "num_hashes", "bands",

@@ -164,9 +164,26 @@ def _rewrite_index_searches(spark: SparkSession, text: str,
                                f"table name, got {lname!r}")
             lkey = lname.lower()
             lcat = {n.lower(): n for n in catalog.names()}.get(lkey)
+            n_left = None
             if lcat is not None:
-                left = _read_entry(spark, catalog.get(lcat))
-                lver = V.current_version(catalog.get(lcat)["path"])
+                lentry = catalog.get(lcat)
+                lpath = lentry["path"]
+                lver = V.current_version(lpath)
+                # plain-table left: schema-pinned serving read (both
+                # layouts) — zero Spark jobs at rewrite time; view
+                # kinds keep _read_entry's state presentation
+                if lentry.get("kind") == "table":
+                    left = V.read_probed(spark, lpath, lver, "")
+                else:
+                    left = _read_entry(spark, lentry)
+                # the guard's left count comes from the MANIFEST
+                # (parquet footers, zero Spark jobs) — without it the
+                # operator would run left.count() at rewrite time,
+                # the exact per-statement job class the serving
+                # paths eliminated. Upper bound is exact for plain
+                # tables; pending delete vectors only shrink it
+                # (guard stays conservative).
+                n_left = V.table_row_count(lpath, lver)
             else:
                 try:
                     left = spark.table(lname)
@@ -174,7 +191,20 @@ def _rewrite_index_searches(spark: SparkSession, text: str,
                     raise SqlError(
                         f"KNN_JOIN: no catalog table or temp view "
                         f"named {lname!r}") from None
-                lver = None
+                # a temp-view left has no manifest: key the rewrite
+                # on its ANALYZED PLAN's semantic hash so replacing
+                # the view with different content can never collide
+                # with a concurrent identical statement's temp name
+                # (the clobber content-keying exists to prevent);
+                # its guard count stays the operator's own count()
+                try:
+                    lver = ("plan", int(
+                        left._jdf.queryExecution().analyzed()
+                        .semanticHash()))
+                except Exception:
+                    import uuid
+
+                    lver = ("uniq", uuid.uuid4().hex)
             k = _int_arg(args[2], "KNN_JOIN", "k")
             probes = _int_arg(args[3], "KNN_JOIN", "probe_bits") \
                 if len(args) == 4 else 1
@@ -192,12 +222,18 @@ def _rewrite_index_searches(spark: SparkSession, text: str,
             # a temp-view name across concurrent statements
             tmp = "__{}_{}".format(fn, hashlib.md5(repr(
                 (vname, ver, args, lver)).encode()).hexdigest()[:12])
+            from ..operators.dedup import ScaleGuardError
+
             try:
                 AI.knn_join_via_index(
                     spark, left, e["path"], k=k, n_probe_bits=probes,
                     id_col=spec["ai_key"], vec_col=spec["ai_vec_col"],
+                    n_left=n_left,
                     version=ver).createOrReplaceTempView(tmp)
-            except (ValueError, KeyError) as ex:
+            except (ValueError, KeyError, ScaleGuardError) as ex:
+                # ScaleGuardError included: SQL has no
+                # max_expected_candidates escape hatch, so the guard
+                # must surface through the layer's SqlError contract
                 raise SqlError(str(ex)) from ex
             spans.append((m.start(), close + 1, tmp))
             continue

@@ -162,3 +162,65 @@ def test_knn_join_guards(spark, both, documents):
     with pytest.raises(S.SqlError, match="embedding"):
         S.execute(spark, "SELECT * FROM KNN_JOIN('ai', not_vecs, 3)",
                   cat)
+
+
+def test_knn_join_rewrite_runs_zero_spark_jobs_for_catalog_left(
+        spark, both, embeddings):
+    """r13 review fix: a catalog-table left's scale-guard count comes
+    from the MANIFEST (table_row_count), so the statement rewrite
+    itself launches no Spark job for it (the count() job per
+    statement was the class the serving paths eliminated)."""
+    cat = both
+    embeddings.select("vec_id", "embedding").where(
+        F.col("vec_id") % 2 == 1).limit(30)\
+        .createOrReplaceTempView("zl_seed")
+    S.execute(spark, "CREATE TABLE zlt OPTIONS (key='vec_id') AS "
+                     "SELECT * FROM zl_seed", cat)
+    from rclip_server_spark.sql._reads import _rewrite_index_searches
+
+    sc = spark.sparkContext
+    group = "knn-rewrite-zero-jobs"
+    sc.setJobGroup(group, "rewrite-time")
+    try:
+        text = _rewrite_index_searches(
+            spark, "SELECT * FROM KNN_JOIN('ai', zlt, 3)", cat)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert jobs == [], f"rewrite ran Spark jobs: {jobs}"
+    finally:
+        sc.setJobGroup("", "")
+    assert "__knn_join_" in text
+    # the rewritten statement still answers
+    assert S.execute(spark, "SELECT count(*) AS n FROM "
+                            "KNN_JOIN('ai', zlt, 3)",
+                     cat).first()["n"] > 0
+
+
+def test_knn_join_scale_guard_surfaces_as_sql_error(spark, both):
+    """SQL has no max_expected_candidates escape hatch, so the
+    candidate-volume guard (a RuntimeError subclass that previously
+    escaped raw) must surface through the layer's SqlError contract.
+    The guard condition itself is pinned on the operator; the SQL
+    layer's wrapping is pinned by substituting a firing guard."""
+    cat = both
+    from rclip_server_spark.operators.dedup import ScaleGuardError
+    from rclip_server_spark.sources import annindex as AI
+
+    # the operator's guard fires for absurd candidate volumes
+    with pytest.raises(ScaleGuardError):
+        AI.knn_join_via_index(
+            spark, spark.table("e_seed"), cat.get("ai")["path"], k=3,
+            n_left=10_000_000_000, max_expected_candidates=1_000_000)
+    # the SQL layer wraps it (the rewriter re-imports the module per
+    # call, so substituting the module attribute intercepts it)
+    orig = AI.knn_join_via_index
+
+    def _boom(*a, **k):
+        raise ScaleGuardError("guard fired (test)")
+
+    AI.knn_join_via_index = _boom
+    try:
+        with pytest.raises(S.SqlError, match="guard fired"):
+            S.execute(spark, "SELECT * FROM KNN_JOIN('ai', e, 3)",
+                      cat)
+    finally:
+        AI.knn_join_via_index = orig
