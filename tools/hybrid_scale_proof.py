@@ -75,6 +75,9 @@ def main() -> None:
             aidx = os.path.join(tmp, f"aidx{c}")
             V.create(spark, tsrc, d)
             TI.create_text_index(spark, tsrc, tidx, key="doc_id")
+            # r13: the text side runs on its bucketed at-rest layout
+            # too (term-bucket file pruning), matching the ANN side
+            TI.convert_index_to_bucketed(spark, tidx, n_buckets=64)
             V.create(spark, asrc, e)
             AI.create_ann_index(spark, asrc, aidx, key="vec_id",
                                 n_planes=6)
