@@ -313,8 +313,14 @@ def read_point_lookup(
     segs = _zone_keep(m, col, values, segs)
     keep, _total = bloom_surviving_segments(
         path, col, values, bits=bits, k=k, segments=segs)
+    # pin_schema: the point-lookup serving path plans with the
+    # manifest's committed schema — no mergeSchema footer job per
+    # lookup (the read here is already file-pruned to the Bloom
+    # survivors; the footer job would read them all again at plan
+    # time)
     if not keep:
-        out = V.read(spark, path, v).limit(0)
+        out = V.read(spark, path, v, pin_schema=True).limit(0)
     else:
-        out = V._read_with_deletes(spark, path, m, keep)
+        out = V._read_with_deletes(spark, path, m, keep,
+                                   pin_schema=True)
     return out.where(F.col(col).isin(values))

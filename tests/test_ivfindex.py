@@ -188,3 +188,27 @@ def test_ivf_search_sql_surface(spark, vecs, cat):
         S.execute(spark, "DELETE FROM sq_ivf WHERE ivf_cell = 0", cat)
     with pytest.raises(ValueError):
         II.query_ivf_index(spark, vp, [0.0] * 7)  # wrong dim
+
+def test_refresh_stream_maintains_ivf_index(spark, vecs, cat):
+    """Continuous maintenance through START REFRESH STREAM: the
+    manifest-log tail wakes the kind-dispatched refresher per source
+    commit (ivf_index rides the same marker registry as every other
+    kind), and the post-wake indexed answer equals the ad-hoc tier
+    under the frozen centroids."""
+    vp = _mk(spark, vecs, cat, "st")
+    S.execute(spark, "OPTIMIZE st_ivf BUCKET BY (ivf_cell, 8)", cat)
+    S.execute(spark, "START REFRESH STREAM ON VIEW st_ivf", cat)
+    try:
+        q = S._STREAMS[S._stream_key(cat, "st_ivf")]
+        S.execute(spark, "DELETE FROM st WHERE vec_id % 6 = 0", cat)
+        q.processAllAvailable()
+        current = S.execute(spark, "SELECT vec_id, embedding FROM st",
+                            cat)
+        cents = II._centroids(II._spec_ii(vp))
+        got = II.query_ivf_index(spark, vp, QV, k=10, n_probe=3)
+        want = ann.ivf_topk(current, QV, cents, k=10, n_probe=3)
+        assert _ids_scores(got) == _ids_scores(want)
+        d = S.execute(spark, "DESCRIBE MATERIALIZED VIEW st_ivf", cat)
+        assert d["fresh"] is True and d["refresh_stream"]["live"]
+    finally:
+        S.execute(spark, "STOP REFRESH STREAM ON VIEW st_ivf", cat)
