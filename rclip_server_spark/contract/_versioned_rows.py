@@ -3337,3 +3337,48 @@ _register(
     ORDER BY score DESC, vec_id LIMIT 10
     """,
 )
+
+
+def _ii_ivfadc_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "embeddings").select("vec_id", "embedding") \
+        .createOrReplaceTempView("embs_seed_adc")
+    SQ.execute(spark, "CREATE TABLE adcvecs OPTIONS (key='vec_id') AS "
+                      "SELECT * FROM embs_seed_adc", cat)
+    SQ.execute(spark, "CREATE MATERIALIZED VIEW adcidx USING "
+                      "ivf_index OPTIONS (source='adcvecs', "
+                      "key='vec_id', n_cells=8, iters=2, pq_m=8, "
+                      "pq_k=16, buckets=8)", cat)
+    SQ.execute(spark, "DELETE FROM adcvecs WHERE vec_id % 9 = 0", cat)
+    SQ.execute(spark, "INSERT INTO adcvecs SELECT vec_id + 1000000, "
+                      "embedding FROM embs_seed_adc "
+                      "WHERE vec_id % 13 = 0", cat)
+    SQ.execute(spark, "REFRESH MATERIALIZED VIEW adcidx", cat)
+
+
+def _ii_ivfadc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVFADC top-10 FROM the maintained index (r13): residual PQ
+    codes stored at WRITE time under frozen centroids+codebooks, kept
+    in sync O(changed rows) through the CDC refresh (this row queries
+    post-DML on the bucketed at-rest layout); the query ADC-scores
+    only the probed cells' code rows via one (m_sub x k_cent) LUT,
+    shortlists, and exact-re-ranks against the index's own
+    full-precision column. Rows-only BY DESIGN (the shortlist
+    membership depends on PQ argmins — not SQL-expressible; same
+    class as the ad-hoc ann_ivf_pq_topk row): pinned instead by
+    tests/test_ivfindex.py's row-identity to ann.ivf_pq_topk and the
+    exactness of the final re-rank scores."""
+    path = _vt_build(spark, sf, "adcidx", _ii_ivfadc_builder)
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    arr = ", ".join(repr(float(x)) for x in QV_ZEBRA)
+    return SQ.execute(spark, (
+        f"SELECT vec_id, round(score, 9) AS score "
+        f"FROM IVF_SEARCH('adcidx', array({arr}), 10, 3, 'adc')"),
+        cat)
+
+
+_register("ii_ivfadc_topk", _ii_ivfadc_topk, None)

@@ -944,11 +944,15 @@ def ivf_pq_train(
 def ivf_pq_encode(
     df: DataFrame, centroids: np.ndarray, codebooks: np.ndarray,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, ivf_cell, pq_codes): the at-rest IVF-PQ index — 1 small int +
-    m_sub codes per vector. One Arrow pass: cell assignment (GEMM argmax),
-    residual subtraction, per-subspace GEMM-form argmin. Write partitioned
-    by ivf_cell so probes prune at planning time."""
+    """(id, ivf_cell, pq_codes[, *keep_cols]): the at-rest IVF-PQ index
+    — 1 small int + m_sub codes per vector. One Arrow pass: cell
+    assignment (GEMM argmax), residual subtraction, per-subspace
+    GEMM-form argmin. Write partitioned by ivf_cell so probes prune at
+    planning time. ``keep_cols`` carries extra columns (e.g. the
+    full-precision vector for the exact re-rank tier) through the same
+    single pass — no join-back needed."""
     C = np.ascontiguousarray(centroids, dtype=np.float64)
     books = np.ascontiguousarray(codebooks, dtype=np.float64)
     m_sub, kc, dsub = books.shape
@@ -969,9 +973,12 @@ def ivf_pq_encode(
             {"ivf_cell": cells.astype(np.int32), "pq_codes": list(codes)}
         )
 
-    out = df.select(F.col(id_col), enc(F.col(vec_col)).alias("s"))
+    extra = [c for c in (keep_cols or []) if c != id_col]
+    out = df.select(F.col(id_col), *[F.col(c) for c in extra],
+                    enc(F.col(vec_col)).alias("s"))
     return out.select(id_col, F.col("s.ivf_cell").alias("ivf_cell"),
-                      F.col("s.pq_codes").alias("pq_codes"))
+                      F.col("s.pq_codes").alias("pq_codes"),
+                      *[F.col(c) for c in extra])
 
 
 def ivf_pq_topk(

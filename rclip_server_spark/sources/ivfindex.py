@@ -52,21 +52,44 @@ from .matview import _INSERTING, _RETRACTING
 
 
 def _assigned_rows(df: DataFrame, key: str, vec_col: str,
-                   centroids: np.ndarray) -> DataFrame:
-    a = ivf_assign(df, centroids, id_col=key, vec_col=vec_col)
-    return a.select("ivf_cell", key, vec_col)
+                   centroids: np.ndarray,
+                   codebooks=None) -> DataFrame:
+    """(ivf_cell, key, vec[, pq_codes]) — plain assignment, or (with
+    codebooks) the IVFADC encode: cell + residual PQ codes + the
+    full-precision vector for the exact re-rank tier, all in ONE
+    Arrow pass (ann.ivf_pq_encode keep_cols)."""
+    if codebooks is None:
+        a = ivf_assign(df, centroids, id_col=key, vec_col=vec_col)
+        return a.select("ivf_cell", key, vec_col)
+    from ..operators.ann import ivf_pq_encode
+
+    enc = ivf_pq_encode(df, centroids, np.asarray(codebooks),
+                        id_col=key, vec_col=vec_col,
+                        keep_cols=[vec_col])
+    return enc.select("ivf_cell", key, vec_col, "pq_codes")
 
 
 def create_ivf_index(
     spark: SparkSession, source_path: str, view_path: str, key: str,
     vec_col: str = "embedding", n_cells: int = 8, iters: int = 3,
     init: str = "first_k", centroids=None, dim: int | None = None,
+    pq_m: int | None = None, pq_k: int = 64, pq_iters: int = 10,
+    pq_sample: int = 4096, pq_seed: int = 42,
 ) -> int:
     """Train centroids over the source's head (or take explicit
     ``centroids`` — deterministic external quantizers, test fixtures),
     materialize the assigned rows, and record spec + cursor + the
     full centroid matrix (exact float64 round-trip through the
-    manifest JSON)."""
+    manifest JSON).
+
+    ``pq_m`` turns the index into IVFADC (Jegou/Douze/Schmid 2011):
+    residual PQ codebooks (``pq_m`` subspaces × ``pq_k`` centroids)
+    train ONCE on a deterministic min-key sample of the head
+    (``pq_sample`` rows driver-side — the standard recipe: codebooks
+    need a sample, not the corpus), freeze in the spec alongside the
+    centroids, and every row additionally stores its ``pq_codes`` —
+    queries can then score candidates from the code bytes (method=
+    'adc' on query_ivf_index) and exact-re-rank only a shortlist."""
     src_v = V.current_version(source_path)
     df = M._read_source(spark, source_path, src_v)
     if centroids is None:
@@ -92,7 +115,27 @@ def create_ivf_index(
         "ii_source_version": src_v,
         "ii_centroids": [[float(x) for x in c] for c in centroids],
     }
-    state = _assigned_rows(df, key, vec_col, centroids)
+    books = None
+    if pq_m is not None:
+        from ..operators.ann import ivf_pq_train
+
+        if dim % int(pq_m):
+            raise ValueError(f"pq_m={pq_m} must divide dim {dim}")
+        # deterministic sample: min-key rows (content-keyed, no rand)
+        sample_rows = (df.orderBy(F.asc(key)).limit(int(pq_sample))
+                       .select(vec_col).collect())
+        if not sample_rows:
+            raise ValueError("cannot train PQ codebooks on an empty "
+                             "source")
+        sample = np.asarray([r[0] for r in sample_rows],
+                            dtype=np.float64)
+        books = ivf_pq_train(sample, centroids, m_sub=int(pq_m),
+                             k_cent=int(pq_k), iters=int(pq_iters),
+                             seed=int(pq_seed))
+        spec["ii_codebooks"] = [[[float(x) for x in c] for c in b]
+                                for b in books]
+    state = _assigned_rows(df, key, vec_col, centroids,
+                           codebooks=books)
     return V.create(spark, view_path, state, extra={"app": spec})
 
 
@@ -107,6 +150,11 @@ def _spec_ii(path: str, version: int | None = None) -> dict:
 
 def _centroids(spec: dict) -> np.ndarray:
     return np.asarray(spec["ii_centroids"], dtype=np.float64)
+
+
+def _codebooks(spec: dict):
+    b = spec.get("ii_codebooks")
+    return None if b is None else np.asarray(b, dtype=np.float64)
 
 
 def _state(spark: SparkSession, view_path: str, v: int,
@@ -124,11 +172,14 @@ def _state(spark: SparkSession, view_path: str, v: int,
 
 def read_ivf_index(spark: SparkSession, view_path: str,
                    version: int | None = None) -> DataFrame:
-    """The assigned rows at a version, canonical column order."""
+    """The assigned rows at a version, canonical column order
+    (+ pq_codes on an IVFADC index)."""
     v = V.current_version(view_path) if version is None else int(version)
     spec = _spec_ii(view_path, v)
-    return _state(spark, view_path, v).select(
-        "ivf_cell", spec["ii_key"], spec["ii_vec_col"])
+    cols = ["ivf_cell", spec["ii_key"], spec["ii_vec_col"]]
+    if spec.get("ii_codebooks") is not None:
+        cols.append("pq_codes")
+    return _state(spark, view_path, v).select(*cols)
 
 
 def convert_index_to_bucketed(spark: SparkSession, view_path: str,
@@ -160,6 +211,7 @@ def refresh_ivf_index(
     src, key = spec["ii_source"], spec["ii_key"]
     vec_col = spec["ii_vec_col"]
     cents = _centroids(spec)
+    books = _codebooks(spec)  # frozen alongside the centroids
     v_from = int(spec["ii_source_version"])
     v_to = V.current_version(src)
     if v_to == v_from:
@@ -170,7 +222,8 @@ def refresh_ivf_index(
         head = M._read_source(spark, src, v_to)
         return V.overwrite(
             spark, view_path,
-            _assigned_rows(head, key, vec_col, cents),
+            _assigned_rows(head, key, vec_col, cents,
+                           codebooks=books),
             extra={"app": new_app}, parent_version=view_v)
 
     try:
@@ -191,7 +244,8 @@ def refresh_ivf_index(
         del_keys = (ch.where(F.col("_change_type").isin(
             *(_RETRACTING + _INSERTING))).select(key).distinct())
         ins = ch.where(F.col("_change_type").isin(*_INSERTING))
-        new_rows = _assigned_rows(ins, key, vec_col, cents)
+        new_rows = _assigned_rows(ins, key, vec_col, cents,
+                                  codebooks=books)
         return V.delete_and_append(
             spark, view_path, del_keys, key, new_rows,
             extra={"app": new_app}, parent_version=view_v)
@@ -213,15 +267,28 @@ def refresh_ivf_index_with_retry(
 def query_ivf_index(
     spark: SparkSession, view_path: str, query_vec, k: int = 10,
     n_probe: int = 2, version: int | None = None,
+    method: str = "exact", shortlist: int = 200,
 ) -> DataFrame:
-    """Approximate top-k FROM the maintained index with an EXACT
-    re-rank tier: the ``n_probe`` nearest cells are ranked driver-side
-    from the spec's stored centroids (zero Spark jobs), the state is
-    filtered to those cells (file-pruned on a bucketed layout), and
-    only they are scored by exact dot product. Returns (<key>, score)
-    — the same probe order (np.argsort(-dots), ties by cell index),
-    scoring, ordering, and tie-break as ann.ivf_topk over the current
-    source with the same centroids."""
+    """Approximate top-k FROM the maintained index: the ``n_probe``
+    nearest cells are ranked driver-side from the spec's stored
+    centroids (zero Spark jobs), the state is filtered to those cells
+    (file-pruned on a bucketed layout), and the candidates are scored
+    by one of two tiers:
+
+    * ``method='exact'`` — exact dot product over every probed row
+      (the re-rank tier the oracle row pins): same probe order
+      (np.argsort(-dots), ties by cell index), scoring, ordering, and
+      tie-break as ann.ivf_topk over the current source.
+    * ``method='adc'`` (IVFADC index only, built with ``pq_m``) —
+      candidates score from their stored residual PQ codes via one
+      (m_sub × k_cent) lookup table (q·centroid + ADC, the
+      Jegou/Douze/Schmid pipeline), a ``shortlist`` survives, and the
+      final k re-rank EXACTLY against the index's own full-precision
+      column — row-identical to ann.ivf_pq_topk over this state with
+      the frozen centroids/codebooks. At 100 TB the ADC pass reads
+      code bytes, not vectors: the memory-bound tier.
+
+    Returns (<key>, score); final scores are exact dots either way."""
     v = V.current_version(view_path) if version is None else int(version)
     spec = _spec_ii(view_path, v)
     key, vec_col = spec["ii_key"], spec["ii_vec_col"]
@@ -234,6 +301,23 @@ def query_ivf_index(
     cells = [int(i) for i in order]
     cand = _state(spark, view_path, v, cells=cells).where(
         F.col("ivf_cell").isin(cells))
+    if method == "adc":
+        from ..operators.ann import ivf_pq_topk
+
+        books = _codebooks(spec)
+        if books is None:
+            raise ValueError(
+                f"{view_path} was built without PQ codebooks — "
+                f"recreate with pq_m=<subspaces> for method='adc'")
+        # the probed-cell filter is already applied (and file-pruned);
+        # ivf_pq_topk re-applies it idempotently from the same probe
+        # rule, then ADC-shortlists and exact-re-ranks in-state
+        return ivf_pq_topk(cand, qv, cents, books, k=k,
+                           n_probe=int(n_probe), shortlist=shortlist,
+                           id_col=key, vec_col=vec_col)
+    if method != "exact":
+        raise ValueError(f"unknown method {method!r}; "
+                         f"use 'exact' or 'adc'")
     scored = cand.withColumn(
         "score", VEC.dot(F.col(vec_col), VEC.vec_lit(list(qv))))
     return (scored.select(key, "score")

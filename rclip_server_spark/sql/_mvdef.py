@@ -694,7 +694,10 @@ def _create_using(spark: SparkSession, catalog: Catalog, name: str,
                 # surface as SqlError, the layer's error contract
                 kw = {}
                 for ok, cast in (("vec_col", str), ("n_cells", int),
-                                 ("iters", int), ("init", str)):
+                                 ("iters", int), ("init", str),
+                                 ("pq_m", int), ("pq_k", int),
+                                 ("pq_iters", int),
+                                 ("pq_sample", int)):
                     if ok in opts:
                         kw[ok] = cast(opts[ok])
                 II.create_ivf_index(spark, src["path"], vp, key=key,

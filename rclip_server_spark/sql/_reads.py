@@ -259,9 +259,11 @@ def _rewrite_index_searches(spark: SparkSession, text: str,
             q.createOrReplaceTempView(tmp)
         else:
             up = fn.upper()
-            if len(args) not in (3, 4):
-                raise SqlError(f"{up}('view', array(...), k"
-                               f"[, {'n_probe' if fn == 'ivf_search' else 'probe_bits'}])")
+            max_args = 5 if fn == "ivf_search" else 4
+            if not (3 <= len(args) <= max_args):
+                raise SqlError(
+                    f"{up}('view', array(...), k"
+                    f"[, {'n_probe[, method]' if fn == 'ivf_search' else 'probe_bits'}])")
             want_kind = ("ivf_index" if fn == "ivf_search"
                          else "ann_index")
             if e["kind"] != want_kind:
@@ -283,9 +285,14 @@ def _rewrite_index_searches(spark: SparkSession, text: str,
                     from ..sources import ivfindex as II
 
                     n_probe = _int_arg(args[3], up, "n_probe") \
-                        if len(args) == 4 else 2
+                        if len(args) >= 4 else 2
+                    # optional 5th arg: 'adc' routes through the
+                    # IVFADC tier (PQ-code scoring + exact re-rank)
+                    method = _str_arg(args[4], up, "method") \
+                        if len(args) == 5 else "exact"
                     II.query_ivf_index(spark, e["path"], qv, k=k,
-                                       n_probe=n_probe, version=ver)\
+                                       n_probe=n_probe, version=ver,
+                                       method=method)\
                         .createOrReplaceTempView(tmp)
                 else:
                     from ..sources import annindex as AI

@@ -212,3 +212,76 @@ def test_refresh_stream_maintains_ivf_index(spark, vecs, cat):
         assert d["fresh"] is True and d["refresh_stream"]["live"]
     finally:
         S.execute(spark, "STOP REFRESH STREAM ON VIEW st_ivf", cat)
+
+
+def test_ivfadc_tier_matches_adhoc_and_refreshes(spark, vecs, cat,
+                                                 embeddings):
+    """r13: the IVFADC tier — pq_m turns the maintained index into
+    cell + residual-PQ-code rows under FROZEN centroids AND codebooks;
+    query method='adc' ADC-shortlists from the stored codes and
+    exact-re-ranks, row-identical to ann.ivf_pq_topk over the same
+    state — including after an O(changed rows) refresh and on the
+    bucketed at-rest layout, and through SQL IVF_SEARCH's 5th arg."""
+    vecs.createOrReplaceTempView("seed_adc")
+    S.execute(spark, "CREATE TABLE adc OPTIONS (key='vec_id') AS "
+                     "SELECT * FROM seed_adc", cat)
+    S.execute(spark, "CREATE MATERIALIZED VIEW adc_ivf USING "
+                     "ivf_index OPTIONS (source='adc', key='vec_id', "
+                     "n_cells=8, iters=2, pq_m=8, pq_k=16, "
+                     "buckets=8)", cat)
+    vp = cat.get("adc_ivf")["path"]
+    spec = II._spec_ii(vp)
+    books = II._codebooks(spec)
+    assert books is not None and books.shape == (8, 16, 8)
+    # state parity: rows == the ad-hoc IVFADC encode of the source
+    from rclip_server_spark.operators.ann import (ivf_pq_encode,
+                                                  ivf_pq_topk)
+
+    cents = II._centroids(spec)
+    want_state = ivf_pq_encode(vecs, cents, books).select(
+        "ivf_cell", "vec_id", "pq_codes")
+    got_state = II.read_ivf_index(spark, vp).select(
+        "ivf_cell", "vec_id", "pq_codes")
+    assert sorted((r[0], r[1], tuple(r[2]))
+                  for r in got_state.collect()) == \
+        sorted((r[0], r[1], tuple(r[2]))
+               for r in want_state.collect())
+    # churn + refresh: codebooks frozen, codes exact for new rows
+    embeddings.select(
+        (F.col("vec_id") + 3000000).alias("vec_id"), "embedding"
+    ).where(F.col("vec_id") % 2 == 1).limit(60) \
+        .createOrReplaceTempView("adc_extra")
+    S.execute(spark, "INSERT INTO adc SELECT * FROM adc_extra", cat)
+    S.execute(spark, "DELETE FROM adc WHERE vec_id % 10 = 0", cat)
+    S.execute(spark, "REFRESH MATERIALIZED VIEW adc_ivf", cat)
+    assert (II._codebooks(II._spec_ii(vp)) == books).all()
+    current = S.execute(spark, "SELECT vec_id, embedding FROM adc",
+                        cat)
+    # adc query == ad-hoc ivf_pq_topk over the post-DML encode
+    got = II.query_ivf_index(spark, vp, QV, k=8, n_probe=3,
+                             method="adc", shortlist=50)
+    want = ivf_pq_topk(
+        ivf_pq_encode(current, cents, books, keep_cols=["embedding"]),
+        QV, cents, books, k=8, n_probe=3, shortlist=50)
+    assert _ids_scores(got) == _ids_scores(want)
+    assert got.count() == 8
+    # exact tier still works on the same state
+    got_ex = II.query_ivf_index(spark, vp, QV, k=8, n_probe=3)
+    want_ex = ann.ivf_topk(current, QV, cents, k=8, n_probe=3)
+    assert _ids_scores(got_ex) == _ids_scores(want_ex)
+    # SQL surface: 5th arg routes the adc tier
+    arr = ", ".join(repr(x) for x in QV)
+    sql_rows = S.execute(
+        spark, f"SELECT vec_id, round(score, 9) AS s FROM "
+               f"IVF_SEARCH('adc_ivf', array({arr}), 8, 3, 'adc')",
+        cat)
+    got200 = II.query_ivf_index(spark, vp, QV, k=8, n_probe=3,
+                                method="adc")  # default shortlist
+    assert [tuple(r) for r in sql_rows.collect()] == \
+        [(r[0], round(r[1], 9)) for r in got200.collect()]
+    # guards: adc on a codebook-less index; bad method
+    plain = _mk(spark, vecs, cat, "noadc")
+    with pytest.raises(ValueError, match="pq_m"):
+        II.query_ivf_index(spark, plain, QV, method="adc")
+    with pytest.raises(ValueError):
+        II.query_ivf_index(spark, vp, QV, method="nope")

@@ -10,10 +10,11 @@ view's history) and measures that
 * the manifest count stays BOUNDED (vacuum reaps history),
 * and the final state is EXACT (postings / buckets == full rebuild).
 
-Text index: 60 cycles of delete-20 + insert-20 docs. ANN index (on
-the BUCKETED at-rest layout): 30 cycles of delete-20 + insert-20
-vectors. Each cycle refreshes through matview.refresh_view(
-auto_compact=True) — the same call the refresh streams make.
+Text index: 60 cycles of delete-20 + insert-20 docs. ANN and IVF
+indexes (both on the BUCKETED at-rest layout; IVF added r13): 30
+cycles of delete-20 + insert-20 vectors each. Each cycle refreshes
+through matview.refresh_view(auto_compact=True) — the same call the
+refresh streams make.
 
 r13 (--concurrent-ingest): a second WRITER thread appends disjoint
 batches into each source for the whole run, so every churn commit and
@@ -323,6 +324,52 @@ def main() -> None:
 
         out["ann_index_bucketed"] = _endure(
             spark, asrc, aidx, ANN_CYCLES, a_churn, a_query, a_check,
+            ingest_batch=a_ingest if CONCURRENT else None)
+
+        # ------------- ivf index (bucketed at rest, r13) -------------
+        from rclip_server_spark.sources import ivfindex as II
+
+        isrc = os.path.join(tmp, "isrc")
+        iidx = os.path.join(tmp, "iidx")
+        V.create(spark, isrc, embs)
+        II.create_ivf_index(spark, isrc, iidx, key="vec_id",
+                            n_cells=8, iters=2)
+        II.convert_index_to_bucketed(spark, iidx, n_buckets=8)
+
+        def i_churn(i: int) -> None:
+            lo, hi = (i * BATCH) % n_embs, (i * BATCH) % n_embs + BATCH
+            if i > 1:
+                plo = ((i - 1) * BATCH) % n_embs
+                dels = embs.where(
+                    (F.col("vec_id") >= plo)
+                    & (F.col("vec_id") < plo + BATCH)).select(
+                    "vec_id").withColumn(
+                    "vec_id", F.col("vec_id") + (i - 1) * 1_000_000)
+            else:
+                dels = embs.limit(0).select("vec_id")
+            ins = embs.where((F.col("vec_id") >= lo)
+                             & (F.col("vec_id") < hi)).withColumn(
+                "vec_id", F.col("vec_id") + i * 1_000_000)
+            V.delete_and_append(spark, isrc, dels, "vec_id", ins)
+
+        def i_query() -> None:
+            II.query_ivf_index(spark, iidx, QV, k=10,
+                               n_probe=2).collect()
+
+        def i_check() -> None:
+            from rclip_server_spark.operators.ann import ivf_assign
+
+            cur = V.read(spark, isrc)
+            cents = II._centroids(II._spec_ii(iidx))
+            want = ivf_assign(cur, cents).select("ivf_cell", "vec_id")
+            got = II.read_ivf_index(spark, iidx).select("ivf_cell",
+                                                        "vec_id")
+            assert got.exceptAll(want).count() == 0 \
+                and want.exceptAll(got).count() == 0, \
+                "ivf cells diverged from rebuild"
+
+        out["ivf_index_bucketed"] = _endure(
+            spark, isrc, iidx, ANN_CYCLES, i_churn, i_query, i_check,
             ingest_batch=a_ingest if CONCURRENT else None)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
