@@ -1181,6 +1181,35 @@ def main() -> int:
         "centroids freeze and drift-heal is an explicit re-create.",
     ))
 
+    # --- r13: the IVFADC tier on the maintained IVF index — ADC
+    # scoring over stored codes, exact re-rank of the shortlist ---
+    _adc = tempfile.mkdtemp(prefix="rclip_audit_adc_")
+    os.rmdir(_adc)
+    IIX.create_ivf_index(spark, _iis, _adc, key="vec_id", n_cells=8,
+                         iters=2, pq_m=8, pq_k=16)
+    IIX.convert_index_to_bucketed(spark, _adc, n_buckets=8)
+    audits.append((
+        "Maintained IVFADC query (code-byte scoring, exact re-rank)",
+        IIX.query_ivf_index(spark, _adc,
+                            [0.125] * 32 + [-0.125] * 32,
+                            k=10, n_probe=2, method="adc",
+                            shortlist=64),
+        {"ArrowEvalPython": True, "CartesianProduct": False,
+         "BroadcastNestedLoopJoin": False,
+         "TakeOrderedAndProject": True},
+        "The memory-bound rung of the quantization ladder, maintained: "
+        "residual PQ codes are written at refresh time under frozen "
+        "centroids+codebooks (manifest spec), so a query reads only "
+        "the probed cells' CODE rows (file-pruned buckets), scores "
+        "them with one (m_sub x k_cent) lookup table in an "
+        "Arrow-batched pandas UDF (never per-row Python), heap-"
+        "shortlists, and exact-re-ranks the survivors against the "
+        "index's own full-precision column via a broadcast semi-join. "
+        "At 100 TB the ADC pass scans m_sub bytes per candidate "
+        "instead of the vector — the candidate IO shrinks by "
+        "~dim*4/m_sub while the final scores stay exact dots.",
+    ))
+
     # --- r13: the indexed cross-table k-NN join (annindex.
     # knn_join_via_index) — the ad-hoc lsh_knn_join's plan shape with
     # the corpus side served from the maintained index ---
