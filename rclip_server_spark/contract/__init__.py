@@ -72,8 +72,11 @@ _PRIORITY = [
     "rel_anti_join_b8", "d1_embed_documents_distributed",
     # --- drift row (r6's red cell; its dtype class is fenced) ---
     "sketch_histogram_drift",
-    # --- NEW r13 rows (no driver-ledger cell yet) ---
-    "sql_knn_join_indexed", "ii_ivf_indexed_topk",
+    # --- NEW r13 rows (no driver-ledger cell yet; ivfadc is the
+    # late-r13 addition — rows-only by the PQ-argmin rule, swapped in
+    # over the last recency slot so no new row waits a round for its
+    # first driver cell) ---
+    "sql_knn_join_indexed", "ii_ivf_indexed_topk", "ii_ivfadc_topk",
     # --- late-r12 rows owed their first driver cell (verdict task 2)
     "sql_hybrid_search_rrf", "ai_knn_join_indexed",
     # --- index rows whose machinery r13 touched: bucketed TEXT
@@ -93,10 +96,12 @@ _PRIORITY = [
     "sql_bucketed_conditional_merge", "b16_local_binary_ingest",
     "sql_select_window_over_dv", "sql_select_grouping_sets_over_dv",
     "sql_bucketed_schema_evolution", "vt_bucketed_pruned_read",
-    "sql_bucketed_zorder_roundtrip", "samp_export_shards_manifest",
+    "samp_export_shards_manifest",
 ]
 # r14 rotation candidates (driver-green in r12, displaced by the r13
-# rows above): ev_session_windows, samp_stratified,
+# rows above): sql_bucketed_zorder_roundtrip (displaced by the late
+# ii_ivfadc_topk swap — samp_export_shards_manifest stays to keep the
+# window's samp_ family slot), ev_session_windows, samp_stratified,
 # samp_temperature_mixture, text_lang_id, text_bm25_topk,
 # text_ngram_contamination, ann_lsh_topk_multiprobe, ann_lsh_knn_join,
 # dedup_semantic_semdedup, vec_quantize_int8_roundtrip,

@@ -64,14 +64,14 @@ def test_registry_invariants():
         assert any(n.startswith(prefix) for n in window), prefix
     # everything in the window has an oracle except the NAMED rows-only
     # rows (no SQL twin by design: RNG-seeded/k-means/iterative/UDF
-    # ops). The r13 rotation carries exactly TWO rows-only rows — the
-    # fixed §2 D1 slot, and b16_local_binary_ingest rotated back in
-    # with the r12-displaced recency sweep (binary ingest has no
-    # DuckDB twin: the checker's value-hash can't canonicalize
-    # binary columns).
+    # ops). The r13 rotation carries exactly THREE rows-only rows —
+    # the fixed §2 D1 slot, b16_local_binary_ingest (binary columns
+    # can't value-hash), and ii_ivfadc_topk (shortlist membership is
+    # PQ-argmin-dependent, not SQL-expressible).
     assert sorted(n for n in C._PRIORITY if n not in o) == [
         "b16_local_binary_ingest",
         "d1_embed_documents_distributed",
+        "ii_ivfadc_topk",
     ]
 
 
