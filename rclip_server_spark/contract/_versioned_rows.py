@@ -3339,18 +3339,101 @@ _register(
 )
 
 
+# ===========================================================================
+# IVFADC oracle fixtures (r14, upgrading the r13 rows-only cell to
+# hash-exact): EXPLICIT deterministic quantizers — the same trick the
+# plain-IVF row uses for its centroids, extended to the residual PQ
+# codebooks (8 subspaces x 16 centroids x 8 dims from the repo's
+# seeded unit-vector generator) — so DuckDB can recompute the ENTIRE
+# pipeline from shared literals: argmax cell, per-subspace residual
+# argmin (a VALUES-table ORDER BY ... LIMIT 1 subquery, the _cell_sql
+# trick), the ADC LUT score, the 200-row shortlist, and the exact
+# re-rank. A kmeans/pq-trained quantizer's weights depend on the data
+# and could not be embedded in a static oracle string (the trained
+# path stays pinned by tests/test_ivfindex.py recall/rebuild tests).
+# ===========================================================================
+
+import numpy as _np  # noqa: E402
+
+_ADC_M, _ADC_KC = 8, 16
+_ADC_DSUB = EMB_DIM // _ADC_M
+_ADC_BOOKS = _ann.hyperplanes(_ADC_M * _ADC_KC, _ADC_DSUB,
+                              seed=11).reshape(_ADC_M, _ADC_KC,
+                                               _ADC_DSUB)
+_ADC_NPROBE, _ADC_SHORTLIST = 3, 200
+_ADC_Q = _np.asarray(QV_ZEBRA, dtype=_np.float64)
+# driver-side literals the Spark path computes with the SAME numpy
+# calls at query time (ivf_pq_topk: cell_dots = C @ q, lut[m] =
+# books[m] @ q_sub) — bit-identical float64 values either way
+_ADC_CDOT = _II_CENTS @ _ADC_Q
+_ADC_PROBE_CELLS = [int(i) for i in _np.argsort(-_ADC_CDOT)[:_ADC_NPROBE]]
+
+
+def _adc_cell_sql(expr: str) -> str:
+    """argmax-dot cell under the ADC assignment rule: ivf_pq_encode
+    assigns via numpy argmax (FIRST max index on ties — c ASC), unlike
+    the plain path's greatest-of-structs (c DESC in _cell_sql)."""
+    rows = ", ".join(
+        f"({i}, {dot_sql(expr, c)})" for i, c in enumerate(_II_CENTS))
+    return (f"(SELECT c FROM (VALUES {rows}) AS t(c, s) "
+            f"ORDER BY s DESC, c ASC LIMIT 1)")
+
+
+def _adc_cents_values() -> str:
+    """(cell, cdot, cv): cell id, its precomputed q-dot literal, and
+    the full centroid vector (a DuckDB list literal) for the residual
+    subtraction."""
+    return ", ".join(
+        f"({i}, {_f(_ADC_CDOT[i])}, "
+        f"[{', '.join(_f(x) for x in _II_CENTS[i])}])"
+        for i in range(_II_CENTS.shape[0]))
+
+
+def _adc_lut_sql(m: int) -> str:
+    """Subspace m's ADC LUT contribution: per-codebook-centroid argmin
+    of the residual distance as a VALUES-table LIMIT 1 subquery.
+    ivf_pq_encode's d2 = -2 S.cb + |cb|^2 argmin (first index) ==
+    argmax of (S.cb - |cb|^2/2), ties c ASC; the surviving row's ``l``
+    is the precomputed literal lut[m][c] = books[m][c] . q_sub — the
+    exact float64 ivf_pq_topk's numpy builds at query time."""
+    qsub = _ADC_Q[m * _ADC_DSUB:(m + 1) * _ADC_DSUB]
+    rows = []
+    for c in range(_ADC_KC):
+        cb = _ADC_BOOKS[m][c]
+        s = " + ".join(f"r{m * _ADC_DSUB + j + 1} * {_f(cb[j])}"
+                       for j in range(_ADC_DSUB))
+        rows.append(f"(({s}) - {_f(0.5 * float(cb @ cb))}, "
+                    f"{_f(float(cb @ qsub))}, {c})")
+    return (f"(SELECT l FROM (VALUES {', '.join(rows)}) "
+            f"AS t{m}(s, l, c) ORDER BY s DESC, c ASC LIMIT 1)")
+
+
+_ADC_CORPUS_SQL = (
+    "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 9 <> 0 "
+    "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding "
+    "FROM embeddings WHERE vec_id % 13 = 0)"
+)
+
+
 def _ii_ivfadc_builder(spark: SparkSession, sf: str, path: str) -> None:
     from .. import sql as SQ
+    from ..sources import ivfindex as II
 
     cat = SQ.Catalog(path)
     _t(spark, sf, "embeddings").select("vec_id", "embedding") \
         .createOrReplaceTempView("embs_seed_adc")
     SQ.execute(spark, "CREATE TABLE adcvecs OPTIONS (key='vec_id') AS "
                       "SELECT * FROM embs_seed_adc", cat)
-    SQ.execute(spark, "CREATE MATERIALIZED VIEW adcidx USING "
-                      "ivf_index OPTIONS (source='adcvecs', "
-                      "key='vec_id', n_cells=8, iters=2, pq_m=8, "
-                      "pq_k=16, buckets=8)", cat)
+    # explicit centroids AND residual codebooks (deterministic
+    # literals the oracle shares); registered like the USING form —
+    # the kmeans/pq-trained SQL-create path keeps its own coverage in
+    # tests/test_ivfindex.py::test_ivfadc_*
+    vp = cat.path_for("adcidx")
+    II.create_ivf_index(spark, cat.get("adcvecs")["path"], vp,
+                        key="vec_id", centroids=_II_CENTS,
+                        codebooks=_ADC_BOOKS)
+    cat.register("adcidx", vp, kind="ivf_index", require_path=True)
+    SQ.execute(spark, "OPTIMIZE adcidx BUCKET BY (ivf_cell, 8)", cat)
     SQ.execute(spark, "DELETE FROM adcvecs WHERE vec_id % 9 = 0", cat)
     SQ.execute(spark, "INSERT INTO adcvecs SELECT vec_id + 1000000, "
                       "embedding FROM embs_seed_adc "
@@ -3359,17 +3442,18 @@ def _ii_ivfadc_builder(spark: SparkSession, sf: str, path: str) -> None:
 
 
 def _ii_ivfadc_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVFADC top-10 FROM the maintained index (r13): residual PQ
-    codes stored at WRITE time under frozen centroids+codebooks, kept
-    in sync O(changed rows) through the CDC refresh (this row queries
+    """IVFADC top-10 FROM the maintained index: residual PQ codes
+    stored at WRITE time under frozen centroids+codebooks, kept in
+    sync O(changed rows) through the CDC refresh (this row queries
     post-DML on the bucketed at-rest layout); the query ADC-scores
     only the probed cells' code rows via one (m_sub x k_cent) LUT,
-    shortlists, and exact-re-ranks against the index's own
-    full-precision column. Rows-only BY DESIGN (the shortlist
-    membership depends on PQ argmins — not SQL-expressible; same
-    class as the ad-hoc ann_ivf_pq_topk row): pinned instead by
-    tests/test_ivfindex.py's row-identity to ann.ivf_pq_topk and the
-    exactness of the final re-rank scores."""
+    shortlists 200, and exact-re-ranks against the index's own
+    full-precision column. Hash-exact since r14: the quantizers are
+    explicit deterministic literals, so the DuckDB twin recomputes
+    codes (per-subspace argmin as VALUES-table LIMIT 1 subqueries),
+    ADC scores (shared LUT literals), the (score_adc DESC, key ASC)
+    shortlist, and the exact re-rank — a stale code row, a moved
+    codebook, or a shortlist off-by-one cannot pass."""
     path = _vt_build(spark, sf, "adcidx", _ii_ivfadc_builder)
     from .. import sql as SQ
 
@@ -3377,8 +3461,37 @@ def _ii_ivfadc_topk(spark: SparkSession, sf: str) -> DataFrame:
     arr = ", ".join(repr(float(x)) for x in QV_ZEBRA)
     return SQ.execute(spark, (
         f"SELECT vec_id, round(score, 9) AS score "
-        f"FROM IVF_SEARCH('adcidx', array({arr}), 10, 3, 'adc')"),
-        cat)
+        f"FROM IVF_SEARCH('adcidx', array({arr}), 10, {_ADC_NPROBE}, "
+        f"'adc')"), cat)
 
 
-_register("ii_ivfadc_topk", _ii_ivfadc_topk, None)
+_register(
+    "ii_ivfadc_topk",
+    _ii_ivfadc_topk,
+    f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM {_ADC_CORPUS_SQL}),
+    cellof AS (
+      SELECT vec_id, embedding, {_adc_cell_sql('embedding')} AS cell
+      FROM corpus),
+    cents AS (
+      SELECT * FROM (VALUES {_adc_cents_values()}) AS t(cell, cdot, cv)),
+    probed AS (
+      SELECT vec_id, cdot,
+             {', '.join(f'CAST(embedding[{i + 1}] AS DOUBLE) - cv[{i + 1}] AS r{i + 1}'
+                        for i in range(EMB_DIM))}
+      FROM cellof JOIN cents USING (cell)
+      WHERE cell IN ({', '.join(str(c) for c in _ADC_PROBE_CELLS)})),
+    adc AS (
+      SELECT vec_id,
+             cdot + {' + '.join(_adc_lut_sql(m) for m in range(_ADC_M))}
+             AS score_adc
+      FROM probed),
+    short AS (
+      SELECT vec_id FROM adc
+      ORDER BY score_adc DESC, vec_id ASC LIMIT {_ADC_SHORTLIST})
+    SELECT vec_id, round({dot_sql('embedding', QV_ZEBRA)}, 9) AS score
+    FROM corpus JOIN short USING (vec_id)
+    ORDER BY score DESC, vec_id ASC LIMIT 10
+    """,
+)

@@ -74,13 +74,19 @@ def create_ivf_index(
     vec_col: str = "embedding", n_cells: int = 8, iters: int = 3,
     init: str = "first_k", centroids=None, dim: int | None = None,
     pq_m: int | None = None, pq_k: int = 64, pq_iters: int = 10,
-    pq_sample: int = 4096, pq_seed: int = 42,
+    pq_sample: int = 4096, pq_seed: int = 42, codebooks=None,
 ) -> int:
     """Train centroids over the source's head (or take explicit
     ``centroids`` — deterministic external quantizers, test fixtures),
     materialize the assigned rows, and record spec + cursor + the
     full centroid matrix (exact float64 round-trip through the
-    manifest JSON).
+    manifest JSON). Explicit centroids are UNIT-NORMALIZED like the
+    kmeans path's output: assignment is by max dot product
+    (ivf_assign), which equals nearest-centroid only for constant-norm
+    centroids — silently honoring non-unit rows would change
+    assignment semantics. Rows already unit within 1e-9 are stored
+    BIT-AS-GIVEN (re-dividing by a 1±1ulp norm would perturb
+    deterministic oracle fixtures for zero semantic gain).
 
     ``pq_m`` turns the index into IVFADC (Jegou/Douze/Schmid 2011):
     residual PQ codebooks (``pq_m`` subspaces × ``pq_k`` centroids)
@@ -89,7 +95,12 @@ def create_ivf_index(
     need a sample, not the corpus), freeze in the spec alongside the
     centroids, and every row additionally stores its ``pq_codes`` —
     queries can then score candidates from the code bytes (method=
-    'adc' on query_ivf_index) and exact-re-rank only a shortlist."""
+    'adc' on query_ivf_index) and exact-re-rank only a shortlist.
+    Alternatively pass explicit ``codebooks`` (shape
+    (m_sub, k_cent, dim/m_sub) — external quantizers, deterministic
+    oracle fixtures); residual codebooks quantize x - centroid, whose
+    norm carries the geometry, so explicit books are stored as-is
+    (never normalized), mutually exclusive with ``pq_m``."""
     src_v = V.current_version(source_path)
     df = M._read_source(spark, source_path, src_v)
     if centroids is None:
@@ -99,6 +110,13 @@ def create_ivf_index(
         trained = f"kmeans:{init}:{int(iters)}"
     else:
         centroids = np.asarray(centroids, dtype=np.float64)
+        if centroids.ndim == 2:
+            norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+            if not (norms > 0).all():
+                raise ValueError("explicit centroids must be non-zero "
+                                 "rows (assignment is by max dot)")
+            if not np.allclose(norms, 1.0, rtol=0.0, atol=1e-9):
+                centroids = centroids / norms
         trained = "explicit"
     if centroids.ndim != 2:
         raise ValueError(f"centroids must be a (n_cells, dim) matrix, "
@@ -116,6 +134,18 @@ def create_ivf_index(
         "ii_centroids": [[float(x) for x in c] for c in centroids],
     }
     books = None
+    if codebooks is not None:
+        if pq_m is not None:
+            raise ValueError("pass pq_m (train residual codebooks) OR "
+                             "codebooks (explicit), not both")
+        books = np.asarray(codebooks, dtype=np.float64)
+        if books.ndim != 3 or books.shape[0] * books.shape[2] != dim:
+            raise ValueError(
+                f"explicit codebooks must be (m_sub, k_cent, "
+                f"dim/m_sub) with m_sub*dsub == {dim}, got shape "
+                f"{books.shape}")
+        spec["ii_codebooks"] = [[[float(x) for x in c] for c in b]
+                                for b in books]
     if pq_m is not None:
         from ..operators.ann import ivf_pq_train
 
