@@ -39,7 +39,6 @@ from ..functions import vector as VEC
 from ..operators.ann import hyperplane_bucket_col, hyperplanes
 from . import matview as M
 from . import versioned as V
-from .matview import _INSERTING, _RETRACTING
 
 
 def _bucketed_rows(df: DataFrame, key: str, vec_col: str,
@@ -131,15 +130,16 @@ def convert_index_to_bucketed(spark: SparkSession, view_path: str,
                                  int(n_buckets))
 
 
-def _probe_hash_buckets(spark: SparkSession, probes: list[int],
-                        n_buckets: int) -> list[int]:
+def _probe_hash_buckets(probes: list[int], n_buckets: int) -> list[int]:
     """Physical hash buckets of the probed LSH bucket VALUES — the
     exact writer-side expression (pmod(xxhash64(cast string), n))
     evaluated DRIVER-SIDE in pure Python (functions/xxh.py, parity
     pinned against the live Spark expression by tests/test_xxh.py):
     zero Spark jobs on the serving path, a few microseconds for the
     ≤(1+p+C(p,2))-entry probe list. (r12 ran a createDataFrame+collect
-    round trip here — bounded, but a full Spark job per query.)"""
+    round trip here — bounded, but a full Spark job per query.) The
+    serving path itself routes through versioned.read_probed; this
+    helper remains as the parity-test seam for that resolution rule."""
     from ..functions.xxh import buckets_of
 
     return buckets_of([int(b) for b in probes], int(n_buckets))
@@ -152,56 +152,18 @@ def refresh_ann_index(
     """Advance the index to the source head: retract changed keys'
     rows (key delete vector), append the new rows WITH their buckets —
     ONE delete_and_append commit, O(changed rows). Rollback/vacuumed-
-    past-cursor heals by full recompute (same contract as the pair
-    and text-index views)."""
-    view_v = V.current_version(view_path)
-    spec = _spec_ai(view_path, view_v)
-    src, key = spec["ai_source"], spec["ai_key"]
-    vec_col = spec["ai_vec_col"]
-    n_planes, dim, seed = (int(spec["ai_n_planes"]),
-                           int(spec["ai_dim"]), int(spec["ai_seed"]))
-    v_from = int(spec["ai_source_version"])
-    v_to = V.current_version(src)
-    if v_to == v_from:
-        return view_v
-    new_app = dict(spec) | {"ai_source_version": v_to}
-
-    def _recompute() -> int:
-        head = M._read_source(spark, src, v_to)
-        return V.overwrite(
-            spark, view_path,
-            _bucketed_rows(head, key, vec_col, n_planes, dim, seed),
-            extra={"app": new_app}, parent_version=view_v)
-
-    try:
-        recompute, _bounds = M._dispatch_recompute(
-            None, [(src, v_from, v_to)])
-    except RuntimeError:
-        if recompute_fraction is None:
-            raise
-        recompute = True
-    if recompute:
-        return _recompute()
-    try:
-        ch = M._changes_since_cursor(spark, src, v_from, v_to, key)
-    except RuntimeError:
-        return _recompute()
-    # persist: the frame is consumed twice inside delete_and_append
-    # (delete-vector write + segment write), and a rewriting interval's
-    # CDC is a snapshot-diff join — don't run it per consumer (same
-    # stance as the text-index and pair-view refreshers)
-    ch = ch.persist()
-    try:
-        del_keys = (ch.where(F.col("_change_type").isin(
-            *(_RETRACTING + _INSERTING))).select(key).distinct())
-        ins = ch.where(F.col("_change_type").isin(*_INSERTING))
-        new_rows = _bucketed_rows(ins, key, vec_col, n_planes, dim,
-                                  seed)
-        return V.delete_and_append(
-            spark, view_path, del_keys, key, new_rows,
-            extra={"app": new_app}, parent_version=view_v)
-    finally:
-        ch.unpersist()
+    past-cursor heals by full recompute. All structure lives in the
+    shared skeleton (matview._refresh_index); this kind contributes
+    only the bucket derivation under the spec's frozen planes."""
+    return M._refresh_index(
+        spark, view_path,
+        spec_of=_spec_ai, src_field="ai_source",
+        cursor_field="ai_source_version", key_field="ai_key",
+        rows_of=lambda spec, df: _bucketed_rows(
+            df, spec["ai_key"], spec["ai_vec_col"],
+            int(spec["ai_n_planes"]), int(spec["ai_dim"]),
+            int(spec["ai_seed"])),
+        recompute_fraction=recompute_fraction)
 
 
 def refresh_ann_index_with_retry(

@@ -48,7 +48,7 @@ from ..functions import vector as VEC
 from ..operators.ann import ivf_assign, ivf_train_kmeans
 from . import matview as M
 from . import versioned as V
-from .matview import _INSERTING, _RETRACTING
+from .matview import _RETRACTING
 
 
 def _assigned_rows(df: DataFrame, key: str, vec_col: str,
@@ -166,7 +166,45 @@ def create_ivf_index(
                                 for b in books]
     state = _assigned_rows(df, key, vec_col, centroids,
                            codebooks=books)
+    # drift governance baseline: per-cell counts + summed quantization
+    # error of the create-time corpus, frozen alongside the centroids.
+    # One extra assignment pass at create (rare, already O(corpus));
+    # refreshes roll the CURRENT twin forward O(delta).
+    counts, sum_qe = _cell_stats(spark, state, vec_col, centroids)
+    spec |= {
+        "ii_base_cell_counts": counts, "ii_base_sum_qe": sum_qe,
+        "ii_cur_cell_counts": list(counts), "ii_cur_sum_qe": sum_qe,
+        "ii_drift_tv_threshold": 0.25, "ii_drift_mqe_threshold": 1.5,
+    }
     return V.create(spark, view_path, state, extra={"app": spec})
+
+
+def _cell_stats(spark: SparkSession, rows: DataFrame, vec_col: str,
+                centroids: np.ndarray) -> tuple[list[int], float]:
+    """(per-cell row counts, summed quantization error) of already-
+    assigned rows: qe = ||x - c_cell||^2 expanded as |x|^2 - 2 x.c +
+    |c|^2 in JVM column math over a broadcast n_cells-row centroid
+    frame. KB-sized drift evidence from ONE small aggregation —
+    O(given rows): the full state at create/heal, the interval's
+    delta inside a refresh."""
+    n_cells = int(centroids.shape[0])
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in centroids[i]],
+          float(centroids[i] @ centroids[i])) for i in range(n_cells)],
+        "ivf_cell int, _cent array<double>, _cnsq double")
+    qe = (VEC.dot(F.col(vec_col), F.col(vec_col))
+          - F.lit(2.0) * VEC.dot(F.col(vec_col), F.col("_cent"))
+          + F.col("_cnsq"))
+    agg = (rows.join(F.broadcast(cdf), "ivf_cell")
+           .groupBy("ivf_cell")
+           .agg(F.count(F.lit(1)).alias("n"), F.sum(qe).alias("sqe"))
+           .collect())
+    counts = [0] * n_cells
+    sum_qe = 0.0
+    for r in agg:
+        counts[int(r["ivf_cell"])] = int(r["n"])
+        sum_qe += float(r["sqe"] or 0.0)
+    return counts, sum_qe
 
 
 def _spec_ii(path: str, version: int | None = None) -> dict:
@@ -235,52 +273,112 @@ def refresh_ivf_index(
     under the FROZEN centroids — ONE delete_and_append commit,
     O(changed rows). Rollback/vacuumed-past-cursor heals by full
     recompute (same assignments — the centroids don't move, so heal
-    is layout repair, never a semantic change)."""
-    view_v = V.current_version(view_path)
-    spec = _spec_ii(view_path, view_v)
-    src, key = spec["ii_source"], spec["ii_key"]
-    vec_col = spec["ii_vec_col"]
-    cents = _centroids(spec)
-    books = _codebooks(spec)  # frozen alongside the centroids
-    v_from = int(spec["ii_source_version"])
-    v_to = V.current_version(src)
-    if v_to == v_from:
-        return view_v
-    new_app = dict(spec) | {"ii_source_version": v_to}
+    is layout repair, never a semantic change). All structure lives
+    in the shared skeleton (matview._refresh_index); this kind
+    contributes assignment under the frozen quantizers plus the
+    DRIFT-counter hooks: the frozen-centroid contract means recall
+    decays SILENTLY under distribution drift, so every refresh rolls
+    the current per-cell counts and summed quantization error forward
+    exactly from the interval (insert stats over the new rows, minus
+    retract stats over the pre-images — both O(delta)), against the
+    create-time baseline frozen in the spec. ivf_drift_report /
+    DESCRIBE INDEX read the alarm from the manifest, zero Spark
+    jobs; the documented heal is an explicit re-create."""
 
-    def _recompute() -> int:
-        head = M._read_source(spark, src, v_to)
-        return V.overwrite(
-            spark, view_path,
-            _assigned_rows(head, key, vec_col, cents,
-                           codebooks=books),
-            extra={"app": new_app}, parent_version=view_v)
+    def _rows(spec, df):
+        return _assigned_rows(df, spec["ii_key"], spec["ii_vec_col"],
+                              _centroids(spec),
+                              codebooks=_codebooks(spec))
 
-    try:
-        recompute, _bounds = M._dispatch_recompute(
-            None, [(src, v_from, v_to)])
-    except RuntimeError:
-        if recompute_fraction is None:
-            raise
-        recompute = True
-    if recompute:
-        return _recompute()
-    try:
-        ch = M._changes_since_cursor(spark, src, v_from, v_to, key)
-    except RuntimeError:
-        return _recompute()
-    ch = ch.persist()  # consumed twice inside delete_and_append
-    try:
-        del_keys = (ch.where(F.col("_change_type").isin(
-            *(_RETRACTING + _INSERTING))).select(key).distinct())
-        ins = ch.where(F.col("_change_type").isin(*_INSERTING))
-        new_rows = _assigned_rows(ins, key, vec_col, cents,
-                                  codebooks=books)
-        return V.delete_and_append(
-            spark, view_path, del_keys, key, new_rows,
-            extra={"app": new_app}, parent_version=view_v)
-    finally:
-        ch.unpersist()
+    def _app_recompute(spark_, spec, head, app):
+        # heal path re-derives the CURRENT stats from the head (the
+        # heal already rescans the corpus); the baseline stays frozen
+        # — a heal is layout repair, never a drift absolution
+        if "ii_base_cell_counts" not in spec:
+            return app  # pre-drift index (older manifest): stay quiet
+        cents = _centroids(spec)
+        rows = _assigned_rows(head, spec["ii_key"],
+                              spec["ii_vec_col"], cents,
+                              codebooks=_codebooks(spec))
+        counts, sum_qe = _cell_stats(spark_, rows,
+                                     spec["ii_vec_col"], cents)
+        return app | {"ii_cur_cell_counts": counts,
+                      "ii_cur_sum_qe": sum_qe}
+
+    def _app_delta(spark_, spec, ch, new_rows, app):
+        if "ii_base_cell_counts" not in spec:
+            return app
+        cents = _centroids(spec)
+        key, vec_col = spec["ii_key"], spec["ii_vec_col"]
+        ins_counts, ins_qe = _cell_stats(spark_, new_rows, vec_col,
+                                         cents)
+        # pre-images re-assign under the SAME frozen quantizers they
+        # were assigned with at insert time — exact retraction
+        retr = _assigned_rows(
+            ch.where(F.col("_change_type").isin(*_RETRACTING)),
+            key, vec_col, cents, codebooks=_codebooks(spec))
+        del_counts, del_qe = _cell_stats(spark_, retr, vec_col, cents)
+        cur = [int(c) + i - d for c, i, d in
+               zip(spec["ii_cur_cell_counts"], ins_counts, del_counts)]
+        return app | {
+            "ii_cur_cell_counts": cur,
+            "ii_cur_sum_qe": float(spec["ii_cur_sum_qe"])
+            + ins_qe - del_qe,
+        }
+
+    return M._refresh_index(
+        spark, view_path,
+        spec_of=_spec_ii, src_field="ii_source",
+        cursor_field="ii_source_version", key_field="ii_key",
+        rows_of=_rows, recompute_fraction=recompute_fraction,
+        app_on_recompute=_app_recompute, app_on_delta=_app_delta)
+
+
+def ivf_drift_report(view_path: str,
+                     version: int | None = None) -> dict:
+    """Drift governance readout — pure manifest math (KB-sized spec
+    fields maintained O(delta) by refresh_ivf_index), ZERO Spark jobs:
+
+    * ``cell_tv`` — total-variation distance in [0, 1] between the
+      CURRENT per-cell row distribution and the create-time baseline
+      (0.5 * L1 of the fraction vectors): rising TV means rows now
+      concentrate in different cells than the quantizer was trained
+      for, so probe recall decays even though every query still
+      "works".
+    * ``mqe_ratio`` — current mean quantization error ||x - c_cell||^2
+      over its create-time baseline: rising MQE means vectors sit
+      farther from every frozen centroid — the classic
+      distribution-shift signature.
+    * ``alarm`` — cell_tv > ii_drift_tv_threshold (default 0.25) OR
+      mqe_ratio > ii_drift_mqe_threshold (default 1.5). The documented
+      heal is an EXPLICIT re-create (retrain centroids on the current
+      corpus — an operator decision, never an implicit 100 TB
+      rewrite); a rebuild resets both baselines, clearing the alarm.
+
+    Indexes created before drift tracking report ``tracked: False``
+    and never alarm (no baseline to compare against)."""
+    spec = _spec_ii(view_path, version)
+    if "ii_base_cell_counts" not in spec:
+        return {"tracked": False, "alarm": False}
+    base = [int(x) for x in spec["ii_base_cell_counts"]]
+    cur = [int(x) for x in spec["ii_cur_cell_counts"]]
+    n_base, n_cur = sum(base), sum(cur)
+    if n_base <= 0 or n_cur <= 0:
+        return {"tracked": True, "alarm": False, "n_base": n_base,
+                "n_cur": n_cur, "cell_tv": 0.0, "mqe_ratio": 1.0}
+    cell_tv = 0.5 * sum(abs(c / n_cur - b / n_base)
+                        for b, c in zip(base, cur))
+    mqe_base = float(spec["ii_base_sum_qe"]) / n_base
+    mqe_cur = float(spec["ii_cur_sum_qe"]) / n_cur
+    mqe_ratio = (mqe_cur / mqe_base) if mqe_base > 0 else 1.0
+    tv_thr = float(spec.get("ii_drift_tv_threshold", 0.25))
+    mqe_thr = float(spec.get("ii_drift_mqe_threshold", 1.5))
+    return {
+        "tracked": True, "n_base": n_base, "n_cur": n_cur,
+        "cell_tv": cell_tv, "mqe_ratio": mqe_ratio,
+        "tv_threshold": tv_thr, "mqe_threshold": mqe_thr,
+        "alarm": cell_tv > tv_thr or mqe_ratio > mqe_thr,
+    }
 
 
 def refresh_ivf_index_with_retry(

@@ -313,6 +313,80 @@ def _changes_since_cursor(spark, src, v_from, v_to, key, multiset=False):
         ) from e
 
 
+def _refresh_index(
+    spark, view_path: str, *,
+    spec_of,               # (path, version) -> spec dict (validates kind)
+    src_field: str, cursor_field: str, key_field: str,
+    rows_of,               # (spec, source_rows_df) -> index rows
+    recompute_fraction,
+    app_on_recompute=None,  # (spark, spec, head_df, new_app) -> new_app
+    app_on_delta=None,      # (spark, spec, ch_df, new_rows, new_app) -> new_app
+) -> int:
+    """The ONE cursor-advance skeleton the maintained index kinds share
+    (text postings / ANN-LSH buckets / IVF cells): check the cursor,
+    prefer the O(changed rows) path (doc-key delete vector retraction +
+    derived-rows append, ONE delete_and_append commit), heal
+    rollback/vacuumed-past-cursor by full recompute. The kinds diverge
+    ONLY in the row-derivation function (``rows_of`` under the spec's
+    frozen parameters — tokenization, hyperplane buckets, centroid
+    assignment) and in optional manifest-stat maintenance hooks
+    (``app_on_delta`` rolls exact integer corpus stats / drift counters
+    forward from the interval; ``app_on_recompute`` re-derives them
+    from the head). This is the refresh twin of the unified serving
+    read (versioned.read_probed): r13 unified how the three kinds READ,
+    this unifies how they ADVANCE.
+
+    Cost-model stance (inherited from the pair views): the row-model is
+    disabled (_dispatch_recompute(None, ...)) — derived rows scatter
+    across the index layout, so per-row DML would trip full re-derivation
+    on every delete; recompute keeps HEAL semantics only."""
+    view_v = V.current_version(view_path)
+    spec = spec_of(view_path, view_v)
+    src, key = spec[src_field], spec[key_field]
+    v_from = int(spec[cursor_field])
+    v_to = V.current_version(src)
+    if v_to == v_from:
+        return view_v
+    new_app = dict(spec) | {cursor_field: v_to}
+
+    def _recompute() -> int:
+        head = _read_source(spark, src, v_to)
+        app = new_app if app_on_recompute is None else \
+            app_on_recompute(spark, spec, head, dict(new_app))
+        return V.overwrite(spark, view_path, rows_of(spec, head),
+                           extra={"app": app}, parent_version=view_v)
+
+    try:
+        recompute, _bounds = _dispatch_recompute(
+            None, [(src, v_from, v_to)])
+    except RuntimeError:
+        if recompute_fraction is None:
+            raise
+        recompute = True
+    if recompute:
+        return _recompute()
+    try:
+        ch = _changes_since_cursor(spark, src, v_from, v_to, key)
+    except RuntimeError:
+        return _recompute()  # vacuumed past the cursor: heal
+    # persist: the frame is consumed twice inside delete_and_append
+    # (delete-vector write + segment write), and a rewriting interval's
+    # CDC is a snapshot-diff join — don't run it per consumer
+    ch = ch.persist()
+    try:
+        del_keys = (ch.where(F.col("_change_type").isin(
+            *(_RETRACTING + _INSERTING))).select(key).distinct())
+        ins = ch.where(F.col("_change_type").isin(*_INSERTING))
+        new_rows = rows_of(spec, ins)
+        app = new_app if app_on_delta is None else \
+            app_on_delta(spark, spec, ch, new_rows, dict(new_app))
+        return V.delete_and_append(
+            spark, view_path, del_keys, key, new_rows,
+            extra={"app": app}, parent_version=view_v)
+    finally:
+        ch.unpersist()
+
+
 def create_agg_view(
     spark: SparkSession, source_path: str, view_path: str, key: str,
     group_cols: list[str], sum_cols: list[str] | None = None,
@@ -1653,6 +1727,49 @@ def describe_view(view_path: str) -> dict:
             }
     raise ValueError(f"{view_path} is not a maintained view "
                      f"(no view spec in its manifest app namespace)")
+
+
+def describe_index(view_path: str) -> dict:
+    """DESCRIBE INDEX — the operator-facing window into a maintained
+    index kind (text/ANN/IVF): everything describe_view reports (kind,
+    per-source cursor lag, freshness) plus the index's key, its
+    at-rest layout (flat vs bucketed + n_buckets, from the base
+    manifest), row/segment counts, the kind-specific spec parameters,
+    and — for IVF — the drift-governance readout
+    (ivfindex.ivf_drift_report: cell-distribution TV + mean
+    quantization error vs the create-time baseline, with the alarm
+    verdict). Purely driver-side manifest math, ZERO Spark jobs: a
+    dashboard can poll it per index per minute for the cost of two KB
+    reads."""
+    out = describe_view(view_path)
+    kind = out.get("view_kind")
+    prefix = {"text_index": "ti", "ann_index": "ai",
+              "ivf_index": "ii"}.get(kind)
+    if prefix is None:
+        raise ValueError(f"{view_path} is a {kind} view, not a "
+                         f"maintained index (text_index / ann_index / "
+                         f"ivf_index)")
+    spec = out.get("app") or {}
+    out["index_kind"] = kind
+    out["key"] = spec.get(f"{prefix}_key")
+    if kind == "text_index":
+        out["params"] = {k: spec[k] for k in
+                         ("ti_text_col", "ti_k1", "ti_b",
+                          "ti_positions", "ti_ndocs", "ti_total_len")
+                         if k in spec}
+    elif kind == "ann_index":
+        out["params"] = {k: spec[k] for k in
+                         ("ai_vec_col", "ai_n_planes", "ai_seed",
+                          "ai_dim") if k in spec}
+    else:
+        out["params"] = {k: spec[k] for k in
+                         ("ii_vec_col", "ii_n_cells", "ii_dim",
+                          "ii_trained") if k in spec}
+        out["params"]["ii_pq"] = spec.get("ii_codebooks") is not None
+        from . import ivfindex as _II
+
+        out["drift"] = _II.ivf_drift_report(view_path)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -178,50 +178,24 @@ def refresh_text_index(
     postings (doc-key delete vector), append the new docs' postings,
     and roll the exact integer corpus stats forward from the interval
     — ONE delete_and_append commit. A vacuumed/rolled-back source
-    heals by full recompute (one overwrite, identical rows), same
-    contract as the pair views."""
-    view_v = V.current_version(view_path)
-    spec = _spec_ti(view_path, view_v)
-    src = spec["ti_source"]
-    key, text_col = spec["ti_key"], spec["ti_text_col"]
-    v_from = int(spec["ti_source_version"])
-    v_to = V.current_version(src)
-    if v_to == v_from:
-        return view_v
-    new_app = dict(spec) | {"ti_source_version": v_to}
+    heals by full recompute (one overwrite, identical rows). All
+    structure lives in the shared skeleton (matview._refresh_index);
+    this kind contributes tokenization and the corpus-stat hooks."""
 
-    pos = bool(spec.get("ti_positions"))
+    def _rows(spec, df):
+        return _postings(df, spec["ti_key"], spec["ti_text_col"],
+                         positions=bool(spec.get("ti_positions")))
 
-    def _recompute() -> int:
-        head = M._read_source(spark, src, v_to)
-        n_docs, total_len = _corpus_stats(head, text_col)
-        return V.overwrite(
-            spark, view_path,
-            _postings(head, key, text_col, positions=pos),
-            extra={"app": new_app | {"ti_ndocs": n_docs,
-                                     "ti_total_len": total_len}},
-            parent_version=view_v)
+    def _app_recompute(spark_, spec, head, app):
+        n_docs, total_len = _corpus_stats(head, spec["ti_text_col"])
+        return app | {"ti_ndocs": n_docs, "ti_total_len": total_len}
 
-    # same cost-model stance as the pair views: the O(delta)
-    # retract+append path is always preferred (the row model would
-    # trip full re-tokenization on every delete); recompute keeps its
-    # HEAL semantics only (rollback / vacuumed-past-cursor)
-    try:
-        recompute, _bounds = M._dispatch_recompute(
-            None, [(src, v_from, v_to)])
-    except RuntimeError:
-        if recompute_fraction is None:
-            raise
-        recompute = True
-    if recompute:
-        return _recompute()
-    try:
-        ch = M._changes_since_cursor(spark, src, v_from, v_to, key)
-    except RuntimeError:
-        return _recompute()  # vacuumed past the cursor: heal
-    ch = ch.persist()
-    try:
-        dl_expr = F.size(TXT.tokens(F.col(text_col))).cast("long")
+    def _app_delta(spark_, spec, ch, new_rows, app):
+        # exact integer stats delta from the interval's pre/post
+        # images — one tiny aggregation over the (persisted) change
+        # frame, O(delta)
+        dl_expr = F.size(TXT.tokens(
+            F.col(spec["ti_text_col"]))).cast("long")
         agg = ch.agg(
             F.sum(F.col("_change_type").isin(*_INSERTING)
                   .cast("long")).alias("n_ins"),
@@ -232,20 +206,19 @@ def refresh_text_index(
             F.sum(F.when(F.col("_change_type").isin(*_RETRACTING),
                          dl_expr).otherwise(F.lit(0))).alias("l_del"),
         ).collect()[0]
-        new_app["ti_ndocs"] = int(spec["ti_ndocs"]) \
-            + int(agg["n_ins"] or 0) - int(agg["n_del"] or 0)
-        new_app["ti_total_len"] = int(spec["ti_total_len"]) \
-            + int(agg["l_ins"] or 0) - int(agg["l_del"] or 0)
-        del_keys = (ch.where(F.col("_change_type").isin(
-            *(_RETRACTING + _INSERTING))).select(key).distinct())
-        ins_rows = ch.where(F.col("_change_type").isin(*_INSERTING))
-        new_postings = _postings(ins_rows, key, text_col,
-                                 positions=pos)
-        return V.delete_and_append(
-            spark, view_path, del_keys, key, new_postings,
-            extra={"app": new_app}, parent_version=view_v)
-    finally:
-        ch.unpersist()
+        return app | {
+            "ti_ndocs": int(spec["ti_ndocs"])
+            + int(agg["n_ins"] or 0) - int(agg["n_del"] or 0),
+            "ti_total_len": int(spec["ti_total_len"])
+            + int(agg["l_ins"] or 0) - int(agg["l_del"] or 0),
+        }
+
+    return M._refresh_index(
+        spark, view_path,
+        spec_of=_spec_ti, src_field="ti_source",
+        cursor_field="ti_source_version", key_field="ti_key",
+        rows_of=_rows, recompute_fraction=recompute_fraction,
+        app_on_recompute=_app_recompute, app_on_delta=_app_delta)
 
 
 def refresh_text_index_with_retry(

@@ -866,6 +866,23 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
             cur.take()
             return MV.describe_cascade(
                 catalog.get(cur.expect_ident())["path"])
+        if cur.at_kw("index"):
+            # DESCRIBE INDEX i — the maintained-index health window:
+            # kind, key, at-rest layout (+n_buckets), cursor lag vs
+            # the source head, row/segment counts, kind params, and
+            # (IVF) the drift readout with its alarm verdict. All
+            # KB-sized manifest reads, zero Spark jobs.
+            cur.take()
+            name = cur.expect_ident()
+            if not cur.done():
+                raise SqlError("trailing tokens after DESCRIBE INDEX")
+            try:
+                out = MV.describe_index(catalog.get(name)["path"])
+            except ValueError as ex:
+                raise SqlError(str(ex)) from ex
+            out["name"] = name
+            out["refresh_stream"] = _stream_liveness(catalog, name)
+            return out
         is_view = False
         if cur.at_kw("materialized"):
             cur.take()

@@ -123,7 +123,7 @@ def test_bucketed_at_rest_layout_prunes_files(spark, vecs, cat):
     qb = int(sum((1 << i) for i, p in enumerate(planes)
                  if float(p @ np.asarray(QV)) >= 0))
     probes = {qb} | {qb ^ (1 << i) for i in range(4)}
-    phys = set(AI._probe_hash_buckets(spark, sorted(probes), 16))
+    phys = set(AI._probe_hash_buckets(sorted(probes), 16))
     probed_segs = {s for b in phys
                    for s in m["buckets"].get(str(b), [])}
     other_segs = {s for b, ss in m["buckets"].items()

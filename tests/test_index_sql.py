@@ -224,3 +224,47 @@ def test_knn_join_scale_guard_surfaces_as_sql_error(spark, both):
                       cat)
     finally:
         AI.knn_join_via_index = orig
+
+
+def test_describe_index_all_kinds_zero_jobs(spark, both, embeddings):
+    """r14 DESCRIBE INDEX: the operator-facing health window for every
+    maintained index kind — kind, key, layout, cursor lag, counts,
+    params, and (IVF) the drift readout — entirely from manifest math
+    (status-tracker-asserted zero Spark jobs)."""
+    cat = both
+    embeddings.select("vec_id", "embedding").limit(400) \
+        .createOrReplaceTempView("ii_seed")
+    S.execute(spark, "CREATE TABLE iv OPTIONS (key='vec_id') AS "
+                     "SELECT * FROM ii_seed", cat)
+    S.execute(spark, "CREATE MATERIALIZED VIEW ii USING ivf_index "
+                     "OPTIONS (source='iv', key='vec_id', n_cells=4, "
+                     "iters=1, buckets=4)", cat)
+    sc = spark.sparkContext
+    group = "describe-index-zero-jobs"
+    sc.setJobGroup(group, "manifest-only")
+    try:
+        dt = S.execute(spark, "DESCRIBE INDEX ti", cat)
+        da = S.execute(spark, "DESCRIBE INDEX ai", cat)
+        di = S.execute(spark, "DESCRIBE INDEX ii", cat)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert jobs == [], f"DESCRIBE INDEX ran Spark jobs: {jobs}"
+    finally:
+        sc.setJobGroup("", "")
+    assert dt["index_kind"] == "text_index" and dt["key"] == "doc_id"
+    assert dt["fresh"] is True and dt["params"]["ti_ndocs"] == 400
+    assert da["index_kind"] == "ann_index"
+    assert da["params"]["ai_n_planes"] == 4
+    assert di["index_kind"] == "ivf_index"
+    assert di["layout"] == "bucketed" and di["n_buckets"] == 4
+    assert di["drift"]["tracked"] and di["drift"]["alarm"] is False
+    assert di["params"]["ii_pq"] is False
+    assert di["row_count"] == 400 and di["sources"][0]["lag"] == 0
+    # cursor lag surfaces when the source moves without a refresh
+    S.execute(spark, "DELETE FROM iv WHERE vec_id % 5 = 0", cat)
+    di2 = S.execute(spark, "DESCRIBE INDEX ii", cat)
+    assert di2["sources"][0]["lag"] == 1 and di2["fresh"] is False
+    # guards: not an index; unknown name; trailing tokens
+    with pytest.raises(S.SqlError):
+        S.execute(spark, "DESCRIBE INDEX d", cat)
+    with pytest.raises(S.SqlError):
+        S.execute(spark, "DESCRIBE INDEX ti extra", cat)

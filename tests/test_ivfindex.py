@@ -285,3 +285,65 @@ def test_ivfadc_tier_matches_adhoc_and_refreshes(spark, vecs, cat,
         II.query_ivf_index(spark, plain, QV, method="adc")
     with pytest.raises(ValueError):
         II.query_ivf_index(spark, vp, QV, method="nope")
+
+
+def test_drift_alarm_fires_and_rebuild_recovers(spark, vecs, cat):
+    """r14 drift governance: centroids are FROZEN by design, so under
+    distribution drift recall decays silently — the manifest-maintained
+    counters (per-cell counts + summed quantization error, rolled
+    O(delta) by every refresh) must raise the alarm. Drive a drifted
+    append stream (every appended vector in one fixed direction far
+    from the balanced baseline) until ivf_drift_report flips; assert
+    the maintained counters stayed EXACT against a recount of the
+    state; then re-create (the documented heal) and assert recovery."""
+    import numpy as np
+
+    vp = _mk(spark, vecs, cat, "dr")
+    rep0 = II.ivf_drift_report(vp)
+    assert rep0["tracked"] and not rep0["alarm"]
+    assert rep0["n_base"] == rep0["n_cur"] == vecs.count()
+    # a fixed drift direction: unit vector far from the trained
+    # centroids (deterministic seeded draw)
+    rng = np.random.default_rng(99)
+    d = rng.standard_normal(64)
+    d /= np.linalg.norm(d)
+    drift_arr = F.array(*[F.lit(float(x)) for x in d])
+    fired = False
+    for i in range(6):
+        (vecs.select((F.col("vec_id") + 5000000 + i * 1000)
+                     .alias("vec_id"))
+         .limit(400).withColumn("embedding", drift_arr)
+         .createOrReplaceTempView("dr_batch"))
+        S.execute(spark, "INSERT INTO dr SELECT * FROM dr_batch", cat)
+        S.execute(spark, "REFRESH MATERIALIZED VIEW dr_ivf", cat)
+        rep = II.ivf_drift_report(vp)
+        if rep["alarm"]:
+            fired = True
+            break
+    assert fired, f"drift alarm never fired: {rep}"
+    assert rep["cell_tv"] > rep["tv_threshold"] \
+        or rep["mqe_ratio"] > rep["mqe_threshold"]
+    # the O(delta) counters are EXACT: recount the actual state
+    recount = dict(II.read_ivf_index(spark, vp)
+                   .groupBy("ivf_cell").count().collect())
+    spec = II._spec_ii(vp)
+    assert [recount.get(i, 0) for i in range(8)] == \
+        [int(x) for x in spec["ii_cur_cell_counts"]]
+    # deletes retract exactly too (update the counters downward)
+    S.execute(spark, "DELETE FROM dr WHERE vec_id >= 5000000 "
+                     "AND vec_id % 3 = 0", cat)
+    S.execute(spark, "REFRESH MATERIALIZED VIEW dr_ivf", cat)
+    recount2 = dict(II.read_ivf_index(spark, vp)
+                    .groupBy("ivf_cell").count().collect())
+    spec2 = II._spec_ii(vp)
+    assert [recount2.get(i, 0) for i in range(8)] == \
+        [int(x) for x in spec2["ii_cur_cell_counts"]]
+    # rebuild-recovery: the documented heal is an explicit re-create —
+    # centroids retrain on the drifted corpus, baselines reset
+    S.execute(spark, "DROP MATERIALIZED VIEW dr_ivf", cat)
+    S.execute(spark, "CREATE MATERIALIZED VIEW dr_ivf USING "
+                     "ivf_index OPTIONS (source='dr', key='vec_id', "
+                     "n_cells=8, iters=2)", cat)
+    rep_new = II.ivf_drift_report(cat.get("dr_ivf")["path"])
+    assert rep_new["tracked"] and not rep_new["alarm"]
+    assert rep_new["cell_tv"] == 0.0 and rep_new["mqe_ratio"] == 1.0
