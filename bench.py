@@ -107,6 +107,12 @@ FLOOR_SEC = {
     # observed; re-pin idle): maintained IVF probe query, 4/16 cells,
     # exact-dot re-rank on the bucketed at-rest layout
     "ivf_indexed_topk": 0.155,
+    # r14 first-committed floor: 32 queries in ONE plan from the
+    # maintained bucketed ANN index (union probe scan + broadcast
+    # query frame + per-qid WindowGroupLimit top-k) — ~6x under
+    # 32 x ann_indexed_topk in the same artifact, the amortization
+    # the batch tier exists for
+    "ann_batch32_topk": 1.022,
 }
 R3_FLOOR_SEC = FLOOR_SEC  # legacy alias
 
@@ -360,6 +366,19 @@ def main() -> None:
         return IIX.query_ivf_index(spark, ii_idx, QV_FLAGSHIP, k=10,
                                    n_probe=4).collect()
 
+    # r14: batched multi-query serving — 32 queries answered in ONE
+    # plan from the maintained bucketed ANN index (union probe scan +
+    # broadcast (qid, bucket, qvec) frame + per-qid window top-k).
+    # The amortization claim is visible in the artifact itself: this
+    # row's wall vs 32 x ann_indexed_topk's. Query set = 32 seeded
+    # unit vectors (deterministic, data-independent).
+    _QBATCH = [(int(i), [float(x) for x in v]) for i, v in
+               enumerate(ann_ops.hyperplanes(32, 64, seed=5))]
+
+    def _ann_batch():
+        return AIX.query_ann_index_batch(
+            spark, ai_idx, _QBATCH, k=10, n_probe_bits=1).count()
+
     def _hybrid_indexed():
         t = TI.query_text_index(spark, ti_idx,
                                 ["vector", "join", "spark"], k=50)
@@ -522,6 +541,8 @@ def main() -> None:
         "knn_join_indexed": _knn_join_indexed,
         # r13: the IVF probe query (4/16 cells, exact-dot re-rank)
         "ivf_indexed_topk": _ivf_indexed,
+        # r14: 32 queries in ONE plan from the maintained ANN index
+        "ann_batch32_topk": _ann_batch,
     }
 
     # warm the JVM/IO, the Python UDF workers, AND whole-stage-codegen
@@ -566,34 +587,62 @@ def main() -> None:
     _hybrid_indexed()  # warm the fusion (windows + outer join)
     _knn_join_indexed()  # warm the indexed-join plan shape
     _ivf_indexed()  # warm the IVF probe plan shape
+    AIX.query_ann_index_batch(spark, ai_idx, _QBATCH[:2], k=2).count()
     _stage_floor_calib()  # warm the calib row's codegen like the rest
     spark.catalog.clearCache()
 
     # best-of-2 per query: single-shot timings at this scale swing ±20% on
     # JVM/GC luck; the minimum is the reproducible steady-state number (both
     # runs execute the full query — nothing is cached between them beyond
-    # what any warm engine would hold)
+    # what any warm engine would hold).
+    #
+    # Contention evidence (r14): the calib row samples THREE times per
+    # pass — start / middle / end — instead of once. BENCH_r13.json
+    # read as a 19% uniform regression because a single 0.5s calib
+    # sample missed bursty host contention that hit the other 28s of
+    # queries; the committed artifact now carries all 6 samples, their
+    # MEDIAN as calib_sec, and median_floor_ratio (the median
+    # per-query got/floor across the shared set) so a dirty capture
+    # window is visible inside the JSON itself.
     timings: dict[str, float] = {}
+    calib_samples: list[float] = []
+
+    def _sample_calib() -> None:
+        t0 = time.time()
+        _stage_floor_calib()
+        calib_samples.append(round(time.time() - t0, 3))
+
+    names = [n for n in benches if n != "stage_floor_calib"]
+    mid = len(names) // 2
     for _ in range(2):
         # clear between rounds: operators that persist() intermediates
         # (minhash) would otherwise have round 2 reuse round 1's cache via
         # Spark's plan-matching CacheManager and under-report
         spark.catalog.clearCache()
-        for name, fn in benches.items():
+        _sample_calib()
+        for i, name in enumerate(names):
+            fn = benches[name]
             t0 = time.time()
             fn()
             dt = round(time.time() - t0, 3)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
+            if i + 1 == mid:
+                _sample_calib()
+        _sample_calib()
 
     _shutil.rmtree(vt_tmp, ignore_errors=True)
     # the calibration row is measurement apparatus, not a headline
     # query: it travels in "queries" (and as calib_sec) so the
     # artifact carries the contention evidence, but stays OUT of the
     # headline total so `value` remains comparable across rounds
-    calib = timings.get("stage_floor_calib", 0.0)
+    calib = sorted(calib_samples)[len(calib_samples) // 2]
+    timings["stage_floor_calib"] = calib
     headline = {k: v for k, v in timings.items()
                 if k != "stage_floor_calib"}
+    ratios = sorted(timings[n] / f for n, f in FLOOR_SEC.items()
+                    if timings.get(n))
+    med_ratio = ratios[len(ratios) // 2] if ratios else 1.0
     print(
         json.dumps(
             {
@@ -602,7 +651,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "calib_sec": calib,
+                "calib_samples": calib_samples,
                 "calib_floor_sec": CALIB_FLOOR_SEC,
+                "median_floor_ratio": round(med_ratio, 3),
                 "sf": sf,
             }
         )

@@ -199,13 +199,7 @@ def query_ann_index(
     planes = hyperplanes(n_planes, dim, seed)
     qbucket = int(sum((1 << i) for i, p in enumerate(planes)
                       if float(p @ qv) >= 0))
-    probes = {qbucket}
-    if n_probe_bits >= 1:
-        probes |= {qbucket ^ (1 << i) for i in range(n_planes)}
-    if n_probe_bits >= 2:
-        for i in range(n_planes):
-            for j in range(i + 1, n_planes):
-                probes.add(qbucket ^ (1 << i) ^ (1 << j))
+    probes = _probe_set(qbucket, n_planes, n_probe_bits)
     # at-rest pruning: on a hash-bucketed index state
     # (convert_index_to_bucketed) the probed LSH buckets resolve to
     # their physical buckets driver-side and ONLY those buckets'
@@ -220,6 +214,85 @@ def query_ann_index(
     return (scored.select(key, "score")
             .orderBy(F.desc("score"), F.asc(key))
             .limit(k))
+
+
+def _probe_set(qbucket: int, n_planes: int, n_probe_bits: int) -> set:
+    """The query bucket plus every bucket within n_probe_bits bit
+    flips — the single multiprobe rule all serving tiers share."""
+    probes = {int(qbucket)}
+    if n_probe_bits >= 1:
+        probes |= {qbucket ^ (1 << i) for i in range(n_planes)}
+    if n_probe_bits >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(qbucket ^ (1 << i) ^ (1 << j))
+    return probes
+
+
+def query_ann_index_batch(
+    spark: SparkSession, view_path: str, queries, k: int = 10,
+    n_probe_bits: int = 1, version: int | None = None,
+    qid_col: str = "qid",
+) -> DataFrame:
+    """M queries against the maintained index in ONE plan — the
+    amortized serving tier a training-data pipeline needs (millions of
+    lookups arrive in batches; per-call plan-build cost dominates even
+    at zero Spark jobs per plan). ``queries`` is a driver-side list of
+    ``(qid, vector)`` pairs (chunk huge query streams into batches of
+    ~1k; each batch is one job).
+
+    Plan shape: every query's probe set resolves driver-side (spec
+    planes, pure numpy), the UNION of probed buckets drives ONE
+    file-pruned state scan, a broadcast (qid, bucket, qvec) frame —
+    M x probes rows, KB-sized — equi-joins candidates to their
+    queries (a row occupies exactly ONE bucket, so a (row, query)
+    pair matches at most once: no dedup exchange), exact dots score
+    JVM-side, and a per-qid window takes top-k. Shuffles: the qid
+    window over candidate rows only — never the corpus. Per query,
+    rows returned are IDENTICAL to query_ann_index (same probe rule,
+    same fold-order dot, same (score DESC, key ASC) total order).
+
+    Returns (qid, <key>, score) ordered (qid, score DESC, key)."""
+    v = V.current_version(view_path) if version is None else int(version)
+    spec = _spec_ai(view_path, v)
+    key, vec_col = spec["ai_key"], spec["ai_vec_col"]
+    n_planes, dim, seed = (int(spec["ai_n_planes"]),
+                           int(spec["ai_dim"]), int(spec["ai_seed"]))
+    if not queries:
+        raise ValueError("query_ann_index_batch needs at least one "
+                         "(qid, vector) pair")
+    qids = [q for q, _ in queries]
+    if len(set(qids)) != len(qids):
+        raise ValueError("duplicate qids in batch")
+    planes = hyperplanes(n_planes, dim, seed)
+    pairs, union = [], set()
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)
+        if q.shape != (dim,):
+            raise ValueError(
+                f"query {qid!r} dim {q.shape} != index dim ({dim},)")
+        qb = int(sum((1 << i) for i, p in enumerate(planes)
+                     if float(p @ q) >= 0))
+        probes = _probe_set(qb, n_planes, n_probe_bits)
+        union |= probes
+        ql = [float(x) for x in q]
+        pairs += [(qid, int(b), ql) for b in sorted(probes)]
+    qid_t = "string" if isinstance(qids[0], str) else "bigint"
+    pdf = spark.createDataFrame(
+        pairs, f"{qid_col} {qid_t}, bucket bigint, _qv array<double>")
+    cand = _state(spark, view_path, v,
+                  probes=sorted(int(b) for b in union)).where(
+        F.col("bucket").isin(sorted(union)))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"),
+                                            F.asc(key))
+    return (cand.join(F.broadcast(pdf), "bucket")
+            .withColumn("score", VEC.dot(F.col(vec_col), F.col("_qv")))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .select(qid_col, key, "score")
+            .orderBy(qid_col, F.desc("score"), F.asc(key)))
 
 
 def knn_join_via_index(

@@ -451,3 +451,61 @@ def query_ivf_index(
     return (scored.select(key, "score")
             .orderBy(F.desc("score"), F.asc(key))
             .limit(k))
+
+
+def query_ivf_index_batch(
+    spark: SparkSession, view_path: str, queries, k: int = 10,
+    n_probe: int = 2, version: int | None = None,
+    qid_col: str = "qid",
+) -> DataFrame:
+    """M queries against the maintained IVF index in ONE plan (the
+    exact re-rank tier) — the amortized serving form: each query's
+    n_probe cells rank driver-side from the spec's stored centroids
+    (zero Spark jobs), the UNION of probed cells drives ONE
+    file-pruned state scan, a broadcast (qid, ivf_cell, qvec) frame
+    equi-joins candidates to their queries (a row lives in exactly
+    ONE cell — no dedup exchange), exact dots score JVM-side, and a
+    per-qid window takes top-k. Per query, rows are IDENTICAL to
+    query_ivf_index(method='exact'): same probe rule
+    (np.argsort(-dots)), same fold-order dot, same
+    (score DESC, key ASC) total order. The ADC tier stays per-query
+    (each query carries its own LUT; batch it by chunking calls).
+
+    Returns (qid, <key>, score) ordered (qid, score DESC, key)."""
+    v = V.current_version(view_path) if version is None else int(version)
+    spec = _spec_ii(view_path, v)
+    key, vec_col = spec["ii_key"], spec["ii_vec_col"]
+    dim = int(spec["ii_dim"])
+    if not queries:
+        raise ValueError("query_ivf_index_batch needs at least one "
+                         "(qid, vector) pair")
+    qids = [q for q, _ in queries]
+    if len(set(qids)) != len(qids):
+        raise ValueError("duplicate qids in batch")
+    cents = _centroids(spec)
+    pairs, union = [], set()
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)
+        if q.shape != (dim,):
+            raise ValueError(
+                f"query {qid!r} dim {q.shape} != index dim ({dim},)")
+        cells = [int(i) for i in np.argsort(-(cents @ q))[:int(n_probe)]]
+        union |= set(cells)
+        ql = [float(x) for x in q]
+        pairs += [(qid, c, ql) for c in cells]
+    qid_t = "string" if isinstance(qids[0], str) else "bigint"
+    pdf = spark.createDataFrame(
+        pairs, f"{qid_col} {qid_t}, ivf_cell int, _qv array<double>")
+    cand = _state(spark, view_path, v,
+                  cells=sorted(union)).where(
+        F.col("ivf_cell").isin(sorted(union)))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"),
+                                            F.asc(key))
+    return (cand.join(F.broadcast(pdf), "ivf_cell")
+            .withColumn("score", VEC.dot(F.col(vec_col), F.col("_qv")))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .select(qid_col, key, "score")
+            .orderBy(qid_col, F.desc("score"), F.asc(key)))

@@ -304,6 +304,90 @@ def query_text_index(
             .select(key, "bm25"))
 
 
+def query_text_index_batch(
+    spark: SparkSession, view_path: str, queries, k: int = 10,
+    version: int | None = None, qid_col: str = "qid",
+) -> DataFrame:
+    """M BM25 queries against the maintained postings in ONE plan —
+    the amortized serving form (a retrieval-quality filter or hybrid
+    rerank loop issues thousands of lookups; per-call plan cost
+    dominates even at zero Spark jobs per plan). ``queries`` is a
+    driver-side list of ``(qid, terms)`` pairs (string or token list).
+
+    Plan shape: the UNION of all queries' terms drives ONE
+    file-pruned postings scan; per-term df comes from a COUNT window
+    over the term partition of that scan (df counts ALL of a term's
+    postings, so the union scan leaves it unchanged — same value the
+    single-query plan computes); a broadcast (qid, term, mult) frame
+    fans each posting out to the queries that asked for its term; the
+    same fold-order contribution sums per (qid, doc) and a per-qid
+    window takes top-k. Shuffles: the term window + the (qid, key)
+    aggregation over MATCHING postings only — never the corpus. Per
+    query, rows are IDENTICAL to query_text_index (same formula,
+    same multiplicity fold, same (bm25 DESC, key ASC) order).
+
+    Returns (qid, <key>, bm25) ordered (qid, bm25 DESC, key)."""
+    if not queries:
+        raise ValueError("query_text_index_batch needs at least one "
+                         "(qid, terms) pair")
+    per_q, union_terms = [], set()
+    qids = [q for q, _ in queries]
+    if len(set(qids)) != len(qids):
+        raise ValueError("duplicate qids in batch")
+    for qid, terms in queries:
+        if isinstance(terms, str):
+            terms = [t for t in terms.lower().split() if t]
+        if not terms:
+            raise ValueError(f"query {qid!r} has no terms")
+        mult: dict = {}
+        for t in terms:
+            mult[t] = mult.get(t, 0) + 1
+        per_q.append((qid, mult))
+        union_terms |= set(mult)
+    v = V.current_version(view_path) if version is None else int(version)
+    spec = _spec_ti(view_path, v)
+    key = spec["ti_key"]
+    k1, b = float(spec["ti_k1"]), float(spec["ti_b"])
+    n = float(int(spec["ti_ndocs"]))
+    total_len = float(int(spec["ti_total_len"]))
+    if n <= 0:
+        raise ValueError(f"{view_path} indexes an empty corpus")
+    avgdl = total_len / n
+    terms_sorted = sorted(union_terms)
+    hits = _state(spark, view_path, v, terms=terms_sorted).where(
+        F.col("term").isin(*terms_sorted))
+    from pyspark.sql import Window
+
+    dfq = (F.count(F.lit(1)).over(Window.partitionBy("term"))
+           .cast("double"))
+    idf = F.log((F.lit(n) - dfq + F.lit(0.5))
+                / (dfq + F.lit(0.5)) + F.lit(1.0))
+    tf = F.col("tf").cast("double")
+    denom = tf + F.lit(k1) * (F.lit(1.0 - b)
+                              + F.lit(b) * (F.col("dl").cast("double")
+                                            / F.lit(avgdl)))
+    # the single-query contrib is mult * idf * ((tf*(k1+1))/denom),
+    # left-assoc — keep the exact fold order for bit-parity
+    base = hits.withColumn("_idf", idf).withColumn(
+        "_tfp", (tf * F.lit(k1 + 1.0)) / denom)
+    pairs = [(qid, t, float(m))
+             for qid, mult in per_q for t, m in mult.items()]
+    qid_t = "string" if isinstance(qids[0], str) else "bigint"
+    pdf = spark.createDataFrame(
+        pairs, f"{qid_col} {qid_t}, term string, _mult double")
+    scored = (base.join(F.broadcast(pdf), "term")
+              .withColumn("_c", F.col("_mult") * F.col("_idf")
+                          * F.col("_tfp"))
+              .groupBy(qid_col, key).agg(F.sum("_c").alias("bm25")))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("bm25"),
+                                            F.asc(key))
+    return (scored.where(F.col("bm25") > 0.0)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .select(qid_col, key, "bm25")
+            .orderBy(qid_col, F.desc("bm25"), F.asc(key)))
+
+
 def query_phrase_index(
     spark: SparkSession, view_path: str, phrase: str, k: int = 10,
     version: int | None = None,

@@ -38,11 +38,17 @@ def main() -> int:
         capture_output=True, text=True, check=True,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    run = json.loads(line)["queries"]
+    artifact = json.loads(line)
+    run = artifact["queries"]
 
     from bench import CALIB_FLOOR_SEC, FLOOR_SEC
 
+    # r14: bench.py samples the calib row 3x per pass (start/middle/
+    # end) and reports the MEDIAN — a single sample misses bursty
+    # contention (the BENCH_r13 adjudication); the raw samples travel
+    # through for the judge
     calib = run.get("stage_floor_calib")
+    calib_samples = artifact.get("calib_samples", [])
     # a contention factor below 1 means this host ran FASTER than the
     # committed calib floor — dividing by it would loosen the absolute
     # rule, so clamp: normalization only ever explains slowness away,
@@ -84,12 +90,24 @@ def main() -> int:
     ratios = sorted(run[n] / f for n, f in FLOOR_SEC.items()
                     if run.get(n))
     med = ratios[len(ratios) // 2] if ratios else 1.0
+    # r14: the explicit "re-run, host dirty" verdict — the whole
+    # shared-query distribution sits well above what the calib factor
+    # explains, so this capture window is polluted and must not be
+    # committed as the round's floor evidence. (Exit code still
+    # follows the normalized verdict: a dirty host with clean
+    # normalized numbers is a measurement problem, not a regression.)
+    host_dirty = med > max(k, 1.0) * 1.15 + 0.05
     print(json.dumps({
         "queries": run,
         "calib_sec": calib,
+        "calib_samples": calib_samples,
         "calib_floor_sec": CALIB_FLOOR_SEC,
         "contention_factor": round(k, 3),
         "median_floor_ratio": round(med, 3),
+        "host_dirty": host_dirty,
+        "hint": ("re-run, host dirty: median got/floor "
+                 f"{round(med, 3)} >> calib factor {round(k, 3)}"
+                 if host_dirty else None),
         "calib_violation": calib_bad,
         "floor_violations": absolute,
         "normalized_violations": normalized,

@@ -1234,6 +1234,46 @@ def main() -> int:
         "skips non-probed buckets' files.",
     ))
 
+    # --- r14: batched multi-query serving — M queries, ONE plan ---
+    from rclip_server_spark.operators.ann import hyperplanes as _hp
+
+    _qb = [(int(i), [float(x) for x in v]) for i, v in
+           enumerate(_hp(2, 64, seed=5))]
+    _bq = AIX.query_ann_index_batch(spark, _aii, _qb, k=5,
+                                    n_probe_bits=1)
+    _bplan = fmt_plan(_bq)
+    _n_scans = len(re.findall(r"\(\d+\) Scan parquet", _bplan))
+    assert _n_scans == 1, \
+        "batch serving must read the index with ONE union-probe scan " \
+        f"(saw {_n_scans})"
+    _b_probed = {os.path.basename(os.path.dirname(f))
+                 for f in _bq.inputFiles()}
+    _b_all = {s for ss in _am["buckets"].values() for s in ss}
+    assert _b_probed < _b_all, \
+        "batch probe read must name a STRICT SUBSET of the index's " \
+        "bucket segments (union-of-probes file pruning)"
+    audits.append((
+        "Batched multi-query ANN serving (M queries, one plan)",
+        _bq,
+        {"PushedFilters: [In(bucket": True,
+         "BroadcastHashJoin": True,
+         "CartesianProduct": False,
+         "BroadcastNestedLoopJoin": False,
+         "Window": True},
+        "query_ann_index_batch answers M queries from ONE file-pruned "
+        "scan of the union probe set (verified: exactly one parquet "
+        "scan in the plan, naming a strict subset of bucket segments "
+        f"— {len(_b_probed)} of {len(_b_all)}), equi-joined to a "
+        "broadcast (qid, bucket, qvec) frame (a row occupies exactly "
+        "one bucket, so no dedup exchange), exact dots JVM-side, and "
+        "a per-qid Window top-k. The only shuffle is the qid window "
+        "over CANDIDATE rows — never the corpus; per-query plan-build "
+        "cost amortizes by the batch factor, and per query the rows "
+        "are identical to query_ann_index (tests/test_index_batch). "
+        "The IVF and text twins share the shape (one union scan + "
+        "broadcast query frame + per-qid window).",
+    ))
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
