@@ -431,16 +431,41 @@ def _read_with_deletes(spark: SparkSession, path: str, m: dict,
         df = _rd([os.path.join(path, s) for s in ss])
         if vs:
             # the vector schema is pinned from the manifest too (one
-            # key column at its committed type); legacy manifests keep
-            # the mergeSchema read that tolerates mixed-width vectors
-            # written before _write_delete_vector pinned the key type
+            # key column at its committed type) — but ONLY for vectors
+            # the manifest MARKS as written at that pinned type
+            # (delete_typed, recorded by every vector commit since the
+            # marker landed). A legacy vector of a different physical
+            # width can coexist with a col_types manifest, and reading
+            # it under the pinned schema would throw at execution on
+            # the serving path — unmarked vectors keep the mergeSchema
+            # read that tolerates mixed widths.
             ktype = (m.get("col_types") or {}).get(key)
-            vr = (spark.read.schema(f"`{key}` {ktype}")
-                  if pinned is not None and ktype
-                  else spark.read.option("mergeSchema", "true"))
-            kd = vr.parquet(
-                *[os.path.join(path, d) for d in vs]
-            ).distinct()
+            typed = set(m.get("delete_typed") or [])
+            if pinned is not None and ktype \
+                    and all(d in typed for d in vs):
+                kd = spark.read.schema(f"`{key}` {ktype}").parquet(
+                    *[os.path.join(path, d) for d in vs]).distinct()
+            else:
+                # unmarked (legacy) vector in the group: read each
+                # vector file SEPARATELY and coerce the key — one
+                # multi-file read would fail to merge mixed physical
+                # widths (int vs bigint), and forcing the committed
+                # type onto a wider legacy file throws at execution.
+                # Vectors are KB-sized; the extra reads only exist on
+                # this compatibility path.
+                from pyspark.sql import functions as _F
+
+                kparts = [spark.read.option("mergeSchema", "true")
+                          .parquet(os.path.join(path, d)).select(key)
+                          for d in vs]
+                want = ktype or kparts[0].schema[key]\
+                    .dataType.simpleString()
+                kd = kparts[0].select(
+                    _F.col(key).cast(want).alias(key))
+                for kp in kparts[1:]:
+                    kd = kd.unionByName(kp.select(
+                        _F.col(key).cast(want).alias(key)))
+                kd = kd.distinct()
             df = df.join(kd, [key], "left_anti")
         parts.append(df)
     out = parts[0]
@@ -734,7 +759,8 @@ def _carry_deletes(parent: dict) -> dict:
     if parent.get("delete_segs"):
         return {"delete_segs": parent["delete_segs"],
                 "delete_key": parent["delete_key"],
-                "delete_scopes": parent.get("delete_scopes", {})}
+                "delete_scopes": parent.get("delete_scopes", {}),
+                "delete_typed": parent.get("delete_typed", [])}
     return {}
 
 
@@ -754,7 +780,9 @@ def _prune_vectors(m: dict, live_segs: set[str]) -> dict:
     if not keep:
         return {}
     return {"delete_key": m["delete_key"], "delete_segs": keep,
-            "delete_scopes": {d: scopes[d] for d in keep if d in scopes}}
+            "delete_scopes": {d: scopes[d] for d in keep if d in scopes},
+            "delete_typed": [d for d in m.get("delete_typed", [])
+                             if d in keep]}
 
 
 def _vector_scope_bucketed(m: dict, kdf: DataFrame, key_col: str
@@ -875,9 +903,9 @@ def delete_rows(spark: SparkSession, path: str, keys, key_col: str,
         # scope shrunk to the deleted keys' own hash buckets when the
         # vector keys the bucket key — reads of every other bucket
         # stay anti-join-free (_vector_scope_bucketed)
+        ktype = m.get("col_types", {}).get(key_col)
         dseg, kset = _write_delete_vector(
-        spark, path, keys, key_col,
-        key_type=m.get("col_types", {}).get(key_col))
+        spark, path, keys, key_col, key_type=ktype)
         scope = _vector_scope_bucketed(m, kset, key_col)
         extra = dict(extra or {})
         extra |= {
@@ -892,6 +920,8 @@ def delete_rows(spark: SparkSession, path: str, keys, key_col: str,
                 "delete_segs": (m.get("delete_segs") or []) + [dseg],
                 "delete_scopes": m.get("delete_scopes", {})
                 | {dseg: scope},
+                "delete_typed": m.get("delete_typed", [])
+                + ([dseg] if ktype else []),
             }
         else:
             # EMPTY scope (no keys, or keys hashing to empty buckets):
@@ -907,9 +937,9 @@ def delete_rows(spark: SparkSession, path: str, keys, key_col: str,
                 shutil.rmtree(os.path.join(path, dseg))
             raise
         return v + 1
+    ktype = m.get("col_types", {}).get(key_col)
     dseg, _ = _write_delete_vector(
-        spark, path, keys, key_col,
-        key_type=m.get("col_types", {}).get(key_col))
+        spark, path, keys, key_col, key_type=ktype)
     extra = dict(extra or {})  # caller metadata first; reserved keys win
     extra |= {
         "delete_key": key_col,
@@ -918,6 +948,8 @@ def delete_rows(spark: SparkSession, path: str, keys, key_col: str,
         # appended later is a new row the delete never saw (so re-inserts
         # are visible; Delta delete-then-insert semantics)
         "delete_scopes": m.get("delete_scopes", {}) | {dseg: m["segments"]},
+        "delete_typed": m.get("delete_typed", [])
+        + ([dseg] if ktype else []),
         # carry the table's committed column types: without them the next
         # append's schema-drift guard starts from an empty known-types map
         # (silently disabled) and resets col_types to the batch's columns,
@@ -963,15 +995,17 @@ def delete_and_append(
                                            key_col, batch, extra)
     compat = _check_schema_compat(m, batch, "delete-append")
     batch = _apply_constraints(batch, m, "delete-append")
+    ktype = m.get("col_types", {}).get(key_col)
     dseg, _ = _write_delete_vector(
-        spark, path, keys, key_col,
-        key_type=m.get("col_types", {}).get(key_col))
+        spark, path, keys, key_col, key_type=ktype)
     seg = _write_segment(batch, path)
     extra = dict(extra or {})
     extra |= {
         "delete_key": key_col,
         "delete_segs": (m.get("delete_segs") or []) + [dseg],
         "delete_scopes": m.get("delete_scopes", {}) | {dseg: m["segments"]},
+        "delete_typed": m.get("delete_typed", [])
+        + ([dseg] if ktype else []),
     }
     try:
         _commit(path, v + 1, m["segments"] + [seg], "delete-append",
@@ -1004,9 +1038,9 @@ def _delete_and_append_bucketed(
     bkey, n_buckets, bmap = _bucketed_meta(m)
     compat = _check_schema_compat(m, batch, "delete-append")
     batch = _apply_constraints(batch, m, "delete-append")
+    ktype = m.get("col_types", {}).get(key_col)
     dseg, kset = _write_delete_vector(
-        spark, path, keys, key_col,
-        key_type=m.get("col_types", {}).get(key_col))
+        spark, path, keys, key_col, key_type=ktype)
     # scope = the PARENT's segments (of the touched buckets): the
     # segments appended in this same commit are new names outside the
     # scope, so the vector can never hide its own replacement rows
@@ -1028,6 +1062,8 @@ def _delete_and_append_bucketed(
             "delete_key": key_col,
             "delete_segs": (m.get("delete_segs") or []) + [dseg],
             "delete_scopes": m.get("delete_scopes", {}) | {dseg: scope},
+            "delete_typed": m.get("delete_typed", [])
+            + ([dseg] if ktype else []),
         }
     else:
         # empty scope: an unregistrable no-op vector (see delete_rows)
@@ -2333,11 +2369,14 @@ def read_bucketed(
         # an EMPTY bucketed table (declared schema, no rows yet) and a
         # sparse bucket subset (nothing hashed there) are both
         # legitimate zero-row reads — reconstruct the schema from the
-        # manifest's committed col_types instead of failing the scan
-        types = m.get("col_types", {})
-        if types:
-            return spark.createDataFrame(
-                [], ", ".join(f"{c} {t}" for c, t in types.items()))
+        # manifest's committed col_types instead of failing the scan.
+        # _pinned_schema does the reconstruction (same quoting as the
+        # non-empty pinned read — a column name needing backticks must
+        # parse identically on both paths) and drops logically-hidden
+        # columns, matching the non-empty read's _apply_hidden shape.
+        schema = _pinned_schema(m)
+        if schema:
+            return spark.createDataFrame([], schema)
         raise FileNotFoundError(
             f"version {v} holds no segments for buckets {buckets}"
         )

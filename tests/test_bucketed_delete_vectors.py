@@ -388,3 +388,53 @@ def test_maybe_compact_triggers_on_diffuse_accretion(spark, tmp_path):
     V.append_bucketed(spark, t, mk([(900 + b, 0) for b in range(4)]))
     v2 = V.current_version(t)
     assert V.maybe_compact(spark, t, max_segments=6) == v2
+
+
+def test_legacy_untyped_vector_reads_via_mergeschema(spark, tmp_path):
+    """r14 (ADVICE): a delete vector of a DIFFERENT physical key width
+    can coexist with a col_types manifest (legacy writers predating the
+    key-type pin — e.g. a Python-list key set inferring BIGINT on an
+    INT-keyed table). Forcing the committed type onto such a vector
+    makes the parquet reader throw AT EXECUTION on the serving path, so
+    manifests now mark typed vectors (delete_typed) and an UNMARKED
+    vector's group keeps the tolerant mergeSchema read on both
+    pin_schema paths."""
+    import json
+    import uuid as _uuid
+
+    p = str(tmp_path / "legacy")
+    df = spark.range(0, 100).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 2).alias("val"))
+    V.create(spark, p, df)
+    m = V._manifest(p, V.current_version(p))
+    assert m["col_types"]["k"] == "int"
+    # forge a LEGACY vector: BIGINT-keyed parquet (col_types says int),
+    # registered in the manifest WITHOUT the typed marker — exactly
+    # what a pre-pin writer left behind; a pinned `k int` read of this
+    # file throws PARQUET_COLUMN_DATA_TYPE_MISMATCH at execution
+    dseg = f"del-{_uuid.uuid4().hex[:12]}"
+    spark.createDataFrame([(5,), (7,)], "k bigint").write.parquet(
+        os.path.join(p, dseg))
+    v = V.current_version(p)
+    m2 = dict(m) | {
+        "op": "delete", "delete_key": "k", "delete_segs": [dseg],
+        "delete_scopes": {dseg: m["segments"]},
+    }
+    with open(V._snap_path(p, v + 1), "w") as f:
+        json.dump(m2, f)
+    # the pinned serving read TOLERATES the legacy vector (mergeSchema
+    # fallback for the unmarked group) and still applies it
+    got = sorted(r["k"] for r in
+                 V.read(spark, p, pin_schema=True).collect())
+    assert got == [k for k in range(100) if k not in (5, 7)]
+    assert sorted(r["k"] for r in V.read(spark, p).collect()) == got
+    # a vector committed by the CURRENT writer is marked and keeps the
+    # zero-footer-job pinned read
+    V.delete_rows(spark, p, [11], "k")
+    m3 = V._manifest(p, V.current_version(p))
+    assert m3["delete_typed"] == [d for d in m3["delete_segs"]
+                                  if d != dseg]
+    got3 = sorted(r["k"] for r in
+                  V.read(spark, p, pin_schema=True).collect())
+    assert got3 == [k for k in range(100) if k not in (5, 7, 11)]
