@@ -113,6 +113,12 @@ FLOOR_SEC = {
     # 32 x ann_indexed_topk in the same artifact, the amortization
     # the batch tier exists for
     "ann_batch32_topk": 1.022,
+    # r14 first-committed floor (calib min 0.653, bursty host): the
+    # FILTERED probe query — payload predicate pushed into the same
+    # probed scan as ann_indexed_topk; at parity with the unfiltered
+    # row (0.136 vs 0.147 same session: fewer survivors reach the
+    # dot-scoring projection), i.e. the metadata filter is free
+    "ann_filtered_topk": 0.136,
 }
 R3_FLOOR_SEC = FLOOR_SEC  # legacy alias
 
@@ -353,6 +359,24 @@ def main() -> None:
         return AIX.query_ann_index(spark, ai_idx, QV_FLAGSHIP, k=10,
                                    n_probe_bits=1).collect()
 
+    # r14: FILTERED vector search — payload column (include_cols)
+    # stored in the index, predicate evaluated inside the probed scan
+    # (parquet-pushed). Costs the same probed file set as the
+    # unfiltered row plus row-group predicate work; the delta vs
+    # ann_indexed_topk IS the filter's price in the artifact.
+    af_src = os.path.join(vt_tmp, "afvecs")
+    af_idx = os.path.join(vt_tmp, "afidx")
+    VT.create(spark, af_src, emb.select(
+        "vec_id", "embedding", (F.col("vec_id") % 7).alias("category")))
+    AIX.create_ann_index(spark, af_src, af_idx, key="vec_id",
+                         n_planes=6, include_cols=["category"])
+    AIX.convert_index_to_bucketed(spark, af_idx, n_buckets=64)
+
+    def _ann_filtered():
+        return AIX.query_ann_index(spark, af_idx, QV_FLAGSHIP, k=10,
+                                   n_probe_bits=1,
+                                   where="category = 3").collect()
+
     # r13: the maintained IVF index (kmeans-trained, frozen centroids,
     # bucketed at-rest) — probe 4 of 16 cells, exact-dot re-rank
     from rclip_server_spark.sources import ivfindex as IIX
@@ -543,6 +567,9 @@ def main() -> None:
         "ivf_indexed_topk": _ivf_indexed,
         # r14: 32 queries in ONE plan from the maintained ANN index
         "ann_batch32_topk": _ann_batch,
+        # r14: filtered vector search (payload predicate inside the
+        # probed scan; delta vs ann_indexed_topk = the filter's cost)
+        "ann_filtered_topk": _ann_filtered,
     }
 
     # warm the JVM/IO, the Python UDF workers, AND whole-stage-codegen
@@ -584,6 +611,7 @@ def main() -> None:
     _shutil.rmtree(_warm_out, ignore_errors=True)
     _bm25_indexed()  # warm the postings-query plan shape
     _ann_indexed()  # warm the bucketed probe-read plan shape
+    _ann_filtered()  # warm the filtered probe-read plan shape
     _hybrid_indexed()  # warm the fusion (windows + outer join)
     _knn_join_indexed()  # warm the indexed-join plan shape
     _ivf_indexed()  # warm the IVF probe plan shape

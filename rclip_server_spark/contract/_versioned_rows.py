@@ -3495,3 +3495,212 @@ _register(
     ORDER BY score DESC, vec_id ASC LIMIT 10
     """,
 )
+
+
+# ===========================================================================
+# FILTERED vector search (r14): payload columns (include_cols) stored
+# in the maintained indexes + a metadata predicate evaluated INSIDE the
+# probed scan (annindex/ivfindex ``where=``; ANN_SEARCH/IVF_SEARCH
+# filter argument) — the vector-DB "search with metadata filter"
+# feature. The payload column is a derived modular class so the oracle
+# recomputes it from vec_id; the semantics pinned here are "top-k
+# among probed candidates matching the filter" (the adaptive
+# min_results widening ladder is pinned by tests — its terminal tier
+# is plain filtered brute force, already oracle-covered by the
+# a1/a2 rows' family).
+# ===========================================================================
+
+_AF_CORPUS_SQL = (
+    "(SELECT vec_id, embedding, vec_id % 7 AS category "
+    "FROM embeddings WHERE vec_id % 11 <> 0 "
+    "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding, "
+    "(vec_id + 1000000) % 7 AS category "
+    "FROM embeddings WHERE vec_id % 13 = 0)"
+)
+
+
+def _af_index_builder(spark: SparkSession, sf: str, path: str) -> None:
+    """afvecs (vec_id, embedding, category) + TWO filtered-capable
+    indexes over it: afidx (ann_index, include_cols='category',
+    bucketed at rest) and afivf (ivf_index with the explicit _II_CENTS
+    the oracle shares, payload included) — then the standard DML churn
+    + O(changed rows) REFRESH so the payload column must survive the
+    retract+append path too."""
+    from .. import sql as SQ
+    from ..sources import ivfindex as II
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "embeddings").select("vec_id", "embedding") \
+        .createOrReplaceTempView("embs_seed_af")
+    SQ.execute(spark, "CREATE TABLE afvecs OPTIONS (key='vec_id') AS "
+                      "SELECT vec_id, embedding, vec_id % 7 AS "
+                      "category FROM embs_seed_af", cat)
+    SQ.execute(spark, "CREATE MATERIALIZED VIEW afidx USING ann_index "
+                      "OPTIONS (source='afvecs', key='vec_id', "
+                      "n_planes=4, include_cols='category')", cat)
+    SQ.execute(spark, "OPTIMIZE afidx BUCKET BY (bucket, 8)", cat)
+    vp = cat.path_for("afivf")
+    II.create_ivf_index(spark, cat.get("afvecs")["path"], vp,
+                        key="vec_id", centroids=_II_CENTS,
+                        include_cols=["category"])
+    cat.register("afivf", vp, kind="ivf_index", require_path=True)
+    SQ.execute(spark, "OPTIMIZE afivf BUCKET BY (ivf_cell, 8)", cat)
+    SQ.execute(spark, "DELETE FROM afvecs WHERE vec_id % 11 = 0", cat)
+    SQ.execute(spark, "INSERT INTO afvecs SELECT vec_id + 1000000, "
+                      "embedding, (vec_id + 1000000) % 7 "
+                      "FROM embs_seed_af WHERE vec_id % 13 = 0", cat)
+    SQ.execute(spark, "REFRESH MATERIALIZED VIEW afidx", cat)
+    SQ.execute(spark, "REFRESH MATERIALIZED VIEW afivf", cat)
+
+
+def _ai_filtered_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Filtered multiprobe-LSH top-10 FROM the maintained ANN index:
+    the payload predicate (category = 3) evaluates inside the probed
+    candidate scan (parquet-pushed — plan-audited), so the filter
+    costs row-group skipping, never a join back to the source. The
+    index is post-DML refreshed with the payload riding the
+    retract+append path. Oracle: the multiprobe oracle with the same
+    predicate recomputed from vec_id."""
+    from ..sources import annindex as AI
+
+    path = _vt_build(spark, sf, "afidx", _af_index_builder)
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    return AI.query_ann_index(spark, cat.get("afidx")["path"],
+                              QV_ZEBRA, k=10, n_probe_bits=1,
+                              where="category = 3")
+
+
+_register(
+    "ai_filtered_topk",
+    _ai_filtered_topk,
+    f"""
+    SELECT vec_id, {dot_sql('embedding', QV_ZEBRA)} AS score
+    FROM {_AF_CORPUS_SQL}
+    WHERE {bucket_sql('embedding', PLANES4)}
+          IN ({', '.join(str(b) for b in _AI_MP_PROBES)})
+      AND category = 3
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+
+
+def _sql_ann_filtered_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The same filtered search through the SQL frontend's ANN_SEARCH
+    5th argument — shares the operator row's oracle so the rewrite
+    layer cannot hide a wrong answer."""
+    path = _vt_build(spark, sf, "afidx", _af_index_builder)
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    arr = ", ".join(repr(float(x)) for x in QV_ZEBRA)
+    return SQ.execute(spark, (
+        f"SELECT vec_id, score FROM ANN_SEARCH('afidx', array({arr}), "
+        f"10, 1, 'category = 3')"), cat)
+
+
+_register(
+    "sql_ann_filtered_topk",
+    _sql_ann_filtered_topk,
+    f"""
+    SELECT vec_id, {dot_sql('embedding', QV_ZEBRA)} AS score
+    FROM {_AF_CORPUS_SQL}
+    WHERE {bucket_sql('embedding', PLANES4)}
+          IN ({', '.join(str(b) for b in _AI_MP_PROBES)})
+      AND category = 3
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+
+
+def _ii_filtered_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Filtered IVF probe top-10 FROM the maintained IVF index (exact
+    re-rank tier, frozen explicit centroids): payload predicate inside
+    the probed-cell scan. Oracle: the cell-argmax recompute
+    (_cell_sql) with the same predicate."""
+    from ..sources import ivfindex as II
+
+    path = _vt_build(spark, sf, "afidx", _af_index_builder)
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    out = II.query_ivf_index(spark, cat.get("afivf")["path"],
+                             QV_ZEBRA, k=10, n_probe=_II_NPROBE,
+                             where="category = 3")
+    return out.withColumn("score", F.round("score", 9))
+
+
+_register(
+    "ii_filtered_topk",
+    _ii_filtered_topk,
+    f"""
+    WITH cellof AS (
+      SELECT vec_id, embedding, category,
+             {_cell_sql('embedding')} AS cell
+      FROM {_AF_CORPUS_SQL})
+    SELECT vec_id, round({dot_sql('embedding', QV_ZEBRA)}, 9) AS score
+    FROM cellof
+    WHERE cell IN ({', '.join(str(c) for c in _ii_probe_cells())})
+      AND category = 3
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+
+
+# ===========================================================================
+# Batched multi-query serving (r14): M queries in ONE plan
+# (annindex.query_ann_index_batch — union of probe sets drives one
+# file-pruned scan, broadcast (qid, bucket, qvec) equi-join, per-qid
+# window top-k). The oracle recomputes each query's multiprobe answer
+# independently and unions them — per query the batch must be
+# row-identical to the single-query path.
+# ===========================================================================
+
+_BATCH_QS = [(1, QV_ZEBRA), (2, EMBEDDER.embed_text("ocean")),
+             (3, EMBEDDER.embed_text("forest"))]
+
+
+def _batch_probes(qv) -> list[int]:
+    import numpy as np
+
+    q = np.asarray(qv, dtype=np.float64)
+    qb = int(sum((1 << i) for i, p in enumerate(PLANES4)
+                 if float(p @ q) >= 0))
+    return sorted({qb} | {qb ^ (1 << i) for i in range(4)})
+
+
+def _ai_batch_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Three queries served from the maintained ANN index in ONE plan
+    over the post-DML refreshed BUCKETED state (the probe union's
+    physical buckets resolve driver-side — zero plan-time Spark
+    jobs)."""
+    from ..sources import annindex as AI
+
+    path = _vt_build(spark, sf, "aiidx", _ai_index_builder)
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    out = AI.query_ann_index_batch(
+        spark, cat.get("aiidx")["path"], _BATCH_QS, k=10,
+        n_probe_bits=1)
+    return out.withColumn("score", F.round("score", 9))
+
+
+def _batch_q_sql(qid: int, qv) -> str:
+    return f"""
+    SELECT * FROM (
+      SELECT CAST({qid} AS BIGINT) AS qid, vec_id,
+             round({dot_sql('embedding', qv)}, 9) AS score
+      FROM {_AI_CORPUS_SQL}
+      WHERE {bucket_sql('embedding', PLANES4)}
+            IN ({', '.join(str(b) for b in _batch_probes(qv))})
+      ORDER BY score DESC, vec_id LIMIT 10) q{qid}
+    """
+
+
+_register(
+    "ai_batch_topk",
+    _ai_batch_topk,
+    " UNION ALL ".join(_batch_q_sql(q, v) for q, v in _BATCH_QS),
+)

@@ -594,16 +594,19 @@ def ivf_assign(
     centroids: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """IVF coarse assignment: nearest centroid (max dot on unit vectors) per
     row, as a greatest-of-structs over literal centroids. Writing the table
-    partitioned by `ivf_cell` makes probe queries partition-pruned scans."""
+    partitioned by `ivf_cell` makes probe queries partition-pruned scans.
+    ``keep_cols`` ride along unchanged (payload columns)."""
     cells = [
         F.struct(V.dot(F.col(vec_col), V.vec_lit(list(c))).alias("s"), F.lit(i).alias("c"))
         for i, c in enumerate(centroids)
     ]
     return df.select(
-        F.col(id_col), F.col(vec_col), F.greatest(*cells)["c"].alias("ivf_cell")
+        F.col(id_col), F.col(vec_col), F.greatest(*cells)["c"].alias("ivf_cell"),
+        *[F.col(c) for c in (keep_cols or [])]
     )
 
 

@@ -42,22 +42,49 @@ from . import versioned as V
 
 
 def _bucketed_rows(df: DataFrame, key: str, vec_col: str,
-                   n_planes: int, dim: int, seed: int) -> DataFrame:
+                   n_planes: int, dim: int, seed: int,
+                   include_cols: tuple[str, ...] = ()) -> DataFrame:
     planes = hyperplanes(n_planes, dim, seed)
     return df.select(
         hyperplane_bucket_col(F.col(vec_col), planes).alias("bucket"),
-        F.col(key), F.col(vec_col))
+        F.col(key), F.col(vec_col),
+        *[F.col(c) for c in include_cols])
+
+
+def _check_include_cols(df: DataFrame, key: str, vec_col: str,
+                        include_cols, reserved: tuple[str, ...]
+                        ) -> list[str]:
+    """Validate payload columns at CREATE time: they must exist on the
+    source and not collide with the index's own columns — a typo here
+    must fail the CREATE, never a later refresh."""
+    cols = [str(c) for c in (include_cols or [])]
+    lower = {c.lower() for c in df.columns}
+    taken = {key.lower(), vec_col.lower(), *reserved}
+    for c in cols:
+        if c.lower() not in lower:
+            raise ValueError(f"include_cols: {c!r} is not a source "
+                             f"column (have {sorted(df.columns)})")
+        if c.lower() in taken:
+            raise ValueError(f"include_cols: {c!r} collides with an "
+                             f"index column")
+    if len({c.lower() for c in cols}) != len(cols):
+        raise ValueError("include_cols: duplicate column")
+    return cols
 
 
 def create_ann_index(
     spark: SparkSession, source_path: str, view_path: str, key: str,
     vec_col: str = "embedding", n_planes: int = 6, seed: int = 42,
-    dim: int | None = None,
+    dim: int | None = None, include_cols: list[str] | None = None,
 ) -> int:
     """Materialize the bucketed embedding rows over the source's head
     and record the spec + cursor. ``dim`` is probed from one row when
     absent (errors clearly on an empty source — pass it explicitly to
-    stay lazy)."""
+    stay lazy). ``include_cols`` copies the listed source columns into
+    the index rows as FILTERABLE PAYLOAD: a predicate over them
+    evaluates inside the probed scan (parquet-pushed), so filtered
+    vector search never joins back to the source — the vector-DB
+    "metadata filter" feature at lakehouse scale."""
     src_v = V.current_version(source_path)
     df = M._read_source(spark, source_path, src_v)
     if dim is None:
@@ -66,13 +93,17 @@ def create_ann_index(
             raise ValueError("cannot infer embedding dim from an "
                              "empty source; pass dim=")
         dim = int(probe[0])
+    inc = _check_include_cols(df, key, vec_col, include_cols,
+                              reserved=("bucket",))
     spec = {
         "ai_source": source_path, "ai_key": key,
         "ai_vec_col": vec_col, "ai_n_planes": int(n_planes),
         "ai_seed": int(seed), "ai_dim": int(dim),
         "ai_source_version": src_v,
+        "ai_include_cols": inc,
     }
-    state = _bucketed_rows(df, key, vec_col, n_planes, dim, seed)
+    state = _bucketed_rows(df, key, vec_col, n_planes, dim, seed,
+                           include_cols=tuple(inc))
     return V.create(spark, view_path, state, extra={"app": spec})
 
 
@@ -103,7 +134,8 @@ def read_ann_index(spark: SparkSession, view_path: str,
     v = V.current_version(view_path) if version is None else int(version)
     spec = _spec_ai(view_path, v)
     return _state(spark, view_path, v).select(
-        "bucket", spec["ai_key"], spec["ai_vec_col"])
+        "bucket", spec["ai_key"], spec["ai_vec_col"],
+        *spec.get("ai_include_cols", []))
 
 
 def convert_index_to_bucketed(spark: SparkSession, view_path: str,
@@ -162,7 +194,8 @@ def refresh_ann_index(
         rows_of=lambda spec, df: _bucketed_rows(
             df, spec["ai_key"], spec["ai_vec_col"],
             int(spec["ai_n_planes"]), int(spec["ai_dim"]),
-            int(spec["ai_seed"])),
+            int(spec["ai_seed"]),
+            include_cols=tuple(spec.get("ai_include_cols", []))),
         recompute_fraction=recompute_fraction)
 
 
@@ -177,9 +210,34 @@ def refresh_ann_index_with_retry(
         max_retries)
 
 
+def _where_expr(where: str):
+    """Parse a filter predicate string into a Column, surfacing parse
+    errors as the operator-layer ValueError contract (SqlError wraps
+    it at the SQL surface)."""
+    try:
+        return F.expr(where)
+    except Exception as ex:
+        raise ValueError(f"bad filter predicate {where!r}: {ex}") \
+            from ex
+
+
+def _apply_where(cand: DataFrame, flt, where: str) -> DataFrame:
+    """Apply a parsed payload filter, folding resolution failures
+    (filter names a column the index doesn't carry) into the same
+    ValueError contract parse failures use."""
+    try:
+        return cand.where(flt)
+    except Exception as ex:
+        raise ValueError(
+            f"filter predicate {where!r} does not resolve over the "
+            f"index columns {cand.columns} (declare payload columns "
+            f"with include_cols at CREATE): {ex}") from ex
+
+
 def query_ann_index(
     spark: SparkSession, view_path: str, query_vec, k: int = 10,
     n_probe_bits: int = 1, version: int | None = None,
+    where: str | None = None, min_results: int | None = None,
 ) -> DataFrame:
     """Approximate top-k FROM the maintained index: the query's bucket
     and its ≤``n_probe_bits``-Hamming neighbors are computed driver-
@@ -187,7 +245,19 @@ def query_ann_index(
     to those buckets (O(probe fraction) rows), and only they are
     scored by exact dot product. Returns (<key>, score) — the same
     probe set, scoring, ordering, and tie-break as
-    ann.lsh_topk_multiprobe over the current source."""
+    ann.lsh_topk_multiprobe over the current source.
+
+    ``where`` is a SQL predicate over the index's payload columns
+    (``include_cols`` at CREATE) and key — FILTERED vector search.
+    The predicate evaluates inside the probed scan (parquet-pushed:
+    at 100 TB non-matching row groups never decode), so the semantics
+    are "top-k among probed candidates matching the filter". A
+    selective filter can leave fewer than k probed survivors; pass
+    ``min_results`` (≤ k) to adaptively WIDEN: each escalation adds a
+    probe tier (more Hamming neighbors, finally ALL buckets — the
+    exact filtered answer) and costs one extra count job, so the
+    common non-selective case stops at the first tier with one count.
+    Returns (<key>, score[, payload cols referenced stay internal])."""
     v = V.current_version(view_path) if version is None else int(version)
     spec = _spec_ai(view_path, v)
     key, vec_col = spec["ai_key"], spec["ai_vec_col"]
@@ -199,21 +269,47 @@ def query_ann_index(
     planes = hyperplanes(n_planes, dim, seed)
     qbucket = int(sum((1 << i) for i, p in enumerate(planes)
                       if float(p @ qv) >= 0))
+    flt = _where_expr(where) if where is not None else None
+
+    def _plan(probes: set | None) -> DataFrame:
+        # at-rest pruning: on a hash-bucketed index state
+        # (convert_index_to_bucketed) the probed LSH buckets resolve
+        # to their physical buckets driver-side and ONLY those
+        # buckets' segment files are named in the plan — non-probed
+        # buckets are skipped at manifest resolution (files, not
+        # rows). The residual bucket IN-list then prunes hash-collided
+        # rows inside survivors. probes=None is the guarantee tier:
+        # every bucket (exact filtered scan).
+        cand = _state(
+            spark, view_path, v,
+            probes=sorted(int(b) for b in probes) if probes else None)
+        if probes is not None:
+            cand = cand.where(F.col("bucket").isin(sorted(probes)))
+        if flt is not None:
+            cand = _apply_where(cand, flt, where)
+        scored = cand.withColumn(
+            "score", VEC.dot(F.col(vec_col), VEC.vec_lit(list(qv))))
+        return (scored.select(key, "score")
+                .orderBy(F.desc("score"), F.asc(key))
+                .limit(k))
+
     probes = _probe_set(qbucket, n_planes, n_probe_bits)
-    # at-rest pruning: on a hash-bucketed index state
-    # (convert_index_to_bucketed) the probed LSH buckets resolve to
-    # their physical buckets driver-side and ONLY those buckets'
-    # segment files are named in the plan — non-probed buckets are
-    # skipped at manifest resolution (files, not rows). The residual
-    # bucket IN-list then prunes hash-collided rows inside survivors.
-    cand = _state(spark, view_path, v,
-                  probes=sorted(int(b) for b in probes)).where(
-        F.col("bucket").isin(sorted(probes)))
-    scored = cand.withColumn(
-        "score", VEC.dot(F.col(vec_col), VEC.vec_lit(list(qv))))
-    return (scored.select(key, "score")
-            .orderBy(F.desc("score"), F.asc(key))
-            .limit(k))
+    out = _plan(probes)
+    if min_results is None:
+        return out
+    want = min(int(min_results), int(k))
+    # widening ladder: next multiprobe tier(s), then ALL buckets. The
+    # ladder re-plans (files re-prune per tier) — candidates already
+    # scored are re-scored, which keeps every tier's result exactly
+    # the single-shot answer at that tier (no cross-tier merge state).
+    ladder = [_probe_set(qbucket, n_planes, b)
+              for b in range(n_probe_bits + 1, 3)]
+    ladder.append(None)
+    for wider in ladder:
+        if out.count() >= want:
+            return out
+        out = _plan(wider)
+    return out
 
 
 def _probe_set(qbucket: int, n_planes: int, n_probe_bits: int) -> set:
@@ -232,7 +328,7 @@ def _probe_set(qbucket: int, n_planes: int, n_probe_bits: int) -> set:
 def query_ann_index_batch(
     spark: SparkSession, view_path: str, queries, k: int = 10,
     n_probe_bits: int = 1, version: int | None = None,
-    qid_col: str = "qid",
+    qid_col: str = "qid", where: str | None = None,
 ) -> DataFrame:
     """M queries against the maintained index in ONE plan — the
     amortized serving tier a training-data pipeline needs (millions of
@@ -283,6 +379,10 @@ def query_ann_index_batch(
     cand = _state(spark, view_path, v,
                   probes=sorted(int(b) for b in union)).where(
         F.col("bucket").isin(sorted(union)))
+    if where is not None:
+        # shared metadata filter across the batch (payload predicate
+        # pushed into the ONE probed scan, before the query join)
+        cand = _apply_where(cand, _where_expr(where), where)
     from pyspark.sql import Window
 
     w = Window.partitionBy(qid_col).orderBy(F.desc("score"),

@@ -52,21 +52,24 @@ from .matview import _RETRACTING
 
 
 def _assigned_rows(df: DataFrame, key: str, vec_col: str,
-                   centroids: np.ndarray,
-                   codebooks=None) -> DataFrame:
-    """(ivf_cell, key, vec[, pq_codes]) — plain assignment, or (with
-    codebooks) the IVFADC encode: cell + residual PQ codes + the
-    full-precision vector for the exact re-rank tier, all in ONE
-    Arrow pass (ann.ivf_pq_encode keep_cols)."""
+                   centroids: np.ndarray, codebooks=None,
+                   include_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(ivf_cell, key, vec[, pq_codes][, payload…]) — plain
+    assignment, or (with codebooks) the IVFADC encode: cell + residual
+    PQ codes + the full-precision vector for the exact re-rank tier,
+    all in ONE Arrow pass (ann.ivf_pq_encode keep_cols).
+    ``include_cols`` ride along as filterable payload."""
+    inc = list(include_cols)
     if codebooks is None:
-        a = ivf_assign(df, centroids, id_col=key, vec_col=vec_col)
-        return a.select("ivf_cell", key, vec_col)
+        a = ivf_assign(df, centroids, id_col=key, vec_col=vec_col,
+                       keep_cols=inc)
+        return a.select("ivf_cell", key, vec_col, *inc)
     from ..operators.ann import ivf_pq_encode
 
     enc = ivf_pq_encode(df, centroids, np.asarray(codebooks),
                         id_col=key, vec_col=vec_col,
-                        keep_cols=[vec_col])
-    return enc.select("ivf_cell", key, vec_col, "pq_codes")
+                        keep_cols=[vec_col] + inc)
+    return enc.select("ivf_cell", key, vec_col, "pq_codes", *inc)
 
 
 def create_ivf_index(
@@ -75,6 +78,7 @@ def create_ivf_index(
     init: str = "first_k", centroids=None, dim: int | None = None,
     pq_m: int | None = None, pq_k: int = 64, pq_iters: int = 10,
     pq_sample: int = 4096, pq_seed: int = 42, codebooks=None,
+    include_cols: list[str] | None = None,
 ) -> int:
     """Train centroids over the source's head (or take explicit
     ``centroids`` — deterministic external quantizers, test fixtures),
@@ -100,9 +104,18 @@ def create_ivf_index(
     (m_sub, k_cent, dim/m_sub) — external quantizers, deterministic
     oracle fixtures); residual codebooks quantize x - centroid, whose
     norm carries the geometry, so explicit books are stored as-is
-    (never normalized), mutually exclusive with ``pq_m``."""
+    (never normalized), mutually exclusive with ``pq_m``.
+
+    ``include_cols`` copies the listed source columns into the index
+    rows as FILTERABLE PAYLOAD (query_ivf_index ``where=``): the
+    predicate evaluates inside the probed-cell scan, parquet-pushed,
+    so filtered vector search never joins back to the source."""
+    from .annindex import _check_include_cols
+
     src_v = V.current_version(source_path)
     df = M._read_source(spark, source_path, src_v)
+    inc = _check_include_cols(df, key, vec_col, include_cols,
+                              reserved=("ivf_cell", "pq_codes"))
     if centroids is None:
         centroids = ivf_train_kmeans(df, k=int(n_cells), iters=int(iters),
                                      id_col=key, vec_col=vec_col,
@@ -132,6 +145,7 @@ def create_ivf_index(
         "ii_dim": int(dim), "ii_trained": trained,
         "ii_source_version": src_v,
         "ii_centroids": [[float(x) for x in c] for c in centroids],
+        "ii_include_cols": inc,
     }
     books = None
     if codebooks is not None:
@@ -165,7 +179,7 @@ def create_ivf_index(
         spec["ii_codebooks"] = [[[float(x) for x in c] for c in b]
                                 for b in books]
     state = _assigned_rows(df, key, vec_col, centroids,
-                           codebooks=books)
+                           codebooks=books, include_cols=tuple(inc))
     # drift governance baseline: per-cell counts + summed quantization
     # error of the create-time corpus, frozen alongside the centroids.
     # One extra assignment pass at create (rare, already O(corpus));
@@ -247,6 +261,7 @@ def read_ivf_index(spark: SparkSession, view_path: str,
     cols = ["ivf_cell", spec["ii_key"], spec["ii_vec_col"]]
     if spec.get("ii_codebooks") is not None:
         cols.append("pq_codes")
+    cols += spec.get("ii_include_cols", [])
     return _state(spark, view_path, v).select(*cols)
 
 
@@ -286,9 +301,10 @@ def refresh_ivf_index(
     jobs; the documented heal is an explicit re-create."""
 
     def _rows(spec, df):
-        return _assigned_rows(df, spec["ii_key"], spec["ii_vec_col"],
-                              _centroids(spec),
-                              codebooks=_codebooks(spec))
+        return _assigned_rows(
+            df, spec["ii_key"], spec["ii_vec_col"], _centroids(spec),
+            codebooks=_codebooks(spec),
+            include_cols=tuple(spec.get("ii_include_cols", [])))
 
     def _app_recompute(spark_, spec, head, app):
         # heal path re-derives the CURRENT stats from the head (the
@@ -396,6 +412,7 @@ def query_ivf_index(
     spark: SparkSession, view_path: str, query_vec, k: int = 10,
     n_probe: int = 2, version: int | None = None,
     method: str = "exact", shortlist: int = 200,
+    where: str | None = None, min_results: int | None = None,
 ) -> DataFrame:
     """Approximate top-k FROM the maintained index: the ``n_probe``
     nearest cells are ranked driver-side from the spec's stored
@@ -416,47 +433,81 @@ def query_ivf_index(
       the frozen centroids/codebooks. At 100 TB the ADC pass reads
       code bytes, not vectors: the memory-bound tier.
 
+    ``where`` is a SQL predicate over the index's payload columns
+    (``include_cols`` at CREATE) and key — FILTERED vector search,
+    evaluated inside the probed-cell scan (parquet-pushed): top-k
+    among probed candidates matching the filter. A selective filter
+    can leave fewer than k probed survivors; pass ``min_results``
+    (≤ k) to adaptively WIDEN the probe: each escalation doubles
+    n_probe (finally ALL cells — the exact filtered answer) and costs
+    one extra count job.
+
     Returns (<key>, score); final scores are exact dots either way."""
     v = V.current_version(view_path) if version is None else int(version)
     spec = _spec_ii(view_path, v)
     key, vec_col = spec["ii_key"], spec["ii_vec_col"]
     dim = int(spec["ii_dim"])
+    n_cells = int(spec["ii_n_cells"])
     qv = np.asarray(query_vec, dtype=np.float64)
     if qv.shape != (dim,):
         raise ValueError(f"query dim {qv.shape} != index dim ({dim},)")
     cents = _centroids(spec)
-    order = np.argsort(-(cents @ qv))[:int(n_probe)]
-    cells = [int(i) for i in order]
-    cand = _state(spark, view_path, v, cells=cells).where(
-        F.col("ivf_cell").isin(cells))
-    if method == "adc":
-        from ..operators.ann import ivf_pq_topk
-
-        books = _codebooks(spec)
-        if books is None:
-            raise ValueError(
-                f"{view_path} was built without PQ codebooks — "
-                f"recreate with pq_m=<subspaces> for method='adc'")
-        # the probed-cell filter is already applied (and file-pruned);
-        # ivf_pq_topk re-applies it idempotently from the same probe
-        # rule, then ADC-shortlists and exact-re-ranks in-state
-        return ivf_pq_topk(cand, qv, cents, books, k=k,
-                           n_probe=int(n_probe), shortlist=shortlist,
-                           id_col=key, vec_col=vec_col)
-    if method != "exact":
+    if method not in ("exact", "adc"):
         raise ValueError(f"unknown method {method!r}; "
                          f"use 'exact' or 'adc'")
-    scored = cand.withColumn(
-        "score", VEC.dot(F.col(vec_col), VEC.vec_lit(list(qv))))
-    return (scored.select(key, "score")
-            .orderBy(F.desc("score"), F.asc(key))
-            .limit(k))
+    from .annindex import _apply_where, _where_expr
+
+    flt = _where_expr(where) if where is not None else None
+
+    def _plan(probe_n: int) -> DataFrame:
+        order = np.argsort(-(cents @ qv))[:probe_n]
+        cells = [int(i) for i in order]
+        cand = _state(spark, view_path, v, cells=cells).where(
+            F.col("ivf_cell").isin(cells))
+        if flt is not None:
+            cand = _apply_where(cand, flt, where)
+        if method == "adc":
+            from ..operators.ann import ivf_pq_topk
+
+            books = _codebooks(spec)
+            if books is None:
+                raise ValueError(
+                    f"{view_path} was built without PQ codebooks — "
+                    f"recreate with pq_m=<subspaces> for method='adc'")
+            # the probed-cell filter is already applied (and file-
+            # pruned); ivf_pq_topk re-applies it idempotently from the
+            # same probe rule, then ADC-shortlists and exact-re-ranks
+            # in-state. The payload filter above shrinks its
+            # candidate set BEFORE the LUT pass.
+            return ivf_pq_topk(cand, qv, cents, books, k=k,
+                               n_probe=probe_n, shortlist=shortlist,
+                               id_col=key, vec_col=vec_col)
+        scored = cand.withColumn(
+            "score", VEC.dot(F.col(vec_col), VEC.vec_lit(list(qv))))
+        return (scored.select(key, "score")
+                .orderBy(F.desc("score"), F.asc(key))
+                .limit(k))
+
+    out = _plan(int(n_probe))
+    if min_results is None:
+        return out
+    want = min(int(min_results), int(k))
+    # widening ladder: double the probed cells until all cells are in
+    # (the exact filtered answer). Each tier is a fresh single-shot
+    # plan — file pruning re-resolves, no cross-tier merge state.
+    probe_n = int(n_probe)
+    while probe_n < n_cells:
+        if out.count() >= want:
+            return out
+        probe_n = min(probe_n * 2, n_cells)
+        out = _plan(probe_n)
+    return out
 
 
 def query_ivf_index_batch(
     spark: SparkSession, view_path: str, queries, k: int = 10,
     n_probe: int = 2, version: int | None = None,
-    qid_col: str = "qid",
+    qid_col: str = "qid", where: str | None = None,
 ) -> DataFrame:
     """M queries against the maintained IVF index in ONE plan (the
     exact re-rank tier) — the amortized serving form: each query's
@@ -499,6 +550,12 @@ def query_ivf_index_batch(
     cand = _state(spark, view_path, v,
                   cells=sorted(union)).where(
         F.col("ivf_cell").isin(sorted(union)))
+    if where is not None:
+        # shared metadata filter across the batch (payload predicate
+        # pushed into the ONE probed scan, before the query join)
+        from .annindex import _apply_where, _where_expr
+
+        cand = _apply_where(cand, _where_expr(where), where)
     from pyspark.sql import Window
 
     w = Window.partitionBy(qid_col).orderBy(F.desc("score"),

@@ -674,6 +674,13 @@ def _create_using(spark: SparkSession, catalog: Catalog, name: str,
 
             kw = {k: opts[k] for k in ("vec_col", "n_planes", "seed",
                                        "dim") if k in opts}
+            if "include_cols" in opts:
+                # OPTIONS (include_cols='a,b'): filterable payload
+                # columns copied into the index rows (ANN_SEARCH's
+                # filter argument evaluates inside the probed scan)
+                kw["include_cols"] = [c.strip() for c in
+                                      str(opts["include_cols"])
+                                      .split(",") if c.strip()]
             try:
                 AI.create_ann_index(spark, src["path"], vp, key=key,
                                     **kw)
@@ -700,6 +707,10 @@ def _create_using(spark: SparkSession, catalog: Catalog, name: str,
                                  ("pq_sample", int)):
                     if ok in opts:
                         kw[ok] = cast(opts[ok])
+                if "include_cols" in opts:
+                    kw["include_cols"] = [c.strip() for c in
+                                          str(opts["include_cols"])
+                                          .split(",") if c.strip()]
                 II.create_ivf_index(spark, src["path"], vp, key=key,
                                     **kw)
                 if "buckets" in opts:

@@ -259,11 +259,11 @@ def _rewrite_index_searches(spark: SparkSession, text: str,
             q.createOrReplaceTempView(tmp)
         else:
             up = fn.upper()
-            max_args = 5 if fn == "ivf_search" else 4
+            max_args = 6 if fn == "ivf_search" else 5
             if not (3 <= len(args) <= max_args):
                 raise SqlError(
                     f"{up}('view', array(...), k"
-                    f"[, {'n_probe[, method]' if fn == 'ivf_search' else 'probe_bits'}])")
+                    f"[, {'n_probe[, method[, filter]]' if fn == 'ivf_search' else 'probe_bits[, filter]'}])")
             want_kind = ("ivf_index" if fn == "ivf_search"
                          else "ann_index")
             if e["kind"] != want_kind:
@@ -287,21 +287,29 @@ def _rewrite_index_searches(spark: SparkSession, text: str,
                     n_probe = _int_arg(args[3], up, "n_probe") \
                         if len(args) >= 4 else 2
                     # optional 5th arg: 'adc' routes through the
-                    # IVFADC tier (PQ-code scoring + exact re-rank)
+                    # IVFADC tier (PQ-code scoring + exact re-rank);
+                    # optional 6th arg: a payload filter predicate
+                    # (filtered vector search — evaluated inside the
+                    # probed-cell scan, include_cols at CREATE)
                     method = _str_arg(args[4], up, "method") \
-                        if len(args) == 5 else "exact"
+                        if len(args) >= 5 else "exact"
+                    iwhere = _str_arg(args[5], up, "filter") \
+                        if len(args) == 6 else None
                     II.query_ivf_index(spark, e["path"], qv, k=k,
                                        n_probe=n_probe, version=ver,
-                                       method=method)\
+                                       method=method, where=iwhere)\
                         .createOrReplaceTempView(tmp)
                 else:
                     from ..sources import annindex as AI
 
                     probes = _int_arg(args[3], up, "probe_bits") \
-                        if len(args) == 4 else 1
+                        if len(args) >= 4 else 1
+                    # optional 5th arg: payload filter predicate
+                    awhere = _str_arg(args[4], up, "filter") \
+                        if len(args) == 5 else None
                     AI.query_ann_index(spark, e["path"], qv, k=k,
                                        n_probe_bits=probes,
-                                       version=ver)\
+                                       version=ver, where=awhere)\
                         .createOrReplaceTempView(tmp)
             except ValueError as ex:
                 raise SqlError(str(ex)) from ex

@@ -261,3 +261,107 @@ def test_knn_join_via_index_matches_adhoc(spark, vecs, cat,
         AI.knn_join_via_index(spark, left, vp, k=4, n_probe_bits=2,
                               n_left=10_000_000_000,
                               max_expected_candidates=1_000_000)
+
+
+def _mk_payload(spark, vecs, cat, name="pay"):
+    """Index with a filterable payload column (include_cols)."""
+    vecs.select("vec_id", "embedding",
+                (F.col("vec_id") % 5).alias("category"),
+                (F.col("vec_id") % 3 == 0).alias("flagged")) \
+        .createOrReplaceTempView(f"seed_{name}")
+    S.execute(spark, f"CREATE TABLE {name} OPTIONS (key='vec_id') AS "
+                     f"SELECT * FROM seed_{name}", cat)
+    S.execute(spark, f"CREATE MATERIALIZED VIEW {name}_ann USING "
+                     f"ann_index OPTIONS (source='{name}', "
+                     f"key='vec_id', n_planes=4, "
+                     f"include_cols='category,flagged')", cat)
+    return cat.get(f"{name}_ann")["path"]
+
+
+def test_filtered_query_matches_filtered_brute_force(spark, vecs, cat):
+    """r14 filtered vector search: where= evaluates inside the probed
+    scan; result = top-k among probed candidates matching the
+    predicate — row-identical to brute-forcing the same probed state
+    with the same filter."""
+    vp = _mk_payload(spark, vecs, cat)
+    from rclip_server_spark.functions import vector as VEC
+
+    got = AI.query_ann_index(spark, vp, QV, k=10, n_probe_bits=1,
+                             where="category = 2 AND NOT flagged")
+    state = AI.read_ann_index(spark, vp)
+    planes = ann.hyperplanes(4, 64, 42)
+    import numpy as np
+
+    qb = int(sum((1 << i) for i, p in enumerate(planes)
+                 if float(p @ np.asarray(QV)) >= 0))
+    probes = sorted(AI._probe_set(qb, 4, 1))
+    want = (state.where(F.col("bucket").isin(probes))
+            .where("category = 2 AND NOT flagged")
+            .withColumn("score", VEC.dot(F.col("embedding"),
+                                         VEC.vec_lit(QV)))
+            .select("vec_id", "score")
+            .orderBy(F.desc("score"), F.asc("vec_id")).limit(10))
+    assert _ids_scores(got) == _ids_scores(want)
+    assert len(got.collect()) > 0
+
+
+def test_filtered_widening_reaches_exact_answer(spark, vecs, cat):
+    """min_results escalates the probe ladder to its terminal tier
+    (ALL buckets = exact filtered top-k) when the filter is so
+    selective the probed buckets cannot satisfy it."""
+    vp = _mk_payload(spark, vecs, cat, "wide")
+    from rclip_server_spark.functions import vector as VEC
+
+    # only 3 rows match globally (vec_id in {2, 12, 22}) but
+    # min_results=5: NO tier can satisfy, so the ladder must run to
+    # its terminal ALL-buckets tier — the exact filtered answer
+    got = AI.query_ann_index(
+        spark, vp, QV, k=5, n_probe_bits=0,
+        where="category = 2 AND vec_id < 30", min_results=5)
+    want = (AI.read_ann_index(spark, vp)
+            .where("category = 2 AND vec_id < 30")
+            .withColumn("score", VEC.dot(F.col("embedding"),
+                                         VEC.vec_lit(QV)))
+            .select("vec_id", "score")
+            .orderBy(F.desc("score"), F.asc("vec_id")).limit(5))
+    assert len(want.collect()) == 3
+    assert _ids_scores(got) == _ids_scores(want)
+
+
+def test_filtered_batch_matches_per_query_loop(spark, vecs, cat):
+    vp = _mk_payload(spark, vecs, cat, "fb")
+    qs = [(1, QV), (2, [-x for x in QV])]
+    batch = AI.query_ann_index_batch(spark, vp, qs, k=5,
+                                     where="category = 2")
+    rows = {(r[0], r[1], round(r[2], 9)) for r in batch.collect()}
+    singles = set()
+    for qid, q in qs:
+        for r in AI.query_ann_index(spark, vp, q, k=5,
+                                    where="category = 2").collect():
+            singles.add((qid, r[0], round(r[1], 9)))
+    assert rows == singles and rows
+
+
+def test_payload_survives_refresh_and_filter_errors_are_valueerror(
+        spark, vecs, cat, embeddings):
+    vp = _mk_payload(spark, vecs, cat, "ref")
+    # churn the source; the payload must ride the retract+append path
+    S.execute(spark, "DELETE FROM ref WHERE vec_id % 10 = 0", cat)
+    S.execute(spark, "INSERT INTO ref SELECT vec_id + 70000, "
+                     "embedding, (vec_id + 70000) % 5, "
+                     "(vec_id + 70000) % 3 = 0 FROM seed_ref "
+                     "WHERE vec_id % 9 = 0", cat)
+    S.execute(spark, "REFRESH MATERIALIZED VIEW ref_ann", cat)
+    state = AI.read_ann_index(spark, vp)
+    assert "category" in state.columns and "flagged" in state.columns
+    got = AI.query_ann_index(spark, vp, QV, k=5,
+                             where="category = 2 AND vec_id > 70000")
+    assert all(r[0] > 70000 and r[0] % 5 == 2 for r in got.collect())
+    with pytest.raises(ValueError):
+        AI.query_ann_index(spark, vp, QV, where="no_such_col = 1")
+    with pytest.raises(ValueError):
+        AI.query_ann_index(spark, vp, QV, where="category = = 1")
+    with pytest.raises(ValueError):
+        AI.create_ann_index(spark, cat.get("ref")["path"],
+                            str(cat.root) + "/bad", key="vec_id",
+                            include_cols=["nope"])

@@ -268,3 +268,46 @@ def test_describe_index_all_kinds_zero_jobs(spark, both, embeddings):
         S.execute(spark, "DESCRIBE INDEX d", cat)
     with pytest.raises(S.SqlError):
         S.execute(spark, "DESCRIBE INDEX ti extra", cat)
+
+
+def test_filtered_search_sql_surface(spark, embeddings, cat):
+    """r14: ANN_SEARCH's 5th / IVF_SEARCH's 6th argument is a payload
+    filter predicate over include_cols — same rows as the Python
+    API's where=, and filter problems surface as SqlError."""
+    from rclip_server_spark.sources import annindex as AI
+    from rclip_server_spark.sources import ivfindex as II
+
+    embeddings.select("vec_id", "embedding",
+                      (F.col("vec_id") % 5).alias("category")) \
+        .limit(400).createOrReplaceTempView("fe_seed")
+    S.execute(spark, "CREATE TABLE fe OPTIONS (key='vec_id') AS "
+                     "SELECT * FROM fe_seed", cat)
+    S.execute(spark, "CREATE MATERIALIZED VIEW fai USING ann_index "
+                     "OPTIONS (source='fe', key='vec_id', n_planes=4, "
+                     "include_cols='category')", cat)
+    S.execute(spark, "CREATE MATERIALIZED VIEW fii USING ivf_index "
+                     "OPTIONS (source='fe', key='vec_id', n_cells=8, "
+                     "iters=2, include_cols='category')", cat)
+    arr = ", ".join(str(float(x)) for x in QV)
+    got_a = S.execute(spark, f"SELECT * FROM ANN_SEARCH('fai', "
+                             f"array({arr}), 5, 1, 'category = 2')",
+                      cat)
+    want_a = AI.query_ann_index(spark, cat.get("fai")["path"], QV,
+                                k=5, n_probe_bits=1,
+                                where="category = 2")
+    assert _rows(got_a) == _rows(want_a) and _rows(got_a)
+    got_i = S.execute(spark, f"SELECT * FROM IVF_SEARCH('fii', "
+                             f"array({arr}), 5, 2, 'exact', "
+                             f"'category = 2')", cat)
+    want_i = II.query_ivf_index(spark, cat.get("fii")["path"], QV,
+                                k=5, n_probe=2, where="category = 2")
+    assert _rows(got_i) == _rows(want_i) and _rows(got_i)
+    assert all(r[0] % 5 == 2 for r in _rows(got_a) + _rows(got_i))
+    # bad filter (unknown column / parse error) => SqlError
+    with pytest.raises(S.SqlError):
+        S.execute(spark, f"SELECT * FROM ANN_SEARCH('fai', "
+                         f"array({arr}), 5, 1, 'nope = 1')", cat)
+    with pytest.raises(S.SqlError):
+        S.execute(spark, f"SELECT * FROM IVF_SEARCH('fii', "
+                         f"array({arr}), 5, 2, 'exact', 'x = = ')",
+                  cat)

@@ -347,3 +347,94 @@ def test_drift_alarm_fires_and_rebuild_recovers(spark, vecs, cat):
     rep_new = II.ivf_drift_report(cat.get("dr_ivf")["path"])
     assert rep_new["tracked"] and not rep_new["alarm"]
     assert rep_new["cell_tv"] == 0.0 and rep_new["mqe_ratio"] == 1.0
+
+
+def test_filtered_query_and_widening(spark, vecs, cat):
+    """r14 filtered vector search on the IVF kind: where= inside the
+    probed-cell scan (exact AND adc tiers), min_results widening to
+    the terminal all-cells tier, payload surviving refresh."""
+    vecs.select("vec_id", "embedding",
+                (F.col("vec_id") % 5).alias("category")) \
+        .createOrReplaceTempView("seed_flt")
+    S.execute(spark, "CREATE TABLE flt OPTIONS (key='vec_id') AS "
+                     "SELECT * FROM seed_flt", cat)
+    S.execute(spark, "CREATE MATERIALIZED VIEW flt_ivf USING "
+                     "ivf_index OPTIONS (source='flt', key='vec_id', "
+                     "n_cells=8, iters=2, "
+                     "include_cols='category')", cat)
+    vp = cat.get("flt_ivf")["path"]
+    from rclip_server_spark.functions import vector as VEC
+
+    got = II.query_ivf_index(spark, vp, QV, k=10, n_probe=2,
+                             where="category = 2")
+    # reference: brute force over the probed cells' state rows
+    spec = II._spec_ii(vp)
+    cents = II._centroids(spec)
+    import numpy as np
+
+    cells = [int(i) for i in
+             np.argsort(-(cents @ np.asarray(QV)))[:2]]
+    want = (II.read_ivf_index(spark, vp)
+            .where(F.col("ivf_cell").isin(cells))
+            .where("category = 2")
+            .withColumn("score", VEC.dot(F.col("embedding"),
+                                         VEC.vec_lit(QV)))
+            .select("vec_id", "score")
+            .orderBy(F.desc("score"), F.asc("vec_id")).limit(10))
+    assert _ids_scores(got) == _ids_scores(want)
+    # widening: 3 global matches < min_results=5 forces the terminal
+    # all-cells tier = exact filtered answer
+    got_w = II.query_ivf_index(spark, vp, QV, k=5, n_probe=1,
+                               where="category = 2 AND vec_id < 30",
+                               min_results=5)
+    want_w = (II.read_ivf_index(spark, vp)
+              .where("category = 2 AND vec_id < 30")
+              .withColumn("score", VEC.dot(F.col("embedding"),
+                                           VEC.vec_lit(QV)))
+              .select("vec_id", "score")
+              .orderBy(F.desc("score"), F.asc("vec_id")).limit(5))
+    assert len(want_w.collect()) == 3
+    assert _ids_scores(got_w) == _ids_scores(want_w)
+    # payload rides the refresh; filter errors keep the ValueError
+    # contract
+    S.execute(spark, "DELETE FROM flt WHERE vec_id % 10 = 0", cat)
+    S.execute(spark, "REFRESH MATERIALIZED VIEW flt_ivf", cat)
+    assert "category" in II.read_ivf_index(spark, vp).columns
+    with pytest.raises(ValueError):
+        II.query_ivf_index(spark, vp, QV, where="no_col = 1")
+
+
+def test_filtered_adc_tier_and_batch(spark, vecs, cat):
+    """ADC tier with a payload filter: the predicate shrinks the
+    candidate set BEFORE the LUT pass; every survivor matches, and
+    the result equals the unfiltered ADC answer post-filtered when
+    the shortlist covers the probed cells."""
+    vecs.select("vec_id", "embedding",
+                (F.col("vec_id") % 5).alias("category")) \
+        .createOrReplaceTempView("seed_fadc")
+    S.execute(spark, "CREATE TABLE fadc OPTIONS (key='vec_id') AS "
+                     "SELECT * FROM seed_fadc", cat)
+    S.execute(spark, "CREATE MATERIALIZED VIEW fadc_ivf USING "
+                     "ivf_index OPTIONS (source='fadc', key='vec_id', "
+                     "n_cells=4, iters=2, pq_m=8, pq_k=16, "
+                     "include_cols='category')", cat)
+    vp = cat.get("fadc_ivf")["path"]
+    got = II.query_ivf_index(spark, vp, QV, k=5, n_probe=2,
+                             method="adc", shortlist=100000,
+                             where="category = 2").collect()
+    assert got and all(r[0] % 5 == 2 for r in got)
+    # huge shortlist => ADC == exact-filtered top-k set
+    exact = II.query_ivf_index(spark, vp, QV, k=5, n_probe=2,
+                               where="category = 2").collect()
+    assert [r[0] for r in got] == [r[0] for r in exact]
+    # batch twin shares the single-query rows per qid
+    qs = [(1, QV), (2, [-x for x in QV])]
+    batch = II.query_ivf_index_batch(spark, vp, qs, k=5,
+                                     where="category = 2")
+    rows = {(r[0], r[1], round(r[2], 9)) for r in batch.collect()}
+    singles = set()
+    for qid, q in qs:
+        for r in II.query_ivf_index(spark, vp, q, k=5,
+                                    where="category = 2").collect():
+            singles.add((qid, r[0], round(r[1], 9)))
+    assert rows == singles and rows

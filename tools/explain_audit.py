@@ -1069,6 +1069,55 @@ def main() -> int:
         "and zero tasks.",
     ))
 
+    # --- r14: FILTERED vector search — the payload predicate reaches
+    # the SAME probed parquet scan (pushed next to the bucket IN-list)
+    # and never joins back to the source table ---
+    _afs = tempfile.mkdtemp(prefix="rclip_audit_afs_")
+    os.rmdir(_afs)
+    V.create(spark, _afs,
+             load_table(spark, SF_DIR, "embeddings")
+             .select("vec_id", "embedding",
+                     (F.col("vec_id") % 7).alias("category"))
+             .limit(2000))
+    _afi = tempfile.mkdtemp(prefix="rclip_audit_afi_")
+    os.rmdir(_afi)
+    AIX.create_ann_index(spark, _afs, _afi, key="vec_id", n_planes=4,
+                         include_cols=["category"])
+    AIX.convert_index_to_bucketed(spark, _afi, n_buckets=16)
+    _fq = AIX.query_ann_index(spark, _afi,
+                              [0.125] * 32 + [-0.125] * 32,
+                              k=10, n_probe_bits=1,
+                              where="category = 3")
+    _fm = V._manifest(_afi, V.current_version(_afi))
+    _fprobed = {os.path.basename(os.path.dirname(f))
+                for f in _fq.inputFiles()}
+    _fall = {s for ss in _fm["buckets"].values() for s in ss}
+    assert _fprobed < _fall, \
+        "filtered ANN probe read must keep the strict-subset file " \
+        "pruning (the payload filter must not widen the scan)"
+    audits.append((
+        "Filtered ANN-index query (payload predicate pushed into the "
+        "probed scan)",
+        _fq,
+        # the pushdown lists IsNotNull(category) first, so the usual
+        # "PushedFilters: [In(bucket" anchor doesn't hold here; the
+        # `In(bucket,` spelling only occurs inside PushedFilters
+        # (the residual Filter condition renders as `bucket IN`)
+        {"In(bucket": True,
+         "EqualTo(category,3)": True,
+         "TakeOrderedAndProject": True,
+         "Join": False},
+        "include_cols stores filterable payload IN the index rows, so "
+        "a metadata filter (`where='category = 3'`) is pushed to the "
+        "SAME parquet scan as the bucket probe IN-list — non-matching "
+        "row groups skip via parquet stats, the probed-bucket FILE "
+        "pruning is unchanged (verified: strict subset, "
+        f"{len(_fprobed)} of {len(_fall)} bucket segments), and there "
+        "is NO join back to the source table in the plan. At 100 TB "
+        "filtered vector search costs the probe fraction, not a "
+        "corpus-sized semi-join.",
+    ))
+
     _tip = tempfile.mkdtemp(prefix="rclip_audit_tip_")
     os.rmdir(_tip)
     TIX.create_text_index(spark, _tis, _tip, key="doc_id",
