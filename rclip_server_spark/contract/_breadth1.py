@@ -480,7 +480,8 @@ BM25_TERMS = ["vector", "join", "spark"]
 BM25_K1, BM25_B = 1.2, 0.75
 
 
-def _bm25_sql(terms: list[str], where: str = "", topk: int | None = None) -> str:
+def _bm25_sql(terms: list[str], where: str = "", topk: int | None = None,
+              topk_where: str = "") -> str:
     toks = tokens_sql("text")
     tf_exprs = ", ".join(
         f"CAST(len(list_filter(toks, t -> t = '{t}')) AS BIGINT) AS tf_{i}"
@@ -519,7 +520,7 @@ def _bm25_sql(terms: list[str], where: str = "", topk: int | None = None) -> str
     if topk is not None:
         return (
             f"SELECT doc_id, round(bm25_raw, 6) AS bm25 FROM ({body}) "
-            f"WHERE bm25_raw > {_f(0.0)} "
+            f"WHERE bm25_raw > {_f(0.0)}{topk_where} "
             f"ORDER BY bm25_raw DESC, doc_id LIMIT {topk}"
         )
     tf_cols_o = ", ".join(f"tf_{i}" for i in range(len(terms)))

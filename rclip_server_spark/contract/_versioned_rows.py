@@ -3704,3 +3704,92 @@ _register(
     _ai_batch_topk,
     " UNION ALL ".join(_batch_q_sql(q, v) for q, v in _BATCH_QS),
 )
+
+
+# ===========================================================================
+# FILTERED lexical search (r14, completing the filtered-search story
+# across ALL THREE index kinds): payload columns on posting rows
+# (doc-values-in-postings) + a predicate with search-engine semantics
+# — the filter selects WHICH docs are eligible, idf stays GLOBAL (the
+# Elasticsearch filtered-query rule), pinned here because it is the
+# easy thing to get wrong (pre-filtering the postings would reshape
+# df and silently change every score).
+# ===========================================================================
+
+_TF_CORPUS_SQL = (
+    "(SELECT doc_id, text, doc_id % 3 AS lang "
+    "FROM documents WHERE doc_id % 17 <> 0 "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, text, "
+    "(doc_id + 1000000) % 3 AS lang "
+    "FROM documents WHERE doc_id % 13 = 0)"
+)
+
+
+def _tf_index_builder(spark: SparkSession, sf: str, path: str) -> None:
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    _t(spark, sf, "documents").select("doc_id", "text") \
+        .createOrReplaceTempView("docs_seed_tf")
+    SQ.execute(spark, "CREATE TABLE tfdocs OPTIONS (key='doc_id') AS "
+                      "SELECT doc_id, text, doc_id % 3 AS lang "
+                      "FROM docs_seed_tf", cat)
+    SQ.execute(spark, "CREATE MATERIALIZED VIEW tfidx USING "
+                      "text_index OPTIONS (source='tfdocs', "
+                      "key='doc_id', include_cols='lang', "
+                      "buckets=16)", cat)
+    SQ.execute(spark, "DELETE FROM tfdocs WHERE doc_id % 17 = 0", cat)
+    SQ.execute(spark, "INSERT INTO tfdocs SELECT doc_id + 1000000, "
+                      "text, (doc_id + 1000000) % 3 "
+                      "FROM docs_seed_tf WHERE doc_id % 13 = 0", cat)
+    SQ.execute(spark, "REFRESH MATERIALIZED VIEW tfidx", cat)
+
+
+def _ti_filtered_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Filtered BM25 top-10 FROM the maintained postings (payload
+    rides every posting row through create AND the retract+append
+    refresh): candidates pruned by the predicate AFTER the global-df
+    window. Oracle: the BM25 twin scoring the full post-DML corpus,
+    filtering docs by the same predicate only at the top-k step — if
+    the engine pre-filtered postings (df reshaped), every idf, and
+    therefore every hash, would differ."""
+    from ..sources import textindex as TI
+
+    path = _vt_build(spark, sf, "tfidx", _tf_index_builder)
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    out = TI.query_text_index(spark, cat.get("tfidx")["path"],
+                              BM25_TERMS, k=10, where="lang = 1")
+    return out.withColumn("bm25", F.round("bm25", 6))
+
+
+_register(
+    "ti_filtered_topk",
+    _ti_filtered_topk,
+    _bm25_sql(BM25_TERMS, topk=10,
+              topk_where=" AND (doc_id % 3) = 1")
+    .replace("FROM documents", f"FROM {_TF_CORPUS_SQL}"),
+)
+
+
+def _sql_text_filtered_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The same filtered lexical search through TEXT_SEARCH's 4th
+    argument — shares the operator row's oracle."""
+    path = _vt_build(spark, sf, "tfidx", _tf_index_builder)
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    out = SQ.execute(spark, (
+        f"SELECT doc_id, bm25 FROM TEXT_SEARCH('tfidx', "
+        f"'{' '.join(BM25_TERMS)}', 10, 'lang = 1')"), cat)
+    return out.withColumn("bm25", F.round("bm25", 6))
+
+
+_register(
+    "sql_text_filtered_topk",
+    _sql_text_filtered_topk,
+    _bm25_sql(BM25_TERMS, topk=10,
+              topk_where=" AND (doc_id % 3) = 1")
+    .replace("FROM documents", f"FROM {_TF_CORPUS_SQL}"),
+)

@@ -47,30 +47,38 @@ from .matview import _INSERTING, _RETRACTING  # canonical CDC classes
 
 
 def _postings(df: DataFrame, key: str, text_col: str,
-              positions: bool = False) -> DataFrame:
+              positions: bool = False,
+              include_cols: tuple[str, ...] = ()) -> DataFrame:
     """(key, term, tf, dl) for every (document, distinct token) pair —
     one explode + one aggregation; dl travels through the explode so
     no second corpus pass or join is needed. With ``positions`` the
     posting also carries the term's sorted 0-based token offsets
     (posexplode instead of explode — same single pass), enabling
-    exact-phrase / proximity queries at serving latency."""
-    toked = df.select(F.col(key),
+    exact-phrase / proximity queries at serving latency.
+    ``include_cols`` ride the explode as per-posting payload (the
+    doc-values-in-postings layout: duplicated per (doc, term) —
+    ~|distinct terms| copies per doc — in exchange for filtered
+    queries that never join back to the source)."""
+    inc = list(include_cols)
+    toked = df.select(F.col(key), *[F.col(c) for c in inc],
                       TXT.tokens(F.col(text_col)).alias("toks"))
     if positions:
         return (toked
-                .select(key, F.size("toks").cast("long").alias("dl"),
+                .select(key, *inc,
+                        F.size("toks").cast("long").alias("dl"),
                         F.posexplode("toks").alias("pos", "term"))
-                .groupBy(key, "dl", "term")
+                .groupBy(key, "dl", "term", *inc)
                 .agg(F.count(F.lit(1)).cast("long").alias("tf"),
                      F.sort_array(F.collect_list(
                          F.col("pos").cast("int"))).alias("positions"))
-                .select("term", key, "tf", "dl", "positions"))
+                .select("term", key, "tf", "dl", "positions", *inc))
     return (toked
-            .select(key, F.size("toks").cast("long").alias("dl"),
+            .select(key, *inc,
+                    F.size("toks").cast("long").alias("dl"),
                     F.explode("toks").alias("term"))
-            .groupBy(key, "dl", "term")
+            .groupBy(key, "dl", "term", *inc)
             .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-            .select("term", key, "tf", "dl"))
+            .select("term", key, "tf", "dl", *inc))
 
 
 def _corpus_stats(df: DataFrame, text_col: str) -> tuple[int, int]:
@@ -85,16 +93,25 @@ def _corpus_stats(df: DataFrame, text_col: str) -> tuple[int, int]:
 def create_text_index(
     spark: SparkSession, source_path: str, view_path: str, key: str,
     text_col: str = "text", k1: float = 1.2, b: float = 0.75,
-    positions: bool = False,
+    positions: bool = False, include_cols: list[str] | None = None,
 ) -> int:
     """Materialize the postings table over the source's head and
     record the spec + cursor + exact corpus stats. ``key`` must be a
     unique non-null row identity (the maintained-view contract).
     ``positions=True`` stores each term's token offsets in the posting
     (same build pass, ~+dl ints per doc at rest), unlocking
-    query_phrase_index; BM25 queries are unchanged."""
+    query_phrase_index; BM25 queries are unchanged. ``include_cols``
+    copies the listed source columns onto every posting row as
+    FILTERABLE PAYLOAD (query ``where=``): filtered lexical search
+    without a join back to the source, at the standard doc-values
+    cost of one payload copy per (doc, distinct term)."""
+    from .annindex import _check_include_cols
+
     src_v = V.current_version(source_path)
     df = M._read_source(spark, source_path, src_v)
+    inc = _check_include_cols(
+        df, key, text_col, include_cols,
+        reserved=("term", "tf", "dl", "positions"))
     n_docs, total_len = _corpus_stats(df, text_col)
     spec = {
         "ti_source": source_path, "ti_key": key,
@@ -102,9 +119,11 @@ def create_text_index(
         "ti_source_version": src_v,
         "ti_ndocs": n_docs, "ti_total_len": total_len,
         "ti_positions": bool(positions),
+        "ti_include_cols": inc,
     }
     return V.create(spark, view_path,
-                    _postings(df, key, text_col, positions=positions),
+                    _postings(df, key, text_col, positions=positions,
+                              include_cols=tuple(inc)),
                     extra={"app": spec})
 
 
@@ -167,6 +186,7 @@ def read_text_index(spark: SparkSession, view_path: str,
     cols = ["term", key, "tf", "dl"]
     if spec.get("ti_positions"):
         cols.append("positions")
+    cols += spec.get("ti_include_cols", [])
     return _state(spark, view_path, v).select(*cols)
 
 
@@ -183,8 +203,10 @@ def refresh_text_index(
     this kind contributes tokenization and the corpus-stat hooks."""
 
     def _rows(spec, df):
-        return _postings(df, spec["ti_key"], spec["ti_text_col"],
-                         positions=bool(spec.get("ti_positions")))
+        return _postings(
+            df, spec["ti_key"], spec["ti_text_col"],
+            positions=bool(spec.get("ti_positions")),
+            include_cols=tuple(spec.get("ti_include_cols", [])))
 
     def _app_recompute(spark_, spec, head, app):
         n_docs, total_len = _corpus_stats(head, spec["ti_text_col"])
@@ -235,6 +257,7 @@ def refresh_text_index_with_retry(
 def query_text_index(
     spark: SparkSession, view_path: str, terms: list[str] | str,
     k: int = 10, version: int | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """Top-k documents by BM25, scored FROM the maintained postings:
     reads only the query terms' posting rows, df per term comes from a
@@ -245,7 +268,16 @@ def query_text_index(
     (<key>, bm25), the same formula (idf in the same JVM F.log),
     filter (score > 0), ordering, and tie-break as
     retrieval.bm25_topk, so the indexed answer is checkable against
-    the batch scorer."""
+    the batch scorer.
+
+    ``where`` is a SQL predicate over the index's payload columns
+    (``include_cols`` at CREATE) and key — FILTERED lexical search.
+    Search-engine semantics (the Elasticsearch filtered-query rule):
+    the filter selects WHICH docs are eligible, idf stays GLOBAL —
+    so the predicate applies after the per-term df window, pruning
+    candidates before the doc-aggregation shuffle (the scan itself
+    is already term-pruned; the filter never joins back to the
+    source)."""
     if isinstance(terms, str):
         terms = [t for t in terms.lower().split() if t]
     if not terms:
@@ -296,8 +328,12 @@ def query_text_index(
                                             / F.lit(avgdl)))
     contrib = (mult_map[F.col("term")] * idf
                * ((tf * F.lit(k1 + 1.0)) / denom))
-    scored = (hits.withColumn("_c", contrib)
-              .groupBy(key).agg(F.sum("_c").alias("bm25")))
+    cand = hits.withColumn("_c", contrib)
+    if where is not None:
+        from .annindex import _apply_where, _where_expr
+
+        cand = _apply_where(cand, _where_expr(where), where)
+    scored = cand.groupBy(key).agg(F.sum("_c").alias("bm25"))
     return (scored.where(F.col("bm25") > 0.0)
             .orderBy(F.desc("bm25"), F.asc(key))
             .limit(k)
@@ -307,6 +343,7 @@ def query_text_index(
 def query_text_index_batch(
     spark: SparkSession, view_path: str, queries, k: int = 10,
     version: int | None = None, qid_col: str = "qid",
+    where: str | None = None,
 ) -> DataFrame:
     """M BM25 queries against the maintained postings in ONE plan —
     the amortized serving form (a retrieval-quality filter or hybrid
@@ -370,6 +407,13 @@ def query_text_index_batch(
     # left-assoc — keep the exact fold order for bit-parity
     base = hits.withColumn("_idf", idf).withColumn(
         "_tfp", (tf * F.lit(k1 + 1.0)) / denom)
+    if where is not None:
+        # shared payload filter across the batch: applied AFTER the
+        # global-df window (filters select docs, never reshape idf —
+        # the single-query rule), before the query fan-out join
+        from .annindex import _apply_where, _where_expr
+
+        base = _apply_where(base, _where_expr(where), where)
     pairs = [(qid, t, float(m))
              for qid, mult in per_q for t, m in mult.items()]
     qid_t = "string" if isinstance(qids[0], str) else "bigint"
@@ -390,7 +434,7 @@ def query_text_index_batch(
 
 def query_phrase_index(
     spark: SparkSession, view_path: str, phrase: str, k: int = 10,
-    version: int | None = None,
+    version: int | None = None, where: str | None = None,
 ) -> DataFrame:
     """Exact-PHRASE top-k FROM a positional text index (create with
     ``positions=True``): reads only the phrase terms' posting rows
@@ -418,8 +462,14 @@ def query_phrase_index(
     key = spec["ti_key"]
     uniq = list(dict.fromkeys(terms))
     hits = (_state(spark, view_path, v, terms=uniq)
-            .where(F.col("term").isin(*uniq))
-            .select(key, "term", "positions"))
+            .where(F.col("term").isin(*uniq)))
+    if where is not None:
+        # phrase matching has no global stats, so the payload filter
+        # applies BEFORE the pivot — pushed into the term-pruned scan
+        from .annindex import _apply_where, _where_expr
+
+        hits = _apply_where(hits, _where_expr(where), where)
+    hits = hits.select(key, "term", "positions")
     # one row per candidate doc: term -> sorted offsets (postings hold
     # one row per (doc, term), so the map build is collision-free);
     # docs missing any phrase term can't match — drop them before the

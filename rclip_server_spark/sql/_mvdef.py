@@ -653,6 +653,10 @@ def _create_using(spark: SparkSession, catalog: Catalog, name: str,
 
             kw = {k: opts[k] for k in ("text_col", "k1", "b")
                   if k in opts}
+            if "include_cols" in opts:
+                kw["include_cols"] = [c.strip() for c in
+                                      str(opts["include_cols"])
+                                      .split(",") if c.strip()]
             if "positions" in opts:
                 pv = opts["positions"]
                 kw["positions"] = (str(pv).strip().lower() == "true"

@@ -239,8 +239,8 @@ def _rewrite_index_searches(spark: SparkSession, text: str,
             continue
         if fn in ("text_search", "phrase_search"):
             up = fn.upper()
-            if len(args) != 3:
-                raise SqlError(f"{up}('view', 'terms', k)")
+            if len(args) not in (3, 4):
+                raise SqlError(f"{up}('view', 'terms', k[, filter])")
             from ..sources import textindex as TI
 
             if e["kind"] != "text_index":
@@ -248,12 +248,18 @@ def _rewrite_index_searches(spark: SparkSession, text: str,
                                f"{vname} is a {e['kind']}")
             terms = _str_arg(args[1], up, "terms string")
             k = _int_arg(args[2], up, "k")
+            # optional 4th arg: payload filter predicate (filtered
+            # lexical search over include_cols; idf stays global)
+            twhere = _str_arg(args[3], up, "filter") \
+                if len(args) == 4 else None
             try:
                 q = (TI.query_text_index(spark, e["path"], terms,
-                                         k=k, version=ver)
+                                         k=k, version=ver,
+                                         where=twhere)
                      if fn == "text_search" else
                      TI.query_phrase_index(spark, e["path"], terms,
-                                           k=k, version=ver))
+                                           k=k, version=ver,
+                                           where=twhere))
             except ValueError as ex:
                 raise SqlError(str(ex)) from ex
             q.createOrReplaceTempView(tmp)

@@ -311,3 +311,26 @@ def test_filtered_search_sql_surface(spark, embeddings, cat):
         S.execute(spark, f"SELECT * FROM IVF_SEARCH('fii', "
                          f"array({arr}), 5, 2, 'exact', 'x = = ')",
                   cat)
+
+
+def test_text_search_filter_argument(spark, documents, cat):
+    from rclip_server_spark.sources import textindex as TI
+
+    documents.select("doc_id", "text",
+                     (F.col("doc_id") % 2).alias("lang")).limit(300) \
+        .createOrReplaceTempView("ft_seed")
+    S.execute(spark, "CREATE TABLE ft OPTIONS (key='doc_id') AS "
+                     "SELECT * FROM ft_seed", cat)
+    S.execute(spark, "CREATE MATERIALIZED VIEW fti USING text_index "
+                     "OPTIONS (source='ft', key='doc_id', "
+                     "include_cols='lang')", cat)
+    got = S.execute(spark, "SELECT * FROM TEXT_SEARCH('fti', "
+                           "'data spark', 5, 'lang = 0')", cat)
+    want = TI.query_text_index(spark, cat.get("fti")["path"],
+                               ["data", "spark"], k=5,
+                               where="lang = 0")
+    assert _rows(got) == _rows(want) and _rows(got)
+    assert all(r[0] % 2 == 0 for r in _rows(got))
+    with pytest.raises(S.SqlError):
+        S.execute(spark, "SELECT * FROM TEXT_SEARCH('fti', "
+                         "'data', 5, 'bogus_col = 0')", cat)

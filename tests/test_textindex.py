@@ -307,3 +307,73 @@ def test_bucketed_phrase_plans_with_zero_spark_jobs(spark, corpus,
     got = [(r["doc_id"], r["phrase_tf"]) for r in got_df.collect()]
     assert got == _brute_phrase(current, "value table", 8)
     assert got  # non-vacuous
+
+
+def test_filtered_bm25_keeps_global_idf(spark, corpus, cat):
+    """r14 filtered lexical search: the predicate selects WHICH docs
+    are eligible, idf stays GLOBAL (search-engine semantics) — the
+    filtered result must equal the unfiltered indexed scores
+    post-filtered by the payload, never a rescore over the filtered
+    sub-corpus."""
+    corpus.select("doc_id", "text",
+                  (F.col("doc_id") % 2).alias("lang")) \
+        .createOrReplaceTempView("seed_fl")
+    S.execute(spark, "CREATE TABLE fl OPTIONS (key='doc_id') AS "
+                     "SELECT * FROM seed_fl", cat)
+    S.execute(spark, "CREATE MATERIALIZED VIEW fl_idx USING "
+                     "text_index OPTIONS (source='fl', key='doc_id', "
+                     "include_cols='lang')", cat)
+    vp = cat.get("fl_idx")["path"]
+    terms = ["data", "spark", "vector"]
+    got = TI.query_text_index(spark, vp, terms, k=10, where="lang = 0")
+    # reference: UNFILTERED scores over the whole corpus, then filter
+    # docs by the payload, then top-k — global idf by construction
+    allscored = TI.query_text_index(spark, vp, terms, k=10 ** 6)
+    want = (allscored.where(F.col("doc_id") % 2 == 0)
+            .orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10))
+    assert [(r[0], round(r[1], 9)) for r in got.collect()] == \
+        [(r[0], round(r[1], 9)) for r in want.collect()]
+    assert got.count() > 0
+    # payload survives the O(changed docs) refresh
+    S.execute(spark, "DELETE FROM fl WHERE doc_id % 9 = 0", cat)
+    S.execute(spark, "REFRESH MATERIALIZED VIEW fl_idx", cat)
+    assert "lang" in TI.read_text_index(spark, vp).columns
+    got2 = TI.query_text_index(spark, vp, terms, k=5, where="lang = 0")
+    assert all(r[0] % 2 == 0 and r[0] % 9 != 0 for r in got2.collect())
+    # batch twin matches the per-query loop under the shared filter
+    qs = [(1, terms), (2, ["model", "data"])]
+    batch = TI.query_text_index_batch(spark, vp, qs, k=5,
+                                      where="lang = 0")
+    brows = {(r[0], r[1], round(r[2], 9)) for r in batch.collect()}
+    singles = set()
+    for qid, q in qs:
+        for r in TI.query_text_index(spark, vp, q, k=5,
+                                     where="lang = 0").collect():
+            singles.add((qid, r[0], round(r[1], 9)))
+    assert brows == singles and brows
+    with pytest.raises(ValueError):
+        TI.query_text_index(spark, vp, terms, where="nope = 0")
+
+
+def test_filtered_phrase_query(spark, corpus, cat):
+    """Phrase matching has no global stats, so the payload filter
+    applies pre-pivot (pushed into the term-pruned scan)."""
+    corpus.select("doc_id", "text",
+                  (F.col("doc_id") % 2).alias("lang")) \
+        .createOrReplaceTempView("seed_fp")
+    S.execute(spark, "CREATE TABLE fp OPTIONS (key='doc_id') AS "
+                     "SELECT * FROM seed_fp", cat)
+    S.execute(spark, "CREATE MATERIALIZED VIEW fp_idx USING "
+                     "text_index OPTIONS (source='fp', key='doc_id', "
+                     "positions=true, include_cols='lang')", cat)
+    vp = cat.get("fp_idx")["path"]
+    # find a phrase that exists: take two consecutive tokens of one doc
+    row = corpus.select("text").first()
+    toks = [t for t in row[0].lower().split() if t][:2]
+    phrase = " ".join(toks)
+    unf = TI.query_phrase_index(spark, vp, phrase, k=10 ** 6)
+    want = (unf.where(F.col("doc_id") % 2 == 0)
+            .orderBy(F.desc("phrase_tf"), F.asc("doc_id")).limit(10))
+    got = TI.query_phrase_index(spark, vp, phrase, k=10,
+                                where="lang = 0")
+    assert _rows(got) == _rows(want)

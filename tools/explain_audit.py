@@ -1135,6 +1135,42 @@ def main() -> int:
         "the top-k is a per-partition heap.",
     ))
 
+    # --- r14: filtered lexical search — the phrase path pushes the
+    # payload predicate into the term-pruned scan (no global stats);
+    # the BM25 path applies it after the global-df window by DESIGN
+    # (filters select docs, never reshape idf — pinned by the
+    # ti_filtered_topk oracle, whose hash would differ under a
+    # pre-filtered df) ---
+    _tfs = tempfile.mkdtemp(prefix="rclip_audit_tfs_")
+    os.rmdir(_tfs)
+    V.create(spark, _tfs,
+             load_table(spark, SF_DIR, "documents")
+             .select("doc_id", "text",
+                     (F.col("doc_id") % 3).alias("lang"))
+             .limit(1500))
+    _tfi = tempfile.mkdtemp(prefix="rclip_audit_tfi_")
+    os.rmdir(_tfi)
+    TIX.create_text_index(spark, _tfs, _tfi, key="doc_id",
+                          positions=True, include_cols=["lang"])
+    audits.append((
+        "Filtered phrase query (payload predicate pushed into the "
+        "term-pruned scan)",
+        TIX.query_phrase_index(spark, _tfi, "value table", k=10,
+                               where="lang = 1"),
+        {"In(term": True,
+         "EqualTo(lang,1)": True,
+         "TakeOrderedAndProject": True,
+         "Join": False},
+        "include_cols stores per-posting payload (doc-values-in-"
+        "postings), so a phrase query's metadata filter lands in the "
+        "SAME parquet scan as the term IN-list — and there is no "
+        "join back to the source. The BM25 twin applies the same "
+        "predicate AFTER its global-df window instead: filters "
+        "select eligible docs but must never reshape idf "
+        "(search-engine semantics; candidates still shrink before "
+        "the doc-aggregation shuffle).",
+    ))
+
     # --- r13: the TEXT index's bucketed at-rest layout — term/phrase
     # queries skip FILES at manifest resolution, the symmetric twin of
     # the r12 ANN treatment ---
