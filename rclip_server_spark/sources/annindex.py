@@ -401,6 +401,7 @@ def knn_join_via_index(
     vec_col: str = "embedding", version: int | None = None,
     max_expected_candidates: int | None = 50_000_000,
     n_left: int | None = None, skew_prepass: bool = False,
+    where: str | None = None,
 ) -> DataFrame:
     """Approximate k-NN JOIN against the MAINTAINED index — the
     two-large-tables alignment primitive (ann.lsh_knn_join) with the
@@ -420,8 +421,12 @@ def knn_join_via_index(
     The left side buckets ONCE (n_planes dots) and explodes its probe
     masks; one equi-join on the bucket; per-left-row top-k window.
     ``skew_prepass`` inserts the per-partition partial top-k guard for
-    extreme right-side skew (bit-identical on or off). Returns
-    (id_a, id_b, cosine, rnk)."""
+    extreme right-side skew (bit-identical on or off). ``where`` is a
+    payload predicate over the index's include_cols (+ key) applied to
+    the CORPUS side before the join — parquet-pushed into the state
+    scan, so a filtered k-NN join ("nearest in-license corpus rows for
+    every candidate doc") shrinks the candidate volume instead of
+    post-filtering ranked rows. Returns (id_a, id_b, cosine, rnk)."""
     from ..operators.ann import partition_partial_topk
     from ..operators.dedup import ScaleGuardError
 
@@ -457,7 +462,10 @@ def knn_join_via_index(
         "id_a", "va",
         F.explode(F.array(*[F.col("b0").bitwiseXOR(F.lit(m))
                             for m in masks])).alias("bucket"))
-    rt = _state(spark, view_path, v).select(
+    rt = _state(spark, view_path, v)
+    if where is not None:
+        rt = _apply_where(rt, _where_expr(where), where)
+    rt = rt.select(
         "bucket", F.col(key).alias("id_b"), F.col(ivec).alias("vb"))
     scored = (lf.join(rt, "bucket")
               .withColumn("cosine", VEC.dot("va", "vb"))

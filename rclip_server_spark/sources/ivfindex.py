@@ -178,6 +178,12 @@ def create_ivf_index(
                              seed=int(pq_seed))
         spec["ii_codebooks"] = [[[float(x) for x in c] for c in b]
                                 for b in books]
+        # training recipe recorded so retrain_ivf_index (the drift
+        # heal) can rebuild the books against the NEW centroids with
+        # the same parameters
+        spec["ii_pq_params"] = {
+            "m": int(pq_m), "k": int(pq_k), "iters": int(pq_iters),
+            "sample": int(pq_sample), "seed": int(pq_seed)}
     state = _assigned_rows(df, key, vec_col, centroids,
                            codebooks=books, include_cols=tuple(inc))
     # drift governance baseline: per-cell counts + summed quantization
@@ -395,6 +401,97 @@ def ivf_drift_report(view_path: str,
         "tv_threshold": tv_thr, "mqe_threshold": mqe_thr,
         "alarm": cell_tv > tv_thr or mqe_ratio > mqe_thr,
     }
+
+
+def retrain_ivf_index(
+    spark: SparkSession, view_path: str, centroids=None,
+    codebooks=None, iters: int | None = None, init: str | None = None,
+) -> int:
+    """The drift HEAL (the explicit re-create ivf_drift_report's alarm
+    asks for, as ONE in-band commit): retrain the coarse quantizer on
+    the CURRENT source head with the create-time recipe (or take new
+    explicit ``centroids`` — required when the index was created with
+    explicit ones, whose provenance this module cannot reproduce),
+    retrain the residual PQ codebooks against the NEW centroids with
+    the recorded ``ii_pq_params`` (or take explicit ``codebooks``),
+    reassign every row, advance the cursor to the source head, and
+    RESET the drift baseline to the new corpus — exactly what CREATE
+    would record today, without dropping the view, its catalog entry,
+    or its version history. One V.overwrite commit (parent-checked:
+    a concurrent refresh loses the OCC race cleanly); on a bucketed
+    at-rest layout overwrite's layout dispatch re-routes the new state
+    into the same bucket map, so file pruning survives the retrain."""
+    view_v = V.current_version(view_path)
+    spec = _spec_ii(view_path, view_v)
+    key, vec_col = spec["ii_key"], spec["ii_vec_col"]
+    src = spec["ii_source"]
+    src_v = V.current_version(src)
+    df = M._read_source(spark, src, src_v)
+    trained = str(spec.get("ii_trained", "explicit"))
+    if centroids is None:
+        if not trained.startswith("kmeans:"):
+            raise ValueError(
+                "this index was created with EXPLICIT centroids — "
+                "pass centroids= (and codebooks= if it carries "
+                "explicit books) to retrain_ivf_index")
+        _, c_init, c_iters = trained.split(":")
+        cents = ivf_train_kmeans(
+            df, k=int(spec["ii_n_cells"]),
+            iters=int(iters if iters is not None else c_iters),
+            id_col=key, vec_col=vec_col,
+            init=str(init if init is not None else c_init))
+        new_trained = (f"kmeans:{init or c_init}:"
+                       f"{int(iters if iters is not None else c_iters)}")
+    else:
+        cents = np.asarray(centroids, dtype=np.float64)
+        norms = np.linalg.norm(cents, axis=1, keepdims=True)
+        if not (norms > 0).all():
+            raise ValueError("explicit centroids must be non-zero rows")
+        if not np.allclose(norms, 1.0, rtol=0.0, atol=1e-9):
+            cents = cents / norms
+        new_trained = "explicit"
+    if cents.shape != (int(spec["ii_n_cells"]), int(spec["ii_dim"])):
+        raise ValueError(
+            f"retrained centroids shape {cents.shape} != the index's "
+            f"({spec['ii_n_cells']}, {spec['ii_dim']})")
+    books = None
+    if codebooks is not None:
+        books = np.asarray(codebooks, dtype=np.float64)
+    elif spec.get("ii_codebooks") is not None:
+        pq = spec.get("ii_pq_params")
+        if pq is None:
+            raise ValueError(
+                "this index carries EXPLICIT PQ codebooks — pass "
+                "codebooks= to retrain_ivf_index (residual books are "
+                "centroid-relative and cannot survive a retrain)")
+        from ..operators.ann import ivf_pq_train
+
+        sample_rows = (df.orderBy(F.asc(key)).limit(int(pq["sample"]))
+                       .select(vec_col).collect())
+        if not sample_rows:
+            raise ValueError("cannot retrain on an empty source")
+        sample = np.asarray([r[0] for r in sample_rows],
+                            dtype=np.float64)
+        books = ivf_pq_train(sample, cents, m_sub=int(pq["m"]),
+                             k_cent=int(pq["k"]),
+                             iters=int(pq["iters"]),
+                             seed=int(pq["seed"]))
+    inc = tuple(spec.get("ii_include_cols", []))
+    state = _assigned_rows(df, key, vec_col, cents, codebooks=books,
+                           include_cols=inc)
+    counts, sum_qe = _cell_stats(spark, state, vec_col, cents)
+    app = dict(spec) | {
+        "ii_centroids": [[float(x) for x in c] for c in cents],
+        "ii_trained": new_trained,
+        "ii_source_version": src_v,
+        "ii_base_cell_counts": counts, "ii_base_sum_qe": sum_qe,
+        "ii_cur_cell_counts": list(counts), "ii_cur_sum_qe": sum_qe,
+    }
+    if books is not None:
+        app["ii_codebooks"] = [[[float(x) for x in c] for c in b]
+                               for b in books]
+    return V.overwrite(spark, view_path, state, extra={"app": app},
+                       parent_version=view_v)
 
 
 def refresh_ivf_index_with_retry(

@@ -909,6 +909,30 @@ def execute(spark: SparkSession, statement: str, catalog: Catalog):
             out["key"] = e["meta"]["key"]
         return out
 
+    if head == "retrain":
+        # RETRAIN INDEX i — the IVF drift heal as one statement: new
+        # kmeans centroids (+ PQ codebooks, create-recipe) over the
+        # source HEAD, full reassignment, cursor advanced, drift
+        # baseline reset. Only the kmeans-trained IVF kind supports
+        # an in-band retrain (explicit quantizers need their new
+        # literals through the Python API).
+        cur.take()
+        cur.expect_kw("index")
+        name = cur.expect_ident()
+        if not cur.done():
+            raise SqlError("trailing tokens after RETRAIN INDEX")
+        e = catalog.get(name)
+        if e["kind"] != "ivf_index":
+            raise SqlError(f"RETRAIN INDEX heals an ivf_index view; "
+                           f"{name} is a {e['kind']}")
+        from ..sources import ivfindex as II
+
+        try:
+            ver = II.retrain_ivf_index(spark, e["path"])
+        except ValueError as ex:
+            raise SqlError(str(ex)) from ex
+        return {"status": "retrained", "name": name, "version": ver}
+
     if head == "refresh":
         cur.take()
         cur.expect_kw("materialized")

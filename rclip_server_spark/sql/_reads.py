@@ -150,9 +150,9 @@ def _rewrite_index_searches(spark: SparkSession, text: str,
             # view) whose columns match the index spec's key/vec_col.
             # Returns (id_a, id_b, cosine, rnk), composable like the
             # other table functions.
-            if len(args) not in (3, 4):
+            if len(args) not in (3, 4, 5):
                 raise SqlError("KNN_JOIN('ann_view', left_table, k"
-                               "[, probe_bits])")
+                               "[, probe_bits[, filter]])")
             from ..sources import annindex as AI
 
             if e["kind"] != "ann_index":
@@ -207,7 +207,12 @@ def _rewrite_index_searches(spark: SparkSession, text: str,
                     lver = ("uniq", uuid.uuid4().hex)
             k = _int_arg(args[2], "KNN_JOIN", "k")
             probes = _int_arg(args[3], "KNN_JOIN", "probe_bits") \
-                if len(args) == 4 else 1
+                if len(args) >= 4 else 1
+            # optional 5th arg: corpus-side payload filter (filtered
+            # k-NN join — the predicate prunes the index state scan
+            # BEFORE the bucket equi-join)
+            jwhere = _str_arg(args[4], "KNN_JOIN", "filter") \
+                if len(args) == 5 else None
             spec = AI._spec_ai(e["path"], ver)
             missing = [c for c in (spec["ai_key"], spec["ai_vec_col"])
                        if c not in left.columns]
@@ -228,7 +233,7 @@ def _rewrite_index_searches(spark: SparkSession, text: str,
                 AI.knn_join_via_index(
                     spark, left, e["path"], k=k, n_probe_bits=probes,
                     id_col=spec["ai_key"], vec_col=spec["ai_vec_col"],
-                    n_left=n_left,
+                    n_left=n_left, where=jwhere,
                     version=ver).createOrReplaceTempView(tmp)
             except (ValueError, KeyError, ScaleGuardError) as ex:
                 # ScaleGuardError included: SQL has no

@@ -365,3 +365,22 @@ def test_payload_survives_refresh_and_filter_errors_are_valueerror(
         AI.create_ann_index(spark, cat.get("ref")["path"],
                             str(cat.root) + "/bad", key="vec_id",
                             include_cols=["nope"])
+
+
+def test_filtered_knn_join_matches_prefiltered_adhoc(spark, vecs, cat,
+                                                     embeddings):
+    """r14: knn_join_via_index(where=) filters the CORPUS side before
+    the bucket equi-join — row-identical to the ad-hoc lsh_knn_join
+    against the pre-filtered source rows (same planes/seed)."""
+    vp = _mk_payload(spark, vecs, cat, "kj")
+    left = embeddings.select("vec_id", "embedding").where(
+        F.col("vec_id") % 2 == 1).limit(40)
+    got = AI.knn_join_via_index(spark, left, vp, k=3,
+                                where="category = 2")
+    src = spark.table("seed_kj").where("category = 2") \
+        .select("vec_id", "embedding")
+    want = ann.lsh_knn_join(left, src, k=3, n_planes=4, seed=42,
+                            n_probe_bits=1)
+    assert sorted((r[0], r[1], round(r[2], 9)) for r in got.collect()) \
+        == sorted((r[0], r[1], round(r[2], 9)) for r in want.collect())
+    assert got.count() > 0

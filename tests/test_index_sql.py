@@ -334,3 +334,29 @@ def test_text_search_filter_argument(spark, documents, cat):
     with pytest.raises(S.SqlError):
         S.execute(spark, "SELECT * FROM TEXT_SEARCH('fti', "
                          "'data', 5, 'bogus_col = 0')", cat)
+
+
+def test_knn_join_filter_argument(spark, embeddings, cat):
+    from rclip_server_spark.sources import annindex as AI
+
+    embeddings.select("vec_id", "embedding",
+                      (F.col("vec_id") % 5).alias("category")) \
+        .limit(400).createOrReplaceTempView("kj_seed")
+    S.execute(spark, "CREATE TABLE kj OPTIONS (key='vec_id') AS "
+                     "SELECT * FROM kj_seed", cat)
+    S.execute(spark, "CREATE MATERIALIZED VIEW kji USING ann_index "
+                     "OPTIONS (source='kj', key='vec_id', n_planes=6, "
+                     "include_cols='category')", cat)
+    embeddings.select("vec_id", "embedding").limit(30) \
+        .createOrReplaceTempView("kj_left")
+    got = S.execute(spark, "SELECT * FROM KNN_JOIN('kji', kj_left, "
+                           "3, 1, 'category = 2') ORDER BY id_a, rnk",
+                    cat)
+    want = AI.knn_join_via_index(
+        spark, spark.table("kj_left"), cat.get("kji")["path"], k=3,
+        n_probe_bits=1, where="category = 2").orderBy("id_a", "rnk")
+    assert _rows(got) == _rows(want) and _rows(got)
+    assert all(r[1] % 5 == 2 for r in _rows(got))
+    with pytest.raises(S.SqlError):
+        S.execute(spark, "SELECT * FROM KNN_JOIN('kji', kj_left, "
+                         "3, 1, 'bogus = 2')", cat)

@@ -438,3 +438,67 @@ def test_filtered_adc_tier_and_batch(spark, vecs, cat):
                                     where="category = 2").collect():
             singles.add((qid, r[0], round(r[1], 9)))
     assert rows == singles and rows
+
+
+def test_retrain_heals_drift_and_requeries_exactly(spark, vecs, cat):
+    """r14 drift HEAL: RETRAIN INDEX retrains centroids (+ PQ books
+    with the create recipe) on the source head, reassigns, advances
+    the cursor, and resets the drift baseline — alarm clears, queries
+    re-match the ad-hoc scorer under the NEW quantizers, payload and
+    the bucketed layout survive."""
+    import numpy as np
+
+    vecs.select("vec_id", "embedding",
+                (F.col("vec_id") % 5).alias("category")) \
+        .createOrReplaceTempView("seed_rt")
+    S.execute(spark, "CREATE TABLE rt OPTIONS (key='vec_id') AS "
+                     "SELECT * FROM seed_rt", cat)
+    S.execute(spark, "CREATE MATERIALIZED VIEW rt_ivf USING "
+                     "ivf_index OPTIONS (source='rt', key='vec_id', "
+                     "n_cells=8, iters=2, pq_m=8, pq_k=16, "
+                     "include_cols='category', buckets=8)", cat)
+    vp = cat.get("rt_ivf")["path"]
+    assert not II.ivf_drift_report(vp)["alarm"]
+    # drifted appends: a fixed unit direction far from the trained mass
+    d = [0.0] * 64
+    d[1] = 1.0
+    from rclip_server_spark.sources import versioned as V
+
+    drift = (vecs.limit(250)
+             .select((F.col("vec_id") + 900000).alias("vec_id"),
+                     F.array(*[F.lit(float(x)) for x in d])
+                     .cast("array<float>").alias("embedding"),
+                     F.lit(3).cast("bigint").alias("category")))
+    V.append(spark, cat.get("rt")["path"], drift)
+    S.execute(spark, "REFRESH MATERIALIZED VIEW rt_ivf", cat)
+    assert II.ivf_drift_report(vp)["alarm"]
+    out = S.execute(spark, "RETRAIN INDEX rt_ivf", cat)
+    assert out["status"] == "retrained"
+    rep = II.ivf_drift_report(vp)
+    assert not rep["alarm"] and rep["cell_tv"] == 0.0
+    desc = S.execute(spark, "DESCRIBE INDEX rt_ivf", cat)
+    assert desc["fresh"] and desc["layout"] == "bucketed"
+    # exact-tier query == ad-hoc ivf_topk under the RETRAINED centroids
+    spec = II._spec_ii(vp)
+    cents = II._centroids(spec)
+    got = II.query_ivf_index(spark, vp, QV, k=10, n_probe=3)
+    src_head = V.read(spark, cat.get("rt")["path"])
+    want = ann.ivf_topk(src_head, QV, cents, k=10, n_probe=3)
+    assert _ids_scores(got) == _ids_scores(want)
+    # PQ books retrained against the new centroids: huge-shortlist ADC
+    # == exact, with the payload filter still working
+    adc = II.query_ivf_index(spark, vp, QV, k=5, n_probe=3,
+                             method="adc", shortlist=100000,
+                             where="category = 3").collect()
+    exact = II.query_ivf_index(spark, vp, QV, k=5, n_probe=3,
+                               where="category = 3").collect()
+    assert [r[0] for r in adc] == [r[0] for r in exact] and adc
+    # guard: an explicit-centroid index refuses a parameterless retrain
+    import rclip_server_spark.operators.ann as _ann
+
+    ep = str(cat.root) + "/exp_ivf"
+    II.create_ivf_index(spark, cat.get("rt")["path"], ep,
+                        key="vec_id",
+                        centroids=_ann.hyperplanes(8, 64, seed=3))
+    with pytest.raises(ValueError):
+        II.retrain_ivf_index(spark, ep)
