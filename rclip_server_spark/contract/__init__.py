@@ -95,17 +95,18 @@ _PRIORITY = [
     # predicate inside the probed scan, operator + SQL + IVF twins;
     # batched multi-query serving's oracle row) — all hash-exact ---
     "ai_filtered_topk", "sql_ann_filtered_topk", "ii_filtered_topk",
-    "ai_batch_topk", "ti_filtered_topk", "sql_text_filtered_topk",
+    "ti_filtered_topk", "sql_text_filtered_topk",
+    "ai_batch_topk", "ti_batch_topk", "ii_batch_topk",
     # --- oldest-green sweep (the r13 window note's candidate list,
-    # in its order; the last 6 displaced by the new r14 rows above) ---
+    # in its order; the last 8 displaced by the new r14 rows above) ---
     "ev_session_windows", "samp_stratified",
-    "samp_temperature_mixture", "text_lang_id", "text_bm25_topk",
-    "text_ngram_contamination",
+    "samp_temperature_mixture", "text_lang_id",
 ]
 # r15 rotation candidates (driver-green in r13, displaced by the r14
 # rows above): dedup_semantic_semdedup, vec_quantize_int8_roundtrip,
 # vt_view_composition, sql_clone_divergence, ann_lsh_topk_multiprobe,
-# ann_lsh_knn_join (displaced late-r14 by the filtered-search/batch
+# ann_lsh_knn_join, text_bm25_topk, text_ngram_contamination
+# (displaced late-r14 by the filtered-search/batch
 # rows), rel_salted_join_skew, sql_create_schema_insert,
 # sql_bucketed_lifecycle, sql_merge_sync_by_source,
 # sql_bucket_migration, sql_merge_upsert, vt_agg_view_refresh,

@@ -3793,3 +3793,93 @@ _register(
               topk_where=" AND (doc_id % 3) = 1")
     .replace("FROM documents", f"FROM {_TF_CORPUS_SQL}"),
 )
+
+
+# ===========================================================================
+# Batched serving oracle rows for the remaining two kinds (r14): the
+# ANN batch row above pins query_ann_index_batch; these pin the text
+# and IVF batch twins the same way — per query, the ONE-plan batch
+# answer must equal the single-query plan, which the oracle recomputes
+# independently per qid and unions.
+# ===========================================================================
+
+_TB_QS = [(1, BM25_TERMS), (2, ["model", "data", "vector"])]
+
+
+def _ti_batch_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """M BM25 queries in ONE plan from the maintained postings (union
+    term scan + broadcast (qid, term, mult) fan-out + per-qid window;
+    df per term from the term-partition window — the union scan leaves
+    each term's df unchanged, which this oracle would catch if it
+    didn't)."""
+    from ..sources import textindex as TI
+
+    path = _vt_build(spark, sf, "tiidx", _ti_index_builder)
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    out = TI.query_text_index_batch(
+        spark, cat.get("tiidx")["path"], _TB_QS, k=10)
+    return out.withColumn("bm25", F.round("bm25", 6))
+
+
+def _tb_q_sql(qid: int, terms: list[str]) -> str:
+    inner = _bm25_sql(terms, topk=10).replace(
+        "FROM documents", f"FROM {_TI_CORPUS_SQL}")
+    return (f"SELECT * FROM (SELECT CAST({qid} AS BIGINT) AS qid, "
+            f"doc_id, bm25 FROM ({inner}) b{qid}) q{qid}")
+
+
+_register(
+    "ti_batch_topk",
+    _ti_batch_topk,
+    " UNION ALL ".join(_tb_q_sql(q, t) for q, t in _TB_QS),
+)
+
+_IB_QS = [(1, QV_ZEBRA), (2, EMBEDDER.embed_text("ocean"))]
+
+
+def _ii_batch_cells(qv) -> list[int]:
+    import numpy as np
+
+    order = np.argsort(-(_II_CENTS @ np.asarray(qv,
+                                                dtype=np.float64)))
+    return [int(i) for i in order[:_II_NPROBE]]
+
+
+def _ii_batch_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """M IVF probe queries in ONE plan from the maintained IVF index
+    (exact re-rank tier, frozen explicit centroids): the union of
+    probed cells drives one file-pruned scan, each query scores only
+    its own cells through the broadcast (qid, cell, qvec) frame."""
+    from ..sources import ivfindex as II
+
+    path = _vt_build(spark, sf, "afidx", _af_index_builder)
+    from .. import sql as SQ
+
+    cat = SQ.Catalog(path)
+    out = II.query_ivf_index_batch(
+        spark, cat.get("afivf")["path"], _IB_QS, k=10,
+        n_probe=_II_NPROBE)
+    return out.withColumn("score", F.round("score", 9))
+
+
+def _ib_q_sql(qid: int, qv) -> str:
+    return f"""
+    SELECT * FROM (
+      WITH cellof AS (
+        SELECT vec_id, embedding, {_cell_sql('embedding')} AS cell
+        FROM {_AF_CORPUS_SQL})
+      SELECT CAST({qid} AS BIGINT) AS qid, vec_id,
+             round({dot_sql('embedding', qv)}, 9) AS score
+      FROM cellof
+      WHERE cell IN ({', '.join(str(c) for c in _ii_batch_cells(qv))})
+      ORDER BY score DESC, vec_id LIMIT 10) q{qid}
+    """
+
+
+_register(
+    "ii_batch_topk",
+    _ii_batch_topk,
+    " UNION ALL ".join(_ib_q_sql(q, v) for q, v in _IB_QS),
+)
