@@ -64,14 +64,14 @@ def test_registry_invariants():
         assert any(n.startswith(prefix) for n in window), prefix
     # everything in the window has an oracle except the NAMED rows-only
     # rows (no SQL twin by design: RNG-seeded/k-means/iterative/UDF
-    # ops). The r13 rotation carries exactly THREE rows-only rows —
-    # the fixed §2 D1 slot, b16_local_binary_ingest (binary columns
-    # can't value-hash), and ii_ivfadc_topk (shortlist membership is
-    # PQ-argmin-dependent, not SQL-expressible).
+    # ops). The r14 rotation carries exactly ONE rows-only row — the
+    # fixed §2 D1 slot (pandas_udf embedding). ii_ivfadc_topk was
+    # UPGRADED to hash-exact in r14 (explicit quantizer literals; the
+    # oracle recomputes the PQ-argmin shortlist as VALUES-table
+    # LIMIT 1 subqueries) and b16_local_binary_ingest (binary
+    # columns can't value-hash) rotated out with the sweep.
     assert sorted(n for n in C._PRIORITY if n not in o) == [
-        "b16_local_binary_ingest",
         "d1_embed_documents_distributed",
-        "ii_ivfadc_topk",
     ]
 
 
