@@ -666,6 +666,16 @@ def main() -> None:
     # headline total so `value` remains comparable across rounds
     calib = sorted(calib_samples)[len(calib_samples) // 2]
     timings["stage_floor_calib"] = calib
+    # calib_best is the calib row's OWN best-of (symmetric with every
+    # query row's best-of-2): the capability signal the floor gate
+    # judges against. The mid/end-of-pass samples systematically
+    # include the engine's residual state after heavy queries
+    # (shuffle-cleanup daemons, broadcast GC) — measured: start
+    # samples ~0.6-0.8 vs mid/end ~1.0-1.4 across three r14 runs,
+    # while a controlled back-to-back test shows no such inflation —
+    # so the MEDIAN is contention EVIDENCE (it travels in the
+    # artifact), not the machine-capability estimator.
+    calib_best = min(calib_samples)
     headline = {k: v for k, v in timings.items()
                 if k != "stage_floor_calib"}
     ratios = sorted(timings[n] / f for n, f in FLOOR_SEC.items()
@@ -679,6 +689,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "calib_sec": calib,
+                "calib_best_sec": calib_best,
                 "calib_samples": calib_samples,
                 "calib_floor_sec": CALIB_FLOOR_SEC,
                 "median_floor_ratio": round(med_ratio, 3),

@@ -49,11 +49,20 @@ def main() -> int:
     # through for the judge
     calib = run.get("stage_floor_calib")
     calib_samples = artifact.get("calib_samples", [])
+    # the gate judges against the calib row's BEST sample — symmetric
+    # with every query row's best-of-2. The mid/end-of-pass samples
+    # systematically include the engine's own residual state after
+    # heavy queries (shuffle cleanup, broadcast GC) that best-of-2
+    # query timings get to dodge; judging the median against a floor
+    # pinned from best-style measurements would flag a clean host.
+    # The median + raw samples still travel through as the bursty-
+    # contention evidence (host_dirty below).
+    calib_best = min(calib_samples) if calib_samples else calib
     # a contention factor below 1 means this host ran FASTER than the
     # committed calib floor — dividing by it would loosen the absolute
     # rule, so clamp: normalization only ever explains slowness away,
     # never hides a real regression behind a fast calib sample
-    k = max(calib / CALIB_FLOOR_SEC, 1.0) if calib else 1.0
+    k = max(calib_best / CALIB_FLOOR_SEC, 1.0) if calib_best else 1.0
 
     def _judge(scale: float) -> list:
         bad = []
@@ -77,8 +86,8 @@ def main() -> int:
     # outright (on the protocol's idle machine, calib inflation IS a
     # regression of shared machinery; on a contended host it correctly
     # demands the re-run the protocol already requires)
-    calib_bad = (calib is not None
-                 and calib > CALIB_FLOOR_SEC * (1 + slack) + 0.15)
+    calib_bad = (calib_best is not None
+                 and calib_best > CALIB_FLOOR_SEC * (1 + slack) + 0.15)
     # second contention signal: the MEDIAN got/floor ratio across all
     # shared queries. Bursty host noise a single 0.5s calib sample
     # misses still shifts the whole distribution; a median well above
@@ -100,6 +109,7 @@ def main() -> int:
     print(json.dumps({
         "queries": run,
         "calib_sec": calib,
+        "calib_best_sec": calib_best,
         "calib_samples": calib_samples,
         "calib_floor_sec": CALIB_FLOOR_SEC,
         "contention_factor": round(k, 3),
