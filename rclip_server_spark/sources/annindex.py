@@ -39,6 +39,8 @@ from ..functions import vector as VEC
 from ..operators.ann import hyperplane_bucket_col, hyperplanes
 from . import matview as M
 from . import versioned as V
+from .matview import (_apply_where, _check_include_cols,
+                      _where_expr)
 
 
 def _bucketed_rows(df: DataFrame, key: str, vec_col: str,
@@ -49,27 +51,6 @@ def _bucketed_rows(df: DataFrame, key: str, vec_col: str,
         hyperplane_bucket_col(F.col(vec_col), planes).alias("bucket"),
         F.col(key), F.col(vec_col),
         *[F.col(c) for c in include_cols])
-
-
-def _check_include_cols(df: DataFrame, key: str, vec_col: str,
-                        include_cols, reserved: tuple[str, ...]
-                        ) -> list[str]:
-    """Validate payload columns at CREATE time: they must exist on the
-    source and not collide with the index's own columns — a typo here
-    must fail the CREATE, never a later refresh."""
-    cols = [str(c) for c in (include_cols or [])]
-    lower = {c.lower() for c in df.columns}
-    taken = {key.lower(), vec_col.lower(), *reserved}
-    for c in cols:
-        if c.lower() not in lower:
-            raise ValueError(f"include_cols: {c!r} is not a source "
-                             f"column (have {sorted(df.columns)})")
-        if c.lower() in taken:
-            raise ValueError(f"include_cols: {c!r} collides with an "
-                             f"index column")
-    if len({c.lower() for c in cols}) != len(cols):
-        raise ValueError("include_cols: duplicate column")
-    return cols
 
 
 def create_ann_index(
@@ -208,30 +189,6 @@ def refresh_ann_index_with_retry(
         lambda: refresh_ann_index(
             spark, view_path, recompute_fraction=recompute_fraction),
         max_retries)
-
-
-def _where_expr(where: str):
-    """Parse a filter predicate string into a Column, surfacing parse
-    errors as the operator-layer ValueError contract (SqlError wraps
-    it at the SQL surface)."""
-    try:
-        return F.expr(where)
-    except Exception as ex:
-        raise ValueError(f"bad filter predicate {where!r}: {ex}") \
-            from ex
-
-
-def _apply_where(cand: DataFrame, flt, where: str) -> DataFrame:
-    """Apply a parsed payload filter, folding resolution failures
-    (filter names a column the index doesn't carry) into the same
-    ValueError contract parse failures use."""
-    try:
-        return cand.where(flt)
-    except Exception as ex:
-        raise ValueError(
-            f"filter predicate {where!r} does not resolve over the "
-            f"index columns {cand.columns} (declare payload columns "
-            f"with include_cols at CREATE): {ex}") from ex
 
 
 def query_ann_index(

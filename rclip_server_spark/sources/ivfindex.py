@@ -48,7 +48,7 @@ from ..functions import vector as VEC
 from ..operators.ann import ivf_assign, ivf_train_kmeans
 from . import matview as M
 from . import versioned as V
-from .matview import _RETRACTING
+from .matview import _INSERTING, _RETRACTING
 
 
 def _assigned_rows(df: DataFrame, key: str, vec_col: str,
@@ -110,7 +110,7 @@ def create_ivf_index(
     rows as FILTERABLE PAYLOAD (query_ivf_index ``where=``): the
     predicate evaluates inside the probed-cell scan, parquet-pushed,
     so filtered vector search never joins back to the source."""
-    from .annindex import _check_include_cols
+    from .matview import _check_include_cols
 
     src_v = V.current_version(source_path)
     df = M._read_source(spark, source_path, src_v)
@@ -200,13 +200,15 @@ def create_ivf_index(
 
 
 def _cell_stats(spark: SparkSession, rows: DataFrame, vec_col: str,
-                centroids: np.ndarray) -> tuple[list[int], float]:
+                centroids: np.ndarray, sign_col: str | None = None
+                ) -> tuple[list[int], float]:
     """(per-cell row counts, summed quantization error) of already-
     assigned rows: qe = ||x - c_cell||^2 expanded as |x|^2 - 2 x.c +
     |c|^2 in JVM column math over a broadcast n_cells-row centroid
     frame. KB-sized drift evidence from ONE small aggregation —
     O(given rows): the full state at create/heal, the interval's
-    delta inside a refresh."""
+    delta inside a refresh. ``sign_col`` turns the aggregation into a
+    signed roll-forward (inserts +1, retractions -1 in one job)."""
     n_cells = int(centroids.shape[0])
     cdf = spark.createDataFrame(
         [(int(i), [float(x) for x in centroids[i]],
@@ -215,14 +217,16 @@ def _cell_stats(spark: SparkSession, rows: DataFrame, vec_col: str,
     qe = (VEC.dot(F.col(vec_col), F.col(vec_col))
           - F.lit(2.0) * VEC.dot(F.col(vec_col), F.col("_cent"))
           + F.col("_cnsq"))
+    sgn = (F.col(sign_col).cast("double") if sign_col
+           else F.lit(1.0))
     agg = (rows.join(F.broadcast(cdf), "ivf_cell")
            .groupBy("ivf_cell")
-           .agg(F.count(F.lit(1)).alias("n"), F.sum(qe).alias("sqe"))
+           .agg(F.sum(sgn).alias("n"), F.sum(qe * sgn).alias("sqe"))
            .collect())
     counts = [0] * n_cells
     sum_qe = 0.0
     for r in agg:
-        counts[int(r["ivf_cell"])] = int(r["n"])
+        counts[int(r["ivf_cell"])] = int(r["n"] or 0)
         sum_qe += float(r["sqe"] or 0.0)
     return counts, sum_qe
 
@@ -332,20 +336,28 @@ def refresh_ivf_index(
             return app
         cents = _centroids(spec)
         key, vec_col = spec["ii_key"], spec["ii_vec_col"]
-        ins_counts, ins_qe = _cell_stats(spark_, new_rows, vec_col,
-                                         cents)
-        # pre-images re-assign under the SAME frozen quantizers they
-        # were assigned with at insert time — exact retraction
-        retr = _assigned_rows(
-            ch.where(F.col("_change_type").isin(*_RETRACTING)),
-            key, vec_col, cents, codebooks=_codebooks(spec))
-        del_counts, del_qe = _cell_stats(spark_, retr, vec_col, cents)
-        cur = [int(c) + i - d for c, i, d in
-               zip(spec["ii_cur_cell_counts"], ins_counts, del_counts)]
+        # ONE signed aggregation over the (already persisted) change
+        # frame: inserts count +1, retracted pre-images -1, each
+        # re-assigned under the SAME frozen centroids they carried —
+        # exact roll-forward. Counts/qe never need pq_codes, so the
+        # retraction side skips the IVFADC Arrow re-encode a
+        # _assigned_rows call would pay (r14 review finding: the old
+        # two-_cell_stats form ran two jobs + a PQ pass per refresh).
+        signed = (ch.where(F.col("_change_type").isin(
+            *(_RETRACTING + _INSERTING)))
+            .withColumn("_sgn", F.when(
+                F.col("_change_type").isin(*_INSERTING),
+                F.lit(1)).otherwise(F.lit(-1)))
+            .select(key, vec_col, "_sgn"))
+        assigned = ivf_assign(signed, cents, id_col=key,
+                              vec_col=vec_col, keep_cols=["_sgn"])
+        counts, sum_qe = _cell_stats(spark_, assigned, vec_col, cents,
+                                     sign_col="_sgn")
+        cur = [int(c) + d for c, d in
+               zip(spec["ii_cur_cell_counts"], counts)]
         return app | {
             "ii_cur_cell_counts": cur,
-            "ii_cur_sum_qe": float(spec["ii_cur_sum_qe"])
-            + ins_qe - del_qe,
+            "ii_cur_sum_qe": float(spec["ii_cur_sum_qe"]) + sum_qe,
         }
 
     return M._refresh_index(
@@ -457,6 +469,12 @@ def retrain_ivf_index(
     books = None
     if codebooks is not None:
         books = np.asarray(codebooks, dtype=np.float64)
+        dim = int(spec["ii_dim"])
+        if books.ndim != 3 or books.shape[0] * books.shape[2] != dim:
+            raise ValueError(
+                f"explicit codebooks must be (m_sub, k_cent, "
+                f"dim/m_sub) with m_sub*dsub == {dim}, got shape "
+                f"{books.shape}")
     elif spec.get("ii_codebooks") is not None:
         pq = spec.get("ii_pq_params")
         if pq is None:
@@ -549,10 +567,14 @@ def query_ivf_index(
     if qv.shape != (dim,):
         raise ValueError(f"query dim {qv.shape} != index dim ({dim},)")
     cents = _centroids(spec)
+    if int(n_probe) < 1:
+        # also the widening ladder's loop variant: doubling from 0
+        # would never reach n_cells
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     if method not in ("exact", "adc"):
         raise ValueError(f"unknown method {method!r}; "
                          f"use 'exact' or 'adc'")
-    from .annindex import _apply_where, _where_expr
+    from .matview import _apply_where, _where_expr
 
     flt = _where_expr(where) if where is not None else None
 
@@ -650,7 +672,7 @@ def query_ivf_index_batch(
     if where is not None:
         # shared metadata filter across the batch (payload predicate
         # pushed into the ONE probed scan, before the query join)
-        from .annindex import _apply_where, _where_expr
+        from .matview import _apply_where, _where_expr
 
         cand = _apply_where(cand, _where_expr(where), where)
     from pyspark.sql import Window

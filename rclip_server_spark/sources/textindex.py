@@ -105,7 +105,7 @@ def create_text_index(
     FILTERABLE PAYLOAD (query ``where=``): filtered lexical search
     without a join back to the source, at the standard doc-values
     cost of one payload copy per (doc, distinct term)."""
-    from .annindex import _check_include_cols
+    from .matview import _check_include_cols
 
     src_v = V.current_version(source_path)
     df = M._read_source(spark, source_path, src_v)
@@ -330,7 +330,7 @@ def query_text_index(
                * ((tf * F.lit(k1 + 1.0)) / denom))
     cand = hits.withColumn("_c", contrib)
     if where is not None:
-        from .annindex import _apply_where, _where_expr
+        from .matview import _apply_where, _where_expr
 
         cand = _apply_where(cand, _where_expr(where), where)
     scored = cand.groupBy(key).agg(F.sum("_c").alias("bm25"))
@@ -411,7 +411,7 @@ def query_text_index_batch(
         # shared payload filter across the batch: applied AFTER the
         # global-df window (filters select docs, never reshape idf —
         # the single-query rule), before the query fan-out join
-        from .annindex import _apply_where, _where_expr
+        from .matview import _apply_where, _where_expr
 
         base = _apply_where(base, _where_expr(where), where)
     pairs = [(qid, t, float(m))
@@ -466,7 +466,7 @@ def query_phrase_index(
     if where is not None:
         # phrase matching has no global stats, so the payload filter
         # applies BEFORE the pivot — pushed into the term-pruned scan
-        from .annindex import _apply_where, _where_expr
+        from .matview import _apply_where, _where_expr
 
         hits = _apply_where(hits, _where_expr(where), where)
     hits = hits.select(key, "term", "positions")

@@ -458,13 +458,24 @@ def _read_with_deletes(spark: SparkSession, path: str, m: dict,
                 kparts = [spark.read.option("mergeSchema", "true")
                           .parquet(os.path.join(path, d)).select(key)
                           for d in vs]
-                want = ktype or kparts[0].schema[key]\
-                    .dataType.simpleString()
-                kd = kparts[0].select(
-                    _F.col(key).cast(want).alias(key))
+                # unify on the WIDEST observed integral type (never a
+                # narrower committed type): downcasting a wider legacy
+                # vector would silently WRAP out-of-range keys — the
+                # wrapped value can collide with a live key and delete
+                # it, or miss the real deleted key. Non-integral /
+                # mixed-class groups keep each file's own type and let
+                # the union/anti-join coerce (the pre-marker behavior).
+                rank = {"tinyint": 1, "smallint": 2, "int": 3,
+                        "bigint": 4}
+                seen = {kp.schema[key].dataType.simpleString()
+                        for kp in kparts} | ({ktype} if ktype else set())
+                if seen <= set(rank):
+                    want = max(seen, key=rank.get)
+                    kparts = [kp.select(_F.col(key).cast(want)
+                                        .alias(key)) for kp in kparts]
+                kd = kparts[0]
                 for kp in kparts[1:]:
-                    kd = kd.unionByName(kp.select(
-                        _F.col(key).cast(want).alias(key)))
+                    kd = kd.unionByName(kp)
                 kd = kd.distinct()
             df = df.join(kd, [key], "left_anti")
         parts.append(df)
@@ -1356,6 +1367,11 @@ def clone(src_path: str, dst_path: str, version: int | None = None
         extra["delete_scopes"] = {
             _abs(d): (None if ss is None else [_abs(s) for s in ss])
             for d, ss in scopes.items()}
+        # the typed marker follows its vectors through the _abs
+        # rewrite — losing it would silently demote every pinned
+        # serving read of the clone to the mergeSchema compat path
+        extra["delete_typed"] = [_abs(d) for d in
+                                 m.get("delete_typed", [])]
     for k in ("seg_stats", "seg_rows"):
         if m.get(k):
             extra[k] = {_abs(s): val for s, val in m[k].items()}
@@ -3128,7 +3144,8 @@ def restore(spark: SparkSession, path: str, to_version: int) -> int:
             )
     carry_keys = ("segments", "buckets", "bucket_key", "n_buckets",
                   "stat_cols", "seg_stats", "col_types", "hidden_cols",
-                  "delete_key", "delete_segs", "delete_scopes", "app")
+                  "delete_key", "delete_segs", "delete_scopes",
+                  "delete_typed", "app")
     extra = {k: src[k] for k in carry_keys
              if k in src and k != "segments"}
     extra["restored_from"] = tv

@@ -31,6 +31,8 @@ _UNREGISTERABLE = _RESERVED | {
     "restore", "optimize", "explain", "distinct", "to",
     "alter", "add", "column", "start", "stop", "stream",
     "changes", "bucket",
+    # r14: DESCRIBE INDEX / RETRAIN INDEX made "index" a grammar word
+    "index",
 }
 
 

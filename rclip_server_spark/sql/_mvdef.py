@@ -619,6 +619,17 @@ def _create_distinct_mv(spark: SparkSession, catalog: Catalog,
     return _strand_proof(catalog, [vp, vp1, vp0], _build)
 
 
+def _include_cols_opt(kw: dict, opts: dict) -> None:
+    """OPTIONS (include_cols='a,b') — filterable payload columns
+    copied into the index rows (the search table functions' filter
+    argument evaluates over them); one CSV parse shared by all three
+    index kinds."""
+    if "include_cols" in opts:
+        kw["include_cols"] = [c.strip() for c in
+                              str(opts["include_cols"]).split(",")
+                              if c.strip()]
+
+
 def _create_using(spark: SparkSession, catalog: Catalog, name: str,
                   kind: str, opts: dict) -> dict:
     """``CREATE MATERIALIZED VIEW v USING near_dup OPTIONS (source='t',
@@ -653,10 +664,7 @@ def _create_using(spark: SparkSession, catalog: Catalog, name: str,
 
             kw = {k: opts[k] for k in ("text_col", "k1", "b")
                   if k in opts}
-            if "include_cols" in opts:
-                kw["include_cols"] = [c.strip() for c in
-                                      str(opts["include_cols"])
-                                      .split(",") if c.strip()]
+            _include_cols_opt(kw, opts)
             if "positions" in opts:
                 pv = opts["positions"]
                 kw["positions"] = (str(pv).strip().lower() == "true"
@@ -678,13 +686,7 @@ def _create_using(spark: SparkSession, catalog: Catalog, name: str,
 
             kw = {k: opts[k] for k in ("vec_col", "n_planes", "seed",
                                        "dim") if k in opts}
-            if "include_cols" in opts:
-                # OPTIONS (include_cols='a,b'): filterable payload
-                # columns copied into the index rows (ANN_SEARCH's
-                # filter argument evaluates inside the probed scan)
-                kw["include_cols"] = [c.strip() for c in
-                                      str(opts["include_cols"])
-                                      .split(",") if c.strip()]
+            _include_cols_opt(kw, opts)
             try:
                 AI.create_ann_index(spark, src["path"], vp, key=key,
                                     **kw)
@@ -711,10 +713,7 @@ def _create_using(spark: SparkSession, catalog: Catalog, name: str,
                                  ("pq_sample", int)):
                     if ok in opts:
                         kw[ok] = cast(opts[ok])
-                if "include_cols" in opts:
-                    kw["include_cols"] = [c.strip() for c in
-                                          str(opts["include_cols"])
-                                          .split(",") if c.strip()]
+                _include_cols_opt(kw, opts)
                 II.create_ivf_index(spark, src["path"], vp, key=key,
                                     **kw)
                 if "buckets" in opts:

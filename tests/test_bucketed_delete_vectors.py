@@ -438,3 +438,63 @@ def test_legacy_untyped_vector_reads_via_mergeschema(spark, tmp_path):
     got3 = sorted(r["k"] for r in
                   V.read(spark, p, pin_schema=True).collect())
     assert got3 == [k for k in range(100) if k not in (5, 7, 11)]
+
+
+def test_legacy_wider_vector_never_wraps_keys(spark, tmp_path):
+    """r14 review finding: the legacy-vector fallback must unify on
+    the WIDEST observed key type. A bigint legacy vector holding
+    2^32 + 5 on an int-keyed table would, under a cast to the first
+    file's (or committed) int type, WRAP to 5 and delete a live row."""
+    import json
+    import uuid as _uuid
+
+    p = str(tmp_path / "wide")
+    df = spark.range(0, 50).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 3).alias("val"))
+    V.create(spark, p, df)
+    m = V._manifest(p, V.current_version(p))
+    dseg = f"del-{_uuid.uuid4().hex[:12]}"
+    spark.createDataFrame([(2 ** 32 + 5,), (7,)], "k bigint") \
+        .write.parquet(os.path.join(p, dseg))
+    v = V.current_version(p)
+    m2 = dict(m) | {
+        "op": "delete", "delete_key": "k", "delete_segs": [dseg],
+        "delete_scopes": {dseg: m["segments"]},
+    }
+    with open(V._snap_path(p, v + 1), "w") as f:
+        json.dump(m2, f)
+    for pin in (False, True):
+        got = sorted(r["k"] for r in
+                     V.read(spark, p, pin_schema=pin).collect())
+        # key 7 deleted; key 5 SURVIVES (2^32+5 matches no int key)
+        assert got == [k for k in range(50) if k != 7], (pin, got)
+
+
+def test_clone_and_restore_carry_delete_typed(spark, tmp_path):
+    """r14 review finding: losing the typed marker on CLONE/RESTORE
+    silently demotes every pinned serving read of the copy to the
+    mergeSchema compat path."""
+    p = str(tmp_path / "src")
+    df = spark.range(0, 40).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") * 2).alias("v"))
+    V.create(spark, p, df)
+    V.delete_rows(spark, p, [3, 9], "k")
+    m = V._manifest(p, V.current_version(p))
+    assert m["delete_typed"] == m["delete_segs"]
+    c = str(tmp_path / "clone")
+    V.clone(p, c)
+    mc = V._manifest(c, V.current_version(c))
+    assert mc["delete_segs"] and \
+        mc["delete_typed"] == mc["delete_segs"]
+    assert sorted(r["k"] for r in
+                  V.read(spark, c, pin_schema=True).collect()) == \
+        [k for k in range(40) if k not in (3, 9)]
+    # restore: roll forward past the delete, then restore back to it
+    V.append(spark, p, df.limit(5).select(
+        (F.col("k") + 1000).alias("k"), "v"))
+    dv = V.current_version(p) - 1
+    V.restore(spark, p, dv)
+    mr = V._manifest(p, V.current_version(p))
+    assert mr["delete_segs"] and \
+        mr["delete_typed"] == mr["delete_segs"]

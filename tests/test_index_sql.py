@@ -360,3 +360,26 @@ def test_knn_join_filter_argument(spark, embeddings, cat):
     with pytest.raises(S.SqlError):
         S.execute(spark, "SELECT * FROM KNN_JOIN('kji', kj_left, "
                          "3, 1, 'bogus = 2')", cat)
+
+
+def test_index_is_a_reserved_name_and_n_probe_guard(spark, embeddings,
+                                                    cat):
+    """r14 review findings: 'index' became a grammar word (DESCRIBE
+    INDEX / RETRAIN INDEX), so it must be unregisterable as a table
+    name — a table named index would be impossible to DESCRIBE; and
+    IVF_SEARCH with n_probe < 1 must error instead of spinning the
+    widening ladder forever."""
+    from rclip_server_spark.sources import ivfindex as II
+
+    with pytest.raises(S.SqlError):
+        S.execute(spark, "CREATE TABLE index (k INT)", cat)
+    embeddings.select("vec_id", "embedding").limit(100) \
+        .createOrReplaceTempView("np_seed")
+    S.execute(spark, "CREATE TABLE npv OPTIONS (key='vec_id') AS "
+                     "SELECT * FROM np_seed", cat)
+    S.execute(spark, "CREATE MATERIALIZED VIEW npi USING ivf_index "
+                     "OPTIONS (source='npv', key='vec_id', "
+                     "n_cells=4, iters=1)", cat)
+    with pytest.raises(ValueError):
+        II.query_ivf_index(spark, cat.get("npi")["path"], QV, k=5,
+                           n_probe=0, min_results=5)
