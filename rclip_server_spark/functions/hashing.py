@@ -76,6 +76,53 @@ def minhash_signature_over_hashed(hashed: Column | str, params: list[tuple[int, 
     return F.array(*[F.array_min(F.transform(h, affine_minhash(a, b))) for (a, b) in params])
 
 
+# --- Spark-dialect SQL-text twins (r14 optimization round) ----------------
+# Driver-side profiling showed expression CONSTRUCTION dominating the dedup
+# bench rows: a python-lambda higher-order function costs ~10 ms of py4j
+# round-trips, and the minhash/simhash builders construct dozens of them.
+# F.expr parses an arbitrarily large SQL string in ~0.4 ms, and the parsed
+# tree is the same expression, so results are bit-identical (oracle-pinned
+# by tools/check_contract.py). These render the SAME expressions as text;
+# the Column builders above stay as the semantics reference and fallback.
+
+def hash32_from_md5_sql(md5_ref: str) -> str:
+    """Spark SQL text of ``hash32_from_md5`` over an md5-hex fragment."""
+    return f"CAST(conv(substring({md5_ref}, 1, 8), 16, 10) AS BIGINT)"
+
+
+def hash60_from_md5_sql(md5_ref: str) -> str:
+    return f"CAST(conv(substring({md5_ref}, 1, 15), 16, 10) AS BIGINT)"
+
+
+def minhash_signature_over_hashed_sql(
+    hashed_ref: str, params: list[tuple[int, int]]
+) -> str:
+    """Spark SQL text of ``minhash_signature_over_hashed`` (same tree)."""
+    mins = ", ".join(
+        f"array_min(transform({hashed_ref}, h -> (h * {a} + {b}) % {MINHASH_PRIME}))"
+        for (a, b) in params
+    )
+    return f"array({mins})"
+
+
+def simhash32_sql(hashed_ref: str) -> str:
+    """Spark SQL text of ``simhash32`` over an ALREADY-HASHED token-array
+    fragment (array<bigint>) — same per-bit fold, same integer results."""
+    bits = []
+    for i in range(32):
+        mask = 1 << i
+        contrib = (
+            f"aggregate({hashed_ref}, CAST(0 AS BIGINT), "
+            f"(acc, h) -> acc + (CASE WHEN (h & {mask}) != 0 "
+            "THEN 1 ELSE -1 END))"
+        )
+        bits.append(
+            f"(CASE WHEN ({contrib}) > 0 THEN CAST({mask} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
 def simhash32(tokens: Column) -> Column:
     """32-bit SimHash fingerprint from a token array (portable across engines).
 

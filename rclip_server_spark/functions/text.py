@@ -47,6 +47,28 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+def tokens_spark_sql(text_ref: str) -> str:
+    """Spark-dialect SQL text of ``tokens`` (same parsed tree — see the
+    construction-cost note in functions/hashing.py). NOT the DuckDB twin;
+    that lives in the contract module."""
+    t = f"trim(lower({text_ref}))"
+    return (
+        f"CASE WHEN (length({t}) = 0) THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE split({t}, '\\\\s+', -1) END"
+    )
+
+
+def char_shingles_spark_sql(text_ref: str, n: int = 5) -> str:
+    """Spark-dialect SQL text of ``char_shingles`` (same parsed tree)."""
+    t = f"lower({text_ref})"
+    last = f"(length({t}) - {n} + 1)"
+    return (
+        f"CASE WHEN {last} >= 1 THEN "
+        f"transform(sequence(1, {last}), i -> substring({t}, i, {n})) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
 # GPT-2-style pre-tokenizer, restricted to the regex subset Java (Spark) and
 # RE2 (DuckDB) share — i.e. the original pattern minus the \s+(?!\S)
 # lookahead (RE2 has none): contractions, optional-space letter runs,

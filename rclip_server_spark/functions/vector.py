@@ -13,6 +13,8 @@ that results are bit-comparable with the DuckDB oracle.
 
 from __future__ import annotations
 
+import math
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import Column
@@ -22,20 +24,112 @@ ColumnOrName = Column | str
 
 
 def _col(c: ColumnOrName) -> Column:
+    if isinstance(c, SqlExpr):
+        return F.expr(c)
     return F.col(c) if isinstance(c, str) else c
 
 
+# ---------------------------------------------------------------------------
+# SQL-text fast path (r14 optimization round).
+#
+# Profiling showed DataFrame CONSTRUCTION — not execution — dominating the
+# vector-heavy query rows at bench scale: every py4j round-trip costs
+# ~0.5 ms on this host, a python-lambda higher-order function ~10 ms, a
+# 64-element F.array of F.lits ~31 ms — while F.expr parses an arbitrarily
+# large SQL string in ~0.4 ms flat (ONE round-trip; parsing happens in the
+# JVM). Guide §5/§7.3: the driver should do almost no work on the query
+# path. The helpers below therefore render the same expressions as SQL
+# text. The parsed trees are semantically identical to the lambda-built
+# ones (verified bit-exact against the DuckDB oracle by
+# tools/check_contract.py), so results cannot change — only driver-side
+# build cost does.
+# ---------------------------------------------------------------------------
+
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+class SqlExpr(str):
+    """A SQL-text expression fragment. Functions in this package accept it
+    anywhere a column name is accepted and splice the raw text instead of
+    quoting it as an identifier."""
+
+
+def sql_ref(c: str) -> str:
+    """Render a column NAME (possibly dotted) or SqlExpr fragment as SQL."""
+    if isinstance(c, SqlExpr):
+        return str(c)
+    parts = c.split(".")
+    if all(_IDENT_RE.match(p) for p in parts):
+        return ".".join(f"`{p}`" for p in parts)
+    raise ValueError(f"not a plain column name: {c!r}")
+
+
+def _can_text(*cs) -> bool:
+    """True when every input can take the SQL-text path."""
+    for c in cs:
+        if isinstance(c, SqlExpr):
+            continue
+        if isinstance(c, str):
+            try:
+                sql_ref(c)
+            except ValueError:
+                return False
+            continue
+        return False
+    return True
+
+
+def float_sql(v: float) -> str:
+    """Exact SQL double literal: repr() is the shortest round-trip
+    representation and Spark parses <digits>D via Double.parseDouble, so
+    the parsed value is bit-identical."""
+    v = float(v)
+    if not math.isfinite(v):
+        raise ValueError(f"non-finite literal {v!r} has no portable SQL form")
+    return repr(v) + "D"
+
+
+def vec_lit_sql(values: Sequence[float]) -> SqlExpr:
+    """A literal array<double> as a SQL-text fragment (zero py4j calls)."""
+    return SqlExpr("array(" + ",".join(float_sql(v) for v in values) + ")")
+
+
+def dot_sql(a: str, b: str) -> SqlExpr:
+    """SQL text of ``dot`` below — identical expression tree once parsed."""
+    return SqlExpr(
+        f"aggregate(zip_with({sql_ref(a)}, {sql_ref(b)}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+        "(acc, x) -> acc + x)"
+    )
+
+
 def vec_lit(values: Sequence[float]) -> Column:
-    """A literal vector as array<double>."""
-    return F.array(*[F.lit(float(v)) for v in values])
+    """A literal vector as array<double>.
+
+    Built as ONE ``F.lit`` of a float64 ndarray (a single JVM Literal and a
+    single py4j round-trip) instead of ``F.array(*[F.lit(v) ...])`` (dim
+    py4j calls + a dim-child CreateArray node). Catalyst constant-folds the
+    old CreateArray-of-literals into exactly this Literal before execution,
+    so the executed plan — and therefore every result — is unchanged; what
+    changes is driver-side construction cost, which profiling showed
+    dominating the vector-literal-heavy query paths (r14 opt round, §5/§7.3
+    of the optimization guide: keep the driver out of the hot path)."""
+    import numpy as np
+
+    arr = np.asarray(list(values), dtype=np.float64)
+    return F.lit(arr)
 
 
 def dot(a: ColumnOrName, b: ColumnOrName) -> Column:
     """Dot product of two array columns, accumulated left-to-right in double.
 
     Mirrors the reference's GEMV row semantics (rclip_server.py:196): on
-    unit-norm inputs this IS cosine similarity.
+    unit-norm inputs this IS cosine similarity. When both inputs are names
+    (or SqlExpr fragments) the expression is built as one parsed SQL string
+    — same tree, ~50x cheaper to construct (see the SQL-text note above).
     """
+    if _can_text(a, b):
+        return F.expr(dot_sql(a, b))
     prods = F.zip_with(_col(a), _col(b), lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 

@@ -26,9 +26,25 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
     return h / np.linalg.norm(h, axis=1, keepdims=True)
 
 
+def hyperplane_bucket_sql(vec_ref: str, planes: np.ndarray) -> V.SqlExpr:
+    """SQL text of ``hyperplane_bucket_col`` (same parsed tree; zero
+    per-plane py4j calls — the bucket expression is n_planes x dim literal
+    nodes and was a measured driver-side construction hotspot)."""
+    ref = vec_ref if isinstance(vec_ref, V.SqlExpr) else V.SqlExpr(vec_ref)
+    terms = ["CAST(0 AS BIGINT)"]
+    for i, p in enumerate(planes):
+        d = V.dot_sql(ref, V.vec_lit_sql(list(p)))
+        terms.append(f"(CASE WHEN ({d}) >= 0 THEN CAST({1 << i} AS BIGINT) "
+                     "ELSE CAST(0 AS BIGINT) END)")
+    return V.SqlExpr("(" + " + ".join(terms) + ")")
+
+
 def hyperplane_bucket_col(vec_col, planes: np.ndarray):
     """Sign-bit bucket id: bit_i = dot(v, plane_i) >= 0. Pure column math over
-    literal planes — deterministic, identical in the DuckDB oracle."""
+    literal planes — deterministic, identical in the DuckDB oracle. Pass a
+    column NAME to get the cheap SQL-text construction path."""
+    if isinstance(vec_col, str):
+        return F.expr(hyperplane_bucket_sql(V.sql_ref(vec_col), planes))
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         bit = F.when(V.dot(vec_col, V.vec_lit(list(p))) >= 0, F.lit(1 << i).cast("long")).otherwise(
@@ -227,9 +243,9 @@ def lsh_topk(
     planes = hyperplanes(n_planes, dim, seed)
     qv = np.asarray(query_vec, dtype=np.float64)
     qbucket = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) >= 0))
-    bucketed = df.withColumn("bucket", hyperplane_bucket_col(F.col(vec_col), planes))
+    bucketed = df.withColumn("bucket", hyperplane_bucket_col(vec_col, planes))
     cand = bucketed.where(F.col("bucket") == qbucket)
-    scored = cand.withColumn("score", V.dot(F.col(vec_col), V.vec_lit(list(qv))))
+    scored = cand.withColumn("score", V.dot(vec_col, V.vec_lit_sql(qv)))
     return (
         scored.select(id_col, "score")
         .orderBy(F.desc("score"), F.asc(id_col))
@@ -263,7 +279,7 @@ def hyperplane_lsh_near_dup(
     bucketed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        hyperplane_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        hyperplane_bucket_col(vec_col, planes).alias("bucket"),
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     pairs = a.join(
@@ -303,9 +319,9 @@ def lsh_topk_multiprobe(
         for i in range(n_planes):
             for j in range(i + 1, n_planes):
                 probes.add(qbucket ^ (1 << i) ^ (1 << j))
-    bucketed = df.withColumn("bucket", hyperplane_bucket_col(F.col(vec_col), planes))
+    bucketed = df.withColumn("bucket", hyperplane_bucket_col(vec_col, planes))
     cand = bucketed.where(F.col("bucket").isin(sorted(probes)))
-    scored = cand.withColumn("score", V.dot(F.col(vec_col), V.vec_lit(list(qv))))
+    scored = cand.withColumn("score", V.dot(vec_col, V.vec_lit_sql(qv)))
     return (
         scored.select(id_col, "score")
         .orderBy(F.desc("score"), F.asc(id_col))
@@ -337,12 +353,12 @@ def lsh_similarity_join(
     a = df_a.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
-        hyperplane_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        hyperplane_bucket_col(vec_col, planes).alias("bucket"),
     )
     b = df_b.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
-        hyperplane_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        hyperplane_bucket_col(vec_col, planes).alias("bucket"),
     )
     return (
         a.join(b, "bucket")
@@ -379,7 +395,7 @@ def hyperplane_lsh_near_dup_multiset(
         planes = hyperplanes(n_planes, dim, seed + s)
         bucketed = df.select(
             F.col(id_col).alias("id"),
-            hyperplane_bucket_col(F.col(vec_col), planes).alias("bucket"),
+            hyperplane_bucket_col(vec_col, planes).alias("bucket"),
         )
         a, b = bucketed.alias("a"), bucketed.alias("b")
         pairs = a.join(
@@ -428,7 +444,7 @@ def ivf_init_maximin(
     )
     for _ in range(k - 1):
         dists = [
-            xsq - 2.0 * V.dot(F.col(vec_col), V.vec_lit(c)) + float(c @ c)
+            xsq - 2.0 * V.dot(vec_col, V.vec_lit_sql(c)) + float(c @ c)
             for c in cents
         ]
         dmin = dists[0] if len(dists) == 1 else F.least(*dists)
@@ -509,7 +525,7 @@ def write_bucketed_by_lsh(
             raise ValueError("cannot infer dim from empty DataFrame; pass dim=")
         dim = int(probe[0])
     planes = hyperplanes(n_planes, dim, seed)
-    bucketed = df.withColumn("bucket", hyperplane_bucket_col(F.col(vec_col), planes))
+    bucketed = df.withColumn("bucket", hyperplane_bucket_col(vec_col, planes))
     bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
@@ -551,7 +567,7 @@ def ivf_topk_pruned(
     order = np.argsort(-(cents @ qv))[:n_probe]
     df = spark.read.parquet(path)
     cand = df.where(F.col("ivf_cell").isin([int(i) for i in order]))
-    scored = cand.withColumn("score", V.dot(F.col(vec_col), V.vec_lit(list(qv))))
+    scored = cand.withColumn("score", V.dot(vec_col, V.vec_lit_sql(qv)))
     return (
         scored.select(id_col, "score")
         .orderBy(F.desc("score"), F.asc(id_col))
@@ -581,7 +597,7 @@ def lsh_topk_pruned(
         probes |= {qbucket ^ (1 << i) for i in range(n_planes)}
     df = spark.read.parquet(path)
     cand = df.where(F.col("bucket").isin(sorted(probes)))
-    scored = cand.withColumn("score", V.dot(F.col(vec_col), V.vec_lit(list(qv))))
+    scored = cand.withColumn("score", V.dot(vec_col, V.vec_lit_sql(qv)))
     return (
         scored.select(id_col, "score")
         .orderBy(F.desc("score"), F.asc(id_col))
@@ -600,12 +616,13 @@ def ivf_assign(
     row, as a greatest-of-structs over literal centroids. Writing the table
     partitioned by `ivf_cell` makes probe queries partition-pruned scans.
     ``keep_cols`` ride along unchanged (payload columns)."""
-    cells = [
-        F.struct(V.dot(F.col(vec_col), V.vec_lit(list(c))).alias("s"), F.lit(i).alias("c"))
+    cells = ", ".join(
+        f"named_struct('s', {V.dot_sql(vec_col, V.vec_lit_sql(c))}, 'c', {i})"
         for i, c in enumerate(centroids)
-    ]
+    )
     return df.select(
-        F.col(id_col), F.col(vec_col), F.greatest(*cells)["c"].alias("ivf_cell"),
+        F.col(id_col), F.col(vec_col),
+        F.expr(f"greatest({cells}).c").alias("ivf_cell"),
         *[F.col(c) for c in (keep_cols or [])]
     )
 
@@ -625,7 +642,7 @@ def ivf_topk(
     order = np.argsort(-(centroids @ qv))[:n_probe]
     assigned = ivf_assign(df, centroids, id_col, vec_col)
     cand = assigned.where(F.col("ivf_cell").isin([int(i) for i in order]))
-    scored = cand.withColumn("score", V.dot(F.col(vec_col), V.vec_lit(list(qv))))
+    scored = cand.withColumn("score", V.dot(vec_col, V.vec_lit_sql(qv)))
     return (
         scored.select(id_col, "score")
         .orderBy(F.desc("score"), F.asc(id_col))
@@ -669,7 +686,7 @@ def pca_coarse_topk(
 
     short = (
         index_df.select(id_col, pca_col)
-        .withColumn("score_red", V.dot(F.col(pca_col), V.vec_lit(q_red)))
+        .withColumn("score_red", V.dot(pca_col, V.vec_lit_sql(q_red)))
         .orderBy(F.desc("score_red"), F.asc(id_col))
         .limit(shortlist)
         .select(id_col)
@@ -677,7 +694,7 @@ def pca_coarse_topk(
     wide = full_df if full_df is not None else index_df
     cands = wide.join(F.broadcast(short), id_col)
     scored = cands.select(
-        F.col(id_col), V.dot(F.col(vec_col), V.vec_lit(query_vec)).alias("score")
+        F.col(id_col), V.dot(vec_col, V.vec_lit_sql(query_vec)).alias("score")
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
@@ -725,7 +742,7 @@ def binary_hamming_topk(
         .limit(shortlist)
     )
     return (
-        short.withColumn("score", V.dot(F.col(vec_col), V.vec_lit(list(qv))))
+        short.withColumn("score", V.dot(vec_col, V.vec_lit_sql(qv)))
         .select(id_col, "score")
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
@@ -759,7 +776,7 @@ def ivf_outliers(
     score = F.lit(None).cast("double")
     for i, c in enumerate(cents):
         score = F.when(
-            F.col("ivf_cell") == i, V.dot(F.col(vec_col), V.vec_lit(list(c)))
+            F.col("ivf_cell") == i, V.dot(vec_col, V.vec_lit_sql(c))
         ).otherwise(score)
     nanocos = F.round(score * F.lit(1e9)).cast("long")
     scored = assigned.withColumn("nanocos", nanocos)
@@ -909,7 +926,7 @@ def pq_adc_topk(
     cands = wide.join(F.broadcast(short), id_col)
     return (
         cands.select(
-            F.col(id_col), V.dot(F.col(vec_col), V.vec_lit(list(q))).alias("score")
+            F.col(id_col), V.dot(vec_col, V.vec_lit_sql(q)).alias("score")
         )
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
@@ -1041,7 +1058,7 @@ def ivf_pq_topk(
     cands = wide.join(F.broadcast(short), id_col)
     return (
         cands.select(
-            F.col(id_col), V.dot(F.col(vec_col), V.vec_lit(list(q))).alias("score")
+            F.col(id_col), V.dot(vec_col, V.vec_lit_sql(q)).alias("score")
         )
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
@@ -1142,7 +1159,7 @@ def lsh_knn_join(
     l = left.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
-        hyperplane_bucket_col(F.col(vec_col), planes).alias("b0"),
+        hyperplane_bucket_col(vec_col, planes).alias("b0"),
     ).select(
         "id_a",
         "va",
@@ -1153,7 +1170,7 @@ def lsh_knn_join(
     r = right.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
-        hyperplane_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        hyperplane_bucket_col(vec_col, planes).alias("bucket"),
     )
     scored = (
         l.join(r, "bucket")

@@ -48,7 +48,7 @@ def _bucketed_rows(df: DataFrame, key: str, vec_col: str,
                    include_cols: tuple[str, ...] = ()) -> DataFrame:
     planes = hyperplanes(n_planes, dim, seed)
     return df.select(
-        hyperplane_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        hyperplane_bucket_col(vec_col, planes).alias("bucket"),
         F.col(key), F.col(vec_col),
         *[F.col(c) for c in include_cols])
 
@@ -245,7 +245,7 @@ def query_ann_index(
         if flt is not None:
             cand = _apply_where(cand, flt, where)
         scored = cand.withColumn(
-            "score", VEC.dot(F.col(vec_col), VEC.vec_lit(list(qv))))
+            "score", VEC.dot(vec_col, VEC.vec_lit_sql(qv)))
         return (scored.select(key, "score")
                 .orderBy(F.desc("score"), F.asc(key))
                 .limit(k))
@@ -414,7 +414,7 @@ def knn_join_via_index(
                 f"max_expected_candidates=None deliberately.")
     lf = left.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-        hyperplane_bucket_col(F.col(vec_col), planes).alias("b0"),
+        hyperplane_bucket_col(vec_col, planes).alias("b0"),
     ).select(
         "id_a", "va",
         F.explode(F.array(*[F.col("b0").bitwiseXOR(F.lit(m))

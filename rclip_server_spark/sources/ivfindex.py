@@ -602,7 +602,7 @@ def query_ivf_index(
                                n_probe=probe_n, shortlist=shortlist,
                                id_col=key, vec_col=vec_col)
         scored = cand.withColumn(
-            "score", VEC.dot(F.col(vec_col), VEC.vec_lit(list(qv))))
+            "score", VEC.dot(vec_col, VEC.vec_lit_sql(qv)))
         return (scored.select(key, "score")
                 .orderBy(F.desc("score"), F.asc(key))
                 .limit(k))

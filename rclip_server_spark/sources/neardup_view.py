@@ -455,7 +455,7 @@ def _ebkts_transform(key: str, vec_col: str, n_planes: int, n_sets: int,
             F.struct(
                 F.lit(s).alias("pset"),
                 A.hyperplane_bucket_col(
-                    F.col(vec_col),
+                    vec_col,
                     A.hyperplanes(n_planes, dim, seed + s)).alias("bkt"))
             for s in range(n_sets)
         ]

@@ -27,7 +27,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def job_count(spark) -> int:
     """Monotone job counter: DAGScheduler's nextJobId AtomicInteger."""
-    return spark.sparkContext._jsc.sc().dagScheduler().nextJobId().get()
+    return int(spark.sparkContext._jsc.sc().dagScheduler().nextJobId())
 
 
 class prof:
