@@ -50,22 +50,42 @@ def bm25_scores(
     """
     # two-step select: alias the token array ONCE so Catalyst doesn't
     # re-evaluate the split per term (CollapseProject keeps non-cheap
-    # multi-referenced aliases)
-    toked = df.select(F.col(id_col).alias("id"), TXT.tokens(F.col(text_col)).alias("toks"))
+    # multi-referenced aliases). Built as parsed SQL text — same tree,
+    # ~10x cheaper driver-side (see functions/hashing.py's r14 note).
+    from ..functions.vector import sql_ref
+    from .dedup import _spread
 
-    # closure factory, NOT a default-arg lambda: a two-parameter lambda would
-    # be treated as Spark's (element, index) form and bind `term` to the index
-    def _eq(term: str):
-        return lambda t: t == F.lit(term)
+    # _spread: the tokenize pass is CPU-dense and a small corpus arrives as
+    # ONE file split (serial); round-robin only when narrower than the
+    # cluster — every downstream stat is an integer sum, so the result is
+    # partition-order independent (same rule as the dedup family).
+    toked = _spread(df).selectExpr(
+        f"{sql_ref(id_col)} AS id",
+        f"{TXT.tokens_spark_sql(sql_ref(text_col))} AS toks",
+    )
 
-    per_doc = toked.select(
+    def _term_lit(term: str) -> str:
+        return "'" + term.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    per_doc = toked.selectExpr(
         "id",
-        F.size("toks").cast("long").alias("dl"),
+        "CAST(size(toks) AS BIGINT) AS dl",
         *[
-            F.size(F.filter(F.col("toks"), _eq(term))).cast("long").alias(f"tf_{i}")
+            f"CAST(size(filter(toks, t -> t = {_term_lit(term)})) AS BIGINT)"
+            f" AS tf_{i}"
             for i, term in enumerate(terms)
         ],
     )
+    # The corpus-level stats agg below and the final per-row projection both
+    # consume per_doc; left as one lazy plan, the tokenize pass would run
+    # TWICE (once under the broadcast stats subtree, once on the main side —
+    # and the topk variant's pushed-down isnotnull filters re-evaluate the
+    # split again at the scan). Checkpointing the tokenized per-doc stats —
+    # a handful of integers per document, the guide-§8 'decide with small
+    # rows' proxy table — makes the expensive tokenize a single pass. All
+    # downstream stats are integer sums, so results are partition-order
+    # independent and bit-identical either way.
+    per_doc = per_doc.localCheckpoint(eager=False)
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
