@@ -796,11 +796,18 @@ def _train_quality_lr(spark: SparkSession, sf: str) -> DataFrame:
     from ..functions import text as TXT
 
     docs = _t(spark, sf, "documents")
+    # No materialization here: train_logistic persists this exact
+    # projection for the loop's duration, so the old eager
+    # localCheckpoint was a redundant SECOND materialization pass (plus
+    # a checkpoint job and block-manager residue that outlives the
+    # query). Partitioning — and hence the float partial-sum order —
+    # is the parquet scan's file-split layout either way, so the
+    # trained weights are bit-identical (r14 opt, guide §1.2/§5).
     feats = docs.select(
         F.log(F.size(TXT.tokens(F.col("text"))) + 1).alias("f_logtok"),
         (F.length("text") / (F.size(TXT.tokens(F.col("text"))) + 1)).alias("f_len"),
         (F.col("doc_id") % 7 == 0).cast("double").alias("label"),
-    ).localCheckpoint(eager=True)
+    )
     w, b, losses = ST.train_logistic(
         feats, ["f_logtok", "f_len"], "label", iters=8, lr=0.3
     )

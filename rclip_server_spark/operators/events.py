@@ -22,8 +22,6 @@ micros per the contract's determinism rules.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -49,32 +47,55 @@ def funnel(
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
-    levels: list[DataFrame] = []
-    cur = (
-        events.where(F.col(type_col) == steps[0])
+    # Single pass over the log. The per-level formulation (level k =
+    # min ts of type steps[k] strictly after level k-1's t) re-embedded
+    # every level's plan in the next, so the raw event log was scanned
+    # 1+2+..+k times for a k-step funnel. The greedy walk below is the
+    # same rule evaluated in one scan: sort each user's matching events
+    # by (ts, type) and advance one level whenever the next expected
+    # type appears strictly after the current level's time — greedy
+    # earliest is optimal for strictly-increasing matching, so a user's
+    # final lvl is exactly the deepest prefix the min-rule admits.
+    # Within a timestamp tie at most one advance can fire (strict >)
+    # and it fires iff any tied event matches the expected type, so the
+    # (ts, type) sort order never changes the outcome. One scan + one
+    # shuffle by user + a singleton agg; n_users(i) = users with
+    # lvl > i, 0-rows kept by coalesce over the empty-frame sum.
+    k = len(steps)
+
+    def _q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    steps_arr = "array(" + ", ".join(_q(s) for s in steps) + ")"
+    ts_type = dict(events.dtypes)[ts_col]
+    walk = f"""
+        aggregate(
+          sort_array(collect_list(struct(`{ts_col}` AS ts,
+                                         `{type_col}` AS tp))),
+          named_struct('lvl', 0, 't', CAST(NULL AS {ts_type})),
+          (s, e) -> IF(s.lvl < {k}
+                       AND e.tp = try_element_at({steps_arr}, s.lvl + 1)
+                       AND (s.t IS NULL OR e.ts > s.t),
+                       named_struct('lvl', s.lvl + 1, 't', e.ts), s)
+        ).lvl
+    """
+    per_user = (
+        events.where(F.col(type_col).isin(steps))
         .groupBy(user_col)
-        .agg(F.min(ts_col).alias("t"))
+        .agg(F.expr(walk).alias("lvl"))
     )
-    levels.append(cur)
-    for step in steps[1:]:
-        nxt = (
-            events.where(F.col(type_col) == step)
-            .join(cur, user_col)
-            .where(F.col(ts_col) > F.col("t"))
-            .groupBy(user_col)
-            .agg(F.min(ts_col).alias("t"))
-        )
-        levels.append(nxt)
-        cur = nxt
-    counts = [
-        lvl.agg(
-            F.lit(i).cast("long").alias("step_idx"),
-            F.lit(steps[i]).alias("step"),
-            F.count(F.lit(1)).alias("n_users"),
-        )
-        for i, lvl in enumerate(levels)
-    ]
-    return reduce(DataFrame.unionAll, counts)
+    sums = per_user.agg(*[
+        F.expr(f"sum(IF(lvl > {i}, 1, 0))").alias(f"c{i}")
+        for i in range(k)
+    ])
+    stacked = ", ".join(
+        f"CAST({i} AS BIGINT), {_q(steps[i])}, "
+        f"coalesce(c{i}, CAST(0 AS BIGINT))"
+        for i in range(k)
+    )
+    return sums.select(
+        F.expr(f"stack({k}, {stacked}) AS (step_idx, step, n_users)")
+    )
 
 
 def cohort_retention(
