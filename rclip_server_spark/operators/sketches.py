@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import portable_hash32, single_partition_key
+from ..functions.hashing import portable_hash32
 
 
 def _cell(col, d: int, width: int, salt: str) -> F.Column:
@@ -301,54 +301,47 @@ def histogram_quantiles(
     """(q, est): linear-interpolated quantiles from the bin counts (the
     numpy/Prometheus rule at bin granularity). Error bound: one bin width.
     All arithmetic is fixed-order double math over exact integer counts —
-    bit-identical across engines. The cumsum window runs over n_bins rows
-    (the sketch), not the data."""
+    bit-identical across engines.
+
+    Executes as ONE bounded collect of the sketch plus a driver fold:
+    ``bin`` is clamped to [0, n_bins) at build time, so a merged
+    histogram is at most n_bins rows no matter the input size — the
+    cumsum/probe/argmin chain that used to run as four sketch-sized Spark
+    stages (two windows, a crossJoin, a groupBy — each paying the
+    per-stage scheduling floor) is a loop over ≤64 driver rows (guide
+    §1.2: the ideal plan for KB-sized state is no plan at all; §5:
+    driver work bounded by the sketch, never the data). The float ops
+    replicate the old column expressions' exact order — long cumsum,
+    cast-to-double compare, ``lo + bin*width + ((q*n - (cum-cnt))/cnt)
+    *width`` — so results are bit-identical (oracle-pinned)."""
     width = (float(hi) - float(lo)) / float(n_bins)
-    # constant-zero partition key: the window runs over n_bins sketch
-    # rows, not data (keeps WindowExec's no-partition warning log clean
-    # so genuinely unbounded windows stand out)
-    _p = single_partition_key(F.col("bin"))
-    w = Window.partitionBy(_p).orderBy("bin").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = hist.select(
-        "bin", "cnt",
-        F.sum("cnt").over(w).alias("cum"),
-        F.sum("cnt").over(
-            Window.partitionBy(_p).orderBy("bin").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n"),
-    )
-    probe = cum.crossJoin(
-        F.broadcast(
-            hist.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    rows = sorted(hist.select("bin", "cnt").collect(),
+                  key=lambda r: r["bin"])
+    if len({r["bin"] for r in rows}) != len(rows):
+        raise ValueError(
+            "histogram_quantiles needs a MERGED histogram (unique bins) "
+            "— pass the output of histogram_merge"
         )
-    )
-    # first bin whose cumulative count reaches the rank target q*n
-    hit = (
-        probe.where(
-            F.col("cum").cast("double") >= F.col("q") * F.col("n").cast("double")
-        )
-        .groupBy("q")
-        .agg(
-            F.min(F.struct("bin", "cnt", "cum")).alias("s"),
-            F.first("n").alias("n"),
-        )
-        .select("q", F.col("s.bin").alias("bin"), F.col("s.cnt").alias("cnt"),
-                F.col("s.cum").alias("cum"), "n")
-    )
-    est = (
-        F.lit(float(lo))
-        + F.col("bin").cast("double") * F.lit(width)
-        + (
-            (F.col("q") * F.col("n").cast("double")
-             - (F.col("cum") - F.col("cnt")).cast("double"))
-            / F.col("cnt").cast("double")
-        )
-        * F.lit(width)
-    )
-    return hit.select("q", est.alias("est"))
+    n = 0
+    cums: list[tuple[int, int, int]] = []  # (bin, cnt, cum) — exact ints
+    for r in rows:
+        n += int(r["cnt"])
+        cums.append((int(r["bin"]), int(r["cnt"]), n))
+    out = []
+    for q in qs:
+        q = float(q)
+        target = q * float(n)
+        for bin_, cnt, cum in cums:
+            if float(cum) >= target:
+                est = (
+                    float(lo)
+                    + float(bin_) * width
+                    + ((q * float(n) - float(cum - cnt)) / float(cnt))
+                    * width
+                )
+                out.append((q, est))
+                break
+    return hist.sparkSession.createDataFrame(out, "q double, est double")
 
 
 def histogram_drift(
