@@ -2,6 +2,7 @@
 from __future__ import annotations
 
 from ._base import *  # noqa: F401,F403
+from ..functions.localrel import values_df
 from ._base import _f, _register, _t, _utc  # noqa: F401
 from ._breadth1 import _samp_hash_sql, sampling  # noqa: F401
 from ._dedup_text import (  # noqa: F401
@@ -73,8 +74,9 @@ def _bpe_train_query(spark: SparkSession, sf: str) -> DataFrame:
     merges, _ = corpus.bpe_train(
         _t(spark, sf, "documents"), n_merges=8, min_pair_freq=2
     )
-    return spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(merges)], "rank long, a string, b string"
+    return values_df(
+        spark, [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, a string, b string"
     )
 
 

@@ -2,6 +2,7 @@
 from __future__ import annotations
 
 from ._base import *  # noqa: F401,F403
+from ..functions.localrel import values_df
 from ._base import _ORACLES, _register, _t, _utc  # noqa: F401
 from ._breadth1 import (  # noqa: F401
     SPLIT_WEIGHTS,
@@ -811,7 +812,8 @@ def _train_quality_lr(spark: SparkSession, sf: str) -> DataFrame:
     w, b, losses = ST.train_logistic(
         feats, ["f_logtok", "f_len"], "label", iters=8, lr=0.3
     )
-    return spark.createDataFrame(
+    return values_df(
+        spark,
         [(float(w[0]), float(w[1]), float(b), float(losses[-1]))],
         "w_logtok double, w_len double, bias double, final_loss double",
     )

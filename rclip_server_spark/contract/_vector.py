@@ -2,6 +2,7 @@
 from __future__ import annotations
 
 from ._base import *  # noqa: F401,F403
+from ..functions.localrel import values_df
 from ._base import _f, _register, _t, _words_df  # noqa: F401
 
 # ===========================================================================
@@ -89,7 +90,7 @@ _register(
 def _a9_query(spark: SparkSession, sf: str) -> DataFrame:
     vec = seeded_unit_vector(42, EMB_DIM)
     rows = [(int(i), float(v)) for i, v in enumerate(vec)]
-    return spark.createDataFrame(rows, "dim bigint, val double")
+    return values_df(spark, rows, "dim bigint, val double")
 
 
 _register(
@@ -125,8 +126,9 @@ _register(
 
 
 def _phrases_df(spark: SparkSession):
-    return spark.createDataFrame(
-        [(pid, ws) for pid, ws in PHRASES], "phrase_id string, words array<string>"
+    return values_df(
+        spark, [(pid, ws) for pid, ws in PHRASES],
+        "phrase_id string, words array<string>"
     )
 
 
@@ -201,7 +203,8 @@ _register(
     "ann_multi_query_topk",
     lambda spark, sf: ann.brute_force_topk_multi(
         _t(spark, sf, "embeddings"),
-        spark.createDataFrame(
+        values_df(
+            spark,
             [(t, [float(x) for x in EMBEDDER.embed_text(t)]) for t in MULTI_QUERY_TERMS],
             "query_id string, query_vec array<double>",
         ),

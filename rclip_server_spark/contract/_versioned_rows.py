@@ -2,6 +2,7 @@
 from __future__ import annotations
 
 from ._base import *  # noqa: F401,F403
+from ..functions.localrel import values_df
 from ._base import _register, _t, _f  # noqa: F401
 from ._dedup_text import _HASHED_SHINGLES, _SIG_LIST  # noqa: F401
 from ._breadth1 import BM25_TERMS, _bm25_sql  # noqa: F401
@@ -2352,8 +2353,8 @@ def _samp_export_shards_manifest(spark: SparkSession, sf: str
         _EXPORT_CACHE[key] = mf
     rows = [(int(s), v["rows"], v["checksum"])
             for s, v in sorted(mf["m"]["shards"].items())]
-    return spark.createDataFrame(
-        rows, "shard bigint, n_rows bigint, checksum bigint")
+    return values_df(
+        spark, rows, "shard bigint, n_rows bigint, checksum bigint")
 
 
 _register(
@@ -2410,9 +2411,9 @@ def _sql_analyze_stats(spark: SparkSession, sf: str) -> DataFrame:
     d = SQ.execute(spark, "DESCRIBE STATS evan", SQ.Catalog(path))
     rows = [(c, s["nulls"], s["ndv"], str(s["min"]), str(s["max"]))
             for c, s in sorted(d["columns"].items())]
-    return spark.createDataFrame(
-        rows, "col string, nulls bigint, ndv bigint, "
-              "min_s string, max_s string")
+    return values_df(
+        spark, rows, "col string, nulls bigint, ndv bigint, "
+                     "min_s string, max_s string")
 
 
 _register(

@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
+from ..functions.localrel import values_df
 
 
 def score_col_sql(vec_col, query_vec) -> Column:
@@ -207,7 +208,7 @@ def best_phrases(
                                [pool[i] for i in idx]))
     if not candidates:
         return spark.createDataFrame([], "phrase string, score double")
-    cand_df = spark.createDataFrame(candidates, "phrase string, words array<string>")
+    cand_df = values_df(spark, candidates, "phrase string, words array<string>")
 
     emb = phrase_embedding_df(words_df, cand_df.withColumnRenamed("phrase", "phrase_id"),
                               word_col=word_col, vec_col=vec_col, phrase_id="phrase_id")
@@ -248,7 +249,7 @@ def phrase_scores_exact_vs_approx(
         for p in phrases
     ]
     spark = words_df.sparkSession
-    exact = spark.createDataFrame(exact_rows, "phrase_id string, exact_score double")
+    exact = values_df(spark, exact_rows, "phrase_id string, exact_score double")
     return approx.join(exact, "phrase_id")
 
 

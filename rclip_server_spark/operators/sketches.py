@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash32
+from ..functions.localrel import values_df
 
 
 def _cell(col, d: int, width: int, salt: str) -> F.Column:
@@ -341,7 +342,7 @@ def histogram_quantiles(
                 )
                 out.append((q, est))
                 break
-    return hist.sparkSession.createDataFrame(out, "q double, est double")
+    return values_df(hist.sparkSession, out, "q double, est double")
 
 
 def histogram_drift(
@@ -415,7 +416,7 @@ def histogram_quantiles_by_group(
     )
     probe = cum.crossJoin(
         F.broadcast(
-            hist.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+            values_df(hist.sparkSession, [(float(q),) for q in qs], "q double")
         )
     )
     hit = (

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.localrel import values_df
 from .operators import multimodal
 from .sources import external, writer
 
@@ -190,7 +191,7 @@ def search_api(
         random_image=lambda: similarity.random_row_embedding(df, vec_col="vector"),
     )
     if qv is None:
-        return spark.createDataFrame([], "id long, score double")
+        return values_df(spark, [], "id long, score double")
     return similarity.topk_similar(df, qv, k=num or 12, id_col="id", vec_col="vector")
 
 
@@ -227,7 +228,7 @@ def similar_words_from_corpus(
 
     qv = resolve_query(q, embedder)
     if qv is None:
-        return spark.createDataFrame([], "word string, score double")
+        return values_df(spark, [], "word string, score double")
     words = build_words_table(spark, documents, dim=embedder.dim)
     return similarity.best_words(words, qv, k=k)
 

@@ -14,6 +14,7 @@ import os
 import numpy as np
 from pyspark.sql import SparkSession
 
+from ..functions.localrel import values_df
 from ..sources.writer import upsert_parquet
 
 
@@ -38,7 +39,8 @@ class TermCacheTable:
         return None if row is None else np.asarray(row[0], dtype=np.float64)
 
     def put(self, term: str, embedding) -> None:
-        updates = self.spark.createDataFrame(
+        updates = values_df(
+            self.spark,
             [(term, [float(x) for x in embedding])],
             "term string, embedding array<double>",
         )

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import vector as VEC
+from ..functions.localrel import values_df
 from ..operators.ann import hyperplane_bucket_col, hyperplanes
 from . import matview as M
 from . import versioned as V
@@ -331,8 +332,8 @@ def query_ann_index_batch(
         ql = [float(x) for x in q]
         pairs += [(qid, int(b), ql) for b in sorted(probes)]
     qid_t = "string" if isinstance(qids[0], str) else "bigint"
-    pdf = spark.createDataFrame(
-        pairs, f"{qid_col} {qid_t}, bucket bigint, _qv array<double>")
+    pdf = values_df(
+        spark, pairs, f"{qid_col} {qid_t}, bucket bigint, _qv array<double>")
     cand = _state(spark, view_path, v,
                   probes=sorted(int(b) for b in union)).where(
         F.col("bucket").isin(sorted(union)))

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import vector as VEC
+from ..functions.localrel import values_df
 from ..operators.ann import ivf_assign, ivf_train_kmeans
 from . import matview as M
 from . import versioned as V
@@ -210,7 +211,8 @@ def _cell_stats(spark: SparkSession, rows: DataFrame, vec_col: str,
     delta inside a refresh. ``sign_col`` turns the aggregation into a
     signed roll-forward (inserts +1, retractions -1 in one job)."""
     n_cells = int(centroids.shape[0])
-    cdf = spark.createDataFrame(
+    cdf = values_df(
+        spark,
         [(int(i), [float(x) for x in centroids[i]],
           float(centroids[i] @ centroids[i])) for i in range(n_cells)],
         "ivf_cell int, _cent array<double>, _cnsq double")
@@ -664,8 +666,8 @@ def query_ivf_index_batch(
         ql = [float(x) for x in q]
         pairs += [(qid, c, ql) for c in cells]
     qid_t = "string" if isinstance(qids[0], str) else "bigint"
-    pdf = spark.createDataFrame(
-        pairs, f"{qid_col} {qid_t}, ivf_cell int, _qv array<double>")
+    pdf = values_df(
+        spark, pairs, f"{qid_col} {qid_t}, ivf_cell int, _qv array<double>")
     cand = _state(spark, view_path, v,
                   cells=sorted(union)).where(
         F.col("ivf_cell").isin(sorted(union)))

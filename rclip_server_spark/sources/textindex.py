@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
+from ..functions.localrel import values_df
 from . import matview as M
 from . import versioned as V
 
@@ -417,8 +418,8 @@ def query_text_index_batch(
     pairs = [(qid, t, float(m))
              for qid, mult in per_q for t, m in mult.items()]
     qid_t = "string" if isinstance(qids[0], str) else "bigint"
-    pdf = spark.createDataFrame(
-        pairs, f"{qid_col} {qid_t}, term string, _mult double")
+    pdf = values_df(
+        spark, pairs, f"{qid_col} {qid_t}, term string, _mult double")
     scored = (base.join(F.broadcast(pdf), "term")
               .withColumn("_c", F.col("_mult") * F.col("_idf")
                           * F.col("_tfp"))

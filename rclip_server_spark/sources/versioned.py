@@ -62,6 +62,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.localrel import values_df
+
 _SNAP_DIR = "_snapshots"
 _LATEST = "_latest"
 # commit logs a compaction hint at every multiple of this segment count
@@ -834,6 +836,12 @@ def _write_delete_vector(spark: SparkSession, path: str, keys,
     the one multi-file read that unions them."""
     if isinstance(keys, DataFrame):
         kdf = keys
+    elif keys and all(isinstance(k, str) for k in keys):
+        kdf = values_df(spark, [(k,) for k in keys], f"{key_col} string")
+    elif keys and all(
+        isinstance(k, int) and not isinstance(k, bool) for k in keys
+    ):
+        kdf = values_df(spark, [(k,) for k in keys], f"{key_col} bigint")
     else:
         kdf = spark.createDataFrame([(k,) for k in keys], [key_col])
     col = kdf[key_col].cast(key_type) if key_type else kdf[key_col]

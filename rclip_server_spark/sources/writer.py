@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.localrel import values_df
+
 
 def anti_join_skip(
     new_df: DataFrame, done_df: DataFrame, key: str | list[str],
@@ -314,9 +316,9 @@ def soft_delete_bucketed(
     with open(os.path.join(path, _BUCKET_SPEC)) as f:
         spec = json.load(f)
     key, n_buckets = spec["key"], int(spec["n_buckets"])
-    kdf = spark.createDataFrame([(k,) for k in keys], f"{key} string") \
+    kdf = values_df(spark, [(k,) for k in keys], f"{key} string") \
         if keys and isinstance(keys[0], str) \
-        else spark.createDataFrame([(k,) for k in keys], f"{key} bigint")
+        else values_df(spark, [(k,) for k in keys], f"{key} bigint")
     touched = sorted(
         r["b"] for r in kdf.select(_bucket_expr(key, n_buckets).alias("b"))
         .distinct().collect()
