@@ -66,6 +66,28 @@ def test_fallback_on_unsupported_type(spark):
     assert df.collect()[0][0] == (1, "x")
 
 
+def test_compact_numeric_arrays_identical(spark):
+    # the compact split-cast rendering (one string literal per array)
+    # must be row- and bit-identical to createDataFrame
+    import random
+
+    rng = random.Random(7)
+    vec = [rng.uniform(-1, 1) for _ in range(64)]
+    rows = [(i, vec, list(range(i, i + 40))) for i in range(8)]
+    got = _same(spark, rows, "k bigint, v array<double>, n array<bigint>")
+    # bit-exact doubles through the split->cast path
+    back = got.orderBy("k").collect()[0][1]
+    assert [float.hex(x) for x in back] == [float.hex(x) for x in vec]
+
+
+def test_compact_bails_on_nulls_and_nonfinite(spark):
+    # arrays holding nulls / NaN / inf take the elementwise path but stay
+    # identical to createDataFrame
+    rows = [([1.0, None, 3.0],), ([float("inf"), 0.5] + [0.1] * 20,)]
+    a = values_df(spark, rows, "v array<double>").collect()
+    assert a[0][0][1] is None and a[1][0][0] == float("inf")
+
+
 def test_plan_is_local_relation(spark):
     df = values_df(spark, [(1, [0.5])], "k bigint, v array<double>")
     plan = df._jdf.queryExecution().executedPlan().toString()
