@@ -194,45 +194,52 @@ def _hint_ret_groups(ret_groups: DataFrame, src: str,
     return ret_groups
 
 
-def _merge_additive(base: DataFrame, delta: DataFrame,
-                    group_cols: list[str], sum_cols: list[str],
-                    extra_vals=()) -> DataFrame:
-    """Null-safe full-outer merge of additive per-group state (cnt,
-    sum_*, nn_*): NULL group keys are real groups and must merge, not
-    duplicate (plain ``=`` would never match them). ``nn_c`` — the
-    signed count of non-null contributions — is what lets the merge
-    reproduce SQL SUM's NULL-over-all-NULL semantics exactly."""
-    a, d = base.alias("a"), delta.alias("d")
-    out = a.join(d, _nullsafe_cond("a", "d", group_cols), "full_outer")
-    sel = [F.coalesce(F.col(f"a.{g}"), F.col(f"d.{g}")).alias(g)
-           for g in group_cols]
-    sel.append((F.coalesce(F.col("a.cnt"), F.lit(0)) +
-                F.coalesce(F.col("d.cnt"), F.lit(0))).alias("cnt"))
+def _state_rows(df: DataFrame, group_cols: list[str], sum_cols: list[str],
+                minmax_cols: list[str] = (), sign=None) -> DataFrame:
+    """Project CHANGE ROWS to per-row additive state — the row-level
+    preimage of _aggregate: cnt = ±1, sum_c = sign·value (NULL
+    propagates, SUM skips it), nn_c = sign per non-null value, min/max
+    = the value itself. Unioned with a view's stored state and grouped
+    ONCE by _merge_states, this replaces the old
+    aggregate-then-full-outer-merge chain (two extra Exchanges per
+    refresh) with a single exchange; every state column is integral or
+    monotone, so one-step and two-step aggregation are bit-identical
+    (r14 opt, guide §2.4)."""
+    s = sign if sign is not None else F.lit(1).cast("long")
+    sel = [F.col(g) for g in group_cols] + [s.alias("cnt")]
     for c in sum_cols:
-        nn = (F.coalesce(F.col(f"a.nn_{c}"), F.lit(0)) +
-              F.coalesce(F.col(f"d.nn_{c}"), F.lit(0)))
-        raw = (F.coalesce(F.col(f"a.sum_{c}"), F.lit(0)) +
-               F.coalesce(F.col(f"d.sum_{c}"), F.lit(0)))
-        # SQL SUM semantics: NULL when no non-null value remains
-        sel.append(F.when(nn > 0, raw).alias(f"sum_{c}"))
-        sel.append(nn.cast("long").alias(f"nn_{c}"))
-    return out.select(*sel, *extra_vals)
-
-
-def _mm_merge_vals(minmax_cols: list[str]) -> list:
-    """Monotone min/max merge columns for _merge_additive's extra_vals
-    (a/d = base/delta aliases): least/greatest skip NULLs, so a side
-    with no row merges cleanly. Only valid for groups with NO
-    retraction in the interval — retracted groups must recompute."""
-    vals = []
+        sel.append((s * F.col(c).cast("long")).alias(f"sum_{c}"))
+        sel.append(F.when(F.col(c).isNotNull(), s).otherwise(F.lit(0))
+                   .cast("long").alias(f"nn_{c}"))
     for c in minmax_cols:
-        vals += [
-            F.least(F.col(f"a.min_{c}"), F.col(f"d.min_{c}"))
-             .alias(f"min_{c}"),
-            F.greatest(F.col(f"a.max_{c}"), F.col(f"d.max_{c}"))
-             .alias(f"max_{c}"),
-        ]
-    return vals
+        sel += [F.col(c).alias(f"min_{c}"), F.col(c).alias(f"max_{c}")]
+    return df.select(*sel)
+
+
+def _merge_states(frames: list, group_cols: list[str],
+                  sum_cols: list[str],
+                  minmax_cols: list[str] = ()) -> DataFrame:
+    """Null-safe merge of additive per-group state frames (stored view
+    state and/or _state_rows change rows) as ONE union + ONE hash
+    aggregation. NULL group keys are real groups: groupBy groups them
+    together exactly as the old eqNullSafe full-outer join matched
+    them. ``nn_c`` — the signed count of non-null contributions —
+    reproduces SQL SUM's NULL-over-all-NULL semantics (sum_c is NULL
+    iff the merged nn is 0, exactly the old coalesce/when merge).
+    min/max merge monotonically — only valid for groups with NO
+    retraction in the interval, same contract as before."""
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    aggs = [F.sum("cnt").alias("cnt")]
+    for c in sum_cols:
+        nn = F.coalesce(F.sum(f"nn_{c}"), F.lit(0))
+        aggs.append(F.when(nn > 0, F.sum(f"sum_{c}")).alias(f"sum_{c}"))
+        aggs.append(nn.cast("long").alias(f"nn_{c}"))
+    for c in minmax_cols:
+        aggs += [F.min(f"min_{c}").alias(f"min_{c}"),
+                 F.max(f"max_{c}").alias(f"max_{c}")]
+    return out.groupBy(*group_cols).agg(*aggs)
 
 
 def _signed_change() -> "F.Column":
@@ -473,13 +480,15 @@ def refresh_agg_view(spark: SparkSession, view_path: str,
                            parent_version=view_v)
     ch = _changes_since_cursor(spark, src, v_from, v_to, m["mv_key"],
                                multiset=True)
-    cur = V.read(spark, view_path, view_v)
+    cur = V.read(spark, view_path, view_v, pin_schema=True)
     if not minmax_cols:
         # additive path consumes ch exactly ONCE (the single overwrite
-        # write) — no persist needed
-        delta = _aggregate(ch, group_cols, sum_cols, sign=_signed_change())
-        merged = _merge_additive(cur, delta, group_cols,
-                                 sum_cols).where(F.col("cnt") > 0)
+        # write) — no persist needed; change rows union straight into
+        # the stored state for ONE group-key exchange (_merge_states)
+        merged = _merge_states(
+            [cur, _state_rows(ch, group_cols, sum_cols,
+                              sign=_signed_change())],
+            group_cols, sum_cols).where(F.col("cnt") > 0)
         return V.overwrite(spark, view_path, merged, extra=new_extra,
                            parent_version=view_v)
     ch = ch.persist()  # minmax path feeds four plan subtrees from ch
@@ -520,11 +529,15 @@ def _two_tier_minmax_state(ch, recomp_src, group_cols, sum_cols,
     def _minus_affected(df: DataFrame) -> DataFrame:
         return _minus_groups(df, ret_groups, group_cols)
 
-    ins_delta = _minus_affected(_aggregate(ins, group_cols, sum_cols,
+    # the anti-join moves to ROW level (same filtered set: a row's group
+    # is in ret_groups iff its aggregate's group is), so the insert
+    # delta needs no pre-aggregation — one exchange merges it with the
+    # surviving stored state
+    ins_rows = _minus_affected(_state_rows(ins, group_cols, sum_cols,
                                            minmax_cols))
     return (
-        _merge_additive(_minus_affected(cur), ins_delta, group_cols,
-                        sum_cols, _mm_merge_vals(minmax_cols))
+        _merge_states([_minus_affected(cur), ins_rows], group_cols,
+                      sum_cols, minmax_cols)
         .unionByName(recomp)
         .where(F.col("cnt") > 0)
     )
@@ -818,7 +831,7 @@ def refresh_topk_view(spark: SparkSession, view_path: str,
             ch.where(F.col("_change_type").isin(*_INSERTING))
             .select(*group_cols, key, score_col)
         )
-        cur = V.read(spark, view_path, view_v)
+        cur = V.read(spark, view_path, view_v, pin_schema=True)
         # DETERMINISTIC skip of the retraction tier (not AQE empty-
         # relation pruning): the common insert-only ingest refresh must
         # never plan a source-snapshot scan
@@ -922,8 +935,11 @@ def _prune_to_delta_keys(snap: DataFrame, ch: DataFrame, on: list[str],
     caller's _change_bound for the interval (computed once per side
     per refresh — it may open parquet footers on legacy manifests)."""
     if change_bound <= _broadcast_bound_rows(len(on)):
-        return snap.join(F.broadcast(ch.select(*on).distinct()),
-                         on, "left_semi")
+        # no distinct(): a left_semi probe matches any copy, so dup keys
+        # in the broadcast relation change nothing — and dropping the
+        # distinct drops a full exchange + two aggregates from every
+        # refresh (rows are already bounded by change_bound)
+        return snap.join(F.broadcast(ch.select(*on)), on, "left_semi")
     return snap
 
 
@@ -1314,16 +1330,16 @@ def refresh_join_view(spark: SparkSession, view_path: str,
             pair_frames = pair_frames + _delta_nullext_frames(
                 spark, lsrc, rsrc, on, r_fields, ch_l, ch_r,
                 l_bound, r_bound, l_to, r_from)
-        cur = V.read(spark, view_path, view_v)
+        cur = V.read(spark, view_path, view_v, pin_schema=True)
         if not minmax_cols:
-            merged = cur
-            for p in pair_frames:
-                merged = _merge_additive(
-                    merged,
-                    _aggregate(p, group_cols, sum_cols,
-                               sign=_signed_change()),
-                    group_cols, sum_cols)
-            merged = merged.where(F.col("cnt") > 0)
+            # ALL pair terms + the stored state merge in ONE union +
+            # ONE group-key exchange (the old per-term
+            # aggregate+full-outer fold paid 3 exchanges per term)
+            merged = _merge_states(
+                [cur] + [_state_rows(p, group_cols, sum_cols,
+                                     sign=_signed_change())
+                         for p in pair_frames],
+                group_cols, sum_cols).where(F.col("cnt") > 0)
             return V.overwrite(spark, view_path, merged, extra=new_extra,
                                parent_version=view_v)
         return _refresh_join_minmax(
@@ -1376,9 +1392,9 @@ def _refresh_join_minmax(spark, view_path, view_v, pair_frames, persisted,
     )
     if not n_ret_capped:
         ins = pairs.where(F.col("_change_type").isin(*_INSERTING))
-        merged = _merge_additive(
-            cur, _aggregate(ins, group_cols, sum_cols, minmax_cols),
-            group_cols, sum_cols, _mm_merge_vals(minmax_cols)
+        merged = _merge_states(
+            [cur, _state_rows(ins, group_cols, sum_cols, minmax_cols)],
+            group_cols, sum_cols, minmax_cols
         ).where(F.col("cnt") > 0)
         return V.overwrite(spark, view_path, merged, extra=new_extra,
                            parent_version=view_v)

@@ -2932,11 +2932,30 @@ def _changes_fast_path(
     # omit an evolved column too), and a consumer selecting it (an agg
     # view summing the evolved column) must not fail resolution on an
     # append-only interval when the same read at snapshot altitude
-    # would have surfaced the column as NULL
+    # would have surfaced the column as NULL.
+    #
+    # The read is PINNED to the manifest's committed col_types when it
+    # can be (guide §5/§6: mergeSchema footer inference here was one
+    # distributed footer job per refresh per changed side — r14 opt):
+    # the drift guard makes every segment's columns a by-name subset
+    # of col_types at identical types, and parquet fills absent-by-name
+    # columns with NULL, so the pinned read needs no _reconcile pass.
+    # Tables with hidden (dropped) columns fall back to the legacy
+    # mergeSchema + reconcile read: a pre-drop segment inside the
+    # interval may carry a column col_types no longer declares.
+    m_to = _manifest(path, to_v)
+    types = m_to.get("col_types") or {}
+    if types and not m_to.get("hidden_cols"):
+        schema = ", ".join(f"`{c}` {t}" for c, t in types.items())
+        return (
+            spark.read.schema(schema).parquet(*dirs)
+            .withColumn("_change_type", F.lit("insert")),
+            from_v, to_v, ops,
+        )
     return (
         _reconcile_declared(
             spark.read.option("mergeSchema", "true").parquet(*dirs),
-            _manifest(path, to_v))
+            m_to)
         .withColumn("_change_type", F.lit("insert")),
         from_v, to_v, ops,
     )
