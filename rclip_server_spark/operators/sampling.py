@@ -364,9 +364,16 @@ def export_training_shards(
 
         _shutil.rmtree(out_dir)
     spark = df.sparkSession
-    (_shard_write_frame(df, id_col, n_shards, salt)
-     .write.partitionBy("shard").parquet(out_dir))
-    back = spark.read.parquet(out_dir)
+    wf = _shard_write_frame(df, id_col, n_shards, salt)
+    wf.write.partitionBy("shard").parquet(out_dir)
+    # the read-back schema is the written frame's own (shard becomes a
+    # partition directory column) — pinning it skips the fresh-read
+    # footer/partition schema inference; the VERIFY pass below still
+    # reads the landed bytes themselves
+    back_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in wf.schema.fields if f.name != "shard") + ", `shard` bigint"
+    back = spark.read.schema(back_schema).parquet(out_dir)
     per_shard = (
         back.select(
             "shard",

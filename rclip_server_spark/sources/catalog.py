@@ -111,3 +111,40 @@ def table_row_count(path: str) -> int:
             if f.endswith(".parquet"):
                 total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
     return total
+
+
+def column_footer_counts(path: str, col: str) -> tuple[int, int | None]:
+    """(total rows, total NULL count) for ONE column of a parquet file or
+    directory — from footer metadata only: zero Spark jobs, zero data
+    reads. Spark's parquet writer records a null count per column chunk
+    by default, so validation arithmetic that only needs row/null/
+    distinct-set cardinalities (e.g. the MERGE duplicate-key guard) can
+    ride the files a statement writes anyway instead of paying its own
+    counting job. A file that lacks the column entirely (schema
+    evolution) contributes its full row count as NULLs — exactly what a
+    reader would materialize. Returns ``(rows, None)`` when any chunk
+    carries no null-count statistic, so callers can fall back to a
+    counting job rather than trust incomplete metadata."""
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(path):
+        targets = [path]
+    else:
+        targets = [os.path.join(root, f)
+                   for root, _, files in os.walk(path)
+                   for f in files if f.endswith(".parquet")]
+    rows, nulls = 0, 0
+    for fp in targets:
+        pf = pq.ParquetFile(fp)
+        md = pf.metadata
+        rows += md.num_rows
+        idx = pf.schema_arrow.get_field_index(col)
+        if idx < 0:
+            nulls += md.num_rows
+            continue
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_null_count:
+                return rows, None
+            nulls += st.null_count
+    return rows, nulls

@@ -990,6 +990,7 @@ def delete_rows(spark: SparkSession, path: str, keys, key_col: str,
 def delete_and_append(
     spark: SparkSession, path: str, keys, key_col: str, batch: DataFrame,
     extra: dict | None = None, parent_version: int | None = None,
+    precommit=None,
 ) -> int:
     """ONE commit that both deletes by key (delete vector, zero rewrite)
     and appends a new segment — the atomic replace primitive a derived
@@ -1002,7 +1003,11 @@ def delete_and_append(
     this same commit are never hidden by it — the delete-then-insert
     semantics of delete_rows + append, collapsed into one manifest
     publication. ``parent_version`` pins the OCC parent (same contract
-    as append)."""
+    as append). ``precommit(dseg, seg)``, when given, runs after both
+    writes and before the manifest link — raising aborts the commit
+    and cleans up both staged segments (the MERGE dup-key guard checks
+    the WRITTEN files' footer stats here instead of paying a separate
+    validation job)."""
     v = current_version(path) if parent_version is None \
         else int(parent_version)
     m = _manifest(path, v)
@@ -1011,13 +1016,43 @@ def delete_and_append(
                          f"{m['delete_key']!r}; cannot mix with {key_col!r}")
     if "buckets" in m:
         return _delete_and_append_bucketed(spark, path, v, m, keys,
-                                           key_col, batch, extra)
+                                           key_col, batch, extra,
+                                           precommit=precommit)
     compat = _check_schema_compat(m, batch, "delete-append")
     batch = _apply_constraints(batch, m, "delete-append")
     ktype = m.get("col_types", {}).get(key_col)
-    dseg, _ = _write_delete_vector(
-        spark, path, keys, key_col, key_type=ktype)
-    seg = _write_segment(batch, path)
+    # the vector and segment writes are INDEPENDENT jobs over the same
+    # (usually persisted) batch — submit them from two driver threads
+    # so the second job back-fills the first's task tail (guide-§2.6
+    # overlap) instead of paying two sequential per-job floors
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        _fd = _ex.submit(_write_delete_vector, spark, path, keys,
+                         key_col, key_type=ktype)
+        _fs = _ex.submit(_write_segment, batch, path)
+        _errs, dseg, seg = [], None, None
+        try:
+            dseg, _ = _fd.result()
+        except Exception as exc:  # noqa: BLE001 — re-raised below
+            _errs.append(exc)
+        try:
+            seg = _fs.result()
+        except Exception as exc:  # noqa: BLE001
+            _errs.append(exc)
+        if _errs:
+            for staged in (dseg, seg):
+                if staged:
+                    shutil.rmtree(os.path.join(path, staged),
+                                  ignore_errors=True)
+            raise _errs[0]
+    if precommit is not None:
+        try:
+            precommit(dseg, seg)
+        except Exception:
+            shutil.rmtree(os.path.join(path, dseg), ignore_errors=True)
+            shutil.rmtree(os.path.join(path, seg), ignore_errors=True)
+            raise
     extra = dict(extra or {})
     extra |= {
         "delete_key": key_col,
@@ -1041,6 +1076,7 @@ def delete_and_append(
 def _delete_and_append_bucketed(
     spark: SparkSession, path: str, v: int, m: dict, keys,
     key_col: str, batch: DataFrame, extra: dict | None,
+    precommit=None,
 ) -> int:
     """delete_and_append's bucketed twin — the atomic replace primitive
     that makes conditional UPDATE / MERGE work on the bucketed layout
@@ -1091,6 +1127,15 @@ def _delete_and_append_bucketed(
     else:
         # empty scope: an unregistrable no-op vector (see delete_rows)
         shutil.rmtree(os.path.join(path, dseg))
+    if precommit is not None:
+        try:
+            precommit(dseg if scope else None, segs)
+        except Exception:
+            if scope:
+                shutil.rmtree(os.path.join(path, dseg),
+                              ignore_errors=True)
+            _cleanup_segments(path, segs.values())
+            raise
     try:
         _commit(path, v + 1, None, "delete-append", extra=extra)
     except ConcurrentWriteError:
@@ -2516,10 +2561,21 @@ def point_lookup_bucketed(
     v = current_version(path) if version is None else int(version)
     m = _manifest(path, v)
     key, n_buckets, _ = _bucketed_meta(m)
-    b = spark.range(1).select(
-        F.pmod(F.xxhash64(F.lit(value).cast("string")), F.lit(n_buckets))
-        .cast("int").alias("b")
-    ).first()["b"]
+    # bucket resolution runs DRIVER-SIDE (functions/xxh.py, parity
+    # pinned against the live Spark expression by tests/test_xxh.py)
+    # — a point lookup plans with zero Spark jobs; value types outside
+    # the pinned string/integral set fall back to the one-row JVM
+    # evaluation of the exact writer expression
+    from ..functions.xxh import bucket_of
+
+    try:
+        b = bucket_of(value, n_buckets)
+    except TypeError:
+        b = spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(value).cast("string")),
+                   F.lit(n_buckets))
+            .cast("int").alias("b")
+        ).first()["b"]
     return read_bucketed(spark, path, version=v, buckets=[int(b)]).where(
         F.col(key) == value
     )
@@ -2554,13 +2610,22 @@ def upsert_bucketed(
     if target_segs:
         # _read_with_deletes: the rewrite MATERIALIZES any pending
         # delete vectors for the touched buckets (their new segments
-        # are built from the delete-filtered state)
+        # are built from the delete-filtered state). pin_schema: the
+        # target read plans from the manifest's committed col_types
+        # instead of a mergeSchema footer-inference job per statement
+        # (falls back to mergeSchema on legacy manifests) — the same
+        # planning-IO fix the snapshot/serving reads got in r13.
         target = (
-            _read_with_deletes(spark, path, m, target_segs)
+            _read_with_deletes(spark, path, m, target_segs,
+                               pin_schema=True)
             .withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
         )
+        # no .distinct() on the anti-join build side: left_anti drops a
+        # target row on ANY key match, so duplicate build-side keys
+        # cannot change the result — the distinct only added an
+        # exchange (one extra AQE job) in front of the broadcast
         merged = target.join(
-            ub.select(key).distinct(), [key], "left_anti"
+            ub.select(key), [key], "left_anti"
         ).unionByName(ub, allowMissingColumns=True)
     else:
         merged = ub

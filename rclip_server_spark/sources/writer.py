@@ -409,11 +409,21 @@ def point_lookup_bucketed(spark: SparkSession, path: str, value) -> DataFrame:
     with open(os.path.join(path, _BUCKET_SPEC)) as f:
         spec = json.load(f)
     key, n_buckets = spec["key"], int(spec["n_buckets"])
-    b = spark.range(1).select(
-        F.pmod(F.xxhash64(F.lit(value).cast("string")), F.lit(n_buckets))
-        .cast("int")
-        .alias("b")
-    ).first()["b"]
+    # bucket resolution runs DRIVER-SIDE (functions/xxh.py, parity
+    # pinned by tests/test_xxh.py) — zero Spark jobs at plan time;
+    # value types outside the pinned string/integral set fall back to
+    # the one-row JVM evaluation of the exact layout expression
+    from ..functions.xxh import bucket_of
+
+    try:
+        b = bucket_of(value, n_buckets)
+    except TypeError:
+        b = spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(value).cast("string")),
+                   F.lit(n_buckets))
+            .cast("int")
+            .alias("b")
+        ).first()["b"]
     return (
         spark.read.option("mergeSchema", "true").parquet(path)
         .where((F.col(_BUCKET_COL) == b) & (F.col(key) == value))

@@ -444,18 +444,30 @@ def _merge(spark: SparkSession, catalog: Catalog, text: str) -> dict:
         F.col(s_by_lower[c.lower()]).cast(types[c]).alias(c)
         for c in target.columns]).persist()
     try:
-        _merge_dup_key_check(src, key)
         if matched and not_matched:
             if bucketed:
                 # bucketed full upsert: only the touched buckets are
                 # read and rewritten, committed atomically across
                 # them (OCC rebase loop)
+                _merge_dup_key_check(src, key)
                 ver = V.upsert_bucketed_with_retry(spark, e["path"],
                                                    src)
                 return {"status": "merged", "name": name,
                         "version": ver}
-            batch = src  # full upsert: no target read needed
-        elif matched:
+            # flat full upsert: no target read needed — and no
+            # separate dup-key validation job either. The statement
+            # already writes the distinct key set (delete vector) and
+            # the full source (segment); the guard's two counts are
+            # footer arithmetic over those files, checked pre-commit
+            # (a duplicate aborts before the manifest link, same
+            # external behavior as the eager check)
+            ver = V.delete_and_append(
+                spark, e["path"], src.select(key), key, src,
+                parent_version=ver0,
+                precommit=_footer_dup_key_check(src, key, e["path"]))
+            return {"status": "merged", "name": name, "version": ver}
+        _merge_dup_key_check(src, key)
+        if matched:
             batch = src.join(target.select(key).distinct(), [key],
                              "left_semi")
         else:
@@ -483,6 +495,38 @@ def _merge_dup_key_check(src: DataFrame, key: str) -> None:
             f"MERGE source has duplicate {key!r} values "
             f"({nn} non-null keys, {nk} distinct) — each target "
             f"row may match at most one source row")
+
+
+def _footer_dup_key_check(src: DataFrame, key: str, tpath: str):
+    """The dup-key guard as FOOTER ARITHMETIC over the files the flat
+    full-upsert MERGE writes anyway: the appended segment holds every
+    source row and the delete vector holds the DISTINCT key set, so
+    (non-null source keys) = seg rows − seg key-NULLs and (distinct
+    non-null keys) = vector rows − vector key-NULLs — the exact two
+    counts _merge_dup_key_check computes, read from parquet metadata
+    in the delete_and_append precommit hook instead of a separate
+    validation job per statement. Falls back to the counting job if
+    any footer lacks null-count statistics."""
+    import os as _os
+
+    from ..sources.catalog import column_footer_counts
+
+    def check(dseg: str, seg: str) -> None:
+        srows, snulls = column_footer_counts(
+            _os.path.join(tpath, seg), key)
+        drows, dnulls = column_footer_counts(
+            _os.path.join(tpath, dseg), key)
+        if snulls is None or dnulls is None:
+            _merge_dup_key_check(src, key)
+            return
+        nn, nk = srows - snulls, drows - dnulls
+        if nn != nk:
+            raise SqlError(
+                f"MERGE source has duplicate {key!r} values "
+                f"({nn} non-null keys, {nk} distinct) — each target "
+                f"row may match at most one source row")
+
+    return check
 
 
 def _merge_stage_plans(target: DataFrame, src: DataFrame, key: str,
@@ -643,23 +687,37 @@ def _merge_general(spark: SparkSession, e: dict, name: str,
     if skey is None:
         raise SqlError(f"MERGE ON column {key!r} not in the "
                        f"source's columns {src.columns}")
+    from concurrent.futures import ThreadPoolExecutor
+
     src = src.persist()
-    try:
-        _merge_dup_key_check(src, skey)
-        del_keys, batch = _merge_stage_plans(
-            target, src, key, skey, t_alias, s_alias, matched,
-            not_matched, nmbs)
-        if del_keys is None:
-            ver = V.append(spark, e["path"], batch,
-                           parent_version=ver0)
-        elif batch is None:
-            ver = V.delete_rows(spark, e["path"], del_keys, key,
-                                parent_version=ver0)
-        else:
-            ver = V.delete_and_append(spark, e["path"], del_keys,
-                                      key, batch,
-                                      parent_version=ver0)
-        return {"status": "merged", "name": name, "version": ver}
-    finally:
-        src.unpersist()
+    # the dup-key guard is an independent job over the persisted
+    # source — run it from a driver thread so it overlaps the
+    # statement's own join/write jobs (guide-§2.6 back-fill) instead
+    # of paying a serial validation pass; every commit branch JOINS
+    # the check before publishing (precommit hook on the
+    # delete-vector path, an explicit result() on the others), so a
+    # duplicate still aborts with nothing committed
+    with ThreadPoolExecutor(max_workers=1) as _ex:
+        _chk = _ex.submit(_merge_dup_key_check, src, skey)
+        try:
+            del_keys, batch = _merge_stage_plans(
+                target, src, key, skey, t_alias, s_alias, matched,
+                not_matched, nmbs)
+            if del_keys is None:
+                _chk.result()
+                ver = V.append(spark, e["path"], batch,
+                               parent_version=ver0)
+            elif batch is None:
+                _chk.result()
+                ver = V.delete_rows(spark, e["path"], del_keys, key,
+                                    parent_version=ver0)
+            else:
+                ver = V.delete_and_append(
+                    spark, e["path"], del_keys, key, batch,
+                    parent_version=ver0,
+                    precommit=lambda *_: _chk.result())
+            return {"status": "merged", "name": name, "version": ver}
+        finally:
+            _chk.cancel()
+            src.unpersist()
 

@@ -688,6 +688,47 @@ def test_merge_error_shapes(spark, events, cat, base):
                          "ev.event_id = bad_src.event_id", cat)
 
 
+def test_merge_full_upsert_dup_keys_abort_without_commit(
+        spark, events, cat, base):
+    """The FULL-upsert form validates duplicate source keys via footer
+    arithmetic over the files it writes (precommit hook), not a
+    separate agg job — a duplicate must still raise the same error AND
+    leave no new committed version or stray staged segments."""
+    path = cat.path_for("ev")
+    v0 = V.current_version(path)
+    n0 = V.read(spark, path).count()
+    dup = base.limit(1).unionAll(base.limit(1)).select(
+        "event_id", "user_id", "event_type", "cents")
+    dup.createOrReplaceTempView("dup_full_src")
+    with pytest.raises(S.SqlError, match="duplicate"):
+        S.execute(spark, "MERGE INTO ev USING dup_full_src ON "
+                         "ev.event_id = dup_full_src.event_id "
+                         "WHEN MATCHED THEN UPDATE SET * "
+                         "WHEN NOT MATCHED THEN INSERT *", cat)
+    assert V.current_version(path) == v0          # nothing committed
+    assert V.read(spark, path).count() == n0      # table untouched
+    stray = [d for d in os.listdir(path)
+             if d.startswith(("seg-", "del-"))]
+    live = set(V._manifest(path, v0)["segments"])
+    assert all(d in live for d in stray if d.startswith("seg-"))
+    assert not [d for d in stray if d.startswith("del-")]
+    # NULL-keyed rows stay legal through the footer path too: one NULL
+    # key + one fresh key commit as inserts (NULL never matches)
+    src = base.limit(1).select(
+        F.lit(None).cast("long").alias("event_id"), "user_id",
+        "event_type", F.lit(5).cast("long").alias("cents")).unionAll(
+        base.limit(1).select(
+            (F.col("event_id") + 10_000_000).alias("event_id"),
+            "user_id", "event_type",
+            F.lit(6).cast("long").alias("cents")))
+    src.createOrReplaceTempView("nullk_full_src")
+    S.execute(spark, "MERGE INTO ev USING nullk_full_src ON "
+                     "ev.event_id = nullk_full_src.event_id "
+                     "WHEN MATCHED THEN UPDATE SET * "
+                     "WHEN NOT MATCHED THEN INSERT *", cat)
+    assert V.read(spark, path).count() == n0 + 2
+
+
 def test_merge_on_non_key_column_rejected(spark, events, cat, base):
     one = base.limit(1).select("event_id", "user_id", "event_type",
                                "cents")
