@@ -798,8 +798,9 @@ def _prune_vectors(m: dict, live_segs: set[str]) -> dict:
                              if d in keep]}
 
 
-def _vector_scope_bucketed(m: dict, kdf: DataFrame, key_col: str
-                           ) -> list[str]:
+def _vector_scope_bucketed(m: dict, kdf: DataFrame, key_col: str,
+                           path: str | None = None,
+                           dseg: str | None = None) -> list[str]:
     """A bucketed delete vector's segment scope. When the vector keys
     the table's BUCKET key (the SQL layer's only case — bucketed
     tables hash-route by the declared row identity), a deleted key's
@@ -808,16 +809,51 @@ def _vector_scope_bucketed(m: dict, kdf: DataFrame, key_col: str
     rewrites of every other bucket never even see the anti-join (at
     65536 buckets, a 100-key GDPR erasure scopes ~100 buckets). Any
     other key column scopes conservatively to every current segment.
-    Cost: one distinct-bucket-ids job over the (already tiny,
+    Cost: ZERO Spark jobs when ``path``/``dseg`` name the written
+    vector segment — the keys are read back driver-side (pyarrow over
+    the KB-sized files) and routed through functions.xxh.bucket_of,
+    the parity-pinned twin of the writer's layout expression; vectors
+    too large, NULL-keyed, or typed outside the pinned string/integral
+    set fall back to one distinct-bucket-ids Spark job over the (tiny,
     already materialized) key segment — bounded by n_buckets."""
     from .writer import _BUCKET_COL, _bucket_expr
 
     bkey, n_buckets, bmap = _bucketed_meta(m)
     if key_col != bkey:
         return sorted(_manifest_segments(m))
-    touched = _bucket_ids(kdf.select(
-        _bucket_expr(key_col, n_buckets).alias(_BUCKET_COL)))
+    touched = None
+    if path is not None and dseg is not None:
+        touched = _bucket_ids_local(
+            os.path.join(path, dseg), key_col, n_buckets)
+    if touched is None:
+        touched = _bucket_ids(kdf.select(
+            _bucket_expr(key_col, n_buckets).alias(_BUCKET_COL)))
     return [s for b in touched for s in bmap.get(str(b), [])]
+
+
+def _bucket_ids_local(seg_dir: str, key_col: str,
+                      n_buckets: int) -> list[int] | None:
+    """Distinct bucket ids of an already-written key segment, computed
+    DRIVER-SIDE from its parquet bytes — no Spark job. Returns None
+    (caller falls back to the one-job Spark path) when the segment is
+    larger than a driver-friendly bound or any key falls outside
+    bucket_of's parity-pinned string/integral set (incl. NULL)."""
+    import pyarrow.parquet as pq
+
+    from ..functions.xxh import bucket_of
+
+    files = [os.path.join(r, f) for r, _, fs in os.walk(seg_dir)
+             for f in fs if f.endswith(".parquet")]
+    if not files or sum(os.path.getsize(f) for f in files) > (16 << 20):
+        return None
+    try:
+        ids: set[int] = set()
+        for fp in files:
+            col = pq.ParquetFile(fp).read(columns=[key_col]).column(0)
+            ids |= {bucket_of(v, n_buckets) for v in col.to_pylist()}
+        return sorted(ids)
+    except (TypeError, KeyError):
+        return None
 
 
 def _write_delete_vector(spark: SparkSession, path: str, keys,
@@ -925,7 +961,8 @@ def delete_rows(spark: SparkSession, path: str, keys, key_col: str,
         ktype = m.get("col_types", {}).get(key_col)
         dseg, kset = _write_delete_vector(
         spark, path, keys, key_col, key_type=ktype)
-        scope = _vector_scope_bucketed(m, kset, key_col)
+        scope = _vector_scope_bucketed(m, kset, key_col,
+                                       path=path, dseg=dseg)
         extra = dict(extra or {})
         extra |= {
             "bucket_key": m["bucket_key"], "n_buckets": m["n_buckets"],
@@ -1088,25 +1125,55 @@ def _delete_and_append_bucketed(
     link. Cost is O(matched + appended) — at 100 TB a conditional
     MERGE touching 1k keys writes one KB-sized vector plus ≤1k
     buckets' worth of new-segment rows, zero existing bytes read."""
-    from .writer import _BUCKET_COL, _bucket_expr
-
     bkey, n_buckets, bmap = _bucketed_meta(m)
     compat = _check_schema_compat(m, batch, "delete-append")
     batch = _apply_constraints(batch, m, "delete-append")
     ktype = m.get("col_types", {}).get(key_col)
-    dseg, kset = _write_delete_vector(
-        spark, path, keys, key_col, key_type=ktype)
-    # scope = the PARENT's segments (of the touched buckets): the
-    # segments appended in this same commit are new names outside the
-    # scope, so the vector can never hide its own replacement rows
-    scope = _vector_scope_bucketed(m, kset, key_col)
-    bb = _stage_bucketed_batch(batch, bkey, n_buckets)
-    try:
-        touched = _bucket_ids(bb)
-        segs = _write_bucket_segments(bb, path, touched) if touched \
-            else {}
-    finally:
-        bb.unpersist()
+
+    # the vector chain (write keys → resolve scope, driver-side) and
+    # the batch chain (stage image → per-bucket segments) are
+    # INDEPENDENT job sequences — run them from two driver threads so
+    # one chain's tasks back-fill the other's stage tails (guide-§2.6
+    # overlap), same as the flat twin above
+    def _chain_vector():
+        dseg, kset = _write_delete_vector(
+            spark, path, keys, key_col, key_type=ktype)
+        # scope = the PARENT's segments (of the touched buckets): the
+        # segments appended in this same commit are new names outside
+        # the scope, so the vector can never hide its own replacement
+        # rows
+        return dseg, _vector_scope_bucketed(m, kset, key_col,
+                                            path=path, dseg=dseg)
+
+    def _chain_batch():
+        bb = _stage_bucketed_batch(batch, bkey, n_buckets)
+        try:
+            touched = _bucket_ids(bb)
+            return _write_bucket_segments(bb, path, touched) \
+                if touched else {}
+        finally:
+            bb.unpersist()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        _fv = _ex.submit(_chain_vector)
+        _fb = _ex.submit(_chain_batch)
+        _errs, dseg, scope, segs = [], None, [], {}
+        try:
+            dseg, scope = _fv.result()
+        except Exception as exc:  # noqa: BLE001 — re-raised below
+            _errs.append(exc)
+        try:
+            segs = _fb.result()
+        except Exception as exc:  # noqa: BLE001
+            _errs.append(exc)
+        if _errs:
+            if dseg:
+                shutil.rmtree(os.path.join(path, dseg),
+                              ignore_errors=True)
+            _cleanup_segments(path, segs.values())
+            raise _errs[0]
     new_bmap = dict(bmap)
     for b, s in segs.items():
         new_bmap[str(b)] = new_bmap.get(str(b), []) + [s]
@@ -2582,7 +2649,8 @@ def point_lookup_bucketed(
 
 
 def upsert_bucketed(
-    spark: SparkSession, path: str, updates: DataFrame
+    spark: SparkSession, path: str, updates: DataFrame,
+    validate=None,
 ) -> int:
     """MERGE-on-key against the bucketed versioned table, rewriting ONLY
     touched buckets and committing atomically across them. Plan: bucket the
@@ -2591,7 +2659,13 @@ def upsert_bucketed(
     one new segment per touched bucket, commit a manifest that swaps
     exactly those bucket entries. Readers of any resolved version are
     untouched; a concurrent commit raises ConcurrentWriteError (orphan
-    segments cleaned) so the caller re-merges against the new head."""
+    segments cleaned) so the caller re-merges against the new head.
+
+    ``validate(nn, nk)``, when given, receives the batch's non-null and
+    distinct key-value counts and may raise to abort before anything is
+    written. The counts ride the SAME single aggregation job that
+    collects the touched bucket ids, so a caller-side duplicate-key
+    guard (the SQL MERGE contract) costs zero extra jobs here."""
     from .writer import _bucket_expr, _BUCKET_COL
 
     v = current_version(path)
@@ -2603,7 +2677,18 @@ def upsert_bucketed(
     compat = _check_schema_compat(m, updates, "upsert-bucketed")
     updates = _apply_constraints(updates, m, "upsert-bucketed")
     ub = updates.withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
-    touched = _bucket_ids(ub)
+    if validate is not None:
+        import pyspark.sql.functions as F
+
+        r = ub.agg(
+            F.collect_set(F.col(_BUCKET_COL)).alias("__bs"),
+            F.count(F.col(key)).alias("__nn"),
+            F.count_distinct(F.col(key)).alias("__nk"),
+        ).first()
+        validate(int(r["__nn"]), int(r["__nk"]))
+        touched = sorted(int(b) for b in r["__bs"])
+    else:
+        touched = _bucket_ids(ub)
     if not touched:
         return v
     target_segs = [s for b in touched for s in bmap.get(str(b), [])]
@@ -2905,14 +2990,16 @@ def cluster_zorder_bucketed(
 
 
 def upsert_bucketed_with_retry(
-    spark: SparkSession, path: str, updates: DataFrame, max_retries: int = 3
+    spark: SparkSession, path: str, updates: DataFrame, max_retries: int = 3,
+    validate=None,
 ) -> int:
     """Bucketed MERGE under the standard optimistic-concurrency rebase loop
     (same contract as upsert_with_retry: every attempt re-reads the new
     head, so the loser's update is re-based, never lost)."""
     for attempt in range(max_retries + 1):
         try:
-            return upsert_bucketed(spark, path, updates)
+            return upsert_bucketed(spark, path, updates,
+                                   validate=validate)
         except ConcurrentWriteError:
             if attempt == max_retries:
                 raise

@@ -448,10 +448,12 @@ def _merge(spark: SparkSession, catalog: Catalog, text: str) -> dict:
             if bucketed:
                 # bucketed full upsert: only the touched buckets are
                 # read and rewritten, committed atomically across
-                # them (OCC rebase loop)
-                _merge_dup_key_check(src, key)
-                ver = V.upsert_bucketed_with_retry(spark, e["path"],
-                                                   src)
+                # them (OCC rebase loop). The dup-key guard's two
+                # counts ride upsert_bucketed's own touched-bucket
+                # aggregation — zero extra validation jobs
+                ver = V.upsert_bucketed_with_retry(
+                    spark, e["path"], src,
+                    validate=_dup_key_validator(key))
                 return {"status": "merged", "name": name,
                         "version": ver}
             # flat full upsert: no target read needed — and no
@@ -483,6 +485,22 @@ def _merge(spark: SparkSession, catalog: Catalog, text: str) -> dict:
         src.unpersist()
 
 
+def _dup_key_validator(key: str):
+    """The one-match rule as a pure count check: raises SqlError when
+    the non-null key count differs from the distinct key count. The
+    counts come from whatever job the caller already runs (the eager
+    agg below, upsert_bucketed's touched-bucket aggregation, or the
+    footer arithmetic of _footer_dup_key_check)."""
+    def validate(nn: int, nk: int) -> None:
+        if nn != nk:
+            raise SqlError(
+                f"MERGE source has duplicate {key!r} values "
+                f"({nn} non-null keys, {nk} distinct) — each target "
+                f"row may match at most one source row")
+
+    return validate
+
+
 def _merge_dup_key_check(src: DataFrame, key: str) -> None:
     # count(col) skips NULLs, so both sides of the one-match check
     # range over NON-NULL keys only: a NULL-keyed source row is legal
@@ -490,11 +508,7 @@ def _merge_dup_key_check(src: DataFrame, key: str) -> None:
     # not
     nn, nk = src.agg(F.count(F.col(key)),
                      F.count_distinct(F.col(key))).first()
-    if nn != nk:
-        raise SqlError(
-            f"MERGE source has duplicate {key!r} values "
-            f"({nn} non-null keys, {nk} distinct) — each target "
-            f"row may match at most one source row")
+    _dup_key_validator(key)(nn, nk)
 
 
 def _footer_dup_key_check(src: DataFrame, key: str, tpath: str):
@@ -519,12 +533,7 @@ def _footer_dup_key_check(src: DataFrame, key: str, tpath: str):
         if snulls is None or dnulls is None:
             _merge_dup_key_check(src, key)
             return
-        nn, nk = srows - snulls, drows - dnulls
-        if nn != nk:
-            raise SqlError(
-                f"MERGE source has duplicate {key!r} values "
-                f"({nn} non-null keys, {nk} distinct) — each target "
-                f"row may match at most one source row")
+        _dup_key_validator(key)(srows - snulls, drows - dnulls)
 
     return check
 
