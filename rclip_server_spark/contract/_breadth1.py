@@ -412,12 +412,14 @@ def _ev_asof(spark: SparkSession, sf: str) -> DataFrame:
     _utc(spark)
     ev = _t(spark, sf, "events")
     clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    views = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("view_event_id"))
+    # equal-ts views dedupe to max(event_id) INSIDE the asof window's
+    # sort (latest_by) — same answer as the oracle's GROUP BY views CTE,
+    # minus the pre-aggregation's own exchange (r14 opt: 2 Exchanges -> 1)
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
     )
-    out = joins.asof_join(clicks, views, on="user_id", ts="ts")
+    out = joins.asof_join(clicks, views, on="user_id", ts="ts",
+                          latest_by="view_event_id")
     return out.select(
         "event_id",
         "user_id",

@@ -593,23 +593,19 @@ def _ev_zscore(spark: SparkSession, sf: str) -> DataFrame:
 def _ev_asof_attribution(spark: SparkSession, sf: str) -> DataFrame:
     """Batch twin of streaming.stateful.streaming_asof_last_view (the
     applyInPandasWithState as-of operator): same function, batch runtime.
-    Views are pre-deduped to max(event_id) per (user, ts) so the matched
-    view id is deterministic cross-engine (asof ties broken by the dedupe,
-    not the join)."""
+    Equal-ts views dedupe to max(event_id) inside the operator's asof
+    window (latest_by — the streaming path's own tie-break), so the
+    matched view id is deterministic cross-engine without a separate
+    pre-aggregation exchange (r14 opt)."""
     from ..streaming import stateful as ST
 
     _utc(spark)
     ev = _t(spark, sf, "events")
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id", "event_id", "event_type", "ts"
+    return ST.streaming_asof_last_view(
+        ev.where(F.col("event_type").isin("click", "view")).select(
+            "user_id", "event_id", "event_type", "ts"
+        )
     )
-    views = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("event_id"))
-        .select("user_id", "event_id", F.lit("view").alias("event_type"), "ts")
-    )
-    return ST.streaming_asof_last_view(clicks.unionByName(views))
 
 
 _register(

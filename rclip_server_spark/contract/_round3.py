@@ -593,13 +593,14 @@ def _ev_asof_tol(spark: SparkSession, sf: str) -> DataFrame:
     clicks = ev.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    views = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("view_event_id"))
+    # latest_by replaces the groupBy((user, ts), max) pre-dedupe — one
+    # exchange fewer, same answer (see ev_asof_click_view, r14 opt)
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
     )
     out = joins.asof_join(clicks, views, on="user_id", ts="ts",
-                          tolerance="15 minutes")
+                          tolerance="15 minutes",
+                          latest_by="view_event_id")
     return out.select(
         "event_id",
         "user_id",

@@ -49,15 +49,24 @@ def asof_join(
     on: str,
     ts: str = "ts",
     tolerance: str | None = None,
+    latest_by: str | None = None,
 ) -> DataFrame:
     """Backward as-of join: each left row gains the latest right row with
     ``right.ts <= left.ts`` for the same key (DuckDB ``ASOF LEFT JOIN``
     semantics; ties at equal ts DO match).
 
-    ``right`` must be unique per (key, ts) — pre-aggregate it if not (the
-    contract entry dedupes with max(id)). Right payload columns come back
-    prefixed ``r_``, plus ``gap_us`` = left.ts − matched right.ts in
-    micros (NULL when unmatched or beyond ``tolerance``).
+    ``right`` must be unique per (key, ts) — pre-aggregate it if not, OR
+    pass ``latest_by``: a right payload column (unique per (key, ts),
+    e.g. an event id) whose MAXIMUM row wins among equal-ts duplicates.
+    The dedupe then rides the window's existing sort — duplicates order
+    by ``latest_by`` ascending so the running ``last()`` keeps the max —
+    instead of a separate pre-aggregation, whose groupBy((key, ts))
+    exchange is a SECOND shuffle of the right side on top of the
+    window's own (the union forgets the agg's partitioning). Same
+    answer as ``groupBy(key, ts).agg(max(latest_by))``, one Exchange
+    fewer (r14 opt). Right payload columns come back prefixed ``r_``,
+    plus ``gap_us`` = left.ts − matched right.ts in micros (NULL when
+    unmatched or beyond ``tolerance``).
     """
     rpay = [c for c in right.columns if c not in (on, ts)]
     r_struct = F.struct(
@@ -80,10 +89,21 @@ def asof_join(
     ).select(*[F.col(c) for c in l_tag.columns])
 
     # right (side 0) sorts before left (side 1) at equal ts, so an equal-ts
-    # right row is visible to the left row's running last().
+    # right row is visible to the left row's running last(). With
+    # latest_by, equal-ts right duplicates additionally order by that
+    # column ascending, so the running last() lands on the max — left
+    # rows carry a NULL struct there and are ignorenulls-skipped, so
+    # their relative order stays irrelevant.
+    order = [F.col(ts).asc(), F.col("__side").asc()]
+    if latest_by is not None:
+        if latest_by not in rpay:
+            raise ValueError(
+                f"latest_by column {latest_by!r} must be a right payload "
+                f"column (one of {rpay})")
+        order.append(F.col("__r").getField(latest_by).asc())
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = l_tag.unionByName(r_tag).withColumn(

@@ -73,15 +73,15 @@ def streaming_asof_last_view(events: DataFrame,
         clicks = base.where(F.col("event_type") == "click").select(
             "user_id", F.col("event_id").alias("click_id"), "ts"
         )
-        views = (
-            base.where(F.col("event_type") == "view")
-            # dedupe equal-ts views to max event_id — the same tie-break the
-            # streaming path applies, so both runtimes pick the same view_id
-            # (asof_join requires right unique per (key, ts) anyway)
-            .groupBy("user_id", "ts")
-            .agg(F.max("event_id").alias("view_id"))
+        views = base.where(F.col("event_type") == "view").select(
+            "user_id", F.col("event_id").alias("view_id"), "ts"
         )
-        out = asof_join(clicks, views, on="user_id", ts="ts")
+        # equal-ts views dedupe to max(event_id) inside the asof window
+        # (latest_by) — the same tie-break the streaming path applies, so
+        # both runtimes pick the same view_id, without the pre-agg's
+        # second exchange of the view rows (r14 opt)
+        out = asof_join(clicks, views, on="user_id", ts="ts",
+                        latest_by="view_id")
         return out.select(
             "click_id",
             "user_id",

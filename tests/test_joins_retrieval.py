@@ -112,6 +112,53 @@ def test_asof_randomized_matches_quadratic_reference(spark):
             assert got[lid] == want, (lid, k, t, got[lid], want)
 
 
+def test_asof_latest_by_matches_preagg(spark):
+    """latest_by (equal-ts right dedupe riding the window sort, r14 opt)
+    returns exactly what the groupBy((key, ts), max) pre-aggregation
+    returned — row-identical on a frame with duplicate (key, ts) right
+    rows — and removes the pre-agg's Exchange from the plan."""
+    rng_rows = [
+        # user 100: three views at the SAME ts (ids 7, 9, 8 -> max 9),
+        # plus a later singleton
+        (100, _ts(4), 7), (100, _ts(4), 9), (100, _ts(4), 8),
+        (100, _ts(9), 3),
+        # user 200: duplicate ts pair only
+        (200, _ts(1), 5), (200, _ts(1), 6),
+    ]
+    views = spark.createDataFrame(
+        rng_rows, "user_id long, ts timestamp, view_id long")
+    clicks = spark.createDataFrame(
+        [(1, 100, _ts(4)), (2, 100, _ts(10)), (3, 200, _ts(2)),
+         (4, 300, _ts(5))],
+        "click_id long, user_id long, ts timestamp")
+
+    deduped = views.groupBy("user_id", "ts").agg(
+        F.max("view_id").alias("view_id"))
+    want = sorted(
+        tuple(r) for r in joins.asof_join(
+            clicks, deduped, on="user_id", ts="ts").collect())
+    got_df = joins.asof_join(clicks, views, on="user_id", ts="ts",
+                             latest_by="view_id")
+    got = sorted(tuple(r) for r in got_df.collect())
+    assert got == want
+    # the max-id duplicate won at both equal-ts groups
+    by_click = {r.click_id: r.r_view_id for r in got_df.collect()}
+    assert by_click[1] == 9 and by_click[3] == 6
+    # plan shape: ONE exchange (the window's), no aggregate — count the
+    # FINAL adaptive plan only (toString appends an "Initial Plan"
+    # section that repeats every node)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1
+    assert "HashAggregate" not in final
+
+
+def test_asof_latest_by_must_be_payload(trades, quotes):
+    with pytest.raises(ValueError, match="latest_by"):
+        joins.asof_join(trades, quotes, on="user_id", ts="ts",
+                        latest_by="nope")
+
+
 def test_asof_plan_is_window_not_join(trades, quotes):
     plan = joins.asof_join(trades, quotes, on="user_id", ts="ts")._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # one shuffle + sort, never a nested-loop join
