@@ -207,13 +207,12 @@ def exact_corr_pairs(
     return out
 
 
-def logistic_gradient(df: DataFrame, feature_cols: list[str], label_col: str,
-                      weights: np.ndarray, bias: float, l2: float = 0.0):
-    """One full-batch logistic-regression gradient, distributed: each Arrow
-    batch reduces to a (dim+1) partial gradient vector inside mapInPandas
-    (the PCA-Gramian pattern — only model-sized stats shuffle, never rows),
-    the tiny partials sum in one agg, and the driver applies the step.
-    Returns (grad_w, grad_b, total_loss, n)."""
+def _gradient_partials(df: DataFrame, feature_cols: list[str],
+                       label_col: str, weights: np.ndarray,
+                       bias: float) -> DataFrame:
+    """The distributed half of logistic_gradient: one (dim+1)-float partial
+    gradient row PER PARTITION (exposed separately so tests can pin the
+    collected-row bound)."""
     w = np.asarray(weights, dtype=np.float64)
     b = float(bias)
     d = len(feature_cols)
@@ -223,6 +222,18 @@ def logistic_gradient(df: DataFrame, feature_cols: list[str], label_col: str,
         import numpy as _np
         import pandas as _pd
 
+        # ONE row per PARTITION, not per Arrow batch (r14 verdict): the
+        # per-batch rows made the collect O(rows/batch_size) — gigabytes
+        # to the driver per GD iteration at 100 TB. Batch partials fold
+        # left-assoc into the partition accumulator in batch order, the
+        # same order the driver fold consumed the per-batch rows, so the
+        # result is bit-identical whenever a partition holds one batch
+        # (the small-SF steady state) and deterministic-for-a-fixed-
+        # partitioning always.
+        gs_acc = _np.zeros(d, dtype=_np.float64)
+        gb_acc = 0.0
+        loss_acc = 0.0
+        n_acc = 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -233,24 +244,41 @@ def logistic_gradient(df: DataFrame, feature_cols: list[str], label_col: str,
             err = p - y
             # log-loss with clipping only in the loss (not the gradient)
             pc = _np.clip(p, 1e-12, 1 - 1e-12)
-            loss = float(-(y * _np.log(pc) + (1 - y) * _np.log(1 - pc)).sum())
-            row = {"gb": float(err.sum()), "loss": loss, "n": len(pdf)}
+            loss_acc += float(-(y * _np.log(pc) + (1 - y) * _np.log(1 - pc)).sum())
+            gb_acc += float(err.sum())
             for j in range(x.shape[1]):
-                row[f"g{j}"] = float(err @ x[:, j])
+                gs_acc[j] += float(err @ x[:, j])
+            n_acc += len(pdf)
+        if n_acc:
+            row = {"gb": gb_acc, "loss": loss_acc, "n": n_acc}
+            for j in range(d):
+                row[f"g{j}"] = float(gs_acc[j])
             yield _pd.DataFrame([row])
 
     schema = ", ".join([f"g{j} double" for j in range(d)]
                        + ["gb double", "loss double", "n bigint"])
-    partials = df.select(*feature_cols, label_col).mapInPandas(_partial, schema)
-    # Bounded collect (one model-sized row per Arrow batch) + left-assoc
+    return df.select(*feature_cols, label_col).mapInPandas(_partial, schema)
+
+
+def logistic_gradient(df: DataFrame, feature_cols: list[str], label_col: str,
+                      weights: np.ndarray, bias: float, l2: float = 0.0):
+    """One full-batch logistic-regression gradient, distributed: each
+    partition reduces to a (dim+1) partial gradient vector inside
+    mapInPandas (the PCA-Gramian pattern — only model-sized stats ever
+    reach the driver, never rows), and the driver folds the partition
+    partials and applies the step. Returns (grad_w, grad_b, total_loss, n)."""
+    w = np.asarray(weights, dtype=np.float64)
+    d = len(feature_cols)
+    partials = _gradient_partials(df, feature_cols, label_col, weights, bias)
+    # Bounded collect (one model-sized row per PARTITION) + left-assoc
     # driver fold in partition order, replacing the old .agg().first():
     # the extra exchange + AQE stage of the single-row aggregation doubled
     # each iteration's wall (measured 0.40s vs 0.20s for the same pass at
-    # sf0.1) and Spark's partial-merge order was no more deterministic than
-    # this fold — collect() returns rows in partition order, so the float
-    # summation order is now FIXED for a fixed partitioning (and identical
-    # to the old path whenever a partition emits one batch, the steady
-    # state at 20k rows/batch).
+    # sf0.1). collect() returns rows in partition order, so the float
+    # summation order is FIXED for a fixed partitioning; the collect is
+    # bounded by the partition count (model-sized rows), never by the
+    # data (guide §5 — the r14 per-batch form regressed this to
+    # O(rows/20k) rows per iteration).
     rows = partials.collect()
     gs = np.zeros(d, dtype=np.float64)
     gb_sum = 0.0
@@ -273,7 +301,7 @@ def train_logistic(df: DataFrame, feature_cols: list[str], label_col: str,
     """Full-batch gradient-descent logistic regression on a DataFrame —
     how the corpus-quality filter model itself gets trained at corpus
     scale: per-iteration cost is one distributed pass that ships only
-    (dim+1) floats per Arrow batch; the driver holds the model (dim+1
+    (dim+1) floats per partition; the driver holds the model (dim+1
     parameters), exactly like pca_fit holds the dim^2 Gramian. Returns
     (weights, bias, losses). Deterministic for a fixed partitioning
     (float partial-sum order); seed-free.

@@ -112,6 +112,48 @@ def test_pca_coarse_topk_exact_scores_and_high_recall(embeddings):
     assert "TakeOrderedAndProject" in plan and "BroadcastHashJoin" in plan
 
 
+def test_gradient_partials_one_row_per_partition(spark):
+    """The gradient pass must ship ONE model-sized row per PARTITION to the
+    driver — never one per Arrow batch (the r14 form collected
+    O(rows/batch_size) rows per GD iteration, a driver-scale regression at
+    100 TB). Forced multi-batch partitions via a tiny Arrow batch size; the
+    folded gradient must equal the single-batch gradient to float-fold
+    tolerance and the partial frame must stay partition-bounded."""
+    import numpy as np
+
+    n_parts = 4
+    df = (
+        spark.range(0, 2000, 1, n_parts)
+        .select(
+            (F.col("id") % 13).cast("double").alias("f0"),
+            (F.col("id") % 7).cast("double").alias("f1"),
+            (F.col("id") % 2).cast("double").alias("label"),
+        )
+    )
+    w0 = np.array([0.01, -0.02])
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        # 2000 rows / 4 partitions / 64-row batches = ~8 batches/partition
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        partials = stats._gradient_partials(df, ["f0", "f1"], "label", w0, 0.1)
+        assert partials.count() <= n_parts
+        gw, gb, loss, n = stats.logistic_gradient(df, ["f0", "f1"], "label", w0, 0.1)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_batch)
+    assert n == 2000
+    # numpy reference on the same rows
+    pdf = df.toPandas()
+    X = pdf[["f0", "f1"]].to_numpy(dtype=np.float64)
+    y = pdf["label"].to_numpy(dtype=np.float64)
+    p = 1.0 / (1.0 + np.exp(-(X @ w0 + 0.1)))
+    err = p - y
+    np.testing.assert_allclose(gw, X.T @ err / len(y), rtol=0, atol=1e-9)
+    assert abs(gb - err.mean()) < 1e-9
+    pc = np.clip(p, 1e-12, 1 - 1e-12)
+    ref_loss = float(-(y * np.log(pc) + (1 - y) * np.log(1 - pc)).mean())
+    assert abs(loss - ref_loss) < 1e-9
+
+
 def test_distributed_logistic_matches_numpy(spark, documents):
     """Distributed full-batch GD must track a driver-side numpy
     implementation run on the same features: near-identical loss curve and
