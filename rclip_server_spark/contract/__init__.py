@@ -45,6 +45,21 @@ from . import _tpch7  # noqa: F401,E402
 # tools/check_contract.py.
 _PRIORITY = [
     # The driver verifies the FIRST 50 registered rows each round.
+    # Round-15 rotation (r14 verdict task 7): rotate back the four
+    # displaced green rows that sit directly over r14's riskiest
+    # optimization rewrites — sql_merge_upsert (the footer-arithmetic
+    # dup-key guard), vt_agg_view_refresh (the one-exchange state
+    # merge), ev_asof_attribution (the latest_by as-of dedupe), and
+    # dedup_minhash_near_dup (the persisted-longs signature pipeline,
+    # reworked again this round) — so the driver re-verifies those
+    # paths directly. Displaced: sql_text_search_topk,
+    # sql_ann_search_topk, ai_knn_join_indexed, ai_lsh_indexed_topk —
+    # the longest-green displaceable rows whose machinery stays
+    # covered in-window by their twins (ti_bm25_indexed_topk /
+    # ti_postings / sql_knn_join_indexed / hybrid_indexed_rrf and the
+    # filtered/batch rows all dispatch through the same probed-read +
+    # refresh skeleton). All displaced rows stay replayed locally by
+    # tools/check_contract.py.
     # Round-14 rotation (r13 verdict tasks 1/5): (a) the 20 §2-mapped
     # rows + the fenced drift row stay (the judge reads them against
     # SURVEY §2 every round); (b) ii_ivfadc_topk stays — UPGRADED this
@@ -82,10 +97,12 @@ _PRIORITY = [
     # dispatches through matview._refresh_index (text/ANN/IVF), and
     # every serving read sits over the delete_typed-keyed vector read
     "ii_ivf_indexed_topk", "sql_knn_join_indexed",
-    "sql_hybrid_search_rrf", "ai_knn_join_indexed",
+    "sql_hybrid_search_rrf",
     "ti_postings", "ti_bm25_indexed_topk", "ti_phrase_topk",
-    "sql_text_search_topk", "sql_ann_search_topk",
-    "ai_lsh_indexed_topk", "hybrid_indexed_rrf",
+    "hybrid_indexed_rrf",
+    # --- r15 rotation: the rows sitting over r14's riskiest rewrites
+    "sql_merge_upsert", "vt_agg_view_refresh",
+    "ev_asof_attribution", "dedup_minhash_near_dup",
     # --- delete-vector read rows over the r14 delete_typed machinery
     "vt_delete_vector_read", "sql_select_window_over_dv",
     "sql_select_grouping_sets_over_dv", "vt_bucketed_pruned_read",
@@ -102,15 +119,16 @@ _PRIORITY = [
     "ev_session_windows", "samp_stratified",
     "samp_temperature_mixture", "text_lang_id",
 ]
-# r15 rotation candidates (driver-green in r13, displaced by the r14
-# rows above): dedup_semantic_semdedup, vec_quantize_int8_roundtrip,
+# r16 rotation candidates (driver-green in r13/r14, displaced since):
+# sql_text_search_topk, sql_ann_search_topk, ai_knn_join_indexed,
+# ai_lsh_indexed_topk (displaced r15 by the rewrite-coverage rows
+# above), dedup_semantic_semdedup, vec_quantize_int8_roundtrip,
 # vt_view_composition, sql_clone_divergence, ann_lsh_topk_multiprobe,
 # ann_lsh_knn_join, text_bm25_topk, text_ngram_contamination
 # (displaced late-r14 by the filtered-search/batch
 # rows), rel_salted_join_skew, sql_create_schema_insert,
 # sql_bucketed_lifecycle, sql_merge_sync_by_source,
-# sql_bucket_migration, sql_merge_upsert, vt_agg_view_refresh,
-# ev_asof_attribution, dedup_minhash_near_dup,
+# sql_bucket_migration,
 # sql_bucketed_conditional_merge, b16_local_binary_ingest,
 # sql_bucketed_schema_evolution, samp_export_shards_manifest —
 # then sql_timestamp_time_travel, sql_copy_roundtrip,
