@@ -297,16 +297,22 @@ def query_ann_index_batch(
 
     Plan shape: every query's probe set resolves driver-side (spec
     planes, pure numpy), the UNION of probed buckets drives ONE
-    file-pruned state scan, a broadcast (qid, bucket, qvec) frame —
-    M x probes rows, KB-sized — equi-joins candidates to their
-    queries (a row occupies exactly ONE bucket, so a (row, query)
-    pair matches at most once: no dedup exchange), exact dots score
-    JVM-side, and a per-qid window takes top-k. Shuffles: the qid
-    window over candidate rows only — never the corpus. Per query,
-    rows returned are IDENTICAL to query_ann_index (same probe rule,
-    same fold-order dot, same (score DESC, key ASC) total order).
+    file-pruned state scan, and two constant-folded literal maps
+    attach queries to candidates row-locally — bucket -> [qid]
+    explodes each candidate into its matching (row, query) pairs and
+    qid -> qvec fetches the scoring vector (r15, guide §2.4: the r14
+    broadcast (qid, bucket, qvec) frame burned a broadcast-build job
+    + an AQE stage for what a literal lookup does inside the scan
+    stage; a row occupies exactly ONE bucket, so the explode emits
+    each (row, query) pair at most once — same inner-join semantics,
+    no dedup exchange). Exact dots score JVM-side, and a per-qid
+    window takes top-k. Shuffles: the qid window over candidate rows
+    only — never the corpus. Per query, rows returned are IDENTICAL
+    to query_ann_index (same probe rule, same fold-order dot over
+    bit-identical literals, same (score DESC, key ASC) total order).
 
     Returns (qid, <key>, score) ordered (qid, score DESC, key)."""
+    from ..functions.localrel import _render
     v = V.current_version(view_path) if version is None else int(version)
     spec = _spec_ai(view_path, v)
     key, vec_col = spec["ai_key"], spec["ai_vec_col"]
@@ -319,7 +325,9 @@ def query_ann_index_batch(
     if len(set(qids)) != len(qids):
         raise ValueError("duplicate qids in batch")
     planes = hyperplanes(n_planes, dim, seed)
-    pairs, union = [], set()
+    by_bucket: dict[int, list] = {}
+    qvec_lit: dict = {}
+    union = set()
     for qid, qv in queries:
         q = np.asarray(qv, dtype=np.float64)
         if q.shape != (dim,):
@@ -330,23 +338,36 @@ def query_ann_index_batch(
         probes = _probe_set(qb, n_planes, n_probe_bits)
         union |= probes
         ql = [float(x) for x in q]
-        pairs += [(qid, int(b), ql) for b in sorted(probes)]
+        qvec_lit[qid] = _render(ql, "array<double>")
+        for b in sorted(probes):
+            by_bucket.setdefault(int(b), []).append(qid)
     qid_t = "string" if isinstance(qids[0], str) else "bigint"
-    pdf = values_df(
-        spark, pairs, f"{qid_col} {qid_t}, bucket bigint, _qv array<double>")
+    # bucket -> array(qid) and qid -> qvec as literal maps: ConstantFolding
+    # evaluates both once per plan, and the per-row element_at lookups run
+    # inside the scan stage — the rendering reuses localrel's shortest-repr
+    # double text, so the vectors are bit-identical to the r14 VALUES frame
+    bmap_text = "map(" + ", ".join(
+        f"CAST({b} AS BIGINT), array({', '.join(_render(q, qid_t) for q in qs)})"
+        for b, qs in sorted(by_bucket.items())) + ")"
+    qmap_text = "map(" + ", ".join(
+        f"{_render(q, qid_t)}, {qvec_lit[q]}" for q in qids) + ")"
     cand = _state(spark, view_path, v,
                   probes=sorted(int(b) for b in union)).where(
         F.col("bucket").isin(sorted(union)))
     if where is not None:
         # shared metadata filter across the batch (payload predicate
-        # pushed into the ONE probed scan, before the query join)
+        # pushed into the ONE probed scan, before the query lookup)
         cand = _apply_where(cand, _where_expr(where), where)
     from pyspark.sql import Window
 
     w = Window.partitionBy(qid_col).orderBy(F.desc("score"),
                                             F.asc(key))
-    return (cand.join(F.broadcast(pdf), "bucket")
-            .withColumn("score", VEC.dot(F.col(vec_col), F.col("_qv")))
+    return (cand
+            .withColumn(qid_col,
+                        F.explode(F.expr(f"element_at({bmap_text}, bucket)")))
+            .withColumn("score", VEC.dot(
+                F.col(vec_col),
+                F.expr(f"element_at({qmap_text}, `{qid_col}`)")))
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= k)
             .select(qid_col, key, "score")

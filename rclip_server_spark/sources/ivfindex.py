@@ -654,8 +654,12 @@ def query_ivf_index_batch(
     qids = [q for q, _ in queries]
     if len(set(qids)) != len(qids):
         raise ValueError("duplicate qids in batch")
+    from ..functions.localrel import _render
+
     cents = _centroids(spec)
-    pairs, union = [], set()
+    by_cell: dict[int, list] = {}
+    qvec_lit: dict = {}
+    union = set()
     for qid, qv in queries:
         q = np.asarray(qv, dtype=np.float64)
         if q.shape != (dim,):
@@ -663,17 +667,27 @@ def query_ivf_index_batch(
                 f"query {qid!r} dim {q.shape} != index dim ({dim},)")
         cells = [int(i) for i in np.argsort(-(cents @ q))[:int(n_probe)]]
         union |= set(cells)
-        ql = [float(x) for x in q]
-        pairs += [(qid, c, ql) for c in cells]
+        qvec_lit[qid] = _render([float(x) for x in q], "array<double>")
+        for c in cells:
+            by_cell.setdefault(c, []).append(qid)
     qid_t = "string" if isinstance(qids[0], str) else "bigint"
-    pdf = values_df(
-        spark, pairs, f"{qid_col} {qid_t}, ivf_cell int, _qv array<double>")
+    # cell -> array(qid) and qid -> qvec as constant-folded literal maps:
+    # the per-row element_at lookups run inside the probed scan stage,
+    # replacing the r14 broadcast (qid, cell, qvec) frame's build job +
+    # AQE stage (guide §2.4; same rewrite as query_ann_index_batch —
+    # rows occupy exactly one cell, so the explode emits each
+    # (row, query) pair at most once: inner-join semantics preserved)
+    cmap_text = "map(" + ", ".join(
+        f"CAST({c} AS INT), array({', '.join(_render(q, qid_t) for q in qs)})"
+        for c, qs in sorted(by_cell.items())) + ")"
+    qmap_text = "map(" + ", ".join(
+        f"{_render(q, qid_t)}, {qvec_lit[q]}" for q in qids) + ")"
     cand = _state(spark, view_path, v,
                   cells=sorted(union)).where(
         F.col("ivf_cell").isin(sorted(union)))
     if where is not None:
         # shared metadata filter across the batch (payload predicate
-        # pushed into the ONE probed scan, before the query join)
+        # pushed into the ONE probed scan, before the query lookup)
         from .matview import _apply_where, _where_expr
 
         cand = _apply_where(cand, _where_expr(where), where)
@@ -681,8 +695,12 @@ def query_ivf_index_batch(
 
     w = Window.partitionBy(qid_col).orderBy(F.desc("score"),
                                             F.asc(key))
-    return (cand.join(F.broadcast(pdf), "ivf_cell")
-            .withColumn("score", VEC.dot(F.col(vec_col), F.col("_qv")))
+    return (cand
+            .withColumn(qid_col,
+                        F.explode(F.expr(f"element_at({cmap_text}, ivf_cell)")))
+            .withColumn("score", VEC.dot(
+                F.col(vec_col),
+                F.expr(f"element_at({qmap_text}, `{qid_col}`)")))
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= k)
             .select(qid_col, key, "score")

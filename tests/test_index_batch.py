@@ -101,10 +101,44 @@ def test_text_batch_matches_per_query_loop(spark, built):
         assert got.get(qid, []) == want, f"qid {qid!r} diverged"
 
 
+def test_ann_batch_plan_has_no_broadcast_join(spark, built):
+    """r15: the (qid, bucket, qvec) broadcast frame is gone — queries
+    attach to candidates through constant-folded literal-map lookups
+    (a Generate over element_at), so the batch plan pays no
+    broadcast-build job and no join at all: one probed scan, the qid
+    window's exchange, the output sort's exchange."""
+    # fresh churn-free index: the `built` fixture carries delete
+    # vectors whose anti-join is legitimate serving machinery — this
+    # assertion targets the QUERY-frame join specifically
+    import tempfile
+
+    from rclip_server_spark.sources import versioned as VT
+
+    tmp = tempfile.mkdtemp(prefix="annbatch_plan_")
+    rows = [(i, QVS[i % len(QVS)]) for i in range(64)]
+    src = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    VT.create(spark, tmp + "/src", src)
+    AI.create_ann_index(spark, tmp + "/src", tmp + "/idx", key="vec_id",
+                        n_planes=4)
+    df = AI.query_ann_index_batch(
+        spark, tmp + "/idx", [(i, qv) for i, qv in enumerate(QVS)], k=5)
+    df.count()  # settle AQE so the final plan is inspectable
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Generate" in plan
+    # count the DAGScheduler jobs one execution costs (r14: 5)
+    sc = spark.sparkContext
+    j0 = sc._jsc.sc().dagScheduler().nextJobId()
+    AI.query_ann_index_batch(
+        spark, tmp + "/idx", [(i, qv) for i, qv in enumerate(QVS)],
+        k=5).count()
+    assert sc._jsc.sc().dagScheduler().nextJobId() - j0 <= 4
+
+
 def test_batch_plan_builds_with_zero_spark_jobs(spark, built):
     """The amortization claim's floor: building the M-query plan runs
     ZERO Spark jobs (driver-side probe resolution + manifest-pinned
-    scan schema + a local broadcast frame)."""
+    scan schema + constant-folded literal query maps)."""
     vp = built.get("bai")["path"]
     sc = spark.sparkContext
     group = "batch-serving-zero-jobs"
