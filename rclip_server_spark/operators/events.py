@@ -51,36 +51,56 @@ def funnel(
     # min ts of type steps[k] strictly after level k-1's t) re-embedded
     # every level's plan in the next, so the raw event log was scanned
     # 1+2+..+k times for a k-step funnel. The greedy walk below is the
-    # same rule evaluated in one scan: sort each user's matching events
-    # by (ts, type) and advance one level whenever the next expected
-    # type appears strictly after the current level's time — greedy
-    # earliest is optimal for strictly-increasing matching, so a user's
-    # final lvl is exactly the deepest prefix the min-rule admits.
-    # Within a timestamp tie at most one advance can fire (strict >)
-    # and it fires iff any tied event matches the expected type, so the
-    # (ts, type) sort order never changes the outcome. One scan + one
-    # shuffle by user + a singleton agg; n_users(i) = users with
-    # lvl > i, 0-rows kept by coalesce over the empty-frame sum.
+    # same rule evaluated in one scan: advance one level whenever the
+    # next expected type appears strictly after the current level's
+    # time — greedy earliest is optimal for strictly-increasing
+    # matching, so a user's final lvl is exactly the deepest prefix the
+    # min-rule admits.
+    #
+    # Two-level walk (r15, guide §2.5 skew): the walk's state per user
+    # only needs, for each DISTINCT timestamp, which step types fired
+    # at it — within a tie at most one advance occurs (strict >) and it
+    # fires iff any tied event matches the expected type. So the raw
+    # events first reduce per (user, ts) to a step-index BITMASK via
+    # bit_or — a map-side-combining hash aggregation whose exchange is
+    # keyed (user, ts), spreading even a bot-grade hot user across
+    # partitions — and the per-user fold then buffers one 16-byte
+    # (ts, mask) element per distinct timestamp instead of a full
+    # (ts, type-string) struct per raw event. The residual contract is
+    # that a user's DISTINCT-timestamp list fits an executor (the same
+    # contract the as-of/session windows carry for a user's events).
+    # n_users(i) = users with lvl > i; 0-rows kept by coalesce over the
+    # empty-frame sum.
     k = len(steps)
+    if k > 63:
+        raise ValueError("funnel supports at most 63 steps")
 
     def _q(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"
 
-    steps_arr = "array(" + ", ".join(_q(s) for s in steps) + ")"
+    # event_type -> bitmask of the step positions it satisfies (a type
+    # repeated in `steps` sets every matching bit)
+    bits: dict[str, int] = {}
+    for j, s in enumerate(steps):
+        bits[s] = bits.get(s, 0) | (1 << j)
+    mask_map = "map(" + ", ".join(
+        f"{_q(t)}, CAST({m} AS BIGINT)" for t, m in sorted(bits.items())) + ")"
     ts_type = dict(events.dtypes)[ts_col]
     walk = f"""
         aggregate(
-          sort_array(collect_list(struct(`{ts_col}` AS ts,
-                                         `{type_col}` AS tp))),
+          sort_array(collect_list(struct(`{ts_col}` AS ts, `__m` AS m))),
           named_struct('lvl', 0, 't', CAST(NULL AS {ts_type})),
           (s, e) -> IF(s.lvl < {k}
-                       AND e.tp = try_element_at({steps_arr}, s.lvl + 1)
+                       AND (shiftright(e.m, s.lvl) & 1) = 1
                        AND (s.t IS NULL OR e.ts > s.t),
                        named_struct('lvl', s.lvl + 1, 't', e.ts), s)
         ).lvl
     """
     per_user = (
         events.where(F.col(type_col).isin(steps))
+        .groupBy(user_col, ts_col)
+        .agg(F.expr(
+            f"bit_or(element_at({mask_map}, `{type_col}`))").alias("__m"))
         .groupBy(user_col)
         .agg(F.expr(walk).alias("lvl"))
     )

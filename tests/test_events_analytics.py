@@ -53,6 +53,41 @@ def test_funnel_greedy_earliest_is_optimal(spark):
     assert out["click"] == 1
 
 
+def test_funnel_hot_user_tied_events(spark):
+    """Skew hardening (r15): a bot-grade user firing thousands of events,
+    mostly at tied timestamps, must (a) compute the same funnel as the
+    per-level min-rule and (b) reach the per-user walk as one 16-byte
+    element per DISTINCT timestamp — the (user, ts) bit_or pre-reduction
+    collapses ties map-side, so no collect_list buffers raw events."""
+    rows = []
+    # bot user 9: 2000 'view' events across only 3 distinct timestamps,
+    # then one click and one purchase in strict order
+    for i in range(2000):
+        rows.append((1 + (i % 3), 0, 9, "view"))
+    rows += [(7, 0, 9, "click"), (9, 0, 9, "purchase")]
+    # ordinary user 10: view then click at tied timestamps (no advance
+    # past click: purchase ties with click)
+    rows += [(1, 0, 10, "view"), (2, 0, 10, "click"), (2, 0, 10, "purchase")]
+    out = {r.step: r.n_users
+           for r in EV.funnel(_ev(spark, rows),
+                              ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 2, "click": 2, "purchase": 1}
+
+
+def test_funnel_repeated_step_type(spark):
+    """steps may repeat a type: view->view needs two distinct instants."""
+    rows = [(1, 0, 1, "view"), (1, 0, 1, "view"),  # tied: one advance only
+            (2, 0, 2, "view"), (3, 0, 2, "view")]
+    out = {r.step_idx: r.n_users
+           for r in EV.funnel(_ev(spark, rows), ["view", "view"]).collect()}
+    assert out == {0: 2, 1: 1}
+
+
+def test_funnel_too_many_steps_raises(spark):
+    with pytest.raises(ValueError, match="63"):
+        EV.funnel(_ev(spark, [(1, 0, 1, "view")]), [f"s{i}" for i in range(64)])
+
+
 def test_funnel_monotone_on_fixture(events):
     counts = [
         r.n_users
