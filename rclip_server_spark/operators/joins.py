@@ -56,17 +56,24 @@ def asof_join(
     semantics; ties at equal ts DO match).
 
     ``right`` must be unique per (key, ts) — pre-aggregate it if not, OR
-    pass ``latest_by``: a right payload column (unique per (key, ts),
-    e.g. an event id) whose MAXIMUM row wins among equal-ts duplicates.
-    The dedupe then rides the window's existing sort — duplicates order
-    by ``latest_by`` ascending so the running ``last()`` keeps the max —
-    instead of a separate pre-aggregation, whose groupBy((key, ts))
-    exchange is a SECOND shuffle of the right side on top of the
-    window's own (the union forgets the agg's partitioning). Same
-    answer as ``groupBy(key, ts).agg(max(latest_by))``, one Exchange
-    fewer (r14 opt). Right payload columns come back prefixed ``r_``,
-    plus ``gap_us`` = left.ts − matched right.ts in micros (NULL when
-    unmatched or beyond ``tolerance``).
+    pass ``latest_by``: a right payload column (unique and NON-NULL per
+    (key, ts), e.g. an event id) selecting the WHOLE row with the maximum
+    ``latest_by`` among equal-ts duplicates. The dedupe then rides the
+    window's existing sort — duplicates order by ``latest_by`` ascending
+    so the running ``last()`` keeps the max row — instead of a separate
+    pre-aggregation, whose groupBy((key, ts)) exchange is a SECOND
+    shuffle of the right side on top of the window's own (the union
+    forgets the agg's partitioning); one Exchange fewer (r14 opt).
+    Equivalence notes: with a single right payload column this returns
+    exactly ``groupBy(key, ts).agg(max(latest_by))``; with additional
+    payload columns it keeps the full winning ROW, where the max() form
+    would have collapsed them. NULLs in ``latest_by`` sort FIRST under
+    ascending order, so a NULL row loses to any non-null sibling and an
+    all-NULL duplicate group has no deterministic winner — keep the
+    column non-null (matching the max()-ignores-NULLs intuition). Right
+    payload columns come back prefixed ``r_``, plus ``gap_us`` =
+    left.ts − matched right.ts in micros (NULL when unmatched or beyond
+    ``tolerance``).
     """
     rpay = [c for c in right.columns if c not in (on, ts)]
     r_struct = F.struct(

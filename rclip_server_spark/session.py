@@ -51,6 +51,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Compression codecs as env knobs (r15, guide §2.3/§6). Local
+        # defaults keep Spark's own defaults (lz4 shuffle, snappy parquet)
+        # so the driver's bench stays comparable round-over-round; at
+        # sf0.1 every shuffle in the headline set is KB-MB-sized, so a
+        # codec delta is unmeasurable here (A/B table in
+        # OPTIMIZATION_r15.md). At 100 TB set SPARK_GRAFT_IO_CODEC=zstd
+        # and SPARK_GRAFT_PARQUET_CODEC=zstd: markedly better ratio for a
+        # bit more CPU on network/disk-bound shuffles and scans.
+        .config("spark.io.compression.codec",
+                os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"))
+        .config("spark.sql.parquet.compression.codec",
+                os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
