@@ -1341,22 +1341,28 @@ def main() -> int:
         "Batched multi-query ANN serving (M queries, one plan)",
         _bq,
         {"PushedFilters: [In(bucket": True,
-         "BroadcastHashJoin": True,
+         "Generate": True,
+         "BroadcastHashJoin": False,
          "CartesianProduct": False,
          "BroadcastNestedLoopJoin": False,
          "Window": True},
         "query_ann_index_batch answers M queries from ONE file-pruned "
         "scan of the union probe set (verified: exactly one parquet "
         "scan in the plan, naming a strict subset of bucket segments "
-        f"— {len(_b_probed)} of {len(_b_all)}), equi-joined to a "
-        "broadcast (qid, bucket, qvec) frame (a row occupies exactly "
-        "one bucket, so no dedup exchange), exact dots JVM-side, and "
+        f"— {len(_b_probed)} of {len(_b_all)}), fanned out to its "
+        "matching queries by a Generate over two constant-folded "
+        "literal maps (bucket -> [qid], qid -> qvec) INSIDE the scan "
+        "stage — no broadcast-build job, no join at all (r15; a row "
+        "occupies exactly one bucket, so the explode emits each "
+        "(row, query) pair at most once), exact dots JVM-side, and "
         "a per-qid Window top-k. The only shuffle is the qid window "
         "over CANDIDATE rows — never the corpus; per-query plan-build "
         "cost amortizes by the batch factor, and per query the rows "
         "are identical to query_ann_index (tests/test_index_batch). "
-        "The IVF and text twins share the shape (one union scan + "
-        "broadcast query frame + per-qid window).",
+        "The IVF twin shares the shape (one union scan + literal-map "
+        "fan-out + per-qid window); the text twin keeps its broadcast "
+        "(qid, term, mult) frame, whose scores flow through a float "
+        "SUM the literal-map rewrite must not reorder.",
     ))
 
     lines = [
